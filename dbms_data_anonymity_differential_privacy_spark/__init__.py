@@ -1,0 +1,62 @@
+"""PySpark-native privacy-preserving analytics engine.
+
+A Spark-first rebuild of the capabilities of the reference study
+(trjyap/dbms-data-anonymity-differential-privacy): k-anonymity by
+suppression, clustering-based anonymization, t-closeness filtering,
+privacy/utility metrics — plus the north-star extensions: differential
+privacy on aggregates, deduplication, similarity search, text analysis,
+multimodal column plumbing, and streaming anonymization.
+
+Everything is expressed against the DataFrame API so Catalyst handles
+planning/pushdown, and designed for a 1000-executor / 100 TB deployment:
+no driver-side loops over data, no collect() except final scalars, window
+counts instead of self-joins, broadcast for tiny relations.
+"""
+
+from dbms_data_anonymity_differential_privacy_spark.session import get_spark
+from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_table, load_tables, read_adult_csv
+from dbms_data_anonymity_differential_privacy_spark.functions.binning import (
+    bin_equal_width,
+    bin_explicit_edges,
+)
+from dbms_data_anonymity_differential_privacy_spark.operators.kanonymity import (
+    class_sizes,
+    k_anonymize_suppress,
+    k_anonymity_audit,
+)
+from dbms_data_anonymity_differential_privacy_spark.operators.metrics import (
+    reid_risk,
+    uniqueness_rate,
+    suppression_rate,
+    ncp,
+)
+from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import (
+    sensitive_distribution,
+    class_emd,
+    t_closeness_filter,
+    t_violations,
+)
+from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_count, dp_sum, dp_avg
+
+__all__ = [
+    "get_spark",
+    "load_table",
+    "load_tables",
+    "read_adult_csv",
+    "bin_equal_width",
+    "bin_explicit_edges",
+    "class_sizes",
+    "k_anonymize_suppress",
+    "k_anonymity_audit",
+    "reid_risk",
+    "uniqueness_rate",
+    "suppression_rate",
+    "ncp",
+    "sensitive_distribution",
+    "class_emd",
+    "t_closeness_filter",
+    "t_violations",
+    "dp_count",
+    "dp_sum",
+    "dp_avg",
+]

@@ -1,0 +1,69 @@
+"""k-anonymity operators — SURVEY §2b C1/C2.
+
+The reference suppresses rows whose quasi-identifier (QI) equivalence class
+has fewer than k members by building a group-frequency table and inner-
+merging it back (reference ``naive-suppresion.py:29-40``), and audits
+k-anonymity by reporting class counts / min size / at-risk rows
+(``Archived/data-anonymity.py:48-71``).
+
+Spark-first design: the suppression is ONE shuffle — a window count over
+the QI partition and a filter — instead of the reference's aggregate +
+re-join (two shuffles of which one re-shuffles the whole fact table on a
+wide composite key). At 100 TB this halves shuffle volume; AQE handles
+skewed modal classes.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+CLASS_SIZE_COL = "class_size"
+
+
+def class_sizes(df: DataFrame, qi: Sequence[str]) -> DataFrame:
+    """P5 — the QI group-frequency relation: one row per equivalence class
+    with its member count (reference ``naive-suppresion.py:34``)."""
+    return df.groupBy(*qi).agg(F.count(F.lit(1)).alias(CLASS_SIZE_COL))
+
+
+def with_class_size(df: DataFrame, qi: Sequence[str], out_col: str = CLASS_SIZE_COL) -> DataFrame:
+    """P9 — annotate every row with its equivalence-class size via a window
+    count (replaces the reference's ``index.map`` join-back idiom,
+    ``naive-suppresion.py:66-67``). One shuffle, no second relation."""
+    w = Window.partitionBy(*[F.col(c) for c in qi])
+    return df.withColumn(out_col, F.count(F.lit(1)).over(w))
+
+
+def k_anonymize_suppress(df: DataFrame, qi: Sequence[str], k: int) -> DataFrame:
+    """C1 — drop every row whose QI equivalence class has < k members.
+
+    Window-count + filter (SURVEY P5→P6→P8 fused). Returns the original
+    columns (class size is internal only). Reference semantics:
+    ``naive-suppresion.py:29-40`` / ``t-closeness.py:91-95``.
+    """
+    tagged = with_class_size(df, qi, "__cnt")
+    return tagged.filter(F.col("__cnt") >= F.lit(k)).drop("__cnt")
+
+
+def k_anonymity_audit(df: DataFrame, qi: Sequence[str], k: int) -> DataFrame:
+    """C2 — one-row report: #classes, min/max class size, #classes below k,
+    #at-risk rows, k satisfied (reference ``Archived/data-anonymity.py:48-71``).
+
+    Single aggregation over the class-frequency relation — the class
+    relation is tiny relative to the fact table, so this is one shuffle +
+    a scalar agg.
+    """
+    cs = class_sizes(df, qi)
+    return cs.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min(CLASS_SIZE_COL).alias("min_class_size"),
+        F.max(CLASS_SIZE_COL).alias("max_class_size"),
+        F.sum(F.when(F.col(CLASS_SIZE_COL) < k, 1).otherwise(0)).alias("classes_below_k"),
+        F.sum(F.when(F.col(CLASS_SIZE_COL) < k, F.col(CLASS_SIZE_COL)).otherwise(0)).alias(
+            "rows_at_risk"
+        ),
+        (F.min(CLASS_SIZE_COL) >= F.lit(k)).alias("k_satisfied"),
+    )

@@ -1,0 +1,95 @@
+"""Privacy/utility metrics — SURVEY §2b C5–C8.
+
+Every metric returns a single-row DataFrame (never a driver-side scalar) so
+the DuckDB oracle can hash-check it and so composition stays lazy.
+Float outputs are rounded to 9 dp to absorb engine-level summation-order
+ulp differences while staying far inside metric precision.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbms_data_anonymity_differential_privacy_spark.operators.kanonymity import class_sizes, with_class_size
+
+ROUND_DP = 9
+
+
+def reid_risk(df: DataFrame, qi: Sequence[str]) -> DataFrame:
+    """C5 — mean over rows of 1/|equivalence class| (reference
+    ``naive-suppresion.py:64-69``). Window count + avg, one shuffle."""
+    tagged = with_class_size(df, qi, "__cnt")
+    return tagged.agg(F.round(F.avg(F.lit(1.0) / F.col("__cnt")), ROUND_DP).alias("reid_risk"))
+
+
+def uniqueness_rate(
+    df: DataFrame, qi: Sequence[str], denominator: str = "rows"
+) -> DataFrame:
+    """C6 — share of singleton equivalence classes.
+
+    The reference uses three different denominators (SURVEY §2b C6):
+    ``rows``    — unique rows / total rows (``naive-suppresion.py:60-62``)
+    ``classes`` — singleton classes / total classes (``t-closeness.py:211-214``)
+    """
+    cs = class_sizes(df, qi)
+    if denominator == "rows":
+        out = cs.agg(
+            F.round(
+                F.sum(F.when(F.col("class_size") == 1, 1).otherwise(0))
+                / F.sum("class_size"),
+                ROUND_DP,
+            ).alias("uniqueness_rate")
+        )
+    elif denominator == "classes":
+        out = cs.agg(
+            F.round(
+                F.sum(F.when(F.col("class_size") == 1, 1).otherwise(0)) / F.count(F.lit(1)),
+                ROUND_DP,
+            ).alias("uniqueness_rate")
+        )
+    else:
+        raise ValueError(f"unknown denominator: {denominator}")
+    return out
+
+
+def suppression_rate(orig: DataFrame, anon: DataFrame) -> DataFrame:
+    """C7 — ``(|orig| - |anon|) / |orig|`` (reference
+    ``naive-suppresion.py:47-49``). Two count aggregates, cross-joined
+    (each side is a single row → broadcast, no shuffle)."""
+    o = orig.agg(F.count(F.lit(1)).alias("__n_orig"))
+    a = anon.agg(F.count(F.lit(1)).alias("__n_anon"))
+    return (
+        o.crossJoin(F.broadcast(a))
+        .select(
+            F.col("__n_orig").alias("n_orig"),
+            F.col("__n_anon").alias("n_anon"),
+            F.round((F.col("__n_orig") - F.col("__n_anon")) / F.col("__n_orig"), ROUND_DP).alias(
+                "suppression_rate"
+            ),
+        )
+    )
+
+
+def ncp(orig: DataFrame, anon: DataFrame, qi: Sequence[str]) -> DataFrame:
+    """C8 — Normalized Certainty Penalty: mean over QI columns of
+    ``(nunique_orig - nunique_anon) / nunique_orig`` (reference
+    ``naive-suppresion.py:74-83``).
+
+    One pass per side: a single agg computing every ``countDistinct`` at
+    once (Spark expands to one expand+agg, not |qi| scans). Exact distinct
+    to match the oracle; swap to ``approx_count_distinct`` at 100 TB if a
+    1-2% error is acceptable.
+    """
+    o = orig.agg(*[F.countDistinct(c).alias(f"__o_{i}") for i, c in enumerate(qi)])
+    a = anon.agg(*[F.countDistinct(c).alias(f"__a_{i}") for i, c in enumerate(qi)])
+    joined = o.crossJoin(F.broadcast(a))
+    per_col = [
+        (F.col(f"__o_{i}") - F.col(f"__a_{i}")) / F.col(f"__o_{i}") for i in range(len(qi))
+    ]
+    total = per_col[0]
+    for p in per_col[1:]:
+        total = total + p
+    return joined.select(F.round(total / F.lit(len(qi)), ROUND_DP).alias("ncp"))

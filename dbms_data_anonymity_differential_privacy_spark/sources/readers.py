@@ -1,0 +1,75 @@
+"""Sources: parquet test tables and the reference's CSV scan shape.
+
+The reference loads one CSV with an inline column list, ``'?'`` as the null
+sentinel and a ``', '`` separator (reference ``naive-suppresion.py:13-14``,
+``t-closeness.py:15-16``). Spark equivalents are implemented here as P1 of
+SURVEY §2a. The driver's synthetic tables are parquet (TESTDATA.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# The reference's inline Adult schema (naive-suppresion.py:7-11): 6 int64
+# columns, the rest strings. Declared explicitly so the reader never has to
+# infer (an extra full scan at 100 TB).
+ADULT_COLUMNS: list[tuple[str, T.DataType]] = [
+    ("age", T.LongType()),
+    ("workclass", T.StringType()),
+    ("fnlwgt", T.LongType()),
+    ("education", T.StringType()),
+    ("education-num", T.LongType()),
+    ("marital-status", T.StringType()),
+    ("occupation", T.StringType()),
+    ("relationship", T.StringType()),
+    ("race", T.StringType()),
+    ("sex", T.StringType()),
+    ("capital-gain", T.LongType()),
+    ("capital-loss", T.LongType()),
+    ("hours-per-week", T.LongType()),
+    ("native-country", T.StringType()),
+    ("income", T.StringType()),
+]
+
+ADULT_SCHEMA = T.StructType([T.StructField(n, t, True) for n, t in ADULT_COLUMNS])
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic parquet table. Parquet scan → Catalyst gets column
+    pruning + predicate pushdown + min/max row-group skipping for free."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def read_adult_csv(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """P1 — CSV scan with inline schema and '?' null sentinel.
+
+    Mirrors ``pd.read_csv(url, names=columns, sep=', ', na_values='?')``
+    (reference ``naive-suppresion.py:13-14``): explicit schema (no inference
+    pass), ``'?'`` → NULL, leading whitespace stripped (the Adult file is
+    comma+space separated).
+    """
+    return (
+        spark.read.schema(schema or ADULT_SCHEMA)
+        .option("nullValue", "?")
+        .option("ignoreLeadingWhiteSpace", "true")
+        .option("ignoreTrailingWhiteSpace", "true")
+        .csv(path)
+    )

@@ -1,0 +1,49 @@
+"""k-anonymity invariants (SURVEY §5 property tests)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbms_data_anonymity_differential_privacy_spark import bin_equal_width, k_anonymize_suppress, k_anonymity_audit
+from dbms_data_anonymity_differential_privacy_spark.operators.kanonymity import class_sizes
+from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_table
+
+# 2-col QI keeps classes non-degenerate at sf0.001 (150 rows).
+QI = ["c_mktsegment", "acctbal_bin"]
+
+
+def _binned(spark, sf):
+    return bin_equal_width(load_table(spark, sf, "customer"), "c_acctbal", 5, "acctbal_bin")
+
+
+def test_min_class_size_ge_k(spark, sf0001):
+    anon = k_anonymize_suppress(_binned(spark, sf0001), QI, 5)
+    sizes = class_sizes(anon, QI)
+    assert sizes.agg(F.min("class_size")).collect()[0][0] >= 5
+
+
+def test_suppression_monotone_in_k(spark, sf0001):
+    b = _binned(spark, sf0001)
+    counts = [k_anonymize_suppress(b, QI, k).count() for k in (2, 5, 10)]
+    assert counts[0] >= counts[1] >= counts[2]
+    assert counts[0] <= b.count()
+
+
+def test_schema_preserved(spark, sf0001):
+    b = _binned(spark, sf0001)
+    anon = k_anonymize_suppress(b, QI, 5)
+    assert anon.columns == b.columns
+
+
+def test_audit_fields(spark, sf0001):
+    b = _binned(spark, sf0001)
+    row = k_anonymity_audit(b, QI, 5).collect()[0]
+    assert row.n_classes > 0
+    assert row.min_class_size >= 1
+    assert row.max_class_size >= row.min_class_size
+    assert row.rows_at_risk < b.count()
+    # after suppression the audit must report k satisfied
+    anon = k_anonymize_suppress(b, QI, 5)
+    row2 = k_anonymity_audit(anon, QI, 5).collect()[0]
+    assert bool(row2.k_satisfied) is True
+    assert row2.classes_below_k == 0
