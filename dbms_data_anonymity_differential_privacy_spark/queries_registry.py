@@ -76,3 +76,515 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-empty even at sf0.001 (the 3-col QI suppresses ~100% of 150 rows)."""
     b = binned_customer(spark, sf_dir)
     return ka.k_anonymize_suppress(b, ["c_mktsegment", "acctbal_bin"], 5)
+
+
+# --------------------------------------------------------------------------
+# §2a primitives P1–P23. Reference citations per SURVEY §2a.
+# --------------------------------------------------------------------------
+
+# P1 — scan with explicit schema (CSV variant exercised in tests/test_sources).
+@query("p01_scan", "SELECT * FROM customer")
+def p01_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer")
+
+
+# P2 — drop-null filter (naive-suppresion.py:17). Testdata has no physical
+# NULLs, so derive one (error events → NULL) then drop.
+@query(
+    "p02_drop_null",
+    """
+    SELECT event_id, user_id, NULLIF(event_type, 'error') AS event_kind, value
+    FROM events WHERE NULLIF(event_type, 'error') IS NOT NULL
+    """,
+)
+def p02_drop_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.nullif(F.col("event_type"), F.lit("error")).alias("event_kind"),
+        "value",
+    )
+    return ev.na.drop("any")
+
+
+# P3 — column projection (t-closeness.py:29).
+@query("p03_project", "SELECT c_nationkey, c_mktsegment, c_acctbal FROM customer")
+def p03_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+
+
+# P4 — safe coercion: bad casts → NULL (pd.to_numeric errors='coerce',
+# t-closeness.py:32-33) and to-string casts (Archived/data-anonymity.py:44-45).
+@query(
+    "p04_cast_coerce",
+    """
+    SELECT c_custkey,
+           CAST(SUBSTR(c_name, 10, 30) AS BIGINT) AS name_num,
+           CAST(c_nationkey AS VARCHAR) AS nation_str,
+           TRY_CAST(c_mktsegment AS DOUBLE) AS seg_num
+    FROM customer
+    """,
+)
+def p04_cast_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    # Spark 4 defaults to ANSI mode where CAST throws on malformed input;
+    # try_cast is the engine's errors='coerce' equivalent (→ NULL), matching
+    # DuckDB's TRY_CAST.
+    return c.select(
+        "c_custkey",
+        F.col("c_name").substr(10, 30).try_cast("long").alias("name_num"),
+        F.col("c_nationkey").cast("string").alias("nation_str"),
+        F.col("c_mktsegment").try_cast("double").alias("seg_num"),
+    )
+
+
+# P5 — group-frequency table on the composite QI (naive-suppresion.py:34).
+CLASSES_SQL = (
+    "classes AS (SELECT c_nationkey, c_mktsegment, acctbal_bin, "
+    "COUNT(*) AS class_size FROM binned GROUP BY 1, 2, 3)"
+)
+
+
+@query(
+    "p05_group_frequency",
+    f"WITH {BINNED_CUSTOMER_CTE}, {CLASSES_SQL} SELECT * FROM classes",
+)
+def p05_group_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ka.class_sizes(binned_customer(spark, sf_dir), CUST_QI)
+
+
+# P6 — threshold filter on the aggregate (naive-suppresion.py:37).
+@query(
+    "p06_threshold_filter",
+    f"WITH {BINNED_CUSTOMER_CTE}, {CLASSES_SQL} SELECT * FROM classes WHERE class_size >= 5",
+)
+def p06_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cs = ka.class_sizes(binned_customer(spark, sf_dir), CUST_QI)
+    return cs.filter(F.col("class_size") >= 5)
+
+
+# P7 — suppression join-back: agg + inner join formulation
+# (naive-suppresion.py:40; same result as c01's window formulation,
+# deliberately a different physical plan).
+@query(
+    "p07_join_back",
+    f"""
+    WITH {BINNED_CUSTOMER_CTE}, {CLASSES_SQL}
+    SELECT b.c_custkey, b.c_name, b.c_nationkey, b.c_acctbal, b.c_mktsegment, b.acctbal_bin
+    FROM binned b
+    JOIN (SELECT * FROM classes WHERE class_size >= 5) f
+      USING (c_nationkey, c_mktsegment, acctbal_bin)
+    """,
+)
+def p07_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = binned_customer(spark, sf_dir)
+    frequent = (
+        ka.class_sizes(b, CUST_QI).filter(F.col("class_size") >= 5).drop("class_size")
+    )
+    # The frequent-class relation is small → broadcast join, no fact shuffle.
+    return b.join(F.broadcast(frequent), on=CUST_QI, how="inner").select(*b.columns)
+
+
+# P8 — semi-join membership test (t-closeness.py:93-95).
+@query(
+    "p08_semi_join",
+    f"""
+    WITH {BINNED_CUSTOMER_CTE}, {CLASSES_SQL}
+    SELECT b.* FROM binned b
+    WHERE (b.c_nationkey, b.c_mktsegment, b.acctbal_bin) IN
+          (SELECT (c_nationkey, c_mktsegment, acctbal_bin)
+           FROM classes WHERE class_size >= 5)
+    """,
+)
+def p08_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = binned_customer(spark, sf_dir)
+    frequent = ka.class_sizes(b, CUST_QI).filter(F.col("class_size") >= 5)
+    return b.join(F.broadcast(frequent.select(*CUST_QI)), on=CUST_QI, how="left_semi")
+
+
+# P9 — per-group stat broadcast back to rows (naive-suppresion.py:66-67).
+@query(
+    "p09_group_stat_to_rows",
+    f"""
+    WITH {BINNED_CUSTOMER_CTE},
+    w AS (SELECT c_custkey,
+                 COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment, acctbal_bin)
+                   AS class_size
+          FROM binned)
+    SELECT c_custkey, class_size, ROUND(1.0 / class_size, 9) AS risk FROM w
+    """,
+)
+def p09_group_stat_to_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = binned_customer(spark, sf_dir)
+    tagged = ka.with_class_size(b, CUST_QI)
+    return tagged.select(
+        "c_custkey",
+        "class_size",
+        F.round(F.lit(1.0) / F.col("class_size"), 9).alias("risk"),
+    )
+
+
+# P10 — min/max over the class-size column (naive-suppresion.py:43-44).
+@query(
+    "p10_minmax_class_size",
+    f"""
+    WITH {BINNED_CUSTOMER_CTE}, {CLASSES_SQL}
+    SELECT MIN(class_size) AS min_class_size, MAX(class_size) AS max_class_size FROM classes
+    """,
+)
+def p10_minmax_class_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cs = ka.class_sizes(binned_customer(spark, sf_dir), CUST_QI)
+    return cs.agg(
+        F.min("class_size").alias("min_class_size"),
+        F.max("class_size").alias("max_class_size"),
+    )
+
+
+# P11 — row count + distinct-group count (naive-suppresion.py:45,47-48).
+@query(
+    "p11_counts",
+    f"""
+    WITH {BINNED_CUSTOMER_CTE}
+    SELECT (SELECT COUNT(*) FROM binned) AS n_rows,
+           (SELECT COUNT(*) FROM
+              (SELECT DISTINCT c_nationkey, c_mktsegment, acctbal_bin FROM binned)) AS n_classes
+    """,
+)
+def p11_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = binned_customer(spark, sf_dir)
+    rows = b.agg(F.count(F.lit(1)).alias("n_rows"))
+    classes = b.select(*CUST_QI).distinct().agg(F.count(F.lit(1)).alias("n_classes"))
+    return rows.crossJoin(F.broadcast(classes))
+
+
+# P12 — per-column distinct counts, one pass (naive-suppresion.py:77-79).
+@query(
+    "p12_nunique",
+    """
+    SELECT COUNT(DISTINCT c_custkey) AS nu_custkey,
+           COUNT(DISTINCT c_name) AS nu_name,
+           COUNT(DISTINCT c_nationkey) AS nu_nationkey,
+           COUNT(DISTINCT c_acctbal) AS nu_acctbal,
+           COUNT(DISTINCT c_mktsegment) AS nu_mktsegment
+    FROM customer
+    """,
+)
+def p12_nunique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.agg(
+        *[
+            F.countDistinct(col).alias(f"nu_{col[2:]}")
+            for col in ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+        ]
+    )
+
+
+# P13 — value_counts (clustering-anon.py:55).
+@query(
+    "p13_value_counts",
+    "SELECT c_mktsegment, COUNT(*) AS cnt FROM customer GROUP BY c_mktsegment",
+)
+def p13_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("cnt")).orderBy(
+        F.desc("cnt")
+    )
+
+
+# P14 — zero-filled normalized distribution per group (t-closeness.py:42-46,66).
+@query(
+    "p14_distribution",
+    """
+    WITH sup AS (SELECT DISTINCT o_orderstatus FROM orders),
+    grp AS (SELECT DISTINCT o_orderpriority FROM orders),
+    cnts AS (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+             FROM orders GROUP BY 1, 2),
+    grid AS (SELECT g.o_orderpriority, s.o_orderstatus, COALESCE(c.cnt, 0) AS cnt
+             FROM grp g CROSS JOIN sup s
+             LEFT JOIN cnts c
+               ON c.o_orderpriority = g.o_orderpriority
+              AND c.o_orderstatus = s.o_orderstatus)
+    SELECT o_orderpriority, o_orderstatus,
+           ROUND(cnt / SUM(cnt) OVER (PARTITION BY o_orderpriority), 9) AS p
+    FROM grid
+    """,
+)
+def p14_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import sensitive_distribution
+
+    o = load_table(spark, sf_dir, "orders")
+    dist = sensitive_distribution(o, ["o_orderpriority"], "o_orderstatus")
+    return dist.select(
+        "o_orderpriority", "o_orderstatus", F.round("p", 9).alias("p")
+    )
+
+
+# P15 — filter-count composites: singleton classes (naive-suppresion.py:60-62).
+@query(
+    "p15_singletons",
+    f"""
+    WITH {BINNED_CUSTOMER_CTE}, {CLASSES_SQL}
+    SELECT CAST(SUM(CASE WHEN class_size = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+           COUNT(*) AS n_classes,
+           ROUND(SUM(CASE WHEN class_size = 1 THEN 1 ELSE 0 END) / COUNT(*), 9)
+             AS singleton_rate
+    FROM classes
+    """,
+)
+def p15_singletons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cs = ka.class_sizes(binned_customer(spark, sf_dir), CUST_QI)
+    return cs.agg(
+        F.sum(F.when(F.col("class_size") == 1, 1).otherwise(0)).alias("n_singletons"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.round(
+            F.sum(F.when(F.col("class_size") == 1, 1).otherwise(0)) / F.count(F.lit(1)), 9
+        ).alias("singleton_rate"),
+    )
+
+
+# P16 — mean of a derived column = re-id risk (naive-suppresion.py:68) → c05.
+
+
+# P17 — equal-width binning distribution (t-closeness.py:36).
+@query(
+    "p17_equal_width_bin",
+    f"WITH {BINNED_CUSTOMER_CTE} SELECT acctbal_bin, COUNT(*) AS cnt FROM binned GROUP BY 1",
+)
+def p17_equal_width_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = binned_customer(spark, sf_dir)
+    return b.groupBy("acctbal_bin").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# P18 — explicit-edge binning with labels (Archived/data-anonymity.py:79-83).
+PRICE_EDGES = [0.0, 100000.0, 250000.0, 400000.0, 500000.0]
+PRICE_LABELS = ["low", "mid", "high", "top"]
+
+
+@query(
+    "p18_explicit_bin",
+    """
+    SELECT CASE WHEN o_totalprice > 0.0 AND o_totalprice <= 100000.0 THEN 'low'
+                WHEN o_totalprice > 100000.0 AND o_totalprice <= 250000.0 THEN 'mid'
+                WHEN o_totalprice > 250000.0 AND o_totalprice <= 400000.0 THEN 'high'
+                WHEN o_totalprice > 400000.0 AND o_totalprice <= 500000.0 THEN 'top'
+                ELSE NULL END AS price_band,
+           COUNT(*) AS cnt
+    FROM orders GROUP BY 1
+    """,
+)
+def p18_explicit_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.functions.binning import bin_explicit_edges
+
+    o = load_table(spark, sf_dir, "orders")
+    binned = bin_explicit_edges(o, "o_totalprice", PRICE_EDGES, PRICE_LABELS, "price_band")
+    return binned.groupBy("price_band").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# P19 — per-group range generalization (clustering-anon.py:51) — pure
+# built-ins, no UDF: concat_ws('-', min, max).
+@query(
+    "p19_range_generalize",
+    """
+    SELECT c_mktsegment,
+           CONCAT_WS('-', CAST(CAST(FLOOR(MIN(c_acctbal)) AS BIGINT) AS VARCHAR),
+                          CAST(CAST(FLOOR(MAX(c_acctbal)) AS BIGINT) AS VARCHAR))
+             AS acctbal_range,
+           CONCAT_WS('-', CAST(MIN(c_nationkey) AS VARCHAR),
+                          CAST(MAX(c_nationkey) AS VARCHAR)) AS nation_range
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def p19_range_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.concat_ws(
+            "-",
+            F.floor(F.min("c_acctbal")).cast("long").cast("string"),
+            F.floor(F.max("c_acctbal")).cast("long").cast("string"),
+        ).alias("acctbal_range"),
+        F.concat_ws(
+            "-",
+            F.min("c_nationkey").cast("string"),
+            F.max("c_nationkey").cast("string"),
+        ).alias("nation_range"),
+    )
+
+
+# P20 — union of subsets (t-closeness.py:89,118-119).
+@query(
+    "p20_union",
+    """
+    SELECT * FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    UNION ALL
+    SELECT * FROM customer WHERE c_acctbal > 5000.0
+    """,
+)
+def p20_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_mktsegment") == "AUTOMOBILE").unionByName(
+        c.filter(F.col("c_acctbal") > 5000.0)
+    )
+
+
+# P21 — sorted distinct values with positions (t-closeness.py:62).
+@query(
+    "p21_sorted_distinct",
+    """
+    SELECT o_orderstatus, CAST(ROW_NUMBER() OVER (ORDER BY o_orderstatus) AS INT) AS pos
+    FROM (SELECT DISTINCT o_orderstatus FROM orders)
+    """,
+)
+def p21_sorted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import sensitive_support
+
+    o = load_table(spark, sf_dir, "orders")
+    return sensitive_support(o, "o_orderstatus").select("o_orderstatus", "pos")
+
+
+# P22 — limit/head with a deterministic order (naive-suppresion.py:24).
+@query(
+    "p22_limit",
+    "SELECT * FROM customer ORDER BY c_custkey LIMIT 5",
+)
+def p22_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").orderBy("c_custkey").limit(5)
+
+
+# P23 — scalar arithmetic on aggregates as a single-row relation
+# (naive-suppresion.py:49,61). Suppression arithmetic itself is c07.
+@query(
+    "p23_scalar_arithmetic",
+    f"""
+    WITH {BINNED_CUSTOMER_CTE}, {CLASSES_SQL}
+    SELECT COUNT(*) AS n_classes,
+           CAST(SUM(class_size) AS BIGINT) AS n_rows,
+           ROUND(SUM(class_size) / COUNT(*), 9) AS avg_class_size,
+           ROUND(CAST(SUM(CASE WHEN class_size >= 5 THEN class_size ELSE 0 END) AS BIGINT)
+                 / SUM(class_size), 9) AS kept_fraction
+    FROM classes
+    """,
+)
+def p23_scalar_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cs = ka.class_sizes(binned_customer(spark, sf_dir), CUST_QI)
+    return cs.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("class_size").alias("n_rows"),
+        F.round(F.sum("class_size") / F.count(F.lit(1)), 9).alias("avg_class_size"),
+        F.round(
+            F.sum(F.when(F.col("class_size") >= 5, F.col("class_size")).otherwise(0))
+            / F.sum("class_size"),
+            9,
+        ).alias("kept_fraction"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2b composites C2, C5–C8 (C4/C9 in milestone 2, C3/C10 are ML / rows-only).
+# --------------------------------------------------------------------------
+@query(
+    "c02_k_anonymity_audit",
+    f"""
+    WITH {BINNED_CUSTOMER_CTE}, {CLASSES_SQL}
+    SELECT COUNT(*) AS n_classes,
+           MIN(class_size) AS min_class_size,
+           MAX(class_size) AS max_class_size,
+           CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_k,
+           CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           MIN(class_size) >= 5 AS k_satisfied
+    FROM classes
+    """,
+)
+def c02_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ka.k_anonymity_audit(binned_customer(spark, sf_dir), CUST_QI, 5)
+
+
+@query(
+    "c05_reid_risk",
+    f"""
+    WITH {BINNED_CUSTOMER_CTE},
+    w AS (SELECT COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment, acctbal_bin)
+            AS class_size FROM binned)
+    SELECT ROUND(AVG(1.0 / class_size), 9) AS reid_risk FROM w
+    """,
+)
+def c05_reid_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.metrics import reid_risk
+
+    return reid_risk(binned_customer(spark, sf_dir), CUST_QI)
+
+
+@query(
+    "c06_uniqueness_rows",
+    f"""
+    WITH {BINNED_CUSTOMER_CTE}, {CLASSES_SQL}
+    SELECT ROUND(SUM(CASE WHEN class_size = 1 THEN 1 ELSE 0 END) / SUM(class_size), 9)
+      AS uniqueness_rate
+    FROM classes
+    """,
+)
+def c06_uniqueness_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.metrics import uniqueness_rate
+
+    return uniqueness_rate(binned_customer(spark, sf_dir), CUST_QI, denominator="rows")
+
+
+@query(
+    "c06_uniqueness_classes",
+    f"""
+    WITH {BINNED_CUSTOMER_CTE}, {CLASSES_SQL}
+    SELECT ROUND(SUM(CASE WHEN class_size = 1 THEN 1 ELSE 0 END) / COUNT(*), 9)
+      AS uniqueness_rate
+    FROM classes
+    """,
+)
+def c06_uniqueness_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.metrics import uniqueness_rate
+
+    return uniqueness_rate(binned_customer(spark, sf_dir), CUST_QI, denominator="classes")
+
+
+@query(
+    "c07_suppression_rate",
+    f"""
+    WITH {BINNED_CUSTOMER_CTE},
+    f AS (SELECT *, COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment, acctbal_bin)
+            AS __cnt FROM binned),
+    anon AS (SELECT * FROM f WHERE __cnt >= 5)
+    SELECT (SELECT COUNT(*) FROM binned) AS n_orig,
+           (SELECT COUNT(*) FROM anon) AS n_anon,
+           ROUND(((SELECT COUNT(*) FROM binned) - (SELECT COUNT(*) FROM anon))
+                 / (SELECT COUNT(*) FROM binned), 9) AS suppression_rate
+    """,
+)
+def c07_suppression_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.metrics import suppression_rate
+
+    b = binned_customer(spark, sf_dir)
+    anon = ka.k_anonymize_suppress(b, CUST_QI, 5)
+    return suppression_rate(b, anon)
+
+
+@query(
+    "c08_ncp",
+    f"""
+    WITH {BINNED_CUSTOMER_CTE},
+    f AS (SELECT *, COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment, acctbal_bin)
+            AS __cnt FROM binned),
+    anon AS (SELECT * FROM f WHERE __cnt >= 5),
+    o AS (SELECT COUNT(DISTINCT c_nationkey) AS o0, COUNT(DISTINCT c_mktsegment) AS o1,
+                 COUNT(DISTINCT acctbal_bin) AS o2 FROM binned),
+    a AS (SELECT COUNT(DISTINCT c_nationkey) AS a0, COUNT(DISTINCT c_mktsegment) AS a1,
+                 COUNT(DISTINCT acctbal_bin) AS a2 FROM anon)
+    SELECT ROUND((((o0 - a0) / o0) + ((o1 - a1) / o1) + ((o2 - a2) / o2)) / 3, 9) AS ncp
+    FROM o CROSS JOIN a
+    """,
+)
+def c08_ncp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.metrics import ncp
+
+    b = binned_customer(spark, sf_dir)
+    anon = ka.k_anonymize_suppress(b, CUST_QI, 5)
+    return ncp(b, anon, CUST_QI)

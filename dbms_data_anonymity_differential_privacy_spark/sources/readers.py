@@ -50,8 +50,19 @@ ADULT_SCHEMA = T.StructType([T.StructField(n, t, True) for n, t in ADULT_COLUMNS
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic parquet table. Parquet scan → Catalyst gets column
-    pruning + predicate pushdown + min/max row-group skipping for free."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    pruning + predicate pushdown + min/max row-group skipping for free.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the file; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as long nanoseconds
+    and is converted to a proper TimestampType here (lossless for this
+    data — no sub-microsecond values).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
