@@ -483,6 +483,115 @@ def p23_scalar_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # §2b composites C2, C5–C8 (C4/C9 in milestone 2, C3/C10 are ML / rows-only).
 # --------------------------------------------------------------------------
+# --------------------------------------------------------------------------
+# C4/C9 — t-closeness (milestone 2). QI = (o_orderpriority, 10-bin
+# o_totalprice), sensitive = o_orderstatus, k=5, t=0.05 (per-class EMD at
+# sf0.01 spans 0.006-0.112, median 0.04 → both keep and reject paths are
+# exercised). SQL mirrors the window-cumsum EMD exactly.
+# --------------------------------------------------------------------------
+ORD_QI = ["o_orderpriority", "price_bin"]
+T_THRESHOLD = 0.05
+
+BINNED_ORDERS_CTE = (
+    "obinned AS (SELECT t.*, CAST(CASE WHEN mm.mn = mm.mx THEN 0 ELSE "
+    "LEAST(FLOOR((o_totalprice - mm.mn) * 10 / (mm.mx - mm.mn)), 9) END AS INT) AS price_bin "
+    "FROM orders t CROSS JOIN "
+    "(SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders) mm)"
+)
+
+KANON_ORDERS_CTE = (
+    "kan AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, "
+    "o_orderpriority, price_bin FROM "
+    "(SELECT *, COUNT(*) OVER (PARTITION BY o_orderpriority, price_bin) AS __cnt FROM obinned) "
+    "WHERE __cnt >= 5)"
+)
+
+# Per-class EMD over kan — the cumsum formulation (SURVEY §2b C4).
+EMD_CTES = (
+    "sup AS (SELECT o_orderstatus, CAST(ROW_NUMBER() OVER (ORDER BY o_orderstatus) AS INT) "
+    "AS pos, COUNT(*) OVER () AS n_vals FROM (SELECT DISTINCT o_orderstatus FROM kan)), "
+    "gd AS (SELECT o_orderstatus, COUNT(*) / SUM(COUNT(*)) OVER () AS p_global "
+    "FROM kan GROUP BY 1), "
+    "cls AS (SELECT o_orderpriority, price_bin, o_orderstatus, COUNT(*) AS cnt "
+    "FROM kan GROUP BY 1, 2, 3), "
+    "grp AS (SELECT DISTINCT o_orderpriority, price_bin FROM kan), "
+    "grid AS (SELECT g.o_orderpriority, g.price_bin, s.o_orderstatus, s.pos, s.n_vals, "
+    "COALESCE(c.cnt, 0) AS cnt FROM grp g CROSS JOIN sup s LEFT JOIN cls c "
+    "ON c.o_orderpriority = g.o_orderpriority AND c.price_bin = g.price_bin "
+    "AND c.o_orderstatus = s.o_orderstatus), "
+    "dist AS (SELECT *, cnt / SUM(cnt) OVER (PARTITION BY o_orderpriority, price_bin) AS p "
+    "FROM grid), "
+    "cum AS (SELECT d.*, g.p_global, SUM(d.p - g.p_global) OVER "
+    "(PARTITION BY o_orderpriority, price_bin ORDER BY d.pos) AS cumd "
+    "FROM dist d JOIN gd g USING (o_orderstatus)), "
+    "emd AS (SELECT o_orderpriority, price_bin, "
+    "ROUND(SUM(CASE WHEN pos < n_vals THEN ABS(cumd) ELSE 0 END), 9) AS emd "
+    "FROM cum GROUP BY 1, 2)"
+)
+
+
+def binned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bin_equal_width(load_table(spark, sf_dir, "orders"), "o_totalprice", 10, "price_bin")
+
+
+@query(
+    "c04_class_emd",
+    f"WITH {BINNED_ORDERS_CTE}, {KANON_ORDERS_CTE}, {EMD_CTES} SELECT * FROM emd",
+)
+def c04_class_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import class_emd
+
+    kanon = ka.k_anonymize_suppress(binned_orders(spark, sf_dir), ORD_QI, 5)
+    return class_emd(kanon, ORD_QI, "o_orderstatus")
+
+
+@query(
+    "c04_t_closeness_strict",
+    f"""
+    WITH {BINNED_ORDERS_CTE}, {KANON_ORDERS_CTE}, {EMD_CTES}
+    SELECT k.* FROM kan k
+    JOIN (SELECT o_orderpriority, price_bin FROM emd WHERE emd <= {T_THRESHOLD}) ok
+      USING (o_orderpriority, price_bin)
+    """,
+)
+def c04_t_closeness_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import t_closeness_filter
+
+    return t_closeness_filter(
+        binned_orders(spark, sf_dir), ORD_QI, "o_orderstatus", k=5, t=T_THRESHOLD, mode="strict"
+    )
+
+
+@query(
+    "c04_t_closeness_reference",
+    f"WITH {BINNED_ORDERS_CTE}, {KANON_ORDERS_CTE} SELECT * FROM kan",
+)
+def c04_t_closeness_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import t_closeness_filter
+
+    return t_closeness_filter(
+        binned_orders(spark, sf_dir), ORD_QI, "o_orderstatus", k=5, t=T_THRESHOLD, mode="reference"
+    )
+
+
+@query(
+    "c09_t_violations",
+    f"""
+    WITH {BINNED_ORDERS_CTE}, {KANON_ORDERS_CTE}, {EMD_CTES}
+    SELECT CAST(SUM(CASE WHEN emd > {T_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+           COUNT(*) AS total_groups,
+           ROUND(SUM(CASE WHEN emd > {T_THRESHOLD} THEN 1 ELSE 0 END) / COUNT(*), 9)
+             AS violation_rate
+    FROM emd
+    """,
+)
+def c09_t_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import t_violations
+
+    kanon = ka.k_anonymize_suppress(binned_orders(spark, sf_dir), ORD_QI, 5)
+    return t_violations(kanon, ORD_QI, "o_orderstatus", t=T_THRESHOLD)
+
+
 @query(
     "c02_k_anonymity_audit",
     f"""

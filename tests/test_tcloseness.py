@@ -1,0 +1,98 @@
+"""t-closeness invariants + EMD equivalence with scipy (SURVEY §2b C4/C9)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbms_data_anonymity_differential_privacy_spark import (
+    bin_equal_width,
+    class_emd,
+    k_anonymize_suppress,
+    load_table,
+    t_closeness_filter,
+    t_violations,
+)
+
+QI = ["o_orderpriority", "price_bin"]
+SENS = "o_orderstatus"
+
+
+def _kanon(spark, sf):
+    b = bin_equal_width(load_table(spark, sf, "orders"), "o_totalprice", 10, "price_bin")
+    return k_anonymize_suppress(b, QI, 5)
+
+
+def test_emd_matches_scipy(spark, sf001):
+    """The window-cumsum EMD must equal scipy's wasserstein_distance on
+    unit-spaced positions (the reference's exact call, t-closeness.py:81)."""
+    scipy_stats = pytest.importorskip("scipy.stats")
+    kanon = _kanon(spark, sf001).cache()
+    emd_rows = {
+        tuple(r[c] for c in QI): r["emd"] for r in class_emd(kanon, QI, SENS).collect()
+    }
+    pdf = kanon.toPandas()
+    support = sorted(pdf[SENS].unique())
+    positions = list(range(len(support)))
+    gprobs = pdf[SENS].value_counts(normalize=True).reindex(support, fill_value=0).values
+    for key, grp in pdf.groupby(QI):
+        gp = grp[SENS].value_counts(normalize=True).reindex(support, fill_value=0).values
+        expected = scipy_stats.wasserstein_distance(positions, positions, gprobs, gp)
+        assert emd_rows[key] == pytest.approx(expected, abs=1e-9), key
+    kanon.unpersist()
+
+
+def test_emd_hand_computed(spark):
+    """Degenerate class (100% one label) vs uniform global: EMD = 1.0 for
+    3-value support — the §3.4 reproduction case shape."""
+    df = spark.createDataFrame(
+        [("g1", s) for s in ["A", "B", "C"] * 10] + [("g2", "A")] * 30,
+        ["g", "s"],
+    )
+    emd = {r["g"]: r["emd"] for r in class_emd(df, ["g"], "s").collect()}
+    # 60 rows: global = (40A,10B,10C)/60 = (2/3,1/6,1/6)
+    # g2 = (1,0,0):      cumdiff = 1/3, 1/6 -> EMD 1/2
+    # g1 = (1/3,1/3,1/3): cumdiff = -1/3, -1/6 -> EMD 1/2
+    assert emd["g2"] == pytest.approx(0.5, abs=1e-9)
+    assert emd["g1"] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_strict_filter_bounds_emd(spark, sf001):
+    t = 0.05
+    filtered = t_closeness_filter(
+        bin_equal_width(load_table(spark, sf001, "orders"), "o_totalprice", 10, "price_bin"),
+        QI,
+        SENS,
+        k=5,
+        t=t,
+        mode="strict",
+    )
+    # Post-condition against the *pre-filter* global distribution: every
+    # surviving class had EMD <= t (recompute EMD of survivors vs the
+    # k-anon global by reusing class_emd on the kanon relation).
+    kanon = _kanon(spark, sf001)
+    ok_classes = {
+        tuple(r[c] for c in QI)
+        for r in class_emd(kanon, QI, SENS).filter(F.col("emd") <= t).collect()
+    }
+    surviving = {tuple(r[c] for c in QI) for r in filtered.select(*QI).distinct().collect()}
+    assert surviving == ok_classes
+    assert 0 < len(surviving)
+    # and some class was rejected (t chosen to discriminate)
+    total = kanon.select(*QI).distinct().count()
+    assert len(surviving) < total
+
+
+def test_reference_mode_is_k_only(spark, sf001):
+    b = bin_equal_width(load_table(spark, sf001, "orders"), "o_totalprice", 10, "price_bin")
+    ref = t_closeness_filter(b, QI, SENS, k=5, t=0.05, mode="reference")
+    kan = k_anonymize_suppress(b, QI, 5)
+    assert ref.count() == kan.count()
+
+
+def test_violations_consistency(spark, sf001):
+    kanon = _kanon(spark, sf001)
+    row = t_violations(kanon, QI, SENS, t=0.05).collect()[0]
+    assert row.total_groups == kanon.select(*QI).distinct().count()
+    assert 0 < row.violations < row.total_groups
+    assert row.violation_rate == pytest.approx(row.violations / row.total_groups, abs=1e-9)
