@@ -484,6 +484,43 @@ def p23_scalar_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2b composites C2, C5–C8 (C4/C9 in milestone 2, C3/C10 are ML / rows-only).
 # --------------------------------------------------------------------------
 # --------------------------------------------------------------------------
+# C3/C10 — ML-backed ops (rows-only: KMeans/RF won't bit-match any SQL
+# oracle; SURVEY §2b marks these rows-only).
+# --------------------------------------------------------------------------
+@query("c03_cluster_assign")
+def c03_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.clustering import cluster_assign
+
+    c = load_table(spark, sf_dir, "customer")
+    return cluster_assign(c, ["c_nationkey", "c_mktsegment", "c_acctbal"], 10, 42)
+
+
+@query("c03_cluster_generalize")
+def c03_cluster_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.clustering import cluster_anonymize
+
+    c = load_table(spark, sf_dir, "customer")
+    _, gen = cluster_anonymize(c, ["c_nationkey", "c_mktsegment", "c_acctbal"], 10, 42)
+    return gen
+
+
+@query("c10_utility_accuracy")
+def c10_utility_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.utility import utility_accuracy
+
+    b = binned_customer(spark, sf_dir)
+    anon = ka.k_anonymize_suppress(b, CUST_QI, 5)
+    return utility_accuracy(
+        b,
+        anon,
+        target="c_mktsegment",
+        features=["c_nationkey", "c_acctbal", "acctbal_bin"],
+        n_trees=50,
+        seed=42,
+    )
+
+
+# --------------------------------------------------------------------------
 # C4/C9 — t-closeness (milestone 2). QI = (o_orderpriority, 10-bin
 # o_totalprice), sensitive = o_orderstatus, k=5, t=0.05 (per-class EMD at
 # sf0.01 spans 0.006-0.112, median 0.04 → both keep and reject paths are
