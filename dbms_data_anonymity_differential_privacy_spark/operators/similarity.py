@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns — SURVEY §2c X4.
+
+Baseline: brute-force cosine top-k with the dot product as a fold over
+``zip_with`` — pure built-ins, JVM-side, map-only over the table then a
+global top-k (``TakeOrderedAndProject``, no full sort shuffle).
+
+Scale path: random-hyperplane LSH bucketing (charikar 2002-style) — the
+signature is computed with deterministic per-plane hashes so bucket
+assignment is partitioning-independent; candidates only join within a
+bucket. For 100 TB you'd persist the bucketed relation and broadcast the
+query signature; brute force stays as the exact re-scorer within buckets.
+MLlib's BucketedRandomProjectionLSH offers the same shape when Euclidean
+distance is acceptable.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential fold — same accumulation order as DuckDB's
+    list_dot_product, so results are bit-identical."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """X4 — exact cosine top-k of ``query_vec`` against every row.
+
+    Output ``(id, cos)`` with cos rounded to 6 dp; ties broken by id so the
+    selection is total-order deterministic (and oracle-reproducible).
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.col(vec_col).cast("array<double>")
+    scored = df.select(
+        F.col(id_col), F.round(cosine_expr(v, q), 6).alias("cos")
+    )
+    return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
+
+
+def cosine_self_join_pairs(
+    df: DataFrame,
+    threshold: float,
+    block_col: str | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold, optionally
+    blocked on ``block_col`` (a coarse-quantizer/LSH-bucket stand-in that
+    turns the O(n^2) join into per-bucket joins — the scale idiom)."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    cond = [F.col("id_a") < F.col("id_b")]
+    joined = a.join(b, on=(["blk"] if block_col else []) or None, how="inner") if block_col else a.crossJoin(b)
+    joined = joined.filter(cond[0])
+    scored = joined.select(
+        "id_a", "id_b", F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cos")
+    )
+    return scored.filter(F.col("cos") >= F.lit(threshold))
+
+
+def lsh_bucket_signature(
+    df: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane signature as an int bucket in [0, 2^n_planes).
+
+    Plane j's i-th coordinate is a deterministic pseudo-random ±1 derived
+    from xxhash64(seed, j, i) — no driver-side RNG state, identical on any
+    cluster. sign(v . plane_j) gives bit j.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("long")
+    for j in range(n_planes):
+        # deterministic ±1 pattern for plane j over the dim coordinates
+        plane = F.array(
+            *[
+                F.when(
+                    F.pmod(F.xxhash64(F.lit(seed), F.lit(j), F.lit(i)), F.lit(2)) == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0))
+                for i in range(dim)
+            ]
+        )
+        bit = F.when(_dot(v, plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket + (bit.cast("long") * F.lit(2**j))
+    return df.withColumn("lsh_bucket", bucket)
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_planes: int = 6,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: score only rows sharing the query's LSH bucket,
+    exact cosine re-rank inside. Recall < 1 by design; the candidate scan
+    is ~n/2^planes of the table."""
+    dim = len(query_vec)
+    bucketed = lsh_bucket_signature(df, n_planes, dim, seed, vec_col)
+    # The query's bucket uses the same hash-derived planes — computed by
+    # running the identical expression on a one-row relation (keeps a single
+    # source of truth for the plane definition).
+    qdf = df.sparkSession.createDataFrame([(list(map(float, query_vec)),)], f"{vec_col} array<double>")
+    qbucket = lsh_bucket_signature(qdf, n_planes, dim, seed, vec_col).collect()[0]["lsh_bucket"]
+    cands = bucketed.filter(F.col("lsh_bucket") == qbucket)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.col(vec_col).cast("array<double>")
+    scored = cands.select(F.col(id_col), F.round(cosine_expr(v, q), 6).alias("cos"))
+    return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)

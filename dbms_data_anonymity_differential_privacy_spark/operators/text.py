@@ -1,0 +1,110 @@
+"""Text analysis for training-data pipelines — SURVEY §2c X5 + north-star
+text operators (language-ID, quality scoring, token counting, document
+fingerprinting).
+
+Absent from the reference (its only data is census rows); designed from
+the public Spark API. Everything here is pure built-in column expressions
+(JVM-side, whole-stage codegen, no UDFs) so the 100 TB scan is one
+map-only stage — and every expression has an exact DuckDB twin for the
+oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Whitespace tokenizer (P-analog of str.split()).
+WS = r"\s+"
+# BPE-ish pretokenizer: letter runs, digit runs, or single non-space symbols
+# (a simplification of the GPT-2 pretokenizer regex, kept to ASCII classes so
+# Java and RE2-style engines agree).
+BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+
+# Tiny per-language stopword probes for the n-gram/stopword language-ID
+# heuristic. Word-boundary regexes keep Spark and DuckDB semantics aligned.
+LANG_PROBES: dict[str, str] = {
+    "en": r"\b(the|and|of|to|in)\b",
+    "de": r"\b(der|die|und|das|ist)\b",
+    "fr": r"\b(le|la|les|et|est)\b",
+    "es": r"\b(el|los|las|es|una)\b",
+    "zh": r"[一-鿿]",
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, WS)))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish pretokenizer regex."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH), 0))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the casefolded,
+    whitespace-normalized text. Identical hex in any engine."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), WS, " "))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1]: length factor x (1 - symbol ratio) x
+    stopword-presence factor. Deterministic, SQL-expressible."""
+    n = F.length(text)
+    n_sym = F.length(F.regexp_replace(text, "[A-Za-z0-9 ]", ""))
+    sym_ratio = F.when(n > 0, n_sym / n).otherwise(F.lit(1.0))
+    len_factor = F.least(n / F.lit(200.0), F.lit(1.0))
+    stop_hits = F.size(F.regexp_extract_all(text, F.lit(LANG_PROBES["en"]), 0))
+    stop_factor = F.least(F.lit(0.5) + stop_hits / F.lit(10.0), F.lit(1.0))
+    return F.round(len_factor * (F.lit(1.0) - sym_ratio) * stop_factor, 9)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {
+        lang: F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0))
+        for lang, pat in LANG_PROBES.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of the stopword probes, ties broken by probe order; 'und'
+    (undetermined) when no probe hits."""
+    scores = lang_scores(text)
+    langs = list(scores)
+    best = scores[langs[0]]
+    for lg in langs[1:]:
+        best = F.greatest(best, scores[lg])
+    out = F.lit("und")
+    # build reverse so earlier langs win ties
+    for lg in reversed(langs):
+        out = F.when((scores[lg] == best) & (best > 0), F.lit(lg)).otherwise(out)
+    return out
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Annotate a document relation with all text features in one map-only
+    projection."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        F.length(t).alias("n_chars_calc"),
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        fingerprint(t).alias("fingerprint"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text", by: str = "lang") -> DataFrame:
+    """X5 — per-group corpus statistics."""
+    feats = with_text_features(df, text_col)
+    return feats.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_chars_calc"), 9).alias("avg_chars"),
+        F.round(F.avg("quality"), 9).alias("avg_quality"),
+        F.countDistinct("fingerprint").alias("n_unique_fingerprints"),
+    )

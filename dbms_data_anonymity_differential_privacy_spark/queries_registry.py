@@ -629,6 +629,293 @@ def c09_t_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t_violations(kanon, ORD_QI, "o_orderstatus", t=T_THRESHOLD)
 
 
+# --------------------------------------------------------------------------
+# §2c extensions X1-X6 + training-data pipeline operators.
+# --------------------------------------------------------------------------
+@query("x01_dp_count")
+def x01_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-noised group counts (rows-only: noise is seeded+deterministic
+    but not reproducible in DuckDB; the pre-noise aggregate is the
+    oracle-checked p13/x01_dp_count_exact path)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return dp_count(li, ["l_returnflag", "l_linestatus"], epsilon=1.0, seed=42)
+
+
+@query(
+    "x01_dp_count_exact",
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS count_exact "
+    "FROM lineitem GROUP BY 1, 2",
+)
+def x01_dp_count_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return dp_count(li, ["l_returnflag", "l_linestatus"], epsilon=1.0, seed=42).drop(
+        "count_dp"
+    )
+
+
+@query("x01_dp_sum")
+def x01_dp_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return dp_sum(
+        li, ["l_returnflag"], "l_extendedprice", epsilon=1.0, lower=0.0, upper=100000.0
+    )
+
+
+@query("x01_dp_avg")
+def x01_dp_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    return dp_avg(ev, ["event_type"], "value", epsilon=1.0, lower=0.0, upper=1000.0)
+
+
+@query(
+    "x02_dedup_exact",
+    """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    """,
+)
+def x02_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import dedup_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_exact(docs, ["text"], "doc_id")
+
+
+@query(
+    "x02_dedup_fingerprint",
+    """
+    WITH fp AS (SELECT *, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS __fp
+                FROM documents)
+    SELECT doc_id, text, lang, source, n_chars FROM fp
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY __fp ORDER BY doc_id) = 1
+    """,
+)
+def x02_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import dedup_by_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_by_fingerprint(docs)
+
+
+# Shingle CTEs shared by the Jaccard oracle (DuckDB list comprehension of
+# word trigrams — the exact twin of operators.dedup.shingles(n=3)).
+SHINGLE_CTES = (
+    "t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks "
+    "FROM documents), "
+    "sh AS (SELECT doc_id, list_distinct(list_transform("
+    "generate_series(1, greatest(len(toks) - 2, 0)), "
+    "i -> array_to_string(toks[i:i+2], ' '))) AS s FROM t), "
+    "e AS (SELECT doc_id, len(s) AS ns, unnest(s) AS shingle FROM sh)"
+)
+
+
+@query(
+    "x03_ngram_jaccard",
+    f"""
+    WITH {SHINGLE_CTES},
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ns AS na, b.ns AS nb,
+                 COUNT(*) AS inter
+          FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b, ROUND(inter / (na + nb - inter), 9) AS jaccard
+    FROM p WHERE ROUND(inter / (na + nb - inter), 9) >= 0.2
+    """,
+)
+def x03_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.2, n=3)
+
+
+@query("x03_minhash_lsh")
+def x03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.8, n=3)
+
+
+@query("x03_simhash")
+def x03_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3)
+
+
+# Cosine helpers for the DuckDB side: dot as list_dot_product on
+# DOUBLE-cast lists (same sequential accumulation as the Spark fold).
+def _duck_cos(a: str, b: str) -> str:
+    def dot(x: str, y: str) -> str:
+        return f"list_dot_product(CAST({x} AS DOUBLE[]), CAST({y} AS DOUBLE[]))"
+
+    return f"{dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)}))"
+
+
+@query(
+    "x04_cosine_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, ROUND({_duck_cos('e.embedding', 'q.qv')}, 6) AS cos
+    FROM embeddings e CROSS JOIN q
+    ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+)
+def x04_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return cosine_topk(emb, [float(x) for x in qvec], k=10)
+
+
+@query(
+    "x04_cosine_pairs",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_duck_cos('a.embedding', 'b.embedding')}, 6) AS cos
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND({_duck_cos('a.embedding', 'b.embedding')}, 6) >= 0.3
+    """,
+)
+def x04_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.similarity import (
+        cosine_self_join_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_self_join_pairs(emb, threshold=0.3, block_col="label")
+
+
+@query("x04_ann_lsh_topk")
+def x04_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.similarity import ann_topk_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ann_topk_lsh(emb, [float(x) for x in qvec], k=10, n_planes=4)
+
+
+# Text analysis — DuckDB twins of the operators.text expressions.
+_BPE_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+_EN_SQL = "\\b(the|and|of|to|in)\\b"
+
+
+@query(
+    "x05_text_features",
+    f"""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_calc,
+           CASE WHEN TRIM(text) = '' THEN 0
+                ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n_tokens,
+           len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpe_tokens,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           ROUND(LEAST(LENGTH(text) / 200.0, 1.0)
+                 * (1.0 - CASE WHEN LENGTH(text) > 0
+                     THEN LENGTH(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                          / LENGTH(text)
+                     ELSE 1.0 END)
+                 * LEAST(0.5 + len(regexp_extract_all(text, '{_EN_SQL}')) / 10.0, 1.0),
+             9) AS quality
+    FROM documents
+    """,
+)
+def x05_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).alias("n_chars_calc"),
+        tx.token_count(t).alias("n_tokens"),
+        tx.bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        tx.fingerprint(t).alias("fingerprint"),
+        tx.quality_score(t).alias("quality"),
+    )
+
+
+@query("x05_lang_id")
+def x05_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID prediction breakdown (rows-only: the argmax tie-break
+    CASE chain is SQL-expressible but verbose; invariants are pytest'd)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", tx.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "x05_text_stats",
+    f"""
+    WITH f AS (
+      SELECT lang,
+             LENGTH(text) AS n_chars_calc,
+             CASE WHEN TRIM(text) = '' THEN 0
+                  ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n_tokens,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+             ROUND(LEAST(LENGTH(text) / 200.0, 1.0)
+                   * (1.0 - CASE WHEN LENGTH(text) > 0
+                       THEN LENGTH(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                            / LENGTH(text)
+                       ELSE 1.0 END)
+                   * LEAST(0.5 + len(regexp_extract_all(text, '{_EN_SQL}')) / 10.0, 1.0),
+               9) AS quality
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(n_chars_calc), 9) AS avg_chars,
+           ROUND(AVG(quality), 9) AS avg_quality,
+           COUNT(DISTINCT fingerprint) AS n_unique_fingerprints
+    FROM f GROUP BY lang
+    """,
+)
+def x05_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import text_stats
+
+    return text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "x06_stream_window_kanon",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type, COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    """,
+)
+def x06_stream_window_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.streaming.anonymize import windowed_kanon_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_kanon_batch(ev, k=5, window="1 hour")
+
+
+@query("x07_multimodal_features")
+def x07_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import (
+        documents_as_media,
+        extract_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(documents_as_media(docs))
+
+
 @query(
     "c02_k_anonymity_audit",
     f"""

@@ -1,0 +1,76 @@
+"""Streaming anonymization — SURVEY §2c X6.
+
+The reference is batch-only; this is the north-star streaming extension:
+k-threshold suppression of (window, QI) groups over an event stream —
+publish an hourly count per event_type only when the group has >= k
+members inside the hour (the streaming analog of C1's class-size rule).
+
+Structured Streaming shape: event-time tumbling window + watermark →
+grouped count → threshold filter. The watermark bounds state: groups
+older than the lateness horizon are finalized and evicted, so state size
+is O(active windows x QI cardinality) regardless of stream length — the
+property that makes this viable on an unbounded 100 TB/day stream.
+
+``windowed_kanon_batch`` is the exact batch equivalent (same expressions
+on a static DataFrame) used by the DuckDB oracle; a Structured Streaming
+run over the same file in availableNow mode must produce identical rows
+(asserted in tests — the correctness argument for the streaming path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (see sources.readers)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _windowed_counts(events: DataFrame, k: int, window: str) -> DataFrame:
+    win = F.window(F.col("ts"), window)
+    return (
+        events.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(k))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+def windowed_kanon_batch(events: DataFrame, k: int = 5, window: str = "1 hour") -> DataFrame:
+    """Batch-equivalent of the streaming query (oracle-checkable)."""
+    return _windowed_counts(events, k, window)
+
+
+def windowed_kanon_stream(
+    spark: SparkSession,
+    events_path: str,
+    k: int = 5,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """The streaming flavor: file-source readStream + watermark + windowed
+    count + threshold. Complete/update-mode sinks can publish per-window
+    suppression-safe counts; in tests it's driven with availableNow into a
+    memory sink and compared to the batch twin."""
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_path)
+    events = raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(k))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )

@@ -1,0 +1,173 @@
+"""Extension operators: DP, dedup, similarity, text, multimodal (SURVEY §2c)."""
+
+from __future__ import annotations
+
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbms_data_anonymity_differential_privacy_spark import dp_count, dp_sum, load_table
+from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from dbms_data_anonymity_differential_privacy_spark.operators.similarity import ann_topk_lsh, cosine_topk
+from dbms_data_anonymity_differential_privacy_spark.operators.text import text_stats, with_text_features
+
+
+def test_dp_count_noise_properties(spark, sf0001):
+    li = load_table(spark, sf0001, "lineitem")
+    out = dp_count(li, ["l_returnflag"], epsilon=1.0, seed=42).collect()
+    exact = {r.l_returnflag: r.count_exact for r in out}
+    noisy = {r.l_returnflag: r.count_dp for r in out}
+    # deterministic under re-execution (partitioning-independent noise)
+    out2 = dp_count(li.repartition(7), ["l_returnflag"], epsilon=1.0, seed=42).collect()
+    assert {r.l_returnflag: r.count_dp for r in out2} == noisy
+    # different seed → different noise
+    out3 = dp_count(li, ["l_returnflag"], epsilon=1.0, seed=7).collect()
+    assert {r.l_returnflag: r.count_dp for r in out3} != noisy
+    # noise is Laplace(1/eps)-scaled: |noise| < 20/eps w.p. ~1-2e-9
+    for k, v in noisy.items():
+        assert abs(v - exact[k]) < 20.0
+
+
+def test_dp_sum_clipping(spark, sf0001):
+    li = load_table(spark, sf0001, "lineitem")
+    out = dp_sum(li, ["l_returnflag"], "l_quantity", epsilon=1.0, lower=0.0, upper=10.0)
+    rows = out.collect()
+    # clipped exact sum <= 10 * count
+    counts = {r.l_returnflag: r["cnt"] for r in
+              li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    for r in rows:
+        assert r.sum_exact <= 10.0 * counts[r.l_returnflag] + 1e-9
+
+
+def test_dedup_exact_deterministic_representative(spark, sf0001):
+    docs = load_table(spark, sf0001, "documents")
+    d = dedup_exact(docs, ["lang"], "doc_id")
+    rows = {r.lang: r.doc_id for r in d.collect()}
+    # representative is the MIN doc_id of each group
+    mins = {
+        r.lang: r.m
+        for r in docs.groupBy("lang").agg(F.min("doc_id").alias("m")).collect()
+    }
+    assert rows == mins
+
+
+def test_minhash_recall_vs_exact(spark, sf001):
+    """MinHash-LSH at high threshold must recover the exact-Jaccard pairs
+    (planted near-dups have J≈0.99 → band collision probability ~1)."""
+    docs = load_table(spark, sf001, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.8, n=3).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, threshold=0.8, n=3).collect()
+    }
+    assert exact, "test corpus should contain planted near-duplicates"
+    assert approx == exact  # re-scored with exact Jaccard → no false positives
+
+
+def test_simhash_finds_planted_dups(spark, sf001):
+    docs = load_table(spark, sf001, "documents")
+    planted = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.8, n=3).collect()
+    }
+    sim = {(r.id_a, r.id_b) for r in simhash_pairs(docs, max_hamming=3).collect()}
+    # near-identical docs must land within hamming 3 (same token multiset ±ε)
+    assert planted & sim == planted
+
+
+def test_cosine_topk_self_first(spark, sf0001):
+    emb = load_table(spark, sf0001, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    top = cosine_topk(emb, [float(x) for x in q], k=5).collect()
+    assert top[0].vec_id == 0  # the query vector itself ranks first
+    assert top[0].cos == pytest.approx(1.0, abs=1e-6)
+    cosines = [r.cos for r in top]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ann_lsh_subset_of_exact_scores(spark, sf0001):
+    emb = load_table(spark, sf0001, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    exact = {r.vec_id: r.cos for r in cosine_topk(emb, q, k=500).collect()}
+    approx = ann_topk_lsh(emb, q, k=10, n_planes=4).collect()
+    assert approx, "query's own bucket is never empty"
+    assert approx[0].vec_id == 0
+    for r in approx:
+        assert exact[r.vec_id] == pytest.approx(r.cos, abs=1e-9)
+
+
+def test_text_features_sane(spark, sf0001):
+    docs = load_table(spark, sf0001, "documents")
+    feats = with_text_features(docs).collect()
+    for r in feats:
+        assert r.n_chars_calc == r.n_chars  # generator stored true length
+        assert r.n_tokens > 0
+        assert r.n_bpe_tokens >= r.n_tokens  # BPE-ish splits at least as fine
+        assert 0.0 <= r.quality <= 1.0
+        assert len(r.fingerprint) == 32
+    stats = text_stats(docs).collect()
+    assert sum(r.n_docs for r in stats) == docs.count()
+
+
+def test_streaming_matches_batch(spark, sf0001, tmp_path):
+    """X6: the Structured Streaming windowed k-anon over the events file
+    (availableNow → memory sink) must equal the batch twin exactly."""
+    from dbms_data_anonymity_differential_privacy_spark.streaming.anonymize import (
+        windowed_kanon_batch,
+        windowed_kanon_stream,
+    )
+
+    ev = load_table(spark, sf0001, "events")
+    batch = {
+        (r.window_start, r.event_type): r.cnt
+        for r in windowed_kanon_batch(ev, k=5, window="1 day").collect()
+    }
+    # file stream sources need a directory
+    import shutil
+
+    stream_dir = tmp_path / "events"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf0001}/events.parquet", stream_dir / "part-000.parquet")
+    stream_df = windowed_kanon_stream(spark, str(stream_dir), k=5, window="1 day", watermark="2 days")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("x6_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): r.cnt
+        for r in spark.sql("SELECT * FROM x6_test").collect()
+    }
+    assert got == batch
+    assert len(batch) > 0
+
+
+def test_multimodal_plumbing(spark, sf0001):
+    from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import (
+        decode_media,
+        documents_as_media,
+        extract_features,
+    )
+
+    docs = load_table(spark, sf0001, "documents")
+    media = documents_as_media(docs)
+    feats = extract_features(media).collect()
+    assert len(feats) == docs.count()
+    for r in feats[:20]:
+        assert r.n_bytes > 0
+        assert len(r.feature) == 3
+        assert r.feature[0] == float(r.n_bytes)
+    # real media decode is stubbed
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG", "image/png")
