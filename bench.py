@@ -1,0 +1,77 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full computation, no
+result serialization overhead measured). A small warmup query first so JVM
+/ codegen startup isn't billed to the first workload.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dbms_data_anonymity_differential_privacy_spark import get_spark  # noqa: E402
+from dbms_data_anonymity_differential_privacy_spark import queries_registry as qr  # noqa: E402
+
+# Headline set: one per workload family (suppression, audit/metrics,
+# t-closeness EMD, dedup, similarity, text, DP, streaming-batch-twin).
+HEADLINE = [
+    "c01_k_anonymize_suppress",
+    "c02_k_anonymity_audit",
+    "c05_reid_risk",
+    "c04_t_closeness_strict",
+    "c09_t_violations",
+    "x01_dp_count",
+    "x02_dedup_exact",
+    "x03_ngram_jaccard",
+    "x03_minhash_lsh",
+    "x04_cosine_topk",
+    "x05_text_stats",
+    "x06_stream_window_kanon",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + parquet footer + codegen paths
+    force(qr.QUERIES["p01_scan"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        force(qr.QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dbms_data_anonymity_differential_privacy_spark.operators.text import fingerprint
+from dbms_data_anonymity_differential_privacy_spark.operators.util import fan_out
 
 
 def dedup_exact(df: DataFrame, keys: Sequence[str], id_col: str) -> DataFrame:
@@ -70,18 +71,24 @@ def ngram_jaccard_pairs(
     (drop shingles appearing in > X% of docs) handles it. Exact → has a
     DuckDB oracle twin.
     """
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col), F.array_distinct(shingles(F.col(text_col), n)).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
-    exploded = sh.select(id_col, "n_sh", F.explode("sh").alias("shingle"))
+    # Pre-hash the wide shingle string to a long join key (SURVEY §4
+    # composite-key idiom): the shuffle carries 8 bytes instead of ~20-char
+    # strings and the join compares longs. 64-bit collisions are
+    # negligible (~n^2/2^64).
+    exploded = sh.select(
+        id_col, "n_sh", F.explode("sh").alias("shingle")
+    ).select(id_col, "n_sh", F.xxhash64("shingle").alias("shingle_h"))
     a = exploded.select(
-        F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"), "shingle"
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"), "shingle_h"
     )
     b = exploded.select(
-        F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"), "shingle"
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"), "shingle_h"
     )
     inter = (
-        a.join(b, on="shingle")
+        a.join(b, on="shingle_h")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -114,7 +121,7 @@ def minhash_lsh_pairs(
     positives). num_hashes=32, bands of 4 → catches J>=~0.5 w.h.p.
     """
     bands = num_hashes // 4
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col), F.array_distinct(shingles(F.col(text_col), n)).alias("sh")
     ).filter(F.size("sh") > 0)
 
@@ -133,27 +140,45 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     banded = sig.select(id_col, "sh", *band_cols)
-    # candidate pairs: equal band value in any band — union the per-band
-    # equi-joins (each is a hash join on the band key; no O(n^2))
-    cands = None
-    for b in range(bands):
-        a = banded.select(
-            F.col(id_col).alias("id_a"), F.col("sh").alias("sha"), F.col(f"band{b}").alias("bk")
+
+    # One (band_idx, band_hash) relation via posexplode → a SINGLE
+    # candidate self-join carrying only ids (the heavy shingle arrays do
+    # NOT travel through the candidate shuffle — they re-attach afterwards
+    # for the exact re-score). At 100 TB the candidate stream is two longs
+    # per row instead of two 300-string arrays.
+    bandrel = banded.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    cands = (
+        bandrel.alias("a")
+        .join(
+            bandrel.alias("b"),
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
         )
-        bb = banded.select(
-            F.col(id_col).alias("id_b"), F.col("sh").alias("shb"), F.col(f"band{b}").alias("bk")
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sha = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sha"))
+    shb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("shb"))
+    jac = (
+        cands.join(sha, on="id_a")
+        .join(shb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sha", "shb"))
+                / F.size(F.array_union("sha", "shb")),
+                9,
+            ).alias("jaccard"),
         )
-        pair = a.join(bb, on="bk").filter(F.col("id_a") < F.col("id_b")).drop("bk")
-        cands = pair if cands is None else cands.unionByName(pair)
-    cands = cands.dropDuplicates(["id_a", "id_b"])
-    jac = cands.select(
-        "id_a",
-        "id_b",
-        F.round(
-            F.size(F.array_intersect("sha", "shb"))
-            / F.size(F.array_union("sha", "shb")),
-            9,
-        ).alias("jaccard"),
     )
     return jac.filter(F.col("jaccard") >= F.lit(threshold))
 
@@ -199,7 +224,7 @@ def simhash_pairs(
     pigeonhole), then exact popcount filter. Each block join is an
     equi-join on a small key → no O(n^2) pair space."""
     n_blocks = 4
-    hashed = df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("sh"))
+    hashed = fan_out(df).select(F.col(id_col), simhash(F.col(text_col), bits).alias("sh"))
     block_cols = [
         (F.shiftright(F.col("sh"), 8 * b).bitwiseAND(F.lit(255))).alias(f"blk{b}")
         for b in range(n_blocks)

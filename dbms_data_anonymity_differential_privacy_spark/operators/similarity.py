@@ -20,6 +20,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dbms_data_anonymity_differential_privacy_spark.operators.util import fan_out
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Sequential fold — same accumulation order as DuckDB's
@@ -51,7 +53,7 @@ def cosine_topk(
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     v = F.col(vec_col).cast("array<double>")
-    scored = df.select(
+    scored = fan_out(df).select(
         F.col(id_col), F.round(cosine_expr(v, q), 6).alias("cos")
     )
     return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
@@ -67,6 +69,7 @@ def cosine_self_join_pairs(
     """Embedding near-duplicate pairs: cosine >= threshold, optionally
     blocked on ``block_col`` (a coarse-quantizer/LSH-bucket stand-in that
     turns the O(n^2) join into per-bucket joins — the scale idiom)."""
+    df = fan_out(df)
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).cast("array<double>").alias("va"),

@@ -84,6 +84,12 @@ def class_emd(df: DataFrame, qi: Sequence[str], sensitive: str) -> DataFrame:
     cum = running sum over positions of (p_class - p_global); EMD = sum of
     |cum| over positions 1..m-1.
     """
+    # df is consumed by three aggregates (support, global counts, class
+    # counts) — persist unless the caller already did.
+    if df.storageLevel.useMemory or df.storageLevel.useDisk:
+        pass
+    else:
+        df = df.persist()
     support = sensitive_support(df, sensitive)
     # Global distribution: aggregate once, join to the support for positions.
     gcounts = (
@@ -135,9 +141,15 @@ def t_closeness_filter(
         return kanon
     if mode != "strict":
         raise ValueError(f"unknown mode: {mode}")
+    # kanon feeds both the EMD computation (3 aggregates) and the final
+    # semi-join; without an explicit persist Catalyst re-derives the whole
+    # scan+window subtree for every consumer (no exchange reuse across
+    # these shapes). MEMORY_AND_DISK: at 100 TB this spills rather than
+    # recomputing 4 scans of the fact table.
+    kanon = kanon.persist()
     emd = class_emd(kanon, qi, sensitive)
     ok = emd.filter(F.col("emd") <= F.lit(t)).select(*qi)
-    return kanon.join(ok, on=list(qi), how="left_semi")
+    return kanon.join(F.broadcast(ok), on=list(qi), how="left_semi")
 
 
 def t_violations(df: DataFrame, qi: Sequence[str], sensitive: str, t: float = 0.2) -> DataFrame:

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dbms_data_anonymity_differential_privacy_spark.operators.util import fan_out
+
 # Whitespace tokenizer (P-analog of str.split()).
 WS = r"\s+"
 # BPE-ish pretokenizer: letter runs, digit runs, or single non-space symbols
@@ -87,7 +89,7 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Annotate a document relation with all text features in one map-only
     projection."""
     t = F.col(text_col)
-    return df.select(
+    return fan_out(df).select(
         "*",
         F.length(t).alias("n_chars_calc"),
         token_count(t).alias("n_tokens"),

@@ -40,6 +40,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Smaller AQE target partitions: privacy/dedup workloads are
+        # CPU-bound per row (regex, hashes, window EMD), so favor
+        # parallelism over fewer/larger shuffle partitions. 16 MB still
+        # amortizes task overhead fine at cluster scale.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
