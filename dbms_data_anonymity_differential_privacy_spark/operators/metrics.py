@@ -8,9 +8,11 @@ ulp differences while staying far inside metric precision.
 
 from __future__ import annotations
 
+import os
+import time
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbms_data_anonymity_differential_privacy_spark.operators.kanonymity import class_sizes, with_class_size
@@ -93,3 +95,37 @@ def ncp(orig: DataFrame, anon: DataFrame, qi: Sequence[str]) -> DataFrame:
     for p in per_col[1:]:
         total = total + p
     return joined.select(F.round(total / F.lit(len(qi)), ROUND_DP).alias("ncp"))
+
+
+def resource_report(spark: SparkSession) -> DataFrame:
+    """C11 — runtime/resource snapshot as a single-row DataFrame (reference
+    prints wall-clock + RSS, ``naive-suppresion.py:131-138``). Values are
+    driver-process facts, not data facts → rows-only, never oracle-checked.
+    """
+    try:
+        import resource
+
+        rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    except ImportError:  # non-POSIX
+        rss_mb = float("nan")
+    sc = spark.sparkContext
+    uptime_sec = time.time() - sc.startTime / 1000.0
+    try:
+        # block-manager count (driver + executors); goes through the
+        # gateway because PySpark's StatusTracker has no executor listing
+        executors = sc._jsc.sc().getExecutorMemoryStatus().size()
+    except Exception:
+        executors = -1
+    return spark.createDataFrame(
+        [
+            (
+                round(uptime_sec, 3),
+                round(rss_mb, 1),
+                sc.defaultParallelism,
+                executors,
+                os.cpu_count() or -1,
+            )
+        ],
+        "app_uptime_sec double, driver_peak_rss_mb double, default_parallelism int, "
+        "executors int, host_cpus int",
+    )

@@ -10,7 +10,7 @@ sides to absorb summation-order ulp noise.
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -932,6 +932,160 @@ def x07_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c02_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ka.k_anonymity_audit(binned_customer(spark, sf_dir), CUST_QI, 5)
+
+
+@query("c11_resource_report")
+def c11_resource_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.metrics import resource_report
+
+    return resource_report(spark)
+
+
+# --------------------------------------------------------------------------
+# Pipeline composites — the three reference entry points end to end
+# (SURVEY §3.1-§3.3), metrics as one oracle-checked row each (clustering is
+# rows-only: MLlib KMeans, SURVEY §2b C3).
+# --------------------------------------------------------------------------
+ANON_CUSTOMER_CTES = (
+    f"{BINNED_CUSTOMER_CTE}, "
+    "f AS (SELECT *, COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment, acctbal_bin) "
+    "AS __cnt FROM binned), "
+    "anon AS (SELECT * FROM f WHERE __cnt >= 5)"
+)
+
+
+@query(
+    "pipe_naive_metrics",
+    f"""
+    WITH {ANON_CUSTOMER_CTES},
+    acls AS (SELECT c_nationkey, c_mktsegment, acctbal_bin, COUNT(*) AS cs
+             FROM anon GROUP BY 1, 2, 3),
+    base AS (SELECT (SELECT COUNT(*) FROM binned) AS n_orig,
+                    (SELECT COUNT(*) FROM anon) AS n_anon)
+    SELECT b.n_orig, b.n_anon,
+           ROUND((b.n_orig - b.n_anon) / b.n_orig, 9) AS suppression_rate,
+           (SELECT COALESCE(MIN(cs), 0) FROM acls) AS min_class_size,
+           (SELECT COALESCE(MIN(cs) >= 5, FALSE) FROM acls) AS k_satisfied,
+           (SELECT ROUND(SUM(CASE WHEN cs = 1 THEN 1 ELSE 0 END) / SUM(cs), 9) FROM acls)
+             AS uniqueness_rate,
+           (SELECT ROUND(AVG(1.0 / __cnt), 9) FROM anon) AS reid_risk,
+           (SELECT ROUND(((
+                (SELECT COUNT(DISTINCT c_nationkey) FROM binned)
+                  - (SELECT COUNT(DISTINCT c_nationkey) FROM anon))
+                / (SELECT COUNT(DISTINCT c_nationkey) FROM binned)
+              + ((SELECT COUNT(DISTINCT c_mktsegment) FROM binned)
+                  - (SELECT COUNT(DISTINCT c_mktsegment) FROM anon))
+                / (SELECT COUNT(DISTINCT c_mktsegment) FROM binned)
+              + ((SELECT COUNT(DISTINCT acctbal_bin) FROM binned)
+                  - (SELECT COUNT(DISTINCT acctbal_bin) FROM anon))
+                / (SELECT COUNT(DISTINCT acctbal_bin) FROM binned)) / 3, 9)) AS ncp
+    FROM base b
+    """,
+)
+def pipe_naive_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark import pipelines
+
+    b = binned_customer(spark, sf_dir)
+    return pipelines.naive_suppression_pipeline(b, CUST_QI, k=5)["metrics"]
+
+
+def _emd_ctes_for(src: str, qi: Sequence[str], sensitive: str, pfx: str) -> str:
+    """DuckDB CTE chain computing per-class EMD of ``sensitive`` vs the
+    global distribution of relation ``src`` — the SQL twin of
+    ``operators.tcloseness.class_emd`` (window-cumsum formulation)."""
+    q = ", ".join(qi)
+    g_cols = ", ".join(f"g.{c}" for c in qi)
+    on_grp = " AND ".join(f"c.{c} = g.{c}" for c in qi)
+    return (
+        f"{pfx}sup AS (SELECT {sensitive}, CAST(ROW_NUMBER() OVER (ORDER BY {sensitive}) AS INT)"
+        f" AS pos, COUNT(*) OVER () AS n_vals FROM (SELECT DISTINCT {sensitive} FROM {src})), "
+        f"{pfx}gd AS (SELECT {sensitive}, COUNT(*) / SUM(COUNT(*)) OVER () AS p_global"
+        f" FROM {src} GROUP BY 1), "
+        f"{pfx}cls AS (SELECT {q}, {sensitive}, COUNT(*) AS cnt FROM {src} GROUP BY ALL), "
+        f"{pfx}grp AS (SELECT DISTINCT {q} FROM {src}), "
+        f"{pfx}grid AS (SELECT {g_cols}, s.{sensitive}, s.pos, s.n_vals, COALESCE(c.cnt, 0) AS cnt"
+        f" FROM {pfx}grp g CROSS JOIN {pfx}sup s"
+        f" LEFT JOIN {pfx}cls c ON {on_grp} AND c.{sensitive} = s.{sensitive}), "
+        f"{pfx}dist AS (SELECT *, cnt / SUM(cnt) OVER (PARTITION BY {q}) AS p FROM {pfx}grid), "
+        f"{pfx}cum AS (SELECT d.*, g.p_global, SUM(d.p - g.p_global) OVER"
+        f" (PARTITION BY {q} ORDER BY d.pos) AS cumd"
+        f" FROM {pfx}dist d JOIN {pfx}gd g USING ({sensitive})), "
+        f"{pfx}emd AS (SELECT {q}, ROUND(SUM(CASE WHEN pos < n_vals THEN ABS(cumd) ELSE 0 END), 9)"
+        f" AS emd FROM {pfx}cum GROUP BY ALL)"
+    )
+
+
+# The pipeline bins o_totalprice in-place → column name o_totalprice_bin.
+PIPE_T_QI = ["o_orderpriority", "o_totalprice_bin"]
+PIPE_T_BINNED = (
+    "obinned AS (SELECT t.*, CAST(CASE WHEN mm.mn = mm.mx THEN 0 ELSE "
+    "LEAST(FLOOR((o_totalprice - mm.mn) * 10 / (mm.mx - mm.mn)), 9) END AS INT)"
+    " AS o_totalprice_bin "
+    "FROM orders t CROSS JOIN "
+    "(SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders) mm)"
+)
+PIPE_T_KAN = (
+    "kan AS (SELECT * EXCLUDE (__cnt) FROM "
+    "(SELECT *, COUNT(*) OVER (PARTITION BY o_orderpriority, o_totalprice_bin) AS __cnt"
+    " FROM obinned) WHERE __cnt >= 5)"
+)
+
+
+@query(
+    "pipe_tcloseness_metrics",
+    f"""
+    WITH {PIPE_T_BINNED}, {PIPE_T_KAN},
+    {_emd_ctes_for('kan', PIPE_T_QI, 'o_orderstatus', 'k_')},
+    anon AS (SELECT k.* FROM kan k JOIN
+             (SELECT o_orderpriority, o_totalprice_bin FROM k_emd WHERE emd <= {T_THRESHOLD}) ok
+             USING (o_orderpriority, o_totalprice_bin)),
+    {_emd_ctes_for('anon', PIPE_T_QI, 'o_orderstatus', 'a_')},
+    acls AS (SELECT o_orderpriority, o_totalprice_bin, COUNT(*) AS cs
+             FROM anon GROUP BY 1, 2),
+    base AS (SELECT (SELECT COUNT(*) FROM obinned) AS n_orig,
+                    (SELECT COUNT(*) FROM anon) AS n_anon)
+    SELECT b.n_orig, b.n_anon,
+           ROUND((b.n_orig - b.n_anon) / b.n_orig, 9) AS suppression_rate,
+           (SELECT ROUND(SUM(CASE WHEN cs = 1 THEN 1 ELSE 0 END) / COUNT(*), 9) FROM acls)
+             AS uniqueness_rate,
+           (SELECT ROUND(((
+                (SELECT COUNT(DISTINCT o_orderpriority) FROM obinned)
+                  - (SELECT COUNT(DISTINCT o_orderpriority) FROM anon))
+                / (SELECT COUNT(DISTINCT o_orderpriority) FROM obinned)
+              + ((SELECT COUNT(DISTINCT o_totalprice_bin) FROM obinned)
+                  - (SELECT COUNT(DISTINCT o_totalprice_bin) FROM anon))
+                / (SELECT COUNT(DISTINCT o_totalprice_bin) FROM obinned)) / 2, 9)) AS ncp,
+           (SELECT CAST(SUM(CASE WHEN emd > {T_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+              FROM a_emd) AS violations,
+           (SELECT COUNT(*) FROM a_emd) AS total_groups,
+           (SELECT ROUND(SUM(CASE WHEN emd > {T_THRESHOLD} THEN 1 ELSE 0 END) / COUNT(*), 9)
+              FROM a_emd) AS violation_rate
+    FROM base b
+    """,
+)
+def pipe_tcloseness_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark import pipelines
+
+    o = load_table(spark, sf_dir, "orders")
+    return pipelines.t_closeness_pipeline(
+        o,
+        ["o_orderpriority", "o_totalprice"],
+        "o_orderstatus",
+        k=5,
+        t=T_THRESHOLD,
+        bin_spec={"o_totalprice": 10},
+        mode="strict",
+    )["metrics"]
+
+
+@query("pipe_clustering_metrics")
+def pipe_clustering_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark import pipelines
+
+    c = load_table(spark, sf_dir, "customer")
+    return pipelines.clustering_pipeline(
+        c, ["c_nationkey", "c_mktsegment", "c_acctbal"], n_clusters=10, k=5, seed=42
+    )["metrics"]
 
 
 @query(
