@@ -83,29 +83,43 @@ def class_emd(df: DataFrame, qi: Sequence[str], sensitive: str) -> DataFrame:
     ``wasserstein_distance`` on unit-spaced positions — verified in tests):
     cum = running sum over positions of (p_class - p_global); EMD = sum of
     |cum| over positions 1..m-1.
+
+    Physical shape: the fact table is touched EXACTLY ONCE — one shuffle
+    into the per-(class, sensitive-value) count relation. That relation is
+    |classes| x |support| rows (tiny), persisted, and every downstream
+    piece (support, global distribution, zero-fill grid, cumsum) derives
+    from it. At 100 TB the big table contributes one aggregation; all EMD
+    math happens on kilobytes.
     """
-    # df is consumed by three aggregates (support, global counts, class
-    # counts) — persist unless the caller already did.
-    if df.storageLevel.useMemory or df.storageLevel.useDisk:
-        pass
-    else:
-        df = df.persist()
-    support = sensitive_support(df, sensitive)
-    # Global distribution: aggregate once, join to the support for positions.
-    gcounts = (
-        df.where(F.col(sensitive).isNotNull())
-        .groupBy(sensitive)
-        .agg(F.count(F.lit(1)).alias("__gcnt"))
+    counts = (
+        df.groupBy(*qi, sensitive).agg(F.count(F.lit(1)).alias("__cnt")).persist()
     )
-    g_w = Window.partitionBy()
+    nn = counts.where(F.col(sensitive).isNotNull())
+    support = (
+        nn.select(sensitive)
+        .distinct()
+        .withColumn("pos", F.row_number().over(Window.orderBy(sensitive)))
+        .withColumn("n_vals", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
     gdist = (
-        gcounts.withColumn("p_global", F.col("__gcnt") / F.sum("__gcnt").over(g_w))
-        .drop("__gcnt")
+        nn.groupBy(sensitive)
+        .agg(F.sum("__cnt").alias("__g"))
+        .withColumn("p_global", F.col("__g") / F.sum("__g").over(Window.partitionBy()))
+        .drop("__g")
     )
-    cdist = sensitive_distribution(df, qi, sensitive)
-    joined = cdist.join(F.broadcast(gdist), on=sensitive, how="inner").join(
-        F.broadcast(support.select(sensitive, "n_vals")), on=sensitive, how="inner"
+    groups = counts.select(*qi).distinct()
+    # Zero-fill grid (P14 semantics — reindex(fill_value=0)): every class x
+    # every support value. Support and global rows are tiny → broadcast.
+    grid = groups.crossJoin(F.broadcast(support))
+    dist = (
+        grid.join(counts, on=[*qi, sensitive], how="left")
+        .withColumn("__cnt", F.coalesce(F.col("__cnt"), F.lit(0)))
+        .withColumn(
+            "p",
+            F.col("__cnt") / F.sum("__cnt").over(Window.partitionBy(*[F.col(c) for c in qi])),
+        )
     )
+    joined = dist.join(F.broadcast(gdist), on=sensitive, how="inner")
     w_cum = Window.partitionBy(*[F.col(c) for c in qi]).orderBy("pos")
     cum = joined.withColumn("__cum", F.sum(F.col("p") - F.col("p_global")).over(w_cum))
     return (

@@ -1,0 +1,118 @@
+"""Physical-plan quality gates (SURVEY §4).
+
+These assert the *shape* of the plans Catalyst produces for the contract
+queries — the properties that matter at 100 TB: no row-at-a-time Python
+in any hot path, broadcasts for small sides, one fact-table shuffle for
+the suppression flagship, column pruning reaching the parquet scan.
+A regression that silently de-optimizes a plan (e.g. a lost broadcast or
+an accidental Python UDF) fails here even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from dbms_data_anonymity_differential_privacy_spark import queries_registry as qr
+
+# ML-backed queries fit a model while *building* the DataFrame — exclude
+# from the sweep (their plans are MLlib-internal); multimodal uses Arrow
+# pandas UDFs by design.
+SWEEP_EXCLUDE = {
+    "c03_cluster_assign",
+    "c03_cluster_generalize",
+    "c10_utility_accuracy",
+    "pipe_clustering_metrics",
+}
+
+
+def plan_of(df, mode: str = "simple") -> str:
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf001) -> dict[str, str]:
+    out = {}
+    for name, fn in qr.QUERIES.items():
+        if name in SWEEP_EXCLUDE:
+            continue
+        out[name] = plan_of(fn(spark, sf001))
+    return out
+
+
+def test_no_row_at_a_time_python_anywhere(plans):
+    """BatchEvalPython = per-row Python UDF — forbidden in every contract
+    query. (ArrowEvalPython/MapInPandas are the sanctioned vectorized
+    escape hatches, used only by multimodal.)"""
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert offenders == []
+
+
+def test_flagship_single_fact_shuffle(plans):
+    """c01 = bin + window-count + filter: exactly ONE hash-partition
+    exchange of the fact table; the min/max for binning rides a broadcast."""
+    p = plans["c01_k_anonymize_suppress"]
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+    assert "BroadcastExchange" in p
+
+
+def test_join_back_broadcasts_frequent_classes(plans):
+    """p07's frequent-class relation must broadcast — a shuffle join of
+    fact x class-table on a 3-col key would re-shuffle the fact table."""
+    assert "BroadcastHashJoin" in plans["p07_join_back"]
+
+
+def test_semi_join_broadcasts(plans):
+    p = plans["p08_semi_join"]
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_tcloseness_filter_broadcasts_class_verdicts(plans):
+    """c04 strict: the per-class EMD verdict relation is tiny and must
+    broadcast back onto the fact rows."""
+    p = plans["c04_t_closeness_strict"]
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_map_only_ops_scan_once(plans):
+    """Pure per-row feature extraction must be a single scan with no
+    exchange at all — anything else means an accidental aggregation."""
+    p = plans["x05_text_features"]
+    assert len(re.findall(r"Scan parquet|FileScan parquet", p)) == 1
+    assert "Exchange" not in p
+
+
+def test_column_pruning_reaches_scan(plans):
+    """x05_text_stats needs only (text, lang) — the parquet ReadSchema must
+    not include doc_id/source/n_chars."""
+    p = plans["x05_text_stats"]
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"text", "lang"}
+
+
+def test_predicate_pushdown_reaches_scan(spark, sf001):
+    from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, sf001, "customer").filter(
+        F.col("c_mktsegment") == "AUTOMOBILE"
+    ).select("c_custkey")
+    p = plan_of(df)
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(c_mktsegment,AUTOMOBILE\)", p), p
+
+
+def test_dp_noise_is_jvm_side(plans):
+    """X1 DP noise must be pure JVM expressions (xxhash64 + log), never a
+    Python UDF — noise generation is in the hot aggregate path."""
+    for name in ("x01_dp_count", "x01_dp_sum", "x01_dp_avg"):
+        assert "EvalPython" not in plans[name], name
+
+
+def test_cosine_topk_is_takeordered(plans):
+    """x04 top-k must compile to TakeOrderedAndProject (partial top-k per
+    partition, no global sort of the scored relation)."""
+    assert "TakeOrderedAndProject" in plans["x04_cosine_topk"]
