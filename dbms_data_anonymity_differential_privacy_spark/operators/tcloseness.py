@@ -94,6 +94,12 @@ def class_emd(df: DataFrame, qi: Sequence[str], sensitive: str) -> DataFrame:
     counts = (
         df.groupBy(*qi, sensitive).agg(F.count(F.lit(1)).alias("__cnt")).persist()
     )
+    return _emd_from_counts(counts, qi, sensitive)
+
+
+def _emd_from_counts(counts: DataFrame, qi: Sequence[str], sensitive: str) -> DataFrame:
+    """EMD math over a pre-aggregated ``(*qi, sensitive, __cnt)`` relation.
+    Callers persist ``counts`` (it feeds four small consumers)."""
     nn = counts.where(F.col(sensitive).isNotNull())
     support = (
         nn.select(sensitive)
@@ -149,21 +155,29 @@ def t_closeness_filter(
     ``mode='reference'``: replicate the as-written pipeline
     (``t-closeness.py:110-115``) where the per-class self-comparison makes
     the EMD test vacuous — only the k-filter acts (SURVEY §3.4).
+
+    Physical shape: the fact table is NEVER shuffled as whole rows. One
+    aggregation produces the (class, sensitive, count) relation; class
+    sizes, the k-filter, and the EMD verdict are all computed on that tiny
+    relation; surviving class keys broadcast back onto the fact scan as a
+    semi-join. (If the class-key relation ever outgrew broadcast range —
+    rows/k keys worst-case — drop the ``broadcast`` hint and AQE picks a
+    shuffled semi-join; the algebra is unchanged.)
     """
-    kanon = k_anonymize_suppress(df, qi, k)
-    if mode == "reference":
-        return kanon
-    if mode != "strict":
+    if mode not in ("strict", "reference"):
         raise ValueError(f"unknown mode: {mode}")
-    # kanon feeds both the EMD computation (3 aggregates) and the final
-    # semi-join; without an explicit persist Catalyst re-derives the whole
-    # scan+window subtree for every consumer (no exchange reuse across
-    # these shapes). MEMORY_AND_DISK: at 100 TB this spills rather than
-    # recomputing 4 scans of the fact table.
-    kanon = kanon.persist()
-    emd = class_emd(kanon, qi, sensitive)
+    counts = (
+        df.groupBy(*qi, sensitive).agg(F.count(F.lit(1)).alias("__cnt")).persist()
+    )
+    sizes = counts.groupBy(*qi).agg(F.sum("__cnt").alias("__class_size"))
+    big = sizes.filter(F.col("__class_size") >= F.lit(k)).select(*qi)
+    if mode == "reference":
+        return df.join(F.broadcast(big), on=list(qi), how="left_semi")
+    # strict: EMD measured over the post-k-anonymity population
+    kcounts = counts.join(F.broadcast(big), on=list(qi), how="left_semi").persist()
+    emd = _emd_from_counts(kcounts, qi, sensitive)
     ok = emd.filter(F.col("emd") <= F.lit(t)).select(*qi)
-    return kanon.join(F.broadcast(ok), on=list(qi), how="left_semi")
+    return df.join(F.broadcast(ok), on=list(qi), how="left_semi")
 
 
 def t_violations(df: DataFrame, qi: Sequence[str], sensitive: str, t: float = 0.2) -> DataFrame:
