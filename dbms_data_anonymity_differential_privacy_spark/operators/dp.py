@@ -80,6 +80,26 @@ def dp_sum(
     return agg.withColumn("sum_dp", F.col("sum_exact") + laplace_noise(by, scale, seed, "sum"))
 
 
+def dp_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int,
+    epsilon: float,
+    seed: int = 42,
+) -> DataFrame:
+    """X1 — noisy equal-width histogram: bin (P17) then Laplace counts.
+
+    Histogram queries have sensitivity 1 under add/remove-one adjacency
+    (each record lands in exactly one bin), so one epsilon covers ALL bins
+    in parallel — no budget split (Dwork & Roth 2014, §3.4).
+    Output: ``(bin, count_exact, count_dp)``.
+    """
+    from dbms_data_anonymity_differential_privacy_spark.functions.binning import bin_equal_width
+
+    binned = bin_equal_width(df.select(value_col), value_col, n_bins, "bin")
+    return dp_count(binned, ["bin"], epsilon, seed)
+
+
 def dp_avg(
     df: DataFrame,
     by: Sequence[str],

@@ -657,6 +657,31 @@ def x01_dp_count_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x01_dp_histogram_exact",
+    """
+    WITH mm AS (SELECT MIN(l_quantity) AS mn, MAX(l_quantity) AS mx FROM lineitem)
+    SELECT CAST(CASE WHEN mm.mn = mm.mx THEN 0 ELSE
+             LEAST(FLOOR((l_quantity - mm.mn) * 20 / (mm.mx - mm.mn)), 19) END AS INT) AS bin,
+           COUNT(*) AS count_exact
+    FROM lineitem CROSS JOIN mm GROUP BY 1
+    """,
+)
+def x01_dp_histogram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_histogram
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return dp_histogram(li, "l_quantity", 20, epsilon=1.0, seed=42).drop("count_dp")
+
+
+@query("x01_dp_histogram")
+def x01_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_histogram
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return dp_histogram(li, "l_quantity", 20, epsilon=1.0, seed=42)
+
+
 @query("x01_dp_sum")
 def x01_dp_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_sum

@@ -1,0 +1,58 @@
+"""Sinks: publishing anonymized releases.
+
+The reference has no sinks (results are printed/plotted); a production
+privacy pipeline needs to *publish* the anonymized relation. These wrap
+``DataFrameWriter`` with the scale-relevant decisions made explicit:
+
+- parquet, optionally partitioned by low-cardinality release columns
+  (partition pruning for downstream consumers);
+- a target file-size heuristic instead of one-file-per-task dribble
+  (small-file storms are the classic 1000-executor failure mode);
+- CSV kept only for reference-shaped interchange (the Adult format).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+
+# ~128 MB parquet target — the conventional HDFS/S3 sweet spot; snappy
+# parquet compresses the testdata ~4x, so estimate from the logical size.
+TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def write_release(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    mode: str = "error",
+    target_file_bytes: int = TARGET_FILE_BYTES,
+) -> None:
+    """Write an anonymized release as parquet.
+
+    Coalesces to roughly ``logical_size / target_file_bytes`` output files
+    using the optimizer's size estimate — cheap (no extra action), and at
+    worst the estimate is off by the compression factor, which only shifts
+    file sizes, never correctness. Skips coalescing when partitioning (the
+    partition columns dominate layout there).
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    else:
+        est_bytes = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        n_files = max(1, min(10_000, math.ceil(float(est_bytes) / target_file_bytes)))
+        if n_files < df.rdd.getNumPartitions():
+            df = df.coalesce(n_files)
+            writer = df.write.mode(mode)
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_adult_csv(df: DataFrame, path: str, mode: str = "error") -> None:
+    """Reference-shaped CSV interchange: header, ``'?'`` for nulls —
+    round-trips through ``readers.read_adult_csv``."""
+    df.write.mode(mode).option("header", True).option("nullValue", "?").csv(path)
