@@ -40,12 +40,26 @@ def with_class_size(df: DataFrame, qi: Sequence[str], out_col: str = CLASS_SIZE_
 def k_anonymize_suppress(df: DataFrame, qi: Sequence[str], k: int) -> DataFrame:
     """C1 — drop every row whose QI equivalence class has < k members.
 
-    Window-count + filter (SURVEY P5→P6→P8 fused). Returns the original
-    columns (class size is internal only). Reference semantics:
+    Physical shape (SURVEY P5→P6→P8): group-frequency aggregate + broadcast
+    LEFT SEMI join of the frequent-class keys back onto the fact scan. The
+    fact table is never shuffled: the aggregate ships only QI tuples with
+    map-side partial counts (skew-safe — a modal class partial-aggregates
+    on every mapper instead of landing on one reducer, the failure mode of
+    the window-count formulation), and the output path is scan + broadcast
+    probe. If the frequent-key relation outgrows broadcast range (worst
+    case rows/k keys), drop the hint and AQE falls back to a shuffled semi
+    join with skew splitting. Reference semantics:
     ``naive-suppresion.py:29-40`` / ``t-closeness.py:91-95``.
     """
-    tagged = with_class_size(df, qi, "__cnt")
-    return tagged.filter(F.col("__cnt") >= F.lit(k)).drop("__cnt")
+    frequent = (
+        class_sizes(df, qi)
+        .filter(F.col(CLASS_SIZE_COL) >= F.lit(k))
+        .select(*qi)
+    )
+    # semi-join hoists join keys to the front — restore the input order
+    return df.join(F.broadcast(frequent), on=list(qi), how="left_semi").select(
+        *df.columns
+    )
 
 
 def k_anonymity_audit(df: DataFrame, qi: Sequence[str], k: int) -> DataFrame:

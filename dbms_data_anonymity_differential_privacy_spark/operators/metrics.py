@@ -15,16 +15,28 @@ from typing import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dbms_data_anonymity_differential_privacy_spark.operators.kanonymity import class_sizes, with_class_size
+from dbms_data_anonymity_differential_privacy_spark.operators.kanonymity import (
+    CLASS_SIZE_COL,
+    class_sizes,
+    with_class_size,
+)
 
 ROUND_DP = 9
 
 
 def reid_risk(df: DataFrame, qi: Sequence[str]) -> DataFrame:
     """C5 — mean over rows of 1/|equivalence class| (reference
-    ``naive-suppresion.py:64-69``). Window count + avg, one shuffle."""
-    tagged = with_class_size(df, qi, "__cnt")
-    return tagged.agg(F.round(F.avg(F.lit(1.0) / F.col("__cnt")), ROUND_DP).alias("reid_risk"))
+    ``naive-suppresion.py:64-69``).
+
+    Algebraic shortcut: the row-mean of 1/size telescopes —
+    sum over classes of size * (1/size) = n_classes — so
+    reid_risk = n_classes / n_rows. One skew-safe aggregate over the
+    class relation; no per-row window, no 1/x column.
+    """
+    cs = class_sizes(df, qi)
+    return cs.agg(
+        F.round(F.count(F.lit(1)) / F.sum(CLASS_SIZE_COL), ROUND_DP).alias("reid_risk")
+    )
 
 
 def uniqueness_rate(

@@ -51,11 +51,14 @@ def test_no_row_at_a_time_python_anywhere(plans):
 
 
 def test_flagship_single_fact_shuffle(plans):
-    """c01 = bin + window-count + filter: exactly ONE hash-partition
-    exchange of the fact table; the min/max for binning rides a broadcast."""
+    """c01 = bin + class-frequency agg + broadcast semi join: the only
+    hash-partition exchange carries QI tuples (map-side partially
+    aggregated, skew-safe); fact rows reach the output without any
+    shuffle."""
     p = plans["c01_k_anonymize_suppress"]
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
     assert "BroadcastExchange" in p
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
 
 
 def test_join_back_broadcasts_frequent_classes(plans):
