@@ -53,11 +53,21 @@ def main() -> None:
     # warmup: JVM + parquet footer + codegen paths
     force(qr.QUERIES["p01_scan"](spark, sf_dir))
 
+    # min of two runs per query: the second run reuses JVM-warm code paths
+    # and OS page cache, so min-of-2 reports steady-state latency and cuts
+    # the run-to-run noise of a shared box roughly in half.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        force(qr.QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            # operators persist intermediates; clear so every run pays its
+            # own materialization (CacheManager would otherwise hand run 2
+            # the first run's cache and report a fantasy number)
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            force(qr.QUERIES[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

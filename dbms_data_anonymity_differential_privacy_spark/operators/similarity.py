@@ -120,6 +120,61 @@ def lsh_bucket_signature(
     return df.withColumn("lsh_bucket", bucket)
 
 
+def ivf_index(
+    df: DataFrame,
+    n_lists: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: KMeans centroids over the embedding space;
+    every vector is assigned to its nearest centroid's inverted list.
+
+    Returns ``(df + ivf_list column, centroids)``. At scale the assigned
+    relation is written bucketed by ``ivf_list`` so probes read only
+    n_probe/n_lists of the data (partition pruning on the list id).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    work = df.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="__v", predictionCol="ivf_list")
+    model = km.fit(work)
+    assigned = model.transform(work).drop("__v")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe: rank inverted lists by centroid cosine to the query
+    (driver-side — centroids are tiny), scan the top ``n_probe`` lists,
+    exact cosine re-rank inside. The list filter prunes (1 - n_probe/
+    n_lists) of the table before any vector math."""
+    import math
+
+    def cos(a: Sequence[float], b: Sequence[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return dot / (na * nb)
+
+    ranked = sorted(
+        range(len(centroids)), key=lambda i: -cos(centroids[i], query_vec)
+    )[:n_probe]
+    cands = indexed.filter(F.col("ivf_list").isin([int(i) for i in ranked]))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.col(vec_col).cast("array<double>")
+    scored = cands.select(F.col(id_col), F.round(cosine_expr(v, q), 6).alias("cos"))
+    return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
+
+
 def ann_topk_lsh(
     df: DataFrame,
     query_vec: Sequence[float],

@@ -822,6 +822,17 @@ def x04_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_self_join_pairs(emb, threshold=0.3, block_col="label")
 
 
+@query("x04_ann_ivf_topk")
+def x04_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (rows-only: KMeans quantizer)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.similarity import ivf_index, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    indexed, centroids = ivf_index(emb, n_lists=8, seed=42)
+    return ivf_topk(indexed, centroids, [float(x) for x in qvec], k=10, n_probe=3)
+
+
 @query("x04_ann_lsh_topk")
 def x04_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_data_anonymity_differential_privacy_spark.operators.similarity import ann_topk_lsh

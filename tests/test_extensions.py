@@ -171,3 +171,20 @@ def test_multimodal_plumbing(spark, sf0001):
     # real media decode is stubbed
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG", "image/png")
+
+
+def test_ivf_topk_recall(spark, sf0001):
+    from dbms_data_anonymity_differential_privacy_spark.operators.similarity import ivf_index, ivf_topk
+    from dbms_data_anonymity_differential_privacy_spark import load_table
+
+    emb = load_table(spark, sf0001, "embeddings")
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    exact = {r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()}
+    indexed, centroids = ivf_index(emb, n_lists=8, seed=42)
+    # probing every list == exact (sanity: IVF with full probe is lossless)
+    full = {r["vec_id"] for r in ivf_topk(indexed, centroids, q, k=10, n_probe=8).collect()}
+    assert full == exact
+    # partial probe: the query's own vector must survive, recall is partial
+    part = {r["vec_id"] for r in ivf_topk(indexed, centroids, q, k=10, n_probe=2).collect()}
+    assert 0 in part
+    assert len(part & exact) >= 5
