@@ -71,50 +71,57 @@ def ngram_jaccard_pairs(
     (drop shingles appearing in > X% of docs) handles it. Exact → has a
     DuckDB oracle twin.
     """
-    sh = fan_out(df).select(
-        F.col(id_col), F.array_distinct(shingles(F.col(text_col), n)).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
-    # Pre-hash the wide shingle string to a long join key (SURVEY §4
-    # composite-key idiom): the shuffle carries 8 bytes instead of ~20-char
-    # strings and the join compares longs. 64-bit collisions are
-    # negligible (~n^2/2^64).
-    exploded = sh.select(
-        id_col, "n_sh", F.explode("sh").alias("shingle")
-    ).select(id_col, "n_sh", F.xxhash64("shingle").alias("shingle_h"))
-    # Shingles appearing in exactly one document cannot produce a pair —
-    # drop them before the self-join. In a typical corpus most shingles are
-    # unique, so this cuts the join input by the unique-shingle mass. The
-    # window partitions by shingle_h, the same key the join shuffles on, so
-    # the exchange is reused (one shuffle total) and the result is EXACT.
-    # Persist: the self-join consumes this relation twice, and it is slim
-    # (three longs per row) while its lineage (regex shingling) is the
-    # expensive part of the whole operator.
+    # Evaluation discipline: higher-order-function chains (split → slice →
+    # concat → distinct) run interpreted (CodegenFallback — no codegen, no
+    # common-subexpression elimination), so the shingle expression must
+    # appear in EXACTLY ONE projection. A second reference (size() for
+    # n_sh, an emptiness filter) silently re-evaluates the whole chain per
+    # row. Hence: explode immediately (the generator evaluates its child
+    # once), pre-hash the shingle to a long join key (SURVEY §4
+    # composite-key idiom: 8-byte shuffle rows), persist the slim exploded
+    # relation, and recover per-doc set sizes from it with a cheap count.
     exploded = (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("shingle"),
+        )
+        .select(id_col, F.xxhash64("shingle").alias("shingle_h"))
+        .persist()
+    )
+    sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # Shingles appearing in exactly one document cannot produce a pair —
+    # drop them before the self-join (EXACT; in a typical corpus most
+    # shingles are unique). The window partitions by shingle_h, the same
+    # key the join shuffles on, so the exchange is reused.
+    joinable = (
         exploded.withColumn(
             "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle_h"))
         )
         .filter(F.col("__df") >= 2)
         .drop("__df")
-        .persist()
     )
-    a = exploded.select(
-        F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"), "shingle_h"
-    )
-    b = exploded.select(
-        F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"), "shingle_h"
-    )
+    a = joinable.select(F.col(id_col).alias("id_a"), "shingle_h")
+    b = joinable.select(F.col(id_col).alias("id_b"), "shingle_h")
     inter = (
         a.join(b, on="shingle_h")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "na", "nb")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    jac = inter.select(
-        "id_a",
-        "id_b",
-        F.round(
-            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 9
-        ).alias("jaccard"),
+    # per-doc set sizes re-attach via broadcast joins of the tiny relation
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = (
+        inter.join(F.broadcast(na), on="id_a")
+        .join(F.broadcast(nb), on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 9
+            ).alias("jaccard"),
+        )
     )
     return jac.filter(F.col("jaccard") >= F.lit(threshold))
 
@@ -145,15 +152,21 @@ def minhash_lsh_pairs(
     # (id, array<long>) relation is persisted because it feeds three
     # consumers (signature + both sides of the re-score join) — without it
     # the regex shingling, the dominant per-doc cost, runs three times.
+    # Emptiness filter runs BEFORE the projection on a cheap token-count
+    # predicate: `filter(size(hs) > 0)` after the projection would collapse
+    # into it and re-evaluate the interpreted shingle+hash chain per row
+    # (HOFs get no codegen CSE — measured 8x slowdown). tokens >= n iff at
+    # least one shingle exists.
+    toks_n = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
     sh = (
         fan_out(df)
+        .filter(toks_n >= F.lit(n))
         .select(
             F.col(id_col),
             F.transform(
                 F.array_distinct(shingles(F.col(text_col), n)), lambda s: F.xxhash64(s)
             ).alias("hs"),
         )
-        .filter(F.size("hs") > 0)
         .persist()
     )
 
@@ -277,24 +290,49 @@ def simhash_pairs(
     pigeonhole), then exact popcount filter. Each block join is an
     equi-join on a small key → no O(n^2) pair space."""
     n_blocks = 4
-    hashed = fan_out(df).select(F.col(id_col), simhash(F.col(text_col), bits).alias("sh"))
-    block_cols = [
-        (F.shiftright(F.col("sh"), 8 * b).bitwiseAND(F.lit(255))).alias(f"blk{b}")
-        for b in range(n_blocks)
-    ]
-    hh = hashed.select(id_col, "sh", *block_cols)
-
-    def block_join(b: int) -> DataFrame:
-        key = f"blk{b}"
-        a = hh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sa"), F.col(key).alias("k"))
-        bb = hh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sb"), F.col(key).alias("k"))
-        # bucket key alone collides often on 8 bits; the cheap popcount
-        # post-filter keeps only true low-Hamming pairs
-        return a.join(bb, on="k").filter(F.col("id_a") < F.col("id_b")).drop("k")
-
-    cands = block_join(0)
-    for b in range(1, n_blocks):
-        cands = cands.unionByName(block_join(b))
-    cands = cands.dropDuplicates(["id_a", "id_b"])
-    ham = cands.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+    # persist: the 4 block-join branches reference this relation 8 times,
+    # and the simhash vote aggregate is interpreted (no codegen CSE) — it
+    # must be evaluated once per row, not once per branch
+    hashed = (
+        fan_out(df)
+        .select(F.col(id_col), simhash(F.col(text_col), bits).alias("sh"))
+        .persist()
+    )
+    # One (block_idx, block_value) relation via posexplode → a SINGLE
+    # candidate self-join instead of n_blocks separate joins + union (one
+    # shuffle stage, one dedup). Signatures re-attach afterwards from the
+    # small persisted relation for the exact popcount filter.
+    blockrel = hashed.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sh"), 8 * b).bitwiseAND(F.lit(255))
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("blk_idx", "blk_val"),
+    )
+    cands = (
+        blockrel.alias("a")
+        .join(
+            blockrel.alias("b"),
+            on=[
+                F.col("a.blk_idx") == F.col("b.blk_idx"),
+                F.col("a.blk_val") == F.col("b.blk_val"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # no broadcast hint: the signature relation scales with the corpus
+    # (unlike per-class verdicts) — AQE broadcasts it only when it fits
+    sa = hashed.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sa"))
+    sb = hashed.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sb"))
+    ham = (
+        cands.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+    )
     return ham.filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
