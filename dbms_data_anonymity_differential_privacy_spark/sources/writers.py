@@ -52,6 +52,31 @@ def write_release(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "error",
+) -> None:
+    """Publish a relation bucketed (and optionally sorted) by its hot join/
+    group key — typically the QI tuple or a pre-hashed ``xxhash64(*qi)``
+    key column.
+
+    Downstream suppression joins and class-size aggregations on the bucket
+    key then run WITHOUT a shuffle (Spark reads bucket files as
+    pre-partitioned); at 100 TB that converts the dominant exchange of
+    every k-anonymity pass into a scan-local operation. Requires a
+    metastore table (`saveAsTable`) — plain `.parquet(path)` cannot record
+    bucket metadata.
+    """
+    writer = df.write.mode(mode).bucketBy(int(n_buckets), *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table, format="parquet")
+
+
 def write_adult_csv(df: DataFrame, path: str, mode: str = "error") -> None:
     """Reference-shaped CSV interchange: header, ``'?'`` for nulls —
     round-trips through ``readers.read_adult_csv``."""

@@ -83,3 +83,24 @@ def test_write_adult_csv_roundtrip(spark, tmp_path):
 
     content = "".join(open(f).read() for f in glob.glob(f"{out}/*.csv"))
     assert "?" in content  # null sentinel written
+
+
+def test_write_bucketed_no_shuffle_on_group(spark, sf0001, tmp_path):
+    """A relation bucketed by the QI key aggregates on that key without an
+    exchange — the 100 TB payoff of bucketing."""
+    from dbms_data_anonymity_differential_privacy_spark.sources.writers import write_bucketed
+    from dbms_data_anonymity_differential_privacy_spark import load_table
+    from pyspark.sql import functions as F
+
+    spark.sql("DROP TABLE IF EXISTS bucketed_customer")
+    c = load_table(spark, sf0001, "customer")
+    write_bucketed(
+        c, "bucketed_customer", ["c_nationkey", "c_mktsegment"], n_buckets=4,
+        mode="overwrite",
+    )
+    back = spark.table("bucketed_customer")
+    assert back.count() == c.count()
+    agg = back.groupBy("c_nationkey", "c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    spark.sql("DROP TABLE IF EXISTS bucketed_customer")
