@@ -1,0 +1,112 @@
+"""Property-based invariants (SURVEY §5) — hypothesis-generated inputs,
+post-conditions that must hold for ANY data, not just the fixtures.
+
+Each example runs real Spark jobs, so example counts are kept small; the
+properties target the documented hard parts: bin edge conditions (§7c),
+suppression monotonicity, EMD bounds, DP determinism.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+floats = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@given(vals=st.lists(floats, min_size=1, max_size=50), n_bins=st.integers(2, 8))
+@settings(**SETTINGS)
+def test_equal_width_bin_bounds_and_monotone(spark, vals, n_bins):
+    from dbms_data_anonymity_differential_privacy_spark.functions.binning import bin_equal_width
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    out = bin_equal_width(df, "x", n_bins, "b").select("x", "b").collect()
+    got = {r["x"]: r["b"] for r in out}
+    lo, hi = min(vals), max(vals)
+    for r in out:
+        assert 0 <= r["b"] <= n_bins - 1
+    # extremes pin to the first/last bin
+    assert got[lo] == 0
+    assert got[hi] == (0 if lo == hi else n_bins - 1)
+    # monotone in x
+    ordered = sorted(out, key=lambda r: r["x"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["b"] <= b["b"]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 2)), min_size=1, max_size=60
+    ),
+    k=st.integers(1, 6),
+)
+@settings(**SETTINGS)
+def test_suppression_postcondition_and_monotonicity(spark, rows, k):
+    from dbms_data_anonymity_differential_privacy_spark.operators.kanonymity import k_anonymize_suppress
+
+    df = spark.createDataFrame([(a, b, i) for i, (a, b) in enumerate(rows)], "a int, b int, rid int")
+    anon = k_anonymize_suppress(df, ["a", "b"], k)
+    sizes = anon.groupBy("a", "b").count().collect()
+    for r in sizes:
+        assert r["count"] >= k
+    # monotone: a stricter k keeps a subset of rows
+    anon_stricter = k_anonymize_suppress(df, ["a", "b"], k + 1)
+    kept = {r["rid"] for r in anon.select("rid").collect()}
+    kept_stricter = {r["rid"] for r in anon_stricter.select("rid").collect()}
+    assert kept_stricter <= kept
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.sampled_from(["x", "y", "z"])),
+        min_size=2,
+        max_size=60,
+    )
+)
+@settings(**SETTINGS)
+def test_emd_bounds(spark, rows):
+    """1-D EMD over m unit-spaced positions is within [0, m-1]; a table
+    with a single class has EMD exactly 0 (class dist == global dist)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import class_emd
+
+    df = spark.createDataFrame(rows, "g int, s string")
+    emd = {r["g"]: r["emd"] for r in class_emd(df, ["g"], "s").collect()}
+    m = df.select("s").distinct().count()
+    for v in emd.values():
+        assert -1e-9 <= v <= m - 1 + 1e-9
+    one = df.select(F.lit(0).alias("g"), "s")
+    sole = class_emd(one, ["g"], "s").collect()
+    assert len(sole) == 1 and abs(sole[0]["emd"]) < 1e-12
+
+
+@given(seed=st.integers(0, 2**31 - 1), eps=st.floats(0.1, 5.0))
+@settings(**SETTINGS)
+def test_dp_count_deterministic_per_seed(spark, seed, eps):
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_count
+
+    df = spark.createDataFrame([(i % 3,) for i in range(30)], "g int")
+    a = {r["g"]: r["count_dp"] for r in dp_count(df, ["g"], eps, seed).collect()}
+    # repartitioning must not change the release (retry/AQE safety)
+    b = {
+        r["g"]: r["count_dp"]
+        for r in dp_count(df.repartition(7), ["g"], eps, seed).collect()
+    }
+    assert a == b
+    for g, v in a.items():
+        assert math.isfinite(v)
+        # noise is centered at the exact count; scale 1/eps — 60/eps is
+        # beyond any plausible draw (P < 1e-26), catches mis-scaled noise
+        assert abs(v - 10.0) < 60.0 / eps
