@@ -36,7 +36,30 @@ from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import 
     t_closeness_filter,
     t_violations,
 )
-from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_count, dp_sum, dp_avg
+from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_count, dp_sum, dp_avg, dp_histogram
+from dbms_data_anonymity_differential_privacy_spark.operators.clustering import cluster_anonymize
+from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
+    dedup_exact,
+    dedup_by_fingerprint,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from dbms_data_anonymity_differential_privacy_spark.operators.similarity import (
+    cosine_topk,
+    cosine_self_join_pairs,
+    ann_topk_lsh,
+    ivf_index,
+    ivf_topk,
+)
+from dbms_data_anonymity_differential_privacy_spark.operators.text import text_stats, with_text_features
+from dbms_data_anonymity_differential_privacy_spark.operators.utility import utility_accuracy
+from dbms_data_anonymity_differential_privacy_spark import pipelines
+from dbms_data_anonymity_differential_privacy_spark.sources.writers import (
+    write_release,
+    write_bucketed,
+    write_adult_csv,
+)
 
 __all__ = [
     "get_spark",
@@ -59,4 +82,23 @@ __all__ = [
     "dp_count",
     "dp_sum",
     "dp_avg",
+    "dp_histogram",
+    "cluster_anonymize",
+    "dedup_exact",
+    "dedup_by_fingerprint",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_pairs",
+    "cosine_topk",
+    "cosine_self_join_pairs",
+    "ann_topk_lsh",
+    "ivf_index",
+    "ivf_topk",
+    "text_stats",
+    "with_text_features",
+    "utility_accuracy",
+    "pipelines",
+    "write_release",
+    "write_bucketed",
+    "write_adult_csv",
 ]

@@ -344,7 +344,23 @@ def p15_singletons(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# P16 — mean of a derived column = re-id risk (naive-suppresion.py:68) → c05.
+# P16 — mean of a derived column (naive-suppresion.py:68): the per-row
+# 1/class-size risk column averaged. (c05 computes the same metric with the
+# telescoped aggregate; this is the literal per-row-derivation primitive.)
+@query(
+    "p16_mean_derived",
+    f"""
+    WITH {BINNED_CUSTOMER_CTE},
+    w AS (SELECT ROUND(1.0 / COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment,
+                 acctbal_bin), 9) AS risk FROM binned)
+    SELECT ROUND(AVG(risk), 9) AS mean_risk FROM w
+    """,
+)
+def p16_mean_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = binned_customer(spark, sf_dir)
+    tagged = ka.with_class_size(b, CUST_QI)
+    derived = tagged.select(F.round(F.lit(1.0) / F.col("class_size"), 9).alias("risk"))
+    return derived.agg(F.round(F.avg("risk"), 9).alias("mean_risk"))
 
 
 # P17 — equal-width binning distribution (t-closeness.py:36).
@@ -939,6 +955,19 @@ def x06_stream_window_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return windowed_kanon_batch(ev, k=5, window="1 hour")
+
+
+@query(
+    "x06_kanon_gate",
+    "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1 HAVING COUNT(*) >= 50",
+)
+def x06_kanon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stateful streaming release gate
+    (streaming/stateful.py; stream-vs-batch equivalence pytest-asserted)."""
+    from dbms_data_anonymity_differential_privacy_spark.streaming.stateful import kanon_gate_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return kanon_gate_batch(ev, k=50)
 
 
 @query("x07_multimodal_features")

@@ -188,3 +188,42 @@ def test_ivf_topk_recall(spark, sf0001):
     part = {r["vec_id"] for r in ivf_topk(indexed, centroids, q, k=10, n_probe=2).collect()}
     assert 0 in part
     assert len(part & exact) >= 5
+
+
+def test_stateful_kanon_gate(spark, sf0001, tmp_path):
+    """applyInPandasWithState cumulative gate: driving the whole events
+    file through availableNow must publish exactly the groups the batch
+    threshold publishes (with identical counts)."""
+    import shutil
+
+    from dbms_data_anonymity_differential_privacy_spark.streaming.anonymize import EVENTS_SCHEMA
+    from dbms_data_anonymity_differential_privacy_spark.streaming.stateful import (
+        kanon_gate_batch,
+        kanon_gate_stateful,
+    )
+
+    ev = load_table(spark, sf0001, "events")
+    batch = {(r.event_type, r.cnt) for r in kanon_gate_batch(ev, k=50).collect()}
+
+    stream_dir = tmp_path / "events_state"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf0001}/events.parquet", stream_dir / "part-000.parquet")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(str(stream_dir))
+    gated = kanon_gate_stateful(raw, k=50)
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("kanon_gate_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode may emit a key several times (once per batch after
+    # crossing k) — the LAST update per key is the published value
+    rows = spark.sql("SELECT * FROM kanon_gate_test").collect()
+    last: dict[str, int] = {}
+    for r in rows:
+        last[r.event_type] = max(last.get(r.event_type, 0), r.cnt)
+    assert set(last.items()) == batch
+    assert len(batch) > 0
