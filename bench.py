@@ -30,13 +30,21 @@ HEADLINE = [
     "c05_reid_risk",
     "c04_t_closeness_strict",
     "c09_t_violations",
+    "pipe_naive_metrics",
+    "pipe_tcloseness_metrics",
     "x01_dp_count",
+    "x01_dp_histogram",
     "x02_dedup_exact",
+    "x02_dedup_fingerprint",
     "x03_ngram_jaccard",
     "x03_minhash_lsh",
+    "x03_simhash",
     "x04_cosine_topk",
+    "x04_cosine_pairs",
     "x05_text_stats",
+    "x05_text_features",
     "x06_stream_window_kanon",
+    "x06_kanon_gate",
 ]
 
 

@@ -31,6 +31,45 @@ from pyspark.sql import functions as F
 _HASH_MOD = 2_147_483_647  # 2^31 - 1; plenty of uniform resolution
 
 
+class PrivacyBudget:
+    """Sequential-composition epsilon accountant (Dwork & Roth 2014, Thm
+    3.14): releases against the same data add their epsilons. Mechanisms
+    here take the accountant via ``spend`` so a pipeline can enforce a
+    global budget; exceeding it raises before any release is computed.
+
+    Driver-side only (budget is pipeline metadata, not data).
+    """
+
+    def __init__(self, total_epsilon: float):
+        if total_epsilon <= 0:
+            raise ValueError("total_epsilon must be positive")
+        self.total = float(total_epsilon)
+        self.ledger: list[tuple[str, float]] = []
+
+    @property
+    def spent(self) -> float:
+        return sum(e for _, e in self.ledger)
+
+    @property
+    def remaining(self) -> float:
+        return self.total - self.spent
+
+    def spend(self, epsilon: float, label: str = "") -> float:
+        if epsilon <= 0:
+            raise ValueError("epsilon must be positive")
+        if self.spent + epsilon > self.total + 1e-12:
+            raise BudgetExceededError(
+                f"release {label!r} needs eps={epsilon}, only {self.remaining:.6g} "
+                f"of {self.total:.6g} remains"
+            )
+        self.ledger.append((label, float(epsilon)))
+        return epsilon
+
+
+class BudgetExceededError(RuntimeError):
+    """Raised when a release would exceed the accountant's total epsilon."""
+
+
 def _uniform_from_key(group_cols: Sequence[str], seed: int, salt: str) -> Column:
     """Deterministic uniform in (0, 1): hash of the group key + seed."""
     h = F.xxhash64(*[F.col(c) for c in group_cols], F.lit(seed), F.lit(salt))
@@ -44,7 +83,11 @@ def laplace_noise(group_cols: Sequence[str], scale: float, seed: int, salt: str 
 
 
 def dp_count(
-    df: DataFrame, by: Sequence[str], epsilon: float, seed: int = 42
+    df: DataFrame,
+    by: Sequence[str],
+    epsilon: float,
+    seed: int = 42,
+    budget: "PrivacyBudget | None" = None,
 ) -> DataFrame:
     """X1 — noisy group counts. Sensitivity of COUNT is 1 → scale = 1/eps.
 
@@ -52,6 +95,8 @@ def dp_count(
     the pre-noise aggregate stays oracle-checkable; a production release
     would drop it.
     """
+    if budget is not None:
+        budget.spend(epsilon, f"dp_count:{','.join(by)}")
     scale = 1.0 / epsilon
     agg = df.groupBy(*by).agg(F.count(F.lit(1)).alias("count_exact"))
     return agg.withColumn(
@@ -67,12 +112,15 @@ def dp_sum(
     lower: float,
     upper: float,
     seed: int = 42,
+    budget: "PrivacyBudget | None" = None,
 ) -> DataFrame:
     """X1 — noisy group sums with per-record clipping to [lower, upper].
 
     Sensitivity = max(|lower|, |upper|) → scale = sensitivity/eps.
     Output: ``(*by, sum_exact, sum_dp)``.
     """
+    if budget is not None:
+        budget.spend(epsilon, f"dp_sum:{value_col}")
     sens = max(abs(lower), abs(upper))
     scale = sens / epsilon
     clipped = F.least(F.greatest(F.col(value_col), F.lit(lower)), F.lit(upper))
@@ -86,6 +134,7 @@ def dp_histogram(
     n_bins: int,
     epsilon: float,
     seed: int = 42,
+    budget: "PrivacyBudget | None" = None,
 ) -> DataFrame:
     """X1 — noisy equal-width histogram: bin (P17) then Laplace counts.
 
@@ -97,7 +146,7 @@ def dp_histogram(
     from dbms_data_anonymity_differential_privacy_spark.functions.binning import bin_equal_width
 
     binned = bin_equal_width(df.select(value_col), value_col, n_bins, "bin")
-    return dp_count(binned, ["bin"], epsilon, seed)
+    return dp_count(binned, ["bin"], epsilon, seed, budget=budget)
 
 
 def dp_avg(
@@ -108,9 +157,12 @@ def dp_avg(
     lower: float,
     upper: float,
     seed: int = 42,
+    budget: "PrivacyBudget | None" = None,
 ) -> DataFrame:
     """X1 — noisy mean as noisy-sum / noisy-count with the budget split
     evenly (eps/2 each; sequential composition)."""
+    if budget is not None:
+        budget.spend(epsilon, f"dp_avg:{value_col}")
     eps_half = epsilon / 2.0
     sens = max(abs(lower), abs(upper))
     clipped = F.least(F.greatest(F.col(value_col), F.lit(lower)), F.lit(upper))

@@ -71,7 +71,8 @@ def naive_suppression_pipeline(
     the cleaned relation first if the source is not columnar.
     """
     clean = df.na.drop("any")
-    anon = k_anonymize_suppress(clean, qi, k)
+    # five metric aggregates consume the anonymized relation — pin it
+    anon = k_anonymize_suppress(clean, qi, k).persist()
 
     post_sizes = class_sizes(anon, qi)
     kcheck = post_sizes.agg(
@@ -166,7 +167,10 @@ def t_closeness_pipeline(
         work = bin_equal_width(work, col, n_bins, out)
         eff_qi = [out if c == col else c for c in eff_qi]
 
-    anon = t_closeness_filter(work, eff_qi, sensitive, k=k, t=t, mode=mode)
+    # four metric aggregates (incl. a second EMD chain in t_violations)
+    # consume the filtered relation — pin it so the filter's two-join
+    # lineage over the fact table materializes once
+    anon = t_closeness_filter(work, eff_qi, sensitive, k=k, t=t, mode=mode).persist()
     metrics = _one_row(
         suppression_rate(work, anon),
         uniqueness_rate(anon, eff_qi, denominator="classes"),

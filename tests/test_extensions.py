@@ -227,3 +227,24 @@ def test_stateful_kanon_gate(spark, sf0001, tmp_path):
         last[r.event_type] = max(last.get(r.event_type, 0), r.cnt)
     assert set(last.items()) == batch
     assert len(batch) > 0
+
+
+def test_privacy_budget_accounting(spark, sf0001):
+    import pytest as _pytest
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
+        BudgetExceededError,
+        PrivacyBudget,
+        dp_count,
+    )
+
+    ev = load_table(spark, sf0001, "events")
+    budget = PrivacyBudget(1.5)
+    dp_count(ev, ["event_type"], epsilon=1.0, budget=budget).collect()
+    assert budget.spent == _pytest.approx(1.0)
+    assert budget.remaining == _pytest.approx(0.5)
+    # second release exceeding the remainder must refuse BEFORE running
+    with _pytest.raises(BudgetExceededError):
+        dp_count(ev, ["event_type"], epsilon=1.0, budget=budget)
+    # ledger records labels for audit
+    assert budget.ledger[0][0] == "dp_count:event_type"
