@@ -708,6 +708,42 @@ def x01_dp_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x01_dp_sum_exact",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(LEAST(GREATEST(l_extendedprice, 0.0), 100000.0)), 6) AS sum_exact_r
+    FROM lineitem GROUP BY 1
+    """,
+)
+def x01_dp_sum_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-noise clipped sum — the oracle-checkable core of dp_sum."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = dp_sum(
+        li, ["l_returnflag"], "l_extendedprice", epsilon=1.0, lower=0.0, upper=100000.0
+    )
+    return out.select("l_returnflag", F.round("sum_exact", 6).alias("sum_exact_r"))
+
+
+@query(
+    "x01_dp_avg_exact",
+    """
+    SELECT event_type,
+           ROUND(SUM(LEAST(GREATEST(value, 0.0), 1000.0)) / COUNT(*), 6) AS avg_exact_r
+    FROM events GROUP BY 1
+    """,
+)
+def x01_dp_avg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-noise clipped mean — the oracle-checkable core of dp_avg."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_avg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = dp_avg(ev, ["event_type"], "value", epsilon=1.0, lower=0.0, upper=1000.0)
+    return out.select("event_type", F.round("avg_exact", 6).alias("avg_exact_r"))
+
+
 @query("x01_dp_avg")
 def x01_dp_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_avg
@@ -897,10 +933,41 @@ def x05_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("x05_lang_id")
+# DuckDB twin of operators.text.lang_id: per-probe hit counts, argmax with
+# probe-order tie-break ('und' when no probe hits).
+_LANG_SCORE_CTE = (
+    "ls AS (SELECT lang, "
+    + ", ".join(
+        f"len(regexp_extract_all(lower(text), '{pat}')) AS s_{lg}"
+        for lg, pat in (
+            ("en", r"\b(the|and|of|to|in)\b"),
+            ("de", r"\b(der|die|und|das|ist)\b"),
+            ("fr", r"\b(le|la|les|et|est)\b"),
+            ("es", r"\b(el|los|las|es|una)\b"),
+            ("zh", "[一-鿿]"),
+        )
+    )
+    + " FROM documents)"
+)
+
+
+@query(
+    "x05_lang_id",
+    f"""
+    WITH {_LANG_SCORE_CTE},
+    p AS (SELECT lang,
+                 CASE WHEN GREATEST(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+                      WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                      WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+                      WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                      WHEN s_es = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                      ELSE 'zh' END AS lang_pred
+          FROM ls)
+    SELECT lang, lang_pred, COUNT(*) AS cnt FROM p GROUP BY 1, 2
+    """,
+)
 def x05_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID prediction breakdown (rows-only: the argmax tie-break
-    CASE chain is SQL-expressible but verbose; invariants are pytest'd)."""
+    """Language-ID prediction breakdown per true language."""
     from dbms_data_anonymity_differential_privacy_spark.operators import text as tx
 
     docs = load_table(spark, sf_dir, "documents")
