@@ -120,6 +120,37 @@ def lsh_bucket_signature(
     return df.withColumn("lsh_bucket", bucket)
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Label-free embedding near-dup pairs: random-hyperplane LSH bucket as
+    the blocking key, exact cosine re-score within buckets.
+
+    High-cosine pairs agree on most hyperplane signs, so they share a
+    bucket with high probability at modest n_planes; candidates are
+    ~n^2/2^n_planes instead of n^2. Approximate by design (bucket-boundary
+    pairs can be missed) → rows-only check with a recall test.
+    """
+    bucketed = lsh_bucket_signature(df, n_planes, _dim_of(df, vec_col), seed, vec_col)
+    return cosine_self_join_pairs(
+        bucketed, threshold, block_col="lsh_bucket", vec_col=vec_col, id_col=id_col
+    ).select("id_a", "id_b", "cos")
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first row (metadata-cheap; the
+    plane construction needs it driver-side)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None:
+        return 0
+    return int(row["d"])
+
+
 def ivf_index(
     df: DataFrame,
     n_lists: int = 16,

@@ -874,6 +874,15 @@ def x04_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_self_join_pairs(emb, threshold=0.3, block_col="label")
 
 
+@query("x04_embedding_near_dup")
+def x04_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-free LSH-blocked embedding near-dup (rows-only: approximate)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.5, n_planes=6)
+
+
 @query("x04_ann_ivf_topk")
 def x04_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (rows-only: KMeans quantizer)."""

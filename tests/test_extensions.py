@@ -248,3 +248,49 @@ def test_privacy_budget_accounting(spark, sf0001):
         dp_count(ev, ["event_type"], epsilon=1.0, budget=budget)
     # ledger records labels for audit
     assert budget.ledger[0][0] == "dp_count:event_type"
+
+
+def test_embedding_near_dup_recall(spark, sf0001):
+    """LSH-blocked near-dup must recover a solid share of the exact
+    high-cosine pairs (full-probe exactness is impossible by design, but
+    planted near-identical vectors share all hyperplane signs)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.similarity import (
+        cosine_self_join_pairs,
+        embedding_near_dup_pairs,
+    )
+    from dbms_data_anonymity_differential_privacy_spark import load_table
+
+    emb = load_table(spark, sf0001, "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_self_join_pairs(emb, threshold=0.5).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(emb, threshold=0.5, n_planes=6).collect()
+    }
+    assert approx <= exact  # no false positives (exact re-score inside)
+    if exact:
+        assert len(approx) / len(exact) >= 0.3
+
+
+def test_publish_then_reaudit_roundtrip(spark, sf0001, tmp_path):
+    """End-to-end: anonymize → publish release → re-read → audit must
+    report k satisfied on the published artifact."""
+    from dbms_data_anonymity_differential_privacy_spark import (
+        bin_equal_width,
+        k_anonymity_audit,
+        k_anonymize_suppress,
+        load_table,
+        write_release,
+    )
+
+    c = bin_equal_width(load_table(spark, sf0001, "customer"), "c_acctbal", 5, "acctbal_bin")
+    qi = ["c_mktsegment", "acctbal_bin"]
+    anon = k_anonymize_suppress(c, qi, 5)
+    out = str(tmp_path / "published")
+    write_release(anon, out, partition_by=["c_mktsegment"])
+    back = spark.read.parquet(out)
+    audit = k_anonymity_audit(back, qi, 5).first()
+    assert audit["k_satisfied"] is True
+    assert audit["min_class_size"] >= 5
