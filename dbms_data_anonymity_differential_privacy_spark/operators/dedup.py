@@ -49,10 +49,12 @@ def shingles(text: Column, n: int = 3) -> Column:
     tokenized). Built-ins only: slice/transform over the token array."""
     toks = F.split(F.lower(F.trim(text)), r"\s+")
     n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    return F.transform(
+    # sequence(0, -1) generates a DESCENDING [0, -1] (Spark sequences
+    # reverse direction instead of being empty) → guard the sub-n case
+    return F.when(n_sh > 0, F.transform(
         F.sequence(F.lit(0), n_sh - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    )).otherwise(F.array().cast("array<string>"))
 
 
 def ngram_jaccard_pairs(

@@ -294,3 +294,35 @@ def test_publish_then_reaudit_roundtrip(spark, sf0001, tmp_path):
     audit = k_anonymity_audit(back, qi, 5).first()
     assert audit["k_satisfied"] is True
     assert audit["min_class_size"] >= 5
+
+
+def test_dedup_ops_handle_degenerate_text(spark):
+    """Empty, whitespace-only, and sub-n-token docs must flow through every
+    dedup operator without errors and produce no pairs."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one two"), (4, "a b c d e f"), (5, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    jac = ngram_jaccard_pairs(df, threshold=0.5, n=3).collect()
+    assert {(r.id_a, r.id_b) for r in jac} == {(4, 5)}
+    mh = minhash_lsh_pairs(df, threshold=0.5, n=3).collect()
+    assert {(r.id_a, r.id_b) for r in mh} == {(4, 5)}
+    sh = simhash_pairs(df, max_hamming=0).collect()
+    assert (4, 5) in {(r.id_a, r.id_b) for r in sh}
+
+
+def test_text_features_degenerate(spark):
+    from dbms_data_anonymity_differential_privacy_spark import with_text_features
+
+    df = spark.createDataFrame([(1, ""), (2, "   "), (3, "café ☕")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in with_text_features(df).collect()}
+    assert rows[1].n_tokens == 0 and rows[2].n_tokens == 0
+    assert rows[1].quality == 0.0
+    assert rows[3].n_tokens == 2
+    assert rows[1].lang_pred == "und"
