@@ -145,6 +145,8 @@ def minhash_lsh_pairs(
     Jaccard via the exact shingle sets (re-score kills LSH false
     positives). num_hashes=32, bands of 4 → catches J>=~0.5 w.h.p.
     """
+    if num_hashes % 4 != 0:
+        raise ValueError("num_hashes must be a multiple of the band width (4)")
     bands = num_hashes // 4
     # Shingle once, hash each shingle to a long ONCE, and never touch the
     # strings again: the signature, the LSH bands, and the exact re-score

@@ -36,7 +36,12 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """NULL (not NaN) for zero vectors: 0/0 would yield NaN, and Spark
+    sorts NaN as LARGEST — a zero vector would fake-top every descending
+    top-k. NULLs sort last under desc (default nulls-last), so degenerate
+    vectors drop out of rankings instead of winning them."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom != 0.0, _dot(a, b) / denom).otherwise(F.lit(None))
 
 
 def cosine_topk(

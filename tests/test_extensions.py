@@ -326,3 +326,14 @@ def test_text_features_degenerate(spark):
     assert rows[1].quality == 0.0
     assert rows[3].n_tokens == 2
     assert rows[1].lang_pred == "und"
+
+
+def test_cosine_zero_vector_never_tops(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.similarity import cosine_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    top = cosine_topk(df, [1.0, 0.0], k=2).collect()
+    assert [r.vec_id for r in top] == [1, 3]  # zero vector excluded, not NaN-first
