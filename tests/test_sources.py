@@ -104,3 +104,28 @@ def test_write_bucketed_no_shuffle_on_group(spark, sf0001, tmp_path):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, plan
     spark.sql("DROP TABLE IF EXISTS bucketed_customer")
+
+
+def test_cli_naive_pipeline(tmp_path, capsys):
+    """The module CLI mirrors the reference's runnable-script UX."""
+    import json
+
+    from dbms_data_anonymity_differential_privacy_spark.__main__ import main
+
+    out_dir = str(tmp_path / "cli_release")
+    rc = main(
+        [
+            "naive",
+            "--input", "/root/testdata/sf0.001/customer.parquet",
+            "--qi", "c_mktsegment,c_nationkey",
+            "--k", "5",
+            "--output", out_dir,
+        ]
+    )
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    metrics = json.loads(line)
+    assert metrics["k_satisfied"] is True
+    import glob
+
+    assert glob.glob(f"{out_dir}/part-*.parquet")
