@@ -180,6 +180,28 @@ def t_closeness_filter(
     return df.join(F.broadcast(ok), on=list(qi), how="left_semi")
 
 
+def l_diversity_filter(
+    df: DataFrame, qi: Sequence[str], sensitive: str, l: int = 2, k: int = 1
+) -> DataFrame:
+    """Distinct l-diversity (Machanavajjhala et al., ICDE 2006): keep only
+    equivalence classes with >= l distinct sensitive values (and >= k
+    members). Not in the reference — included because k-anonymity +
+    t-closeness without l-diversity leaves the homogeneity attack open;
+    the three filters share one physical shape.
+
+    Same zero-fact-shuffle plan as ``t_closeness_filter``: one aggregation
+    to (class, #distinct-sensitive, size), verdict keys broadcast back.
+    """
+    stats = df.groupBy(*qi).agg(
+        F.countDistinct(sensitive).alias("__nsv"),
+        F.count(F.lit(1)).alias("__sz"),
+    )
+    ok = stats.filter(
+        (F.col("__nsv") >= F.lit(l)) & (F.col("__sz") >= F.lit(k))
+    ).select(*qi)
+    return df.join(F.broadcast(ok), on=list(qi), how="left_semi").select(*df.columns)
+
+
 def t_violations(df: DataFrame, qi: Sequence[str], sensitive: str, t: float = 0.2) -> DataFrame:
     """C9 — single-row report: #classes with EMD > t vs the table
     distribution, total classes, violation rate (reference

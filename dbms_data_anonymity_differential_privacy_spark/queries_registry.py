@@ -628,6 +628,25 @@ def c04_t_closeness_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x08_l_diversity",
+    f"""
+    WITH {BINNED_ORDERS_CTE},
+    stats AS (SELECT o_orderpriority, price_bin,
+                     COUNT(DISTINCT o_orderstatus) AS nsv, COUNT(*) AS sz
+              FROM obinned GROUP BY 1, 2)
+    SELECT b.* FROM obinned b
+    JOIN (SELECT o_orderpriority, price_bin FROM stats WHERE nsv >= 2 AND sz >= 5) ok
+      USING (o_orderpriority, price_bin)
+    """,
+)
+def x08_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import l_diversity_filter
+
+    b = binned_orders(spark, sf_dir)
+    return l_diversity_filter(b, ORD_QI, "o_orderstatus", l=2, k=5)
+
+
+@query(
     "c09_t_violations",
     f"""
     WITH {BINNED_ORDERS_CTE}, {KANON_ORDERS_CTE}, {EMD_CTES}

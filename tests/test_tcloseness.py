@@ -96,3 +96,21 @@ def test_violations_consistency(spark, sf001):
     assert row.total_groups == kanon.select(*QI).distinct().count()
     assert 0 < row.violations < row.total_groups
     assert row.violation_rate == pytest.approx(row.violations / row.total_groups, abs=1e-9)
+
+
+def test_l_diversity_postcondition(spark, sf001):
+    from dbms_data_anonymity_differential_privacy_spark.functions.binning import bin_equal_width
+    from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import l_diversity_filter
+    from dbms_data_anonymity_differential_privacy_spark import load_table
+    from pyspark.sql import functions as F
+
+    o = bin_equal_width(load_table(spark, sf001, "orders"), "o_totalprice", 10, "price_bin")
+    qi = ["o_orderpriority", "price_bin"]
+    out = l_diversity_filter(o, qi, "o_orderstatus", l=2, k=5)
+    stats = out.groupBy(*qi).agg(
+        F.countDistinct("o_orderstatus").alias("nsv"), F.count(F.lit(1)).alias("sz")
+    )
+    bad = stats.filter((F.col("nsv") < 2) | (F.col("sz") < 5)).count()
+    assert bad == 0
+    assert 0 < out.count() <= o.count()
+    assert out.columns == o.columns
