@@ -246,6 +246,46 @@ def minhash_lsh_pairs(
     return jac.filter(F.col("jaccard") >= F.lit(threshold))
 
 
+def dedup_corpus(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Turn a near-dup PAIR relation into a kept CORPUS: drop every doc
+    that appears as the larger id of a pair (greedy representative-keeping
+    — the standard corpus-dedup policy, e.g. Lee et al. 2022 §3.2).
+
+    Exact transitive closure (connected components) is iterative and
+    rarely worth it: greedy keeps at least one doc per duplicate cluster
+    (the min id survives every pair it belongs to) and is one anti-join.
+    Deterministic given deterministic pairs.
+    """
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, on=id_col, how="left_anti")
+
+
+def near_dedup_corpus(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    method: str = "jaccard",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The full corpus-dedup composite: exact text dedup, then near-dup
+    pair detection (``jaccard`` exact inverted index | ``minhash`` LSH),
+    then greedy representative keeping. Returns the kept corpus with the
+    input schema."""
+    stage1 = dedup_exact(df, [text_col], id_col)
+    if method == "jaccard":
+        pairs = ngram_jaccard_pairs(stage1, threshold, n, text_col, id_col)
+    elif method == "minhash":
+        pairs = minhash_lsh_pairs(stage1, threshold, n, text_col=text_col, id_col=id_col)
+    else:
+        raise ValueError(f"unknown method: {method}")
+    return dedup_corpus(stage1, pairs, id_col)
+
+
 def simhash(text: Column, bits: int = 32) -> Column:
     """Frequency-weighted SimHash (Charikar 2002): bit j = sign of the sum
     over token *occurrences* of ±1 derived from xxhash64(token) bit j.

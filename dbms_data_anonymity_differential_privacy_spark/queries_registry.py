@@ -832,6 +832,34 @@ def x03_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.2, n=3)
 
 
+@query(
+    "x03_dedup_corpus",
+    """
+    WITH d1 AS (SELECT doc_id, text, lang, source, n_chars FROM documents
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+    t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM d1),
+    sh AS (SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(toks[i:i+2], ' '))) AS s FROM t),
+    e AS (SELECT doc_id, len(s) AS ns, unnest(s) AS shingle FROM sh),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ns AS na, b.ns AS nb,
+                 COUNT(*) AS inter
+          FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+    drop_ids AS (SELECT DISTINCT id_b FROM p
+                 WHERE ROUND(inter / (na + nb - inter), 9) >= 0.2)
+    SELECT d1.* FROM d1 WHERE doc_id NOT IN (SELECT id_b FROM drop_ids)
+    """,
+)
+def x03_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dedup composite: exact + n-gram-Jaccard near-dup with
+    greedy representative keeping (oracle-checked end to end)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import near_dedup_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return near_dedup_corpus(docs, threshold=0.2, n=3, method="jaccard")
+
+
 @query("x03_minhash_lsh")
 def x03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_data_anonymity_differential_privacy_spark.operators.dedup import minhash_lsh_pairs

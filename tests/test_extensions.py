@@ -337,3 +337,27 @@ def test_cosine_zero_vector_never_tops(spark):
     )
     top = cosine_topk(df, [1.0, 0.0], k=2).collect()
     assert [r.vec_id for r in top] == [1, 3]  # zero vector excluded, not NaN-first
+
+
+def test_near_dedup_corpus_invariants(spark, sf001):
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
+        near_dedup_corpus,
+        ngram_jaccard_pairs,
+        dedup_exact,
+    )
+    from dbms_data_anonymity_differential_privacy_spark import load_table
+
+    docs = load_table(spark, sf001, "documents")
+    kept = near_dedup_corpus(docs, threshold=0.2, n=3, method="jaccard")
+    assert kept.columns == docs.columns
+    n_docs, n_kept = docs.count(), kept.count()
+    assert 0 < n_kept <= n_docs
+    # every dropped doc was the larger id of some qualifying pair
+    stage1 = dedup_exact(docs, ["text"], "doc_id")
+    pairs = ngram_jaccard_pairs(stage1, 0.2, 3)
+    dropped = {r.doc_id for r in stage1.select("doc_id").subtract(kept.select("doc_id")).collect()}
+    assert dropped == {r.id_b for r in pairs.collect()}
+    # min id of any pair always survives stage-2 (greedy invariant)
+    min_ids = {min(r.id_a, r.id_b) for r in pairs.collect()}
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert (min_ids - {r.id_b for r in pairs.collect()}) <= kept_ids
