@@ -41,13 +41,18 @@ from dbms_data_anonymity_differential_privacy_spark.operators.clustering import 
 from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
     dedup_exact,
     dedup_by_fingerprint,
+    dedup_corpus,
     minhash_lsh_pairs,
+    near_dedup_corpus,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import l_diversity_filter
+from dbms_data_anonymity_differential_privacy_spark.operators.dp import PrivacyBudget
 from dbms_data_anonymity_differential_privacy_spark.operators.similarity import (
     cosine_topk,
     cosine_self_join_pairs,
+    embedding_near_dup_pairs,
     ann_topk_lsh,
     ivf_index,
     ivf_topk,
@@ -89,8 +94,13 @@ __all__ = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash_pairs",
+    "dedup_corpus",
+    "near_dedup_corpus",
+    "l_diversity_filter",
+    "PrivacyBudget",
     "cosine_topk",
     "cosine_self_join_pairs",
+    "embedding_near_dup_pairs",
     "ann_topk_lsh",
     "ivf_index",
     "ivf_topk",

@@ -84,6 +84,69 @@ def decode_media(content: bytes, mime: str) -> list[float]:
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize verb — STUB for the pixel math (needs PIL, absent here); the
+    Spark-side contract is real: binary-in/binary-out ``mapInPandas`` with
+    typed output dimensions. The fake 'resize' truncates/pads bytes to a
+    deterministic width*height budget so batch shapes and schemas are
+    exercised end-to-end."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        budget = width * height
+        for pdf in batches:
+            content = [bytes(c)[:budget].ljust(budget, b"\0") for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "content": content,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling verb — STUB for real video decoding (needs ffmpeg);
+    emits up to ``max_frames`` fixed-stride byte windows per blob as
+    'frames'. One row in → many rows out, the true generator shape a video
+    pipeline needs (schema + row-explosion plumbing are the real part)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(c)
+                for i in range(min(max_frames, max(1, len(data) // every_n_bytes))):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(data[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(run, FRAMES_SCHEMA)
+
+
 def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
     """Arrow-batched feature extraction over blobs via ``mapInPandas``.
 

@@ -361,3 +361,23 @@ def test_near_dedup_corpus_invariants(spark, sf001):
     min_ids = {min(r.id_a, r.id_b) for r in pairs.collect()}
     kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
     assert (min_ids - {r.id_b for r in pairs.collect()}) <= kept_ids
+
+
+def test_multimodal_resize_and_frames(spark, sf0001):
+    from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import (
+        documents_as_media,
+        frame_sample,
+        resize_media,
+    )
+    from dbms_data_anonymity_differential_privacy_spark import load_table
+
+    media = documents_as_media(load_table(spark, sf0001, "documents"))
+    n = media.count()
+    rs = resize_media(media, width=8, height=8)
+    rows = rs.collect()
+    assert len(rows) == n
+    assert all(len(r.content) == 64 and r.width == 8 for r in rows)
+    fr = frame_sample(media, every_n_bytes=32, max_frames=4)
+    per = fr.groupBy("media_id").count().collect()
+    assert len(per) == n
+    assert all(1 <= r["count"] <= 4 for r in per)
