@@ -78,10 +78,23 @@ def utility_accuracy(
     the drop (reference prints exactly these three, t-closeness.py:173-176).
     """
     spark = original.sparkSession
-    acc_o = _accuracy(original, target, features, n_trees, seed)
-    acc_a = _accuracy(anonymized, target, features, n_trees, seed)
+
+    def safe_acc(df: DataFrame) -> float | None:
+        # heavily-suppressed relations can be empty (or single-class after
+        # a split) — MLlib refuses those with "requirement failed"; report
+        # NULL accuracy instead of crashing the whole evaluation
+        if df.limit(2).count() < 2:
+            return None
+        try:
+            return _accuracy(df, target, features, n_trees, seed)
+        except Exception:
+            return None
+
+    acc_o = safe_acc(original)
+    acc_a = safe_acc(anonymized)
+    drop = (acc_o - acc_a) if (acc_o is not None and acc_a is not None) else None
     return spark.createDataFrame(
-        [(acc_o, acc_a, acc_o - acc_a)],
+        [(acc_o, acc_a, drop)],
         "accuracy_original double, accuracy_anonymized double, accuracy_drop double",
     ).select(
         F.round("accuracy_original", 9).alias("accuracy_original"),
