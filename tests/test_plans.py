@@ -50,6 +50,14 @@ def test_no_row_at_a_time_python_anywhere(plans):
     assert offenders == []
 
 
+def test_no_cartesian_product_anywhere(plans):
+    """CartesianProduct = an unkeyed shuffled row-pair join — always a bug
+    in this engine (one-row metric cross joins compile to broadcast
+    nested-loop with IdentityBroadcastMode, never CartesianProduct)."""
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert offenders == []
+
+
 def test_flagship_single_fact_shuffle(plans):
     """c01 = bin + class-frequency agg + broadcast semi join: the only
     hash-partition exchange carries QI tuples (map-side partially
