@@ -220,3 +220,39 @@ def test_clustering_pipeline_invariants(adult_sdf):
     assert 0.0 < row["reid_risk"] <= 1.0
     # rows are never removed (reference quirk, SURVEY §3.2)
     assert got["anonymized"].count() == adult_sdf.na.drop("any").count()
+
+
+def test_adult_csv_end_to_end(spark, adult_pdf, tmp_path):
+    """The reference's actual flow: CSV with '?' nulls → clean → anonymize
+    → metrics. Exercises reader + pipeline together; null rows must be
+    dropped by the pipeline exactly as pd.dropna does."""
+    from dbms_data_anonymity_differential_privacy_spark.sources.readers import read_adult_csv
+    from pyspark.sql import types as T
+
+    csv = tmp_path / "adult_like.csv"
+    lines = []
+    for r in adult_pdf.itertuples(index=False):
+        wc = "?" if r.workclass is None else r.workclass
+        lines.append(
+            f"{r.age}, {wc}, {r.education}, {r.marital_status}, {r.sex}, "
+            f"{r.capital_gain_k}, {r.income}"
+        )
+    csv.write_text("\n".join(lines) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("age", T.LongType()),
+            T.StructField("workclass", T.StringType()),
+            T.StructField("education", T.StringType()),
+            T.StructField("marital_status", T.StringType()),
+            T.StructField("sex", T.StringType()),
+            T.StructField("capital_gain_k", T.LongType()),
+            T.StructField("income", T.StringType()),
+        ]
+    )
+    df = read_adult_csv(spark, str(csv), schema=schema)
+    got = pipelines.naive_suppression_pipeline(df, QI, K)
+    row = got["metrics"].first().asDict()
+    want = pandas_naive_metrics(adult_pdf, QI, K)
+    assert row["n_orig"] == want["n_orig"]
+    assert row["n_anon"] == want["n_anon"]
+    assert row["suppression_rate"] == pytest.approx(want["suppression_rate"], abs=1e-8)
