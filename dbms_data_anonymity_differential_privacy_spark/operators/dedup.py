@@ -63,15 +63,30 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
-    """N-gram Jaccard near-dup pairs via the shingle inverted index:
-    explode shingles → self-join on shingle → |A∩B| per pair →
-    Jaccard = inter / (|A| + |B| - inter) → filter.
+    """N-gram Jaccard near-dup pairs — EXACT under either physical
+    strategy; the strategy is picked adaptively from the corpus's shingle
+    frequency statistics (AQE-style runtime decision, but for the
+    algorithm itself):
 
-    The join is blocked by shingle (no O(n^2) pair space); hot shingles are
-    the skew risk at scale — AQE skew-join or a df-frequency cap
-    (drop shingles appearing in > X% of docs) handles it. Exact → has a
-    DuckDB oracle twin.
+    - **plain inverted index** (benign corpora): explode → self-join on
+      shingle → count intersections. Candidate volume is exactly
+      sum over shingles of df², so when that is modest this is the
+      fastest path (no ranking pass).
+    - **rare-first prefix filter** (SSJoin/PPJoin family; Zipfian
+      corpora): a qualifying pair provably shares an element among each
+      doc's rarest |X|-ceil(t|X|)+1 shingles (df-ascending global order),
+      so hot boilerplate n-grams — whose df² pair volume is THE blowup
+      mode on web corpora — never enter candidate generation; candidates
+      re-score exactly on the full hashed sets. ~2x slower on skew-free
+      data (measured), asymptotically safe on skewed data.
+
+    ``prefix_filter=None`` computes sum(df²) (one tiny job over the
+    already-persisted shingle relation) and switches to the prefix path
+    when candidates would exceed 50x the exploded relation. Exactness of
+    both paths and their equivalence is asserted by
+    tests/test_properties.py and the DuckDB contract gate.
     """
     # Evaluation discipline: higher-order-function chains (split → slice →
     # concat → distinct) run interpreted (CodegenFallback — no codegen, no
@@ -91,37 +106,98 @@ def ngram_jaccard_pairs(
         .select(id_col, F.xxhash64("shingle").alias("shingle_h"))
         .persist()
     )
-    sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    # Shingles appearing in exactly one document cannot produce a pair —
-    # drop them before the self-join (EXACT; in a typical corpus most
-    # shingles are unique). The window partitions by shingle_h, the same
-    # key the join shuffles on, so the exchange is reused.
-    joinable = (
-        exploded.withColumn(
-            "__df", F.count(F.lit(1)).over(Window.partitionBy("shingle_h"))
+    dfreq = exploded.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("__df"))
+    if prefix_filter is None:
+        stats = dfreq.agg(
+            F.sum(F.col("__df") * F.col("__df")).alias("s2"),
+            F.sum("__df").alias("s1"),
+        ).first()
+        prefix_filter = bool(stats and stats["s1"] and stats["s2"] > 50 * stats["s1"])
+
+    if not prefix_filter:
+        # plain inverted-index join; df>=2 prune (singletons join to
+        # nothing) rides the same shingle_h partitioning
+        joinable = exploded.join(dfreq.filter(F.col("__df") >= 2), on="shingle_h").select(
+            id_col, "shingle_h"
         )
-        .filter(F.col("__df") >= 2)
-        .drop("__df")
+        sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+        a = joinable.select(F.col(id_col).alias("id_a"), "shingle_h")
+        b = joinable.select(F.col(id_col).alias("id_b"), "shingle_h")
+        inter = (
+            a.join(b, on="shingle_h")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+        nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+        jac = (
+            inter.join(F.broadcast(na), on="id_a")
+            .join(F.broadcast(nb), on="id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 9
+                ).alias("jaccard"),
+            )
+        )
+        return jac.filter(F.col("jaccard") >= F.lit(threshold))
+
+    # Rare-first PREFIX FILTER (SSJoin/PPJoin prefix principle — EXACT):
+    # J(A,B) >= t implies |A∩B| >= ceil(t*|A|) (the union is at least as
+    # large as either set), so with every doc's shingles sorted in one
+    # global order, a qualifying pair MUST share an element among each
+    # doc's first |X| - ceil(t*|X|) + 1 shingles. Choosing ascending
+    # document frequency as the global order makes prefixes consist of the
+    # RAREST shingles — the hot-shingle pair explosion (this operator's
+    # skew risk at corpus scale) never enters candidate generation.
+    ranked = (
+        # same-key equi-join: both sides already hash-partition by
+        # shingle_h, so the frequency attach adds no fact re-shuffle
+        exploded.join(dfreq, on="shingle_h")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("__df", "shingle_h")
+            ),
+        )
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
     )
-    a = joinable.select(F.col(id_col).alias("id_a"), "shingle_h")
-    b = joinable.select(F.col(id_col).alias("id_b"), "shingle_h")
-    inter = (
-        a.join(b, on="shingle_h")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    prefix = ranked.filter(
+        (
+            F.col("__rn")
+            <= F.col("__n") - F.ceil(F.lit(float(threshold)) * F.col("__n")) + 1
+        )
+        # singleton shingles join to nothing — pruning them from the
+        # already-ranked prefix relation is free and exact
+        & (F.col("__df") >= 2)
+    ).select(id_col, "shingle_h")
+    cands = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            on=[
+                F.col("a.shingle_h") == F.col("b.shingle_h"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    # per-doc set sizes re-attach via broadcast joins of the tiny relation
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    # exact re-score on the full hashed shingle sets (candidates only)
+    sets = exploded.groupBy(id_col).agg(F.collect_list("shingle_h").alias("hs"))
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("hs").alias("sa"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("hs").alias("sb"))
+    inter_sz = F.size(F.array_intersect("sa", "sb"))
     jac = (
-        inter.join(F.broadcast(na), on="id_a")
-        .join(F.broadcast(nb), on="id_b")
+        cands.join(sa, on="id_a")
+        .join(sb, on="id_b")
         .select(
             "id_a",
             "id_b",
             F.round(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 9
+                inter_sz / (F.size("sa") + F.size("sb") - inter_sz), 9
             ).alias("jaccard"),
         )
     )

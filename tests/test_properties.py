@@ -110,3 +110,53 @@ def test_dp_count_deterministic_per_seed(spark, seed, eps):
         # noise is centered at the exact count; scale 1/eps — 60/eps is
         # beyond any plausible draw (P < 1e-26), catches mis-scaled noise
         assert abs(v - 10.0) < 60.0 / eps
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(list("abcdefgh")), min_size=0, max_size=12),
+        min_size=2,
+        max_size=25,
+    ),
+    threshold=st.sampled_from([0.1, 0.2, 0.34, 0.5, 0.75]),
+)
+@settings(**SETTINGS)
+def test_ngram_jaccard_prefix_filter_exact(spark, docs, threshold):
+    """The rare-first prefix-filtered implementation must produce EXACTLY
+    the pairs a brute-force all-pairs Jaccard produces (the prefix filter
+    is a pruning, never an approximation)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import ngram_jaccard_pairs
+
+    n = 2
+    texts = [" ".join(toks) for toks in docs]
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            sdf, threshold=threshold, n=n, prefix_filter=True
+        ).collect()
+    }
+    got_plain = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            sdf, threshold=threshold, n=n, prefix_filter=False
+        ).collect()
+    }
+    assert got == got_plain
+
+    def shingle_set(toks: list[str]) -> set[str]:
+        return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))}
+
+    want = set()
+    sets = [shingle_set(t) for t in docs]
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            if not a or not b:
+                continue
+            jac = len(a & b) / len(a | b)
+            if round(jac, 9) >= threshold:
+                want.add((i, j))
+    assert got == want
