@@ -127,3 +127,17 @@ def test_cosine_topk_is_takeordered(plans):
     """x04 top-k must compile to TakeOrderedAndProject (partial top-k per
     partition, no global sort of the scored relation)."""
     assert "TakeOrderedAndProject" in plans["x04_cosine_topk"]
+
+
+def test_bench_headline_queries_exist():
+    """bench.py's headline set must stay a subset of the registry — a
+    rename breaks the driver's round-over-round comparison silently."""
+    import bench
+
+    missing = [q for q in bench.HEADLINE if q not in qr.QUERIES]
+    assert missing == []
+
+
+def test_every_oracle_has_a_query():
+    dangling = [k for k in qr.ORACLE_SQL if k not in qr.QUERIES]
+    assert dangling == []
