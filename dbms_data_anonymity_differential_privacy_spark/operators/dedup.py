@@ -216,10 +216,11 @@ def minhash_lsh_pairs(
 
     MLlib's MinHashLSH over a CountVectorizer space works, but the
     hash-expression formulation below is leaner and deterministic across
-    partitionings: minhash_i = min over shingles of xxhash64(shingle, i);
-    band = hash of a signature slice; candidates join within bands; final
-    Jaccard via the exact shingle sets (re-score kills LSH false
-    positives). num_hashes=32, bands of 4 → catches J>=~0.5 w.h.p.
+    partitionings: minhash_i = min over shingles of a universal-hash map
+    of xxhash64(shingle) (see the Carter-Wegman note below); band = hash
+    of a signature slice; candidates join within bands; final Jaccard via
+    the exact hashed shingle sets (re-score kills LSH false positives).
+    num_hashes=32, bands of 4 → catches J>=~0.5 w.h.p.
     """
     if num_hashes % 4 != 0:
         raise ValueError("num_hashes must be a multiple of the band width (4)")
