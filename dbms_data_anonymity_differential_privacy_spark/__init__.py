@@ -36,7 +36,16 @@ from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import 
     t_closeness_filter,
     t_violations,
 )
-from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_count, dp_sum, dp_avg, dp_histogram
+from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
+    dp_count,
+    dp_sum,
+    dp_avg,
+    dp_histogram,
+    dp_count_gaussian,
+    dp_sum_gaussian,
+    dp_mode,
+    gaussian_sigma,
+)
 from dbms_data_anonymity_differential_privacy_spark.operators.clustering import cluster_anonymize
 from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
     dedup_exact,
@@ -88,6 +97,10 @@ __all__ = [
     "dp_sum",
     "dp_avg",
     "dp_histogram",
+    "dp_count_gaussian",
+    "dp_sum_gaussian",
+    "dp_mode",
+    "gaussian_sigma",
     "cluster_anonymize",
     "dedup_exact",
     "dedup_by_fingerprint",

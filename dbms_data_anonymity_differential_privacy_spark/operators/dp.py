@@ -2,8 +2,9 @@
 
 The reference implements NO differential privacy despite its repo name
 (SURVEY §0) — this module is the north-star extension: the Laplace
-mechanism (Dwork, McSherry, Nissim, Smith, TCC 2006) on grouped
-count/sum/avg.
+mechanism (Dwork, McSherry, Nissim, Smith, TCC 2006), the Gaussian
+mechanism (Dwork & Roth 2014, Thm A.1), and the exponential mechanism
+(McSherry & Talwar, FOCS 2007) on grouped count/sum/avg/argmax.
 
 Noise design for a distributed engine: the uniform draw per output group
 is derived from ``xxhash64(group key, seed)`` instead of ``rand()``, so
@@ -80,6 +81,42 @@ def laplace_noise(group_cols: Sequence[str], scale: float, seed: int, salt: str 
     """Laplace(0, scale) noise column, deterministic per group key."""
     u = _uniform_from_key(group_cols, seed, salt) - F.lit(0.5)  # (-0.5, 0.5)
     return -F.lit(scale) * F.signum(u) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
+
+
+def gaussian_noise(group_cols: Sequence[str], sigma: float, seed: int, salt: str = "") -> Column:
+    """N(0, sigma^2) noise column, deterministic per group key.
+
+    Box–Muller over two independent hash-derived uniforms:
+    ``z = sqrt(-2 ln u1) * cos(2 pi u2)``. Same reproducibility design as
+    :func:`laplace_noise` — partition-layout-independent, so a DP release
+    is identical under AQE re-planning, task retries, and repartitioning.
+    """
+    u1 = _uniform_from_key(group_cols, seed, salt + ":g1")
+    u2 = _uniform_from_key(group_cols, seed, salt + ":g2")
+    two_pi = 6.283185307179586
+    return F.lit(sigma) * F.sqrt(F.lit(-2.0) * F.log(u1)) * F.cos(F.lit(two_pi) * u2)
+
+
+def gaussian_sigma(epsilon: float, delta: float, sensitivity: float) -> float:
+    """Classic Gaussian-mechanism calibration (Dwork & Roth 2014, Thm A.1):
+    ``sigma = sensitivity * sqrt(2 ln(1.25/delta)) / epsilon`` gives
+    (epsilon, delta)-DP for epsilon in (0, 1)."""
+    import math
+
+    if not 0 < epsilon < 1:
+        raise ValueError("classic Gaussian mechanism requires 0 < epsilon < 1")
+    if not 0 < delta < 1:
+        raise ValueError("delta must be in (0, 1)")
+    return sensitivity * math.sqrt(2.0 * math.log(1.25 / delta)) / epsilon
+
+
+def gumbel_noise(group_cols: Sequence[str], scale: float, seed: int, salt: str = "") -> Column:
+    """Gumbel(0, scale) noise column: ``-scale * ln(-ln u)``, deterministic
+    per key. Basis of the Gumbel-max implementation of the exponential
+    mechanism (argmax over scores + Gumbel(2*sens/eps) samples exactly from
+    ``p(c) ∝ exp(eps * score(c) / (2 * sens))``)."""
+    u = _uniform_from_key(group_cols, seed, salt + ":gum")
+    return -F.lit(scale) * F.log(-F.log(u))
 
 
 def dp_count(
@@ -179,4 +216,94 @@ def dp_avg(
         *by,
         (F.col("__sum") / F.col("__cnt")).alias("avg_exact"),
         (F.col("__sum_dp") / F.col("__cnt_dp")).alias("avg_dp"),
+    )
+
+
+def dp_count_gaussian(
+    df: DataFrame,
+    by: Sequence[str],
+    epsilon: float,
+    delta: float,
+    seed: int = 42,
+    budget: "PrivacyBudget | None" = None,
+) -> DataFrame:
+    """X1 — (epsilon, delta)-DP group counts via the Gaussian mechanism.
+
+    L2 sensitivity of a count vector under add/remove-one adjacency is 1
+    (one record changes one group's count by 1), so one (eps, delta) covers
+    all groups. Output: ``(*by, count_exact, count_dp)`` — ``count_exact``
+    kept for the oracle, as in :func:`dp_count`.
+    """
+    if budget is not None:
+        budget.spend(epsilon, f"dp_count_gaussian:{','.join(by)}")
+    sigma = gaussian_sigma(epsilon, delta, sensitivity=1.0)
+    agg = df.groupBy(*by).agg(F.count(F.lit(1)).alias("count_exact"))
+    return agg.withColumn(
+        "count_dp", F.col("count_exact") + gaussian_noise(by, sigma, seed, "count")
+    )
+
+
+def dp_sum_gaussian(
+    df: DataFrame,
+    by: Sequence[str],
+    value_col: str,
+    epsilon: float,
+    delta: float,
+    lower: float,
+    upper: float,
+    seed: int = 42,
+    budget: "PrivacyBudget | None" = None,
+) -> DataFrame:
+    """X1 — (epsilon, delta)-DP group sums, per-record clip to [lower, upper]
+    (L2 sensitivity = max(|lower|, |upper|): one record moves one group's
+    sum by at most that). Output: ``(*by, sum_exact, sum_dp)``."""
+    if budget is not None:
+        budget.spend(epsilon, f"dp_sum_gaussian:{value_col}")
+    sens = max(abs(lower), abs(upper))
+    sigma = gaussian_sigma(epsilon, delta, sensitivity=sens)
+    clipped = F.least(F.greatest(F.col(value_col), F.lit(lower)), F.lit(upper))
+    agg = df.groupBy(*by).agg(F.sum(clipped).alias("sum_exact"))
+    return agg.withColumn("sum_dp", F.col("sum_exact") + gaussian_noise(by, sigma, seed, "sum"))
+
+
+def dp_mode(
+    df: DataFrame,
+    by: Sequence[str],
+    candidate_col: str,
+    epsilon: float,
+    seed: int = 42,
+    budget: "PrivacyBudget | None" = None,
+) -> DataFrame:
+    """X1 — exponential mechanism: per group, select the modal value of
+    ``candidate_col`` with probability ``∝ exp(eps * count / 2)`` (count
+    scores have sensitivity 1).
+
+    Implemented as the Gumbel-max trick — per (group, candidate) add
+    Gumbel(2/eps) noise to the count and take the per-group argmax — which
+    samples the exponential mechanism exactly (Durfee & Rogers, NeurIPS
+    2019) and costs one groupBy + one max-struct agg: no per-candidate
+    loop, no window sort, no UDF. Only candidate *scores* ever shuffle
+    (one row per distinct (group, candidate)), never fact rows.
+
+    Output: ``(*by, <candidate_col>, score_exact)`` — the selected value
+    and its true count (the count itself is NOT part of the DP release;
+    drop it in production).
+    """
+    if budget is not None:
+        budget.spend(epsilon, f"dp_mode:{candidate_col}")
+    scale = 2.0 / epsilon
+    key = [*by, candidate_col]
+    scores = df.groupBy(*key).agg(F.count(F.lit(1)).alias("score_exact"))
+    noisy = scores.withColumn(
+        "__noisy", F.col("score_exact").cast("double") + gumbel_noise(key, scale, seed, "mode")
+    )
+    # argmax via max-of-struct: deterministic given the deterministic noise
+    # (hash collisions in __noisy broken by the candidate value itself).
+    winner = noisy.groupBy(*by).agg(
+        F.max(F.struct("__noisy", candidate_col, "score_exact")).alias("__w")
+    )
+    return winner.select(
+        *by,
+        F.col(f"__w.{candidate_col}").alias(candidate_col),
+        F.col("__w.score_exact").alias("score_exact"),
     )

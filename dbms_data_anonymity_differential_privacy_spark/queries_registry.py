@@ -771,6 +771,50 @@ def x01_dp_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_avg(ev, ["event_type"], "value", epsilon=1.0, lower=0.0, upper=1000.0)
 
 
+@query("x01_dp_count_gaussian")
+def x01_dp_count_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(eps, delta)-DP counts via the Gaussian mechanism (rows-only: the
+    pre-noise aggregate is oracle-checked by x01_dp_count_exact — same
+    grouping, mechanism-independent)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_count_gaussian
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return dp_count_gaussian(
+        li, ["l_returnflag", "l_linestatus"], epsilon=0.5, delta=1e-6, seed=42
+    )
+
+
+@query("x01_dp_mode")
+def x01_dp_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-mechanism modal language per source (rows-only: the
+    selection is randomized; the pre-noise argmax is x01_dp_mode_exact)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_mode
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dp_mode(docs, ["source"], "lang", epsilon=1.0, seed=42)
+
+
+@query(
+    "x01_dp_mode_exact",
+    """
+    WITH s AS (SELECT source, lang, COUNT(*) AS score_exact FROM documents GROUP BY 1, 2)
+    SELECT source, lang, score_exact FROM s
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY score_exact DESC, lang DESC) = 1
+    """,
+)
+def x01_dp_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-noise core of dp_mode: per-group argmax-by-count (ties broken by
+    max candidate, matching the max-struct physical plan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("score_exact"))
+    winner = scores.groupBy("source").agg(
+        F.max(F.struct("score_exact", "lang")).alias("__w")
+    )
+    return winner.select(
+        "source", F.col("__w.lang").alias("lang"), F.col("__w.score_exact").alias("score_exact")
+    )
+
+
 @query(
     "x02_dedup_exact",
     """

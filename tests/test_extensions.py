@@ -44,6 +44,59 @@ def test_dp_sum_clipping(spark, sf0001):
         assert r.sum_exact <= 10.0 * counts[r.l_returnflag] + 1e-9
 
 
+def test_dp_gaussian_noise_properties(spark, sf0001):
+    """Gaussian mechanism: deterministic under repartitioning, empirical
+    noise moments match the calibrated sigma over many groups."""
+    from dbms_data_anonymity_differential_privacy_spark import dp_count_gaussian, gaussian_sigma
+
+    li = load_table(spark, sf0001, "lineitem")
+    # high-cardinality grouping -> enough noise draws for moment checks
+    out = dp_count_gaussian(li, ["l_partkey"], epsilon=0.5, delta=1e-6, seed=42)
+    rows = out.collect()
+    noise = [r.count_dp - r.count_exact for r in rows]
+    assert len(noise) > 100
+    sigma = gaussian_sigma(0.5, 1e-6, 1.0)
+    import statistics
+
+    assert abs(statistics.fmean(noise)) < sigma  # mean ~ 0
+    assert 0.6 * sigma < statistics.stdev(noise) < 1.4 * sigma
+    # partition-layout independence
+    out2 = dp_count_gaussian(
+        li.repartition(7), ["l_partkey"], epsilon=0.5, delta=1e-6, seed=42
+    )
+    assert {(r.l_partkey, r.count_dp) for r in out2.collect()} == {
+        (r.l_partkey, r.count_dp) for r in rows
+    }
+    with pytest.raises(ValueError):
+        gaussian_sigma(2.0, 1e-6, 1.0)  # classic mechanism needs eps < 1
+
+
+def test_dp_mode_exponential_mechanism(spark, sf0001):
+    """dp_mode: one row per group; huge epsilon recovers the true mode;
+    deterministic under repartitioning."""
+    from dbms_data_anonymity_differential_privacy_spark import dp_mode
+
+    docs = load_table(spark, sf0001, "documents")
+    out = dp_mode(docs, ["source"], "lang", epsilon=1e6, seed=42)
+    rows = out.collect()
+    n_groups = docs.select("source").distinct().count()
+    assert len(rows) == n_groups
+    # with eps -> inf the Gumbel noise vanishes: winner = true modal count
+    true_max = {
+        r.source: r.m
+        for r in docs.groupBy("source", "lang")
+        .count()
+        .groupBy("source")
+        .agg(F.max("count").alias("m"))
+        .collect()
+    }
+    for r in rows:
+        assert r.score_exact == true_max[r.source]
+    out2 = dp_mode(docs.repartition(5), ["source"], "lang", epsilon=1.0, seed=42)
+    out1 = dp_mode(docs, ["source"], "lang", epsilon=1.0, seed=42)
+    assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, out2.collect()))
+
+
 def test_dedup_exact_deterministic_representative(spark, sf0001):
     docs = load_table(spark, sf0001, "documents")
     d = dedup_exact(docs, ["lang"], "doc_id")
