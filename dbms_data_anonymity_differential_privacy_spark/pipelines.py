@@ -39,8 +39,8 @@ from dbms_data_anonymity_differential_privacy_spark.operators.metrics import (
     uniqueness_rate,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import (
-    t_closeness_filter,
-    t_violations,
+    ROUND_DP as _ROUND_DP,
+    _emd_from_counts,
 )
 
 ROUND_DP = 9
@@ -167,14 +167,56 @@ def t_closeness_pipeline(
         work = bin_equal_width(work, col, n_bins, out)
         eff_qi = [out if c == col else c for c in eff_qi]
 
-    # four metric aggregates (incl. a second EMD chain in t_violations)
-    # consume the filtered relation — pin it so the filter's two-join
-    # lineage over the fact table materializes once
-    anon = t_closeness_filter(work, eff_qi, sensitive, k=k, t=t, mode=mode).persist()
-    metrics = _one_row(
-        suppression_rate(work, anon),
-        uniqueness_rate(anon, eff_qi, denominator="classes"),
-        ncp(work, anon, eff_qi),
-        t_violations(anon, eff_qi, sensitive, t=t),
+    # ONE fact-table aggregation: the (class, sensitive, count) relation
+    # feeds the k-filter, both EMD chains (filter verdicts + post-filter
+    # violation report), and every count-derived metric (n_orig, n_anon,
+    # suppression, uniqueness). Composing the standalone operators instead
+    # would re-aggregate the fact table once per metric; at 100 TB that is
+    # the difference between one big-table pass for counting and four.
+    # Only NCP (distinct *values* per column) and the anonymized output
+    # itself need the fact rows again.
+    counts = (
+        work.groupBy(*eff_qi, sensitive).agg(F.count(F.lit(1)).alias("__cnt")).persist()
     )
+    sizes = counts.groupBy(*eff_qi).agg(F.sum("__cnt").alias("__class_size"))
+    big = sizes.filter(F.col("__class_size") >= F.lit(k)).select(*eff_qi)
+    if mode == "reference":
+        ok = big  # SURVEY §3.4: as-written pipeline = k-filter only
+    else:
+        kcounts = counts.join(F.broadcast(big), on=eff_qi, how="left_semi")
+        ok = (
+            _emd_from_counts(kcounts, eff_qi, sensitive)
+            .filter(F.col("emd") <= F.lit(t))
+            .select(*eff_qi)
+        )
+    post_counts = counts.join(F.broadcast(ok), on=eff_qi, how="left_semi").persist()
+    anon = work.join(F.broadcast(ok), on=eff_qi, how="left_semi").persist()
+
+    # metric definitions identical to suppression_rate / uniqueness_rate /
+    # t_violations (operators/metrics.py, operators/tcloseness.py), just
+    # sourced from the counts relation instead of fact rows.
+    n_orig = counts.agg(F.coalesce(F.sum("__cnt"), F.lit(0)).alias("__n_orig"))
+    n_anon = post_counts.agg(F.coalesce(F.sum("__cnt"), F.lit(0)).alias("__n_anon"))
+    supp = n_orig.crossJoin(F.broadcast(n_anon)).select(
+        F.col("__n_orig").alias("n_orig"),
+        F.col("__n_anon").alias("n_anon"),
+        F.round(
+            (F.col("__n_orig") - F.col("__n_anon")) / F.col("__n_orig"), _ROUND_DP
+        ).alias("suppression_rate"),
+    )
+    post_sizes = post_counts.groupBy(*eff_qi).agg(F.sum("__cnt").alias("class_size"))
+    uniq = post_sizes.agg(
+        F.round(
+            F.sum(F.when(F.col("class_size") == 1, 1).otherwise(0)) / F.count(F.lit(1)),
+            _ROUND_DP,
+        ).alias("uniqueness_rate")
+    )
+    viol = _emd_from_counts(post_counts, eff_qi, sensitive).agg(
+        F.sum(F.when(F.col("emd") > t, 1).otherwise(0)).alias("violations"),
+        F.count(F.lit(1)).alias("total_groups"),
+        F.round(
+            F.sum(F.when(F.col("emd") > t, 1).otherwise(0)) / F.count(F.lit(1)), _ROUND_DP
+        ).alias("violation_rate"),
+    )
+    metrics = _one_row(supp, uniq, ncp(work, anon, eff_qi), viol)
     return {"anonymized": anon, "metrics": metrics}
