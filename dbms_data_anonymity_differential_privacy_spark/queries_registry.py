@@ -1137,6 +1137,55 @@ def x06_kanon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kanon_gate_batch(ev, k=50)
 
 
+@query(
+    "x06_dedup_stream",
+    """
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id) = 1
+    """,
+)
+def x06_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming watermarked dedup
+    (streaming/dedup.py: dropDuplicatesWithinWatermark; stream-vs-batch
+    key-set equivalence pytest-asserted)."""
+    from dbms_data_anonymity_differential_privacy_spark.streaming.dedup import dedup_events_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return dedup_events_batch(ev, ("user_id", "event_type"))
+
+
+@query(
+    "x06_dp_stream_release_exact",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type, COUNT(*) AS count_exact
+    FROM events GROUP BY 1, 2
+    """,
+)
+def x06_dp_stream_release_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-noise core of the streaming DP release (the windowed counts)."""
+    from dbms_data_anonymity_differential_privacy_spark.streaming.anonymize import (
+        dp_windowed_count_batch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return dp_windowed_count_batch(ev, epsilon=1.0, window="1 hour", seed=42).drop("count_dp")
+
+
+@query("x06_dp_stream_release")
+def x06_dp_stream_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP windowed release, batch twin (rows-only: includes the noise
+    column; stream-vs-batch BYTE-identity — noise included — is
+    pytest-asserted, the strongest check in the streaming suite)."""
+    from dbms_data_anonymity_differential_privacy_spark.streaming.anonymize import (
+        dp_windowed_count_batch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return dp_windowed_count_batch(ev, epsilon=1.0, window="1 hour", seed=42)
+
+
 @query("x07_multimodal_features")
 def x07_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import (

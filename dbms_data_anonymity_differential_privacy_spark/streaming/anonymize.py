@@ -66,7 +66,7 @@ def windowed_kanon_stream(
     suppression-safe counts; in tests it's driven with availableNow into a
     memory sink and compared to the batch twin."""
     raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_path)
-    events = raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
@@ -74,3 +74,63 @@ def windowed_kanon_stream(
         .filter(F.col("cnt") >= F.lit(k))
         .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
     )
+
+
+def _dp_windowed_counts(grouped: DataFrame, epsilon: float, seed: int) -> DataFrame:
+    """Shared projection: Laplace noise keyed on (window_start, event_type)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import laplace_noise
+
+    return grouped.select(
+        "window_start",
+        "event_type",
+        "count_exact",
+        (
+            F.col("count_exact")
+            + laplace_noise(["window_start", "event_type"], 1.0 / epsilon, seed, "stream")
+        ).alias("count_dp"),
+    )
+
+
+def dp_windowed_count_batch(
+    events: DataFrame, epsilon: float = 1.0, window: str = "1 hour", seed: int = 42
+) -> DataFrame:
+    """Batch twin of :func:`dp_windowed_count_stream` — identical
+    expressions on a static DataFrame. Because the noise is a deterministic
+    function of the (window_start, event_type) key, the batch twin produces
+    byte-identical releases to the streaming run (asserted in tests), and
+    the pre-noise column is oracle-checkable."""
+    win = F.window(F.col("ts"), window)
+    grouped = (
+        events.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("count_exact"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "count_exact")
+    )
+    return _dp_windowed_counts(grouped, epsilon, seed)
+
+
+def dp_windowed_count_stream(
+    spark: SparkSession,
+    events_path: str,
+    epsilon: float = 1.0,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    seed: int = 42,
+) -> DataFrame:
+    """X1 x X6 — differentially private per-window counts over a stream.
+
+    The hash-derived noise (operators/dp.py) is what makes this correct in
+    streaming: noise is a pure function of the (window, key) tuple, so a
+    window re-emitted after a task retry, micro-batch replay, or update-mode
+    revision carries the SAME noise — ``rand()``-based noise would draw
+    fresh randomness on every replay, and averaging the replays would wash
+    the noise out (a privacy failure). Watermark bounds the agg state.
+    """
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_path)
+    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    grouped = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("count_exact"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "count_exact")
+    )
+    return _dp_windowed_counts(grouped, epsilon, seed)

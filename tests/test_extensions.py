@@ -206,6 +206,81 @@ def test_streaming_matches_batch(spark, sf0001, tmp_path):
     assert len(batch) > 0
 
 
+def test_streaming_dedup_matches_batch_keys(spark, sf0001, tmp_path):
+    """Watermarked streaming dedup must produce exactly one row per key,
+    over exactly the keys the batch twin keeps (representatives may differ:
+    streaming keeps first-arrival, batch keeps min event_id)."""
+    import shutil
+
+    from dbms_data_anonymity_differential_privacy_spark.streaming.dedup import (
+        dedup_events_batch,
+        dedup_events_stream,
+    )
+
+    ev = load_table(spark, sf0001, "events")
+    batch_keys = {
+        (r.user_id, r.event_type) for r in dedup_events_batch(ev).collect()
+    }
+    stream_dir = tmp_path / "events_dedup"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf0001}/events.parquet", stream_dir / "part-000.parquet")
+    q = (
+        dedup_events_stream(spark, str(stream_dir), watermark="2 days")
+        .writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT user_id, event_type FROM dedup_stream_test").collect()
+    got = [(r.user_id, r.event_type) for r in rows]
+    assert len(got) == len(set(got))  # one row per key
+    assert set(got) == batch_keys
+    assert ev.count() > len(batch_keys)  # the dedup actually removed rows
+
+
+def test_dp_stream_release_identical_to_batch(spark, sf0001, tmp_path):
+    """The streaming DP release must equal the batch twin BYTE-FOR-BYTE,
+    noise included — the point of hash-derived noise: replays and
+    re-emissions carry the same noise instead of fresh draws."""
+    import shutil
+
+    from dbms_data_anonymity_differential_privacy_spark.streaming.anonymize import (
+        dp_windowed_count_batch,
+        dp_windowed_count_stream,
+    )
+
+    ev = load_table(spark, sf0001, "events")
+    batch = {
+        (r.window_start, r.event_type): (r.count_exact, r.count_dp)
+        for r in dp_windowed_count_batch(ev, epsilon=1.0, window="1 day", seed=42).collect()
+    }
+    stream_dir = tmp_path / "events_dp"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf0001}/events.parquet", stream_dir / "part-000.parquet")
+    q = (
+        dp_windowed_count_stream(
+            spark, str(stream_dir), epsilon=1.0, window="1 day", watermark="2 days", seed=42
+        )
+        .writeStream.format("memory")
+        .queryName("dp_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dp"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): (r.count_exact, r.count_dp)
+        for r in spark.sql("SELECT * FROM dp_stream_test").collect()
+    }
+    assert got == batch
+    assert len(batch) > 0
+    assert any(exact != dp for exact, dp in batch.values())  # noise present
+
+
 def test_multimodal_plumbing(spark, sf0001):
     from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import (
         decode_media,
