@@ -44,6 +44,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
     dp_count_gaussian,
     dp_sum_gaussian,
     dp_mode,
+    dp_quantile,
     gaussian_sigma,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.clustering import cluster_anonymize
@@ -100,6 +101,7 @@ __all__ = [
     "dp_count_gaussian",
     "dp_sum_gaussian",
     "dp_mode",
+    "dp_quantile",
     "gaussian_sigma",
     "cluster_anonymize",
     "dedup_exact",

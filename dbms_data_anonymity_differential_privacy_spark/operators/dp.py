@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _HASH_MOD = 2_147_483_647  # 2^31 - 1; plenty of uniform resolution
+ROUND_DP = 9  # float rounding for oracle-checkable score columns
 
 
 class PrivacyBudget:
@@ -306,4 +307,65 @@ def dp_mode(
         *by,
         F.col(f"__w.{candidate_col}").alias(candidate_col),
         F.col("__w.score_exact").alias("score_exact"),
+    )
+
+
+def quantile_scores(df: DataFrame, by: Sequence[str], value_col: str, q: float) -> DataFrame:
+    """Rank-utility relation for the exponential-mechanism quantile:
+    per (group, candidate value v), ``score = -|#records below v - q*n|``
+    (Smith, STOC 2011 discrete form). Shared by :func:`dp_quantile` and its
+    pre-noise oracle twin.
+
+    Shape mirrors the EMD chain (tcloseness.py): ONE aggregation of the
+    fact table to (group, value, count), then window cumsum over the tiny
+    per-group support — no per-group loop, no UDF.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*by, value_col).agg(F.count(F.lit(1)).alias("__c"))
+    w_cum = Window.partitionBy(*[F.col(c) for c in by]).orderBy(value_col)
+    w_all = Window.partitionBy(*[F.col(c) for c in by])
+    return (
+        counts.withColumn("__below", F.sum("__c").over(w_cum) - F.col("__c"))
+        .withColumn("__n", F.sum("__c").over(w_all))
+        .withColumn(
+            "score", F.round(-F.abs(F.col("__below") - F.lit(q) * F.col("__n")), ROUND_DP)
+        )
+        .drop("__c", "__below", "__n")
+    )
+
+
+def dp_quantile(
+    df: DataFrame,
+    by: Sequence[str],
+    value_col: str,
+    q: float,
+    epsilon: float,
+    seed: int = 42,
+    budget: "PrivacyBudget | None" = None,
+) -> DataFrame:
+    """X1 — (epsilon, 0)-DP quantile per group via the exponential mechanism
+    over observed order statistics: select value v with probability
+    ``∝ exp(eps * score(v) / 2)`` where ``score(v) = -|rank(v) - q*n|``
+    (rank utility has sensitivity 1 under swap adjacency; scale = 2/eps).
+
+    Gumbel-max sampling as in :func:`dp_mode`. Output:
+    ``(*by, <value_col>, score_exact)``.
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError("q must be in [0, 1]")
+    if budget is not None:
+        budget.spend(epsilon, f"dp_quantile:{value_col}@{q}")
+    scores = quantile_scores(df, by, value_col, q)
+    key = [*by, value_col]
+    noisy = scores.withColumn(
+        "__noisy", F.col("score") + gumbel_noise(key, 2.0 / epsilon, seed, "quantile")
+    )
+    winner = noisy.groupBy(*by).agg(
+        F.max(F.struct("__noisy", value_col, "score")).alias("__w")
+    )
+    return winner.select(
+        *by,
+        F.col(f"__w.{value_col}").alias(value_col),
+        F.col("__w.score").alias("score_exact"),
     )

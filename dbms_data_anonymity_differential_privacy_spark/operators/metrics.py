@@ -87,18 +87,30 @@ def suppression_rate(orig: DataFrame, anon: DataFrame) -> DataFrame:
     )
 
 
-def ncp(orig: DataFrame, anon: DataFrame, qi: Sequence[str]) -> DataFrame:
+def ncp(
+    orig: DataFrame, anon: DataFrame, qi: Sequence[str], exact: bool = True, rsd: float = 0.01
+) -> DataFrame:
     """C8 — Normalized Certainty Penalty: mean over QI columns of
     ``(nunique_orig - nunique_anon) / nunique_orig`` (reference
     ``naive-suppresion.py:74-83``).
 
     One pass per side: a single agg computing every ``countDistinct`` at
-    once (Spark expands to one expand+agg, not |qi| scans). Exact distinct
-    to match the oracle; swap to ``approx_count_distinct`` at 100 TB if a
-    1-2% error is acceptable.
+    once (Spark expands to one expand+agg, not |qi| scans).
+
+    ``exact=True`` (default, oracle-checkable) uses exact distinct — note
+    the expand multiplies shuffled rows by |qi|. ``exact=False`` is the
+    100 TB path: HyperLogLog++ ``approx_count_distinct`` at relative
+    standard deviation ``rsd`` — sketches merge map-side, the shuffle
+    carries |qi| fixed-size sketches per partition instead of the expanded
+    distinct tuples, and NCP (a ratio of same-column cardinalities) keeps
+    the per-column bias mostly cancelled.
     """
-    o = orig.agg(*[F.countDistinct(c).alias(f"__o_{i}") for i, c in enumerate(qi)])
-    a = anon.agg(*[F.countDistinct(c).alias(f"__a_{i}") for i, c in enumerate(qi)])
+    if exact:
+        cd = lambda c: F.countDistinct(c)  # noqa: E731
+    else:
+        cd = lambda c: F.approx_count_distinct(c, rsd)  # noqa: E731
+    o = orig.agg(*[cd(c).alias(f"__o_{i}") for i, c in enumerate(qi)])
+    a = anon.agg(*[cd(c).alias(f"__a_{i}") for i, c in enumerate(qi)])
     joined = o.crossJoin(F.broadcast(a))
     per_col = [
         (F.col(f"__o_{i}") - F.col(f"__a_{i}")) / F.col(f"__o_{i}") for i in range(len(qi))

@@ -794,6 +794,49 @@ def x01_dp_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_mode(docs, ["source"], "lang", epsilon=1.0, seed=42)
 
 
+@query("x01_dp_quantile")
+def x01_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-mechanism DP median of l_quantity per returnflag
+    (rows-only: randomized selection; pre-noise argmax is
+    x01_dp_quantile_exact)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_quantile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return dp_quantile(li, ["l_returnflag"], "l_quantity", q=0.5, epsilon=1.0, seed=42)
+
+
+@query(
+    "x01_dp_quantile_exact",
+    """
+    WITH c AS (SELECT l_returnflag, l_quantity, COUNT(*) AS c FROM lineitem GROUP BY 1, 2),
+    w AS (SELECT l_returnflag, l_quantity,
+                 SUM(c) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) - c AS below,
+                 SUM(c) OVER (PARTITION BY l_returnflag) AS n
+          FROM c),
+    s AS (SELECT l_returnflag, l_quantity,
+                 ROUND(-ABS(below - 0.5 * n), 9) AS score_exact FROM w)
+    SELECT l_returnflag, l_quantity, score_exact FROM s
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY l_returnflag ORDER BY score_exact DESC, l_quantity DESC) = 1
+    """,
+)
+def x01_dp_quantile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-noise core of dp_quantile: the rank-utility argmax (the true
+    median candidate), ties broken by max value as in the max-struct plan."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import quantile_scores
+
+    li = load_table(spark, sf_dir, "lineitem")
+    scores = quantile_scores(li, ["l_returnflag"], "l_quantity", 0.5)
+    winner = scores.groupBy("l_returnflag").agg(
+        F.max(F.struct("score", "l_quantity")).alias("__w")
+    )
+    return winner.select(
+        "l_returnflag",
+        F.col("__w.l_quantity").alias("l_quantity"),
+        F.col("__w.score").alias("score_exact"),
+    )
+
+
 @query(
     "x01_dp_mode_exact",
     """

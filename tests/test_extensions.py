@@ -206,6 +206,62 @@ def test_streaming_matches_batch(spark, sf0001, tmp_path):
     assert len(batch) > 0
 
 
+def test_dp_quantile_exponential_mechanism(spark, sf0001):
+    """dp_quantile: huge epsilon recovers the true rank-utility argmax;
+    result is an observed value; deterministic under repartitioning."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_quantile, quantile_scores
+
+    li = load_table(spark, sf0001, "lineitem")
+    out = dp_quantile(li, ["l_returnflag"], "l_quantity", q=0.5, epsilon=1e6, seed=42)
+    rows = {r.l_returnflag: (r.l_quantity, r.score_exact) for r in out.collect()}
+    best = {
+        r.l_returnflag: r.m
+        for r in quantile_scores(li, ["l_returnflag"], "l_quantity", 0.5)
+        .groupBy("l_returnflag")
+        .agg(F.max("score").alias("m"))
+        .collect()
+    }
+    observed = {
+        (r.l_returnflag, r.l_quantity)
+        for r in li.select("l_returnflag", "l_quantity").distinct().collect()
+    }
+    # the best candidate straddles the target rank: its score is bounded by
+    # the largest per-value count in the group (rank granularity), not by 1
+    max_cnt = {
+        r.l_returnflag: r.m
+        for r in li.groupBy("l_returnflag", "l_quantity")
+        .count()
+        .groupBy("l_returnflag")
+        .agg(F.max("count").alias("m"))
+        .collect()
+    }
+    for rf, (v, s) in rows.items():
+        assert s == best[rf]  # eps->inf: noise vanishes, true argmax wins
+        assert (rf, v) in observed
+        assert s >= -float(max_cnt[rf])
+    out2 = dp_quantile(
+        li.repartition(9), ["l_returnflag"], "l_quantity", q=0.5, epsilon=1.0, seed=42
+    )
+    out1 = dp_quantile(li, ["l_returnflag"], "l_quantity", q=0.5, epsilon=1.0, seed=42)
+    assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, out2.collect()))
+    with pytest.raises(ValueError):
+        dp_quantile(li, ["l_returnflag"], "l_quantity", q=1.5, epsilon=1.0)
+
+
+def test_ncp_approx_close_to_exact(spark, sf001):
+    """The HLL++ scale path of NCP must land within a few percent of exact
+    (ratios of same-column cardinalities cancel most sketch bias)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.kanonymity import k_anonymize_suppress
+    from dbms_data_anonymity_differential_privacy_spark.operators.metrics import ncp
+
+    cust = load_table(spark, sf001, "customer")
+    qi = ["c_nationkey", "c_mktsegment", "c_acctbal"]
+    anon = k_anonymize_suppress(cust, ["c_nationkey", "c_mktsegment"], 5)
+    exact = ncp(cust, anon, qi).first()["ncp"]
+    approx = ncp(cust, anon, qi, exact=False, rsd=0.01).first()["ncp"]
+    assert abs(approx - exact) <= max(0.03, 0.05 * abs(exact) + 1e-9)
+
+
 def test_streaming_dedup_matches_batch_keys(spark, sf0001, tmp_path):
     """Watermarked streaming dedup must produce exactly one row per key,
     over exactly the keys the batch twin keeps (representatives may differ:
