@@ -66,26 +66,43 @@ def naive_suppression_pipeline(
     k_satisfied`` (:56), ``uniqueness_rate`` rows-denominator (:60-62),
     ``reid_risk`` (:64-69), ``ncp`` (:74-83).
 
-    The cleaned input feeds four metric aggregates — callers running the
-    metrics should expect one scan per aggregate group; at scale, persist
-    the cleaned relation first if the source is not columnar.
+    The whole metrics row derives from ONE aggregation of the fact table:
+    suppression removes entire classes, so the anonymized class-size
+    relation is exactly the kept subset of the original one, and NCP's
+    per-column distinct counts are identical over the class relation and
+    the fact rows (every distinct QI value appears in some class tuple).
+    Fact rows are only rescanned to build the anonymized output relation.
     """
     clean = df.na.drop("any")
-    # five metric aggregates consume the anonymized relation — pin it
-    anon = k_anonymize_suppress(clean, qi, k).persist()
+    sizes = class_sizes(clean, qi).persist()  # the one fact aggregation
+    kept = sizes.filter(F.col("class_size") >= F.lit(k)).persist()
+    anon = clean.join(F.broadcast(kept.select(*qi)), on=list(qi), how="left_semi").select(
+        *clean.columns
+    ).persist()
 
-    post_sizes = class_sizes(anon, qi)
-    kcheck = post_sizes.agg(
+    n_orig = sizes.agg(F.coalesce(F.sum("class_size"), F.lit(0)).alias("__n_orig"))
+    n_anon = kept.agg(F.coalesce(F.sum("class_size"), F.lit(0)).alias("__n_anon"))
+    supp = n_orig.crossJoin(F.broadcast(n_anon)).select(
+        F.col("__n_orig").alias("n_orig"),
+        F.col("__n_anon").alias("n_anon"),
+        F.round(
+            (F.col("__n_orig") - F.col("__n_anon")) / F.col("__n_orig"), _ROUND_DP
+        ).alias("suppression_rate"),
+    )
+    kcheck = kept.agg(
         F.coalesce(F.min("class_size"), F.lit(0)).alias("min_class_size"),
         F.coalesce(F.min("class_size") >= k, F.lit(False)).alias("k_satisfied"),
     )
-    metrics = _one_row(
-        suppression_rate(clean, anon),
-        kcheck,
-        uniqueness_rate(anon, qi, denominator="rows"),
-        reid_risk(anon, qi),
-        ncp(clean, anon, qi),
+    uniq = kept.agg(
+        F.round(
+            F.sum(F.when(F.col("class_size") == 1, 1).otherwise(0)) / F.sum("class_size"),
+            _ROUND_DP,
+        ).alias("uniqueness_rate")
     )
+    reid = kept.agg(
+        F.round(F.count(F.lit(1)) / F.sum("class_size"), _ROUND_DP).alias("reid_risk")
+    )
+    metrics = _one_row(supp, kcheck, uniq, reid, ncp(sizes, kept, qi))
     return {"anonymized": anon, "metrics": metrics}
 
 
@@ -169,12 +186,12 @@ def t_closeness_pipeline(
 
     # ONE fact-table aggregation: the (class, sensitive, count) relation
     # feeds the k-filter, both EMD chains (filter verdicts + post-filter
-    # violation report), and every count-derived metric (n_orig, n_anon,
-    # suppression, uniqueness). Composing the standalone operators instead
-    # would re-aggregate the fact table once per metric; at 100 TB that is
-    # the difference between one big-table pass for counting and four.
-    # Only NCP (distinct *values* per column) and the anonymized output
-    # itself need the fact rows again.
+    # violation report), and every metric — n_orig/n_anon/suppression/
+    # uniqueness from summed counts, NCP from per-column distincts of the
+    # class tuples. Composing the standalone operators instead would
+    # re-aggregate the fact table once per metric; at 100 TB that is the
+    # difference between one big-table pass for the whole metrics row and
+    # five. Only the anonymized output itself rescans fact rows.
     counts = (
         work.groupBy(*eff_qi, sensitive).agg(F.count(F.lit(1)).alias("__cnt")).persist()
     )
@@ -218,5 +235,9 @@ def t_closeness_pipeline(
             F.sum(F.when(F.col("emd") > t, 1).otherwise(0)) / F.count(F.lit(1)), _ROUND_DP
         ).alias("violation_rate"),
     )
-    metrics = _one_row(supp, uniq, ncp(work, anon, eff_qi), viol)
+    # NCP over the counts relations, not fact rows: every distinct QI value
+    # appears in some class tuple, so per-column countDistinct is identical
+    # — the metrics row therefore needs NO fact access beyond the one
+    # counts aggregation (anon only materializes if the caller consumes it)
+    metrics = _one_row(supp, uniq, ncp(counts, post_counts, eff_qi), viol)
     return {"anonymized": anon, "metrics": metrics}
