@@ -45,6 +45,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
     dp_sum_gaussian,
     dp_mode,
     dp_quantile,
+    dp_topk,
     gaussian_sigma,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.clustering import cluster_anonymize
@@ -102,6 +103,7 @@ __all__ = [
     "dp_sum_gaussian",
     "dp_mode",
     "dp_quantile",
+    "dp_topk",
     "gaussian_sigma",
     "cluster_anonymize",
     "dedup_exact",

@@ -310,6 +310,54 @@ def dp_mode(
     )
 
 
+def dp_topk(
+    df: DataFrame,
+    by: Sequence[str],
+    candidate_col: str,
+    k: int,
+    epsilon: float,
+    seed: int = 42,
+    budget: "PrivacyBudget | None" = None,
+) -> DataFrame:
+    """X1 — DP top-k most frequent values of ``candidate_col`` per group.
+
+    One-shot Gumbel top-k: adding independent Gumbel(2k/eps) noise to every
+    candidate's count and taking the k highest is equivalent to k rounds of
+    the peeling exponential mechanism (Durfee & Rogers, NeurIPS 2019) and
+    satisfies eps-DP overall — but needs ONE pass and no k-iteration loop.
+
+    Physical shape: aggregate to candidate scores (only scores shuffle,
+    never fact rows), then a per-group top-k window over the noisy score.
+    The window sorts |candidates| rows per group — fine because the score
+    relation is already the small side; for extreme candidate cardinality
+    swap in a bounded per-partition heap via ``mapInPandas``.
+
+    Output: ``(*by, <candidate_col>, score_exact, rank)`` with rank 1..k by
+    noisy score (the true count is NOT part of the DP release; drop
+    ``score_exact`` in production).
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if budget is not None:
+        budget.spend(epsilon, f"dp_topk:{candidate_col}@{k}")
+    scale = 2.0 * k / epsilon
+    key = [*by, candidate_col]
+    scores = df.groupBy(*key).agg(F.count(F.lit(1)).alias("score_exact"))
+    noisy = scores.withColumn(
+        "__noisy", F.col("score_exact").cast("double") + gumbel_noise(key, scale, seed, "topk")
+    )
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
+        F.desc("__noisy"), F.desc(candidate_col)
+    )
+    return (
+        noisy.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(k))
+        .select(*by, candidate_col, "score_exact", "rank")
+    )
+
+
 def quantile_scores(df: DataFrame, by: Sequence[str], value_col: str, q: float) -> DataFrame:
     """Rank-utility relation for the exponential-mechanism quantile:
     per (group, candidate value v), ``score = -|#records below v - q*n|``

@@ -837,6 +837,42 @@ def x01_dp_quantile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x01_dp_topk")
+def x01_dp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot Gumbel top-3 languages per source (rows-only: randomized
+    selection; the pre-noise ranking is x01_dp_topk_exact)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dp_topk(docs, ["source"], "lang", k=3, epsilon=1.0, seed=42)
+
+
+@query(
+    "x01_dp_topk_exact",
+    """
+    WITH s AS (SELECT source, lang, COUNT(*) AS score_exact FROM documents GROUP BY 1, 2),
+    r AS (SELECT source, lang, score_exact,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY source ORDER BY score_exact DESC, lang DESC) AS rank
+          FROM s)
+    SELECT source, lang, score_exact, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3
+    """,
+)
+def x01_dp_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-noise core of dp_topk: the true count ranking with the same
+    deterministic tie-break (count desc, candidate desc)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("score_exact"))
+    w = Window.partitionBy("source").orderBy(F.desc("score_exact"), F.desc("lang"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("source", "lang", "score_exact", "rank")
+    )
+
+
 @query(
     "x01_dp_mode_exact",
     """

@@ -206,6 +206,34 @@ def test_streaming_matches_batch(spark, sf0001, tmp_path):
     assert len(batch) > 0
 
 
+def test_dp_topk_gumbel(spark, sf0001):
+    """dp_topk: k rows per group with distinct candidates; huge epsilon
+    recovers the true top-k counts; deterministic under repartitioning."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_topk
+
+    docs = load_table(spark, sf0001, "documents")
+    out = dp_topk(docs, ["source"], "lang", k=3, epsilon=1e6, seed=42).collect()
+    per_group: dict[str, list] = {}
+    for r in out:
+        per_group.setdefault(r.source, []).append(r)
+    true_counts = {
+        (r.source, r.lang): r["cnt"]
+        for r in docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    for src, rows in per_group.items():
+        assert len(rows) == len({r.lang for r in rows}) <= 3
+        got = sorted((r.score_exact for r in rows), reverse=True)
+        best = sorted(
+            (c for (s, _), c in true_counts.items() if s == src), reverse=True
+        )[: len(rows)]
+        assert got == best  # eps->inf: selected counts = the true top counts
+    out1 = dp_topk(docs, ["source"], "lang", k=2, epsilon=1.0, seed=42).collect()
+    out2 = dp_topk(docs.repartition(5), ["source"], "lang", k=2, epsilon=1.0, seed=42).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    with pytest.raises(ValueError):
+        dp_topk(docs, ["source"], "lang", k=0, epsilon=1.0)
+
+
 def test_dp_quantile_exponential_mechanism(spark, sf0001):
     """dp_quantile: huge epsilon recovers the true rank-utility argmax;
     result is an observed value; deterministic under repartitioning."""
