@@ -34,37 +34,58 @@ ROUND_DP = 9  # float rounding for oracle-checkable score columns
 
 
 class PrivacyBudget:
-    """Sequential-composition epsilon accountant (Dwork & Roth 2014, Thm
-    3.14): releases against the same data add their epsilons. Mechanisms
-    here take the accountant via ``spend`` so a pipeline can enforce a
-    global budget; exceeding it raises before any release is computed.
+    """Sequential-composition (epsilon, delta) accountant (Dwork & Roth
+    2014, Thm 3.16): releases against the same data add their epsilons AND
+    their deltas. Mechanisms here take the accountant via ``spend`` so a
+    pipeline can enforce a global budget; exceeding either component raises
+    before any release is computed. Pure-DP mechanisms (Laplace,
+    exponential) spend delta=0, so an all-Laplace pipeline never needs a
+    delta allowance.
 
     Driver-side only (budget is pipeline metadata, not data).
     """
 
-    def __init__(self, total_epsilon: float):
+    def __init__(self, total_epsilon: float, total_delta: float = 0.0):
         if total_epsilon <= 0:
             raise ValueError("total_epsilon must be positive")
+        if total_delta < 0:
+            raise ValueError("total_delta must be >= 0")
         self.total = float(total_epsilon)
-        self.ledger: list[tuple[str, float]] = []
+        self.total_delta = float(total_delta)
+        self.ledger: list[tuple[str, float, float]] = []
 
     @property
     def spent(self) -> float:
-        return sum(e for _, e in self.ledger)
+        return sum(e for _, e, _ in self.ledger)
+
+    @property
+    def spent_delta(self) -> float:
+        return sum(d for _, _, d in self.ledger)
 
     @property
     def remaining(self) -> float:
         return self.total - self.spent
 
-    def spend(self, epsilon: float, label: str = "") -> float:
+    @property
+    def remaining_delta(self) -> float:
+        return self.total_delta - self.spent_delta
+
+    def spend(self, epsilon: float, label: str = "", delta: float = 0.0) -> float:
         if epsilon <= 0:
             raise ValueError("epsilon must be positive")
+        if delta < 0:
+            raise ValueError("delta must be >= 0")
         if self.spent + epsilon > self.total + 1e-12:
             raise BudgetExceededError(
                 f"release {label!r} needs eps={epsilon}, only {self.remaining:.6g} "
                 f"of {self.total:.6g} remains"
             )
-        self.ledger.append((label, float(epsilon)))
+        if self.spent_delta + delta > self.total_delta + 1e-18:
+            raise BudgetExceededError(
+                f"release {label!r} needs delta={delta}, only "
+                f"{self.remaining_delta:.6g} of {self.total_delta:.6g} remains"
+            )
+        self.ledger.append((label, float(epsilon), float(delta)))
         return epsilon
 
 
@@ -236,7 +257,7 @@ def dp_count_gaussian(
     kept for the oracle, as in :func:`dp_count`.
     """
     if budget is not None:
-        budget.spend(epsilon, f"dp_count_gaussian:{','.join(by)}")
+        budget.spend(epsilon, f"dp_count_gaussian:{','.join(by)}", delta=delta)
     sigma = gaussian_sigma(epsilon, delta, sensitivity=1.0)
     agg = df.groupBy(*by).agg(F.count(F.lit(1)).alias("count_exact"))
     return agg.withColumn(
@@ -259,7 +280,7 @@ def dp_sum_gaussian(
     (L2 sensitivity = max(|lower|, |upper|): one record moves one group's
     sum by at most that). Output: ``(*by, sum_exact, sum_dp)``."""
     if budget is not None:
-        budget.spend(epsilon, f"dp_sum_gaussian:{value_col}")
+        budget.spend(epsilon, f"dp_sum_gaussian:{value_col}", delta=delta)
     sens = max(abs(lower), abs(upper))
     sigma = gaussian_sigma(epsilon, delta, sensitivity=sens)
     clipped = F.least(F.greatest(F.col(value_col), F.lit(lower)), F.lit(upper))

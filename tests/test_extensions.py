@@ -462,6 +462,32 @@ def test_privacy_budget_accounting(spark, sf0001):
     assert budget.ledger[0][0] == "dp_count:event_type"
 
 
+def test_privacy_budget_delta_accounting(spark, sf0001):
+    """(eps, delta) composition: Gaussian releases spend delta; a pure-eps
+    budget refuses any Gaussian release; exceeding the delta allowance
+    refuses even when epsilon remains."""
+    import pytest as _pytest
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
+        BudgetExceededError,
+        PrivacyBudget,
+        dp_count_gaussian,
+    )
+
+    ev = load_table(spark, sf0001, "events")
+    budget = PrivacyBudget(2.0, total_delta=1e-6)
+    dp_count_gaussian(ev, ["event_type"], epsilon=0.5, delta=1e-6, budget=budget).collect()
+    assert budget.spent == _pytest.approx(0.5)
+    assert budget.spent_delta == _pytest.approx(1e-6)
+    # epsilon remains (1.5) but the delta allowance is exhausted
+    with _pytest.raises(BudgetExceededError):
+        dp_count_gaussian(ev, ["event_type"], epsilon=0.5, delta=1e-6, budget=budget)
+    # a pure-eps accountant (total_delta=0) refuses Gaussian outright
+    pure = PrivacyBudget(10.0)
+    with _pytest.raises(BudgetExceededError):
+        dp_count_gaussian(ev, ["event_type"], epsilon=0.5, delta=1e-6, budget=pure)
+
+
 def test_embedding_near_dup_recall(spark, sf0001):
     """LSH-blocked near-dup must recover a solid share of the exact
     high-cosine pairs (full-probe exactness is impossible by design, but
