@@ -59,7 +59,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
     simhash_pairs,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import l_diversity_filter
-from dbms_data_anonymity_differential_privacy_spark.operators.dp import PrivacyBudget
+from dbms_data_anonymity_differential_privacy_spark.operators.dp import PrivacyBudget, ZCDPBudget
 from dbms_data_anonymity_differential_privacy_spark.operators.similarity import (
     cosine_topk,
     cosine_self_join_pairs,
@@ -115,6 +115,7 @@ __all__ = [
     "near_dedup_corpus",
     "l_diversity_filter",
     "PrivacyBudget",
+    "ZCDPBudget",
     "cosine_topk",
     "cosine_self_join_pairs",
     "embedding_near_dup_pairs",

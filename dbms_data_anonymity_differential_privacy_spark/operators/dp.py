@@ -93,6 +93,75 @@ class BudgetExceededError(RuntimeError):
     """Raised when a release would exceed the accountant's total epsilon."""
 
 
+class ZCDPBudget:
+    """rho-zCDP accountant (Bun & Steinke 2016). Drop-in for
+    :class:`PrivacyBudget` — mechanisms call the same
+    ``spend(epsilon, label, delta)`` duck-typed interface, and the
+    accountant converts each release to its rho cost:
+
+    - Gaussian release calibrated by :func:`gaussian_sigma` (``delta > 0``):
+      ``rho = sensitivity^2 / (2 sigma^2) = epsilon^2 / (4 ln(1.25/delta))``
+      (the sensitivity cancels against the calibration).
+    - Pure-DP release (``delta == 0``, Laplace/exponential): eps-DP implies
+      ``(eps^2 / 2)``-zCDP (Bun & Steinke Prop. 1.4).
+
+    rho composes ADDITIVELY even adaptively, which is strictly tighter than
+    (eps, delta) sequential composition for many Gaussian releases: k
+    releases at eps each cost ``k * eps^2 / (4 ln(1.25/delta))`` rho
+    instead of ``k * eps`` epsilon. :meth:`epsilon_at` reports the total
+    (eps, delta) guarantee via ``eps = rho + 2 sqrt(rho ln(1/delta))``
+    (Bun & Steinke Prop. 1.3).
+
+    Driver-side only, like :class:`PrivacyBudget`.
+    """
+
+    def __init__(self, total_rho: float):
+        import math as _math  # noqa: F401 — used by methods
+
+        if total_rho <= 0:
+            raise ValueError("total_rho must be positive")
+        self.total_rho = float(total_rho)
+        self.ledger: list[tuple[str, float]] = []
+
+    @property
+    def spent_rho(self) -> float:
+        return sum(r for _, r in self.ledger)
+
+    @property
+    def remaining_rho(self) -> float:
+        return self.total_rho - self.spent_rho
+
+    @staticmethod
+    def rho_of(epsilon: float, delta: float = 0.0) -> float:
+        import math
+
+        if epsilon <= 0:
+            raise ValueError("epsilon must be positive")
+        if delta == 0.0:
+            return epsilon * epsilon / 2.0
+        return epsilon * epsilon / (4.0 * math.log(1.25 / delta))
+
+    def spend(self, epsilon: float, label: str = "", delta: float = 0.0) -> float:
+        rho = self.rho_of(epsilon, delta)
+        if self.spent_rho + rho > self.total_rho + 1e-15:
+            raise BudgetExceededError(
+                f"release {label!r} needs rho={rho:.6g}, only "
+                f"{self.remaining_rho:.6g} of {self.total_rho:.6g} remains"
+            )
+        self.ledger.append((label, rho))
+        return epsilon
+
+    def epsilon_at(self, delta: float) -> float:
+        """Total (epsilon, delta)-DP guarantee implied by the rho spent so
+        far, at the caller's chosen delta."""
+        import math
+
+        if not 0 < delta < 1:
+            raise ValueError("delta must be in (0, 1)")
+        rho = self.spent_rho
+        return rho + 2.0 * math.sqrt(rho * math.log(1.0 / delta))
+
+
 def _uniform_from_key(group_cols: Sequence[str], seed: int, salt: str) -> Column:
     """Deterministic uniform in (0, 1): hash of the group key + seed."""
     h = F.xxhash64(*[F.col(c) for c in group_cols], F.lit(seed), F.lit(salt))

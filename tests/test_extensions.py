@@ -488,6 +488,61 @@ def test_privacy_budget_delta_accounting(spark, sf0001):
         dp_count_gaussian(ev, ["event_type"], epsilon=0.5, delta=1e-6, budget=pure)
 
 
+def test_zcdp_budget_accounting():
+    """rho-zCDP accountant: rho adds across releases, Gaussian releases cost
+    eps^2/(4 ln(1.25/delta)), pure-DP releases eps^2/2; composition is
+    tighter than sequential (eps, delta) for repeated Gaussian releases;
+    exceeding total_rho raises. Duck-types PrivacyBudget.spend."""
+    import math
+
+    import pytest as _pytest
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
+        BudgetExceededError,
+        ZCDPBudget,
+    )
+
+    b = ZCDPBudget(total_rho=0.2)
+    b.spend(0.5, "gauss", delta=1e-6)
+    b.spend(0.5, "laplace")  # delta=0 -> pure-DP conversion
+    rho_gauss = 0.25 / (4.0 * math.log(1.25e6))
+    assert b.spent_rho == _pytest.approx(rho_gauss + 0.125)
+    # Prop 1.3 conversion is monotone in rho and exceeds rho itself
+    eps_total = b.epsilon_at(1e-6)
+    assert eps_total > b.spent_rho
+    # 20 Gaussian releases at eps=0.5: sequential composition says eps=10;
+    # zCDP says rho = 20 * rho_gauss -> far tighter total epsilon
+    many = ZCDPBudget(total_rho=1.0)
+    for i in range(20):
+        many.spend(0.5, f"g{i}", delta=1e-6)
+    assert many.epsilon_at(1e-6) < 10.0 / 2
+    with _pytest.raises(BudgetExceededError):
+        over = ZCDPBudget(total_rho=rho_gauss * 1.5)
+        over.spend(0.5, "a", delta=1e-6)
+        over.spend(0.5, "b", delta=1e-6)
+
+
+def test_zcdp_budget_drives_mechanism(spark, sf0001):
+    """A ZCDPBudget passed where mechanisms take `budget` must account the
+    release and gate it when exhausted — same call sites as PrivacyBudget."""
+    import pytest as _pytest
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
+        BudgetExceededError,
+        ZCDPBudget,
+        dp_count,
+        dp_count_gaussian,
+    )
+
+    ev = load_table(spark, sf0001, "events")
+    b = ZCDPBudget(total_rho=0.13)
+    dp_count_gaussian(ev, ["event_type"], epsilon=0.5, delta=1e-6, budget=b).collect()
+    dp_count(ev, ["event_type"], epsilon=0.5, budget=b).collect()
+    assert 0 < b.spent_rho <= 0.13
+    with _pytest.raises(BudgetExceededError):
+        dp_count(ev, ["event_type"], epsilon=0.5, budget=b)
+
+
 def test_embedding_near_dup_recall(spark, sf0001):
     """LSH-blocked near-dup must recover a solid share of the exact
     high-cosine pairs (full-probe exactness is impossible by design, but
