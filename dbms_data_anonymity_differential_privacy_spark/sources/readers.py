@@ -55,8 +55,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` is TIMESTAMP(NANOS) in the file; with
     ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as long nanoseconds
     and is converted to a proper TimestampType here (lossless for this
-    data — no sub-microsecond values).
+    data — no sub-microsecond values). The conf is runtime-settable, so it
+    is set here rather than at session-build time: callers (including an
+    externally-constructed SparkSession) need no special configuration.
     """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
