@@ -20,6 +20,27 @@ All JVM-side built-ins — no UDF, whole-stage codegen applies.
 Contribution bounding: ``dp_sum``/``dp_avg`` clip the value column to
 [lower, upper] first; without clipping the sensitivity of SUM is
 unbounded and the release is not DP.
+
+Threat model of the hash-derived noise (IMPORTANT):
+
+- ``seed`` is a SECRET KEY, not a convenience parameter. Anyone who knows
+  (seed, release, group key) can recompute the noise and subtract it.
+  Production deployments must draw the seed from a secret source and never
+  publish it; the defaults in tests/queries exist only for reproducible
+  verification of the pre-noise pipeline.
+- Every release must use a UNIQUE (seed, release) pair. Because noise is a
+  pure function of (key, seed, mechanism, release), two releases sharing
+  the pair share their underlying uniform draw, and linear combinations
+  cancel the noise exactly (e.g. a sum and an avg over the same groups).
+  Mechanisms therefore REQUIRE per-release uniqueness: either an
+  accountant (``budget=...``) that issues a fresh nonce per release from
+  its ledger position, or an explicit caller-supplied ``release`` label
+  that the caller guarantees is never reused against the same data.
+  Mechanism names are additionally baked into the salt so distinct
+  mechanisms never share draws even under a reused label.
+- Sequential composition in :class:`PrivacyBudget` assumes independent
+  noise across releases; the nonce scheme is what makes that assumption
+  true.
 """
 
 from __future__ import annotations
@@ -139,6 +160,10 @@ class ZCDPBudget:
             raise ValueError("epsilon must be positive")
         if delta == 0.0:
             return epsilon * epsilon / 2.0
+        if not 0.0 < delta < 1.0:
+            # delta >= 1 would make log(1.25/delta) <= log(1.25) — and past
+            # 1.25 NEGATIVE, which spend() would append as a budget CREDIT.
+            raise ValueError("delta must be in [0, 1)")
         return epsilon * epsilon / (4.0 * math.log(1.25 / delta))
 
     def spend(self, epsilon: float, label: str = "", delta: float = 0.0) -> float:
@@ -160,6 +185,29 @@ class ZCDPBudget:
             raise ValueError("delta must be in (0, 1)")
         rho = self.spent_rho
         return rho + 2.0 * math.sqrt(rho * math.log(1.0 / delta))
+
+
+def _release_salt(
+    mechanism: str, release: str | None, budget: "PrivacyBudget | None"
+) -> str:
+    """Per-release noise salt: ``<mechanism>:<nonce>``.
+
+    The nonce is the accountant's ledger position (unique per accountant)
+    or a caller-supplied ``release`` label. With neither, the release is
+    refused: two releases sharing (seed, salt) share their uniform draws,
+    and linear combinations cancel the noise exactly — the composition
+    guarantee would be silently false. Call BEFORE ``budget.spend`` so the
+    nonce is this release's own ledger slot.
+    """
+    if release is None:
+        if budget is None:
+            raise ValueError(
+                f"{mechanism}: a DP release needs per-release noise uniqueness — pass "
+                "budget= (the accountant issues a nonce per release) or release= "
+                "(a label the caller guarantees is never reused against the same data)"
+            )
+        release = f"#{len(budget.ledger)}"
+    return f"{mechanism}:{release}"
 
 
 def _uniform_from_key(group_cols: Sequence[str], seed: int, salt: str) -> Column:
@@ -216,6 +264,7 @@ def dp_count(
     epsilon: float,
     seed: int = 42,
     budget: "PrivacyBudget | None" = None,
+    release: str | None = None,
 ) -> DataFrame:
     """X1 — noisy group counts. Sensitivity of COUNT is 1 → scale = 1/eps.
 
@@ -223,12 +272,15 @@ def dp_count(
     the pre-noise aggregate stays oracle-checkable; a production release
     would drop it.
     """
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    scale = 1.0 / epsilon
+    salt = _release_salt("count", release, budget)
     if budget is not None:
         budget.spend(epsilon, f"dp_count:{','.join(by)}")
-    scale = 1.0 / epsilon
     agg = df.groupBy(*by).agg(F.count(F.lit(1)).alias("count_exact"))
     return agg.withColumn(
-        "count_dp", F.col("count_exact") + laplace_noise(by, scale, seed, "count")
+        "count_dp", F.col("count_exact") + laplace_noise(by, scale, seed, salt)
     )
 
 
@@ -241,19 +293,25 @@ def dp_sum(
     upper: float,
     seed: int = 42,
     budget: "PrivacyBudget | None" = None,
+    release: str | None = None,
 ) -> DataFrame:
     """X1 — noisy group sums with per-record clipping to [lower, upper].
 
     Sensitivity = max(|lower|, |upper|) → scale = sensitivity/eps.
     Output: ``(*by, sum_exact, sum_dp)``.
     """
-    if budget is not None:
-        budget.spend(epsilon, f"dp_sum:{value_col}")
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    if lower >= upper:
+        raise ValueError("need lower < upper clipping bounds")
     sens = max(abs(lower), abs(upper))
     scale = sens / epsilon
+    salt = _release_salt("sum", release, budget)
+    if budget is not None:
+        budget.spend(epsilon, f"dp_sum:{value_col}")
     clipped = F.least(F.greatest(F.col(value_col), F.lit(lower)), F.lit(upper))
     agg = df.groupBy(*by).agg(F.sum(clipped).alias("sum_exact"))
-    return agg.withColumn("sum_dp", F.col("sum_exact") + laplace_noise(by, scale, seed, "sum"))
+    return agg.withColumn("sum_dp", F.col("sum_exact") + laplace_noise(by, scale, seed, salt))
 
 
 def dp_histogram(
@@ -261,20 +319,54 @@ def dp_histogram(
     value_col: str,
     n_bins: int,
     epsilon: float,
+    lower: float,
+    upper: float,
     seed: int = 42,
     budget: "PrivacyBudget | None" = None,
+    release: str | None = None,
 ) -> DataFrame:
-    """X1 — noisy equal-width histogram: bin (P17) then Laplace counts.
+    """X1 — noisy equal-width histogram over PUBLIC bounds [lower, upper].
+
+    The bin structure must be data-independent: edges derived from the
+    observed min/max (P17) leak the exact extremes verbatim and can differ
+    between neighboring datasets, breaking the parallel-composition
+    argument — observed-range binning stays available as the non-DP P17
+    operator. Here the caller supplies public bounds; values are clipped
+    into range, and ALL ``n_bins`` bins are released with zero counts
+    included (which bins appear must not depend on the data either).
 
     Histogram queries have sensitivity 1 under add/remove-one adjacency
     (each record lands in exactly one bin), so one epsilon covers ALL bins
     in parallel — no budget split (Dwork & Roth 2014, §3.4).
     Output: ``(bin, count_exact, count_dp)``.
     """
-    from dbms_data_anonymity_differential_privacy_spark.functions.binning import bin_equal_width
-
-    binned = bin_equal_width(df.select(value_col), value_col, n_bins, "bin")
-    return dp_count(binned, ["bin"], epsilon, seed, budget=budget)
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    if lower >= upper:
+        raise ValueError("need public bounds lower < upper")
+    salt = _release_salt("hist", release, budget)
+    if budget is not None:
+        budget.spend(epsilon, f"dp_histogram:{value_col}@{n_bins}")
+    clipped = F.least(F.greatest(F.col(value_col), F.lit(lower)), F.lit(upper))
+    binned = df.select(
+        F.least(
+            F.floor((clipped - F.lit(lower)) * n_bins / F.lit(upper - lower)),
+            F.lit(n_bins - 1),
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("__c"))
+    # Public bin spine: released bins are data-independent, zeros included.
+    spine = df.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    full = spine.join(counts, "bin", "left").select(
+        "bin", F.coalesce(F.col("__c"), F.lit(0)).alias("count_exact")
+    )
+    return full.withColumn(
+        "count_dp", F.col("count_exact") + laplace_noise(["bin"], 1.0 / epsilon, seed, salt)
+    )
 
 
 def dp_avg(
@@ -286,22 +378,35 @@ def dp_avg(
     upper: float,
     seed: int = 42,
     budget: "PrivacyBudget | None" = None,
+    release: str | None = None,
 ) -> DataFrame:
     """X1 — noisy mean as noisy-sum / noisy-count with the budget split
-    evenly (eps/2 each; sequential composition)."""
-    if budget is not None:
-        budget.spend(epsilon, f"dp_avg:{value_col}")
+    evenly (eps/2 each; sequential composition).
+
+    The two internal draws use mechanism salts distinct from each other AND
+    from :func:`dp_sum`/:func:`dp_count`: if dp_avg shared dp_sum's salt, a
+    caller releasing both over the same groups would get correlated noise
+    and ``2*r1 - r2`` would recover the exact clipped sum.
+    """
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    if lower >= upper:
+        raise ValueError("need lower < upper clipping bounds")
     eps_half = epsilon / 2.0
     sens = max(abs(lower), abs(upper))
+    salt_sum = _release_salt("avg.sum", release, budget)
+    salt_cnt = _release_salt("avg.cnt", release, budget)
+    if budget is not None:
+        budget.spend(epsilon, f"dp_avg:{value_col}")
     clipped = F.least(F.greatest(F.col(value_col), F.lit(lower)), F.lit(upper))
     agg = df.groupBy(*by).agg(
         F.sum(clipped).alias("__sum"), F.count(F.lit(1)).alias("__cnt")
     )
     noisy = agg.withColumn(
-        "__sum_dp", F.col("__sum") + laplace_noise(by, sens / eps_half, seed, "sum")
+        "__sum_dp", F.col("__sum") + laplace_noise(by, sens / eps_half, seed, salt_sum)
     ).withColumn(
         "__cnt_dp",
-        F.greatest(F.col("__cnt") + laplace_noise(by, 1.0 / eps_half, seed, "count"), F.lit(1.0)),
+        F.greatest(F.col("__cnt") + laplace_noise(by, 1.0 / eps_half, seed, salt_cnt), F.lit(1.0)),
     )
     return noisy.select(
         *by,
@@ -317,6 +422,7 @@ def dp_count_gaussian(
     delta: float,
     seed: int = 42,
     budget: "PrivacyBudget | None" = None,
+    release: str | None = None,
 ) -> DataFrame:
     """X1 — (epsilon, delta)-DP group counts via the Gaussian mechanism.
 
@@ -325,12 +431,13 @@ def dp_count_gaussian(
     all groups. Output: ``(*by, count_exact, count_dp)`` — ``count_exact``
     kept for the oracle, as in :func:`dp_count`.
     """
+    sigma = gaussian_sigma(epsilon, delta, sensitivity=1.0)  # validates before charging
+    salt = _release_salt("count.gauss", release, budget)
     if budget is not None:
         budget.spend(epsilon, f"dp_count_gaussian:{','.join(by)}", delta=delta)
-    sigma = gaussian_sigma(epsilon, delta, sensitivity=1.0)
     agg = df.groupBy(*by).agg(F.count(F.lit(1)).alias("count_exact"))
     return agg.withColumn(
-        "count_dp", F.col("count_exact") + gaussian_noise(by, sigma, seed, "count")
+        "count_dp", F.col("count_exact") + gaussian_noise(by, sigma, seed, salt)
     )
 
 
@@ -344,17 +451,58 @@ def dp_sum_gaussian(
     upper: float,
     seed: int = 42,
     budget: "PrivacyBudget | None" = None,
+    release: str | None = None,
 ) -> DataFrame:
     """X1 — (epsilon, delta)-DP group sums, per-record clip to [lower, upper]
     (L2 sensitivity = max(|lower|, |upper|): one record moves one group's
     sum by at most that). Output: ``(*by, sum_exact, sum_dp)``."""
+    if lower >= upper:
+        raise ValueError("need lower < upper clipping bounds")
+    sens = max(abs(lower), abs(upper))
+    sigma = gaussian_sigma(epsilon, delta, sensitivity=sens)  # validates before charging
+    salt = _release_salt("sum.gauss", release, budget)
     if budget is not None:
         budget.spend(epsilon, f"dp_sum_gaussian:{value_col}", delta=delta)
-    sens = max(abs(lower), abs(upper))
-    sigma = gaussian_sigma(epsilon, delta, sensitivity=sens)
     clipped = F.least(F.greatest(F.col(value_col), F.lit(lower)), F.lit(upper))
     agg = df.groupBy(*by).agg(F.sum(clipped).alias("sum_exact"))
-    return agg.withColumn("sum_dp", F.col("sum_exact") + gaussian_noise(by, sigma, seed, "sum"))
+    return agg.withColumn("sum_dp", F.col("sum_exact") + gaussian_noise(by, sigma, seed, salt))
+
+
+def _candidate_count_scores(
+    df: DataFrame,
+    by: Sequence[str],
+    candidate_col: str,
+    candidates: "Sequence | None",
+) -> DataFrame:
+    """Count-score relation ``(*by, candidate_col, score_exact)`` for the
+    exponential mechanism.
+
+    With ``candidates`` (a PUBLIC, data-independent domain) the relation is
+    the full (observed groups × candidates) grid with absent candidates
+    scored 0 — required for eps-DP: a candidate present only in D but not
+    in neighbor D' would otherwise have positive-vs-zero probability,
+    i.e. unbounded privacy loss (a group with a unique modal value reveals
+    it with certainty). The group keys themselves are assumed public
+    (per-tenant / per-partition releases); candidate payloads are what the
+    mechanism protects.
+
+    With ``candidates=None`` the observed support is used — a DOCUMENTED
+    RELAXATION that does NOT satisfy eps-DP; acceptable only when the
+    candidate domain is itself public knowledge and dense in the data.
+    """
+    observed = df.groupBy(*by, candidate_col).agg(F.count(F.lit(1)).alias("score_exact"))
+    if candidates is None:
+        return observed
+    spark = df.sparkSession
+    cand_df = spark.createDataFrame(
+        [(c,) for c in candidates], df.select(candidate_col).schema
+    )
+    grid = df.select(*by).distinct().crossJoin(F.broadcast(cand_df))
+    return grid.join(observed, [*by, candidate_col], "left").select(
+        *by,
+        candidate_col,
+        F.coalesce(F.col("score_exact"), F.lit(0)).alias("score_exact"),
+    )
 
 
 def dp_mode(
@@ -364,10 +512,16 @@ def dp_mode(
     epsilon: float,
     seed: int = 42,
     budget: "PrivacyBudget | None" = None,
+    release: str | None = None,
+    candidates: "Sequence | None" = None,
 ) -> DataFrame:
     """X1 — exponential mechanism: per group, select the modal value of
     ``candidate_col`` with probability ``∝ exp(eps * count / 2)`` (count
     scores have sensitivity 1).
+
+    Pass ``candidates`` — the PUBLIC candidate domain — for a true eps-DP
+    release; see :func:`_candidate_count_scores` for why observed-support
+    selection (``candidates=None``) is only a documented relaxation.
 
     Implemented as the Gumbel-max trick — per (group, candidate) add
     Gumbel(2/eps) noise to the count and take the per-group argmax — which
@@ -380,13 +534,16 @@ def dp_mode(
     and its true count (the count itself is NOT part of the DP release;
     drop it in production).
     """
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    scale = 2.0 / epsilon
+    salt = _release_salt("mode", release, budget)
     if budget is not None:
         budget.spend(epsilon, f"dp_mode:{candidate_col}")
-    scale = 2.0 / epsilon
     key = [*by, candidate_col]
-    scores = df.groupBy(*key).agg(F.count(F.lit(1)).alias("score_exact"))
+    scores = _candidate_count_scores(df, by, candidate_col, candidates)
     noisy = scores.withColumn(
-        "__noisy", F.col("score_exact").cast("double") + gumbel_noise(key, scale, seed, "mode")
+        "__noisy", F.col("score_exact").cast("double") + gumbel_noise(key, scale, seed, salt)
     )
     # argmax via max-of-struct: deterministic given the deterministic noise
     # (hash collisions in __noisy broken by the candidate value itself).
@@ -408,8 +565,14 @@ def dp_topk(
     epsilon: float,
     seed: int = 42,
     budget: "PrivacyBudget | None" = None,
+    release: str | None = None,
+    candidates: "Sequence | None" = None,
 ) -> DataFrame:
     """X1 — DP top-k most frequent values of ``candidate_col`` per group.
+
+    Pass ``candidates`` — the PUBLIC candidate domain — for a true eps-DP
+    release; see :func:`_candidate_count_scores` for why observed-support
+    selection (``candidates=None``) is only a documented relaxation.
 
     One-shot Gumbel top-k: adding independent Gumbel(2k/eps) noise to every
     candidate's count and taking the k highest is equivalent to k rounds of
@@ -430,13 +593,16 @@ def dp_topk(
 
     if k < 1:
         raise ValueError("k must be >= 1")
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    scale = 2.0 * k / epsilon
+    salt = _release_salt("topk", release, budget)
     if budget is not None:
         budget.spend(epsilon, f"dp_topk:{candidate_col}@{k}")
-    scale = 2.0 * k / epsilon
     key = [*by, candidate_col]
-    scores = df.groupBy(*key).agg(F.count(F.lit(1)).alias("score_exact"))
+    scores = _candidate_count_scores(df, by, candidate_col, candidates)
     noisy = scores.withColumn(
-        "__noisy", F.col("score_exact").cast("double") + gumbel_noise(key, scale, seed, "topk")
+        "__noisy", F.col("score_exact").cast("double") + gumbel_noise(key, scale, seed, salt)
     )
     w = Window.partitionBy(*[F.col(c) for c in by]).orderBy(
         F.desc("__noisy"), F.desc(candidate_col)
@@ -479,31 +645,87 @@ def dp_quantile(
     value_col: str,
     q: float,
     epsilon: float,
+    lower: float,
+    upper: float,
     seed: int = 42,
     budget: "PrivacyBudget | None" = None,
+    release: str | None = None,
 ) -> DataFrame:
-    """X1 — (epsilon, 0)-DP quantile per group via the exponential mechanism
-    over observed order statistics: select value v with probability
-    ``∝ exp(eps * score(v) / 2)`` where ``score(v) = -|rank(v) - q*n|``
-    (rank utility has sensitivity 1 under swap adjacency; scale = 2/eps).
+    """X1 — (epsilon, 0)-DP quantile per group via Smith's interval-based
+    exponential mechanism over PUBLIC bounds (Smith, STOC 2011).
 
-    Gumbel-max sampling as in :func:`dp_mode`. Output:
-    ``(*by, <value_col>, score_exact)``.
+    The output space is the continuous interval [lower, upper] — a
+    data-independent domain, unlike the naive observed-support exponential
+    mechanism where a candidate absent in a neighbor has positive-vs-zero
+    probability (unbounded privacy loss). The utility
+    ``u(x) = -|#{records < x} - q*n|`` is a step function, constant on each
+    interval between adjacent observed order statistics, so sampling
+    ``p(x) ∝ exp(eps*u(x)/2)`` factorizes exactly into (a) select interval
+    j with probability ``∝ len_j * exp(eps*u_j/2)`` — Gumbel-max over
+    ``u_j + (2/eps)*ln(len_j)`` — then (b) a hash-uniform point within the
+    selected interval. Rank utility has sensitivity 1 under swap adjacency.
+
+    Values are clipped into the public bounds first. Physical shape mirrors
+    the EMD chain: ONE aggregation of the fact table to (group, value,
+    count), window cumsum over the small per-group support, one max-struct
+    argmax — no per-group loop, no UDF, all deterministic per
+    (seed, release).
+
+    Output: ``(*by, <value_col>, score_exact)`` — the sampled point (as
+    double) and its interval's true utility (NOT part of the DP release;
+    drop in production).
     """
+    from pyspark.sql import Window
+
     if not 0.0 <= q <= 1.0:
         raise ValueError("q must be in [0, 1]")
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    if lower >= upper:
+        raise ValueError("need public bounds lower < upper")
+    salt_sel = _release_salt("quantile.sel", release, budget)
+    salt_pt = _release_salt("quantile.pt", release, budget)
     if budget is not None:
         budget.spend(epsilon, f"dp_quantile:{value_col}@{q}")
-    scores = quantile_scores(df, by, value_col, q)
-    key = [*by, value_col]
-    noisy = scores.withColumn(
-        "__noisy", F.col("score") + gumbel_noise(key, 2.0 / epsilon, seed, "quantile")
+
+    clipped = F.least(F.greatest(F.col(value_col).cast("double"), F.lit(float(lower))), F.lit(float(upper)))
+    counts = df.select(*by, clipped.alias("__v")).groupBy(*by, "__v").agg(
+        F.count(F.lit(1)).alias("__c")
     )
-    winner = noisy.groupBy(*by).agg(
-        F.max(F.struct("__noisy", value_col, "score")).alias("__w")
+    w_ord = Window.partitionBy(*[F.col(c) for c in by]).orderBy("__v")
+    w_all = Window.partitionBy(*[F.col(c) for c in by])
+    # Interval starting at observed value v_j: [v_j, next value) with
+    # #{records < x} = cumulative count through v_j for x in the interior.
+    base = (
+        counts.withColumn("__below", F.sum("__c").over(w_ord))
+        .withColumn("__n", F.sum("__c").over(w_all))
+        .select(
+            *by,
+            F.col("__v").alias("lo"),
+            F.lead("__v", 1, float(upper)).over(w_ord).alias("hi"),
+            "__below",
+            "__n",
+        )
     )
+    # Leading interval [lower, min value): zero records below.
+    lead_iv = counts.groupBy(*by).agg(
+        F.min("__v").alias("hi"), F.sum("__c").alias("__n")
+    ).select(*by, F.lit(float(lower)).alias("lo"), "hi", F.lit(0).cast("long").alias("__below"), "__n")
+    intervals = base.unionByName(lead_iv).filter(F.col("hi") > F.col("lo"))
+    scored = intervals.withColumn(
+        "score", F.round(-F.abs(F.col("__below") - F.lit(q) * F.col("__n")), ROUND_DP)
+    ).withColumn(
+        "__noisy",
+        F.col("score")
+        + F.lit(2.0 / epsilon) * F.log(F.col("hi") - F.col("lo"))
+        + gumbel_noise([*by, "lo"], 2.0 / epsilon, seed, salt_sel),
+    )
+    winner = scored.groupBy(*by).agg(
+        F.max(F.struct("__noisy", "lo", "hi", "score")).alias("__w")
+    )
+    u_pt = _uniform_from_key(list(by), seed, salt_pt)
     return winner.select(
         *by,
-        F.col(f"__w.{value_col}").alias(value_col),
+        (F.col("__w.lo") + u_pt * (F.col("__w.hi") - F.col("__w.lo"))).alias(value_col),
         F.col("__w.score").alias("score_exact"),
     )

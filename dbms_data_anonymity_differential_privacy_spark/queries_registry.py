@@ -26,6 +26,11 @@ ORACLE_SQL: dict[str, str] = {}
 # 5-bin equal-width acctbal.
 CUST_QI = ["c_nationkey", "c_mktsegment", "acctbal_bin"]
 
+# Public candidate domain for the exponential-mechanism releases: the
+# engine's supported language codes (data-independent — required for eps-DP
+# selection; operators/dp.py _candidate_count_scores).
+PUBLIC_LANGS = ["de", "en", "es", "fr", "zh"]
+
 # DuckDB CTE for the binned customer relation — the SQL twin of
 # bin_equal_width(customer, 'c_acctbal', 5) with identical arithmetic.
 BINNED_CUSTOMER_CTE = (
@@ -675,7 +680,9 @@ def x01_dp_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_count
 
     li = load_table(spark, sf_dir, "lineitem")
-    return dp_count(li, ["l_returnflag", "l_linestatus"], epsilon=1.0, seed=42)
+    return dp_count(
+        li, ["l_returnflag", "l_linestatus"], epsilon=1.0, seed=42, release="x01_dp_count"
+    )
 
 
 @query(
@@ -687,7 +694,9 @@ def x01_dp_count_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_count
 
     li = load_table(spark, sf_dir, "lineitem")
-    return dp_count(li, ["l_returnflag", "l_linestatus"], epsilon=1.0, seed=42).drop(
+    return dp_count(
+        li, ["l_returnflag", "l_linestatus"], epsilon=1.0, seed=42, release="x01_dp_count"
+    ).drop(
         "count_dp"
     )
 
@@ -695,18 +704,22 @@ def x01_dp_count_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x01_dp_histogram_exact",
     """
-    WITH mm AS (SELECT MIN(l_quantity) AS mn, MAX(l_quantity) AS mx FROM lineitem)
-    SELECT CAST(CASE WHEN mm.mn = mm.mx THEN 0 ELSE
-             LEAST(FLOOR((l_quantity - mm.mn) * 20 / (mm.mx - mm.mn)), 19) END AS INT) AS bin,
-           COUNT(*) AS count_exact
-    FROM lineitem CROSS JOIN mm GROUP BY 1
+    WITH b AS (SELECT CAST(LEAST(FLOOR(
+                 (LEAST(GREATEST(l_quantity, 0.0), 50.0) - 0.0) * 20 / 50.0), 19) AS INT) AS bin,
+               COUNT(*) AS c
+          FROM lineitem GROUP BY 1)
+    SELECT s.bin, COALESCE(b.c, 0) AS count_exact
+    FROM (SELECT CAST(range AS INT) AS bin FROM range(0, 20)) s LEFT JOIN b USING (bin)
     """,
 )
 def x01_dp_histogram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_histogram
 
     li = load_table(spark, sf_dir, "lineitem")
-    return dp_histogram(li, "l_quantity", 20, epsilon=1.0, seed=42).drop("count_dp")
+    return dp_histogram(
+        li, "l_quantity", 20, epsilon=1.0, lower=0.0, upper=50.0, seed=42,
+        release="x01_dp_histogram_exact",
+    ).drop("count_dp")
 
 
 @query("x01_dp_histogram")
@@ -714,7 +727,10 @@ def x01_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_histogram
 
     li = load_table(spark, sf_dir, "lineitem")
-    return dp_histogram(li, "l_quantity", 20, epsilon=1.0, seed=42)
+    return dp_histogram(
+        li, "l_quantity", 20, epsilon=1.0, lower=0.0, upper=50.0, seed=42,
+        release="x01_dp_histogram",
+    )
 
 
 @query("x01_dp_sum")
@@ -723,7 +739,8 @@ def x01_dp_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return dp_sum(
-        li, ["l_returnflag"], "l_extendedprice", epsilon=1.0, lower=0.0, upper=100000.0
+        li, ["l_returnflag"], "l_extendedprice", epsilon=1.0, lower=0.0,
+        upper=100000.0, release="x01_dp_sum",
     )
 
 
@@ -741,7 +758,8 @@ def x01_dp_sum_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     out = dp_sum(
-        li, ["l_returnflag"], "l_extendedprice", epsilon=1.0, lower=0.0, upper=100000.0
+        li, ["l_returnflag"], "l_extendedprice", epsilon=1.0, lower=0.0,
+        upper=100000.0, release="x01_dp_sum_exact",
     )
     return out.select("l_returnflag", F.round("sum_exact", 6).alias("sum_exact_r"))
 
@@ -759,7 +777,10 @@ def x01_dp_avg_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_avg
 
     ev = load_table(spark, sf_dir, "events")
-    out = dp_avg(ev, ["event_type"], "value", epsilon=1.0, lower=0.0, upper=1000.0)
+    out = dp_avg(
+        ev, ["event_type"], "value", epsilon=1.0, lower=0.0, upper=1000.0,
+        release="x01_dp_avg_exact",
+    )
     return out.select("event_type", F.round("avg_exact", 6).alias("avg_exact_r"))
 
 
@@ -768,7 +789,10 @@ def x01_dp_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_avg
 
     ev = load_table(spark, sf_dir, "events")
-    return dp_avg(ev, ["event_type"], "value", epsilon=1.0, lower=0.0, upper=1000.0)
+    return dp_avg(
+        ev, ["event_type"], "value", epsilon=1.0, lower=0.0, upper=1000.0,
+        release="x01_dp_avg",
+    )
 
 
 @query("x01_dp_count_gaussian")
@@ -780,7 +804,8 @@ def x01_dp_count_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return dp_count_gaussian(
-        li, ["l_returnflag", "l_linestatus"], epsilon=0.5, delta=1e-6, seed=42
+        li, ["l_returnflag", "l_linestatus"], epsilon=0.5, delta=1e-6, seed=42,
+        release="x01_dp_count_gaussian",
     )
 
 
@@ -791,7 +816,10 @@ def x01_dp_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_mode
 
     docs = load_table(spark, sf_dir, "documents")
-    return dp_mode(docs, ["source"], "lang", epsilon=1.0, seed=42)
+    return dp_mode(
+        docs, ["source"], "lang", epsilon=1.0, seed=42, release="x01_dp_mode",
+        candidates=PUBLIC_LANGS,
+    )
 
 
 @query("x01_dp_quantile")
@@ -802,7 +830,10 @@ def x01_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_quantile
 
     li = load_table(spark, sf_dir, "lineitem")
-    return dp_quantile(li, ["l_returnflag"], "l_quantity", q=0.5, epsilon=1.0, seed=42)
+    return dp_quantile(
+        li, ["l_returnflag"], "l_quantity", q=0.5, epsilon=1.0, lower=0.0,
+        upper=60.0, seed=42, release="x01_dp_quantile",
+    )
 
 
 @query(
@@ -844,7 +875,10 @@ def x01_dp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_topk
 
     docs = load_table(spark, sf_dir, "documents")
-    return dp_topk(docs, ["source"], "lang", k=3, epsilon=1.0, seed=42)
+    return dp_topk(
+        docs, ["source"], "lang", k=3, epsilon=1.0, seed=42, release="x01_dp_topk",
+        candidates=PUBLIC_LANGS,
+    )
 
 
 @query(

@@ -76,23 +76,39 @@ def windowed_kanon_stream(
     )
 
 
-def _dp_windowed_counts(grouped: DataFrame, epsilon: float, seed: int) -> DataFrame:
-    """Shared projection: Laplace noise keyed on (window_start, event_type)."""
+def _dp_windowed_counts(
+    grouped: DataFrame, epsilon: float, seed: int, release: str
+) -> DataFrame:
+    """Shared projection: Laplace noise keyed on (window_start, event_type).
+
+    ``release`` is mandatory (operators/dp.py threat model): each logical
+    release — one streaming query lifetime, or one batch publication — must
+    carry a unique (seed, release) pair, or two releases share their
+    uniform draws and differencing cancels the noise.
+    """
     from dbms_data_anonymity_differential_privacy_spark.operators.dp import laplace_noise
 
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
     return grouped.select(
         "window_start",
         "event_type",
         "count_exact",
         (
             F.col("count_exact")
-            + laplace_noise(["window_start", "event_type"], 1.0 / epsilon, seed, "stream")
+            + laplace_noise(
+                ["window_start", "event_type"], 1.0 / epsilon, seed, f"stream:{release}"
+            )
         ).alias("count_dp"),
     )
 
 
 def dp_windowed_count_batch(
-    events: DataFrame, epsilon: float = 1.0, window: str = "1 hour", seed: int = 42
+    events: DataFrame,
+    epsilon: float = 1.0,
+    window: str = "1 hour",
+    seed: int = 42,
+    release: str = "r0",
 ) -> DataFrame:
     """Batch twin of :func:`dp_windowed_count_stream` — identical
     expressions on a static DataFrame. Because the noise is a deterministic
@@ -105,7 +121,7 @@ def dp_windowed_count_batch(
         .agg(F.count(F.lit(1)).alias("count_exact"))
         .select(F.col("w.start").alias("window_start"), "event_type", "count_exact")
     )
-    return _dp_windowed_counts(grouped, epsilon, seed)
+    return _dp_windowed_counts(grouped, epsilon, seed, release)
 
 
 def dp_windowed_count_stream(
@@ -115,15 +131,24 @@ def dp_windowed_count_stream(
     window: str = "1 hour",
     watermark: str = "2 hours",
     seed: int = 42,
+    release: str = "r0",
 ) -> DataFrame:
     """X1 x X6 — differentially private per-window counts over a stream.
 
     The hash-derived noise (operators/dp.py) is what makes this correct in
     streaming: noise is a pure function of the (window, key) tuple, so a
-    window re-emitted after a task retry, micro-batch replay, or update-mode
-    revision carries the SAME noise — ``rand()``-based noise would draw
-    fresh randomness on every replay, and averaging the replays would wash
-    the noise out (a privacy failure). Watermark bounds the agg state.
+    window re-emitted after a task retry or micro-batch replay carries the
+    SAME noise — ``rand()``-based noise would draw fresh randomness on
+    every replay, and averaging the replays would wash the noise out (a
+    privacy failure). Watermark bounds the agg state.
+
+    Emission semantics matter for the DP guarantee: publish each window
+    ONCE, after its watermark closes (append-style). Update-mode revisions
+    of a still-open window would publish several counts under the same
+    noise draw, and their differences are exact — the deterministic noise
+    protects against *replays of the same value*, not against publishing a
+    *sequence of evolving values* per key. One streaming query lifetime =
+    one release label.
     """
     raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_path)
     events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -133,4 +158,4 @@ def dp_windowed_count_stream(
         .agg(F.count(F.lit(1)).alias("count_exact"))
         .select(F.col("w.start").alias("window_start"), "event_type", "count_exact")
     )
-    return _dp_windowed_counts(grouped, epsilon, seed)
+    return _dp_windowed_counts(grouped, epsilon, seed, release)

@@ -19,14 +19,16 @@ from dbms_data_anonymity_differential_privacy_spark.operators.text import text_s
 
 def test_dp_count_noise_properties(spark, sf0001):
     li = load_table(spark, sf0001, "lineitem")
-    out = dp_count(li, ["l_returnflag"], epsilon=1.0, seed=42).collect()
+    out = dp_count(li, ["l_returnflag"], epsilon=1.0, seed=42, release="t").collect()
     exact = {r.l_returnflag: r.count_exact for r in out}
     noisy = {r.l_returnflag: r.count_dp for r in out}
     # deterministic under re-execution (partitioning-independent noise)
-    out2 = dp_count(li.repartition(7), ["l_returnflag"], epsilon=1.0, seed=42).collect()
+    out2 = dp_count(
+        li.repartition(7), ["l_returnflag"], epsilon=1.0, seed=42, release="t"
+    ).collect()
     assert {r.l_returnflag: r.count_dp for r in out2} == noisy
     # different seed → different noise
-    out3 = dp_count(li, ["l_returnflag"], epsilon=1.0, seed=7).collect()
+    out3 = dp_count(li, ["l_returnflag"], epsilon=1.0, seed=7, release="t").collect()
     assert {r.l_returnflag: r.count_dp for r in out3} != noisy
     # noise is Laplace(1/eps)-scaled: |noise| < 20/eps w.p. ~1-2e-9
     for k, v in noisy.items():
@@ -35,7 +37,9 @@ def test_dp_count_noise_properties(spark, sf0001):
 
 def test_dp_sum_clipping(spark, sf0001):
     li = load_table(spark, sf0001, "lineitem")
-    out = dp_sum(li, ["l_returnflag"], "l_quantity", epsilon=1.0, lower=0.0, upper=10.0)
+    out = dp_sum(
+        li, ["l_returnflag"], "l_quantity", epsilon=1.0, lower=0.0, upper=10.0, release="t"
+    )
     rows = out.collect()
     # clipped exact sum <= 10 * count
     counts = {r.l_returnflag: r["cnt"] for r in
@@ -51,7 +55,9 @@ def test_dp_gaussian_noise_properties(spark, sf0001):
 
     li = load_table(spark, sf0001, "lineitem")
     # high-cardinality grouping -> enough noise draws for moment checks
-    out = dp_count_gaussian(li, ["l_partkey"], epsilon=0.5, delta=1e-6, seed=42)
+    out = dp_count_gaussian(
+        li, ["l_partkey"], epsilon=0.5, delta=1e-6, seed=42, release="t"
+    )
     rows = out.collect()
     noise = [r.count_dp - r.count_exact for r in rows]
     assert len(noise) > 100
@@ -62,7 +68,7 @@ def test_dp_gaussian_noise_properties(spark, sf0001):
     assert 0.6 * sigma < statistics.stdev(noise) < 1.4 * sigma
     # partition-layout independence
     out2 = dp_count_gaussian(
-        li.repartition(7), ["l_partkey"], epsilon=0.5, delta=1e-6, seed=42
+        li.repartition(7), ["l_partkey"], epsilon=0.5, delta=1e-6, seed=42, release="t"
     )
     assert {(r.l_partkey, r.count_dp) for r in out2.collect()} == {
         (r.l_partkey, r.count_dp) for r in rows
@@ -77,7 +83,7 @@ def test_dp_mode_exponential_mechanism(spark, sf0001):
     from dbms_data_anonymity_differential_privacy_spark import dp_mode
 
     docs = load_table(spark, sf0001, "documents")
-    out = dp_mode(docs, ["source"], "lang", epsilon=1e6, seed=42)
+    out = dp_mode(docs, ["source"], "lang", epsilon=1e6, seed=42, release="t")
     rows = out.collect()
     n_groups = docs.select("source").distinct().count()
     assert len(rows) == n_groups
@@ -92,8 +98,10 @@ def test_dp_mode_exponential_mechanism(spark, sf0001):
     }
     for r in rows:
         assert r.score_exact == true_max[r.source]
-    out2 = dp_mode(docs.repartition(5), ["source"], "lang", epsilon=1.0, seed=42)
-    out1 = dp_mode(docs, ["source"], "lang", epsilon=1.0, seed=42)
+    out2 = dp_mode(
+        docs.repartition(5), ["source"], "lang", epsilon=1.0, seed=42, release="t"
+    )
+    out1 = dp_mode(docs, ["source"], "lang", epsilon=1.0, seed=42, release="t")
     assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, out2.collect()))
 
 
@@ -212,7 +220,7 @@ def test_dp_topk_gumbel(spark, sf0001):
     from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_topk
 
     docs = load_table(spark, sf0001, "documents")
-    out = dp_topk(docs, ["source"], "lang", k=3, epsilon=1e6, seed=42).collect()
+    out = dp_topk(docs, ["source"], "lang", k=3, epsilon=1e6, seed=42, release="t").collect()
     per_group: dict[str, list] = {}
     for r in out:
         per_group.setdefault(r.source, []).append(r)
@@ -227,21 +235,30 @@ def test_dp_topk_gumbel(spark, sf0001):
             (c for (s, _), c in true_counts.items() if s == src), reverse=True
         )[: len(rows)]
         assert got == best  # eps->inf: selected counts = the true top counts
-    out1 = dp_topk(docs, ["source"], "lang", k=2, epsilon=1.0, seed=42).collect()
-    out2 = dp_topk(docs.repartition(5), ["source"], "lang", k=2, epsilon=1.0, seed=42).collect()
+    out1 = dp_topk(docs, ["source"], "lang", k=2, epsilon=1.0, seed=42, release="t").collect()
+    out2 = dp_topk(
+        docs.repartition(5), ["source"], "lang", k=2, epsilon=1.0, seed=42, release="t"
+    ).collect()
     assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
     with pytest.raises(ValueError):
-        dp_topk(docs, ["source"], "lang", k=0, epsilon=1.0)
+        dp_topk(docs, ["source"], "lang", k=0, epsilon=1.0, release="t")
 
 
-def test_dp_quantile_exponential_mechanism(spark, sf0001):
-    """dp_quantile: huge epsilon recovers the true rank-utility argmax;
-    result is an observed value; deterministic under repartitioning."""
+def test_dp_quantile_interval_mechanism(spark, sf0001):
+    """dp_quantile (Smith interval mechanism): huge epsilon selects a
+    max-utility interval; output lies inside the public bounds;
+    deterministic under repartitioning; invalid params refuse."""
     from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_quantile, quantile_scores
 
     li = load_table(spark, sf0001, "lineitem")
-    out = dp_quantile(li, ["l_returnflag"], "l_quantity", q=0.5, epsilon=1e6, seed=42)
+    out = dp_quantile(
+        li, ["l_returnflag"], "l_quantity", q=0.5, epsilon=1e6, lower=0.0,
+        upper=60.0, seed=42, release="t",
+    )
     rows = {r.l_returnflag: (r.l_quantity, r.score_exact) for r in out.collect()}
+    # the interval utilities {-|C_j - qn|} (inclusive cumsums + the leading
+    # zero) contain every exclusive-cumsum utility of quantile_scores, and
+    # at q=0.5 the extras (C_m = n) never beat them -> same max utility
     best = {
         r.l_returnflag: r.m
         for r in quantile_scores(li, ["l_returnflag"], "l_quantity", 0.5)
@@ -249,31 +266,28 @@ def test_dp_quantile_exponential_mechanism(spark, sf0001):
         .agg(F.max("score").alias("m"))
         .collect()
     }
-    observed = {
-        (r.l_returnflag, r.l_quantity)
-        for r in li.select("l_returnflag", "l_quantity").distinct().collect()
-    }
-    # the best candidate straddles the target rank: its score is bounded by
-    # the largest per-value count in the group (rank granularity), not by 1
-    max_cnt = {
-        r.l_returnflag: r.m
-        for r in li.groupBy("l_returnflag", "l_quantity")
-        .count()
-        .groupBy("l_returnflag")
-        .agg(F.max("count").alias("m"))
-        .collect()
-    }
     for rf, (v, s) in rows.items():
-        assert s == best[rf]  # eps->inf: noise vanishes, true argmax wins
-        assert (rf, v) in observed
-        assert s >= -float(max_cnt[rf])
+        assert s == best[rf]  # eps->inf: noise vanishes, a max-utility interval wins
+        assert 0.0 <= v <= 60.0  # sampled point inside the public bounds
     out2 = dp_quantile(
-        li.repartition(9), ["l_returnflag"], "l_quantity", q=0.5, epsilon=1.0, seed=42
+        li.repartition(9), ["l_returnflag"], "l_quantity", q=0.5, epsilon=1.0,
+        lower=0.0, upper=60.0, seed=42, release="t",
     )
-    out1 = dp_quantile(li, ["l_returnflag"], "l_quantity", q=0.5, epsilon=1.0, seed=42)
+    out1 = dp_quantile(
+        li, ["l_returnflag"], "l_quantity", q=0.5, epsilon=1.0, lower=0.0,
+        upper=60.0, seed=42, release="t",
+    )
     assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, out2.collect()))
     with pytest.raises(ValueError):
-        dp_quantile(li, ["l_returnflag"], "l_quantity", q=1.5, epsilon=1.0)
+        dp_quantile(
+            li, ["l_returnflag"], "l_quantity", q=1.5, epsilon=1.0, lower=0.0,
+            upper=60.0, release="t",
+        )
+    with pytest.raises(ValueError):
+        dp_quantile(
+            li, ["l_returnflag"], "l_quantity", q=0.5, epsilon=1.0, lower=60.0,
+            upper=0.0, release="t",
+        )
 
 
 def test_ncp_approx_close_to_exact(spark, sf001):
@@ -674,3 +688,127 @@ def test_multimodal_resize_and_frames(spark, sf0001):
     per = fr.groupBy("media_id").count().collect()
     assert len(per) == n
     assert all(1 <= r["count"] <= 4 for r in per)
+
+
+def test_dp_release_uniqueness_enforced(spark, sf0001):
+    """ADVICE r1 (high): a release without budget OR release label refuses;
+    distinct releases and distinct mechanisms never share noise draws, so
+    linear combinations cannot cancel the noise."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import PrivacyBudget, dp_count, dp_sum
+
+    li = load_table(spark, sf0001, "lineitem")
+    with pytest.raises(ValueError, match="per-release"):
+        dp_count(li, ["l_returnflag"], epsilon=1.0)
+    # same mechanism, different release labels -> different noise
+    a = {r.l_returnflag: r.count_dp
+         for r in dp_count(li, ["l_returnflag"], epsilon=1.0, seed=42, release="r1").collect()}
+    b = {r.l_returnflag: r.count_dp
+         for r in dp_count(li, ["l_returnflag"], epsilon=1.0, seed=42, release="r2").collect()}
+    assert a != b
+    # accountant-issued nonces: two budget releases differ too
+    budget = PrivacyBudget(10.0)
+    c = {r.l_returnflag: r.count_dp
+         for r in dp_count(li, ["l_returnflag"], epsilon=1.0, seed=42, budget=budget).collect()}
+    d = {r.l_returnflag: r.count_dp
+         for r in dp_count(li, ["l_returnflag"], epsilon=1.0, seed=42, budget=budget).collect()}
+    assert c != d
+    # different mechanisms under the SAME release label: noise still differs
+    # (mechanism name baked into the salt), so sum/count draws are unshared
+    sum_noise = {
+        r.l_returnflag: r.sum_dp - r.sum_exact
+        for r in dp_sum(li, ["l_returnflag"], "l_quantity", epsilon=1.0,
+                        lower=0.0, upper=1.0, seed=42, release="shared").collect()
+    }
+    cnt_noise = {
+        r.l_returnflag: r.count_dp - r.count_exact
+        for r in dp_count(li, ["l_returnflag"], epsilon=1.0, seed=42, release="shared").collect()
+    }
+    # identical scale (sens=1, eps=1): equal values would mean a shared draw
+    for k in sum_noise:
+        assert abs(sum_noise[k] - cnt_noise[k]) > 1e-12
+
+
+def test_dp_avg_noise_not_cancellable_with_dp_sum(spark, sf0001):
+    """ADVICE r1 (high), the concrete attack: 2*avg_sum_release - sum_release
+    must NOT recover the exact clipped sum (dp_avg's internal draws use
+    mechanism salts distinct from dp_sum's)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_avg, dp_sum
+
+    li = load_table(spark, sf0001, "lineitem")
+    kw = dict(epsilon=1.0, lower=0.0, upper=10.0, seed=42)
+    s1 = {r.l_returnflag: (r.sum_exact, r.sum_dp)
+          for r in dp_sum(li, ["l_returnflag"], "l_quantity", release="rel-a", **kw).collect()}
+    # attacker uses the same release label hoping to align the draws
+    a1 = {r.l_returnflag: r.avg_dp
+          for r in dp_avg(li, ["l_returnflag"], "l_quantity", release="rel-a", **kw).collect()}
+    cnt = {r.l_returnflag: r["cnt"] for r in
+           li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    for k, (exact, noisy) in s1.items():
+        recovered = 2.0 * s1[k][1] - a1[k] * cnt[k]  # any linear combo attempt
+        assert abs(recovered - exact) > 1e-6
+
+
+def test_dp_histogram_public_bounds(spark, sf0001):
+    """ADVICE r1 (medium): bin structure is data-independent — all bins
+    released (zeros included), edges from the caller's public bounds, and
+    out-of-range values clipped into the boundary bins."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_histogram
+
+    li = load_table(spark, sf0001, "lineitem")
+    out = dp_histogram(li, "l_quantity", 10, epsilon=1.0, lower=0.0, upper=100.0,
+                       seed=42, release="t").collect()
+    # ALL 10 bins appear even though l_quantity only spans [1, 50]
+    assert sorted(r.bin for r in out) == list(range(10))
+    empty_bins = {r.bin: r.count_exact for r in out if r.bin >= 6}  # (60, 100] unused
+    assert all(c == 0 for c in empty_bins.values())  # empty bins released as 0
+    total = sum(r.count_exact for r in out)
+    assert total == li.count()  # clipping keeps every record in-range
+    with pytest.raises(ValueError):
+        dp_histogram(li, "l_quantity", 10, epsilon=1.0, lower=5.0, upper=5.0, release="t")
+
+
+def test_dp_mode_public_candidate_domain(spark, sf0001):
+    """ADVICE r1 (medium): with a public candidate domain, absent candidates
+    enter the race scored 0 instead of being impossible."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
+        _candidate_count_scores,
+        dp_mode,
+    )
+
+    docs = load_table(spark, sf0001, "documents")
+    domain = ["de", "en", "es", "fr", "zh", "xx"]  # 'xx' never occurs
+    scores = _candidate_count_scores(docs, ["source"], "lang", domain)
+    n_groups = docs.select("source").distinct().count()
+    assert scores.count() == n_groups * len(domain)  # full public grid
+    absent = scores.filter(F.col("lang") == "xx").collect()
+    assert len(absent) == n_groups and all(r.score_exact == 0 for r in absent)
+    # the mechanism still runs on the grid and returns one row per group
+    out = dp_mode(docs, ["source"], "lang", epsilon=1e6, seed=42, release="t",
+                  candidates=domain)
+    assert out.count() == n_groups
+
+
+def test_zcdp_invalid_delta_refused_before_charging():
+    """ADVICE r1 (low): delta >= 1 raises instead of ZeroDivisionError /
+    negative-rho budget credit, and an invalid Gaussian release leaves the
+    accountant ledger untouched."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import PrivacyBudget, ZCDPBudget
+
+    with pytest.raises(ValueError):
+        ZCDPBudget.rho_of(1.0, delta=1.25)
+    with pytest.raises(ValueError):
+        ZCDPBudget.rho_of(1.0, delta=2.0)  # would be a negative-rho credit
+    b = ZCDPBudget(total_rho=1.0)
+    with pytest.raises(ValueError):
+        b.spend(1.0, "bad", delta=1.5)
+    assert b.ledger == []
+
+
+def test_gaussian_invalid_params_do_not_charge_budget(spark, sf0001):
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import PrivacyBudget, dp_count_gaussian
+
+    li = load_table(spark, sf0001, "lineitem")
+    budget = PrivacyBudget(10.0, total_delta=1.0)
+    with pytest.raises(ValueError):
+        dp_count_gaussian(li, ["l_returnflag"], epsilon=2.0, delta=1e-6, budget=budget)
+    assert budget.ledger == []  # calibration failed -> nothing charged

@@ -98,11 +98,11 @@ def test_dp_count_deterministic_per_seed(spark, seed, eps):
     from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_count
 
     df = spark.createDataFrame([(i % 3,) for i in range(30)], "g int")
-    a = {r["g"]: r["count_dp"] for r in dp_count(df, ["g"], eps, seed).collect()}
+    a = {r["g"]: r["count_dp"] for r in dp_count(df, ["g"], eps, seed, release="t").collect()}
     # repartitioning must not change the release (retry/AQE safety)
     b = {
         r["g"]: r["count_dp"]
-        for r in dp_count(df.repartition(7), ["g"], eps, seed).collect()
+        for r in dp_count(df.repartition(7), ["g"], eps, seed, release="t").collect()
     }
     assert a == b
     for g, v in a.items():
