@@ -1310,6 +1310,24 @@ def x07_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(documents_as_media(docs))
 
 
+@query("x07_multimodal_pixels")
+def x07_multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image path end-to-end: docs → 16x16 BMP blobs → nearest-neighbor
+    resize to 8x8 (decode + resample + re-encode) → pixel features from the
+    resized BMPs. Pure-Python codecs in Arrow-batched mapInPandas
+    (operators/multimodal.py); rows-only (binary pipeline, not
+    SQL-expressible)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import (
+        documents_as_bmp,
+        extract_features,
+        resize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = documents_as_bmp(docs, width=16, height=16)
+    return extract_features(resize_media(media, width=8, height=8))
+
+
 @query(
     "c02_k_anonymity_audit",
     f"""

@@ -1,0 +1,139 @@
+"""Pure-Python media codecs (BMP/PPM/WAV) and the real decode path through
+the Spark multimodal pipeline (VERDICT r1 item 4 — de-stub decode_media)."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import pytest
+
+from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_bmp,
+    decode_media,
+    decode_ppm,
+    decode_wav,
+    documents_as_bmp,
+    encode_bmp,
+    extract_features,
+    frame_sample,
+    resize_media,
+    resize_nearest,
+)
+
+# 3x2 RGB test image (odd width exercises the 4-byte row padding)
+W, H = 3, 2
+PIXELS = bytes(
+    [
+        255, 0, 0,    0, 255, 0,    0, 0, 255,   # row 0: R G B
+        10, 20, 30,   40, 50, 60,   70, 80, 90,  # row 1
+    ]
+)
+
+
+def test_bmp_round_trip_exact():
+    data = encode_bmp(W, H, PIXELS)
+    w, h, rgb = decode_bmp(data)
+    assert (w, h) == (W, H)
+    assert rgb == PIXELS
+    # on-disk: BM magic, 54-byte header, bottom-up padded rows
+    assert data[:2] == b"BM"
+    assert struct.unpack_from("<I", data, 10)[0] == 54
+    stride = (W * 3 + 3) & ~3
+    assert len(data) == 54 + stride * H
+
+
+def test_ppm_decode_with_comment():
+    header = b"P6\n# a comment\n3 2\n255\n"
+    w, h, rgb = decode_ppm(header + PIXELS)
+    assert (w, h, rgb) == (W, H, PIXELS)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\0")
+
+
+def make_wav(samples: list[int], rate: int = 8000, channels: int = 1) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(channels)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def test_wav_decode_mono_and_stereo():
+    rate, mono = decode_wav(make_wav([100, -200, 300, 0]))
+    assert rate == 8000 and mono == [100, -200, 300, 0]
+    # stereo interleaved L R L R -> averaged per frame
+    rate, avg = decode_wav(make_wav([100, 200, -100, -300], channels=2))
+    assert avg == [150, -200]
+
+
+def test_decode_media_feature_values():
+    feat = decode_media(encode_bmp(W, H, PIXELS), "image/bmp")
+    n_px = W * H
+    exp = [
+        float(W),
+        float(H),
+        sum(PIXELS[0::3]) / n_px,
+        sum(PIXELS[1::3]) / n_px,
+        sum(PIXELS[2::3]) / n_px,
+    ]
+    assert feat == exp
+    audio = decode_media(make_wav([3, -4]), "audio/wav")
+    assert audio[0] == 2.0 and audio[1] == 8000.0
+    assert audio[2] == pytest.approx(-0.5)
+    assert audio[3] == pytest.approx((12.5) ** 0.5)
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG", "image/png")
+
+
+def test_resize_nearest_exact():
+    # downsample 3x2 -> 1x1 picks the top-left source pixel (0,0)
+    assert resize_nearest(PIXELS, W, H, 1, 1) == bytes([255, 0, 0])
+    # upsample 1x1 -> 2x2 replicates
+    one = bytes([9, 8, 7])
+    assert resize_nearest(one, 1, 1, 2, 2) == one * 4
+
+
+def test_spark_pixel_pipeline_exact(spark):
+    """BMP blobs through mapInPandas: features exact, resize decodable."""
+    data = encode_bmp(W, H, PIXELS)
+    media = spark.createDataFrame(
+        [(1, data, "image/bmp", (len(data), "x"))], MEDIA_SCHEMA
+    )
+    feats = {r.media_id: r.feature for r in extract_features(media).collect()}
+    assert feats[1][:2] == [float(W), float(H)]
+    resized = resize_media(media, width=2, height=2).collect()
+    assert len(resized) == 1 and resized[0].width == 2
+    w, h, rgb = decode_bmp(bytes(resized[0].content))
+    assert (w, h) == (2, 2)
+    # nearest-neighbor: output pixel (0,0) is source (0,0), (1,0) is source (1,0)
+    assert rgb[0:3] == PIXELS[0:3]
+    assert rgb[3:6] == PIXELS[3:6]
+
+
+def test_spark_wav_frame_sample(spark):
+    samples = list(range(-50, 50))  # 100 samples
+    data = make_wav(samples)
+    media = spark.createDataFrame(
+        [(7, data, "audio/wav", (len(data), "x"))], MEDIA_SCHEMA
+    )
+    frames = frame_sample(media, every_n_bytes=40, max_frames=2).collect()
+    assert [r.frame_idx for r in frames] == [0, 1]
+    got = struct.unpack("<40h", bytes(frames[0].frame))
+    assert list(got) == samples[:40]  # REAL sample windows, not byte windows
+
+
+def test_documents_as_bmp_end_to_end(spark, sf0001):
+    from dbms_data_anonymity_differential_privacy_spark import load_table
+
+    docs = load_table(spark, sf0001, "documents").limit(20)
+    media = documents_as_bmp(docs, width=16, height=16)
+    out = extract_features(resize_media(media, width=8, height=8)).collect()
+    assert len(out) == 20
+    for r in out:
+        assert len(r.feature) == 5
+        assert r.feature[:2] == [8.0, 8.0]
