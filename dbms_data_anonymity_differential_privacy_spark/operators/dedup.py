@@ -323,21 +323,94 @@ def minhash_lsh_pairs(
     return jac.filter(F.col("jaccard") >= F.lit(threshold))
 
 
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of the undirected near-dup pair graph via
+    min-label propagation: every node starts labeled with its own id; each
+    round replaces a node's label with the minimum over itself and its
+    neighbors. Converges in O(graph diameter) rounds — duplicate clusters
+    are shallow (near-dup graphs are dense cliques-of-cliques), so the
+    bounded ``max_iter`` is a safety net, not a truncation in practice.
+
+    Scale shape: the iteration state is the (id, comp) relation — ids
+    only, never documents — and each round is one shuffle of the
+    symmetric edge list joined to the labels, both hash-partitioned on the
+    same key. The per-round convergence check is a metadata-sized count.
+    Labels are persisted per round and unpersisted after the next round is
+    materialized (bounded lineage, no re-execution cascade).
+
+    Returns ``(id, comp)`` for every id that appears in a pair; ``comp``
+    is the minimum id of the component.
+    """
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).persist()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["comp"], F.coalesce(F.col("nbr_comp"), labels["comp"])
+                ).alias("comp"),
+            )
+            .persist()
+        )
+        n_changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") < F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if n_changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
 def dedup_corpus(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    policy: str = "greedy",
 ) -> DataFrame:
-    """Turn a near-dup PAIR relation into a kept CORPUS: drop every doc
-    that appears as the larger id of a pair (greedy representative-keeping
-    — the standard corpus-dedup policy, e.g. Lee et al. 2022 §3.2).
+    """Turn a near-dup PAIR relation into a kept CORPUS.
 
-    Exact transitive closure (connected components) is iterative and
-    rarely worth it: greedy keeps at least one doc per duplicate cluster
-    (the min id survives every pair it belongs to) and is one anti-join.
+    ``policy='greedy'`` (default): drop every doc that appears as the
+    larger id of a pair — one anti-join, the standard corpus-dedup policy
+    (Lee et al. 2022 §3.2). The min id of each cluster always survives,
+    but a doc paired only with LARGER ids also survives even when a
+    smaller id is transitively reachable (A~C, B~C keeps both A and B).
+
+    ``policy='components'``: exact transitive closure — keep only the
+    minimum id of each connected component (:func:`connected_components`,
+    bounded-iteration label propagation). Strictly stronger dedup on
+    chained duplicates at the cost of an iterative job.
+
     Deterministic given deterministic pairs.
     """
-    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if policy == "greedy":
+        drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    elif policy == "components":
+        comp = connected_components(pairs)
+        drop = comp.filter(F.col("comp") != F.col("id")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        raise ValueError(f"unknown policy: {policy}")
     return df.join(drop, on=id_col, how="left_anti")
 
 
@@ -348,11 +421,12 @@ def near_dedup_corpus(
     method: str = "jaccard",
     text_col: str = "text",
     id_col: str = "doc_id",
+    policy: str = "greedy",
 ) -> DataFrame:
     """The full corpus-dedup composite: exact text dedup, then near-dup
     pair detection (``jaccard`` exact inverted index | ``minhash`` LSH),
-    then greedy representative keeping. Returns the kept corpus with the
-    input schema."""
+    then representative keeping (``greedy`` | ``components`` — see
+    :func:`dedup_corpus`). Returns the kept corpus with the input schema."""
     stage1 = dedup_exact(df, [text_col], id_col)
     if method == "jaccard":
         pairs = ngram_jaccard_pairs(stage1, threshold, n, text_col, id_col)
@@ -360,7 +434,7 @@ def near_dedup_corpus(
         pairs = minhash_lsh_pairs(stage1, threshold, n, text_col=text_col, id_col=id_col)
     else:
         raise ValueError(f"unknown method: {method}")
-    return dedup_corpus(stage1, pairs, id_col)
+    return dedup_corpus(stage1, pairs, id_col, policy=policy)
 
 
 def simhash(text: Column, bits: int = 32) -> Column:

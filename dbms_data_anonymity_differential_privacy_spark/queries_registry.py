@@ -1017,6 +1017,43 @@ def x03_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dedup_corpus(docs, threshold=0.2, n=3, method="jaccard")
 
 
+@query(
+    "x03_dedup_corpus_cc",
+    """
+    WITH RECURSIVE d1 AS (SELECT doc_id, text, lang, source, n_chars FROM documents
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+    t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM d1),
+    sh AS (SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(toks[i:i+2], ' '))) AS s FROM t),
+    e AS (SELECT doc_id, len(s) AS ns, unnest(s) AS shingle FROM sh),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ns AS na, b.ns AS nb,
+                 COUNT(*) AS inter
+          FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+    pe AS (SELECT id_a, id_b FROM p WHERE ROUND(inter / (na + nb - inter), 9) >= 0.2),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pe
+            UNION ALL SELECT id_b AS a, id_a AS b FROM pe),
+    reach(id, anc) AS (SELECT DISTINCT a AS id, a AS anc FROM sym
+                       UNION
+                       SELECT s.b AS id, r.anc FROM reach r JOIN sym s ON s.a = r.id),
+    comp AS (SELECT id, MIN(anc) AS comp FROM reach GROUP BY id)
+    SELECT d1.* FROM d1
+    WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp <> id)
+    """,
+)
+def x03_dedup_corpus_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup with exact transitive closure: connected components of
+    the near-dup pair graph via bounded-iteration min-label propagation
+    (dedup.py connected_components), oracle-checked against a DuckDB
+    WITH RECURSIVE reachability closure — a genuinely iterative operator
+    with a hash-checkable oracle."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import near_dedup_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return near_dedup_corpus(docs, threshold=0.2, n=3, method="jaccard", policy="components")
+
+
 @query("x03_minhash_lsh")
 def x03_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_data_anonymity_differential_privacy_spark.operators.dedup import minhash_lsh_pairs
@@ -1599,10 +1636,12 @@ def c08_ncp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 # Oracle-backed VARIANTS of components already represented earlier in the
-# window (C4 keeps `strict`; X1 keeps `count_exact` + `avg_exact`).
+# window (C4 keeps `strict`; X1 keeps `count_exact` + `avg_exact`; X3 keeps
+# `ngram_jaccard` + `dedup_corpus`).
 _WINDOW_DEMOTED = [
     "c04_class_emd",
     "c04_t_closeness_reference",
+    "x03_dedup_corpus_cc",
     "x01_dp_histogram_exact",
     "x01_dp_sum_exact",
     "x01_dp_quantile_exact",

@@ -812,3 +812,27 @@ def test_gaussian_invalid_params_do_not_charge_budget(spark, sf0001):
     with pytest.raises(ValueError):
         dp_count_gaussian(li, ["l_returnflag"], epsilon=2.0, delta=1e-6, budget=budget)
     assert budget.ledger == []  # calibration failed -> nothing charged
+
+
+def test_dedup_corpus_components_vs_greedy(spark):
+    """VERDICT r1 item 6: on the chain 1~3, 2~3 (3 transitively links 1 and
+    2), greedy keeps {1, 2} but components collapses the cluster to {1};
+    an isolated doc survives both."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import connected_components, dedup_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (9, "solo")], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 3), (2, 3)], ["id_a", "id_b"])
+    greedy = {r.doc_id for r in dedup_corpus(docs, pairs, policy="greedy").collect()}
+    comps = {r.doc_id for r in dedup_corpus(docs, pairs, policy="components").collect()}
+    assert greedy == {1, 2, 9}
+    assert comps == {1, 9}
+    labels = {r.id: r.comp for r in connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1}
+    # a long path 10-11-12-13 needs multiple propagation rounds
+    chain = spark.createDataFrame([(10, 11), (11, 12), (12, 13)], ["id_a", "id_b"])
+    labels2 = {r.id: r.comp for r in connected_components(chain).collect()}
+    assert labels2 == {10: 10, 11: 10, 12: 10, 13: 10}
+    with pytest.raises(ValueError):
+        dedup_corpus(docs, pairs, policy="nope")
