@@ -222,6 +222,33 @@ def test_clustering_pipeline_invariants(adult_sdf):
     assert got["anonymized"].count() == adult_sdf.na.drop("any").count()
 
 
+def test_frozen_golden_numbers(adult_sdf):
+    """Frozen golden values for the deterministic fixture (seed 42), the
+    offline stand-in for replicating the reference's published numbers
+    (77.93% suppression / NCP 0.2532 / 38%, README.md:3) — the real UCI
+    Adult file is not reachable from this container, and the pandas twin
+    above could silently drift together with the engine. These constants
+    were computed once from the independent pandas implementation and
+    pinned; any engine change that moves a metric fails here even if it
+    moves the pandas twin identically."""
+    row = pipelines.naive_suppression_pipeline(adult_sdf, QI, K)["metrics"].first().asDict()
+    assert row["n_orig"] == 3723
+    assert row["n_anon"] == 476
+    assert row["suppression_rate"] == pytest.approx(0.872146118721, abs=1e-9)
+    assert row["reid_risk"] == pytest.approx(0.170168067227, abs=1e-9)
+    assert row["ncp"] == pytest.approx(0.397942942943, abs=1e-9)
+    assert row["min_class_size"] == 5 and row["k_satisfied"]
+
+    trow = (
+        pipelines.t_closeness_pipeline(adult_sdf, QI, "income", k=K, t=0.15, mode="strict")
+        ["metrics"].first().asDict()
+    )
+    assert trow["n_anon"] == 339
+    assert trow["suppression_rate"] == pytest.approx(0.908944399678, abs=1e-9)
+    assert trow["ncp"] == pytest.approx(0.457627627628, abs=1e-9)
+    assert trow["violations"] == 0 and trow["total_groups"] == 57
+
+
 def test_adult_csv_end_to_end(spark, adult_pdf, tmp_path):
     """The reference's actual flow: CSV with '?' nulls → clean → anonymize
     → metrics. Exercises reader + pipeline together; null rows must be
