@@ -57,6 +57,44 @@ def shingles(text: Column, n: int = 3) -> Column:
     )).otherwise(F.array().cast("array<string>"))
 
 
+def hashed_tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """``(id, __th: array<long>)`` — ONE regex tokenization pass and ONE
+    xxhash64 per token occurrence, in its own projection.
+
+    This is the shared entry point of the whole near-dup family: Jaccard
+    shingles, MinHash signatures, and SimHash votes all derive from the
+    token-hash array, so a corpus run through several detectors (see
+    :func:`near_dup_suite`) tokenizes ONCE instead of once per detector —
+    the regex split + string hashing is the dominant per-doc CPU. The
+    projection boundary matters: higher-order-function chains get no
+    codegen CSE, so downstream expressions must reference the materialized
+    ``__th`` attribute, never re-state the chain."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    return fan_out(df).select(
+        F.col(id_col),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("__th"),
+    )
+
+
+def shingle_hashes(th: Column, n: int = 3) -> Column:
+    """``array<long>`` of n-gram hashes from consecutive token hashes:
+    ``xxhash64(th[i], ..., th[i+n-1])``. Set-equivalent to hashing the
+    string shingle (injective up to 64-bit collisions) at a fraction of
+    the CPU — a string n-gram costs a concat allocation plus a
+    variable-length string hash per shingle; this is one fixed-width hash
+    of n longs, and each token's string is hashed once total instead of
+    once per covering shingle. ``th`` must be a materialized attribute
+    (see :func:`hashed_tokens`), not an expression chain."""
+    n_sh = F.size(th) - F.lit(n - 1)
+    return F.when(
+        n_sh > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_sh - 1),
+            lambda i: F.xxhash64(*[F.element_at(th, i + F.lit(j + 1)) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -64,6 +102,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     prefix_filter: bool | None = None,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """N-gram Jaccard near-dup pairs — EXACT under either physical
     strategy; the strategy is picked adaptively from the corpus's shingle
@@ -88,25 +127,36 @@ def ngram_jaccard_pairs(
     both paths and their equivalence is asserted by
     tests/test_properties.py and the DuckDB contract gate.
     """
-    # Evaluation discipline: higher-order-function chains (split → slice →
-    # concat → distinct) run interpreted (CodegenFallback — no codegen, no
-    # common-subexpression elimination), so the shingle expression must
-    # appear in EXACTLY ONE projection. A second reference (size() for
-    # n_sh, an emptiness filter) silently re-evaluates the whole chain per
-    # row. Hence: explode immediately (the generator evaluates its child
-    # once), pre-hash the shingle to a long join key (SURVEY §4
-    # composite-key idiom: 8-byte shuffle rows), persist the slim exploded
-    # relation, and recover per-doc set sizes from it with a cheap count.
-    exploded = (
-        fan_out(df)
-        .select(
-            F.col(id_col),
-            F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("shingle"),
-        )
-        .select(id_col, F.xxhash64("shingle").alias("shingle_h"))
-        .persist()
-    )
-    dfreq = exploded.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("__df"))
+    # Evaluation discipline: higher-order-function chains run interpreted
+    # (CodegenFallback — no codegen, no common-subexpression elimination),
+    # so tokenization lives in its own projection (hashed_tokens) and the
+    # shingle combine references the materialized attribute. Pre-hash to a
+    # long join key (SURVEY §4 composite-key idiom: 8-byte shuffle rows),
+    # persist the slim exploded relation, and recover per-doc set sizes
+    # from it with a cheap count. `tokens` lets near_dup_suite share one
+    # tokenization pass across the whole detector family.
+    toks = tokens if tokens is not None else hashed_tokens(df, text_col, id_col)
+    # PERSISTED array relation: size() and explode() below each reference
+    # `hs`, and Catalyst's CollapseProject would otherwise merge the
+    # projections and re-evaluate the interpreted HOF chain once PER
+    # REFERENCE (no codegen CSE — measured 7x blowup). The cache boundary
+    # makes `hs` an attribute read. The same relation IS the exact
+    # re-score set for the prefix path — one materialization, three uses.
+    sh_arr = toks.select(
+        F.col(id_col), F.array_distinct(shingle_hashes(F.col("__th"), n)).alias("hs")
+    ).persist()
+    # n_sh rides along from the materialized array — NOT a later
+    # groupBy(id).count() over the exploded relation, which would be a
+    # second full shuffle just to recover a number known at explode time.
+    exploded = sh_arr.select(
+        F.col(id_col),
+        F.size("hs").alias("n_sh"),
+        F.explode("hs").alias("shingle_h"),
+    ).persist()
+    # persisted: the adaptive decision below materializes it, and the
+    # chosen path's frequency join then reuses that work instead of
+    # re-aggregating the exploded relation
+    dfreq = exploded.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("__df")).persist()
     if prefix_filter is None:
         stats = dfreq.agg(
             F.sum(F.col("__df") * F.col("__df")).alias("s2"),
@@ -116,31 +166,34 @@ def ngram_jaccard_pairs(
 
     if not prefix_filter:
         # plain inverted-index join; df>=2 prune (singletons join to
-        # nothing) rides the same shingle_h partitioning
+        # nothing) rides the same shingle_h partitioning. Set sizes travel
+        # WITH the candidate rows (8 extra bytes each) — cheaper than a
+        # separate sizes shuffle plus two broadcast-build passes.
         joinable = exploded.join(dfreq.filter(F.col("__df") >= 2), on="shingle_h").select(
-            id_col, "shingle_h"
+            id_col, "n_sh", "shingle_h"
         )
-        sizes = exploded.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-        a = joinable.select(F.col(id_col).alias("id_a"), "shingle_h")
-        b = joinable.select(F.col(id_col).alias("id_b"), "shingle_h")
+        a = joinable.select(
+            F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"), "shingle_h"
+        )
+        b = joinable.select(
+            F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"), "shingle_h"
+        )
         inter = (
             a.join(b, on="shingle_h")
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
-        na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
-        nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
-        jac = (
-            inter.join(F.broadcast(na), on="id_a")
-            .join(F.broadcast(nb), on="id_b")
-            .select(
-                "id_a",
-                "id_b",
-                F.round(
-                    F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 9
-                ).alias("jaccard"),
+            .agg(
+                F.count(F.lit(1)).alias("inter"),
+                F.min("na").alias("na"),  # constant per id — min is determinism
+                F.min("nb").alias("nb"),
             )
+        )
+        jac = inter.select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 9
+            ).alias("jaccard"),
         )
         return jac.filter(F.col("jaccard") >= F.lit(threshold))
 
@@ -162,7 +215,7 @@ def ngram_jaccard_pairs(
                 Window.partitionBy(id_col).orderBy("__df", "shingle_h")
             ),
         )
-        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        .withColumn("__n", F.col("n_sh"))  # set size carried from explode time
     )
     prefix = ranked.filter(
         (
@@ -185,10 +238,10 @@ def ngram_jaccard_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # exact re-score on the full hashed shingle sets (candidates only)
-    sets = exploded.groupBy(id_col).agg(F.collect_list("shingle_h").alias("hs"))
-    sa = sets.select(F.col(id_col).alias("id_a"), F.col("hs").alias("sa"))
-    sb = sets.select(F.col(id_col).alias("id_b"), F.col("hs").alias("sb"))
+    # exact re-score on the full hashed shingle sets (candidates only) —
+    # straight from the persisted array relation, no re-collect shuffle
+    sa = sh_arr.select(F.col(id_col).alias("id_a"), F.col("hs").alias("sa"))
+    sb = sh_arr.select(F.col(id_col).alias("id_b"), F.col("hs").alias("sb"))
     inter_sz = F.size(F.array_intersect("sa", "sb"))
     jac = (
         cands.join(sa, on="id_a")
@@ -211,6 +264,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """X3 — MinHash + LSH candidate pairs with exact-Jaccard re-score.
 
@@ -225,28 +279,24 @@ def minhash_lsh_pairs(
     if num_hashes % 4 != 0:
         raise ValueError("num_hashes must be a multiple of the band width (4)")
     bands = num_hashes // 4
-    # Shingle once, hash each shingle to a long ONCE, and never touch the
-    # strings again: the signature, the LSH bands, and the exact re-score
-    # all work off the long array. 64-bit collisions are negligible at any
-    # corpus size that fits a cluster (~n_shingles^2 / 2^64), so
-    # Jaccard-on-hashes == Jaccard-on-strings in practice. The slim
-    # (id, array<long>) relation is persisted because it feeds three
-    # consumers (signature + both sides of the re-score join) — without it
-    # the regex shingling, the dominant per-doc cost, runs three times.
-    # Emptiness filter runs BEFORE the projection on a cheap token-count
-    # predicate: `filter(size(hs) > 0)` after the projection would collapse
-    # into it and re-evaluate the interpreted shingle+hash chain per row
-    # (HOFs get no codegen CSE — measured 8x slowdown). tokens >= n iff at
-    # least one shingle exists.
-    toks_n = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    # Shingle hashes come from the shared token-hash relation
+    # (hashed_tokens + shingle_hashes): each token string is hashed once,
+    # each shingle is one fixed-width hash of n longs, and the strings are
+    # never touched again — the signature, the LSH bands, and the exact
+    # re-score all work off the long array. 64-bit collisions are
+    # negligible at any corpus size that fits a cluster
+    # (~n_shingles^2 / 2^64), so Jaccard-on-hashes == Jaccard-on-strings
+    # in practice. The slim (id, array<long>) relation is persisted
+    # because it feeds three consumers (signature + both sides of the
+    # re-score join). The emptiness filter is a cheap size() predicate on
+    # the materialized token-hash attribute (size(__th) >= n iff at least
+    # one shingle exists) — never a re-statement of the interpreted chain.
+    toks = tokens if tokens is not None else hashed_tokens(df, text_col, id_col)
     sh = (
-        fan_out(df)
-        .filter(toks_n >= F.lit(n))
+        toks.filter(F.size(F.col("__th")) >= F.lit(n))
         .select(
             F.col(id_col),
-            F.transform(
-                F.array_distinct(shingles(F.col(text_col), n)), lambda s: F.xxhash64(s)
-            ).alias("hs"),
+            F.array_distinct(shingle_hashes(F.col("__th"), n)).alias("hs"),
         )
         .persist()
     )
@@ -437,22 +487,22 @@ def near_dedup_corpus(
     return dedup_corpus(stage1, pairs, id_col, policy=policy)
 
 
-def simhash(text: Column, bits: int = 32) -> Column:
-    """Frequency-weighted SimHash (Charikar 2002): bit j = sign of the sum
-    over token *occurrences* of ±1 derived from xxhash64(token) bit j.
-    Occurrence weighting (not the distinct-token set) is what separates
-    documents drawn from a shared vocabulary. Pure built-ins (aggregate
-    over the token array); deterministic everywhere.
+def simhash_from_token_hashes(hs: Column, bits: int = 32) -> Column:
+    """Frequency-weighted SimHash (Charikar 2002) over a pre-hashed token
+    array: bit j = sign of the sum over token *occurrences* of ±1 derived
+    from bit j of the token hash. Occurrence weighting (not the
+    distinct-token set) is what separates documents drawn from a shared
+    vocabulary. Pure built-ins (aggregate over the array); deterministic
+    everywhere.
+
+    One xxhash64 per token occurrence happens upstream in
+    :func:`hashed_tokens` (NOT one per token per bit — the naive per-bit
+    formulation re-hashes every token ``bits`` times, a 32× CPU blowup
+    measured at 13 s vs <1 s on the sf0.01 documents table). The per-bit
+    ±1 votes all read bits of that single hash: a running vote vector as
+    an array<int> accumulator, one pass over the tokens.
 
     32 bits balances expression-tree size against collision noise."""
-    toks = F.split(F.lower(F.trim(text)), r"\s+")
-
-    # One xxhash64 per token occurrence (NOT one per token per bit — the
-    # naive per-bit formulation re-hashes every token `bits` times, a 32×
-    # CPU blowup measured at 13 s vs <1 s on the sf0.01 documents table).
-    # The per-bit ±1 votes all read bits of that single hash: a running
-    # vote vector as an array<int> accumulator, one pass over the tokens.
-    hs = F.transform(toks, lambda t: F.xxhash64(t))
     masks = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
     votes = F.aggregate(
         hs,
@@ -473,12 +523,22 @@ def simhash(text: Column, bits: int = 32) -> Column:
     )
 
 
+def simhash(text: Column, bits: int = 32) -> Column:
+    """SimHash straight from a text column (one inline token-hash pass —
+    the aggregate evaluates its child exactly once, so this is safe in a
+    single projection). Prefer :func:`simhash_from_token_hashes` over a
+    shared :func:`hashed_tokens` relation when several detectors run."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    return simhash_from_token_hashes(F.transform(toks, lambda t: F.xxhash64(t)), bits)
+
+
 def simhash_pairs(
     df: DataFrame,
     max_hamming: int = 3,
     bits: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: block on the four 8-bit bytes (a pair within
     Hamming distance <= 3 must agree exactly on at least one of 4 blocks —
@@ -488,9 +548,11 @@ def simhash_pairs(
     # persist: the 4 block-join branches reference this relation 8 times,
     # and the simhash vote aggregate is interpreted (no codegen CSE) — it
     # must be evaluated once per row, not once per branch
+    toks = tokens if tokens is not None else hashed_tokens(df, text_col, id_col)
     hashed = (
-        fan_out(df)
-        .select(F.col(id_col), simhash(F.col(text_col), bits).alias("sh"))
+        toks.select(
+            F.col(id_col), simhash_from_token_hashes(F.col("__th"), bits).alias("sh")
+        )
         .persist()
     )
     # One (block_idx, block_value) relation via posexplode → a SINGLE
@@ -531,3 +593,36 @@ def simhash_pairs(
         .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
     )
     return ham.filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def near_dup_suite(
+    df: DataFrame,
+    jaccard_threshold: float = 0.5,
+    minhash_threshold: float = 0.5,
+    max_hamming: int = 3,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict[str, DataFrame]:
+    """All three near-dup detectors over ONE tokenization pass.
+
+    Tokenizing + hashing the corpus text is the dominant per-doc CPU of
+    every detector; running them separately pays it three times. The suite
+    materializes the shared ``(id, token-hash array)`` relation once
+    (persisted) and feeds it to Jaccard, MinHash-LSH, and SimHash — at
+    100 TB this is one full-corpus scan + tokenize instead of three.
+
+    Returns ``{"jaccard": pairs, "minhash": pairs, "simhash": pairs}``.
+    """
+    toks = hashed_tokens(df, text_col, id_col).persist()
+    return {
+        "jaccard": ngram_jaccard_pairs(
+            df, jaccard_threshold, n, text_col, id_col, tokens=toks
+        ),
+        "minhash": minhash_lsh_pairs(
+            df, minhash_threshold, n, text_col=text_col, id_col=id_col, tokens=toks
+        ),
+        "simhash": simhash_pairs(
+            df, max_hamming, text_col=text_col, id_col=id_col, tokens=toks
+        ),
+    }

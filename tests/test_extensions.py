@@ -836,3 +836,19 @@ def test_dedup_corpus_components_vs_greedy(spark):
     assert labels2 == {10: 10, 11: 10, 12: 10, 13: 10}
     with pytest.raises(ValueError):
         dedup_corpus(docs, pairs, policy="nope")
+
+
+def test_near_dup_suite_matches_individual_detectors(spark, sf001):
+    """The shared-tokenization suite must produce exactly the pairs each
+    detector produces standalone (one tokenize pass, same results)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import near_dup_suite
+
+    docs = load_table(spark, sf001, "documents")
+    suite = near_dup_suite(docs, jaccard_threshold=0.8, minhash_threshold=0.8, max_hamming=3)
+    jac = {(r.id_a, r.id_b) for r in suite["jaccard"].collect()}
+    mh = {(r.id_a, r.id_b) for r in suite["minhash"].collect()}
+    sh = {(r.id_a, r.id_b) for r in suite["simhash"].collect()}
+    assert jac == {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.8, n=3).collect()}
+    assert mh == {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, threshold=0.8, n=3).collect()}
+    assert sh == {(r.id_a, r.id_b) for r in simhash_pairs(docs, max_hamming=3).collect()}
+    assert jac  # planted near-dups exist
