@@ -153,6 +153,45 @@ def clustering_pipeline(
     return {"anonymized": clustered, "generalization": generalized, "metrics": metrics}
 
 
+def corpus_curation_pipeline(
+    df: DataFrame,
+    min_quality: float = 0.05,
+    langs: Sequence[str] = ("en", "de", "fr", "es", "zh"),
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict[str, DataFrame]:
+    """Training-data curation composite (north-star pipeline, no reference
+    analog): exact fingerprint dedup → text-feature annotation → language /
+    quality / length gates → per-language corpus stats.
+
+    Physical shape at 100 TB: the dedup is ONE hash-partition shuffle on
+    the 16-byte fingerprint; everything after is a map-only projection
+    (features + filters are pure JVM expressions, no UDF) feeding one
+    partial-aggregated stats rollup. Filters sit directly on the scan side
+    of the shuffle's output, so the curated relation never re-shuffles.
+
+    Returns ``{"curated": rows, "stats": per-language rollup}``.
+    """
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import dedup_by_fingerprint
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import with_text_features
+
+    deduped = dedup_by_fingerprint(df, text_col, id_col)
+    feats = with_text_features(deduped, text_col)
+    kept = feats.filter(
+        F.col("lang_pred").isin(list(langs))
+        & (F.col("quality") >= F.lit(min_quality))
+        & F.col("n_tokens").between(min_tokens, max_tokens)
+    )
+    stats = kept.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality"), 9).alias("avg_quality"),
+    )
+    return {"curated": kept, "stats": stats}
+
+
 def t_closeness_pipeline(
     df: DataFrame,
     qi: Sequence[str],

@@ -1527,6 +1527,55 @@ def pipe_tcloseness_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )["metrics"]
 
 
+@query(
+    "pipe_corpus_curation",
+    f"""
+    WITH fp AS (SELECT *, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS __fp
+                FROM documents),
+    d AS (SELECT doc_id, text FROM fp
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY __fp ORDER BY doc_id) = 1),
+    f AS (SELECT doc_id,
+            CASE WHEN TRIM(text) = '' THEN 0
+                 ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n_tokens,
+            ROUND(LEAST(LENGTH(text) / 200.0, 1.0)
+                  * (1.0 - CASE WHEN LENGTH(text) > 0
+                      THEN LENGTH(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                           / LENGTH(text)
+                      ELSE 1.0 END)
+                  * LEAST(0.5 + len(regexp_extract_all(text, '{_EN_SQL}')) / 10.0, 1.0),
+              9) AS quality,
+            len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in)\\b')) AS s_en,
+            len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist)\\b')) AS s_de,
+            len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est)\\b')) AS s_fr,
+            len(regexp_extract_all(lower(text), '\\b(el|los|las|es|una)\\b')) AS s_es,
+            len(regexp_extract_all(lower(text), '[一-鿿]')) AS s_zh
+          FROM d),
+    p AS (SELECT *,
+            CASE WHEN GREATEST(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+                 WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                 WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+                 WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                 WHEN s_es = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                 ELSE 'zh' END AS lang_pred
+          FROM f),
+    k AS (SELECT * FROM p WHERE lang_pred IN ('en','de','fr','es','zh')
+          AND quality >= 0.05 AND n_tokens BETWEEN 5 AND 100000)
+    SELECT lang_pred, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+           ROUND(AVG(quality), 9) AS avg_quality
+    FROM k GROUP BY 1
+    """,
+)
+def pipe_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation composite (pipelines.corpus_curation_pipeline):
+    fingerprint dedup -> text features -> lang/quality/length gates ->
+    per-language stats. One dedup shuffle + one map-only feature pass +
+    one rollup; oracle-checked end to end."""
+    from dbms_data_anonymity_differential_privacy_spark import pipelines
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pipelines.corpus_curation_pipeline(docs)["stats"]
+
+
 @query("pipe_clustering_metrics")
 def pipe_clustering_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_data_anonymity_differential_privacy_spark import pipelines
@@ -1642,6 +1691,7 @@ _WINDOW_DEMOTED = [
     "c04_class_emd",
     "c04_t_closeness_reference",
     "x03_dedup_corpus_cc",
+    "pipe_corpus_curation",
     "x01_dp_histogram_exact",
     "x01_dp_sum_exact",
     "x01_dp_quantile_exact",
