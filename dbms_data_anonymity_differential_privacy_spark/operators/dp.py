@@ -729,3 +729,68 @@ def dp_quantile(
         (F.col("__w.lo") + u_pt * (F.col("__w.hi") - F.col("__w.lo"))).alias(value_col),
         F.col("__w.score").alias("score_exact"),
     )
+
+
+def dp_above_threshold(
+    df: DataFrame,
+    by: Sequence[str],
+    threshold: float,
+    epsilon: float,
+    c: int = 1,
+    seed: int = 42,
+    budget: "PrivacyBudget | None" = None,
+    release: str | None = None,
+) -> DataFrame:
+    """X1 — Sparse Vector Technique (AboveThreshold with up to ``c``
+    positive answers; Dwork & Roth 2014 §3.6, calibrations per Lyu,
+    Su & Li, VLDB 2017, Alg. 1).
+
+    The query stream is the per-group count in lexicographic group-key
+    order (a PUBLIC order — it depends only on the group keys, which are
+    assumed public as in the other per-group releases). One noisy
+    threshold draw ``T + Lap(1/eps1)`` is shared by the whole stream;
+    each query adds ``Lap(2c/eps2)``; the stream HALTS after the c-th
+    'above' answer — the halt is what makes the (arbitrarily many) below
+    answers privacy-free, the whole release costing only
+    ``eps = eps1 + eps2`` (split evenly here) regardless of stream length.
+
+    Physical shape: the stream ordering is a window over the AGGREGATED
+    group relation (one row per group — kilobytes for categorical keys),
+    never over fact rows; the only fact-table work is one partial-combined
+    count. The unpartitioned window is benign for the same reason the
+    t-closeness support windows are (SCALE.md).
+
+    Output: ``(*by, above)`` for every ANSWERED query (groups after the
+    halt are absent). ``count_exact`` is kept for tests/oracles and is NOT
+    part of the DP release.
+    """
+    from pyspark.sql import Window
+
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    if c < 1:
+        raise ValueError("c must be >= 1")
+    eps_half = epsilon / 2.0
+    salt_t = _release_salt("svt.T", release, budget)
+    salt_q = _release_salt("svt.q", release, budget)
+    if budget is not None:
+        budget.spend(epsilon, f"dp_above_threshold:{','.join(by)}@{threshold}")
+    scores = df.groupBy(*by).agg(F.count(F.lit(1)).alias("count_exact"))
+    noisy = scores.withColumn("__tk", F.lit(0)).withColumn(
+        "__above",
+        (
+            F.col("count_exact") + laplace_noise(by, 2.0 * c / eps_half, seed, salt_q)
+            >= F.lit(float(threshold)) + laplace_noise(["__tk"], 1.0 / eps_half, seed, salt_t)
+        ),
+    )
+    w = Window.orderBy(*[F.col(col) for col in by]).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum(F.col("__above").cast("int")).over(w)
+    return (
+        noisy.withColumn("__cum", cum)
+        # halt BEFORE answering the query that follows the c-th 'above':
+        # keep a row iff fewer than c aboves were answered strictly before it
+        .filter(F.col("__cum") - F.col("__above").cast("int") < F.lit(c))
+        .select(*by, F.col("__above").alias("above"), "count_exact")
+    )

@@ -928,6 +928,44 @@ def x01_dp_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x01_svt")
+def x01_svt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse Vector Technique: above-threshold event types, halting after
+    c=2 positive answers (rows-only: randomized; the noise-free stream is
+    x01_svt_exact)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_above_threshold
+
+    ev = load_table(spark, sf_dir, "events")
+    return dp_above_threshold(
+        ev, ["event_type"], threshold=2000.5, epsilon=1.0, c=2, seed=42, release="x01_svt"
+    )
+
+
+@query(
+    "x01_svt_exact",
+    """
+    WITH s AS (SELECT event_type, COUNT(*) AS count_exact FROM events GROUP BY 1),
+    o AS (SELECT event_type, count_exact, (count_exact >= 2000.5) AS above,
+                 SUM(CASE WHEN count_exact >= 2000.5 THEN 1 ELSE 0 END)
+                     OVER (ORDER BY event_type) AS cum
+          FROM s)
+    SELECT event_type, above, count_exact FROM o
+    WHERE cum - (CASE WHEN above THEN 1 ELSE 0 END) < 2
+    """,
+)
+def x01_svt_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noise-free core of the SVT release: same stream order and halt
+    semantics with epsilon -> inf (noise scales ~1e-9 against a 0.5
+    threshold gap — cannot flip an answer)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_above_threshold
+
+    ev = load_table(spark, sf_dir, "events")
+    return dp_above_threshold(
+        ev, ["event_type"], threshold=2000.5, epsilon=1e9, c=2, seed=42,
+        release="x01_svt_exact",
+    )
+
+
 @query(
     "x02_dedup_exact",
     """
@@ -1692,6 +1730,7 @@ _WINDOW_DEMOTED = [
     "c04_t_closeness_reference",
     "x03_dedup_corpus_cc",
     "pipe_corpus_curation",
+    "x01_svt_exact",
     "x01_dp_histogram_exact",
     "x01_dp_sum_exact",
     "x01_dp_quantile_exact",

@@ -852,3 +852,39 @@ def test_near_dup_suite_matches_individual_detectors(spark, sf001):
     assert mh == {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, threshold=0.8, n=3).collect()}
     assert sh == {(r.id_a, r.id_b) for r in simhash_pairs(docs, max_hamming=3).collect()}
     assert jac  # planted near-dups exist
+
+
+def test_svt_above_threshold(spark, sf0001):
+    """SVT: eps->inf answers exactly (count >= T) in key order, halts after
+    the c-th above; deterministic under repartitioning; missing release
+    refused; budget charged once."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import PrivacyBudget, dp_above_threshold
+
+    ev = load_table(spark, sf0001, "events")
+    # sf0.001 counts: click 210, error 201, purchase 202, signup 199, view 188
+    out = dp_above_threshold(
+        ev, ["event_type"], threshold=200.5, epsilon=1e9, c=2, seed=42, release="t"
+    ).collect()
+    got = {r.event_type: r.above for r in out}
+    # stream order: click(above,1) error(above,2) -> HALT; later queries unanswered
+    assert got == {"click": True, "error": True}
+    # c=5 answers everything (only 3 aboves in total, halt never reached)
+    out5 = dp_above_threshold(
+        ev, ["event_type"], threshold=200.5, epsilon=1e9, c=5, seed=42, release="t"
+    ).collect()
+    got5 = {r.event_type: r.above for r in out5}
+    assert got5 == {
+        "click": True, "error": True, "purchase": True, "signup": False, "view": False
+    }
+    # determinism across partitioning at finite epsilon
+    a = sorted(map(tuple, dp_above_threshold(
+        ev, ["event_type"], 200.5, epsilon=0.5, c=2, seed=42, release="t").collect()))
+    b = sorted(map(tuple, dp_above_threshold(
+        ev.repartition(7), ["event_type"], 200.5, epsilon=0.5, c=2, seed=42, release="t"
+    ).collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="per-release"):
+        dp_above_threshold(ev, ["event_type"], 200.5, epsilon=1.0, c=2)
+    budget = PrivacyBudget(1.0)
+    dp_above_threshold(ev, ["event_type"], 200.5, epsilon=0.75, c=2, budget=budget).collect()
+    assert budget.spent == pytest.approx(0.75)  # one charge for the whole stream
