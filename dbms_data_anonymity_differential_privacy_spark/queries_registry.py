@@ -928,6 +928,29 @@ def x01_dp_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x09_json_props",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 9) AS avg_k
+    FROM events GROUP BY 1
+    """,
+)
+def x09_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extension: typed from_json parse of the events
+    props column (one Jackson parse per row, JVM-side) + per-type rollup.
+    sources/readers.py with_parsed_props."""
+    from dbms_data_anonymity_differential_privacy_spark.sources.readers import with_parsed_props
+
+    ev = with_parsed_props(load_table(spark, sf_dir, "events"))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("props_parsed.k")).alias("sum_k"),
+        F.round(F.avg(F.col("props_parsed.k")), 9).alias("avg_k"),
+    )
+
+
 @query("x01_svt")
 def x01_svt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse Vector Technique: above-threshold event types, halting after
@@ -1724,13 +1747,15 @@ def c08_ncp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Oracle-backed VARIANTS of components already represented earlier in the
 # window (C4 keeps `strict`; X1 keeps `count_exact` + `avg_exact`; X3 keeps
-# `ngram_jaccard` + `dedup_corpus`).
+# `ngram_jaccard` + `dedup_corpus`; C6 keeps the rows denominator; new
+# single-query components like x09 stay in-window).
 _WINDOW_DEMOTED = [
     "c04_class_emd",
     "c04_t_closeness_reference",
     "x03_dedup_corpus_cc",
     "pipe_corpus_curation",
     "x01_svt_exact",
+    "c06_uniqueness_classes",
     "x01_dp_histogram_exact",
     "x01_dp_sum_exact",
     "x01_dp_quantile_exact",

@@ -73,6 +73,19 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+def with_parsed_props(
+    df: DataFrame, props_col: str = "props", schema: str = "k BIGINT"
+) -> DataFrame:
+    """Typed extraction for a semi-structured JSON column (``events.props``):
+    ONE ``from_json`` parse per row into a typed struct (JVM-side Jackson)
+    rather than a ``get_json_object`` JsonPath walk per accessed field —
+    at 100 TB the parse happens once however many fields downstream
+    expressions read. Adds ``<props_col>_parsed``."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(f"{props_col}_parsed", F.from_json(F.col(props_col), schema))
+
+
 def read_adult_csv(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
     """P1 — CSV scan with inline schema and '?' null sentinel.
 
