@@ -68,6 +68,11 @@ from dbms_data_anonymity_differential_privacy_spark.operators.similarity import 
     ivf_index,
     ivf_topk,
 )
+from dbms_data_anonymity_differential_privacy_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    stratified_sample_n,
+)
 from dbms_data_anonymity_differential_privacy_spark.operators.text import text_stats, with_text_features
 from dbms_data_anonymity_differential_privacy_spark.operators.utility import utility_accuracy
 from dbms_data_anonymity_differential_privacy_spark import pipelines
@@ -122,6 +127,9 @@ __all__ = [
     "ann_topk_lsh",
     "ivf_index",
     "ivf_topk",
+    "hash_sample",
+    "hash_split",
+    "stratified_sample_n",
     "text_stats",
     "with_text_features",
     "utility_accuracy",

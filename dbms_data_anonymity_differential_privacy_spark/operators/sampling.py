@@ -1,0 +1,129 @@
+"""Deterministic sampling / split operators for training-data pipelines.
+
+The reference has no sampling (it always processes the full Adult table,
+``naive-suppresion.py:13-20``); its only randomness is the seeded 70/30
+``train_test_split`` inside the utility harness (``naive-suppresion.py:104``,
+``t-closeness.py:160``). A 100 TB curation pipeline, by contrast, constantly
+needs *reproducible* subsets: train/val/test splits, per-language quotas,
+audit samples. ``df.sample()`` is the wrong tool for that — its output
+depends on partition layout, so AQE re-planning or a repartition changes the
+sample.
+
+Everything here derives membership from a *content hash of the row key*, so:
+
+- the same row lands in the same split on every run, on any cluster layout,
+  on any engine (the hash is portable SQL — md5 over the '|'-joined key —
+  which is exactly what makes these operators DuckDB-oracle-checkable);
+- sampling is a map-only predicate: no shuffle, codegen-friendly, and the
+  scan still gets column pruning (the hash reads only the key columns);
+- adding data never reassigns existing rows (per-row decision, no global
+  state).
+
+Hash choice: the first 8 hex chars of md5 give a uniform draw over 16^8
+values, compared lexicographically against a threshold string — string
+comparison of fixed-width lowercase hex is byte-wise identical across
+engines. md5 costs ~1 digest per row; at 100 TB swap ``_hash_hex`` for
+``xxhash64`` (JVM-native, ~10x cheaper) when cross-engine reproducibility
+is not required — the operator contract is unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SPACE = 16**8  # 8 hex chars of uniform hash
+
+
+def _hash_hex(key_cols: Sequence[str], salt: str) -> Column:
+    """Uniform 8-hex-char draw from the row key: substr(md5(key||salt), 1, 8).
+
+    The key is '|'-joined after casting to string (same canonicalization an
+    oracle can do in SQL). ``salt`` decorrelates independent draws over the
+    same key — two samples with different salts are independent.
+    """
+    joined = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols], F.lit(salt))
+    return F.substring(F.md5(joined.cast("binary")), 1, 8)
+
+
+def _threshold_hex(fraction: float) -> str:
+    """Threshold string t such that P[hash < t] == round(fraction * 16^8) / 16^8."""
+    n = max(0, min(_SPACE, round(fraction * _SPACE)))
+    return format(n, "08x") if n < _SPACE else "g"  # 'g' > 'f...f': accepts all
+
+
+def hash_sample(
+    df: DataFrame, key_cols: Sequence[str], fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows, decided per row key.
+
+    Map-only filter — no shuffle, stable under any partitioning, and
+    repeatable across runs/engines. Distinct salts give independent samples;
+    nested fractions with the same salt give *nested* samples
+    (``hash_sample(f1)`` ⊇ ``hash_sample(f2)`` for f1 ≥ f2), which is what
+    you want for growing eval sets.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(_hash_hex(key_cols, salt) < F.lit(_threshold_hex(fraction)))
+
+
+def hash_split(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    splits: Sequence[tuple[str, float]],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to one named split (train/valid/test, ...) by key hash.
+
+    ``splits`` is ``[(label, fraction), ...]``; fractions must sum to ≤ 1
+    (+eps). Rows above the cumulative threshold — present only when the sum
+    is < 1 — get NULL. One map-only projection; the split column is then an
+    ordinary partition/filter column downstream.
+    """
+    fracs = [f for _, f in splits]
+    if any(f < 0 for f in fracs) or sum(fracs) > 1.0 + 1e-9:
+        raise ValueError(f"split fractions must be >= 0 and sum to <= 1, got {fracs}")
+    h = _hash_hex(key_cols, salt)
+    expr: Column | None = None
+    cum = 0.0
+    for label, frac in splits:
+        cum += frac
+        cond = h < F.lit(_threshold_hex(cum))
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    assert expr is not None
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample_n(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    key_cols: Sequence[str],
+    n_per_stratum: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum, chosen by key hash.
+
+    Deterministic quota sampling (per-language / per-source caps in a
+    curation pipeline). One shuffle on the strata key; within each stratum
+    rows are ranked by (hash, key) — the key tiebreak makes the selection
+    total even under 8-hex-char hash collisions.
+
+    At 100 TB the window ranks each stratum on a single task; for quotas
+    over *skewed* strata (one stratum ≫ executor memory) pre-filter with
+    ``hash_sample`` at a generous fraction first (cheap map-only pass that
+    bounds per-stratum rows before the rank) — the composition stays exact
+    as long as the pre-filter keeps ≥ n rows per stratum.
+    """
+    if n_per_stratum < 0:
+        raise ValueError("n_per_stratum must be >= 0")
+    order = [_hash_hex(key_cols, salt).asc()] + [F.col(c).asc() for c in key_cols]
+    w = Window.partitionBy(*[F.col(c) for c in strata_cols]).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.lit(int(n_per_stratum)))
+        .drop("__rn")
+    )

@@ -1,0 +1,93 @@
+"""Deterministic sampling/split operators (operators/sampling.py).
+
+Correctness here means *exact reproducibility*, not statistics: the same
+row must land in the same split regardless of partitioning, run, or
+engine. The registry twins (x10_*) prove engine-portability against
+DuckDB; these tests pin the invariants the portability argument rests on.
+"""
+
+from __future__ import annotations
+
+from dbms_data_anonymity_differential_privacy_spark import load_table
+from dbms_data_anonymity_differential_privacy_spark.operators.sampling import (
+    _threshold_hex,
+    hash_sample,
+    hash_split,
+    stratified_sample_n,
+)
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_threshold_hex_edges():
+    assert _threshold_hex(0.0) == "00000000"
+    assert _threshold_hex(1.0) == "g"  # 'g' sorts after every hex char
+    assert _threshold_hex(0.5) == "80000000"
+
+
+def test_hash_sample_fraction_and_determinism(spark, sf001):
+    o = load_table(spark, sf001, "orders").select("o_orderkey")
+    s1 = hash_sample(o, ["o_orderkey"], 0.2, salt="t")
+    n, total = s1.count(), o.count()
+    assert abs(n / total - 0.2) < 0.02
+    # identical under a different physical layout
+    n_repart = hash_sample(o.repartition(13), ["o_orderkey"], 0.2, salt="t").count()
+    assert n_repart == n
+
+
+def test_hash_sample_nested(spark, sf001):
+    o = load_table(spark, sf001, "orders").select("o_orderkey")
+    small = {r.o_orderkey for r in hash_sample(o, ["o_orderkey"], 0.05, salt="t").collect()}
+    big = {r.o_orderkey for r in hash_sample(o, ["o_orderkey"], 0.2, salt="t").collect()}
+    assert small <= big
+
+
+def test_hash_sample_salts_independent(spark, sf001):
+    o = load_table(spark, sf001, "orders").select("o_orderkey")
+    a = {r.o_orderkey for r in hash_sample(o, ["o_orderkey"], 0.2, salt="a").collect()}
+    b = {r.o_orderkey for r in hash_sample(o, ["o_orderkey"], 0.2, salt="b").collect()}
+    assert a != b  # overwhelmingly likely for independent draws
+
+
+def test_hash_sample_is_map_only(spark, sf001):
+    o = load_table(spark, sf001, "orders").select("o_orderkey")
+    plan = hash_sample(o, ["o_orderkey"], 0.1)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_hash_split_partitions_all_rows(spark, sf001):
+    c = load_table(spark, sf001, "customer")
+    tagged = hash_split(
+        c, ["c_custkey"], [("train", 0.8), ("valid", 0.1), ("test", 0.1)], salt="t"
+    )
+    per = {r.split: r.n for r in tagged.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(per) == {"train", "valid", "test"}  # no NULL bucket
+    assert sum(per.values()) == c.count()
+    assert abs(per["train"] / c.count() - 0.8) < 0.03
+
+
+def test_hash_split_validates_fractions():
+    with pytest.raises(ValueError):
+        hash_split(None, ["k"], [("a", 0.8), ("b", 0.3)])
+    with pytest.raises(ValueError):
+        hash_split(None, ["k"], [("a", -0.1)])
+
+
+def test_stratified_sample_exact_quota(spark, sf001):
+    o = load_table(spark, sf001, "orders").select("o_orderkey", "o_orderpriority")
+    got = stratified_sample_n(o, ["o_orderpriority"], ["o_orderkey"], 7, salt="t")
+    per = {
+        r.o_orderpriority: r.n
+        for r in got.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()
+    }
+    sizes = {
+        r.o_orderpriority: r.n
+        for r in o.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()
+    }
+    assert per == {k: min(7, v) for k, v in sizes.items()}
+    # deterministic: same selection under different layout
+    again = stratified_sample_n(
+        o.repartition(17), ["o_orderpriority"], ["o_orderkey"], 7, salt="t"
+    )
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in got.collect()}
