@@ -1805,6 +1805,41 @@ def x10_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X11 — sessionization (streaming/sessions.py). Event-gap session windows
+# per user; Spark's native session_window aggregation vs the classic
+# gaps-and-islands SQL in DuckDB. Boundary semantics verified empirically:
+# Spark MERGES an event exactly `gap` after the previous one (new session
+# only when diff > gap, end = last event + gap), so the twin uses a strict
+# `>` island flag.
+# --------------------------------------------------------------------------
+@query(
+    "x11_sessionize",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    f AS (SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END AS new_s
+          FROM e),
+    s AS (SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM f)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def x11_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.streaming.sessions import sessionize_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize_batch(ev, gap="30 minutes")
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries (CORRECTNESS_r01 stopped at slot 50, leaving 16
 # oracle-backed queries with no driver signal). Reorder so the window holds
@@ -1822,6 +1857,10 @@ _WINDOW_DEMOTED = [
     "x02_dedup_fingerprint",
     "x04_cosine_pairs",
     "x05_text_stats",
+    # X6 keeps window_kanon + gate + dedup_stream in-window; the DP stream
+    # release's pre-noise core overlaps x01's oracle coverage, so x11
+    # sessionization takes its slot as the 4th streaming representative.
+    "x06_dp_stream_release_exact",
     "c04_class_emd",
     "c04_t_closeness_reference",
     "x03_dedup_corpus_cc",

@@ -888,3 +888,66 @@ def test_svt_above_threshold(spark, sf0001):
     budget = PrivacyBudget(1.0)
     dp_above_threshold(ev, ["event_type"], 200.5, epsilon=0.75, c=2, budget=budget).collect()
     assert budget.spent == pytest.approx(0.75)  # one charge for the whole stream
+
+
+def test_sessionize_stream_matches_batch(spark, sf0001, tmp_path):
+    """X11: streaming session_window only supports append mode, which
+    emits a session once the watermark passes its close. With a 0-second
+    watermark the final no-data microbatch advances the watermark to
+    max(ts), so every session ending at or before max(ts) is finalized —
+    exactly the batch twin restricted to closed sessions (the still-open
+    tail sessions are the streaming-semantics remainder, not a bug)."""
+    from dbms_data_anonymity_differential_privacy_spark.streaming.sessions import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    ev = load_table(spark, sf0001, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    batch = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in sessionize_batch(ev, gap="30 minutes").collect()
+        if r.session_end <= max_ts
+    }
+    import shutil
+
+    stream_dir = tmp_path / "events"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf0001}/events.parquet", stream_dir / "part-000.parquet")
+    stream_df = sessionize_stream(
+        spark, str(stream_dir), gap="30 minutes", watermark="0 seconds"
+    )
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("x11_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_x11"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in spark.sql("SELECT * FROM x11_test").collect()
+    }
+    assert got == batch
+    assert len(batch) > 0
+
+
+def test_sessionize_gap_boundary(spark):
+    """Events exactly `gap` apart merge (strict-> island rule); one second
+    past the gap splits. Pins the semantics the DuckDB twin encodes."""
+    import datetime as dt
+
+    from dbms_data_anonymity_differential_privacy_spark.streaming.sessions import sessionize_batch
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base), (1, base + dt.timedelta(minutes=30)),
+        (2, base), (2, base + dt.timedelta(minutes=30, seconds=1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = sessionize_batch(df, gap="30 minutes")
+    per_user = {r.user_id: r for r in out.groupBy("user_id").count().collect()}
+    assert per_user[1]["count"] == 1  # merged
+    assert per_user[2]["count"] == 2  # split

@@ -1,0 +1,109 @@
+"""Synthesize a larger scale factor from sf0.1 for scaling measurements.
+
+sf1 parquet does not exist in this environment (TESTDATA.md ships
+sf0.001/0.01/0.1), so the 10x step sf0.01->sf0.1 was the largest
+measurable curve. This tool manufactures an ~sf1 dataset (default 10
+copies of sf0.1) so the curve gets a 100x point — used by SCALE.md's
+measured-scaling section, never by correctness oracles.
+
+Inflation must not distort the *workload shape*, so each table is copied
+with care:
+
+- keys are remapped per copy (key + copy * stride) so uniqueness
+  invariants hold and group counts scale by the copy factor;
+- ``documents.text`` is re-ordered per copy by a salted word sort —
+  token/char statistics are preserved exactly, but shingle sets differ
+  across copies, so near-dup candidate volume scales like a real corpus
+  instead of exploding into clone cliques;
+- ``embeddings.embedding`` is cyclically rotated per copy — norms and
+  pairwise-distance distribution are preserved, directions differ, so
+  ANN/cosine candidate structure scales honestly;
+- small dimension tables are passed through unchanged.
+
+Usage: python tools/inflate_sf.py [src_sf_dir] [out_dir] [copies]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbms_data_anonymity_differential_privacy_spark import get_spark
+from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_table
+
+KEY_STRIDE = 1 << 40  # far above any sf0.1 key
+
+
+def _shuffle_words(text: F.Column, copy: int) -> F.Column:
+    """Deterministically permute word order (per copy) with all-JVM
+    expressions: tag each word with xxhash64(word|copy), array_sort on the
+    (hash, word) struct, join back. Token multiset is unchanged."""
+    words = F.split(text, r"\s+")
+    tagged = F.transform(
+        words,
+        lambda w: F.struct(
+            F.xxhash64(F.concat_ws("|", w, F.lit(str(copy)))).alias("h"), w.alias("w")
+        ),
+    )
+    return F.array_join(F.transform(F.array_sort(tagged), lambda s: s["w"]), " ")
+
+
+def _rotate(arr: F.Column, k: int) -> F.Column:
+    if k == 0:
+        return arr
+    return F.concat(F.slice(arr, k + 1, F.size(arr)), F.slice(arr, 1, F.lit(k)))
+
+
+def inflate(spark: SparkSession, src: str, out: str, copies: int) -> None:
+    def remap(df: DataFrame, copy: int, *key_cols: str) -> DataFrame:
+        for c in key_cols:
+            df = df.withColumn(c, F.col(c) + F.lit(copy * KEY_STRIDE))
+        return df
+
+    def build(name: str, per_copy) -> None:
+        parts = [per_copy(load_table(spark, src, name), i) for i in range(copies)]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.repartition(32).write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+        print(f"{name}: x{copies} written")
+
+    build("customer", lambda df, i: remap(df, i, "c_custkey"))
+    build("orders", lambda df, i: remap(df, i, "o_orderkey", "o_custkey"))
+    build("events", lambda df, i: remap(df, i, "event_id", "user_id"))
+    build(
+        "documents",
+        lambda df, i: remap(df, i, "doc_id").withColumn(
+            "text", _shuffle_words(F.col("text"), i)
+        ),
+    )
+    build(
+        "embeddings",
+        lambda df, i: remap(df, i, "vec_id").withColumn(
+            "embedding", _rotate(F.col("embedding"), i)
+        ),
+    )
+    # dimension-like tables pass through so every registry query still runs
+    for name in ("region", "nation", "supplier", "part", "lineitem"):
+        load_table(spark, src, name).write.mode("overwrite").parquet(
+            f"{out}/{name}.parquet"
+        )
+        print(f"{name}: passthrough")
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.bench_data/sf1.0"
+    copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    spark = get_spark(app_name="inflate")
+    spark.sparkContext.setLogLevel("ERROR")
+    inflate(spark, src, out, copies)
+
+
+if __name__ == "__main__":
+    main()
