@@ -11,10 +11,14 @@ with care:
 
 - keys are remapped per copy (key + copy * stride) so uniqueness
   invariants hold and group counts scale by the copy factor;
-- ``documents.text`` is re-ordered per copy by a salted word sort —
-  token/char statistics are preserved exactly, but shingle sets differ
-  across copies, so near-dup candidate volume scales like a real corpus
-  instead of exploding into clone cliques;
+- ``documents.text`` gets a per-copy suffix on every token. Word-order
+  permutation is NOT enough: it changes n-gram shingles but preserves the
+  token MULTISET, and the set-based representations (SimHash votes,
+  unigram features) then see every doc as 10 exact feature-space clones —
+  quadratic clone-clique blowup that says nothing about real scaling.
+  Disjoint per-copy vocabularies keep within-copy similarity structure
+  exactly (bijective token renaming) and make cross-copy similarity zero
+  for every representation, so candidate volume scales like a corpus;
 - ``embeddings.embedding`` is cyclically rotated per copy — norms and
   pairwise-distance distribution are preserved, directions differ, so
   ANN/cosine candidate structure scales honestly;
@@ -39,18 +43,15 @@ from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_
 KEY_STRIDE = 1 << 40  # far above any sf0.1 key
 
 
-def _shuffle_words(text: F.Column, copy: int) -> F.Column:
-    """Deterministically permute word order (per copy) with all-JVM
-    expressions: tag each word with xxhash64(word|copy), array_sort on the
-    (hash, word) struct, join back. Token multiset is unchanged."""
+def _retag_words(text: F.Column, copy: int) -> F.Column:
+    """Bijective per-copy token renaming (suffix) — all-JVM expressions.
+    Copy 0 keeps the original text byte-identical."""
+    if copy == 0:
+        return text
     words = F.split(text, r"\s+")
-    tagged = F.transform(
-        words,
-        lambda w: F.struct(
-            F.xxhash64(F.concat_ws("|", w, F.lit(str(copy)))).alias("h"), w.alias("w")
-        ),
+    return F.array_join(
+        F.transform(words, lambda w: F.concat(w, F.lit(f"_c{copy}"))), " "
     )
-    return F.array_join(F.transform(F.array_sort(tagged), lambda s: s["w"]), " ")
 
 
 def _rotate(arr: F.Column, k: int) -> F.Column:
@@ -79,7 +80,7 @@ def inflate(spark: SparkSession, src: str, out: str, copies: int) -> None:
     build(
         "documents",
         lambda df, i: remap(df, i, "doc_id").withColumn(
-            "text", _shuffle_words(F.col("text"), i)
+            "text", _retag_words(F.col("text"), i)
         ),
     )
     build(
