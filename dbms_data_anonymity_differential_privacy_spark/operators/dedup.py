@@ -502,8 +502,17 @@ def simhash_from_token_hashes(hs: Column, bits: int = 32) -> Column:
     ±1 votes all read bits of that single hash: a running vote vector as
     an array<int> accumulator, one pass over the tokens.
 
-    32 bits balances expression-tree size against collision noise."""
-    masks = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    Vote cost is linear in ``bits``; 32 suffices for small corpora, 64 is
+    what the banded candidate join needs past ~10^4 docs (see
+    :func:`simhash_pairs`). Bit 63 of a 64-bit signature is the sign bit
+    of the long, so its mask/power is the two's-complement ``-2^63``."""
+    if bits < 1 or bits > 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
+
+    def _bit(j: int) -> int:
+        return (1 << j) if j < 63 else -(1 << 63)
+
+    masks = F.array(*[F.lit(_bit(j)).cast("long") for j in range(bits)])
     votes = F.aggregate(
         hs,
         F.array_repeat(F.lit(0), bits),
@@ -515,7 +524,7 @@ def simhash_from_token_hashes(hs: Column, bits: int = 32) -> Column:
         ),
     )
     # Reassemble the sign bits into one long: bit j set iff votes[j] >= 0.
-    powers = F.array(*[F.lit(2**j).cast("long") for j in range(bits)])
+    powers = F.array(*[F.lit(_bit(j)).cast("long") for j in range(bits)])
     return F.aggregate(
         F.zip_with(votes, powers, lambda v, p: F.when(v >= 0, p).otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"),
@@ -532,6 +541,20 @@ def simhash(text: Column, bits: int = 32) -> Column:
     return simhash_from_token_hashes(F.transform(toks, lambda t: F.xxhash64(t)), bits)
 
 
+# Above this corpus size the candidate join switches from direct banding
+# (d+1 blocks, single-block keys) to combination banding (2(d+1) blocks,
+# keys = concatenations of (n_blocks - d) blocks — Manku et al., WWW'07
+# §3). Expected block collisions are n^2 * n_keys / 2^key_width: 8-bit
+# single-block keys cap the key space at 256 values, so candidates grow
+# quadratically past ~10^4 docs (measured: 3x wall for 10x docs on the
+# inflated corpus); 20-bit combination keys (8 blocks of 4 bits, C(8,5)=56
+# combos) trade a 14x larger block relation for a ~300x collision
+# reduction. Both bandings are EXACT (pigeonhole: hamming <= d spoils at
+# most d blocks, leaving an intact (n_blocks - d)-subset), so the switch
+# changes only the physical plan, never the pair set.
+SIMHASH_COMBO_DOC_THRESHOLD = 20_000
+
+
 def simhash_pairs(
     df: DataFrame,
     max_hamming: int = 3,
@@ -539,36 +562,69 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     tokens: DataFrame | None = None,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dup pairs: block on the four 8-bit bytes (a pair within
-    Hamming distance <= 3 must agree exactly on at least one of 4 blocks —
-    pigeonhole), then exact popcount filter. Each block join is an
-    equi-join on a small key → no O(n^2) pair space."""
-    n_blocks = 4
-    # persist: the 4 block-join branches reference this relation 8 times,
+    """SimHash near-dup pairs: band the signature into equal-width blocks,
+    equi-join candidates on each (n_blocks - max_hamming)-block
+    combination key (pigeonhole guarantees recall), then exact popcount
+    filter — no O(n^2) pair space.
+
+    ``n_blocks=None`` picks the banding from the corpus size (one count
+    over the input): direct ``d+1``-block banding below
+    :data:`SIMHASH_COMBO_DOC_THRESHOLD` docs, ``2(d+1)``-block
+    combination banding above — the same adaptive-physical-strategy idea
+    as the Jaccard prefix filter, and like it output-invariant: the
+    detector is defined by (bits, max_hamming) alone."""
+    import itertools
+
+    d = max_hamming
+    toks = tokens if tokens is not None else hashed_tokens(df, text_col, id_col)
+    if n_blocks is None:
+        n_docs = (df if tokens is None else tokens).count()
+        n_blocks = (2 * (d + 1)) if n_docs > SIMHASH_COMBO_DOC_THRESHOLD else (d + 1)
+        if bits % n_blocks:
+            n_blocks = d + 1  # combination banding needs equal blocks
+    if bits % n_blocks:
+        raise ValueError(f"bits={bits} must divide into {n_blocks} equal blocks")
+    if not d < n_blocks <= bits:
+        raise ValueError(f"need max_hamming < n_blocks <= bits, got {d}, {n_blocks}")
+    block_width = bits // n_blocks
+    # width 64 (max_hamming=0 on a 64-bit sig): all-ones mask is -1 in
+    # two's complement — (1<<64)-1 would overflow the long literal
+    block_mask = (1 << block_width) - 1 if block_width < 64 else -1
+    # persist: the block-join branches reference this relation repeatedly,
     # and the simhash vote aggregate is interpreted (no codegen CSE) — it
     # must be evaluated once per row, not once per branch
-    toks = tokens if tokens is not None else hashed_tokens(df, text_col, id_col)
     hashed = (
         toks.select(
             F.col(id_col), simhash_from_token_hashes(F.col("__th"), bits).alias("sh")
         )
         .persist()
     )
-    # One (block_idx, block_value) relation via posexplode → a SINGLE
-    # candidate self-join instead of n_blocks separate joins + union (one
-    # shuffle stage, one dedup). Signatures re-attach afterwards from the
-    # small persisted relation for the exact popcount filter.
+
+    # arithmetic shift then mask: the mask keeps only the block's low
+    # bits, so sign extension is irrelevant
+    def _block(b: int) -> Column:
+        return F.shiftright(F.col("sh"), block_width * b).bitwiseAND(F.lit(block_mask))
+
+    # each combination key concatenates its blocks into one long
+    # ((n_blocks - d) * block_width <= 60 bits for every supported shape)
+    def _combo_key(combo: tuple[int, ...]) -> Column:
+        key = F.lit(0).cast("long")
+        for pos, b in enumerate(combo):
+            key = key + F.shiftleft(_block(b), pos * block_width)
+        return key
+
+    combos = list(itertools.combinations(range(n_blocks), n_blocks - d))
+    # One (combo_idx, combo_value) relation via posexplode → a SINGLE
+    # candidate self-join instead of per-combo joins + union (one shuffle
+    # stage, one dedup). Signatures re-attach afterwards from the small
+    # persisted relation for the exact popcount filter.
     blockrel = hashed.select(
         F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("sh"), 8 * b).bitwiseAND(F.lit(255))
-                    for b in range(n_blocks)
-                ]
-            )
-        ).alias("blk_idx", "blk_val"),
+        F.posexplode(F.array(*[_combo_key(c) for c in combos])).alias(
+            "blk_idx", "blk_val"
+        ),
     )
     cands = (
         blockrel.alias("a")

@@ -951,3 +951,25 @@ def test_sessionize_gap_boundary(spark):
     per_user = {r.user_id: r for r in out.groupBy("user_id").count().collect()}
     assert per_user[1]["count"] == 1  # merged
     assert per_user[2]["count"] == 2  # split
+
+
+def test_simhash_combination_banding_exact(spark, sf001):
+    """Combination banding (8 blocks of 4 bits, 5-block combo keys — the
+    large-corpus physical strategy) must produce the IDENTICAL pair set as
+    direct 4-block banding: both are pigeonhole-exact candidate
+    generators for the same (bits=32, hamming<=3) detector, so the switch
+    is output-invariant — the same guarantee the Jaccard prefix filter
+    equivalence test pins."""
+    docs = load_table(spark, sf001, "documents")
+    direct = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(docs, max_hamming=3, n_blocks=4).collect()
+    }
+    combo = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(docs, max_hamming=3, n_blocks=8).collect()
+    }
+    assert direct == combo
+    assert direct  # corpus contains planted near-dups
+    with pytest.raises(ValueError, match="equal blocks"):
+        simhash_pairs(docs, max_hamming=2, n_blocks=3)  # 32 % 3 != 0
