@@ -94,3 +94,69 @@ def explicit_edges_case_sql(col: str, edges: Sequence[float], labels: Sequence[s
         for i in range(len(labels))
     )
     return f"CASE {whens} ELSE NULL END"
+
+
+def bin_equal_frequency(
+    df: DataFrame,
+    col: str,
+    n_bins: int,
+    out_col: str | None = None,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Equal-frequency (quantile) binning — the generalization sibling of
+    P17 the reference lacks: every bin holds ``ceil/floor(n/n_bins)`` rows
+    regardless of the value distribution, which is what an anonymizer
+    wants for skewed numerics (equal-width puts 99% of capital-gain in
+    bin 0; equal-frequency gives every bin the same crowd to hide in).
+
+    Exact rank formulation: ``ntile(n_bins)`` over (col, tiebreaks) — the
+    tiebreak keys make the assignment total-order deterministic (ties on
+    ``col`` alone would leave bin membership partition-order dependent and
+    irreproducible). DuckDB implements the same standard NTILE, so this is
+    oracle-checkable verbatim.
+
+    SCALE WARNING: an unpartitioned window is a single-task global sort —
+    correct but serial. This exact form is for modest relations (it exists
+    for oracle parity and small dimension releases); at fact-table scale
+    use :func:`bin_equal_frequency_approx`, which gets the same bin
+    *shape* from sketch quantiles with no global sort.
+    """
+    from pyspark.sql import Window
+
+    out_col = out_col or f"{col}_bin"
+    order = [F.col(col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.orderBy(*order)
+    return df.withColumn(out_col, (F.ntile(n_bins).over(w) - 1).cast("int"))
+
+
+def bin_equal_frequency_approx(
+    df: DataFrame,
+    col: str,
+    n_bins: int,
+    out_col: str | None = None,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Scale path for equal-frequency binning: edges from
+    ``approx_percentile`` (Greenwald–Khanna sketch — one map-side pass, a
+    kilobyte-scale merge, NO global sort), then a broadcast of the edge
+    array and a codegen-friendly comparison chain. Bin populations are
+    equal to within ``relative_error``; assignment is by VALUE (all ties
+    share a bin), unlike the exact rank form which splits ties at bin
+    boundaries. At 100 TB this is the only reasonable formulation — the
+    sketch merge is the same pattern Spark uses for its own AQE statistics.
+    """
+    out_col = out_col or f"{col}_bin"
+    probs = F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])
+    edges = df.agg(
+        F.percentile_approx(F.col(col), probs, F.lit(int(1.0 / relative_error))).alias(
+            "__edges"
+        )
+    )
+    binned = df.crossJoin(F.broadcast(edges))
+    # bin = number of interior edges strictly below the value
+    cnt = F.aggregate(
+        F.col("__edges"),
+        F.lit(0),
+        lambda acc, e: acc + F.when(F.col(col) >= e, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return binned.withColumn(out_col, cnt.cast("int")).drop("__edges")

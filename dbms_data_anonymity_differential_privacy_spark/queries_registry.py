@@ -1805,6 +1805,34 @@ def x10_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X12 — equal-frequency (quantile) binning (functions/binning.py): the
+# generalization sibling of P17 for skewed numerics. Exact rank form is
+# NTILE in both engines (tie-broken by key → total-order deterministic);
+# the approx_percentile sketch form is the 100 TB path (rows-only pytest).
+# --------------------------------------------------------------------------
+@query(
+    "x12_equal_freq_bin",
+    """
+    WITH t AS (SELECT c_acctbal,
+                      ntile(10) OVER (ORDER BY c_acctbal, c_custkey) - 1 AS efbin
+               FROM customer)
+    SELECT efbin, COUNT(*) AS n_rows, MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+    FROM t GROUP BY efbin
+    """,
+)
+def x12_equal_freq_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.functions.binning import bin_equal_frequency
+
+    c = load_table(spark, sf_dir, "customer")
+    b = bin_equal_frequency(c, "c_acctbal", 10, "efbin", tiebreak_cols=["c_custkey"])
+    return b.groupBy("efbin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("c_acctbal").alias("lo"),
+        F.max("c_acctbal").alias("hi"),
+    )
+
+
+# --------------------------------------------------------------------------
 # X11 — sessionization (streaming/sessions.py). Event-gap session windows
 # per user; Spark's native session_window aggregation vs the classic
 # gaps-and-islands SQL in DuckDB. Boundary semantics verified empirically:
@@ -1854,6 +1882,9 @@ def x11_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `dedup_exact`; X4 keeps `cosine_topk`; X5 keeps `text_features` +
 # `lang_id`; new single-query components like x09/x10 stay in-window).
 _WINDOW_DEMOTED = [
+    # X10 keeps hash_split (same md5-prefix mechanism as hash_sample, plus
+    # the CASE assignment) and stratified_sample in-window
+    "x10_hash_sample",
     "x02_dedup_fingerprint",
     "x04_cosine_pairs",
     "x05_text_stats",

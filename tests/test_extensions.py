@@ -973,3 +973,45 @@ def test_simhash_combination_banding_exact(spark, sf001):
     assert direct  # corpus contains planted near-dups
     with pytest.raises(ValueError, match="equal blocks"):
         simhash_pairs(docs, max_hamming=2, n_blocks=3)  # 32 % 3 != 0
+
+
+def test_equal_frequency_binning_exact_and_approx(spark, sf0001):
+    """Exact NTILE form: bin populations differ by at most 1 and bins are
+    value-ordered. Approx sketch form (the 100 TB path, no global sort):
+    bins are value-contiguous and populations land within a loose band of
+    n/n_bins on real skewed data."""
+    from dbms_data_anonymity_differential_privacy_spark.functions.binning import (
+        bin_equal_frequency,
+        bin_equal_frequency_approx,
+    )
+
+    c = load_table(spark, sf0001, "customer")
+    n = c.count()
+    n_bins = 10
+
+    exact = bin_equal_frequency(c, "c_acctbal", n_bins, "b", tiebreak_cols=["c_custkey"])
+    sizes = {r.b: r.cnt for r in exact.groupBy("b").agg(F.count("*").alias("cnt")).collect()}
+    assert set(sizes) == set(range(n_bins))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert sum(sizes.values()) == n
+    # bins are ordered by value: max of bin i <= min of bin i+1
+    stats = (
+        exact.groupBy("b").agg(F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi"))
+        .orderBy("b").collect()
+    )
+    for prev, cur in zip(stats, stats[1:]):
+        assert prev.hi <= cur.lo
+
+    approx = bin_equal_frequency_approx(c, "c_acctbal", n_bins, "b")
+    a_stats = (
+        approx.groupBy("b").agg(
+            F.count("*").alias("cnt"), F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
+        ).orderBy("b").collect()
+    )
+    assert sum(r.cnt for r in a_stats) == n
+    for prev, cur in zip(a_stats, a_stats[1:]):
+        assert prev.hi <= cur.lo
+    # populations near n/n_bins (sketch is near-exact at this size; wide band
+    # guards against distribution ties, not sketch error)
+    for r in a_stats:
+        assert r.cnt <= 3 * n / n_bins
