@@ -1833,6 +1833,92 @@ def x12_equal_freq_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X13 — PII detection + redaction (operators/pii.py): the free-text
+# direct-identifier scrub an anonymizer needs (the reference can only drop
+# identifier COLUMNS, naive-suppresion.py:23-27). The testdata carries no
+# natural PII, so the query builds a deterministic synthetic profile string
+# from customer fields with THE SAME SQL expression in both engines, then
+# detects/redacts over it — what's under test is the operator (regex
+# semantics + replace chain), not the synthesis.
+# --------------------------------------------------------------------------
+
+# Shared profile expression — valid verbatim in Spark SQL and DuckDB
+# (||, lpad, %, CAST AS STRING are identical). PII presence varies by key
+# (ssn on 1/3 of rows, phone on 1/2, card on 1/7) so zero counts are
+# exercised too.
+_PROFILE_SQL = (
+    "c_name || ' <user' || CAST(c_custkey AS STRING) || '@example.com>'"
+    " || CASE WHEN c_custkey % 3 = 0 THEN ' ssn '"
+    "   || lpad(CAST((c_custkey * 7) % 1000 AS STRING), 3, '0') || '-'"
+    "   || lpad(CAST((c_custkey * 3) % 100 AS STRING), 2, '0') || '-'"
+    "   || lpad(CAST((c_custkey * 11) % 10000 AS STRING), 4, '0') ELSE '' END"
+    " || CASE WHEN c_custkey % 2 = 0 THEN ' ph 555-'"
+    "   || lpad(CAST(c_custkey % 1000 AS STRING), 3, '0') || '-'"
+    "   || lpad(CAST((c_custkey * 13) % 10000 AS STRING), 4, '0') ELSE '' END"
+    " || CASE WHEN c_custkey % 7 = 0 THEN ' card '"
+    "   || lpad(CAST((c_custkey * 17) % 10000 AS STRING), 4, '0') || '-1111-2222-'"
+    "   || lpad(CAST((c_custkey * 19) % 10000 AS STRING), 4, '0') ELSE '' END"
+    " || ' ip 10.' || CAST(c_nationkey AS STRING) || '.0.'"
+    " || CAST(c_custkey % 256 AS STRING) || ' ' || c_mktsegment"
+)
+
+
+def _pii_oracle_sqls() -> tuple[str, str]:
+    """Build both x13 oracles from PII_PATTERNS so SQL can't drift from
+    the operator's pattern dict."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.pii import PII_PATTERNS, redact_pii_sql
+
+    count = {
+        label: f"COALESCE(len(regexp_extract_all(profile, '{pat}')), 0)"
+        for label, pat in PII_PATTERNS.items()
+    }
+    count_cols = ", ".join(f"{e} AS pii_{label}" for label, e in count.items())
+    total = " + ".join(f"pii_{label}" for label in PII_PATTERNS)
+    detect = f"""
+    WITH prof AS (SELECT c_custkey, {_PROFILE_SQL} AS profile FROM customer),
+    c AS (SELECT c_custkey, profile, {count_cols} FROM prof)
+    SELECT c_custkey, {", ".join("pii_" + l for l in PII_PATTERNS)},
+           {total} AS pii_total,
+           {redact_pii_sql("profile")} AS redacted
+    FROM c
+    """
+    report_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN {e} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS rows_with_{label}, "
+        f"CAST(SUM({e}) AS BIGINT) AS mentions_{label}"
+        for label, e in count.items()
+    )
+    report = f"""
+    WITH prof AS (SELECT {_PROFILE_SQL} AS profile FROM customer)
+    SELECT {report_cols} FROM prof
+    """
+    return detect, report
+
+
+_PII_DETECT_SQL, _PII_REPORT_SQL = _pii_oracle_sqls()
+
+
+def _customer_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_custkey", F.expr(_PROFILE_SQL).alias("profile"))
+
+
+@query("x13_pii_detect", _PII_DETECT_SQL)
+def x13_pii_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.pii import redact_pii, with_pii_counts
+
+    prof = _customer_profiles(spark, sf_dir)
+    out = with_pii_counts(prof, "profile")
+    return out.withColumn("redacted", redact_pii(F.col("profile"))).drop("profile")
+
+
+@query("x13_pii_report", _PII_REPORT_SQL)
+def x13_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.pii import pii_report
+
+    return pii_report(_customer_profiles(spark, sf_dir), "profile")
+
+
+# --------------------------------------------------------------------------
 # X11 — sessionization (streaming/sessions.py). Event-gap session windows
 # per user; Spark's native session_window aggregation vs the classic
 # gaps-and-islands SQL in DuckDB. Boundary semantics verified empirically:
@@ -1882,9 +1968,14 @@ def x11_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `dedup_exact`; X4 keeps `cosine_topk`; X5 keeps `text_features` +
 # `lang_id`; new single-query components like x09/x10 stay in-window).
 _WINDOW_DEMOTED = [
-    # X10 keeps hash_split (same md5-prefix mechanism as hash_sample, plus
-    # the CASE assignment) and stratified_sample in-window
+    # X10 keeps hash_split in-window (same md5-prefix mechanism as
+    # hash_sample plus the CASE assignment; stratified adds the quota
+    # window — demoted to make room for the x13 PII component)
     "x10_hash_sample",
+    "x10_stratified_sample",
+    # X5 keeps text_features in-window (supersets the stats expressions);
+    # lang_id demoted for the second x13 slot
+    "x05_lang_id",
     "x02_dedup_fingerprint",
     "x04_cosine_pairs",
     "x05_text_stats",

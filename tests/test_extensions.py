@@ -1015,3 +1015,41 @@ def test_equal_frequency_binning_exact_and_approx(spark, sf0001):
     # guards against distribution ties, not sketch error)
     for r in a_stats:
         assert r.cnt <= 3 * n / n_bins
+
+
+def test_pii_detect_and_redact(spark):
+    """Crafted rows: every PII type detected with the right count, the
+    redaction chain removes ALL detectable PII (re-running detection on the
+    redacted text yields zero), and NULL text flows through as count 0."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.pii import (
+        pii_report,
+        redact_pii,
+        with_pii_counts,
+    )
+
+    rows = [
+        (1, "mail a.b-c_d@ex-ample.co.uk and x@y.io today"),
+        (2, "ssn 123-45-6789 ph 555-123-4567 at 10.0.0.1"),
+        (3, "card 1234-5678-9012-3456 paid"),
+        (4, "no pii here, just 12345 and v1.2 text"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r for r in with_pii_counts(df, "text").collect()}
+    assert (out[1].pii_email, out[1].pii_total) == (2, 2)
+    assert (out[2].pii_ssn, out[2].pii_phone, out[2].pii_ipv4, out[2].pii_total) == (1, 1, 1, 3)
+    assert (out[3].pii_credit_card, out[3].pii_phone, out[3].pii_ssn) == (1, 0, 0)
+    assert out[4].pii_total == 0
+    assert out[5].pii_total == 0
+
+    red = df.withColumn("text", redact_pii(F.col("text")))
+    rr = {r.id: r for r in red.collect()}
+    assert rr[2].text == "ssn [SSN] ph [PHONE] at [IPV4]"
+    assert rr[3].text == "card [CREDIT_CARD] paid"
+    assert rr[4].text == rows[3][1]  # untouched
+    recheck = with_pii_counts(red, "text")
+    assert recheck.agg(F.sum("pii_total")).first()[0] == 0
+
+    rep = pii_report(df, "text").first()
+    assert (rep.rows_with_email, rep.mentions_email) == (1, 2)
+    assert (rep.rows_with_credit_card, rep.mentions_ssn) == (1, 1)

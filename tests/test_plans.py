@@ -141,3 +141,13 @@ def test_bench_headline_queries_exist():
 def test_every_oracle_has_a_query():
     dangling = [k for k in qr.ORACLE_SQL if k not in qr.QUERIES]
     assert dangling == []
+
+
+def test_pii_detect_is_map_only(plans):
+    """PII detect/redact must be one scan, zero exchanges, and read only
+    the columns the profile expression needs — the shape that makes a
+    100 TB scrub embarrassingly parallel."""
+    p = plans["x13_pii_detect"]
+    assert len(re.findall(r"Scan parquet|FileScan parquet", p)) == 1
+    assert "Exchange" not in p
+    assert "pythonUDF" not in p
