@@ -110,3 +110,63 @@ def text_stats(df: DataFrame, text_col: str = "text", by: str = "lang") -> DataF
         F.round(F.avg("quality"), 9).alias("avg_quality"),
         F.countDistinct("fingerprint").alias("n_unique_fingerprints"),
     )
+
+
+def repetition_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document repetition signals (the Gopher/MassiveText-style
+    quality gates, Rae et al. 2021 §A1.1): duplicate-token fraction and
+    top-bigram occurrence fraction. Boilerplate and generation loops show
+    up as high repetition long before a human reads the text.
+
+    Physical shape: the duplicate-token fraction is pure map-side
+    (``array_distinct`` over the token array — no shuffle). The top-bigram
+    count needs a per-(doc, bigram) frequency, i.e. one explode + one
+    aggregation whose shuffle key is (doc_id, bigram) — at 100 TB that is
+    the canonical word-count shape: map-side partial aggregation absorbs
+    the intra-partition repeats (exactly the rows we're hunting), so the
+    shuffle carries near-distinct keys only. The bigram total per doc is
+    ``n_tokens - 1`` by construction, so no second aggregation or
+    join-back for totals is needed.
+
+    Docs with < 2 tokens are excluded (no bigram is defined; a fraction
+    over an empty support would be noise, and the gate's callers treat
+    missing as "too short to judge").
+    """
+    t = F.split(F.trim(F.col(text_col)), WS)
+    base = (
+        df.select(
+            F.col(id_col),
+            t.alias("__t"),
+            F.size(t).alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") >= 2)
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct(F.col("__t"))) / F.col("n_tokens"), 9
+            ).alias("dup_token_frac"),
+            # CASE guard: Catalyst may collapse this projection with the
+            # size>=2 filter and evaluate the lambda on short rows, where
+            # sequence(0, size-2) DESCENDS (e.g. [0,-1]) and the index
+            # throws under ANSI mode. The guard makes the expression total.
+            F.expr(
+                "CASE WHEN size(__t) >= 2 THEN "
+                "transform(sequence(0, size(__t) - 2), i -> concat(__t[i], ' ', __t[i + 1])) "
+                "ELSE CAST(array() AS array<string>) END"
+            ).alias("__bg"),
+        )
+    )
+    counts = (
+        base.select(id_col, "n_tokens", "dup_token_frac", F.explode("__bg").alias("__bgram"))
+        .groupBy(id_col, "n_tokens", "dup_token_frac", "__bgram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col, "n_tokens", "dup_token_frac")
+        .agg(F.max("__c").alias("__top_c"))
+    )
+    return counts.select(
+        id_col,
+        "n_tokens",
+        "dup_token_frac",
+        F.round(F.col("__top_c") / (F.col("n_tokens") - 1), 9).alias("top_bigram_frac"),
+    )

@@ -1919,6 +1919,35 @@ def x13_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X14 — repetition metrics (operators/text.py repetition_metrics): the
+# Gopher-style quality gates. dup_token_frac is map-side; top-bigram is
+# the word-count shape (explode + partial-agg). Oracle = DuckDB list
+# lambdas + UNNEST over the same tokenization.
+# --------------------------------------------------------------------------
+@query(
+    "x14_repetition",
+    r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                  FROM documents),
+    base AS (SELECT doc_id, len(t) AS n_tokens,
+                    ROUND(1.0 - len(list_distinct(t)) / len(t), 9) AS dup_token_frac,
+                    list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS bg
+             FROM toks WHERE len(t) >= 2),
+    bgc AS (SELECT doc_id, n_tokens, dup_token_frac, bgram, COUNT(*) AS c
+            FROM base, UNNEST(bg) AS u(bgram)
+            GROUP BY doc_id, n_tokens, dup_token_frac, bgram)
+    SELECT doc_id, n_tokens, dup_token_frac,
+           ROUND(MAX(c) * 1.0 / (n_tokens - 1), 9) AS top_bigram_frac
+    FROM bgc GROUP BY doc_id, n_tokens, dup_token_frac
+    """,
+)
+def x14_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import repetition_metrics
+
+    return repetition_metrics(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
 # X11 — sessionization (streaming/sessions.py). Event-gap session windows
 # per user; Spark's native session_window aggregation vs the classic
 # gaps-and-islands SQL in DuckDB. Boundary semantics verified empirically:
@@ -1976,6 +2005,9 @@ _WINDOW_DEMOTED = [
     # X5 keeps text_features in-window (supersets the stats expressions);
     # lang_id demoted for the second x13 slot
     "x05_lang_id",
+    # X13 keeps pii_detect in-window (the report is an aggregate of the
+    # same per-row counts); demoted for the x14 repetition slot
+    "x13_pii_report",
     "x02_dedup_fingerprint",
     "x04_cosine_pairs",
     "x05_text_stats",

@@ -1053,3 +1053,25 @@ def test_pii_detect_and_redact(spark):
     rep = pii_report(df, "text").first()
     assert (rep.rows_with_email, rep.mentions_email) == (1, 2)
     assert (rep.rows_with_credit_card, rep.mentions_ssn) == (1, 1)
+
+
+def test_repetition_metrics_crafted(spark):
+    """Hand-computable docs: a pure loop ("a a a a") maxes both signals, a
+    all-distinct doc zeroes dup_token_frac, and sub-2-token docs drop out."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),            # dup = 1 - 1/4; bigram 'a a' x3 of 3
+            (2, "w x y z"),            # dup = 0; every bigram unique -> 1/3
+            (3, "go stop go stop go"), # dup = 1 - 2/5; 'go stop' x2 of 4
+            (4, "solo"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].dup_token_frac == 0.75 and out[1].top_bigram_frac == 1.0
+    assert out[2].dup_token_frac == 0.0 and out[2].top_bigram_frac == round(1 / 3, 9)
+    assert out[3].dup_token_frac == 0.6 and out[3].top_bigram_frac == 0.5
