@@ -1,0 +1,179 @@
+"""Mondrian multidimensional k-anonymity (LeFevre, DeWitt, Ramakrishnan,
+ICDE 2006) — greedy median-split partitioning of the QI space, then
+per-leaf range generalization.
+
+The reference achieves k-anonymity only by SUPPRESSION (drop every class
+smaller than k, naive-suppresion.py:29-40) or by k-means clustering
+(clustering-anon.py). Mondrian is the classic third way: generalize
+instead of drop, losing precision instead of rows. Published utility is
+far better than suppression on skewed QIs (its NCP degrades gracefully
+instead of suppressing whole regions).
+
+Spark-first design — the whole recursion is data-parallel:
+
+* One "round" splits EVERY splittable leaf at once (breadth-first over
+  the partition tree), not one leaf at a time: rounds = tree DEPTH
+  (~log2(n/k)), not leaf count. 100 TB with k=25 is ~40 rounds.
+* Per-leaf state (counts, ranges, medians, the chosen cut) lives in a
+  small aggregated relation keyed by leaf id — NEVER collected into a
+  driver-side CASE chain, so billions of leaves are fine. Row → leaf
+  routing is a join on the leaf id.
+* Medians come from ``percentile_approx`` (Greenwald–Khanna sketch, one
+  pass) by default; the k-guarantee does NOT depend on median accuracy
+  because side populations are re-counted exactly before a cut is
+  accepted — a sloppy median only unbalances the tree slightly.
+  ``median='exact'`` switches to the exact sort-based percentile for
+  deterministic small-relation runs.
+* Each round ends in ``localCheckpoint(eager=True)`` to truncate the
+  iterative lineage (the same pattern MLlib uses); a real cluster
+  deployment would point this at a reliable checkpoint dir.
+
+Deviation from the paper, documented: when the widest allowable
+dimension's median cut would violate k, the original retries remaining
+dimensions serially; we evaluate ALL dimensions' cuts in the same
+aggregation pass and pick the widest among the allowable ones — same
+intent, strictly fewer passes, and never worse coverage than
+widest-only.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PID = "__pid"
+
+
+def _median_expr(col: str, how: str, accuracy: int):
+    if how == "exact":
+        return F.expr(f"percentile({col}, 0.5)")
+    return F.percentile_approx(F.col(col), F.lit(0.5), F.lit(accuracy)).cast("double")
+
+
+def mondrian_assign(
+    df: DataFrame,
+    qi: Sequence[str],
+    k: int,
+    median: str = "approx",
+    accuracy: int = 10_000,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Assign every row a Mondrian leaf id ``__pid`` such that every leaf
+    holds >= k rows (exact guarantee: cuts are accepted only after exact
+    side counts). QI columns must be numeric-orderable; NULLs sort to the
+    right side of every cut (they satisfy no ``<= median`` predicate) and
+    are not bounded by the leaf ranges.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not qi:
+        raise ValueError("need at least one QI column")
+    spark = df.sparkSession
+    dims = list(qi)
+    d = df.withColumn(PID, F.lit(0).cast("long")).localCheckpoint(eager=True)
+
+    # Global per-dimension ranges normalize the "widest dimension" choice
+    # (one tiny collect — a single row).
+    g = df.agg(
+        *[F.min(F.col(q).cast("double")).alias(f"mn{i}") for i, q in enumerate(dims)],
+        *[F.max(F.col(q).cast("double")).alias(f"mx{i}") for i, q in enumerate(dims)],
+    ).first()
+    grange = [max((g[f"mx{i}"] or 0.0) - (g[f"mn{i}"] or 0.0), 1e-12) for i in range(len(dims))]
+
+    for _ in range(max_rounds):
+        # One aggregation: per-leaf count, range, and median of EVERY dim.
+        stats = d.groupBy(PID).agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            *[F.min(F.col(q).cast("double")).alias(f"__min_{i}") for i, q in enumerate(dims)],
+            *[F.max(F.col(q).cast("double")).alias(f"__max_{i}") for i, q in enumerate(dims)],
+            *[_median_expr(q, median, accuracy).alias(f"__med_{i}") for i, q in enumerate(dims)],
+        )
+        # Exact side counts for every candidate cut, same shuffle key.
+        lefts = (
+            d.join(stats.select(PID, *[f"__med_{i}" for i in range(len(dims))]), PID)
+            .groupBy(PID)
+            .agg(
+                *[
+                    F.sum((F.col(q).cast("double") <= F.col(f"__med_{i}")).cast("long")).alias(
+                        f"__left_{i}"
+                    )
+                    for i, q in enumerate(dims)
+                ]
+            )
+        )
+        spec = stats.join(lefts, PID)
+        # Widest allowable dimension: score = normalized range where the
+        # cut keeps k on both sides, else -1.
+        scores = []
+        for i in range(len(dims)):
+            allowable = (F.col(f"__left_{i}") >= k) & (
+                (F.col("__cnt") - F.col(f"__left_{i}")) >= k
+            )
+            rng = (F.col(f"__max_{i}") - F.col(f"__min_{i}")) / F.lit(grange[i])
+            scores.append(F.when(allowable, rng).otherwise(F.lit(-1.0)))
+        best = scores[0]
+        for s in scores[1:]:
+            best = F.greatest(best, s)
+        dim_idx = F.lit(-1)
+        for i in reversed(range(len(dims))):
+            dim_idx = F.when(scores[i] == best, F.lit(i)).otherwise(dim_idx)
+        med = F.lit(None).cast("double")
+        for i in range(len(dims)):
+            med = F.when(dim_idx == i, F.col(f"__med_{i}")).otherwise(med)
+        spec = spec.select(
+            PID,
+            (best >= 0).alias("__allowed"),
+            dim_idx.alias("__dim"),
+            med.alias("__cut"),
+        ).persist()
+
+        n_splittable = spec.where("__allowed").count()
+        if n_splittable == 0:
+            spec.unpersist()
+            break
+
+        val = F.lit(None).cast("double")
+        for i, q in enumerate(dims):
+            val = F.when(F.col("__dim") == i, F.col(q).cast("double")).otherwise(val)
+        routed = (
+            d.join(spec, PID)
+            .withColumn(
+                PID,
+                F.when(~F.col("__allowed"), F.col(PID))
+                .when(val <= F.col("__cut"), F.col(PID) * 2 + 1)
+                .otherwise(F.col(PID) * 2 + 2),
+            )
+            .drop("__allowed", "__dim", "__cut")
+        )
+        d = routed.localCheckpoint(eager=True)
+        spec.unpersist()
+    return d
+
+
+def mondrian_anonymize(
+    df: DataFrame,
+    qi: Sequence[str],
+    k: int,
+    median: str = "approx",
+    keep_pid: bool = False,
+) -> DataFrame:
+    """Full Mondrian release: every QI column is replaced by its leaf
+    range ``[lo, hi]`` (numeric ``<q>_lo`` / ``<q>_hi`` pairs — the form
+    NCP and downstream models want; the pretty string is one concat away).
+    Non-QI columns pass through untouched; NO rows are suppressed.
+
+    One aggregation over the assigned relation produces the per-leaf
+    bounds; rows re-attach by leaf id (broadcast when the leaf relation is
+    small, AQE's choice otherwise).
+    """
+    assigned = mondrian_assign(df, qi, k, median=median)
+    bounds = assigned.groupBy(PID).agg(
+        *[F.min(F.col(q).cast("double")).alias(f"{q}_lo") for q in qi],
+        *[F.max(F.col(q).cast("double")).alias(f"{q}_hi") for q in qi],
+    )
+    out = assigned.join(bounds, PID).drop(*qi)
+    if not keep_pid:
+        out = out.drop(PID)
+    return out

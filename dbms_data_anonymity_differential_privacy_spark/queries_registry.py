@@ -1983,6 +1983,25 @@ def x11_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X15 — Mondrian multidimensional k-anonymity (operators/mondrian.py,
+# LeFevre et al. ICDE 2006): generalization instead of suppression — keeps
+# 100% of rows where C1 drops small classes. Rows-only: the recursive
+# median-split tree is not SQL-expressible; invariants (every leaf >= k,
+# zero suppression, rows inside their leaf ranges) are pinned in
+# tests/test_mondrian.py.
+# --------------------------------------------------------------------------
+@query("x15_mondrian")
+def x15_mondrian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.mondrian import mondrian_anonymize
+
+    c = load_table(spark, sf_dir, "customer")
+    anon = mondrian_anonymize(c, ["c_acctbal", "c_nationkey"], 25, median="exact")
+    return anon.groupBy(
+        "c_acctbal_lo", "c_acctbal_hi", "c_nationkey_lo", "c_nationkey_hi"
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries (CORRECTNESS_r01 stopped at slot 50, leaving 16
 # oracle-backed queries with no driver signal). Reorder so the window holds
