@@ -487,6 +487,64 @@ def near_dedup_corpus(
     return dedup_corpus(stage1, pairs, id_col, policy=policy)
 
 
+def contamination_check(
+    corpus: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark-contamination scan (the decontamination step of every
+    LLM training pipeline, e.g. GPT-3 appendix C / PaLM §6.1): for each
+    corpus document, how many of its distinct word n-grams also appear
+    anywhere in the benchmark/eval set.
+
+    Output: ``(id, n_ngrams, n_hits, contaminated_frac)`` — one row per
+    corpus doc, zero-filled (a clean doc reports 0 / 0.0), so downstream
+    gates can threshold on ``contaminated_frac`` directly.
+
+    Physical shape for 100 TB corpus vs MB-scale benchmarks: both sides
+    reuse the shared one-pass tokenization (:func:`hashed_tokens`) and
+    8-byte shingle hashes (:func:`shingle_hashes`) — no string shingles
+    ever shuffle. The benchmark's distinct shingle set is broadcast
+    (eval suites are tiny by construction), making the membership probe a
+    map-side BroadcastHashJoin over the corpus scan; the only shuffle is
+    the per-doc hit aggregation, keyed by doc id. Set
+    ``broadcast_bench=False`` for an atypically large right side and the
+    probe becomes a shuffled semi-join instead.
+    """
+    b_sh = (
+        hashed_tokens(bench, text_col, id_col)
+        .select(F.explode(shingle_hashes(F.col("__th"), n)).alias("__s"))
+        .distinct()
+    )
+    if broadcast_bench:
+        b_sh = F.broadcast(b_sh)
+    c_doc = hashed_tokens(corpus, text_col, id_col).select(
+        F.col(id_col), F.array_distinct(shingle_hashes(F.col("__th"), n)).alias("__sh")
+    )
+    hits = (
+        c_doc.select(F.col(id_col), F.explode(F.col("__sh")).alias("__s"))
+        .join(b_sh, "__s")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    base = c_doc.select(F.col(id_col), F.size(F.col("__sh")).cast("long").alias("n_ngrams"))
+    return base.join(hits, id_col, "left").select(
+        F.col(id_col),
+        "n_ngrams",
+        F.coalesce(F.col("__hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.coalesce(F.col("__hits"), F.lit(0)) / F.col("n_ngrams"),
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("contaminated_frac"),
+    )
+
+
 def simhash_from_token_hashes(hs: Column, bits: int = 32) -> Column:
     """Frequency-weighted SimHash (Charikar 2002) over a pre-hashed token
     array: bit j = sign of the sum over token *occurrences* of ±1 derived

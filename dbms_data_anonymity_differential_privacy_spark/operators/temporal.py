@@ -1,0 +1,158 @@
+"""Temporal joins — as-of join and keyed interval join over event data.
+
+The reference is a single-table census study with no temporal concepts
+(SURVEY §0); these are north-star extensions for event/feature pipelines.
+The as-of join (attach the most recent prior observation to each probe
+row) is the point-in-time-correctness primitive of feature stores and
+market data; the interval join (aggregate events falling inside derived
+time windows) is the companion for session/window analytics. Neither
+exists as a Spark built-in.
+
+Spark-first design:
+
+* :func:`asof_join` is the merge-scan formulation (what DuckDB's native
+  ASOF JOIN and kdb's ``aj`` do): union both relations with a side tag
+  and resolve matches with one ordered window pass per key. Cost is ONE
+  shuffle on the join key — identical to a single window aggregation —
+  with no range-pair blowup, no per-row subquery, and no broadcast of
+  either fact table. At 1000 executors the plan is scan+scan → union →
+  hash-partition by key → per-partition sort, all whole-stage-codegen;
+  key skew is an AQE concern like any other window, and the state per
+  key is a single struct, not a buffered range.
+* :func:`interval_join_by_key` equi-joins on the partition key and
+  applies the range predicate as a filter inside the same SortMergeJoin
+  stage — never a cartesian/range explosion. Fan-out is bounded by
+  intervals-per-key (e.g. sessions per user), the natural data shape.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_LTS = "__asof_t"
+_SIDE = "__asof_side"
+_PAY = "__asof_pay"
+MATCHED_TS = "__matched_ts"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    payload: Sequence[str] | None = None,
+    prefix: str = "prior_",
+    strict: bool = False,
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Left as-of join: for every left row, attach the latest right row of
+    the same key with ``right.ts <= left.ts`` (``<`` when ``strict``).
+
+    Output = all left columns + ``<prefix><right_ts>`` (the matched row's
+    timestamp) + ``<prefix><c>`` for each payload column; NULLs when no
+    prior right row exists (or the match is older than ``tolerance``, an
+    SQL interval string like ``'1 hour'``).
+
+    Deterministic under ties: among right rows sharing the maximal
+    eligible timestamp, the one with the greatest payload tuple (struct
+    ordering over ``payload`` in the given order) wins — reproducible
+    regardless of partitioning, and mirrored exactly by the oracle's
+    ``ORDER BY ts DESC, payload... DESC LIMIT 1``.
+    """
+    on = list(on)
+    right_ts = right_ts or left_ts
+    if payload is None:
+        payload = [c for c in right.columns if c not in on and c != right_ts]
+    payload = list(payload)
+    rpay = F.struct(
+        F.col(right_ts).alias(MATCHED_TS), *[F.col(c).alias(c) for c in payload]
+    )
+    r = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias(_LTS),
+        F.lit(1).alias(_SIDE),
+        rpay.alias(_PAY),
+    )
+    l = left.withColumn(_LTS, F.col(left_ts)).withColumn(_SIDE, F.lit(0))
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    # Inclusive: right rows sort BEFORE left rows at equal ts (side 1 first)
+    # so a left row sees same-instant observations; strict: after.
+    side_order = F.col(_SIDE).desc() if not strict else F.col(_SIDE).asc()
+    w = (
+        Window.partitionBy(*[F.col(c) for c in on])
+        .orderBy(F.col(_LTS).asc(), side_order, F.col(_PAY).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = u.withColumn(_PAY, F.last(_PAY, ignorenulls=True).over(w)).where(
+        F.col(_SIDE) == 0
+    )
+    if tolerance is not None:
+        fresh = F.col(f"{_PAY}.{MATCHED_TS}") >= F.col(_LTS) - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        out = out.withColumn(_PAY, F.when(fresh, F.col(_PAY)))
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        F.col(f"{_PAY}.{MATCHED_TS}").alias(f"{prefix}{right_ts}"),
+        *[F.col(f"{_PAY}.{c}").alias(f"{prefix}{c}") for c in payload],
+    )
+
+
+def interval_join_by_key(
+    intervals: DataFrame,
+    events: DataFrame,
+    on: Sequence[str],
+    ts_col: str = "ts",
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    how: str = "left",
+) -> DataFrame:
+    """Join events into keyed intervals: one output row per (interval,
+    contained event) with containment ``start <= ts < end``; ``how='left'``
+    keeps empty intervals (event columns NULL).
+
+    The equi key rides the SortMergeJoin; the range predicate is a
+    post-join filter in the same stage (wrapped so LEFT semantics keep
+    unmatched intervals). Event columns are exposed as ``ev_<name>``.
+    """
+    on = list(on)
+    iv = intervals.alias("iv")
+    ev = events.alias("ev")
+    keys = [F.col(f"iv.{k}") == F.col(f"ev.{k}") for k in on]
+    rng = (F.col(f"ev.{ts_col}") >= F.col(f"iv.{start_col}")) & (
+        F.col(f"ev.{ts_col}") < F.col(f"iv.{end_col}")
+    )
+    cond = keys[0]
+    for k in keys[1:]:
+        cond = cond & k
+    joined = iv.join(ev, cond & rng, how)
+    ev_cols = [c for c in events.columns if c not in on]
+    return joined.select(
+        *[F.col(f"iv.{c}") for c in intervals.columns],
+        *[F.col(f"ev.{c}").alias(f"ev_{c}") for c in ev_cols],
+    )
+
+
+def events_per_interval(
+    intervals: DataFrame,
+    events: DataFrame,
+    on: Sequence[str],
+    ts_col: str = "ts",
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    count_alias: str = "n_matched",
+) -> DataFrame:
+    """Count events contained in each keyed interval (zero-filled —
+    intervals with no events are kept with count 0). One SortMergeJoin on
+    the key + one aggregation keyed by the interval tuple."""
+    j = interval_join_by_key(
+        intervals, events, on, ts_col, start_col, end_col, how="left"
+    )
+    return j.groupBy(*[F.col(c) for c in intervals.columns]).agg(
+        F.count(F.col(f"ev_{ts_col}")).alias(count_alias)
+    )

@@ -112,6 +112,37 @@ def text_stats(df: DataFrame, text_col: str = "text", by: str = "lang") -> DataF
     )
 
 
+def vocab_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus vocabulary statistics: the ``top_k`` tokens by term frequency
+    with their document frequencies — the first look any tokenizer/corpus
+    audit takes at a new crawl.
+
+    Physical shape is canonical word-count: explode → groupBy(token) with
+    map-side partial aggregation (the hot tokens collapse inside each scan
+    partition before the shuffle, so the exchange carries near-distinct
+    tokens, not token occurrences). Document frequency rides the same
+    aggregation as a two-phase distinct (partial distinct per partition).
+    The top-k is ``TakeOrderedAndProject`` — per-partition heaps, no
+    global sort — with ties broken by token text for determinism.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), WS)
+    e = (
+        fan_out(df)
+        .select(F.col(id_col), F.explode(toks).alias("token"))
+        .where(F.col("token") != "")
+    )
+    agg = e.groupBy("token").agg(
+        F.count(F.lit(1)).alias("term_freq"),
+        F.countDistinct(F.col(id_col)).alias("doc_freq"),
+    )
+    return agg.orderBy(F.desc("term_freq"), F.asc("token")).limit(top_k)
+
+
 def repetition_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document repetition signals (the Gopher/MassiveText-style
     quality gates, Rae et al. 2021 §A1.1): duplicate-token fraction and

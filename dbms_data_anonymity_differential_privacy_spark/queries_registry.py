@@ -2002,6 +2002,155 @@ def x15_mondrian(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X16 — as-of join (operators/temporal.py): for every error event, the
+# latest same-user click at-or-before it. The oracle is the literal
+# semantics (per-row LATERAL top-1) while the engine runs the merge-scan
+# formulation (one shuffle, no pair blowup) — exactly the independence the
+# gate wants. Tie order (ts, value, event_id) matches the payload-struct
+# max on the Spark side.
+# --------------------------------------------------------------------------
+@query(
+    "x16_asof_join",
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+         r AS (SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'click')
+    SELECT l.event_id, l.user_id, l.ts,
+           COALESCE(m.prior_ts, TIMESTAMP '1970-01-01') AS prior_ts,
+           COALESCE(m.prior_value, -1.0) AS prior_value,
+           COALESCE(m.prior_event_id, -1) AS prior_event_id
+    FROM l LEFT JOIN LATERAL (
+         SELECT r.ts AS prior_ts, r.value AS prior_value, r.event_id AS prior_event_id
+         FROM r WHERE r.user_id = l.user_id AND r.ts <= l.ts
+         ORDER BY r.ts DESC, r.value DESC, r.event_id DESC LIMIT 1) m ON TRUE
+    """,
+)
+def x16_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = asof_join(left, right, on=["user_id"], payload=["value", "event_id"])
+    # no-match sentinels: the hash gate's null-comparison semantics are
+    # engine-dependent, so the BENCH QUERY releases non-null columns; the
+    # operator itself keeps proper NULL no-match semantics.
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce(F.col("prior_ts"), F.lit("1970-01-01").cast("timestamp")).alias("prior_ts"),
+        F.coalesce(F.col("prior_value"), F.lit(-1.0)).alias("prior_value"),
+        F.coalesce(F.col("prior_event_id"), F.lit(-1).cast("long")).alias("prior_event_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X17 — keyed interval join (operators/temporal.py): errors counted inside
+# each user's view-sessions (sessionize → SortMergeJoin on user + range
+# filter → zero-filled count). Oracle: the x11 gaps-and-islands CTE plus a
+# plain inequality LEFT JOIN.
+# --------------------------------------------------------------------------
+@query(
+    "x17_session_errors",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+               WHERE event_type = 'view'),
+    f AS (SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END AS new_s
+          FROM e),
+    s AS (SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM f),
+    sess AS (SELECT user_id, MIN(ts) AS session_start,
+                    MAX(ts) + INTERVAL '30 minutes' AS session_end,
+                    COUNT(*) AS n_events
+             FROM s GROUP BY user_id, sid),
+    err AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+    SELECT sess.user_id, sess.session_start, sess.session_end, sess.n_events,
+           COUNT(err.ts) AS n_errors
+    FROM sess LEFT JOIN err ON err.user_id = sess.user_id
+         AND err.ts >= sess.session_start AND err.ts < sess.session_end
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def x17_session_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.temporal import (
+        events_per_interval,
+    )
+    from dbms_data_anonymity_differential_privacy_spark.streaming.sessions import sessionize_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize_batch(ev.where(F.col("event_type") == "view"), gap="30 minutes")
+    errs = ev.where(F.col("event_type") == "error").select("user_id", "ts")
+    return events_per_interval(sess, errs, ["user_id"], count_alias="n_errors")
+
+
+# --------------------------------------------------------------------------
+# X18 — benchmark-contamination scan (operators/dedup.py): distinct word
+# trigrams of each corpus doc probed against the benchmark set's shingles
+# (docs with doc_id % 50 == 0 stand in for an eval suite). Engine probes
+# 8-byte shingle hashes against a broadcast set; oracle joins the string
+# shingles — equal counts up to 64-bit collisions, as for x03.
+# --------------------------------------------------------------------------
+@query(
+    "x18_contamination",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+               FROM documents),
+    sh AS (SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(toks[i:i+2], ' '))) AS s FROM t),
+    bsh AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 50 = 0),
+    ce AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 50 <> 0),
+    hit AS (SELECT ce.doc_id, COUNT(*) AS n_hits
+            FROM ce JOIN bsh USING (shingle) GROUP BY 1)
+    SELECT s2.doc_id, CAST(len(s2.s) AS BIGINT) AS n_ngrams,
+           CAST(COALESCE(hit.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(CASE WHEN len(s2.s) > 0
+                      THEN COALESCE(hit.n_hits, 0) / len(s2.s)
+                      ELSE 0.0 END, 9) AS contaminated_frac
+    FROM sh s2 LEFT JOIN hit USING (doc_id) WHERE s2.doc_id % 50 <> 0
+    """,
+)
+def x18_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import contamination_check
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    return contamination_check(corpus, bench, n=3)
+
+
+# --------------------------------------------------------------------------
+# X19 — corpus vocabulary (operators/text.py): top-50 tokens by term
+# frequency with document frequencies. Word-count shuffle shape; top-k via
+# TakeOrderedAndProject, ties broken by token text on both sides.
+# --------------------------------------------------------------------------
+@query(
+    "x19_vocab",
+    """
+    WITH e AS (SELECT doc_id,
+                      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+               FROM documents)
+    SELECT token, COUNT(*) AS term_freq, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM e WHERE token <> ''
+    GROUP BY token ORDER BY term_freq DESC, token LIMIT 50
+    """,
+)
+def x19_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import vocab_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_stats(docs, top_k=50)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries (CORRECTNESS_r01 stopped at slot 50, leaving 16
 # oracle-backed queries with no driver signal). Reorder so the window holds
@@ -2016,6 +2165,18 @@ def x15_mondrian(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `dedup_exact`; X4 keeps `cosine_topk`; X5 keeps `text_features` +
 # `lang_id`; new single-query components like x09/x10 stay in-window).
 _WINDOW_DEMOTED = [
+    # Demoted for the x16/x17/x18 temporal + contamination slots: X1 keeps
+    # avg_exact in-window (subsumes the count+sum mechanics and was the r1
+    # red row — its green matters most); X3 keeps ngram_jaccard (the pair
+    # relation IS the corpus composite's core, and pipe_corpus_curation
+    # oracle-covers the composite); X6 keeps window_kanon + gate (dedup
+    # stream's dropDuplicates semantics are oracle-covered by x02).
+    "x01_dp_count_exact",
+    "x03_dedup_corpus",
+    "x06_dedup_stream",
+    # x19 vocab demoted (word-count shape already driver-proven by
+    # p13_value_counts; builder's gate still checks it every round)
+    "x19_vocab",
     # X10 keeps hash_split in-window (same md5-prefix mechanism as
     # hash_sample plus the CASE assignment; stratified adds the quota
     # window — demoted to make room for the x13 PII component)

@@ -143,6 +143,23 @@ def test_every_oracle_has_a_query():
     assert dangling == []
 
 
+def test_asof_join_is_single_shuffle_merge_scan(plans):
+    """x16 as-of join must be the merge-scan formulation: union of the two
+    pruned scans, exactly ONE hash-partition exchange (on the join key),
+    one window pass — never a range-pair join or per-row subquery."""
+    p = plans["x16_asof_join"]
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+    assert "Union" in p and "Window" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_contamination_probe_broadcasts_bench(plans):
+    """x18: the benchmark shingle set is the broadcast side — the corpus
+    scan must not shuffle for the membership probe."""
+    p = plans["x18_contamination"]
+    assert "BroadcastHashJoin" in p
+
+
 def test_pii_detect_is_map_only(plans):
     """PII detect/redact must be one scan, zero exchanges, and read only
     the columns the profile expression needs — the shape that makes a

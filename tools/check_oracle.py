@@ -66,9 +66,11 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
                     f"max abs diff {np.nanmax(np.abs(sv - dv)):.3e})"
                 )
         else:
-            if not (sv == dv).all():
-                n_bad = int((sv != dv).sum())
-                i = int(np.argmax(sv != dv))
+            # both-null counts as equal (NaT != NaT elementwise in numpy)
+            eq = (sv == dv) | (pd.isna(sv) & pd.isna(dv))
+            if not eq.all():
+                n_bad = int((~eq).sum())
+                i = int(np.argmax(~eq))
                 problems.append(f"col {c}: {n_bad} values differ (e.g. {sv[i]!r} vs {dv[i]!r})")
     return problems
 
