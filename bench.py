@@ -47,6 +47,13 @@ HEADLINE = [
     "x06_kanon_gate",
     "x10_hash_split",
     "x11_sessionize",
+    "x12_equal_freq_bin",
+    "x13_pii_detect",
+    "x14_repetition",
+    "x16_asof_join",
+    "x17_session_errors",
+    "x18_contamination",
+    "x19_vocab",
 ]
 
 

@@ -514,32 +514,42 @@ def contamination_check(
     ``broadcast_bench=False`` for an atypically large right side and the
     probe becomes a shuffled semi-join instead.
     """
+    # explode_outer everywhere, deliberately: a plain explode lets Catalyst
+    # infer `size(...) > 0` / notnull constraints from the Generate and push
+    # them below the fan-out exchange, inlining the whole tokenize+shingle
+    # chain (restated several times — no CSE across a Filter) into a
+    # single-partition scan-side filter. Outer generate infers nothing, so
+    # the CPU-heavy shingling stays in the parallel post-exchange stage;
+    # it also keeps zero-shingle docs without a second pass or join-back.
     b_sh = (
         hashed_tokens(bench, text_col, id_col)
-        .select(F.explode(shingle_hashes(F.col("__th"), n)).alias("__s"))
+        .select(F.explode_outer(shingle_hashes(F.col("__th"), n)).alias("__s"))
+        .where(F.col("__s").isNotNull())
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
     if broadcast_bench:
         b_sh = F.broadcast(b_sh)
     c_doc = hashed_tokens(corpus, text_col, id_col).select(
         F.col(id_col), F.array_distinct(shingle_hashes(F.col("__th"), n)).alias("__sh")
     )
-    hits = (
-        c_doc.select(F.col(id_col), F.explode(F.col("__sh")).alias("__s"))
-        .join(b_sh, "__s")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("__hits"))
+    c_e = c_doc.select(
+        F.col(id_col),
+        F.size(F.col("__sh")).cast("long").alias("n_ngrams"),
+        F.explode_outer(F.col("__sh")).alias("__s"),
     )
-    base = c_doc.select(F.col(id_col), F.size(F.col("__sh")).cast("long").alias("n_ngrams"))
-    return base.join(hits, id_col, "left").select(
+    probed = c_e.join(b_sh, "__s", "left")
+    agg = probed.groupBy(id_col, "n_ngrams").agg(
+        F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hits")
+    )
+    return agg.select(
         F.col(id_col),
         "n_ngrams",
-        F.coalesce(F.col("__hits"), F.lit(0)).cast("long").alias("n_hits"),
+        "n_hits",
         F.round(
-            F.when(
-                F.col("n_ngrams") > 0,
-                F.coalesce(F.col("__hits"), F.lit(0)) / F.col("n_ngrams"),
-            ).otherwise(F.lit(0.0)),
+            F.when(F.col("n_ngrams") > 0, F.col("n_hits") / F.col("n_ngrams")).otherwise(
+                F.lit(0.0)
+            ),
             9,
         ).alias("contaminated_frac"),
     )

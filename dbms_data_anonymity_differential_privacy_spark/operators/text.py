@@ -131,10 +131,13 @@ def vocab_stats(
     global sort — with ties broken by token text for determinism.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), WS)
+    # explode_outer: a plain explode would let Catalyst infer size()>0 and
+    # push the tokenization below the fan-out exchange into a
+    # single-partition filter (see dedup.contamination_check).
     e = (
         fan_out(df)
-        .select(F.col(id_col), F.explode(toks).alias("token"))
-        .where(F.col("token") != "")
+        .select(F.col(id_col), F.explode_outer(toks).alias("token"))
+        .where(F.col("token").isNotNull() & (F.col("token") != ""))
     )
     agg = e.groupBy("token").agg(
         F.count(F.lit(1)).alias("term_freq"),
@@ -149,23 +152,28 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     top-bigram occurrence fraction. Boilerplate and generation loops show
     up as high repetition long before a human reads the text.
 
-    Physical shape: the duplicate-token fraction is pure map-side
-    (``array_distinct`` over the token array — no shuffle). The top-bigram
-    count needs a per-(doc, bigram) frequency, i.e. one explode + one
-    aggregation whose shuffle key is (doc_id, bigram) — at 100 TB that is
-    the canonical word-count shape: map-side partial aggregation absorbs
-    the intra-partition repeats (exactly the rows we're hunting), so the
-    shuffle carries near-distinct keys only. The bigram total per doc is
-    ``n_tokens - 1`` by construction, so no second aggregation or
-    join-back for totals is needed.
+    Physical shape: FULLY MAP-SIDE — no explode, no shuffle. The
+    duplicate-token fraction is ``array_distinct`` over the token array.
+    The top-bigram count is the longest equal-run in the SORTED per-row
+    bigram-hash array (mode of a multiset == longest run after sort),
+    computed with one ``array_sort`` + one ``aggregate`` fold per row —
+    O(m log m) per doc in-place, versus an explode that would shuffle
+    every bigram occurrence. Bigrams are compared as ``xxhash64(tok_i,
+    tok_{i+1})`` 8-byte hashes, never concatenated strings (same
+    up-to-collision argument as the dedup family). The bigram total per
+    doc is ``n_tokens - 1`` by construction. At 100 TB this is one scan,
+    embarrassingly parallel, zero exchanges.
 
     Docs with < 2 tokens are excluded (no bigram is defined; a fraction
     over an empty support would be noise, and the gate's callers treat
     missing as "too short to judge").
     """
+    from dbms_data_anonymity_differential_privacy_spark.operators.util import fan_out
+
     t = F.split(F.trim(F.col(text_col)), WS)
     base = (
-        df.select(
+        fan_out(df)
+        .select(
             F.col(id_col),
             t.alias("__t"),
             F.size(t).alias("n_tokens"),
@@ -183,21 +191,30 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
             # throws under ANSI mode. The guard makes the expression total.
             F.expr(
                 "CASE WHEN size(__t) >= 2 THEN "
-                "transform(sequence(0, size(__t) - 2), i -> concat(__t[i], ' ', __t[i + 1])) "
-                "ELSE CAST(array() AS array<string>) END"
+                "array_sort(transform(sequence(0, size(__t) - 2), "
+                "i -> xxhash64(__t[i], __t[i + 1]))) "
+                "ELSE CAST(array() AS array<bigint>) END"
             ).alias("__bg"),
         )
     )
-    counts = (
-        base.select(id_col, "n_tokens", "dup_token_frac", F.explode("__bg").alias("__bgram"))
-        .groupBy(id_col, "n_tokens", "dup_token_frac", "__bgram")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .groupBy(id_col, "n_tokens", "dup_token_frac")
-        .agg(F.max("__c").alias("__top_c"))
+    # Longest equal-run fold over the sorted hash array: state =
+    # (prev, current run, best run). Sorted order makes every bigram's
+    # occurrences adjacent, so best == the modal bigram's count.
+    top_c = F.expr(
+        "aggregate(__bg, "
+        "named_struct('prev', CAST(NULL AS BIGINT), 'run', CAST(0 AS BIGINT), "
+        "'best', CAST(0 AS BIGINT)), "
+        "(s, x) -> named_struct("
+        "'prev', x, "
+        "'run', CASE WHEN s.prev IS NOT NULL AND x = s.prev THEN s.run + 1 "
+        "ELSE CAST(1 AS BIGINT) END, "
+        "'best', greatest(s.best, CASE WHEN s.prev IS NOT NULL AND x = s.prev "
+        "THEN s.run + 1 ELSE CAST(1 AS BIGINT) END)), "
+        "s -> s.best)"
     )
-    return counts.select(
+    return base.select(
         id_col,
         "n_tokens",
         "dup_token_frac",
-        F.round(F.col("__top_c") / (F.col("n_tokens") - 1), 9).alias("top_bigram_frac"),
+        F.round(top_c / (F.col("n_tokens") - 1), 9).alias("top_bigram_frac"),
     )

@@ -153,6 +153,15 @@ def test_asof_join_is_single_shuffle_merge_scan(plans):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
+def test_repetition_is_map_side(plans):
+    """x14 computes the top-bigram count as a per-row sorted-run fold —
+    there must be NO aggregation shuffle (the only allowed exchange is the
+    fan-out round-robin on tiny benchmark inputs)."""
+    p = plans["x14_repetition"]
+    assert "Exchange hashpartitioning" not in p
+    assert "HashAggregate" not in p
+
+
 def test_contamination_probe_broadcasts_bench(plans):
     """x18: the benchmark shingle set is the broadcast side — the corpus
     scan must not shuffle for the membership probe."""
