@@ -70,36 +70,52 @@ def mondrian_assign(
         raise ValueError("k must be >= 1")
     if not qi:
         raise ValueError("need at least one QI column")
-    spark = df.sparkSession
     dims = list(qi)
-    d = df.withColumn(PID, F.lit(0).cast("long")).localCheckpoint(eager=True)
 
-    # Global per-dimension ranges normalize the "widest dimension" choice
-    # (one tiny collect — a single row).
-    g = df.agg(
-        *[F.min(F.col(q).cast("double")).alias(f"mn{i}") for i, q in enumerate(dims)],
-        *[F.max(F.col(q).cast("double")).alias(f"mx{i}") for i, q in enumerate(dims)],
-    ).first()
-    grange = [max((g[f"mx{i}"] or 0.0) - (g[f"mn{i}"] or 0.0), 1e-12) for i in range(len(dims))]
+    # The iterated relation is SLIM: (row id, dims as double, pid) — the
+    # per-round localCheckpoint materializes ~(8 + 8*|qi| + 8) bytes/row,
+    # never the payload columns. At 100 TB the payload re-attaches ONCE at
+    # the end (join on the frozen row id), instead of being rewritten
+    # ~log2(n/k) times. The row id is frozen by the first checkpoint
+    # (monotonically_increasing_id is layout-dependent only until
+    # materialized), so the final join is exact.
+    src = df.withColumn(RID, F.monotonically_increasing_id()).localCheckpoint(eager=True)
+    d = src.select(
+        F.col(RID),
+        *[F.col(q).cast("double").alias(f"__d{i}") for i in range(len(dims)) for q in [dims[i]]],
+        F.lit(0).cast("long").alias(PID),
+    )
+    grange: list[float] | None = None  # derived from round-0 leaf stats
 
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         # One aggregation: per-leaf count, range, and median of EVERY dim.
         stats = d.groupBy(PID).agg(
             F.count(F.lit(1)).alias("__cnt"),
-            *[F.min(F.col(q).cast("double")).alias(f"__min_{i}") for i, q in enumerate(dims)],
-            *[F.max(F.col(q).cast("double")).alias(f"__max_{i}") for i, q in enumerate(dims)],
-            *[_median_expr(q, median, accuracy).alias(f"__med_{i}") for i, q in enumerate(dims)],
+            *[F.min(F.col(f"__d{i}")).alias(f"__min_{i}") for i in range(len(dims))],
+            *[_median_expr(f"__d{i}", median, accuracy).alias(f"__med_{i}") for i in range(len(dims))],
+            *[F.max(F.col(f"__d{i}")).alias(f"__max_{i}") for i in range(len(dims))],
         )
+        if grange is None:
+            # Round 0 has a single leaf, so its stats row IS the global
+            # range — no separate full-table aggregation.
+            g = stats.agg(
+                *[F.min(f"__min_{i}").alias(f"mn{i}") for i in range(len(dims))],
+                *[F.max(f"__max_{i}").alias(f"mx{i}") for i in range(len(dims))],
+            ).first()
+            grange = [
+                max((g[f"mx{i}"] or 0.0) - (g[f"mn{i}"] or 0.0), 1e-12)
+                for i in range(len(dims))
+            ]
         # Exact side counts for every candidate cut, same shuffle key.
         lefts = (
             d.join(stats.select(PID, *[f"__med_{i}" for i in range(len(dims))]), PID)
             .groupBy(PID)
             .agg(
                 *[
-                    F.sum((F.col(q).cast("double") <= F.col(f"__med_{i}")).cast("long")).alias(
+                    F.sum((F.col(f"__d{i}") <= F.col(f"__med_{i}")).cast("long")).alias(
                         f"__left_{i}"
                     )
-                    for i, q in enumerate(dims)
+                    for i in range(len(dims))
                 ]
             )
         )
