@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 PID = "__pid"
+RID = "__rid"
 
 
 def _median_expr(col: str, how: str, accuracy: int):
@@ -52,19 +53,21 @@ def _median_expr(col: str, how: str, accuracy: int):
     return F.percentile_approx(F.col(col), F.lit(0.5), F.lit(accuracy)).cast("double")
 
 
-def mondrian_assign(
+def _assign_slim(
     df: DataFrame,
     qi: Sequence[str],
     k: int,
     median: str = "approx",
     accuracy: int = 10_000,
     max_rounds: int = 64,
-) -> DataFrame:
-    """Assign every row a Mondrian leaf id ``__pid`` such that every leaf
-    holds >= k rows (exact guarantee: cuts are accepted only after exact
-    side counts). QI columns must be numeric-orderable; NULLs sort to the
-    right side of every cut (they satisfy no ``<= median`` predicate) and
-    are not bounded by the leaf ranges.
+) -> tuple[DataFrame, DataFrame]:
+    """Core breadth-first split loop over a SLIM relation.
+
+    Returns ``(src, leaves)``: ``src`` is the input with a frozen row id
+    ``__rid`` (payload intact, checkpointed once), ``leaves`` is the slim
+    ``(__rid, __d0..__dn, __pid)`` relation after all rounds. Callers
+    re-attach payload / compute bounds from these without ever rewriting
+    payload columns through the iteration.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -151,8 +154,8 @@ def mondrian_assign(
             break
 
         val = F.lit(None).cast("double")
-        for i, q in enumerate(dims):
-            val = F.when(F.col("__dim") == i, F.col(q).cast("double")).otherwise(val)
+        for i in range(len(dims)):
+            val = F.when(F.col("__dim") == i, F.col(f"__d{i}")).otherwise(val)
         routed = (
             d.join(spec, PID)
             .withColumn(
@@ -165,7 +168,25 @@ def mondrian_assign(
         )
         d = routed.localCheckpoint(eager=True)
         spec.unpersist()
-    return d
+    return src, d
+
+
+def mondrian_assign(
+    df: DataFrame,
+    qi: Sequence[str],
+    k: int,
+    median: str = "approx",
+    accuracy: int = 10_000,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Assign every row a Mondrian leaf id ``__pid`` such that every leaf
+    holds >= k rows (exact guarantee: cuts are accepted only after exact
+    side counts). QI columns must be numeric-orderable; NULLs sort to the
+    right side of every cut (they satisfy no ``<= median`` predicate) and
+    are not bounded by the leaf ranges.
+    """
+    src, leaves = _assign_slim(df, qi, k, median=median, accuracy=accuracy, max_rounds=max_rounds)
+    return src.join(leaves.select(RID, PID), RID).drop(RID)
 
 
 def mondrian_anonymize(
@@ -180,16 +201,17 @@ def mondrian_anonymize(
     NCP and downstream models want; the pretty string is one concat away).
     Non-QI columns pass through untouched; NO rows are suppressed.
 
-    One aggregation over the assigned relation produces the per-leaf
-    bounds; rows re-attach by leaf id (broadcast when the leaf relation is
-    small, AQE's choice otherwise).
+    Bounds come from one aggregation over the SLIM leaf relation (never
+    touching payload); the payload joins back exactly once, on the frozen
+    row id. The bounds relation is ~n/k rows — broadcastable for typical
+    k at survey scale, so AQE picks the strategy rather than forcing it.
     """
-    assigned = mondrian_assign(df, qi, k, median=median)
-    bounds = assigned.groupBy(PID).agg(
-        *[F.min(F.col(q).cast("double")).alias(f"{q}_lo") for q in qi],
-        *[F.max(F.col(q).cast("double")).alias(f"{q}_hi") for q in qi],
+    src, leaves = _assign_slim(df, qi, k, median=median)
+    bounds = leaves.groupBy(PID).agg(
+        *[F.min(F.col(f"__d{i}")).alias(f"{q}_lo") for i, q in enumerate(qi)],
+        *[F.max(F.col(f"__d{i}")).alias(f"{q}_hi") for i, q in enumerate(qi)],
     )
-    out = assigned.join(bounds, PID).drop(*qi)
+    out = src.join(leaves.select(RID, PID), RID).join(bounds, PID).drop(RID, *qi)
     if not keep_pid:
         out = out.drop(PID)
     return out

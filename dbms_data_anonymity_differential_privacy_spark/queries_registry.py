@@ -2174,9 +2174,11 @@ _WINDOW_DEMOTED = [
     "x01_dp_count_exact",
     "x03_dedup_corpus",
     "x06_dedup_stream",
-    # x19 vocab demoted (word-count shape already driver-proven by
-    # p13_value_counts; builder's gate still checks it every round)
-    "x19_vocab",
+    # X6 keeps stream_window_kanon (the windowed agg IS the streaming
+    # core); the gate's threshold semantics are oracle-covered by c01,
+    # freeing the slot for x19's only driver signal (distinct COVERAGE
+    # row — doc-frequency + top-k shape is NOT p13's single groupBy).
+    "x06_kanon_gate",
     # X10 keeps hash_split in-window (same md5-prefix mechanism as
     # hash_sample plus the CASE assignment; stratified adds the quota
     # window — demoted to make room for the x13 PII component)

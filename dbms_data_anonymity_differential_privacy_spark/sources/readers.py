@@ -52,12 +52,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic parquet table. Parquet scan → Catalyst gets column
     pruning + predicate pushdown + min/max row-group skipping for free.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the file; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as long nanoseconds
-    and is converted to a proper TimestampType here (lossless for this
-    data — no sub-microsecond values). The conf is runtime-settable, so it
-    is set here rather than at session-build time: callers (including an
-    externally-constructed SparkSession) need no special configuration.
+    ``events.ts`` has shipped in two encodings: TIMESTAMP(NANOS) stored as
+    int64 (unreadable by Spark without ``spark.sql.legacy.parquet.
+    nanosAsLong``, under which it arrives as long nanoseconds) and native
+    TIMESTAMP(MICROS). Both are handled: the conf is runtime-settable and
+    set here (not at session-build time, so externally-constructed
+    SparkSessions need no special configuration), and the long flavor is
+    converted to a proper TimestampType (lossless — no sub-microsecond
+    values in this data).
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -23,16 +23,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see sources.readers)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+# Kept for callers that build their own stream over native-timestamp files.
+# Watermarks require TIMESTAMP (ltz) — NTZ event time is rejected
+# (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — so the stream declares ltz over
+# the file's int64 micros; with the engine's UTC session timezone
+# (session.py) the instants match the batch reader's NTZ values exactly.
+EVENTS_SCHEMA = _events_schema(T.TimestampType())
+
+
+def events_readstream(spark: SparkSession, events_path: str) -> DataFrame:
+    """File-source readStream over an events directory with ``ts`` always
+    arriving as a proper TimestampType, whatever the file encoding.
+
+    Streaming sources need a declared schema, and the events table has
+    shipped in two encodings (TIMESTAMP(NANOS) stored as int64, and native
+    TIMESTAMP(MICROS)). One driver-side batch footer probe (no data read)
+    picks the matching schema; the nanos flavor is converted in-stream.
+    Mirrors the batch-side handling in ``sources.readers.load_table``.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = spark.read.parquet(events_path)
+    if dict(probe.dtypes).get("ts") == "bigint":
+        raw = spark.readStream.schema(_events_schema(T.LongType())).parquet(events_path)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(events_path)
 
 
 def _windowed_counts(events: DataFrame, k: int, window: str) -> DataFrame:
@@ -65,8 +92,7 @@ def windowed_kanon_stream(
     count + threshold. Complete/update-mode sinks can publish per-window
     suppression-safe counts; in tests it's driven with availableNow into a
     memory sink and compared to the batch twin."""
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_path)
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = events_readstream(spark, events_path)
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
@@ -150,8 +176,7 @@ def dp_windowed_count_stream(
     *sequence of evolving values* per key. One streaming query lifetime =
     one release label.
     """
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_path)
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = events_readstream(spark, events_path)
     grouped = (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))

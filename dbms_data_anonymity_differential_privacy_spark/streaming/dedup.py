@@ -25,10 +25,9 @@ from __future__ import annotations
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from dbms_data_anonymity_differential_privacy_spark.operators.dedup import dedup_exact
-from dbms_data_anonymity_differential_privacy_spark.streaming.anonymize import EVENTS_SCHEMA
+from dbms_data_anonymity_differential_privacy_spark.streaming.anonymize import events_readstream
 
 
 def dedup_events_stream(
@@ -40,8 +39,7 @@ def dedup_events_stream(
     """Streaming exact dedup: keep the first arrival per key, with state
     bounded by the watermark horizon. File-source flavor for tests; swap
     the reader line for Kafka etc. in production."""
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_path)
-    events = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = events_readstream(spark, events_path)
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(keys))
 
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dbms_data_anonymity_differential_privacy_spark.streaming.anonymize import EVENTS_SCHEMA
+from dbms_data_anonymity_differential_privacy_spark.streaming.anonymize import events_readstream
 
 
 def _session_agg(events: DataFrame, user_col: str, ts_col: str, gap: str) -> DataFrame:
@@ -75,6 +75,5 @@ def sessionize_stream(
     its close; tests drive it with availableNow into a memory sink and
     assert row-set equality with the batch twin.
     """
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_path)
-    events = raw.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    events = events_readstream(spark, events_path)
     return _session_agg(events.withWatermark(ts_col, watermark), user_col, ts_col, gap)

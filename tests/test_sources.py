@@ -34,7 +34,9 @@ def test_events_ts_converted(spark, sf0001):
     from dbms_data_anonymity_differential_privacy_spark import load_table
 
     ev = load_table(spark, sf0001, "events")
-    assert dict(ev.dtypes)["ts"] == "timestamp"
+    # nanos-as-long files convert to timestamp (ltz); native files arrive
+    # as the file's own timestamp_ntz — both are event-time-usable.
+    assert dict(ev.dtypes)["ts"] in ("timestamp", "timestamp_ntz")
 
 
 def test_write_release_roundtrip(spark, sf0001, tmp_path):
