@@ -932,22 +932,34 @@ def x01_dp_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x09_json_props",
     """
     SELECT event_type, COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 9) AS avg_k
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+               / COUNT(*) AS avg_k
     FROM events GROUP BY 1
     """,
 )
 def x09_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extension: typed from_json parse of the events
     props column (one Jackson parse per row, JVM-side) + per-type rollup.
-    sources/readers.py with_parsed_props."""
+    sources/readers.py with_parsed_props.
+
+    Oracle-canonicalization notes (r2 driver hash-mismatch root cause):
+    DuckDB ``SUM(BIGINT)`` returns HUGEINT (int128), which value-hashes
+    differently from Spark's LongType even when numerically equal — so the
+    oracle re-casts to BIGINT. And ``ROUND(AVG(double))`` can differ in the
+    last bit between engines' accumulation orders, so both sides derive the
+    average as ONE IEEE-754 division ``sum_k / n`` of bit-identical inputs,
+    which is deterministic across engines."""
     from dbms_data_anonymity_differential_privacy_spark.sources.readers import with_parsed_props
 
     ev = with_parsed_props(load_table(spark, sf_dir, "events"))
-    return ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("props_parsed.k")).alias("sum_k"),
-        F.round(F.avg(F.col("props_parsed.k")), 9).alias("avg_k"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("props_parsed.k")).alias("sum_k"),
+        )
+        .withColumn("avg_k", F.col("sum_k").cast("double") / F.col("n"))
     )
 
 
