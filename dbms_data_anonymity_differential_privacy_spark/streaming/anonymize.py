@@ -41,6 +41,11 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
 # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — so the stream declares ltz over
 # the file's int64 micros; with the engine's UTC session timezone
 # (session.py) the instants match the batch reader's NTZ values exactly.
+#
+# CHANGED CONTRACT (round 2): ``ts`` here was LongType nanoseconds through
+# round 1 and is now TimestampType. External callers that applied their own
+# ``ts div 1000`` conversion must drop it — the stream already delivers
+# proper timestamps.
 EVENTS_SCHEMA = _events_schema(T.TimestampType())
 
 
@@ -53,12 +58,38 @@ def events_readstream(spark: SparkSession, events_path: str) -> DataFrame:
     TIMESTAMP(MICROS)). One driver-side batch footer probe (no data read)
     picks the matching schema; the nanos flavor is converted in-stream.
     Mirrors the batch-side handling in ``sources.readers.load_table``.
+
+    The probe runs ONCE at stream construction, so one directory must hold
+    one ts encoding for the stream's lifetime: files of the other encoding
+    landing later would be misread by the fixed declared schema. (Mixed
+    directories would confuse any fixed-schema file source; keep encodings
+    in separate directories.)
+
+    The session timezone is pinned to UTC here because the declared ltz
+    TimestampType reinterprets the file's NTZ-annotated micros through the
+    session zone: any non-UTC zone would shift every window boundary
+    relative to the batch reader's NTZ values. Engine-built sessions
+    (session.py) are already UTC; this makes externally-built sessions safe
+    too. Deliberately NOT restored — a mid-stream timezone flip would change
+    window assignment between micro-batches of the running query.
     """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The nanos flag is runtime-settable and only affects how the probe (and
+    # the stream itself, for nanos files) reads the footer; save/restore so
+    # a micros-encoded directory doesn't leave a session-global flag flipped
+    # for unrelated reads.
+    prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     probe = spark.read.parquet(events_path)
     if dict(probe.dtypes).get("ts") == "bigint":
+        # Nanos directory: the stream relies on the flag staying set so the
+        # file source reads int64; leave it on for this session.
         raw = spark.readStream.schema(_events_schema(T.LongType())).parquet(events_path)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if prev_nanos is None:
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    else:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
     return spark.readStream.schema(EVENTS_SCHEMA).parquet(events_path)
 
 
