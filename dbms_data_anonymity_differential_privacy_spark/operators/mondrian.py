@@ -189,6 +189,36 @@ def mondrian_assign(
     return src.join(leaves.select(RID, PID), RID).drop(RID)
 
 
+def mondrian_leaf_bounds(
+    df: DataFrame,
+    qi: Sequence[str],
+    k: int,
+    median: str = "exact",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """The leaf relation of a Mondrian run: one row per leaf with its id,
+    population, and per-dimension [lo, hi] bounds — the deterministic core
+    every release derives from (``mondrian_anonymize`` is this joined back
+    to rows).
+
+    With ``median='exact'`` the whole run is a pure function of the input:
+    exact interpolated medians (type-7, matching DuckDB ``quantile_cont``),
+    exact side counts, and the widest-normalized-range / lowest-index
+    tie-break in ``_assign_slim`` are all deterministic — so on
+    integer-valued dims the relation is reproducible bit-for-bit by a SQL
+    engine unrolling the same rounds (see the x15_mondrian_exact oracle in
+    queries_registry.py). This is what makes a *recursive, data-dependent*
+    operator hash-checkable.
+    """
+    _, leaves = _assign_slim(df, qi, k, median=median, max_rounds=max_rounds)
+    out = leaves.groupBy(PID).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *[F.min(F.col(f"__d{i}")).alias(f"{q}_lo") for i, q in enumerate(qi)],
+        *[F.max(F.col(f"__d{i}")).alias(f"{q}_hi") for i, q in enumerate(qi)],
+    )
+    return out.withColumnRenamed(PID, "pid")
+
+
 def mondrian_anonymize(
     df: DataFrame,
     qi: Sequence[str],

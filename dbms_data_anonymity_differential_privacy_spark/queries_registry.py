@@ -1143,6 +1143,17 @@ def x03_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, max_hamming=3)
 
 
+@query("x03_simhash_topm")
+def x03_simhash_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-output SimHash neighbor lists (rows-only: SimHash is the
+    approximate detector; equivalence to the uncapped pair set is pinned
+    in tests/test_extensions.py)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import simhash_pairs_topm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs_topm(docs, m=5, max_hamming=3)
+
+
 # Cosine helpers for the DuckDB side: dot as list_dot_product on
 # DOUBLE-cast lists (same sequential accumulation as the Spark fold).
 def _duck_cos(a: str, b: str) -> str:
@@ -1186,6 +1197,32 @@ def x04_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_self_join_pairs(emb, threshold=0.3, block_col="label")
+
+
+@query(
+    "x04_cosine_pairs_topm",
+    f"""
+    WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                      ROUND({_duck_cos('a.embedding', 'b.embedding')}, 6) AS cos
+               FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+    r AS (SELECT id_a, id_b, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY id_a
+                      ORDER BY cos DESC NULLS LAST, id_b) AS INTEGER) AS rnk
+          FROM p)
+    SELECT id_a, id_b, cos, rnk FROM r WHERE rnk <= 5
+    """,
+)
+def x04_cosine_pairs_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-output pair emission: each vector's top-5 nearest neighbors
+    (exactly n*5 rows however similar the corpus is). The engine's rank
+    filter runs as a map-side WindowGroupLimit partial top-k; the oracle is
+    the literal per-key LIMIT semantics."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.similarity import (
+        cosine_pairs_topm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs_topm(emb, m=5)
 
 
 @query("x04_embedding_near_dup")
@@ -2013,6 +2050,85 @@ def x15_mondrian(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_rows"))
 
 
+def _mondrian_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled DuckDB twin of the breadth-first Mondrian loop
+    (operators/mondrian.py _assign_slim, median='exact') over customer with
+    dims (c_nationkey, acctbal-in-cents).
+
+    Recursive CTEs cannot aggregate over the working relation per
+    iteration, so the rounds are UNROLLED as chained CTEs instead — exact
+    because a round where no leaf is splittable is an identity map (every
+    pid keeps its value), so any unroll depth >= the convergence depth
+    yields the fixpoint the Spark loop runs to. rounds=8 covers
+    depth <= log2(n/k) up to sf0.1 (15k rows, k=150 → depth ~7).
+
+    Bit-exactness argument: dims are integer-valued doubles, so the type-7
+    interpolated median (DuckDB quantile_cont ≡ Spark percentile at p=0.5:
+    one subtract, one *0.5, one add — all exact on integers < 2^52), the
+    exact side counts, the normalized-range scores (one subtract + one
+    divide of identical doubles), and the lowest-index tie-break are all
+    reproducible IEEE-754 op-for-op across engines.
+    """
+    sql = [
+        """
+    WITH r0 AS MATERIALIZED (SELECT CAST(c_nationkey AS DOUBLE) AS d0,
+                       CAST(ROUND(c_acctbal * 100) AS DOUBLE) AS d1,
+                       CAST(0 AS BIGINT) AS pid
+                FROM customer),
+    g AS (SELECT GREATEST(MAX(d0) - MIN(d0), 1e-12) AS g0,
+                 GREATEST(MAX(d1) - MIN(d1), 1e-12) AS g1 FROM r0)"""
+    ]
+    for i in range(rounds):
+        sql.append(
+            f""",
+    s{i} AS MATERIALIZED (SELECT pid, COUNT(*) AS cnt,
+                    MIN(d0) AS mn0, quantile_cont(d0, 0.5) AS md0, MAX(d0) AS mx0,
+                    MIN(d1) AS mn1, quantile_cont(d1, 0.5) AS md1, MAX(d1) AS mx1
+             FROM r{i} GROUP BY pid),
+    l{i} AS MATERIALIZED (SELECT r.pid,
+                    SUM(CASE WHEN r.d0 <= s.md0 THEN 1 ELSE 0 END) AS lf0,
+                    SUM(CASE WHEN r.d1 <= s.md1 THEN 1 ELSE 0 END) AS lf1
+             FROM r{i} r JOIN s{i} s USING (pid) GROUP BY r.pid),
+    x{i} AS MATERIALIZED (SELECT s.pid, s.md0, s.md1,
+                    CASE WHEN l.lf0 >= {k} AND s.cnt - l.lf0 >= {k}
+                         THEN (s.mx0 - s.mn0) / g.g0 ELSE -1.0 END AS sc0,
+                    CASE WHEN l.lf1 >= {k} AND s.cnt - l.lf1 >= {k}
+                         THEN (s.mx1 - s.mn1) / g.g1 ELSE -1.0 END AS sc1
+             FROM s{i} s JOIN l{i} l USING (pid) CROSS JOIN g),
+    r{i + 1} AS MATERIALIZED (SELECT r.d0, r.d1,
+                      CASE WHEN GREATEST(x.sc0, x.sc1) < 0 THEN r.pid
+                           WHEN (CASE WHEN x.sc0 >= x.sc1 THEN r.d0 ELSE r.d1 END)
+                                <= (CASE WHEN x.sc0 >= x.sc1 THEN x.md0 ELSE x.md1 END)
+                           THEN r.pid * 2 + 1 ELSE r.pid * 2 + 2 END AS pid
+               FROM r{i} r JOIN x{i} x USING (pid))"""
+        )
+    sql.append(
+        f"""
+    SELECT pid, CAST(COUNT(*) AS BIGINT) AS cnt,
+           MIN(d0) AS c_nationkey_lo, MAX(d0) AS c_nationkey_hi,
+           MIN(d1) AS acct_cents_lo, MAX(d1) AS acct_cents_hi
+    FROM r{rounds} GROUP BY pid"""
+    )
+    return "".join(sql)
+
+
+@query("x15_mondrian_exact", _mondrian_oracle_sql(k=150, rounds=8))
+def x15_mondrian_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Mondrian leaf-bounds relation (exact medians, k=150)
+    — gives the recursive operator a full hash check against an unrolled
+    DuckDB twin, complementing x15_mondrian's rows-only invariants."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.mondrian import (
+        mondrian_leaf_bounds,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    prepped = c.select(
+        F.col("c_nationkey"),
+        F.round(F.col("c_acctbal") * 100, 0).alias("acct_cents"),
+    )
+    return mondrian_leaf_bounds(prepped, ["c_nationkey", "acct_cents"], k=150, median="exact")
+
+
 # --------------------------------------------------------------------------
 # X16 — as-of join (operators/temporal.py): for every error event, the
 # latest same-user click at-or-before it. The oracle is the literal
@@ -2164,69 +2280,85 @@ def x19_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
-# registered queries (CORRECTNESS_r01 stopped at slot 50, leaving 16
-# oracle-backed queries with no driver signal). Reorder so the window holds
-# exactly the 50 highest-value oracle-backed queries: one-plus per SURVEY §2
-# component first, redundant per-component variants next, rows-only
-# (no-oracle) queries last. Pure reordering — no query semantics change.
+# registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green
+# but left 23 oracle-backed queries (r2 slots 51-73) with no driver-issued
+# signal. This round's window promotes exactly those 23, plus the one r2
+# red row (x09_json_props, oracle re-canonicalized this round) and the two
+# new r3 queries (x15_mondrian_exact, x04_cosine_pairs_topm); the other 24
+# slots keep one in-window representative per composite / extension
+# component. The 25 rotated-out queries ALL hold driver-green rows in
+# CORRECTNESS_r02.json (the ledger tests/test_registry_window.py pins), and
+# each rotated-out P primitive stays exercised inside an in-window
+# composite (e.g. P6 threshold + P8 semi-join inside c01, P10-P16 inside
+# the metric pipes, P22 inside x19's LIMIT) — so the UNION of r2+r3 driver
+# rows covers every oracle-backed query with no component ever unchecked.
 # --------------------------------------------------------------------------
-
-# Oracle-backed VARIANTS of components already represented earlier in the
-# window (C4 keeps `strict`; X1 keeps `count_exact` + `avg_exact`; X3 keeps
-# `ngram_jaccard` + `dedup_corpus`; C6 keeps the rows denominator; X2 keeps
-# `dedup_exact`; X4 keeps `cosine_topk`; X5 keeps `text_features` +
-# `lang_id`; new single-query components like x09/x10 stay in-window).
-_WINDOW_DEMOTED = [
-    # Demoted for the x16/x17/x18 temporal + contamination slots: X1 keeps
-    # avg_exact in-window (subsumes the count+sum mechanics and was the r1
-    # red row — its green matters most); X3 keeps ngram_jaccard (the pair
-    # relation IS the corpus composite's core, and pipe_corpus_curation
-    # oracle-covers the composite); X6 keeps window_kanon + gate (dedup
-    # stream's dropDuplicates semantics are oracle-covered by x02).
+_WINDOW_R3 = [
+    # --- the 23 never-driver-checked oracle queries (r2 slots 51-73) ---
     "x01_dp_count_exact",
-    "x03_dedup_corpus",
-    "x06_dedup_stream",
-    # X6 keeps stream_window_kanon (the windowed agg IS the streaming
-    # core); the gate's threshold semantics are oracle-covered by c01,
-    # freeing the slot for x19's only driver signal (distinct COVERAGE
-    # row — doc-frequency + top-k shape is NOT p13's single groupBy).
-    "x06_kanon_gate",
-    # X10 keeps hash_split in-window (same md5-prefix mechanism as
-    # hash_sample plus the CASE assignment; stratified adds the quota
-    # window — demoted to make room for the x13 PII component)
-    "x10_hash_sample",
-    "x10_stratified_sample",
-    # X5 keeps text_features in-window (supersets the stats expressions);
-    # lang_id demoted for the second x13 slot
-    "x05_lang_id",
-    # X13 keeps pii_detect in-window (the report is an aggregate of the
-    # same per-row counts); demoted for the x14 repetition slot
-    "x13_pii_report",
-    "x02_dedup_fingerprint",
-    "x04_cosine_pairs",
-    "x05_text_stats",
-    # X6 keeps window_kanon + gate + dedup_stream in-window; the DP stream
-    # release's pre-noise core overlaps x01's oracle coverage, so x11
-    # sessionization takes its slot as the 4th streaming representative.
-    "x06_dp_stream_release_exact",
-    "c04_class_emd",
-    "c04_t_closeness_reference",
-    "x03_dedup_corpus_cc",
-    "pipe_corpus_curation",
-    "x01_svt_exact",
-    "c06_uniqueness_classes",
-    "x01_dp_histogram_exact",
     "x01_dp_sum_exact",
+    "x01_dp_histogram_exact",
     "x01_dp_quantile_exact",
     "x01_dp_topk_exact",
     "x01_dp_mode_exact",
+    "x01_svt_exact",
+    "c04_class_emd",
+    "c04_t_closeness_reference",
+    "c06_uniqueness_classes",
+    "x02_dedup_fingerprint",
+    "x03_dedup_corpus",
+    "x03_dedup_corpus_cc",
+    "pipe_corpus_curation",
+    "x04_cosine_pairs",
+    "x05_text_stats",
+    "x05_lang_id",
+    "x06_dedup_stream",
+    "x06_kanon_gate",
+    "x06_dp_stream_release_exact",
+    "x10_hash_sample",
+    "x10_stratified_sample",
+    "x13_pii_report",
+    # --- the r2 red row, fixed this round — needs its green driver row ---
+    "x09_json_props",
+    # --- new r3 oracle-backed queries ---
+    "x15_mondrian_exact",
+    "x04_cosine_pairs_topm",
+    # --- per-component representatives (all r2-green; kept in-window so
+    # --- every composite/extension component gets a fresh r3 row too ---
+    "c01_k_anonymize_suppress",
+    "c02_k_anonymity_audit",
+    "c05_reid_risk",
+    "c07_suppression_rate",
+    "c08_ncp",
+    "c09_t_violations",
+    "x08_l_diversity",
+    "x11_sessionize",
+    "x12_equal_freq_bin",
+    "x14_repetition",
+    "x16_asof_join",
+    "x17_session_errors",
+    "x18_contamination",
+    "x19_vocab",
+    "pipe_naive_metrics",
+    "pipe_tcloseness_metrics",
+    # --- structurally distinct P primitives (read path, null drop, hash
+    # --- agg, window-to-rows, zero-filled distribution, both bin flavors'
+    # --- core, per-group ranges, sorted-distinct positions) ---
+    "p01_scan",
+    "p02_drop_null",
+    "p05_group_frequency",
+    "p09_group_stat_to_rows",
+    "p14_distribution",
+    "p17_equal_width_bin",
+    "p19_range_generalize",
+    "p21_sorted_distinct",
 ]
 
 
 def _reorder_for_driver_window() -> None:
     ordered = (
-        [n for n in QUERIES if n in ORACLE_SQL and n not in _WINDOW_DEMOTED]
-        + [n for n in _WINDOW_DEMOTED if n in QUERIES]
+        [n for n in _WINDOW_R3 if n in QUERIES]
+        + [n for n in QUERIES if n in ORACLE_SQL and n not in _WINDOW_R3]
         + [n for n in QUERIES if n not in ORACLE_SQL]
     )
     reordered = {n: QUERIES[n] for n in ordered}

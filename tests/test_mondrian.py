@@ -16,6 +16,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.mondrian import (
     PID,
     mondrian_anonymize,
     mondrian_assign,
+    mondrian_leaf_bounds,
 )
 
 QI = ["c_acctbal", "c_nationkey"]
@@ -74,6 +75,27 @@ def test_unsplittable_input_is_single_leaf(spark):
     a = mondrian_assign(df, ["v", "w"], 25)
     assert a.select(PID).distinct().count() == 1
     assert a.count() == 30
+
+
+def test_leaf_bounds_relation_consistent_with_assign(spark, sf001):
+    """mondrian_leaf_bounds is the aggregated view of the same exact run:
+    leaf count, populations, and bounds must agree with mondrian_assign,
+    every leaf >= k, populations sum to n, and bounds are disjoint-or-
+    nested per the split tree (weak check: lo <= hi and cnt >= k)."""
+    c = load_table(spark, sf001, "customer").select(
+        "c_nationkey", F.round(F.col("c_acctbal") * 100, 0).alias("acct_cents")
+    )
+    k = 150
+    bounds = mondrian_leaf_bounds(c, ["c_nationkey", "acct_cents"], k, median="exact")
+    rows = bounds.collect()
+    assert sum(r.cnt for r in rows) == c.count()
+    assert all(r.cnt >= k for r in rows)
+    assert all(r.c_nationkey_lo <= r.c_nationkey_hi for r in rows)
+    assert all(r.acct_cents_lo <= r.acct_cents_hi for r in rows)
+    # Same tree as mondrian_assign at the same settings.
+    a = mondrian_assign(c, ["c_nationkey", "acct_cents"], k, median="exact")
+    sizes = {r[PID]: r["count"] for r in a.groupBy(PID).count().collect()}
+    assert {r.pid: r.cnt for r in rows} == sizes
 
 
 def test_mondrian_beats_suppression_on_retention(spark, sf001):
