@@ -719,6 +719,42 @@ def simhash_pairs(
     return ham.filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
 
 
+def simhash_pairs_topm(
+    df: DataFrame,
+    m: int = 5,
+    max_hamming: int = 3,
+    bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens: DataFrame | None = None,
+) -> DataFrame:
+    """Bounded-output SimHash neighbors: each doc's ``m`` nearest
+    candidates by Hamming distance (ties by neighbor id). Candidate
+    *generation* is already banding-bounded in :func:`simhash_pairs`; this
+    bounds the *emission* to <= n*m rows, the cap-and-rank twin of
+    ``cosine_pairs_topm`` for dense near-dup corpora where the pair count
+    itself is the blowup. The rank filter compiles to a map-side
+    WindowGroupLimit partial top-k (same plan property, gated in tests).
+
+    Output: ``(doc_id, nbr_id, hamming, rnk)`` — directed (a pair appears
+    under both endpoints, each ranked in that doc's list).
+    """
+    from pyspark.sql import Window
+
+    pairs = simhash_pairs(
+        df, max_hamming, bits, text_col=text_col, id_col=id_col, tokens=tokens
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("doc_id"), F.col("id_b").alias("nbr_id"), "hamming"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("doc_id"), F.col("id_a").alias("nbr_id"), "hamming"
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("hamming"), F.col("nbr_id"))
+    return sym.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= m)
+
+
 def near_dup_suite(
     df: DataFrame,
     jaccard_threshold: float = 0.5,

@@ -106,6 +106,46 @@ def cosine_self_join_pairs(
     return scored.filter(F.col("cos") >= F.lit(threshold))
 
 
+def cosine_pairs_topm(
+    df: DataFrame,
+    m: int = 5,
+    threshold: float | None = None,
+    block_col: str | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Bounded-output neighbor pairs: for every vector, its ``m`` most
+    similar OTHER vectors (ties broken by neighbor id). The cap-and-rank
+    answer to the one scale weakness of exact pair emission: where
+    ``cosine_self_join_pairs`` emits O(matches) rows (output-bound by
+    contract), this emits EXACTLY n*m rows whatever the similarity
+    structure — the shape dedup/link pipelines actually consume.
+
+    The rank filter is written as row_number-over-window + ``rnk <= m`` so
+    Catalyst's InferWindowGroupLimit turns it into a WindowGroupLimit
+    (Partial) that keeps only m rows per key map-side BEFORE the window
+    shuffle (plan-gated in tests/test_plans.py) — per-key partial top-k,
+    not sort-everything-then-filter. Combine with ``block_col`` (LSH
+    bucket / IVF list) at scale so candidate generation is also bounded.
+    """
+    from pyspark.sql import Window
+
+    df = fan_out(df)
+    v = F.col(vec_col).cast("array<double>")
+    blk = [F.col(block_col).alias("blk")] if block_col else []
+    a = df.select(F.col(id_col).alias("id_a"), v.alias("va"), _norm(v).alias("na"), *blk)
+    b = df.select(F.col(id_col).alias("id_b"), v.alias("vb"), _norm(v).alias("nb"), *blk)
+    joined = a.join(b, on="blk") if block_col else a.crossJoin(b)
+    joined = joined.filter(F.col("id_a") != F.col("id_b"))
+    denom = F.col("na") * F.col("nb")
+    cos = F.when(denom != 0.0, _dot(F.col("va"), F.col("vb")) / denom).otherwise(F.lit(None))
+    scored = joined.select("id_a", "id_b", F.round(cos, 6).alias("cos"))
+    if threshold is not None:
+        scored = scored.filter(F.col("cos") >= F.lit(threshold))
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.col("id_b"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= m)
+
+
 def lsh_bucket_signature(
     df: DataFrame,
     n_planes: int = 8,

@@ -143,6 +143,66 @@ def test_simhash_finds_planted_dups(spark, sf001):
     assert planted & sim == planted
 
 
+def test_simhash_topm_caps_and_matches_uncapped(spark, sf001):
+    """The cap-and-rank variant must be exactly the symmetrized uncapped
+    pair set, truncated to m per doc by (hamming, nbr_id) — no pair
+    invented, none missed below the cap."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import simhash_pairs_topm
+
+    docs = load_table(spark, sf001, "documents")
+    m = 2
+    capped = simhash_pairs_topm(docs, m=m, max_hamming=3).collect()
+    per_doc: dict[int, list] = {}
+    for r in capped:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert all(len(v) <= m for v in per_doc.values())
+    full = simhash_pairs(docs, max_hamming=3).collect()
+    sym: dict[int, list] = {}
+    for r in full:
+        sym.setdefault(r.id_a, []).append((r.hamming, r.id_b))
+        sym.setdefault(r.id_b, []).append((r.hamming, r.id_a))
+    expect = {d: sorted(v)[:m] for d, v in sym.items()}
+    got = {d: sorted((r.hamming, r.nbr_id) for r in v) for d, v in per_doc.items()}
+    assert got == expect
+
+
+def test_cosine_pairs_topm_exact_vs_bruteforce(spark, sf0001):
+    """cosine_pairs_topm == brute-force per-id top-m on the full scored
+    pair matrix (bit-exact: same fold, same rounding, same tie order)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.similarity import (
+        cosine_pairs_topm,
+    )
+
+    emb = load_table(spark, sf0001, "embeddings")
+    m = 3
+    got = {
+        (r.id_a, r.rnk): (r.id_b, r.cos)
+        for r in cosine_pairs_topm(emb, m=m).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    import math
+
+    def cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+            na += float(x) * float(x)
+            nb += float(y) * float(y)
+        d = math.sqrt(na) * math.sqrt(nb)
+        return round(dot / d, 6) if d != 0 else None
+
+    ids = [(r.vec_id, [float(x) for x in r.embedding]) for r in rows]
+    n_checked = 0
+    for i, vi in ids[:20]:  # spot-check a prefix; full n^2 in python is slow
+        scored = sorted(
+            ((-(cos(vi, vj) or float("-inf")), j) for j, vj in ids if j != i)
+        )[:m]
+        for rnk, (negc, j) in enumerate(scored, start=1):
+            assert got[(i, rnk)][0] == j
+            n_checked += 1
+    assert n_checked == 20 * m
+
+
 def test_cosine_topk_self_first(spark, sf0001):
     emb = load_table(spark, sf0001, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]

@@ -162,6 +162,15 @@ def test_repetition_is_map_side(plans):
     assert "HashAggregate" not in p
 
 
+def test_cosine_pairs_topm_partial_window_limit(plans):
+    """x04_cosine_pairs_topm: the rank<=m filter must run as a
+    WindowGroupLimit Partial BEFORE the window exchange (map-side per-key
+    top-k) — the property that bounds the shuffle to n*m rows however many
+    candidate pairs the join generates."""
+    p = plans["x04_cosine_pairs_topm"]
+    assert re.search(r"WindowGroupLimit.*Partial", p)
+
+
 def test_contamination_probe_broadcasts_bench(plans):
     """x18: the benchmark shingle set is the broadcast side — the corpus
     scan must not shuffle for the membership probe."""
