@@ -2,13 +2,42 @@
 
 The driver hash-checks only the first 50 registered queries. These tests
 fail loudly if a future registration pushes an oracle-backed query out of
-the window or leaves a SURVEY §2 component without an in-window oracle row.
+the window or leaves a SURVEY §2 component with NO driver signal — where
+"signal" is an in-window slot this round OR a driver-green row from a
+previous round (the rotation ledger below). Round 3 rotates the 23
+never-checked oracle queries in and 25 r2-green ones out, so the union of
+r2+r3 driver rows covers every oracle-backed query.
 No Spark session needed — pure registration-order checks.
 """
 
-from dbms_data_anonymity_differential_privacy_spark.queries_registry import ORACLE_SQL, QUERIES
+from dbms_data_anonymity_differential_privacy_spark.queries_registry import (
+    _WINDOW_R3,
+    ORACLE_SQL,
+    QUERIES,
+)
 
 WINDOW = 50
+
+# Queries with hash_match=true in a driver-issued CORRECTNESS report
+# (CORRECTNESS_r02.json, round 2): the rotation ledger. A component may
+# rotate out of the window ONLY if its queries are all in here.
+DRIVER_GREEN_PRIOR = {
+    "c01_k_anonymize_suppress", "p01_scan", "p02_drop_null", "p03_project",
+    "p04_cast_coerce", "p05_group_frequency", "p06_threshold_filter",
+    "p07_join_back", "p08_semi_join", "p09_group_stat_to_rows",
+    "p10_minmax_class_size", "p11_counts", "p12_nunique", "p13_value_counts",
+    "p14_distribution", "p15_singletons", "p16_mean_derived",
+    "p17_equal_width_bin", "p18_explicit_bin", "p19_range_generalize",
+    "p20_union", "p21_sorted_distinct", "p22_limit", "p23_scalar_arithmetic",
+    "c04_t_closeness_strict", "x08_l_diversity", "c09_t_violations",
+    "x01_dp_avg_exact", "x02_dedup_exact", "x03_ngram_jaccard",
+    "x04_cosine_topk", "x05_text_features", "x06_stream_window_kanon",
+    "c02_k_anonymity_audit", "pipe_naive_metrics", "pipe_tcloseness_metrics",
+    "c05_reid_risk", "c06_uniqueness_rows", "c07_suppression_rate", "c08_ncp",
+    "x10_hash_split", "x12_equal_freq_bin", "x13_pii_detect",
+    "x14_repetition", "x11_sessionize", "x16_asof_join", "x17_session_errors",
+    "x18_contamination", "x19_vocab",
+}
 
 
 def component_of(name: str) -> str:
@@ -21,12 +50,42 @@ def test_window_is_all_oracle_backed():
     assert not missing, f"rows-only queries waste the driver window: {missing}"
 
 
-def test_every_oracle_component_represented_in_window():
+def test_window_list_matches_registration():
+    """_WINDOW_R3 IS the window: every listed name registered, exactly 50,
+    occupying the first 50 slots in order."""
+    assert len(_WINDOW_R3) == WINDOW
+    assert len(set(_WINDOW_R3)) == WINDOW
+    unregistered = [n for n in _WINDOW_R3 if n not in QUERIES]
+    assert not unregistered, f"window names not registered: {unregistered}"
+    assert list(QUERIES)[:WINDOW] == _WINDOW_R3
+
+
+def test_every_oracle_component_has_driver_signal():
+    """Every component with an oracle either sits in this round's window or
+    is fully covered by prior driver-green rows (rotation ledger)."""
     inside = {component_of(n) for n in list(QUERIES)[:WINDOW]}
-    oracle_components = {component_of(n) for n in QUERIES if n in ORACLE_SQL}
-    assert oracle_components <= inside, (
-        f"components with oracles but no in-window query: {oracle_components - inside}"
+    unsignalled = [
+        n
+        for n in QUERIES
+        if n in ORACLE_SQL
+        and component_of(n) not in inside
+        and n not in DRIVER_GREEN_PRIOR
+    ]
+    assert not unsignalled, (
+        f"oracle queries with neither an in-window component nor a prior "
+        f"driver-green row: {unsignalled}"
     )
+
+
+def test_rotated_out_queries_were_driver_green():
+    """Nothing rotates out of the window without a driver-issued green row:
+    the union of rounds must keep every oracle-backed query checked."""
+    inside = set(list(QUERIES)[:WINDOW])
+    unchecked = [
+        n for n in QUERIES
+        if n in ORACLE_SQL and n not in inside and n not in DRIVER_GREEN_PRIOR
+    ]
+    assert not unchecked, f"oracle queries that never got a driver row: {unchecked}"
 
 
 def test_rows_only_queries_registered_last():
