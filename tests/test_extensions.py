@@ -536,6 +536,62 @@ def test_privacy_budget_accounting(spark, sf0001):
     assert budget.ledger[0][0] == "dp_count:event_type"
 
 
+def test_budget_end_to_end(spark, sf0001):
+    """The composite walk-through auditors ask for: one PrivacyBudget
+    drives a whole release pipeline (count + histogram + quantile), the
+    ledger tracks every release with a distinct nonce, a release that
+    would overdraw is refused with the ledger UNCHANGED, the exact
+    remainder is still spendable, and repeated releases of the same query
+    carry independent noise (the nonce scheme, observed end-to-end)."""
+    import pytest as _pytest
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
+        BudgetExceededError,
+        PrivacyBudget,
+        dp_count,
+        dp_histogram,
+        dp_quantile,
+    )
+
+    ev = load_table(spark, sf0001, "events")
+    budget = PrivacyBudget(2.0)
+
+    r1 = dp_count(ev, ["event_type"], epsilon=0.5, budget=budget).collect()
+    r2 = dp_histogram(
+        ev, "value", n_bins=4, epsilon=0.75, lower=0.0, upper=100.0, budget=budget
+    ).collect()
+    dp_quantile(
+        ev, ["event_type"], "value", q=0.5, epsilon=0.5,
+        lower=0.0, upper=100.0, budget=budget,
+    ).collect()
+    assert budget.spent == _pytest.approx(1.75)
+    assert budget.remaining == _pytest.approx(0.25)
+    assert len(budget.ledger) == 3
+    assert len({label for label, _, _ in budget.ledger}) == 3  # distinct audit labels
+    assert r2, "histogram release must emit all public bins"
+
+    # Overdraw refused BEFORE any computation; ledger must not grow.
+    with _pytest.raises(BudgetExceededError):
+        dp_count(ev, ["event_type"], epsilon=0.5, budget=budget)
+    assert len(budget.ledger) == 3
+    assert budget.remaining == _pytest.approx(0.25)
+
+    # The exact remainder is still spendable — refusal didn't burn it.
+    r4 = dp_count(ev, ["event_type"], epsilon=0.25, budget=budget).collect()
+    assert budget.remaining == _pytest.approx(0.0)
+
+    # Exhausted: every further release refuses, however small.
+    with _pytest.raises(BudgetExceededError):
+        dp_count(ev, ["event_type"], epsilon=1e-6, budget=budget)
+
+    # Same query, same seed, two ledger slots → different nonces → the
+    # noise must differ (else differencing the two releases cancels it).
+    n1 = {tuple(r[c] for c in ("event_type",)): r["count_dp"] for r in r1}
+    n4 = {tuple(r[c] for c in ("event_type",)): r["count_dp"] for r in r4}
+    assert set(n1) == set(n4)
+    assert any(n1[k] != n4[k] for k in n1)
+
+
 def test_privacy_budget_delta_accounting(spark, sf0001):
     """(eps, delta) composition: Gaussian releases spend delta; a pure-eps
     budget refuses any Gaussian release; exceeding the delta allowance
