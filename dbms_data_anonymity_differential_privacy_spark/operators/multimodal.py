@@ -1,11 +1,12 @@
 """Multimodal column plumbing — SURVEY §2c north-star (image/audio/video
 as opaque binary columns with typed metadata).
 
-Decode is REAL for the uncompressed container formats a pure-Python
-decoder can handle without codec libraries: BMP (24-bit BI_RGB), PPM
-(binary P6), and WAV (PCM16, stdlib ``wave``). Compressed formats
-(JPEG/PNG/MP3/H.264) still need PIL/ffmpeg, absent from this container,
-and raise ``NotImplementedError`` — the dispatch point is one function
+Decode is REAL for the formats a pure-Python decoder can handle without
+codec libraries: BMP (24-bit BI_RGB), PPM (binary P6), WAV (PCM16, stdlib
+``wave``), and PNG (8-bit RGB/RGBA via stdlib zlib inflate + scanline
+unfilter). Lossy formats (JPEG/MP3/H.264) still need PIL/ffmpeg, absent
+from this container, and raise ``NotImplementedError`` — the dispatch
+point is one function
 (:func:`decode_media`), so swapping in richer codecs never touches the
 distributed plumbing. Everything Spark-side is real and tested: the schema
 contract, the Arrow-batched ``mapInPandas`` signature, batch shaping,
@@ -72,7 +73,7 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
 # Pure-Python codecs for uncompressed formats (no PIL/ffmpeg needed).
 # ---------------------------------------------------------------------------
 
-IMAGE_MIMES = ("image/bmp", "image/x-portable-pixmap")
+IMAGE_MIMES = ("image/bmp", "image/x-portable-pixmap", "image/png")
 AUDIO_MIMES = ("audio/wav", "audio/x-wav")
 
 
@@ -174,11 +175,90 @@ def decode_wav(data: bytes) -> tuple[int, list[int]]:
     return rate, [sum(flat[i : i + nch]) // nch for i in range(0, len(flat), nch)]
 
 
+def decode_png(data: bytes) -> tuple[int, int, bytes]:
+    """Decode an 8-bit truecolor PNG (color type 2 RGB or 6 RGBA, no
+    interlace) → (width, height, RGB8 bytes, alpha dropped) with nothing
+    but the stdlib: zlib inflate of the IDAT stream, then per-scanline
+    reversal of the five standard filters (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6). Palette, 16-bit, grayscale, and Adam7 still raise —
+    honest dispatch, same as the other codecs."""
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG stream")
+    pos = 8
+    width = height = color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        length, ctype = struct.unpack_from(">I4s", data, pos)
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if bit_depth != 8 or color_type not in (2, 6):
+                raise NotImplementedError(
+                    f"only 8-bit RGB/RGBA PNG supported (depth={bit_depth}, "
+                    f"color_type={color_type})"
+                )
+            if interlace:
+                raise NotImplementedError("interlaced (Adam7) PNG not supported")
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG stream has no IHDR chunk")
+    raw = zlib.decompress(bytes(idat))
+    nch = 3 if color_type == 2 else 4
+    stride = width * nch
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("truncated PNG scanline data")
+    rgb = bytearray(width * height * 3)
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub: + left
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif ftype == 2:  # Up: + above
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average: + floor((left+above)/2)
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth predictor of (left, above, upper-left)
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        prev = line
+        for x in range(width):
+            si = x * nch
+            di = (y * width + x) * 3
+            rgb[di : di + 3] = line[si : si + 3]
+    return width, height, bytes(rgb)
+
+
 def decode_image(content: bytes, mime: str) -> tuple[int, int, bytes]:
     if mime == "image/bmp":
         return decode_bmp(content)
     if mime == "image/x-portable-pixmap":
         return decode_ppm(content)
+    if mime == "image/png":
+        return decode_png(content)
     raise NotImplementedError(f"no pure-Python decoder for image mime {mime!r}")
 
 
@@ -216,11 +296,11 @@ def decode_media(content: bytes, mime: str) -> list[float]:
     """Feature vector for one blob, by mime:
 
     - ``text/plain`` → [n_bytes, byte mean, byte second moment]
-    - BMP / PPM → [width, height, mean R, mean G, mean B]
+    - BMP / PPM / PNG → [width, height, mean R, mean G, mean B]
     - PCM16 WAV → [n_samples, framerate, mean, RMS]
 
-    Compressed formats (JPEG/PNG/MP3/...) need codec libraries absent from
-    this container and raise ``NotImplementedError``.
+    Lossy formats (JPEG/MP3/...) need codec libraries absent from this
+    container and raise ``NotImplementedError``.
     """
     if mime == "text/plain":
         # deterministic "embedding": byte-histogram moments

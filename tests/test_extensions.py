@@ -203,6 +203,26 @@ def test_cosine_pairs_topm_exact_vs_bruteforce(spark, sf0001):
     assert n_checked == 20 * m
 
 
+def test_cosine_pairs_topm_arrow_matches_sql(spark, sf0001):
+    """The BLAS flavor must produce the same ranked neighbor lists as the
+    oracle-hashed sql flavor (same ties, same NULLS LAST, same cap)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.similarity import (
+        cosine_pairs_topm,
+    )
+
+    emb = load_table(spark, sf0001, "embeddings")
+    sql_rows = {
+        (r.id_a, r.rnk): r.id_b
+        for r in cosine_pairs_topm(emb, m=4, block_col="label", impl="sql").collect()
+    }
+    arrow_rows = {
+        (r.id_a, r.rnk): r.id_b
+        for r in cosine_pairs_topm(emb, m=4, block_col="label", impl="arrow").collect()
+    }
+    assert sql_rows == arrow_rows
+    assert len(sql_rows) > 0
+
+
 def test_cosine_topk_self_first(spark, sf0001):
     emb = load_table(spark, sf0001, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -454,9 +474,9 @@ def test_multimodal_plumbing(spark, sf0001):
         assert r.n_bytes > 0
         assert len(r.feature) == 3
         assert r.feature[0] == float(r.n_bytes)
-    # real media decode is stubbed
+    # lossy-codec decode stays an honest NotImplementedError
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG", "image/png")
+        decode_media(b"\xff\xd8\xff", "image/jpeg")
 
 
 def test_ivf_topk_recall(spark, sf0001):

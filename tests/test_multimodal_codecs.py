@@ -87,7 +87,97 @@ def test_decode_media_feature_values():
     assert audio[2] == pytest.approx(-0.5)
     assert audio[3] == pytest.approx((12.5) ** 0.5)
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG", "image/png")
+        decode_media(b"\xff\xd8\xff", "image/jpeg")
+
+
+import pathlib
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
+
+
+def _rgb_pixel(x: int, y: int) -> tuple[int, int, int]:
+    return ((x * 31 + y * 7) % 256, (x * 11 + y * 53) % 256, (x * 3 + y * 97) % 256)
+
+
+def _rgba_rgb_pixel(x: int, y: int) -> tuple[int, int, int]:
+    return ((x * 97 + y * 13) % 256, (x * 5 + y * 71) % 256, (x * 29 + y * 3) % 256)
+
+
+def test_png_decode_rgb_all_filters_exact():
+    """tiny_rgb.png: 6x5 RGB, one scanline per filter type 0-4 (generated
+    with independent forward-filter code). Every pixel must match the
+    generator's formula exactly."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import decode_png
+
+    data = (FIXTURES / "tiny_rgb.png").read_bytes()
+    w, h, rgb = decode_png(data)
+    assert (w, h) == (6, 5)
+    for y in range(h):
+        for x in range(w):
+            i = (y * w + x) * 3
+            assert tuple(rgb[i : i + 3]) == _rgb_pixel(x, y), (x, y)
+
+
+def test_png_decode_rgba_drops_alpha_exact():
+    from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import decode_png
+
+    data = (FIXTURES / "tiny_rgba.png").read_bytes()
+    w, h, rgb = decode_png(data)
+    assert (w, h) == (4, 4)
+    for y in range(h):
+        for x in range(w):
+            i = (y * w + x) * 3
+            assert tuple(rgb[i : i + 3]) == _rgba_rgb_pixel(x, y), (x, y)
+
+
+def test_png_unsupported_flavors_raise():
+    import struct as _struct
+    import zlib as _zlib
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import decode_png
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + _struct.pack(">I", _zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    with pytest.raises(ValueError):
+        decode_png(b"not a png")
+    # grayscale (color type 0) is unsupported
+    ihdr = _struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    gray = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    with pytest.raises(NotImplementedError):
+        decode_png(gray)
+
+
+def test_spark_png_pipeline_exact(spark):
+    """The committed PNG through the real Spark path: extract_features
+    computes exact channel means; resize_media decodes the PNG, resamples,
+    and re-encodes as a decodable BMP with exact nearest-neighbor pixels."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import decode_png
+
+    data = (FIXTURES / "tiny_rgb.png").read_bytes()
+    media = spark.createDataFrame(
+        [(11, data, "image/png", (len(data), "x"))], MEDIA_SCHEMA
+    )
+    w, h, rgb = decode_png(data)
+    n_px = w * h
+    feats = {r.media_id: r.feature for r in extract_features(media).collect()}
+    assert feats[11] == [
+        float(w),
+        float(h),
+        sum(rgb[0::3]) / n_px,
+        sum(rgb[1::3]) / n_px,
+        sum(rgb[2::3]) / n_px,
+    ]
+    resized = resize_media(media, width=3, height=3).collect()
+    assert resized[0].mime == "image/bmp"
+    rw, rh, rrgb = decode_bmp(bytes(resized[0].content))
+    assert (rw, rh) == (3, 3)
+    assert rrgb == resize_nearest(rgb, w, h, 3, 3)
 
 
 def test_resize_nearest_exact():
