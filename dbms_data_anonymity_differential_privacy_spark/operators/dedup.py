@@ -744,13 +744,19 @@ def simhash_pairs_topm(
     pairs = simhash_pairs(
         df, max_hamming, bits, text_col=text_col, id_col=id_col, tokens=tokens
     )
+    # both directions via a literal 2-array explode: a union of two selects
+    # over `pairs` would re-execute the whole banding+popcount pipeline per
+    # branch (no automatic CSE across union children); explode_outer per
+    # the measured Generate-pushdown trap (SCALE.md)
     sym = pairs.select(
-        F.col("id_a").alias("doc_id"), F.col("id_b").alias("nbr_id"), "hamming"
-    ).unionByName(
-        pairs.select(
-            F.col("id_b").alias("doc_id"), F.col("id_a").alias("nbr_id"), "hamming"
-        )
-    )
+        F.explode_outer(
+            F.array(
+                F.struct(F.col("id_a").alias("s"), F.col("id_b").alias("d")),
+                F.struct(F.col("id_b").alias("s"), F.col("id_a").alias("d")),
+            )
+        ).alias("e"),
+        "hamming",
+    ).select(F.col("e.s").alias("doc_id"), F.col("e.d").alias("nbr_id"), "hamming")
     w = Window.partitionBy("doc_id").orderBy(F.col("hamming"), F.col("nbr_id"))
     return sym.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= m)
 

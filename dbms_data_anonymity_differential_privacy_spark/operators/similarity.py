@@ -113,22 +113,46 @@ def cosine_pairs_topm(
     block_col: str | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    impl: str = "sql",
 ) -> DataFrame:
     """Bounded-output neighbor pairs: for every vector, its ``m`` most
     similar OTHER vectors (ties broken by neighbor id). The cap-and-rank
     answer to the one scale weakness of exact pair emission: where
     ``cosine_self_join_pairs`` emits O(matches) rows (output-bound by
-    contract), this emits EXACTLY n*m rows whatever the similarity
-    structure — the shape dedup/link pipelines actually consume.
+    contract), this emits <= n*m rows whatever the similarity structure —
+    the shape dedup/link pipelines actually consume.
 
-    The rank filter is written as row_number-over-window + ``rnk <= m`` so
-    Catalyst's InferWindowGroupLimit turns it into a WindowGroupLimit
-    (Partial) that keeps only m rows per key map-side BEFORE the window
-    shuffle (plan-gated in tests/test_plans.py) — per-key partial top-k,
-    not sort-everything-then-filter. Combine with ``block_col`` (LSH
-    bucket / IVF list) at scale so candidate generation is also bounded.
+    ``impl='sql'`` (default, oracle-bit-exact): each undirected candidate
+    pair is scored ONCE (one interpreted HOF fold), both directions are
+    emitted with a 2-element explode, and the rank filter is written as
+    row_number-over-window + ``rnk <= m`` so Catalyst's
+    InferWindowGroupLimit inserts a WindowGroupLimit (Partial) that keeps
+    m rows per key map-side BEFORE the window shuffle (plan-gated in
+    tests/test_plans.py) — per-key partial top-k, never
+    materialize-all-pairs.
+
+    ``impl='arrow'`` (the throughput path): per-block grouped
+    ``applyInPandas`` scoring the whole block with one BLAS matmul —
+    measured ~20x over the interpreted fold at the synthetic sf1 (the fold
+    pays ~64 interpreted ops/pair; BLAS pays vectorized FMAs). Same
+    semantics and tie order; float accumulation order differs from the
+    sequential fold (last-bit), so this flavor is equivalence-tested
+    rather than oracle-hashed. Blocks must fit one worker's memory —
+    exactly the bound ``block_col`` (label / LSH bucket / IVF list)
+    already enforces for candidate generation.
+
+    Combine with ``block_col`` at scale so candidate generation is also
+    bounded; with no blocking the sql flavor cross-joins (exact but
+    O(n^2) — small-n only).
     """
     from pyspark.sql import Window
+
+    if impl == "arrow":
+        if block_col is None:
+            raise ValueError("impl='arrow' scores per block; pass block_col")
+        return _cosine_topm_arrow(df, m, threshold, block_col, vec_col, id_col)
+    if impl != "sql":
+        raise ValueError(f"unknown impl {impl!r}")
 
     df = fan_out(df)
     v = F.col(vec_col).cast("array<double>")
@@ -136,14 +160,85 @@ def cosine_pairs_topm(
     a = df.select(F.col(id_col).alias("id_a"), v.alias("va"), _norm(v).alias("na"), *blk)
     b = df.select(F.col(id_col).alias("id_b"), v.alias("vb"), _norm(v).alias("nb"), *blk)
     joined = a.join(b, on="blk") if block_col else a.crossJoin(b)
-    joined = joined.filter(F.col("id_a") != F.col("id_b"))
+    joined = joined.filter(F.col("id_a") < F.col("id_b"))
     denom = F.col("na") * F.col("nb")
     cos = F.when(denom != 0.0, _dot(F.col("va"), F.col("vb")) / denom).otherwise(F.lit(None))
-    scored = joined.select("id_a", "id_b", F.round(cos, 6).alias("cos"))
+    undirected = joined.select("id_a", "id_b", F.round(cos, 6).alias("cos"))
+    # one fold per undirected pair; both directions via a literal 2-array
+    # explode (explode_outer per the measured Generate-pushdown trap —
+    # SCALE.md "Python boundary": plain explode lets Catalyst restate the
+    # generated-side constraints below the join as filters, and Filter
+    # gets no CSE on the interpreted fold)
+    scored = undirected.select(
+        F.explode_outer(
+            F.array(
+                F.struct(F.col("id_a").alias("s"), F.col("id_b").alias("d")),
+                F.struct(F.col("id_b").alias("s"), F.col("id_a").alias("d")),
+            )
+        ).alias("e"),
+        "cos",
+    ).select(F.col("e.s").alias("id_a"), F.col("e.d").alias("id_b"), "cos")
     if threshold is not None:
         scored = scored.filter(F.col("cos") >= F.lit(threshold))
     w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.col("id_b"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= m)
+
+
+def _cosine_topm_arrow(
+    df: DataFrame,
+    m: int,
+    threshold: float | None,
+    block_col: str,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Grouped-map BLAS scoring for :func:`cosine_pairs_topm`
+    (``impl='arrow'``): one ``V @ V.T`` per block, per-row
+    (cos desc, id asc) top-m via lexsort. NaN cosines (zero vectors) rank
+    last, matching the SQL flavor's NULLS LAST."""
+    import numpy as np
+    import pandas as pd
+
+    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        v_mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        ids = pdf[id_col].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": [], "rnk": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64", "rnk": "int32"}
+            )
+        norms = np.sqrt((v_mat * v_mat).sum(axis=1))
+        denom = np.outer(norms, norms)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cmat = np.where(denom != 0.0, (v_mat @ v_mat.T) / denom, np.nan)
+        np.fill_diagonal(cmat, np.nan)
+        cmat = np.round(cmat, 6)
+        out_a, out_b, out_c, out_r = [], [], [], []
+        for i in range(n):
+            row = cmat[i]
+            # candidates: all j != i, filtered BEFORE ranking (matching the
+            # sql flavor's filter-then-row_number), ordered (cos desc,
+            # id asc); NaN sorts last, matching NULLS LAST
+            cand = np.delete(np.arange(n), i)
+            if threshold is not None:
+                cand = cand[np.where(row[cand] >= threshold)[0]]  # NaN fails
+            sel = cand[np.lexsort((ids[cand], -row[cand]))]
+            take = sel[:m]
+            cs = row[take]
+            out_a.extend([ids[i]] * len(take))
+            out_b.extend(ids[take])
+            out_c.extend([None if np.isnan(c) else float(c) for c in cs])
+            out_r.extend(range(1, len(take) + 1))
+        return pd.DataFrame(
+            {
+                "id_a": pd.array(out_a, dtype="int64"),
+                "id_b": pd.array(out_b, dtype="int64"),
+                "cos": pd.array(out_c, dtype="float64"),
+                "rnk": pd.array(out_r, dtype="int32"),
+            }
+        )
+
+    return df.groupBy(block_col).applyInPandas(block, "id_a long, id_b long, cos double, rnk int")
 
 
 def lsh_bucket_signature(

@@ -1204,7 +1204,8 @@ def x04_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                       ROUND({_duck_cos('a.embedding', 'b.embedding')}, 6) AS cos
-               FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+               FROM embeddings a JOIN embeddings b
+                 ON a.label = b.label AND a.vec_id <> b.vec_id),
     r AS (SELECT id_a, id_b, cos,
                  CAST(ROW_NUMBER() OVER (PARTITION BY id_a
                       ORDER BY cos DESC NULLS LAST, id_b) AS INTEGER) AS rnk
@@ -1213,16 +1214,31 @@ def x04_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x04_cosine_pairs_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded-output pair emission: each vector's top-5 nearest neighbors
-    (exactly n*5 rows however similar the corpus is). The engine's rank
-    filter runs as a map-side WindowGroupLimit partial top-k; the oracle is
-    the literal per-key LIMIT semantics."""
+    """Bounded-output pair emission: each vector's top-5 nearest same-label
+    neighbors (<= n*5 rows however similar the corpus is). Label blocking
+    bounds candidate generation exactly as in x04_cosine_pairs; the rank
+    filter runs as a map-side WindowGroupLimit partial top-k, so neither
+    the candidate score stream nor the output materializes all pairs. The
+    oracle is the literal per-key LIMIT semantics."""
     from dbms_data_anonymity_differential_privacy_spark.operators.similarity import (
         cosine_pairs_topm,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs_topm(emb, m=5)
+    return cosine_pairs_topm(emb, m=5, block_col="label")
+
+
+@query("x04_cosine_pairs_topm_arrow")
+def x04_cosine_pairs_topm_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLAS flavor of the capped pair emitter (rows-only: float
+    accumulation order differs from the sequential fold at the last bit;
+    equivalence to the sql flavor is pinned in tests/test_extensions.py)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.similarity import (
+        cosine_pairs_topm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs_topm(emb, m=5, block_col="label", impl="arrow")
 
 
 @query("x04_embedding_near_dup")
