@@ -14,7 +14,13 @@ counts instead of self-joins, broadcast for tiny relations.
 """
 
 from dbms_data_anonymity_differential_privacy_spark.session import get_spark
-from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_table, load_tables, read_adult_csv
+from dbms_data_anonymity_differential_privacy_spark.sources.readers import (
+    load_table,
+    load_tables,
+    read_adult_csv,
+    read_documents_jsonl,
+    write_documents_jsonl,
+)
 from dbms_data_anonymity_differential_privacy_spark.functions.binning import (
     bin_equal_width,
     bin_explicit_edges,
@@ -63,7 +69,9 @@ from dbms_data_anonymity_differential_privacy_spark.operators.dp import PrivacyB
 from dbms_data_anonymity_differential_privacy_spark.operators.similarity import (
     cosine_topk,
     cosine_self_join_pairs,
+    cosine_pairs_topm,
     embedding_near_dup_pairs,
+    embedding_dedup,
     ann_topk_lsh,
     ivf_index,
     ivf_topk,
@@ -87,6 +95,8 @@ __all__ = [
     "load_table",
     "load_tables",
     "read_adult_csv",
+    "read_documents_jsonl",
+    "write_documents_jsonl",
     "bin_equal_width",
     "bin_explicit_edges",
     "class_sizes",
@@ -124,6 +134,8 @@ __all__ = [
     "cosine_topk",
     "cosine_self_join_pairs",
     "embedding_near_dup_pairs",
+    "embedding_dedup",
+    "cosine_pairs_topm",
     "ann_topk_lsh",
     "ivf_index",
     "ivf_topk",

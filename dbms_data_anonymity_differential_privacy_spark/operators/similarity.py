@@ -294,6 +294,36 @@ def embedding_near_dup_pairs(
     ).select("id_a", "id_b", "cos")
 
 
+def embedding_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    policy: str = "components",
+) -> DataFrame:
+    """Embedding-level corpus dedup — the semantic-duplicate analog of the
+    text-shingle ``near_dedup_corpus``: LSH-blocked cosine pairs above
+    ``threshold`` (:func:`embedding_near_dup_pairs`), then the shared
+    keep-policy machinery (``dedup.dedup_corpus``: greedy anti-join or
+    exact connected components, min-id representative). Returns the kept
+    rows with the input schema.
+
+    This is how a training-data pipeline drops paraphrase/translation
+    near-copies that share no n-grams. Approximate by LSH-bucket design
+    (bucket-boundary pairs can be missed) → rows-only check with recall
+    pinned by the planted-duplicate test.
+    """
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import dedup_corpus
+
+    pairs = embedding_near_dup_pairs(
+        df, threshold=threshold, n_planes=n_planes, seed=seed,
+        vec_col=vec_col, id_col=id_col,
+    ).select(F.col("id_a"), F.col("id_b"))
+    return dedup_corpus(df, pairs, id_col=id_col, policy=policy)
+
+
 def _dim_of(df: DataFrame, vec_col: str) -> int:
     """Embedding dimensionality from the first row (metadata-cheap; the
     plane construction needs it driver-side)."""

@@ -1250,6 +1250,18 @@ def x04_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.5, n_planes=6)
 
 
+@query("x04_embedding_dedup")
+def x04_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level corpus dedup: LSH-blocked cosine pairs + connected
+    components, min-id representative per semantic-duplicate cluster
+    (rows-only: LSH-approximate; pair-graph consistency pinned in
+    tests/test_extensions.py)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.similarity import embedding_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_dedup(emb, threshold=0.9, n_planes=8)
+
+
 @query("x04_ann_ivf_topk")
 def x04_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (rows-only: KMeans quantizer)."""

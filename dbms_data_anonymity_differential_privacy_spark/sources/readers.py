@@ -9,6 +9,7 @@ SURVEY §2a. The driver's synthetic tables are parquet (TESTDATA.md).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 TABLES = (
@@ -86,6 +87,56 @@ def with_parsed_props(
     from pyspark.sql import functions as F
 
     return df.withColumn(f"{props_col}_parsed", F.from_json(F.col(props_col), schema))
+
+
+DOCUMENTS_JSONL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    drop_corrupt: bool = True,
+) -> DataFrame:
+    """Read a JSON-Lines document corpus — the interchange format most
+    LLM training-data pipelines ship (one JSON object per line, splittable
+    by newline so a 100 TB directory scans with full partition
+    parallelism, unlike multi-line JSON arrays).
+
+    The schema is DECLARED, never inferred: schema inference is a full
+    extra pass over the data (fatal at scale) and silently widens types on
+    dirty corpora. Corrupt lines go to Spark's PERMISSIVE
+    ``_corrupt_record`` column; ``drop_corrupt=True`` (default) filters
+    them out so one mangled line cannot poison a batch — set False to
+    route them to a quarantine sink instead.
+    """
+    base = schema or DOCUMENTS_JSONL_SCHEMA
+    with_corrupt = T.StructType(
+        base.fields + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    if drop_corrupt:
+        df = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    return df
+
+
+def write_documents_jsonl(df: DataFrame, path: str, mode: str = "error") -> None:
+    """Write a corpus as JSON-Lines (one object per line, text/json codec
+    chosen by extension) — the inverse of :func:`read_documents_jsonl`."""
+    df.write.mode(mode).json(path)
 
 
 def read_adult_csv(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:

@@ -717,6 +717,30 @@ def test_embedding_near_dup_recall(spark, sf0001):
         assert len(approx) / len(exact) >= 0.3
 
 
+def test_embedding_dedup_drops_detected_components(spark, sf0001):
+    """embedding_dedup must keep exactly one representative (the min id)
+    per connected component of the detected pair graph and every
+    untouched row — consistency with its own pair relation, end to end."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import connected_components
+    from dbms_data_anonymity_differential_privacy_spark.operators.similarity import (
+        embedding_dedup,
+        embedding_near_dup_pairs,
+    )
+    from dbms_data_anonymity_differential_privacy_spark import load_table
+
+    emb = load_table(spark, sf0001, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.3, n_planes=4)
+    comp = connected_components(pairs).collect()
+    expected_dropped = {r.id for r in comp if r.comp != r.id}
+    assert expected_dropped, "fixture should contain detectable near-dups"
+    kept = {
+        r.vec_id
+        for r in embedding_dedup(emb, threshold=0.3, n_planes=4).collect()
+    }
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert kept == all_ids - expected_dropped
+
+
 def test_publish_then_reaudit_roundtrip(spark, sf0001, tmp_path):
     """End-to-end: anonymize → publish release → re-read → audit must
     report k satisfied on the published artifact."""

@@ -87,6 +87,48 @@ def test_write_adult_csv_roundtrip(spark, tmp_path):
     assert "?" in content  # null sentinel written
 
 
+def test_documents_jsonl_roundtrip(spark, sf0001, tmp_path):
+    """write → read JSONL preserves the corpus exactly (schema declared,
+    not inferred)."""
+    from dbms_data_anonymity_differential_privacy_spark import load_table
+    from dbms_data_anonymity_differential_privacy_spark.sources.readers import (
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    docs = load_table(spark, sf0001, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    write_documents_jsonl(docs.select("doc_id", "text", "lang", "source", "n_chars"), path)
+    back = read_documents_jsonl(spark, path)
+    assert back.schema["doc_id"].dataType.typeName() == "long"
+    a = {r.doc_id: (r.text, r.lang, r.source, r.n_chars) for r in docs.collect()}
+    b = {r.doc_id: (r.text, r.lang, r.source, r.n_chars) for r in back.collect()}
+    assert a == b
+
+
+def test_documents_jsonl_corrupt_lines_dropped_not_poisoning(spark, tmp_path):
+    """One mangled line must not fail the read or corrupt neighbors:
+    PERMISSIVE mode quarantines it; drop_corrupt filters it; the good
+    lines survive with exact values."""
+    from dbms_data_anonymity_differential_privacy_spark.sources.readers import (
+        read_documents_jsonl,
+    )
+
+    p = tmp_path / "dirty"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"doc_id": 1, "text": "good one", "lang": "en", "source": "s", "n_chars": 8}\n'
+        "{this is not json at all\n"
+        '{"doc_id": 2, "text": "also fine", "lang": "fr", "source": "s", "n_chars": 9}\n'
+    )
+    kept = read_documents_jsonl(spark, str(p))
+    rows = {r.doc_id: r.text for r in kept.collect()}
+    assert rows == {1: "good one", 2: "also fine"}
+    quarantine = read_documents_jsonl(spark, str(p), drop_corrupt=False)
+    bad = quarantine.filter("_corrupt_record IS NOT NULL").collect()
+    assert len(bad) == 1 and bad[0]._corrupt_record.startswith("{this")
+
+
 def test_write_bucketed_no_shuffle_on_group(spark, sf0001, tmp_path):
     """A relation bucketed by the QI key aggregates on that key without an
     exchange — the 100 TB payoff of bucketing."""
