@@ -57,6 +57,7 @@ HEADLINE = [
     "x17_session_errors",
     "x18_contamination",
     "x19_vocab",
+    "x20_bm25_search",
 ]
 
 

@@ -81,6 +81,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.sampling import (
     hash_split,
     stratified_sample_n,
 )
+from dbms_data_anonymity_differential_privacy_spark.operators.search import bm25_topk
 from dbms_data_anonymity_differential_privacy_spark.operators.text import text_stats, with_text_features
 from dbms_data_anonymity_differential_privacy_spark.operators.utility import utility_accuracy
 from dbms_data_anonymity_differential_privacy_spark import pipelines
@@ -136,6 +137,7 @@ __all__ = [
     "embedding_near_dup_pairs",
     "embedding_dedup",
     "cosine_pairs_topm",
+    "bm25_topk",
     "ann_topk_lsh",
     "ivf_index",
     "ivf_topk",

@@ -2306,6 +2306,57 @@ def x19_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_stats(docs, top_k=50)
 
 
+def _bm25_oracle_sql(terms: list[str], k: int, k1: float, b: float) -> str:
+    """DuckDB twin of operators/search.bm25_topk for literal query terms.
+
+    Mirrors the engine expression shape op-for-op: list_filter tf counts,
+    one exact-integer division for avgdl, ln-idf via the same C libm the
+    driver's math.log binds, fixed left-associative term sum, ROUND 6.
+    """
+    tf_cols = ",\n                 ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}" for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    idf = lambda i: f"ln((s.n - f.df{i} + 0.5) / (f.df{i} + 0.5) + 1.0)"  # noqa: E731
+    part = (
+        lambda i: f"(tf{i} * ({k1} + 1.0)) / "
+        f"(tf{i} + {k1} * ((1.0 - {b}) + {b} * dl / s.avgdl))"
+    )  # noqa: E731
+    score = " + ".join(f"{idf(i)} * {part(i)}" for i in range(len(terms)))
+    any_hit = " OR ".join(f"tf{i} > 0" for i in range(len(terms)))
+    return f"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    d AS (SELECT doc_id, len(toks) AS dl,
+                 {tf_cols}
+          FROM t),
+    s AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM d),
+    f AS (SELECT {df_cols} FROM d)
+    SELECT doc_id, ROUND({score}, 6) AS score
+    FROM d CROSS JOIN s CROSS JOIN f
+    WHERE {any_hit}
+    ORDER BY score DESC, doc_id LIMIT {k}
+    """
+
+
+_BM25_TERMS = ["hash", "join", "vector"]
+
+
+@query("x20_bm25_search", _bm25_oracle_sql(_BM25_TERMS, k=10, k1=1.2, b=0.75))
+def x20_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X20 — BM25 keyword search over the corpus (operators/search.py):
+    map-only tf/dl folds + two scalar corpus stats + TakeOrdered top-k."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.search import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=10)
+
+
 # --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green
@@ -2379,7 +2430,9 @@ _WINDOW_R3 = [
     "p14_distribution",
     "p17_equal_width_bin",
     "p19_range_generalize",
-    "p21_sorted_distinct",
+    # p21 rotated out for x20 (r2-green; sorted-distinct+positions is the
+    # support relation inside the in-window c04 EMD chain)
+    "x20_bm25_search",
 ]
 
 

