@@ -171,6 +171,18 @@ def test_cosine_pairs_topm_partial_window_limit(plans):
     assert re.search(r"WindowGroupLimit.*Partial", p)
 
 
+def test_bm25_is_map_only_takeordered(plans):
+    """x20 BM25: the scoring scan is map-only (tf/dl are per-row array
+    folds — no token explode, no aggregation shuffle of token rows) and
+    the top-k compiles to TakeOrderedAndProject. The only aggregations
+    are the two scalar corpus-stat jobs run while BUILDING the frame,
+    which don't appear in this final plan."""
+    p = plans["x20_bm25_search"]
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange hashpartitioning" not in p
+    assert "Generate" not in p  # no explode in the scoring path
+
+
 def test_contamination_probe_broadcasts_bench(plans):
     """x18: the benchmark shingle set is the broadcast side — the corpus
     scan must not shuffle for the membership probe."""
