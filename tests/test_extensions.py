@@ -294,6 +294,50 @@ def test_streaming_matches_batch(spark, sf0001, tmp_path):
     assert len(batch) > 0
 
 
+def test_streaming_pii_redaction_matches_batch(spark, sf0001, tmp_path):
+    """Map-only operators compose into Structured Streaming unchanged:
+    the PII redact+count projection over a readStream must produce
+    byte-identical rows to the batch run on the same file — the property
+    that lets one scrubbing definition serve both the 100 TB backfill and
+    the live ingest path."""
+    import shutil
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.pii import (
+        redact_pii,
+        with_pii_counts,
+    )
+
+    docs = load_table(spark, sf0001, "documents")
+
+    def scrub(df):
+        return with_pii_counts(df, "text").withColumn(
+            "text_redacted", redact_pii(F.col("text"))
+        ).select("doc_id", "pii_total", "text_redacted")
+
+    batch = {r.doc_id: (r.pii_total, r.text_redacted) for r in scrub(docs).collect()}
+
+    stream_dir = tmp_path / "docs"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf0001}/documents.parquet", stream_dir / "part-000.parquet")
+    stream = spark.readStream.schema(docs.schema).parquet(str(stream_dir))
+    q = (
+        scrub(stream)
+        .writeStream.format("memory")
+        .queryName("pii_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.pii_total, r.text_redacted)
+        for r in spark.sql("SELECT * FROM pii_stream_test").collect()
+    }
+    assert got == batch
+    assert len(batch) > 0
+
+
 def test_dp_topk_gumbel(spark, sf0001):
     """dp_topk: k rows per group with distinct candidates; huge epsilon
     recovers the true top-k counts; deterministic under repartitioning."""
