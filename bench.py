@@ -58,6 +58,7 @@ HEADLINE = [
     "x18_contamination",
     "x19_vocab",
     "x20_bm25_search",
+    "x21_pack_chunks",
 ]
 
 

@@ -81,6 +81,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.sampling import (
     hash_split,
     stratified_sample_n,
 )
+from dbms_data_anonymity_differential_privacy_spark.operators.packing import pack_concat_chunks
 from dbms_data_anonymity_differential_privacy_spark.operators.search import bm25_topk
 from dbms_data_anonymity_differential_privacy_spark.operators.text import text_stats, with_text_features
 from dbms_data_anonymity_differential_privacy_spark.operators.utility import utility_accuracy
@@ -138,6 +139,7 @@ __all__ = [
     "embedding_dedup",
     "cosine_pairs_topm",
     "bm25_topk",
+    "pack_concat_chunks",
     "ann_topk_lsh",
     "ivf_index",
     "ivf_topk",

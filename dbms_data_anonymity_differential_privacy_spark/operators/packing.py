@@ -1,0 +1,117 @@
+"""Sequence packing for LLM pretraining — concat-and-chunk layout.
+
+The standard pretraining data layout concatenates the token stream of the
+whole corpus in a deterministic document order and cuts it into
+fixed-length training sequences ("chunks") of ``seq_len`` tokens; a
+document's tokens land at absolute offset ``[tok_start, tok_start +
+n_tokens)`` and therefore touch chunks ``tok_start div L`` through
+``(tok_start + n_tokens - 1) div L``. Computing that layout is a GLOBAL
+PREFIX SUM over the corpus — the one primitive a naive Spark
+implementation gets wrong, because ``SUM() OVER (ORDER BY id)`` with no
+partitioning forces an Exchange SinglePartition: every row through ONE
+reducer, the definition of a 100 TB bottleneck.
+
+This module computes the exact same relation with the classic two-pass
+distributed prefix sum instead:
+
+1. range-repartition by document id and sort within partitions (one
+   range exchange — the partitioner guarantees partition i holds ids
+   strictly below partition i+1's);
+2. one tiny aggregation of per-partition token sums (#partitions rows)
+   → cumulative per-partition OFFSETS, broadcast back;
+3. a window partitioned BY PARTITION ID (parallel, no single reducer)
+   for the within-partition running sum; absolute offset = partition
+   offset + local running sum.
+
+All arithmetic is integer (token counts, ``div`` chunk ids), so the
+result is bit-exact against the oracle's ``SUM OVER (ORDER BY)``
+formulation on any engine. Plan-gated: no Exchange SinglePartition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_concat_chunks(
+    df: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every document its absolute token offset and chunk range in
+    the concat-and-chunk layout (chunks of ``seq_len`` tokens, documents
+    concatenated in ascending ``id_col`` order; engine-standard
+    whitespace tokenization, same as vocab/BM25).
+
+    Output per input row:
+    ``(id_col, n_tokens, tok_start, chunk_first, chunk_last, n_chunks)``
+    — empty documents get NULL chunk bounds and ``n_chunks = 0``.
+    Deterministic and layout-independent: the order is defined by
+    ``id_col`` alone.
+    """
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    base = df.select(F.col(id_col), F.size(toks).cast("long").alias("n_tokens"))
+
+    # Pass 1: range partition by id (partition i holds ids < partition
+    # i+1's) and tag rows with their physical partition.
+    ranged = (
+        base.repartitionByRange(F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # The window below re-sorts within each __pid partition; persist so
+    # the partition tagging is computed once and stays consistent between
+    # the offsets aggregation and the main pass.
+    ranged = ranged.persist()
+
+    # Pass 2: per-partition sums — #partitions rows, metadata-sized.
+    psums = ranged.groupBy("__pid").agg(F.sum("n_tokens").alias("__psum")).collect()
+    offsets = {}
+    acc = 0
+    for r in sorted(psums, key=lambda r: r["__pid"]):
+        offsets[r["__pid"]] = acc
+        acc += int(r["__psum"])
+    spark = df.sparkSession
+    offs = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "__pid int, __off long"
+    )
+
+    # Pass 3: within-partition running sum (window partitioned by __pid —
+    # parallel across partitions, never a single reducer).
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    out = (
+        ranged.join(F.broadcast(offs), on="__pid")
+        .withColumn("tok_start", F.col("__off") + local_before)
+        .withColumn(
+            "chunk_first",
+            F.when(F.col("n_tokens") > 0, F.expr(f"tok_start div {seq_len}")),
+        )
+        .withColumn(
+            "chunk_last",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr(f"(tok_start + n_tokens - 1) div {seq_len}"),
+            ),
+        )
+        .withColumn(
+            "n_chunks",
+            F.coalesce(F.col("chunk_last") - F.col("chunk_first") + 1, F.lit(0)),
+        )
+        .select(
+            id_col, "n_tokens", "tok_start", "chunk_first", "chunk_last", "n_chunks"
+        )
+    )
+    return out

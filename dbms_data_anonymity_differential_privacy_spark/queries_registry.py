@@ -2357,6 +2357,39 @@ def x20_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, _BM25_TERMS, k=10)
 
 
+@query(
+    "x21_pack_chunks",
+    """
+    WITH t AS (SELECT doc_id,
+                      CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                           x -> x <> '')) AS BIGINT) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS tok_start
+          FROM t)
+    SELECT doc_id, n_tokens, tok_start,
+           CASE WHEN n_tokens > 0 THEN tok_start // 512 END AS chunk_first,
+           CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512 END AS chunk_last,
+           CAST(CASE WHEN n_tokens > 0
+                     THEN (tok_start + n_tokens - 1) // 512 - tok_start // 512 + 1
+                     ELSE 0 END AS BIGINT) AS n_chunks
+    FROM c
+    """,
+)
+def x21_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X21 — concat-and-chunk sequence packing (operators/packing.py).
+    The oracle is the literal single-reducer SUM OVER (ORDER BY); the
+    engine runs the two-pass distributed prefix sum (range partition →
+    per-partition offsets → partitioned window) — exactly the
+    independence the gate wants, and all-integer so bit-exact."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.packing import pack_concat_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_concat_chunks(docs, seq_len=512)
+
+
 # --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green
@@ -2429,10 +2462,12 @@ _WINDOW_R3 = [
     "p09_group_stat_to_rows",
     "p14_distribution",
     "p17_equal_width_bin",
-    "p19_range_generalize",
-    # p21 rotated out for x20 (r2-green; sorted-distinct+positions is the
-    # support relation inside the in-window c04 EMD chain)
+    # p19 and p21 rotated out for x20/x21 (both r2-green; range
+    # generalization is the c03 pipeline's output shape, and
+    # sorted-distinct+positions is the support relation inside the
+    # in-window c04 EMD chain)
     "x20_bm25_search",
+    "x21_pack_chunks",
 ]
 
 

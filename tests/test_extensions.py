@@ -785,6 +785,38 @@ def test_embedding_dedup_drops_detected_components(spark, sf0001):
     assert kept == all_ids - expected_dropped
 
 
+def test_pack_chunks_layout_invariants(spark, sf0001):
+    """Concat-and-chunk layout: offsets are the exact prefix sums in id
+    order (checked against a python cumsum), documents tile the token
+    stream with no gaps or overlaps, and chunk ranges match div
+    arithmetic. Also pins partitioning-independence: a 3-partition
+    re-layout of the input produces identical rows."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.packing import (
+        pack_concat_chunks,
+    )
+
+    docs = load_table(spark, sf0001, "documents")
+    L = 128
+    rows = sorted(
+        pack_concat_chunks(docs, seq_len=L).collect(), key=lambda r: r.doc_id
+    )
+    acc = 0
+    for r in rows:
+        assert r.tok_start == acc  # gapless tiling in id order
+        acc += r.n_tokens
+        if r.n_tokens > 0:
+            assert r.chunk_first == r.tok_start // L
+            assert r.chunk_last == (r.tok_start + r.n_tokens - 1) // L
+            assert r.n_chunks == r.chunk_last - r.chunk_first + 1
+        else:
+            assert r.chunk_first is None and r.n_chunks == 0
+    re_laid = sorted(
+        pack_concat_chunks(docs.repartition(3), seq_len=L).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert re_laid == rows
+
+
 def test_bm25_crafted_corpus_exact_scores(spark):
     """BM25 on a 4-doc corpus with hand-computable tf/dl/df: scores must
     equal the textbook formula exactly (same rounding), ranking and

@@ -171,6 +171,18 @@ def test_cosine_pairs_topm_partial_window_limit(plans):
     assert re.search(r"WindowGroupLimit.*Partial", p)
 
 
+def test_pack_chunks_no_single_reducer(plans):
+    """x21 packing: the global prefix sum must run as the two-pass
+    distributed formulation — range partition + per-partition offsets +
+    window partitioned by partition id. A naive SUM OVER (ORDER BY) plan
+    would show Exchange SinglePartition (every row through one reducer);
+    that operator must never appear."""
+    p = plans["x21_pack_chunks"]
+    assert "SinglePartition" not in p
+    assert "rangepartitioning" in p
+    assert "BroadcastExchange" in p  # partition offsets join
+
+
 def test_bm25_is_map_only_takeordered(plans):
     """x20 BM25: the scoring scan is map-only (tf/dl are per-row array
     folds — no token explode, no aggregation shuffle of token rows) and
