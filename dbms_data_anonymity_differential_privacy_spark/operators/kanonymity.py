@@ -50,6 +50,14 @@ def k_anonymize_suppress(df: DataFrame, qi: Sequence[str], k: int) -> DataFrame:
     case rows/k keys), drop the hint and AQE falls back to a shuffled semi
     join with skew splitting. Reference semantics:
     ``naive-suppresion.py:29-40`` / ``t-closeness.py:91-95``.
+
+    NULL handling contract: a row with ANY NULL QI value is always
+    suppressed, whatever k — the semi-join uses SQL equality, under which
+    NULL keys match nothing (identical in the DuckDB oracle, so both
+    engines agree). This is also the privacy-conservative choice, and the
+    reference never encounters the case (it drops all-NULL rows first,
+    P2); pre-clean with ``df.na.drop`` to opt into the reference's exact
+    flow.
     """
     frequent = (
         class_sizes(df, qi)

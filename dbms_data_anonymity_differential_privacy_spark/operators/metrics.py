@@ -112,8 +112,13 @@ def ncp(
     o = orig.agg(*[cd(c).alias(f"__o_{i}") for i, c in enumerate(qi)])
     a = anon.agg(*[cd(c).alias(f"__a_{i}") for i, c in enumerate(qi)])
     joined = o.crossJoin(F.broadcast(a))
+    # try_divide: a column whose ORIGINAL distinct count is 0 (all-NULL —
+    # countDistinct ignores NULLs) has no defined information loss; emit
+    # NULL instead of an ANSI divide-by-zero. Real corpora never hit this
+    # (divisor > 0 → identical to plain division, oracle unaffected).
     per_col = [
-        (F.col(f"__o_{i}") - F.col(f"__a_{i}")) / F.col(f"__o_{i}") for i in range(len(qi))
+        F.try_divide(F.col(f"__o_{i}") - F.col(f"__a_{i}"), F.col(f"__o_{i}"))
+        for i in range(len(qi))
     ]
     total = per_col[0]
     for p in per_col[1:]:

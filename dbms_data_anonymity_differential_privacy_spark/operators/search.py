@@ -77,9 +77,10 @@ def bm25_topk(
     # Corpus statistics — two metadata-sized scalar rows (at 100 TB:
     # computed once per snapshot, cached like table stats).
     s = base.agg(F.count(F.lit(1)).alias("n"), F.sum("__dl").alias("sum_dl")).first()
-    n_docs, sum_dl = int(s["n"]), int(s["sum_dl"])
+    n_docs = int(s["n"])
     if n_docs == 0:
         raise ValueError("empty corpus")
+    sum_dl = int(s["sum_dl"])
     avgdl = sum_dl / n_docs  # one exact-integer IEEE division (bit-stable)
     dfr = base.agg(
         *[

@@ -785,6 +785,70 @@ def test_embedding_dedup_drops_detected_components(spark, sf0001):
     assert kept == all_ids - expected_dropped
 
 
+def test_tokenization_consistent_across_text_operators(spark, sf0001):
+    """vocab_stats, BM25, and sequence packing all claim the engine's one
+    tokenization convention (lower, trim, whitespace split, empty tokens
+    dropped). Drift between them would silently corrupt cross-operator
+    pipelines: total corpus tokens must agree between packing's per-doc
+    counts and the vocabulary's term frequencies."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.packing import (
+        pack_concat_chunks,
+    )
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import vocab_stats
+
+    docs = load_table(spark, sf0001, "documents")
+    packed_total = (
+        pack_concat_chunks(docs, seq_len=512).agg(F.sum("n_tokens")).first()[0]
+    )
+    # top_k far above the distinct-token count (covers the whole vocab)
+    # but bounded: TakeOrdered allocates its heap eagerly, so a huge
+    # literal limit risks driver memory for nothing
+    vocab_total = (
+        vocab_stats(docs, top_k=10**6).agg(F.sum("term_freq")).first()[0]
+    )
+    assert packed_total == vocab_total > 0
+
+
+def test_degenerate_inputs_dont_crash(spark):
+    """Empty and all-null inputs: operators must return empty/zero
+    results (or raise a clear ValueError where contractually required),
+    never a confusing runtime failure deep in a plan."""
+    import pytest as _pytest
+
+    from dbms_data_anonymity_differential_privacy_spark import (
+        k_anonymize_suppress,
+        ncp,
+        reid_risk,
+    )
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import dedup_exact
+    from dbms_data_anonymity_differential_privacy_spark.operators.packing import (
+        pack_concat_chunks,
+    )
+    from dbms_data_anonymity_differential_privacy_spark.operators.search import bm25_topk
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_concat_chunks(empty_docs, seq_len=16).count() == 0
+    with _pytest.raises(ValueError):
+        bm25_topk(empty_docs, ["x"])
+    assert dedup_exact(empty_docs, ["text"], "doc_id").count() == 0
+
+    empty_cust = spark.createDataFrame(
+        [], "c_custkey long, c_nationkey int, c_mktsegment string"
+    )
+    assert k_anonymize_suppress(empty_cust, ["c_nationkey", "c_mktsegment"], 5).count() == 0
+
+    nulls = spark.createDataFrame(
+        [(1, None, None), (2, None, None)],
+        "c_custkey long, c_nationkey string, c_mktsegment string",
+    )
+    # NULL-QI contract (see k_anonymize_suppress docstring): rows with
+    # NULL QI values are ALWAYS suppressed — SQL-equality semi-join, same
+    # as the DuckDB oracle — whatever k
+    assert k_anonymize_suppress(nulls, ["c_nationkey", "c_mktsegment"], 1).count() == 0
+    n = ncp(nulls, nulls.limit(0), ["c_nationkey"]).first()
+    assert n is not None  # defined (degenerate) rather than crashing
+
+
 def test_pack_chunks_layout_invariants(spark, sf0001):
     """Concat-and-chunk layout: offsets are the exact prefix sums in id
     order (checked against a python cumsum), documents tile the token
