@@ -59,6 +59,7 @@ HEADLINE = [
     "x19_vocab",
     "x20_bm25_search",
     "x21_pack_chunks",
+    "x22_group_percentiles",
 ]
 
 

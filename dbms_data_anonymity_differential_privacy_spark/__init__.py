@@ -35,6 +35,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.metrics import (
     uniqueness_rate,
     suppression_rate,
     ncp,
+    group_percentiles,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import (
     sensitive_distribution,
@@ -108,6 +109,7 @@ __all__ = [
     "uniqueness_rate",
     "suppression_rate",
     "ncp",
+    "group_percentiles",
     "sensitive_distribution",
     "class_emd",
     "t_closeness_filter",

@@ -126,6 +126,46 @@ def ncp(
     return joined.select(F.round(total / F.lit(len(qi)), ROUND_DP).alias("ncp"))
 
 
+def group_percentiles(
+    df: DataFrame,
+    by: Sequence[str],
+    value_col: str,
+    ps: Sequence[float] = (0.5, 0.95, 0.99),
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group percentiles of a numeric column.
+
+    ``exact=True`` uses Spark's sort-based ``percentile`` — type-7 linear
+    interpolation, empirically bit-identical to DuckDB ``quantile_cont``
+    even at arbitrary double inputs (both engines evaluate
+    ``a + (b - a) * frac`` in the same op order; verified exact-equal at
+    sf0.01 and sf0.1, p50/p95/p99) — so the relation is oracle-hashable
+    with NO rounding. ``exact=False`` is the 100 TB path: Greenwald-
+    Khanna ``percentile_approx`` sketches merge map-side, one pass, no
+    per-group sort buffer.
+
+    Output: ``(*by, p<P> ...)`` with ``p50``-style column names.
+    """
+
+    def name(p: float) -> str:
+        s = f"{p * 100:g}".replace(".", "_")
+        return f"p{s}"
+
+    if exact:
+        aggs = [
+            F.expr(f"percentile({value_col}, {p!r})").alias(name(p)) for p in ps
+        ]
+    else:
+        aggs = [
+            F.percentile_approx(F.col(value_col), F.lit(p), F.lit(accuracy))
+            .cast("double")
+            .alias(name(p))
+            for p in ps
+        ]
+    return df.groupBy(*by).agg(*aggs)
+
+
 def resource_report(spark: SparkSession) -> DataFrame:
     """C11 — runtime/resource snapshot as a single-row DataFrame (reference
     prints wall-clock + RSS, ``naive-suppresion.py:131-138``). Values are

@@ -2358,6 +2358,27 @@ def x20_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x22_group_percentiles",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY 1
+    """,
+)
+def x22_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X22 — exact per-group percentiles (operators/metrics.py
+    group_percentiles): type-7 interpolation bit-matches DuckDB
+    quantile_cont with no rounding; the sketch path (percentile_approx)
+    is the 100 TB flavor."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.metrics import group_percentiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return group_percentiles(ev, ["event_type"], "value")
+
+
+@query(
     "x21_pack_chunks",
     """
     WITH t AS (SELECT doc_id,
@@ -2454,20 +2475,20 @@ _WINDOW_R3 = [
     "pipe_naive_metrics",
     "pipe_tcloseness_metrics",
     # --- structurally distinct P primitives (read path, null drop, hash
-    # --- agg, window-to-rows, zero-filled distribution, both bin flavors'
-    # --- core, per-group ranges, sorted-distinct positions) ---
+    # --- agg, window-to-rows, zero-filled distribution) ---
     "p01_scan",
     "p02_drop_null",
     "p05_group_frequency",
     "p09_group_stat_to_rows",
     "p14_distribution",
-    "p17_equal_width_bin",
-    # p19 and p21 rotated out for x20/x21 (both r2-green; range
+    # p17, p19, p21 rotated out for x20/x21/x22 (all r2-green; equal-width
+    # binning is the flagship c01 entry's binning step, range
     # generalization is the c03 pipeline's output shape, and
     # sorted-distinct+positions is the support relation inside the
     # in-window c04 EMD chain)
     "x20_bm25_search",
     "x21_pack_chunks",
+    "x22_group_percentiles",
 ]
 
 

@@ -785,6 +785,29 @@ def test_embedding_dedup_drops_detected_components(spark, sf0001):
     assert kept == all_ids - expected_dropped
 
 
+def test_group_percentiles_exact_and_sketch_band(spark, sf0001):
+    """Exact percentiles bracket the data; the sketch path stays within
+    the Greenwald-Khanna rank-error band of the exact values (the
+    guarantee the 100 TB flavor rides on)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.metrics import group_percentiles
+
+    ev = load_table(spark, sf0001, "events")
+    exact = {r.event_type: (r.p50, r.p95) for r in
+             group_percentiles(ev, ["event_type"], "value", ps=(0.5, 0.95)).collect()}
+    lohi = {r.event_type: (r.lo, r.hi) for r in
+            ev.groupBy("event_type").agg(F.min("value").alias("lo"), F.max("value").alias("hi")).collect()}
+    for g, (p50, p95) in exact.items():
+        lo, hi = lohi[g]
+        assert lo <= p50 <= p95 <= hi
+    approx = {r.event_type: (r.p50, r.p95) for r in
+              group_percentiles(ev, ["event_type"], "value", ps=(0.5, 0.95), exact=False).collect()}
+    # GK accuracy=10000 → rank error <= n/10000; at sf0.001 that's exact-ish,
+    # assert a loose value band instead of ranks
+    for g in exact:
+        for e, a in zip(exact[g], approx[g]):
+            assert abs(e - a) <= max(abs(e) * 0.05, 1.0)
+
+
 def test_tokenization_consistent_across_text_operators(spark, sf0001):
     """vocab_stats, BM25, and sequence packing all claim the engine's one
     tokenization convention (lower, trim, whitespace split, empty tokens
