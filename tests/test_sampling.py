@@ -67,6 +67,22 @@ def test_hash_split_partitions_all_rows(spark, sf001):
     assert abs(per["train"] / c.count() - 0.8) < 0.03
 
 
+def test_hash_split_by_group_key_is_leakage_safe(spark, sf001):
+    """Splitting on an entity key (user_id) puts EVERY row of an entity
+    in the same split — the property that prevents train/test leakage
+    when one user has many events. Keying on the row id would scatter a
+    user across splits; keying on the entity cannot."""
+    ev = load_table(spark, sf001, "events")
+    tagged = hash_split(ev, ["user_id"], [("train", 0.8), ("test", 0.2)], salt="lk")
+    spread = (
+        tagged.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("n_splits"), F.count("*").alias("n_rows"))
+    )
+    worst = spread.agg(F.max("n_splits").alias("mx"), F.max("n_rows").alias("rows_mx")).first()
+    assert worst.mx == 1  # no user straddles splits
+    assert worst.rows_mx > 1  # the property was actually exercised
+
+
 def test_hash_split_validates_fractions():
     with pytest.raises(ValueError):
         hash_split(None, ["k"], [("a", 0.8), ("b", 0.3)])
