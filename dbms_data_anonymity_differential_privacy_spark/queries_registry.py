@@ -1698,7 +1698,8 @@ def pipe_tcloseness_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM f),
     k AS (SELECT * FROM p WHERE lang_pred IN ('en','de','fr','es','zh')
           AND quality >= 0.05 AND n_tokens BETWEEN 5 AND 100000)
-    SELECT lang_pred, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+    SELECT lang_pred, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            ROUND(AVG(quality), 9) AS avg_quality
     FROM k GROUP BY 1
     """,

@@ -52,6 +52,16 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         return problems
     s, d = canon(spark_pdf), canon(duck_pdf)
     for c in s.columns:
+        # the driver's value-hash is representation-sensitive: an int64
+        # column on one engine vs float64/HUGEINT-backed-object on the
+        # other hashes differently even when values compare equal (the
+        # r2 x09_json_props lesson) — surface dtype divergence explicitly
+        s_kind, d_kind = s[c].dtype.kind, d[c].dtype.kind
+        if s_kind != d_kind and {s_kind, d_kind} != {"O"}:
+            problems.append(
+                f"col {c}: dtype kind spark={s[c].dtype} duck={d[c].dtype} "
+                "(driver hash may mismatch even if values are equal)"
+            )
         sv, dv = s[c].to_numpy(), d[c].to_numpy()
         if np.issubdtype(s[c].dtype, np.floating) or np.issubdtype(d[c].dtype, np.floating):
             sv = np.asarray(sv, dtype=float)
