@@ -60,6 +60,7 @@ HEADLINE = [
     "x20_bm25_search",
     "x21_pack_chunks",
     "x22_group_percentiles",
+    "x23_bigram_lm",
 ]
 
 

@@ -1,0 +1,146 @@
+"""Statistical language-model scoring for corpus quality filtering.
+
+A CCNet/KenLM-style pipeline (Wenzek et al. 2020) scores every document
+with an n-gram language model and drops the tail: gibberish, boilerplate,
+and OCR noise all score far from the corpus' own distribution. The
+reference has no text operators at all (SURVEY §0); this is a north-star
+LLM-data-pipeline component designed from the public Spark API.
+
+``bigram_lm_scores`` trains a Laplace-smoothed bigram model ON the corpus
+itself (the self-scoring setup used for in-corpus outlier detection) and
+emits each document's average negative log-likelihood per bigram:
+
+    nll(doc) = -(1/n) * sum_i ln P(w_{i+1} | w_i)
+    P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)
+
+where ``c(w1 w2)`` is the corpus bigram count, ``c(w1 ·)`` the history
+count (bigrams starting with ``w1``), and ``V`` the corpus vocabulary
+size. Low nll = typical text; high nll = atypical (or, with repeated
+boilerplate, suspiciously low — both tails are useful gates).
+
+Scale shape (100 TB):
+
+- Tokenization and bigram emission are one map-side pass; bigrams travel
+  as ``xxhash64`` 8-byte hashes, never strings (same up-to-collision
+  contract as the dedup family, `operators/dedup.py`).
+- Model training is two word-count-shaped aggregations (bigram counts,
+  history counts) with map-side partial aggregation — the shuffle carries
+  near-distinct hashes, not occurrences.
+- Scoring joins occurrences back to the two model relations: shuffle hash
+  joins on 8-byte keys; the model side is orders of magnitude smaller
+  than the occurrence side (distinct bigrams vs total bigrams). With a
+  bounded vocabulary (``top_v``), the model collapses to a broadcastable
+  relation and the scoring pass becomes map-only.
+- Per-document reduction is a ``collect_list`` bounded by document
+  length, then an in-row sorted fold — no second shuffle.
+
+Cross-engine exactness (the oracle gate): JVM ``Math.log`` differs from
+C-libm ``ln`` by 1 ulp on ~1e-4 of inputs (measured on this platform),
+so Spark NEVER evaluates a log. Both log arguments are integers
+(``c+1``, ``c_hist+V``); their distinct values form a metadata-sized set
+(≤ O(sqrt(total bigrams)) by the count-histogram bound, a few MB even at
+100 TB — the same "corpus statistics" tier as BM25's idf table,
+`operators/search.py`). Those logs are computed driver-side with C-libm
+``math.log`` and broadcast-joined, making every per-bigram log-prob
+bit-identical to DuckDB's ``ln``. The per-document sum is a left fold
+over the ASCENDING-sorted log-prob list on both engines (equal values
+are adjacent after sorting, so fold order is fully determined), and the
+final division and ROUND are single IEEE ops. Result: bit-exact across
+engines with no rounding slack hiding real bugs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dbms_data_anonymity_differential_privacy_spark.operators.text import WS
+from dbms_data_anonymity_differential_privacy_spark.operators.util import fan_out
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document average negative log-likelihood under a
+    Laplace-smoothed bigram LM trained on ``df`` itself.
+
+    Tokenization matches the corpus convention (lower, trim, whitespace
+    split, drop empties — same as ``vocab_stats``/``bm25_topk``).
+    Documents with < 2 tokens have no bigram support and are excluded.
+
+    Output: ``(id_col, n_bigrams, avg_nll)``.
+    """
+    spark = df.sparkSession
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), WS), lambda t: t != "")
+    base = fan_out(df).select(F.col(id_col), toks.alias("__t"))
+
+    # Bigram occurrences as 8-byte hash pairs (one map-side pass).
+    occ = (
+        base.where(F.size("__t") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(__t) - 2), "
+                    "i -> struct(xxhash64(__t[i]) AS h1, xxhash64(__t[i + 1]) AS h2))"
+                )
+            ).alias("__bg"),
+        )
+        .select(id_col, F.col("__bg.h1").alias("h1"), F.col("__bg.h2").alias("h2"))
+    )
+    occ.persist()
+
+    # Model: bigram counts + history counts (word-count shuffle shape).
+    cb = occ.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("cb"))
+    cu = occ.groupBy("h1").agg(F.count(F.lit(1)).alias("cu"))
+    cb.persist()
+    cu.persist()
+
+    # Vocabulary size over ALL token positions (exact).
+    vocab = (
+        base.select(F.explode("__t").alias("tok"))
+        .agg(F.countDistinct(F.xxhash64("tok")).alias("v"))
+        .first()["v"]
+    )
+    v = int(vocab)
+
+    # Driver-side C-libm log table over the distinct integer log inputs
+    # (metadata-sized; see module docstring). Two broadcast joins put the
+    # exact libm values on every occurrence without the JVM touching log.
+    num_vals = [int(r["val"]) for r in cb.select((F.col("cb") + 1).alias("val")).distinct().collect()]
+    den_vals = [int(r["val"]) for r in cu.select((F.col("cu") + v).alias("val")).distinct().collect()]
+    log_rows = [(x, math.log(x)) for x in sorted(set(num_vals) | set(den_vals))]
+    logtab = spark.createDataFrame(log_rows, "val long, lnval double")
+
+    scored = (
+        occ.join(cb, ["h1", "h2"])
+        .join(cu, ["h1"])
+        .join(
+            F.broadcast(logtab.select(F.col("val").alias("__nv"), F.col("lnval").alias("__ln_num"))),
+            F.col("cb") + 1 == F.col("__nv"),
+        )
+        .join(
+            F.broadcast(logtab.select(F.col("val").alias("__dv"), F.col("lnval").alias("__ln_den"))),
+            F.col("cu") + v == F.col("__dv"),
+        )
+        .select(id_col, (F.col("__ln_num") - F.col("__ln_den")).alias("logp"))
+    )
+
+    # Sorted left fold per document: deterministic summation order on
+    # both engines (DuckDB twin: list_reduce(list_sort(list(logp)))).
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr(
+            "aggregate(array_sort(collect_list(logp)), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("__s"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        F.round(-F.col("__s") / F.col("n_bigrams"), round_to).alias("avg_nll"),
+    )

@@ -2412,6 +2412,44 @@ def x21_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_concat_chunks(docs, seq_len=512)
 
 
+@query(
+    "x23_bigram_lm",
+    """
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    bb AS (SELECT doc_id,
+                  unnest(toks[1:len(toks) - 1]) AS w1,
+                  unnest(toks[2:len(toks)]) AS w2
+           FROM t WHERE len(toks) >= 2),
+    cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bb GROUP BY 1, 2),
+    cu AS (SELECT w1, COUNT(*) AS cu FROM bb GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT tok) AS v
+          FROM (SELECT unnest(toks) AS tok FROM t)),
+    lp AS (SELECT bb.doc_id,
+                  ln(CAST(cb.cb + 1 AS DOUBLE)) - ln(CAST(cu.cu + v.v AS DOUBLE)) AS logp
+           FROM bb JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(-list_reduce(list_sort(list(logp)), (a, b) -> a + b) / COUNT(*), 6)
+             AS avg_nll
+    FROM lp GROUP BY doc_id
+    """,
+)
+def x23_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X23 — corpus-self-trained bigram LM scoring (operators/lm.py):
+    CCNet/KenLM-style per-doc avg negative log-likelihood for quality
+    gating. Bit-exact across engines via the driver-side C-libm log table
+    (JVM Math.log is 1 ulp off libm on ~1e-4 of inputs, measured) and a
+    sorted-fold per-doc sum. The oracle joins string bigrams where the
+    engine joins xxhash64 pairs — equal up to 64-bit collisions, as for
+    x03/x18."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.lm import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs)
+
+
 # --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green
@@ -2480,7 +2518,9 @@ _WINDOW_R3 = [
     "p01_scan",
     "p02_drop_null",
     "p05_group_frequency",
-    "p09_group_stat_to_rows",
+    # p09 rotated out for x23_bigram_lm (r2-green; its window-count-to-rows
+    # idiom is exactly the in-window c01/c05 physical plan)
+    "x23_bigram_lm",
     "p14_distribution",
     # p17, p19, p21 rotated out for x20/x21/x22 (all r2-green; equal-width
     # binning is the flagship c01 entry's binning step, range
