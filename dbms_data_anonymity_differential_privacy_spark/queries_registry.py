@@ -2450,6 +2450,96 @@ def x23_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(docs)
 
 
+def _clean_sql() -> str:
+    from dbms_data_anonymity_differential_privacy_spark.operators.clean import clean_text_sql
+
+    return f"""
+    WITH dirty AS (SELECT doc_id,
+                          '{_DIRT_PRE}' || text || '{_DIRT_TAIL}' AS d
+                   FROM documents)
+    SELECT doc_id,
+           CAST(length(d) AS BIGINT) AS n_raw,
+           {clean_text_sql("d")} AS clean_text,
+           CAST(length({clean_text_sql("d")}) AS BIGINT) AS n_clean
+    FROM dirty
+    """
+
+
+# Deterministic dirt appended in-query on BOTH engines: the synthetic corpus
+# has no markup/control chars (verified), so — like p02's derived NULLs —
+# the queries construct the condition they clean. Raw unicode spaces,
+# C0 controls, and tags all present.
+_DIRT_PRE = '<p class="x"> '
+_DIRT_TAIL = "</p>  weird　spacing\x07\x01 <br/> end."
+
+
+@query("x24_text_clean", _clean_sql())
+def x24_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24 — crawl-text cleaning (operators/clean.py): strip markup,
+    drop C0 controls, normalize unicode spaces, collapse whitespace —
+    byte-identical chain on both engines, map-only."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.clean import clean_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(F.lit(_DIRT_PRE), F.col("text"), F.lit(_DIRT_TAIL))
+    return docs.select(
+        "doc_id",
+        F.length(dirty).cast("long").alias("n_raw"),
+        clean_text(dirty).alias("clean_text"),
+        F.length(clean_text(dirty)).cast("long").alias("n_clean"),
+    )
+
+
+def _line_filter_sql() -> str:
+    from dbms_data_anonymity_differential_privacy_spark.operators.clean import line_filter_sql
+
+    dirty = (
+        "text || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END"
+        " || chr(10) || 'Subscribe to our newsletter now please!'"
+        " || chr(10) || 'This sentence has plenty of words and ends well.'"
+        " || chr(10) || 'too short.'"
+    )
+    return f"""
+    WITH dirty AS (SELECT doc_id, {dirty} AS d FROM documents)
+    SELECT doc_id,
+           CAST(len(string_split(d, chr(10))) AS INT) AS n_lines,
+           CAST(len(string_split({line_filter_sql("d")}, chr(10))) AS INT) AS n_kept_lines,
+           {line_filter_sql("d")} AS text_filtered
+    FROM dirty
+    """
+
+
+@query("x25_line_filter", _line_filter_sql())
+def x25_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X25 — C4-style boilerplate line filter (operators/clean.py): keep
+    lines with >= 5 words, terminal punctuation, and no blocklisted
+    phrase. Data-dependent: even doc_ids get a terminal '.' on their
+    content line and keep it; odd ones lose it. Map-only array ops."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.clean import (
+        filter_boilerplate_lines,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    dirty = F.concat_ws(
+        "\n",
+        F.concat(F.col("text"), F.when(F.col("doc_id") % 2 == 0, F.lit(".")).otherwise(F.lit(""))),
+        F.lit("Subscribe to our newsletter now please!"),
+        F.lit("This sentence has plenty of words and ends well."),
+        F.lit("too short."),
+    )
+    out = filter_boilerplate_lines(
+        docs.select("doc_id", dirty.alias("d")), text_col="d", out_col="text_filtered"
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("int").alias("n_lines"),
+        # rejoined-text line count (matches the oracle's split-of-joined:
+        # zero kept lines still yields one empty segment on both engines)
+        F.size(F.split(F.col("text_filtered"), r"\n")).cast("int").alias("n_kept_lines"),
+        "text_filtered",
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green
@@ -2517,11 +2607,13 @@ _WINDOW_R3 = [
     # --- agg, window-to-rows, zero-filled distribution) ---
     "p01_scan",
     "p02_drop_null",
-    "p05_group_frequency",
-    # p09 rotated out for x23_bigram_lm (r2-green; its window-count-to-rows
-    # idiom is exactly the in-window c01/c05 physical plan)
+    # p05/p09/p14 rotated out for the new r3 ops x23/x24/x25 (all three
+    # primitives r2-green; their idioms stay exercised in-window — the
+    # hash agg inside c01/c02, window-count-to-rows inside c01/c05, and
+    # the zero-filled distribution inside the c04 EMD chain)
     "x23_bigram_lm",
-    "p14_distribution",
+    "x24_text_clean",
+    "x25_line_filter",
     # p17, p19, p21 rotated out for x20/x21/x22 (all r2-green; equal-width
     # binning is the flagship c01 entry's binning step, range
     # generalization is the c03 pipeline's output shape, and
