@@ -61,6 +61,7 @@ HEADLINE = [
     "x21_pack_chunks",
     "x22_group_percentiles",
     "x23_bigram_lm",
+    "x26_mixture_rates",
 ]
 
 

@@ -1,0 +1,132 @@
+"""Corpus mixture reweighting — hit a target domain/language mix.
+
+Training-data recipes prescribe the mixture, not the crawl: "40% English,
+30% code, ..." (e.g. the mixture tables of GPT-3/LLaMA/Gopher-class
+reports). Given observed per-group counts and a target share per group,
+the feasible epoch is capped by the scarcest group; every other group is
+downsampled to match. This module computes those rates exactly and
+applies them with the engine's deterministic content-hash sampler, so the
+realized subset is reproducible on any cluster layout.
+
+Math: with group counts ``n_g`` and target shares ``s_g`` (sum ≤ 1 over
+the targeted groups), the largest total ``T`` satisfying
+``T * s_g <= n_g`` for all targeted groups is ``T = min_g n_g / s_g``;
+each group then keeps ``rate_g = min(1, T * s_g / n_g)`` of its rows.
+Groups without a target share get rate 0 (dropped from the mix).
+
+Scale shape: one group-count aggregation (map-side partial, shuffle
+carries one row per group), a broadcast join against the kilobyte-scale
+share table, and a 1-row global min broadcast back — then the apply step
+is the map-only hash filter from `operators/sampling.py`. No fact-table
+shuffle anywhere.
+
+Cross-engine exactness: every float op (n/s, T*s/n, LEAST) is applied in
+the same order on both engines, so the oracle comparison is bit-exact
+with no rounding.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+def mixture_rates(
+    df: DataFrame, group_col: str, target_shares: Mapping[str, float]
+) -> DataFrame:
+    """Per-group keep rates that realize ``target_shares``.
+
+    Output: ``(group_col, n_rows, target_share, rate, take_rows)`` —
+    ``take_rows = floor(T * share)`` is the realized group size. Only
+    groups present in ``df`` appear; a targeted group with no rows would
+    make the mixture infeasible (T = 0), which the caller should treat
+    as a data bug, not silently skip.
+    """
+    if not target_shares:
+        raise ValueError("target_shares must be non-empty")
+    bad = [g for g, s in target_shares.items() if s < 0]
+    if bad or sum(target_shares.values()) > 1.0 + 1e-9:
+        raise ValueError(f"shares must be >= 0 and sum to <= 1: {dict(target_shares)}")
+
+    spark = df.sparkSession
+    shares = spark.createDataFrame(
+        [(g, float(s)) for g, s in target_shares.items()],
+        f"{group_col} string, target_share double",
+    )
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .join(F.broadcast(shares), group_col, "left")
+        .withColumn("target_share", F.coalesce("target_share", F.lit(0.0)))
+    )
+    t = counts.agg(
+        F.min(
+            F.when(F.col("target_share") > 0, F.col("n_rows") / F.col("target_share"))
+        ).alias("__t")
+    )
+    return (
+        counts.crossJoin(F.broadcast(t))
+        .select(
+            group_col,
+            "n_rows",
+            "target_share",
+            F.when(
+                F.col("target_share") > 0,
+                F.least(F.lit(1.0), F.col("__t") * F.col("target_share") / F.col("n_rows")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rate"),
+            F.floor(F.col("__t") * F.col("target_share")).cast("long").alias("take_rows"),
+        )
+    )
+
+
+def mixture_rates_sql(
+    table: str, group_col: str, target_shares: Mapping[str, float]
+) -> str:
+    """DuckDB twin of :func:`mixture_rates`, generated from the same share
+    dict with the identical operation order (bit-exact, no rounding)."""
+    share_case = " ".join(
+        f"WHEN '{g}' THEN CAST({s!r} AS DOUBLE)" for g, s in target_shares.items()
+    )
+    return f"""
+    WITH c AS (SELECT {group_col}, COUNT(*) AS n_rows,
+                      COALESCE(CASE {group_col} {share_case} END, 0.0) AS target_share
+               FROM {table} GROUP BY 1),
+    t AS (SELECT MIN(CASE WHEN target_share > 0 THEN n_rows / target_share END) AS t FROM c)
+    SELECT {group_col}, n_rows, target_share,
+           CASE WHEN target_share > 0
+                THEN LEAST(1.0, t.t * target_share / n_rows) ELSE 0.0 END AS rate,
+           CAST(FLOOR(t.t * target_share) AS BIGINT) AS take_rows
+    FROM c CROSS JOIN t
+    """
+
+
+def apply_mixture(
+    df: DataFrame,
+    group_col: str,
+    target_shares: Mapping[str, float],
+    key_cols: Sequence[str],
+    salt: str = "mix",
+) -> DataFrame:
+    """Downsample ``df`` to the target mixture with the deterministic
+    content-hash draw from `operators/sampling.py` (same md5-of-key
+    construction, numeric comparison form so the threshold can be a
+    per-group COLUMN). ONE pass: broadcast-join the group→rate relation,
+    then a map-only filter — no per-group scans, no driver loop over
+    data. Realized group sizes match ``take_rows`` to within the
+    hash-threshold quantization (±O(sqrt(n)) rows), the same contract as
+    ``hash_sample``."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.sampling import (
+        _SPACE,
+        _hash_hex,
+    )
+
+    rates = mixture_rates(df, group_col, target_shares).select(group_col, "rate")
+    draw = F.conv(_hash_hex(key_cols, salt), 16, 10).cast("long")
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(draw < F.floor(F.col("rate") * F.lit(float(_SPACE))))
+        .drop("rate")
+    )

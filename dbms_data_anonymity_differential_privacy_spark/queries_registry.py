@@ -2540,6 +2540,71 @@ def x25_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Target corpus mixture for x26 ('es' present in data but untargeted →
+# rate 0; shares sum to 1).
+_MIX_TARGET = {"en": 0.4, "zh": 0.3, "de": 0.2, "fr": 0.1}
+
+
+def _mixture_sql() -> str:
+    from dbms_data_anonymity_differential_privacy_spark.operators.mixing import mixture_rates_sql
+
+    return mixture_rates_sql("documents", "lang", _MIX_TARGET)
+
+
+@query("x26_mixture_rates", _mixture_sql())
+def x26_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X26 — corpus mixture reweighting (operators/mixing.py): per-group
+    keep rates realizing a target language mix, feasibility capped by the
+    scarcest targeted group. One group-count shuffle + broadcast share
+    table + 1-row min; bit-exact oracle (identical float op order, no
+    rounding). The apply step (apply_mixture) rides the deterministic
+    hash sampler and is pytest-covered."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.mixing import mixture_rates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_rates(docs, "lang", _MIX_TARGET)
+
+
+@query(
+    "pipe_lm_buckets",
+    """
+    WITH scores AS ({X23}),
+    b AS (SELECT *, CAST(NTILE(3) OVER (ORDER BY avg_nll, doc_id) - 1 AS INT) AS bucket
+          FROM scores)
+    SELECT bucket, COUNT(*) AS n_docs,
+           MIN(avg_nll) AS min_nll, MAX(avg_nll) AS max_nll,
+           CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams
+    FROM b GROUP BY 1
+    """,
+)
+def pipe_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite: CCNet-style perplexity bucketing (Wenzek et al. 2020
+    §4.3) — score every doc with the corpus bigram LM (x23), split into
+    head/middle/tail terciles by exact equal-frequency binning, roll up
+    per bucket. Exercises lm.py + binning.py composition end-to-end."""
+    from dbms_data_anonymity_differential_privacy_spark.functions.binning import (
+        bin_equal_frequency,
+    )
+    from dbms_data_anonymity_differential_privacy_spark.operators.lm import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = bigram_lm_scores(docs)
+    binned = bin_equal_frequency(
+        scores, "avg_nll", 3, out_col="bucket", tiebreak_cols=["doc_id"]
+    )
+    return binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("avg_nll").alias("min_nll"),
+        F.max("avg_nll").alias("max_nll"),
+        F.sum("n_bigrams").cast("long").alias("total_bigrams"),
+    )
+
+
+ORACLE_SQL["pipe_lm_buckets"] = ORACLE_SQL["pipe_lm_buckets"].replace(
+    "{X23}", ORACLE_SQL["x23_bigram_lm"]
+)
+
+
 # --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green
@@ -2590,8 +2655,11 @@ _WINDOW_R3 = [
     "c01_k_anonymize_suppress",
     "c02_k_anonymity_audit",
     "c05_reid_risk",
-    "c07_suppression_rate",
-    "c08_ncp",
+    # c07/c08 rotated out for x26/pipe_lm_buckets (both r2-green; their
+    # suppression-rate/NCP algebra is computed inside the in-window
+    # pipe_naive_metrics and pipe_tcloseness_metrics rows)
+    "x26_mixture_rates",
+    "pipe_lm_buckets",
     "c09_t_violations",
     "x08_l_diversity",
     "x11_sessionize",

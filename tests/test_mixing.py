@@ -1,0 +1,80 @@
+"""Invariants for corpus mixture reweighting (operators/mixing.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbms_data_anonymity_differential_privacy_spark.operators.mixing import (
+    apply_mixture,
+    mixture_rates,
+)
+
+
+def _corpus(spark):
+    rows = (
+        [(i, f"doc {i}", "en") for i in range(800)]
+        + [(1000 + i, f"doc {1000 + i}", "de") for i in range(150)]
+        + [(2000 + i, f"doc {2000 + i}", "fr") for i in range(50)]
+    )
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+TARGET = {"en": 0.5, "de": 0.3, "fr": 0.2}
+
+
+def test_rates_realize_target_mixture(spark):
+    df = _corpus(spark)
+    rates = {r["lang"]: r for r in mixture_rates(df, "lang", TARGET).collect()}
+    # fr is the scarcest group relative to its share: T = 50/0.2 = 250
+    assert rates["fr"]["rate"] == 1.0
+    assert rates["fr"]["take_rows"] == 50
+    assert rates["en"]["take_rows"] == 125  # 250 * 0.5
+    assert rates["de"]["take_rows"] == 75  # 250 * 0.3
+    # realized mixture == target exactly
+    total = sum(r["take_rows"] for r in rates.values())
+    assert [rates[g]["take_rows"] / total for g in ("en", "de", "fr")] == [0.5, 0.3, 0.2]
+
+
+def test_untargeted_group_gets_rate_zero(spark):
+    df = _corpus(spark).withColumn(
+        "lang", F.when(F.col("doc_id") % 7 == 0, "xx").otherwise(F.col("lang"))
+    )
+    rates = {r["lang"]: r["rate"] for r in mixture_rates(df, "lang", TARGET).collect()}
+    assert rates["xx"] == 0.0
+
+
+def test_invalid_shares_rejected(spark):
+    df = _corpus(spark)
+    with pytest.raises(ValueError):
+        mixture_rates(df, "lang", {})
+    with pytest.raises(ValueError):
+        mixture_rates(df, "lang", {"en": 0.9, "de": 0.3})
+    with pytest.raises(ValueError):
+        mixture_rates(df, "lang", {"en": -0.1})
+
+
+def test_apply_mixture_is_deterministic_and_close_to_target(spark):
+    df = _corpus(spark)
+    out1 = apply_mixture(df, "lang", TARGET, key_cols=["doc_id"])
+    out2 = apply_mixture(df, "lang", TARGET, key_cols=["doc_id"])
+    ids1 = sorted(r["doc_id"] for r in out1.collect())
+    assert ids1 == sorted(r["doc_id"] for r in out2.collect())
+    got = {r["lang"]: r["n"] for r in out1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # within hash-quantization noise of the exact take_rows
+    assert got["fr"] == 50  # rate 1.0: everything kept
+    assert abs(got["en"] - 125) <= 30
+    assert abs(got["de"] - 75) <= 25
+    # repartitioning must not change membership (content-hash contract)
+    ids3 = sorted(
+        r["doc_id"] for r in apply_mixture(df.repartition(13), "lang", TARGET, ["doc_id"]).collect()
+    )
+    assert ids3 == ids1
+
+
+def test_apply_mixture_drops_untargeted(spark):
+    df = _corpus(spark).withColumn(
+        "lang", F.when(F.col("doc_id") % 7 == 0, "xx").otherwise(F.col("lang"))
+    )
+    out = apply_mixture(df, "lang", TARGET, key_cols=["doc_id"])
+    assert out.filter(F.col("lang") == "xx").count() == 0
