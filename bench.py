@@ -62,6 +62,8 @@ HEADLINE = [
     "x22_group_percentiles",
     "x23_bigram_lm",
     "x26_mixture_rates",
+    "x27_gopher_quality",
+    "x28_incremental_admit",
 ]
 
 

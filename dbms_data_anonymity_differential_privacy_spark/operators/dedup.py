@@ -555,6 +555,64 @@ def contamination_check(
     )
 
 
+def incremental_admit(
+    batch: DataFrame,
+    corpus: DataFrame,
+    n: int = 3,
+    max_overlap: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental corpus maintenance: vet a new crawl ``batch`` against an
+    already-deduped ``corpus`` WITHOUT reprocessing the corpus — the only
+    workable contract at 100 TB, where re-deduping the full corpus per
+    snapshot is off the table.
+
+    Three stages, all reusing the engine's proven shapes:
+
+    1. within-batch exact dedup — min-id representative per normalized-text
+       fingerprint (the :func:`dedup_by_fingerprint` rule);
+    2. exact anti-join — batch fingerprints vs the corpus fingerprint
+       relation (at scale this right side is the corpus' precomputed
+       fingerprint INDEX, not a rescan; passing the corpus itself, as here,
+       derives it in one map pass);
+    3. near-dup gate — distinct shingle-hash overlap of each surviving doc
+       against the corpus shingle set (:func:`contamination_check` with
+       ``broadcast_bench=False``: the corpus side is large, so the
+       membership probe is a shuffled join on 8-byte hashes, not a
+       broadcast).
+
+    Output: one row per batch doc surviving stages 1-2 —
+    ``(id, fingerprint, n_ngrams, n_hits, overlap_frac, admitted)`` with
+    ``admitted = overlap_frac <= max_overlap``. Callers filter on it; the
+    full relation is kept so rejects are auditable.
+    """
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    b1 = (
+        batch.withColumn("__fp", fingerprint(F.col(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    corpus_fp = corpus.select(fingerprint(F.col(text_col)).alias("__fp")).distinct()
+    fresh = b1.join(corpus_fp, "__fp", "left_anti")
+    ov = contamination_check(
+        fresh, corpus, n=n, text_col=text_col, id_col=id_col, broadcast_bench=False
+    ).withColumnRenamed("contaminated_frac", "overlap_frac")
+    return (
+        fresh.select(F.col(id_col), F.col("__fp").alias("fingerprint"))
+        .join(ov, id_col)
+        .select(
+            id_col,
+            "fingerprint",
+            "n_ngrams",
+            "n_hits",
+            "overlap_frac",
+            (F.col("overlap_frac") <= F.lit(max_overlap)).alias("admitted"),
+        )
+    )
+
+
 def simhash_from_token_hashes(hs: Column, bits: int = 32) -> Column:
     """Frequency-weighted SimHash (Charikar 2002) over a pre-hashed token
     array: bit j = sign of the sum over token *occurrences* of ±1 derived

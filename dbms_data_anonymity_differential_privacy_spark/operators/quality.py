@@ -1,0 +1,136 @@
+"""Gopher-style document quality gate (Rae et al. 2021, §A1.1).
+
+The published MassiveText filter: a document survives only if its basic
+shape statistics sit inside human-text bounds. This module computes the
+full rule set in ONE map-only projection of built-in expressions (per-row
+array folds — no explode, no shuffle, whole-stage codegen) with an exact
+DuckDB twin generated from the same thresholds, so the gate is
+oracle-checkable end to end. Complements the per-doc repetition gates in
+`operators/text.py` (`repetition_metrics`), which cover §A1.1's
+duplicate-token rules.
+
+Rules (thresholds are module constants, overridable per call):
+
+- token count in [MIN_TOKENS, MAX_TOKENS]
+- mean word length in [MIN_WORD_LEN, MAX_WORD_LEN]
+- fraction of words with >= 1 alphabetic char >= MIN_ALPHA_FRAC
+- symbol-to-word ratio (# and ... occurrences per word) <= MAX_SYMBOL_RATIO
+- fraction of lines starting with a bullet <= MAX_BULLET_FRAC
+- fraction of lines ending with an ellipsis <= MAX_ELLIPSIS_FRAC
+- >= MIN_STOPWORDS distinct stopwords present (the Gopher 8-word list)
+
+Cross-engine exactness: every statistic is an integer count or a single
+IEEE division of two integers — no rounding needed anywhere; patterns
+stay in the Java-regex∩RE2 subset (`operators/clean.py` rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbms_data_anonymity_differential_privacy_spark.operators.text import WS
+from dbms_data_anonymity_differential_privacy_spark.operators.util import fan_out
+
+MIN_TOKENS, MAX_TOKENS = 50, 100_000
+MIN_WORD_LEN, MAX_WORD_LEN = 3.0, 10.0
+MIN_ALPHA_FRAC = 0.80
+MAX_SYMBOL_RATIO = 0.10
+MAX_BULLET_FRAC = 0.90
+MAX_ELLIPSIS_FRAC = 0.30
+MIN_STOPWORDS = 2
+STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+_ALPHA = "[A-Za-z]"
+_SYMBOL = r"#|\.\.\."
+_BULLET = r"^[-*\x{2022}]"
+_ELLIPSIS = r"\.\.\.$"
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Annotate each document with the Gopher statistics and the overall
+    ``pass_gopher`` verdict. Map-only; see module docstring."""
+    t = F.col(text_col)
+    toks = F.filter(F.split(F.lower(F.trim(t)), WS), lambda w: w != "")
+    lines = F.split(t, r"\n")
+
+    n_tokens = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike(_ALPHA)))
+    n_sym = F.size(F.regexp_extract_all(t, F.lit(_SYMBOL), 0))
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: F.trim(l).rlike(_BULLET)))
+    n_ellipsis = F.size(F.filter(lines, lambda l: F.trim(l).rlike(_ELLIPSIS)))
+    n_stop = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in STOPWORDS])))
+
+    base = fan_out(df).select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.when(n_tokens > 0, sum_len / n_tokens).otherwise(F.lit(0.0)).alias("mean_word_len"),
+        F.when(n_tokens > 0, n_alpha / n_tokens).otherwise(F.lit(0.0)).alias("alpha_word_frac"),
+        F.when(n_tokens > 0, n_sym / n_tokens).otherwise(F.lit(0.0)).alias("symbol_ratio"),
+        F.when(n_lines > 0, n_bullet / n_lines).otherwise(F.lit(0.0)).alias("bullet_line_frac"),
+        F.when(n_lines > 0, n_ellipsis / n_lines)
+        .otherwise(F.lit(0.0))
+        .alias("ellipsis_line_frac"),
+        n_stop.cast("int").alias("n_stopwords"),
+    )
+    ok: Column = (
+        F.col("n_tokens").between(MIN_TOKENS, MAX_TOKENS)
+        & F.col("mean_word_len").between(MIN_WORD_LEN, MAX_WORD_LEN)
+        & (F.col("alpha_word_frac") >= MIN_ALPHA_FRAC)
+        & (F.col("symbol_ratio") <= MAX_SYMBOL_RATIO)
+        & (F.col("bullet_line_frac") <= MAX_BULLET_FRAC)
+        & (F.col("ellipsis_line_frac") <= MAX_ELLIPSIS_FRAC)
+        & (F.col("n_stopwords") >= MIN_STOPWORDS)
+    )
+    return base.withColumn("pass_gopher", ok)
+
+
+def gopher_quality_sql(table: str = "documents", text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`gopher_quality`, generated from the same
+    thresholds/patterns (identical integer counts + single divisions)."""
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+    WITH s AS (SELECT {id_col},
+        list_filter(string_split_regex(lower(trim({text_col})), '\\s+'),
+                    w -> w <> '') AS toks,
+        string_split({text_col}, chr(10)) AS lines,
+        len(regexp_extract_all({text_col}, '{_SYMBOL}')) AS n_sym
+      FROM {table}),
+    m AS (SELECT {id_col},
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        list_sum(list_transform(toks, w -> len(w))) AS sum_len,
+        len(list_filter(toks, w -> regexp_matches(w, '{_ALPHA}'))) AS n_alpha,
+        n_sym,
+        len(lines) AS n_lines,
+        len(list_filter(lines, l -> regexp_matches(trim(l), '{_BULLET}'))) AS n_bullet,
+        len(list_filter(lines, l -> regexp_matches(trim(l), '{_ELLIPSIS}'))) AS n_ellipsis,
+        CAST(len(list_intersect(toks, [{stops}])) AS INT) AS n_stopwords
+      FROM s),
+    q AS (SELECT {id_col}, n_tokens,
+        CASE WHEN n_tokens > 0 THEN CAST(sum_len AS DOUBLE) / n_tokens ELSE 0.0 END
+          AS mean_word_len,
+        CASE WHEN n_tokens > 0 THEN CAST(n_alpha AS DOUBLE) / n_tokens ELSE 0.0 END
+          AS alpha_word_frac,
+        CASE WHEN n_tokens > 0 THEN CAST(n_sym AS DOUBLE) / n_tokens ELSE 0.0 END
+          AS symbol_ratio,
+        CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / n_lines ELSE 0.0 END
+          AS bullet_line_frac,
+        CASE WHEN n_lines > 0 THEN CAST(n_ellipsis AS DOUBLE) / n_lines ELSE 0.0 END
+          AS ellipsis_line_frac,
+        n_stopwords
+      FROM m)
+    SELECT *,
+      (n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+       AND mean_word_len BETWEEN {MIN_WORD_LEN} AND {MAX_WORD_LEN}
+       AND alpha_word_frac >= {MIN_ALPHA_FRAC}
+       AND symbol_ratio <= {MAX_SYMBOL_RATIO}
+       AND bullet_line_frac <= {MAX_BULLET_FRAC}
+       AND ellipsis_line_frac <= {MAX_ELLIPSIS_FRAC}
+       AND n_stopwords >= {MIN_STOPWORDS}) AS pass_gopher
+    FROM q
+    """

@@ -2605,6 +2605,79 @@ ORACLE_SQL["pipe_lm_buckets"] = ORACLE_SQL["pipe_lm_buckets"].replace(
 )
 
 
+def _gopher_sql() -> str:
+    from dbms_data_anonymity_differential_privacy_spark.operators.quality import gopher_quality_sql
+
+    return gopher_quality_sql("documents")
+
+
+@query("x27_gopher_quality", _gopher_sql())
+def x27_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X27 — the full Gopher/MassiveText shape gate (operators/quality.py):
+    token bounds, mean word length, alpha-word fraction, symbol ratio,
+    bullet/ellipsis line fractions, stopword presence — one map-only
+    projection, thresholds shared with the generated SQL twin. The
+    corpus' ~30-60-token docs straddle the 50-token floor, so the verdict
+    is data-dependent."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.quality import gopher_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_quality(docs)
+
+
+@query(
+    "x28_incremental_admit",
+    """
+    WITH fp AS (SELECT doc_id, text,
+                       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+                FROM documents),
+    batch AS (SELECT * FROM fp WHERE doc_id % 10 < 2
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) = 1),
+    corpus AS (SELECT * FROM fp WHERE doc_id % 10 >= 2),
+    fresh AS (SELECT b.* FROM batch b
+              WHERE b.f NOT IN (SELECT DISTINCT f FROM corpus)),
+    tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+            FROM fresh),
+    fsh AS (SELECT doc_id, list_distinct(list_transform(
+              generate_series(1, greatest(len(toks) - 2, 0)),
+              i -> array_to_string(toks[i:i+2], ' '))) AS s FROM tok),
+    ctok AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks FROM corpus),
+    csh AS (SELECT DISTINCT unnest(list_transform(
+              generate_series(1, greatest(len(toks) - 2, 0)),
+              i -> array_to_string(toks[i:i+2], ' '))) AS shingle FROM ctok),
+    fe AS (SELECT doc_id, unnest(s) AS shingle FROM fsh),
+    hit AS (SELECT fe.doc_id, COUNT(*) AS n_hits
+            FROM fe JOIN csh USING (shingle) GROUP BY 1)
+    SELECT f2.doc_id, fresh.f AS fingerprint,
+           CAST(len(f2.s) AS BIGINT) AS n_ngrams,
+           CAST(COALESCE(hit.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(CASE WHEN len(f2.s) > 0
+                      THEN COALESCE(hit.n_hits, 0) / len(f2.s) ELSE 0.0 END, 9)
+             AS overlap_frac,
+           (ROUND(CASE WHEN len(f2.s) > 0
+                       THEN COALESCE(hit.n_hits, 0) / len(f2.s) ELSE 0.0 END, 9)
+            <= 0.5) AS admitted
+    FROM fsh f2
+    JOIN fresh USING (doc_id)
+    LEFT JOIN hit USING (doc_id)
+    """,
+)
+def x28_incremental_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X28 — incremental corpus admission (operators/dedup.py
+    incremental_admit): vet a new crawl batch (doc_id % 10 < 2) against
+    the existing corpus (the rest) without reprocessing the corpus —
+    within-batch fingerprint dedup, exact anti-join on the corpus
+    fingerprint index, then a shingle-overlap near-dup gate over a
+    SHUFFLED 8-byte-hash join (corpus side too big to broadcast). Oracle
+    joins string shingles; equal up to 64-bit collisions as x03/x18."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import incremental_admit
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 10 < 2)
+    corpus = docs.where(F.col("doc_id") % 10 >= 2)
+    return incremental_admit(batch, corpus, n=3, max_overlap=0.5)
+
+
 # --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green
@@ -2660,14 +2733,18 @@ _WINDOW_R3 = [
     # pipe_naive_metrics and pipe_tcloseness_metrics rows)
     "x26_mixture_rates",
     "pipe_lm_buckets",
-    "c09_t_violations",
+    # c09 rotated out for x27 (r2-green; its violation count is a filter
+    # over the same EMD relation the in-window c04_class_emd hashes)
+    "x27_gopher_quality",
     "x08_l_diversity",
     "x11_sessionize",
     "x12_equal_freq_bin",
     "x14_repetition",
     "x16_asof_join",
     "x17_session_errors",
-    "x18_contamination",
+    # x18 rotated out for x28 (r2-green; x28's shingle probe is the same
+    # physical shape over a shuffled — not broadcast — membership join)
+    "x28_incremental_admit",
     "x19_vocab",
     "pipe_naive_metrics",
     "pipe_tcloseness_metrics",

@@ -1442,3 +1442,50 @@ def test_repetition_metrics_crafted(spark):
     assert out[1].dup_token_frac == 0.75 and out[1].top_bigram_frac == 1.0
     assert out[2].dup_token_frac == 0.0 and out[2].top_bigram_frac == round(1 / 3, 9)
     assert out[3].dup_token_frac == 0.6 and out[3].top_bigram_frac == 0.5
+
+
+# --- X28 incremental admission (operators/dedup.py incremental_admit) ----
+
+
+def test_incremental_admit_stages(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import incremental_admit
+
+    corpus = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta eta theta"),
+            (101, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # exact duplicate of corpus doc 100 (anti-joined away)
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            # same after whitespace/case normalization (fingerprint collision)
+            (2, "  ALPHA   beta gamma delta epsilon zeta eta theta "),
+            # within-batch dup pair: min-id 3 survives, 4 dropped
+            (3, "fresh words nobody has ever written before today"),
+            (4, "fresh words nobody has ever written before today"),
+            # near-dup of corpus doc 101: high trigram overlap -> rejected
+            (5, "one two three four five six seven eight nine eleven"),
+            # genuinely new -> admitted
+            (6, "completely novel content with zero shared trigrams here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in incremental_admit(batch, corpus, max_overlap=0.5).collect()}
+    # stages 1-2: docs 1, 2 (corpus dups) and 4 (batch dup) are gone
+    assert set(out) == {3, 5, 6}
+    assert out[5]["admitted"] is False and out[5]["overlap_frac"] > 0.5
+    assert out[3]["admitted"] is True and out[3]["n_hits"] == 0
+    assert out[6]["admitted"] is True and out[6]["n_hits"] == 0
+
+
+def test_incremental_admit_empty_batch(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import incremental_admit
+
+    corpus = spark.createDataFrame(
+        [(1, "some corpus text here with several words")], "doc_id long, text string"
+    )
+    batch = corpus.limit(0)
+    assert incremental_admit(batch, corpus).count() == 0

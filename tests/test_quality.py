@@ -1,0 +1,58 @@
+"""Rule-by-rule tests for the Gopher quality gate (operators/quality.py)."""
+
+from __future__ import annotations
+
+from dbms_data_anonymity_differential_privacy_spark.operators import quality as Q
+from dbms_data_anonymity_differential_privacy_spark.operators.quality import gopher_quality
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then runs off to find "
+    "some food that it can have for dinner with friends "
+) * 3  # 66 tokens, all alphabetic, plenty of stopwords
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r["doc_id"]: r for r in gopher_quality(df).collect()}
+
+
+def test_good_document_passes(spark):
+    out = _run(spark, [(1, GOOD)])
+    r = out[1]
+    assert r["pass_gopher"] is True
+    assert Q.MIN_TOKENS <= r["n_tokens"] <= Q.MAX_TOKENS
+    assert r["alpha_word_frac"] == 1.0
+    assert r["n_stopwords"] >= Q.MIN_STOPWORDS
+
+
+def test_each_rule_fails_independently(spark):
+    rows = [
+        (1, GOOD),
+        (2, "too short to pass the token floor"),  # n_tokens < 50
+        (3, ("a " * 70) + "the of"),  # mean word len 1 < 3
+        (4, " ".join(["12345"] * 60) + " the of and that"),  # alpha frac ~0.06
+        (5, GOOD + " " + "# " * 20),  # symbol ratio > 0.1
+        (6, "\n".join(["- " + GOOD] * 10)),  # all lines bulleted
+        (7, "\n".join([GOOD + "..."] * 10)),  # all lines ellipsis-ended
+        (8, " ".join(f"w{i}xyz" for i in range(60))),  # no stopwords
+    ]
+    out = _run(spark, rows)
+    assert out[1]["pass_gopher"] is True
+    for i in range(2, 9):
+        assert out[i]["pass_gopher"] is False, f"doc {i} should fail"
+    # and each failed for the intended reason
+    assert out[2]["n_tokens"] < Q.MIN_TOKENS
+    assert out[3]["mean_word_len"] < Q.MIN_WORD_LEN
+    assert out[4]["alpha_word_frac"] < Q.MIN_ALPHA_FRAC
+    assert out[5]["symbol_ratio"] > Q.MAX_SYMBOL_RATIO
+    assert out[6]["bullet_line_frac"] > Q.MAX_BULLET_FRAC
+    assert out[7]["ellipsis_line_frac"] > Q.MAX_ELLIPSIS_FRAC
+    assert out[8]["n_stopwords"] < Q.MIN_STOPWORDS
+
+
+def test_empty_and_degenerate_inputs(spark):
+    out = _run(spark, [(1, ""), (2, "   "), (3, "the")])
+    for i in (1, 2, 3):
+        assert out[i]["pass_gopher"] is False
+    assert out[1]["n_tokens"] == 0
+    assert out[1]["mean_word_len"] == 0.0
