@@ -210,3 +210,32 @@ def test_pii_detect_is_map_only(plans):
     assert len(re.findall(r"Scan parquet|FileScan parquet", p)) == 1
     assert "Exchange" not in p
     assert "pythonUDF" not in p
+
+
+def test_clean_ops_are_map_only(plans):
+    """x24/x25 cleaning: one scan, zero exchanges, zero Python — the
+    crawl-normalization pass must stay embarrassingly parallel."""
+    for name in ("x24_text_clean", "x25_line_filter"):
+        p = plans[name]
+        assert len(re.findall(r"Scan parquet|FileScan parquet", p)) == 1, name
+        assert "Exchange hashpartitioning" not in p, name
+        assert "pythonUDF" not in p, name
+
+
+def test_gopher_gate_is_map_only(plans):
+    """x27: the whole rule set is per-row array folds — no aggregation
+    exchange may appear (the only allowed exchange is the fan-out
+    round-robin on narrow test inputs)."""
+    p = plans["x27_gopher_quality"]
+    assert len(re.findall(r"Scan parquet|FileScan parquet", p)) == 1
+    assert "Exchange hashpartitioning" not in p
+    assert "pythonUDF" not in p
+
+
+def test_incremental_admit_shuffles_hashes_not_strings(plans):
+    """x28: the near-dup probe join must key on the 8-byte shingle hash
+    (__s), never on string shingles; the corpus side must NOT be
+    broadcast (it is corpus-scale by contract)."""
+    p = plans["x28_incremental_admit"]
+    assert re.search(r"Exchange hashpartitioning\(__s", p)
+    assert "array_to_string" not in p
