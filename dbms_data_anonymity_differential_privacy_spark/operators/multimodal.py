@@ -3,10 +3,12 @@ as opaque binary columns with typed metadata).
 
 Decode is REAL for the formats a pure-Python decoder can handle without
 codec libraries: BMP (24-bit BI_RGB), PPM (binary P6), WAV (PCM16, stdlib
-``wave``), and PNG (8-bit RGB/RGBA via stdlib zlib inflate + scanline
-unfilter). Lossy formats (JPEG/MP3/H.264) still need PIL/ffmpeg, absent
-from this container, and raise ``NotImplementedError`` — the dispatch
-point is one function
+``wave``), PNG (8-bit RGB/RGBA via stdlib zlib inflate + scanline
+unfilter), and baseline JPEG (SOF0 sequential DCT, Huffman, 4:4:4/4:2:0,
+restart markers — :func:`decode_jpeg`, with :func:`encode_jpeg` providing
+in-repo fixtures). Progressive JPEG and video/audio-compressed formats
+(MP3/H.264) still need PIL/ffmpeg, absent from this container, and raise
+``NotImplementedError`` — the dispatch point is one function
 (:func:`decode_media`), so swapping in richer codecs never touches the
 distributed plumbing. Everything Spark-side is real and tested: the schema
 contract, the Arrow-batched ``mapInPandas`` signature, batch shaping,
@@ -73,7 +75,7 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
 # Pure-Python codecs for uncompressed formats (no PIL/ffmpeg needed).
 # ---------------------------------------------------------------------------
 
-IMAGE_MIMES = ("image/bmp", "image/x-portable-pixmap", "image/png")
+IMAGE_MIMES = ("image/bmp", "image/x-portable-pixmap", "image/png", "image/jpeg")
 AUDIO_MIMES = ("audio/wav", "audio/x-wav")
 
 
@@ -252,6 +254,510 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
     return width, height, bytes(rgb)
 
 
+# --- Baseline JPEG (ITU-T T.81 sequential DCT) ------------------------------
+#
+# Pure-stdlib decode of the dominant interchange flavor: SOF0 baseline,
+# 8-bit, Huffman entropy coding, 3-component YCbCr with 4:4:4 or 4:2:0
+# (or any h,v <= 2) subsampling, restart markers honored. Progressive
+# (SOF2), arithmetic coding, 12-bit, and non-3-component streams raise —
+# honest dispatch like the other codecs. The companion encoder writes
+# 4:4:4 baseline with IJG-scaled Annex K quant tables and per-image
+# fixed-length canonical Huffman tables (spec-legal incomplete trees), so
+# tests can round-trip real JPEG bytes without PIL.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K reference quantization tables (luminance, chrominance).
+_QT_LUM = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_QT_CHR = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+] + [99] * 32
+
+
+def _idct_cos_table():
+    import math
+
+    return [
+        [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)] for x in range(8)
+    ]
+
+
+_COS = _idct_cos_table()
+_C = [0.7071067811865476] + [1.0] * 7  # C(0)=1/sqrt(2)
+
+
+def _idct8x8(coef: list[float]) -> list[int]:
+    """2-D inverse DCT of one dequantized 8x8 block (row-major coef) →
+    64 level-shifted, clamped samples. Separable: rows then columns."""
+    tmp = [0.0] * 64
+    for y in range(8):
+        row = coef[y * 8 : y * 8 + 8]
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                s += _C[u] * row[u] * _COS[x][u]
+            tmp[y * 8 + x] = s / 2
+    out = [0] * 64
+    for x in range(8):
+        col = [tmp[y * 8 + x] for y in range(8)]
+        for y in range(8):
+            s = 0.0
+            for v in range(8):
+                s += _C[v] * col[v] * _COS[y][v]
+            px = int(round(s / 2)) + 128
+            out[y * 8 + x] = 0 if px < 0 else (255 if px > 255 else px)
+    return out
+
+
+class _BitReader:
+    """MSB-first entropy-stream reader with 0xFF00 unstuffing; stops at
+    any real marker (leaves it for the caller)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos, self.buf, self.nbits = data, pos, 0, 0
+
+    def _fill(self):
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                self.buf |= 0 << (24 - self.nbits)  # pad with zeros past end
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    break  # RST marker: caller handles via restart()
+                else:
+                    break  # EOI / other marker
+            else:
+                self.pos += 1
+            self.buf = (self.buf << 8) | b
+            self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        while self.nbits < n:
+            self._fill()
+            if self.nbits < n:  # stuck at a marker: zero-pad
+                self.buf = self.buf << 8
+                self.nbits += 8
+        self.nbits -= n
+        v = (self.buf >> self.nbits) & ((1 << n) - 1)
+        self.buf &= (1 << self.nbits) - 1
+        return v
+
+    def restart(self):
+        """Byte-align and consume one RSTn marker."""
+        self.buf, self.nbits = 0, 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+
+
+def _build_huff(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol from the DHT BITS/HUFFVAL lists (canonical
+    code assignment, T.81 Annex C)."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.bits(1)
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline sequential JPEG (SOF0, 8-bit, Huffman, 3-component
+    YCbCr, h/v sampling factors <= 2, optional restart markers) →
+    (width, height, RGB8 bytes). Progressive/arithmetic/12-bit/other
+    component counts raise ``NotImplementedError``."""
+    import struct
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    pos = 2
+    qts: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
+    comps: list[dict] = []
+    width = height = 0
+    restart_interval = 0
+    scan_pos = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack_from(">H", data, pos + 2)[0]
+        seg = data[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables not supported")
+                qts[tq] = list(seg[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            _prec, height, width, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if _prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            if ncomp != 3:
+                raise NotImplementedError("only 3-component YCbCr JPEG supported")
+            for ci in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * ci)
+                h, v = hv >> 4, hv & 15
+                if h > 2 or v > 2:
+                    raise NotImplementedError("sampling factors > 2 not supported")
+                comps.append({"id": cid, "h": h, "v": v, "tq": tq})
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("only baseline (SOF0) JPEG supported")
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _build_huff(bits, vals)
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            sel = {}
+            for si in range(ns):
+                cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
+                sel[cs] = (tt >> 4, tt & 15)
+            for c in comps:
+                c["dc"], c["ac"] = sel[c["id"]]
+            scan_pos = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if scan_pos is None or not comps or not width:
+        raise ValueError("incomplete JPEG stream")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcus_x * c["h"]  # blocks per row
+        c["bh"] = mcus_y * c["v"]
+        c["plane"] = bytearray(c["bw"] * 8 * c["bh"] * 8)
+        c["pred"] = 0
+
+    br = _BitReader(data, scan_pos)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.restart()
+                for c in comps:
+                    c["pred"] = 0
+            mcu_count += 1
+            for c in comps:
+                qt = qts[c["tq"]]
+                dct, act = huff[(0, c["dc"])], huff[(1, c["ac"])]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = [0.0] * 64
+                        s = _huff_decode(br, dct)
+                        diff = _extend(br.bits(s), s)
+                        c["pred"] += diff
+                        coef[0] = c["pred"] * qt[0]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_decode(br, act)
+                            r, ssss = sym >> 4, sym & 15
+                            if ssss == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            coef[_ZIGZAG[k]] = _extend(br.bits(ssss), ssss) * qt[k]
+                            k += 1
+                        px = _idct8x8(coef)
+                        bx0 = (mx * c["h"] + bx) * 8
+                        by0 = (my * c["v"] + by) * 8
+                        row_w = c["bw"] * 8
+                        for yy in range(8):
+                            off = (by0 + yy) * row_w + bx0
+                            c["plane"][off : off + 8] = bytes(px[yy * 8 : yy * 8 + 8])
+
+    y_c, cb_c, cr_c = comps
+    rgb = bytearray(width * height * 3)
+    for y in range(height):
+        for x in range(width):
+            yv = y_c["plane"][(y * y_c["v"] // vmax) * y_c["bw"] * 8 + (x * y_c["h"] // hmax)]
+            cb = cb_c["plane"][(y * cb_c["v"] // vmax) * cb_c["bw"] * 8 + (x * cb_c["h"] // hmax)]
+            cr = cr_c["plane"][(y * cr_c["v"] // vmax) * cr_c["bw"] * 8 + (x * cr_c["h"] // hmax)]
+            r = yv + 1.402 * (cr - 128)
+            g = yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+            b = yv + 1.772 * (cb - 128)
+            i = (y * width + x) * 3
+            rgb[i] = 0 if r < 0 else (255 if r > 255 else int(round(r)))
+            rgb[i + 1] = 0 if g < 0 else (255 if g > 255 else int(round(g)))
+            rgb[i + 2] = 0 if b < 0 else (255 if b > 255 else int(round(b)))
+    return width, height, bytes(rgb)
+
+
+def _fdct8x8(samples: list[int]) -> list[float]:
+    """Forward DCT of one level-shifted 8x8 block (row-major samples)."""
+    shifted = [s - 128.0 for s in samples]
+    tmp = [0.0] * 64
+    for y in range(8):
+        for u in range(8):
+            s = 0.0
+            for x in range(8):
+                s += shifted[y * 8 + x] * _COS[x][u]
+            tmp[y * 8 + u] = s * _C[u] / 2
+    out = [0.0] * 64
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for y in range(8):
+                s += tmp[y * 8 + u] * _COS[y][v]
+            out[v * 8 + u] = s * _C[v] / 2
+    return out
+
+
+def _scaled_qt(base: list[int], quality: int) -> list[int]:
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [max(1, min(255, (t * scale + 50) // 100)) for t in base]
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    rgb: bytes,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode RGB8 pixels as a baseline JPEG (SOF0): IJG-scaled Annex K
+    quant tables, per-image fixed-length canonical Huffman tables
+    announced via DHT, ``4:4:4`` or ``4:2:0`` chroma subsampling, and
+    optional restart markers (``restart_interval`` MCUs per segment).
+    Exists so the decoder has real in-repo fixtures covering every
+    decode path; not a size-optimal encoder."""
+    import struct
+
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in [1, 100]")
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb buffer must be width*height*3 bytes")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
+    qt = [_scaled_qt(_QT_LUM, quality), _scaled_qt(_QT_CHR, quality)]
+    factors = [(1, 1)] * 3 if subsampling == "4:4:4" else [(2, 2), (1, 1), (1, 1)]
+    hmax = max(h for h, _ in factors)
+    vmax = max(v for _, v in factors)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+
+    # full-resolution YCbCr planes, edge-replicated to the MCU grid
+    full_w, full_h = mcus_x * 8 * hmax, mcus_y * 8 * vmax
+    full = [[[0] * full_w for _ in range(full_h)] for _ in range(3)]
+    for y in range(full_h):
+        sy = min(y, height - 1)
+        for x in range(full_w):
+            sx = min(x, width - 1)
+            i = (sy * width + sx) * 3
+            r, g, b = rgb[i], rgb[i + 1], rgb[i + 2]
+            full[0][y][x] = int(round(0.299 * r + 0.587 * g + 0.114 * b))
+            full[1][y][x] = int(round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b))
+            full[2][y][x] = int(round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b))
+
+    # per-component planes at their sampled resolution (box-filter down)
+    planes = []
+    for ci, (h, v) in enumerate(factors):
+        pw, ph = mcus_x * 8 * h, mcus_y * 8 * v
+        sx_step, sy_step = hmax // h, vmax // v
+        if sx_step == 1 and sy_step == 1:
+            planes.append(full[ci])
+            continue
+        p = [[0] * pw for _ in range(ph)]
+        for y in range(ph):
+            for x in range(pw):
+                acc = 0
+                for dy in range(sy_step):
+                    for dx in range(sx_step):
+                        acc += full[ci][y * sy_step + dy][x * sx_step + dx]
+                p[y][x] = (acc + sx_step * sy_step // 2) // (sx_step * sy_step)
+        planes.append(p)
+
+    # quantized zigzag coefficients in interleaved MCU order, tagged with
+    # the MCU index so restart segmentation can reset DC predictors
+    blocks: list[tuple[int, int, list[int]]] = []  # (mcu_idx, comp, zigzag)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            mcu_idx = my * mcus_x + mx
+            for ci, (h, v) in enumerate(factors):
+                for by in range(v):
+                    for bx in range(h):
+                        x0, y0 = (mx * h + bx) * 8, (my * v + by) * 8
+                        block = [
+                            planes[ci][y0 + yy][x0 + xx]
+                            for yy in range(8)
+                            for xx in range(8)
+                        ]
+                        coefs = _fdct8x8(block)
+                        q = qt[0 if ci == 0 else 1]
+                        zz = [int(round(coefs[_ZIGZAG[k]] / q[k])) for k in range(64)]
+                        blocks.append((mcu_idx, ci, zz))
+
+    # entropy symbols, then fixed-length canonical Huffman per table class
+    def _cat(v: int) -> int:
+        return 0 if v == 0 else abs(v).bit_length()
+
+    # (mcu_idx, [(table_kind, sym, extra, nbits)])
+    streams: list[tuple[int, list[tuple[int, int, int, int]]]] = []
+    preds = [0, 0, 0]
+    last_seg = 0
+    used: dict[int, set] = {0: set(), 1: set(), 2: set(), 3: set()}  # dcY acY dcC acC
+    for mcu_idx, ci, zz in blocks:
+        if restart_interval and mcu_idx // restart_interval != last_seg:
+            last_seg = mcu_idx // restart_interval
+            preds = [0, 0, 0]
+        dc_t, ac_t = (0, 1) if ci == 0 else (2, 3)
+        out = []
+        diff = zz[0] - preds[ci]
+        preds[ci] = zz[0]
+        s = _cat(diff)
+        extra = diff if diff >= 0 else diff + (1 << s) - 1
+        out.append((dc_t, s, extra, s))
+        used[dc_t].add(s)
+        run = 0
+        for k in range(1, 64):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                out.append((ac_t, 0xF0, 0, 0))
+                used[ac_t].add(0xF0)
+                run -= 16
+            s = _cat(zz[k])
+            sym = (run << 4) | s
+            extra = zz[k] if zz[k] >= 0 else zz[k] + (1 << s) - 1
+            out.append((ac_t, sym, extra, s))
+            used[ac_t].add(sym)
+            run = 0
+        if run:
+            out.append((ac_t, 0x00, 0, 0))
+            used[ac_t].add(0x00)
+        streams.append((mcu_idx, out))
+
+    tables = {}
+    dht_payload = bytearray()
+    for t in range(4):
+        syms = sorted(used[t]) or [0]
+        length = max(2, (len(syms) + 1).bit_length())  # +1 keeps all-ones unused
+        code = {s: i for i, s in enumerate(syms)}
+        tables[t] = (length, code)
+        bits = [0] * 16
+        bits[length - 1] = len(syms)
+        tc, th = (0, t // 2) if t % 2 == 0 else (1, t // 2)
+        dht_payload += bytes([tc << 4 | th]) + bytes(bits) + bytes(syms)
+
+    # bit writer with 0xFF stuffing
+    out = bytearray()
+    acc, nacc = 0, 0
+
+    def put(v: int, n: int):
+        nonlocal acc, nacc
+        if n == 0:
+            return
+        acc = (acc << n) | (v & ((1 << n) - 1))
+        nacc += n
+        while nacc >= 8:
+            nacc -= 8
+            byte = (acc >> nacc) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        acc &= (1 << nacc) - 1
+
+    def flush():
+        nonlocal acc, nacc
+        if nacc:
+            put(0x7F, 8 - nacc)  # pad with 1s to byte boundary
+
+    cur_seg = 0
+    for mcu_idx, block_syms in streams:
+        if restart_interval and mcu_idx // restart_interval != cur_seg:
+            flush()
+            out.append(0xFF)
+            out.append(0xD0 + (cur_seg % 8))
+            cur_seg = mcu_idx // restart_interval
+        for t, sym, extra, nbits in block_syms:
+            length, code = tables[t]
+            put(code[sym], length)
+            put(extra, nbits)
+    flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    jpeg = bytearray(b"\xff\xd8")
+    jpeg += seg(0xDB, bytes([0]) + bytes(qt[0]))
+    jpeg += seg(0xDB, bytes([1]) + bytes(qt[1]))
+    sof = struct.pack(">BHHB", 8, height, width, 3)
+    for ci, (cid, tq) in enumerate(((1, 0), (2, 1), (3, 1))):
+        h, v = factors[ci]
+        sof += bytes([cid, (h << 4) | v, tq])
+    jpeg += seg(0xC0, sof)
+    jpeg += seg(0xC4, bytes(dht_payload))
+    if restart_interval:
+        jpeg += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    jpeg += seg(0xDA, sos)
+    jpeg += out
+    jpeg += b"\xff\xd9"
+    return bytes(jpeg)
+
+
 def decode_image(content: bytes, mime: str) -> tuple[int, int, bytes]:
     if mime == "image/bmp":
         return decode_bmp(content)
@@ -259,6 +765,8 @@ def decode_image(content: bytes, mime: str) -> tuple[int, int, bytes]:
         return decode_ppm(content)
     if mime == "image/png":
         return decode_png(content)
+    if mime == "image/jpeg":
+        return decode_jpeg(content)
     raise NotImplementedError(f"no pure-Python decoder for image mime {mime!r}")
 
 
@@ -296,11 +804,11 @@ def decode_media(content: bytes, mime: str) -> list[float]:
     """Feature vector for one blob, by mime:
 
     - ``text/plain`` → [n_bytes, byte mean, byte second moment]
-    - BMP / PPM / PNG → [width, height, mean R, mean G, mean B]
+    - BMP / PPM / PNG / baseline JPEG → [width, height, mean R, mean G, mean B]
     - PCM16 WAV → [n_samples, framerate, mean, RMS]
 
-    Lossy formats (JPEG/MP3/...) need codec libraries absent from this
-    container and raise ``NotImplementedError``.
+    Compressed video/audio (MP3/H.264/...) needs codec libraries absent
+    from this container and raises ``NotImplementedError``.
     """
     if mime == "text/plain":
         # deterministic "embedding": byte-histogram moments

@@ -86,8 +86,12 @@ def test_decode_media_feature_values():
     assert audio[0] == 2.0 and audio[1] == 8000.0
     assert audio[2] == pytest.approx(-0.5)
     assert audio[3] == pytest.approx((12.5) ** 0.5)
-    with pytest.raises(NotImplementedError):
+    # JPEG is a real decoder now: malformed bytes are a data error...
+    with pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff", "image/jpeg")
+    # ...while genuinely codec-less formats still refuse honestly
+    with pytest.raises(NotImplementedError):
+        decode_media(b"RIFFxxxxWEBP", "image/webp")
 
 
 import pathlib
@@ -227,3 +231,125 @@ def test_documents_as_bmp_end_to_end(spark, sf0001):
     for r in out:
         assert len(r.feature) == 5
         assert r.feature[:2] == [8.0, 8.0]
+
+
+# --- Baseline JPEG (encode_jpeg / decode_jpeg) ---------------------------
+
+
+def _gradient(w, h):
+    out = bytearray()
+    for y in range(h):
+        for x in range(w):
+            out += bytes((x * 255 // max(w - 1, 1), y * 255 // max(h - 1, 1), 128))
+    return bytes(out)
+
+
+def test_jpeg_idct_dc_only_block():
+    """A DC-only coefficient block must decode to a constant plane:
+    IDCT(F) with F[0,0]=c, rest 0 → every sample = c/8 + 128 (T.81 A.3.3
+    normalization) — pins the transform scaling independent of the
+    entropy layer."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import _idct8x8
+
+    coef = [0.0] * 64
+    coef[0] = 400.0
+    px = _idct8x8(coef)
+    assert all(p == round(400 / 8) + 128 for p in px)
+    # and the zero block is mid-gray
+    assert all(p == 128 for p in _idct8x8([0.0] * 64))
+
+
+def test_jpeg_huffman_canonical_codes():
+    """DHT canonical code assignment (T.81 Annex C): two 2-bit codes and
+    one 3-bit code get codes 00, 01, 100."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import _build_huff
+
+    bits = [0, 2, 1] + [0] * 13
+    table = _build_huff(bits, [7, 8, 9])
+    assert table == {(2, 0b00): 7, (2, 0b01): 8, (3, 0b100): 9}
+
+
+def test_jpeg_flat_color_near_exact():
+    from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rgb = bytes([200, 60, 30] * 256)
+    w, h, out = decode_jpeg(encode_jpeg(16, 16, rgb, quality=90))
+    assert (w, h) == (16, 16)
+    assert max(abs(a - b) for a, b in zip(rgb, out)) <= 2
+
+
+def test_jpeg_roundtrip_all_modes():
+    """Every encoder mode the decoder claims: 4:4:4 + 4:2:0, with and
+    without restart markers, non-multiple-of-8 dimensions."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rgb = _gradient(21, 13)
+    for sub in ("4:4:4", "4:2:0"):
+        for ri in (0, 2):
+            w, h, out = decode_jpeg(
+                encode_jpeg(21, 13, rgb, quality=90, subsampling=sub, restart_interval=ri)
+            )
+            assert (w, h) == (21, 13), (sub, ri)
+            errs = [abs(a - b) for a, b in zip(rgb, out)]
+            assert max(errs) <= 20, (sub, ri, max(errs))
+            # chroma downsampling on a steep small gradient costs more
+            assert sum(errs) / len(errs) <= (5 if sub == "4:4:4" else 8), (sub, ri)
+
+
+def test_jpeg_unsupported_flavors_raise():
+    from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    data = bytearray(encode_jpeg(8, 8, bytes([10, 20, 30] * 64)))
+    # flip SOF0 (0xC0) to SOF2 (progressive): must refuse, not misdecode
+    i = bytes(data).find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(data))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_spark_jpeg_pipeline(spark):
+    """image/jpeg blobs flow through the same mapInPandas feature/resize
+    plumbing as the lossless codecs: features = [w, h, meanR, meanG,
+    meanB] within JPEG tolerance of the source; resize re-encodes as a
+    decodable BMP."""
+    import hashlib
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import (
+        decode_bmp,
+        encode_jpeg,
+        extract_features,
+        resize_media,
+    )
+
+    rgb = bytes([120, 200, 40] * 256)
+    blob = encode_jpeg(16, 16, rgb, quality=95)
+    media = spark.createDataFrame(
+        [
+            (
+                1,
+                bytearray(blob),
+                "image/jpeg",
+                {"n_bytes": len(blob), "checksum": hashlib.md5(blob).hexdigest()},
+            )
+        ],
+        MEDIA_SCHEMA,
+    )
+    feat = extract_features(media).collect()[0]["feature"]
+    assert feat[0] == 16.0 and feat[1] == 16.0
+    assert abs(feat[2] - 120) <= 2 and abs(feat[3] - 200) <= 2 and abs(feat[4] - 40) <= 2
+    resized = resize_media(media, 8, 8).collect()[0]
+    assert resized["mime"] == "image/bmp"
+    w, h, out = decode_bmp(bytes(resized["content"]))
+    assert (w, h) == (8, 8)
+    assert max(abs(a - b) for a, b in zip(bytes([120, 200, 40] * 64), out)) <= 3
