@@ -85,6 +85,17 @@ from dbms_data_anonymity_differential_privacy_spark.operators.sampling import (
 from dbms_data_anonymity_differential_privacy_spark.operators.packing import pack_concat_chunks
 from dbms_data_anonymity_differential_privacy_spark.operators.search import bm25_topk
 from dbms_data_anonymity_differential_privacy_spark.operators.text import text_stats, with_text_features
+from dbms_data_anonymity_differential_privacy_spark.operators.lm import bigram_lm_scores
+from dbms_data_anonymity_differential_privacy_spark.operators.clean import (
+    clean_text,
+    filter_boilerplate_lines,
+)
+from dbms_data_anonymity_differential_privacy_spark.operators.mixing import (
+    apply_mixture,
+    mixture_rates,
+)
+from dbms_data_anonymity_differential_privacy_spark.operators.quality import gopher_quality
+from dbms_data_anonymity_differential_privacy_spark.operators.dedup import incremental_admit
 from dbms_data_anonymity_differential_privacy_spark.operators.utility import utility_accuracy
 from dbms_data_anonymity_differential_privacy_spark import pipelines
 from dbms_data_anonymity_differential_privacy_spark.sources.writers import (
@@ -150,6 +161,13 @@ __all__ = [
     "stratified_sample_n",
     "text_stats",
     "with_text_features",
+    "bigram_lm_scores",
+    "clean_text",
+    "filter_boilerplate_lines",
+    "mixture_rates",
+    "apply_mixture",
+    "gopher_quality",
+    "incremental_admit",
     "utility_accuracy",
     "pipelines",
     "write_release",
