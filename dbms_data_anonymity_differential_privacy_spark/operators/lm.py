@@ -110,11 +110,16 @@ def bigram_lm_scores(
     v = int(vocab)
 
     # Driver-side C-libm log table over the distinct integer log inputs
-    # (metadata-sized; see module docstring). Two broadcast joins put the
+    # (metadata-sized; see module docstring), fetched in ONE job over the
+    # union of both count relations. Two broadcast joins then put the
     # exact libm values on every occurrence without the JVM touching log.
-    num_vals = [int(r["val"]) for r in cb.select((F.col("cb") + 1).alias("val")).distinct().collect()]
-    den_vals = [int(r["val"]) for r in cu.select((F.col("cu") + v).alias("val")).distinct().collect()]
-    log_rows = [(x, math.log(x)) for x in sorted(set(num_vals) | set(den_vals))]
+    vals = (
+        cb.select((F.col("cb") + 1).alias("val"))
+        .unionByName(cu.select((F.col("cu") + v).alias("val")))
+        .distinct()
+        .collect()
+    )
+    log_rows = [(x, math.log(x)) for x in sorted(int(r["val"]) for r in vals)]
     logtab = spark.createDataFrame(log_rows, "val long, lnval double")
 
     scored = (
