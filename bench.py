@@ -64,6 +64,7 @@ HEADLINE = [
     "x26_mixture_rates",
     "x27_gopher_quality",
     "x28_incremental_admit",
+    "x29_bpe_tokens",
 ]
 
 

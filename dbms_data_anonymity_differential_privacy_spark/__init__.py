@@ -95,6 +95,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.mixing import (
     mixture_rates,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.quality import gopher_quality
+from dbms_data_anonymity_differential_privacy_spark.operators.bpe import bpe_tokenize, bpe_train
 from dbms_data_anonymity_differential_privacy_spark.operators.dedup import incremental_admit
 from dbms_data_anonymity_differential_privacy_spark.operators.utility import utility_accuracy
 from dbms_data_anonymity_differential_privacy_spark import pipelines
@@ -168,6 +169,8 @@ __all__ = [
     "apply_mixture",
     "gopher_quality",
     "incremental_admit",
+    "bpe_train",
+    "bpe_tokenize",
     "utility_accuracy",
     "pipelines",
     "write_release",

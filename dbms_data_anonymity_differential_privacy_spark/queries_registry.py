@@ -2678,6 +2678,21 @@ def x28_incremental_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_admit(batch, corpus, n=3, max_overlap=0.5)
 
 
+@query("x29_bpe_tokens")
+def x29_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X29 — real BPE tokenization (operators/bpe.py): distributed word
+    histogram -> driver-side Sennrich merge learning (vocab-sized) ->
+    broadcast merges -> Arrow-batched encode with per-word memo.
+    Rows-only by nature (iterative merges are not SQL-expressible);
+    exact behavior pinned by test_bpe.py incl. the paper's worked
+    example."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.bpe import bpe_tokenize, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=100)
+    return bpe_tokenize(docs, merges).select("doc_id", "n_words", "n_bpe_tokens")
+
+
 # --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green
