@@ -160,3 +160,77 @@ def test_ngram_jaccard_prefix_filter_exact(spark, docs, threshold):
             if round(jac, 9) >= threshold:
                 want.add((i, j))
     assert got == want
+
+
+# --- round-3 text ops: properties over arbitrary text -----------------------
+
+texts = st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FFF),
+    min_size=0,
+    max_size=200,
+)
+
+
+@given(batch=st.lists(texts, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_clean_text_idempotent_and_canonical(spark, batch):
+    """clean_text is a projection onto its own fixed point: applying it
+    twice equals applying it once, and output never contains markup
+    brackets' innards, C0 controls, or runs of whitespace."""
+    import re
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.clean import clean_text
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "doc_id long, text string"
+    )
+    once = df.select("doc_id", clean_text(F.col("text")).alias("c1"))
+    twice = once.select("doc_id", F.col("c1"), clean_text(F.col("c1")).alias("c2"))
+    for r in twice.collect():
+        assert r["c2"] == r["c1"]
+        assert not re.search(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", r["c1"])
+        assert not re.search(r"\s\s", r["c1"])
+        assert not (r["c1"].startswith(" ") or r["c1"].endswith(" "))
+
+
+@given(batch=st.lists(texts, min_size=1, max_size=6))
+@settings(**SETTINGS)
+def test_gopher_stats_are_bounded(spark, batch):
+    from dbms_data_anonymity_differential_privacy_spark.operators.quality import gopher_quality
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "doc_id long, text string"
+    )
+    for r in gopher_quality(df).collect():
+        assert r["n_tokens"] >= 0
+        for c in ("alpha_word_frac", "bullet_line_frac", "ellipsis_line_frac"):
+            assert 0.0 <= r[c] <= 1.0, c
+        assert r["symbol_ratio"] >= 0.0
+        assert 0 <= r["n_stopwords"] <= 8
+        assert r["mean_word_len"] >= 0.0
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=6), min_size=1, max_size=20
+    ),
+    n_merges=st.integers(0, 30),
+)
+@settings(**SETTINGS)
+def test_bpe_encoding_partitions_the_word(spark, words, n_merges):
+    """For ANY corpus and merge budget: encoding a word concatenates back
+    to word+</w>, and total BPE tokens never exceed total characters+1
+    per word (merges only shrink)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.bpe import (
+        EOW,
+        encode_word,
+        learn_merges,
+    )
+
+    hist = [(w, 1) for w in sorted(set(words))]
+    merges = learn_merges(hist, n_merges=n_merges, min_pair_count=1)
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    for w in words:
+        toks = encode_word(w, ranks)
+        assert "".join(toks) == w + EOW
+        assert 1 <= len(toks) <= len(w) + 1
