@@ -41,15 +41,47 @@ MAX_ELLIPSIS_FRAC = 0.30
 MIN_STOPWORDS = 2
 STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
+# The published thresholds above, overridable per corpus (a crawl of
+# short-form or non-English text tunes these; both the Spark gate and
+# its SQL twin read the SAME resolved dict, so they can never drift).
+DEFAULT_THRESHOLDS = {
+    "min_tokens": MIN_TOKENS,
+    "max_tokens": MAX_TOKENS,
+    "min_word_len": MIN_WORD_LEN,
+    "max_word_len": MAX_WORD_LEN,
+    "min_alpha_frac": MIN_ALPHA_FRAC,
+    "max_symbol_ratio": MAX_SYMBOL_RATIO,
+    "max_bullet_frac": MAX_BULLET_FRAC,
+    "max_ellipsis_frac": MAX_ELLIPSIS_FRAC,
+    "min_stopwords": MIN_STOPWORDS,
+}
+
+
+def _resolve(thresholds: dict | None) -> dict:
+    bad = set(thresholds or ()) - set(DEFAULT_THRESHOLDS)
+    if bad:
+        raise ValueError(f"unknown Gopher thresholds: {sorted(bad)}")
+    return {**DEFAULT_THRESHOLDS, **(thresholds or {})}
+
 _ALPHA = "[A-Za-z]"
 _SYMBOL = r"#|\.\.\."
 _BULLET = r"^[-*\x{2022}]"
 _ELLIPSIS = r"\.\.\.$"
 
 
-def gopher_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+    thresholds: dict | None = None,
+) -> DataFrame:
     """Annotate each document with the Gopher statistics and the overall
-    ``pass_gopher`` verdict. Map-only; see module docstring."""
+    ``pass_gopher`` verdict. Map-only; see module docstring.
+    ``keep_cols`` pass through unchanged (so a streaming caller can gate
+    and keep payload columns in ONE projection — no stream-stream
+    join); ``thresholds`` overrides any DEFAULT_THRESHOLDS key."""
+    th = _resolve(thresholds)
     t = F.col(text_col)
     toks = F.filter(F.split(F.lower(F.trim(t)), WS), lambda w: w != "")
     lines = F.split(t, r"\n")
@@ -67,6 +99,7 @@ def gopher_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 
     base = fan_out(df).select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n_tokens.cast("long").alias("n_tokens"),
         F.when(n_tokens > 0, sum_len / n_tokens).otherwise(F.lit(0.0)).alias("mean_word_len"),
         F.when(n_tokens > 0, n_alpha / n_tokens).otherwise(F.lit(0.0)).alias("alpha_word_frac"),
@@ -78,21 +111,22 @@ def gopher_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         n_stop.cast("int").alias("n_stopwords"),
     )
     ok: Column = (
-        F.col("n_tokens").between(MIN_TOKENS, MAX_TOKENS)
-        & F.col("mean_word_len").between(MIN_WORD_LEN, MAX_WORD_LEN)
-        & (F.col("alpha_word_frac") >= MIN_ALPHA_FRAC)
-        & (F.col("symbol_ratio") <= MAX_SYMBOL_RATIO)
-        & (F.col("bullet_line_frac") <= MAX_BULLET_FRAC)
-        & (F.col("ellipsis_line_frac") <= MAX_ELLIPSIS_FRAC)
-        & (F.col("n_stopwords") >= MIN_STOPWORDS)
+        F.col("n_tokens").between(th["min_tokens"], th["max_tokens"])
+        & F.col("mean_word_len").between(th["min_word_len"], th["max_word_len"])
+        & (F.col("alpha_word_frac") >= th["min_alpha_frac"])
+        & (F.col("symbol_ratio") <= th["max_symbol_ratio"])
+        & (F.col("bullet_line_frac") <= th["max_bullet_frac"])
+        & (F.col("ellipsis_line_frac") <= th["max_ellipsis_frac"])
+        & (F.col("n_stopwords") >= th["min_stopwords"])
     )
     return base.withColumn("pass_gopher", ok)
 
 
 def gopher_quality_sql(table: str = "documents", text_col: str = "text",
-                       id_col: str = "doc_id") -> str:
+                       id_col: str = "doc_id", thresholds: dict | None = None) -> str:
     """DuckDB twin of :func:`gopher_quality`, generated from the same
     thresholds/patterns (identical integer counts + single divisions)."""
+    th = _resolve(thresholds)
     stops = ", ".join(f"'{s}'" for s in STOPWORDS)
     return f"""
     WITH s AS (SELECT {id_col},
@@ -125,12 +159,12 @@ def gopher_quality_sql(table: str = "documents", text_col: str = "text",
         n_stopwords
       FROM m)
     SELECT *,
-      (n_tokens BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
-       AND mean_word_len BETWEEN {MIN_WORD_LEN} AND {MAX_WORD_LEN}
-       AND alpha_word_frac >= {MIN_ALPHA_FRAC}
-       AND symbol_ratio <= {MAX_SYMBOL_RATIO}
-       AND bullet_line_frac <= {MAX_BULLET_FRAC}
-       AND ellipsis_line_frac <= {MAX_ELLIPSIS_FRAC}
-       AND n_stopwords >= {MIN_STOPWORDS}) AS pass_gopher
+      (n_tokens BETWEEN {th["min_tokens"]} AND {th["max_tokens"]}
+       AND mean_word_len BETWEEN {th["min_word_len"]} AND {th["max_word_len"]}
+       AND alpha_word_frac >= {th["min_alpha_frac"]}
+       AND symbol_ratio <= {th["max_symbol_ratio"]}
+       AND bullet_line_frac <= {th["max_bullet_frac"]}
+       AND ellipsis_line_frac <= {th["max_ellipsis_frac"]}
+       AND n_stopwords >= {th["min_stopwords"]}) AS pass_gopher
     FROM q
     """

@@ -15,6 +15,10 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     a no-op (the check is against the actual partition count, so no shuffle
     is added on a 100 TB multi-file scan).
     """
+    if df.isStreaming:
+        # partition probing needs .rdd (batch-only); micro-batch sizing is
+        # the source's job (maxFilesPerTrigger etc.), so pass through
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df

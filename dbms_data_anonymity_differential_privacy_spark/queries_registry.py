@@ -2605,10 +2605,17 @@ ORACLE_SQL["pipe_lm_buckets"] = ORACLE_SQL["pipe_lm_buckets"].replace(
 )
 
 
+# The synthetic corpus is word-salad with at most ONE distinct stopword
+# per doc, so the published min_stopwords=2 fails every row (verified).
+# The query tunes that one threshold so the verdict is data-dependent:
+# n_tokens (10-99) straddles the 50 floor AND stopword presence varies.
+_GOPHER_TUNING = {"min_stopwords": 1}
+
+
 def _gopher_sql() -> str:
     from dbms_data_anonymity_differential_privacy_spark.operators.quality import gopher_quality_sql
 
-    return gopher_quality_sql("documents")
+    return gopher_quality_sql("documents", thresholds=_GOPHER_TUNING)
 
 
 @query("x27_gopher_quality", _gopher_sql())
@@ -2616,13 +2623,12 @@ def x27_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X27 — the full Gopher/MassiveText shape gate (operators/quality.py):
     token bounds, mean word length, alpha-word fraction, symbol ratio,
     bullet/ellipsis line fractions, stopword presence — one map-only
-    projection, thresholds shared with the generated SQL twin. The
-    corpus' ~30-60-token docs straddle the 50-token floor, so the verdict
-    is data-dependent."""
+    projection, thresholds shared with the generated SQL twin (tuned per
+    _GOPHER_TUNING so the verdict varies on this corpus)."""
     from dbms_data_anonymity_differential_privacy_spark.operators.quality import gopher_quality
 
     docs = load_table(spark, sf_dir, "documents")
-    return gopher_quality(docs)
+    return gopher_quality(docs, thresholds=_GOPHER_TUNING)
 
 
 @query(

@@ -1489,3 +1489,60 @@ def test_incremental_admit_empty_batch(spark):
     )
     batch = corpus.limit(0)
     assert incremental_admit(batch, corpus).count() == 0
+
+
+def test_streaming_corpus_curation_matches_batch(spark, sf0001, tmp_path):
+    """The clean+Gopher curation projection (streaming/corpus.py) is
+    stateless map-only, so the streaming run over the same file must be
+    BYTE-IDENTICAL to the batch run — cleaned text, every statistic, and
+    the per-language rollup."""
+    import shutil
+
+    from dbms_data_anonymity_differential_privacy_spark.streaming.corpus import (
+        curate,
+        curate_stats,
+        documents_readstream,
+    )
+
+    tuned = {"min_stopwords": 1}  # corpus has <= 1 stopword/doc (see x27)
+    docs = load_table(spark, sf0001, "documents")
+    batch = {r["doc_id"]: r.asDict() for r in curate(docs, tuned).collect()}
+    batch_stats = {
+        r["lang"]: (r["n_docs"], r["total_tokens"]) for r in curate_stats(docs, tuned).collect()
+    }
+
+    stream_dir = tmp_path / "docs"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf0001}/documents.parquet", stream_dir / "part-000.parquet")
+    stream = documents_readstream(spark, str(stream_dir))
+    q = (
+        curate(stream, tuned)
+        .writeStream.format("memory")
+        .queryName("curate_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r.asDict() for r in spark.sql("SELECT * FROM curate_stream_test").collect()}
+    assert got == batch
+    # curated stream is a strict filter of the corpus with clean text
+    assert 0 < len(got) <= docs.count()
+    assert all(r["pass_gopher"] for r in got.values())
+
+    q2 = (
+        curate_stats(stream, tuned)
+        .writeStream.format("memory")
+        .queryName("curate_stats_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q2.awaitTermination(120)
+    got_stats = {
+        r["lang"]: (r["n_docs"], r["total_tokens"])
+        for r in spark.sql("SELECT * FROM curate_stats_test").collect()
+    }
+    assert got_stats == batch_stats
