@@ -2684,6 +2684,36 @@ def x28_incremental_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_admit(batch, corpus, n=3, max_overlap=0.5)
 
 
+def _curate_stats_sql() -> str:
+    from dbms_data_anonymity_differential_privacy_spark.operators.clean import clean_text_sql
+    from dbms_data_anonymity_differential_privacy_spark.operators.quality import gopher_quality_sql
+
+    gq = gopher_quality_sql("cleaned", thresholds=_GOPHER_TUNING)
+    return f"""
+    WITH cleaned AS (SELECT doc_id, lang, {clean_text_sql("text")} AS text
+                     FROM documents),
+    g AS ({gq})
+    SELECT cleaned.lang, COUNT(*) AS n_docs,
+           CAST(SUM(g.n_tokens) AS BIGINT) AS total_tokens
+    FROM g JOIN cleaned USING (doc_id)
+    WHERE g.pass_gopher
+    GROUP BY 1
+    """
+
+
+@query("x30_curate_stats", _curate_stats_sql())
+def x30_curate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X30 — the batch twin of the streaming corpus-curation rollup
+    (streaming/corpus.py curate_stats): clean -> tuned Gopher gate ->
+    per-language docs/token volume. The streaming flavor runs the SAME
+    projection (stream≡batch byte-identity pytest); this oracle row
+    checks the semantics end to end through both generated SQL twins."""
+    from dbms_data_anonymity_differential_privacy_spark.streaming.corpus import curate_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curate_stats(docs, thresholds=_GOPHER_TUNING)
+
+
 @query("x29_bpe_tokens")
 def x29_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X29 — real BPE tokenization (operators/bpe.py): distributed word
@@ -2748,7 +2778,9 @@ _WINDOW_R3 = [
     # --- every composite/extension component gets a fresh r3 row too ---
     "c01_k_anonymize_suppress",
     "c02_k_anonymity_audit",
-    "c05_reid_risk",
+    # c05 rotated out for x30 (r2-green; its telescoped risk algebra is
+    # computed inside both in-window metric pipes)
+    "x30_curate_stats",
     # c07/c08 rotated out for x26/pipe_lm_buckets (both r2-green; their
     # suppression-rate/NCP algebra is computed inside the in-window
     # pipe_naive_metrics and pipe_tcloseness_metrics rows)
