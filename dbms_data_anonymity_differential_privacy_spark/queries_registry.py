@@ -2734,15 +2734,16 @@ def x29_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green
 # but left 23 oracle-backed queries (r2 slots 51-73) with no driver-issued
 # signal. This round's window promotes exactly those 23, plus the one r2
-# red row (x09_json_props, oracle re-canonicalized this round) and the two
-# new r3 queries (x15_mondrian_exact, x04_cosine_pairs_topm); the other 24
-# slots keep one in-window representative per composite / extension
-# component. The 25 rotated-out queries ALL hold driver-green rows in
+# red row (x09_json_props, oracle re-canonicalized this round) and the
+# ELEVEN new r3 oracle-backed queries (x15_mondrian_exact,
+# x04_cosine_pairs_topm, x20-x28 ex-x29, pipe_lm_buckets, x30); the
+# remaining slots keep one in-window representative per composite /
+# extension component. EVERY rotated-out query holds a driver-green row in
 # CORRECTNESS_r02.json (the ledger tests/test_registry_window.py pins), and
-# each rotated-out P primitive stays exercised inside an in-window
-# composite (e.g. P6 threshold + P8 semi-join inside c01, P10-P16 inside
-# the metric pipes, P22 inside x19's LIMIT) — so the UNION of r2+r3 driver
-# rows covers every oracle-backed query with no component ever unchecked.
+# each rotated-out primitive/composite stays exercised inside an in-window
+# query (the per-swap comments below name the covering query) — so the
+# UNION of r2+r3 driver rows covers every oracle-backed query with no
+# component ever unchecked.
 # --------------------------------------------------------------------------
 _WINDOW_R3 = [
     # --- the 23 never-driver-checked oracle queries (r2 slots 51-73) ---

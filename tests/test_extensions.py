@@ -518,9 +518,12 @@ def test_multimodal_plumbing(spark, sf0001):
         assert r.n_bytes > 0
         assert len(r.feature) == 3
         assert r.feature[0] == float(r.n_bytes)
-    # lossy-codec decode stays an honest NotImplementedError
-    with pytest.raises(NotImplementedError):
+    # JPEG decodes for real now (test_multimodal_codecs); truncated bytes
+    # are a data error, and codec-less formats still refuse honestly
+    with pytest.raises(ValueError):
         decode_media(b"\xff\xd8\xff", "image/jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"RIFFxxxxWEBP", "image/webp")
 
 
 def test_ivf_topk_recall(spark, sf0001):

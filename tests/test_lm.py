@@ -62,3 +62,19 @@ def test_n_bigrams_is_token_count_minus_one(spark, sf001):
     )
     bad = joined.where(F.col("n_bigrams") != F.col("n_tokens") - 1).count()
     assert bad == 0
+
+
+def test_degenerate_corpora_yield_empty_not_errors(spark):
+    """Empty corpus / no-bigram corpus: every round-3 operator returns an
+    empty (or trivially-correct) relation instead of raising."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.bpe import bpe_train
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import incremental_admit
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    short = spark.createDataFrame([(1, "one")], "doc_id long, text string")
+    assert bigram_lm_scores(empty).count() == 0
+    assert bigram_lm_scores(short).count() == 0
+    assert bpe_train(empty) == []
+    # empty existing corpus: the whole batch is fresh and admitted
+    out = incremental_admit(short, empty).collect()
+    assert len(out) == 1 and out[0]["admitted"] is True
