@@ -65,6 +65,8 @@ HEADLINE = [
     "x27_gopher_quality",
     "x28_incremental_admit",
     "x29_bpe_tokens",
+    "x31_fuzzy_pairs",
+    "x32_linkage_audit",
 ]
 
 

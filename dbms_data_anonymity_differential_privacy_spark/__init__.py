@@ -96,6 +96,10 @@ from dbms_data_anonymity_differential_privacy_spark.operators.mixing import (
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.quality import gopher_quality
 from dbms_data_anonymity_differential_privacy_spark.operators.bpe import bpe_tokenize, bpe_train
+from dbms_data_anonymity_differential_privacy_spark.operators.linkage import (
+    fuzzy_pairs,
+    linkage_attack_audit,
+)
 from dbms_data_anonymity_differential_privacy_spark.operators.dedup import incremental_admit
 from dbms_data_anonymity_differential_privacy_spark.operators.utility import utility_accuracy
 from dbms_data_anonymity_differential_privacy_spark import pipelines
@@ -171,6 +175,8 @@ __all__ = [
     "incremental_admit",
     "bpe_train",
     "bpe_tokenize",
+    "fuzzy_pairs",
+    "linkage_attack_audit",
     "utility_accuracy",
     "pipelines",
     "write_release",

@@ -2714,6 +2714,58 @@ def x30_curate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_stats(docs, thresholds=_GOPHER_TUNING)
 
 
+def _fuzzy_sql() -> str:
+    from dbms_data_anonymity_differential_privacy_spark.operators.linkage import fuzzy_pairs_sql
+
+    return fuzzy_pairs_sql("customer", "c_name", "c_custkey", max_dist=1, block_prefix=15)
+
+
+@query("x31_fuzzy_pairs", _fuzzy_sql())
+def x31_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X31 — blocked fuzzy matching (operators/linkage.py): customer-name
+    pairs within levenshtein 1, candidates bounded by a 15-char-prefix +
+    length-band block (the standard ER blocking shape — never all-pairs).
+    levenshtein is a built-in with the identical unit-cost definition on
+    both engines, so the whole operator is JVM-side and oracle-exact."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.linkage import fuzzy_pairs
+
+    c = load_table(spark, sf_dir, "customer")
+    return fuzzy_pairs(c, "c_name", "c_custkey", max_dist=1, block_prefix=15)
+
+
+@query(
+    "x32_linkage_audit",
+    f"""
+    WITH {BINNED_CUSTOMER_CTE},
+    f AS (SELECT *, COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment, acctbal_bin)
+                 AS __cnt
+          FROM binned),
+    rel AS (SELECT c_nationkey, c_mktsegment, acctbal_bin FROM f WHERE __cnt >= 5),
+    cand AS (SELECT c_nationkey, c_mktsegment, acctbal_bin, COUNT(*) AS __cand
+             FROM binned GROUP BY 1, 2, 3)
+    SELECT COUNT(*) AS n_released,
+           CAST(SUM(CASE WHEN __cand = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_reidentified,
+           MIN(__cand) AS min_candidates,
+           ROUND(AVG(1.0 / __cand), 9) AS avg_risk
+    FROM rel JOIN cand USING (c_nationkey, c_mktsegment, acctbal_bin)
+    """,
+)
+def x32_linkage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X32 — Sweeney-style linkage-attack audit (operators/linkage.py):
+    link the k=5-anonymized customer release back to the FULL original
+    table as the worst-case auxiliary and report candidate counts. By
+    construction min_candidates >= 5 and n_reidentified = 0 — the
+    k-anonymity guarantee restated as an attack, checked end to end
+    through the whole anonymization path."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.linkage import (
+        linkage_attack_audit,
+    )
+
+    b = binned_customer(spark, sf_dir)
+    released = ka.k_anonymize_suppress(b, CUST_QI, 5)
+    return linkage_attack_audit(released, b, CUST_QI)
+
+
 @query("x29_bpe_tokens")
 def x29_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X29 — real BPE tokenization (operators/bpe.py): distributed word
@@ -2778,7 +2830,9 @@ _WINDOW_R3 = [
     # --- per-component representatives (all r2-green; kept in-window so
     # --- every composite/extension component gets a fresh r3 row too ---
     "c01_k_anonymize_suppress",
-    "c02_k_anonymity_audit",
+    # c02 rotated out for x31 (r2-green; the audit's class-size algebra is
+    # the same relation c01 and x32 drive in-window)
+    "x31_fuzzy_pairs",
     # c05 rotated out for x30 (r2-green; its telescoped risk algebra is
     # computed inside both in-window metric pipes)
     "x30_curate_stats",
@@ -2792,7 +2846,9 @@ _WINDOW_R3 = [
     "x27_gopher_quality",
     "x08_l_diversity",
     "x11_sessionize",
-    "x12_equal_freq_bin",
+    # x12 rotated out for x32 (r2-green; exact equal-frequency binning is
+    # the bucketing stage inside the in-window pipe_lm_buckets row)
+    "x32_linkage_audit",
     "x14_repetition",
     "x16_asof_join",
     "x17_session_errors",
