@@ -101,6 +101,12 @@ from dbms_data_anonymity_differential_privacy_spark.operators.linkage import (
     linkage_attack_audit,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.dedup import incremental_admit
+from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
+    bound_contribution,
+    dp_sum_user_level,
+)
+from dbms_data_anonymity_differential_privacy_spark.operators.metrics import k_map_audit
+from dbms_data_anonymity_differential_privacy_spark.operators.rollup import rollup_release
 from dbms_data_anonymity_differential_privacy_spark.operators.utility import utility_accuracy
 from dbms_data_anonymity_differential_privacy_spark import pipelines
 from dbms_data_anonymity_differential_privacy_spark.sources.writers import (
@@ -177,6 +183,10 @@ __all__ = [
     "bpe_tokenize",
     "fuzzy_pairs",
     "linkage_attack_audit",
+    "rollup_release",
+    "bound_contribution",
+    "dp_sum_user_level",
+    "k_map_audit",
     "utility_accuracy",
     "pipelines",
     "write_release",

@@ -794,3 +794,80 @@ def dp_above_threshold(
         .filter(F.col("__cum") - F.col("__above").cast("int") < F.lit(c))
         .select(*by, F.col("__above").alias("above"), "count_exact")
     )
+
+
+def bound_contribution(
+    df: DataFrame,
+    user_col: str,
+    max_rows: int,
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """X34 — cap every user's contribution at ``max_rows`` rows.
+
+    User-level DP over a fact table where one user owns many rows needs a
+    BOUNDED per-user sensitivity before any mechanism applies; the standard
+    move (Wilson et al., "Differentially Private SQL with Bounded User
+    Contribution", PoPETS 2020, §4) is to keep at most L rows per user and
+    scale noise by L. Selection is deterministic — rank by ``order_cols``
+    (which must be a total order per user, e.g. a unique key) — so the
+    release is reproducible across retries/partitionings, same requirement
+    as the hash-derived noise.
+
+    Physical shape: ONE shuffle on ``user_col`` (window row_number), then a
+    map-side filter. The window partition is per-user (bounded by that
+    user's row count), never global, so it scales to any number of users;
+    a hot user with millions of rows is exactly what the subsequent filter
+    truncates. At 100 TB this is the same shuffle the per-user aggregation
+    downstream would need anyway, and AQE coalesces the output partitions.
+    """
+    from pyspark.sql import Window
+
+    if max_rows < 1:
+        raise ValueError("max_rows must be >= 1")
+    if not order_cols:
+        raise ValueError("order_cols must define a deterministic per-user order")
+    w = Window.partitionBy(user_col).orderBy(*[F.col(c) for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.lit(max_rows))
+        .drop("__rn")
+    )
+
+
+def dp_sum_user_level(
+    df: DataFrame,
+    by: Sequence[str],
+    user_col: str,
+    value_col: str,
+    order_cols: Sequence[str],
+    epsilon: float,
+    lower: float,
+    upper: float,
+    max_rows: int,
+    seed: int = 42,
+    budget: "PrivacyBudget | None" = None,
+    release: str | None = None,
+) -> DataFrame:
+    """X34 — user-level DP group sums: per-row clipping to [lower, upper]
+    plus per-user contribution bounding to ``max_rows`` rows.
+
+    Removing one USER changes the sum by at most
+    ``sensitivity = max_rows * max(|lower|, |upper|)`` — the Laplace scale
+    protects whole users, not single rows (user-level adjacency; Wilson et
+    al. 2020 §3). Output: ``(*by, sum_exact, sum_dp)`` — ``sum_exact`` is
+    the deterministic pre-noise aggregate (oracle-checkable); a production
+    release drops it.
+    """
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    if lower >= upper:
+        raise ValueError("need lower < upper clipping bounds")
+    sens = max_rows * max(abs(lower), abs(upper))
+    scale = sens / epsilon
+    salt = _release_salt("usum", release, budget)
+    if budget is not None:
+        budget.spend(epsilon, f"dp_sum_user_level:{value_col}@L{max_rows}")
+    bounded = bound_contribution(df, user_col, max_rows, order_cols)
+    clipped = F.least(F.greatest(F.col(value_col), F.lit(lower)), F.lit(upper))
+    agg = bounded.groupBy(*by).agg(F.sum(clipped).alias("sum_exact"))
+    return agg.withColumn("sum_dp", F.col("sum_exact") + laplace_noise(by, scale, seed, salt))

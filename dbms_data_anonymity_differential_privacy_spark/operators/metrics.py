@@ -198,3 +198,42 @@ def resource_report(spark: SparkSession) -> DataFrame:
         "app_uptime_sec double, driver_peak_rss_mb double, default_parallelism int, "
         "executors int, host_cpus int",
     )
+
+
+def k_map_audit(
+    sample: DataFrame,
+    population: DataFrame,
+    qi: Sequence[str],
+    k: int,
+) -> DataFrame:
+    """X35 — k-map: re-identification risk of a released SAMPLE measured
+    against the POPULATION it was drawn from.
+
+    k-anonymity over-counts risk for samples: a record unique in the
+    sample may be common in the population an attacker actually searches.
+    k-map (El Emam & Dankar, JAMIA 2008; Sweeney's k-map model) instead
+    requires every released record's QI class to have >= k members in the
+    POPULATION table. Output: one row per QI class present in the sample —
+    ``(*qi, sample_count, population_count, at_risk)`` with ``at_risk =
+    population_count < k`` — so callers can both count violations and
+    semi-join the risky classes out of the release.
+
+    Physical shape: both sides collapse to class-frequency relations
+    BEFORE the join (map-side partial counts; the fact tables are never
+    joined row-to-row), and the sample-side class relation — the smaller
+    one by construction — broadcasts. At 100 TB the population scan is one
+    partial-aggregated pass and the join moves kilobytes.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pop = population.groupBy(*qi).agg(F.count(F.lit(1)).alias("population_count"))
+    smp = sample.groupBy(*qi).agg(F.count(F.lit(1)).alias("sample_count"))
+    return (
+        pop.join(F.broadcast(smp), on=list(qi), how="inner")
+        .select(
+            *qi,
+            "sample_count",
+            "population_count",
+            (F.col("population_count") < F.lit(k)).alias("at_risk"),
+        )
+    )

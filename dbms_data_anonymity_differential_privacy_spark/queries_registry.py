@@ -2782,6 +2782,129 @@ def x29_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X33 — hierarchical rollup release with small-cell suppression
+# (operators/rollup.py). region -> nation -> segment counts and exact
+# cent-sums at every level in ONE Expand + partial-agg pass; cells with
+# < k contributors suppressed. GROUPING() arithmetic is identical on both
+# engines, money is integer cents, so the whole multi-level relation
+# hash-checks.
+# --------------------------------------------------------------------------
+@query(
+    "x33_rollup_release",
+    """
+    WITH f AS (SELECT r_name, n_name, c_mktsegment,
+                      CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+               FROM customer
+               JOIN nation ON c_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey)
+    SELECT r_name, n_name, c_mktsegment,
+           CAST(GROUPING(r_name) * 4 + GROUPING(n_name) * 2
+                + GROUPING(c_mktsegment) AS INT) AS level,
+           COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM f
+    GROUP BY ROLLUP(r_name, n_name, c_mktsegment)
+    HAVING COUNT(*) >= 5
+    """,
+)
+def x33_rollup_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.rollup import rollup_release
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dim = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+    f = (
+        c.join(F.broadcast(dim), c.c_nationkey == dim.n_nationkey)
+        .withColumn("cents", F.round(F.col("c_acctbal") * 100).cast("bigint"))
+        .select("r_name", "n_name", "c_mktsegment", "cents")
+    )
+    return rollup_release(f, ["r_name", "n_name", "c_mktsegment"], k=5, cents_col="cents")
+
+
+# --------------------------------------------------------------------------
+# X34 — user-level DP with bounded contribution (operators/dp.py,
+# dp_sum_user_level / bound_contribution; Wilson et al., PoPETS 2020).
+# One customer owns many orders; protect USERS, not rows: keep <= L rows
+# per user (deterministic rank) and scale noise by L * clip. The exact
+# twin hashes the deterministic pre-noise core (same pattern as the
+# x01_*_exact family); the noisy release is rows-only by design.
+# --------------------------------------------------------------------------
+@query(
+    "x34_user_contrib",
+    """
+    WITH b AS (SELECT o_orderpriority, o_totalprice,
+                      ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+               FROM orders)
+    SELECT o_orderpriority,
+           ROUND(SUM(LEAST(GREATEST(o_totalprice, 0.0), 100000.0)), 6) AS sum_exact_r
+    FROM b WHERE rn <= 3 GROUP BY 1
+    """,
+)
+def x34_user_contrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-noise core of dp_sum_user_level: per-user contribution bounding
+    (L=3, ranked by o_orderkey) + per-row clipping + group sum."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_sum_user_level
+
+    o = load_table(spark, sf_dir, "orders")
+    out = dp_sum_user_level(
+        o, ["o_orderpriority"], "o_custkey", "o_totalprice", ["o_orderkey"],
+        epsilon=1.0, lower=0.0, upper=100000.0, max_rows=3,
+        release="x34_user_contrib",
+    )
+    return out.select("o_orderpriority", F.round("sum_exact", 6).alias("sum_exact_r"))
+
+
+@query("x34_dp_user_sum")
+def x34_dp_user_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X34 noisy release (rows-only: includes the Laplace draw, scale =
+    L * clip / eps = user-level sensitivity)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_sum_user_level
+
+    o = load_table(spark, sf_dir, "orders")
+    return dp_sum_user_level(
+        o, ["o_orderpriority"], "o_custkey", "o_totalprice", ["o_orderkey"],
+        epsilon=1.0, lower=0.0, upper=100000.0, max_rows=3,
+        release="x34_dp_user_sum",
+    )
+
+
+# --------------------------------------------------------------------------
+# X35 — k-map audit (operators/metrics.py k_map_audit): re-identification
+# risk of a released SAMPLE measured against the POPULATION, per El Emam &
+# Dankar. The sample is the engine's portable content-hash sample (same
+# md5 SQL twin as x10), so the whole audit is hash-checkable.
+# --------------------------------------------------------------------------
+@query(
+    "x35_kmap_audit",
+    None,  # SQL attached below — needs the md5 threshold constant
+)
+def x35_kmap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.metrics import k_map_audit
+    from dbms_data_anonymity_differential_privacy_spark.operators.sampling import hash_sample
+
+    c = load_table(spark, sf_dir, "customer")
+    smp = hash_sample(c, ["c_custkey"], 0.05, salt="x35")
+    return k_map_audit(smp, c, ["c_nationkey", "c_mktsegment"], k=10)
+
+
+ORACLE_SQL["x35_kmap_audit"] = f"""
+    WITH smp AS (SELECT c_nationkey, c_mktsegment FROM customer
+                 WHERE substr(md5(cast(c_custkey AS varchar) || '|x35'), 1, 8)
+                       < '{_threshold_hex(0.05)}'),
+    s AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS sample_count
+          FROM smp GROUP BY 1, 2),
+    p AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS population_count
+          FROM customer GROUP BY 1, 2)
+    SELECT c_nationkey, c_mktsegment, sample_count, population_count,
+           population_count < 10 AS at_risk
+    FROM p JOIN s USING (c_nationkey, c_mktsegment)
+    """
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green
 # but left 23 oracle-backed queries (r2 slots 51-73) with no driver-issued
@@ -2844,14 +2967,20 @@ _WINDOW_R3 = [
     # c09 rotated out for x27 (r2-green; its violation count is a filter
     # over the same EMD relation the in-window c04_class_emd hashes)
     "x27_gopher_quality",
-    "x08_l_diversity",
+    # x08 rotated out for x33 (r2-green; the grouped-distribution algebra
+    # l-diversity shares with t-closeness stays in-window via the c04 rows)
+    "x33_rollup_release",
     "x11_sessionize",
     # x12 rotated out for x32 (r2-green; exact equal-frequency binning is
     # the bucketing stage inside the in-window pipe_lm_buckets row)
     "x32_linkage_audit",
-    "x14_repetition",
+    # x14 rotated out for x34 (r2-green; its map-only fold shape is shared
+    # by the in-window x23/x27 text scans)
+    "x34_user_contrib",
     "x16_asof_join",
-    "x17_session_errors",
+    # x17 rotated out for x35 (r2-green; the session interval-join idiom
+    # keeps its in-window representative in x16)
+    "x35_kmap_audit",
     # x18 rotated out for x28 (r2-green; x28's shingle probe is the same
     # physical shape over a shuffled — not broadcast — membership join)
     "x28_incremental_admit",

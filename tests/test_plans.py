@@ -239,3 +239,32 @@ def test_incremental_admit_shuffles_hashes_not_strings(plans):
     p = plans["x28_incremental_admit"]
     assert re.search(r"Exchange hashpartitioning\(__s", p)
     assert "array_to_string" not in p
+
+
+def test_rollup_release_single_pass(plans):
+    """x33: ALL hierarchy levels come from ONE Expand + ONE partial-agg
+    shuffle; the dimension joins broadcast. A per-level groupBy+union
+    would show L scans/exchanges instead."""
+    p = plans["x33_rollup_release"]
+    assert len(re.findall(r"\bExpand\b", p)) == 1
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+    assert len(re.findall(r"BroadcastHashJoin", p)) == 2  # nation, region
+
+
+def test_kmap_joins_class_relations_not_rows(plans):
+    """x35: both sides collapse to class-frequency relations before the
+    join (2 partial-agg exchanges), and the sample-side classes broadcast —
+    fact rows are never joined row-to-row."""
+    p = plans["x35_kmap_audit"]
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 2
+    assert "BroadcastHashJoin" in p
+
+
+def test_bound_contribution_shuffles_users_once(spark, sf001):
+    """x34's pre-noise core: one hash exchange on the user key feeds BOTH
+    the row_number bounding window and (via partial aggs) the group sum —
+    no second fact shuffle."""
+    p = plan_of(qr.QUERIES["x34_user_contrib"](spark, sf001))
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 2  # user window + group agg
+    assert "RunningWindowFunction" in p or "Window" in p
+    assert "BatchEvalPython" not in p
