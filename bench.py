@@ -67,6 +67,10 @@ HEADLINE = [
     "x29_bpe_tokens",
     "x31_fuzzy_pairs",
     "x32_linkage_audit",
+    "x33_rollup_release",
+    "x34_user_contrib",
+    "x35_kmap_audit",
+    "x36_dp_synthesize",
 ]
 
 

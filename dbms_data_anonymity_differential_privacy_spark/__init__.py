@@ -98,6 +98,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.quality import gop
 from dbms_data_anonymity_differential_privacy_spark.operators.bpe import bpe_tokenize, bpe_train
 from dbms_data_anonymity_differential_privacy_spark.operators.linkage import (
     fuzzy_pairs,
+    fuzzy_pairs_fastss,
     linkage_attack_audit,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.dedup import incremental_admit
@@ -107,6 +108,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.metrics import k_map_audit
 from dbms_data_anonymity_differential_privacy_spark.operators.rollup import rollup_release
+from dbms_data_anonymity_differential_privacy_spark.operators.synth import dp_marginals, dp_synthesize
 from dbms_data_anonymity_differential_privacy_spark.operators.utility import utility_accuracy
 from dbms_data_anonymity_differential_privacy_spark import pipelines
 from dbms_data_anonymity_differential_privacy_spark.sources.writers import (
@@ -182,11 +184,14 @@ __all__ = [
     "bpe_train",
     "bpe_tokenize",
     "fuzzy_pairs",
+    "fuzzy_pairs_fastss",
     "linkage_attack_audit",
     "rollup_release",
     "bound_contribution",
     "dp_sum_user_level",
     "k_map_audit",
+    "dp_marginals",
+    "dp_synthesize",
     "utility_accuracy",
     "pipelines",
     "write_release",

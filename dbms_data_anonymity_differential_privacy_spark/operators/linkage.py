@@ -77,6 +77,54 @@ def fuzzy_pairs(
     )
 
 
+def fuzzy_pairs_fastss(df: DataFrame, col: str, id_col: str) -> DataFrame:
+    """Exact ``levenshtein <= 1`` duplicate pairs via FastSS deletion
+    neighborhoods (Bocek et al., U. Zurich TR 2007) — the scale path that
+    replaces per-block quadratic scans.
+
+    Two strings are within edit distance 1 **iff** their deletion
+    neighborhoods ``{s} ∪ {s minus one char}`` intersect (sharing a
+    variant can also mean distance 2 — e.g. "ab"/"ba" — so candidates are
+    verified with one levenshtein each). Unlike prefix blocking this has
+    FULL recall: no near-pair can disagree only inside a blocking key.
+
+    Physical shape (the engine's near-dup idiom, `dedup.py`): each row
+    explodes to ``len+1`` 8-byte variant HASHES — strings never shuffle —
+    candidates come from a self-equi-join on the hash, are deduped as id
+    pairs, and re-attach their values for verification. Cost is
+    candidate-bound (near-duplicate mass), not block-size-bound: a
+    million rows sharing a 15-char prefix cost nothing unless they
+    actually collide on a variant. Hash collisions only ever ADD
+    candidates, which verification then rejects.
+    """
+    s = df.select(F.col(id_col).alias("id"), F.col(col).alias("v"))
+    # variants: i in [0, len) deletes char i+1; i = len yields v itself
+    ex = s.select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(v)), "
+                "i -> xxhash64(concat(substring(v, 1, i), "
+                "substring(v, i + 2, 2147483647))))"
+            )
+        ).alias("__h"),
+    )
+    cand = (
+        ex.alias("a")
+        .join(ex.alias("b"), "__h")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cand.join(s.select(F.col("id").alias("id_a"), F.col("v").alias("__va")), "id_a")
+        .join(s.select(F.col("id").alias("id_b"), F.col("v").alias("__vb")), "id_b")
+        .withColumn("dist", F.levenshtein(F.col("__va"), F.col("__vb")))
+        .where(F.col("dist") <= F.lit(1))
+        .select("id_a", "id_b", "dist")
+    )
+
+
 def fuzzy_pairs_sql(
     table: str,
     col: str,

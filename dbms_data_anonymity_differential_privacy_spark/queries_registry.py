@@ -2714,23 +2714,32 @@ def x30_curate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_stats(docs, thresholds=_GOPHER_TUNING)
 
 
-def _fuzzy_sql() -> str:
-    from dbms_data_anonymity_differential_privacy_spark.operators.linkage import fuzzy_pairs_sql
-
-    return fuzzy_pairs_sql("customer", "c_name", "c_custkey", max_dist=1, block_prefix=15)
-
-
-@query("x31_fuzzy_pairs", _fuzzy_sql())
+@query(
+    "x31_fuzzy_pairs",
+    """
+    WITH s AS (SELECT c_custkey AS id, c_name AS v FROM customer)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.v, b.v) AS INT) AS dist
+    FROM s a JOIN s b ON a.id < b.id
+    WHERE levenshtein(a.v, b.v) <= 1
+    """,
+)
 def x31_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X31 — blocked fuzzy matching (operators/linkage.py): customer-name
-    pairs within levenshtein 1, candidates bounded by a 15-char-prefix +
-    length-band block (the standard ER blocking shape — never all-pairs).
-    levenshtein is a built-in with the identical unit-cost definition on
-    both engines, so the whole operator is JVM-side and oracle-exact."""
-    from dbms_data_anonymity_differential_privacy_spark.operators.linkage import fuzzy_pairs
+    """X31 — fuzzy matching via FastSS deletion neighborhoods
+    (operators/linkage.py fuzzy_pairs_fastss): ALL customer-name pairs
+    within levenshtein 1, exact (full recall — the r2 prefix-blocked
+    variant missed pairs disagreeing inside the block key AND went
+    quadratic per block on this corpus's shared-prefix names: 22 s at
+    sf0.1 vs ~1 s for the hash-join shape). The DuckDB twin verifies
+    against the brute-force all-pairs definition, which is feasible at
+    oracle scale (sf0.01) and makes the blocked-recall caveat vanish.
+    Both engines share the identical unit-cost built-in levenshtein."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.linkage import (
+        fuzzy_pairs_fastss,
+    )
 
     c = load_table(spark, sf_dir, "customer")
-    return fuzzy_pairs(c, "c_name", "c_custkey", max_dist=1, block_prefix=15)
+    return fuzzy_pairs_fastss(c, "c_name", "c_custkey")
 
 
 @query(
@@ -2902,6 +2911,28 @@ ORACLE_SQL["x35_kmap_audit"] = f"""
            population_count < 10 AS at_risk
     FROM p JOIN s USING (c_nationkey, c_mktsegment)
     """
+
+
+# --------------------------------------------------------------------------
+# X36 — DP synthetic data generation (operators/synth.py): measure noisy
+# marginals over PUBLIC domains in one pass, generate deterministic
+# synthetic rows map-only (select–measure–generate; MWEM/PrivBayes line).
+# Rows-only by nature (noise + sampling); invariants in test_synth.py.
+# --------------------------------------------------------------------------
+@query("x36_dp_synthesize")
+def x36_dp_synthesize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.synth import dp_synthesize
+
+    b = binned_customer(spark, sf_dir).select("c_mktsegment", "acctbal_bin")
+    domains = {
+        # both domains are public: TPC-H's five segments, and the binning
+        # config (5 equal-width bins) chosen by the caller
+        "c_mktsegment": ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"],
+        "acctbal_bin": [str(i) for i in range(5)],
+    }
+    return dp_synthesize(
+        spark, b, domains, epsilon=1.0, n_out=1000, release="x36_dp_synthesize"
+    )
 
 
 # --------------------------------------------------------------------------

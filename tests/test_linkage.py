@@ -7,6 +7,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.kanonymity import 
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.linkage import (
     fuzzy_pairs,
+    fuzzy_pairs_fastss,
     linkage_attack_audit,
 )
 
@@ -74,3 +75,56 @@ def test_linkage_audit_no_match_rows_carry_zero_risk(spark):
     assert r["n_released"] == 2
     assert r["n_reidentified"] == 1  # 'a' links to exactly one aux row
     assert r["avg_risk"] == 0.5  # (1/1 + 0)/2
+
+
+def test_fastss_matches_brute_force_and_beats_blocking(spark):
+    """FastSS is EXACT for dist <= 1: equals brute force on a corpus with
+    substitutions, inserts, deletes, exact dups, AND a pair that differs
+    in the blocking prefix (which fuzzy_pairs' prefix blocking misses)."""
+    from itertools import combinations
+
+    names = [
+        (1, "jonathan smith"),
+        (2, "jonathan smyth"),   # substitution
+        (3, "jonathan smiths"),  # insertion
+        (4, "jonathan smit"),    # deletion
+        (5, "jonathan smith"),   # exact duplicate (dist 0)
+        (6, "ronathan smith"),   # first-char substitution (cross-prefix)
+        (7, "maria garcia"),
+        (8, "nothing alike"),
+    ]
+    df = spark.createDataFrame(names, "id long, name string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_pairs_fastss(df, "name", "id").collect()
+    }
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[-1]
+
+    want = {
+        (i, j): lev(a, b)
+        for (i, a), (j, b) in combinations(names, 2)
+        if lev(a, b) <= 1
+    }
+    assert got == want
+    # the cross-prefix pair (1, 6) is present — full recall
+    assert (1, 6) in got
+    # ... and prefix blocking would have missed it
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_pairs(df, "name", "id", max_dist=1, block_prefix=4).collect()
+    }
+    assert (1, 6) not in blocked
+
+
+def test_fastss_shared_variant_at_distance_two_is_rejected(spark):
+    """'ab' and 'ba' share deletion variants {'a','b'} but are distance 2 —
+    the verification step must reject them."""
+    df = spark.createDataFrame([(1, "ab"), (2, "ba")], "id long, name string")
+    assert fuzzy_pairs_fastss(df, "name", "id").collect() == []
