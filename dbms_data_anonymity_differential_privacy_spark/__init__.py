@@ -108,7 +108,11 @@ from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.metrics import k_map_audit
 from dbms_data_anonymity_differential_privacy_spark.operators.rollup import rollup_release
-from dbms_data_anonymity_differential_privacy_spark.operators.synth import dp_marginals, dp_synthesize
+from dbms_data_anonymity_differential_privacy_spark.operators.synth import (
+    dp_marginals,
+    dp_synthesize,
+    dp_synthesize_chain,
+)
 from dbms_data_anonymity_differential_privacy_spark.operators.utility import utility_accuracy
 from dbms_data_anonymity_differential_privacy_spark import pipelines
 from dbms_data_anonymity_differential_privacy_spark.sources.writers import (
@@ -192,6 +196,7 @@ __all__ = [
     "k_map_audit",
     "dp_marginals",
     "dp_synthesize",
+    "dp_synthesize_chain",
     "utility_accuracy",
     "pipelines",
     "write_release",

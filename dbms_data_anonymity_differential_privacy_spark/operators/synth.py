@@ -185,3 +185,138 @@ def dp_synthesize(
         expr = tail if chain is None else chain.otherwise(tail)
         out = out.withColumn(c, expr)
     return out.select(*domains)
+
+
+def dp_synthesize_chain(
+    spark: SparkSession,
+    df: DataFrame,
+    chain: Sequence[str],
+    domains: Mapping[str, Sequence[str]],
+    epsilon: float,
+    n_out: int,
+    seed: int = 42,
+    budget: "PrivacyBudget | None" = None,
+    release: str | None = None,
+) -> DataFrame:
+    """Bayes-chain synthesis: ``P(c1) * P(c2|c1) * ... * P(ck|c(k-1))`` —
+    the first dependency rung of the PrivBayes ladder (Zhang et al.,
+    SIGMOD 2014, with a fixed chain in place of the learned network; the
+    network-structure search is itself privacy-charged in the paper and
+    out of scope here).
+
+    MEASURE: one noisy 2-way marginal per adjacent pair, all computed in
+    ONE pass over the fact table (exploded (pair-name, value-pair) rows,
+    same shape as :func:`dp_marginals`), budget split evenly across the
+    k-1 pair measurements (each row contributes once to each, sequential
+    composition). The root's 1-way marginal comes free as a post-
+    processing sum over its first pair — no extra budget.
+
+    GENERATE: row i's root value inverse-CDFs its marginal; each child
+    inverse-CDFs the conditional row of its sampled parent (nested
+    when-chain keyed on the parent value — bounded by the pairwise
+    domain-product cap). Map-only, deterministic, zero shuffles, exactly
+    as :func:`dp_synthesize`.
+    """
+    if len(chain) < 2:
+        raise ValueError("chain needs at least two columns; use dp_synthesize otherwise")
+    if len(set(chain)) != len(chain):
+        raise ValueError("chain must not repeat columns")
+    for c in chain:
+        if c not in domains:
+            raise ValueError(f"chain column {c!r} missing from domains")
+    for a, b in zip(chain, chain[1:]):
+        if len(domains[a]) * len(domains[b]) > MAX_DOMAIN * 8:
+            raise ValueError(
+                f"pair ({a!r}, {b!r}) domain product exceeds {MAX_DOMAIN * 8}; bin first"
+            )
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    if n_out < 1:
+        raise ValueError("n_out must be >= 1")
+    pairs = list(zip(chain, chain[1:]))
+    eps_pair = epsilon / len(pairs)
+    salt = _release_salt("chain", release, budget)
+    if budget is not None:
+        budget.spend(epsilon, f"dp_synthesize_chain:{'->'.join(chain)}")
+
+    # ONE pass: every adjacent pair's (value_a, value_b) cell per row.
+    exploded = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"{a}->{b}").alias("pair"),
+                        F.col(a).cast("string").alias("va"),
+                        F.col(b).cast("string").alias("vb"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("p")
+    ).select("p.pair", "p.va", "p.vb")
+    spine = spark.createDataFrame(
+        [
+            (f"{a}->{b}", str(x), str(y))
+            for a, b in pairs
+            for x in domains[a]
+            for y in domains[b]
+        ],
+        "pair string, va string, vb string",
+    )
+    counts = exploded.join(F.broadcast(spine), ["pair", "va", "vb"], "left_semi").groupBy(
+        "pair", "va", "vb"
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    full = spine.join(counts, ["pair", "va", "vb"], "left").select(
+        "pair", "va", "vb", F.coalesce(F.col("__c"), F.lit(0)).alias("count_exact")
+    )
+    noisy = full.withColumn(
+        "count_dp",
+        F.col("count_exact")
+        + laplace_noise(["pair", "va", "vb"], 1.0 / eps_pair, seed, salt),
+    )
+    rows = noisy.select("pair", "va", "vb", "count_dp").collect()
+    joint: dict[str, dict[tuple[str, str], float]] = {f"{a}->{b}": {} for a, b in pairs}
+    for r in rows:
+        joint[r["pair"]][(r["va"], r["vb"])] = max(r["count_dp"], 0.0)
+
+    gen_salt = f"synthchain:{release if release is not None else 'ledger'}"
+
+    def _cdf_expr(weights: Sequence[float], values: Sequence[str], u) -> "F.Column":
+        total = sum(weights)
+        if total <= 0.0:
+            weights, total = [1.0] * len(values), float(len(values))
+        acc, branches = 0.0, []
+        for v, w in zip(values, weights):
+            acc += w / total
+            branches.append((acc, v))
+        chain_expr = None
+        for bound, v in branches[:-1]:
+            cond = u < F.lit(bound)
+            chain_expr = (
+                F.when(cond, F.lit(v)) if chain_expr is None else chain_expr.when(cond, F.lit(v))
+            )
+        tail = F.lit(branches[-1][1])
+        return tail if chain_expr is None else chain_expr.otherwise(tail)
+
+    out = spark.range(n_out).select(F.col("id").alias("__id"))
+    root, first_child = pairs[0]
+    first = joint[f"{root}->{first_child}"]
+    root_dom = [str(v) for v in domains[root]]
+    # root marginal = row sums of the first pair table (post-processing)
+    root_w = [sum(first[(x, str(y))] for y in domains[first_child]) for x in root_dom]
+    u_root = _uniform_from_key(["__id"], seed, f"{gen_salt}:{root}")
+    out = out.withColumn(root, _cdf_expr(root_w, root_dom, u_root))
+    for a, b in pairs:
+        tbl = joint[f"{a}->{b}"]
+        b_dom = [str(v) for v in domains[b]]
+        u = _uniform_from_key(["__id"], seed, f"{gen_salt}:{b}")
+        cond_expr = None
+        for x in [str(v) for v in domains[a]]:
+            w = [tbl[(x, y)] for y in b_dom]
+            branch = _cdf_expr(w, b_dom, u)
+            cond = F.col(a) == F.lit(x)
+            cond_expr = (
+                F.when(cond, branch) if cond_expr is None else cond_expr.when(cond, branch)
+            )
+        out = out.withColumn(b, cond_expr)
+    return out.select(*chain)

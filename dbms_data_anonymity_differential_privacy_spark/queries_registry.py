@@ -2935,6 +2935,25 @@ def x36_dp_synthesize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("x36_dp_synthesize_chain")
+def x36_dp_synthesize_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X36 — Bayes-chain synthesis (PrivBayes-style fixed chain): the
+    segment->bin dependency is measured as one noisy 2-way marginal and
+    preserved in the generated rows (rows-only; correlation-preservation
+    vs the independent model pinned in test_synth.py)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.synth import dp_synthesize_chain
+
+    b = binned_customer(spark, sf_dir).select("c_mktsegment", "acctbal_bin")
+    domains = {
+        "c_mktsegment": ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"],
+        "acctbal_bin": [str(i) for i in range(5)],
+    }
+    return dp_synthesize_chain(
+        spark, b, ["c_mktsegment", "acctbal_bin"], domains,
+        epsilon=1.0, n_out=1000, release="x36_dp_synthesize_chain",
+    )
+
+
 # --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green

@@ -119,3 +119,62 @@ def test_synthesize_single_value_domain(spark, priv):
         spark, priv, {"color": ["onlyval"]}, epsilon=1.0, n_out=5, release="s4"
     )
     assert {r.color for r in out.collect()} == {"onlyval"}
+
+
+def test_chain_synthesis_preserves_correlation(spark):
+    """Perfectly correlated columns: independent-marginal synthesis breaks
+    the dependency, the Bayes-chain model keeps it."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.synth import dp_synthesize_chain
+
+    rows = [("red", "S")] * 50 + [("green", "L")] * 50
+    df = spark.createDataFrame(rows, "color string, size string")
+    doms = {"color": ["red", "green"], "size": ["S", "L"]}
+    out = dp_synthesize_chain(
+        spark, df, ["color", "size"], doms, epsilon=1e6, n_out=2000, release="c1"
+    )
+    pairs = {(r.color, r.size): r.n for r in out.groupBy("color", "size").agg(F.count("*").alias("n")).collect()}
+    # the off-diagonal cells (red,L)/(green,S) should be (near) absent
+    assert pairs.get(("red", "L"), 0) + pairs.get(("green", "S"), 0) < 2000 * 0.02
+    # and the diagonal split ~50/50
+    assert pairs[("red", "S")] / 2000 == pytest.approx(0.5, abs=0.05)
+    # independent model on the same data scatters ~25% into each cell
+    ind = dp_synthesize(spark, df, doms, epsilon=1e6, n_out=2000, release="c2")
+    ip = {(r.color, r.size): r.n for r in ind.groupBy("color", "size").agg(F.count("*").alias("n")).collect()}
+    assert ip.get(("red", "L"), 0) / 2000 == pytest.approx(0.25, abs=0.05)
+
+
+def test_chain_synthesis_deterministic_and_budget(spark, priv):
+    from dbms_data_anonymity_differential_privacy_spark.operators.synth import dp_synthesize_chain
+
+    a = dp_synthesize_chain(
+        spark, priv, ["color", "size"], DOMAINS, epsilon=2.0, n_out=100, release="c3"
+    )
+    b = dp_synthesize_chain(
+        spark, priv, ["color", "size"], DOMAINS, epsilon=2.0, n_out=100, release="c3"
+    )
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+    assert a.columns == ["color", "size"]
+    budget = PrivacyBudget(1.0)
+    dp_synthesize_chain(
+        spark, priv, ["color", "size"], DOMAINS, epsilon=0.9, n_out=10, budget=budget
+    )
+    assert budget.spent == pytest.approx(0.9)
+    with pytest.raises(BudgetExceededError):
+        dp_synthesize_chain(
+            spark, priv, ["color", "size"], DOMAINS, epsilon=0.9, n_out=10, budget=budget
+        )
+
+
+def test_chain_synthesis_validates(spark, priv):
+    from dbms_data_anonymity_differential_privacy_spark.operators.synth import dp_synthesize_chain
+
+    with pytest.raises(ValueError):
+        dp_synthesize_chain(spark, priv, ["color"], DOMAINS, epsilon=1.0, n_out=10, release="v1")
+    with pytest.raises(ValueError):
+        dp_synthesize_chain(
+            spark, priv, ["color", "color"], DOMAINS, epsilon=1.0, n_out=10, release="v2"
+        )
+    with pytest.raises(ValueError):
+        dp_synthesize_chain(
+            spark, priv, ["color", "missing"], DOMAINS, epsilon=1.0, n_out=10, release="v3"
+        )
