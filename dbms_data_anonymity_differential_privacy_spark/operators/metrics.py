@@ -220,20 +220,25 @@ def k_map_audit(
 
     Physical shape: both sides collapse to class-frequency relations
     BEFORE the join (map-side partial counts; the fact tables are never
-    joined row-to-row), and the sample-side class relation — the smaller
-    one by construction — broadcasts. At 100 TB the population scan is one
-    partial-aggregated pass and the join moves kilobytes.
+    joined row-to-row); the population class relation — bounded by the QI
+    domain product, kilobytes for the coarse QIs a k-map audit uses —
+    broadcasts as the build side of the left join. At 100 TB both scans
+    are one partial-aggregated pass each and the join moves kilobytes.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
     pop = population.groupBy(*qi).agg(F.count(F.lit(1)).alias("population_count"))
     smp = sample.groupBy(*qi).agg(F.count(F.lit(1)).alias("sample_count"))
+    # LEFT join from the released side: a sample class ABSENT from the
+    # population (possible when auditing a generalized release against an
+    # external population table) is maximally risky, not silently dropped —
+    # it reports population_count = 0 and at_risk = true.
     return (
-        pop.join(F.broadcast(smp), on=list(qi), how="inner")
+        smp.join(F.broadcast(pop), on=list(qi), how="left")
         .select(
             *qi,
             "sample_count",
-            "population_count",
-            (F.col("population_count") < F.lit(k)).alias("at_risk"),
+            F.coalesce(F.col("population_count"), F.lit(0)).alias("population_count"),
+            (F.coalesce(F.col("population_count"), F.lit(0)) < F.lit(k)).alias("at_risk"),
         )
     )

@@ -2907,9 +2907,10 @@ ORACLE_SQL["x35_kmap_audit"] = f"""
           FROM smp GROUP BY 1, 2),
     p AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS population_count
           FROM customer GROUP BY 1, 2)
-    SELECT c_nationkey, c_mktsegment, sample_count, population_count,
-           population_count < 10 AS at_risk
-    FROM p JOIN s USING (c_nationkey, c_mktsegment)
+    SELECT c_nationkey, c_mktsegment, sample_count,
+           COALESCE(population_count, 0) AS population_count,
+           COALESCE(population_count, 0) < 10 AS at_risk
+    FROM s LEFT JOIN p USING (c_nationkey, c_mktsegment)
     """
 
 

@@ -143,13 +143,18 @@ def test_k_map_audit_flags_population_rare_classes(spark):
         ("c", i) for i in range(9)
     ]
     pop = spark.createDataFrame(pop_rows, "qi string, rid long")
-    smp = spark.createDataFrame([("a", 0), ("a", 1), ("b", 0)], "qi string, rid long")
+    smp = spark.createDataFrame(
+        [("a", 0), ("a", 1), ("b", 0), ("zz", 0)], "qi string, rid long"
+    )
     out = {t.qi: t for t in k_map_audit(smp, pop, ["qi"], k=5).collect()}
     # class c: in population only, not released -> absent from the audit
-    assert set(out) == {"a", "b"}
+    assert set(out) == {"a", "b", "zz"}
     assert (out["a"].sample_count, out["a"].population_count, out["a"].at_risk) == (2, 20, False)
     # class b: common-looking in the sample but only 3 population members
     assert (out["b"].sample_count, out["b"].population_count, out["b"].at_risk) == (1, 3, True)
+    # class zz: released but with NO population candidates — maximally
+    # risky, must not be silently dropped by the join
+    assert (out["zz"].sample_count, out["zz"].population_count, out["zz"].at_risk) == (1, 0, True)
 
 
 def test_k_map_audit_validates_k(spark):
