@@ -234,3 +234,74 @@ def test_bpe_encoding_partitions_the_word(spark, words, n_merges):
         toks = encode_word(w, ranks)
         assert "".join(toks) == w + EOW
         assert 1 <= len(toks) <= len(w) + 1
+
+
+@given(
+    names=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=6), min_size=1, max_size=12
+    )
+)
+@settings(**SETTINGS)
+def test_fastss_equals_brute_force_on_arbitrary_strings(spark, names):
+    """FastSS candidate generation + verification returns EXACTLY the
+    lev<=1 pairs on arbitrary (tiny-alphabet, collision-heavy) corpora —
+    including empty strings and exact duplicates."""
+    from itertools import combinations
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.linkage import fuzzy_pairs_fastss
+
+    rows = list(enumerate(names))
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in fuzzy_pairs_fastss(df, "name", "id").collect()
+    }
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[-1]
+
+    want = {
+        (i, j): lev(a, b)
+        for (i, a), (j, b) in combinations(rows, 2)
+        if lev(a, b) <= 1
+    }
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from("pqr"), st.sampled_from("xyz"), st.integers(0, 999)),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.integers(1, 4),
+)
+@settings(**SETTINGS)
+def test_rollup_release_invariants(spark, rows, k):
+    """Every released cell has >= k contributors; within each level the
+    released cent totals are a subset-sum of the grand total; leaf cells
+    (level 0) match a plain groupBy."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.rollup import rollup_release
+
+    df = spark.createDataFrame(rows, "a string, b string, cents long")
+    out = rollup_release(df, ["a", "b"], k=k, cents_col="cents").collect()
+    assert all(t.n_rows >= k for t in out)
+    import collections
+
+    leaf_want = collections.Counter()
+    cent_want = collections.Counter()
+    for a, b, c in rows:
+        leaf_want[(a, b)] += 1
+        cent_want[(a, b)] += c
+    for t in out:
+        if t.level == 0:
+            assert t.n_rows == leaf_want[(t.a, t.b)]
+            assert t.sum_cents == cent_want[(t.a, t.b)]
+        elif t.level == 3:  # grand total
+            assert t.n_rows == len(rows)
+            assert t.sum_cents == sum(c for _, _, c in rows)
