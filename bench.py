@@ -71,6 +71,8 @@ HEADLINE = [
     "x34_user_contrib",
     "x35_kmap_audit",
     "x36_dp_synthesize",
+    "x37_pseudonymize",
+    "x38_vgh",
 ]
 
 

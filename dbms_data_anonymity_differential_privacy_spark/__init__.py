@@ -108,6 +108,11 @@ from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.metrics import k_map_audit
 from dbms_data_anonymity_differential_privacy_spark.operators.rollup import rollup_release
+from dbms_data_anonymity_differential_privacy_spark.operators.pseudonym import pseudonymize
+from dbms_data_anonymity_differential_privacy_spark.operators.generalize import (
+    apply_vgh,
+    min_level_for_k,
+)
 from dbms_data_anonymity_differential_privacy_spark.operators.synth import (
     dp_marginals,
     dp_synthesize,
@@ -197,6 +202,9 @@ __all__ = [
     "dp_marginals",
     "dp_synthesize",
     "dp_synthesize_chain",
+    "pseudonymize",
+    "apply_vgh",
+    "min_level_for_k",
     "utility_accuracy",
     "pipelines",
     "write_release",

@@ -2956,6 +2956,83 @@ def x36_dp_synthesize_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X37 — keyed pseudonymization (operators/pseudonym.py): deterministic
+# one-way tokens, same two built-ins on both engines -> bit-exact oracle.
+# --------------------------------------------------------------------------
+@query(
+    "x37_pseudonymize",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_name IS NULL THEN NULL ELSE
+                substr(sha256('x37-secret' || '|' || CAST(c_name AS VARCHAR)), 1, 16)
+           END AS c_name,
+           c_nationkey
+    FROM customer
+    """,
+)
+def x37_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.pseudonym import pseudonymize
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    return pseudonymize(c, ["c_name"], secret="x37-secret")
+
+
+# --------------------------------------------------------------------------
+# X38 — value generalization hierarchy (operators/generalize.py): full-
+# domain generalization per Samarati/Sweeney; broadcast map join, never a
+# fact shuffle. The fixed-level application is oracle-exact; the minimal-
+# level search is a ~height-step lattice walk (rows-only).
+# --------------------------------------------------------------------------
+_X38_VGH = {
+    "AUTOMOBILE": ["INDUSTRIAL", "*"],
+    "MACHINERY": ["INDUSTRIAL", "*"],
+    "BUILDING": ["HOME", "*"],
+    "FURNITURE": ["HOME", "*"],
+    "HOUSEHOLD": ["HOME", "*"],
+}
+
+
+@query(
+    "x38_vgh",
+    """
+    SELECT CASE
+             WHEN c_mktsegment IN ('AUTOMOBILE', 'MACHINERY') THEN 'INDUSTRIAL'
+             WHEN c_mktsegment IN ('BUILDING', 'FURNITURE', 'HOUSEHOLD') THEN 'HOME'
+             ELSE '*'
+           END AS c_mktsegment,
+           COUNT(*) AS n_rows
+    FROM customer GROUP BY 1
+    """,
+)
+def x38_vgh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.generalize import apply_vgh
+
+    c = load_table(spark, sf_dir, "customer")
+    g = apply_vgh(c, "c_mktsegment", _X38_VGH, level=1)
+    return g.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query("x38_vgh_min_level")
+def x38_vgh_min_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X38 — Samarati minimal-level search (rows-only: the lattice walk
+    collects one scalar per level). Reports the chosen level and the
+    resulting minimum class size over the (nationkey, segment) QI."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.generalize import (
+        min_level_for_k,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    qi = ["c_nationkey", "c_mktsegment"]
+    level, g = min_level_for_k(c, qi, "c_mktsegment", _X38_VGH, k=25)
+    sizes = g.groupBy(*qi).agg(F.count(F.lit(1)).alias("n"))
+    return sizes.agg(
+        F.lit(level).alias("level"),
+        F.min("n").alias("min_class_size"),
+        F.count(F.lit(1)).alias("n_classes"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green
 # but left 23 oracle-backed queries (r2 slots 51-73) with no driver-issued
@@ -3022,6 +3099,9 @@ _WINDOW_R3 = [
     # l-diversity shares with t-closeness stays in-window via the c04 rows)
     "x33_rollup_release",
     "x11_sessionize",
+    # x19 rotated out for x37 (r2-green; its word-count agg shape is the
+    # in-window x23 LM training aggregate)
+    "x37_pseudonymize",
     # x12 rotated out for x32 (r2-green; exact equal-frequency binning is
     # the bucketing stage inside the in-window pipe_lm_buckets row)
     "x32_linkage_audit",
@@ -3035,13 +3115,14 @@ _WINDOW_R3 = [
     # x18 rotated out for x28 (r2-green; x28's shingle probe is the same
     # physical shape over a shuffled — not broadcast — membership join)
     "x28_incremental_admit",
-    "x19_vocab",
     "pipe_naive_metrics",
     "pipe_tcloseness_metrics",
     # --- structurally distinct P primitives (read path, null drop, hash
     # --- agg, window-to-rows, zero-filled distribution) ---
     "p01_scan",
-    "p02_drop_null",
+    # p02 rotated out for x38 (r2-green; the drop-null read path is
+    # exercised by every load_table call and the in-window p01 scan)
+    "x38_vgh",
     # p05/p09/p14 rotated out for the new r3 ops x23/x24/x25 (all three
     # primitives r2-green; their idioms stay exercised in-window — the
     # hash agg inside c01/c02, window-count-to-rows inside c01/c05, and

@@ -268,3 +268,19 @@ def test_bound_contribution_shuffles_users_once(spark, sf001):
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 2  # user window + group agg
     assert "RunningWindowFunction" in p or "Window" in p
     assert "BatchEvalPython" not in p
+
+
+def test_pseudonymize_is_map_only(plans):
+    """x37: a keyed-token projection is one scan, zero exchanges, no
+    Python anywhere."""
+    p = plans["x37_pseudonymize"]
+    assert len(re.findall(r"Scan parquet|FileScan parquet", p)) == 1
+    assert "Exchange" not in p
+
+
+def test_vgh_generalize_broadcasts_hierarchy(plans):
+    """x38: the hierarchy dimension broadcasts; the only hash exchange is
+    the group count's partial-agg shuffle."""
+    p = plans["x38_vgh"]
+    assert "BroadcastHashJoin" in p
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
