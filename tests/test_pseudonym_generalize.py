@@ -91,3 +91,42 @@ def test_min_level_zero_when_already_anonymous(spark):
     df = spark.createDataFrame([(i, "a1") for i in range(5)], "id long, seg string")
     level, _ = min_level_for_k(df, ["seg"], "seg", VGH, k=5)
     assert level == 0
+
+
+def test_streaming_pseudonymization_matches_batch(spark, sf0001, tmp_path):
+    """Pseudonymization is stateless, so one token definition serves both
+    the backfill and the live ingest path: the streaming run must produce
+    byte-identical tokens to the batch run on the same file."""
+    import shutil
+
+    from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_table
+
+    cust = load_table(spark, sf0001, "customer").select("c_custkey", "c_name")
+
+    def scrub(df):
+        return pseudonymize(df, ["c_name"], secret="stream-secret")
+
+    batch = {r.c_custkey: r.c_name for r in scrub(cust).collect()}
+
+    stream_dir = tmp_path / "cust"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf0001}/customer.parquet", stream_dir / "part-000.parquet")
+    stream = spark.readStream.schema(
+        load_table(spark, sf0001, "customer").schema
+    ).parquet(str(stream_dir)).select("c_custkey", "c_name")
+    q = (
+        scrub(stream)
+        .writeStream.format("memory")
+        .queryName("pseudo_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.c_custkey: r.c_name
+        for r in spark.sql("SELECT * FROM pseudo_stream_test").collect()
+    }
+    assert got == batch
+    assert len(batch) > 0
