@@ -73,6 +73,7 @@ HEADLINE = [
     "x36_dp_synthesize",
     "x37_pseudonymize",
     "x38_vgh",
+    "x39_recursive_cl",
 ]
 
 

@@ -65,7 +65,12 @@ from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import l_diversity_filter
+from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import (
+    entropy_l_diversity_filter,
+    l_diversity_entropy_stats,
+    l_diversity_filter,
+    recursive_cl_diversity_filter,
+)
 from dbms_data_anonymity_differential_privacy_spark.operators.dp import PrivacyBudget, ZCDPBudget
 from dbms_data_anonymity_differential_privacy_spark.operators.similarity import (
     cosine_topk,
@@ -166,6 +171,9 @@ __all__ = [
     "dedup_corpus",
     "near_dedup_corpus",
     "l_diversity_filter",
+    "entropy_l_diversity_filter",
+    "recursive_cl_diversity_filter",
+    "l_diversity_entropy_stats",
     "PrivacyBudget",
     "ZCDPBudget",
     "cosine_topk",

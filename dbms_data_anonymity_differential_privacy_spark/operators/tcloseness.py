@@ -214,3 +214,92 @@ def t_violations(df: DataFrame, qi: Sequence[str], sensitive: str, t: float = 0.
             F.sum(F.when(F.col("emd") > t, 1).otherwise(0)) / F.count(F.lit(1)), ROUND_DP
         ).alias("violation_rate"),
     )
+
+
+def l_diversity_entropy_stats(
+    df: DataFrame, qi: Sequence[str], sensitive: str
+) -> DataFrame:
+    """X39 — per-class sensitive-attribute entropy relation:
+    ``(*qi, n_distinct, class_size, entropy_r)`` with the Shannon entropy
+    (natural log) rounded to 9 dp. Entropy l-diversity (Machanavajjhala
+    et al., ICDE 2006 §3) holds for a class iff ``entropy >= ln(l)``.
+
+    Same counts-relation algebra as the EMD chain: ONE aggregation of the
+    fact table to ``(class, sensitive, count)``; entropy derives from that
+    slim relation (window sum for class size, then one more agg). The
+    rounded relation is released (and oracle-hashed) rather than a
+    filtered verdict because a perfectly uniform class with exactly l
+    values sits EXACTLY on the ln(l) boundary in real arithmetic — a
+    float verdict there is summation-order-dependent and engine-unstable,
+    while the 9-dp entropy value itself is stable (c04_class_emd
+    precedent). Use :func:`recursive_cl_diversity_filter` for an exact
+    row-release variant.
+    """
+    cnts = df.groupBy(*qi, sensitive).agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy(*[F.col(c) for c in qi])
+    p = F.col("__c") / F.sum("__c").over(w)
+    per_val = cnts.withColumn("__term", -p * F.log(p)).withColumn(
+        "__sz", F.sum("__c").over(w)
+    )
+    return per_val.groupBy(*qi).agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("__sz").alias("class_size"),
+        F.round(F.sum("__term"), ROUND_DP).alias("entropy_r"),
+    )
+
+
+def entropy_l_diversity_filter(
+    df: DataFrame, qi: Sequence[str], sensitive: str, l: float, k: int = 1
+) -> DataFrame:
+    """X39 — keep classes whose sensitive entropy is >= ln(l) (and size
+    >= k). Boundary note: a class exactly at ln(l) (perfectly uniform
+    over exactly l values) is kept or dropped by float comparison; see
+    :func:`l_diversity_entropy_stats` for why the released STATS relation
+    is the oracle surface instead of this verdict."""
+    import math
+
+    if l <= 1:
+        raise ValueError("l must be > 1")
+    stats = l_diversity_entropy_stats(df, qi, sensitive)
+    ok = stats.filter(
+        (F.col("entropy_r") >= F.lit(round(math.log(l), ROUND_DP)))
+        & (F.col("class_size") >= F.lit(k))
+    ).select(*qi)
+    return df.join(F.broadcast(ok), on=list(qi), how="left_semi").select(*df.columns)
+
+
+def recursive_cl_diversity_filter(
+    df: DataFrame, qi: Sequence[str], sensitive: str, c: float, l: int, k: int = 1
+) -> DataFrame:
+    """X39 — recursive (c, l)-diversity (Machanavajjhala et al., ICDE 2006
+    §3): with per-class sensitive counts sorted descending r1 >= ... >= rm,
+    keep the class iff ``r1 < c * (r_l + r_{l+1} + ... + r_m)`` (so the
+    most common value cannot dominate the tail) and class size >= k. A
+    class with fewer than l distinct values has an empty tail and always
+    fails — the distinct-l requirement is subsumed.
+
+    All-integer verdict arithmetic over the counts relation — exact and
+    engine-portable (unlike the entropy variant), so the filtered release
+    itself is oracle-hashable. Physical shape: one fact aggregation, one
+    window over the slim counts relation, verdict keys broadcast back.
+    """
+    if l < 2:
+        raise ValueError("l must be >= 2")
+    if c <= 0:
+        raise ValueError("c must be positive")
+    cnts = df.groupBy(*qi, sensitive).agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy(*[F.col(col) for col in qi]).orderBy(
+        F.col("__c").desc(), F.col(sensitive)
+    )
+    ranked = cnts.withColumn("__rn", F.row_number().over(w))
+    verdict = ranked.groupBy(*qi).agg(
+        F.max(F.when(F.col("__rn") == 1, F.col("__c"))).alias("__r1"),
+        F.coalesce(
+            F.sum(F.when(F.col("__rn") >= l, F.col("__c"))), F.lit(0)
+        ).alias("__tail"),
+        F.sum("__c").alias("__sz"),
+    )
+    ok = verdict.filter(
+        (F.col("__r1") < F.lit(float(c)) * F.col("__tail")) & (F.col("__sz") >= F.lit(k))
+    ).select(*qi)
+    return df.join(F.broadcast(ok), on=list(qi), how="left_semi").select(*df.columns)

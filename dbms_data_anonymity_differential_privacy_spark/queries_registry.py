@@ -3033,6 +3033,70 @@ def x38_vgh_min_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X39 — l-diversity variants beyond distinct-l (Machanavajjhala et al.,
+# ICDE 2006): recursive (c,l) with an all-integer verdict (filtered
+# release oracle-hashable) and the per-class entropy relation (rounded,
+# the EMD-relation precedent — a perfectly uniform class sits exactly on
+# the ln(l) verdict boundary, so the verdict itself is not float-stable).
+# --------------------------------------------------------------------------
+@query(
+    "x39_recursive_cl",
+    f"""
+    WITH {BINNED_CUSTOMER_CTE},
+    cnts AS (SELECT c_nationkey, c_mktsegment, acctbal_bin, COUNT(*) AS c
+             FROM binned GROUP BY 1, 2, 3),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey, c_mktsegment
+                                       ORDER BY c DESC, acctbal_bin) AS rn
+          FROM cnts),
+    v AS (SELECT c_nationkey, c_mktsegment,
+                 MAX(CASE WHEN rn = 1 THEN c END) AS r1,
+                 COALESCE(SUM(CASE WHEN rn >= 2 THEN c END), 0) AS tail,
+                 SUM(c) AS sz
+          FROM r GROUP BY 1, 2),
+    keep AS (SELECT c_nationkey, c_mktsegment FROM v
+             WHERE r1 < 2.0 * tail AND sz >= 5)
+    SELECT b.c_custkey, b.c_name, b.c_nationkey, b.c_acctbal, b.c_mktsegment,
+           b.acctbal_bin
+    FROM binned b SEMI JOIN keep k
+         ON b.c_nationkey = k.c_nationkey AND b.c_mktsegment = k.c_mktsegment
+    """,
+)
+def x39_recursive_cl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import (
+        recursive_cl_diversity_filter,
+    )
+
+    b = binned_customer(spark, sf_dir)
+    return recursive_cl_diversity_filter(
+        b, ["c_nationkey", "c_mktsegment"], "acctbal_bin", c=2.0, l=2, k=5
+    )
+
+
+@query(
+    "x39_entropy_stats",
+    f"""
+    WITH {BINNED_CUSTOMER_CTE},
+    cnts AS (SELECT c_nationkey, c_mktsegment, acctbal_bin, COUNT(*) AS c
+             FROM binned GROUP BY 1, 2, 3),
+    szd AS (SELECT *, SUM(c) OVER (PARTITION BY c_nationkey, c_mktsegment) AS sz
+            FROM cnts)
+    SELECT c_nationkey, c_mktsegment,
+           COUNT(*) AS n_distinct,
+           CAST(MAX(sz) AS BIGINT) AS class_size,
+           ROUND(SUM(-(c * 1.0 / sz) * LN(c * 1.0 / sz)), 9) AS entropy_r
+    FROM szd GROUP BY 1, 2
+    """,
+)
+def x39_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import (
+        l_diversity_entropy_stats,
+    )
+
+    b = binned_customer(spark, sf_dir)
+    return l_diversity_entropy_stats(b, ["c_nationkey", "c_mktsegment"], "acctbal_bin")
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green
 # but left 23 oracle-backed queries (r2 slots 51-73) with no driver-issued
@@ -3098,7 +3162,9 @@ _WINDOW_R3 = [
     # x08 rotated out for x33 (r2-green; the grouped-distribution algebra
     # l-diversity shares with t-closeness stays in-window via the c04 rows)
     "x33_rollup_release",
-    "x11_sessionize",
+    # x11 rotated out for x39_recursive_cl (r2-green; the session-window
+    # agg family keeps union coverage via the r2 row and x06 in-window)
+    "x39_recursive_cl",
     # x19 rotated out for x37 (r2-green; its word-count agg shape is the
     # in-window x23 LM training aggregate)
     "x37_pseudonymize",
@@ -3108,7 +3174,9 @@ _WINDOW_R3 = [
     # x14 rotated out for x34 (r2-green; its map-only fold shape is shared
     # by the in-window x23/x27 text scans)
     "x34_user_contrib",
-    "x16_asof_join",
+    # x16 rotated out for x39_entropy_stats (r2-green; temporal keeps
+    # union coverage via its r2 rows)
+    "x39_entropy_stats",
     # x17 rotated out for x35 (r2-green; the session interval-join idiom
     # keeps its in-window representative in x16)
     "x35_kmap_audit",

@@ -114,3 +114,60 @@ def test_l_diversity_postcondition(spark, sf001):
     assert bad == 0
     assert 0 < out.count() <= o.count()
     assert out.columns == o.columns
+
+
+def test_recursive_cl_diversity_filter(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import (
+        recursive_cl_diversity_filter,
+    )
+
+    rows = (
+        # class A: counts 4/2/1 -> r1=4, tail(l=2)=3 -> 4 < 2*3 KEEP
+        [("A", "x")] * 4 + [("A", "y")] * 2 + [("A", "z")]
+        # class B: counts 6/1 -> r1=6, tail=1 -> 6 < 2*1 false DROP
+        + [("B", "x")] * 6 + [("B", "y")]
+        # class C: single value -> empty tail -> DROP
+        + [("C", "x")] * 5
+    )
+    df = spark.createDataFrame(rows, "g string, s string")
+    kept = {r.g for r in recursive_cl_diversity_filter(df, ["g"], "s", c=2.0, l=2).collect()}
+    assert kept == {"A"}
+    # c large enough admits B too (6 < 7*1)
+    kept7 = {r.g for r in recursive_cl_diversity_filter(df, ["g"], "s", c=7.0, l=2).collect()}
+    assert kept7 == {"A", "B"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        recursive_cl_diversity_filter(df, ["g"], "s", c=2.0, l=1)
+    with _pytest.raises(ValueError):
+        recursive_cl_diversity_filter(df, ["g"], "s", c=0.0, l=2)
+
+
+def test_entropy_l_diversity(spark):
+    import math
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import (
+        entropy_l_diversity_filter,
+        l_diversity_entropy_stats,
+    )
+
+    rows = (
+        # class U: uniform over 4 values -> H = ln 4
+        [("U", v) for v in "abcd"] * 3
+        # class S: skewed 9/1 -> H ~ 0.325 < ln 2
+        + [("S", "a")] * 9 + [("S", "b")]
+    )
+    df = spark.createDataFrame(rows, "g string, s string")
+    stats = {r.g: r for r in l_diversity_entropy_stats(df, ["g"], "s").collect()}
+    assert stats["U"].n_distinct == 4 and stats["U"].class_size == 12
+    assert stats["U"].entropy_r == round(math.log(4), 9)
+    p = 0.9
+    want = -(p * math.log(p) + 0.1 * math.log(0.1))
+    assert stats["S"].entropy_r == round(want, 9)
+    # entropy filter at l=2: U (ln4 >= ln2) kept, S dropped
+    kept = {r.g for r in entropy_l_diversity_filter(df, ["g"], "s", l=2).collect()}
+    assert kept == {"U"}
+    # l=4: the exactly-uniform class sits ON the boundary and is kept
+    # under the rounded >= comparison
+    kept4 = {r.g for r in entropy_l_diversity_filter(df, ["g"], "s", l=4).collect()}
+    assert kept4 == {"U"}
