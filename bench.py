@@ -74,6 +74,7 @@ HEADLINE = [
     "x37_pseudonymize",
     "x38_vgh",
     "x39_recursive_cl",
+    "x40_span_stats",
 ]
 
 

@@ -106,7 +106,11 @@ from dbms_data_anonymity_differential_privacy_spark.operators.linkage import (
     fuzzy_pairs_fastss,
     linkage_attack_audit,
 )
-from dbms_data_anonymity_differential_privacy_spark.operators.dedup import incremental_admit
+from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
+    incremental_admit,
+    remove_repeated_spans,
+    repeated_span_stats,
+)
 from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
     bound_contribution,
     dp_sum_user_level,
@@ -198,6 +202,8 @@ __all__ = [
     "apply_mixture",
     "gopher_quality",
     "incremental_admit",
+    "repeated_span_stats",
+    "remove_repeated_spans",
     "bpe_train",
     "bpe_tokenize",
     "fuzzy_pairs",

@@ -850,3 +850,159 @@ def near_dup_suite(
             df, max_hamming, text_col=text_col, id_col=id_col, tokens=toks
         ),
     }
+
+
+def repeated_span_stats(
+    df: DataFrame,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X40 — cross-document repeated-span detection, the token-window
+    approximation of exact-substring training-data dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL 2022:
+    spans duplicated across documents are memorization fuel and should be
+    found and cut). A span = ``window`` consecutive normalized tokens; a
+    span is DUPLICATED iff its content occurs in >= 2 distinct documents
+    (within-doc repetition is x14's domain and is deliberately excluded).
+
+    Output, one row per document that contains any duplicated span:
+    ``(id, n_dup_spans, dup_tokens, n_tokens)`` where ``dup_tokens`` is
+    the size of the UNION of the covered token intervals (gaps-and-
+    islands over span start positions — overlapping spans don't double
+    count).
+
+    Scale shape: the suffix-array the paper builds is replaced by the
+    engine's hash idiom — spans shuffle as 8-byte ``xxhash64`` longs from
+    the shared one-pass tokenization (:func:`hashed_tokens`), the
+    duplicated-span relation is found with ONE partial-combined aggregate,
+    and membership returns via a shuffled 8-byte join (the duplicated-
+    hash relation is corpus-scale, so no broadcast hint — AQE decides).
+    The coverage window partitions per-document (bounded by doc length).
+    """
+    from pyspark.sql import Window
+
+    if window < 2:
+        raise ValueError("window must be >= 2 tokens")
+    toks = hashed_tokens(df, text_col, id_col)
+    spans = toks.select(
+        F.col(id_col),
+        F.size("__th").cast("long").alias("n_tokens"),
+        F.posexplode(shingle_hashes(F.col("__th"), window)).alias("pos", "__h"),
+    )
+    dup = (
+        spans.groupBy("__h")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__h")
+    )
+    marked = spans.join(dup, "__h")
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_end = F.max(F.col("pos") + F.lit(window)).over(w)
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("pos") + F.lit(window) - F.greatest(F.col("pos"), F.coalesce(cum_end, F.lit(0))),
+    )
+    return (
+        marked.withColumn("__c", contrib)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.sum("__c").cast("long").alias("dup_tokens"),
+            F.max("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X40 — cut every cross-document duplicated span out of each
+    document (the "remove" half of Lee et al. 2022). Returns
+    ``(id, text, n_tokens_before, n_tokens_after)`` with ``text`` rebuilt
+    from the surviving tokens.
+
+    DISCLOSED NORMALIZATION: removal operates on the same normalized
+    token stream the detector hashes (lowercased, whitespace-split,
+    single-space rejoined) — the paper cuts raw bytes; byte-faithful
+    reconstruction would need original offsets, which the normalized
+    pipeline deliberately discards. Use the stats relation to route
+    documents to a byte-level cutter if exact bytes matter.
+
+    Physical shape: the marked positions collapse to one slim
+    ``(id, sorted positions)`` row per affected document (bounded by doc
+    length), LEFT-join back onto the corpus, and an Arrow-batched
+    ``mapInPandas`` rebuilds the token stream — the only Python in the
+    path, at one batch per partition.
+    """
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    stats_src = hashed_tokens(df, text_col, id_col)
+    spans = stats_src.select(
+        F.col(id_col),
+        F.posexplode(shingle_hashes(F.col("__th"), window)).alias("pos", "__h"),
+    )
+    dup = (
+        spans.groupBy("__h")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("__h")
+    )
+    marked = (
+        spans.join(dup, "__h")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("__marks"))
+    )
+    joined = df.select(id_col, text_col).join(marked, id_col, "left")
+    out_schema = StructType(
+        [
+            StructField(id_col, joined.schema[id_col].dataType),
+            StructField("text", StringType()),
+            StructField("n_tokens_before", LongType()),
+            StructField("n_tokens_after", LongType()),
+        ]
+    )
+
+    def cut(batches):
+        import re
+
+        import pandas as pd
+
+        # EXACT twin of hashed_tokens' tokenization: Java's \s is ASCII by
+        # default, Python's is Unicode-aware — re.ASCII keeps positions
+        # aligned with the detector on Unicode-whitespace inputs.
+        def tok(s):
+            return re.split(r"\s+", (s or "").strip().lower(), flags=re.ASCII)
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                raw = row[text_col]
+                toks = tok(raw)
+                marks = row["__marks"]
+                if marks is None or (hasattr(marks, "__len__") and len(marks) == 0):
+                    out.append((row[id_col], " ".join(toks), len(toks), len(toks)))
+                    continue
+                covered = [False] * len(toks)
+                for p in marks:
+                    for i in range(int(p), min(int(p) + window, len(toks))):
+                        covered[i] = True
+                kept = [t for t, c in zip(toks, covered) if not c]
+                out.append((row[id_col], " ".join(kept), len(toks), len(kept)))
+            yield pd.DataFrame(
+                out, columns=[id_col, "text", "n_tokens_before", "n_tokens_after"]
+            )
+
+    return joined.mapInPandas(cut, out_schema)

@@ -1549,3 +1549,50 @@ def test_streaming_corpus_curation_matches_batch(spark, sf0001, tmp_path):
         for r in spark.sql("SELECT * FROM curate_stats_test").collect()
     }
     assert got_stats == batch_stats
+
+
+def test_repeated_span_stats_and_removal(spark):
+    """x40: cross-doc duplicated token windows are found with exact
+    interval-union coverage, and the removal half cuts exactly the
+    covered tokens (stats and cutter agree token-for-token)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
+        remove_repeated_spans,
+        repeated_span_stats,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog today"  # 10 tokens
+    docs = [
+        (1, "alpha beta " + shared + " gamma delta"),     # 14 tokens
+        (2, shared + " epsilon zeta eta theta iota"),     # 15 tokens
+        (3, "totally unique words that appear nowhere else at all ok"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    stats = {r.doc_id: r for r in repeated_span_stats(df, window=8).collect()}
+    # doc 3 shares nothing
+    assert set(stats) == {1, 2}
+    # the shared run is 10 tokens -> 3 overlapping windows, union = 10
+    assert stats[1].n_dup_spans == 3 and stats[1].dup_tokens == 10
+    assert stats[2].n_dup_spans == 3 and stats[2].dup_tokens == 10
+    assert stats[1].n_tokens == 14 and stats[2].n_tokens == 15
+    # removal cuts exactly the covered tokens
+    cut = {r.doc_id: r for r in remove_repeated_spans(df, window=8).collect()}
+    assert cut[1].text == "alpha beta gamma delta"
+    assert cut[2].text == "epsilon zeta eta theta iota"
+    assert cut[3].n_tokens_after == cut[3].n_tokens_before
+    for d in (1, 2):
+        assert cut[d].n_tokens_before - cut[d].n_tokens_after == stats[d].dup_tokens
+
+
+def test_repeated_spans_ignore_within_doc_repetition(spark):
+    """A span repeated INSIDE one document is x14's territory, not x40's:
+    single-doc repetition must not mark anything."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
+        repeated_span_stats,
+    )
+
+    run = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, run + " filler " + run), (2, "nothing shared here at all in any way truly")],
+        "doc_id long, text string",
+    )
+    assert repeated_span_stats(df, window=8).collect() == []
