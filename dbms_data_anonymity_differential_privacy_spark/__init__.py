@@ -127,6 +127,10 @@ from dbms_data_anonymity_differential_privacy_spark.operators.synth import (
     dp_synthesize,
     dp_synthesize_chain,
 )
+from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import (
+    image_dhash,
+    image_near_dup_pairs,
+)
 from dbms_data_anonymity_differential_privacy_spark.operators.utility import utility_accuracy
 from dbms_data_anonymity_differential_privacy_spark import pipelines
 from dbms_data_anonymity_differential_privacy_spark.sources.writers import (
@@ -220,6 +224,8 @@ __all__ = [
     "apply_vgh",
     "min_level_for_k",
     "utility_accuracy",
+    "image_dhash",
+    "image_near_dup_pairs",
     "pipelines",
     "write_release",
     "write_bucketed",

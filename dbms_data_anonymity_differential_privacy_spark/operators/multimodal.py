@@ -961,3 +961,98 @@ def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
                 )
 
     return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def dhash64(content: bytes, mime: str) -> int:
+    """X41 — 64-bit difference hash (dHash) of one image blob: decode,
+    luma-grayscale, nearest-resample to 9×8, then bit i*8+j = 1 iff
+    gray[i][j] < gray[i][j+1]. The standard perceptual fingerprint for
+    image near-dup detection (robust to re-encode/resize, brittle to
+    crops — by design, like every row-major dHash). Returned as a SIGNED
+    64-bit int (two's complement) so it rides Spark's LongType.
+    """
+    w, h, rgb = decode_image(content, mime)
+    small = resize_nearest(rgb, w, h, 9, 8)
+    # integer luma (ITU-R 601-ish, scaled by 1000 to stay integral)
+    gray = [
+        (299 * small[i * 3] + 587 * small[i * 3 + 1] + 114 * small[i * 3 + 2])
+        for i in range(72)
+    ]
+    bits = 0
+    for y in range(8):
+        for x in range(8):
+            bits = (bits << 1) | (1 if gray[y * 9 + x] < gray[y * 9 + x + 1] else 0)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """X41 — ``(media_id, phash: long)`` for every decodable image blob
+    (non-image mimes are dropped: a perceptual hash of non-pixels is
+    noise). Arrow-batched ``mapInPandas``; the decode is the same
+    pure-Python codec path as ``extract_features``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, content, mime in zip(pdf["media_id"], pdf["content"], pdf["mime"]):
+                if mime not in IMAGE_MIMES:
+                    continue
+                ids.append(mid)
+                hashes.append(dhash64(bytes(content), mime))
+            yield pd.DataFrame({"media_id": ids, "phash": pd.array(hashes, dtype="int64")})
+
+    return media.mapInPandas(run, "media_id long, phash long")
+
+
+def image_near_dup_pairs(media: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """X41 — near-duplicate image pairs: ``(id_a, id_b, hamming)`` with
+    Hamming(phash_a, phash_b) <= max_hamming.
+
+    Same pigeonhole banding as SimHash text dedup (`dedup.py`): split the
+    64-bit hash into ``max_hamming + 1`` blocks — two hashes within
+    distance d MUST agree on at least one whole block — so candidates
+    come from an equi-join on ``(block_idx, block_val)`` 8-byte keys,
+    never an all-pairs scan, and each candidate is verified with one
+    JVM-side ``bit_count(xor)``. Exact for the detector by the pigeonhole
+    principle. At 100 TB the hash relation is 16 bytes/image and the
+    block join is the only shuffle.
+    """
+    if not 0 <= max_hamming <= 16:
+        raise ValueError("max_hamming must be in [0, 16]")
+    hashes = image_dhash(media)
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    # blocks of `width` bits; the last block absorbs the remainder
+    def block_expr(i: int):
+        shift = i * width
+        if i == n_blocks - 1:
+            return F.shiftrightunsigned(F.col("phash"), shift)
+        mask = (1 << width) - 1
+        return F.shiftrightunsigned(F.col("phash"), shift).bitwiseAND(F.lit(mask))
+
+    blocks = hashes.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("bi"), block_expr(i).alias("bv")) for i in range(n_blocks)])
+        ).alias("b"),
+    ).select("media_id", "phash", "b.bi", "b.bv")
+    a = blocks.select(
+        F.col("media_id").alias("id_a"), F.col("phash").alias("__pa"), "bi", "bv"
+    )
+    b = blocks.select(
+        F.col("media_id").alias("id_b"), F.col("phash").alias("__pb"), "bi", "bv"
+    )
+    cand = (
+        a.join(b, ["bi", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__pa", "__pb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("__pa").bitwiseXOR(F.col("__pb")))
+        )
+        .where(F.col("hamming") <= F.lit(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )

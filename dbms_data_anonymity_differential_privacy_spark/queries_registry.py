@@ -3155,6 +3155,34 @@ def x40_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X41 — perceptual image dedup (operators/multimodal.py): dHash over the
+# decoded pixels + SimHash-style pigeonhole block join. Rows-only (DuckDB
+# cannot decode images); pigeonhole exactness vs brute force pinned in
+# test_multimodal_codecs.py.
+# --------------------------------------------------------------------------
+@query("x41_image_phash")
+def x41_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import (
+        documents_as_bmp,
+        image_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_dhash(documents_as_bmp(docs))
+
+
+@query("x41_image_pairs")
+def x41_image_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import (
+        documents_as_bmp,
+        image_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_near_dup_pairs(documents_as_bmp(docs), max_hamming=4)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green
 # but left 23 oracle-backed queries (r2 slots 51-73) with no driver-issued

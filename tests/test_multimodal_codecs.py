@@ -353,3 +353,73 @@ def test_spark_jpeg_pipeline(spark):
     w, h, out = decode_bmp(bytes(resized["content"]))
     assert (w, h) == (8, 8)
     assert max(abs(a - b) for a, b in zip(bytes([120, 200, 40] * 64), out)) <= 3
+
+
+def test_dhash_known_bits_and_invariance():
+    """dHash of a crafted gradient: brighter-to-the-right rows give
+    all-ones bits; a vertically-flipped encode of the same pixels gives
+    the same hash (dHash reads decoded pixels, not file bytes)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import (
+        dhash64,
+        encode_bmp,
+    )
+
+    # 9x8 left-to-right gradient: every right neighbor is brighter
+    rgb = bytearray()
+    for y in range(8):
+        for x in range(9):
+            v = x * 28
+            rgb += bytes((v, v, v))
+    img = encode_bmp(9, 8, bytes(rgb))
+    assert dhash64(img, "image/bmp") == -1  # 64 one-bits = -1 in two's complement
+    # reversed gradient -> all zero bits
+    rgb2 = bytearray()
+    for y in range(8):
+        for x in range(9):
+            v = (8 - x) * 28
+            rgb2 += bytes((v, v, v))
+    assert dhash64(encode_bmp(9, 8, bytes(rgb2)), "image/bmp") == 0
+
+
+def test_image_near_dup_pairs_finds_perturbed_copy(spark):
+    """A lightly perturbed copy hashes within the Hamming budget and is
+    paired; an unrelated image is not. Banding candidates == brute-force
+    verified pairs (pigeonhole exactness)."""
+    import random
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import (
+        dhash64,
+        encode_bmp,
+        image_near_dup_pairs,
+    )
+
+    rng = random.Random(7)
+    base = bytes(rng.randrange(256) for _ in range(18 * 16 * 3))
+    # perturb a few bytes slightly
+    pert = bytearray(base)
+    for i in range(0, 30, 7):
+        pert[i] = min(255, pert[i] + 8)
+    other = bytes(rng.randrange(256) for _ in range(18 * 16 * 3))
+    rows = [
+        (1, encode_bmp(18, 16, base), "image/bmp", {}),
+        (2, encode_bmp(18, 16, bytes(pert)), "image/bmp", {}),
+        (3, encode_bmp(18, 16, other), "image/bmp", {}),
+        (4, b"not an image", "text/plain", {}),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, content binary, mime string, meta map<string,string>"
+    )
+    got = {(r.id_a, r.id_b): r.hamming for r in image_near_dup_pairs(media, max_hamming=6).collect()}
+    # brute-force expectation from the scalar hash
+    h = {i: dhash64(rows[i - 1][1], "image/bmp") for i in (1, 2, 3)}
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    want = {
+        (i, j): ham(h[i], h[j])
+        for i in (1, 2, 3)
+        for j in (1, 2, 3)
+        if i < j and ham(h[i], h[j]) <= 6
+    }
+    assert got == want
+    assert (1, 2) in got  # the perturbed copy is found
+    assert all(4 not in p for p in got)
