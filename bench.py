@@ -75,6 +75,7 @@ HEADLINE = [
     "x38_vgh",
     "x39_recursive_cl",
     "x40_span_stats",
+    "x41_image_pairs",
 ]
 
 

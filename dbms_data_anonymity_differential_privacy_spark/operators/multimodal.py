@@ -797,7 +797,11 @@ def documents_as_bmp(docs: DataFrame, width: int = 16, height: int = 16) -> Data
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(run, MEDIA_SCHEMA)
+    from dbms_data_anonymity_differential_privacy_spark.operators.util import fan_out
+
+    # single-file bench inputs arrive as ONE partition; the whole media
+    # pipeline downstream is Python-decode CPU, so spread it first
+    return fan_out(docs.select("doc_id", "text")).mapInPandas(run, MEDIA_SCHEMA)
 
 
 def decode_media(content: bytes, mime: str) -> list[float]:
