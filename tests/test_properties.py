@@ -305,3 +305,46 @@ def test_rollup_release_invariants(spark, rows, k):
         elif t.level == 3:  # grand total
             assert t.n_rows == len(rows)
             assert t.sum_cents == sum(c for _, _, c in rows)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    window=st.integers(2, 4),
+)
+@settings(**SETTINGS)
+def test_repeated_span_stats_equals_brute_force(spark, docs, window):
+    """x40 on arbitrary tiny-alphabet corpora == a pure-Python reference:
+    same flagged docs, same span counts, same interval-union coverage."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import repeated_span_stats
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_dup_spans, r.dup_tokens, r.n_tokens)
+        for r in repeated_span_stats(df, window=window).collect()
+    }
+
+    # brute force with the same normalization (split of trimmed/lowered
+    # text; empty text -> [''] like Spark's split)
+    toks = {i: (t.strip().lower().split(" ") if t.strip() else [""]) for i, t in rows}
+    spans = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - window + 1):
+            spans.setdefault(tuple(ts[p : p + window]), []).append((i, p))
+    dup = {g for g, occ in spans.items() if len({i for i, _ in occ}) >= 2}
+    want = {}
+    for i, ts in toks.items():
+        marks = sorted(
+            p for g in dup for (j, p) in spans[g] if j == i
+        )
+        if not marks:
+            continue
+        covered = set()
+        for p in marks:
+            covered.update(range(p, p + window))
+        want[i] = (len(marks), len(covered), len(ts))
+    assert got == want
