@@ -128,6 +128,8 @@ from dbms_data_anonymity_differential_privacy_spark.operators.synth import (
     dp_synthesize_chain,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import (
+    audio_fingerprints,
+    audio_near_dup_pairs,
     image_dhash,
     image_near_dup_pairs,
 )
@@ -226,6 +228,8 @@ __all__ = [
     "utility_accuracy",
     "image_dhash",
     "image_near_dup_pairs",
+    "audio_fingerprints",
+    "audio_near_dup_pairs",
     "pipelines",
     "write_release",
     "write_bucketed",

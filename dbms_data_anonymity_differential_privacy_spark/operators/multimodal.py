@@ -1010,42 +1010,117 @@ def image_dhash(media: DataFrame) -> DataFrame:
 
 def image_near_dup_pairs(media: DataFrame, max_hamming: int = 4) -> DataFrame:
     """X41 — near-duplicate image pairs: ``(id_a, id_b, hamming)`` with
-    Hamming(phash_a, phash_b) <= max_hamming.
+    Hamming(phash_a, phash_b) <= max_hamming, via the shared pigeonhole
+    block join (:func:`hamming_pairs_64`) over the dHash relation. Exact
+    for the detector; the hash relation is 16 bytes/image and the block
+    join is the only shuffle."""
+    return hamming_pairs_64(image_dhash(media), "media_id", "phash", max_hamming)
 
-    Same pigeonhole banding as SimHash text dedup (`dedup.py`): split the
-    64-bit hash into ``max_hamming + 1`` blocks — two hashes within
-    distance d MUST agree on at least one whole block — so candidates
-    come from an equi-join on ``(block_idx, block_val)`` 8-byte keys,
-    never an all-pairs scan, and each candidate is verified with one
-    JVM-side ``bit_count(xor)``. Exact for the detector by the pigeonhole
-    principle. At 100 TB the hash relation is 16 bytes/image and the
-    block join is the only shuffle.
+
+def encode_wav(samples: "list[int]", framerate: int = 8000) -> bytes:
+    """Encode mono PCM16 samples as a WAV blob (round-trips through
+    :func:`decode_wav`)."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def documents_as_wav(docs: DataFrame, framerate: int = 8000) -> DataFrame:
+    """Adapter: render each document's text bytes as a real PCM16 WAV
+    (bytes → centered samples), giving the audio pipeline a decodable
+    blob per document without external fixtures. Fanned out like the
+    image adapter — the downstream cost is Python decode CPU."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.util import fan_out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            blobs = [
+                encode_wav([(b - 128) * 256 for b in t.encode("utf-8")[:1024]] or [0],
+                           framerate)
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": blobs,
+                    "mime": "audio/wav",
+                    "meta": [
+                        {"n_bytes": len(b), "checksum": hashlib.md5(b).hexdigest()}
+                        for b in blobs
+                    ],
+                }
+            )
+
+    return fan_out(docs.select("doc_id", "text")).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def audio_fingerprint64(content: bytes) -> int:
+    """X42 — 64-bit energy-delta fingerprint of one PCM16 WAV blob: the
+    mono samples split into 65 equal frames, bit i = 1 iff RMS-energy of
+    frame i+1 exceeds frame i — the energy-contour analogue of image
+    dHash (a Shazam-style landmark scheme reduced to one word). Robust
+    to volume scaling direction and small edits, brittle to time shifts
+    (disclosed — alignment-invariant audio search needs landmark pairs,
+    out of scope). Signed 64-bit (two's complement) for Spark LongType.
     """
+    _, samples = decode_wav(content)
+    n = len(samples)
+    frames = 65
+    energies = []
+    for i in range(frames):
+        lo, hi = i * n // frames, (i + 1) * n // frames
+        seg = samples[lo:hi] or [0]
+        energies.append(sum(s * s for s in seg) // len(seg))
+    bits = 0
+    for i in range(64):
+        bits = (bits << 1) | (1 if energies[i + 1] > energies[i] else 0)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def hamming_pairs_64(
+    hashes: DataFrame, id_col: str, hash_col: str, max_hamming: int
+) -> DataFrame:
+    """Shared pigeonhole Hamming join over any 64-bit fingerprint
+    relation: split into ``max_hamming + 1`` blocks, equi-join on
+    ``(block_idx, block_val)``, verify with JVM ``bit_count(xor)``.
+    Exact for the detector by the pigeonhole principle; used by both the
+    image (dHash) and audio (energy-delta) near-dup paths."""
     if not 0 <= max_hamming <= 16:
         raise ValueError("max_hamming must be in [0, 16]")
-    hashes = image_dhash(media)
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
-    # blocks of `width` bits; the last block absorbs the remainder
+
     def block_expr(i: int):
         shift = i * width
         if i == n_blocks - 1:
-            return F.shiftrightunsigned(F.col("phash"), shift)
+            return F.shiftrightunsigned(F.col(hash_col), shift)
         mask = (1 << width) - 1
-        return F.shiftrightunsigned(F.col("phash"), shift).bitwiseAND(F.lit(mask))
+        return F.shiftrightunsigned(F.col(hash_col), shift).bitwiseAND(F.lit(mask))
 
     blocks = hashes.select(
-        "media_id",
-        "phash",
+        id_col,
+        hash_col,
         F.explode(
-            F.array(*[F.struct(F.lit(i).alias("bi"), block_expr(i).alias("bv")) for i in range(n_blocks)])
+            F.array(
+                *[F.struct(F.lit(i).alias("bi"), block_expr(i).alias("bv")) for i in range(n_blocks)]
+            )
         ).alias("b"),
-    ).select("media_id", "phash", "b.bi", "b.bv")
+    ).select(id_col, hash_col, "b.bi", "b.bv")
     a = blocks.select(
-        F.col("media_id").alias("id_a"), F.col("phash").alias("__pa"), "bi", "bv"
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("__pa"), "bi", "bv"
     )
     b = blocks.select(
-        F.col("media_id").alias("id_b"), F.col("phash").alias("__pb"), "bi", "bv"
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("__pb"), "bi", "bv"
     )
     cand = (
         a.join(b, ["bi", "bv"])
@@ -1054,9 +1129,31 @@ def image_near_dup_pairs(media: DataFrame, max_hamming: int = 4) -> DataFrame:
         .distinct()
     )
     return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("__pa").bitwiseXOR(F.col("__pb")))
-        )
+        cand.withColumn("hamming", F.bit_count(F.col("__pa").bitwiseXOR(F.col("__pb"))))
         .where(F.col("hamming") <= F.lit(max_hamming))
         .select("id_a", "id_b", "hamming")
     )
+
+
+def audio_fingerprints(media: DataFrame) -> DataFrame:
+    """X42 — ``(media_id, afp: long)`` for every decodable WAV blob
+    (other mimes dropped). Arrow-batched ``mapInPandas``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for mid, content, mime in zip(pdf["media_id"], pdf["content"], pdf["mime"]):
+                if mime not in AUDIO_MIMES:
+                    continue
+                ids.append(mid)
+                fps.append(audio_fingerprint64(bytes(content)))
+            yield pd.DataFrame({"media_id": ids, "afp": pd.array(fps, dtype="int64")})
+
+    return media.mapInPandas(run, "media_id long, afp long")
+
+
+def audio_near_dup_pairs(media: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """X42 — near-duplicate audio pairs via :func:`hamming_pairs_64` over
+    the energy-delta fingerprints. Same physical shape as image dedup:
+    16 bytes/clip shuffle, one block join, map-only verification."""
+    return hamming_pairs_64(audio_fingerprints(media), "media_id", "afp", max_hamming)

@@ -3183,6 +3183,25 @@ def x41_image_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X42 — audio near-dup (operators/multimodal.py): energy-delta
+# fingerprints over real PCM16 WAV decode + the same shared pigeonhole
+# Hamming join as image dedup. Rows-only (no audio decode in DuckDB).
+# --------------------------------------------------------------------------
+@query("x42_audio_pairs")
+def x42_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import (
+        audio_near_dup_pairs,
+        documents_as_wav,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # 12 of 64 bits: tight enough to stay selective on this corpus (5
+    # pairs of 500 docs at sf0.01), loose enough that the block join and
+    # verification path produce a non-empty smoke result
+    return audio_near_dup_pairs(documents_as_wav(docs), max_hamming=12)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green
 # but left 23 oracle-backed queries (r2 slots 51-73) with no driver-issued

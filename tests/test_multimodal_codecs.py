@@ -423,3 +423,68 @@ def test_image_near_dup_pairs_finds_perturbed_copy(spark):
     assert got == want
     assert (1, 2) in got  # the perturbed copy is found
     assert all(4 not in p for p in got)
+
+
+def test_audio_fingerprint_contour_and_wav_roundtrip():
+    """Energy-delta fingerprint of a crafted contour: strictly rising
+    frame energies give all-one bits, falling give all-zero; encode_wav
+    round-trips through decode_wav sample-exact."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import (
+        audio_fingerprint64,
+        decode_wav,
+        encode_wav,
+    )
+
+    # 65 frames x 10 samples, amplitude grows per frame -> rising energy
+    rising = [((i // 10) + 1) * 100 for i in range(650)]
+    assert audio_fingerprint64(encode_wav(rising)) == -1
+    falling = [(65 - i // 10) * 100 for i in range(650)]
+    assert audio_fingerprint64(encode_wav(falling)) == 0
+    rate, back = decode_wav(encode_wav(rising, framerate=16000))
+    assert rate == 16000 and back == rising
+
+
+def test_audio_near_dup_pairs_matches_brute_force(spark):
+    """Perturbed clip pairs with its original within the Hamming budget;
+    banding candidates == brute-force verified pairs."""
+    import random
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import (
+        audio_fingerprint64,
+        audio_near_dup_pairs,
+        encode_wav,
+    )
+
+    rng = random.Random(11)
+    base = [rng.randrange(-3000, 3000) for _ in range(650)]
+    pert = list(base)
+    for i in range(0, 50, 9):
+        pert[i] += 40
+    other = [rng.randrange(-3000, 3000) for _ in range(650)]
+    rows = [
+        (1, encode_wav(base), "audio/wav", {}),
+        (2, encode_wav(pert), "audio/wav", {}),
+        (3, encode_wav(other), "audio/wav", {}),
+        (4, b"not audio", "text/plain", {}),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, content binary, mime string, meta map<string,string>"
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in audio_near_dup_pairs(media, max_hamming=8).collect()
+    }
+    h = {i: audio_fingerprint64(rows[i - 1][1]) for i in (1, 2, 3)}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    want = {
+        (i, j): ham(h[i], h[j])
+        for i in (1, 2, 3)
+        for j in (1, 2, 3)
+        if i < j and ham(h[i], h[j]) <= 8
+    }
+    assert got == want
+    assert (1, 2) in got
+    assert all(4 not in p for p in got)
