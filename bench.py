@@ -76,6 +76,11 @@ HEADLINE = [
     "x39_recursive_cl",
     "x40_span_stats",
     "x41_image_pairs",
+    "x43_profile",
+    "x44_centroid_sums",
+    "x45_quantize",
+    "x46_dp_distinct_exact",
+    "x47_shard_plan",
 ]
 
 

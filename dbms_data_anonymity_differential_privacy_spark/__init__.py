@@ -139,7 +139,18 @@ from dbms_data_anonymity_differential_privacy_spark.sources.writers import (
     write_release,
     write_bucketed,
     write_adult_csv,
+    write_training_shards,
 )
+from dbms_data_anonymity_differential_privacy_spark.operators.profile import profile_columns
+from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import (
+    assemble_centroids,
+    centroid_sums,
+    dequantize,
+    label_centroids,
+    quantize_embeddings,
+)
+from dbms_data_anonymity_differential_privacy_spark.operators.sampling import assign_shards
+from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_count_distinct_users
 
 __all__ = [
     "get_spark",
@@ -234,4 +245,13 @@ __all__ = [
     "write_release",
     "write_bucketed",
     "write_adult_csv",
+    "write_training_shards",
+    "profile_columns",
+    "quantize_embeddings",
+    "dequantize",
+    "centroid_sums",
+    "assemble_centroids",
+    "label_centroids",
+    "assign_shards",
+    "dp_count_distinct_users",
 ]

@@ -871,3 +871,63 @@ def dp_sum_user_level(
     clipped = F.least(F.greatest(F.col(value_col), F.lit(lower)), F.lit(upper))
     agg = bounded.groupBy(*by).agg(F.sum(clipped).alias("sum_exact"))
     return agg.withColumn("sum_dp", F.col("sum_exact") + laplace_noise(by, scale, seed, salt))
+
+
+def dp_count_distinct_users(
+    df: DataFrame,
+    by: Sequence[str],
+    user_col: str,
+    epsilon: float,
+    max_groups: int = 1,
+    seed: int = 42,
+    budget: "PrivacyBudget | None" = None,
+    release: str | None = None,
+) -> DataFrame:
+    """X46 — user-level DP distinct-user counts per group.
+
+    "How many distinct users did each event_type see?" released with DP at
+    USER granularity: one user flips each group's distinct count by at most
+    1, but can sit in MANY groups, so the user-level sensitivity is the
+    number of groups they may touch. The standard bound (Wilson et al.
+    PoPETS 2020 §4, same line as :func:`bound_contribution`) keeps each
+    user in at most ``max_groups`` groups and scales noise by that:
+
+    1. collapse to distinct (user, group) pairs — one partial-aggregated
+       shuffle, the dedup the exact query needs anyway;
+    2. per-user deterministic selection of ``max_groups`` groups, ranked by
+       a PORTABLE content hash md5(user|group) — data-independent,
+       reproducible across engines/partitionings (never "first seen", which
+       is layout-dependent);
+    3. count surviving users per group + Laplace(max_groups/epsilon).
+
+    Output ``(*by, n_users_exact, n_users_dp)`` — the pre-noise core is the
+    deterministic oracle-checkable relation; production drops it. Physical
+    shape: distinct-pair shuffle → per-user window (bounded partitions) →
+    group partial agg; no step holds unbounded state per key.
+    """
+    from pyspark.sql import Window
+
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    if max_groups < 1:
+        raise ValueError("max_groups must be >= 1")
+    scale = max_groups / epsilon
+    salt = _release_salt("cdistinct", release, budget)
+    if budget is not None:
+        budget.spend(epsilon, f"dp_count_distinct:{user_col}@G{max_groups}")
+    pairs = df.select(user_col, *by).distinct()
+    rank_key = F.md5(
+        F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in (user_col, *by)]
+        ).cast("binary")
+    )
+    w = Window.partitionBy(user_col).orderBy(rank_key)
+    bounded = (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.lit(max_groups))
+        .drop("__rn")
+    )
+    agg = bounded.groupBy(*by).agg(F.count(F.lit(1)).alias("n_users_exact"))
+    return agg.withColumn(
+        "n_users_dp", F.col("n_users_exact") + laplace_noise(by, scale, seed, salt)
+    )

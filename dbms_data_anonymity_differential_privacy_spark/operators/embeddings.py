@@ -1,0 +1,193 @@
+"""Embedding-column utilities: scalar quantization and label centroids.
+
+The reference has no vector columns at all (SURVEY §0); X4 added cosine
+similarity / ANN over ``array<float>``. This module adds the two
+embedding operations the rest of a 100 TB curation stack leans on:
+
+- **Scalar quantization** (int8-style): the standard memory lever for
+  vector search — a 64-dim float32 embedding (256 B) becomes 64 int8
+  codes + one float scale (~68 B), a 3.7× working-set cut that turns
+  shuffle-heavy ANN stages CPU-bound instead of network-bound. Per-vector
+  symmetric max-abs scaling, the simplest industry-standard scheme
+  (FAISS ``ScalarQuantizer`` QT_8bit-style).
+- **Label centroids**: per-group mean vectors — IVF coarse-quantizer
+  training data, SemDeDup-style cluster centers, class prototypes.
+
+Determinism across engines is engineered, not hoped for:
+
+- Quantization is pure elementwise IEEE-double arithmetic:
+  ``floor(x / scale * qmax + 0.5)`` (explicit floor-of-shifted instead of
+  ``round`` — engines disagree on double rounding modes, but ``floor``,
+  ``/`` and ``*`` are bit-identical IEEE ops everywhere). float→double
+  widening is exact. The DuckDB twin is the same expression over
+  ``list_transform``, so the quantized codes hash-match bit-for-bit.
+- Exact centroids are computed over the QUANTIZED codes as
+  ``(sum BIGINT, count BIGINT)`` per (label, position) — integer
+  arithmetic is associative, so the distributed partial-agg order can
+  never change the answer (float centroids, by contrast, vary in the
+  last bit with aggregation order; ``label_centroids`` provides them for
+  API use under a tolerance contract, tested against numpy).
+
+Scale shape: quantization is map-only (no shuffle, codegen-friendly);
+centroids shuffle (label, pos) pairs — rows × dim 16-byte-ish records
+through ONE partial-aggregated exchange, grouped on a key whose
+cardinality (labels × dim) is tiny, so the reduce side is trivially
+broadcast-consumable by IVF/assignment stages downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(c: Column) -> Column:
+    return c.cast("double")
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+    scale_col: str = "q_scale",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector scalar quantization to ``bits``-bit codes.
+
+    Adds ``out_col`` (array<bigint> codes in [-qmax, qmax], qmax =
+    2^(bits-1) - 1) and ``scale_col`` (the per-vector max-abs, double).
+    Dequantize as ``code * scale / qmax``. All-zero vectors get scale 0
+    and all-zero codes (guarded — no 0/0 NaN). Map-only; deterministic
+    bit-for-bit across engines and partitionings.
+    """
+    if not 2 <= bits <= 32:
+        raise ValueError(f"bits must be in [2, 32], got {bits}")
+    qmax = float(2 ** (bits - 1) - 1)
+    scale = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(_as_double(x))))
+    code = lambda x: F.when(  # noqa: E731
+        F.col(scale_col) > 0.0,
+        F.floor(_as_double(x) / F.col(scale_col) * F.lit(qmax) + F.lit(0.5)),
+    ).otherwise(F.lit(0).cast("long"))
+    return df.withColumn(scale_col, scale).withColumn(
+        out_col, F.transform(F.col(vec_col), code)
+    )
+
+
+def dequantize(
+    df: DataFrame,
+    code_col: str = "qvec",
+    scale_col: str = "q_scale",
+    out_col: str = "vec_approx",
+    bits: int = 8,
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings` (lossy): code*scale/qmax."""
+    qmax = float(2 ** (bits - 1) - 1)
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(code_col), lambda q: _as_double(q) * F.col(scale_col) / F.lit(qmax)),
+    )
+
+
+def centroid_sums(
+    df: DataFrame,
+    label_col: str = "label",
+    code_col: str = "qvec",
+) -> DataFrame:
+    """Exact per-(label, position) centroid accumulators over quantized codes.
+
+    Returns ``(label, pos, n, sum_q)`` — all integers, so the distributed
+    aggregation is bit-exact whatever the partial-agg order. The centroid
+    code at (label, pos) is ``sum_q / n`` (consumer's choice of float or
+    re-quantized). Long layout is deliberate: it is the join-ready /
+    oracle-checkable relation; reassemble arrays with
+    :func:`assemble_centroids` when a vector shape is needed.
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"), F.posexplode(F.col(code_col)).alias("pos", "q")
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("q").alias("sum_q")
+    )
+
+
+def assemble_centroids(sums: DataFrame, bits: int = 8) -> DataFrame:
+    """Fold :func:`centroid_sums` output back to one mean-code vector per
+    label: ``(label, n, centroid array<double>)`` (codes / qmax scale)."""
+    qmax = float(2 ** (bits - 1) - 1)
+    return (
+        sums.groupBy("label")
+        .agg(
+            F.max("n").alias("n"),
+            F.array_sort(
+                F.collect_list(F.struct("pos", "sum_q", "n"))
+            ).alias("_parts"),
+        )
+        .select(
+            "label",
+            "n",
+            F.transform(
+                F.col("_parts"),
+                lambda p: p["sum_q"].cast("double") / p["n"].cast("double") / F.lit(qmax),
+            ).alias("centroid"),
+        )
+    )
+
+
+def label_centroids(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Float mean vector per label: ``(label, n, centroid array<double>)``.
+
+    The convenience API (IVF training, prototypes). Float summation order
+    varies with partitioning, so this carries a tolerance contract (tested
+    against numpy at rtol 1e-6), not a bit-exactness one — use
+    :func:`centroid_sums` when cross-run hashes must agree.
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_as_double_array(F.col(vec_col))).alias("pos", "v"),
+    )
+    per_pos = exploded.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("v").alias("mean_v")
+    )
+    return (
+        per_pos.groupBy("label")
+        .agg(
+            F.max("n").alias("n"),
+            F.array_sort(F.collect_list(F.struct("pos", "mean_v"))).alias("_parts"),
+        )
+        .select(
+            "label",
+            "n",
+            F.transform(F.col("_parts"), lambda p: p["mean_v"]).alias("centroid"),
+        )
+    )
+
+
+def _as_double_array(c: Column) -> Column:
+    return F.transform(c, _as_double)
+
+
+def quantization_error(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Per-vector max absolute reconstruction error of ``bits``-bit
+    quantization, as a fraction of the vector's scale — bounded by
+    ``0.5 / qmax`` by construction (asserted in tests, the operator's
+    correctness invariant)."""
+    qmax = float(2 ** (bits - 1) - 1)
+    q = quantize_embeddings(df, vec_col=vec_col, bits=bits)
+    rec = dequantize(q, bits=bits)
+    err = F.array_max(
+        F.zip_with(
+            _as_double_array(F.col(vec_col)),
+            F.col("vec_approx"),
+            lambda a, b: F.abs(a - b),
+        )
+    )
+    return rec.withColumn(
+        "rel_err",
+        F.when(F.col("q_scale") > 0.0, err / F.col("q_scale")).otherwise(F.lit(0.0)),
+    ).drop("vec_approx")

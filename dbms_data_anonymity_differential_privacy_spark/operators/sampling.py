@@ -127,3 +127,43 @@ def stratified_sample_n(
         .filter(F.col("__rn") <= F.lit(int(n_per_stratum)))
         .drop("__rn")
     )
+
+
+def assign_shards(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    n_shards: int,
+    salt: str = "",
+    shard_col: str = "shard",
+    sort_col: str = "sort_key",
+) -> DataFrame:
+    """X47 — deterministic training-shard assignment + intra-shard order.
+
+    Training exports need (a) a fixed number of shards whose CONTENTS do
+    not depend on cluster layout, and (b) a reproducible within-shard
+    order (the "global shuffle" that training dataloaders assume was baked
+    in at export time). Both derive from the same portable content hash
+    the sampling operators use:
+
+    - ``shard`` = equal-width bucket of the 32-bit hash space:
+      ``(hash_int * n_shards) >> 32`` — pure 64-bit integer arithmetic
+      (no float division anywhere, so no boundary rounding), identical in
+      any engine, near-uniform shard sizes for any n_shards (no
+      power-of-two requirement);
+    - ``sort_key`` = the 8-hex-char hash itself; ordering by it inside a
+      shard is a content-derived pseudo-random permutation, so
+      sequentially-read shards still deliver i.i.d.-looking batches.
+
+    Map-only (no shuffle here — the WRITE repartitions by shard; see
+    ``sources.writers.write_training_shards``). Re-running on a grown
+    corpus never moves an existing row to a different shard or changes its
+    sort key: per-row decisions only.
+    """
+    if not 1 <= n_shards <= 1 << 20:
+        raise ValueError("n_shards must be in [1, 2^20]")  # keeps hash*n in int64
+    hex_hash = _hash_hex(key_cols, salt)
+    hash_int = F.conv(hex_hash, 16, 10).cast("long")
+    return df.withColumn(sort_col, hex_hash).withColumn(
+        shard_col,
+        F.shiftright(hash_int * F.lit(int(n_shards)), 32),
+    )

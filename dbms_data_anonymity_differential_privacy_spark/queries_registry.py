@@ -3202,6 +3202,187 @@ def x42_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X43 — one-pass column profiling (operators/profile.py): per-column
+# n/nulls/distinct/min/max in ONE scan; the DuckDB twin is generated from
+# the SAME column list so coverage can't drift. Doubles as the r4 read-path
+# representative (the profile is a pure scan+aggregate over lineitem).
+# --------------------------------------------------------------------------
+_X43_COLS = ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+_X43_NUMERIC = ["l_orderkey", "l_quantity"]
+
+
+def _x43_oracle() -> str:
+    from dbms_data_anonymity_differential_privacy_spark.operators.profile import profile_oracle_sql
+
+    return profile_oracle_sql("lineitem", _X43_COLS, _X43_NUMERIC)
+
+
+@query("x43_profile")
+def x43_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.profile import profile_columns
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_columns(li, _X43_COLS)
+
+
+ORACLE_SQL["x43_profile"] = _x43_oracle()
+
+
+@query("x43_profile_approx")
+def x43_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rows-only: HyperLogLog++ estimates are engine-specific by design;
+    # the ±rsd band vs the exact profile is pinned in test_profile.py.
+    from dbms_data_anonymity_differential_privacy_spark.operators.profile import profile_columns
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile_columns(li, _X43_COLS, exact=False)
+
+
+# --------------------------------------------------------------------------
+# X44/X45 — embedding quantization + exact label centroids
+# (operators/embeddings.py). Quantization is pure elementwise IEEE-double
+# arithmetic (floor-of-shifted, never round()) so the int8 codes hash-match
+# DuckDB bit-for-bit; centroids aggregate the QUANTIZED codes as
+# (sum BIGINT, count) — integer arithmetic, associative, so the distributed
+# partial-agg order can never change the released relation.
+# --------------------------------------------------------------------------
+_X45_QUANT_CTE = """
+quant AS (
+  SELECT vec_id, label, q_scale,
+    list_transform(embedding, x ->
+      CAST(floor(CAST(x AS DOUBLE) / q_scale * 127 + 0.5) AS BIGINT)) AS qlist
+  FROM (
+    SELECT vec_id, label, embedding,
+           list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS q_scale
+    FROM embeddings
+  ) s
+)
+"""
+
+
+@query(
+    "x45_quantize",
+    f"""
+    WITH {_X45_QUANT_CTE}
+    SELECT vec_id, r.i - 1 AS pos, qlist[r.i] AS q, q_scale
+    FROM quant, range(1, 1 + 64) r(i)
+    """,
+)
+def x45_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    return q.select(
+        "vec_id", F.posexplode("qvec").alias("pos", "q"), "q_scale"
+    ).select("vec_id", "pos", "q", "q_scale")
+
+
+@query(
+    "x44_centroid_sums",
+    f"""
+    WITH {_X45_QUANT_CTE}
+    SELECT label, r.i - 1 AS pos, COUNT(*) AS n,
+           CAST(SUM(qlist[r.i]) AS BIGINT) AS sum_q
+    FROM quant, range(1, 1 + 64) r(i)
+    GROUP BY label, pos
+    """,
+)
+def x44_centroid_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import (
+        centroid_sums,
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_sums(quantize_embeddings(emb), label_col="label", code_col="qvec")
+
+
+@query("x44_label_centroids")
+def x44_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rows-only: float centroids carry a tolerance contract (summation
+    # order varies with partitioning); numpy-parity pinned in
+    # test_embeddings.py. The bit-exact path is x44_centroid_sums.
+    from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroids(emb)
+
+
+# --------------------------------------------------------------------------
+# X46 — user-level DP distinct-user counts (operators/dp.py
+# dp_count_distinct_users): distinct (user, group) pairs, per-user group
+# cap ranked by a PORTABLE md5(user|group) hash, Laplace(G/eps). The exact
+# pre-noise core is the oracle row; the noisy release is rows-only like
+# every other X1 mechanism.
+# --------------------------------------------------------------------------
+@query(
+    "x46_dp_distinct_exact",
+    """
+    WITH pairs AS (SELECT DISTINCT user_id, event_type FROM events),
+    ranked AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY md5(cast(user_id AS varchar) || '|' || event_type)
+             ) AS rn
+      FROM pairs)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users_exact
+    FROM ranked WHERE rn <= 2 GROUP BY event_type
+    """,
+)
+def x46_dp_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_count_distinct_users
+
+    ev = load_table(spark, sf_dir, "events")
+    out = dp_count_distinct_users(
+        ev, ["event_type"], "user_id", epsilon=1.0, max_groups=2, release="x46_exact"
+    )
+    return out.select("event_type", "n_users_exact")
+
+
+@query("x46_dp_distinct")
+def x46_dp_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_count_distinct_users
+
+    ev = load_table(spark, sf_dir, "events")
+    return dp_count_distinct_users(
+        ev, ["event_type"], "user_id", epsilon=1.0, max_groups=2, release="x46"
+    )
+
+
+# --------------------------------------------------------------------------
+# X47 — deterministic training-shard export (operators/sampling.py
+# assign_shards + sources/writers.py write_training_shards). The query is
+# the shard PLAN relation (per-shard count + sort-key range) — the part an
+# oracle can check; the physical partitioned/sorted parquet layout is
+# pinned by test_export_shards.py.
+# --------------------------------------------------------------------------
+@query(
+    "x47_shard_plan",
+    """
+    WITH h AS (
+      SELECT substr(md5(cast(doc_id AS varchar) || '|x47'), 1, 8) AS sort_key
+      FROM documents)
+    SELECT (CAST('0x' || sort_key AS BIGINT) * 8) >> 32 AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(sort_key) AS first_key, MAX(sort_key) AS last_key
+    FROM h GROUP BY shard
+    """,
+)
+def x47_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.sampling import assign_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    sharded = assign_shards(docs, ["doc_id"], 8, salt="x47")
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("sort_key").alias("first_key"),
+        F.max("sort_key").alias("last_key"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green
 # but left 23 oracle-backed queries (r2 slots 51-73) with no driver-issued
@@ -3217,7 +3398,7 @@ def x42_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # UNION of r2+r3 driver rows covers every oracle-backed query with no
 # component ever unchecked.
 # --------------------------------------------------------------------------
-_WINDOW_R3 = [
+_WINDOW_R4 = [
     # --- the 23 never-driver-checked oracle queries (r2 slots 51-73) ---
     "x01_dp_count_exact",
     "x01_dp_sum_exact",
@@ -3247,9 +3428,14 @@ _WINDOW_R3 = [
     # --- new r3 oracle-backed queries ---
     "x15_mondrian_exact",
     "x04_cosine_pairs_topm",
-    # --- per-component representatives (all r2-green; kept in-window so
-    # --- every composite/extension component gets a fresh r3 row too ---
-    "c01_k_anonymize_suppress",
+    # --- new r4 oracle-backed queries (the only three slots available:
+    # --- every other slot holds a query with NO driver row yet; the r2-green
+    # --- evictees c01/p01/pipe_tcloseness keep coverage via the r2 ledger,
+    # --- and x46/x47 wait for the r5 rotation — pinned in
+    # --- tests/test_registry_window.py NEW_THIS_ROUND) ---
+    "x43_profile",
+    "x44_centroid_sums",
+    "x45_quantize",
     # c02 rotated out for x31 (r2-green; the audit's class-size algebra is
     # the same relation c01 and x32 drive in-window)
     "x31_fuzzy_pairs",
@@ -3291,10 +3477,6 @@ _WINDOW_R3 = [
     # pipe_naive rotated out for x40 (r2-green; its counts-relation
     # algebra stays in-window via pipe_tcloseness_metrics)
     "x40_span_stats",
-    "pipe_tcloseness_metrics",
-    # --- structurally distinct P primitives (read path, null drop, hash
-    # --- agg, window-to-rows, zero-filled distribution) ---
-    "p01_scan",
     # p02 rotated out for x38 (r2-green; the drop-null read path is
     # exercised by every load_table call and the in-window p01 scan)
     "x38_vgh",
@@ -3318,8 +3500,8 @@ _WINDOW_R3 = [
 
 def _reorder_for_driver_window() -> None:
     ordered = (
-        [n for n in _WINDOW_R3 if n in QUERIES]
-        + [n for n in QUERIES if n in ORACLE_SQL and n not in _WINDOW_R3]
+        [n for n in _WINDOW_R4 if n in QUERIES]
+        + [n for n in QUERIES if n in ORACLE_SQL and n not in _WINDOW_R4]
         + [n for n in QUERIES if n not in ORACLE_SQL]
     )
     reordered = {n: QUERIES[n] for n in ordered}
