@@ -280,3 +280,51 @@ def t_closeness_pipeline(
     # counts aggregation (anon only materializes if the caller consumes it)
     metrics = _one_row(supp, uniq, ncp(counts, post_counts, eff_qi), viol)
     return {"anonymized": anon, "metrics": metrics}
+
+
+def training_export_plan(
+    docs: DataFrame,
+    n_shards: int = 8,
+    gopher_thresholds: Mapping | None = None,
+    salt: str = "export",
+) -> DataFrame:
+    """End-to-end training-export composite: clean → quality gate →
+    exact dedup → deterministic shard plan.
+
+    The full curation funnel a 100 TB pretraining export runs, stitched
+    from the engine's own operators so every stage keeps its verified
+    semantics (each has its own oracle row; this composite has one too):
+
+    1. ``clean.clean_text`` — markup/control/whitespace normalization
+       (map-only);
+    2. ``quality.gopher_quality`` — Rae et al. shape rules over the
+       CLEANED text, ``lang`` carried through ``keep_cols`` so the gate is
+       ONE projection (map-only);
+    3. ``dedup.dedup_by_fingerprint`` — exact content dedup on the
+       normalized md5 fingerprint (the pipeline's single fact shuffle);
+    4. ``sampling.assign_shards`` — content-hash shard + sort key
+       (map-only).
+
+    Returns the per-(shard, lang) plan relation ``(shard, lang, n_docs,
+    total_tokens)`` — the relation an export coordinator uses to size
+    writer tasks; feed the same surviving rows to
+    ``sources.writers.write_training_shards`` for the physical layout.
+    Physical shape: one map-only funnel + the dedup shuffle + one
+    partial-agg rollup; nothing rescans the corpus.
+    """
+    from dbms_data_anonymity_differential_privacy_spark.operators.clean import clean_text
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import dedup_by_fingerprint
+    from dbms_data_anonymity_differential_privacy_spark.operators.quality import gopher_quality
+    from dbms_data_anonymity_differential_privacy_spark.operators.sampling import assign_shards
+
+    cleaned = docs.select("doc_id", "lang", clean_text(F.col("text")).alias("text"))
+    gated = gopher_quality(
+        cleaned, thresholds=dict(gopher_thresholds or {}), keep_cols=("lang", "text")
+    )
+    kept = gated.filter(F.col("pass_gopher")).select("doc_id", "lang", "text", "n_tokens")
+    deduped = dedup_by_fingerprint(kept)
+    sharded = assign_shards(deduped, ["doc_id"], n_shards, salt=salt)
+    return sharded.groupBy("shard", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

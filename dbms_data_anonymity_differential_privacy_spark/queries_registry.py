@@ -3382,6 +3382,48 @@ def x47_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --------------------------------------------------------------------------
+# pipe_training_export — the full pretraining-export funnel (clean → tuned
+# Gopher gate → fingerprint dedup → shard plan), every stage reusing an
+# operator that already holds its own oracle row; this row checks the
+# COMPOSITION end to end through the same generated SQL twins.
+# --------------------------------------------------------------------------
+def _training_export_sql() -> str:
+    from dbms_data_anonymity_differential_privacy_spark.operators.clean import clean_text_sql
+    from dbms_data_anonymity_differential_privacy_spark.operators.quality import gopher_quality_sql
+
+    gq = gopher_quality_sql("cleaned", thresholds=_GOPHER_TUNING)
+    return f"""
+    WITH cleaned AS (SELECT doc_id, lang, {clean_text_sql("text")} AS text
+                     FROM documents),
+    g AS ({gq}),
+    kept AS (SELECT cleaned.doc_id, cleaned.lang, cleaned.text, g.n_tokens
+             FROM g JOIN cleaned USING (doc_id) WHERE g.pass_gopher),
+    d AS (SELECT * FROM (
+            SELECT kept.*,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS __fp
+            FROM kept)
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY __fp ORDER BY doc_id) = 1),
+    h AS (SELECT lang, n_tokens,
+            (CAST('0x' || substr(md5(cast(doc_id AS varchar) || '|export'), 1, 8)
+                  AS BIGINT) * 8) >> 32 AS shard
+          FROM d)
+    SELECT shard, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM h GROUP BY shard, lang
+    """
+
+
+@query("pipe_training_export", _training_export_sql())
+def pipe_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark import pipelines
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pipelines.training_export_plan(docs, n_shards=8, gopher_thresholds=_GOPHER_TUNING)
+
+
+
 # --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green

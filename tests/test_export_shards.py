@@ -143,3 +143,26 @@ def test_budget_spend_and_validation(events):
         dp_count_distinct_users(
             events, ["event_type"], "user_id", epsilon=1.0, max_groups=0, release="x"
         )
+
+
+# ------------------------------------------------- pipe_training_export ----
+
+
+def test_training_export_funnel_consistent(docs):
+    from dbms_data_anonymity_differential_privacy_spark import pipelines
+    from dbms_data_anonymity_differential_privacy_spark.operators.clean import clean_text
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import dedup_by_fingerprint
+    from dbms_data_anonymity_differential_privacy_spark.operators.quality import gopher_quality
+
+    th = {"min_stopwords": 1}
+    plan = pipelines.training_export_plan(docs, n_shards=4, gopher_thresholds=th)
+    rows = plan.collect()
+    # plan totals equal the manually-composed funnel
+    cleaned = docs.select("doc_id", "lang", clean_text(F.col("text")).alias("text"))
+    gated = gopher_quality(cleaned, thresholds=th, keep_cols=("lang", "text"))
+    kept = gated.filter(F.col("pass_gopher"))
+    surviving = dedup_by_fingerprint(kept.select("doc_id", "lang", "text", "n_tokens"))
+    assert sum(r["n_docs"] for r in rows) == surviving.count()
+    assert surviving.count() <= kept.count() <= docs.count()
+    assert {r["shard"] for r in rows} <= set(range(4))
+    assert all(r["total_tokens"] > 0 for r in rows)
