@@ -43,6 +43,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from dbms_data_anonymity_differential_privacy_spark.operators.util import fan_out
+
 _NUMERIC = (
     T.ByteType,
     T.ShortType,
@@ -80,6 +82,12 @@ def profile_columns(
     unknown = [c for c in cols if c not in dtypes]
     if unknown:
         raise ValueError(f"unknown columns: {unknown}")
+
+    # The multi-distinct Expand plan multiplies every input row by
+    # (n_distinct_cols + 1) BEFORE the partial aggregation, so this is
+    # CPU-heavy per *input split* — fan out a narrow scan to all cores
+    # (no-op at real scale where the scan already has >= cores splits).
+    df = fan_out(df.select(*cols))
 
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
     for c in cols:
