@@ -81,6 +81,8 @@ HEADLINE = [
     "x45_quantize",
     "x46_dp_distinct_exact",
     "x47_shard_plan",
+    "x48_snapshot_diff",
+    "pipe_training_export",
 ]
 
 

@@ -151,6 +151,10 @@ from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import 
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.sampling import assign_shards
 from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_count_distinct_users
+from dbms_data_anonymity_differential_privacy_spark.operators.snapshot import (
+    snapshot_diff,
+    snapshot_diff_summary,
+)
 
 __all__ = [
     "get_spark",
@@ -254,4 +258,6 @@ __all__ = [
     "label_centroids",
     "assign_shards",
     "dp_count_distinct_users",
+    "snapshot_diff",
+    "snapshot_diff_summary",
 ]

@@ -3424,6 +3424,65 @@ def pipe_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+# --------------------------------------------------------------------------
+# X48 — corpus snapshot diff (operators/snapshot.py): added/removed/changed
+# accounting between two dataset versions over (id, fingerprint) relations
+# — ONE slim full-outer shuffle join, document bodies never move. The two
+# "snapshots" are derived deterministically from the documents table with
+# the engine's own portable-hash predicates (5% only-in-new, 5%
+# only-in-old, 10% edited), so the oracle twin reconstructs them exactly.
+# --------------------------------------------------------------------------
+_X48_T5 = "0ccccccd"
+_X48_T10 = "1999999a"
+
+
+def _x48_snapshots(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents")
+    h = lambda salt: F.substring(  # noqa: E731 — portable md5 draw, as sampling._hash_hex
+        F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.lit(salt)).cast("binary")), 1, 8
+    )
+    old = docs.filter(~(h("x48a") < F.lit(_X48_T5)))
+    edited = F.when(h("x48c") < F.lit(_X48_T10), F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+        F.col("text")
+    )
+    new = docs.filter(~(h("x48b") < F.lit(_X48_T5))).withColumn("text", edited)
+    return old, new
+
+
+@query(
+    "x48_snapshot_diff",
+    f"""
+    WITH old AS (
+      SELECT doc_id, text FROM documents
+      WHERE NOT substr(md5(cast(doc_id AS varchar) || '|x48a'), 1, 8) < '0ccccccd'
+    ),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(cast(doc_id AS varchar) || '|x48c'), 1, 8) < '1999999a'
+                  THEN text || ' v2' ELSE text END AS text
+      FROM documents
+      WHERE NOT substr(md5(cast(doc_id AS varchar) || '|x48b'), 1, 8) < '0ccccccd'
+    ),
+    o AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM old),
+    n AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM new)
+    SELECT CASE WHEN o.fp IS NULL THEN 'added'
+                WHEN n.fp IS NULL THEN 'removed'
+                WHEN o.fp = n.fp THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM o FULL OUTER JOIN n USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def x48_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.snapshot import snapshot_diff_summary
+
+    old, new = _x48_snapshots(spark, sf_dir)
+    return snapshot_diff_summary(old, new)
+
+
+
 # --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green

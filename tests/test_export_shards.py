@@ -166,3 +166,42 @@ def test_training_export_funnel_consistent(docs):
     assert surviving.count() <= kept.count() <= docs.count()
     assert {r["shard"] for r in rows} <= set(range(4))
     assert all(r["total_tokens"] > 0 for r in rows)
+
+
+# ------------------------------------------------------- snapshot diff ----
+
+
+def test_snapshot_diff_statuses(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.snapshot import (
+        snapshot_diff,
+        snapshot_diff_summary,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, "delta")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "beta"), (3, "gamma EDITED"), (4, "  DELTA  "), (5, "new doc")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    # 4: whitespace/case-only edit -> fingerprint-identical -> unchanged
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "unchanged", 5: "added"}
+    summary = {r["status"]: r["n_docs"] for r in snapshot_diff_summary(old, new).collect()}
+    assert summary == {"removed": 1, "unchanged": 2, "changed": 1, "added": 1}
+
+
+def test_snapshot_diff_shuffles_fingerprints_not_bodies(spark, sf001):
+    from dbms_data_anonymity_differential_privacy_spark.operators.snapshot import snapshot_diff
+
+    docs = spark.read.parquet(f"{sf001}/documents.parquet")
+    plan = snapshot_diff(docs, docs)._jdf.queryExecution().executedPlan().toString()
+    # every shuffle of the diff must carry (doc_id, md5-fingerprint)
+    # projections, never the document body: the md5 Project sits BELOW each
+    # Exchange (map side), so only 40-byte identity records cross the wire
+    lines = plan.splitlines()
+    exchanges = [i for i, l in enumerate(lines) if "Exchange hashpartitioning(doc_id" in l]
+    assert exchanges, plan
+    for i in exchanges:
+        below = "\n".join(lines[i : i + 3])
+        assert "md5" in below, below
