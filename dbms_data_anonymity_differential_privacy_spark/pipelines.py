@@ -316,8 +316,15 @@ def training_export_plan(
     from dbms_data_anonymity_differential_privacy_spark.operators.dedup import dedup_by_fingerprint
     from dbms_data_anonymity_differential_privacy_spark.operators.quality import gopher_quality
     from dbms_data_anonymity_differential_privacy_spark.operators.sampling import assign_shards
+    from dbms_data_anonymity_differential_privacy_spark.operators.util import fan_out
 
-    cleaned = docs.select("doc_id", "lang", clean_text(F.col("text")).alias("text"))
+    # Fan out BEFORE the clean projection: a projection composed under a
+    # later repartition stays below that exchange, so a narrow (one-file)
+    # scan would run every clean/gate regex single-threaded. No-op at real
+    # scale (scan already has >= cores splits).
+    cleaned = fan_out(docs.select("doc_id", "lang", "text")).select(
+        "doc_id", "lang", clean_text(F.col("text")).alias("text")
+    )
     gated = gopher_quality(
         cleaned, thresholds=dict(gopher_thresholds or {}), keep_cols=("lang", "text")
     )
