@@ -82,6 +82,7 @@ HEADLINE = [
     "x46_dp_distinct_exact",
     "x47_shard_plan",
     "x48_snapshot_diff",
+    "x49_heavy_hitters_exact",
     "pipe_training_export",
 ]
 

@@ -151,6 +151,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import 
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.sampling import assign_shards
 from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_count_distinct_users
+from dbms_data_anonymity_differential_privacy_spark.operators.sketch import heavy_hitters
 from dbms_data_anonymity_differential_privacy_spark.operators.snapshot import (
     snapshot_diff,
     snapshot_diff_summary,
@@ -258,6 +259,7 @@ __all__ = [
     "label_centroids",
     "assign_shards",
     "dp_count_distinct_users",
+    "heavy_hitters",
     "snapshot_diff",
     "snapshot_diff_summary",
 ]

@@ -3483,6 +3483,50 @@ def x48_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+# --------------------------------------------------------------------------
+# X49 — Misra-Gries heavy hitters (operators/sketch.py): bounded-memory
+# frequent values, per-partition Arrow summaries + SQL merge with an error
+# certificate. With k >= true cardinality the sketch is EXACT (err_bound
+# 0) — that regime is the oracle row; the sketch regime is bound-tested
+# against exact counts in test_sketch.py.
+# --------------------------------------------------------------------------
+@query(
+    "x49_heavy_hitters_exact",
+    """
+    SELECT event_type AS value, CAST(COUNT(*) AS BIGINT) AS est_count,
+           CAST(0 AS BIGINT) AS err_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def x49_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.sketch import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters(ev, "event_type", k=32)
+
+
+@query("x49_heavy_hitters")
+def x49_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rows-only: the sketch regime (k << cardinality) — counts are lower
+    # bounds with a certificate, engine-specific by construction. The
+    # synthetic tables are deliberately uniform (no column has heavy
+    # hitters — on uniform data MG correctly returns nothing), so the
+    # query derives a deterministically skewed key: ~30% of events
+    # collapse onto one hot key over the uniform user tail.
+    from dbms_data_anonymity_differential_privacy_spark.operators.sketch import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    skewed = ev.withColumn(
+        "skewed_key",
+        F.when(F.pmod(F.xxhash64("event_id"), F.lit(10)) < 3, F.lit(-1)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    return heavy_hitters(skewed, "skewed_key", k=8)
+
+
+
 # --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green

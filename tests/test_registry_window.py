@@ -86,7 +86,7 @@ def test_every_oracle_component_has_driver_signal():
 # construction. They must rotate in next round; until then their check is
 # the local dual-SF oracle sweep. This set must shrink to empty as windows
 # rotate — growing it needs the same saturation argument in a comment.
-NEW_THIS_ROUND = {"x46_dp_distinct_exact", "x47_shard_plan", "pipe_training_export", "x48_snapshot_diff"}
+NEW_THIS_ROUND = {"x46_dp_distinct_exact", "x47_shard_plan", "pipe_training_export", "x48_snapshot_diff", "x49_heavy_hitters_exact"}
 
 
 def test_rotated_out_queries_were_driver_green():
