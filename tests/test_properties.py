@@ -348,3 +348,83 @@ def test_repeated_span_stats_equals_brute_force(spark, docs, window):
             covered.update(range(p, p + window))
         want[i] = (len(marks), len(covered), len(ts))
     assert got == want
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-100, max_value=100, allow_nan=False, allow_infinity=False, width=32),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**SETTINGS)
+def test_quantization_properties(spark, vecs):
+    from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import (
+        dequantize,
+        quantize_embeddings,
+    )
+
+    # pad to a rectangular batch (the operator is per-row; ragged is fine,
+    # but padding keeps the toPandas comparison simple)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = dequantize(quantize_embeddings(df)).collect()
+    for r in out:
+        scale = r["q_scale"]
+        assert scale >= 0.0
+        for q, orig, rec in zip(r["qvec"], r["embedding"], r["vec_approx"]):
+            assert -127 <= q <= 127
+            # reconstruction error bounded by half a quantization step
+            assert abs(rec - float(orig)) <= scale * (0.5 / 127) + 1e-9
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.integers(-50, 50), st.none()), min_size=1, max_size=60
+    )
+)
+@settings(**SETTINGS)
+def test_profile_matches_python(spark, vals):
+    from dbms_data_anonymity_differential_privacy_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame([(v,) for v in vals], "a long")
+    r = profile_columns(df, ["a"]).collect()[0]
+    present = [v for v in vals if v is not None]
+    assert r["n_rows"] == len(vals)
+    assert r["n_nulls"] == len(vals) - len(present)
+    assert r["n_distinct"] == len(set(present))
+    if present:
+        assert r["min_value"] == f"{min(present)}.000000000"
+        assert r["max_value"] == f"{max(present)}.000000000"
+    else:
+        assert r["min_value"] is None and r["max_value"] is None
+
+
+@given(
+    vals=st.lists(st.integers(0, 6), min_size=1, max_size=80),
+    k=st.integers(1, 8),
+)
+@settings(**SETTINGS)
+def test_heavy_hitter_bounds_any_data(spark, vals, k):
+    from collections import Counter
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.sketch import heavy_hitters
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long").repartition(3)
+    out = heavy_hitters(df, "v", k=k).collect()
+    exact = Counter(vals)
+    err = out[0]["err_bound"] if out else len(vals)
+    assert err <= len(vals) / (k + 1)
+    got = {r["value"]: r["est_count"] for r in out}
+    for v, est in got.items():
+        assert est <= exact[v] <= est + err
+    topk = sorted(exact.values(), reverse=True)[:k]
+    for v, c in exact.items():
+        if c > err and c in topk and len(got) < k:
+            assert v in got
