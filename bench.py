@@ -83,6 +83,12 @@ HEADLINE = [
     "x47_shard_plan",
     "x48_snapshot_diff",
     "x49_heavy_hitters_exact",
+    "x50_weighted_sample",
+    "x51_beta_likeness",
+    "x52_gapfill",
+    "x53_mad_outliers",
+    "x54_funnel",
+    "x55_retention",
     "pipe_training_export",
 ]
 

@@ -156,6 +156,17 @@ from dbms_data_anonymity_differential_privacy_spark.operators.snapshot import (
     snapshot_diff,
     snapshot_diff_summary,
 )
+from dbms_data_anonymity_differential_privacy_spark.operators.funnel import (
+    funnel,
+    funnel_user_states,
+    retention_cohorts,
+)
+from dbms_data_anonymity_differential_privacy_spark.operators.sampling import weighted_sample_n
+from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import (
+    beta_likeness_audit,
+)
+from dbms_data_anonymity_differential_privacy_spark.operators.temporal import gapfill_rollup
+from dbms_data_anonymity_differential_privacy_spark.operators.metrics import mad_outlier_stats
 
 __all__ = [
     "get_spark",
@@ -262,4 +273,11 @@ __all__ = [
     "heavy_hitters",
     "snapshot_diff",
     "snapshot_diff_summary",
+    "funnel",
+    "funnel_user_states",
+    "retention_cohorts",
+    "weighted_sample_n",
+    "beta_likeness_audit",
+    "gapfill_rollup",
+    "mad_outlier_stats",
 ]

@@ -1,0 +1,170 @@
+"""Event-sequence analytics: conversion funnels and retention cohorts.
+
+The reference has no event data at all (its single table is the static
+Adult census extract, ``naive-suppresion.py:13-20``); these operators are
+north-star extensions over the ``events`` stream table — the two queries
+every product/analytics deployment of an engine like this runs daily, and
+the two whose naive formulations (self-joins per step, per-user Python
+loops) collapse first at 100 TB.
+
+Scale design
+------------
+``funnel``: the classic formulation is k-1 self-joins of the event table
+(step i joined against step i+1 with a time predicate) — k-1 shuffles of
+the *fact* table and a pair blowup on hot users. Here instead:
+
+1. a map-only filter keeps only the k step types (column-pruned scan —
+   usually a small fraction of the event volume);
+2. ONE shuffle groups the surviving ``(ts, step_rank)`` structs per user;
+3. a JVM higher-order-function fold (``aggregate`` over the sorted
+   struct array) walks each user's timeline once and records the
+   earliest timestamp at which each funnel prefix completes — no Python,
+   no second shuffle, whole-stage-codegen friendly;
+4. one global aggregation reduces the per-user state to per-step
+   conversion counts (k integers).
+
+Per-user state is k timestamps; the transient sorted array is bounded by
+the user's *step-type* event count. For adversarially hot users at 100 TB,
+pre-cap with ``stratified_sample_n``-style per-(user, type) quotas — the
+earliest events per type are the only ones that can ever advance the
+funnel state for monotone step sequences.
+
+``retention_cohorts``: events collapse to distinct (user, period) pairs
+map-side BEFORE any join (the activity relation is ≤ users × periods, ≪
+events); the cohort relation derives from that same slim relation, and
+the final rollup counts pairs, never rescanning facts. Both shuffles are
+over the slim activity relation.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_user_states(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user funnel progress: earliest completion time of each step prefix.
+
+    A user "reaches" step i at the earliest event of ``steps[i]`` that is
+    at-or-after the time they reached step i-1 (ordered funnel, ties
+    resolved earlier-step-first — matching SQL ``ts >= t_prev`` chaining
+    with ``MIN``). Output: ``(user_col, t1 .. tk)`` timestamps, NULL from
+    the first step the user never reached.
+    """
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps!r}")
+    k = len(steps)
+
+    rank: Column = F.lit(None).cast("int")
+    for i, s in reversed(list(enumerate(steps))):
+        rank = F.when(F.col(type_col) == F.lit(s), F.lit(i)).otherwise(rank)
+
+    relevant = events.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col), F.struct(F.col(ts_col).alias("ts"), rank.alias("rank")).alias("e")
+    )
+    per_user = relevant.groupBy(user_col).agg(
+        F.sort_array(F.collect_list("e")).alias("es")
+    )
+
+    # Fold the time-sorted events through the k-slot state vector: slot i
+    # takes the current event's ts iff the event is step i, slot i is
+    # still empty, and slot i-1 is filled. Sorting guarantees ts >= the
+    # prefix time, and (ts, rank) ordering makes equal-timestamp chains
+    # (step i at the exact ts step i-1 completed) count, matching the
+    # oracle's ts >= t_prev semantics.
+    init = F.array_repeat(F.lit(None).cast("timestamp"), k)
+    state = F.aggregate(
+        "es",
+        init,
+        lambda acc, e: F.transform(
+            acc,
+            lambda t, i: F.when(
+                (e["rank"] == i)
+                & t.isNull()
+                & ((e["rank"] == F.lit(0)) | F.element_at(acc, e["rank"]).isNotNull()),
+                e["ts"],
+            ).otherwise(t),
+        ),
+    )
+    cols = [F.element_at(state, i + 1).alias(f"t{i + 1}") for i in range(k)]
+    return per_user.select(F.col(user_col), *cols)
+
+
+def funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel conversion counts: users reaching each step prefix.
+
+    Output: ``(step, event_type, users)`` — 1-based step index, the step's
+    event type, and how many users completed steps 1..i in order. Counts
+    are exact integers (oracle-hashable); ``users`` is non-increasing in
+    ``step`` by construction.
+    """
+    states = funnel_user_states(events, steps, user_col, ts_col, type_col)
+    k = len(steps)
+    wide = states.agg(
+        *[
+            F.sum(F.when(F.col(f"t{i + 1}").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"u{i + 1}")
+            for i in range(k)
+        ]
+    )
+    stack = ", ".join(f"{i + 1}, '{steps[i]}', u{i + 1}" for i in range(k))
+    return wide.selectExpr(
+        f"stack({k}, {stack}) AS (step, event_type, users)"
+    ).select(F.col("step").cast("int"), "event_type", "users")
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users active N periods after first activity.
+
+    cohort = the user's first active period (``date_trunc`` boundary);
+    one output row per (cohort, period_offset) with the count of cohort
+    users active in that period. Offsets are exact integers; the cohort
+    boundary is released as an ISO date *string* so both engines hash the
+    same canonical value (DATE physical types differ across engines).
+    """
+    days = {"week": 7, "day": 1}
+    if period not in days:
+        raise ValueError(f"period must be one of {sorted(days)}, got {period!r}")
+    d = days[period]
+
+    act = (
+        events.select(
+            F.col(user_col),
+            F.to_date(F.date_trunc(period, F.col(ts_col))).alias("period"),
+        )
+        .distinct()
+    )
+    first = act.groupBy(user_col).agg(F.min("period").alias("cohort"))
+    return (
+        act.join(first, user_col)
+        .groupBy(
+            F.col("cohort").cast("string").alias("cohort"),
+            (F.datediff("period", "cohort") / d).cast("int").alias("period_offset"),
+        )
+        # act is distinct on (user, period) and offset is injective in
+        # period for a fixed user, so COUNT(*) == COUNT(DISTINCT user) —
+        # the cheap partial-aggregating form.
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )

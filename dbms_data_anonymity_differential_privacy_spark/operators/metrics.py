@@ -242,3 +242,60 @@ def k_map_audit(
             (F.coalesce(F.col("population_count"), F.lit(0)) < F.lit(k)).alias("at_risk"),
         )
     )
+
+
+def mad_outlier_stats(
+    df: DataFrame,
+    by: Sequence[str],
+    value_col: str,
+    cutoff: float = 4.4478,  # 3 * 1.4826 (the normal-consistency constant)
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """X53 — robust per-group outlier screen via median absolute deviation.
+
+    Data-quality primitive for ingest pipelines: mean/stddev outlier
+    rules are themselves dragged by the outliers they hunt; the MAD rule
+    (Hampel) flags ``|x - median| > cutoff * MAD`` with a 50% breakdown
+    point. ``cutoff`` is applied as ONE literal multiply (default
+    3 x 1.4826, i.e. "3 sigma" under normality) so the comparison is a
+    single bit-identical double op on any engine.
+
+    Output: ``(*by, n, n_outliers, med, mad)`` — exact type-7 medians
+    (unrounded; the x22 bit-match precedent) and exact integer counts.
+
+    Physical shape: three grouped aggregations of the fact table (median
+    → median-of-deviations → threshold count; the deviation screen is
+    inherently multi-pass since the cutoff depends on the deviation
+    distribution) with the tiny per-group stats relations broadcast back
+    between passes — no window over fact rows, no sort outside the
+    percentile aggregates. ``exact=False`` swaps both
+    medians for Greenwald-Khanna sketches (map-side mergeable, one pass
+    each) — the 100 TB path, at the cost of oracle bit-parity.
+    """
+
+    def med_of(col_expr: str) -> F.Column:
+        if exact:
+            return F.expr(f"percentile({col_expr}, 0.5)")
+        return F.percentile_approx(F.expr(col_expr), F.lit(0.5), F.lit(accuracy)).cast(
+            "double"
+        )
+
+    g1 = df.groupBy(*by).agg(med_of(value_col).alias("med"))
+    joined = df.join(F.broadcast(g1), on=list(by), how="inner").withColumn(
+        "__dev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    g2 = joined.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("med").alias("med"),
+        med_of("__dev").alias("mad"),
+    )
+    flagged = joined.join(
+        F.broadcast(g2.select(*by, "mad")), on=list(by), how="inner"
+    ).withColumn(
+        "__is_out", (F.col("__dev") > F.col("mad") * F.lit(float(cutoff))).cast("int")
+    )
+    outs = flagged.groupBy(*by).agg(F.sum("__is_out").alias("n_outliers"))
+    return g2.join(outs, on=list(by), how="inner").select(
+        *by, "n", "n_outliers", "med", "mad"
+    )

@@ -167,3 +167,52 @@ def assign_shards(
         shard_col,
         F.shiftright(hash_int * F.lit(int(n_shards)), 32),
     )
+
+
+def weighted_sample_n(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    weight_col: str,
+    n: int,
+    salt: str = "",
+    key_out: str = "es_key",
+) -> DataFrame:
+    """X50 — deterministic weighted sampling without replacement (top-n).
+
+    Efraimidis–Spirakis exponential race (IPL 2006): every row draws a
+    content-hash uniform u ∈ (0, 1] and competes with key ``-ln(u) / w``;
+    the n smallest keys win. This is EXACTLY weighted sampling without
+    replacement (each round, P[row wins] ∝ its weight among survivors),
+    but expressed as a stateless per-row key + one global top-n — no
+    sequential passes, no rejection loops.
+
+    Scale shape: the key is a map-only projection off the same portable
+    md5 draw the other sampling operators use (layout- and
+    engine-independent), and the top-n runs as TakeOrderedAndProject —
+    per-partition partial heaps of n rows, one singleton reduce of the
+    winners; the fact table is never sorted or shuffled. Deterministic:
+    same corpus + salt → same sample on any cluster (and in the DuckDB
+    oracle, which replays the identical arithmetic).
+
+    Rows with NULL, zero, or negative weight can never win and are
+    filtered out up front. Ties in the (continuous) key are broken by the
+    key columns, making selection total.
+    """
+    if n < 0:
+        raise ValueError("n must be >= 0")
+    # u = (h + 1) / 2^32 over the 8-hex-char draw: exact power-of-two
+    # division, u ∈ (0, 1] so ln(u) is finite. The single transcendental
+    # (ln) is the only op that can differ across engines — by at most
+    # 1 ulp — so the released key is rounded to 9 decimals on both sides
+    # and selection ties at that granularity are broken by key columns.
+    h = F.conv(_hash_hex(key_cols, salt), 16, 10).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(_SPACE))
+    w = F.col(weight_col).cast("double")
+    key = -F.log(u) / w
+    order = [F.col(key_out).asc()] + [F.col(c).asc() for c in key_cols]
+    return (
+        df.filter(w > 0)
+        .withColumn(key_out, F.round(key, 9))
+        .orderBy(*order)
+        .limit(int(n))
+    )

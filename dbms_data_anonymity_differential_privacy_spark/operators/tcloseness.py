@@ -303,3 +303,49 @@ def recursive_cl_diversity_filter(
         (F.col("__r1") < F.lit(float(c)) * F.col("__tail")) & (F.col("__sz") >= F.lit(k))
     ).select(*qi)
     return df.join(F.broadcast(ok), on=list(qi), how="left_semi").select(*df.columns)
+
+
+def beta_likeness_audit(
+    df: DataFrame, qi: Sequence[str], sensitive: str, beta: float = 1.0
+) -> DataFrame:
+    """X51 — basic beta-likeness audit (Cao & Karras, PVLDB 5(11), 2012).
+
+    t-closeness bounds the *overall* distance between a class's sensitive
+    distribution and the global one; beta-likeness instead bounds the
+    *per-value relative gain* an attacker gets: for every sensitive value
+    s with global frequency q_s and in-class frequency p_s, the class
+    must satisfy ``(p_s - q_s) / q_s <= beta``. (Only positive gains can
+    leak — values rarer in the class than globally are harmless.)
+
+    Output: ``(*qi, class_size, max_gain_r, violates)`` — the class's
+    worst relative gain (9 dp) and the verdict against ``beta`` computed
+    from the ROUNDED gain so both engines compare identical values.
+
+    Exactness: p/q telescopes to ``(c_cs * N) / (n_c * g_s)`` — two exact
+    int64 products and ONE IEEE-754 division, bit-stable across engines
+    (no summation-order noise; the c04/x39 precedent). Physical shape:
+    the fact table is aggregated ONCE into the (class, sensitive, count)
+    relation; global frequencies and totals derive from that slim
+    relation and broadcast back onto it.
+    """
+    if beta <= 0:
+        raise ValueError("beta must be positive")
+    counts = df.groupBy(*qi, sensitive).agg(F.count(F.lit(1)).alias("__c"))
+    gl = counts.groupBy(sensitive).agg(F.sum("__c").alias("__g"))
+    gl = gl.withColumn("__n", F.sum("__g").over(Window.partitionBy()))
+    w_class = Window.partitionBy(*[F.col(c) for c in qi])
+    per_val = (
+        counts.join(F.broadcast(gl), on=sensitive, how="inner")
+        .withColumn("__sz", F.sum("__c").over(w_class))
+        .withColumn(
+            "__gain",
+            (F.col("__c") * F.col("__n")).cast("double")
+            / (F.col("__sz") * F.col("__g")).cast("double")
+            - F.lit(1.0),
+        )
+    )
+    out = per_val.groupBy(*qi).agg(
+        F.max("__sz").alias("class_size"),
+        F.round(F.max("__gain"), ROUND_DP).alias("max_gain_r"),
+    )
+    return out.withColumn("violates", F.col("max_gain_r") > F.lit(float(beta)))

@@ -156,3 +156,74 @@ def events_per_interval(
     return j.groupBy(*[F.col(c) for c in intervals.columns]).agg(
         F.count(F.col(f"ev_{ts_col}")).alias(count_alias)
     )
+
+
+def gapfill_rollup(
+    events: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str = "ts",
+    bucket: str = "1 hour",
+    value_col: str | None = None,
+    trailing: int = 3,
+) -> DataFrame:
+    """X52 — gap-filled time-bucket rollup with a trailing-window average
+    (the hypertable "continuous aggregate + gapfill" idiom).
+
+    Buckets ``ts`` to a fixed width, aggregates per (group, bucket), then
+    ZERO-FILLS every missing bucket over the table-wide [min, max] bucket
+    range so downstream window math (trailing averages, anomaly bands)
+    sees a dense, regular series — absent buckets are real observations
+    of zero activity, and a moving average that silently skips them is
+    wrong.
+
+    Output: ``(*group_cols, bucket_ts, n, total, trail_avg_n_r)`` where
+    ``trail_avg_n_r`` is the mean event count over this bucket and the
+    ``trailing - 1`` preceding ones (partial at the series head, exactly
+    like SQL ``ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW``), rounded to
+    9 dp. ``total`` sums ``value_col`` in exact integer cents-free form —
+    rounded to 9 dp since double summation order varies.
+
+    Physical shape: the fact table collapses in ONE aggregation to
+    (group, bucket) — everything after runs on the dense grid, which is
+    |groups| x |buckets| rows (kilobytes for any sane retention). The
+    grid is built from the aggregate's own min/max via ``sequence()`` —
+    one single-row subrelation broadcast against the distinct groups —
+    and left-joins the rollup back. Windows partition by group over the
+    small grid. At 100 TB: one shuffle of partial counts, then kilobyte
+    math, same counts-relation pattern as the EMD chain.
+    """
+    secs = {"1 hour": 3600, "1 day": 86400, "15 minutes": 900}
+    if bucket not in secs:
+        raise ValueError(f"bucket must be one of {sorted(secs)}, got {bucket!r}")
+    step = secs[bucket]
+
+    b = F.to_timestamp(
+        F.from_unixtime((F.unix_timestamp(F.col(ts_col)) / step).cast("long") * step)
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(F.col(value_col)), 9).alias("total"))
+    rollup = events.groupBy(*group_cols, b.alias("bucket_ts")).agg(*aggs)
+
+    bounds = rollup.agg(
+        F.min("bucket_ts").alias("mn"), F.max("bucket_ts").alias("mx")
+    )
+    buckets = bounds.select(
+        F.explode(
+            F.sequence("mn", "mx", F.expr(f"INTERVAL {bucket}"))
+        ).alias("bucket_ts")
+    )
+    groups = rollup.select(*group_cols).distinct()
+    grid = groups.crossJoin(F.broadcast(buckets))
+    dense = (
+        grid.join(rollup, on=[*group_cols, "bucket_ts"], how="left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+    )
+    if value_col is not None:
+        dense = dense.withColumn("total", F.coalesce(F.col("total"), F.lit(0.0)))
+    w = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy("bucket_ts")
+        .rowsBetween(-(trailing - 1), 0)
+    )
+    return dense.withColumn("trail_avg_n_r", F.round(F.avg("n").over(w), 9))

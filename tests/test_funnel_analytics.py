@@ -1,0 +1,222 @@
+"""Tests for the event-analytics operators: funnel, retention cohorts,
+weighted sampling, beta-likeness, gap-filled rollup, MAD outliers."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbms_data_anonymity_differential_privacy_spark.operators.funnel import (
+    funnel,
+    funnel_user_states,
+    retention_cohorts,
+)
+from dbms_data_anonymity_differential_privacy_spark.operators.metrics import mad_outlier_stats
+from dbms_data_anonymity_differential_privacy_spark.operators.sampling import weighted_sample_n
+from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import (
+    beta_likeness_audit,
+)
+from dbms_data_anonymity_differential_privacy_spark.operators.temporal import gapfill_rollup
+
+
+def ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def ev_df(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+
+STEPS = ["a", "b", "c"]
+
+
+class TestFunnel:
+    def test_ordered_conversion_and_dropoff(self, spark):
+        rows = [
+            # u1 completes in order
+            (1, ts(1), "a"), (1, ts(2), "b"), (1, ts(3), "c"),
+            # u2: b happens BEFORE a -> never reaches b
+            (2, ts(5), "b"), (2, ts(6), "a"),
+            # u3: only a
+            (3, ts(1), "a"),
+            # u4: c only (skips prefix) -> reaches nothing
+            (4, ts(1), "c"),
+        ]
+        out = {r["event_type"]: r["users"] for r in funnel(ev_df(spark, rows), STEPS).collect()}
+        assert out == {"a": 3, "b": 1, "c": 1}
+
+    def test_equal_timestamp_chain_counts(self, spark):
+        # b at exactly t(a) satisfies ts >= t_prev (the oracle's MIN chain)
+        rows = [(1, ts(1), "a"), (1, ts(1), "b")]
+        out = {r["event_type"]: r["users"] for r in funnel(ev_df(spark, rows), ["a", "b"]).collect()}
+        assert out == {"a": 1, "b": 1}
+
+    def test_earliest_valid_step_time_wins(self, spark):
+        rows = [
+            (1, ts(1), "b"),  # too early, before a
+            (1, ts(2), "a"),
+            (1, ts(4), "b"),  # first valid b
+            (1, ts(9), "b"),
+        ]
+        st = funnel_user_states(ev_df(spark, rows), ["a", "b"]).collect()[0]
+        assert st["t1"] == ts(2) and st["t2"] == ts(4)
+
+    def test_counts_monotone_nonincreasing(self, spark, sf001):
+        ev = spark.read.parquet(f"{sf001}/events.parquet")
+        rows = funnel(ev, ["signup", "click", "purchase"]).orderBy("step").collect()
+        users = [r["users"] for r in rows]
+        assert users == sorted(users, reverse=True)
+
+    def test_rejects_duplicate_steps(self, spark):
+        with pytest.raises(ValueError):
+            funnel(ev_df(spark, [(1, ts(1), "a")]), ["a", "a"])
+
+
+class TestRetention:
+    def test_cohort_matrix(self, spark):
+        w0, w1, w2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 8), dt.datetime(2024, 1, 15)
+        rows = [
+            (1, w0, "a"), (1, w0 + dt.timedelta(days=2), "a"),  # same week, once
+            (1, w2, "a"),                                        # returns at offset 2
+            (2, w1, "a"), (2, w2, "a"),                          # cohort w1, retained offset 1
+        ]
+        out = {
+            (r["cohort"], r["period_offset"]): r["active_users"]
+            for r in retention_cohorts(ev_df(spark, rows)).collect()
+        }
+        assert out == {
+            ("2024-01-01", 0): 1,
+            ("2024-01-01", 2): 1,
+            ("2024-01-08", 0): 1,
+            ("2024-01-08", 1): 1,
+        }
+
+    def test_offset_zero_counts_whole_cohort(self, spark, sf001):
+        ev = spark.read.parquet(f"{sf001}/events.parquet")
+        out = retention_cohorts(ev)
+        zero = out.filter(F.col("period_offset") == 0).agg(F.sum("active_users")).collect()[0][0]
+        n_users = ev.select("user_id").distinct().count()
+        assert zero == n_users
+
+
+class TestWeightedSample:
+    def _brute_force(self, ids_weights, n, salt):
+        keyed = []
+        for i, w in ids_weights:
+            h = int(hashlib.md5(f"{i}|{salt}".encode()).hexdigest()[:8], 16)
+            u = (h + 1) / 2**32
+            keyed.append((round(-math.log(u) / w, 9), i))
+        return {i for _, i in sorted(keyed)[:n]}
+
+    def test_matches_brute_force_es_keys(self, spark):
+        rows = [(i, float(1 + (i * 7) % 13)) for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, w double")
+        got = {r["id"] for r in weighted_sample_n(df, ["id"], "w", 25, salt="s").collect()}
+        assert got == self._brute_force(rows, 25, "s")
+
+    def test_nonpositive_weights_never_selected(self, spark):
+        rows = [(1, 0.0), (2, -3.0), (3, None), (4, 5.0)]
+        df = spark.createDataFrame(rows, "id long, w double")
+        got = {r["id"] for r in weighted_sample_n(df, ["id"], "w", 10, salt="").collect()}
+        assert got == {4}
+
+    def test_deterministic_and_layout_independent(self, spark):
+        rows = [(i, 1.0 + i % 5) for i in range(100)]
+        df = spark.createDataFrame(rows, "id long, w double")
+        a = {r["id"] for r in weighted_sample_n(df, ["id"], "w", 10, salt="x").collect()}
+        b = {
+            r["id"]
+            for r in weighted_sample_n(df.repartition(7), ["id"], "w", 10, salt="x").collect()
+        }
+        assert a == b and len(a) == 10
+
+    def test_heavier_rows_win_more(self, spark):
+        # 2 weight classes, 1:100 — the heavy half must dominate the sample
+        rows = [(i, 100.0 if i % 2 == 0 else 1.0) for i in range(2000)]
+        df = spark.createDataFrame(rows, "id long, w double")
+        got = [r["id"] for r in weighted_sample_n(df, ["id"], "w", 100, salt="p").collect()]
+        heavy = sum(1 for i in got if i % 2 == 0)
+        assert heavy >= 90
+
+
+class TestBetaLikeness:
+    def test_known_gains(self, spark):
+        # class A: 3x 'pos' 1x 'neg'; class B: 1x 'pos' 3x 'neg'
+        rows = [("A", "pos")] * 3 + [("A", "neg")] + [("B", "pos")] + [("B", "neg")] * 3
+        df = spark.createDataFrame(rows, "grp string, s string")
+        out = {r["grp"]: r for r in beta_likeness_audit(df, ["grp"], "s", beta=0.4).collect()}
+        # global q = 1/2 each; class A: p(pos)=3/4 -> gain 0.5; p(neg)=1/4 -> -0.5
+        assert out["A"]["max_gain_r"] == pytest.approx(0.5)
+        assert bool(out["A"]["violates"]) is True
+        assert out["B"]["max_gain_r"] == pytest.approx(0.5)
+        assert out["A"]["class_size"] == 4
+
+    def test_uniform_table_never_violates(self, spark):
+        rows = [(g, s) for g in "ABCD" for s in ("x", "y")]
+        df = spark.createDataFrame(rows, "grp string, s string")
+        out = beta_likeness_audit(df, ["grp"], "s", beta=0.1)
+        assert out.filter(F.col("violates")).count() == 0
+        assert out.agg(F.max(F.abs("max_gain_r"))).collect()[0][0] == pytest.approx(0.0)
+
+    def test_rejects_bad_beta(self, spark):
+        df = spark.createDataFrame([("A", "x")], "grp string, s string")
+        with pytest.raises(ValueError):
+            beta_likeness_audit(df, ["grp"], "s", beta=0.0)
+
+
+class TestGapfill:
+    def test_zero_fills_and_trailing_avg(self, spark):
+        h = lambda i: dt.datetime(2024, 1, 1, i)  # noqa: E731
+        rows = [
+            (1, h(0), "a", 2.0), (2, h(0), "a", 3.0),  # hour 0: n=2
+            # hour 1: gap
+            (3, h(2), "a", 1.0),                        # hour 2: n=1
+            (4, h(2), "b", 1.0),                        # b exists only in hour 2
+        ]
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+        out = gapfill_rollup(df, ["event_type"], value_col="value", trailing=3)
+        rows_a = {r["bucket_ts"].hour: r for r in out.filter(F.col("event_type") == "a").collect()}
+        assert sorted(rows_a) == [0, 1, 2]  # dense over the global range
+        assert rows_a[1]["n"] == 0 and rows_a[1]["total"] == 0.0
+        assert rows_a[0]["trail_avg_n_r"] == pytest.approx(2.0)      # partial head
+        assert rows_a[1]["trail_avg_n_r"] == pytest.approx(1.0)      # (2+0)/2
+        assert rows_a[2]["trail_avg_n_r"] == pytest.approx(1.0)      # (2+0+1)/3
+        # b is zero-filled over hours 0..2 too (table-wide range)
+        assert out.filter(F.col("event_type") == "b").count() == 3
+
+    def test_dense_grid_shape(self, spark, sf001):
+        ev = spark.read.parquet(f"{sf001}/events.parquet")
+        out = gapfill_rollup(ev, ["event_type"], value_col="value").persist()
+        per_type = out.groupBy("event_type").count().select("count").distinct().collect()
+        assert len(per_type) == 1  # every type has the identical dense bucket count
+
+
+class TestMadOutliers:
+    def test_flags_planted_outlier(self, spark):
+        base = [("g", float(v)) for v in (1, 2, 3, 4, 5, 6, 7)]
+        rows = base + [("g", 1000.0)]
+        df = spark.createDataFrame(rows, "grp string, v double")
+        out = mad_outlier_stats(df, ["grp"], "v").collect()[0]
+        assert out["n"] == 8
+        assert out["n_outliers"] == 1
+        assert out["med"] == pytest.approx(4.5)
+
+    def test_constant_group_zero_mad_no_outliers(self, spark):
+        df = spark.createDataFrame([("g", 5.0)] * 6, "grp string, v double")
+        out = mad_outlier_stats(df, ["grp"], "v").collect()[0]
+        assert out["mad"] == 0.0 and out["n_outliers"] == 0
+
+    def test_sketch_path_close_to_exact(self, spark, sf001):
+        ev = spark.read.parquet(f"{sf001}/events.parquet")
+        exact = {r["event_type"]: r for r in mad_outlier_stats(ev, ["event_type"], "value").collect()}
+        approx = {
+            r["event_type"]: r
+            for r in mad_outlier_stats(ev, ["event_type"], "value", exact=False).collect()
+        }
+        for k, e in exact.items():
+            assert approx[k]["med"] == pytest.approx(e["med"], rel=0.05)
+            assert approx[k]["mad"] == pytest.approx(e["mad"], rel=0.10)

@@ -86,7 +86,17 @@ def test_every_oracle_component_has_driver_signal():
 # construction. They must rotate in next round; until then their check is
 # the local dual-SF oracle sweep. This set must shrink to empty as windows
 # rotate — growing it needs the same saturation argument in a comment.
-NEW_THIS_ROUND = {"x46_dp_distinct_exact", "x47_shard_plan", "pipe_training_export", "x48_snapshot_diff", "x49_heavy_hitters_exact"}
+NEW_THIS_ROUND = {
+    "x46_dp_distinct_exact", "x47_shard_plan", "pipe_training_export",
+    "x48_snapshot_diff", "x49_heavy_hitters_exact",
+    # round-5 registrations — same saturation argument: every window slot
+    # still holds a query awaiting its FIRST driver row, so the new
+    # analytics family (weighted sampling, beta-likeness, gapfill, MAD,
+    # funnel, retention) debuts outside and rotates in once r3 driver
+    # rows land; until then the check is the dual-SF local oracle sweep.
+    "x50_weighted_sample", "x51_beta_likeness", "x52_gapfill",
+    "x53_mad_outliers", "x54_funnel", "x55_retention",
+}
 
 
 def test_rotated_out_queries_were_driver_green():
