@@ -203,7 +203,10 @@ def gapfill_rollup(
     aggs = [F.count(F.lit(1)).alias("n")]
     if value_col is not None:
         aggs.append(F.round(F.sum(F.col(value_col)), 9).alias("total"))
-    rollup = events.groupBy(*group_cols, b.alias("bucket_ts")).agg(*aggs)
+    # persisted: bounds, the distinct-group list, and the zero-fill join
+    # all read this slim (group, bucket) relation — without the persist,
+    # Catalyst re-derives each consumer from its own full fact scan.
+    rollup = events.groupBy(*group_cols, b.alias("bucket_ts")).agg(*aggs).persist()
 
     bounds = rollup.agg(
         F.min("bucket_ts").alias("mn"), F.max("bucket_ts").alias("mx")
@@ -216,7 +219,10 @@ def gapfill_rollup(
     groups = rollup.select(*group_cols).distinct()
     grid = groups.crossJoin(F.broadcast(buckets))
     dense = (
-        grid.join(rollup, on=[*group_cols, "bucket_ts"], how="left")
+        # the rollup is |groups| x |observed buckets| — same kilobyte scale
+        # as the grid itself — so broadcast it rather than shuffling both
+        # sides of the zero-fill join
+        grid.join(F.broadcast(rollup), on=[*group_cols, "bucket_ts"], how="left")
         .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
     )
     if value_col is not None:

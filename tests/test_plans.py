@@ -284,3 +284,33 @@ def test_vgh_generalize_broadcasts_hierarchy(plans):
     p = plans["x38_vgh"]
     assert "BroadcastHashJoin" in p
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+
+
+def test_weighted_sample_is_takeordered_no_shuffle(plans):
+    """x50: the exponential-race key is a map-only projection and the
+    top-n must run as TakeOrderedAndProject (per-partition heaps + one
+    driver-side merge) — zero exchanges, no global Sort."""
+    p = plans["x50_weighted_sample"]
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p
+
+
+def test_funnel_single_fact_shuffle(plans):
+    """x54: one hash exchange (the per-user grouping of the pre-filtered
+    step events) plus the single-row final rollup — never the classic
+    k-1 self-joins of the fact table, no joins at all."""
+    p = plans["x54_funnel"]
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+    assert "Join" not in p
+
+
+def test_gapfill_broadcasts_dense_grid_join(plans):
+    """x52: the fact table is scanned and aggregated ONCE (the persisted
+    rollup feeds bounds, groups, and the zero-fill join via
+    InMemoryTableScan), and the zero-fill join broadcasts the rollup."""
+    p = plans["x52_gapfill"]
+    # all three consumers (groups, bounds, zero-fill probe) read the
+    # persisted rollup — explain re-prints the cached relation's build
+    # plan under each InMemoryTableScan, so count consumers, not scans
+    assert p.count("InMemoryTableScan") == 3
+    assert "BroadcastHashJoin" in p
