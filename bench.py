@@ -89,6 +89,8 @@ HEADLINE = [
     "x53_mad_outliers",
     "x54_funnel",
     "x55_retention",
+    "x56_continual_exact",
+    "x57_fk_orphans",
     "pipe_training_export",
 ]
 

@@ -167,6 +167,14 @@ from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import 
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.temporal import gapfill_rollup
 from dbms_data_anonymity_differential_privacy_spark.operators.metrics import mad_outlier_stats
+from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
+    continual_counts_exact,
+    dp_continual_counts,
+)
+from dbms_data_anonymity_differential_privacy_spark.operators.integrity import (
+    key_uniqueness_check,
+    referential_check,
+)
 
 __all__ = [
     "get_spark",
@@ -280,4 +288,8 @@ __all__ = [
     "beta_likeness_audit",
     "gapfill_rollup",
     "mad_outlier_stats",
+    "continual_counts_exact",
+    "dp_continual_counts",
+    "referential_check",
+    "key_uniqueness_check",
 ]

@@ -931,3 +931,149 @@ def dp_count_distinct_users(
     return agg.withColumn(
         "n_users_dp", F.col("n_users_exact") + laplace_noise(by, scale, seed, salt)
     )
+
+
+# --------------------------------------------------------------------------
+# X56 — DP continual observation: the binary-tree (dyadic) counter.
+# --------------------------------------------------------------------------
+
+_BUCKET_SECS = {"15 minutes": 900, "1 hour": 3600, "1 day": 86400}
+
+
+def _dyadic_node_sums(
+    df: DataFrame,
+    ts_col: str,
+    start_epoch: int,
+    n_buckets: int,
+    step: int,
+) -> tuple[DataFrame, int]:
+    """Per-(level, node) exact sums of the dyadic interval tree over the
+    PUBLIC bucket grid [0, n_buckets). Returns (nodes, n_levels).
+
+    One fact aggregation produces the slim per-bucket count relation;
+    the grid zero-fill and the level fan-out (each bucket row explodes
+    into its ~log2(n) ancestors) run on kilobytes. Buckets outside the
+    public range are dropped — the released domain must not depend on
+    the data (same rule as dp_histogram's public bins)."""
+    n_levels = max(1, (n_buckets - 1).bit_length() + 1)
+    t = F.floor((F.unix_timestamp(F.col(ts_col)) - F.lit(start_epoch)) / F.lit(step)).cast(
+        "long"
+    )
+    counts = (
+        df.select(t.alias("t"))
+        .filter((F.col("t") >= 0) & (F.col("t") < n_buckets))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    spine = df.sparkSession.range(n_buckets).select(F.col("id").alias("t"))
+    grid = spine.join(counts, "t", "left").select(
+        "t", F.coalesce(F.col("__c"), F.lit(0)).alias("__c")
+    )
+    levels = F.array([F.lit(l) for l in range(n_levels)])
+    nodes = (
+        grid.withColumn("level", F.explode(levels))
+        .withColumn("node", F.expr("shiftright(t, level)"))
+        .groupBy("level", "node")
+        .agg(F.sum("__c").alias("node_exact"))
+    )
+    return nodes, n_levels
+
+
+def _dyadic_prefix(spark, nodes: DataFrame, n_buckets: int, n_levels: int, value_col: str):
+    """Reconstruct every prefix [0, m) as the sum of its maximal dyadic
+    nodes: level l contributes iff bit l of m is set, with node index
+    ``(m >> (l+1)) << 1`` — pure integer/bit arithmetic, so the
+    decomposition is engine-exact. Each prefix touches <= log2(n) of the
+    ~2n tree nodes; the node relation broadcasts."""
+    rel = spark.range(1, n_buckets + 1).select(F.col("id").alias("m"))
+    picks = (
+        rel.withColumn("level", F.explode(F.array([F.lit(l) for l in range(n_levels)])))
+        .filter(F.expr("(shiftright(m, level) & 1) = 1"))
+        .withColumn("node", F.expr("shiftleft(shiftright(m, level + 1), 1)"))
+    )
+    joined = picks.join(F.broadcast(nodes), on=["level", "node"], how="inner")
+    return (
+        joined.groupBy("m")
+        .agg(F.sum(value_col).alias("__prefix"))
+        .select((F.col("m") - 1).alias("bucket"), F.col("__prefix"))
+    )
+
+
+def continual_counts_exact(
+    df: DataFrame,
+    ts_col: str,
+    start_epoch: int,
+    n_buckets: int,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """X56 exact core — prefix counts reconstructed THROUGH the dyadic
+    tree (noise-free): ``(bucket, prefix_exact)`` for every public
+    bucket. Must equal the plain running sum — which is exactly what the
+    DuckDB oracle computes, so a hash match certifies the whole tree
+    decomposition (node sums + bit-arithmetic prefix cover) end to end.
+    """
+    if bucket not in _BUCKET_SECS:
+        raise ValueError(f"bucket must be one of {sorted(_BUCKET_SECS)}")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    nodes, n_levels = _dyadic_node_sums(
+        df, ts_col, start_epoch, n_buckets, _BUCKET_SECS[bucket]
+    )
+    out = _dyadic_prefix(df.sparkSession, nodes, n_buckets, n_levels, "node_exact")
+    return out.select("bucket", F.col("__prefix").cast("long").alias("prefix_exact"))
+
+
+def dp_continual_counts(
+    df: DataFrame,
+    ts_col: str,
+    start_epoch: int,
+    n_buckets: int,
+    bucket: str = "1 hour",
+    epsilon: float = 1.0,
+    seed: int = 42,
+    budget: "PrivacyBudget | None" = None,
+    release: str | None = None,
+) -> DataFrame:
+    """X56 — eps-DP running counts under CONTINUAL OBSERVATION (Chan, Shi
+    & Song, TCC 2011 / Dwork et al., STOC 2010 binary mechanism).
+
+    Releasing a running count at every time step with fresh Laplace noise
+    per step costs epsilon PER STEP under sequential composition — the
+    budget explodes linearly in T. The binary mechanism instead adds
+    Lap(L/eps) noise ONCE to each node of a dyadic interval tree
+    (L = #levels ~ log2 T): each event lands in exactly one leaf and
+    therefore in L nodes, so the WHOLE tree — and hence every prefix
+    release derived from it, at every time step — is eps-DP in one
+    charge, with per-release error O(log^{1.5} T / eps) instead of
+    O(T / eps).
+
+    The bucket grid [start_epoch, start_epoch + n_buckets * step) is
+    PUBLIC (caller-declared, like dp_histogram's bins): all buckets are
+    released including empty ones, and events outside are dropped. Node
+    noise is the engine's replay-stable hash noise keyed on (level,
+    node) — a re-run, AQE re-plan, or late re-materialization of the
+    stream release reproduces bit-identical noise, which is what makes
+    "the tree is noised once" true in a distributed setting.
+
+    Output: ``(bucket, prefix_dp)``. Physical shape: one fact
+    aggregation; tree + prefix math on broadcast kilobytes.
+    """
+    if bucket not in _BUCKET_SECS:
+        raise ValueError(f"bucket must be one of {sorted(_BUCKET_SECS)}")
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    salt = _release_salt("continual", release, budget)
+    if budget is not None:
+        budget.spend(epsilon, f"dp_continual_counts:{ts_col}@T{n_buckets}")
+    nodes, n_levels = _dyadic_node_sums(
+        df, ts_col, start_epoch, n_buckets, _BUCKET_SECS[bucket]
+    )
+    noisy = nodes.withColumn(
+        "node_dp",
+        F.col("node_exact")
+        + laplace_noise(["level", "node"], n_levels / epsilon, seed, salt),
+    )
+    out = _dyadic_prefix(df.sparkSession, noisy, n_buckets, n_levels, "node_dp")
+    return out.select("bucket", F.col("__prefix").alias("prefix_dp"))

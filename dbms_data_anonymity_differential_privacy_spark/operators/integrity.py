@@ -1,0 +1,85 @@
+"""Relational integrity checks — data-quality gates for ingest pipelines.
+
+The reference never validates its input (it drops nulls and trusts the
+rest, ``naive-suppresion.py:17``); at 100 TB, silent referential drift —
+orphaned fact rows after a partial dimension load, duplicate keys after a
+bad merge — is how quietly-wrong training data gets made. These checks
+are the engine's first-class guards, each returning a small relation
+(never a driver-side assert) so they compose into pipelines and
+oracle-check like any other query.
+
+Scale shape: ``referential_check`` is one left-anti join on the key
+(broadcast when the parent's distinct-key relation is small — the usual
+dimension case; shuffled hash join otherwise) plus map-side null
+counting. ``key_uniqueness_check`` is one aggregation on the candidate
+key with partial map-side combine. Neither ever moves non-key columns.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def referential_check(
+    child: DataFrame,
+    parent: DataFrame,
+    fk_cols: Sequence[str],
+    pk_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Foreign-key containment audit: child[fk] ⊆ parent[pk].
+
+    Output (single row): ``(n_child, n_null_fk, n_orphans, orphan_rate_r)``
+    — rows with any-NULL foreign key are counted separately (SQL FK
+    semantics: NULL keys are exempt from the containment requirement) and
+    excluded from the orphan probe.
+    """
+    pk_cols = list(pk_cols or fk_cols)
+    if len(pk_cols) != len(fk_cols):
+        raise ValueError("fk_cols and pk_cols must have equal length")
+    fk = [F.col(c) for c in fk_cols]
+    null_any = None
+    for c in fk:
+        null_any = c.isNull() if null_any is None else (null_any | c.isNull())
+    keys = child.select(*fk_cols)
+    nn = keys.filter(~null_any)
+    parent_keys = parent.select(
+        *[F.col(p).alias(f) for p, f in zip(pk_cols, fk_cols)]
+    ).distinct()
+    orphans = nn.join(parent_keys, on=list(fk_cols), how="left_anti")
+    totals = keys.agg(
+        F.count(F.lit(1)).alias("n_child"),
+        F.sum(F.when(null_any, 1).otherwise(0)).cast("long").alias("n_null_fk"),
+    )
+    n_orph = orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+    return totals.crossJoin(n_orph).select(
+        "n_child",
+        "n_null_fk",
+        "n_orphans",
+        F.round(
+            F.col("n_orphans").cast("double") / F.col("n_child").cast("double"), 9
+        ).alias("orphan_rate_r"),
+    )
+
+
+def key_uniqueness_check(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Candidate-key audit: is ``key_cols`` unique over the table?
+
+    Output (single row): ``(n_rows, n_keys, n_dup_keys, n_excess_rows)``
+    where ``n_dup_keys`` counts key values appearing more than once and
+    ``n_excess_rows`` counts the rows a dedup would remove. NULL-keyed
+    rows group under their NULL key like SQL ``GROUP BY`` (disclosed:
+    this treats NULL as a value, unlike a SQL UNIQUE constraint).
+
+    One aggregation on the key (map-side combine), then a scalar rollup
+    of the slim per-key relation.
+    """
+    per_key = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__c"))
+    return per_key.agg(
+        F.sum("__c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("__c") > 1, 1).otherwise(0)).cast("long").alias("n_dup_keys"),
+        F.sum(F.col("__c") - 1).cast("long").alias("n_excess_rows"),
+    )

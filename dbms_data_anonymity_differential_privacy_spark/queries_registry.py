@@ -3710,6 +3710,99 @@ def x55_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X56 — DP continual observation (operators/dp.py dp_continual_counts,
+# Chan/Shi/Song TCC'11 binary mechanism): running counts at every time
+# step under ONE epsilon charge. The exact twin reconstructs every prefix
+# THROUGH the dyadic tree (node sums + bit-arithmetic cover), so the
+# oracle's plain running SUM hash-certifies the whole decomposition.
+# --------------------------------------------------------------------------
+_X56_START = 1704067200  # 2024-01-01 00:00:00 UTC — public grid origin
+_X56_BUCKETS = 720  # 30 days x 24 h
+
+
+@query(
+    "x56_continual_exact",
+    """
+    WITH b AS (SELECT CAST(FLOOR(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
+                               / 3600) AS BIGINT) AS t FROM events),
+    c AS (SELECT t, COUNT(*) AS n FROM b WHERE t >= 0 AND t < 720 GROUP BY 1),
+    g AS (SELECT gs.g AS t, COALESCE(c.n, 0) AS n
+          FROM generate_series(0, 719) gs(g) LEFT JOIN c ON c.t = gs.g)
+    SELECT t AS bucket, CAST(SUM(n) OVER (ORDER BY t) AS BIGINT) AS prefix_exact
+    FROM g
+    """,
+)
+def x56_continual_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import continual_counts_exact
+
+    ev = load_table(spark, sf_dir, "events")
+    return continual_counts_exact(ev, "ts", _X56_START, _X56_BUCKETS, "1 hour")
+
+
+@query("x56_dp_continual")
+def x56_dp_continual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the noisy release (replay-stable Lap(L/eps) per tree
+    node); the noise-free decomposition is hash-checked by
+    x56_continual_exact."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_continual_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return dp_continual_counts(
+        ev, "ts", _X56_START, _X56_BUCKETS, "1 hour", epsilon=1.0, seed=42, release="x56"
+    )
+
+
+# --------------------------------------------------------------------------
+# X57 — relational integrity checks (operators/integrity.py): FK
+# containment + candidate-key uniqueness as composable relations.
+# --------------------------------------------------------------------------
+@query(
+    "x57_fk_orphans",
+    """
+    WITH k AS (SELECT l_partkey FROM lineitem),
+    nn AS (SELECT l_partkey FROM k WHERE l_partkey IS NOT NULL),
+    p AS (SELECT DISTINCT p_partkey AS l_partkey FROM part),
+    o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_orphans FROM nn
+          ANTI JOIN p USING (l_partkey)),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_child,
+                 CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_null_fk
+          FROM k)
+    SELECT t.n_child, t.n_null_fk, o.n_orphans,
+           ROUND(CAST(o.n_orphans AS DOUBLE) / CAST(t.n_child AS DOUBLE), 9)
+               AS orphan_rate_r
+    FROM t CROSS JOIN o
+    """,
+)
+def x57_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.integrity import referential_check
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return referential_check(li, part, ["l_partkey"], ["p_partkey"])
+
+
+@query(
+    "x57_key_unique",
+    """
+    WITH k AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS c
+               FROM customer GROUP BY 1, 2)
+    SELECT CAST(SUM(c) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+           CAST(SUM(c - 1) AS BIGINT) AS n_excess_rows
+    FROM k
+    """,
+)
+def x57_key_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.integrity import (
+        key_uniqueness_check,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    return key_uniqueness_check(cust, ["c_nationkey", "c_mktsegment"])
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green
 # but left 23 oracle-backed queries (r2 slots 51-73) with no driver-issued

@@ -96,6 +96,7 @@ NEW_THIS_ROUND = {
     # rows land; until then the check is the dual-SF local oracle sweep.
     "x50_weighted_sample", "x51_beta_likeness", "x52_gapfill",
     "x53_mad_outliers", "x54_funnel", "x55_retention",
+    "x56_continual_exact", "x57_fk_orphans", "x57_key_unique",
 }
 
 
