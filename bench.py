@@ -91,6 +91,8 @@ HEADLINE = [
     "x55_retention",
     "x56_continual_exact",
     "x57_fk_orphans",
+    "x58_apply_changes",
+    "x59_skew_report",
     "pipe_training_export",
 ]
 

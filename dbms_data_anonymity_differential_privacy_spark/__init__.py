@@ -175,6 +175,8 @@ from dbms_data_anonymity_differential_privacy_spark.operators.integrity import (
     key_uniqueness_check,
     referential_check,
 )
+from dbms_data_anonymity_differential_privacy_spark.operators.snapshot import apply_changes
+from dbms_data_anonymity_differential_privacy_spark.operators.profile import skew_report
 
 __all__ = [
     "get_spark",
@@ -292,4 +294,6 @@ __all__ = [
     "dp_continual_counts",
     "referential_check",
     "key_uniqueness_check",
+    "apply_changes",
+    "skew_report",
 ]

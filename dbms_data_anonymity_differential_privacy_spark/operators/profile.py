@@ -139,3 +139,50 @@ def profile_oracle_sql(
             f"{extreme[0]} AS min_value, {extreme[1]} AS max_value FROM {table}"
         )
     return " UNION ALL ".join(selects)
+
+
+def skew_report(df: DataFrame, key_cols: Sequence[str], top: int = 5) -> DataFrame:
+    """X59 — shuffle-key skew diagnostic: how hot is the hottest key?
+
+    Every groupBy/join in this engine hash-partitions on some key; at
+    1000 executors one modal key means one straggler task owning the
+    whole job's tail latency. This report is the pre-flight check that
+    decides between a plain shuffle, AQE skew splitting, and salting.
+
+    Output (single row): ``(n_rows, n_keys, max_count, top{N}_count,
+    max_share_r, top{N}_share_r)`` — the hottest key's row count / the
+    combined top-N count, and their shares of the table (9 dp; exact
+    integers otherwise).
+
+    Physical shape: one aggregation on the key (map-side combine — the
+    same cost profile as the shuffle being diagnosed, which is the
+    honest price of an exact answer), then a scalar rollup with a
+    partial top-N heap (TakeOrderedAndProject shape) over the slim
+    per-key relation. NULL keys group as a value — a NULL-heavy column
+    IS a skew hazard, so it must show up here.
+    """
+    if top < 1:
+        raise ValueError("top must be >= 1")
+    per_key = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__c"))
+    topn = per_key.orderBy(F.col("__c").desc(), *[F.col(c).asc_nulls_last() for c in key_cols]).limit(
+        int(top)
+    )
+    top_row = topn.agg(F.sum("__c").alias(f"top{top}_count"))
+    totals = per_key.agg(
+        F.sum("__c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__c").alias("max_count"),
+    )
+    out = totals.crossJoin(top_row)
+    return out.select(
+        "n_rows",
+        "n_keys",
+        "max_count",
+        F.col(f"top{top}_count").cast("long").alias(f"top{top}_count"),
+        F.round(F.col("max_count").cast("double") / F.col("n_rows").cast("double"), 9).alias(
+            "max_share_r"
+        ),
+        F.round(
+            F.col(f"top{top}_count").cast("double") / F.col("n_rows").cast("double"), 9
+        ).alias(f"top{top}_share_r"),
+    )

@@ -25,7 +25,7 @@ Design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dbms_data_anonymity_differential_privacy_spark.operators.text import fingerprint
@@ -66,3 +66,43 @@ def snapshot_diff_summary(
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: str | list[str] = "doc_id",
+    op_col: str = "op",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """X58 — CDC MERGE: apply an upsert/delete change batch to a snapshot.
+
+    ``changes`` carries the base schema plus ``op_col`` in
+    ``{'upsert', 'delete'}`` and (optionally) ``seq_col`` when one batch
+    can hold several changes for a key — the highest sequence wins, and
+    on an exact sequence tie the delete wins (pinned, deterministic).
+
+    The scale property that matters: the snapshot is NEVER shuffled.
+    Changed keys are a broadcast-sized relation in any sane CDC cadence,
+    so untouched base rows survive through one broadcast LEFT ANTI join
+    (map-only over the base scan) and the winning upsert payloads union
+    in behind them. Applying a GB of changes to 100 TB costs one base
+    scan + kilobytes of broadcast — the same reason x48's diff never
+    moves bodies. (If a batch ever rivals the base in key count, Catalyst
+    falls back to a shuffled anti join on its own — semantics unchanged.)
+
+    Output: the merged snapshot, base schema exactly.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    order = [F.col(seq_col).desc()] if seq_col else []
+    # delete before upsert on ties: 'delete' < 'upsert' lexicographically
+    order += [F.col(op_col).asc()]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    survivors = base.join(F.broadcast(latest.select(*keys)), on=keys, how="left_anti")
+    upserts = latest.filter(F.col(op_col) == "upsert").select(*base.columns)
+    return survivors.unionByName(upserts)

@@ -3803,6 +3803,110 @@ def x57_key_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X58 — CDC MERGE (operators/snapshot.py apply_changes): apply an
+# upsert/delete batch to a snapshot WITHOUT shuffling the snapshot —
+# broadcast anti join + union. The change batch derives deterministically
+# from documents via the engine's portable-hash predicates (5% deletes,
+# 10% revisions, 2% inserts), so the oracle replays it exactly; a doc
+# drawn as both delete and revision exercises the pinned tie rule
+# (delete wins).
+# --------------------------------------------------------------------------
+@query(
+    "x58_apply_changes",
+    """
+    WITH d AS (SELECT doc_id, text, lang, source, 'delete' AS op FROM documents
+               WHERE substr(md5(cast(doc_id AS varchar) || '|x58d'), 1, 8) < '0ccccccd'),
+    u AS (SELECT doc_id, text || ' rev2' AS text, lang, source, 'upsert' AS op
+          FROM documents
+          WHERE substr(md5(cast(doc_id AS varchar) || '|x58u'), 1, 8) < '1999999a'),
+    i AS (SELECT doc_id + 1000000000 AS doc_id,
+                 'new doc ' || CAST(doc_id AS VARCHAR) AS text, lang, source,
+                 'upsert' AS op
+          FROM documents
+          WHERE substr(md5(cast(doc_id AS varchar) || '|x58i'), 1, 8) < '051eb852'),
+    ch AS (SELECT * FROM (SELECT * FROM d UNION ALL SELECT * FROM u
+                          UNION ALL SELECT * FROM i)
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY op) = 1),
+    surv AS (SELECT b.doc_id, b.text, b.lang, b.source FROM documents b
+             ANTI JOIN ch USING (doc_id)),
+    up AS (SELECT doc_id, text, lang, source FROM ch WHERE op = 'upsert')
+    SELECT doc_id, lang, source, CAST(length(text) AS BIGINT) AS n_chars_out
+    FROM (SELECT * FROM surv UNION ALL SELECT * FROM up)
+    """,
+)
+def x58_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.sampling import hash_sample
+    from dbms_data_anonymity_differential_privacy_spark.operators.snapshot import apply_changes
+
+    docs = load_table(spark, sf_dir, "documents")
+    dels = hash_sample(docs, ["doc_id"], 0.05, "x58d").withColumn("op", F.lit("delete"))
+    ups = (
+        hash_sample(docs, ["doc_id"], 0.10, "x58u")
+        .withColumn("text", F.concat(F.col("text"), F.lit(" rev2")))
+        .withColumn("op", F.lit("upsert"))
+    )
+    ins = (
+        hash_sample(docs, ["doc_id"], 0.02, "x58i")
+        .withColumn("text", F.concat(F.lit("new doc "), F.col("doc_id").cast("string")))
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000_000))
+        .withColumn("op", F.lit("upsert"))
+    )
+    changes = dels.unionByName(ups).unionByName(ins)
+    merged = apply_changes(docs, changes, "doc_id")
+    return merged.select(
+        "doc_id", "lang", "source", F.length("text").cast("long").alias("n_chars_out")
+    )
+
+
+# --------------------------------------------------------------------------
+# X59 — shuffle-skew diagnostic (operators/profile.py skew_report): the
+# pre-flight check behind every salting/AQE decision in SCALE.md. The
+# probe key is the same deterministic 30%-hot-key construction x49 uses,
+# but derived with the portable md5 so the oracle replays it.
+# --------------------------------------------------------------------------
+@query(
+    "x59_skew_report",
+    """
+    WITH s AS (SELECT CASE WHEN substr(md5(cast(event_id AS varchar) || '|x59'), 1, 8)
+                                < '4ccccccd'
+                           THEN -1 ELSE user_id END AS k FROM events),
+    pk AS (SELECT k, COUNT(*) AS c FROM s GROUP BY 1),
+    t5 AS (SELECT CAST(SUM(c) AS BIGINT) AS top5_count
+           FROM (SELECT c FROM pk ORDER BY c DESC, k ASC LIMIT 5)),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(MAX(c) AS BIGINT) AS max_count FROM pk)
+    SELECT tot.n_rows, tot.n_keys, tot.max_count, t5.top5_count,
+           ROUND(CAST(tot.max_count AS DOUBLE) / CAST(tot.n_rows AS DOUBLE), 9)
+               AS max_share_r,
+           ROUND(CAST(t5.top5_count AS DOUBLE) / CAST(tot.n_rows AS DOUBLE), 9)
+               AS top5_share_r
+    FROM tot CROSS JOIN t5
+    """,
+)
+def x59_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.profile import skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    skewed = ev.withColumn(
+        "k",
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat_ws("|", F.col("event_id").cast("string"), F.lit("x59")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                8,
+            )
+            < F.lit("4ccccccd"),
+            F.lit(-1).cast("long"),
+        ).otherwise(F.col("user_id")),
+    )
+    return skew_report(skewed, ["k"], top=5)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green
 # but left 23 oracle-backed queries (r2 slots 51-73) with no driver-issued

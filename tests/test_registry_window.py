@@ -97,6 +97,7 @@ NEW_THIS_ROUND = {
     "x50_weighted_sample", "x51_beta_likeness", "x52_gapfill",
     "x53_mad_outliers", "x54_funnel", "x55_retention",
     "x56_continual_exact", "x57_fk_orphans", "x57_key_unique",
+    "x58_apply_changes", "x59_skew_report",
 }
 
 
