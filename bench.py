@@ -93,6 +93,7 @@ HEADLINE = [
     "x57_fk_orphans",
     "x58_apply_changes",
     "x59_skew_report",
+    "x60_quantile_sketch",
     "pipe_training_export",
 ]
 

@@ -151,7 +151,12 @@ from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import 
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.sampling import assign_shards
 from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_count_distinct_users
-from dbms_data_anonymity_differential_privacy_spark.operators.sketch import heavy_hitters
+from dbms_data_anonymity_differential_privacy_spark.operators.sketch import (
+    bottomk_sample,
+    heavy_hitters,
+    kmv_distinct,
+    quantile_sketch,
+)
 from dbms_data_anonymity_differential_privacy_spark.operators.snapshot import (
     snapshot_diff,
     snapshot_diff_summary,
@@ -296,4 +301,7 @@ __all__ = [
     "key_uniqueness_check",
     "apply_changes",
     "skew_report",
+    "bottomk_sample",
+    "quantile_sketch",
+    "kmv_distinct",
 ]

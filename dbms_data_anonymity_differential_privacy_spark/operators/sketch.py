@@ -101,3 +101,127 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 32) -> DataFrame:
         .orderBy(F.col("est_count").desc(), F.col("value"))
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# X60 — bottom-k synopsis: ONE mergeable, DETERMINISTIC summary giving a
+# uniform sample, quantile estimates with a DKW certificate, and a KMV
+# distinct-count estimate. Unlike GK/HLL (engine-internal, rows-only
+# checkable), every output here is a pure function of the data + salt —
+# the sketch itself replays in SQL, so even the SKETCH REGIME is
+# oracle-hashable.
+# --------------------------------------------------------------------------
+
+
+def bottomk_sample(
+    df: DataFrame, key_cols, k: int, salt: str = ""
+) -> DataFrame:
+    """Deterministic uniform sample of ``k`` rows: keep the k smallest
+    content-hash priorities (bottom-k / min-wise sampling).
+
+    Mergeable by construction — bottom-k of a union is the bottom-k of
+    the parts' bottom-ks — which is exactly how Spark executes it:
+    TakeOrderedAndProject keeps a k-row heap per partition and merges
+    heaps, no shuffle, no global sort. Ties in the 32-bit hash (expected
+    once per ~2^16 rows²) are broken by the key columns so selection is
+    total. Adds ``__u`` — the normalized (0, 1] priority — for the
+    synopsis consumers below.
+    """
+    from dbms_data_anonymity_differential_privacy_spark.operators.sampling import (
+        _SPACE,
+        _hash_hex,
+    )
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    hex_h = _hash_hex(keys, salt)
+    h_int = F.conv(hex_h, 16, 10).cast("long")
+    u = (h_int + F.lit(1)).cast("double") / F.lit(float(_SPACE))
+    return (
+        df.withColumn("__u", u)
+        .orderBy(F.col("__u").asc(), *[F.col(c).asc() for c in keys])
+        .limit(int(k))
+    )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    key_cols,
+    k: int = 4096,
+    ps=(0.5, 0.95, 0.99),
+    salt: str = "",
+    delta: float = 0.05,
+) -> DataFrame:
+    """X60 — quantile estimates from the bottom-k sample, with a
+    Dvoretzky–Kiefer–Wolfowitz certificate.
+
+    The k-row uniform sample's empirical CDF is within
+    ``eps = sqrt(ln(2/delta) / (2k))`` of the true CDF simultaneously at
+    EVERY point with probability 1 - delta, so each reported quantile's
+    true rank lies in ``p ± eps``. Estimates are exact type-7 percentiles
+    OF THE SAMPLE — deterministic given (data, salt), so the whole
+    release (certificate included) hash-checks against a SQL replay.
+
+    vs Greenwald–Khanna (``group_percentiles exact=False``): GK gives
+    tighter rank error per byte but is engine-internal state; this
+    synopsis trades a √k factor for full cross-engine reproducibility
+    and a reusable sample. One pass, per-partition k-heaps, no shuffle.
+
+    Output (single row): ``(n_rows, k_used, eps_dkw_r, p<P>_est ...)``.
+    """
+    import math
+
+    if not 0 < delta < 1:
+        raise ValueError("delta must be in (0, 1)")
+    sample = bottomk_sample(df, key_cols, k, salt)
+
+    def name(p: float) -> str:
+        return "p" + f"{p * 100:g}".replace(".", "_") + "_est"
+
+    est = sample.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        *[F.expr(f"percentile({value_col}, {p!r})").alias(name(p)) for p in ps],
+    )
+    n = df.agg(F.count(F.lit(1)).alias("n_rows"))
+    eps = round(math.sqrt(math.log(2.0 / delta) / (2.0 * k)), 9)
+    return n.crossJoin(est).select(
+        "n_rows",
+        "k_used",
+        F.lit(eps).alias("eps_dkw_r"),
+        *[name(p) for p in ps],
+    )
+
+
+def kmv_distinct(df: DataFrame, cols, k: int = 256, salt: str = "") -> DataFrame:
+    """X60 — k-minimum-values distinct-count estimate (Bar-Yossef et al.,
+    RANDOM 2002): over the DISTINCT values' hash priorities, the k-th
+    smallest ``u_(k)`` estimates cardinality as ``(k - 1) / u_(k)``
+    (unbiased; relative error ~ 1/sqrt(k - 2)).
+
+    Fully deterministic — same md5 priorities as the sampling family —
+    so unlike HLL++ (``profile_columns exact=False``) the ESTIMATE
+    itself is oracle-hashable. When the column has fewer than k distinct
+    values the synopsis holds them all and the exact count is returned.
+    Physical shape: distinct (one key shuffle with partial combine) →
+    per-partition k-heaps → singleton reduce.
+
+    Output (single row): ``(k_used, kth_u_r, n_distinct_est_r)``.
+    """
+    keys = [cols] if isinstance(cols, str) else list(cols)
+    sample = bottomk_sample(df.select(*keys).distinct(), keys, k, salt)
+    agg = sample.agg(
+        F.count(F.lit(1)).alias("k_used"), F.max("__u").alias("__ku")
+    )
+    exact_regime = F.col("k_used") < F.lit(int(k))
+    return agg.select(
+        "k_used",
+        F.round("__ku", 9).alias("kth_u_r"),
+        F.round(
+            F.when(exact_regime, F.col("k_used").cast("double")).otherwise(
+                (F.col("k_used") - F.lit(1)).cast("double") / F.col("__ku")
+            ),
+            9,
+        ).alias("n_distinct_est_r"),
+    )

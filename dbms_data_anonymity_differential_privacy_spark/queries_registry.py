@@ -3907,6 +3907,63 @@ def x59_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X60 — bottom-k synopsis (operators/sketch.py): a mergeable summary whose
+# every output — sample, quantile estimates + DKW certificate, KMV
+# distinct estimate — is a deterministic function of (data, salt), so the
+# SKETCH REGIME itself hash-checks against a SQL replay (unlike GK/HLL,
+# which are engine-internal and rows-only). TakeOrderedAndProject
+# per-partition heaps; the fact table never shuffles.
+# --------------------------------------------------------------------------
+@query(
+    "x60_quantile_sketch",
+    """
+    WITH s AS (SELECT value FROM (
+            SELECT value, event_id,
+                   (CAST('0x' || substr(md5(cast(event_id AS varchar) || '|x60q'), 1, 8)
+                         AS BIGINT) + 1) / 4294967296.0 AS u
+            FROM events)
+          ORDER BY u, event_id LIMIT 4096),
+    e AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+                 quantile_cont(value, 0.5) AS p50_est,
+                 quantile_cont(value, 0.95) AS p95_est,
+                 quantile_cont(value, 0.99) AS p99_est
+          FROM s),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events)
+    SELECT n.n_rows, e.k_used, 0.021220336 AS eps_dkw_r,
+           e.p50_est, e.p95_est, e.p99_est
+    FROM n CROSS JOIN e
+    """,
+)
+def x60_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.sketch import quantile_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    return quantile_sketch(ev, "value", ["event_id"], k=4096, salt="x60q")
+
+
+@query(
+    "x60_kmv_distinct",
+    """
+    WITH d AS (SELECT DISTINCT user_id FROM events),
+    s AS (SELECT user_id,
+                 (CAST('0x' || substr(md5(cast(user_id AS varchar) || '|x60k'), 1, 8)
+                       AS BIGINT) + 1) / 4294967296.0 AS u
+          FROM d ORDER BY u, user_id LIMIT 64),
+    a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_used, MAX(u) AS ku FROM s)
+    SELECT k_used, ROUND(ku, 9) AS kth_u_r,
+           ROUND(CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
+                      ELSE CAST(k_used - 1 AS DOUBLE) / ku END, 9) AS n_distinct_est_r
+    FROM a
+    """,
+)
+def x60_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.sketch import kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_distinct(ev, "user_id", k=64, salt="x60k")
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green
 # but left 23 oracle-backed queries (r2 slots 51-73) with no driver-issued

@@ -98,6 +98,7 @@ NEW_THIS_ROUND = {
     "x53_mad_outliers", "x54_funnel", "x55_retention",
     "x56_continual_exact", "x57_fk_orphans", "x57_key_unique",
     "x58_apply_changes", "x59_skew_report",
+    "x60_quantile_sketch", "x60_kmv_distinct",
 }
 
 
