@@ -94,6 +94,8 @@ HEADLINE = [
     "x58_apply_changes",
     "x59_skew_report",
     "x60_quantile_sketch",
+    "x61_ohlc_bars",
+    "x62_lag_features",
     "pipe_training_export",
 ]
 

@@ -170,7 +170,11 @@ from dbms_data_anonymity_differential_privacy_spark.operators.sampling import we
 from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import (
     beta_likeness_audit,
 )
-from dbms_data_anonymity_differential_privacy_spark.operators.temporal import gapfill_rollup
+from dbms_data_anonymity_differential_privacy_spark.operators.temporal import (
+    gapfill_rollup,
+    lag_features,
+    ohlc_bars,
+)
 from dbms_data_anonymity_differential_privacy_spark.operators.metrics import mad_outlier_stats
 from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
     continual_counts_exact,
@@ -304,4 +308,6 @@ __all__ = [
     "bottomk_sample",
     "quantile_sketch",
     "kmv_distinct",
+    "ohlc_bars",
+    "lag_features",
 ]

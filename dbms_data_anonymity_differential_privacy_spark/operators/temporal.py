@@ -233,3 +233,97 @@ def gapfill_rollup(
         .rowsBetween(-(trailing - 1), 0)
     )
     return dense.withColumn("trail_avg_n_r", F.round(F.avg("n").over(w), 9))
+
+
+def ohlc_bars(
+    events: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "1 hour",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """X61 — OHLC resampling bars: per (group, bucket) the first / max /
+    min / last observation plus count and sum (the market-data "candle",
+    equally the shape of any sensor/metric downsampler).
+
+    Open/close are argmin/argmax by time; ties (same timestamp) are
+    broken by ``id_col`` so the bar is total and engine-portable — the
+    oracle replays the same (ts, id) ordering with ROW_NUMBER. Exact
+    integer counts, min/max untouched doubles, sum rounded 9 dp.
+
+    Physical shape: ONE shuffle on (group, bucket); the open/close
+    window and the aggregation ride the same partitioning (Spark plans
+    Window → HashAggregate without a second exchange).
+    """
+    secs = {"1 hour": 3600, "1 day": 86400, "15 minutes": 900}
+    if bucket not in secs:
+        raise ValueError(f"bucket must be one of {sorted(secs)}, got {bucket!r}")
+    step = secs[bucket]
+    b = F.to_timestamp(
+        F.from_unixtime((F.unix_timestamp(F.col(ts_col)) / step).cast("long") * step)
+    )
+    keyed = events.select(
+        *group_cols,
+        b.alias("bucket_ts"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.col(value_col).alias("__v"),
+    )
+    part = [F.col(c) for c in group_cols] + [F.col("bucket_ts")]
+    w_asc = Window.partitionBy(*part).orderBy(F.col("__ts").asc(), F.col("__id").asc())
+    w_desc = Window.partitionBy(*part).orderBy(F.col("__ts").desc(), F.col("__id").desc())
+    ranked = keyed.withColumn("__ra", F.row_number().over(w_asc)).withColumn(
+        "__rd", F.row_number().over(w_desc)
+    )
+    return ranked.groupBy(*group_cols, "bucket_ts").agg(
+        F.max(F.when(F.col("__ra") == 1, F.col("__v"))).alias("open"),
+        F.max("__v").alias("high"),
+        F.min("__v").alias("low"),
+        F.max(F.when(F.col("__rd") == 1, F.col("__v"))).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("__v"), 9).alias("total_r"),
+    )
+
+
+def lag_features(
+    events: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window_rows: int = 3,
+) -> DataFrame:
+    """X62 — per-key time-ordered ML features: previous value, delta,
+    gap seconds, and a trailing ``window_rows``-row mean.
+
+    The feature-store primitive: every model over event streams wants
+    "what happened just before". One shuffle on the key; every feature
+    derives from the same per-key ordered window pass (lag + rolling
+    frames share the sort). Ordering ties break by ``id_col`` —
+    deterministic and oracle-replayable. The rolling mean is emitted at
+    9 dp (window-sum order is engine-stable here — a fold over an
+    explicit ROWS frame — but the division result is rounded to stay
+    inside the engine's float-release convention).
+
+    Output: input keys + ``(ts, value, prev_value, delta_r, gap_seconds,
+    trail_mean_r)``; the first row per key has NULL prev/delta/gap.
+    """
+    if window_rows < 1:
+        raise ValueError("window_rows must be >= 1")
+    part = [F.col(c) for c in key_cols]
+    order = [F.col(ts_col).asc(), F.col(id_col).asc()]
+    w = Window.partitionBy(*part).orderBy(*order)
+    w_roll = w.rowsBetween(-(window_rows - 1), 0)
+    prev_v = F.lag(F.col(value_col)).over(w)
+    prev_t = F.lag(F.col(ts_col)).over(w)
+    return events.select(
+        *key_cols,
+        F.col(ts_col),
+        F.col(id_col),
+        F.col(value_col),
+        prev_v.alias("prev_value"),
+        F.round(F.col(value_col) - prev_v, 9).alias("delta_r"),
+        (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_t)).alias("gap_seconds"),
+        F.round(F.avg(value_col).over(w_roll), 9).alias("trail_mean_r"),
+    )

@@ -3964,6 +3964,63 @@ def x60_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X61 — OHLC resampling bars (operators/temporal.py ohlc_bars): the
+# market-data candle / metric downsampler. Argmin/argmax-by-time with a
+# pinned (ts, id) tie-break; window + aggregation share ONE shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "x61_ohlc_bars",
+    """
+    WITH k AS (SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                      ts, event_id, value FROM events),
+    r AS (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, bucket_ts
+                                    ORDER BY ts, event_id) AS ra,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, bucket_ts
+                                    ORDER BY ts DESC, event_id DESC) AS rd
+          FROM k)
+    SELECT event_type, bucket_ts,
+           MAX(CASE WHEN ra = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rd = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 9) AS total_r
+    FROM r GROUP BY 1, 2
+    """,
+)
+def x61_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.temporal import ohlc_bars
+
+    ev = load_table(spark, sf_dir, "events")
+    return ohlc_bars(ev, ["event_type"], bucket="1 hour")
+
+
+# --------------------------------------------------------------------------
+# X62 — per-key lag/rolling ML features (operators/temporal.py
+# lag_features): the feature-store primitive. One shuffle on the key;
+# lag + rolling frames share the per-key sort.
+# --------------------------------------------------------------------------
+@query(
+    "x62_lag_features",
+    """
+    SELECT user_id, ts, event_id, value,
+           LAG(value) OVER w AS prev_value,
+           ROUND(value - LAG(value) OVER w, 9) AS delta_r,
+           date_diff('second', LAG(ts) OVER w, ts) AS gap_seconds,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 9)
+               AS trail_mean_r
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def x62_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.temporal import lag_features
+
+    ev = load_table(spark, sf_dir, "events")
+    return lag_features(ev, ["user_id"], window_rows=3)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green
 # but left 23 oracle-backed queries (r2 slots 51-73) with no driver-issued

@@ -99,6 +99,7 @@ NEW_THIS_ROUND = {
     "x56_continual_exact", "x57_fk_orphans", "x57_key_unique",
     "x58_apply_changes", "x59_skew_report",
     "x60_quantile_sketch", "x60_kmv_distinct",
+    "x61_ohlc_bars", "x62_lag_features",
 }
 
 
