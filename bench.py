@@ -96,6 +96,8 @@ HEADLINE = [
     "x60_quantile_sketch",
     "x61_ohlc_bars",
     "x62_lag_features",
+    "x63_group_ols",
+    "x64_mutual_information",
     "pipe_training_export",
 ]
 

@@ -186,6 +186,10 @@ from dbms_data_anonymity_differential_privacy_spark.operators.integrity import (
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.snapshot import apply_changes
 from dbms_data_anonymity_differential_privacy_spark.operators.profile import skew_report
+from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+    group_ols,
+    mutual_information,
+)
 
 __all__ = [
     "get_spark",
@@ -310,4 +314,6 @@ __all__ = [
     "kmv_distinct",
     "ohlc_bars",
     "lag_features",
+    "group_ols",
+    "mutual_information",
 ]

@@ -4021,6 +4021,82 @@ def x62_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X63 — grouped closed-form OLS (operators/stats.py group_ols): trend
+# estimation as ONE aggregation of five sufficient statistics — no
+# iterative solver. Fits value ~ hour-of-day per event type.
+# --------------------------------------------------------------------------
+@query(
+    "x63_group_ols",
+    """
+    WITH a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                      SUM(CAST(EXTRACT(hour FROM ts) AS DOUBLE)) AS sx,
+                      SUM(value) AS sy,
+                      SUM(CAST(EXTRACT(hour FROM ts) AS DOUBLE) * value) AS sxy,
+                      SUM(CAST(EXTRACT(hour FROM ts) AS DOUBLE)
+                          * CAST(EXTRACT(hour FROM ts) AS DOUBLE)) AS sxx,
+                      SUM(value * value) AS syy
+               FROM events GROUP BY 1),
+    f AS (SELECT event_type, n, CAST(n AS DOUBLE) AS nd, sx, sy, sxy, sxx, syy
+          FROM a)
+    SELECT event_type, n,
+           ROUND(CASE WHEN nd * sxx - sx * sx <> 0
+                      THEN (nd * sxy - sx * sy) / (nd * sxx - sx * sx) END, 9)
+               AS slope_r,
+           ROUND(CASE WHEN nd * sxx - sx * sx <> 0
+                      THEN (sy - (nd * sxy - sx * sy) / (nd * sxx - sx * sx) * sx) / nd
+                 END, 9) AS intercept_r,
+           ROUND(CASE WHEN nd * sxx - sx * sx <> 0 AND nd * syy - sy * sy <> 0
+                      THEN ((nd * sxy - sx * sy) * (nd * sxy - sx * sy))
+                           / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)) END, 9)
+               AS r2_r
+    FROM f
+    """,
+)
+def x63_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import group_ols
+
+    ev = load_table(spark, sf_dir, "events")
+    return group_ols(ev, ["event_type"], F.hour("ts"), "value")
+
+
+# --------------------------------------------------------------------------
+# X64 — categorical mutual information (operators/stats.py
+# mutual_information): association screen over the (a, b, count)
+# relation — the t-closeness counts-relation algebra with an information
+# functional on top.
+# --------------------------------------------------------------------------
+@query(
+    "x64_mutual_information",
+    """
+    WITH j AS (SELECT lang AS a, source AS b, COUNT(*) AS c
+               FROM documents GROUP BY 1, 2),
+    m AS (SELECT *, SUM(c) OVER (PARTITION BY a) AS ca,
+                 SUM(c) OVER (PARTITION BY b) AS cb,
+                 SUM(c) OVER () AS nn,
+                 ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) AS ra,
+                 ROW_NUMBER() OVER (PARTITION BY b ORDER BY a) AS rb
+          FROM j)
+    SELECT CAST(MAX(nn) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(-SUM(CASE WHEN ra = 1 THEN (CAST(ca AS DOUBLE) / nn)
+                                            * LN(CAST(ca AS DOUBLE) / nn)
+                           ELSE 0 END), 9) AS h_a_r,
+           ROUND(-SUM(CASE WHEN rb = 1 THEN (CAST(cb AS DOUBLE) / nn)
+                                            * LN(CAST(cb AS DOUBLE) / nn)
+                           ELSE 0 END), 9) AS h_b_r,
+           ROUND(SUM((CAST(c AS DOUBLE) / nn)
+                     * LN(CAST(c * nn AS DOUBLE) / CAST(ca * cb AS DOUBLE))), 9)
+               AS mi_r
+    FROM m
+    """,
+)
+def x64_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import mutual_information
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mutual_information(docs, "lang", "source")
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green
 # but left 23 oracle-backed queries (r2 slots 51-73) with no driver-issued

@@ -100,6 +100,7 @@ NEW_THIS_ROUND = {
     "x58_apply_changes", "x59_skew_report",
     "x60_quantile_sketch", "x60_kmv_distinct",
     "x61_ohlc_bars", "x62_lag_features",
+    "x63_group_ols", "x64_mutual_information",
 }
 
 

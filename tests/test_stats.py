@@ -1,0 +1,90 @@
+"""Tests for grouped OLS (x63) and mutual information (x64)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+    group_ols,
+    mutual_information,
+)
+
+
+class TestGroupOLS:
+    def test_exact_line_recovered(self, spark):
+        rows = [("g", float(x), 3.0 * x + 7.0) for x in range(10)]
+        df = spark.createDataFrame(rows, "grp string, x double, y double")
+        r = group_ols(df, ["grp"], "x", "y").collect()[0]
+        assert r["slope_r"] == pytest.approx(3.0)
+        assert r["intercept_r"] == pytest.approx(7.0)
+        assert r["r2_r"] == pytest.approx(1.0)
+
+    def test_matches_numpy_polyfit(self, spark):
+        import numpy as np
+
+        xs = [float(i % 24) for i in range(200)]
+        ys = [0.5 * x - 2.0 + ((i * 37) % 11 - 5) * 0.3 for i, x in enumerate(xs)]
+        df = spark.createDataFrame(
+            [("g", x, y) for x, y in zip(xs, ys)], "grp string, x double, y double"
+        )
+        r = group_ols(df, ["grp"], "x", "y").collect()[0]
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert r["slope_r"] == pytest.approx(slope, abs=1e-6)
+        assert r["intercept_r"] == pytest.approx(intercept, abs=1e-6)
+
+    def test_zero_x_variance_null_fit(self, spark):
+        df = spark.createDataFrame(
+            [("g", 5.0, 1.0), ("g", 5.0, 2.0)], "grp string, x double, y double"
+        )
+        r = group_ols(df, ["grp"], "x", "y").collect()[0]
+        assert r["slope_r"] is None and r["intercept_r"] is None and r["r2_r"] is None
+
+    def test_zero_y_variance(self, spark):
+        df = spark.createDataFrame(
+            [("g", 1.0, 4.0), ("g", 2.0, 4.0), ("g", 3.0, 4.0)],
+            "grp string, x double, y double",
+        )
+        r = group_ols(df, ["grp"], "x", "y").collect()[0]
+        assert r["slope_r"] == pytest.approx(0.0) and r["r2_r"] is None
+
+
+class TestMutualInformation:
+    def test_independent_columns_zero_mi(self, spark):
+        rows = [(a, b) for a in "xy" for b in "uv" for _ in range(25)]
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = mutual_information(df, "a", "b").collect()[0]
+        assert r["mi_r"] == pytest.approx(0.0, abs=1e-9)
+        assert r["h_a_r"] == pytest.approx(math.log(2))
+        assert r["h_b_r"] == pytest.approx(math.log(2))
+
+    def test_deterministic_mapping_mi_equals_entropy(self, spark):
+        rows = [("x", "u")] * 30 + [("y", "v")] * 70
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = mutual_information(df, "a", "b").collect()[0]
+        h = -(0.3 * math.log(0.3) + 0.7 * math.log(0.7))
+        assert r["mi_r"] == pytest.approx(h, abs=1e-9)
+        assert r["h_a_r"] == pytest.approx(h) and r["h_b_r"] == pytest.approx(h)
+
+    def test_matches_direct_formula(self, spark):
+        rows = [("x", "u")] * 10 + [("x", "v")] * 20 + [("y", "u")] * 30 + [("y", "v")] * 40
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = mutual_information(df, "a", "b").collect()[0]
+        n = 100
+        joint = {("x", "u"): 10, ("x", "v"): 20, ("y", "u"): 30, ("y", "v"): 40}
+        ca = {"x": 30, "y": 70}
+        cb = {"u": 40, "v": 60}
+        mi = sum(
+            (c / n) * math.log(c * n / (ca[a] * cb[b])) for (a, b), c in joint.items()
+        )
+        assert r["mi_r"] == pytest.approx(mi, abs=1e-9)
+        assert r["n"] == 100 and r["n_cells"] == 4
+
+    def test_nulls_are_a_category(self, spark):
+        rows = [("x", None)] * 5 + [("y", "v")] * 5
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = mutual_information(df, "a", "b").collect()[0]
+        assert r["n_cells"] == 2
+        assert r["mi_r"] == pytest.approx(math.log(2))  # a determines b

@@ -74,7 +74,19 @@ def inflate(spark: SparkSession, src: str, out: str, copies: int) -> None:
         u.repartition(32).write.mode("overwrite").parquet(f"{out}/{name}.parquet")
         print(f"{name}: x{copies} written")
 
-    build("customer", lambda df, i: remap(df, i, "c_custkey"))
+    # c_name gets a per-copy TWO-char tag: TPC-H names are unique within a
+    # copy, and verbatim copies would form 10-clone cliques whose lev<=1
+    # pair count grows ~quadratically in copies (the same clone artifact
+    # the documents retag fixes). Two identical chars keep every
+    # cross-copy name pair at distance >= 2 (outside any lev<=1 search)
+    # while within-copy distances are untouched — pair volume scales
+    # linearly in copies, like a real corpus.
+    build(
+        "customer",
+        lambda df, i: remap(df, i, "c_custkey").withColumn(
+            "c_name", F.concat(F.col("c_name"), F.lit("~" + chr(97 + i) * 2))
+        ),
+    )
     build("orders", lambda df, i: remap(df, i, "o_orderkey", "o_custkey"))
     build("events", lambda df, i: remap(df, i, "event_id", "user_id"))
     build(
