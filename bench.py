@@ -97,6 +97,9 @@ HEADLINE = [
     "x61_ohlc_bars",
     "x62_lag_features",
     "x63_group_ols",
+    "x66_trending",
+    "x67_psi_drift",
+    "x68_dp_covariance_exact",
     "x64_mutual_information",
     "pipe_training_export",
 ]

@@ -189,7 +189,12 @@ from dbms_data_anonymity_differential_privacy_spark.operators.profile import ske
 from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
     group_ols,
     mutual_information,
+    psi_drift,
+    psi_drift_bins,
+    top_k_per_group,
 )
+from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_covariance
+from dbms_data_anonymity_differential_privacy_spark.streaming.funnel import funnel_stateful
 
 __all__ = [
     "get_spark",
@@ -316,4 +321,9 @@ __all__ = [
     "lag_features",
     "group_ols",
     "mutual_information",
+    "top_k_per_group",
+    "psi_drift",
+    "psi_drift_bins",
+    "dp_covariance",
+    "funnel_stateful",
 ]

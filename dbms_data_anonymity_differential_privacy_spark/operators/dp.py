@@ -1077,3 +1077,65 @@ def dp_continual_counts(
     )
     out = _dyadic_prefix(df.sparkSession, noisy, n_buckets, n_levels, "node_dp")
     return out.select("bucket", F.col("__prefix").alias("prefix_dp"))
+
+
+def dp_covariance(
+    df: DataFrame,
+    by: Sequence[str],
+    x_col: str,
+    y_col: str,
+    epsilon: float,
+    x_bounds: tuple[float, float],
+    y_bounds: tuple[float, float],
+    seed: int = 42,
+    budget: "PrivacyBudget | None" = None,
+    release: str | None = None,
+) -> DataFrame:
+    """X68 — eps-DP per-group covariance (and the exact core for the
+    oracle twin).
+
+    cov = Σxy/n − (Σx/n)(Σy/n) from three clipped sums, each noised with
+    its own Laplace draw under an even eps/4 split (with the count —
+    sequential composition; Dwork & Roth §3.5). Sensitivities after
+    clipping to the PUBLIC bounds: Δ(Σx) = max|x_bounds|, Δ(Σy) =
+    max|y_bounds|, Δ(Σxy) = max|x|·max|y|, Δ(n) = 1. The noisy count is
+    floored at 1 before the divisions.
+
+    Same scale shape as every X1 mechanism: one grouped aggregation of
+    partials, map-side combine, noise as a deterministic per-key column.
+    Output: ``(*by, n_exact, cov_exact_r, cov_dp)``.
+    """
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    (lx, ux), (ly, uy) = x_bounds, y_bounds
+    if lx >= ux or ly >= uy:
+        raise ValueError("need lower < upper in both bounds")
+    sx_sens = max(abs(lx), abs(ux))
+    sy_sens = max(abs(ly), abs(uy))
+    sxy_sens = sx_sens * sy_sens
+    eps4 = epsilon / 4.0
+    salts = {m: _release_salt(f"cov.{m}", release, budget) for m in ("x", "y", "xy", "n")}
+    if budget is not None:
+        budget.spend(epsilon, f"dp_covariance:{x_col},{y_col}")
+    cx = F.least(F.greatest(F.col(x_col), F.lit(lx)), F.lit(ux))
+    cy = F.least(F.greatest(F.col(y_col), F.lit(ly)), F.lit(uy))
+    agg = df.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(cx).alias("__sx"),
+        F.sum(cy).alias("__sy"),
+        F.sum(cx * cy).alias("__sxy"),
+    )
+    nd = F.col("n_exact").cast("double")
+    cov_exact = F.col("__sxy") / nd - (F.col("__sx") / nd) * (F.col("__sy") / nd)
+    n_dp = F.greatest(
+        nd + laplace_noise(by, 1.0 / eps4, seed, salts["n"]), F.lit(1.0)
+    )
+    sx_dp = F.col("__sx") + laplace_noise(by, sx_sens / eps4, seed, salts["x"])
+    sy_dp = F.col("__sy") + laplace_noise(by, sy_sens / eps4, seed, salts["y"])
+    sxy_dp = F.col("__sxy") + laplace_noise(by, sxy_sens / eps4, seed, salts["xy"])
+    return agg.select(
+        *by,
+        "n_exact",
+        F.round(cov_exact, ROUND_DP).alias("cov_exact_r"),
+        (sxy_dp / n_dp - (sx_dp / n_dp) * (sy_dp / n_dp)).alias("cov_dp"),
+    )

@@ -132,3 +132,121 @@ def mutual_information(
         ),
         F.round(F.sum(p_ab * F.log(ratio)), ROUND_DP).alias("mi_r"),
     )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_cols: Sequence[str],
+    k: int = 3,
+    order_tiebreak: Sequence[str] | None = None,
+) -> DataFrame:
+    """X66 — "trending": the k most frequent key values within each group
+    (top event types per hour, top domains per language, ...).
+
+    rank <= k over a rank window compiles to a map-side WindowGroupLimit
+    (Partial): each task keeps at most k candidate rows per group BEFORE
+    the window exchange, so the shuffle after the count aggregation
+    carries ~groups*k rows however skewed the keys are — the same idiom
+    the pair-capped similarity search is plan-gated on. Ties in count
+    break by the key columns (deterministic, oracle-replayable).
+
+    Output: ``(*group_cols, *key_cols, cnt, rank)``.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    counts = df.groupBy(*group_cols, *key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    tiebreak = [F.col(c).asc() for c in (order_tiebreak or key_cols)]
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        F.col("cnt").desc(), *tiebreak
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(int(k)))
+    )
+
+
+def psi_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    lower: float | None = None,
+    upper: float | None = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """X67 — population stability index between two dataset versions:
+    ``PSI = Σ_bins (p_new − p_old) · ln(p_new / p_old)`` — the standard
+    ML-monitoring drift score (rule of thumb: < 0.1 stable, > 0.25 act).
+
+    Bins are fixed-width over CALLER-SUPPLIED bounds (both snapshots must
+    be binned identically or the score is meaningless; deriving bounds
+    from either snapshot would make the score depend on which side
+    drifted). Empty bins are floored at ``eps`` probability — the
+    standard PSI regularization, disclosed — so the log stays finite.
+
+    Output (single row): ``(n_old, n_new, psi_r)`` plus the per-bin
+    relation via :func:`psi_drift_bins` for drill-down. Physical shape:
+    one aggregation per snapshot to n_bins rows; all math on the joined
+    bin spine.
+    """
+    bins = psi_drift_bins(old, new, col, n_bins, lower, upper, eps)
+    return bins.agg(
+        F.max("n_old").cast("long").alias("n_old"),
+        F.max("n_new").cast("long").alias("n_new"),
+        F.round(F.sum("psi_term"), ROUND_DP).alias("psi_r"),
+    )
+
+
+def psi_drift_bins(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    lower: float | None = None,
+    upper: float | None = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-bin PSI relation: ``(bin, c_old, c_new, n_old, n_new,
+    psi_term)``; see :func:`psi_drift`."""
+    if lower is None or upper is None:
+        raise ValueError("psi_drift needs caller-supplied public bounds lower/upper")
+    if lower >= upper:
+        raise ValueError("need lower < upper")
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        clipped = F.least(F.greatest(F.col(col), F.lit(lower)), F.lit(upper))
+        b = F.least(
+            F.floor((clipped - F.lit(lower)) * n_bins / F.lit(upper - lower)),
+            F.lit(n_bins - 1),
+        ).cast("int")
+        return df.select(b.alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).alias(out)
+        )
+
+    spark = old.sparkSession
+    spine = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    joined = (
+        spine.join(F.broadcast(binned(old, "c_old")), "bin", "left")
+        .join(F.broadcast(binned(new, "c_new")), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("c_old", F.lit(0)).alias("c_old"),
+            F.coalesce("c_new", F.lit(0)).alias("c_new"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    t = joined.withColumn("n_old", F.sum("c_old").over(wall)).withColumn(
+        "n_new", F.sum("c_new").over(wall)
+    )
+    p_old = F.greatest(F.col("c_old") / F.col("n_old"), F.lit(float(eps)))
+    p_new = F.greatest(F.col("c_new") / F.col("n_new"), F.lit(float(eps)))
+    return t.withColumn(
+        "psi_term", F.round((p_new - p_old) * F.log(p_new / p_old), ROUND_DP)
+    )

@@ -4097,6 +4097,118 @@ def x64_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X66 — grouped top-k "trending" (operators/stats.py top_k_per_group):
+# the rank<=k filter compiles to a map-side WindowGroupLimit Partial, so
+# the window shuffle carries ~groups*k rows regardless of key skew.
+# --------------------------------------------------------------------------
+@query(
+    "x66_trending",
+    """
+    WITH c AS (SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS cnt
+               FROM events GROUP BY 1, 2)
+    SELECT h, event_type, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY h
+                                       ORDER BY cnt DESC, event_type) AS rank
+          FROM c)
+    WHERE rank <= 3
+    """,
+)
+def x66_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import top_k_per_group
+
+    ev = load_table(spark, sf_dir, "events").withColumn("h", F.date_trunc("hour", "ts"))
+    return top_k_per_group(ev, ["h"], ["event_type"], k=3)
+
+
+# --------------------------------------------------------------------------
+# X67 — PSI distribution drift (operators/stats.py psi_drift): the
+# ML-monitoring stability score between two dataset versions, binned over
+# PUBLIC bounds. The two "versions" are the month's first and second
+# halves — a deterministic temporal split both engines replay.
+# --------------------------------------------------------------------------
+@query(
+    "x67_psi_drift",
+    """
+    WITH o AS (SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+    nw AS (SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+    bo AS (SELECT CAST(LEAST(FLOOR(LEAST(GREATEST(value, 0.0), 500.0) * 10 / 500.0),
+                             9) AS INT) AS bin, COUNT(*) AS c_old FROM o GROUP BY 1),
+    bn AS (SELECT CAST(LEAST(FLOOR(LEAST(GREATEST(value, 0.0), 500.0) * 10 / 500.0),
+                             9) AS INT) AS bin, COUNT(*) AS c_new FROM nw GROUP BY 1),
+    sp AS (SELECT gs.g AS bin FROM generate_series(0, 9) gs(g)),
+    j AS (SELECT sp.bin, COALESCE(bo.c_old, 0) AS c_old, COALESCE(bn.c_new, 0) AS c_new
+          FROM sp LEFT JOIN bo ON bo.bin = sp.bin LEFT JOIN bn ON bn.bin = sp.bin),
+    t AS (SELECT *, SUM(c_old) OVER () AS n_old, SUM(c_new) OVER () AS n_new FROM j),
+    terms AS (SELECT CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+                     ROUND((GREATEST(CAST(c_new AS DOUBLE) / n_new, 0.000001)
+                            - GREATEST(CAST(c_old AS DOUBLE) / n_old, 0.000001))
+                           * LN(GREATEST(CAST(c_new AS DOUBLE) / n_new, 0.000001)
+                                / GREATEST(CAST(c_old AS DOUBLE) / n_old, 0.000001)),
+                           9) AS psi_term
+              FROM t)
+    SELECT MAX(n_old) AS n_old, MAX(n_new) AS n_new,
+           ROUND(SUM(psi_term), 9) AS psi_r
+    FROM terms
+    """,
+)
+def x67_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import psi_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    old = ev.filter(F.col("ts") < F.lit("2024-01-16").cast("timestamp")).select("value")
+    new = ev.filter(F.col("ts") >= F.lit("2024-01-16").cast("timestamp")).select("value")
+    return psi_drift(old, new, "value", n_bins=10, lower=0.0, upper=500.0)
+
+
+# --------------------------------------------------------------------------
+# X68 — DP covariance (operators/dp.py dp_covariance): three clipped sums
+# + the count under an even eps/4 split; the exact core is the oracle row
+# (the X1 *_exact convention), the noisy release is rows-only.
+# --------------------------------------------------------------------------
+@query(
+    "x68_dp_covariance_exact",
+    """
+    WITH c AS (SELECT event_type,
+                      LEAST(GREATEST(value, 0.0), 500.0) AS cx,
+                      CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS cy
+               FROM events),
+    a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact,
+                 SUM(cx) AS sx, SUM(cy) AS sy, SUM(cx * cy) AS sxy
+          FROM c GROUP BY 1)
+    SELECT event_type, n_exact,
+           ROUND(sxy / n_exact - (sx / n_exact) * (sy / n_exact), 9) AS cov_exact_r
+    FROM a
+    """,
+)
+def x68_dp_covariance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_covariance
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "hour_d", F.hour("ts").cast("double")
+    )
+    full = dp_covariance(
+        ev, ["event_type"], "value", "hour_d", epsilon=1.0,
+        x_bounds=(0.0, 500.0), y_bounds=(0.0, 23.0), release="x68",
+    )
+    return full.select("event_type", "n_exact", "cov_exact_r")
+
+
+@query("x68_dp_covariance")
+def x68_dp_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the noisy release (deterministic hash noise; the
+    pre-noise core is hash-checked by x68_dp_covariance_exact)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_covariance
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "hour_d", F.hour("ts").cast("double")
+    )
+    return dp_covariance(
+        ev, ["event_type"], "value", "hour_d", epsilon=1.0,
+        x_bounds=(0.0, 500.0), y_bounds=(0.0, 23.0), release="x68",
+    )
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green
 # but left 23 oracle-backed queries (r2 slots 51-73) with no driver-issued

@@ -101,6 +101,7 @@ NEW_THIS_ROUND = {
     "x60_quantile_sketch", "x60_kmv_distinct",
     "x61_ohlc_bars", "x62_lag_features",
     "x63_group_ols", "x64_mutual_information",
+    "x66_trending", "x67_psi_drift", "x68_dp_covariance_exact",
 }
 
 

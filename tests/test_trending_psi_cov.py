@@ -1,0 +1,101 @@
+"""Tests for grouped top-k (x66), PSI drift (x67), DP covariance (x68)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_covariance
+from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+    psi_drift,
+    psi_drift_bins,
+    top_k_per_group,
+)
+
+
+class TestTopKPerGroup:
+    def test_ranks_and_ties(self, spark):
+        rows = [("g", "a")] * 3 + [("g", "b")] * 3 + [("g", "c")] * 1 + [("h", "z")] * 2
+        df = spark.createDataFrame(rows, "grp string, k string")
+        out = {(r["grp"], r["rank"]): (r["k"], r["cnt"]) for r in
+               top_k_per_group(df, ["grp"], ["k"], k=2).collect()}
+        assert out[("g", 1)] == ("a", 3)  # tie with b broken by key asc
+        assert out[("g", 2)] == ("b", 3)
+        assert out[("h", 1)] == ("z", 2)
+        assert ("g", 3) not in out
+
+    def test_partial_window_limit_plan(self, spark, sf001):
+        import re
+
+        ev = spark.read.parquet(f"{sf001}/events.parquet").withColumn(
+            "h", F.date_trunc("hour", "ts")
+        )
+        df = top_k_per_group(ev, ["h"], ["event_type"], k=3)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        assert re.search(r"WindowGroupLimit.*Partial", plan)
+
+
+class TestPSI:
+    def test_identical_distributions_zero(self, spark):
+        df = spark.createDataFrame([(float(v % 50),) for v in range(500)], "value double")
+        r = psi_drift(df, df, "value", n_bins=10, lower=0.0, upper=50.0).collect()[0]
+        assert r["psi_r"] == pytest.approx(0.0)
+
+    def test_shift_detected(self, spark):
+        old = spark.createDataFrame([(float(v % 50),) for v in range(500)], "value double")
+        new = old.select((F.col("value") + 25.0).alias("value"))
+        r = psi_drift(old, new, "value", n_bins=10, lower=0.0, upper=100.0).collect()[0]
+        assert r["psi_r"] > 0.25  # "act" threshold: half the mass moved bins
+
+    def test_bins_relation_consistent(self, spark):
+        old = spark.createDataFrame([(float(v),) for v in range(100)], "value double")
+        new = spark.createDataFrame([(float(v),) for v in range(50)], "value double")
+        bins = psi_drift_bins(old, new, "value", n_bins=5, lower=0.0, upper=100.0).collect()
+        assert len(bins) == 5
+        assert sum(b["c_old"] for b in bins) == 100
+        assert sum(b["c_new"] for b in bins) == 50
+
+    def test_requires_public_bounds(self, spark):
+        df = spark.createDataFrame([(1.0,)], "value double")
+        with pytest.raises(ValueError, match="public bounds"):
+            psi_drift(df, df, "value")
+
+
+class TestDPCovariance:
+    def mk(self, spark):
+        rows = [("g", float(x), float(2 * x + 1)) for x in range(100)]
+        return spark.createDataFrame(rows, "grp string, x double, y double")
+
+    def test_exact_core(self, spark):
+        df = self.mk(spark)
+        r = dp_covariance(
+            df, ["grp"], "x", "y", epsilon=1.0, x_bounds=(0.0, 100.0),
+            y_bounds=(0.0, 200.0), release="t",
+        ).collect()[0]
+        # cov(x, 2x+1) = 2 * var(x); var(0..99 population) = (100^2-1)/12
+        assert r["cov_exact_r"] == pytest.approx(2 * (100**2 - 1) / 12, rel=1e-9)
+
+    def test_epsilon_inf_recovers_exact(self, spark):
+        df = self.mk(spark)
+        r = dp_covariance(
+            df, ["grp"], "x", "y", epsilon=1e9, x_bounds=(0.0, 100.0),
+            y_bounds=(0.0, 200.0), release="t",
+        ).collect()[0]
+        assert r["cov_dp"] == pytest.approx(r["cov_exact_r"], abs=1e-3)
+
+    def test_deterministic_and_release_unique(self, spark):
+        df = self.mk(spark)
+        kw = dict(epsilon=1.0, x_bounds=(0.0, 100.0), y_bounds=(0.0, 200.0))
+        a = dp_covariance(df, ["grp"], "x", "y", release="r1", **kw).collect()[0]
+        b = dp_covariance(df.repartition(7), ["grp"], "x", "y", release="r1", **kw).collect()[0]
+        c = dp_covariance(df, ["grp"], "x", "y", release="r2", **kw).collect()[0]
+        assert a["cov_dp"] == b["cov_dp"]
+        assert a["cov_dp"] != c["cov_dp"]
+
+    def test_requires_release_or_budget(self, spark):
+        df = self.mk(spark)
+        with pytest.raises(ValueError, match="noise uniqueness"):
+            dp_covariance(df, ["grp"], "x", "y", epsilon=1.0,
+                          x_bounds=(0.0, 1.0), y_bounds=(0.0, 1.0))
