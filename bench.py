@@ -100,6 +100,7 @@ HEADLINE = [
     "x66_trending",
     "x67_psi_drift",
     "x68_dp_covariance_exact",
+    "x69_corr_matrix",
     "x64_mutual_information",
     "pipe_training_export",
 ]

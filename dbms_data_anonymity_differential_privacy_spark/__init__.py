@@ -189,6 +189,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.profile import ske
 from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
     group_ols,
     mutual_information,
+    correlation_matrix,
     psi_drift,
     psi_drift_bins,
     top_k_per_group,
@@ -326,4 +327,5 @@ __all__ = [
     "psi_drift_bins",
     "dp_covariance",
     "funnel_stateful",
+    "correlation_matrix",
 ]

@@ -250,3 +250,58 @@ def psi_drift_bins(
     return t.withColumn(
         "psi_term", F.round((p_new - p_old) * F.log(p_new / p_old), ROUND_DP)
     )
+
+
+def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """X69 — exact Pearson correlations for EVERY column pair in ONE
+    aggregation pass.
+
+    The naive route calls ``df.stat.corr`` per pair — p·(p−1)/2 separate
+    jobs, each rescanning the fact table. Here one grouped-less
+    aggregation computes all sufficient statistics (p counts-free sums,
+    p squares, p·(p−1)/2 cross-products — partial-combined map-side),
+    and the matrix assembles from the single result row via a tiny
+    unpivot. For p columns the scan cost is 1× regardless of p.
+
+    r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²)),
+    NULL when either variance is zero. Rows with a NULL in ANY of the
+    requested columns are excluded up front (listwise deletion — the
+    convention ``pandas.DataFrame.corr`` users expect for a consistent
+    n across pairs; disclosed).
+
+    Output: ``(col_a, col_b, n, corr_r)`` for a < b, 9 dp.
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    nn = df.na.drop(subset=cols)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        x = F.col(c).cast("double")
+        aggs.append(F.sum(x).alias(f"s_{c}"))
+        aggs.append(F.sum(x * x).alias(f"q_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(
+            F.sum(F.col(a).cast("double") * F.col(b).cast("double")).alias(f"p_{a}_{b}")
+        )
+    wide = nn.agg(*aggs)
+
+    n = F.col("n").cast("double")
+    outs = []
+    for a, b in pairs:
+        sxx = n * F.col(f"q_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        syy = n * F.col(f"q_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        sxy = n * F.col(f"p_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        r = F.when((sxx > 0) & (syy > 0), sxy / F.sqrt(sxx * syy))
+        outs.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col("n"),
+                F.round(r, ROUND_DP).alias("corr_r"),
+            )
+        )
+    return wide.select(F.explode(F.array(*outs)).alias("e")).select(
+        "e.col_a", "e.col_b", "e.n", "e.corr_r"
+    )

@@ -4209,6 +4209,47 @@ def x68_dp_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X69 — one-pass correlation matrix (operators/stats.py
+# correlation_matrix): every Pearson pair from ONE aggregation — p
+# columns cost one scan, not p*(p-1)/2 jobs. The SQL twin is generated
+# from the same column list (the profile.py convention).
+# --------------------------------------------------------------------------
+_X69_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_matrix_sql(table: str, cols: list[str]) -> str:
+    sums = ", ".join(
+        f"SUM({c}) AS s_{c}, SUM({c} * {c}) AS q_{c}" for c in cols
+    )
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    prods = ", ".join(f"SUM({a} * {b}) AS p_{a}_{b}" for a, b in pairs)
+    nn = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    rows = " UNION ALL ".join(
+        f"""SELECT '{a}' AS col_a, '{b}' AS col_b, n,
+            ROUND(CASE WHEN n * q_{a} - s_{a} * s_{a} > 0
+                        AND n * q_{b} - s_{b} * s_{b} > 0
+                       THEN (n * p_{a}_{b} - s_{a} * s_{b})
+                            / SQRT((n * q_{a} - s_{a} * s_{a})
+                                   * (n * q_{b} - s_{b} * s_{b})) END, 9) AS corr_r
+            FROM a"""
+        for a, b in pairs
+    )
+    return f"""
+    WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, {sums}, {prods}
+               FROM {table} WHERE {nn})
+    {rows}
+    """
+
+
+@query("x69_corr_matrix", _corr_matrix_sql("lineitem", _X69_COLS))
+def x69_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import correlation_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return correlation_matrix(li, _X69_COLS)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green
 # but left 23 oracle-backed queries (r2 slots 51-73) with no driver-issued

@@ -102,6 +102,7 @@ NEW_THIS_ROUND = {
     "x61_ohlc_bars", "x62_lag_features",
     "x63_group_ols", "x64_mutual_information",
     "x66_trending", "x67_psi_drift", "x68_dp_covariance_exact",
+    "x69_corr_matrix",
 }
 
 

@@ -99,3 +99,48 @@ class TestDPCovariance:
         with pytest.raises(ValueError, match="noise uniqueness"):
             dp_covariance(df, ["grp"], "x", "y", epsilon=1.0,
                           x_bounds=(0.0, 1.0), y_bounds=(0.0, 1.0))
+
+
+class TestCorrelationMatrix:
+    def test_matches_pandas_corr(self, spark, sf001):
+        import pandas as pd
+
+        from dbms_data_anonymity_differential_privacy_spark.operators.stats import correlation_matrix
+
+        li = spark.read.parquet(f"{sf001}/lineitem.parquet")
+        cols = ["l_quantity", "l_extendedprice", "l_discount"]
+        got = {(r["col_a"], r["col_b"]): r["corr_r"]
+               for r in correlation_matrix(li, cols).collect()}
+        pdf = li.select(*cols).toPandas()
+        ref = pdf.corr()
+        for (a, b), v in got.items():
+            assert v == pytest.approx(ref.loc[a, b], abs=1e-9)
+
+    def test_perfect_and_anti_correlation(self, spark):
+        from dbms_data_anonymity_differential_privacy_spark.operators.stats import correlation_matrix
+
+        rows = [(float(i), 2.0 * i + 3.0, -1.0 * i) for i in range(50)]
+        df = spark.createDataFrame(rows, "a double, b double, c double")
+        got = {(r["col_a"], r["col_b"]): r["corr_r"]
+               for r in correlation_matrix(df, ["a", "b", "c"]).collect()}
+        assert got[("a", "b")] == pytest.approx(1.0)
+        assert got[("a", "c")] == pytest.approx(-1.0)
+
+    def test_constant_column_null(self, spark):
+        from dbms_data_anonymity_differential_privacy_spark.operators.stats import correlation_matrix
+
+        df = spark.createDataFrame([(float(i), 5.0) for i in range(10)], "a double, b double")
+        r = correlation_matrix(df, ["a", "b"]).collect()[0]
+        assert r["corr_r"] is None
+
+    def test_single_scan_plan(self, spark, sf001):
+        import re
+
+        from dbms_data_anonymity_differential_privacy_spark.operators.stats import correlation_matrix
+
+        li = spark.read.parquet(f"{sf001}/lineitem.parquet")
+        df = correlation_matrix(li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        assert len(re.findall(r"Scan parquet|FileScan parquet", plan)) == 1
