@@ -101,6 +101,7 @@ HEADLINE = [
     "x67_psi_drift",
     "x68_dp_covariance_exact",
     "x69_corr_matrix",
+    "x70_km_anonymity",
     "x64_mutual_information",
     "pipe_training_export",
 ]

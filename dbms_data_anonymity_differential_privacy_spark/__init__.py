@@ -29,6 +29,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.kanonymity import 
     class_sizes,
     k_anonymize_suppress,
     k_anonymity_audit,
+    km_anonymity_audit,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.metrics import (
     reid_risk,
@@ -328,4 +329,5 @@ __all__ = [
     "dp_covariance",
     "funnel_stateful",
     "correlation_matrix",
+    "km_anonymity_audit",
 ]

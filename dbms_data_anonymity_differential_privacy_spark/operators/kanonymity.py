@@ -89,3 +89,58 @@ def k_anonymity_audit(df: DataFrame, qi: Sequence[str], k: int) -> DataFrame:
         ),
         (F.min(CLASS_SIZE_COL) >= F.lit(k)).alias("k_satisfied"),
     )
+
+
+def km_anonymity_audit(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    m: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """X70 — k^m-anonymity audit for SET-VALUED data (Terrovitis,
+    Mamoulis & Kalnis, VLDB 2008).
+
+    Row-per-record k-anonymity (C1/C2) models one QI tuple per person;
+    transaction data — the items/diagnoses/event-types a user has — is a
+    SET, and the attacker model changes: an adversary knowing up to m of
+    a user's items re-identifies them if fewer than k users share that
+    m-item combination. This audit releases the support of every
+    observed m-item combination and flags the risky ones.
+
+    ``m`` in {1, 2} (the published attack sizes that stay tractable
+    without itemset mining; larger m = the same join chained, cost
+    multiplies by per-user set size each step — documented, not hidden).
+
+    Physical shape: the fact table collapses map-side to the DISTINCT
+    (user, item) relation first (<= users x items, like the X55 activity
+    relation). m=2 self-joins that slim relation on the user key — both
+    sides arrive under the ONE user-hash shuffle, pair fan-out is
+    bounded by per-user set size (here <= |event types|), and support
+    counting partial-combines. Fact rows are never paired.
+
+    Output: ``(item_a[, item_b], support, risky)`` — support is exact
+    (each user counted once per combination by construction), risky =
+    support < k.
+    """
+    if m not in (1, 2):
+        raise ValueError("m must be 1 or 2 (chain the join for larger m)")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    items = df.select(F.col(user_col).alias("__u"), F.col(item_col).alias("__i")).distinct()
+    if m == 1:
+        support = items.groupBy(F.col("__i").alias("item_a")).agg(
+            F.count(F.lit(1)).alias("support")
+        )
+    else:
+        a = items.alias("a")
+        b = items.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.__u") == F.col("b.__u")) & (F.col("a.__i") < F.col("b.__i")),
+            "inner",
+        ).select(F.col("a.__i").alias("item_a"), F.col("b.__i").alias("item_b"))
+        support = pairs.groupBy("item_a", "item_b").agg(
+            F.count(F.lit(1)).alias("support")
+        )
+    return support.withColumn("risky", F.col("support") < F.lit(int(k)))

@@ -4250,6 +4250,31 @@ def x69_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X70 — k^m-anonymity for SET-VALUED data (operators/kanonymity.py
+# km_anonymity_audit, Terrovitis et al. VLDB'08): the transaction-data
+# attack model — fewer than k users sharing an m-item combination is a
+# re-identification risk. Users' event-type sets, m=2, k=40.
+# --------------------------------------------------------------------------
+@query(
+    "x70_km_anonymity",
+    """
+    WITH it AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS item_a, b.event_type AS item_b,
+           CAST(COUNT(*) AS BIGINT) AS support, COUNT(*) < 40 AS risky
+    FROM it a JOIN it b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def x70_km_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.kanonymity import (
+        km_anonymity_audit,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return km_anonymity_audit(ev, "user_id", "event_type", m=2, k=40)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green
 # but left 23 oracle-backed queries (r2 slots 51-73) with no driver-issued

@@ -47,3 +47,46 @@ def test_audit_fields(spark, sf0001):
     row2 = k_anonymity_audit(anon, QI, 5).collect()[0]
     assert bool(row2.k_satisfied) is True
     assert row2.classes_below_k == 0
+
+
+class TestKmAnonymity:
+    def test_pair_supports(self, spark):
+        from dbms_data_anonymity_differential_privacy_spark.operators.kanonymity import (
+            km_anonymity_audit,
+        )
+
+        rows = [
+            (1, "a"), (1, "b"), (1, "c"),
+            (2, "a"), (2, "b"),
+            (3, "a"), (3, "b"),
+            (4, "c"),
+            (1, "a"),  # duplicate event must not double-count the user
+        ]
+        df = spark.createDataFrame(rows, "u long, item string")
+        out = {(r["item_a"], r["item_b"]): (r["support"], r["risky"]) for r in
+               km_anonymity_audit(df, "u", "item", m=2, k=3).collect()}
+        assert out[("a", "b")] == (3, False)
+        assert out[("a", "c")] == (1, True)
+        assert out[("b", "c")] == (1, True)
+
+    def test_m1_is_item_support(self, spark):
+        from dbms_data_anonymity_differential_privacy_spark.operators.kanonymity import (
+            km_anonymity_audit,
+        )
+
+        rows = [(1, "a"), (2, "a"), (3, "b")]
+        df = spark.createDataFrame(rows, "u long, item string")
+        out = {r["item_a"]: r["support"] for r in
+               km_anonymity_audit(df, "u", "item", m=1, k=2).collect()}
+        assert out == {"a": 2, "b": 1}
+
+    def test_rejects_large_m(self, spark):
+        import pytest as _pytest
+
+        from dbms_data_anonymity_differential_privacy_spark.operators.kanonymity import (
+            km_anonymity_audit,
+        )
+
+        df = spark.createDataFrame([(1, "a")], "u long, item string")
+        with _pytest.raises(ValueError):
+            km_anonymity_audit(df, "u", "item", m=3)

@@ -103,6 +103,7 @@ NEW_THIS_ROUND = {
     "x63_group_ols", "x64_mutual_information",
     "x66_trending", "x67_psi_drift", "x68_dp_covariance_exact",
     "x69_corr_matrix",
+    "x70_km_anonymity",
 }
 
 
