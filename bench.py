@@ -102,6 +102,8 @@ HEADLINE = [
     "x68_dp_covariance_exact",
     "x69_corr_matrix",
     "x70_km_anonymity",
+    "x71_chi_squared",
+    "x72_transitions",
     "x64_mutual_information",
     "pipe_training_export",
 ]

@@ -190,10 +190,12 @@ from dbms_data_anonymity_differential_privacy_spark.operators.profile import ske
 from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
     group_ols,
     mutual_information,
+    chi_squared,
     correlation_matrix,
     psi_drift,
     psi_drift_bins,
     top_k_per_group,
+    transition_matrix,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_covariance
 from dbms_data_anonymity_differential_privacy_spark.streaming.funnel import funnel_stateful
@@ -330,4 +332,6 @@ __all__ = [
     "funnel_stateful",
     "correlation_matrix",
     "km_anonymity_audit",
+    "chi_squared",
+    "transition_matrix",
 ]

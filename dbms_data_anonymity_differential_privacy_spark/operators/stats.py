@@ -305,3 +305,86 @@ def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return wide.select(F.explode(F.array(*outs)).alias("e")).select(
         "e.col_a", "e.col_b", "e.n", "e.corr_r"
     )
+
+
+def chi_squared(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """X71 — Pearson chi-squared independence statistic between two
+    categorical columns: ``X² = Σ (observed − expected)² / expected``
+    over the joint support, with degrees of freedom — the classical
+    companion to :func:`mutual_information` (MI measures the effect
+    size in nats; X² scales with n and feeds a significance test).
+
+    The p-value needs the chi-squared CDF (an incomplete-gamma special
+    function with no SQL/builtin equivalent), so the release is the
+    statistic + dof — callers finish with ``scipy.stats.chi2.sf`` on the
+    driver; releasing a driver-side p-value would break the relation's
+    oracle-checkability for no engine benefit.
+
+    expected = c_a · c_b / N telescopes to exact int64 products over one
+    (a, b, count) aggregation — zero-count cells contribute exactly
+    ``expected`` each, so the full-grid sum is computed WITHOUT
+    materializing the grid: ``X² = N·(Σ_observed c²/(c_a·c_b)) − N``.
+    (Algebra: Σ_all (o−e)²/e = Σ_all o²/e − N, and o = 0 off-support.)
+
+    Output (single row): ``(n, dof, chi2_r)``.
+    """
+    from pyspark.sql import Window
+
+    joint = df.groupBy(F.col(a_col).alias("__a"), F.col(b_col).alias("__b")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wa, wb, wall = Window.partitionBy("__a"), Window.partitionBy("__b"), Window.partitionBy()
+    cells = (
+        joint.withColumn("__ca", F.sum("__c").over(wa))
+        .withColumn("__cb", F.sum("__c").over(wb))
+        .withColumn("__n", F.sum("__c").over(wall))
+        .withColumn("__ma", F.row_number().over(wa.orderBy("__b")) == 1)
+        .withColumn("__mb", F.row_number().over(wb.orderBy("__a")) == 1)
+    )
+    term = (F.col("__c") * F.col("__c")).cast("double") / (
+        F.col("__ca") * F.col("__cb")
+    ).cast("double")
+    return cells.agg(
+        F.max("__n").cast("long").alias("n"),
+        (
+            (F.sum(F.when(F.col("__ma"), 1).otherwise(0)) - F.lit(1))
+            * (F.sum(F.when(F.col("__mb"), 1).otherwise(0)) - F.lit(1))
+        ).cast("long").alias("dof"),
+        F.round(
+            F.max("__n").cast("double") * F.sum(term) - F.max("__n").cast("double"),
+            ROUND_DP,
+        ).alias("chi2_r"),
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """X72 — first-order event-flow transition matrix: for every ordered
+    pair of consecutive events within a user's timeline, the count and
+    the row-normalized transition probability — the "user flow" view
+    (what do users do right after a signup?) and the empirical Markov
+    model over event types.
+
+    One shuffle on the user key (lag window, ties broken by ``id_col``);
+    the transition counts partial-combine; probabilities derive from a
+    window over the |types|² relation. Output: ``(from_type, to_type,
+    cnt, p_r)`` with p rounded 9 dp (one division of exact counts).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    pairs = events.select(
+        F.lag(F.col(type_col)).over(w).alias("from_type"),
+        F.col(type_col).alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w_from = Window.partitionBy("from_type")
+    return counts.withColumn(
+        "p_r",
+        F.round(F.col("cnt").cast("double") / F.sum("cnt").over(w_from).cast("double"), ROUND_DP),
+    )

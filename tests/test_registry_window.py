@@ -104,6 +104,7 @@ NEW_THIS_ROUND = {
     "x66_trending", "x67_psi_drift", "x68_dp_covariance_exact",
     "x69_corr_matrix",
     "x70_km_anonymity",
+    "x71_chi_squared", "x72_transitions",
 }
 
 

@@ -88,3 +88,70 @@ class TestMutualInformation:
         r = mutual_information(df, "a", "b").collect()[0]
         assert r["n_cells"] == 2
         assert r["mi_r"] == pytest.approx(math.log(2))  # a determines b
+
+
+class TestChiSquared:
+    def test_matches_scipy_contingency(self, spark):
+        from dbms_data_anonymity_differential_privacy_spark.operators.stats import chi_squared
+
+        rows = [("x", "u")] * 10 + [("x", "v")] * 20 + [("y", "u")] * 30 + [("y", "v")] * 15
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = chi_squared(df, "a", "b").collect()[0]
+        try:
+            from scipy.stats import chi2_contingency
+
+            stat, _, dof, _ = chi2_contingency([[10, 20], [30, 15]], correction=False)
+            assert r["chi2_r"] == pytest.approx(stat, abs=1e-9)
+            assert r["dof"] == dof
+        except ImportError:
+            # hand formula fallback
+            assert r["dof"] == 1 and r["chi2_r"] > 0
+
+    def test_independent_is_zero(self, spark):
+        from dbms_data_anonymity_differential_privacy_spark.operators.stats import chi_squared
+
+        rows = [(a, b) for a in "xy" for b in "uv" for _ in range(25)]
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = chi_squared(df, "a", "b").collect()[0]
+        assert r["chi2_r"] == pytest.approx(0.0)
+        assert r["n"] == 100
+
+
+class TestTransitionMatrix:
+    def test_counts_and_probs(self, spark):
+        import datetime as dt
+
+        from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+            transition_matrix,
+        )
+
+        t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+        rows = [
+            (1, t(0), 7, "a", 0.0, ""),
+            (2, t(1), 7, "b", 0.0, ""),
+            (3, t(2), 7, "a", 0.0, ""),
+            (4, t(3), 7, "b", 0.0, ""),
+            (5, t(0), 8, "a", 0.0, ""),
+            (6, t(1), 8, "a", 0.0, ""),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        )
+        out = {(r["from_type"], r["to_type"]): (r["cnt"], r["p_r"]) for r in
+               transition_matrix(df).collect()}
+        assert out[("a", "b")] == (2, pytest.approx(2 / 3))
+        assert out[("a", "a")] == (1, pytest.approx(1 / 3))
+        assert out[("b", "a")] == (1, pytest.approx(1.0))
+        # no cross-user transition (user 7 last event -> user 8 first event)
+        assert ("b", "b") not in out
+
+    def test_row_stochastic(self, spark, sf001):
+        from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+            transition_matrix,
+        )
+
+        ev = spark.read.parquet(f"{sf001}/events.parquet")
+        out = transition_matrix(ev)
+        sums = out.groupBy("from_type").agg(F.sum("p_r").alias("s")).collect()
+        for r in sums:
+            assert r["s"] == pytest.approx(1.0, abs=1e-6)
