@@ -104,6 +104,7 @@ HEADLINE = [
     "x70_km_anonymity",
     "x71_chi_squared",
     "x72_transitions",
+    "x73_range_counts_exact",
     "x64_mutual_information",
     "pipe_training_export",
 ]

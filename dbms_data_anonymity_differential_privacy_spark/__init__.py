@@ -180,6 +180,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.metrics import mad
 from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
     continual_counts_exact,
     dp_continual_counts,
+    dp_range_counts,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.integrity import (
     key_uniqueness_check,
@@ -334,4 +335,5 @@ __all__ = [
     "km_anonymity_audit",
     "chi_squared",
     "transition_matrix",
+    "dp_range_counts",
 ]

@@ -1139,3 +1139,102 @@ def dp_covariance(
         F.round(cov_exact, ROUND_DP).alias("cov_exact_r"),
         (sxy_dp / n_dp - (sx_dp / n_dp) * (sy_dp / n_dp)).alias("cov_dp"),
     )
+
+
+def _dyadic_range_sums(
+    spark,
+    nodes: DataFrame,
+    ranges: Sequence[tuple[int, int]],
+    n_buckets: int,
+    n_levels: int,
+    value_col: str,
+) -> DataFrame:
+    """Evaluate inclusive bucket ranges [lo, hi] against a dyadic node
+    relation as SIGNED prefix covers: count = P(hi+1) − P(lo), each
+    prefix decomposed by the same bit arithmetic as
+    :func:`_dyadic_prefix`. P(0) has an empty cover, so a lo = 0 range
+    degenerates to the plain prefix."""
+    import itertools
+
+    reqs = spark.createDataFrame(
+        [
+            (i, int(lo), int(hi), sign, m)
+            for i, (lo, hi) in enumerate(ranges)
+            for sign, m in ((1, int(hi) + 1), (-1, int(lo)))
+            if m > 0
+        ],
+        "range_id int, lo long, hi long, sign int, m long",
+    )
+    picks = (
+        reqs.withColumn(
+            "level", F.explode(F.array([F.lit(l) for l in range(n_levels)]))
+        )
+        .filter(F.expr("(shiftright(m, level) & 1) = 1"))
+        .withColumn("node", F.expr("shiftleft(shiftright(m, level + 1), 1)"))
+    )
+    joined = picks.join(F.broadcast(nodes), on=["level", "node"], how="inner")
+    return (
+        joined.groupBy("range_id", "lo", "hi")
+        .agg(F.sum(F.col("sign") * F.col(value_col)).alias("__range"))
+    )
+
+
+def dp_range_counts(
+    df: DataFrame,
+    ts_col: str,
+    start_epoch: int,
+    n_buckets: int,
+    ranges: Sequence[tuple[int, int]],
+    bucket: str = "1 hour",
+    epsilon: float = 1.0,
+    seed: int = 42,
+    budget: "PrivacyBudget | None" = None,
+    release: str | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """X73 — eps-DP counts over arbitrary time ranges from ONE noised
+    dyadic tree (the range-query face of :func:`dp_continual_counts`).
+
+    Every inclusive bucket range [lo, hi] is answered as the signed
+    difference of two prefix covers over the SAME per-node noise, so:
+    (a) the whole workload — any number of ranges, plus the continual
+    prefix stream, against one tree release label — costs ONE epsilon;
+    (b) answers are mutually CONSISTENT (range sums telescope exactly:
+    [0,5] = [0,2] + [3,5] in the released numbers, which independent
+    per-range Laplace answers never satisfy); (c) per-answer error stays
+    O(log^{1.5} T / eps) regardless of range length.
+
+    ``exact=True`` skips the noise — the oracle-twin mode, certifying
+    the signed-cover algebra against a direct BETWEEN count.
+
+    Output: ``(range_id, lo, hi, range_dp | range_exact)``.
+    """
+    if bucket not in _BUCKET_SECS:
+        raise ValueError(f"bucket must be one of {sorted(_BUCKET_SECS)}")
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    for lo, hi in ranges:
+        if not 0 <= lo <= hi < n_buckets:
+            raise ValueError(f"range ({lo}, {hi}) outside [0, {n_buckets})")
+    nodes, n_levels = _dyadic_node_sums(
+        df, ts_col, start_epoch, n_buckets, _BUCKET_SECS[bucket]
+    )
+    if exact:
+        out = _dyadic_range_sums(
+            df.sparkSession, nodes, ranges, n_buckets, n_levels, "node_exact"
+        )
+        return out.select(
+            "range_id", "lo", "hi", F.col("__range").cast("long").alias("range_exact")
+        )
+    salt = _release_salt("continual", release, budget)  # SAME tree as the prefix stream
+    if budget is not None:
+        budget.spend(epsilon, f"dp_range_counts:{ts_col}@T{n_buckets}")
+    noisy = nodes.withColumn(
+        "node_dp",
+        F.col("node_exact")
+        + laplace_noise(["level", "node"], n_levels / epsilon, seed, salt),
+    )
+    out = _dyadic_range_sums(
+        df.sparkSession, noisy, ranges, n_buckets, n_levels, "node_dp"
+    )
+    return out.select("range_id", "lo", "hi", F.col("__range").alias("range_dp"))

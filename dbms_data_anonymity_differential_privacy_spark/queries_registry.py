@@ -4334,6 +4334,51 @@ def x72_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X73 — DP range queries off the x56 dyadic tree (operators/dp.py
+# dp_range_counts): arbitrary time ranges as SIGNED prefix covers over
+# one noised tree — consistent, one-epsilon, polylog error. The exact
+# twin certifies the signed-cover algebra against direct BETWEEN counts.
+# --------------------------------------------------------------------------
+_X73_RANGES = [(0, 23), (24, 167), (168, 719), (0, 719), (100, 100)]
+
+
+@query(
+    "x73_range_counts_exact",
+    """
+    WITH r(range_id, lo, hi) AS (VALUES (0, 0, 23), (1, 24, 167), (2, 168, 719),
+                                        (3, 0, 719), (4, 100, 100)),
+    b AS (SELECT CAST(FLOOR(date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts)
+                            / 3600) AS BIGINT) AS t FROM events),
+    v AS (SELECT t FROM b WHERE t >= 0 AND t < 720)
+    SELECT r.range_id, CAST(r.lo AS BIGINT) AS lo, CAST(r.hi AS BIGINT) AS hi,
+           CAST(COUNT(v.t) AS BIGINT) AS range_exact
+    FROM r LEFT JOIN v ON v.t BETWEEN r.lo AND r.hi
+    GROUP BY 1, 2, 3
+    """,
+)
+def x73_range_counts_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_range_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return dp_range_counts(
+        ev, "ts", _X56_START, _X56_BUCKETS, _X73_RANGES, "1 hour", exact=True
+    )
+
+
+@query("x73_range_counts")
+def x73_range_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: the noisy release, sharing the x56 tree label so both
+    releases ride one epsilon and answer consistently."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_range_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return dp_range_counts(
+        ev, "ts", _X56_START, _X56_BUCKETS, _X73_RANGES, "1 hour",
+        epsilon=1.0, seed=42, release="x56",
+    )
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green
 # but left 23 oracle-backed queries (r2 slots 51-73) with no driver-issued

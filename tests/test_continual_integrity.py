@@ -12,6 +12,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
     PrivacyBudget,
     continual_counts_exact,
     dp_continual_counts,
+    dp_range_counts,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.integrity import (
     key_uniqueness_check,
@@ -138,3 +139,40 @@ class TestIntegrity:
         r = key_uniqueness_check(orders, ["o_orderkey"]).collect()[0]
         assert r["n_dup_keys"] == 0 and r["n_excess_rows"] == 0
         assert r["n_rows"] == r["n_keys"]
+
+
+class TestRangeCounts:
+    def test_exact_ranges_match_direct_counts(self, spark):
+        counts = {h: (h * 5) % 7 for h in range(32)}
+        df = mk_events(spark, counts)
+        ranges = [(0, 7), (8, 31), (5, 5), (0, 31)]
+        out = {r["range_id"]: r["range_exact"] for r in
+               dp_range_counts(df, "ts", T0, 32, ranges, exact=True).collect()}
+        for i, (lo, hi) in enumerate(ranges):
+            assert out[i] == sum(counts.get(h, 0) for h in range(lo, hi + 1)), (lo, hi)
+
+    def test_noisy_answers_are_consistent(self, spark):
+        """Released range sums must TELESCOPE exactly — the tree property
+        independent per-range noise can never have."""
+        df = mk_events(spark, {h: 3 for h in range(16)})
+        ranges = [(0, 7), (8, 15), (0, 15)]
+        out = {r["range_id"]: r["range_dp"] for r in
+               dp_range_counts(df, "ts", T0, 16, ranges, epsilon=1.0,
+                               release="cons").collect()}
+        assert out[0] + out[1] == pytest.approx(out[2], abs=1e-9)
+
+    def test_shares_tree_with_prefix_stream(self, spark):
+        """Same release label => the [0, m-1] range equals the prefix
+        release at bucket m-1 bit-for-bit (one tree, one epsilon)."""
+        df = mk_events(spark, {h: (h * 3) % 5 for h in range(16)})
+        pref = {r["bucket"]: r["prefix_dp"] for r in
+                dp_continual_counts(df, "ts", T0, 16, epsilon=1.0,
+                                    release="shared").collect()}
+        rng = dp_range_counts(df, "ts", T0, 16, [(0, 9)], epsilon=1.0,
+                              release="shared").collect()[0]
+        assert rng["range_dp"] == pref[9]
+
+    def test_rejects_out_of_domain_range(self, spark):
+        df = mk_events(spark, {0: 1})
+        with pytest.raises(ValueError, match="outside"):
+            dp_range_counts(df, "ts", T0, 8, [(0, 8)], release="z")

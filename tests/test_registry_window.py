@@ -105,6 +105,7 @@ NEW_THIS_ROUND = {
     "x69_corr_matrix",
     "x70_km_anonymity",
     "x71_chi_squared", "x72_transitions",
+    "x73_range_counts_exact",
 }
 
 
