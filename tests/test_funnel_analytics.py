@@ -191,8 +191,13 @@ class TestGapfill:
     def test_dense_grid_shape(self, spark, sf001):
         ev = spark.read.parquet(f"{sf001}/events.parquet")
         out = gapfill_rollup(ev, ["event_type"], value_col="value").persist()
-        per_type = out.groupBy("event_type").count().select("count").distinct().collect()
-        assert len(per_type) == 1  # every type has the identical dense bucket count
+        try:
+            per_type = out.groupBy("event_type").count().select("count").distinct().collect()
+            assert len(per_type) == 1  # every type: identical dense bucket count
+        finally:
+            # don't leave a cached copy of a registry-identical plan around
+            # (the CacheManager would substitute it into later plan gates)
+            out.unpersist()
 
 
 class TestMadOutliers:

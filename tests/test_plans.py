@@ -34,6 +34,11 @@ def plan_of(df, mode: str = "simple") -> str:
 
 @pytest.fixture(scope="module")
 def plans(spark, sf001) -> dict[str, str]:
+    # Cold-cache plans: earlier test modules persist intermediates, and
+    # the CacheManager substitutes any matching cached relation into new
+    # plans — a gate would then assert against whatever happened to be
+    # cached rather than the operator's own shape.
+    spark.catalog.clearCache()
     out = {}
     for name, fn in qr.QUERIES.items():
         if name in SWEEP_EXCLUDE:
