@@ -106,6 +106,7 @@ HEADLINE = [
     "x72_transitions",
     "x73_range_counts_exact",
     "x64_mutual_information",
+    "pipe_event_analytics",
     "pipe_training_export",
 ]
 

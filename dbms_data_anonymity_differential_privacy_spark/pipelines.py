@@ -335,3 +335,81 @@ def training_export_plan(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+def event_analytics_summary(events: DataFrame) -> DataFrame:
+    """pipe_event_analytics — the product-analytics dashboard as ONE
+    oracle-checkable row, composing the session's event operators the way
+    a user would: funnel conversion (X54), next-week retention (X55),
+    dominant flow transition (X72), and the busiest hour of day.
+
+    Every input to the row is a kilobyte relation derived from its own
+    already-oracle-checked operator; the composition is cross-joins of
+    single-row aggregates (broadcast nested-loop over literal rows — no
+    fact-table cost beyond the operators' own single shuffles).
+
+    Output (single row): ``(n_events, n_users, signup_users,
+    click_rate_r, purchase_rate_r, week1_retention_r, top_from, top_to,
+    top_p_r, busiest_hour, busiest_hour_events)``.
+    """
+    from dbms_data_anonymity_differential_privacy_spark.operators.funnel import (
+        funnel,
+        retention_cohorts,
+    )
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import transition_matrix
+
+    totals = events.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+    fun = funnel(events, ["signup", "click", "purchase"])
+    fun_row = fun.agg(
+        F.max(F.when(F.col("step") == 1, F.col("users"))).alias("signup_users"),
+        F.round(
+            F.max(F.when(F.col("step") == 2, F.col("users"))).cast("double")
+            / F.max(F.when(F.col("step") == 1, F.col("users"))).cast("double"),
+            9,
+        ).alias("click_rate_r"),
+        F.round(
+            F.max(F.when(F.col("step") == 3, F.col("users"))).cast("double")
+            / F.max(F.when(F.col("step") == 1, F.col("users"))).cast("double"),
+            9,
+        ).alias("purchase_rate_r"),
+    )
+
+    ret = retention_cohorts(events)
+    ret_row = ret.agg(
+        F.round(
+            F.sum(F.when(F.col("period_offset") == 1, F.col("active_users"))).cast("double")
+            / F.sum(F.when(F.col("period_offset") == 0, F.col("active_users"))).cast(
+                "double"
+            ),
+            9,
+        ).alias("week1_retention_r")
+    )
+
+    trans = transition_matrix(events)
+    top_row = (
+        trans.orderBy(F.col("cnt").desc(), F.col("from_type").asc(), F.col("to_type").asc())
+        .limit(1)
+        .select(
+            F.col("from_type").alias("top_from"),
+            F.col("to_type").alias("top_to"),
+            F.col("p_r").alias("top_p_r"),
+        )
+    )
+
+    busy = (
+        events.groupBy(F.hour("ts").alias("busiest_hour"))
+        .agg(F.count(F.lit(1)).alias("busiest_hour_events"))
+        .orderBy(F.col("busiest_hour_events").desc(), F.col("busiest_hour").asc())
+        .limit(1)
+    )
+
+    return (
+        totals.crossJoin(fun_row)
+        .crossJoin(ret_row)
+        .crossJoin(top_row)
+        .crossJoin(busy)
+    )

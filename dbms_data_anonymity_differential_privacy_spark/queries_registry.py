@@ -4379,6 +4379,63 @@ def x73_range_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# pipe_event_analytics — the product-analytics dashboard as one row,
+# composing x54 funnel + x55 retention + x72 transitions + busiest-hour
+# the way a user would (the pipe_training_export convention: every stage
+# holds its own oracle row; this row checks the COMPOSITION).
+# --------------------------------------------------------------------------
+@query(
+    "pipe_event_analytics",
+    """
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1),
+    f AS (SELECT (SELECT COUNT(*) FROM s1) AS u1, (SELECT COUNT(*) FROM s2) AS u2,
+                 (SELECT COUNT(*) FROM s3) AS u3),
+    act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS period FROM events),
+    fc AS (SELECT user_id, MIN(period) AS cohort FROM act GROUP BY 1),
+    reto AS (SELECT CAST((period - cohort) // 7 AS INT) AS off, COUNT(*) AS au
+             FROM act JOIN fc USING (user_id) GROUP BY 1),
+    r AS (SELECT ROUND(CAST(SUM(CASE WHEN off = 1 THEN au END) AS DOUBLE)
+                       / CAST(SUM(CASE WHEN off = 0 THEN au END) AS DOUBLE), 9)
+                     AS week1_retention_r FROM reto),
+    p AS (SELECT user_id, event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS from_type
+          FROM events),
+    tc AS (SELECT from_type, event_type AS to_type, COUNT(*) AS cnt
+           FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2),
+    tp AS (SELECT from_type AS top_from, to_type AS top_to, cnt,
+                  ROUND(CAST(cnt AS DOUBLE)
+                        / CAST(SUM(cnt) OVER (PARTITION BY from_type) AS DOUBLE), 9)
+                      AS top_p_r
+           FROM tc),
+    tb AS (SELECT top_from, top_to, top_p_r FROM tp
+           ORDER BY cnt DESC, top_from, top_to LIMIT 1),
+    bh AS (SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS busiest_hour,
+                  CAST(COUNT(*) AS BIGINT) AS busiest_hour_events
+           FROM events GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 1),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events)
+    SELECT t.n_events, t.n_users, CAST(f.u1 AS BIGINT) AS signup_users,
+           ROUND(CAST(f.u2 AS DOUBLE) / CAST(f.u1 AS DOUBLE), 9) AS click_rate_r,
+           ROUND(CAST(f.u3 AS DOUBLE) / CAST(f.u1 AS DOUBLE), 9) AS purchase_rate_r,
+           r.week1_retention_r, tb.top_from, tb.top_to, tb.top_p_r,
+           bh.busiest_hour, bh.busiest_hour_events
+    FROM t CROSS JOIN f CROSS JOIN r CROSS JOIN tb CROSS JOIN bh
+    """,
+)
+def pipe_event_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark import pipelines
+
+    ev = load_table(spark, sf_dir, "events")
+    return pipelines.event_analytics_summary(ev)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green
 # but left 23 oracle-backed queries (r2 slots 51-73) with no driver-issued

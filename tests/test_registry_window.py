@@ -106,6 +106,7 @@ NEW_THIS_ROUND = {
     "x70_km_anonymity",
     "x71_chi_squared", "x72_transitions",
     "x73_range_counts_exact",
+    "pipe_event_analytics",
 }
 
 
