@@ -105,6 +105,9 @@ HEADLINE = [
     "x71_chi_squared",
     "x72_transitions",
     "x73_range_counts_exact",
+    "x74_ab_test",
+    "x75_benford",
+    "x76_seasonality",
     "x64_mutual_information",
     "pipe_event_analytics",
     "pipe_training_export",

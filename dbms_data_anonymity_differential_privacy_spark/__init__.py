@@ -191,10 +191,13 @@ from dbms_data_anonymity_differential_privacy_spark.operators.profile import ske
 from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
     group_ols,
     mutual_information,
+    ab_test_proportions,
+    benford_audit,
     chi_squared,
     correlation_matrix,
     psi_drift,
     psi_drift_bins,
+    seasonality_index,
     top_k_per_group,
     transition_matrix,
 )
@@ -336,4 +339,7 @@ __all__ = [
     "chi_squared",
     "transition_matrix",
     "dp_range_counts",
+    "ab_test_proportions",
+    "benford_audit",
+    "seasonality_index",
 ]

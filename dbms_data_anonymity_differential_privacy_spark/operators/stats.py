@@ -23,6 +23,13 @@ from pyspark.sql import functions as F
 
 ROUND_DP = 9
 
+# Benford first-digit probabilities as fixed driver-side literals: the
+# operator and its generated SQL twin must embed bit-identical values
+# (engine log10 implementations can differ in the last ulp).
+import math as _math
+
+BENFORD_P = {d: round(_math.log10(1 + 1 / d), 12) for d in range(1, 10)}
+
 
 def group_ols(
     df: DataFrame,
@@ -387,4 +394,163 @@ def transition_matrix(
     return counts.withColumn(
         "p_r",
         F.round(F.col("cnt").cast("double") / F.sum("cnt").over(w_from).cast("double"), ROUND_DP),
+    )
+
+
+def ab_test_proportions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    conversion_type: str = "purchase",
+    salt: str = "ab",
+) -> DataFrame:
+    """X74 — A/B conversion analysis over a deterministic 50/50 user
+    split: per-variant conversion rates and the two-proportion z
+    statistic (pooled), the experiment-analysis primitive.
+
+    The variant assignment IS the engine's content-hash split
+    (``sampling.hash_split`` semantics — layout-independent, replayable
+    in SQL), so the whole analysis is deterministic and oracle-checkable
+    end to end: assignment, rates, and statistic. The p-value needs the
+    normal CDF (erf — no SQL equivalent); callers finish driver-side
+    (|z| > 1.96 ≈ p < 0.05), same disclosure as :func:`chi_squared`.
+
+    Physical shape: events collapse map-side to the per-user conversion
+    relation (one user-key aggregation); assignment is a map-only hash
+    predicate on that slim relation; one tiny rollup per variant.
+
+    Output (single row): ``(n_a, n_b, conv_a, conv_b, rate_a_r,
+    rate_b_r, z_r)``.
+    """
+    users = events.groupBy(user_col).agg(
+        F.max(F.when(F.col(type_col) == conversion_type, 1).otherwise(0)).alias("__conv")
+    )
+    h = F.substring(
+        F.md5(
+            F.concat_ws("|", F.col(user_col).cast("string"), F.lit(salt)).cast("binary")
+        ),
+        1,
+        8,
+    )
+    tagged = users.withColumn("__v", F.when(h < F.lit("80000000"), F.lit("a")).otherwise(F.lit("b")))
+    agg = tagged.groupBy().agg(
+        F.sum(F.when(F.col("__v") == "a", 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("__v") == "b", 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("__v") == "a", F.col("__conv")).otherwise(0)).cast("long").alias("conv_a"),
+        F.sum(F.when(F.col("__v") == "b", F.col("__conv")).otherwise(0)).cast("long").alias("conv_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    pa = F.col("conv_a").cast("double") / na
+    pb = F.col("conv_b").cast("double") / nb
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (na + nb)
+    se = F.sqrt(pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    z = F.when(se > 0, (pa - pb) / se)
+    return agg.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        F.round(pa, ROUND_DP).alias("rate_a_r"),
+        F.round(pb, ROUND_DP).alias("rate_b_r"),
+        F.round(z, ROUND_DP).alias("z_r"),
+    )
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """X75 — Benford first-digit audit: observed leading-digit
+    distribution of a positive numeric column against Benford's law
+    ``p(d) = log10(1 + 1/d)``, with per-digit deviation and the
+    chi-squared fit statistic attached to every row — the classic
+    fabricated-numbers screen for financial / metric columns.
+
+    Leading digit = the first nonzero digit of the value's string
+    rendering (``regexp_extract('[1-9]')``) — robust to plain decimal
+    AND scientific notation on any engine, and free of the
+    floor(log10) extraction whose ulp behavior at exact powers of ten
+    differs across engines. Non-positive and NULL values are excluded
+    (Benford is defined on positive spans; count disclosed via n). One
+    aggregation to 9 rows. The Benford probabilities are driver-side
+    log10 literals shared verbatim with the generated SQL twin (the
+    bigram-LM log-table convention).
+
+    Output: ``(digit, n_obs, p_obs_r, p_benford_r, dev_r, chi2_r)``.
+    """
+    from pyspark.sql import Window
+
+    d = F.regexp_extract(F.col(value_col).cast("string"), "[1-9]", 0)
+    digits = (
+        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) > 0))
+        .select(d.cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    spine = df.sparkSession.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    full = spine.join(F.broadcast(digits), "digit", "left").select(
+        "digit", F.coalesce("n_obs", F.lit(0)).alias("n_obs")
+    )
+    wall = Window.partitionBy()
+    p_ben = F.lit(None).cast("double")
+    for dd in range(9, 0, -1):
+        p_ben = F.when(F.col("digit") == dd, F.lit(BENFORD_P[dd])).otherwise(p_ben)
+    t = (
+        full.withColumn("__n", F.sum("n_obs").over(wall))
+        .withColumn("p_obs", F.col("n_obs") / F.col("__n"))
+        .withColumn("__e", p_ben * F.col("__n"))
+        .withColumn(
+            "__chi_term",
+            (F.col("n_obs") - F.col("__e")) * (F.col("n_obs") - F.col("__e")) / F.col("__e"),
+        )
+        .withColumn("chi2", F.sum("__chi_term").over(wall))
+    )
+    return t.select(
+        "digit",
+        "n_obs",
+        F.round("p_obs", ROUND_DP).alias("p_obs_r"),
+        F.round(p_ben, ROUND_DP).alias("p_benford_r"),
+        F.round(F.col("p_obs") - p_ben, ROUND_DP).alias("dev_r"),
+        F.round("chi2", ROUND_DP).alias("chi2_r"),
+    )
+
+
+def seasonality_index(
+    events: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str = "ts",
+    period: str = "hour_of_day",
+) -> DataFrame:
+    """X76 — seasonal activity index: per (group, period-slot) event
+    share relative to a flat profile — index 2.0 at hour 14 means "2×
+    the traffic a uniform day would put there". The decomposition every
+    capacity planner and anomaly detector starts from.
+
+    index = (n_slot / n_group) * n_slots, exact-count arithmetic with
+    ONE division; zero-filled over the full public slot domain so quiet
+    slots release index 0 rather than vanishing.
+
+    Output: ``(*group_cols, slot, n, index_r)``.
+    """
+    domains = {"hour_of_day": 24, "day_of_week": 7}
+    if period not in domains:
+        raise ValueError(f"period must be one of {sorted(domains)}")
+    n_slots = domains[period]
+    slot = (
+        F.hour(F.col(ts_col)) if period == "hour_of_day"
+        else F.dayofweek(F.col(ts_col)) - 1
+    )
+    from pyspark.sql import Window
+
+    counts = events.groupBy(*group_cols, slot.cast("int").alias("slot")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    groups = counts.select(*group_cols).distinct()
+    spine = events.sparkSession.range(n_slots).select(F.col("id").cast("int").alias("slot"))
+    grid = groups.crossJoin(F.broadcast(spine))
+    dense = grid.join(counts, on=[*group_cols, "slot"], how="left").select(
+        *group_cols, "slot", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w = Window.partitionBy(*[F.col(c) for c in group_cols])
+    return dense.withColumn(
+        "index_r",
+        F.round(
+            F.col("n").cast("double") * F.lit(float(n_slots))
+            / F.sum("n").over(w).cast("double"),
+            ROUND_DP,
+        ),
     )

@@ -4436,6 +4436,107 @@ def pipe_event_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X74 — A/B conversion analysis (operators/stats.py ab_test_proportions):
+# deterministic hash-split assignment + two-proportion z, the experiment
+# primitive, oracle-checkable end to end.
+# --------------------------------------------------------------------------
+@query(
+    "x74_ab_test",
+    """
+    WITH u AS (SELECT user_id,
+                      MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+               FROM events GROUP BY 1),
+    t AS (SELECT CASE WHEN substr(md5(cast(user_id AS varchar) || '|ab'), 1, 8)
+                           < '80000000' THEN 'a' ELSE 'b' END AS v, conv FROM u),
+    a AS (SELECT CAST(SUM(CASE WHEN v = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN v = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                 CAST(SUM(CASE WHEN v = 'a' THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+                 CAST(SUM(CASE WHEN v = 'b' THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+          FROM t),
+    f AS (SELECT *, CAST(conv_a AS DOUBLE) / n_a AS pa,
+                 CAST(conv_b AS DOUBLE) / n_b AS pb,
+                 CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pool FROM a),
+    s AS (SELECT *, SQRT(pool * (1.0 - pool) * (1.0 / n_a + 1.0 / n_b)) AS se FROM f)
+    SELECT n_a, n_b, conv_a, conv_b,
+           ROUND(pa, 9) AS rate_a_r, ROUND(pb, 9) AS rate_b_r,
+           ROUND(CASE WHEN se > 0 THEN (pa - pb) / se END, 9) AS z_r
+    FROM s
+    """,
+)
+def x74_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import ab_test_proportions
+
+    ev = load_table(spark, sf_dir, "events")
+    return ab_test_proportions(ev, salt="ab")
+
+
+# --------------------------------------------------------------------------
+# X75 — Benford first-digit audit (operators/stats.py benford_audit):
+# the fabricated-numbers screen over a money column. The Benford
+# probabilities are driver-side literals shared verbatim with this
+# generated twin (the bigram-LM log-table convention).
+# --------------------------------------------------------------------------
+def _benford_sql(table: str, col: str) -> str:
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import BENFORD_P
+
+    case = " ".join(f"WHEN {d} THEN {BENFORD_P[d]!r}" for d in range(1, 10))
+    return f"""
+    WITH d AS (SELECT CAST(regexp_extract(CAST({col} AS VARCHAR), '[1-9]', 0) AS INT)
+                   AS digit
+               FROM {table} WHERE {col} IS NOT NULL AND {col} > 0),
+    c AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY 1),
+    sp AS (SELECT gs.g AS digit FROM generate_series(1, 9) gs(g)),
+    f AS (SELECT sp.digit, COALESCE(c.n_obs, 0) AS n_obs
+          FROM sp LEFT JOIN c ON c.digit = sp.digit),
+    pb AS (SELECT digit, n_obs, CASE digit {case} END AS p_ben FROM f),
+    t AS (SELECT *, SUM(n_obs) OVER () AS nn FROM pb),
+    e AS (SELECT *, CAST(n_obs AS DOUBLE) / nn AS p_obs, p_ben * nn AS expd FROM t),
+    g AS (SELECT *, SUM((n_obs - expd) * (n_obs - expd) / expd) OVER () AS chi2 FROM e)
+    SELECT digit, CAST(n_obs AS BIGINT) AS n_obs, ROUND(p_obs, 9) AS p_obs_r,
+           ROUND(p_ben, 9) AS p_benford_r, ROUND(p_obs - p_ben, 9) AS dev_r,
+           ROUND(chi2, 9) AS chi2_r
+    FROM g
+    """
+
+
+@query("x75_benford", _benford_sql("lineitem", "l_extendedprice"))
+def x75_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import benford_audit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return benford_audit(li, "l_extendedprice")
+
+
+# --------------------------------------------------------------------------
+# X76 — seasonal activity index (operators/stats.py seasonality_index):
+# per-type hour-of-day traffic share vs a flat profile, zero-filled over
+# the public slot domain.
+# --------------------------------------------------------------------------
+@query(
+    "x76_seasonality",
+    """
+    WITH c AS (SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INT) AS slot,
+                      COUNT(*) AS n FROM events GROUP BY 1, 2),
+    g AS (SELECT DISTINCT event_type FROM c),
+    sp AS (SELECT gs.g AS slot FROM generate_series(0, 23) gs(g)),
+    d AS (SELECT g.event_type, sp.slot, COALESCE(c.n, 0) AS n
+          FROM g CROSS JOIN sp
+          LEFT JOIN c ON c.event_type = g.event_type AND c.slot = sp.slot)
+    SELECT event_type, slot, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE) * 24.0
+                 / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE), 9)
+               AS index_r
+    FROM d
+    """,
+)
+def x76_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import seasonality_index
+
+    ev = load_table(spark, sf_dir, "events")
+    return seasonality_index(ev, ["event_type"])
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green
 # but left 23 oracle-backed queries (r2 slots 51-73) with no driver-issued

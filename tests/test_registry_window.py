@@ -107,6 +107,7 @@ NEW_THIS_ROUND = {
     "x71_chi_squared", "x72_transitions",
     "x73_range_counts_exact",
     "pipe_event_analytics",
+    "x74_ab_test", "x75_benford", "x76_seasonality",
 }
 
 

@@ -144,3 +144,97 @@ class TestCorrelationMatrix:
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
         )
         assert len(re.findall(r"Scan parquet|FileScan parquet", plan)) == 1
+
+
+class TestABTest:
+    def test_split_covers_all_users_once(self, spark, sf001):
+        from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+            ab_test_proportions,
+        )
+
+        ev = spark.read.parquet(f"{sf001}/events.parquet")
+        r = ab_test_proportions(ev).collect()[0]
+        assert r["n_a"] + r["n_b"] == ev.select("user_id").distinct().count()
+        assert r["conv_a"] <= r["n_a"] and r["conv_b"] <= r["n_b"]
+
+    def test_known_rates_and_z(self, spark):
+        import math
+
+        from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+            ab_test_proportions,
+        )
+
+        # enough users that both variants are populated; conversion is a
+        # deterministic function of user id, so rates are computable
+        rows = [(u, "purchase" if u % 4 == 0 else "view") for u in range(400)]
+        df = spark.createDataFrame(rows, "user_id long, event_type string")
+        r = ab_test_proportions(df, salt="t").collect()[0]
+        pa, pb = r["conv_a"] / r["n_a"], r["conv_b"] / r["n_b"]
+        assert r["rate_a_r"] == pytest.approx(pa)
+        pool = (r["conv_a"] + r["conv_b"]) / (r["n_a"] + r["n_b"])
+        se = math.sqrt(pool * (1 - pool) * (1 / r["n_a"] + 1 / r["n_b"]))
+        assert r["z_r"] == pytest.approx((pa - pb) / se, abs=1e-9)
+
+
+class TestBenford:
+    def test_exact_benford_sample_fits(self, spark):
+        from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+            BENFORD_P,
+            benford_audit,
+        )
+
+        # counts proportional to Benford probabilities -> tiny chi2
+        rows = [(float(d) * 10 ** (i % 3),) for d in range(1, 10)
+                for i in range(int(round(BENFORD_P[d] * 1000)))]
+        df = spark.createDataFrame(rows, "v double")
+        out = benford_audit(df, "v").collect()
+        assert len(out) == 9
+        assert out[0]["chi2_r"] < 1.0
+        for r in out:
+            assert abs(r["dev_r"]) < 0.01
+
+    def test_uniform_digits_fail_benford(self, spark):
+        from dbms_data_anonymity_differential_privacy_spark.operators.stats import benford_audit
+
+        rows = [(float(d) + 0.5,) for d in range(1, 10) for _ in range(100)]
+        df = spark.createDataFrame(rows, "v double")
+        out = benford_audit(df, "v").collect()
+        assert out[0]["chi2_r"] > 100.0  # wildly non-Benford
+
+    def test_nonpositive_excluded(self, spark):
+        from dbms_data_anonymity_differential_privacy_spark.operators.stats import benford_audit
+
+        rows = [(1.0,), (-5.0,), (0.0,), (None,)]
+        df = spark.createDataFrame(rows, "v double")
+        out = benford_audit(df, "v").collect()
+        assert sum(r["n_obs"] for r in out) == 1
+
+
+class TestSeasonality:
+    def test_uniform_profile_index_one(self, spark):
+        import datetime as dt
+
+        from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+            seasonality_index,
+        )
+
+        rows = [(1, dt.datetime(2024, 1, 1, h), "a") for h in range(24) for _ in range(5)]
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+        out = seasonality_index(df, ["event_type"]).collect()
+        assert len(out) == 24
+        for r in out:
+            assert r["index_r"] == pytest.approx(1.0)
+
+    def test_spike_and_zero_fill(self, spark):
+        import datetime as dt
+
+        from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+            seasonality_index,
+        )
+
+        rows = [(i, dt.datetime(2024, 1, 1, 12), "a") for i in range(10)]
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+        out = {r["slot"]: r for r in seasonality_index(df, ["event_type"]).collect()}
+        assert len(out) == 24
+        assert out[12]["index_r"] == pytest.approx(24.0)
+        assert out[0]["index_r"] == 0.0 and out[0]["n"] == 0
