@@ -108,6 +108,7 @@ HEADLINE = [
     "x74_ab_test",
     "x75_benford",
     "x76_seasonality",
+    "x77_expectations",
     "x64_mutual_information",
     "pipe_event_analytics",
     "pipe_training_export",

@@ -183,6 +183,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
     dp_range_counts,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.integrity import (
+    expectation_report,
     key_uniqueness_check,
     referential_check,
 )
@@ -342,4 +343,5 @@ __all__ = [
     "ab_test_proportions",
     "benford_audit",
     "seasonality_index",
+    "expectation_report",
 ]

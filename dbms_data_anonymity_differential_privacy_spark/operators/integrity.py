@@ -83,3 +83,76 @@ def key_uniqueness_check(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
         F.sum(F.when(F.col("__c") > 1, 1).otherwise(0)).cast("long").alias("n_dup_keys"),
         F.sum(F.col("__c") - 1).cast("long").alias("n_excess_rows"),
     )
+
+
+def expectation_report(
+    df: DataFrame,
+    rules: Sequence[tuple],
+) -> DataFrame:
+    """X77 — declarative data-quality expectations in ONE scan.
+
+    ``rules`` is a list of tuples, each becoming one report row:
+
+    - ``("not_null", col)`` — no NULLs in ``col``;
+    - ``("unique", col)`` — no duplicated values (NULLs exempt, like a
+      SQL UNIQUE constraint);
+    - ``("in_range", col, lo, hi)`` — all non-NULL values in [lo, hi];
+    - ``("in_set", col, values)`` — all non-NULL values in the list;
+    - ``("matches", col, regex)`` — all non-NULL strings match.
+
+    Every rule except ``unique`` is a per-row predicate, so the whole
+    suite compiles to ONE aggregation over ONE scan (conditional sums —
+    the x43 profile shape); ``unique`` rules each add one distinct-count
+    aggregate to the same pass. Output: one row per rule,
+    ``(rule_id, rule, column, n_checked, n_violations, passed)`` —
+    exact integers, fully oracle-checkable, and composable (filter
+    ``NOT passed`` and fail the pipeline, or write the report as a
+    dataset card).
+    """
+    aggs = []
+    meta = []
+    for i, rule in enumerate(rules):
+        kind, col = rule[0], rule[1]
+        c = F.col(col)
+        if kind == "not_null":
+            checked = F.count(F.lit(1))
+            viol = F.sum(F.when(c.isNull(), 1).otherwise(0))
+        elif kind == "unique":
+            checked = F.count(c)
+            viol = checked - F.countDistinct(c)
+        elif kind == "in_range":
+            lo, hi = rule[2], rule[3]
+            checked = F.count(c)
+            viol = F.sum(
+                F.when(c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi))), 1).otherwise(0)
+            )
+        elif kind == "in_set":
+            vals = list(rule[2])
+            checked = F.count(c)
+            viol = F.sum(F.when(c.isNotNull() & ~c.isin(vals), 1).otherwise(0))
+        elif kind == "matches":
+            pattern = rule[2]
+            checked = F.count(c)
+            viol = F.sum(
+                F.when(c.isNotNull() & ~c.rlike(pattern), 1).otherwise(0)
+            )
+        else:
+            raise ValueError(f"unknown expectation kind {kind!r}")
+        aggs.append(checked.cast("long").alias(f"chk_{i}"))
+        aggs.append(F.coalesce(viol, F.lit(0)).cast("long").alias(f"vio_{i}"))
+        meta.append((i, kind, col))
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(i).alias("rule_id"),
+            F.lit(kind).alias("rule"),
+            F.lit(col).alias("column"),
+            F.col(f"chk_{i}").alias("n_checked"),
+            F.col(f"vio_{i}").alias("n_violations"),
+            (F.col(f"vio_{i}") == 0).alias("passed"),
+        )
+        for i, kind, col in meta
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("e")).select(
+        "e.rule_id", "e.rule", "e.column", "e.n_checked", "e.n_violations", "e.passed"
+    )

@@ -176,3 +176,70 @@ class TestRangeCounts:
         df = mk_events(spark, {0: 1})
         with pytest.raises(ValueError, match="outside"):
             dp_range_counts(df, "ts", T0, 8, [(0, 8)], release="z")
+
+
+class TestExpectations:
+    def test_all_rule_kinds(self, spark):
+        from dbms_data_anonymity_differential_privacy_spark.operators.integrity import (
+            expectation_report,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, 5.0, "A", "ok-1"),
+                (1, 50.0, "B", "ok-2"),     # dup id
+                (None, -1.0, "Z", "bad"),   # null id, below range, bad set, bad regex
+            ],
+            "id int, v double, s string, t string",
+        )
+        rules = [
+            ("not_null", "id"),
+            ("unique", "id"),
+            ("in_range", "v", 0.0, 10.0),
+            ("in_set", "s", ["A", "B"]),
+            ("matches", "t", "^ok-"),
+        ]
+        out = {r["rule_id"]: r for r in expectation_report(df, rules).collect()}
+        assert (out[0]["n_violations"], bool(out[0]["passed"])) == (1, False)
+        assert (out[1]["n_checked"], out[1]["n_violations"]) == (2, 1)  # NULLs exempt
+        assert out[2]["n_violations"] == 2  # -1.0 below, 50.0 above
+        assert out[3]["n_violations"] == 1
+        assert out[4]["n_violations"] == 1
+
+    def test_clean_table_all_pass(self, spark, sf001):
+        from dbms_data_anonymity_differential_privacy_spark.operators.integrity import (
+            expectation_report,
+        )
+
+        orders = spark.read.parquet(f"{sf001}/orders.parquet")
+        out = expectation_report(
+            orders, [("not_null", "o_custkey"), ("unique", "o_orderkey")]
+        )
+        assert out.filter(~F.col("passed")).count() == 0
+
+    def test_one_scan_plan(self, spark, sf001):
+        import re
+
+        from dbms_data_anonymity_differential_privacy_spark.operators.integrity import (
+            expectation_report,
+        )
+
+        orders = spark.read.parquet(f"{sf001}/orders.parquet")
+        df = expectation_report(
+            orders,
+            [("not_null", "o_custkey"), ("in_range", "o_totalprice", 0.0, 1e6),
+             ("in_set", "o_orderstatus", ["F", "O", "P"])],
+        )
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        assert len(re.findall(r"Scan parquet|FileScan parquet", plan)) == 1
+
+    def test_unknown_rule_rejected(self, spark):
+        from dbms_data_anonymity_differential_privacy_spark.operators.integrity import (
+            expectation_report,
+        )
+
+        df = spark.createDataFrame([(1,)], "id int")
+        with pytest.raises(ValueError, match="unknown expectation"):
+            expectation_report(df, [("bogus", "id")])

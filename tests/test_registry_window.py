@@ -108,6 +108,7 @@ NEW_THIS_ROUND = {
     "x73_range_counts_exact",
     "pipe_event_analytics",
     "x74_ab_test", "x75_benford", "x76_seasonality",
+    "x77_expectations",
 }
 
 
