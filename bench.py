@@ -109,6 +109,7 @@ HEADLINE = [
     "x75_benford",
     "x76_seasonality",
     "x77_expectations",
+    "x78_attribution",
     "x64_mutual_information",
     "pipe_event_analytics",
     "pipe_training_export",

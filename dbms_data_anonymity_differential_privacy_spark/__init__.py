@@ -165,6 +165,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.snapshot import (
 from dbms_data_anonymity_differential_privacy_spark.operators.funnel import (
     funnel,
     funnel_user_states,
+    last_touch_attribution,
     retention_cohorts,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.sampling import weighted_sample_n
@@ -344,4 +345,5 @@ __all__ = [
     "benford_audit",
     "seasonality_index",
     "expectation_report",
+    "last_touch_attribution",
 ]

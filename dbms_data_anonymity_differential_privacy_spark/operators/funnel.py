@@ -168,3 +168,55 @@ def retention_cohorts(
         # the cheap partial-aggregating form.
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    tolerance: str | None = None,
+) -> DataFrame:
+    """X78 — last-touch conversion attribution: each conversion event is
+    credited to the user's latest at-or-before touch event (optionally
+    within ``tolerance``), then rolled up to credited conversions per
+    touch type — marketing/product analytics' default attribution model,
+    built by COMPOSING the engine's as-of join (X16) rather than a
+    bespoke pair join.
+
+    Physical shape is the as-of join's: conversions and touches are two
+    filtered projections of the event scan, resolved with ONE shuffle on
+    the user key (merge-scan union + window), then a kilobyte rollup.
+    Conversions with no prior touch are reported under touch type
+    '(none)' so credit always sums to the conversion count.
+
+    Output: ``(touch_type, conversions)``.
+    """
+    from dbms_data_anonymity_differential_privacy_spark.operators.temporal import asof_join
+
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        user_col, ts_col, id_col
+    )
+    if touch_types is None:
+        touches = events.filter(F.col(type_col) != conversion_type)
+    else:
+        touches = events.filter(F.col(type_col).isin(list(touch_types)))
+    touches = touches.select(user_col, ts_col, F.col(type_col).alias("touch"))
+    attributed = asof_join(
+        conv,
+        touches,
+        on=[user_col],
+        left_ts=ts_col,
+        payload=["touch"],
+        prefix="prior_",
+        tolerance=tolerance,
+    )
+    return (
+        attributed.groupBy(
+            F.coalesce(F.col("prior_touch"), F.lit("(none)")).alias("touch_type")
+        )
+        .agg(F.count(F.lit(1)).alias("conversions"))
+    )

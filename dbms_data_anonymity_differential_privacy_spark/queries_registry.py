@@ -4590,6 +4590,37 @@ def x77_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X78 — last-touch attribution (operators/funnel.py
+# last_touch_attribution): conversions credited to the latest prior
+# touch by COMPOSING the x16 as-of join; the oracle replays the LATERAL
+# top-1 with the same (ts desc, touch desc) tie order.
+# --------------------------------------------------------------------------
+@query(
+    "x78_attribution",
+    """
+    WITH conv AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    tch AS (SELECT user_id, ts, event_type AS touch FROM events
+            WHERE event_type <> 'purchase'),
+    a AS (SELECT c.user_id, m.touch
+          FROM conv c LEFT JOIN LATERAL (
+               SELECT t.touch FROM tch t
+               WHERE t.user_id = c.user_id AND t.ts <= c.ts
+               ORDER BY t.ts DESC, t.touch DESC LIMIT 1) m ON TRUE)
+    SELECT COALESCE(touch, '(none)') AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS conversions
+    FROM a GROUP BY 1
+    """,
+)
+def x78_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.funnel import (
+        last_touch_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return last_touch_attribution(ev, conversion_type="purchase")
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green
 # but left 23 oracle-backed queries (r2 slots 51-73) with no driver-issued

@@ -250,3 +250,54 @@ class TestEventAnalyticsPipeline:
         )
         assert (row["top_from"], row["top_to"]) == (top["from_type"], top["to_type"])
         assert 0 <= row["busiest_hour"] <= 23
+
+
+class TestAttribution:
+    def test_last_touch_wins_and_none_bucket(self, spark):
+        from dbms_data_anonymity_differential_privacy_spark.operators.funnel import (
+            last_touch_attribution,
+        )
+
+        rows = [
+            (1, ts(1), 7, "view", 0.0, ""),
+            (2, ts(2), 7, "click", 0.0, ""),     # latest touch before conv
+            (3, ts(3), 7, "purchase", 0.0, ""),
+            (4, ts(1), 8, "purchase", 0.0, ""),  # no prior touch
+            (5, ts(5), 7, "purchase", 0.0, ""),  # click at ts(2) still latest
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+        out = {r["touch_type"]: r["conversions"] for r in
+               last_touch_attribution(df).collect()}
+        assert out == {"click": 2, "(none)": 1}
+
+    def test_credit_sums_to_conversions(self, spark, sf001):
+        from dbms_data_anonymity_differential_privacy_spark.operators.funnel import (
+            last_touch_attribution,
+        )
+
+        ev = spark.read.parquet(f"{sf001}/events.parquet")
+        out = last_touch_attribution(ev)
+        total = out.agg(F.sum("conversions")).collect()[0][0]
+        assert total == ev.filter(F.col("event_type") == "purchase").count()
+
+    def test_tolerance_expires_stale_touches(self, spark):
+        from dbms_data_anonymity_differential_privacy_spark.operators.funnel import (
+            last_touch_attribution,
+        )
+
+        rows = [
+            (1, ts(0), 7, "click", 0.0, ""),
+            (2, ts(45), 7, "purchase", 0.0, ""),  # 45 min later
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+        fresh = {r["touch_type"] for r in
+                 last_touch_attribution(df, tolerance="1 hour").collect()}
+        stale = {r["touch_type"] for r in
+                 last_touch_attribution(df, tolerance="30 minutes").collect()}
+        assert fresh == {"click"} and stale == {"(none)"}

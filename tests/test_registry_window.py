@@ -109,6 +109,7 @@ NEW_THIS_ROUND = {
     "pipe_event_analytics",
     "x74_ab_test", "x75_benford", "x76_seasonality",
     "x77_expectations",
+    "x78_attribution",
 }
 
 
