@@ -110,6 +110,7 @@ HEADLINE = [
     "x76_seasonality",
     "x77_expectations",
     "x78_attribution",
+    "x79_kaplan_meier",
     "x64_mutual_information",
     "pipe_event_analytics",
     "pipe_training_export",

@@ -197,9 +197,11 @@ from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
     benford_audit,
     chi_squared,
     correlation_matrix,
+    kaplan_meier,
     psi_drift,
     psi_drift_bins,
     seasonality_index,
+    time_to_event,
     top_k_per_group,
     transition_matrix,
 )
@@ -346,4 +348,6 @@ __all__ = [
     "seasonality_index",
     "expectation_report",
     "last_touch_attribution",
+    "kaplan_meier",
+    "time_to_event",
 ]

@@ -554,3 +554,87 @@ def seasonality_index(
             ROUND_DP,
         ),
     )
+
+
+def kaplan_meier(
+    durations: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """X79 — Kaplan–Meier survival estimator over (duration, event)
+    observations: ``S(t) = Π_{t_i <= t} (1 − d_i / n_i)`` with right
+    censoring (event = 0) — the time-to-churn / time-to-conversion curve
+    behind every retention model.
+
+    Distributed form: ONE aggregation collapses observations to the
+    per-distinct-time relation (d_i deaths, c_i censored); the at-risk
+    count n_i and the survival product derive from window cumsums over
+    that slim relation — the running product is ``exp(Σ ln(1 − d/n))``
+    with an explicit zero-factor flag (once 1 − d/n hits 0 the curve is
+    0 forever; a log of zero must never be evaluated). Tail behavior,
+    ties, and censoring-at-death-time (censored subjects at t are still
+    at risk for the death at t — the standard convention) all live in
+    integer arithmetic; only the final product is float, rounded 9 dp.
+
+    Output: one row per distinct duration with a death,
+    ``(t, n_risk, d_events, survival_r)``, ordered by t.
+    """
+    from pyspark.sql import Window
+
+    t = F.col(duration_col)
+    ev = F.col(event_col).cast("int")
+    per_t = durations.groupBy(t.alias("t")).agg(
+        F.sum(ev).alias("d"),
+        F.count(F.lit(1)).alias("obs"),
+    )
+    w_ord = Window.orderBy("t")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    total = F.sum("obs").over(Window.partitionBy())
+    staged = (
+        per_t.withColumn("n_risk", total - F.coalesce(F.sum("obs").over(w_prev), F.lit(0)))
+        .withColumn("__f", F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk").cast("double"))
+        .withColumn("__dead", F.max(F.when(F.col("__f") == 0.0, 1).otherwise(0)).over(w_cum))
+        .withColumn(
+            "__logsum",
+            F.sum(F.when(F.col("__f") > 0.0, F.log("__f")).otherwise(0.0)).over(w_cum),
+        )
+    )
+    return (
+        staged.filter(F.col("d") > 0)
+        .select(
+            "t",
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("d").cast("long").alias("d_events"),
+            F.round(
+                F.when(F.col("__dead") == 1, F.lit(0.0)).otherwise(F.exp("__logsum")), 9
+            ).alias("survival_r"),
+        )
+        .orderBy("t")
+    )
+
+
+def time_to_event(
+    events: DataFrame,
+    event_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Build the (duration, event) relation :func:`kaplan_meier` consumes
+    from a raw event stream: per user, seconds from first activity to the
+    first ``event_type`` occurrence (event = 1), or to the last observed
+    activity for users who never convert (right-censored, event = 0).
+    One user-key aggregation, all integer seconds."""
+    u = F.unix_timestamp(F.col(ts_col))
+    per_user = events.groupBy(user_col).agg(
+        F.min(u).alias("__start"),
+        F.max(u).alias("__last"),
+        F.min(F.when(F.col(type_col) == event_type, u)).alias("__conv"),
+    )
+    return per_user.select(
+        F.col(user_col),
+        F.coalesce(F.col("__conv") - F.col("__start"), F.col("__last") - F.col("__start"))
+        .alias("duration"),
+        F.when(F.col("__conv").isNotNull(), 1).otherwise(0).alias("event"),
+    )

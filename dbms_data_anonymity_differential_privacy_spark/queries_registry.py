@@ -4621,6 +4621,53 @@ def x78_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X79 — Kaplan-Meier survival (operators/stats.py kaplan_meier +
+# time_to_event): time-to-conversion with right censoring; the survival
+# product runs as exp(cumsum(ln)) with an explicit zero-factor flag over
+# the slim per-distinct-time relation.
+# --------------------------------------------------------------------------
+@query(
+    "x79_kaplan_meier",
+    """
+    WITH pu AS (SELECT user_id,
+                       MIN(date_diff('second', TIMESTAMP '1970-01-01', ts)) AS s0,
+                       MAX(date_diff('second', TIMESTAMP '1970-01-01', ts)) AS s1,
+                       MIN(CASE WHEN event_type = 'purchase'
+                                THEN date_diff('second', TIMESTAMP '1970-01-01', ts)
+                           END) AS sc
+                FROM events GROUP BY 1),
+    d AS (SELECT COALESCE(sc - s0, s1 - s0) AS t,
+                 CASE WHEN sc IS NOT NULL THEN 1 ELSE 0 END AS ev FROM pu),
+    g AS (SELECT t, SUM(ev) AS d, COUNT(*) AS obs FROM d GROUP BY 1),
+    s AS (SELECT *, SUM(obs) OVER ()
+                    - COALESCE(SUM(obs) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                                              PRECEDING AND 1 PRECEDING), 0) AS n_risk
+          FROM g),
+    f AS (SELECT *, 1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS fct FROM s),
+    c AS (SELECT *,
+                 MAX(CASE WHEN fct = 0.0 THEN 1 ELSE 0 END)
+                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS dead,
+                 SUM(CASE WHEN fct > 0.0 THEN LN(fct) ELSE 0.0 END)
+                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS logsum
+          FROM f)
+    SELECT t, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d_events,
+           ROUND(CASE WHEN dead = 1 THEN 0.0 ELSE EXP(logsum) END, 9) AS survival_r
+    FROM c WHERE d > 0
+    """,
+)
+def x79_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+        kaplan_meier,
+        time_to_event,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return kaplan_meier(time_to_event(ev, "purchase"))
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green
 # but left 23 oracle-backed queries (r2 slots 51-73) with no driver-issued

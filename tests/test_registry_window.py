@@ -110,6 +110,7 @@ NEW_THIS_ROUND = {
     "x74_ab_test", "x75_benford", "x76_seasonality",
     "x77_expectations",
     "x78_attribution",
+    "x79_kaplan_meier",
 }
 
 

@@ -155,3 +155,77 @@ class TestTransitionMatrix:
         sums = out.groupBy("from_type").agg(F.sum("p_r").alias("s")).collect()
         for r in sums:
             assert r["s"] == pytest.approx(1.0, abs=1e-6)
+
+
+class TestKaplanMeier:
+    def mk_durations(self, spark, rows):
+        return spark.createDataFrame(rows, "duration long, event int")
+
+    def test_textbook_example(self, spark):
+        from dbms_data_anonymity_differential_privacy_spark.operators.stats import kaplan_meier
+
+        # classic KM worked example: deaths at 1 (n=5), 3 (n=3);
+        # censored at 2 and 4; death at 5 (n=1)
+        rows = [(1, 1), (2, 0), (3, 1), (4, 0), (5, 1)]
+        out = {r["t"]: r for r in kaplan_meier(self.mk_durations(spark, rows)).collect()}
+        assert sorted(out) == [1, 3, 5]
+        assert out[1]["n_risk"] == 5
+        assert out[1]["survival_r"] == pytest.approx(4 / 5)
+        assert out[3]["n_risk"] == 3
+        assert out[3]["survival_r"] == pytest.approx(4 / 5 * 2 / 3)
+        assert out[5]["n_risk"] == 1
+        assert out[5]["survival_r"] == 0.0  # last subject dies -> curve hits 0
+
+    def test_matches_lifelines_formula(self, spark):
+        from dbms_data_anonymity_differential_privacy_spark.operators.stats import kaplan_meier
+
+        rows = [((i * 13) % 50 + 1, 1 if i % 3 else 0) for i in range(200)]
+        out = kaplan_meier(self.mk_durations(spark, rows)).collect()
+        # brute-force reference
+        from collections import Counter
+
+        deaths = Counter(t for t, e in rows if e == 1)
+        times = sorted({t for t, _ in rows})
+        at_risk, s, ref = len(rows), 1.0, {}
+        for t in times:
+            d = deaths.get(t, 0)
+            if d:
+                s *= 1 - d / at_risk
+                ref[t] = (at_risk, d, s)
+            at_risk -= sum(1 for tt, _ in rows if tt == t)
+        for r in out:
+            n, d, sv = ref[r["t"]]
+            assert (r["n_risk"], r["d_events"]) == (n, d)
+            assert r["survival_r"] == pytest.approx(sv, abs=1e-9)
+
+    def test_monotone_nonincreasing(self, spark, sf001):
+        from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+            kaplan_meier,
+            time_to_event,
+        )
+
+        ev = spark.read.parquet(f"{sf001}/events.parquet")
+        out = kaplan_meier(time_to_event(ev, "purchase")).collect()
+        sv = [r["survival_r"] for r in out]
+        assert sv == sorted(sv, reverse=True)
+        assert all(0.0 <= v <= 1.0 for v in sv)
+
+    def test_time_to_event_censoring(self, spark):
+        import datetime as dt
+
+        from dbms_data_anonymity_differential_privacy_spark.operators.stats import time_to_event
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, t0, 7, "view", 0.0, ""),
+            (2, t0 + dt.timedelta(seconds=30), 7, "purchase", 0.0, ""),
+            (3, t0, 8, "view", 0.0, ""),
+            (4, t0 + dt.timedelta(seconds=99), 8, "click", 0.0, ""),  # never converts
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+        out = {r["user_id"]: r for r in time_to_event(df, "purchase").collect()}
+        assert (out[7]["duration"], out[7]["event"]) == (30, 1)
+        assert (out[8]["duration"], out[8]["event"]) == (99, 0)
