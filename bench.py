@@ -111,6 +111,7 @@ HEADLINE = [
     "x77_expectations",
     "x78_attribution",
     "x79_kaplan_meier",
+    "x80_mann_whitney",
     "x64_mutual_information",
     "pipe_event_analytics",
     "pipe_training_export",

@@ -198,6 +198,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
     chi_squared,
     correlation_matrix,
     kaplan_meier,
+    mann_whitney_u,
     psi_drift,
     psi_drift_bins,
     seasonality_index,
@@ -350,4 +351,5 @@ __all__ = [
     "last_touch_attribution",
     "kaplan_meier",
     "time_to_event",
+    "mann_whitney_u",
 ]

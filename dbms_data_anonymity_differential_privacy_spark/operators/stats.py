@@ -638,3 +638,71 @@ def time_to_event(
         .alias("duration"),
         F.when(F.col("__conv").isNotNull(), 1).otherwise(0).alias("event"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """X80 — Mann–Whitney U rank test between two groups of a continuous
+    metric: the nonparametric companion to the A/B proportion test (x74)
+    for revenue/latency-style outcomes where means mislead.
+
+    U computed WITHOUT a global rank: collapse to the per-distinct-value
+    count relation ``(value, n_a_v, n_b_v)`` (one aggregation), then
+    ``U_a = Σ_v n_a_v · (#b-below + n_b_v / 2)`` via one ordered cumsum
+    over that relation — wins plus half-credit for ties, exactly the
+    rank-sum definition. The normal approximation uses the standard tie
+    correction ``Σ(t³ − t)``. Everything up to the final sqrt/division
+    is integer-exact.
+
+    Scale note: the cumsum orders the DISTINCT-value relation — compact
+    for discrete/monetary metrics; for near-continuous doubles at 100 TB
+    pre-bucket the metric (rank tests remain valid on binned data with
+    the tie correction, which this formula already applies).
+
+    Output (single row): ``(n_a, n_b, u_a_r, z_r)``; z > 0 means group
+    A's values stochastically dominate. P-value driver-side (x71/x74
+    convention).
+    """
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    counts = (
+        df.filter(g.isin([group_a, group_b]))
+        .groupBy(F.col(value_col).alias("__v"))
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).alias("__na"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).alias("__nb"),
+        )
+    )
+    w_prev = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    staged = counts.withColumn(
+        "__b_below", F.coalesce(F.sum("__nb").over(w_prev), F.lit(0))
+    ).withColumn("__t", F.col("__na") + F.col("__nb"))
+    agg = staged.agg(
+        F.sum("__na").cast("long").alias("n_a"),
+        F.sum("__nb").cast("long").alias("n_b"),
+        F.sum(
+            F.col("__na").cast("double")
+            * (F.col("__b_below").cast("double") + F.col("__nb").cast("double") / F.lit(2.0))
+        ).alias("__u"),
+        F.sum(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")).cast("double").alias(
+            "__ties"
+        ),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = na + nb
+    mu = na * nb / F.lit(2.0)
+    sigma = F.sqrt(
+        na * nb / F.lit(12.0) * ((n + F.lit(1.0)) - F.col("__ties") / (n * (n - F.lit(1.0))))
+    )
+    z = F.when(sigma > 0, (F.col("__u") - mu) / sigma)
+    return agg.select(
+        "n_a", "n_b",
+        F.round("__u", 9).alias("u_a_r"),
+        F.round(z, 9).alias("z_r"),
+    )

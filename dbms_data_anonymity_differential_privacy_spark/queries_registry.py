@@ -4668,6 +4668,44 @@ def x79_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X80 — Mann-Whitney U (operators/stats.py mann_whitney_u): the
+# nonparametric metric A/B, U from the distinct-value count relation
+# with the standard tie correction. Compares the 'value' distribution of
+# click vs view events.
+# --------------------------------------------------------------------------
+@query(
+    "x80_mann_whitney",
+    """
+    WITH c AS (SELECT value AS v,
+                      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS na,
+                      SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nb
+               FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+    s AS (SELECT *, COALESCE(SUM(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                           PRECEDING AND 1 PRECEDING), 0) AS b_below,
+                 na + nb AS t FROM c),
+    a AS (SELECT CAST(SUM(na) AS BIGINT) AS n_a, CAST(SUM(nb) AS BIGINT) AS n_b,
+                 SUM(CAST(na AS DOUBLE)
+                     * (CAST(b_below AS DOUBLE) + CAST(nb AS DOUBLE) / 2.0)) AS u,
+                 CAST(SUM(t * t * t - t) AS DOUBLE) AS ties
+          FROM s),
+    f AS (SELECT *, CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd FROM a),
+    z AS (SELECT *, nad + nbd AS nn,
+                 SQRT(nad * nbd / 12.0 * ((nad + nbd + 1.0)
+                      - ties / ((nad + nbd) * (nad + nbd - 1.0)))) AS sigma
+          FROM f)
+    SELECT n_a, n_b, ROUND(u, 9) AS u_a_r,
+           ROUND(CASE WHEN sigma > 0 THEN (u - nad * nbd / 2.0) / sigma END, 9) AS z_r
+    FROM z
+    """,
+)
+def x80_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import mann_whitney_u
+
+    ev = load_table(spark, sf_dir, "events")
+    return mann_whitney_u(ev, "value", "event_type", "click", "view")
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green
 # but left 23 oracle-backed queries (r2 slots 51-73) with no driver-issued

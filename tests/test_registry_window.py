@@ -111,6 +111,7 @@ NEW_THIS_ROUND = {
     "x77_expectations",
     "x78_attribution",
     "x79_kaplan_meier",
+    "x80_mann_whitney",
 }
 
 

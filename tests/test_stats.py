@@ -229,3 +229,47 @@ class TestKaplanMeier:
         out = {r["user_id"]: r for r in time_to_event(df, "purchase").collect()}
         assert (out[7]["duration"], out[7]["event"]) == (30, 1)
         assert (out[8]["duration"], out[8]["event"]) == (99, 0)
+
+
+class TestMannWhitney:
+    def test_matches_scipy(self, spark):
+        from dbms_data_anonymity_differential_privacy_spark.operators.stats import mann_whitney_u
+
+        a_vals = [1.0, 2.0, 3.0, 3.0, 5.0, 8.0, 9.0]
+        b_vals = [2.0, 4.0, 4.0, 6.0, 7.0]
+        rows = [(v, "a") for v in a_vals] + [(v, "b") for v in b_vals]
+        df = spark.createDataFrame(rows, "v double, g string")
+        r = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+        try:
+            from scipy.stats import mannwhitneyu
+
+            res = mannwhitneyu(a_vals, b_vals, alternative="two-sided", method="asymptotic")
+            assert r["u_a_r"] == pytest.approx(res.statistic)
+        except ImportError:
+            pass
+        # hand check: U_a + U_b = n_a * n_b
+        rows_b = [(v, "b") for v in a_vals] + [(v, "a") for v in b_vals]
+        df_b = spark.createDataFrame(rows_b, "v double, g string")
+        r_b = mann_whitney_u(df_b, "v", "g", "a", "b").collect()[0]
+        assert r["u_a_r"] + r_b["u_a_r"] == pytest.approx(len(a_vals) * len(b_vals))
+        assert r["z_r"] == pytest.approx(-r_b["z_r"], abs=1e-9)
+
+    def test_identical_distributions_centered(self, spark):
+        from dbms_data_anonymity_differential_privacy_spark.operators.stats import mann_whitney_u
+
+        rows = [(float(v % 20), g) for v in range(400) for g in ("a", "b")]
+        df = spark.createDataFrame(rows, "v double, g string")
+        r = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+        assert r["u_a_r"] == pytest.approx(r["n_a"] * r["n_b"] / 2)
+        assert r["z_r"] == pytest.approx(0.0, abs=1e-9)
+
+    def test_dominant_group_positive_z(self, spark):
+        from dbms_data_anonymity_differential_privacy_spark.operators.stats import mann_whitney_u
+
+        rows = [(float(v) + 100.0, "a") for v in range(50)] + [
+            (float(v), "b") for v in range(50)
+        ]
+        df = spark.createDataFrame(rows, "v double, g string")
+        r = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+        assert r["u_a_r"] == 2500.0  # complete separation: every pair a > b
+        assert r["z_r"] > 5.0
