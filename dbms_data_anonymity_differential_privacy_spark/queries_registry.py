@@ -3183,6 +3183,61 @@ def x41_image_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X41-exact — full hash check for the pigeonhole Hamming join that BOTH
+# near-dup detectors (x41 dHash images, x42 audio fingerprints) share.
+# The Python-side codec/hash step keeps its pytest pinning
+# (test_multimodal_codecs.py: pigeonhole == brute force over real decodes);
+# here the 64-bit fingerprints are replaced by an engine-portable
+# deterministic fixture relation derived from doc_id (Knuth multiplicative
+# mix, 62-bit, with near-duplicates planted every 20 docs by XOR-flipping
+# two low bits), so DuckDB can brute-force the exact same pair set while
+# Spark runs the REAL hamming_pairs_64 block-join + verify operator.
+# --------------------------------------------------------------------------
+_X41_HASH_SPARK = (
+    "CAST(CASE WHEN doc_id % 20 = 4 THEN "
+    "(((doc_id - 1) * 2654435761) % 1073741824 * 4294967296 "
+    " + ((doc_id - 1) * 40503 + 2531011) % 4294967296) ^ 3 "
+    "ELSE "
+    "(doc_id * 2654435761) % 1073741824 * 4294967296 "
+    " + (doc_id * 40503 + 2531011) % 4294967296 "
+    "END AS BIGINT)"
+)
+
+
+@query(
+    "x41_pairs_exact",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 20 = 4 THEN
+               xor(((doc_id - 1) * 2654435761) % 1073741824 * 4294967296
+                   + ((doc_id - 1) * 40503 + 2531011) % 4294967296, 3)
+             ELSE
+               (doc_id * 2654435761) % 1073741824 * 4294967296
+               + (doc_id * 40503 + 2531011) % 4294967296
+             END AS h64
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.h64, b.h64)) AS INT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h64, b.h64)) <= 4
+    """,
+)
+def x41_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact driver twin for the shared near-dup pair join: the DuckDB side
+    brute-forces all O(n^2) pairs (fine at oracle SF), the Spark side runs
+    the production pigeonhole block join — so a hash mismatch would expose
+    any candidate the blocking scheme missed."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import hamming_pairs_64
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", F.expr(_X41_HASH_SPARK).alias("h64"))
+    return hamming_pairs_64(h, "doc_id", "h64", max_hamming=4).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+# --------------------------------------------------------------------------
 # X42 — audio near-dup (operators/multimodal.py): energy-delta
 # fingerprints over real PCM16 WAV decode + the same shared pigeonhole
 # Hamming join as image dedup. Rows-only (no audio decode in DuckDB).
@@ -4707,124 +4762,81 @@ def x80_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
-# registered queries. Round-3 ROTATION: rounds 1-2 drove 49 queries green
-# but left 23 oracle-backed queries (r2 slots 51-73) with no driver-issued
-# signal. This round's window promotes exactly those 23, plus the one r2
-# red row (x09_json_props, oracle re-canonicalized this round) and the
-# ELEVEN new r3 oracle-backed queries (x15_mondrian_exact,
-# x04_cosine_pairs_topm, x20-x28 ex-x29, pipe_lm_buckets, x30); the
-# remaining slots keep one in-window representative per composite /
-# extension component. EVERY rotated-out query holds a driver-green row in
-# CORRECTNESS_r02.json (the ledger tests/test_registry_window.py pins), and
-# each rotated-out primitive/composite stays exercised inside an in-window
-# query (the per-swap comments below name the covering query) — so the
-# UNION of r2+r3 driver rows covers every oracle-backed query with no
-# component ever unchecked.
+# registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
+# every r3-window query now holds a driver row and rotates out. This
+# window promotes ALL 38 oracle-backed queries that have never received a
+# driver row (the x46-x80 analytics/DP/quality era plus both composite
+# pipelines — each already hash-matches in the local dual-SF oracle
+# sweep), plus the new r4 query x41_pairs_exact, plus one in-window
+# representative per SURVEY §2 component family (P, C1, C4, X1-X6; all
+# other components are fully covered by the r1-r3 driver-green ledger that
+# tests/test_registry_window.py pins). x04_cosine_pairs_topm re-enters
+# deliberately: its threshold-hoist perf fix this round must keep the
+# oracle hash green. After this round the union of r1-r4 green rows covers
+# every oracle-backed query in the registry.
 # --------------------------------------------------------------------------
-_WINDOW_R4 = [
-    # --- the 23 never-driver-checked oracle queries (r2 slots 51-73) ---
-    "x01_dp_count_exact",
-    "x01_dp_sum_exact",
-    "x01_dp_histogram_exact",
-    "x01_dp_quantile_exact",
-    "x01_dp_topk_exact",
-    "x01_dp_mode_exact",
-    "x01_svt_exact",
+_WINDOW_R5 = [
+    # --- the 38 never-driver-checked oracle-backed queries ---
+    "x46_dp_distinct_exact",
+    "x47_shard_plan",
+    "pipe_training_export",
+    "x48_snapshot_diff",
+    "x49_heavy_hitters_exact",
+    "x50_weighted_sample",
+    "x51_beta_likeness",
+    "x52_gapfill",
+    "x53_mad_outliers",
+    "x54_funnel",
+    "x55_retention",
+    "x56_continual_exact",
+    "x57_fk_orphans",
+    "x57_key_unique",
+    "x58_apply_changes",
+    "x59_skew_report",
+    "x60_quantile_sketch",
+    "x60_kmv_distinct",
+    "x61_ohlc_bars",
+    "x62_lag_features",
+    "x63_group_ols",
+    "x64_mutual_information",
+    "x66_trending",
+    "x67_psi_drift",
+    "x68_dp_covariance_exact",
+    "x69_corr_matrix",
+    "x70_km_anonymity",
+    "x71_chi_squared",
+    "x72_transitions",
+    "x73_range_counts_exact",
+    "pipe_event_analytics",
+    "x74_ab_test",
+    "x75_benford",
+    "x76_seasonality",
+    "x77_expectations",
+    "x78_attribution",
+    "x79_kaplan_meier",
+    "x80_mann_whitney",
+    # --- new this round: exact twin for the shared pigeonhole pair join ---
+    "x41_pairs_exact",
+    # --- component representatives (every one already driver-green; they
+    # --- keep each SURVEY family exercised inside the live window) ---
+    "p01_scan",
+    "c01_k_anonymize_suppress",
+    "c02_k_anonymity_audit",
     "c04_class_emd",
-    "c04_t_closeness_reference",
-    "c06_uniqueness_classes",
-    "x02_dedup_fingerprint",
-    "x03_dedup_corpus",
-    "x03_dedup_corpus_cc",
-    "pipe_corpus_curation",
-    "x04_cosine_pairs",
-    "x05_text_stats",
-    "x05_lang_id",
-    "x06_dedup_stream",
-    "x06_kanon_gate",
-    "x06_dp_stream_release_exact",
-    "x10_hash_sample",
-    "x10_stratified_sample",
-    "x13_pii_report",
-    # --- the r2 red row, fixed this round — needs its green driver row ---
-    "x09_json_props",
-    # --- new r3 oracle-backed queries ---
-    "x15_mondrian_exact",
+    "c05_reid_risk",
+    "x01_dp_count_exact",
+    "x02_dedup_exact",
+    "x03_ngram_jaccard",
     "x04_cosine_pairs_topm",
-    # --- new r4 oracle-backed queries (the only three slots available:
-    # --- every other slot holds a query with NO driver row yet; the r2-green
-    # --- evictees c01/p01/pipe_tcloseness keep coverage via the r2 ledger,
-    # --- and x46/x47 wait for the r5 rotation — pinned in
-    # --- tests/test_registry_window.py NEW_THIS_ROUND) ---
-    "x43_profile",
-    "x44_centroid_sums",
-    "x45_quantize",
-    # c02 rotated out for x31 (r2-green; the audit's class-size algebra is
-    # the same relation c01 and x32 drive in-window)
-    "x31_fuzzy_pairs",
-    # c05 rotated out for x30 (r2-green; its telescoped risk algebra is
-    # computed inside both in-window metric pipes)
-    "x30_curate_stats",
-    # c07/c08 rotated out for x26/pipe_lm_buckets (both r2-green; their
-    # suppression-rate/NCP algebra is computed inside the in-window
-    # pipe_naive_metrics and pipe_tcloseness_metrics rows)
-    "x26_mixture_rates",
-    "pipe_lm_buckets",
-    # c09 rotated out for x27 (r2-green; its violation count is a filter
-    # over the same EMD relation the in-window c04_class_emd hashes)
-    "x27_gopher_quality",
-    # x08 rotated out for x33 (r2-green; the grouped-distribution algebra
-    # l-diversity shares with t-closeness stays in-window via the c04 rows)
-    "x33_rollup_release",
-    # x11 rotated out for x39_recursive_cl (r2-green; the session-window
-    # agg family keeps union coverage via the r2 row and x06 in-window)
-    "x39_recursive_cl",
-    # x19 rotated out for x37 (r2-green; its word-count agg shape is the
-    # in-window x23 LM training aggregate)
-    "x37_pseudonymize",
-    # x12 rotated out for x32 (r2-green; exact equal-frequency binning is
-    # the bucketing stage inside the in-window pipe_lm_buckets row)
-    "x32_linkage_audit",
-    # x14 rotated out for x34 (r2-green; its map-only fold shape is shared
-    # by the in-window x23/x27 text scans)
-    "x34_user_contrib",
-    # x16 rotated out for x39_entropy_stats (r2-green; temporal keeps
-    # union coverage via its r2 rows)
-    "x39_entropy_stats",
-    # x17 rotated out for x35 (r2-green; the session interval-join idiom
-    # keeps its in-window representative in x16)
-    "x35_kmap_audit",
-    # x18 rotated out for x28 (r2-green; x28's shingle probe is the same
-    # physical shape over a shuffled — not broadcast — membership join)
-    "x28_incremental_admit",
-    # pipe_naive rotated out for x40 (r2-green; its counts-relation
-    # algebra stays in-window via pipe_tcloseness_metrics)
-    "x40_span_stats",
-    # p02 rotated out for x38 (r2-green; the drop-null read path is
-    # exercised by every load_table call and the in-window p01 scan)
-    "x38_vgh",
-    # p05/p09/p14 rotated out for the new r3 ops x23/x24/x25 (all three
-    # primitives r2-green; their idioms stay exercised in-window — the
-    # hash agg inside c01/c02, window-count-to-rows inside c01/c05, and
-    # the zero-filled distribution inside the c04 EMD chain)
-    "x23_bigram_lm",
-    "x24_text_clean",
-    "x25_line_filter",
-    # p17, p19, p21 rotated out for x20/x21/x22 (all r2-green; equal-width
-    # binning is the flagship c01 entry's binning step, range
-    # generalization is the c03 pipeline's output shape, and
-    # sorted-distinct+positions is the support relation inside the
-    # in-window c04 EMD chain)
-    "x20_bm25_search",
-    "x21_pack_chunks",
-    "x22_group_percentiles",
+    "x05_text_stats",
+    "x06_kanon_gate",
 ]
 
 
 def _reorder_for_driver_window() -> None:
     ordered = (
-        [n for n in _WINDOW_R4 if n in QUERIES]
-        + [n for n in QUERIES if n in ORACLE_SQL and n not in _WINDOW_R4]
+        [n for n in _WINDOW_R5 if n in QUERIES]
+        + [n for n in QUERIES if n in ORACLE_SQL and n not in _WINDOW_R5]
         + [n for n in QUERIES if n not in ORACLE_SQL]
     )
     reordered = {n: QUERIES[n] for n in ordered}

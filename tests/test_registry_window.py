@@ -4,42 +4,56 @@ The driver hash-checks only the first 50 registered queries. These tests
 fail loudly if a future registration pushes an oracle-backed query out of
 the window or leaves a SURVEY §2 component with NO driver signal — where
 "signal" is an in-window slot this round OR a driver-green row from a
-previous round (the rotation ledger below). Round 3 rotated the 23
-never-checked oracle queries in and 25 r2-green ones out; round 4 keeps
-that window (its driver rows never arrived) except for the three r2-green
-slots, which now hold three of the five new r4 queries — the remaining two
-wait for the r5 rotation (NEW_THIS_ROUND below), verified meanwhile by
-tools/check_oracle at sf0.01 and sf0.1.
+previous round (the rotation ledger below). Round 4 rotation: round 3 came
+back 50/50 green, so the window now holds the 38 oracle-backed queries
+that have never received a driver row, the new x41_pairs_exact twin, and
+one already-green representative per SURVEY component family.
 No Spark session needed — pure registration-order checks.
 """
 
 from dbms_data_anonymity_differential_privacy_spark.queries_registry import (
-    _WINDOW_R4,
+    _WINDOW_R5,
     ORACLE_SQL,
     QUERIES,
 )
 
 WINDOW = 50
 
-# Queries with hash_match=true in a driver-issued CORRECTNESS report
-# (CORRECTNESS_r02.json, round 2): the rotation ledger. A component may
-# rotate out of the window ONLY if its queries are all in here.
+# Queries with hash_match=true in a driver-issued CORRECTNESS report —
+# the union of CORRECTNESS_r01/r02/r03.json green rows (99 names). A
+# component may rotate out of the window ONLY if its queries are all here.
 DRIVER_GREEN_PRIOR = {
-    "c01_k_anonymize_suppress", "p01_scan", "p02_drop_null", "p03_project",
+    "c01_k_anonymize_suppress", "c02_k_anonymity_audit", "c04_class_emd",
+    "c04_t_closeness_reference", "c04_t_closeness_strict", "c05_reid_risk",
+    "c06_uniqueness_classes", "c06_uniqueness_rows", "c07_suppression_rate",
+    "c08_ncp", "c09_t_violations", "p01_scan", "p02_drop_null", "p03_project",
     "p04_cast_coerce", "p05_group_frequency", "p06_threshold_filter",
     "p07_join_back", "p08_semi_join", "p09_group_stat_to_rows",
     "p10_minmax_class_size", "p11_counts", "p12_nunique", "p13_value_counts",
     "p14_distribution", "p15_singletons", "p16_mean_derived",
     "p17_equal_width_bin", "p18_explicit_bin", "p19_range_generalize",
     "p20_union", "p21_sorted_distinct", "p22_limit", "p23_scalar_arithmetic",
-    "c04_t_closeness_strict", "x08_l_diversity", "c09_t_violations",
-    "x01_dp_avg_exact", "x02_dedup_exact", "x03_ngram_jaccard",
-    "x04_cosine_topk", "x05_text_features", "x06_stream_window_kanon",
-    "c02_k_anonymity_audit", "pipe_naive_metrics", "pipe_tcloseness_metrics",
-    "c05_reid_risk", "c06_uniqueness_rows", "c07_suppression_rate", "c08_ncp",
-    "x10_hash_split", "x12_equal_freq_bin", "x13_pii_detect",
-    "x14_repetition", "x11_sessionize", "x16_asof_join", "x17_session_errors",
-    "x18_contamination", "x19_vocab",
+    "pipe_corpus_curation", "pipe_lm_buckets", "pipe_naive_metrics",
+    "pipe_tcloseness_metrics", "x01_dp_avg_exact", "x01_dp_count_exact",
+    "x01_dp_histogram_exact", "x01_dp_mode_exact", "x01_dp_quantile_exact",
+    "x01_dp_sum_exact", "x01_dp_topk_exact", "x01_svt_exact",
+    "x02_dedup_exact", "x02_dedup_fingerprint", "x03_dedup_corpus",
+    "x03_dedup_corpus_cc", "x03_ngram_jaccard", "x04_cosine_pairs",
+    "x04_cosine_pairs_topm", "x04_cosine_topk", "x05_lang_id",
+    "x05_text_features", "x05_text_stats", "x06_dedup_stream",
+    "x06_dp_stream_release_exact", "x06_kanon_gate",
+    "x06_stream_window_kanon", "x08_l_diversity", "x09_json_props",
+    "x10_hash_sample", "x10_hash_split", "x10_stratified_sample",
+    "x11_sessionize", "x12_equal_freq_bin", "x13_pii_detect",
+    "x13_pii_report", "x14_repetition", "x15_mondrian_exact",
+    "x16_asof_join", "x17_session_errors", "x18_contamination", "x19_vocab",
+    "x20_bm25_search", "x21_pack_chunks", "x22_group_percentiles",
+    "x23_bigram_lm", "x24_text_clean", "x25_line_filter",
+    "x26_mixture_rates", "x27_gopher_quality", "x28_incremental_admit",
+    "x30_curate_stats", "x31_fuzzy_pairs", "x32_linkage_audit",
+    "x33_rollup_release", "x34_user_contrib", "x35_kmap_audit",
+    "x37_pseudonymize", "x38_vgh", "x39_entropy_stats", "x39_recursive_cl",
+    "x40_span_stats", "x43_profile", "x44_centroid_sums", "x45_quantize",
 }
 
 
@@ -54,13 +68,13 @@ def test_window_is_all_oracle_backed():
 
 
 def test_window_list_matches_registration():
-    """_WINDOW_R4 IS the window: every listed name registered, exactly 50,
+    """_WINDOW_R5 IS the window: every listed name registered, exactly 50,
     occupying the first 50 slots in order."""
-    assert len(_WINDOW_R4) == WINDOW
-    assert len(set(_WINDOW_R4)) == WINDOW
-    unregistered = [n for n in _WINDOW_R4 if n not in QUERIES]
+    assert len(_WINDOW_R5) == WINDOW
+    assert len(set(_WINDOW_R5)) == WINDOW
+    unregistered = [n for n in _WINDOW_R5 if n not in QUERIES]
     assert not unregistered, f"window names not registered: {unregistered}"
-    assert list(QUERIES)[:WINDOW] == _WINDOW_R4
+    assert list(QUERIES)[:WINDOW] == _WINDOW_R5
 
 
 def test_every_oracle_component_has_driver_signal():
@@ -81,38 +95,11 @@ def test_every_oracle_component_has_driver_signal():
     )
 
 
-# Oracle-backed queries REGISTERED this round: the window is saturated with
-# queries that hold no driver row yet, so these two debut outside it by
-# construction. They must rotate in next round; until then their check is
-# the local dual-SF oracle sweep. This set must shrink to empty as windows
-# rotate — growing it needs the same saturation argument in a comment.
-NEW_THIS_ROUND = {
-    "x46_dp_distinct_exact", "x47_shard_plan", "pipe_training_export",
-    "x48_snapshot_diff", "x49_heavy_hitters_exact",
-    # round-5 registrations — same saturation argument: every window slot
-    # still holds a query awaiting its FIRST driver row, so the new
-    # analytics family (weighted sampling, beta-likeness, gapfill, MAD,
-    # funnel, retention) debuts outside and rotates in once r3 driver
-    # rows land; until then the check is the dual-SF local oracle sweep.
-    "x50_weighted_sample", "x51_beta_likeness", "x52_gapfill",
-    "x53_mad_outliers", "x54_funnel", "x55_retention",
-    "x56_continual_exact", "x57_fk_orphans", "x57_key_unique",
-    "x58_apply_changes", "x59_skew_report",
-    "x60_quantile_sketch", "x60_kmv_distinct",
-    "x61_ohlc_bars", "x62_lag_features",
-    "x63_group_ols", "x64_mutual_information",
-    "x66_trending", "x67_psi_drift", "x68_dp_covariance_exact",
-    "x69_corr_matrix",
-    "x70_km_anonymity",
-    "x71_chi_squared", "x72_transitions",
-    "x73_range_counts_exact",
-    "pipe_event_analytics",
-    "x74_ab_test", "x75_benford", "x76_seasonality",
-    "x77_expectations",
-    "x78_attribution",
-    "x79_kaplan_meier",
-    "x80_mann_whitney",
-}
+# Oracle-backed queries registered this round that debut OUTSIDE the
+# window (only allowed when every window slot holds a query still awaiting
+# its first driver row). Round 4: empty — the 38-query backlog fits in the
+# window with room for the new twin and all component representatives.
+NEW_THIS_ROUND: set[str] = set()
 
 
 def test_rotated_out_queries_were_driver_green():
