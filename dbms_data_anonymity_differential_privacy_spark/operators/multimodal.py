@@ -54,6 +54,14 @@ FEATURES_SCHEMA = T.StructType(
     ]
 )
 
+# quarantine=True output: undecodable blobs (progressive JPEG, MP3, truncated
+# streams, ...) surface as (feature=NULL, error=<message>) rows instead of
+# failing the task — at 100 TB a single exotic file must cost one skipped
+# row, never a stage retry loop.
+FEATURES_Q_SCHEMA = T.StructType(
+    FEATURES_SCHEMA.fields + [T.StructField("error", T.StringType())]
+)
+
 
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter for the synthetic corpus: treat document text bytes as an
@@ -941,30 +949,61 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8)
     return media.mapInPandas(run, FRAMES_SCHEMA)
 
 
-def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+def extract_features(
+    media: DataFrame, batch_rows: int = 256, quarantine: bool = False
+) -> DataFrame:
     """Arrow-batched feature extraction over blobs via ``mapInPandas``.
 
     The iterator contract keeps peak memory at one Arrow batch per worker;
     ``batch_rows`` bounds blob payload per batch (tune with
-    maxRecordsPerBatch when blobs are megabytes)."""
+    maxRecordsPerBatch when blobs are megabytes).
+
+    ``quarantine=True`` is the production posture for heterogeneous
+    corpora: per-blob decode failures (progressive JPEG — SOF2 is parsed
+    and honestly refused by :func:`decode_jpeg` — MP3/H.264, truncated or
+    corrupt streams) become ``(feature=NULL, error=<message>)`` rows, so a
+    100 TB scan degrades to per-file skip accounting the caller can
+    aggregate, never a task error that retries the whole partition. The
+    default (``False``) keeps strict semantics: any undecodable blob
+    raises, which small curated fixtures want."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for start in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[start : start + batch_rows]
+                if not quarantine:
+                    yield pd.DataFrame(
+                        {
+                            "media_id": chunk["media_id"],
+                            "mime": chunk["mime"],
+                            "n_bytes": [len(c) for c in chunk["content"]],
+                            "feature": [
+                                decode_media(bytes(c), m)
+                                for c, m in zip(chunk["content"], chunk["mime"])
+                            ],
+                        }
+                    )
+                    continue
+                feats: list = []
+                errs: list = []
+                for c, m in zip(chunk["content"], chunk["mime"]):
+                    try:
+                        feats.append(decode_media(bytes(c), m))
+                        errs.append(None)
+                    except (NotImplementedError, ValueError, IndexError, KeyError) as exc:
+                        feats.append(None)
+                        errs.append(f"{type(exc).__name__}: {exc}")
                 yield pd.DataFrame(
                     {
                         "media_id": chunk["media_id"],
                         "mime": chunk["mime"],
                         "n_bytes": [len(c) for c in chunk["content"]],
-                        "feature": [
-                            decode_media(bytes(c), m)
-                            for c, m in zip(chunk["content"], chunk["mime"])
-                        ],
+                        "feature": feats,
+                        "error": errs,
                     }
                 )
 
-    return media.mapInPandas(run, FEATURES_SCHEMA)
+    return media.mapInPandas(run, FEATURES_Q_SCHEMA if quarantine else FEATURES_SCHEMA)
 
 
 def dhash64(content: bytes, mime: str) -> int:

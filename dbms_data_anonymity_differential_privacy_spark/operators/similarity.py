@@ -113,7 +113,7 @@ def cosine_pairs_topm(
     block_col: str | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    impl: str = "sql",
+    impl: str | None = None,
 ) -> DataFrame:
     """Bounded-output neighbor pairs: for every vector, its ``m`` most
     similar OTHER vectors (ties broken by neighbor id). The cap-and-rank
@@ -122,7 +122,13 @@ def cosine_pairs_topm(
     contract), this emits <= n*m rows whatever the similarity structure —
     the shape dedup/link pipelines actually consume.
 
-    ``impl='sql'`` (default, oracle-bit-exact): each undirected candidate
+    ``impl=None`` (default) resolves to ``'arrow'`` when ``block_col`` is
+    set and ``'sql'`` otherwise: blocked scoring is exactly where the
+    BLAS path is both applicable (blocks fit a worker) and ~20x faster
+    than the interpreted fold at sf1, so it is the production default;
+    the sequential-fold sql flavor remains the oracle-bit-exact path.
+
+    ``impl='sql'`` (oracle-bit-exact): each undirected candidate
     pair is scored ONCE (one interpreted HOF fold), both directions are
     emitted with a 2-element explode, and the rank filter is written as
     row_number-over-window + ``rnk <= m`` so Catalyst's
@@ -147,6 +153,8 @@ def cosine_pairs_topm(
     """
     from pyspark.sql import Window
 
+    if impl is None:
+        impl = "arrow" if block_col is not None else "sql"
     if impl == "arrow":
         if block_col is None:
             raise ValueError("impl='arrow' scores per block; pass block_col")
@@ -164,6 +172,12 @@ def cosine_pairs_topm(
     denom = F.col("na") * F.col("nb")
     cos = F.when(denom != 0.0, _dot(F.col("va"), F.col("vb")) / denom).otherwise(F.lit(None))
     undirected = joined.select("id_a", "id_b", F.round(cos, 6).alias("cos"))
+    # the threshold is direction-independent, so it filters the undirected
+    # stream BEFORE the bidirectional explode: half the rows reach the
+    # explode and the window shuffle (the r3 sf1 profile showed the
+    # post-explode placement doubling the stream for nothing)
+    if threshold is not None:
+        undirected = undirected.filter(F.col("cos") >= F.lit(threshold))
     # one fold per undirected pair; both directions via a literal 2-array
     # explode (explode_outer per the measured Generate-pushdown trap —
     # SCALE.md "Python boundary": plain explode lets Catalyst restate the
@@ -178,8 +192,6 @@ def cosine_pairs_topm(
         ).alias("e"),
         "cos",
     ).select(F.col("e.s").alias("id_a"), F.col("e.d").alias("id_b"), "cos")
-    if threshold is not None:
-        scored = scored.filter(F.col("cos") >= F.lit(threshold))
     w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.col("id_b"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= m)
 

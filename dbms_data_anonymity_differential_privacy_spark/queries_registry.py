@@ -1219,13 +1219,16 @@ def x04_cosine_pairs_topm(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds candidate generation exactly as in x04_cosine_pairs; the rank
     filter runs as a map-side WindowGroupLimit partial top-k, so neither
     the candidate score stream nor the output materializes all pairs. The
-    oracle is the literal per-key LIMIT semantics."""
+    oracle is the literal per-key LIMIT semantics. impl='sql' is pinned
+    here because this is the oracle-bit-exact hash path; the operator's
+    DEFAULT for blocked inputs is the ~20x-faster arrow/BLAS flavor
+    (x04_cosine_pairs_topm_arrow, equivalence-tested)."""
     from dbms_data_anonymity_differential_privacy_spark.operators.similarity import (
         cosine_pairs_topm,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs_topm(emb, m=5, block_col="label")
+    return cosine_pairs_topm(emb, m=5, block_col="label", impl="sql")
 
 
 @query("x04_cosine_pairs_topm_arrow")

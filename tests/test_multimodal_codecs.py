@@ -488,3 +488,46 @@ def test_audio_near_dup_pairs_matches_brute_force(spark):
     assert got == want
     assert (1, 2) in got
     assert all(4 not in p for p in got)
+
+
+def test_extract_features_quarantine_progressive_jpeg(spark):
+    """quarantine=True: a progressive (SOF2) JPEG lands as a
+    (feature=NULL, error=...) row instead of failing the task, while
+    decodable neighbors in the same Arrow batch keep full features —
+    per-file skip accounting, the 100 TB degradation contract. Default
+    strict mode must still raise for the same input."""
+    import hashlib
+
+    import pytest
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import (
+        encode_jpeg,
+        extract_features,
+    )
+
+    good = encode_jpeg(8, 8, bytes([10, 20, 30] * 64), quality=90)
+    bad = bytearray(good)
+    i = bytes(bad).find(b"\xff\xc0")
+    bad[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    bad = bytes(bad)
+
+    def row(mid, blob):
+        return (
+            mid,
+            bytearray(blob),
+            "image/jpeg",
+            {"n_bytes": len(blob), "checksum": hashlib.md5(blob).hexdigest()},
+        )
+
+    media = spark.createDataFrame([row(1, good), row(2, bad)], MEDIA_SCHEMA)
+
+    out = {r.media_id: r for r in extract_features(media, quarantine=True).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].feature is not None and out[1].error is None
+    assert out[1].feature[0] == 8.0 and out[1].feature[1] == 8.0
+    assert out[2].feature is None
+    assert "NotImplementedError" in out[2].error and "SOF0" in out[2].error
+
+    # strict mode: the same corpus is a task error (curated-fixture posture)
+    with pytest.raises(Exception, match="SOF0|PythonException"):
+        extract_features(media).collect()

@@ -428,3 +428,82 @@ def test_heavy_hitter_bounds_any_data(spark, vals, k):
     for v, c in exact.items():
         if c > err and c in topk and len(got) < k:
             assert v in got
+
+
+@given(
+    obs=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 1)), min_size=1, max_size=60
+    )
+)
+@settings(**SETTINGS)
+def test_kaplan_meier_matches_textbook_product_any_data(spark, obs):
+    """KM over arbitrary (duration, event) observations — heavy ties,
+    censoring at death times, and full-cohort-death (zero-factor) cases
+    all land here — must equal the sequential textbook product computed
+    independently in Python, with correct at-risk counts and a row per
+    death time only."""
+    from collections import Counter
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import kaplan_meier
+
+    df = spark.createDataFrame(obs, "duration int, event int").repartition(3)
+    out = kaplan_meier(df).collect()
+
+    deaths = Counter(t for t, e in obs if e == 1)
+    at_time = Counter(t for t, _ in obs)
+    s = 1.0
+    expect = {}
+    n_risk = len(obs)
+    for t in sorted(at_time):
+        d = deaths.get(t, 0)
+        if d:
+            s *= 1.0 - d / n_risk
+            expect[t] = (n_risk, d, s)
+        n_risk -= at_time[t]
+
+    assert {r["t"] for r in out} == set(expect)
+    prev = 1.0
+    for r in sorted(out, key=lambda r: r["t"]):
+        n, d, sv = expect[r["t"]]
+        assert r["n_risk"] == n and r["d_events"] == d
+        assert abs(r["survival_r"] - sv) <= 1e-8
+        assert 0.0 <= r["survival_r"] <= prev + 1e-12  # monotone non-increasing
+        prev = r["survival_r"]
+
+
+@given(
+    a_vals=st.lists(st.integers(0, 5), min_size=1, max_size=40),
+    b_vals=st.lists(st.integers(0, 5), min_size=1, max_size=40),
+)
+@settings(**SETTINGS)
+def test_mann_whitney_u_matches_bruteforce_any_data(spark, a_vals, b_vals):
+    """U from the distinct-value cumsum formulation must equal the
+    brute-force pairwise definition (wins + half-ties) exactly, for any
+    tie structure; z must match the tie-corrected normal approximation
+    computed independently (or be NULL exactly when sigma == 0, i.e. all
+    values identical)."""
+    import math
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import mann_whitney_u
+
+    rows = [(float(v), "a") for v in a_vals] + [(float(v), "b") for v in b_vals]
+    df = spark.createDataFrame(rows, "v double, g string").repartition(3)
+    r = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
+
+    u_brute = sum(
+        1.0 if x > y else (0.5 if x == y else 0.0) for x in a_vals for y in b_vals
+    )
+    na, nb = len(a_vals), len(b_vals)
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert abs(r["u_a_r"] - u_brute) <= 1e-9
+
+    from collections import Counter
+
+    n = na + nb
+    ties = sum(t**3 - t for t in Counter(a_vals + b_vals).values())
+    var = na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1))) if n > 1 else 0.0
+    if var <= 0:
+        assert r["z_r"] is None
+    else:
+        z = (u_brute - na * nb / 2.0) / math.sqrt(var)
+        assert abs(r["z_r"] - z) <= 1e-6
