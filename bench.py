@@ -112,6 +112,8 @@ HEADLINE = [
     "x78_attribution",
     "x79_kaplan_meier",
     "x80_mann_whitney",
+    "x81_knn_join",
+    "x81_knn_join_arrow",
     "x64_mutual_information",
     "pipe_event_analytics",
     "pipe_training_export",

@@ -82,6 +82,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.similarity import 
     ann_topk_lsh,
     ivf_index,
     ivf_topk,
+    knn_join,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.sampling import (
     hash_sample,
@@ -264,6 +265,7 @@ __all__ = [
     "ann_topk_lsh",
     "ivf_index",
     "ivf_topk",
+    "knn_join",
     "hash_sample",
     "hash_split",
     "stratified_sample_n",

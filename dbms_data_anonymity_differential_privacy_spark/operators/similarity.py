@@ -424,3 +424,96 @@ def ann_topk_lsh(
     v = F.col(vec_col).cast("array<double>")
     scored = cands.select(F.col(id_col), F.round(cosine_expr(v, q), 6).alias("cos"))
     return scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    impl: str | None = None,
+) -> DataFrame:
+    """X81 — batched k-nearest-neighbor join: for EVERY query vector, its
+    ``k`` most cosine-similar corpus rows (ties by corpus id) — the
+    retrieval primitive between single-probe ``cosine_topk`` and all-pairs
+    ``cosine_pairs_topm``. Reference analogue: the per-record similarity
+    lookup loop (cluster-assignment distance scans); re-expressed as one
+    declarative broadcast join instead of a driver loop.
+
+    Physical shape (both flavors): the corpus NEVER shuffles — the query
+    batch broadcasts (it is a probe batch, bounded by contract), every
+    corpus partition scores locally, and the per-query rank<=k filter
+    runs as a map-side WindowGroupLimit partial, so the one exchange
+    carries <= k rows per query per partition, independent of corpus
+    size. At 100 TB: identical plan, just more partitions.
+
+    ``impl=None`` resolves to ``'arrow'`` (BLAS scoring per partition
+    against the broadcast query matrix) — the throughput path; ``'sql'``
+    is the sequential-fold flavor whose arithmetic is bit-identical to
+    the DuckDB oracle.
+
+    Output: ``(id_q, id_c, cos, rnk)``, rnk in [1, k].
+    """
+    from pyspark.sql import Window
+
+    if impl is None:
+        impl = "arrow"
+    q = queries.select(
+        F.col(id_col).alias("id_q"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    w = Window.partitionBy("id_q").orderBy(F.desc("cos"), F.col("id_c"))
+    if impl == "sql":
+        c = fan_out(corpus).select(
+            F.col(id_col).alias("id_c"), F.col(vec_col).cast("array<double>").alias("cv")
+        )
+        scored = c.join(F.broadcast(q), how="cross").select(
+            "id_q", "id_c", F.round(cosine_expr(F.col("cv"), F.col("qv")), 6).alias("cos")
+        )
+        return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+    if impl != "arrow":
+        raise ValueError(f"unknown impl {impl!r}")
+
+    import numpy as np
+    import pandas as pd
+
+    rows = q.collect()  # probe batch: bounded by contract (broadcast-sized)
+    q_ids = np.array([r["id_q"] for r in rows], dtype=np.int64)
+    q_mat = np.array([np.asarray(r["qv"], dtype=np.float64) for r in rows])
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+
+    def part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
+            c_ids = pdf["id_c"].to_numpy()
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            denom = np.outer(q_norm, c_norm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cmat = np.where(denom != 0.0, (q_mat @ c_mat.T) / denom, np.nan)
+            cmat = np.round(cmat, 6)
+            out_q, out_c, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                row = cmat[qi]
+                # partial top-k per partition: NaN (NULL cosine) sorts last
+                # but IS emitted — matching the sql flavor, where NULL-cos
+                # rows still rank (NULLS LAST) and fill out k when a query
+                # has fewer than k scoreable neighbors
+                sel = np.lexsort((c_ids, -row))[: k]
+                out_q.extend([q_ids[qi]] * len(sel))
+                out_c.extend(c_ids[sel])
+                out_s.extend([None if np.isnan(s) else float(s) for s in row[sel]])
+            yield pd.DataFrame(
+                {
+                    "id_q": pd.array(out_q, dtype="int64"),
+                    "id_c": pd.array(out_c, dtype="int64"),
+                    "cos": pd.array(out_s, dtype="float64"),
+                }
+            )
+
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("id_c"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    partial = c.mapInPandas(part, "id_q long, id_c long, cos double")
+    return partial.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

@@ -4764,6 +4764,53 @@ def x80_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X81 — batched k-NN join (operators/similarity.py knn_join): every query
+# vector against the whole corpus, corpus never shuffles, query batch
+# broadcasts, per-query rank<=k as a map-side WindowGroupLimit partial.
+# The sql flavor's sequential fold is bit-identical to DuckDB
+# list_dot_product (the x04 equivalence); the arrow/BLAS flavor is the
+# default production path, equivalence-tested in tests/test_extensions.py.
+# --------------------------------------------------------------------------
+@query(
+    "x81_knn_join",
+    f"""
+    WITH q AS (SELECT vec_id AS id_q, embedding AS qv
+               FROM embeddings WHERE vec_id % 100 = 0),
+    p AS (SELECT q.id_q, e.vec_id AS id_c,
+                 ROUND({_duck_cos('e.embedding', 'q.qv')}, 6) AS cos
+          FROM embeddings e CROSS JOIN q),
+    r AS (SELECT id_q, id_c, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY id_q
+                      ORDER BY cos DESC NULLS LAST, id_c) AS INTEGER) AS rnk
+          FROM p)
+    SELECT id_q, id_c, cos, rnk FROM r WHERE rnk <= 5
+    """,
+)
+def x81_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 100th vector probes the corpus for its 5 nearest neighbors
+    (self-match included — cos 1.0 rank 1 — the standard retrieval
+    convention; callers drop rnk=1 for leave-one-out). impl='sql' pinned:
+    this is the oracle-bit-exact path; the default is arrow/BLAS."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.similarity import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    return knn_join(emb, q, k=5, impl="sql")
+
+
+@query("x81_knn_join_arrow")
+def x81_knn_join_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLAS flavor of the k-NN join (rows-only: float accumulation order
+    differs from the sequential fold at the last bit; equivalence to the
+    sql flavor is pinned in tests/test_extensions.py)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.similarity import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    return knn_join(emb, q, k=5, impl="arrow")
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
 # every r3-window query now holds a driver row and rotates out. This
@@ -4818,13 +4865,16 @@ _WINDOW_R5 = [
     "x78_attribution",
     "x79_kaplan_meier",
     "x80_mann_whitney",
-    # --- new this round: exact twin for the shared pigeonhole pair join ---
+    # --- new this round: exact twin for the shared pigeonhole pair join,
+    # --- and the batched k-NN join (c02's rep slot — its class-size
+    # --- algebra stays exercised in-window by c01; c02 itself is
+    # --- r2-ledger-green) ---
     "x41_pairs_exact",
+    "x81_knn_join",
     # --- component representatives (every one already driver-green; they
     # --- keep each SURVEY family exercised inside the live window) ---
     "p01_scan",
     "c01_k_anonymize_suppress",
-    "c02_k_anonymity_audit",
     "c04_class_emd",
     "c05_reid_risk",
     "x01_dp_count_exact",

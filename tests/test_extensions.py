@@ -1596,3 +1596,40 @@ def test_repeated_spans_ignore_within_doc_repetition(spark):
         "doc_id long, text string",
     )
     assert repeated_span_stats(df, window=8).collect() == []
+
+
+def test_knn_join_arrow_matches_sql_and_bruteforce(spark, sf0001):
+    """x81: the arrow/BLAS flavor must produce the same ranked neighbor
+    lists as the oracle-hashed sql flavor; both must match a brute-force
+    per-query ranking computed in Python; self-match ranks first."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.similarity import knn_join
+
+    emb = load_table(spark, sf0001, "embeddings")
+    q = emb.filter(F.col("vec_id") % 20 == 0)
+    sql_rows = {
+        (r.id_q, r.rnk): r.id_c for r in knn_join(emb, q, k=4, impl="sql").collect()
+    }
+    arrow_rows = {
+        (r.id_q, r.rnk): r.id_c for r in knn_join(emb, q, k=4, impl="arrow").collect()
+    }
+    assert sql_rows == arrow_rows and len(sql_rows) > 0
+
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()}
+
+    def cos(a, b):
+        import math
+
+        da = math.sqrt(sum(x * x for x in a))
+        db = math.sqrt(sum(x * x for x in b))
+        if da * db == 0:
+            return None
+        return round(sum(x * y for x, y in zip(a, b)) / (da * db), 6)
+
+    for qid in [i for i in vecs if i % 20 == 0]:
+        scored = sorted(
+            ((c, cid) for cid, v in vecs.items() for c in [cos(vecs[qid], v)]),
+            key=lambda t: (-(t[0] if t[0] is not None else float("-inf")), t[1]),
+        )
+        assert sql_rows[(qid, 1)] == qid  # self-match first (cos 1.0)
+        for rnk, (c, cid) in enumerate(scored[:4], start=1):
+            assert sql_rows[(qid, rnk)] == cid

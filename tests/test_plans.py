@@ -319,3 +319,15 @@ def test_gapfill_broadcasts_dense_grid_join(plans):
     # plan under each InMemoryTableScan, so count consumers, not scans
     assert p.count("InMemoryTableScan") == 3
     assert "BroadcastHashJoin" in p
+
+
+def test_knn_join_corpus_never_shuffles(plans):
+    """x81: the corpus side must not hash-shuffle — queries broadcast,
+    scoring is map-side, and the per-query rank<=k runs as a map-side
+    WindowGroupLimit Partial so the single window exchange carries <= k
+    rows per query per partition."""
+    p = plans["x81_knn_join"]
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert re.search(r"WindowGroupLimit.*Partial", p)
+    # the only hashpartitioning exchange is the slim (id_q) window input
+    assert len(re.findall(r"Exchange hashpartitioning", p)) <= 1
