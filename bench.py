@@ -113,6 +113,7 @@ HEADLINE = [
     "x79_kaplan_meier",
     "x80_mann_whitney",
     "x81_knn_join",
+    "x82_quality_dedup",
     "x81_knn_join_arrow",
     "x64_mutual_information",
     "pipe_event_analytics",

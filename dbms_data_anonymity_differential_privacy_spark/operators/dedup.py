@@ -436,6 +436,7 @@ def dedup_corpus(
     pairs: DataFrame,
     id_col: str = "doc_id",
     policy: str = "greedy",
+    score_col: str | None = None,
 ) -> DataFrame:
     """Turn a near-dup PAIR relation into a kept CORPUS.
 
@@ -450,6 +451,16 @@ def dedup_corpus(
     bounded-iteration label propagation). Strictly stronger dedup on
     chained duplicates at the cost of an iterative job.
 
+    ``policy='best'``: transitive closure, but the survivor of each
+    component is the row maximizing ``score_col`` (ties by min id) —
+    the quality-aware representative selection training-corpus dedup
+    actually wants (keep the longest / highest-quality variant, not an
+    id accident; RefinedWeb-style). Scale shape: only the slim
+    ``(id, score)`` projection joins the component relation — document
+    bodies never shuffle; the per-component argmax is a window over the
+    near-dup-mass-sized member relation, and survivors come back as one
+    anti-join.
+
     Deterministic given deterministic pairs.
     """
     if policy == "greedy":
@@ -458,6 +469,20 @@ def dedup_corpus(
         comp = connected_components(pairs)
         drop = comp.filter(F.col("comp") != F.col("id")).select(
             F.col("id").alias(id_col)
+        )
+    elif policy == "best":
+        if score_col is None:
+            raise ValueError("policy='best' needs score_col")
+        from pyspark.sql import Window
+
+        comp = connected_components(pairs)
+        scores = df.select(F.col(id_col).alias("id"), F.col(score_col).alias("__score"))
+        members = comp.join(scores, on="id")
+        w = Window.partitionBy("comp").orderBy(F.desc("__score"), F.col("id"))
+        drop = (
+            members.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > 1)
+            .select(F.col("id").alias(id_col))
         )
     else:
         raise ValueError(f"unknown policy: {policy}")
@@ -472,11 +497,13 @@ def near_dedup_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     policy: str = "greedy",
+    score_col: str | None = None,
 ) -> DataFrame:
     """The full corpus-dedup composite: exact text dedup, then near-dup
     pair detection (``jaccard`` exact inverted index | ``minhash`` LSH),
-    then representative keeping (``greedy`` | ``components`` — see
-    :func:`dedup_corpus`). Returns the kept corpus with the input schema."""
+    then representative keeping (``greedy`` | ``components`` | ``best``
+    with ``score_col`` — see :func:`dedup_corpus`). Returns the kept
+    corpus with the input schema."""
     stage1 = dedup_exact(df, [text_col], id_col)
     if method == "jaccard":
         pairs = ngram_jaccard_pairs(stage1, threshold, n, text_col, id_col)
@@ -484,7 +511,7 @@ def near_dedup_corpus(
         pairs = minhash_lsh_pairs(stage1, threshold, n, text_col=text_col, id_col=id_col)
     else:
         raise ValueError(f"unknown method: {method}")
-    return dedup_corpus(stage1, pairs, id_col, policy=policy)
+    return dedup_corpus(stage1, pairs, id_col, policy=policy, score_col=score_col)
 
 
 def contamination_check(

@@ -4764,6 +4764,56 @@ def x80_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X82 — quality-aware corpus dedup (operators/dedup.py policy='best'):
+# the survivor of each near-dup connected component is the doc maximizing
+# a quality score (here n_chars — keep the LONGEST variant, the
+# RefinedWeb-style policy), ties by min id. Same recursive-closure oracle
+# as x03_dedup_corpus_cc plus a per-component argmax. Exact-dup stage
+# keeps min id per identical text; identical text implies equal score, so
+# the stage tie-break agrees with the component tie-break.
+# --------------------------------------------------------------------------
+@query(
+    "x82_quality_dedup",
+    """
+    WITH RECURSIVE d1 AS (SELECT doc_id, text, lang, source, n_chars FROM documents
+                QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+    t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM d1),
+    sh AS (SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(toks[i:i+2], ' '))) AS s FROM t),
+    e AS (SELECT doc_id, len(s) AS ns, unnest(s) AS shingle FROM sh),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ns AS na, b.ns AS nb,
+                 COUNT(*) AS inter
+          FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+    pe AS (SELECT id_a, id_b FROM p WHERE ROUND(inter / (na + nb - inter), 9) >= 0.2),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pe
+            UNION ALL SELECT id_b AS a, id_a AS b FROM pe),
+    reach(id, anc) AS (SELECT DISTINCT a AS id, a AS anc FROM sym
+                       UNION
+                       SELECT s.b AS id, r.anc FROM reach r JOIN sym s ON s.a = r.id),
+    comp AS (SELECT id, MIN(anc) AS comp FROM reach GROUP BY id),
+    ranked AS (SELECT c.id, ROW_NUMBER() OVER (PARTITION BY c.comp
+                    ORDER BY d1.n_chars DESC, c.id) AS rn
+               FROM comp c JOIN d1 ON d1.doc_id = c.id)
+    SELECT d1.* FROM d1
+    WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rn > 1)
+    """,
+)
+def x82_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup corpus dedup keeping the highest-quality (longest) doc per
+    connected component instead of the min-id accident — document bodies
+    never shuffle; only the slim (id, score) projection joins the
+    component relation."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import near_dedup_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return near_dedup_corpus(
+        docs, threshold=0.2, n=3, method="jaccard", policy="best", score_col="n_chars"
+    )
+
+
+# --------------------------------------------------------------------------
 # X81 — batched k-NN join (operators/similarity.py knn_join): every query
 # vector against the whole corpus, corpus never shuffles, query batch
 # broadcasts, per-query rank<=k as a map-side WindowGroupLimit partial.
@@ -4866,17 +4916,18 @@ _WINDOW_R5 = [
     "x79_kaplan_meier",
     "x80_mann_whitney",
     # --- new this round: exact twin for the shared pigeonhole pair join,
-    # --- and the batched k-NN join (c02's rep slot — its class-size
-    # --- algebra stays exercised in-window by c01; c02 itself is
-    # --- r2-ledger-green) ---
+    # --- the batched k-NN join (c02's rep slot — its class-size algebra
+    # --- stays exercised in-window by c01; c02 itself is r2-ledger-green),
+    # --- and quality-aware dedup (c05's rep slot — its telescoped risk
+    # --- algebra stays exercised inside pipe metrics; c05 r2-ledger-green)
     "x41_pairs_exact",
     "x81_knn_join",
+    "x82_quality_dedup",
     # --- component representatives (every one already driver-green; they
     # --- keep each SURVEY family exercised inside the live window) ---
     "p01_scan",
     "c01_k_anonymize_suppress",
     "c04_class_emd",
-    "c05_reid_risk",
     "x01_dp_count_exact",
     "x02_dedup_exact",
     "x03_ngram_jaccard",

@@ -1633,3 +1633,30 @@ def test_knn_join_arrow_matches_sql_and_bruteforce(spark, sf0001):
         assert sql_rows[(qid, 1)] == qid  # self-match first (cos 1.0)
         for rnk, (c, cid) in enumerate(scored[:4], start=1):
             assert sql_rows[(qid, rnk)] == cid
+
+
+def test_dedup_corpus_best_keeps_highest_score(spark):
+    """x82 policy='best': the survivor of a transitive near-dup chain is
+    the highest-scoring member (ties by min id), not the min id — and
+    docs outside any pair are untouched."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import dedup_corpus
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (7, 5), (8, 5), (9, 1)],
+        "doc_id long, score long",
+    )
+    # chain 1~2, 2~3 (one component); 7~8 tie on score
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r.doc_id
+        for r in dedup_corpus(docs, pairs, policy="best", score_col="score").collect()
+    )
+    # comp {1,2,3}: 2 wins (score 99); comp {7,8}: tie -> min id 7; 9 untouched
+    assert kept == [2, 7, 9]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="score_col"):
+        dedup_corpus(docs, pairs, policy="best")
