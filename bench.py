@@ -114,6 +114,11 @@ HEADLINE = [
     "x80_mann_whitney",
     "x81_knn_join",
     "x82_quality_dedup",
+    "x83_bm25_many",
+    "x84_stratified_split",
+    "x85_domain_quality",
+    "x85_domain_gate",
+    "x86_temperature_sample",
     "x81_knn_join_arrow",
     "x64_mutual_information",
     "pipe_event_analytics",

@@ -88,9 +88,10 @@ from dbms_data_anonymity_differential_privacy_spark.operators.sampling import (
     hash_sample,
     hash_split,
     stratified_sample_n,
+    stratified_split,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.packing import pack_concat_chunks
-from dbms_data_anonymity_differential_privacy_spark.operators.search import bm25_topk
+from dbms_data_anonymity_differential_privacy_spark.operators.search import bm25_topk, bm25_topk_many
 from dbms_data_anonymity_differential_privacy_spark.operators.text import text_stats, with_text_features
 from dbms_data_anonymity_differential_privacy_spark.operators.lm import bigram_lm_scores
 from dbms_data_anonymity_differential_privacy_spark.operators.clean import (
@@ -99,9 +100,15 @@ from dbms_data_anonymity_differential_privacy_spark.operators.clean import (
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.mixing import (
     apply_mixture,
+    temperature_rates,
+    temperature_sample,
     mixture_rates,
 )
-from dbms_data_anonymity_differential_privacy_spark.operators.quality import gopher_quality
+from dbms_data_anonymity_differential_privacy_spark.operators.quality import (
+    domain_gate,
+    domain_quality_report,
+    gopher_quality,
+)
 from dbms_data_anonymity_differential_privacy_spark.operators.bpe import bpe_tokenize, bpe_train
 from dbms_data_anonymity_differential_privacy_spark.operators.linkage import (
     fuzzy_pairs,
@@ -261,6 +268,7 @@ __all__ = [
     "embedding_dedup",
     "cosine_pairs_topm",
     "bm25_topk",
+    "bm25_topk_many",
     "pack_concat_chunks",
     "ann_topk_lsh",
     "ivf_index",
@@ -269,6 +277,7 @@ __all__ = [
     "hash_sample",
     "hash_split",
     "stratified_sample_n",
+    "stratified_split",
     "text_stats",
     "with_text_features",
     "bigram_lm_scores",
@@ -276,7 +285,11 @@ __all__ = [
     "filter_boilerplate_lines",
     "mixture_rates",
     "apply_mixture",
+    "temperature_rates",
+    "temperature_sample",
     "gopher_quality",
+    "domain_gate",
+    "domain_quality_report",
     "incremental_admit",
     "repeated_span_stats",
     "remove_repeated_spans",

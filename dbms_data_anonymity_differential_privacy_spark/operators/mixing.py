@@ -130,3 +130,74 @@ def apply_mixture(
         .filter(draw < F.floor(F.col("rate") * F.lit(float(_SPACE))))
         .drop("rate")
     )
+
+
+def temperature_rates(
+    df: DataFrame, group_col: str, temperature: float
+) -> "list[tuple]":
+    """X86 — temperature-based resampling rates (the multilingual
+    rebalancing formula, XLM-R α-convention: sampling probability ∝
+    share^α, α in (0, 1] — α=1 is the natural mix, α→0 approaches
+    uniform).
+
+    Downsample-only normalization: ``rate_g = w_g / max_h w_h`` with
+    ``w_g = (n_g / N)^(α − 1)`` — the SMALLEST group keeps rate 1.0 and
+    the head languages are thinned toward the tempered mix (no
+    upsampling). max() is order-independent, so the arithmetic is
+    reproducible (a Σ-normalization would depend on float summation
+    order across groups — deliberately avoided).
+
+    The powered weights are computed DRIVER-side from the collected group
+    counts (groups-sized — the BM25 corpus-stat convention) with C-libm
+    ``math.pow``, the same libm DuckDB's POWER binds — JVM ``Math.pow``
+    is only 1-ulp-accurate and never evaluates here.
+
+    Returns ``[(group, n_rows, rate), ...]`` sorted by group.
+    """
+    import math
+
+    if not 0.0 < temperature <= 1.0:
+        raise ValueError(f"alpha/temperature must be in (0, 1], got {temperature}")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not counts:
+        raise ValueError("empty input")
+    total = sum(counts.values())
+    expo = temperature - 1.0
+    w = {g: math.pow(n / total, expo) for g, n in counts.items()}
+    mw = max(w.values())
+    return [(g, counts[g], w[g] / mw) for g in sorted(counts)]
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    key_cols: Sequence[str],
+    temperature: float,
+    salt: str = "temp",
+) -> DataFrame:
+    """X86 — apply :func:`temperature_rates` with the deterministic
+    content-hash draw: broadcast the groups-sized literal rate table, keep
+    a row iff its 8-hex-char md5 draw falls under the group's threshold
+    string (``printf('%08x', floor(rate * 16^8))`` — fixed-width hex
+    compares bytewise identically on any engine). One map-only filter
+    after a broadcast join; the corpus never shuffles.
+    """
+    from dbms_data_anonymity_differential_privacy_spark.operators.sampling import (
+        _SPACE,
+        _hash_hex,
+    )
+
+    rates = temperature_rates(df, group_col, temperature)
+    spark = df.sparkSession
+    rates_df = spark.createDataFrame(
+        [(g, float(r)) for g, _, r in rates], f"{group_col} string, __rate double"
+    )
+    hh = _hash_hex(key_cols, salt)
+    thr = F.format_string(
+        "%08x", F.floor(F.col("__rate") * F.lit(float(_SPACE))).cast("long")
+    )
+    keep = (F.col("__rate") >= 1.0) | (hh < thr)
+    return df.join(F.broadcast(rates_df), group_col).filter(keep).drop("__rate")

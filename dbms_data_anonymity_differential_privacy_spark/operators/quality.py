@@ -168,3 +168,69 @@ def gopher_quality_sql(table: str = "documents", text_col: str = "text",
        AND n_stopwords >= {th["min_stopwords"]}) AS pass_gopher
     FROM q
     """
+
+
+def domain_quality_report(
+    df: DataFrame,
+    domain_col: str = "source",
+    min_pass_rate: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    thresholds: dict | None = None,
+) -> DataFrame:
+    """X85 — domain-level quality rollup (the CCNet/C4 blocklist step):
+    per-domain doc count, Gopher pass count/rate, token volume, and a
+    ``domain_pass`` verdict (pass rate >= ``min_pass_rate``). Individual
+    doc gates miss systematically-bad domains whose docs each sit just
+    above threshold — curation pipelines drop WHOLE domains whose
+    aggregate quality is poor.
+
+    Physical shape: the per-row stats are the same map-only Gopher folds;
+    the rollup shuffles only (domain, partials) — at 100 TB the report is
+    domains-sized (thousands of rows), broadcast-consumable by
+    :func:`domain_gate`.
+
+    Output: ``(domain_col, n_docs, n_pass, total_tokens, pass_rate_r,
+    domain_pass)``.
+    """
+    g = gopher_quality(
+        df, text_col, id_col, keep_cols=(domain_col,), thresholds=thresholds
+    )
+    agg = g.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("pass_gopher").cast("long")).alias("n_pass"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    rate = F.col("n_pass").cast("double") / F.col("n_docs").cast("double")
+    return agg.select(
+        domain_col,
+        "n_docs",
+        "n_pass",
+        "total_tokens",
+        F.round(rate, 9).alias("pass_rate_r"),
+        (rate >= F.lit(min_pass_rate)).alias("domain_pass"),
+    )
+
+
+def domain_gate(
+    df: DataFrame,
+    report: DataFrame | None = None,
+    domain_col: str = "source",
+    min_pass_rate: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    thresholds: dict | None = None,
+) -> DataFrame:
+    """X85 — keep only documents from domains whose aggregate quality
+    passes (:func:`domain_quality_report`): one broadcast left-semi join
+    on the domains-sized verdict relation — the 100 TB corpus never
+    shuffles. Pass a precomputed ``report`` to reuse a cached rollup."""
+    rep = (
+        report
+        if report is not None
+        else domain_quality_report(
+            df, domain_col, min_pass_rate, text_col, id_col, thresholds
+        )
+    )
+    good = rep.filter(F.col("domain_pass")).select(domain_col)
+    return df.join(F.broadcast(good), on=domain_col, how="left_semi")

@@ -216,3 +216,46 @@ def weighted_sample_n(
         .orderBy(*order)
         .limit(int(n))
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    key_cols: Sequence[str],
+    splits: Sequence[tuple[str, float]],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """X84 — EXACT per-stratum proportional split: within each stratum,
+    rows are totally ordered by (key hash, key) and the first
+    ``floor(cum_frac * n)`` positions go to successive splits — so every
+    stratum (language, source, label) lands exactly its quota in every
+    split. :func:`hash_split` is proportional only in expectation (fine
+    corpus-wide, off by whole rows for small strata — a 30-doc language
+    can lose its val set entirely); this is the exact-quota contract
+    eval-set construction needs.
+
+    Deterministic across runs/engines/layouts (hash order, key tiebreak).
+    One shuffle: the per-stratum window. At 100 TB a stratum ranks on one
+    task — same caveat and same pre-filter remedy as
+    :func:`stratified_sample_n`. When the fractions sum to 1 every row is
+    assigned; any remainder (sum < 1) gets NULL.
+    """
+    fracs = [f for _, f in splits]
+    if any(f < 0 for f in fracs) or sum(fracs) > 1.0 + 1e-9:
+        raise ValueError(f"split fractions must be >= 0 and sum to <= 1, got {fracs}")
+    h = _hash_hex(key_cols, salt)
+    w = Window.partitionBy(*strata_cols).orderBy(
+        h, *[F.col(c) for c in key_cols]
+    )
+    w_n = Window.partitionBy(*strata_cols)
+    pos = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(w_n)
+    expr: Column | None = None
+    cum = 0.0
+    for label, frac in splits:
+        cum += frac
+        cond = pos <= F.floor(n * F.lit(cum))
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    assert expr is not None
+    return df.withColumn(split_col, expr)

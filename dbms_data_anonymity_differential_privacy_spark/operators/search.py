@@ -102,8 +102,108 @@ def bm25_topk(
         )
         score = score + F.lit(idf) * part
 
-    any_hit = F.greatest(*[F.col(f"__tf_{i}") for i in range(len(terms))]) > 0
+    hit_cols = [F.col(f"__tf_{i}") for i in range(len(terms))]
+    any_hit = (hit_cols[0] if len(hit_cols) == 1 else F.greatest(*hit_cols)) > 0
     scored = base.filter(any_hit).select(
         F.col(id_col), F.round(score, 6).alias("score")
     )
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def bm25_topk_many(
+    df: DataFrame,
+    queries: "dict[int, Sequence[str]]",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X83 — batched BM25 retrieval: top-``k`` documents for EVERY query
+    in one corpus scan — the lexical sibling of the embedding k-NN join
+    (x81), and the shape topical-filtering sweeps actually run ("score
+    this 100 TB corpus against these 200 topic queries").
+
+    One map-only scan computes per-doc tf for the DISTINCT term union;
+    corpus stats (N, Σdl, per-term df) are the same two metadata-sized
+    aggregates as :func:`bm25_topk`; each query's score is a fixed
+    left-associative sum over its own terms (idf literals, C-libm log).
+    Per-doc emission is an exploded array of (query, score) structs
+    FILTERED to queries the doc hits before any shuffle, and the
+    per-query rank<=k runs as a map-side WindowGroupLimit partial — so
+    the single exchange carries <= k rows per query per partition.
+
+    Output: ``(query_id, id_col, score, rnk)``, rnk in [1, k].
+    """
+    from pyspark.sql import Window
+
+    if not queries:
+        raise ValueError("need at least one query")
+    for qid, terms in queries.items():
+        if not terms:
+            raise ValueError(f"query {qid} has no terms")
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    t_idx = {t: i for i, t in enumerate(all_terms)}
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    base = fan_out(df).select(F.col(id_col), toks.alias("__toks"))
+
+    def _tf(term: str):
+        return F.size(F.filter(F.col("__toks"), lambda t: t == F.lit(term)))
+
+    base = base.select(
+        F.col(id_col),
+        F.size("__toks").alias("__dl"),
+        *[_tf(t).alias(f"__tf_{i}") for t, i in t_idx.items()],
+    ).persist()
+
+    s = base.agg(F.count(F.lit(1)).alias("n"), F.sum("__dl").alias("sum_dl")).first()
+    n_docs = int(s["n"])
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+    avgdl = int(s["sum_dl"]) / n_docs
+    dfr = base.agg(
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(all_terms))
+        ]
+    ).first()
+    idfs = [
+        math.log((n_docs - int(dfr[f"df_{i}"]) + 0.5) / (int(dfr[f"df_{i}"]) + 0.5) + 1.0)
+        for i in range(len(all_terms))
+    ]
+
+    def q_score(terms: Sequence[str]):
+        score = F.lit(0.0)
+        for t in terms:
+            i = t_idx[t]
+            tf = F.col(f"__tf_{i}")
+            part = (tf * F.lit(k1 + 1.0)) / (
+                tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.lit(avgdl))
+            )
+            score = score + F.lit(idfs[i]) * part
+        return F.round(score, 6)
+
+    def q_hit(terms: Sequence[str]):
+        cols = [F.col(f"__tf_{t_idx[t]}") for t in terms]
+        return (cols[0] if len(cols) == 1 else F.greatest(*cols)) > 0
+
+    per_q = F.array(
+        *[
+            F.struct(
+                F.lit(int(qid)).alias("query_id"),
+                q_score(terms).alias("score"),
+                q_hit(terms).alias("hit"),
+            )
+            for qid, terms in sorted(queries.items())
+        ]
+    )
+    scored = (
+        base.select(F.col(id_col), F.explode(per_q).alias("q"))
+        .filter(F.col("q.hit"))
+        .select(F.col("q.query_id").alias("query_id"), id_col, F.col("q.score").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

@@ -2348,7 +2348,70 @@ def _bm25_oracle_sql(terms: list[str], k: int, k1: float, b: float) -> str:
     """
 
 
+def _bm25_many_oracle_sql(
+    queries: dict[int, list[str]], k: int, k1: float, b: float
+) -> str:
+    """DuckDB twin of operators/search.bm25_topk_many: same distinct-term
+    tf columns, same two corpus-stat CTEs, one UNION ALL branch per query
+    (score = left-associative sum in the QUERY's term order, matching the
+    engine's expression construction), per-query ROW_NUMBER cap."""
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    t_idx = {t: i for i, t in enumerate(all_terms)}
+    tf_cols = ",\n                 ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}" for t, i in t_idx.items()
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(all_terms))
+    )
+    idf = lambda i: f"ln((s.n - f.df{i} + 0.5) / (f.df{i} + 0.5) + 1.0)"  # noqa: E731
+    part = (
+        lambda i: f"(tf{i} * ({k1} + 1.0)) / "
+        f"(tf{i} + {k1} * ((1.0 - {b}) + {b} * dl / s.avgdl))"
+    )  # noqa: E731
+    branches = []
+    for qid, terms in sorted(queries.items()):
+        score = " + ".join(f"{idf(t_idx[t])} * {part(t_idx[t])}" for t in terms)
+        hit = " OR ".join(f"tf{t_idx[t]} > 0" for t in terms)
+        branches.append(
+            f"SELECT CAST({qid} AS INTEGER) AS query_id, doc_id,\n"
+            f"       ROUND({score}, 6) AS score\n"
+            f"FROM d CROSS JOIN s CROSS JOIN f WHERE {hit}"
+        )
+    union = "\n    UNION ALL\n    ".join(branches)
+    return f"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    d AS (SELECT doc_id, len(toks) AS dl,
+                 {tf_cols}
+          FROM t),
+    s AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM d),
+    f AS (SELECT {df_cols} FROM d),
+    scored AS ({union}),
+    r AS (SELECT query_id, doc_id, score,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+          FROM scored)
+    SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= {k}
+    """
+
+
 _BM25_TERMS = ["hash", "join", "vector"]
+_BM25_QUERIES = {1: ["hash", "join"], 2: ["vector", "scan"], 3: ["filter"]}
+
+
+@query("x83_bm25_many", _bm25_many_oracle_sql(_BM25_QUERIES, k=8, k1=1.2, b=0.75))
+def x83_bm25_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X83 — batched BM25 retrieval (operators/search.py bm25_topk_many):
+    every query scored in ONE map-only corpus scan, per-query top-k via
+    map-side WindowGroupLimit — the lexical sibling of the x81 k-NN
+    join."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.search import bm25_topk_many
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk_many(docs, _BM25_QUERIES, k=8)
 
 
 @query("x20_bm25_search", _bm25_oracle_sql(_BM25_TERMS, k=10, k1=1.2, b=0.75))
@@ -4764,6 +4827,152 @@ def x80_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X86 — temperature resampling (operators/mixing.py temperature_sample):
+# the multilingual rebalancing step (XLM-R α-convention: p ∝ share^α, so
+# rate ∝ share^(α−1) with downsample-only max-normalization — the
+# smallest language keeps rate 1, heads are thinned; max() is
+# order-independent, unlike a Σ-normalization). The powered weights use
+# C-libm pow on both sides: driver-side math.pow for the Spark literals,
+# POWER() in the DuckDB twin (the x20 ln convention); the keep predicate
+# is the fixed-width printf('%08x') hex-threshold compare, portable
+# bytewise.
+# --------------------------------------------------------------------------
+@query(
+    "x86_temperature_sample",
+    """
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+    tot AS (SELECT SUM(n) AS total FROM c),
+    w AS (SELECT lang, POWER(CAST(n AS DOUBLE) / total, 0.7 - 1.0) AS wgt
+          FROM c CROSS JOIN tot),
+    m AS (SELECT MAX(wgt) AS mw FROM w),
+    r AS (SELECT lang, wgt / m.mw AS rate FROM w CROSS JOIN m)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN r USING (lang)
+    WHERE r.rate >= 1.0
+       OR substring(md5(CAST(d.doc_id AS VARCHAR) || '|' || 'temp'), 1, 8)
+          < printf('%08x', CAST(FLOOR(r.rate * 4294967296.0) AS BIGINT))
+    """,
+)
+def x86_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tempered (α=0.7) per-language resample of the corpus: the
+    smallest language keeps rate 1, head languages are thinned — the
+    distribution flattens toward the α-tempered mix without
+    upsampling."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.mixing import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_sample(docs, "lang", ["doc_id"], temperature=0.7).select(
+        "doc_id", "lang", "source"
+    )
+
+
+# --------------------------------------------------------------------------
+# X85 — domain-level quality gating (operators/quality.py): per-domain
+# Gopher pass-rate rollup + blocklist verdict, the CCNet/C4 drop-bad-
+# domains step. Report oracle reuses the generated Gopher twin; the gate
+# query returns the kept corpus (broadcast semi-join, fact never
+# shuffles).
+# --------------------------------------------------------------------------
+def _x85_report_sql() -> str:
+    from dbms_data_anonymity_differential_privacy_spark.operators.quality import gopher_quality_sql
+
+    gq = gopher_quality_sql("documents", thresholds=_GOPHER_TUNING)
+    return f"""
+    WITH g AS ({gq})
+    SELECT d.source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN g.pass_gopher THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(g.n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(CASE WHEN g.pass_gopher THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 9) AS pass_rate_r,
+           (CAST(SUM(CASE WHEN g.pass_gopher THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) >= 0.5) AS domain_pass
+    FROM g JOIN documents d USING (doc_id)
+    GROUP BY 1
+    """
+
+
+@query("x85_domain_quality", _x85_report_sql())
+def x85_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain Gopher rollup + blocklist verdict."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.quality import (
+        domain_quality_report,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_quality_report(docs, min_pass_rate=0.5, thresholds=_GOPHER_TUNING)
+
+
+def _x85_gate_sql() -> str:
+    from dbms_data_anonymity_differential_privacy_spark.operators.quality import gopher_quality_sql
+
+    gq = gopher_quality_sql("documents", thresholds=_GOPHER_TUNING)
+    return f"""
+    WITH g AS ({gq}),
+    rep AS (SELECT d.source,
+                   (CAST(SUM(CASE WHEN g.pass_gopher THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*) >= 0.5) AS domain_pass
+            FROM g JOIN documents d USING (doc_id) GROUP BY 1)
+    SELECT documents.* FROM documents
+    SEMI JOIN (SELECT source FROM rep WHERE domain_pass) USING (source)
+    """
+
+
+@query("x85_domain_gate", _x85_gate_sql())
+def x85_domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kept corpus after dropping below-rate domains — one broadcast
+    semi-join on the domains-sized verdict relation."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.quality import domain_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_gate(docs, min_pass_rate=0.5, thresholds=_GOPHER_TUNING).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+# --------------------------------------------------------------------------
+# X84 — exact per-stratum proportional split (operators/sampling.py
+# stratified_split): hash_split is proportional only in expectation; this
+# ranks each stratum by (md5 hash, key) and cuts at floor(cum_frac * n).
+# The oracle embeds the SAME accumulated cum-fraction doubles (repr'd from
+# the identical Python accumulation) so the floor boundaries are
+# bit-identical across engines.
+# --------------------------------------------------------------------------
+_X84_SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
+def _x84_oracle_sql(splits: list[tuple[str, float]], salt: str = "sp") -> str:
+    case = []
+    cum = 0.0
+    for label, frac in splits:
+        cum += frac
+        case.append(f"WHEN pos <= FLOOR(n * {cum!r}) THEN '{label}'")
+    cases = " ".join(case)
+    return f"""
+    WITH h AS (SELECT doc_id, lang,
+                      substring(md5(CAST(doc_id AS VARCHAR) || '|' || '{salt}'), 1, 8) AS hh
+               FROM documents),
+    r AS (SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS pos,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM h)
+    SELECT doc_id, lang, CASE {cases} END AS split FROM r
+    """
+
+
+@query("x84_stratified_split", _x84_oracle_sql(_X84_SPLITS))
+def x84_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 80/10/10 per-language split of the corpus — every language
+    gets exactly floor(n*cum) rows per boundary, deterministic under any
+    partitioning."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.sampling import stratified_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_split(
+        docs, ["lang"], ["doc_id"], _X84_SPLITS, salt="sp"
+    ).select("doc_id", "lang", "split")
+
+
+# --------------------------------------------------------------------------
 # X82 — quality-aware corpus dedup (operators/dedup.py policy='best'):
 # the survivor of each near-dup connected component is the doc maximizing
 # a quality score (here n_chars — keep the LONGEST variant, the
@@ -4923,16 +5132,28 @@ _WINDOW_R5 = [
     "x41_pairs_exact",
     "x81_knn_join",
     "x82_quality_dedup",
+    # x02_dedup_exact's rep slot -> x83 (x02 family fully r1-r3
+    # ledger-green; the dedup idiom stays in-window via x82/x03)
+    "x83_bm25_many",
+    # x03_ngram_jaccard's rep slot -> x84 (x03 family ledger-green; the
+    # jaccard pair stage stays in-window INSIDE x82_quality_dedup)
+    "x84_stratified_split",
+    # x05_text_stats' rep slot -> x85 report (text folds stay in-window
+    # via x83 BM25); c04_class_emd's rep slot -> x85 gate (c04 family
+    # ledger-green; its counts-relation algebra is in-window via
+    # x51_beta_likeness)
+    "x85_domain_quality",
+    "x85_domain_gate",
+    # x01_dp_count_exact's rep slot -> x86 (X1 family fully ledger-green;
+    # the pre-noise DP-exact idiom stays in-window via x46/x56/x68/x73)
+    "x86_temperature_sample",
     # --- component representatives (every one already driver-green; they
-    # --- keep each SURVEY family exercised inside the live window) ---
+    # --- keep each SURVEY family exercised inside the live window; x04's
+    # --- topm re-enters deliberately after this round's threshold-hoist
+    # --- perf fix) ---
     "p01_scan",
     "c01_k_anonymize_suppress",
-    "c04_class_emd",
-    "x01_dp_count_exact",
-    "x02_dedup_exact",
-    "x03_ngram_jaccard",
     "x04_cosine_pairs_topm",
-    "x05_text_stats",
     "x06_kanon_gate",
 ]
 

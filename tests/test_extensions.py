@@ -1660,3 +1660,32 @@ def test_dedup_corpus_best_keeps_highest_score(spark):
 
     with pytest.raises(ValueError, match="score_col"):
         dedup_corpus(docs, pairs, policy="best")
+
+
+def test_bm25_many_matches_per_query_singles(spark, sf0001):
+    """x83: the batched ranker must reproduce each query's single-query
+    bm25_topk ranking exactly (same scores, same tie order), including a
+    single-term query."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.search import (
+        bm25_topk,
+        bm25_topk_many,
+    )
+
+    docs = load_table(spark, sf0001, "documents")
+    queries = {7: ["hash", "join"], 9: ["vector"], 11: ["scan", "filter", "merge"]}
+    batched = {}
+    for r in bm25_topk_many(docs, queries, k=6).collect():
+        batched.setdefault(r.query_id, []).append((r.rnk, r.doc_id, r.score))
+    for qid, terms in queries.items():
+        single = [
+            (i + 1, r.doc_id, r.score)
+            for i, r in enumerate(bm25_topk(docs, terms, k=6).collect())
+        ]
+        assert sorted(batched[qid]) == single, f"query {qid} diverged"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one query"):
+        bm25_topk_many(docs, {}, k=3)
+    with pytest.raises(ValueError, match="no terms"):
+        bm25_topk_many(docs, {1: []}, k=3)

@@ -5,6 +5,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from dbms_data_anonymity_differential_privacy_spark import load_table
 from dbms_data_anonymity_differential_privacy_spark.operators.mixing import (
     apply_mixture,
     mixture_rates,
@@ -78,3 +79,47 @@ def test_apply_mixture_drops_untargeted(spark):
     )
     out = apply_mixture(df, "lang", TARGET, key_cols=["doc_id"])
     assert out.filter(F.col("lang") == "xx").count() == 0
+
+
+def test_temperature_rates_direction_and_sample(spark, sf0001):
+    """x86: alpha < 1 thins the head group (rate < 1) and keeps the
+    smallest group whole (rate == 1); alpha == 1 is the identity mix;
+    realized per-group keeps track rate*n within hash quantization; the
+    sample is layout-independent."""
+    import math
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.mixing import (
+        temperature_rates,
+        temperature_sample,
+    )
+
+    docs = load_table(spark, sf0001, "documents")
+    rates = temperature_rates(docs, "lang", 0.7)
+    by_g = {g: (n, r) for g, n, r in rates}
+    n_min_g = min(by_g, key=lambda g: by_g[g][0])
+    n_max_g = max(by_g, key=lambda g: by_g[g][0])
+    assert by_g[n_min_g][1] == 1.0
+    assert by_g[n_max_g][1] < 1.0
+    # alpha=1: natural mix, every rate exactly 1
+    assert all(r == 1.0 for _, _, r in temperature_rates(docs, "lang", 1.0))
+
+    kept = temperature_sample(docs, "lang", ["doc_id"], 0.7).collect()
+    from collections import Counter
+
+    got = Counter(r.lang for r in kept)
+    for g, (n, r) in by_g.items():
+        expect = r * n
+        assert abs(got[g] - expect) <= 4 * math.sqrt(n) + 1, (g, got[g], expect)
+
+    re_kept = {
+        r.doc_id
+        for r in temperature_sample(
+            docs.repartition(13), "lang", ["doc_id"], 0.7
+        ).collect()
+    }
+    assert re_kept == {r.doc_id for r in kept}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        temperature_rates(docs, "lang", 0.0)

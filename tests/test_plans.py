@@ -331,3 +331,17 @@ def test_knn_join_corpus_never_shuffles(plans):
     assert re.search(r"WindowGroupLimit.*Partial", p)
     # the only hashpartitioning exchange is the slim (id_q) window input
     assert len(re.findall(r"Exchange hashpartitioning", p)) <= 1
+
+
+def test_bm25_many_single_scan_partial_window_limit(plans):
+    """x83: batched BM25 scores every query off ONE shared tf relation
+    (the persisted base appears as an InMemoryTableScan — explain prints
+    the cached child's FileScan twice, so scan-count is not the gate),
+    with no Python, and the per-query rank<=k runs as a map-side
+    WindowGroupLimit Partial; the only hash exchange is the slim
+    (query_id) window input."""
+    p = plans["x83_bm25_many"]
+    assert "InMemoryTableScan" in p  # scoring reads the shared tf relation
+    assert "pythonUDF" not in p
+    assert re.search(r"WindowGroupLimit.*Partial", p)
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1

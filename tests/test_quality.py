@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from dbms_data_anonymity_differential_privacy_spark import load_table
 from dbms_data_anonymity_differential_privacy_spark.operators import quality as Q
 from dbms_data_anonymity_differential_privacy_spark.operators.quality import gopher_quality
 
@@ -56,3 +57,30 @@ def test_empty_and_degenerate_inputs(spark):
         assert out[i]["pass_gopher"] is False
     assert out[1]["n_tokens"] == 0
     assert out[1]["mean_word_len"] == 0.0
+
+
+def test_domain_quality_report_and_gate_consistency(spark, sf0001):
+    """x85: pass rate arithmetic is exact; the gate keeps exactly the
+    docs of passing domains; a precomputed report is honored."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.quality import (
+        domain_gate,
+        domain_quality_report,
+    )
+
+    docs = load_table(spark, sf0001, "documents")
+    rep = domain_quality_report(docs, min_pass_rate=0.5, thresholds={"min_stopwords": 1})
+    rows = rep.collect()
+    assert all(abs(r.pass_rate_r - r.n_pass / r.n_docs) < 1e-9 for r in rows)
+    assert all(r.domain_pass == (r.n_pass / r.n_docs >= 0.5) for r in rows)
+
+    good = {r.source for r in rows if r.domain_pass}
+    kept = domain_gate(
+        docs, min_pass_rate=0.5, thresholds={"min_stopwords": 1}
+    ).collect()
+    assert {r.source for r in kept} == good
+    n_by_domain = {r.source: r.n_docs for r in rows}
+    assert len(kept) == sum(n_by_domain[s] for s in good)
+
+    # precomputed report short-circuits recomputation and gives same result
+    kept2 = domain_gate(docs, report=rep).collect()
+    assert {r.doc_id for r in kept2} == {r.doc_id for r in kept}

@@ -107,3 +107,44 @@ def test_stratified_sample_exact_quota(spark, sf001):
         o.repartition(17), ["o_orderpriority"], ["o_orderkey"], 7, salt="t"
     )
     assert {tuple(r) for r in again.collect()} == {tuple(r) for r in got.collect()}
+
+
+def test_stratified_split_exact_quotas_and_layout_independence(spark, sf0001):
+    """x84: every stratum gets exactly floor(n*cum) rows per boundary;
+    assignment is identical under a different partition layout; fractions
+    summing to 1 assign every row."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.sampling import stratified_split
+
+    docs = load_table(spark, sf0001, "documents")
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    out = stratified_split(docs, ["lang"], ["doc_id"], splits, salt="t").select(
+        "doc_id", "lang", "split"
+    )
+    rows = out.collect()
+    assert all(r.split is not None for r in rows)
+
+    from collections import Counter
+
+    n_by_lang = Counter(r.lang for r in rows)
+    got = Counter((r.lang, r.split) for r in rows)
+    import math
+
+    for lang, n in n_by_lang.items():
+        b1 = math.floor(n * 0.8)
+        b2 = math.floor(n * (0.8 + 0.1))
+        assert got[(lang, "train")] == b1
+        assert got[(lang, "val")] == b2 - b1
+        assert got[(lang, "test")] == n - b2
+
+    re_rows = {
+        r.doc_id: r.split
+        for r in stratified_split(
+            docs.repartition(7, "doc_id"), ["lang"], ["doc_id"], splits, salt="t"
+        ).collect()
+    }
+    assert re_rows == {r.doc_id: r.split for r in rows}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to <= 1"):
+        stratified_split(docs, ["lang"], ["doc_id"], [("a", 0.9), ("b", 0.2)])
