@@ -119,6 +119,9 @@ HEADLINE = [
     "x85_domain_quality",
     "x85_domain_gate",
     "x86_temperature_sample",
+    "x87_rolling_anomaly",
+    "x88_cusum",
+    "x89_set_union_exact",
     "x81_knn_join_arrow",
     "x64_mutual_information",
     "pipe_event_analytics",

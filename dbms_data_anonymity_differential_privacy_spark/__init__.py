@@ -159,7 +159,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import 
     quantize_embeddings,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.sampling import assign_shards
-from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_count_distinct_users
+from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_count_distinct_users, dp_set_union, dp_set_union_exact
 from dbms_data_anonymity_differential_privacy_spark.operators.sketch import (
     bottomk_sample,
     heavy_hitters,
@@ -213,6 +213,8 @@ from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
     time_to_event,
     top_k_per_group,
     transition_matrix,
+    rolling_anomaly,
+    cusum_changepoints,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_covariance
 from dbms_data_anonymity_differential_privacy_spark.streaming.funnel import funnel_stateful
@@ -326,6 +328,8 @@ __all__ = [
     "label_centroids",
     "assign_shards",
     "dp_count_distinct_users",
+    "dp_set_union",
+    "dp_set_union_exact",
     "heavy_hitters",
     "snapshot_diff",
     "snapshot_diff_summary",
@@ -367,4 +371,6 @@ __all__ = [
     "kaplan_meier",
     "time_to_event",
     "mann_whitney_u",
+    "cusum_changepoints",
+    "rolling_anomaly",
 ]

@@ -1238,3 +1238,109 @@ def dp_range_counts(
         df.sparkSession, noisy, ranges, n_buckets, n_levels, "node_dp"
     )
     return out.select("range_id", "lo", "hi", F.col("__range").alias("range_dp"))
+
+
+def dp_set_union(
+    df: DataFrame,
+    item_col: str,
+    user_col: str,
+    epsilon: float,
+    delta: float,
+    max_items: int = 1,
+    seed: int = 42,
+    budget: "PrivacyBudget | None" = None,
+    release: str | None = None,
+) -> DataFrame:
+    """X89 — differentially private set union (the vocabulary-release
+    problem: publish the set of items — tokens, URLs, n-grams — observed
+    across users without revealing any one user's contribution; Gopi et
+    al. ICML 2020 frame it, this implements the classic stability-based
+    Laplace-threshold baseline they build on, Korolova et al. WWW 2009):
+
+    1. collapse to distinct (user, item) pairs;
+    2. cap each user at ``max_items`` contributions, chosen by the
+       portable md5(user|item) ranking (data-independent, layout-
+       independent — the x46 convention), giving sensitivity Δ =
+       ``max_items``;
+    3. noisy support = capped count + Laplace(Δ/ε), deterministic per
+       item key;
+    4. release items whose noisy support clears the stability threshold
+       ``ρ = Δ + (Δ/ε)·ln(Δ/(2δ))`` — (ε, δ)-DP because an absent item
+       has support ≤ Δ and clears ρ with probability ≤ δ/Δ per affected
+       item.
+
+    Output: ``(item, n_exact, n_dp)`` for released items. The pre-noise
+    capped-support relation with the EXACT-count threshold is the
+    oracle-checkable core (x89_set_union_exact); the noisy release is
+    rows-only by design.
+
+    Physical shape: one distinct-pair partial-agg shuffle (slim pairs,
+    never fact rows), one bounded per-user window, one item count agg —
+    the x46 pipeline with an item-side release rule.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    if not 0 < delta < 1:
+        raise ValueError("delta must be in (0, 1)")
+    if max_items < 1:
+        raise ValueError("max_items must be >= 1")
+    scale = max_items / epsilon
+    rho = max_items + scale * math.log(max_items / (2.0 * delta))
+    salt = _release_salt("setunion", release, budget)
+    if budget is not None:
+        budget.spend(epsilon, f"dp_set_union:{item_col}@D{max_items}", delta=delta)
+    pairs = df.select(user_col, item_col).distinct()
+    rank_key = F.md5(
+        F.concat_ws(
+            "|", F.col(user_col).cast("string"), F.col(item_col).cast("string")
+        ).cast("binary")
+    )
+    w = Window.partitionBy(user_col).orderBy(rank_key)
+    bounded = (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.lit(max_items))
+        .drop("__rn")
+    )
+    agg = bounded.groupBy(item_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    noisy = agg.withColumn(
+        "n_dp", F.col("n_exact") + laplace_noise([item_col], scale, seed, salt)
+    )
+    return noisy.filter(F.col("n_dp") >= F.lit(rho)).select(item_col, "n_exact", "n_dp")
+
+
+def dp_set_union_exact(
+    df: DataFrame,
+    item_col: str,
+    user_col: str,
+    epsilon: float,
+    delta: float,
+    max_items: int = 1,
+) -> DataFrame:
+    """Pre-noise core of :func:`dp_set_union`: the capped support
+    relation thresholded on EXACT counts with the same ρ literal —
+    deterministic, hash-checkable against a DuckDB twin (the X1 *_exact
+    convention). NOT a DP release (no noise); exists for verification."""
+    import math
+
+    from pyspark.sql import Window
+
+    scale = max_items / epsilon
+    rho = max_items + scale * math.log(max_items / (2.0 * delta))
+    pairs = df.select(user_col, item_col).distinct()
+    rank_key = F.md5(
+        F.concat_ws(
+            "|", F.col(user_col).cast("string"), F.col(item_col).cast("string")
+        ).cast("binary")
+    )
+    w = Window.partitionBy(user_col).orderBy(rank_key)
+    bounded = (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.lit(max_items))
+        .drop("__rn")
+    )
+    agg = bounded.groupBy(item_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    return agg.filter(F.col("n_exact") >= F.lit(rho))

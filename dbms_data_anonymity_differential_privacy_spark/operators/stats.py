@@ -706,3 +706,139 @@ def mann_whitney_u(
         F.round("__u", 9).alias("u_a_r"),
         F.round(z, 9).alias("z_r"),
     )
+
+
+def rolling_anomaly(
+    events: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str = "ts",
+    bucket: str = "1 hour",
+    window: int = 24,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """X87 — rolling z-score anomaly detection on event rates: bucket the
+    stream per (group, time bucket), then score each bucket's count
+    against the trailing ``window`` buckets' mean/std — the standard
+    rate-spike/drop monitor.
+
+    Exactness by construction: the trailing mean and variance derive
+    from INTEGER window sums (Σx, Σx², count — exact in BIGINT), so
+    ``var = (W·Σx² − (Σx)²) / (W·(W−1))`` is one integer expression and
+    one division — bit-reproducible across engines, with none of the
+    merge-order drift a native ``stddev_samp`` accumulator has. Scores
+    only appear once the trailing window is FULL (count == window), so
+    the warm-up period never emits half-baked flags.
+
+    Shape: one (group, bucket) count aggregation, then windows over the
+    buckets-sized relation — fact rows shuffle zero times beyond the
+    count agg. Buckets are dense per group's observed span? No — only
+    observed buckets appear; compose with ``gapfill`` (x52) first when
+    silence itself is the anomaly (a dropped-to-zero feed emits no rows
+    to score).
+
+    Output: ``(*group_cols, bucket_start, n, mean_r, z_r, is_anomaly)``
+    for scoreable buckets, ordered within each group by time.
+    """
+    from pyspark.sql import Window
+
+    b = F.window(F.col(ts_col), bucket).start.alias("bucket_start")
+    counts = events.groupBy(*group_cols, b).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy("bucket_start")
+        .rowsBetween(-window, -1)
+    )
+    wsum = F.sum("n").over(w)
+    wsq = F.sum(F.col("n") * F.col("n")).over(w)
+    wcnt = F.count("n").over(w)
+    wlit = F.lit(window)
+    mean = wsum.cast("double") / wlit.cast("double")
+    var = (wlit * wsq - wsum * wsum).cast("double") / F.lit(float(window * (window - 1)))
+    z = F.when(var > 0, (F.col("n").cast("double") - mean) / F.sqrt(var))
+    staged = counts.select(
+        *group_cols,
+        "bucket_start",
+        "n",
+        wcnt.alias("__wcnt"),
+        F.round(mean, ROUND_DP).alias("mean_r"),
+        F.round(z, ROUND_DP).alias("z_r"),
+    )
+    return staged.filter(F.col("__wcnt") == window).select(
+        *group_cols,
+        "bucket_start",
+        "n",
+        "mean_r",
+        "z_r",
+        (F.abs(F.col("z_r")) >= F.lit(z_threshold)).alias("is_anomaly"),
+    )
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str = "ts",
+    bucket: str = "1 hour",
+    drift: int = 0,
+    threshold: float = 20.0,
+) -> DataFrame:
+    """X88 — one-sided CUSUM change detection on bucketed event counts
+    (Page 1954): the classic sequential drift detector for "did this
+    feed's level shift?".
+
+    The textbook recursion ``S_t = max(0, S_{t−1} + (x_t − k))`` is not
+    window-expressible, but has the exact closed form
+    ``S_t = C_t − min_{i≤t} C_i`` with ``C_t = Σ_{i≤t}(x_i − k)`` — a
+    window cumsum plus a running min, both order-deterministic, so the
+    whole detector is two window passes over the buckets-sized count
+    relation (the x79 exp-sum-log trick's integer cousin: with integer
+    counts and integer ``drift`` the cumsums stay in BIGINT, exact).
+    The symmetric downward statistic uses the same form on ``−x``.
+
+    Output: ``(*group_cols, bucket_start, n, s_pos, s_neg, is_change)``
+    — ``s_pos``/``s_neg`` are the upward/downward CUSUM statistics;
+    ``is_change`` flags buckets where either exceeds ``threshold``.
+    """
+    from pyspark.sql import Window
+
+    if drift != int(drift):
+        raise ValueError("drift must be an integer (counts domain)")
+    b = F.window(F.col(ts_col), bucket).start.alias("bucket_start")
+    counts = events.groupBy(*group_cols, b).agg(F.count(F.lit(1)).alias("n"))
+    w_cum = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # both sides share the reference level k = drift: S+ accumulates
+    # (x − k) excess, S− accumulates (k − x) deficit
+    c_pos = F.sum(F.col("n") - F.lit(int(drift))).over(w_cum)
+    c_neg = F.sum(F.lit(int(drift)) - F.col("n")).over(w_cum)
+    staged = counts.select(
+        *group_cols,
+        "bucket_start",
+        "n",
+        c_pos.alias("__cp"),
+        c_neg.alias("__cn"),
+    )
+    s_pos = F.col("__cp") - F.min(F.least(F.col("__cp"), F.lit(0).cast("long"))).over(w_cum)
+    s_neg = F.col("__cn") - F.min(F.least(F.col("__cn"), F.lit(0).cast("long"))).over(w_cum)
+    out = staged.select(
+        *group_cols,
+        "bucket_start",
+        "n",
+        s_pos.cast("long").alias("s_pos"),
+        s_neg.cast("long").alias("s_neg"),
+    )
+    # alarm at the CROSSING, not the persistent post-alarm state (the
+    # un-reset statistic stays high after a shift — flagging every
+    # subsequent bucket would be noise, and a reset recursion would
+    # break the closed form)
+    w_ord = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("bucket_start")
+    prev_p = F.coalesce(F.lag("s_pos").over(w_ord), F.lit(0))
+    prev_n = F.coalesce(F.lag("s_neg").over(w_ord), F.lit(0))
+    th = F.lit(threshold)
+    return out.withColumn(
+        "is_change",
+        ((F.col("s_pos") >= th) & (prev_p < th))
+        | ((F.col("s_neg") >= th) & (prev_n < th)),
+    )

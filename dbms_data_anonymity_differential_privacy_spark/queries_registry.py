@@ -10,6 +10,7 @@ sides to absorb summation-order ulp noise.
 
 from __future__ import annotations
 
+import math
 from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -4827,6 +4828,131 @@ def x80_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X87 — rolling z-score anomaly detection (operators/stats.py
+# rolling_anomaly): trailing-window mean/var from INTEGER window sums
+# (exact in BIGINT — none of the merge-order drift a native stddev
+# accumulator has), scores only on full windows.
+# --------------------------------------------------------------------------
+@query(
+    "x87_rolling_anomaly",
+    """
+    WITH c AS (SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+                      COUNT(*) AS n
+               FROM events GROUP BY 1, 2),
+    w AS (SELECT event_type, bucket_start, n,
+                 SUM(n) OVER win AS ws, SUM(n * n) OVER win AS wsq,
+                 COUNT(n) OVER win AS wc
+          FROM c
+          WINDOW win AS (PARTITION BY event_type ORDER BY bucket_start
+                         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+    s AS (SELECT event_type, bucket_start, n,
+                 ROUND(CAST(ws AS DOUBLE) / 24.0, 9) AS mean_r,
+                 CASE WHEN (24 * wsq - ws * ws) > 0 THEN
+                   ROUND((CAST(n AS DOUBLE) - CAST(ws AS DOUBLE) / 24.0)
+                         / sqrt(CAST(24 * wsq - ws * ws AS DOUBLE) / 552.0), 9)
+                 END AS z_r
+          FROM w WHERE wc = 24)
+    SELECT event_type, bucket_start, n, mean_r, z_r,
+           (ABS(z_r) >= 3.0) AS is_anomaly
+    FROM s
+    """,
+)
+def x87_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type event rates scored against the trailing 24h."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import rolling_anomaly
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_anomaly(ev, ["event_type"], bucket="1 hour", window=24, z_threshold=3.0)
+
+
+# --------------------------------------------------------------------------
+# X88 — CUSUM change detection (operators/stats.py cusum_changepoints):
+# Page's recursion via its exact closed form S_t = C_t − min(0, min C_i)
+# (window cumsum + running min — order-deterministic, integer-exact on
+# counts), symmetric downward statistic on −x.
+# --------------------------------------------------------------------------
+@query(
+    "x88_cusum",
+    """
+    WITH c AS (SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+                      COUNT(*) AS n
+               FROM events GROUP BY 1, 2),
+    cum AS (SELECT event_type, bucket_start, n,
+                   SUM(n - 3) OVER win AS cp, SUM(3 - n) OVER win AS cn
+            FROM c
+            WINDOW win AS (PARTITION BY event_type ORDER BY bucket_start
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    s AS (SELECT event_type, bucket_start, n,
+                 CAST(cp - MIN(LEAST(cp, 0)) OVER win AS BIGINT) AS s_pos,
+                 CAST(cn - MIN(LEAST(cn, 0)) OVER win AS BIGINT) AS s_neg
+          FROM cum
+          WINDOW win AS (PARTITION BY event_type ORDER BY bucket_start
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_type, bucket_start, n, s_pos, s_neg,
+           ((s_pos >= 15.0 AND COALESCE(LAG(s_pos) OVER wo, 0) < 15.0)
+            OR (s_neg >= 15.0 AND COALESCE(LAG(s_neg) OVER wo, 0) < 15.0)) AS is_change
+    FROM s
+    WINDOW wo AS (PARTITION BY event_type ORDER BY bucket_start)
+    """,
+)
+def x88_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM on hourly per-type rates (reference 3, threshold 15)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import cusum_changepoints
+
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_changepoints(ev, ["event_type"], bucket="1 hour", drift=3, threshold=15.0)
+
+
+# --------------------------------------------------------------------------
+# X89 — DP set union (operators/dp.py dp_set_union): vocabulary release
+# with per-user contribution capping (portable md5 ranking, the x46
+# convention) + stability threshold. The exact twin thresholds the capped
+# support relation on EXACT counts with the SAME rho literal; the noisy
+# release is rows-only (X1 convention).
+# --------------------------------------------------------------------------
+_X89_RHO = 3 + (3 / 2.0) * math.log(3 / (2.0 * 0.05))
+
+
+@query(
+    "x89_set_union_exact",
+    f"""
+    WITH pairs AS (SELECT DISTINCT user_id,
+                          json_extract_string(props, '$.k') AS item
+                   FROM events),
+    r AS (SELECT user_id, item,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                      ORDER BY md5(CAST(user_id AS VARCHAR) || '|' || item)) AS rn
+          FROM pairs),
+    agg AS (SELECT item, COUNT(*) AS n_exact FROM r WHERE rn <= 3 GROUP BY 1)
+    SELECT item, n_exact FROM agg WHERE n_exact >= {_X89_RHO!r}
+    """,
+)
+def x89_set_union_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-noise DP-set-union core: capped (user, item) support counts
+    thresholded at the shared rho literal (Delta=3, eps=2, delta=0.05)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_set_union_exact
+
+    ev = load_table(spark, sf_dir, "events")
+    items = ev.select(
+        "user_id", F.get_json_object("props", "$.k").alias("item")
+    )
+    return dp_set_union_exact(items, "item", "user_id", epsilon=2.0, delta=0.05, max_items=3)
+
+
+@query("x89_set_union")
+def x89_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The noisy (eps, delta)-DP release (rows-only: includes the
+    Laplace draws; determinism + budget semantics in pytest)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_set_union
+
+    ev = load_table(spark, sf_dir, "events")
+    items = ev.select("user_id", F.get_json_object("props", "$.k").alias("item"))
+    return dp_set_union(
+        items, "item", "user_id", epsilon=2.0, delta=0.05, max_items=3, release="x89"
+    )
+
+
+# --------------------------------------------------------------------------
 # X86 — temperature resampling (operators/mixing.py temperature_sample):
 # the multilingual rebalancing step (XLM-R α-convention: p ∝ share^α, so
 # rate ∝ share^(α−1) with downsample-only max-normalization — the
@@ -5147,14 +5273,16 @@ _WINDOW_R5 = [
     # x01_dp_count_exact's rep slot -> x86 (X1 family fully ledger-green;
     # the pre-noise DP-exact idiom stays in-window via x46/x56/x68/x73)
     "x86_temperature_sample",
-    # --- component representatives (every one already driver-green; they
-    # --- keep each SURVEY family exercised inside the live window; x04's
-    # --- topm re-enters deliberately after this round's threshold-hoist
-    # --- perf fix) ---
-    "p01_scan",
-    "c01_k_anonymize_suppress",
+    # p01/c01/x06 rep slots -> the last three new r4 queries: the scan
+    # path is exercised by every query's load_table, c01 IS the driver's
+    # separate entry() smoke every round, and the X6 stream-batch twins
+    # are fully ledger-green — all three families keep r1-r3 driver rows
+    "x87_rolling_anomaly",
+    "x88_cusum",
+    "x89_set_union_exact",
+    # x04's topm re-enters deliberately: its threshold-hoist perf fix
+    # this round must keep the oracle hash green
     "x04_cosine_pairs_topm",
-    "x06_kanon_gate",
 ]
 
 

@@ -243,3 +243,54 @@ class TestExpectations:
         df = spark.createDataFrame([(1,)], "id int")
         with pytest.raises(ValueError, match="unknown expectation"):
             expectation_report(df, [("bogus", "id")])
+
+
+def test_dp_set_union_exact_budget_and_release(spark):
+    """x89: the exact core matches a Python brute-force of cap+count+
+    threshold; the noisy release is deterministic per seed, spends
+    (eps, delta) on the budget, and releases only items that exist."""
+    import hashlib
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
+        PrivacyBudget,
+        dp_set_union,
+        dp_set_union_exact,
+    )
+
+    rows = [(u, str(it)) for u in range(40) for it in range(u % 7 + 1)]
+    df = spark.createDataFrame(rows, "user_id long, item string")
+
+    eps, delta, mx = 2.0, 0.05, 2
+    exact = {
+        r.item: r.n_exact
+        for r in dp_set_union_exact(df, "item", "user_id", eps, delta, mx).collect()
+    }
+    # Python brute force with the same md5 ranking
+    import math
+    from collections import Counter, defaultdict
+
+    per_user = defaultdict(list)
+    for u, it in set(rows):
+        per_user[u].append(it)
+    support = Counter()
+    for u, items in per_user.items():
+        ranked = sorted(items, key=lambda it: hashlib.md5(f"{u}|{it}".encode()).hexdigest())
+        support.update(ranked[:mx])
+    rho = mx + (mx / eps) * math.log(mx / (2 * delta))
+    want = {it: n for it, n in support.items() if n >= rho}
+    assert exact == want and exact  # non-trivial
+
+    b = PrivacyBudget(total_epsilon=5.0, total_delta=0.1)
+    rel1 = {
+        (r.item, r.n_dp)
+        for r in dp_set_union(
+            df, "item", "user_id", eps, delta, mx, seed=7, budget=b, release="r1"
+        ).collect()
+    }
+    assert abs(b.spent - eps) < 1e-12
+    rel2 = {
+        (r.item, r.n_dp)
+        for r in dp_set_union(df, "item", "user_id", eps, delta, mx, seed=7, release="r1").collect()
+    }
+    assert rel1 == rel2  # deterministic per (seed, release)
+    assert {it for it, _ in rel1} <= set(support)  # never hallucinates items

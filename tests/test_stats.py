@@ -273,3 +273,73 @@ class TestMannWhitney:
         r = mann_whitney_u(df, "v", "g", "a", "b").collect()[0]
         assert r["u_a_r"] == 2500.0  # complete separation: every pair a > b
         assert r["z_r"] > 5.0
+
+
+class TestRollingAnomaly:
+    def mk(self, spark, counts, typ="a"):
+        import datetime
+
+        rows = []
+        eid = 0
+        for h, n in enumerate(counts):
+            base = datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=h)
+            for i in range(n):
+                rows.append((eid, base + datetime.timedelta(seconds=i), typ))
+                eid += 1
+        return spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+
+    def test_spike_flagged_and_warmup_silent(self, spark):
+        from dbms_data_anonymity_differential_privacy_spark.operators.stats import rolling_anomaly
+
+        # 24 calm hours (alternating 2/4: nonzero variance), then a spike
+        counts = [2, 4] * 12 + [20]
+        ev = self.mk(spark, counts)
+        out = rolling_anomaly(ev, ["event_type"], window=24, z_threshold=3.0).collect()
+        # only the spike bucket has a full trailing window
+        assert len(out) == 1
+        r = out[0]
+        assert r.n == 20 and r.is_anomaly
+        assert abs(r.mean_r - 3.0) < 1e-9
+        # z = (20 - 3) / sqrt((24*240 - 72^2)/(24*23)) = 17/sqrt(1.04347...)
+        import math
+
+        var = (24 * 240 - 72 * 72) / (24 * 23)
+        assert abs(r.z_r - (20 - 3.0) / math.sqrt(var)) < 1e-8
+
+    def test_constant_series_null_z(self, spark):
+        from dbms_data_anonymity_differential_privacy_spark.operators.stats import rolling_anomaly
+
+        ev = self.mk(spark, [3] * 26)
+        out = rolling_anomaly(ev, ["event_type"], window=24).collect()
+        assert len(out) == 2
+        assert all(r.z_r is None and r.is_anomaly is None for r in out)
+
+
+class TestCusum:
+    def test_closed_form_equals_recursion_and_single_crossing(self, spark):
+        import datetime
+
+        from dbms_data_anonymity_differential_privacy_spark.operators.stats import cusum_changepoints
+
+        counts = [3] * 20 + [6] * 20  # level shift +3 at hour 20
+        rows = []
+        eid = 0
+        for h, n in enumerate(counts):
+            base = datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=h)
+            for i in range(n):
+                rows.append((eid, base + datetime.timedelta(seconds=i), "a"))
+                eid += 1
+        ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+        out = sorted(
+            cusum_changepoints(ev, ["event_type"], drift=3, threshold=15.0).collect(),
+            key=lambda r: r.bucket_start,
+        )
+        # reference recursion S_t = max(0, S_{t-1} + (x - k))
+        sp = sn = 0
+        for r, n in zip(out, counts):
+            sp = max(0, sp + (n - 3))
+            sn = max(0, sn + (3 - n))
+            assert (r.s_pos, r.s_neg) == (sp, sn), r
+        crossings = [r for r in out if r.is_change]
+        assert len(crossings) == 1  # alarm once, at the crossing bucket
+        assert crossings[0].s_pos >= 15
