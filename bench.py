@@ -122,6 +122,8 @@ HEADLINE = [
     "x87_rolling_anomaly",
     "x88_cusum",
     "x89_set_union_exact",
+    "x90_linear_attribution",
+    "x91_winsorize",
     "x81_knn_join_arrow",
     "x64_mutual_information",
     "pipe_event_analytics",

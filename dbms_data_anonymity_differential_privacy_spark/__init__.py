@@ -174,6 +174,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.funnel import (
     funnel,
     funnel_user_states,
     last_touch_attribution,
+    linear_attribution,
     retention_cohorts,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.sampling import weighted_sample_n
@@ -185,7 +186,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.temporal import (
     lag_features,
     ohlc_bars,
 )
-from dbms_data_anonymity_differential_privacy_spark.operators.metrics import mad_outlier_stats
+from dbms_data_anonymity_differential_privacy_spark.operators.metrics import mad_outlier_stats, winsorize
 from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
     continual_counts_exact,
     dp_continual_counts,
@@ -368,6 +369,8 @@ __all__ = [
     "seasonality_index",
     "expectation_report",
     "last_touch_attribution",
+    "linear_attribution",
+    "winsorize",
     "kaplan_meier",
     "time_to_event",
     "mann_whitney_u",

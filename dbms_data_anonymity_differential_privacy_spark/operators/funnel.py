@@ -220,3 +220,79 @@ def last_touch_attribution(
         )
         .agg(F.count(F.lit(1)).alias("conversions"))
     )
+
+
+def linear_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """X90 — linear multi-touch attribution: each conversion's unit of
+    credit is split EQUALLY over all of the user's at-or-before touches
+    (last-touch's x78 sibling — the other standard attribution model;
+    the two bracket the single-touch/all-touch spectrum). Conversions
+    with no prior touch credit '(none)' in full, so credit always sums
+    to the conversion count.
+
+    Exactness: per-pair credit is 1/n — float sums of those across
+    millions of pairs in nondeterministic combine order would drift
+    past the rounding band, so the rollup is decomposed exactly:
+    integer pair counts per (touch_type, n) first (one exact
+    aggregation), then ``Σ cnt/n`` folded LEFT-TO-RIGHT over the
+    n-sorted tiny relation (``aggregate(sort_array(collect_list(...)))``
+    ≡ DuckDB ``list_reduce(list(... ORDER BY n))``) — deterministic on
+    both engines, bit-for-bit.
+
+    Physical shape: the conversion-touch pairing is the X17 interval
+    idiom (SortMergeJoin on the user key, range predicate in-stage);
+    pair volume is Σ_user conv_u·touch_u — bounded per user, the honest
+    cost of an all-touch model. Everything after collapses to the
+    (type, n) relation.
+
+    Output: ``(touch_type, n_pairs, credit_r)``.
+    """
+    from pyspark.sql import Window
+
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("__u"), F.col(ts_col).alias("__cts"),
+        F.col(id_col).alias("__cid"),
+    )
+    if touch_types is None:
+        touches = events.filter(F.col(type_col) != conversion_type)
+    else:
+        touches = events.filter(F.col(type_col).isin(list(touch_types)))
+    touches = touches.select(
+        F.col(user_col).alias("__tu"), F.col(ts_col).alias("__tts"),
+        F.col(type_col).alias("__touch"),
+    )
+    pairs = conv.join(
+        touches,
+        (F.col("__u") == F.col("__tu")) & (F.col("__tts") <= F.col("__cts")),
+        "left",
+    )
+    w = Window.partitionBy("__cid")
+    n_touch = F.count("__touch").over(w)
+    staged = pairs.select(
+        F.coalesce(F.col("__touch"), F.lit("(none)")).alias("touch_type"),
+        F.when(F.col("__touch").isNull(), F.lit(1)).otherwise(n_touch).alias("__n"),
+    )
+    by_n = staged.groupBy("touch_type", "__n").agg(F.count(F.lit(1)).alias("__cnt"))
+    folded = by_n.groupBy("touch_type").agg(
+        F.sum("__cnt").cast("long").alias("n_pairs"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct(F.col("__n"), F.col("__cnt")))),
+                    lambda x: x["__cnt"].cast("double") / x["__n"].cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        ).alias("credit_r"),
+    )
+    return folded

@@ -299,3 +299,41 @@ def mad_outlier_stats(
     return g2.join(outs, on=list(by), how="inner").select(
         *by, "n", "n_outliers", "med", "mad"
     )
+
+
+def winsorize(
+    df: DataFrame,
+    by: Sequence[str],
+    value_col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    exact: bool = True,
+    accuracy: int = 10_000,
+    out_col: str | None = None,
+) -> DataFrame:
+    """X91 — per-group winsorization: clip ``value_col`` to the group's
+    [lower, upper] exact percentiles — the standard heavy-tail tamer for
+    metric columns before aggregation/training (clipping, unlike
+    trimming, keeps row counts intact).
+
+    Shape: one per-group percentile aggregation (the x22 relation — slim,
+    groups-sized), broadcast back, then a map-only GREATEST/LEAST clip —
+    the fact table never shuffles. ``exact=False`` swaps in the GK-sketch
+    percentiles for the 100 TB path (same plan shape, approximate cut
+    points). Percentile interpolation is type-7 on both engines (the x22
+    bit-exactness), so the clipped column is oracle-hashable unrounded.
+
+    Output: input columns + ``<value_col>_w`` (or ``out_col``).
+    """
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got {lower}, {upper}")
+    out_col = out_col or f"{value_col}_w"
+    cuts = group_percentiles(
+        df, by, value_col, ps=(lower, upper), exact=exact, accuracy=accuracy
+    )
+    lo_c, hi_c = cuts.columns[len(by):]
+    clipped = df.join(F.broadcast(cuts), on=list(by)).withColumn(
+        out_col,
+        F.least(F.greatest(F.col(value_col), F.col(lo_c)), F.col(hi_c)),
+    )
+    return clipped.drop(lo_c, hi_c)

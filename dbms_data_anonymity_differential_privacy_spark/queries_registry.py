@@ -4828,6 +4828,69 @@ def x80_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X91 — per-group winsorization (operators/metrics.py winsorize): clip to
+# exact per-group [p1, p99]; type-7 percentile interpolation bit-matches
+# quantile_cont (the x22 exactness), so the clipped column hashes with NO
+# rounding. Broadcast cut points + map-only clip — fact never shuffles.
+# --------------------------------------------------------------------------
+@query(
+    "x91_winsorize",
+    """
+    WITH cuts AS (SELECT event_type,
+                         quantile_cont(value, 0.01) AS lo,
+                         quantile_cont(value, 0.99) AS hi
+                  FROM events GROUP BY 1)
+    SELECT e.event_id, e.event_type, e.value,
+           LEAST(GREATEST(e.value, c.lo), c.hi) AS value_w
+    FROM events e JOIN cuts c USING (event_type)
+    """,
+)
+def x91_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type [p1, p99] clipping of the event value column."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.metrics import winsorize
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return winsorize(ev, ["event_type"], "value", 0.01, 0.99)
+
+
+# --------------------------------------------------------------------------
+# X90 — linear multi-touch attribution (operators/funnel.py
+# linear_attribution): credit split equally over all prior touches, x78
+# last-touch's sibling. The Σ(1/n) rollup is decomposed into exact
+# integer (type, n) counts + a LEFT-TO-RIGHT fold over the n-sorted tiny
+# relation (aggregate(sort_array(collect_list)) ≡ list_reduce(list(...
+# ORDER BY n))) so the float sum is order-deterministic on both engines.
+# --------------------------------------------------------------------------
+@query(
+    "x90_linear_attribution",
+    """
+    WITH conv AS (SELECT user_id AS u, ts AS cts, event_id AS cid
+                  FROM events WHERE event_type = 'purchase'),
+    t AS (SELECT user_id AS tu, ts AS tts, event_type AS touch
+          FROM events WHERE event_type <> 'purchase'),
+    p AS (SELECT conv.cid, t.touch FROM conv
+          LEFT JOIN t ON t.tu = conv.u AND t.tts <= conv.cts),
+    nn AS (SELECT cid, touch,
+                  CASE WHEN touch IS NULL THEN 1
+                       ELSE COUNT(touch) OVER (PARTITION BY cid) END AS n
+           FROM p),
+    s AS (SELECT COALESCE(touch, '(none)') AS touch_type, n FROM nn),
+    bn AS (SELECT touch_type, n, COUNT(*) AS cnt FROM s GROUP BY 1, 2)
+    SELECT touch_type, CAST(SUM(cnt) AS BIGINT) AS n_pairs,
+           ROUND(list_reduce(list(CAST(cnt AS DOUBLE) / n ORDER BY n),
+                             (a, b) -> a + b), 9) AS credit_r
+    FROM bn GROUP BY 1
+    """,
+)
+def x90_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch credit per touch type (conversion='purchase')."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.funnel import linear_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return linear_attribution(ev)
+
+
+# --------------------------------------------------------------------------
 # X87 — rolling z-score anomaly detection (operators/stats.py
 # rolling_anomaly): trailing-window mean/var from INTEGER window sums
 # (exact in BIGINT — none of the merge-order drift a native stddev

@@ -10,6 +10,8 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
+from dbms_data_anonymity_differential_privacy_spark import load_table
+
 from dbms_data_anonymity_differential_privacy_spark.operators.funnel import (
     funnel,
     funnel_user_states,
@@ -301,3 +303,59 @@ class TestAttribution:
         stale = {r["touch_type"] for r in
                  last_touch_attribution(df, tolerance="30 minutes").collect()}
         assert fresh == {"click"} and stale == {"(none)"}
+
+
+def test_linear_attribution_credit_conserved_and_split(spark, sf001):
+    """x90: total credit across touch types equals the conversion count
+    exactly (each conversion distributes one unit); a crafted case
+    splits 1/n per prior touch and credits '(none)' for untouched
+    conversions."""
+    import datetime
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.funnel import (
+        linear_attribution,
+    )
+
+    ev = load_table(spark, sf001, "events")
+    out = linear_attribution(ev).collect()
+    n_conv = ev.filter(F.col("event_type") == "purchase").count()
+    assert abs(sum(r.credit_r for r in out) - n_conv) < 1e-6
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def row(eid, u, sec, typ):
+        return (eid, t0 + datetime.timedelta(seconds=sec), u, typ)
+
+    crafted = spark.createDataFrame(
+        [
+            row(1, 1, 0, "click"), row(2, 1, 10, "view"), row(3, 1, 20, "purchase"),
+            row(4, 2, 0, "click"), row(5, 2, 10, "purchase"),
+            row(6, 3, 50, "purchase"),  # no prior touch
+            row(7, 3, 60, "view"),      # AFTER the conversion: no credit
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    got = {r.touch_type: r.credit_r for r in linear_attribution(crafted).collect()}
+    assert got == {"click": 1.5, "view": 0.5, "(none)": 1.0}
+
+
+def test_winsorize_bounds_and_interior_identity(spark, sf001):
+    """x91: clipped values lie within the group's [p1, p99]; values
+    already inside are untouched; row count is preserved."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.metrics import (
+        group_percentiles,
+        winsorize,
+    )
+
+    ev = load_table(spark, sf001, "events").select("event_id", "event_type", "value")
+    out = winsorize(ev, ["event_type"], "value", 0.01, 0.99)
+    assert out.count() == ev.count()
+    cuts = {
+        r.event_type: (r.p1, r.p99)
+        for r in group_percentiles(ev, ["event_type"], "value", ps=(0.01, 0.99)).collect()
+    }
+    for r in out.collect():
+        lo, hi = cuts[r.event_type]
+        assert lo <= r.value_w <= hi
+        if lo <= r.value <= hi:
+            assert r.value_w == r.value
