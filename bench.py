@@ -124,6 +124,8 @@ HEADLINE = [
     "x89_set_union_exact",
     "x90_linear_attribution",
     "x91_winsorize",
+    "x92_user_growth",
+    "x94_step_latency",
     "x81_knn_join_arrow",
     "x64_mutual_information",
     "pipe_event_analytics",

@@ -218,6 +218,10 @@ from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
     cusum_changepoints,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_covariance
+from dbms_data_anonymity_differential_privacy_spark.streaming.anomaly import (
+    rolling_anomaly_stateful,
+    rolling_anomaly_stream,
+)
 from dbms_data_anonymity_differential_privacy_spark.streaming.funnel import funnel_stateful
 
 __all__ = [
@@ -359,6 +363,8 @@ __all__ = [
     "psi_drift_bins",
     "dp_covariance",
     "funnel_stateful",
+    "rolling_anomaly_stateful",
+    "rolling_anomaly_stream",
     "correlation_matrix",
     "km_anonymity_audit",
     "chi_squared",

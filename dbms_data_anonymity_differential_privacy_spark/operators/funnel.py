@@ -296,3 +296,97 @@ def linear_attribution(
         ).alias("credit_r"),
     )
     return folded
+
+
+def user_growth(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "day",
+) -> DataFrame:
+    """X92 — new-user growth curve: per period, how many users appear for
+    the FIRST time, plus the cumulative unique-user count — the
+    DAU/"total users over time" pair every growth dashboard opens with.
+
+    Exact cumulative distinct WITHOUT a distinct-per-prefix rescan: a
+    user contributes to exactly one period (their first), so the
+    cumulative unique count is a plain cumsum of first-appearance counts
+    — one distinct-collapse of (user, first-period) and windows over the
+    periods-sized relation (the global-order window runs on ~hundreds of
+    rows; the fact table contributes one aggregation). Periods are
+    released as ISO strings (the x55 canonical-date convention).
+
+    Output: ``(period, new_users, cum_users)`` ordered by period.
+    """
+    days = {"day": "day", "week": "week"}
+    if period not in days:
+        raise ValueError(f"period must be one of {sorted(days)}, got {period!r}")
+    from pyspark.sql import Window
+
+    first = events.groupBy(user_col).agg(
+        F.min(F.to_date(F.date_trunc(period, F.col(ts_col)))).alias("__p")
+    )
+    daily = first.groupBy(F.col("__p").cast("string").alias("period")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("period").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "period",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    ).orderBy("period")
+
+
+def funnel_step_latency(
+    events: DataFrame,
+    steps: Sequence[str],
+    ps: Sequence[float] = (0.5, 0.9),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """X94 — time-to-convert between consecutive funnel steps: for each
+    (step i → step i+1) pair, the per-user latency distribution (exact
+    percentiles) over users who completed the pair — the "WHERE does the
+    funnel stall and for HOW LONG" companion to x54's conversion counts.
+
+    Latencies are integer MICROseconds (``unix_micros`` ≡ DuckDB
+    ``epoch_us`` — second-truncating ``unix_timestamp`` would shear
+    sub-second funnels), so the type-7 percentile interpolation is the
+    x22 bit-exact arithmetic. Built on :func:`funnel_user_states` — one
+    user-key aggregation; the per-pair rollups run on the users-sized
+    state relation.
+
+    Output: one row per consecutive pair,
+    ``(step_from, step_to, n_users, p<P>_us ...)``.
+    """
+    if len(steps) < 2:
+        raise ValueError("step latency needs at least two steps")
+    states = funnel_user_states(events, steps, user_col, ts_col, type_col).persist()
+
+    def name(p: float) -> str:
+        s = f"{p * 100:g}".replace(".", "_")
+        return f"p{s}_us"
+
+    parts = []
+    for i in range(len(steps) - 1):
+        d = F.unix_micros(F.col(f"t{i + 2}")) - F.unix_micros(F.col(f"t{i + 1}"))
+        pair = (
+            states.filter(F.col(f"t{i + 2}").isNotNull())
+            .select(d.alias("__d"))
+            .agg(
+                F.count(F.lit(1)).alias("n_users"),
+                *[F.expr(f"percentile(__d, {p!r})").alias(name(p)) for p in ps],
+            )
+            .select(
+                F.lit(steps[i]).alias("step_from"),
+                F.lit(steps[i + 1]).alias("step_to"),
+                "n_users",
+                *[name(p) for p in ps],
+            )
+        )
+        parts.append(pair)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -4828,6 +4828,71 @@ def x80_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X92 — user growth curve (operators/funnel.py user_growth): exact
+# cumulative distinct users as a cumsum of first-appearance counts — a
+# user contributes to exactly one period, so no distinct-per-prefix
+# rescan; the global-order window runs on the periods-sized relation.
+# --------------------------------------------------------------------------
+@query(
+    "x92_user_growth",
+    """
+    WITH f AS (SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS p
+               FROM events GROUP BY 1),
+    d AS (SELECT CAST(p AS VARCHAR) AS period, COUNT(*) AS new_users
+          FROM f GROUP BY 1)
+    SELECT period, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY period
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM d
+    """,
+)
+def x92_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new users + cumulative unique-user curve."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.funnel import user_growth
+
+    ev = load_table(spark, sf_dir, "events")
+    return user_growth(ev, period="day")
+
+
+# --------------------------------------------------------------------------
+# X94 — funnel step latencies (operators/funnel.py funnel_step_latency):
+# per consecutive step pair, exact latency percentiles over completing
+# users, in integer MICROseconds (unix_micros ≡ epoch_us; a
+# second-truncating timestamp diff would shear sub-second funnels).
+# --------------------------------------------------------------------------
+@query(
+    "x94_step_latency",
+    """
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (SELECT e.user_id, s1.t1, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1, 2),
+    s3 AS (SELECT e.user_id, s2.t2, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1, 2)
+    SELECT 'signup' AS step_from, 'click' AS step_to,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           quantile_cont(epoch_us(t2) - epoch_us(t1), 0.5) AS p50_us,
+           quantile_cont(epoch_us(t2) - epoch_us(t1), 0.9) AS p90_us
+    FROM s2
+    UNION ALL
+    SELECT 'click', 'purchase', CAST(COUNT(*) AS BIGINT),
+           quantile_cont(epoch_us(t3) - epoch_us(t2), 0.5),
+           quantile_cont(epoch_us(t3) - epoch_us(t2), 0.9)
+    FROM s3
+    """,
+)
+def x94_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency percentiles between consecutive funnel steps."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.funnel import (
+        funnel_step_latency,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_step_latency(ev, ["signup", "click", "purchase"], ps=(0.5, 0.9))
+
+
+# --------------------------------------------------------------------------
 # X91 — per-group winsorization (operators/metrics.py winsorize): clip to
 # exact per-group [p1, p99]; type-7 percentile interpolation bit-matches
 # quantile_cont (the x22 exactness), so the clipped column hashes with NO

@@ -1689,3 +1689,57 @@ def test_bm25_many_matches_per_query_singles(spark, sf0001):
         bm25_topk_many(docs, {}, k=3)
     with pytest.raises(ValueError, match="no terms"):
         bm25_topk_many(docs, {1: []}, k=3)
+
+
+def test_streaming_rolling_anomaly_matches_batch_closed_buckets(spark, sf0001, tmp_path):
+    """x93: the stateful streaming rolling-anomaly (applyInPandasWithState,
+    O(window) state per key) must equal the x87 batch twin on every CLOSED
+    bucket — the newest bucket per key is provisional by streaming
+    semantics and unemitted until a later bucket closes it."""
+    import shutil
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import rolling_anomaly
+    from dbms_data_anonymity_differential_privacy_spark.streaming.anomaly import (
+        rolling_anomaly_stream,
+    )
+
+    ev = load_table(spark, sf0001, "events")
+    batch_all = rolling_anomaly(ev, ["event_type"], bucket="1 hour", window=6).collect()
+    last_per_group = {}
+    for r in batch_all:
+        cur = last_per_group.get(r.event_type)
+        if cur is None or r.bucket_start > cur:
+            last_per_group[r.event_type] = r.bucket_start
+    # the batch scores each group's final bucket; the stream cannot close it
+    batch = {
+        (r.event_type, r.bucket_start): (r.n, r.mean_r, r.z_r, r.is_anomaly)
+        for r in batch_all
+        if r.bucket_start != last_per_group[r.event_type]
+    }
+
+    stream_dir = tmp_path / "events"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf0001}/events.parquet", stream_dir / "part-000.parquet")
+    q = (
+        rolling_anomaly_stream(spark, str(stream_dir), bucket_secs=3600, window=6)
+        .writeStream.format("memory")
+        .queryName("x93_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt93"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_type, r.bucket_start): (r.n, r.mean_r, r.z_r, r.is_anomaly)
+        for r in spark.sql("SELECT * FROM x93_test").collect()
+    }
+    assert set(got) == set(batch)
+    for k, (n, m, z, a) in batch.items():
+        gn, gm, gz, ga = got[k]
+        assert gn == n and abs(gm - m) < 1e-9
+        if z is None:
+            assert gz is None
+        else:
+            assert abs(gz - z) < 1e-9 and ga == a
+    assert len(batch) > 50

@@ -100,10 +100,13 @@ def test_every_oracle_component_has_driver_signal():
 # its first driver row). Round 4: after the 38-query backlog plus eleven
 # new r4 queries (x41_pairs_exact, x81-x89) filled the window — every slot
 # now holds a query with no driver row except the deliberately re-checked
-# x04_cosine_pairs_topm — the last two r4 registrations debut outside and
+# x04_cosine_pairs_topm — the later r4 registrations debut outside and
 # rotate in next round; until then their check is the dual-SF local
 # oracle sweep.
-NEW_THIS_ROUND: set[str] = {"x90_linear_attribution", "x91_winsorize"}
+NEW_THIS_ROUND: set[str] = {
+    "x90_linear_attribution", "x91_winsorize",
+    "x92_user_growth", "x94_step_latency",
+}
 
 
 def test_rotated_out_queries_were_driver_green():
