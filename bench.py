@@ -126,6 +126,8 @@ HEADLINE = [
     "x91_winsorize",
     "x92_user_growth",
     "x94_step_latency",
+    "x95_zorder",
+    "pipe_private_export",
     "x81_knn_join_arrow",
     "x64_mutual_information",
     "pipe_event_analytics",

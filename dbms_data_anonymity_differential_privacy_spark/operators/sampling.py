@@ -259,3 +259,75 @@ def stratified_split(
         expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
     assert expr is not None
     return df.withColumn(split_col, expr)
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 8,
+    out_col: str = "zkey",
+) -> DataFrame:
+    """X95 — Z-order (Morton) layout key over integer columns: equal-width
+    bin each column into [0, 2^bits) and bit-interleave the bins — the
+    lakehouse data-layout primitive (Delta/Iceberg OPTIMIZE ZORDER):
+    sorting by this key before write co-locates rows that are close in
+    EVERY listed dimension, so per-file min/max statistics prune scans on
+    any of them, not just the first sort column.
+
+    All arithmetic is integer-exact and engine-portable: binning is
+    ``((v − min) · 2^bits) ÷ (max − min + 1)`` in BIGINT (one stats
+    aggregate supplies the min/max literals — the BM25 corpus-stat
+    convention), and the interleave is a fixed sum of shift-mask terms,
+    codegen-friendly with no UDF. ``len(cols) · bits`` must stay ≤ 62.
+
+    Output: input columns + ``out_col`` (BIGINT). Write path:
+    ``df.repartitionByRange(n, out_col).sortWithinPartitions(out_col)``
+    then write — one range shuffle, the same single-shuffle contract as
+    the x47 shard export.
+    """
+    if not cols or len(cols) * bits > 62:
+        raise ValueError("need 1+ columns with len(cols) * bits <= 62")
+    stats = df.agg(
+        *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).first()
+    nb = 1 << bits
+    key = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        mn, mx = int(stats[f"mn_{j}"]), int(stats[f"mx_{j}"])
+        span = mx - mn + 1
+        binned = ((F.col(c).cast("long") - F.lit(mn)) * F.lit(nb)) / F.lit(span)
+        binned = F.floor(binned).cast("long")
+        for i in range(bits):
+            bit = F.shiftright(binned, i).bitwiseAND(F.lit(1))
+            key = key + bit * F.lit(1 << (len(cols) * i + j))
+    return df.withColumn(out_col, key)
+
+
+def zorder_layout_sql(
+    table: str, cols: Sequence[str], keep: Sequence[str],
+    bits: int = 8, out_col: str = "zkey",
+) -> str:
+    """DuckDB twin generator for :func:`zorder_layout` — identical
+    binning and shift-mask interleave, with the min/max stats computed
+    INLINE (a stats CTE) so the same SQL is correct at every scale
+    factor, mirroring the runtime aggregate the engine performs."""
+    nb = 1 << bits
+    stats = ", ".join(
+        f"MIN({c}) AS mn{j}, MAX({c}) AS mx{j}" for j, c in enumerate(cols)
+    )
+    terms = []
+    for j, c in enumerate(cols):
+        b = (
+            f"CAST(FLOOR((CAST({c} AS BIGINT) - s.mn{j}) * {nb} "
+            f"/ (s.mx{j} - s.mn{j} + 1)) AS BIGINT)"
+        )
+        for i in range(bits):
+            terms.append(f"(({b} >> {i}) & 1) * {1 << (len(cols) * i + j)}")
+    expr = " + ".join(terms)
+    keep_cols = ", ".join(keep)
+    return (
+        f"WITH s AS (SELECT {stats} FROM {table}) "
+        f"SELECT {keep_cols}, CAST({expr} AS BIGINT) AS {out_col} "
+        f"FROM {table} CROSS JOIN s"
+    )

@@ -413,3 +413,61 @@ def event_analytics_summary(events: DataFrame) -> DataFrame:
         .crossJoin(top_row)
         .crossJoin(busy)
     )
+
+
+def private_export_plan(
+    docs: DataFrame,
+    n_shards: int = 8,
+    gopher_thresholds: Mapping | None = None,
+    salt: str = "pexport",
+) -> DataFrame:
+    """pipe_private_export — the privacy-aware variant of
+    :func:`training_export_plan`: the same clean → gate → dedup → shard
+    funnel with a PII-redaction stage spliced in after cleaning, plus
+    per-cell redaction accounting — the export a privacy review signs off
+    on ("no raw emails/SSNs/phones leave, and show me how many were
+    scrubbed where").
+
+    Stages (each keeps its own oracle-verified semantics):
+    clean_text → redact_pii (typed placeholders, counted per doc) →
+    gopher gate over the REDACTED text (so placeholder tokens face the
+    same shape rules the model will see) → fingerprint dedup on redacted
+    content → shard plan rollup carrying ``n_docs_redacted``.
+
+    Same physical shape as the base pipeline: ONE map-only funnel (clean
+    + redact + gate are a single fused projection chain), the one dedup
+    shuffle, one partial-agg rollup.
+
+    Output: ``(shard, lang, n_docs, total_tokens, n_docs_redacted)``.
+    """
+    from dbms_data_anonymity_differential_privacy_spark.operators.clean import clean_text
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import dedup_by_fingerprint
+    from dbms_data_anonymity_differential_privacy_spark.operators.pii import redact_pii
+    from dbms_data_anonymity_differential_privacy_spark.operators.quality import gopher_quality
+    from dbms_data_anonymity_differential_privacy_spark.operators.sampling import assign_shards
+    from dbms_data_anonymity_differential_privacy_spark.operators.util import fan_out
+
+    cleaned = fan_out(docs.select("doc_id", "lang", "text")).select(
+        "doc_id", "lang", clean_text(F.col("text")).alias("__clean")
+    )
+    redacted = cleaned.select(
+        "doc_id",
+        "lang",
+        redact_pii(F.col("__clean")).alias("text"),
+        (redact_pii(F.col("__clean")) != F.col("__clean")).cast("long").alias("__redacted"),
+    )
+    gated = gopher_quality(
+        redacted,
+        thresholds=dict(gopher_thresholds or {}),
+        keep_cols=("lang", "text", "__redacted"),
+    )
+    kept = gated.filter(F.col("pass_gopher")).select(
+        "doc_id", "lang", "text", "n_tokens", "__redacted"
+    )
+    deduped = dedup_by_fingerprint(kept)
+    sharded = assign_shards(deduped, ["doc_id"], n_shards, salt=salt)
+    return sharded.groupBy("shard", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("__redacted").cast("long").alias("n_docs_redacted"),
+    )

@@ -4828,6 +4828,82 @@ def x80_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# pipe_private_export — the privacy-aware export funnel: clean → PII
+# redaction (typed placeholders + per-doc accounting) → Gopher gate over
+# the REDACTED text → fingerprint dedup → shard rollup carrying
+# n_docs_redacted. Oracle assembled from the same generated stage twins
+# (clean_text_sql ∘ redact_pii_sql ∘ gopher_quality_sql), so the
+# composition is checked end to end.
+# --------------------------------------------------------------------------
+def _private_export_sql() -> str:
+    from dbms_data_anonymity_differential_privacy_spark.operators.clean import clean_text_sql
+    from dbms_data_anonymity_differential_privacy_spark.operators.pii import redact_pii_sql
+    from dbms_data_anonymity_differential_privacy_spark.operators.quality import gopher_quality_sql
+
+    cleaned = clean_text_sql("text")
+    red = redact_pii_sql("c.__clean")
+    gq = gopher_quality_sql("redacted", thresholds=_GOPHER_TUNING)
+    return f"""
+    WITH c AS (SELECT doc_id, lang, {cleaned} AS __clean FROM documents),
+    redacted AS (SELECT doc_id, lang, {red} AS text,
+                        CASE WHEN {red} <> c.__clean THEN 1 ELSE 0 END AS __redacted
+                 FROM c),
+    g AS ({gq}),
+    kept AS (SELECT redacted.doc_id, redacted.lang, redacted.text,
+                    g.n_tokens, redacted.__redacted
+             FROM g JOIN redacted USING (doc_id) WHERE g.pass_gopher),
+    d AS (SELECT * FROM (
+            SELECT kept.*,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS __fp
+            FROM kept)
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY __fp ORDER BY doc_id) = 1),
+    h AS (SELECT lang, n_tokens, __redacted,
+            (CAST('0x' || substr(md5(cast(doc_id AS varchar) || '|pexport'), 1, 8)
+                  AS BIGINT) * 8) >> 32 AS shard
+          FROM d)
+    SELECT shard, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(__redacted) AS BIGINT) AS n_docs_redacted
+    FROM h GROUP BY shard, lang
+    """
+
+
+@query("pipe_private_export", _private_export_sql())
+def pipe_private_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbms_data_anonymity_differential_privacy_spark import pipelines
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pipelines.private_export_plan(docs, n_shards=8, gopher_thresholds=_GOPHER_TUNING)
+
+
+# --------------------------------------------------------------------------
+# X95 — Z-order layout key (operators/sampling.py zorder_layout): the
+# lakehouse OPTIMIZE ZORDER primitive — equal-width bin each dimension,
+# bit-interleave the bins, sort by the key before write so per-file
+# min/max stats prune on EVERY listed dimension. Integer-exact binning +
+# a fixed shift-mask sum, no UDF; oracle computes the same stats inline.
+# --------------------------------------------------------------------------
+def _x95_sql() -> str:
+    from dbms_data_anonymity_differential_privacy_spark.operators.sampling import zorder_layout_sql
+
+    return zorder_layout_sql(
+        "lineitem", ["l_partkey", "l_suppkey"],
+        keep=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"], bits=8,
+    )
+
+
+@query("x95_zorder", _x95_sql())
+def x95_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton keys for lineitem over (l_partkey, l_suppkey), 8 bits/dim."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.sampling import zorder_layout
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return zorder_layout(li, ["l_partkey", "l_suppkey"], bits=8)
+
+
+# --------------------------------------------------------------------------
 # X92 — user growth curve (operators/funnel.py user_growth): exact
 # cumulative distinct users as a cumsum of first-appearance counts — a
 # user contributes to exactly one period, so no distinct-per-prefix

@@ -283,3 +283,20 @@ def test_adult_csv_end_to_end(spark, adult_pdf, tmp_path):
     assert row["n_orig"] == want["n_orig"]
     assert row["n_anon"] == want["n_anon"]
     assert row["suppression_rate"] == pytest.approx(want["suppression_rate"], abs=1e-8)
+
+
+def test_private_export_accounting_consistency(spark, sf0001):
+    """pipe_private_export: per-cell redaction counts are bounded by doc
+    counts; every shard is in range; and the redacted funnel never keeps
+    more docs than the corpus holds."""
+    from dbms_data_anonymity_differential_privacy_spark import load_table, pipelines
+
+    docs = load_table(spark, sf0001, "documents")
+    plan = pipelines.private_export_plan(
+        docs, n_shards=4, gopher_thresholds={"min_stopwords": 1}
+    ).collect()
+    assert plan  # non-trivial at sf0.001
+    assert all(0 <= r.n_docs_redacted <= r.n_docs for r in plan)
+    assert all(0 <= r.shard < 4 for r in plan)
+    assert 0 < sum(r.n_docs for r in plan) <= docs.count()
+    assert all(r.total_tokens > 0 for r in plan)

@@ -106,6 +106,7 @@ def test_every_oracle_component_has_driver_signal():
 NEW_THIS_ROUND: set[str] = {
     "x90_linear_attribution", "x91_winsorize",
     "x92_user_growth", "x94_step_latency",
+    "x95_zorder", "pipe_private_export",
 }
 
 

@@ -148,3 +148,52 @@ def test_stratified_split_exact_quotas_and_layout_independence(spark, sf0001):
 
     with pytest.raises(ValueError, match="sum to <= 1"):
         stratified_split(docs, ["lang"], ["doc_id"], [("a", 0.9), ("b", 0.2)])
+
+
+def test_zorder_locality_beats_single_column_sort(spark, sf001):
+    """x95: slicing the z-ordered stream into equal 'files' must give a
+    SMALLER total min/max span over the secondary dimension than sorting
+    by the primary column alone — the file-skipping property the layout
+    exists for. Also pins the interleave arithmetic on a crafted grid."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.sampling import zorder_layout
+
+    # crafted 4x4 grid, bits=2: morton(x, y) with bins == values
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], "x int, y int"
+    )
+    got = {
+        (r.x, r.y): r.zkey for r in zorder_layout(grid, ["x", "y"], bits=2).collect()
+    }
+
+    def morton(x, y):
+        out = 0
+        for i in range(2):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    assert got == {(x, y): morton(x, y) for x in range(4) for y in range(4)}
+
+    li = load_table(spark, sf001, "lineitem").select("l_partkey", "l_suppkey")
+    z = zorder_layout(li, ["l_partkey", "l_suppkey"], bits=8)
+    rows_z = [
+        (r.l_partkey, r.l_suppkey)
+        for r in z.orderBy("zkey", "l_partkey", "l_suppkey").collect()
+    ]
+    rows_s = [
+        (r.l_partkey, r.l_suppkey)
+        for r in li.orderBy("l_partkey", "l_suppkey").collect()
+    ]
+
+    def span_sum(rows, n_files=32):
+        per = max(1, len(rows) // n_files)
+        total = 0
+        for i in range(0, len(rows), per):
+            chunk = rows[i : i + per]
+            ys = [y for _, y in chunk]
+            total += max(ys) - min(ys)
+        return total
+
+    # secondary-dim spans: z-order must beat the single-column sort by a
+    # wide margin (suppkey is unconstrained within a partkey-sorted file)
+    assert span_sum(rows_z) < 0.5 * span_sum(rows_s)
