@@ -128,6 +128,7 @@ HEADLINE = [
     "x94_step_latency",
     "x95_zorder",
     "pipe_private_export",
+    "x96_media_curation",
     "x81_knn_join_arrow",
     "x64_mutual_information",
     "pipe_event_analytics",

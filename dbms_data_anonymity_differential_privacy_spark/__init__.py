@@ -141,6 +141,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import 
     audio_near_dup_pairs,
     image_dhash,
     image_near_dup_pairs,
+    media_curation_stats,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.utility import utility_accuracy
 from dbms_data_anonymity_differential_privacy_spark import pipelines
@@ -318,6 +319,7 @@ __all__ = [
     "utility_accuracy",
     "image_dhash",
     "image_near_dup_pairs",
+    "media_curation_stats",
     "audio_fingerprints",
     "audio_near_dup_pairs",
     "pipelines",

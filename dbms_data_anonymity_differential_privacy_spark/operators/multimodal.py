@@ -990,7 +990,11 @@ def extract_features(
                     try:
                         feats.append(decode_media(bytes(c), m))
                         errs.append(None)
-                    except (NotImplementedError, ValueError, IndexError, KeyError) as exc:
+                    except Exception as exc:  # noqa: BLE001 — quarantine
+                        # mode's whole contract: ANY per-blob decode
+                        # failure (format refusal, truncation
+                        # struct.error, zlib/wave errors, ...) becomes
+                        # one accounted row, never a task error
                         feats.append(None)
                         errs.append(f"{type(exc).__name__}: {exc}")
                 yield pd.DataFrame(
@@ -1196,3 +1200,56 @@ def audio_near_dup_pairs(media: DataFrame, max_hamming: int = 4) -> DataFrame:
     the energy-delta fingerprints. Same physical shape as image dedup:
     16 bytes/clip shuffle, one block join, map-only verification."""
     return hamming_pairs_64(audio_fingerprints(media), "media_id", "afp", max_hamming)
+
+
+def documents_as_mixed_media(docs: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """Adapter for quarantine-path testing at corpus scale: the same
+    deterministic BMP rendering as :func:`documents_as_bmp`, but every
+    50th document (doc_id % 50 == 3) is TRUNCATED to 10 bytes — a
+    deterministic stand-in for the corrupt/exotic blobs every real
+     100 TB media crawl contains."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        budget = width * height * 3
+        for pdf in batches:
+            blobs = []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                b = encode_bmp(width, height, t.encode("utf-8")[:budget].ljust(budget, b"\0"))
+                blobs.append(b[:10] if did % 50 == 3 else b)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "content": blobs,
+                    "mime": "image/bmp",
+                    "meta": [
+                        {"n_bytes": len(b), "checksum": hashlib.md5(b).hexdigest()}
+                        for b in blobs
+                    ],
+                }
+            )
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.util import fan_out
+
+    return fan_out(docs.select("doc_id", "text")).mapInPandas(run, MEDIA_SCHEMA)
+
+
+def media_curation_stats(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """X96 — the quarantine path end to end: decode every blob with
+    per-file skip accounting (:func:`extract_features` quarantine mode),
+    then roll up per (mime, outcome) — 'ok' or the error class — with
+    counts and byte volume. The dataset-card row a media-curation run
+    reports ("N decodable, M quarantined, of which K truncated...");
+    a failed blob costs one skipped row, never a task retry.
+
+    Shape: Arrow map-only decode, one (mime, outcome) partial-agg rollup.
+    """
+    feats = extract_features(media, batch_rows=batch_rows, quarantine=True)
+    outcome = F.when(F.col("error").isNull(), F.lit("ok")).otherwise(
+        F.regexp_extract(F.col("error"), r"^(\w+)", 1)
+    )
+    return feats.groupBy("mime", outcome.alias("outcome")).agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+    )

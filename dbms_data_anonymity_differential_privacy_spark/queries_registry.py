@@ -3309,6 +3309,22 @@ def x41_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fingerprints over real PCM16 WAV decode + the same shared pigeonhole
 # Hamming join as image dedup. Rows-only (no audio decode in DuckDB).
 # --------------------------------------------------------------------------
+@query("x96_media_curation")
+def x96_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X96 — media curation with quarantine accounting (rows-only: the
+    decode is Python-side): every 50th blob is deterministically
+    truncated, the quarantine decode skips it as one (mime, outcome)
+    row, and the rollup reports decodable vs quarantined counts + byte
+    volume — pytest pins the exact outcome split."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import (
+        documents_as_mixed_media,
+        media_curation_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return media_curation_stats(documents_as_mixed_media(docs))
+
+
 @query("x42_audio_pairs")
 def x42_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import (

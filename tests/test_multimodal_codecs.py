@@ -531,3 +531,24 @@ def test_extract_features_quarantine_progressive_jpeg(spark):
     # strict mode: the same corpus is a task error (curated-fixture posture)
     with pytest.raises(Exception, match="SOF0|PythonException"):
         extract_features(media).collect()
+
+
+def test_media_curation_stats_quarantine_split(spark, sf0001):
+    """x96: the mixed-media rollup reports exactly the planted corrupt
+    blobs (doc_id % 50 == 3) as quarantined and everything else as ok,
+    with byte volumes consistent with the blob sizes."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import (
+        documents_as_mixed_media,
+        media_curation_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf0001}/documents.parquet")
+    n = docs.count()
+    n_bad = docs.filter("doc_id % 50 = 3").count()
+    out = {r.outcome: (r.n_blobs, r.total_bytes) for r in
+           media_curation_stats(documents_as_mixed_media(docs)).collect()}
+    assert out["ok"][0] == n - n_bad
+    bad = {k: v for k, v in out.items() if k != "ok"}
+    assert sum(v[0] for v in bad.values()) == n_bad
+    assert all(v[1] == 10 * v[0] for v in bad.values())  # truncated to 10 bytes
+    assert out["ok"][1] == (n - n_bad) * (54 + 16 * 16 * 3)  # full BMPs

@@ -507,3 +507,40 @@ def test_mann_whitney_u_matches_bruteforce_any_data(spark, a_vals, b_vals):
     else:
         z = (u_brute - na * nb / 2.0) / math.sqrt(var)
         assert abs(r["z_r"] - z) <= 1e-6
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],
+    ),
+    f1=st.floats(0.05, 0.9),
+    f2=st.floats(0.05, 0.5),
+)
+@settings(**SETTINGS)
+def test_stratified_split_exact_quotas_any_data(spark, rows, f1, f2):
+    """x84 property: for ANY strata sizes and fractions (sum <= 1), every
+    stratum gets exactly floor(n*cum_k) rows through boundary k, the
+    remainder is NULL iff the fractions sum below 1, and assignment is a
+    function of the key alone (layout-independent by construction)."""
+    import math
+    from collections import Counter
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.sampling import (
+        stratified_split,
+    )
+
+    if f1 + f2 > 1.0:
+        f2 = 1.0 - f1
+    df = spark.createDataFrame(rows, "s string, k long").repartition(3)
+    out = stratified_split(df, ["s"], ["k"], [("x", f1), ("y", f2)], salt="h").collect()
+    n_by = Counter(r.s for r in out)
+    got = Counter((r.s, r.split) for r in out)
+    for s, n in n_by.items():
+        b1 = math.floor(n * f1)
+        b2 = math.floor(n * (f1 + f2))
+        assert got[(s, "x")] == b1
+        assert got[(s, "y")] == b2 - b1
+        assert got[(s, None)] == n - b2
