@@ -129,6 +129,7 @@ HEADLINE = [
     "x95_zorder",
     "pipe_private_export",
     "x96_media_curation",
+    "x97_delta_presence",
     "x81_knn_join_arrow",
     "x64_mutual_information",
     "pipe_event_analytics",

@@ -124,7 +124,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
     bound_contribution,
     dp_sum_user_level,
 )
-from dbms_data_anonymity_differential_privacy_spark.operators.metrics import k_map_audit
+from dbms_data_anonymity_differential_privacy_spark.operators.metrics import delta_presence_audit, k_map_audit
 from dbms_data_anonymity_differential_privacy_spark.operators.rollup import rollup_release
 from dbms_data_anonymity_differential_privacy_spark.operators.pseudonym import pseudonymize
 from dbms_data_anonymity_differential_privacy_spark.operators.generalize import (
@@ -310,6 +310,7 @@ __all__ = [
     "bound_contribution",
     "dp_sum_user_level",
     "k_map_audit",
+    "delta_presence_audit",
     "dp_marginals",
     "dp_synthesize",
     "dp_synthesize_chain",

@@ -337,3 +337,50 @@ def winsorize(
         F.least(F.greatest(F.col(value_col), F.col(lo_c)), F.col(hi_c)),
     )
     return clipped.drop(lo_c, hi_c)
+
+
+def delta_presence_audit(
+    population: DataFrame,
+    released: DataFrame,
+    qi: Sequence[str],
+    delta_min: float = 0.0,
+    delta_max: float = 1.0,
+) -> DataFrame:
+    """X97 — (δmin, δmax)-presence audit (Nergiz, Atzori & Clifton,
+    SIGMOD 2007): the MEMBERSHIP-disclosure companion to k-map (x35).
+    Where k-map asks "can a released record be re-identified?",
+    δ-presence asks "can an attacker who knows someone's QI infer whether
+    they are IN the released table at all?" — for each population QI
+    class, ``δ(c) = |released ∩ c| / |population ∩ c|`` is exactly that
+    inference probability; the release is safe iff every class keeps
+    ``δmin ≤ δ(c) ≤ δmax`` (δ near 1 discloses presence, δ near 0 —
+    when the release's existence implies eligibility — discloses
+    absence).
+
+    Same physical shape as k-map: both sides collapse to class-frequency
+    relations before a broadcast left join from the POPULATION side (the
+    attacker's view — a population class with no released member has
+    δ = 0, reported, not dropped). One exact division, rounded 9 dp.
+
+    Output: ``(*qi, n_pop, n_released, delta_r, violates)``.
+    """
+    if not 0.0 <= delta_min <= delta_max <= 1.0:
+        raise ValueError("need 0 <= delta_min <= delta_max <= 1")
+    pop = population.groupBy(*qi).agg(F.count(F.lit(1)).alias("n_pop"))
+    rel = released.groupBy(*qi).agg(F.count(F.lit(1)).alias("n_released"))
+    d = F.col("n_released").cast("double") / F.col("n_pop").cast("double")
+    return (
+        pop.join(F.broadcast(rel), on=list(qi), how="left")
+        .select(
+            *qi,
+            "n_pop",
+            F.coalesce(F.col("n_released"), F.lit(0)).cast("long").alias("n_released"),
+        )
+        .select(
+            *qi,
+            "n_pop",
+            "n_released",
+            F.round(d, 9).alias("delta_r"),
+            ((d < F.lit(delta_min)) | (d > F.lit(delta_max))).alias("violates"),
+        )
+    )

@@ -4844,6 +4844,52 @@ def x80_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X97 — (δmin, δmax)-presence audit (operators/metrics.py
+# delta_presence_audit): membership-disclosure risk per population QI
+# class, completing the privacy-model family (k-anon / l-div / t-close /
+# k-map / k^m / β-likeness / δ-presence). The released subset is the
+# engine's own deterministic 40% hash sample so the oracle reconstructs
+# it exactly.
+# --------------------------------------------------------------------------
+_X97_T40 = "66666666"  # _threshold_hex(0.4)
+
+
+@query(
+    "x97_delta_presence",
+    f"""
+    WITH rel AS (SELECT * FROM customer
+                 WHERE substr(md5(cast(c_custkey AS varchar) || '|x97'), 1, 8)
+                       < '{_X97_T40}'),
+    pop AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_pop
+            FROM customer GROUP BY 1, 2),
+    r AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_released
+          FROM rel GROUP BY 1, 2)
+    SELECT pop.c_nationkey, pop.c_mktsegment, pop.n_pop,
+           CAST(COALESCE(r.n_released, 0) AS BIGINT) AS n_released,
+           ROUND(CAST(COALESCE(r.n_released, 0) AS DOUBLE) / pop.n_pop, 9)
+             AS delta_r,
+           (CAST(COALESCE(r.n_released, 0) AS DOUBLE) / pop.n_pop < 0.15
+            OR CAST(COALESCE(r.n_released, 0) AS DOUBLE) / pop.n_pop > 0.6)
+             AS violates
+    FROM pop LEFT JOIN r USING (c_nationkey, c_mktsegment)
+    """,
+)
+def x97_delta_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """δ-presence of a deterministic 40% release of customer against the
+    full table, QI = (nationkey, mktsegment), bounds (0.15, 0.6)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.metrics import (
+        delta_presence_audit,
+    )
+    from dbms_data_anonymity_differential_privacy_spark.operators.sampling import hash_sample
+
+    c = load_table(spark, sf_dir, "customer")
+    released = hash_sample(c, ["c_custkey"], 0.4, salt="x97")
+    return delta_presence_audit(
+        c, released, ["c_nationkey", "c_mktsegment"], delta_min=0.15, delta_max=0.6
+    )
+
+
+# --------------------------------------------------------------------------
 # pipe_private_export — the privacy-aware export funnel: clean → PII
 # redaction (typed placeholders + per-doc accounting) → Gopher gate over
 # the REDACTED text → fingerprint dedup → shard rollup carrying

@@ -10,6 +10,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
     bound_contribution,
     dp_sum_user_level,
 )
+from dbms_data_anonymity_differential_privacy_spark import load_table
 from dbms_data_anonymity_differential_privacy_spark.operators.metrics import k_map_audit
 from dbms_data_anonymity_differential_privacy_spark.operators.rollup import rollup_release
 
@@ -161,3 +162,31 @@ def test_k_map_audit_validates_k(spark):
     df = spark.createDataFrame([("a", 1)], "qi string, rid long")
     with pytest.raises(ValueError):
         k_map_audit(df, df, ["qi"], k=0)
+
+
+def test_delta_presence_bounds_and_coverage(spark, sf001):
+    """x97: delta is exactly n_released/n_pop per population class; every
+    population class appears (zero-release classes report delta 0); the
+    violation flag matches the bounds."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.metrics import (
+        delta_presence_audit,
+    )
+    from dbms_data_anonymity_differential_privacy_spark.operators.sampling import hash_sample
+
+    c = load_table(spark, sf001, "customer")
+    released = hash_sample(c, ["c_custkey"], 0.3, salt="t97")
+    out = delta_presence_audit(
+        c, released, ["c_nationkey"], delta_min=0.1, delta_max=0.5
+    ).collect()
+    n_classes = c.select("c_nationkey").distinct().count()
+    assert len(out) == n_classes
+    for r in out:
+        assert 0 <= r.n_released <= r.n_pop
+        d = r.n_released / r.n_pop
+        assert abs(r.delta_r - d) < 1e-9
+        assert r.violates == (d < 0.1 or d > 0.5)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="delta_min"):
+        delta_presence_audit(c, released, ["c_nationkey"], 0.9, 0.2)
