@@ -327,3 +327,90 @@ def lag_features(
         (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_t)).alias("gap_seconds"),
         F.round(F.avg(value_col).over(w_roll), 9).alias("trail_mean_r"),
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    on: Sequence[str] | None = None,
+    bucket_us: int = 3_600_000_000,
+    prefix: str = "r_",
+) -> DataFrame:
+    """X98 — interval overlap join via bucket fragmentation (range join).
+
+    Emits one row per (left, right) interval pair that OVERLAPS:
+    ``l.start < r.end AND r.start < l.end`` (half-open ``[start, end)``
+    semantics — touching intervals do NOT overlap), optionally also
+    matching equi keys ``on``. Spark has no range-join operator; the
+    naive formulation is a cartesian (or key-only) join with the range
+    predicate as a post-filter — a row-pair blowup that dies at scale.
+
+    Spark-first design (the bin/fragment range-join technique warehouses
+    use for DATE/interval overlap joins): each interval is fragmented
+    map-side into the fixed-width time buckets it covers
+    (``explode(sequence(floor(start/w), floor((end-1)/w)))``), both
+    sides shuffle on ``(keys…, bucket)``, and the equi-join on the
+    bucket bounds candidate pairs to co-bucketed intervals only. A pair
+    sharing several buckets would match once per shared bucket; the
+    emit-once rule ``bucket == floor(greatest(l.start, r.start)/w)``
+    keeps exactly one copy WITHOUT a distinct shuffle (the first shared
+    bucket is a deterministic function of the pair). The true overlap
+    predicate filters inside the join stage.
+
+    At 100 TB: candidate volume = sum over buckets of |L_b|·|R_b| —
+    choose ``bucket_us`` near the median interval length so most
+    intervals fragment into 1-2 buckets; a small fragmented side
+    broadcasts (Catalyst decides), a big one rides SortMergeJoin on
+    8-byte bucket keys. A hot bucket (everything overlapping one hour)
+    is ordinary join skew — AQE skew-join splits it. Empty intervals
+    (``end <= start``) cover no bucket and emit nothing.
+
+    Output: all ``left`` columns + ``right`` columns prefixed with
+    ``prefix`` (equi keys kept once, unprefixed), plus ``overlap_us``
+    (exact integer microseconds of intersection).
+    """
+    if bucket_us <= 0:
+        raise ValueError("bucket_us must be positive")
+    keys = list(on or [])
+
+    def fragment(df: DataFrame, start: str, end: str) -> DataFrame:
+        s_us = F.unix_micros(F.col(start).cast("timestamp"))
+        e_us = F.unix_micros(F.col(end).cast("timestamp"))
+        frag = df.where(e_us > s_us).withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(s_us / F.lit(bucket_us)),
+                    F.floor((e_us - F.lit(1)) / F.lit(bucket_us)),
+                )
+            ),
+        )
+        return frag
+
+    lf = fragment(left, left_start, left_end).alias("l")
+    rf = fragment(right, right_start, right_end).alias("r")
+
+    cond = F.col("l.__bucket") == F.col("r.__bucket")
+    for k in keys:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+
+    l_s = F.unix_micros(F.col(f"l.{left_start}").cast("timestamp"))
+    l_e = F.unix_micros(F.col(f"l.{left_end}").cast("timestamp"))
+    r_s = F.unix_micros(F.col(f"r.{right_start}").cast("timestamp"))
+    r_e = F.unix_micros(F.col(f"r.{right_end}").cast("timestamp"))
+    overlap = (l_s < r_e) & (r_s < l_e)
+    emit_once = F.col("l.__bucket") == F.floor(
+        F.greatest(l_s, r_s) / F.lit(bucket_us)
+    )
+
+    joined = lf.join(rf, cond & overlap & emit_once, "inner")
+    right_cols = [c for c in right.columns if c not in keys]
+    return joined.select(
+        *[F.col(f"l.{c}") for c in left.columns],
+        *[F.col(f"r.{c}").alias(f"{prefix}{c}") for c in right_cols],
+        (F.least(l_e, r_e) - F.greatest(l_s, r_s)).alias("overlap_us"),
+    )

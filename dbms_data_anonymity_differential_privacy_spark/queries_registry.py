@@ -5462,6 +5462,79 @@ def x81_knn_join_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X98 — interval overlap join (operators/temporal.py interval_overlap_join):
+# the bucket-fragmentation range join. Sessions impacted by error-burst
+# hours; all-integer per-user rollup. Oracle = the literal inequality join.
+# --------------------------------------------------------------------------
+SESSIONS_CTE = """
+    e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    f AS (SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL '30 minutes'
+                      THEN 1 ELSE 0 END AS new_s
+          FROM e),
+    s AS (SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM f),
+    sess AS (SELECT user_id, MIN(ts) AS session_start,
+                    MAX(ts) + INTERVAL '30 minutes' AS session_end
+             FROM s GROUP BY user_id, sid)
+"""
+
+
+@query(
+    "x98_session_impact",
+    f"""
+    WITH {SESSIONS_CTE},
+    bursts AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
+                      CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL '1 hour' AS w_end
+               FROM events WHERE event_type = 'error'
+               GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+    pairs AS (SELECT sess.user_id, sess.session_start,
+                     epoch_us(LEAST(sess.session_end, b.w_end))
+                       - epoch_us(GREATEST(sess.session_start, b.w_start)) AS ov
+              FROM sess JOIN bursts b
+                ON sess.session_start < b.w_end AND b.w_start < sess.session_end)
+    SELECT user_id,
+           CAST(COUNT(DISTINCT session_start) AS BIGINT) AS n_impacted_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_burst_hits,
+           CAST(SUM(ov) AS BIGINT) AS overlap_us
+    FROM pairs GROUP BY user_id
+    """,
+)
+def x98_session_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which user sessions overlapped an error-burst hour, and for how
+    long: sessionize -> hourly burst windows (>= 5 errors) -> bucket-
+    fragmentation overlap join -> exact-integer per-user rollup."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+    from dbms_data_anonymity_differential_privacy_spark.streaming.sessions import sessionize_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    sessions = sessionize_batch(ev, gap="30 minutes")
+    hour = F.date_trunc("hour", F.col("ts"))
+    bursts = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(hour.alias("w_start"))
+        .agg(F.count(F.lit(1)).alias("n_err"))
+        .filter(F.col("n_err") >= 5)
+        .select("w_start", (F.col("w_start") + F.expr("INTERVAL 1 HOUR")).alias("w_end"))
+    )
+    pairs = interval_overlap_join(
+        sessions, bursts, "session_start", "session_end", "w_start", "w_end",
+        bucket_us=3_600_000_000,
+    )
+    return pairs.groupBy("user_id").agg(
+        F.countDistinct("session_start").alias("n_impacted_sessions"),
+        F.count(F.lit(1)).alias("n_burst_hits"),
+        F.sum("overlap_us").alias("overlap_us"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
 # every r3-window query now holds a driver row and rotates out. This

@@ -159,3 +159,93 @@ def test_vocab_stats_order_and_df(spark):
         ("banana", 2, 2),
         ("cherry", 1, 1),
     ]
+
+
+# ---------------------------------------------------------------------------
+# X98 interval overlap join (bucket-fragmentation range join). The oracle
+# gate (x98_session_impact) checks the composed rollup; these pin the pair
+# semantics the rollup hides: half-open boundaries, emit-once dedup across
+# shared buckets, empty-interval exclusion, keyed matching, and the plan.
+# ---------------------------------------------------------------------------
+
+def _iv(spark, rows, start="s", end="e"):
+    return spark.createDataFrame(
+        [(i, _ts(a), _ts(b)) for i, (a, b) in enumerate(rows)],
+        f"id long, {start} timestamp, {end} timestamp",
+    )
+
+
+def _brute_overlap(a_rows, b_rows):
+    out = set()
+    for i, (as_, ae) in enumerate(a_rows):
+        for j, (bs, be) in enumerate(b_rows):
+            if _ts(as_) < _ts(be) and _ts(bs) < _ts(ae):
+                out.add((i, j))
+    return out
+
+
+def test_overlap_join_matches_bruteforce_multibucket(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.temporal import interval_overlap_join
+
+    # spans from sub-bucket to 5-bucket, arbitrary alignment
+    a = [
+        ("2024-01-01 00:10:00", "2024-01-01 00:20:00"),
+        ("2024-01-01 00:50:00", "2024-01-01 03:10:00"),  # 4 buckets
+        ("2024-01-01 02:00:00", "2024-01-01 02:00:01"),
+        ("2024-01-01 23:00:00", "2024-01-02 04:00:00"),  # crosses midnight
+    ]
+    b = [
+        ("2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+        ("2024-01-01 01:30:00", "2024-01-01 02:30:00"),
+        ("2024-01-02 00:00:00", "2024-01-02 01:00:00"),
+        ("2024-01-01 00:15:00", "2024-01-01 00:16:00"),
+    ]
+    got = interval_overlap_join(
+        _iv(spark, a), _iv(spark, b, "bs", "be"), "s", "e", "bs", "be"
+    )
+    pairs = {(r["id"], r["r_id"]) for r in got.collect()}
+    assert pairs == _brute_overlap(a, b)
+    # each overlapping pair appears EXACTLY once despite shared buckets
+    assert got.count() == len(pairs)
+
+
+def test_overlap_join_halfopen_touching_and_empty(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.temporal import interval_overlap_join
+
+    a = [("2024-01-01 01:00:00", "2024-01-01 02:00:00"),
+         ("2024-01-01 03:00:00", "2024-01-01 03:00:00")]  # empty interval
+    b = [("2024-01-01 02:00:00", "2024-01-01 03:00:00"),  # touches a0: NO overlap
+         ("2024-01-01 01:59:59", "2024-01-01 02:00:01"),
+         ("2024-01-01 02:59:00", "2024-01-01 03:59:00")]  # would cover a1 if nonempty
+    got = interval_overlap_join(
+        _iv(spark, a), _iv(spark, b, "bs", "be"), "s", "e", "bs", "be"
+    ).collect()
+    assert {(r["id"], r["r_id"]) for r in got} == {(0, 1)}
+    assert got[0]["overlap_us"] == 1_000_000  # [01:59:59, 02:00:00)
+
+
+def test_overlap_join_keys_and_overlap_us(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.temporal import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [("u1", _ts("2024-01-01 01:00:00"), _ts("2024-01-01 02:00:00")),
+         ("u2", _ts("2024-01-01 01:00:00"), _ts("2024-01-01 02:00:00"))],
+        "k string, s timestamp, e timestamp",
+    )
+    b = spark.createDataFrame(
+        [("u1", _ts("2024-01-01 01:30:00"), _ts("2024-01-01 02:30:00")),
+         ("u3", _ts("2024-01-01 01:30:00"), _ts("2024-01-01 02:30:00"))],
+        "k string, bs timestamp, be timestamp",
+    )
+    got = interval_overlap_join(a, b, "s", "e", "bs", "be", on=["k"]).collect()
+    assert len(got) == 1 and got[0]["k"] == "u1"
+    assert got[0]["overlap_us"] == 30 * 60 * 1_000_000
+
+
+def test_overlap_join_plan_no_cartesian(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.temporal import interval_overlap_join
+
+    a = _iv(spark, [("2024-01-01 01:00:00", "2024-01-01 02:00:00")])
+    b = _iv(spark, [("2024-01-01 01:30:00", "2024-01-01 02:30:00")], "bs", "be")
+    plan = interval_overlap_join(a, b, "s", "e", "bs", "be")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
