@@ -218,3 +218,75 @@ def repetition_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
         "dup_token_frac",
         F.round(top_c / (F.col("n_tokens") - 1), 9).alias("top_bigram_frac"),
     )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X99 — top-``k`` TF-IDF keyword terms per document.
+
+    The per-document salience primitive of corpus curation (topical
+    filtering, keyword-facet search, dataset cards): score each term by
+    ``tf · ln((N+1)/(df+1))`` (the +1-smoothed idf) and keep each doc's
+    ``k`` highest-scoring terms.
+
+    Scale shape:
+
+    - ``tf`` is the canonical word-count shuffle: explode → partial
+      aggregation on ``(doc, token)`` — hot tokens collapse map-side, the
+      exchange carries near-distinct (doc, token) pairs.
+    - ``df`` re-aggregates that (doc, token) relation by token — a second,
+      much smaller shuffle (vocab-sized output).
+    - idf is NEVER computed by the JVM: the distinct document-frequency
+      VALUES (a metadata-sized set — integer counts under a heavy-tailed
+      distribution, bounded by the number of distinct class sizes, the
+      x23 log-table precedent) are collected once and the C-libm
+      ``math.log`` literals broadcast back, so the scores match DuckDB's
+      libm ``ln`` bit-for-bit.
+    - Per-doc top-k is ``row_number() <= k`` over (score desc, term asc —
+      ties after 6-dp rounding are broken textually on both engines),
+      which compiles to a map-side WindowGroupLimit partial: the final
+      doc-keyed exchange carries at most ~k·docs rows.
+
+    Output: ``(id_col, term, tf, df_docs, tfidf_r, rnk)``.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), WS)
+    e = (
+        fan_out(df)
+        .select(F.col(id_col), F.explode_outer(toks).alias("term"))
+        .where(F.col("term").isNotNull() & (F.col("term") != ""))
+    )
+    tf = e.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # persisted: backs the df-frequency aggregation, the distinct-value
+    # collect, and the score join without re-running the explode shuffle
+    tf.persist()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = tf.select(id_col).distinct().count()
+    vals = sorted(
+        int(r["df_docs"]) for r in dfreq.select("df_docs").distinct().collect()
+    )
+    spark = df.sparkSession
+    logtab = spark.createDataFrame(
+        [(v, math.log((n_docs + 1.0) / (v + 1.0))) for v in vals],
+        "df_docs long, __idf double",
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(logtab), "df_docs")
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            "df_docs",
+            F.round(F.col("tf") * F.col("__idf"), 6).alias("tfidf_r"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf_r"), F.asc("term"))
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)

@@ -5535,6 +5535,39 @@ def x98_session_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X99 — per-document TF-IDF keywords (operators/text.py tfidf_topk):
+# word-count shuffle + vocab-sized df agg + broadcast driver-libm idf
+# table + map-side WindowGroupLimit top-k. Oracle mirrors the exact
+# smoothing/rounding/tie conventions.
+# --------------------------------------------------------------------------
+@query(
+    "x99_tfidf_topk",
+    """
+    WITH toks AS (SELECT doc_id,
+                         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           WHERE term <> '' GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (SELECT tf.doc_id, tf.term, tf.tf, d.df_docs,
+                      ROUND(tf.tf * ln((n.n_docs + 1.0) / (d.df_docs + 1.0)), 6) AS tfidf_r
+               FROM tf JOIN dfreq d USING (term) CROSS JOIN n),
+    r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY tfidf_r DESC, term) AS INTEGER) AS rnk
+          FROM scored)
+    SELECT doc_id, term, tf, df_docs, tfidf_r, rnk FROM r WHERE rnk <= 5
+    """,
+)
+def x99_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keyword terms per document."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import tfidf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_topk(docs, k=5)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
 # every r3-window query now holds a driver row and rotates out. This

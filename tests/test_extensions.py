@@ -1743,3 +1743,50 @@ def test_streaming_rolling_anomaly_matches_batch_closed_buckets(spark, sf0001, t
         else:
             assert abs(gz - z) < 1e-9 and ga == a
     assert len(batch) > 50
+
+
+def test_tfidf_topk_crafted_scores_and_ties(spark):
+    """X99: hand-computed tf·ln((N+1)/(df+1)) on a 3-doc corpus, rounding
+    ties broken by term text, rank capped at k."""
+    import math
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "apple cherry"),
+            (3, "banana cherry cherry date"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, k=2)
+    rows = {(r.doc_id, r.term): r for r in out.collect()}
+    n = 3
+    idf = lambda df_: math.log((n + 1.0) / (df_ + 1.0))
+    # doc 1: apple tf=2 df=2, banana tf=1 df=2 — apple wins, banana second
+    assert rows[(1, "apple")].rnk == 1
+    assert rows[(1, "apple")].tfidf_r == round(2 * idf(2), 6)
+    assert rows[(1, "banana")].rnk == 2
+    # doc 2: apple and cherry both tf=1 df=2 — tie broken by term asc
+    assert rows[(2, "apple")].rnk == 1 and rows[(2, "cherry")].rnk == 2
+    # doc 3: date (tf=1, df=1 -> ln 2 = 0.693) outranks cherry
+    # (tf=2, df=2 -> 2·ln(4/3) = 0.575) — rarity beats raw frequency
+    assert rows[(3, "date")].rnk == 1
+    assert rows[(3, "date")].tfidf_r == round(idf(1), 6)
+    assert rows[(3, "cherry")].rnk == 2
+    assert len([k for k in rows if k[0] == 3]) == 2
+
+
+def test_tfidf_topk_plan_map_side_window_limit(spark, sf001):
+    """The per-doc top-k must compile to a WindowGroupLimit Partial below
+    the window exchange (x66 convention) — not a full per-doc sort."""
+    import re
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import tfidf_topk
+    from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf001, "documents")
+    p = tfidf_topk(docs, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"WindowGroupLimit.*Partial", p)
+    assert "CartesianProduct" not in p

@@ -107,7 +107,7 @@ NEW_THIS_ROUND: set[str] = {
     "x90_linear_attribution", "x91_winsorize",
     "x92_user_growth", "x94_step_latency",
     "x95_zorder", "pipe_private_export",
-    "x97_delta_presence", "x98_session_impact",
+    "x97_delta_presence", "x98_session_impact", "x99_tfidf_topk",
 }
 
 
