@@ -384,3 +384,58 @@ def delta_presence_audit(
             ((d < F.lit(delta_min)) | (d > F.lit(delta_max))).alias("violates"),
         )
     )
+
+
+def qi_uniqueness_search(df: DataFrame, qi_cols: Sequence[str]) -> DataFrame:
+    """X100 — re-identification risk screen over EVERY quasi-identifier
+    subset at once (SUDA-style minimal-unique discovery, Elliot et al.;
+    the lattice the Samarati search in X38 walks level by level).
+
+    Before releasing a table, the disclosure question is not "is THIS QI
+    set risky" but "which combination of attributes is": each of the
+    ``2^m - 1`` non-empty subsets of ``qi_cols`` gets its class-size
+    census — class count, singleton (sample-unique) count, min/max class
+    size, uniqueness rate.
+
+    Spark-first shape: ONE ``cube()`` aggregation computes all subsets in
+    a single pass — one Expand (×2^m fan-out, the x33 rollup lever) + one
+    partial-agg shuffle of (qi values, subset flags); fact rows are never
+    rescanned per subset. The subset census is a second, kilobyte-sized
+    aggregation over the class relation. ``m`` is bounded by the QI list
+    (an analyst-chosen handful) — the 2^m fan-out is a deliberate,
+    disclosed cost, linear in it.
+
+    Grouping flags disambiguate aggregated-out columns from genuine NULL
+    data values; the released ``qi_subset`` label is built from them with
+    NULL-skipping ``concat_ws`` (identical semantics on the DuckDB twin).
+
+    Output: ``(qi_subset, n_cols, n_classes, n_singletons,
+    min_class_size, max_class_size, uniqueness_r)``.
+    """
+    qi = list(qi_cols)
+    if not qi:
+        raise ValueError("qi_cols must be non-empty")
+    m = len(qi)
+    label = F.concat_ws(
+        ",", *[F.when(F.grouping(c) == 0, F.lit(c)) for c in qi]
+    )
+    n_grouped = sum(F.grouping(c).cast("int") for c in qi)
+    classes = (
+        df.cube(*qi)
+        .agg(
+            label.alias("qi_subset"),
+            n_grouped.alias("__ng"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .where(F.col("__ng") < m)
+    )
+    return classes.groupBy("qi_subset").agg(
+        (F.lit(m) - F.first("__ng")).cast("int").alias("n_cols"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("__n") == 1, 1).otherwise(0)).alias("n_singletons"),
+        F.min("__n").alias("min_class_size"),
+        F.max("__n").alias("max_class_size"),
+        F.round(
+            F.sum(F.when(F.col("__n") == 1, 1).otherwise(0)) / F.sum("__n"), 6
+        ).alias("uniqueness_r"),
+    )

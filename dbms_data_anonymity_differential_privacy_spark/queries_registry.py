@@ -5568,6 +5568,43 @@ def x99_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X100 — QI-subset uniqueness search (operators/metrics.py
+# qi_uniqueness_search): SUDA-style lattice screen — every non-empty QI
+# subset's class census from ONE cube() pass (single Expand + partial
+# agg, the x33 lever). GROUPING() flags + NULL-skipping concat_ws keep
+# both engines' subset labels identical.
+# --------------------------------------------------------------------------
+@query(
+    "x100_qi_search",
+    f"""
+    WITH {BINNED_CUSTOMER_CTE},
+    g AS (SELECT GROUPING(c_nationkey) AS g1, GROUPING(c_mktsegment) AS g2,
+                 GROUPING(acctbal_bin) AS g3, COUNT(*) AS n
+          FROM binned GROUP BY CUBE (c_nationkey, c_mktsegment, acctbal_bin)),
+    lab AS (SELECT concat_ws(',',
+                       CASE WHEN g1 = 0 THEN 'c_nationkey' END,
+                       CASE WHEN g2 = 0 THEN 'c_mktsegment' END,
+                       CASE WHEN g3 = 0 THEN 'acctbal_bin' END) AS qi_subset,
+                   g1 + g2 + g3 AS ng, n
+            FROM g WHERE g1 + g2 + g3 < 3)
+    SELECT qi_subset, CAST(3 - MIN(ng) AS INT) AS n_cols,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+           MIN(n) AS min_class_size, MAX(n) AS max_class_size,
+           ROUND(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0
+                 / CAST(SUM(n) AS BIGINT), 6) AS uniqueness_r
+    FROM lab GROUP BY qi_subset
+    """,
+)
+def x100_qi_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-size census of every non-empty customer-QI subset."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.metrics import qi_uniqueness_search
+
+    b = binned_customer(spark, sf_dir)
+    return qi_uniqueness_search(b, CUST_QI)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
 # every r3-window query now holds a driver row and rotates out. This

@@ -90,3 +90,25 @@ class TestKmAnonymity:
         df = spark.createDataFrame([(1, "a")], "u long, item string")
         with _pytest.raises(ValueError):
             km_anonymity_audit(df, "u", "item", m=3)
+
+
+def test_qi_uniqueness_search_crafted(spark):
+    """X100: hand-checked subset census on a 5-row table, including a
+    genuine NULL data value kept distinct from aggregated-out columns."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.metrics import qi_uniqueness_search
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 1), (None, 1)],
+        "x string, y int",
+    )
+    out = {r.qi_subset: r for r in qi_uniqueness_search(df, ["x", "y"]).collect()}
+    assert set(out) == {"x", "y", "x,y"}
+    # subset {x}: classes a(3), b(1), NULL(1) -> 2 singletons
+    assert out["x"].n_classes == 3 and out["x"].n_singletons == 2
+    assert out["x"].min_class_size == 1 and out["x"].max_class_size == 3
+    assert out["x"].uniqueness_r == round(2 / 5, 6)
+    # subset {y}: 1(4), 2(1)
+    assert out["y"].n_classes == 2 and out["y"].n_singletons == 1
+    # subset {x,y}: (a,1)x2, (a,2), (b,1), (NULL,1) -> 3 singletons
+    assert out["x,y"].n_classes == 4 and out["x,y"].n_singletons == 3
+    assert out["x,y"].n_cols == 2 and out["x"].n_cols == 1

@@ -345,3 +345,13 @@ def test_bm25_many_single_scan_partial_window_limit(plans):
     assert "pythonUDF" not in p
     assert re.search(r"WindowGroupLimit.*Partial", p)
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+
+
+def test_qi_search_single_cube_pass(plans):
+    """x100: ALL 2^m QI subsets come from ONE cube() Expand + partial-agg
+    shuffle (the x33 lever) + a kilobyte re-agg — never a per-subset
+    groupBy+union over the fact table."""
+    p = plans["x100_qi_search"]
+    assert len(re.findall(r"\bExpand\b", p)) == 1
+    # one scan of customer for the cube; binning's min/max pass is separate
+    assert p.count("CartesianProduct") == 0
