@@ -349,3 +349,52 @@ def beta_likeness_audit(
         F.round(F.max("__gain"), ROUND_DP).alias("max_gain_r"),
     )
     return out.withColumn("violates", F.col("max_gain_r") > F.lit(float(beta)))
+
+
+def ak_anonymity_audit(
+    df: DataFrame,
+    qi: Sequence[str],
+    sensitive: str,
+    k: int = 5,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """X101 — (alpha, k)-anonymity audit (Wong et al., PAKDD 2006).
+
+    The k-anonymity refinement that predates l-diversity: every QI class
+    must have size >= k AND no single sensitive value may dominate a
+    class — its in-class frequency must satisfy ``count(s) <= alpha *
+    class_size``. (k alone permits a class of 50 rows that ALL share one
+    diagnosis; alpha caps the homogeneity attack directly.)
+
+    Output per class: ``(*qi, class_size, max_sens_count, max_share_r,
+    k_ok, alpha_ok, ak_ok)`` — the dominant sensitive value's count and
+    6-dp share, plus the three verdicts. The alpha comparison runs on
+    exact integers vs one IEEE product (``max_count <= alpha *
+    class_size`` — one double multiply, bit-identical across engines);
+    the rounded share is released for reporting only.
+
+    Physical shape (the x39/x51 counts-relation convention): ONE fact
+    aggregation to the (class, sensitive, count) relation; class size
+    and the dominant count come from re-aggregating that slim relation —
+    fact rows are touched exactly once.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    counts = df.groupBy(*qi, sensitive).agg(F.count(F.lit(1)).alias("__c"))
+    per_class = counts.groupBy(*qi).agg(
+        F.sum("__c").alias("class_size"),
+        F.max("__c").alias("max_sens_count"),
+    )
+    k_ok = F.col("class_size") >= k
+    alpha_ok = F.col("max_sens_count") <= F.lit(float(alpha)) * F.col("class_size")
+    return per_class.select(
+        *qi,
+        "class_size",
+        "max_sens_count",
+        F.round(F.col("max_sens_count") / F.col("class_size"), 6).alias("max_share_r"),
+        k_ok.alias("k_ok"),
+        alpha_ok.alias("alpha_ok"),
+        (k_ok & alpha_ok).alias("ak_ok"),
+    )

@@ -5605,6 +5605,38 @@ def x100_qi_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X101 — (alpha, k)-anonymity audit (operators/tcloseness.py
+# ak_anonymity_audit, Wong et al. PAKDD 2006): k-anonymity + per-class
+# sensitive-dominance cap. Counts-relation algebra (x39/x51 shape).
+# --------------------------------------------------------------------------
+@query(
+    "x101_ak_anonymity",
+    f"""
+    WITH {BINNED_CUSTOMER_CTE},
+    counts AS (SELECT c_nationkey, acctbal_bin, c_mktsegment, COUNT(*) AS c
+               FROM binned GROUP BY 1, 2, 3),
+    cls AS (SELECT c_nationkey, acctbal_bin,
+                   CAST(SUM(c) AS BIGINT) AS class_size,
+                   MAX(c) AS max_sens_count
+            FROM counts GROUP BY 1, 2)
+    SELECT c_nationkey, acctbal_bin, class_size, max_sens_count,
+           ROUND(max_sens_count * 1.0 / class_size, 6) AS max_share_r,
+           class_size >= 5 AS k_ok,
+           max_sens_count <= 0.5 * class_size AS alpha_ok,
+           (class_size >= 5 AND max_sens_count <= 0.5 * class_size) AS ak_ok
+    FROM cls
+    """,
+)
+def x101_ak_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(alpha=0.5, k=5) audit of customer classes on (nation, acctbal bin)
+    with mktsegment as the sensitive attribute."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import ak_anonymity_audit
+
+    b = binned_customer(spark, sf_dir)
+    return ak_anonymity_audit(b, ["c_nationkey", "acctbal_bin"], "c_mktsegment", k=5, alpha=0.5)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
 # every r3-window query now holds a driver row and rotates out. This

@@ -171,3 +171,35 @@ def test_entropy_l_diversity(spark):
     # under the rounded >= comparison
     kept4 = {r.g for r in entropy_l_diversity_filter(df, ["g"], "s", l=4).collect()}
     assert kept4 == {"U"}
+
+
+def test_ak_anonymity_audit_crafted(spark):
+    """X101: a big homogeneous class fails alpha while passing k; a small
+    diverse class fails k while passing alpha; a balanced class passes."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import ak_anonymity_audit
+
+    rows = (
+        [("g1", "flu")] * 6                      # size 6, all one value
+        + [("g2", "flu"), ("g2", "cold")]        # size 2, balanced
+        + [("g3", "flu")] * 3 + [("g3", "cold")] * 3  # size 6, 50/50
+    )
+    df = spark.createDataFrame(rows, "q string, s string")
+    out = {r.q: r for r in ak_anonymity_audit(df, ["q"], "s", k=5, alpha=0.5).collect()}
+    assert out["g1"].k_ok and not out["g1"].alpha_ok and not out["g1"].ak_ok
+    assert out["g1"].max_share_r == 1.0
+    assert not out["g2"].k_ok and out["g2"].alpha_ok and not out["g2"].ak_ok
+    # alpha boundary: max count 3 == 0.5 * 6 exactly -> ok (<=)
+    assert out["g3"].k_ok and out["g3"].alpha_ok and out["g3"].ak_ok
+    assert out["g3"].max_share_r == 0.5
+
+
+def test_ak_anonymity_validation(spark):
+    import pytest
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import ak_anonymity_audit
+
+    df = spark.createDataFrame([("a", "b")], "q string, s string")
+    with pytest.raises(ValueError):
+        ak_anonymity_audit(df, ["q"], "s", k=0)
+    with pytest.raises(ValueError):
+        ak_anonymity_audit(df, ["q"], "s", alpha=1.5)
