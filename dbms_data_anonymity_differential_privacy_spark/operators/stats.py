@@ -842,3 +842,82 @@ def cusum_changepoints(
         ((F.col("s_pos") >= th) & (prev_p < th))
         | ((F.col("s_neg") >= th) & (prev_n < th)),
     )
+
+
+def copurchase_lift(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    top_k: int = 50,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """X102 — market-basket association pairs: co-occurrence count,
+    support, and lift for the ``top_k`` most frequent item pairs.
+
+    The classic recommender/affinity primitive (Agrawal & Srikant's
+    frequent-2-itemsets with lift scoring): for items a < b,
+    ``lift = N · c_ab / (c_a · c_b)`` where N is the basket count — the
+    factor by which co-purchase exceeds independence.
+
+    Scale shape: fact rows collapse FIRST to the distinct
+    (basket, item) relation (the x70 k^m-anonymity move), and the pair
+    generator is a self-equi-join on the basket key — candidate volume
+    is sum over baskets of size², bounded by the largest basket, never
+    |items|². A pathological mega-basket (retail "NULL customer", a
+    crawler's catch-all bucket) makes that quadratic: ``max_basket_size``
+    drops baskets above the cap before pairing (standard market-basket
+    hygiene; dropped baskets simply don't vote). Item totals re-aggregate
+    the same slim relation and broadcast back onto the pair counts
+    (dimension-sized). Lift telescopes to exact int64 products and ONE
+    IEEE division (the x51 convention), released at 6 dp; top-k goes
+    through TakeOrderedAndProject with a total (count desc, a, b) order.
+
+    Output: ``(item_a, item_b, pair_count, lift_r)``.
+    """
+    items = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    if max_basket_size is not None:
+        sizes = items.groupBy("__b").agg(F.count(F.lit(1)).alias("__sz"))
+        items = (
+            items.join(sizes, "__b")
+            .where(F.col("__sz") <= max_basket_size)
+            .drop("__sz")
+        )
+    items.persist()
+    n_baskets = items.select("__b").distinct().agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    item_counts = items.groupBy("__i").agg(F.count(F.lit(1)).alias("__ci"))
+    a = items.select("__b", F.col("__i").alias("item_a"))
+    b = items.select("__b", F.col("__i").alias("item_b"))
+    pairs = (
+        a.join(b, "__b")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(item_counts.select(F.col("__i").alias("item_a"), F.col("__ci").alias("__ca"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(item_counts.select(F.col("__i").alias("item_b"), F.col("__ci").alias("__cb"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_count",
+            F.round(
+                (F.col("pair_count") * F.col("__n"))
+                / (F.col("__ca") * F.col("__cb")),
+                6,
+            ).alias("lift_r"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pair_count"), F.asc("item_a"), F.asc("item_b")
+    ).limit(top_k)

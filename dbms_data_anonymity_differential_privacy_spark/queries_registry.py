@@ -5637,6 +5637,37 @@ def x101_ak_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X102 — co-purchase association pairs (operators/stats.py
+# copurchase_lift): distinct (order, part) collapse -> basket-keyed
+# self-join -> exact-integer lift, top-k via TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+@query(
+    "x102_copurchase",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT b) AS nb FROM items),
+    ic AS (SELECT i, COUNT(*) AS ci FROM items GROUP BY 1),
+    pairs AS (SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS pair_count
+              FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+              GROUP BY 1, 2)
+    SELECT item_a, item_b, pair_count,
+           ROUND((pair_count * n.nb) * 1.0 / (ca.ci * cb.ci), 6) AS lift_r
+    FROM pairs
+    JOIN ic ca ON ca.i = pairs.item_a
+    JOIN ic cb ON cb.i = pairs.item_b
+    CROSS JOIN n
+    ORDER BY pair_count DESC, item_a, item_b LIMIT 50
+    """,
+)
+def x102_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 co-purchased part pairs across orders, with lift."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import copurchase_lift
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return copurchase_lift(li, "l_orderkey", "l_partkey", top_k=50)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
 # every r3-window query now holds a driver row and rotates out. This

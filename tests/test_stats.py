@@ -343,3 +343,39 @@ class TestCusum:
         crossings = [r for r in out if r.is_change]
         assert len(crossings) == 1  # alarm once, at the crossing bucket
         assert crossings[0].s_pos >= 15
+
+
+def test_copurchase_lift_crafted(spark):
+    """X102: hand-computed lift on 4 baskets; duplicate (basket, item)
+    rows collapse before pairing."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import copurchase_lift
+
+    rows = [
+        (1, "x"), (1, "y"), (1, "y"),   # dup (1,y) must not double-count
+        (2, "x"), (2, "y"),
+        (3, "x"),
+        (4, "z"),
+    ]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = {(r.item_a, r.item_b): r for r in
+           copurchase_lift(df, "b", "i", top_k=10).collect()}
+    assert set(out) == {("x", "y")}
+    r = out[("x", "y")]
+    # c_xy=2, N=4, c_x=3, c_y=2 -> lift = 2*4/(3*2) = 1.333333
+    assert r.pair_count == 2
+    assert r.lift_r == round(2 * 4 / (3 * 2), 6)
+
+
+def test_copurchase_mega_basket_cap(spark):
+    """max_basket_size drops the catch-all basket before the quadratic
+    pair stage; remaining counts exclude it entirely."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import copurchase_lift
+
+    rows = [(1, "a"), (1, "b")] + [(9, f"i{j}") for j in range(20)] + [(9, "a"), (9, "b")]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = copurchase_lift(df, "b", "i", top_k=100, max_basket_size=5).collect()
+    assert {(r.item_a, r.item_b) for r in out} == {("a", "b")}
+    r = out[0]
+    assert r.pair_count == 1  # basket 9 dropped
+    # N counts only surviving baskets: 1 -> lift = 1*1/(1*1) = 1
+    assert r.lift_r == 1.0
