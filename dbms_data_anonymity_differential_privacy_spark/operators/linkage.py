@@ -181,3 +181,52 @@ def linkage_attack_audit(
             9,
         ).alias("avg_risk"),
     )
+
+
+def resolve_entities(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    max_distance: int = 1,
+) -> DataFrame:
+    """X103 — entity resolution: fuzzy duplicate records collapse into
+    entities with a canonical representative.
+
+    The composite every master-data / customer-360 pipeline runs:
+    (1) candidate matching — FastSS deletion-neighborhood pairs within
+    levenshtein ``max_distance`` (exact, full recall; the X31 operator,
+    candidate-bound not block-bound); (2) transitive closure — the
+    bounded-iteration min-label propagation of X3's corpus dedup (ids
+    only ever shuffle); (3) canonical selection — the entity label IS
+    the minimum member id, so the representative lookup is a filter
+    (``id == entity_id``), not an argmin pass.
+
+    Records whose value matches nothing form singleton entities (their
+    own id). Output: ``(entity_id, n_records, canonical_value)`` — one
+    row per entity; ``sum(n_records)`` always equals the input rowcount
+    (pinned in tests).
+
+    Scale: the only fact-row pass is the slim (id, value) projection;
+    pairs and labels are id-relations; the closure converges in
+    O(component diameter) rounds (duplicate clusters are shallow).
+    """
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import connected_components
+
+    if max_distance != 1:
+        raise NotImplementedError(
+            "FastSS neighborhood generation is implemented for distance 1 "
+            "(deletion variants); use fuzzy_pairs() blocking for larger radii"
+        )
+    pairs = fuzzy_pairs_fastss(df, value_col, id_col)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    ids = df.select(F.col(id_col).alias("id"), F.col(value_col).alias("__v"))
+    labeled = ids.join(comp, "id", "left").select(
+        "id", "__v", F.coalesce("comp", F.col("id")).alias("entity_id")
+    )
+    ents = labeled.groupBy("entity_id").agg(F.count(F.lit(1)).alias("n_records"))
+    canon = labeled.where(F.col("id") == F.col("entity_id")).select(
+        "entity_id", F.col("__v").alias("canonical_value")
+    )
+    return ents.join(canon, "entity_id").select(
+        "entity_id", "n_records", "canonical_value"
+    )

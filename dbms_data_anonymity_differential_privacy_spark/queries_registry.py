@@ -5668,6 +5668,47 @@ def x102_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X103 — entity resolution (operators/linkage.py resolve_entities):
+# FastSS fuzzy pairs -> min-label connected components -> canonical =
+# the min-id member. Oracle: brute-force lev<=1 pairs + WITH RECURSIVE
+# closure (x31 + x03_cc twins composed).
+# --------------------------------------------------------------------------
+@query(
+    "x103_entities",
+    """
+    WITH RECURSIVE s AS (SELECT c_custkey AS id, c_name AS v FROM customer
+                         WHERE c_custkey % 7 = 0),
+    pe AS (SELECT a.id AS id_a, b.id AS id_b
+           FROM s a JOIN s b ON a.id < b.id
+           WHERE levenshtein(a.v, b.v) <= 1),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pe
+            UNION ALL SELECT id_b AS a, id_a AS b FROM pe),
+    reach(id, anc) AS (SELECT DISTINCT a AS id, a AS anc FROM sym
+                       UNION
+                       SELECT sy.b AS id, r.anc FROM reach r JOIN sym sy ON sy.a = r.id),
+    comp AS (SELECT id, MIN(anc) AS comp FROM reach GROUP BY id),
+    lab AS (SELECT s.id, s.v, COALESCE(comp.comp, s.id) AS entity_id
+            FROM s LEFT JOIN comp ON comp.id = s.id)
+    SELECT e.entity_id, e.n_records, c.v AS canonical_value
+    FROM (SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_records
+          FROM lab GROUP BY 1) e
+    JOIN lab c ON c.id = e.entity_id
+    """,
+)
+def x103_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer entities: names within levenshtein 1 merge transitively;
+    the canonical record is the minimum custkey member. Run over the
+    custkey%7 slice: the synthetic corpus's sequential names otherwise
+    chain the WHOLE table into one lev-1 component (a degenerate demo —
+    real dirty data has sparse near-dup clusters, which the slice
+    reproduces: 84 entities, max cluster 8 at sf0.01)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.linkage import resolve_entities
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 == 0)
+    return resolve_entities(c, "c_name", "c_custkey")
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
 # every r3-window query now holds a driver row and rotates out. This

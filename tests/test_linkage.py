@@ -128,3 +128,36 @@ def test_fastss_shared_variant_at_distance_two_is_rejected(spark):
     the verification step must reject them."""
     df = spark.createDataFrame([(1, "ab"), (2, "ba")], "id long, name string")
     assert fuzzy_pairs_fastss(df, "name", "id").collect() == []
+
+
+def test_resolve_entities_crafted(spark):
+    """X103: a transitive lev-1 chain merges into one entity labeled and
+    canonicalized by its minimum id; non-matching records stay singleton;
+    record mass is conserved."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.linkage import resolve_entities
+
+    df = spark.createDataFrame(
+        [
+            (10, "smith"),
+            (11, "smyth"),    # lev 1 from smith
+            (12, "smythe"),   # lev 1 from smyth, lev 2 from smith -> chains in
+            (20, "jones"),
+            (30, "garcia"),
+        ],
+        "id long, name string",
+    )
+    out = {r.entity_id: r for r in resolve_entities(df, "name", "id").collect()}
+    assert set(out) == {10, 20, 30}
+    assert out[10].n_records == 3 and out[10].canonical_value == "smith"
+    assert out[20].n_records == 1 and out[20].canonical_value == "jones"
+    assert sum(r.n_records for r in out.values()) == 5
+
+
+def test_resolve_entities_distance_guard(spark):
+    import pytest
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.linkage import resolve_entities
+
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    with pytest.raises(NotImplementedError):
+        resolve_entities(df, "name", "id", max_distance=2)
