@@ -4,9 +4,11 @@ as opaque binary columns with typed metadata).
 Decode is REAL for the formats a pure-Python decoder can handle without
 codec libraries: BMP (24-bit BI_RGB), PPM (binary P6), WAV (PCM16, stdlib
 ``wave``), PNG (8-bit RGB/RGBA via stdlib zlib inflate + scanline
-unfilter), and baseline JPEG (SOF0 sequential DCT, Huffman, 4:4:4/4:2:0,
+unfilter), baseline JPEG (SOF0 sequential DCT, Huffman, 4:4:4/4:2:0,
 restart markers — :func:`decode_jpeg`, with :func:`encode_jpeg` providing
-in-repo fixtures). Progressive JPEG and video/audio-compressed formats
+in-repo fixtures), and GIF87a/89a (real LZW with variable code width,
+table growth and reset, interlace reordering — :func:`decode_gif` /
+:func:`encode_gif`). Progressive JPEG and video/audio-compressed formats
 (MP3/H.264) still need PIL/ffmpeg, absent from this container, and raise
 ``NotImplementedError`` — the dispatch point is one function
 (:func:`decode_media`), so swapping in richer codecs never touches the
@@ -83,7 +85,9 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
 # Pure-Python codecs for uncompressed formats (no PIL/ffmpeg needed).
 # ---------------------------------------------------------------------------
 
-IMAGE_MIMES = ("image/bmp", "image/x-portable-pixmap", "image/png", "image/jpeg")
+IMAGE_MIMES = (
+    "image/bmp", "image/x-portable-pixmap", "image/png", "image/jpeg", "image/gif",
+)
 AUDIO_MIMES = ("audio/wav", "audio/x-wav")
 
 
@@ -775,6 +779,8 @@ def decode_image(content: bytes, mime: str) -> tuple[int, int, bytes]:
         return decode_png(content)
     if mime == "image/jpeg":
         return decode_jpeg(content)
+    if mime == "image/gif":
+        return decode_gif(content)
     raise NotImplementedError(f"no pure-Python decoder for image mime {mime!r}")
 
 
@@ -1253,3 +1259,217 @@ def media_curation_stats(media: DataFrame, batch_rows: int = 256) -> DataFrame:
         F.count(F.lit(1)).alias("n_blobs"),
         F.sum("n_bytes").cast("long").alias("total_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a) — pure-Python decode: logical screen + color tables, LZW
+# decompression (variable code width, LSB-first, clear/EOI, 12-bit cap),
+# interlace reordering; first frame rendered to RGB. The companion
+# encoder is a REAL LZW compressor (dictionary growth + reset), so the
+# round-trip tests exercise the decoder's table-rebuild path, not just
+# literal codes. Reference: GIF89a specification (CompuServe, 1990).
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = [[i] for i in range(clear)] + [[], []]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + [entry[0]])
+            elif code == len(table):
+                entry = prev + [prev[0]]
+                table.append(entry)
+            else:
+                raise ValueError(f"corrupt LZW stream: code {code} beyond table")
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+    return out
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    code_size = min_code_size + 1
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    buf: tuple[int, ...] = ()
+    for idx in indices:
+        cand = buf + (idx,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        # register BEFORE possibly widening: decoder grows its table on
+        # the same schedule
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code == (1 << 12):
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        buf = (idx,)
+    if buf:
+        emit(table[buf])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(data: bytes) -> tuple[int, int, bytes]:
+    """First frame of a GIF87a/89a as ``(width, height, rgb)``.
+
+    Global and local color tables, real LZW decode, interlace reordering.
+    The frame renders at its own descriptor size; GCE transparency is
+    ignored (output is opaque RGB, matching the other codecs' contract).
+    """
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    pos = 6
+    packed = data[pos + 4]
+    pos += 7
+    gct = b""
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = data[pos : pos + n]
+        pos += n
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        w = int.from_bytes(data[pos + 4 : pos + 6], "little")
+        h = int.from_bytes(data[pos + 6 : pos + 8], "little")
+        ipacked = data[pos + 8]
+        pos += 9
+        table = gct
+        if ipacked & 0x80:
+            n = 3 * (2 << (ipacked & 0x07))
+            table = data[pos : pos + n]
+            pos += n
+        if not table:
+            raise ValueError("GIF frame has no color table")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            lzw += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        indices = _lzw_decode(bytes(lzw), min_code)
+        if len(indices) < w * h:
+            raise ValueError(f"GIF pixel data short: {len(indices)} < {w * h}")
+        if ipacked & 0x40:  # interlaced: reorder rows
+            rows = [indices[r * w : (r + 1) * w] for r in range(h)]
+            ordered: list[list[int]] = [[]] * h
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                for r in range(start, h, step):
+                    ordered[r] = rows[src]
+                    src += 1
+            indices = [i for row in ordered for i in row]
+        rgb = bytearray(w * h * 3)
+        n_colors = len(table) // 3
+        for i in range(w * h):
+            c = indices[i]
+            if c >= n_colors:
+                raise ValueError("palette index out of range")
+            rgb[3 * i : 3 * i + 3] = table[3 * c : 3 * c + 3]
+        return w, h, bytes(rgb)
+    raise ValueError("GIF contains no image frame")
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    rgb: bytes,
+    interlaced: bool = False,
+) -> bytes:
+    """Fixture encoder: quantize to the distinct colors present (must be
+    <= 256), REAL LZW compression, optional interlacing."""
+    pixels = [tuple(rgb[3 * i : 3 * i + 3]) for i in range(width * height)]
+    palette = sorted(set(pixels))
+    if len(palette) > 256:
+        raise ValueError("encode_gif fixture supports <= 256 distinct colors")
+    cbits = max(1, (len(palette) - 1).bit_length())
+    lut = {c: i for i, c in enumerate(palette)}
+    indices = [lut[p] for p in pixels]
+    if interlaced:
+        order = [
+            r for start, step in _GIF_INTERLACE_PASSES for r in range(start, height, step)
+        ]
+        indices = [i for r in order for i in indices[r * width : (r + 1) * width]]
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out.append(0x80 | (cbits - 1))  # GCT present, size 2^cbits
+    out += b"\x00\x00"
+    for c in palette:
+        out += bytes(c)
+    out += b"\x00" * 3 * ((1 << cbits) - len(palette))
+    out.append(0x2C)
+    out += b"\x00\x00\x00\x00"
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out.append((0x40 if interlaced else 0) | 0)
+    min_code = max(2, cbits)
+    out.append(min_code)
+    lzw = _lzw_encode(indices, min_code)
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -552,3 +552,100 @@ def test_media_curation_stats_quarantine_split(spark, sf0001):
     assert sum(v[0] for v in bad.values()) == n_bad
     assert all(v[1] == 10 * v[0] for v in bad.values())  # truncated to 10 bytes
     assert out["ok"][1] == (n - n_bad) * (54 + 16 * 16 * 3)  # full BMPs
+
+
+# ---------------------------------------------------------------------------
+# GIF codec (decode_gif / encode_gif, real LZW)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_decodes_canonical_external_fixture():
+    """The ubiquitous 1x1 spacer GIF from the wild (not our own encoder):
+    header, GCE skip, GCT lookup, LZW all on the spec's byte layout."""
+    import base64
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import decode_gif
+
+    data = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAICRAEAOw=="
+    )
+    assert decode_gif(data) == (1, 1, b"\x00\x00\x00")
+
+
+def test_gif_roundtrip_plain_and_interlaced():
+    import random
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    random.seed(11)
+    w, h = 17, 13  # odd size: interlace pass rows don't divide evenly
+    rgb = bytes(random.randrange(6) * 40 for _ in range(w * h * 3))
+    for interlaced in (False, True):
+        blob = encode_gif(w, h, rgb, interlaced=interlaced)
+        assert decode_gif(blob) == (w, h, rgb)
+
+
+def test_gif_lzw_growth_and_reset():
+    """Code width must widen in encoder/decoder lockstep, and the 4096-entry
+    dictionary reset must round-trip (200k symbols over a 2-symbol alphabet
+    forces several resets)."""
+    import random
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    random.seed(3)
+    for alpha, n in [(4, 50), (8, 5000), (2, 200_000), (256, 10_000)]:
+        idx = [random.randrange(alpha) for _ in range(n)]
+        mcs = max(2, (alpha - 1).bit_length())
+        assert _lzw_decode(_lzw_encode(idx, mcs), mcs) == idx
+
+
+def test_gif_error_paths():
+    import pytest
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import decode_gif, encode_gif
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"PNG........")
+    with pytest.raises(ValueError, match="no image frame"):
+        decode_gif(b"GIF89a" + (1).to_bytes(2, "little") * 2 + b"\x00\x00\x00" + b"\x3b")
+    with pytest.raises(ValueError, match="256 distinct"):
+        # 257 distinct colors (0..256 encoded base-8 into RGB triples)
+        rgb = b"".join(bytes([v % 8 * 16, v // 8 % 8 * 16, v // 64 * 16]) for v in range(257))
+        encode_gif(257, 1, rgb)
+
+
+def test_spark_gif_pipeline(spark):
+    """GIF blobs through the real Arrow path: extract_features sees the
+    decoded dimensions, resize_media re-rasters through decode_image."""
+    import random
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_bmp,
+        encode_gif,
+        extract_features,
+        resize_media,
+    )
+
+    random.seed(5)
+    w, h = 8, 6
+    rgb = bytes(random.randrange(4) * 80 for _ in range(w * h * 3))
+    blob = encode_gif(w, h, rgb)
+    media = spark.createDataFrame(
+        [(1, blob, "image/gif", (len(blob), "x"))], MEDIA_SCHEMA
+    )
+    feats = {r.media_id: r.feature for r in extract_features(media).collect()}
+    assert feats[1][:2] == [float(w), float(h)]
+    resized = resize_media(media, width=4, height=3).collect()
+    assert len(resized) == 1
+    rw, rh, rrgb = decode_bmp(bytes(resized[0].content))
+    assert (rw, rh) == (4, 3)
+    # nearest-neighbor keeps source pixel (0,0)
+    assert rrgb[:3] == rgb[:3]
