@@ -921,3 +921,80 @@ def copurchase_lift(
     return scored.orderBy(
         F.desc("pair_count"), F.asc("item_a"), F.asc("item_b")
     ).limit(top_k)
+
+
+def ewma_smooth(
+    events: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str = "ts",
+    bucket: str = "1 hour",
+    alpha: float = 0.3,
+    window: int = 24,
+) -> DataFrame:
+    """X104 — exponentially-weighted moving average of event rates: the
+    standard smoothing/forecast baseline (the EWMA control chart, and
+    the one-step-ahead forecast of simple exponential smoothing).
+
+    The infinite EWMA recursion ``s_t = alpha*x_t + (1-alpha)*s_{t-1}``
+    is not expressible as a SQL window (each value depends on the whole
+    prefix, and a pow()-rescaled cumsum overflows to inf within ~700
+    rows at alpha=0.3). This is the standard truncated formulation:
+    weights ``alpha*(1-alpha)^age`` over the trailing ``window`` buckets,
+    renormalized over the terms actually present (series head included) —
+    the tail the truncation drops carries weight ``(1-alpha)^window``
+    (~2e-4 at the defaults, disclosed).
+
+    Cross-engine exactness: the weight vector and its cumulative sums
+    are DRIVER-computed float literals (the x86 convention — both
+    engines parse the same shortest-repr decimal to the identical
+    double), and the weighted sum is a fixed LEFT fold over the
+    window-collected value list (oldest first), so summation order is
+    pinned on both engines; one final division, rounded to 6 dp.
+
+    Shape: one (group, bucket) count aggregation; the collect + fold
+    window runs over the buckets-sized relation (kilobytes per group),
+    never fact rows. Only observed buckets appear — compose with x52
+    gapfill first if silent buckets should decay the average.
+
+    Output: ``(*group_cols, bucket_start, n, ewma_r)``.
+    """
+    from pyspark.sql import Window
+
+    if not 0 < alpha < 1:
+        raise ValueError("alpha must be in (0, 1)")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    # weights[age] for age 0 (newest) .. window-1; cumw[k] = sum of the
+    # k newest weights — both literal arrays shared with the SQL twin
+    wts = [alpha * (1.0 - alpha) ** i for i in range(window)]
+    cumw = []
+    acc = 0.0
+    for v in wts:
+        acc += v
+        cumw.append(acc)
+    b = F.window(F.col(ts_col), bucket).start.alias("bucket_start")
+    counts = events.groupBy(*group_cols, b).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy("bucket_start")
+        .rowsBetween(-(window - 1), 0)
+    )
+    xs = F.collect_list(F.col("n").cast("double")).over(w)
+    wts_arr = F.array(*[F.lit(v) for v in wts])
+    cumw_arr = F.array(*[F.lit(v) for v in cumw])
+    # left fold j = 1..len: term_j = xs[j] * wts[len - j] (age of the
+    # j-th oldest element); element_at is 1-based
+    num = F.aggregate(
+        F.sequence(F.lit(1), F.size(xs)),
+        F.lit(0.0),
+        lambda a, j: a + F.element_at(xs, j) * F.element_at(
+            wts_arr, F.size(xs) - j + 1
+        ),
+    )
+    den = F.element_at(cumw_arr, F.size(xs))
+    return counts.select(
+        *group_cols,
+        "bucket_start",
+        "n",
+        F.round(num / den, 6).alias("ewma_r"),
+    )

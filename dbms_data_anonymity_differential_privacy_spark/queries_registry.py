@@ -5709,6 +5709,47 @@ def x103_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X104 — EWMA smoothing (operators/stats.py ewma_smooth): truncated
+# exponential smoothing with driver-literal weights and a pinned left
+# fold (x86 literal + x23 fold conventions); windows on the buckets
+# relation.
+# --------------------------------------------------------------------------
+def _x104_sql(alpha: float = 0.3, window: int = 24) -> str:
+    wts = [alpha * (1.0 - alpha) ** i for i in range(window)]
+    cumw = []
+    acc = 0.0
+    for v in wts:
+        acc += v
+        cumw.append(acc)
+    wts_l = "[" + ", ".join(repr(v) for v in wts) + "]"
+    cumw_l = "[" + ", ".join(repr(v) for v in cumw) + "]"
+    return f"""
+    WITH c AS (SELECT event_type,
+                      CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+                      COUNT(*) AS n
+               FROM events GROUP BY 1, 2),
+    w AS (SELECT event_type, bucket_start, n,
+                 list(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type ORDER BY bucket_start
+                      ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW) AS xs
+          FROM c)
+    SELECT event_type, bucket_start, n,
+           ROUND(list_reduce(list_transform(generate_series(1, len(xs)),
+                     j -> xs[j] * ({wts_l}[len(xs) - j + 1])), (a, b) -> a + b)
+                 / ({cumw_l}[len(xs)]), 6) AS ewma_r
+    FROM w
+    """
+
+
+@query("x104_ewma", _x104_sql())
+def x104_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type event rates smoothed by a 24-bucket EWMA."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import ewma_smooth
+
+    ev = load_table(spark, sf_dir, "events")
+    return ewma_smooth(ev, ["event_type"], bucket="1 hour", alpha=0.3, window=24)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
 # every r3-window query now holds a driver row and rotates out. This

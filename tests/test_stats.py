@@ -379,3 +379,45 @@ def test_copurchase_mega_basket_cap(spark):
     assert r.pair_count == 1  # basket 9 dropped
     # N counts only surviving baskets: 1 -> lift = 1*1/(1*1) = 1
     assert r.lift_r == 1.0
+
+
+def test_ewma_smooth_crafted(spark):
+    """X104: hand-computed truncated EWMA over a 3-bucket series, head
+    renormalization included."""
+    import datetime as dt
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import ewma_smooth
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = (
+        [("a", t0)] * 2                                   # bucket 0: n=2
+        + [("a", t0 + dt.timedelta(hours=1))] * 6         # bucket 1: n=6
+        + [("a", t0 + dt.timedelta(hours=2))] * 4         # bucket 2: n=4
+    )
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = sorted(
+        ewma_smooth(df, ["event_type"], alpha=0.5, window=3).collect(),
+        key=lambda r: r.bucket_start,
+    )
+    a = 0.5
+    w = [a, a * (1 - a), a * (1 - a) ** 2]  # age 0, 1, 2
+    # head: single term renormalizes to the value itself
+    assert out[0].ewma_r == round((2 * w[0]) / w[0], 6) == 2.0
+    assert out[1].ewma_r == round((6 * w[0] + 2 * w[1]) / (w[0] + w[1]), 6)
+    assert out[2].ewma_r == round(
+        (4 * w[0] + 6 * w[1] + 2 * w[2]) / (w[0] + w[1] + w[2]), 6
+    )
+
+
+def test_ewma_smooth_validation(spark):
+    import pytest
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import ewma_smooth
+
+    df = spark.createDataFrame([("a",)], "event_type string").withColumn(
+        "ts", F.current_timestamp()
+    )
+    with pytest.raises(ValueError):
+        ewma_smooth(df, ["event_type"], alpha=1.0)
+    with pytest.raises(ValueError):
+        ewma_smooth(df, ["event_type"], window=0)
