@@ -66,3 +66,46 @@ def rollup_release(
     out = df.rollup(*hierarchy).agg(*aggs, level.alias("level"))
     cols = [*hierarchy, "level", "n_rows"] + ([] if cents_col is None else ["sum_cents"])
     return out.filter(F.col("n_rows") >= F.lit(k)).select(*cols)
+
+
+def pivot_release(
+    df: DataFrame,
+    row_cols: Sequence[str],
+    pivot_col: str,
+    pivot_values: Sequence[str],
+    k: int = 5,
+) -> DataFrame:
+    """X105 — wide-format contingency release with small-cell suppression:
+    the census cross-tabulation shape (rows × categories as columns),
+    where any cell smaller than ``k`` is withheld.
+
+    Cell semantics: ``0`` means "no rows" (a true, safe zero); ``NULL``
+    means "suppressed" (a positive count below ``k`` — publishing it
+    would expose a small group). The distinction is deliberate and
+    matches X33's rollup-suppression convention.
+
+    ``pivot_values`` is REQUIRED (no inference): Spark's value-less
+    ``pivot()`` runs an extra distinct job over the fact table to learn
+    the columns, and the release schema of a published table must be a
+    declared, reviewed artifact anyway (the dp-histogram public-domain
+    argument, applied to schema). With explicit values the whole pivot
+    compiles to ONE aggregation — each cell a conditional partial count,
+    one fact-row shuffle of (row key, partial cells), skew-safe.
+
+    Output: ``(*row_cols, <value> for each pivot value)``.
+    """
+    if not pivot_values:
+        raise ValueError("pivot_values must be declared explicitly")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    wide = df.groupBy(*row_cols).pivot(pivot_col, list(pivot_values)).count()
+    out = wide.select(
+        *row_cols,
+        *[
+            F.when(F.coalesce(F.col(f"`{v}`"), F.lit(0)) >= k, F.col(f"`{v}`"))
+            .when(F.coalesce(F.col(f"`{v}`"), F.lit(0)) == 0, F.lit(0))
+            .alias(v)
+            for v in pivot_values
+        ],
+    )
+    return out

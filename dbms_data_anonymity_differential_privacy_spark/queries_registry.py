@@ -5709,6 +5709,36 @@ def x103_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X105 — pivot release (operators/rollup.py pivot_release): wide-format
+# cross-tab with small-cell suppression; declared pivot values compile
+# to ONE conditional aggregation. 0 = true zero, NULL = suppressed.
+# --------------------------------------------------------------------------
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@query(
+    "x105_pivot_release",
+    f"""
+    SELECT c_nationkey,
+           {", ".join(
+               f'''CASE WHEN COUNT(*) FILTER (c_mktsegment = '{v}') >= 5
+                        THEN COUNT(*) FILTER (c_mktsegment = '{v}')
+                        WHEN COUNT(*) FILTER (c_mktsegment = '{v}') = 0
+                        THEN 0 END AS "{v}"'''
+               for v in _SEGMENTS
+           )}
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def x105_pivot_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation × market-segment cross-tab, cells under k=5 suppressed."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.rollup import pivot_release
+
+    c = load_table(spark, sf_dir, "customer")
+    return pivot_release(c, ["c_nationkey"], "c_mktsegment", _SEGMENTS, k=5)
+
+
+# --------------------------------------------------------------------------
 # X104 — EWMA smoothing (operators/stats.py ewma_smooth): truncated
 # exponential smoothing with driver-literal weights and a pinned left
 # fold (x86 literal + x23 fold conventions); windows on the buckets

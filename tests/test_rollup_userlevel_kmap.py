@@ -190,3 +190,32 @@ def test_delta_presence_bounds_and_coverage(spark, sf001):
 
     with pytest.raises(ValueError, match="delta_min"):
         delta_presence_audit(c, released, ["c_nationkey"], 0.9, 0.2)
+
+
+def test_pivot_release_cell_semantics(spark):
+    """X105: 0 = true zero, NULL = suppressed positive cell below k,
+    >= k released verbatim; declared values fix the schema even when a
+    category is absent from the data."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.rollup import pivot_release
+
+    rows = [("r1", "a")] * 6 + [("r1", "b")] * 2 + [("r2", "a")] * 5
+    df = spark.createDataFrame(rows, "rk string, cat string")
+    out = {r.rk: r for r in
+           pivot_release(df, ["rk"], "cat", ["a", "b", "c"], k=5).collect()}
+    assert out["r1"]["a"] == 6          # released
+    assert out["r1"]["b"] is None       # 2 < k: suppressed
+    assert out["r1"]["c"] == 0          # absent category: true zero
+    assert out["r2"]["a"] == 5          # boundary: k released
+    assert out["r2"]["b"] == 0 and out["r2"]["c"] == 0
+
+
+def test_pivot_release_validation(spark):
+    import pytest
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.rollup import pivot_release
+
+    df = spark.createDataFrame([("r", "a")], "rk string, cat string")
+    with pytest.raises(ValueError):
+        pivot_release(df, ["rk"], "cat", [], k=5)
+    with pytest.raises(ValueError):
+        pivot_release(df, ["rk"], "cat", ["a"], k=0)
