@@ -398,3 +398,66 @@ def ak_anonymity_audit(
         alpha_ok.alias("alpha_ok"),
         (k_ok & alpha_ok).alias("ak_ok"),
     )
+
+
+def m_invariance_audit(
+    release_a: DataFrame,
+    release_b: DataFrame,
+    qi: Sequence[str],
+    sensitive: str,
+    m: int = 2,
+) -> DataFrame:
+    """X106 — m-invariance audit for serial publication (Xiao & Tao,
+    SIGMOD 2007): when the SAME table is anonymized and published
+    repeatedly (monthly census, refreshed data product), an attacker
+    intersects the sensitive-value sets of a victim's class ACROSS
+    releases — each individually-safe release can jointly pinpoint the
+    value. m-invariance requires every class to (1) offer at least ``m``
+    distinct sensitive values in each release and (2) keep an IDENTICAL
+    sensitive signature across releases (so intersection learns nothing
+    new).
+
+    This audits two releases: per QI class, each release's signature
+    (sorted distinct sensitive values, released as a comma-joined string
+    — canonical and hash-stable), its distinct count, and the verdict:
+    ``invariant`` (signatures equal, both >= m), ``weak`` (equal but
+    under m), ``changed`` (both present, different signature — the
+    intersection-attack surface), ``only_a``/``only_b`` (class appears
+    in one release only).
+
+    Shape: one (class, sensitive)-level aggregation per release — the
+    signature is collected over the distinct slim relation, never fact
+    rows — then a class-keyed full-outer join of two class-sized
+    relations.
+
+    Output: ``(*qi, sig_a, sig_b, m_a, m_b, status)``.
+    """
+    if m < 1:
+        raise ValueError("m must be >= 1")
+
+    def signature(rel: DataFrame, suffix: str) -> DataFrame:
+        return (
+            rel.select(*qi, F.col(sensitive).alias("__s"))
+            .distinct()
+            .groupBy(*qi)
+            .agg(
+                F.concat_ws(",", F.sort_array(F.collect_set("__s"))).alias(f"sig_{suffix}"),
+                F.count(F.lit(1)).alias(f"m_{suffix}"),
+            )
+        )
+    a = signature(release_a, "a")
+    b = signature(release_b, "b")
+    j = a.join(b, list(qi), "full_outer")
+    status = (
+        F.when(F.col("sig_a").isNull(), F.lit("only_b"))
+        .when(F.col("sig_b").isNull(), F.lit("only_a"))
+        .when(
+            (F.col("sig_a") == F.col("sig_b"))
+            & (F.col("m_a") >= m)
+            & (F.col("m_b") >= m),
+            F.lit("invariant"),
+        )
+        .when(F.col("sig_a") == F.col("sig_b"), F.lit("weak"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(*qi, "sig_a", "sig_b", "m_a", "m_b", status.alias("status"))

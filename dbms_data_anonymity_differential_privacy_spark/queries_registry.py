@@ -5709,6 +5709,55 @@ def x103_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X106 — m-invariance audit (operators/tcloseness.py m_invariance_audit,
+# Xiao & Tao SIGMOD'07): serial-publication intersection-attack check.
+# Two overlapping portable-md5 samples stand in for two releases.
+# --------------------------------------------------------------------------
+@query("x106_m_invariance", None)  # SQL attached below — needs md5 thresholds
+def x106_m_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature drift between two 60% releases of the binned customer
+    table: per class, each release's sorted sensitive signature and the
+    invariant/weak/changed/only-one-side verdict."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.sampling import hash_sample
+    from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import m_invariance_audit
+
+    b = binned_customer(spark, sf_dir)
+    ra = hash_sample(b, ["c_custkey"], 0.6, salt="x106a")
+    rb = hash_sample(b, ["c_custkey"], 0.6, salt="x106b")
+    return m_invariance_audit(ra, rb, ["c_nationkey", "acctbal_bin"], "c_mktsegment", m=2)
+
+
+from dbms_data_anonymity_differential_privacy_spark.operators.sampling import (  # noqa: E402
+    _threshold_hex as _thex,
+)
+
+ORACLE_SQL["x106_m_invariance"] = f"""
+    WITH {BINNED_CUSTOMER_CTE},
+    ra AS (SELECT c_nationkey, acctbal_bin, c_mktsegment FROM binned
+           WHERE substr(md5(cast(c_custkey AS varchar) || '|x106a'), 1, 8)
+                 < '{_thex(0.6)}'),
+    rb AS (SELECT c_nationkey, acctbal_bin, c_mktsegment FROM binned
+           WHERE substr(md5(cast(c_custkey AS varchar) || '|x106b'), 1, 8)
+                 < '{_thex(0.6)}'),
+    sa AS (SELECT c_nationkey, acctbal_bin,
+                  array_to_string(list(DISTINCT c_mktsegment ORDER BY c_mktsegment), ',') AS sig_a,
+                  CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS m_a
+           FROM ra GROUP BY 1, 2),
+    sb AS (SELECT c_nationkey, acctbal_bin,
+                  array_to_string(list(DISTINCT c_mktsegment ORDER BY c_mktsegment), ',') AS sig_b,
+                  CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS m_b
+           FROM rb GROUP BY 1, 2)
+    SELECT c_nationkey, acctbal_bin, sig_a, sig_b, m_a, m_b,
+           CASE WHEN sig_a IS NULL THEN 'only_b'
+                WHEN sig_b IS NULL THEN 'only_a'
+                WHEN sig_a = sig_b AND m_a >= 2 AND m_b >= 2 THEN 'invariant'
+                WHEN sig_a = sig_b THEN 'weak'
+                ELSE 'changed' END AS status
+    FROM sa FULL OUTER JOIN sb USING (c_nationkey, acctbal_bin)
+    """
+
+
+# --------------------------------------------------------------------------
 # X105 — pivot release (operators/rollup.py pivot_release): wide-format
 # cross-tab with small-cell suppression; declared pivot values compile
 # to ONE conditional aggregation. 0 = true zero, NULL = suppressed.

@@ -203,3 +203,39 @@ def test_ak_anonymity_validation(spark):
         ak_anonymity_audit(df, ["q"], "s", k=0)
     with pytest.raises(ValueError):
         ak_anonymity_audit(df, ["q"], "s", alpha=1.5)
+
+
+def test_m_invariance_audit_crafted(spark):
+    """X106: every status arm hit by construction."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import m_invariance_audit
+
+    a = spark.createDataFrame(
+        [("inv", "x"), ("inv", "y"),
+         ("weak", "x"), ("weak", "x"),       # 1 distinct value, duplicated
+         ("chg", "x"), ("chg", "y"),
+         ("onlya", "x"), ("onlya", "y")],
+        "q string, s string",
+    )
+    b = spark.createDataFrame(
+        [("inv", "y"), ("inv", "x"),         # same signature, other order
+         ("weak", "x"),
+         ("chg", "x"), ("chg", "z"),         # signature differs
+         ("onlyb", "x")],
+        "q string, s string",
+    )
+    out = {r.q: r for r in m_invariance_audit(a, b, ["q"], "s", m=2).collect()}
+    assert out["inv"].status == "invariant" and out["inv"].sig_a == "x,y"
+    assert out["weak"].status == "weak" and out["weak"].m_a == 1
+    assert out["chg"].status == "changed"
+    assert out["onlya"].status == "only_a" and out["onlya"].sig_b is None
+    assert out["onlyb"].status == "only_b"
+
+
+def test_m_invariance_validation(spark):
+    import pytest
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import m_invariance_audit
+
+    df = spark.createDataFrame([("q", "s")], "q string, s string")
+    with pytest.raises(ValueError):
+        m_invariance_audit(df, df, ["q"], "s", m=0)
