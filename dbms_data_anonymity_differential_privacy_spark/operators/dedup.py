@@ -376,6 +376,7 @@ def minhash_lsh_pairs(
 def connected_components(
     pairs: DataFrame,
     max_iter: int = 20,
+    shortcut: bool = False,
 ) -> DataFrame:
     """Connected components of the undirected near-dup pair graph via
     min-label propagation: every node starts labeled with its own id; each
@@ -407,16 +408,31 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
-            .select(
-                labels["id"],
-                F.least(
-                    labels["comp"], F.coalesce(F.col("nbr_comp"), labels["comp"])
-                ).alias("comp"),
-            )
-            .persist()
+        stepped = labels.join(nbr_min, labels["id"] == nbr_min["a"], "left").select(
+            labels["id"],
+            F.least(
+                labels["comp"], F.coalesce(F.col("nbr_comp"), labels["comp"])
+            ).alias("comp"),
         )
+        if shortcut:
+            # pointer halving: comp <- label[comp]. Every comp value IS a
+            # node id (labels are min-ids), so one id-relation self-join
+            # per round turns O(diameter) convergence into O(log
+            # diameter). Worth it ONLY for chain-shaped graphs (fuzzy
+            # name linkage, x103: 31 s -> 27 s at sf0.1); dense near-dup
+            # cliques already converge in 1-2 rounds and the extra join
+            # nearly doubles their cost (x82: 17 s -> 28 s measured) —
+            # hence opt-in, not default.
+            jump = stepped.select(
+                F.col("id").alias("__cid"), F.col("comp").alias("__ccomp")
+            )
+            new_labels = (
+                stepped.join(jump, stepped["comp"] == jump["__cid"])
+                .select(stepped["id"], F.col("__ccomp").alias("comp"))
+                .persist()
+            )
+        else:
+            new_labels = stepped.persist()
         n_changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

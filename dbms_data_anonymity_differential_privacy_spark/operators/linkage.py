@@ -218,7 +218,7 @@ def resolve_entities(
             "(deletion variants); use fuzzy_pairs() blocking for larger radii"
         )
     pairs = fuzzy_pairs_fastss(df, value_col, id_col)
-    comp = connected_components(pairs.select("id_a", "id_b"))
+    comp = connected_components(pairs.select("id_a", "id_b"), shortcut=True)
     ids = df.select(F.col(id_col).alias("id"), F.col(value_col).alias("__v"))
     labeled = ids.join(comp, "id", "left").select(
         "id", "__v", F.coalesce("comp", F.col("id")).alias("entity_id")
