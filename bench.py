@@ -128,6 +128,18 @@ HEADLINE = [
     "x94_step_latency",
     "x95_zorder",
     "pipe_private_export",
+    "x98_session_impact",
+    "x99_tfidf_topk",
+    "x100_qi_search",
+    "x101_ak_anonymity",
+    "x102_copurchase",
+    # x103_entities deliberately absent: its wall is closure-ROUND
+    # scheduling overhead (~19 s flat across sf0.01/sf0.1 — see
+    # SCALE.md), which would triple-count dead time under min-of-3
+    # without measuring data-path throughput.
+    "x104_ewma",
+    "x105_pivot_release",
+    "x106_m_invariance",
     "x96_media_curation",
     "x97_delta_presence",
     "x81_knn_join_arrow",
