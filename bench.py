@@ -140,6 +140,7 @@ HEADLINE = [
     "x104_ewma",
     "x105_pivot_release",
     "x106_m_invariance",
+    "x107_funnel_windowed",
     "x96_media_curation",
     "x97_delta_presence",
     "x81_knn_join_arrow",

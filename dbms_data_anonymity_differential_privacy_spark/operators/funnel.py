@@ -50,6 +50,7 @@ def funnel_user_states(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within_seconds: int | None = None,
 ) -> DataFrame:
     """Per-user funnel progress: earliest completion time of each step prefix.
 
@@ -58,6 +59,13 @@ def funnel_user_states(
     resolved earlier-step-first — matching SQL ``ts >= t_prev`` chaining
     with ``MIN``). Output: ``(user_col, t1 .. tk)`` timestamps, NULL from
     the first step the user never reached.
+
+    ``within_seconds`` (X107) bounds the WHOLE conversion to a window
+    anchored at step 1: steps 2..k only count within ``t1 +
+    within_seconds`` (the standard product-analytics "converted within
+    72 h of signup" semantics). Single-entry model: the anchor is the
+    user's EARLIEST step-1 event — no re-entry on a later one (disclosed;
+    re-entry funnels need per-attempt sessionization first).
     """
     if len(steps) < 1:
         raise ValueError("funnel needs at least one step")
@@ -83,6 +91,23 @@ def funnel_user_states(
     # (step i at the exact ts step i-1 completed) count, matching the
     # oracle's ts >= t_prev semantics.
     init = F.array_repeat(F.lit(None).cast("timestamp"), k)
+
+    def in_window(acc, e):
+        # later steps must land within the step-1-anchored window; the
+        # anchor acc[1] is filled by the time any rank>0 slot can fill
+        # (prefix condition), so the NULL guard only matters for rank 0
+        if within_seconds is None:
+            return F.lit(True)
+        anchor = F.element_at(acc, 1)
+        return (e["rank"] == F.lit(0)) | (
+            anchor.isNotNull()
+            & (
+                F.unix_micros(e["ts"].cast("timestamp"))
+                <= F.unix_micros(anchor.cast("timestamp"))
+                + F.lit(int(within_seconds) * 1_000_000)
+            )
+        )
+
     state = F.aggregate(
         "es",
         init,
@@ -91,7 +116,8 @@ def funnel_user_states(
             lambda t, i: F.when(
                 (e["rank"] == i)
                 & t.isNull()
-                & ((e["rank"] == F.lit(0)) | F.element_at(acc, e["rank"]).isNotNull()),
+                & ((e["rank"] == F.lit(0)) | F.element_at(acc, e["rank"]).isNotNull())
+                & in_window(acc, e),
                 e["ts"],
             ).otherwise(t),
         ),
@@ -106,15 +132,17 @@ def funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within_seconds: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel conversion counts: users reaching each step prefix.
 
     Output: ``(step, event_type, users)`` — 1-based step index, the step's
     event type, and how many users completed steps 1..i in order. Counts
     are exact integers (oracle-hashable); ``users`` is non-increasing in
-    ``step`` by construction.
+    ``step`` by construction. ``within_seconds`` bounds conversion to a
+    step-1-anchored window (see :func:`funnel_user_states`).
     """
-    states = funnel_user_states(events, steps, user_col, ts_col, type_col)
+    states = funnel_user_states(events, steps, user_col, ts_col, type_col, within_seconds)
     k = len(steps)
     wide = states.agg(
         *[

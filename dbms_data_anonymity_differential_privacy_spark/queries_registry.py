@@ -5709,6 +5709,41 @@ def x103_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X107 — windowed funnel (operators/funnel.py funnel(within_seconds=...)):
+# conversion bounded to a step-1-anchored window — the "converted within
+# 72 h of signup" product metric. Same fold, one extra guard; the oracle
+# chains MIN under the same anchor bound.
+# --------------------------------------------------------------------------
+@query(
+    "x107_funnel_windowed",
+    """
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY 1),
+    s2 AS (SELECT e.user_id, s1.t1, MIN(e.ts) AS t2
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts >= s1.t1
+             AND e.ts <= s1.t1 + INTERVAL 72 HOURS GROUP BY 1, 2),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+           FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+             AND e.ts <= s2.t1 + INTERVAL 72 HOURS GROUP BY 1)
+    SELECT 1 AS step, 'signup' AS event_type,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS users
+    UNION ALL SELECT 2, 'click', (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+    UNION ALL SELECT 3, 'purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)
+    """,
+)
+def x107_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup -> click -> purchase completed within 72 h of signup."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.funnel import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(
+        ev, ["signup", "click", "purchase"], within_seconds=72 * 3600
+    )
+
+
+# --------------------------------------------------------------------------
 # X106 — m-invariance audit (operators/tcloseness.py m_invariance_audit,
 # Xiao & Tao SIGMOD'07): serial-publication intersection-attack check.
 # Two overlapping portable-md5 samples stand in for two releases.

@@ -359,3 +359,33 @@ def test_winsorize_bounds_and_interior_identity(spark, sf001):
         assert lo <= r.value_w <= hi
         if lo <= r.value <= hi:
             assert r.value_w == r.value
+
+
+def test_funnel_windowed_crafted(spark):
+    """X107: conversion outside the step-1-anchored window is excluded;
+    the boundary instant t1 + within is inclusive; the anchor is the
+    EARLIEST step-1 event (no re-entry)."""
+    import datetime as dt
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.funnel import funnel
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # u1: converts inside the 2h window
+        (1, "signup", t0), (1, "click", t0 + h), (1, "purchase", t0 + 2 * h),
+        # u2: click at exactly t1+2h (inclusive boundary), purchase late
+        (2, "signup", t0), (2, "click", t0 + 2 * h), (2, "purchase", t0 + 3 * h),
+        # u3: re-entry trap — early signup anchors; only the late pair
+        # would fit a window anchored at the SECOND signup
+        (3, "signup", t0), (3, "signup", t0 + 10 * h),
+        (3, "click", t0 + 11 * h), (3, "purchase", t0 + 11 * h),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {r.step: r.users for r in
+           funnel(df, ["signup", "click", "purchase"], within_seconds=7200).collect()}
+    assert out == {1: 3, 2: 2, 3: 1}
+    # unbounded control: everyone converts
+    out_free = {r.step: r.users for r in
+                funnel(df, ["signup", "click", "purchase"]).collect()}
+    assert out_free == {1: 3, 2: 3, 3: 3}
