@@ -141,6 +141,7 @@ HEADLINE = [
     "x105_pivot_release",
     "x106_m_invariance",
     "x107_funnel_windowed",
+    "pipe_corpus_datasheet",
     "x96_media_curation",
     "x97_delta_presence",
     "x81_knn_join_arrow",

@@ -471,3 +471,73 @@ def private_export_plan(
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("__redacted").cast("long").alias("n_docs_redacted"),
     )
+
+
+def corpus_datasheet(docs: DataFrame, gopher_thresholds: dict | None = None) -> DataFrame:
+    """pipe_corpus_datasheet — the dataset card as ONE oracle-checkable
+    row: the summary every corpus release ships (Gebru et al.,
+    "Datasheets for Datasets"), composed from the engine's own text
+    operators the way a curation pipeline would emit it.
+
+    Fields: volume (docs, chars, tokens), language spread (distinct
+    langs, dominant lang + share), exact-duplication rate (fingerprint
+    distinct count), Gopher-gate pass rate, and mean heuristic quality.
+
+    Physical shape: ONE map-only projection (token count, fingerprint,
+    quality score, Gopher verdict fused per row — they share the scan)
+    feeding ONE aggregation; the language mode is a second,
+    langs-sized aggregation; the row assembles by cross-joining
+    single-row relations (broadcast literal rows).
+
+    Output (single row): ``(n_docs, total_chars, total_tokens, n_langs,
+    dup_rate_r, gopher_pass_rate_r, mean_quality_r, top_lang,
+    top_lang_share_r)``.
+    """
+    from dbms_data_anonymity_differential_privacy_spark.operators.quality import gopher_quality
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import (
+        fingerprint,
+        quality_score,
+        token_count,
+    )
+
+    enriched = gopher_quality(
+        docs, keep_cols=("lang", "text"), thresholds=gopher_thresholds
+    ).select(
+        "lang",
+        F.length("text").alias("__chars"),
+        token_count(F.col("text")).alias("__toks"),
+        fingerprint(F.col("text")).alias("__fp"),
+        quality_score(F.col("text")).alias("__q"),
+        "pass_gopher",
+    )
+    totals = enriched.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__chars").alias("total_chars"),
+        F.sum("__toks").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(
+            1.0 - F.countDistinct("__fp").cast("double") / F.count(F.lit(1)),
+            9,
+        ).alias("dup_rate_r"),
+        F.round(
+            F.sum(F.col("pass_gopher").cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("gopher_pass_rate_r"),
+        F.round(F.avg("__q"), 9).alias("mean_quality_r"),
+    )
+    top_lang = (
+        enriched.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.col("__n").desc(), F.col("lang").asc())
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"), F.col("__n").alias("__top_n"))
+    )
+    return (
+        totals.crossJoin(top_lang)
+        .withColumn(
+            "top_lang_share_r",
+            F.round(F.col("__top_n").cast("double") / F.col("n_docs"), 9),
+        )
+        .drop("__top_n")
+    )

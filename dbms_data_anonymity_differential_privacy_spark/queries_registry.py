@@ -5709,6 +5709,60 @@ def x103_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# pipe_corpus_datasheet — the dataset card as one row (pipelines.py
+# corpus_datasheet): volume, language spread, dup rate, Gopher pass
+# rate, mean quality — every term composed from an operator that holds
+# its own oracle row (the pipe_event_analytics convention).
+# --------------------------------------------------------------------------
+def _datasheet_sql() -> str:
+    from dbms_data_anonymity_differential_privacy_spark.operators.quality import gopher_quality_sql
+
+    g = gopher_quality_sql(thresholds=_GOPHER_TUNING)
+    return f"""
+    WITH g AS ({g}),
+    e AS (SELECT d.lang, LENGTH(d.text) AS chars,
+                 CASE WHEN TRIM(d.text) = '' THEN 0
+                      ELSE len(string_split_regex(TRIM(d.text), '\\s+')) END AS toks,
+                 md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp,
+                 ROUND(LEAST(LENGTH(d.text) / 200.0, 1.0)
+                       * (1.0 - CASE WHEN LENGTH(d.text) > 0
+                           THEN LENGTH(regexp_replace(d.text, '[A-Za-z0-9 ]', '', 'g'))
+                                / LENGTH(d.text)
+                           ELSE 1.0 END)
+                       * LEAST(0.5 + len(regexp_extract_all(d.text, '{_EN_SQL}')) / 10.0, 1.0),
+                   9) AS q,
+                 g.pass_gopher
+          FROM documents d JOIN g ON g.doc_id = d.doc_id),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(chars) AS BIGINT) AS total_chars,
+                 CAST(SUM(toks) AS BIGINT) AS total_tokens,
+                 CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                 ROUND(1.0 - COUNT(DISTINCT fp) * 1.0 / COUNT(*), 9) AS dup_rate_r,
+                 ROUND(SUM(CASE WHEN pass_gopher THEN 1 ELSE 0 END) * 1.0
+                       / COUNT(*), 9) AS gopher_pass_rate_r,
+                 ROUND(AVG(q), 9) AS mean_quality_r
+          FROM e),
+    tl AS (SELECT lang AS top_lang, COUNT(*) AS top_n FROM e
+           GROUP BY 1 ORDER BY COUNT(*) DESC, lang LIMIT 1)
+    SELECT t.*, tl.top_lang,
+           ROUND(tl.top_n * 1.0 / t.n_docs, 9) AS top_lang_share_r
+    FROM t CROSS JOIN tl
+    """
+
+
+@query("pipe_corpus_datasheet", None)  # SQL attached below (needs helpers)
+def pipe_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus dataset card in one row."""
+    from dbms_data_anonymity_differential_privacy_spark.pipelines import corpus_datasheet
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_datasheet(docs, gopher_thresholds=_GOPHER_TUNING)
+
+
+ORACLE_SQL["pipe_corpus_datasheet"] = _datasheet_sql()
+
+
+# --------------------------------------------------------------------------
 # X107 — windowed funnel (operators/funnel.py funnel(within_seconds=...)):
 # conversion bounded to a step-1-anchored window — the "converted within
 # 72 h of signup" product metric. Same fold, one extra guard; the oracle
