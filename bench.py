@@ -142,6 +142,7 @@ HEADLINE = [
     "x106_m_invariance",
     "x107_funnel_windowed",
     "pipe_corpus_datasheet",
+    "x108_ks_test",
     "x96_media_curation",
     "x97_delta_presence",
     "x81_knn_join_arrow",

@@ -5709,6 +5709,40 @@ def x103_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X108 — two-sample Kolmogorov–Smirnov (operators/stats.py ks_statistic):
+# sup-CDF-gap drift test; |cum_a·n_b − cum_b·n_a| integer-exact, one
+# IEEE division at release (x51/x64/x80 convention).
+# --------------------------------------------------------------------------
+@query(
+    "x108_ks_test",
+    """
+    WITH counts AS (SELECT value,
+                  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+                  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+           FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+    cum AS (SELECT CAST(SUM(ca) OVER w AS BIGINT) AS cum_a,
+                   CAST(SUM(cb) OVER w AS BIGINT) AS cum_b
+            FROM counts WINDOW w AS (ORDER BY value
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    tot AS (SELECT cum_a, cum_b,
+                   MAX(cum_a) OVER () AS na, MAX(cum_b) OVER () AS nb
+            FROM cum)
+    SELECT MAX(na) AS n_a, MAX(nb) AS n_b,
+           MAX(ABS(cum_a * nb - cum_b * na)) AS d_num,
+           ROUND(MAX(ABS(cum_a * nb - cum_b * na)) * 1.0
+                 / (MAX(na) * MAX(nb)), 9) AS ks_r
+    FROM tot
+    """,
+)
+def x108_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS drift statistic between click and purchase value distributions."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import ks_statistic
+
+    ev = load_table(spark, sf_dir, "events")
+    return ks_statistic(ev, "value", "event_type", "click", "purchase")
+
+
+# --------------------------------------------------------------------------
 # pipe_corpus_datasheet — the dataset card as one row (pipelines.py
 # corpus_datasheet): volume, language spread, dup rate, Gopher pass
 # rate, mean quality — every term composed from an operator that holds

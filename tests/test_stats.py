@@ -421,3 +421,36 @@ def test_ewma_smooth_validation(spark):
         ewma_smooth(df, ["event_type"], alpha=1.0)
     with pytest.raises(ValueError):
         ewma_smooth(df, ["event_type"], window=0)
+
+
+def test_ks_statistic_scipy_parity(spark):
+    """X108 vs scipy.stats.ks_2samp on arbitrary samples (scipy as the
+    independent test-side oracle, the x71/x80 convention)."""
+    import random
+
+    import pytest
+
+    scipy_stats = pytest.importorskip("scipy.stats")
+    random.seed(19)
+    a = [round(random.gauss(0, 1), 3) for _ in range(200)]
+    b = [round(random.gauss(0.4, 1.3), 3) for _ in range(150)]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, value double")
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import ks_statistic
+
+    r = ks_statistic(df, "value", "g", "a", "b").collect()[0]
+    expected = scipy_stats.ks_2samp(a, b).statistic
+    assert r.n_a == 200 and r.n_b == 150
+    assert abs(r.ks_r - expected) < 1e-9
+
+
+def test_ks_statistic_identical_and_disjoint(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import ks_statistic
+
+    same = [("a", float(v)) for v in range(10)] + [("b", float(v)) for v in range(10)]
+    df = spark.createDataFrame(same, "g string, value double")
+    assert ks_statistic(df, "value", "g", "a", "b").collect()[0].ks_r == 0.0
+    disj = [("a", float(v)) for v in range(10)] + [("b", float(v + 100)) for v in range(10)]
+    df2 = spark.createDataFrame(disj, "g string, value double")
+    assert ks_statistic(df2, "value", "g", "a", "b").collect()[0].ks_r == 1.0
