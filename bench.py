@@ -143,6 +143,7 @@ HEADLINE = [
     "x107_funnel_windowed",
     "pipe_corpus_datasheet",
     "x108_ks_test",
+    "x109_spearman",
     "x96_media_curation",
     "x97_delta_presence",
     "x81_knn_join_arrow",

@@ -1060,3 +1060,66 @@ def ks_statistic(
         "d_num",
         F.round(F.col("d_num") / (F.col("n_a") * F.col("n_b")), 9).alias("ks_r"),
     )
+
+
+def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """X109 — exact Spearman rank correlation with average-rank ties:
+    the outlier-robust complement to the Pearson matrix (x69) —
+    correlation of RANKS, invariant to any monotone transform.
+
+    Exactness: tie-averaged ranks are half-integers, so DOUBLED ranks
+    ``r2 = 2·cum_before + cnt + 1`` stay in int64; every sufficient
+    statistic (Σr2x, Σr2x², Σr2x·r2y, …) is summed in DECIMAL —
+    associative integer arithmetic, so partial-agg merge order can never
+    change a bit (the x44 centroid argument; int64 would overflow past
+    ~1.3M rows since Σr2² ~ 4n³). The closed form then runs a FIXED
+    sequence of double ops on exactly-cast inputs — identical on both
+    engines — and one final round to 9 dp. (Doubling ranks scales both
+    covariance and variances by 4, so rho is unchanged.)
+
+    Shape: two distinct-value rank relations (window cumsum over compact
+    relations), broadcast back onto the slim (x, y) projection — fact
+    rows are scanned once and never sorted globally; one aggregation
+    produces all six sufficient statistics.
+
+    Output (single row): ``(n, rho_r)``; NULL rho when either margin is
+    constant (zero rank variance).
+    """
+    from pyspark.sql import Window
+
+    DEC = "decimal(30,0)"
+
+    def rank_table(col: str, alias: str) -> DataFrame:
+        cnts = df.groupBy(F.col(col).alias("__v")).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+        return cnts.select(
+            F.col("__v").alias(col),
+            (
+                2 * F.coalesce(F.sum("__c").over(w), F.lit(0)) + F.col("__c") + 1
+            ).alias(alias),
+        )
+
+    slim = df.select(x_col, y_col)
+    ranked = slim.join(F.broadcast(rank_table(x_col, "__rx")), x_col).join(
+        F.broadcast(rank_table(y_col, "__ry")), y_col
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__rx").cast(DEC)).alias("sx"),
+        F.sum(F.col("__ry").cast(DEC)).alias("sy"),
+        F.sum((F.col("__rx") * F.col("__rx")).cast(DEC)).alias("sxx"),
+        F.sum((F.col("__ry") * F.col("__ry")).cast(DEC)).alias("syy"),
+        F.sum((F.col("__rx") * F.col("__ry")).cast(DEC)).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / nd
+    my = F.col("sy").cast("double") / nd
+    cov = F.col("sxy").cast("double") / nd - mx * my
+    vx = F.col("sxx").cast("double") / nd - mx * mx
+    vy = F.col("syy").cast("double") / nd - my * my
+    rho = F.when(
+        (vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 9)
+    )
+    return sums.select("n", rho.alias("rho_r"))

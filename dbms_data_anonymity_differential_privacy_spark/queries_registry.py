@@ -5709,6 +5709,56 @@ def x103_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X109 — Spearman rank correlation (operators/stats.py spearman_corr):
+# tie-averaged ranks doubled into int64, DECIMAL/HUGEINT-exact sums,
+# fixed double closed form. Rank tables broadcast onto the slim pair
+# projection.
+# --------------------------------------------------------------------------
+@query(
+    "x109_spearman",
+    """
+    WITH slim AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+    rx AS (SELECT x, 2 * COALESCE(SUM(c) OVER (ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS rx
+           FROM (SELECT x, COUNT(*) AS c FROM slim GROUP BY 1)),
+    ry AS (SELECT y, 2 * COALESCE(SUM(c) OVER (ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS ry
+           FROM (SELECT y, COUNT(*) AS c FROM slim GROUP BY 1)),
+    r AS (SELECT rx.rx, ry.ry FROM slim JOIN rx USING (x) JOIN ry USING (y)),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(rx) AS sx, SUM(ry) AS sy,
+                 SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy,
+                 SUM(rx * ry) AS sxy
+          FROM r)
+    SELECT n,
+           CASE WHEN (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) > 0
+                 AND (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) > 0
+           THEN ROUND((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                      / SQRT((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                              - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                                * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                             * (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                                - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                                  * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))), 9)
+           END AS rho_r
+    FROM s
+    """,
+)
+def x109_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of lineitem quantity vs extended price."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import spearman_corr
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return spearman_corr(li, "l_quantity", "l_extendedprice")
+
+
+# --------------------------------------------------------------------------
 # X108 — two-sample Kolmogorov–Smirnov (operators/stats.py ks_statistic):
 # sup-CDF-gap drift test; |cum_a·n_b − cum_b·n_a| integer-exact, one
 # IEEE division at release (x51/x64/x80 convention).

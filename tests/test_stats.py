@@ -454,3 +454,46 @@ def test_ks_statistic_identical_and_disjoint(spark):
     disj = [("a", float(v)) for v in range(10)] + [("b", float(v + 100)) for v in range(10)]
     df2 = spark.createDataFrame(disj, "g string, value double")
     assert ks_statistic(df2, "value", "g", "a", "b").collect()[0].ks_r == 1.0
+
+
+def test_spearman_crafted_and_properties(spark):
+    """X109: monotone transform invariance (rho == 1 for any increasing
+    map), sign flip on reversal, tie handling vs pandas."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import spearman_corr
+
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0]
+    mono = [(x, x ** 3) for x in xs]            # increasing, nonlinear
+    df = spark.createDataFrame(mono, "x double, y double")
+    assert spearman_corr(df, "x", "y").collect()[0].rho_r == 1.0
+    rev = [(x, -x) for x in xs]
+    df2 = spark.createDataFrame(rev, "x double, y double")
+    assert spearman_corr(df2, "x", "y").collect()[0].rho_r == -1.0
+    # ties: pure-Python average-rank Pearson as independent oracle
+    # (pandas' spearman delegates to scipy, absent from this container)
+    data = [(1.0, 2.0), (1.0, 3.0), (2.0, 2.0), (3.0, 5.0), (3.0, 1.0), (4.0, 4.0)]
+    df3 = spark.createDataFrame(data, "x double, y double")
+    got = spearman_corr(df3, "x", "y").collect()[0]
+
+    def avg_ranks(vals):
+        order = sorted(vals)
+        return [
+            (order.index(v) + 1 + order.index(v) + order.count(v)) / 2 for v in vals
+        ]
+
+    rx = avg_ranks([d[0] for d in data])
+    ry = avg_ranks([d[1] for d in data])
+    n = len(data)
+    mx, my = sum(rx) / n, sum(ry) / n
+    cov = sum(a * b for a, b in zip(rx, ry)) / n - mx * my
+    vx = sum(a * a for a in rx) / n - mx * mx
+    vy = sum(b * b for b in ry) / n - my * my
+    expected = cov / (vx * vy) ** 0.5
+    assert got.n == 6
+    assert abs(got.rho_r - expected) < 1e-9
+
+
+def test_spearman_constant_margin_null(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import spearman_corr
+
+    df = spark.createDataFrame([(1.0, 1.0), (2.0, 1.0)], "x double, y double")
+    assert spearman_corr(df, "x", "y").collect()[0].rho_r is None
