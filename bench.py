@@ -144,6 +144,8 @@ HEADLINE = [
     "pipe_corpus_datasheet",
     "x108_ks_test",
     "x109_spearman",
+    "x110_anova",
+    "x111_gini",
     "x96_media_curation",
     "x97_delta_presence",
     "x81_knn_join_arrow",

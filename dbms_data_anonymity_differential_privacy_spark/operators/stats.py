@@ -1123,3 +1123,99 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         (vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 9)
     )
     return sums.select("n", rho.alias("rho_r"))
+
+
+def anova_oneway(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """X110 — one-way ANOVA F statistic: does the metric's MEAN differ
+    across groups (variants, cohorts, device classes)? The k-group
+    generalization of the two-sample t test, from sufficient statistics.
+
+    ``F = (SSB/(k−1)) / (SSW/(n−k))`` with ``SSB = Σ_g n_g(x̄_g − x̄)²``
+    and ``SSW = Σ_g Σ(x − x̄_g)²`` — everything derives from per-group
+    ``(n, Σx, Σx²)``: ONE grouped aggregation over fact rows, then
+    constant-size math on the groups-sized relation (the x63 closed-form
+    convention; doubles summed per group, released at 9 dp). The p-value
+    is left to the caller (no SQL incomplete-beta — the x71 policy).
+
+    Output (single row): ``(n, k, ssb_r, ssw_r, f_r)``; F is NULL when
+    k < 2 or SSW == 0.
+    """
+    g = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(value_col).cast("double")).alias("__s"),
+        F.sum(F.col(value_col).cast("double") * F.col(value_col)).alias("__ss"),
+    )
+    tot = g.agg(
+        F.sum("__n").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("__s").alias("__ts"),
+        F.sum("__ss").alias("__tss"),
+        # SSW = Σ_g (Σx² − (Σx)²/n_g): per-group terms summed once
+        F.sum(F.col("__ss") - F.col("__s") * F.col("__s") / F.col("__n")).alias(
+            "__ssw"
+        ),
+    )
+    grand_mean = F.col("__ts") / F.col("n")
+    # SSB = total SS − SSW, with total SS = Σx² − n·x̄²
+    sst = F.col("__tss") - F.col("n") * grand_mean * grand_mean
+    ssb = sst - F.col("__ssw")
+    f_stat = F.when(
+        (F.col("k") >= 2) & (F.col("__ssw") > 0),
+        (ssb / (F.col("k") - 1)) / (F.col("__ssw") / (F.col("n") - F.col("k"))),
+    )
+    return tot.select(
+        "n",
+        "k",
+        F.round(ssb, 6).alias("ssb_r"),
+        F.round(F.col("__ssw"), 6).alias("ssw_r"),
+        F.round(f_stat, 6).alias("f_r"),
+    )
+
+
+def gini_concentration(
+    df: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """X111 — Gini coefficient of a value's concentration over keys
+    (revenue over customers, traffic over domains, tokens over
+    documents): the inequality summary every "top-N% of keys hold M% of
+    mass" analysis starts from. 0 = perfectly even, →1 = concentrated.
+
+    Formula (sorted-rank form over per-key totals ``x_(1)≤…≤x_(n)``):
+    ``G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n``.
+
+    Shape: fact rows collapse ONCE to per-key totals; the rank window
+    runs over that keys-sized relation (global-order window disclosed —
+    the x80 caveat — but the relation is keys, not fact rows, and at
+    100 TB per-key totals are exactly what the key-count bounds).
+    Ranking ties break by key for a deterministic, oracle-replayable
+    weighted sum; the weighted sums are exact-int-scaled only when the
+    values are integers — for doubles the 9 dp release round absorbs
+    summation-order ulp (repo float policy).
+
+    Output (single row): ``(n_keys, total_r, gini_r)``; NULL gini when
+    total <= 0 or a single key.
+    """
+    from pyspark.sql import Window
+
+    totals = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.sum(F.col(value_col).cast("double")).alias("__x")
+    )
+    w = Window.orderBy(F.col("__x").asc(), F.col("__k").asc())
+    ranked = totals.select(
+        F.col("__x"), F.row_number().over(w).cast("long").alias("__i")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("__x").alias("__t"),
+        F.sum(F.col("__i") * F.col("__x")).alias("__wx"),
+    )
+    nd = F.col("n_keys").cast("double")
+    gini = F.when(
+        (F.col("n_keys") >= 2) & (F.col("__t") > 0),
+        2.0 * F.col("__wx") / (nd * F.col("__t")) - (nd + 1.0) / nd,
+    )
+    return agg.select(
+        "n_keys",
+        F.round(F.col("__t"), 6).alias("total_r"),
+        F.round(gini, 9).alias("gini_r"),
+    )

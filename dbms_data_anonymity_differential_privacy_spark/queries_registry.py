@@ -5709,6 +5709,67 @@ def x103_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X110 — one-way ANOVA (operators/stats.py anova_oneway): k-group mean
+# comparison from per-group (n, Σx, Σx²); x63 closed-form shape.
+# --------------------------------------------------------------------------
+@query(
+    "x110_anova",
+    """
+    WITH g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                      SUM(value) AS s, SUM(value * value) AS ss
+               FROM events GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+                 SUM(s) AS ts, SUM(ss) AS tss,
+                 SUM(ss - s * s / n) AS ssw
+          FROM g)
+    SELECT n, k,
+           ROUND((tss - n * (ts / n) * (ts / n)) - ssw, 6) AS ssb_r,
+           ROUND(ssw, 6) AS ssw_r,
+           CASE WHEN k >= 2 AND ssw > 0
+                THEN ROUND((((tss - n * (ts / n) * (ts / n)) - ssw) / (k - 1))
+                           / (ssw / (n - k)), 6) END AS f_r
+    FROM t
+    """,
+)
+def x110_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does mean event value differ across event types? One-way ANOVA."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import anova_oneway
+
+    ev = load_table(spark, sf_dir, "events")
+    return anova_oneway(ev, "value", "event_type")
+
+
+# --------------------------------------------------------------------------
+# X111 — Gini concentration (operators/stats.py gini_concentration):
+# inequality of per-key mass; rank window over the keys-sized totals
+# relation, deterministic (value, key) order.
+# --------------------------------------------------------------------------
+@query(
+    "x111_gini",
+    """
+    WITH totals AS (SELECT o_custkey AS k, SUM(o_totalprice) AS x
+                    FROM orders GROUP BY 1),
+    ranked AS (SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x ASC, k ASC) AS BIGINT) AS i
+               FROM totals),
+    a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, SUM(x) AS t, SUM(i * x) AS wx
+          FROM ranked)
+    SELECT n_keys, ROUND(t, 6) AS total_r,
+           CASE WHEN n_keys >= 2 AND t > 0
+                THEN ROUND(2.0 * wx / (CAST(n_keys AS DOUBLE) * t)
+                           - (CAST(n_keys AS DOUBLE) + 1.0) / CAST(n_keys AS DOUBLE), 9)
+           END AS gini_r
+    FROM a
+    """,
+)
+def x111_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration of order revenue over customers (Gini)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import gini_concentration
+
+    o = load_table(spark, sf_dir, "orders")
+    return gini_concentration(o, "o_custkey", "o_totalprice")
+
+
+# --------------------------------------------------------------------------
 # X109 — Spearman rank correlation (operators/stats.py spearman_corr):
 # tie-averaged ranks doubled into int64, DECIMAL/HUGEINT-exact sums,
 # fixed double closed form. Rank tables broadcast onto the slim pair

@@ -497,3 +497,41 @@ def test_spearman_constant_margin_null(spark):
 
     df = spark.createDataFrame([(1.0, 1.0), (2.0, 1.0)], "x double, y double")
     assert spearman_corr(df, "x", "y").collect()[0].rho_r is None
+
+
+def test_anova_crafted_and_identical_groups(spark):
+    """X110 vs the hand-computed textbook decomposition; F near 0 when
+    group means coincide."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import anova_oneway
+
+    rows = (
+        [("a", v) for v in (1.0, 2.0, 3.0)]
+        + [("b", v) for v in (4.0, 5.0, 6.0)]
+        + [("c", v) for v in (7.0, 8.0, 9.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, value double")
+    r = anova_oneway(df, "value", "g").collect()[0]
+    # group means 2,5,8; grand 5; SSB = 3*(9+0+9)=54; SSW = 3 groups * 2
+    assert r.n == 9 and r.k == 3
+    assert r.ssb_r == 54.0 and r.ssw_r == 6.0
+    assert r.f_r == round((54 / 2) / (6 / 6), 6) == 27.0
+    same = [("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0)]
+    r2 = anova_oneway(spark.createDataFrame(same, "g string, value double"), "value", "g").collect()[0]
+    assert r2.f_r == 0.0
+
+
+def test_gini_crafted_extremes(spark):
+    """X111: even mass -> 0; fully concentrated -> (n-1)/n; hand value."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import gini_concentration
+
+    even = [(k, 10.0) for k in range(5)]
+    df = spark.createDataFrame(even, "k long, v double")
+    assert gini_concentration(df, "k", "v").collect()[0].gini_r == 0.0
+    conc = [(0, 100.0)] + [(k, 0.0) for k in range(1, 5)]
+    df2 = spark.createDataFrame(conc, "k long, v double")
+    r = gini_concentration(df2, "k", "v").collect()[0]
+    assert r.gini_r == round((5 - 1) / 5, 9)
+    # duplicate key rows collapse into per-key totals first
+    dup = [(1, 5.0), (1, 5.0), (2, 10.0)]
+    r2 = gini_concentration(spark.createDataFrame(dup, "k long, v double"), "k", "v").collect()[0]
+    assert r2.n_keys == 2 and r2.gini_r == 0.0
