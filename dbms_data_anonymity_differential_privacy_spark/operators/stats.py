@@ -1173,7 +1173,7 @@ def anova_oneway(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
 
 
 def gini_concentration(
-    df: DataFrame, key_col: str, value_col: str
+    df: DataFrame, key_col: str, value_col: str, as_cents: bool = False
 ) -> DataFrame:
     """X111 — Gini coefficient of a value's concentration over keys
     (revenue over customers, traffic over domains, tokens over
@@ -1188,34 +1188,44 @@ def gini_concentration(
     the x80 caveat — but the relation is keys, not fact rows, and at
     100 TB per-key totals are exactly what the key-count bounds).
     Ranking ties break by key for a deterministic, oracle-replayable
-    weighted sum; the weighted sums are exact-int-scaled only when the
-    values are integers — for doubles the 9 dp release round absorbs
-    summation-order ulp (repo float policy).
+    weighted sum. ``as_cents=True`` (for 2-decimal money columns) scales
+    values to INTEGER cents before any sum — per-key totals in int64,
+    the rank-weighted sum in DECIMAL (int64 overflows past ~1M keys
+    since Σi·x ~ n·Σx) — so every sum is associative exact arithmetic
+    and partial-agg order can never shift a bit (the x33 money + x109
+    decimal conventions; the double path drifted ~1e-5 on a 1e10-scale
+    total at sf0.1, measured). The plain-double path remains for
+    non-monetary values, where the 9 dp release round absorbs ulp only
+    at small magnitudes.
 
     Output (single row): ``(n_keys, total_r, gini_r)``; NULL gini when
     total <= 0 or a single key.
     """
     from pyspark.sql import Window
 
-    totals = df.groupBy(F.col(key_col).alias("__k")).agg(
-        F.sum(F.col(value_col).cast("double")).alias("__x")
-    )
+    v = F.col(value_col)
+    if as_cents:
+        v = F.round(v * 100).cast("long")
+    totals = df.groupBy(F.col(key_col).alias("__k")).agg(F.sum(v).alias("__x"))
     w = Window.orderBy(F.col("__x").asc(), F.col("__k").asc())
     ranked = totals.select(
         F.col("__x"), F.row_number().over(w).cast("long").alias("__i")
     )
+    wx_term = F.col("__i") * F.col("__x")
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("__x").alias("__t"),
-        F.sum(F.col("__i") * F.col("__x")).alias("__wx"),
+        F.sum(wx_term.cast("decimal(30,0)") if as_cents else wx_term).alias("__wx"),
     )
     nd = F.col("n_keys").cast("double")
+    td = F.col("__t").cast("double")
     gini = F.when(
         (F.col("n_keys") >= 2) & (F.col("__t") > 0),
-        2.0 * F.col("__wx") / (nd * F.col("__t")) - (nd + 1.0) / nd,
+        2.0 * F.col("__wx").cast("double") / (nd * td) - (nd + 1.0) / nd,
     )
+    total = (td / 100.0) if as_cents else td
     return agg.select(
         "n_keys",
-        F.round(F.col("__t"), 6).alias("total_r"),
+        F.round(total, 6).alias("total_r"),
         F.round(gini, 9).alias("gini_r"),
     )

@@ -5747,15 +5747,18 @@ def x110_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x111_gini",
     """
-    WITH totals AS (SELECT o_custkey AS k, SUM(o_totalprice) AS x
+    WITH totals AS (SELECT o_custkey AS k,
+                           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
                     FROM orders GROUP BY 1),
     ranked AS (SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x ASC, k ASC) AS BIGINT) AS i
                FROM totals),
-    a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, SUM(x) AS t, SUM(i * x) AS wx
+    a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(x) AS BIGINT) AS t,
+                 SUM(i * x) AS wx
           FROM ranked)
-    SELECT n_keys, ROUND(t, 6) AS total_r,
+    SELECT n_keys, ROUND(CAST(t AS DOUBLE) / 100.0, 6) AS total_r,
            CASE WHEN n_keys >= 2 AND t > 0
-                THEN ROUND(2.0 * wx / (CAST(n_keys AS DOUBLE) * t)
+                THEN ROUND(2.0 * CAST(wx AS DOUBLE)
+                           / (CAST(n_keys AS DOUBLE) * CAST(t AS DOUBLE))
                            - (CAST(n_keys AS DOUBLE) + 1.0) / CAST(n_keys AS DOUBLE), 9)
            END AS gini_r
     FROM a
@@ -5766,7 +5769,7 @@ def x111_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbms_data_anonymity_differential_privacy_spark.operators.stats import gini_concentration
 
     o = load_table(spark, sf_dir, "orders")
-    return gini_concentration(o, "o_custkey", "o_totalprice")
+    return gini_concentration(o, "o_custkey", "o_totalprice", as_cents=True)
 
 
 # --------------------------------------------------------------------------
