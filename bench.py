@@ -145,6 +145,7 @@ HEADLINE = [
     "x108_ks_test",
     "x109_spearman",
     "x110_anova",
+    "x112_novelty",
     "x111_gini",
     "x96_media_curation",
     "x97_delta_presence",

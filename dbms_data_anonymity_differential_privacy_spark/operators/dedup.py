@@ -1049,3 +1049,62 @@ def remove_repeated_spans(
             )
 
     return joined.mapInPandas(cut, out_schema)
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X112 — per-document n-gram novelty: the fraction of a document's
+    distinct word n-grams that appear NOWHERE else in the corpus
+    (corpus-wide document frequency 1). The memorization/novelty screen
+    of training-data curation (the complement of the duplication the
+    near-dup family removes): boilerplate-heavy docs score near 0,
+    genuinely novel text near 1 — and it directly upper-bounds how much
+    of a doc could have been copied from the rest of the corpus.
+
+    Physical shape (the X3 skeleton): shared one-pass tokenization →
+    8-byte shingle hashes → ONE exploded (id, shingle_h) aggregation for
+    corpus document frequencies → re-join on the hash → per-doc
+    aggregation. No string shingles ever shuffle; candidate volume is
+    the exploded relation itself (linear), never pairs.
+
+    Output: ``(id, n_ngrams, n_unique, novelty_r)``; docs with fewer
+    than ``n`` tokens release ``(0, 0, 0.0)``.
+    """
+    toks = hashed_tokens(df, text_col, id_col)
+    sh_arr = toks.select(
+        F.col(id_col), F.array_distinct(shingle_hashes(F.col("__th"), n)).alias("hs")
+    ).persist()
+    exploded = sh_arr.select(
+        F.col(id_col), F.size("hs").alias("n_sh"), F.explode("hs").alias("__h")
+    )
+    # df counts over DISTINCT (doc, shingle) — sh_arr is already distinct
+    dfreq = exploded.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (
+        exploded.join(dfreq, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.max("n_sh").alias("n_ngrams"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+    )
+    base = sh_arr.select(F.col(id_col), F.size("hs").alias("__n0"))
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+            F.round(
+                F.when(
+                    F.coalesce("n_ngrams", F.lit(0)) > 0,
+                    F.coalesce("n_unique", F.lit(0))
+                    / F.coalesce("n_ngrams", F.lit(0)).cast("double"),
+                ).otherwise(0.0),
+                9,
+            ).alias("novelty_r"),
+        )
+    )

@@ -5709,6 +5709,40 @@ def x103_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X112 — n-gram novelty (operators/dedup.py ngram_novelty): fraction of
+# a doc's distinct 3-grams with corpus df == 1; X3 skeleton, hash-only
+# shuffles. Oracle = the string-shingle twin (x18 convention).
+# --------------------------------------------------------------------------
+@query(
+    "x112_novelty",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+               FROM documents),
+    sh AS (SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(toks[i:i+2], ' '))) AS s FROM t),
+    e AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    dfreq AS (SELECT shingle, COUNT(*) AS df FROM e GROUP BY 1),
+    per AS (SELECT e.doc_id,
+                   CAST(SUM(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+            FROM e JOIN dfreq USING (shingle) GROUP BY 1)
+    SELECT sh.doc_id, CAST(len(sh.s) AS BIGINT) AS n_ngrams,
+           CAST(COALESCE(per.n_unique, 0) AS BIGINT) AS n_unique,
+           ROUND(CASE WHEN len(sh.s) > 0
+                      THEN COALESCE(per.n_unique, 0) / CAST(len(sh.s) AS DOUBLE)
+                      ELSE 0.0 END, 9) AS novelty_r
+    FROM sh LEFT JOIN per USING (doc_id)
+    """,
+)
+def x112_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus novelty over word 3-grams."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import ngram_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_novelty(docs, n=3)
+
+
+# --------------------------------------------------------------------------
 # X110 — one-way ANOVA (operators/stats.py anova_oneway): k-group mean
 # comparison from per-group (n, Σx, Σx²); x63 closed-form shape.
 # --------------------------------------------------------------------------

@@ -1790,3 +1790,24 @@ def test_tfidf_topk_plan_map_side_window_limit(spark, sf001):
     p = tfidf_topk(docs, k=5)._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"WindowGroupLimit.*Partial", p)
     assert "CartesianProduct" not in p
+
+
+def test_ngram_novelty_crafted(spark):
+    """X112: a doc sharing every 3-gram with a twin scores 0; a fully
+    unique doc scores 1; short docs release (0, 0, 0.0)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox jumps"),   # exact twin of 1
+            (3, "completely different unique words here"),
+            (4, "too short"),                    # < 3 tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ngram_novelty(docs, n=3).collect()}
+    assert out[1].n_ngrams == 3 and out[1].novelty_r == 0.0
+    assert out[2].novelty_r == 0.0
+    assert out[3].n_ngrams == 3 and out[3].n_unique == 3 and out[3].novelty_r == 1.0
+    assert out[4].n_ngrams == 0 and out[4].novelty_r == 0.0
