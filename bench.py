@@ -146,6 +146,7 @@ HEADLINE = [
     "x109_spearman",
     "x110_anova",
     "x112_novelty",
+    "x113_source_overlap",
     "x111_gini",
     "x96_media_curation",
     "x97_delta_presence",

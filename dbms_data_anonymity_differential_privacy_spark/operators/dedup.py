@@ -1108,3 +1108,72 @@ def ngram_novelty(
             ).alias("novelty_r"),
         )
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    source_col: str = "source",
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X113 — cross-source content-overlap matrix: for every pair of
+    corpus sources (crawl snapshots, vendor feeds, domains), how many
+    distinct word n-grams they share, with the Jaccard overlap. The
+    provenance question mixture design asks before weighting sources
+    (x26): which feeds are near-copies of each other, and which are
+    genuinely additive.
+
+    Physical shape: the corpus collapses ONCE to the distinct
+    (source, shingle_hash) relation — 8-byte hashes, map-side distinct
+    combine; the pair generator is a self-join on the shingle hash whose
+    fan-out per shingle is bounded by sources-containing-it choose 2 —
+    at most |sources|², a CONSTANT per shingle (never doc-pair volume).
+    Source set sizes broadcast back onto the kilobyte pair relation.
+    Jaccard telescopes to exact int64 counts and one IEEE division.
+
+    Output: ``(source_a, source_b, shared, n_a, n_b, jaccard_r)`` for
+    source_a < source_b with ``shared > 0``.
+    """
+    toks = hashed_tokens(df, text_col, id_col)
+    src_map = df.select(F.col(id_col), F.col(source_col).alias("__src"))
+    sh = (
+        toks.join(src_map, id_col)
+        .select(
+            F.col("__src"),
+            F.explode(F.array_distinct(shingle_hashes(F.col("__th"), n))).alias("__h"),
+        )
+        .distinct()
+    )
+    sh.persist()
+    sizes = sh.groupBy("__src").agg(F.count(F.lit(1)).alias("__n"))
+    a = sh.select(F.col("__src").alias("source_a"), "__h")
+    b = sh.select(F.col("__src").alias("source_b"), "__h")
+    pairs = (
+        a.join(b, "__h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("__src").alias("source_a"), F.col("__n").alias("n_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("__src").alias("source_b"), F.col("__n").alias("n_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+                9,
+            ).alias("jaccard_r"),
+        )
+    )

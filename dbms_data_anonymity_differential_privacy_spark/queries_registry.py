@@ -5709,6 +5709,41 @@ def x103_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X113 — cross-source overlap matrix (operators/dedup.py
+# source_overlap_matrix): distinct (source, shingle) collapse ->
+# shingle-keyed self-join (fan-out <= |sources|² per shingle) ->
+# broadcast sizes; exact-int Jaccard.
+# --------------------------------------------------------------------------
+@query(
+    "x113_source_overlap",
+    """
+    WITH t AS (SELECT doc_id, source,
+                      string_split_regex(lower(trim(text)), '\\s+') AS toks
+               FROM documents),
+    sh AS (SELECT DISTINCT source, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(toks[i:i+2], ' ')))) AS shingle FROM t),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                     CAST(COUNT(*) AS BIGINT) AS shared
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+              GROUP BY 1, 2)
+    SELECT source_a, source_b, shared, sa.n AS n_a, sb.n AS n_b,
+           ROUND(shared / CAST(sa.n + sb.n - shared AS DOUBLE), 9) AS jaccard_r
+    FROM pairs
+    JOIN sizes sa ON sa.source = pairs.source_a
+    JOIN sizes sb ON sb.source = pairs.source_b
+    """,
+)
+def x113_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-3-gram overlap matrix across corpus sources."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import source_overlap_matrix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_overlap_matrix(docs, "source", n=3)
+
+
+# --------------------------------------------------------------------------
 # X112 — n-gram novelty (operators/dedup.py ngram_novelty): fraction of
 # a doc's distinct 3-grams with corpus df == 1; X3 skeleton, hash-only
 # shuffles. Oracle = the string-shingle twin (x18 convention).

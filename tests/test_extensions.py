@@ -1811,3 +1811,25 @@ def test_ngram_novelty_crafted(spark):
     assert out[2].novelty_r == 0.0
     assert out[3].n_ngrams == 3 and out[3].n_unique == 3 and out[3].novelty_r == 1.0
     assert out[4].n_ngrams == 0 and out[4].novelty_r == 0.0
+
+
+def test_source_overlap_matrix_crafted(spark):
+    """X113: hand-computed shared counts and Jaccard; duplicate docs in
+    one source don't double-count shingles; disjoint sources absent."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import source_overlap_matrix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "s1"),       # shingles: abc, bcd
+            (2, "a b c d", "s1"),       # duplicate content, same source
+            (3, "b c d e", "s2"),       # shingles: bcd, cde -> shares bcd
+            (4, "x y z w", "s3"),       # disjoint
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {(r.source_a, r.source_b): r for r in
+           source_overlap_matrix(docs, "source", n=3).collect()}
+    assert set(out) == {("s1", "s2")}
+    r = out[("s1", "s2")]
+    assert r.shared == 1 and r.n_a == 2 and r.n_b == 2
+    assert r.jaccard_r == round(1 / 3, 9)
