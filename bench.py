@@ -147,6 +147,7 @@ HEADLINE = [
     "x110_anova",
     "x112_novelty",
     "x113_source_overlap",
+    "x114_dp_heatmap_exact",
     "x111_gini",
     "x96_media_curation",
     "x97_delta_presence",

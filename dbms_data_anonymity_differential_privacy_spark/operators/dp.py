@@ -1344,3 +1344,70 @@ def dp_set_union_exact(
     )
     agg = bounded.groupBy(item_col).agg(F.count(F.lit(1)).alias("n_exact"))
     return agg.filter(F.col("n_exact") >= F.lit(rho))
+
+
+def dp_histogram_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_bins_x: int,
+    n_bins_y: int,
+    epsilon: float,
+    x_bounds: tuple[float, float],
+    y_bounds: tuple[float, float],
+    seed: int = 42,
+    budget: "PrivacyBudget | None" = None,
+    release: str | None = None,
+) -> DataFrame:
+    """X114 — noisy 2-D histogram (heatmap) over PUBLIC per-axis bounds:
+    the joint-distribution release every density dashboard / marginal
+    calibration wants, under the same parallel-composition argument as
+    the 1-D histogram (each record lands in exactly ONE cell, so one
+    epsilon covers the whole grid — no per-cell split; Dwork & Roth §3.4).
+
+    Both grids are data-independent (caller bounds; values clipped;
+    ALL ``n_bins_x × n_bins_y`` cells released with zeros), so neither
+    the cell structure nor cell presence leaks. The dense spine comes
+    from ONE ``spark.range`` cross of the two public grids — kilobytes,
+    broadcast onto the cell counts.
+
+    Output: ``(bin_x, bin_y, count_exact, count_dp)``.
+    """
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    if n_bins_x < 1 or n_bins_y < 1:
+        raise ValueError("bin counts must be >= 1")
+    (xl, xu), (yl, yu) = x_bounds, y_bounds
+    if xl >= xu or yl >= yu:
+        raise ValueError("need public bounds lower < upper on both axes")
+    salt = _release_salt("hist2d", release, budget)
+    if budget is not None:
+        budget.spend(epsilon, f"dp_histogram_2d:{x_col}x{y_col}@{n_bins_x}x{n_bins_y}")
+
+    def bin_of(col: str, lo: float, hi: float, n: int):
+        clipped = F.least(F.greatest(F.col(col), F.lit(lo)), F.lit(hi))
+        return F.least(
+            F.floor((clipped - F.lit(lo)) * n / F.lit(hi - lo)), F.lit(n - 1)
+        ).cast("int")
+
+    binned = df.select(
+        bin_of(x_col, xl, xu, n_bins_x).alias("bin_x"),
+        bin_of(y_col, yl, yu, n_bins_y).alias("bin_y"),
+    )
+    counts = binned.groupBy("bin_x", "bin_y").agg(F.count(F.lit(1)).alias("__c"))
+    spark = df.sparkSession
+    spine = (
+        spark.range(n_bins_x)
+        .select(F.col("id").cast("int").alias("bin_x"))
+        .crossJoin(
+            spark.range(n_bins_y).select(F.col("id").cast("int").alias("bin_y"))
+        )
+    )
+    full = spine.join(counts, ["bin_x", "bin_y"], "left").select(
+        "bin_x", "bin_y", F.coalesce(F.col("__c"), F.lit(0)).alias("count_exact")
+    )
+    return full.withColumn(
+        "count_dp",
+        F.col("count_exact")
+        + laplace_noise(["bin_x", "bin_y"], 1.0 / epsilon, seed, salt),
+    )

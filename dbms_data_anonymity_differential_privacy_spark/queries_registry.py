@@ -5709,6 +5709,56 @@ def x103_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X114 — 2-D DP histogram (operators/dp.py dp_histogram_2d): joint
+# heatmap over public per-axis grids, one epsilon for the whole grid
+# (parallel composition). Exact pre-noise twin; noisy flavor rows-only.
+# --------------------------------------------------------------------------
+@query(
+    "x114_dp_heatmap_exact",
+    """
+    WITH b AS (SELECT
+                 CAST(LEAST(FLOOR((LEAST(GREATEST(value, 0.0), 500.0) - 0.0)
+                                  * 10 / 500.0), 9) AS INT) AS bin_x,
+                 CAST(LEAST(FLOOR((LEAST(GREATEST(EXTRACT(hour FROM ts), 0.0), 24.0)
+                                   - 0.0) * 24 / 24.0), 23) AS INT) AS bin_y,
+                 COUNT(*) AS c
+               FROM events GROUP BY 1, 2)
+    SELECT sx.bin_x, sy.bin_y, COALESCE(b.c, 0) AS count_exact
+    FROM (SELECT CAST(range AS INT) AS bin_x FROM range(0, 10)) sx
+    CROSS JOIN (SELECT CAST(range AS INT) AS bin_y FROM range(0, 24)) sy
+    LEFT JOIN b USING (bin_x, bin_y)
+    """,
+)
+def x114_dp_heatmap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-noise core of the (value x hour-of-day) DP heatmap."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_histogram_2d
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "hod", F.hour("ts").cast("double")
+    )
+    return dp_histogram_2d(
+        ev, "value", "hod", 10, 24, epsilon=1.0,
+        x_bounds=(0.0, 500.0), y_bounds=(0.0, 24.0),
+        release="x114_dp_heatmap_exact",
+    ).drop("count_dp")
+
+
+@query("x114_dp_heatmap")
+def x114_dp_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noisy flavor (rows-only: includes the Laplace draws)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_histogram_2d
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "hod", F.hour("ts").cast("double")
+    )
+    return dp_histogram_2d(
+        ev, "value", "hod", 10, 24, epsilon=1.0,
+        x_bounds=(0.0, 500.0), y_bounds=(0.0, 24.0),
+        release="x114_dp_heatmap",
+    )
+
+
+# --------------------------------------------------------------------------
 # X113 — cross-source overlap matrix (operators/dedup.py
 # source_overlap_matrix): distinct (source, shingle) collapse ->
 # shingle-keyed self-join (fan-out <= |sources|² per shingle) ->

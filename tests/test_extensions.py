@@ -1833,3 +1833,53 @@ def test_source_overlap_matrix_crafted(spark):
     r = out[("s1", "s2")]
     assert r.shared == 1 and r.n_a == 2 and r.n_b == 2
     assert r.jaccard_r == round(1 / 3, 9)
+
+
+def test_dp_histogram_2d_semantics(spark):
+    """X114: dense public grid (zeros included), mass conservation on the
+    exact core, clipping at the public bounds, eps->inf recovery,
+    determinism of the noisy release."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_histogram_2d
+
+    rows = [(5.0, 1.0), (5.0, 1.0), (95.0, 3.0), (-50.0, 9.0)]  # -50 clips into bin 0
+    df = spark.createDataFrame(rows, "x double, y double")
+    out = dp_histogram_2d(
+        df, "x", "y", 10, 4, epsilon=1.0, x_bounds=(0.0, 100.0), y_bounds=(0.0, 4.0),
+        release="t114",
+    )
+    cells = {(r.bin_x, r.bin_y): r for r in out.collect()}
+    assert len(cells) == 40  # full public grid, zeros included
+    assert cells[(0, 1)].count_exact == 2
+    assert cells[(9, 3)].count_exact == 1
+    assert cells[(0, 3)].count_exact == 1  # clipped row
+    assert sum(r.count_exact for r in cells.values()) == 4
+    # eps -> inf: noise vanishes
+    big = dp_histogram_2d(
+        df, "x", "y", 10, 4, epsilon=1e9, x_bounds=(0.0, 100.0), y_bounds=(0.0, 4.0),
+        release="t114-big",
+    ).collect()
+    assert all(abs(r.count_dp - r.count_exact) < 1e-3 for r in big)
+    # replay-stable noise
+    a = sorted(out.collect(), key=lambda r: (r.bin_x, r.bin_y))
+    b = sorted(
+        dp_histogram_2d(
+            df, "x", "y", 10, 4, epsilon=1.0, x_bounds=(0.0, 100.0), y_bounds=(0.0, 4.0),
+            release="t114",
+        ).collect(),
+        key=lambda r: (r.bin_x, r.bin_y),
+    )
+    assert [r.count_dp for r in a] == [r.count_dp for r in b]
+
+
+def test_dp_histogram_2d_validation(spark):
+    import pytest
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_histogram_2d
+
+    df = spark.createDataFrame([(1.0, 1.0)], "x double, y double")
+    with pytest.raises(ValueError):
+        dp_histogram_2d(df, "x", "y", 10, 4, epsilon=0.0, x_bounds=(0, 1), y_bounds=(0, 1), release="t")
+    with pytest.raises(ValueError):
+        dp_histogram_2d(df, "x", "y", 0, 4, epsilon=1.0, x_bounds=(0, 1), y_bounds=(0, 1), release="t")
+    with pytest.raises(ValueError):
+        dp_histogram_2d(df, "x", "y", 10, 4, epsilon=1.0, x_bounds=(1, 1), y_bounds=(0, 1), release="t")

@@ -111,7 +111,7 @@ NEW_THIS_ROUND: set[str] = {
     "x100_qi_search", "x101_ak_anonymity", "x102_copurchase",
     "x103_entities", "x104_ewma", "x105_pivot_release",
     "x106_m_invariance", "x107_funnel_windowed", "pipe_corpus_datasheet", "x108_ks_test", "x109_spearman",
-    "x110_anova", "x111_gini", "x112_novelty", "x113_source_overlap",
+    "x110_anova", "x111_gini", "x112_novelty", "x113_source_overlap", "x114_dp_heatmap_exact",
 }
 
 
