@@ -148,6 +148,8 @@ HEADLINE = [
     "x112_novelty",
     "x113_source_overlap",
     "x114_dp_heatmap_exact",
+    "x115_weighted_median",
+    "x116_top_p",
     "x111_gini",
     "x96_media_curation",
     "x97_delta_presence",

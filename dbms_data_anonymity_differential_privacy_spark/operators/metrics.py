@@ -439,3 +439,46 @@ def qi_uniqueness_search(df: DataFrame, qi_cols: Sequence[str]) -> DataFrame:
             F.sum(F.when(F.col("__n") == 1, 1).otherwise(0)) / F.sum("__n"), 6
         ).alias("uniqueness_r"),
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """X115 — exact per-group weighted (lower) median: the smallest value
+    whose cumulative weight reaches half the group's total — "the price
+    at which half the QUANTITY traded", the volume-weighted analogue of
+    x22's row-median.
+
+    Integer-exact when weights are integral (the common count/quantity
+    case): the reach-half test compares ``2·cumw >= W`` in int64 — no
+    division, no float threshold, bit-identical across engines. The
+    fact table collapses ONCE to the (group, value, weight-sum)
+    relation; the cumsum + argmin run as windows over that compact
+    relation (values per group, not rows).
+
+    Output: ``(*group_cols, w_total, weighted_median)``.
+    """
+    from pyspark.sql import Window
+
+    agg = df.groupBy(*group_cols, F.col(value_col).alias("__v")).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("__w")
+    )
+    part = [F.col(c) for c in group_cols]
+    w_cum = Window.partitionBy(*part).orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy(*part)
+    cum = agg.select(
+        *group_cols,
+        "__v",
+        F.sum("__w").over(w_cum).alias("__cw"),
+        F.sum("__w").over(w_all).alias("w_total"),
+    )
+    reached = cum.where(2 * F.col("__cw") >= F.col("w_total"))
+    return reached.groupBy(*group_cols).agg(
+        F.max("w_total").alias("w_total"),
+        F.min("__v").alias("weighted_median"),
+    )

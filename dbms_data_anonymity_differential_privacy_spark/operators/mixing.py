@@ -201,3 +201,52 @@ def temperature_sample(
     )
     keep = (F.col("__rate") >= 1.0) | (hh < thr)
     return df.join(F.broadcast(rates_df), group_col).filter(keep).drop("__rate")
+
+
+def top_p_support(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    p: float = 0.9,
+) -> DataFrame:
+    """X116 — top-p (nucleus) support per group: the smallest set of
+    values covering at least fraction ``p`` of the group's mass, by
+    descending frequency — the truncation rule of nucleus sampling
+    (Holtzman et al. 2020), and the long-tail-cutoff every categorical
+    release uses ("keep the heads covering 90%, bucket the rest").
+
+    Kept = every value whose EXCLUSIVE prefix mass (sum of strictly
+    higher-ranked values) is still below ``p·total`` — so the boundary
+    value that crosses p is included, matching the nucleus rule. The
+    mass test is exact integer arithmetic when ``p`` has a short decimal
+    form: ``prev_mass · 10^k < p·10^k · total`` in int64 — no float
+    thresholds. Rank order is (count desc, value asc), deterministic.
+
+    Shape: one fact aggregation to the (group, value, count) relation;
+    cumsum windows over it. Output: ``(*group_cols, value, cnt, rank,
+    kept)`` for ALL values (callers filter ``kept``).
+    """
+    from pyspark.sql import Window
+
+    if not 0 < p <= 1:
+        raise ValueError("p must be in (0, 1]")
+    # p as an exact scaled-integer fraction (short decimal forms only)
+    num = round(p * 10**6)
+    agg = df.groupBy(*group_cols, F.col(value_col).alias("value")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    part = [F.col(c) for c in group_cols]
+    order = [F.col("cnt").desc(), F.col("value").asc()]
+    w_rank = Window.partitionBy(*part).orderBy(*order)
+    w_prev = w_rank.rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy(*part)
+    return agg.select(
+        *group_cols,
+        "value",
+        "cnt",
+        F.row_number().over(w_rank).alias("rank"),
+        (
+            F.coalesce(F.sum("cnt").over(w_prev), F.lit(0)) * F.lit(10**6)
+            < F.lit(num) * F.sum("cnt").over(w_all)
+        ).alias("kept"),
+    )

@@ -5709,6 +5709,63 @@ def x103_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X115 — weighted median (operators/metrics.py weighted_median): exact
+# lower weighted median via integer 2·cumw >= W over the (group, value,
+# weight) relation.
+# --------------------------------------------------------------------------
+@query(
+    "x115_weighted_median",
+    """
+    WITH agg AS (SELECT l_returnflag, l_extendedprice AS v,
+                        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+                 FROM lineitem GROUP BY 1, 2),
+    cum AS (SELECT l_returnflag, v,
+                   CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+                   CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS w_total
+            FROM agg)
+    SELECT l_returnflag, MAX(w_total) AS w_total, MIN(v) AS weighted_median
+    FROM cum WHERE 2 * cw >= w_total GROUP BY l_returnflag
+    """,
+)
+def x115_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.metrics import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return weighted_median(li, ["l_returnflag"], "l_extendedprice", "l_quantity")
+
+
+# --------------------------------------------------------------------------
+# X116 — top-p (nucleus) support (operators/mixing.py top_p_support):
+# smallest head set covering p of each group's mass; exact scaled-int
+# threshold, (count desc, value) rank order.
+# --------------------------------------------------------------------------
+@query(
+    "x116_top_p",
+    """
+    WITH agg AS (SELECT lang, source AS value, CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM documents GROUP BY 1, 2),
+    r AS (SELECT lang, value, cnt,
+                 CAST(ROW_NUMBER() OVER w AS INTEGER) AS rank,
+                 CAST(COALESCE(SUM(cnt) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING), 0) AS BIGINT) AS prev,
+                 CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS total
+          FROM agg WINDOW w AS (PARTITION BY lang ORDER BY cnt DESC, value ASC))
+    SELECT lang, value, cnt, rank,
+           prev * 1000000 < 900000 * total AS kept
+    FROM r
+    """,
+)
+def x116_top_p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (p=0.9) source support per language."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.mixing import top_p_support
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_p_support(docs, ["lang"], "source", p=0.9)
+
+
+# --------------------------------------------------------------------------
 # X114 — 2-D DP histogram (operators/dp.py dp_histogram_2d): joint
 # heatmap over public per-axis grids, one epsilon for the whole grid
 # (parallel composition). Exact pre-noise twin; noisy flavor rows-only.

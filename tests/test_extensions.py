@@ -1883,3 +1883,38 @@ def test_dp_histogram_2d_validation(spark):
         dp_histogram_2d(df, "x", "y", 0, 4, epsilon=1.0, x_bounds=(0, 1), y_bounds=(0, 1), release="t")
     with pytest.raises(ValueError):
         dp_histogram_2d(df, "x", "y", 10, 4, epsilon=1.0, x_bounds=(1, 1), y_bounds=(0, 1), release="t")
+
+
+def test_weighted_median_crafted(spark):
+    """X115: hand-checked lower weighted median, incl. an exact-half
+    boundary and weight-dominant small value."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.metrics import weighted_median
+
+    rows = [
+        ("g1", 1.0, 1), ("g1", 2.0, 1), ("g1", 3.0, 98),  # heavy tail value wins
+        ("g2", 10.0, 2), ("g2", 20.0, 2),                  # 2cw==W at v=10 -> lower median 10
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    out = {r.g: r for r in weighted_median(df, ["g"], "v", "w").collect()}
+    assert out["g1"].weighted_median == 3.0 and out["g1"].w_total == 100
+    assert out["g2"].weighted_median == 10.0
+
+
+def test_top_p_support_crafted(spark):
+    """X116: boundary value crossing p is KEPT (nucleus rule); ties rank
+    by value; p=1 keeps everything."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.mixing import top_p_support
+
+    rows = ["a"] * 50 + ["b"] * 30 + ["c"] * 15 + ["d"] * 5
+    df = spark.createDataFrame([("g", v) for v in rows], "g string, v string")
+    out = {r.value: r for r in top_p_support(df, ["g"], "v", p=0.9).collect()}
+    # prefix masses: a:0, b:50, c:80, d:95 -> kept iff prev < 90
+    assert out["a"].kept and out["b"].kept and out["c"].kept
+    assert not out["d"].kept
+    assert [out[v].rank for v in "abcd"] == [1, 2, 3, 4]
+    all_kept = top_p_support(df, ["g"], "v", p=1.0).collect()
+    assert all(r.kept for r in all_kept)
+    import pytest
+
+    with pytest.raises(ValueError):
+        top_p_support(df, ["g"], "v", p=0.0)
