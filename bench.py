@@ -150,6 +150,7 @@ HEADLINE = [
     "x114_dp_heatmap_exact",
     "x115_weighted_median",
     "x116_top_p",
+    "x117_oov_rate",
     "x111_gini",
     "x96_media_curation",
     "x97_delta_presence",

@@ -290,3 +290,65 @@ def tfidf_topk(
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf_r"), F.asc("term"))
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_size: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X117 — per-document out-of-vocabulary rate against the corpus's
+    own top-``vocab_size`` vocabulary: the tokenizer-coverage screen
+    (docs full of OOV tokens inflate sequence lengths and signal
+    encoding junk, boilerplate IDs, or the wrong language).
+
+    Vocabulary = the ``vocab_size`` most frequent tokens (freq desc,
+    token asc — deterministic); in production the vocab is a published
+    artifact, here it is derived in-engine so the whole release is
+    self-contained and oracle-checkable.
+
+    Shape: one word-count aggregation builds the vocab
+    (TakeOrderedAndProject top-k); scoring is the canonical word-count
+    shuffle — explode → BROADCAST left join against the vocab relation
+    (vocab-sized by construction) → per-doc aggregation. Token strings
+    shuffle once, as (doc, token) partial counts.
+
+    Output: ``(id_col, n_tokens, n_oov, oov_rate_r)``; empty docs
+    release ``(0, 0, 0.0)``.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), WS)
+    e = (
+        fan_out(df)
+        .select(F.col(id_col), F.explode_outer(toks).alias("tok"))
+        .where(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    )
+    e.persist()
+    vocab = (
+        e.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__f"))
+        .orderBy(F.desc("__f"), F.asc("tok"))
+        .limit(vocab_size)
+        .select("tok", F.lit(True).alias("__in_vocab"))
+    )
+    scored = (
+        e.join(F.broadcast(vocab), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    base = df.select(F.col(id_col))
+    return base.join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+        F.round(
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.coalesce("n_oov", F.lit(0)) / F.coalesce("n_tokens", F.lit(0)).cast("double"),
+            ).otherwise(0.0),
+            9,
+        ).alias("oov_rate_r"),
+    )

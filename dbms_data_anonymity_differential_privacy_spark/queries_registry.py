@@ -5709,6 +5709,43 @@ def x103_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X117 — OOV rate (operators/text.py oov_rate): per-doc coverage against
+# the corpus's own top-k vocabulary (freq desc, token asc deterministic);
+# word-count shuffle + broadcast vocab join.
+# --------------------------------------------------------------------------
+@query(
+    "x117_oov_rate",
+    """
+    WITH e AS (SELECT doc_id,
+                      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+               FROM documents),
+    ef AS (SELECT doc_id, tok FROM e WHERE tok <> ''),
+    vocab AS (SELECT tok FROM (SELECT tok, COUNT(*) AS f FROM ef GROUP BY 1)
+              ORDER BY f DESC, tok ASC LIMIT 20),
+    scored AS (SELECT ef.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                      CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_oov
+               FROM ef LEFT JOIN vocab v USING (tok) GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(s.n_tokens, 0) AS n_tokens,
+           COALESCE(s.n_oov, 0) AS n_oov,
+           ROUND(CASE WHEN COALESCE(s.n_tokens, 0) > 0
+                      THEN COALESCE(s.n_oov, 0) / CAST(s.n_tokens AS DOUBLE)
+                      ELSE 0.0 END, 9) AS oov_rate_r
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def x117_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate against the corpus top-20 vocabulary (the
+    synthetic corpus has ~31 distinct tokens, so k=20 leaves a real
+    out-of-vocabulary tail for the rate to measure)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import oov_rate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return oov_rate(docs, vocab_size=20)
+
+
+# --------------------------------------------------------------------------
 # X115 — weighted median (operators/metrics.py weighted_median): exact
 # lower weighted median via integer 2·cumw >= W over the (group, value,
 # weight) relation.

@@ -1918,3 +1918,24 @@ def test_top_p_support_crafted(spark):
 
     with pytest.raises(ValueError):
         top_p_support(df, ["g"], "v", p=0.0)
+
+
+def test_oov_rate_crafted(spark):
+    """X117: vocab is the top-k by (freq desc, token asc); OOV counted
+    per occurrence; empty docs release (0, 0, 0.0)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import oov_rate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa aa bb"),    # aa:3 bb:1
+            (2, "aa bb cc cc"),    # cc:2
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    # corpus freqs: aa:4, cc:2, bb:2 -> top-2 = {aa, bb} (tie bb<cc by token)
+    out = {r.doc_id: r for r in oov_rate(docs, vocab_size=2).collect()}
+    assert out[1].n_tokens == 4 and out[1].n_oov == 0
+    assert out[2].n_tokens == 4 and out[2].n_oov == 2
+    assert out[2].oov_rate_r == 0.5
+    assert out[3].n_tokens == 0 and out[3].oov_rate_r == 0.0
