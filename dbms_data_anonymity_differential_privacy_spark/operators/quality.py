@@ -234,3 +234,60 @@ def domain_gate(
     )
     good = rep.filter(F.col("domain_pass")).select(domain_col)
     return df.join(F.broadcast(good), on=domain_col, how="left_semi")
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """X118 — per-document zlib compression ratio: the
+    model-free repetition/entropy signal quality pipelines use alongside
+    the Gopher shape rules (highly compressible text is boilerplate or
+    repetition; incompressible text is noise/binary junk — both tails
+    get gated).
+
+    Python-side by necessity (zlib), so it runs as an Arrow
+    ``mapInPandas`` batch transform — the sanctioned vectorized escape
+    hatch (multimodal convention): one Python worker per core, no
+    per-row pickling, deterministic output (zlib level pinned).
+
+    Output: ``(id_col, n_bytes, n_compressed, ratio_r)`` — ratio =
+    compressed/raw (lower = more repetitive), 0.0 for empty docs.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("__id", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("n_compressed", T.LongType()),
+            T.StructField("ratio_r", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = [t.encode("utf-8") if t is not None else b"" for t in pdf[text_col]]
+            nb = [len(b) for b in raw]
+            nc = [len(zlib.compress(b, level)) if b else 0 for b in raw]
+            yield pd.DataFrame(
+                {
+                    "__id": pdf[id_col],
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                    "ratio_r": [
+                        round(c / b, 9) if b else 0.0 for b, c in zip(nb, nc)
+                    ],
+                }
+            )
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.util import fan_out
+
+    out = fan_out(df.select(id_col, text_col)).mapInPandas(run, schema)
+    return out.withColumnRenamed("__id", id_col)

@@ -5709,6 +5709,20 @@ def x103_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X118 — compression ratio (operators/quality.py compression_ratio):
+# zlib repetition/entropy signal via Arrow mapInPandas (rows-only: no
+# SQL zlib; determinism + bound invariants pinned in pytest).
+# --------------------------------------------------------------------------
+@query("x118_compression_ratio")
+def x118_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio (level 6)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.quality import compression_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return compression_ratio(docs)
+
+
+# --------------------------------------------------------------------------
 # X117 — OOV rate (operators/text.py oov_rate): per-doc coverage against
 # the corpus's own top-k vocabulary (freq desc, token asc deterministic);
 # word-count shuffle + broadcast vocab join.

@@ -84,3 +84,27 @@ def test_domain_quality_report_and_gate_consistency(spark, sf0001):
     # precomputed report short-circuits recomputation and gives same result
     kept2 = domain_gate(docs, report=rep).collect()
     assert {r.doc_id for r in kept2} == {r.doc_id for r in kept}
+
+
+def test_compression_ratio_signal(spark):
+    """X118: repetitive text compresses far better than high-entropy
+    text; empty doc releases zeros; deterministic across runs."""
+    import random
+    import zlib
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.quality import compression_ratio
+
+    random.seed(4)
+    noisy = "".join(random.choice("abcdefghijklmnopqrstuvwxyz0123456789 ") for _ in range(2000))
+    docs = spark.createDataFrame(
+        [(1, "spam ham " * 250), (2, noisy), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    assert out[1].ratio_r < 0.05                   # boilerplate collapses
+    assert out[2].ratio_r > 0.5                    # entropy resists
+    assert out[3].n_bytes == 0 and out[3].ratio_r == 0.0
+    # exact vs reference zlib
+    assert out[2].n_compressed == len(zlib.compress(noisy.encode(), 6))
+    again = {r.doc_id: r.ratio_r for r in compression_ratio(docs).collect()}
+    assert again == {k: v.ratio_r for k, v in out.items()}
