@@ -151,6 +151,7 @@ HEADLINE = [
     "x115_weighted_median",
     "x116_top_p",
     "x117_oov_rate",
+    "x119_interp_gapfill",
     "x111_gini",
     "x96_media_curation",
     "x97_delta_presence",

