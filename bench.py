@@ -152,6 +152,7 @@ HEADLINE = [
     "x116_top_p",
     "x117_oov_rate",
     "x119_interp_gapfill",
+    "x120_burstiness",
     "x111_gini",
     "x96_media_curation",
     "x97_delta_presence",

@@ -5709,6 +5709,45 @@ def x103_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X120 — inter-event burstiness (operators/funnel.py interevent_stats):
+# per-user gap CV from integer-µs window gaps + decimal-exact Σg²
+# (x87 variance form, x109 decimal convention).
+# --------------------------------------------------------------------------
+@query(
+    "x120_burstiness",
+    """
+    WITH g AS (SELECT user_id,
+                      epoch_us(ts) - lag(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+               FROM events),
+    a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+                 CAST(SUM(gap) AS BIGINT) AS sg,
+                 SUM(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT)) AS sgg
+          FROM g GROUP BY 1)
+    SELECT user_id, n_events, n_gaps,
+           CASE WHEN n_gaps >= 1
+                THEN CAST((2 * sg + n_gaps) // (2 * n_gaps) AS BIGINT) END
+             AS mean_gap_us,
+           ROUND(CASE WHEN n_gaps >= 2 AND sg > 0
+                      THEN SQRT(CAST(CAST(n_gaps AS HUGEINT) * sgg
+                                     - CAST(sg AS HUGEINT) * CAST(sg AS HUGEINT)
+                                     AS DOUBLE)
+                                / CAST(n_gaps * (n_gaps - 1) AS DOUBLE))
+                           / (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) END, 6)
+             AS cv_r
+    FROM a
+    """,
+)
+def x120_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap statistics and burstiness CV."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.funnel import interevent_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return interevent_stats(ev)
+
+
+# --------------------------------------------------------------------------
 # X119 — interpolation gapfill (operators/temporal.py
 # interpolate_gapfill): dense per-group spine + two ignore-nulls window
 # passes; linear interp between observed neighbors, LOCF at the edges.

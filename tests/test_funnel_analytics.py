@@ -389,3 +389,33 @@ def test_funnel_windowed_crafted(spark):
     out_free = {r.step: r.users for r in
                 funnel(df, ["signup", "click", "purchase"]).collect()}
     assert out_free == {1: 3, 2: 3, 3: 3}
+
+
+def test_interevent_stats_crafted(spark):
+    """X120: exact gaps/mean/CV on a hand-built timeline; regular series
+    has CV 0; single-event user releases NULL stats."""
+    import datetime as dt
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.funnel import interevent_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = (
+        # u1: gaps 1s, 3s -> mean 2e6 us, var = ((2*10+9*... compute below
+        [(1, 1, t0), (2, 1, t0 + s), (3, 1, t0 + 4 * s)]
+        # u2: perfectly regular 5s gaps -> CV 0
+        + [(10 + i, 2, t0 + i * 5 * s) for i in range(4)]
+        # u3: one event
+        + [(20, 3, t0)]
+    )
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {r.user_id: r for r in interevent_stats(df).collect()}
+    g = [1_000_000, 3_000_000]
+    n, sg, sgg = 2, sum(g), sum(x * x for x in g)
+    mean = sg / n
+    var = (n * sgg - sg * sg) / (n * (n - 1))
+    assert out[1].n_gaps == 2
+    assert out[1].mean_gap_us == (2 * sg + n) // (2 * n)  # integer half-up
+    assert out[1].cv_r == round((var ** 0.5) / mean, 6)
+    assert out[2].cv_r == 0.0
+    assert out[3].n_gaps == 0 and out[3].mean_gap_us is None and out[3].cv_r is None
