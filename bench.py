@@ -153,6 +153,7 @@ HEADLINE = [
     "x117_oov_rate",
     "x119_interp_gapfill",
     "x120_burstiness",
+    "x121_rolling_wau",
     "x111_gini",
     "x96_media_curation",
     "x97_delta_presence",

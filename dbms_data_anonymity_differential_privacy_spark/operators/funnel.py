@@ -480,3 +480,53 @@ def interevent_stats(
         F.when(n >= 1, mean_int).alias("mean_gap_us"),
         F.round(cv, 6).alias("cv_r"),
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """X121 — rolling distinct active users (the WAU/MAU curve): for
+    every day, how many distinct users were active in the trailing
+    ``window_days`` window. The north-star engagement metric — and a
+    COUNT DISTINCT over a sliding window, which no window function
+    computes (distinct doesn't decompose over frames).
+
+    Spark-first shape: fact rows collapse ONCE to the distinct
+    (user, day) activity relation; each activity day then CONTRIBUTES
+    map-side to the ``window_days`` report days it falls inside
+    (``explode(sequence(day, day+W-1))``), and a second distinct
+    aggregation on (report_day, user) de-duplicates multi-active users
+    before the final count. Total volume = W × the activity relation —
+    linear, bounded by the window length, never a per-day rescan.
+    Report days are trimmed to the observed [min+0, max] day span (the
+    leading ramp-up days are real partial windows and are RELEASED —
+    callers drop the first W−1 days if they want full windows only).
+
+    Output: ``(day, active_users)`` with ``day`` released as an ISO
+    date string (the x55 cross-engine date convention).
+    """
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    act = (
+        events.select(
+            F.col(user_col).alias("__u"),
+            F.to_date(F.date_trunc("day", F.col(ts_col))).alias("__d"),
+        )
+        .distinct()
+    )
+    span = act.agg(F.max("__d").alias("__hi"))
+    contrib = act.select(
+        "__u",
+        F.explode(
+            F.sequence(F.col("__d"), F.date_add(F.col("__d"), window_days - 1))
+        ).alias("day"),
+    )
+    pairs = contrib.distinct()
+    counts = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("active_users"))
+    return (
+        counts.join(F.broadcast(span), counts["day"] <= F.col("__hi"))
+        .select(F.col("day").cast("string").alias("day"), "active_users")
+    )

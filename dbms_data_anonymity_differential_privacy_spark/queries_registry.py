@@ -5709,6 +5709,36 @@ def x103_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X121 — rolling active users (operators/funnel.py rolling_active_users):
+# sliding-window COUNT DISTINCT via map-side day-contribution explode
+# (W x the distinct activity relation) + one (day, user) distinct.
+# --------------------------------------------------------------------------
+@query(
+    "x121_rolling_wau",
+    """
+    WITH act AS (SELECT DISTINCT user_id,
+                        CAST(date_trunc('day', ts) AS DATE) AS d
+                 FROM events),
+    hi AS (SELECT MAX(d) AS hi FROM act),
+    contrib AS (SELECT DISTINCT user_id,
+                       CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                                   INTERVAL 1 DAY)) AS DATE) AS day
+                FROM act)
+    SELECT CAST(day AS VARCHAR) AS day, CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM contrib CROSS JOIN hi WHERE day <= hi GROUP BY 1
+    """,
+)
+def x121_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.funnel import (
+        rolling_active_users,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_active_users(ev, window_days=7)
+
+
+# --------------------------------------------------------------------------
 # X120 — inter-event burstiness (operators/funnel.py interevent_stats):
 # per-user gap CV from integer-µs window gaps + decimal-exact Σg²
 # (x87 variance form, x109 decimal convention).

@@ -419,3 +419,33 @@ def test_interevent_stats_crafted(spark):
     assert out[1].cv_r == round((var ** 0.5) / mean, 6)
     assert out[2].cv_r == 0.0
     assert out[3].n_gaps == 0 and out[3].mean_gap_us is None and out[3].cv_r is None
+
+
+def test_rolling_active_users_crafted(spark):
+    """X121: hand-checked 3-day rolling distinct counts, incl. a user
+    active twice in one window counted once, and tail trimming."""
+    import datetime as dt
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.funnel import (
+        rolling_active_users,
+    )
+
+    d = lambda day: dt.datetime(2024, 1, day, 12)  # noqa: E731
+    rows = [
+        (1, d(1)), (1, d(2)),      # u1 active day1+day2 -> once per window
+        (2, d(2)),
+        (3, d(5)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r.day: r.active_users for r in
+           rolling_active_users(df, window_days=3).collect()}
+    # windows (trailing 3 days): d1:{u1}=1 d2:{u1,u2}=2 d3:{u1,u2}=2
+    # d4:{u1,u2}=2 d5:{u3}=1 -- trimmed at max observed day (d5)
+    assert out == {
+        "2024-01-01": 1, "2024-01-02": 2, "2024-01-03": 2,
+        "2024-01-04": 2, "2024-01-05": 1,
+    }
+    import pytest
+
+    with pytest.raises(ValueError):
+        rolling_active_users(df, window_days=0)
