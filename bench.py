@@ -154,6 +154,7 @@ HEADLINE = [
     "x119_interp_gapfill",
     "x120_burstiness",
     "x121_rolling_wau",
+    "x122_label_consistency",
     "x111_gini",
     "x96_media_curation",
     "x97_delta_presence",

@@ -191,3 +191,56 @@ def quantization_error(
         "rel_err",
         F.when(F.col("q_scale") > 0.0, err / F.col("q_scale")).otherwise(F.lit(0.0)),
     ).drop("vec_approx")
+
+
+def label_consistency(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    impl: str | None = None,
+) -> DataFrame:
+    """X122 — k-NN label-consistency screen: for each probe vector, the
+    fraction of its ``k`` nearest corpus neighbors (self excluded)
+    sharing its label. The standard label-noise detector for embedding
+    datasets (Confident-Learning / deep-kNN line): rows whose neighbors
+    systematically disagree are suspected mislabels or out-of-class
+    outliers.
+
+    Composition, not new machinery: the X81 batched k-NN join (corpus
+    never shuffles, query batch broadcasts, map-side per-query top-k)
+    fetches ``k+1`` neighbors, the self-match (rank 1 by cosine 1.0
+    with the deterministic corpus-id tie-break) drops out, and the
+    agreement fraction is one kilobyte-scale join of neighbor labels —
+    label relations are (id, label) pairs, broadcast-sized relative to
+    the vectors.
+
+    Output: ``(id_col, label, n_neighbors, n_agree, agreement_r)``.
+    """
+    from dbms_data_anonymity_differential_privacy_spark.operators.similarity import knn_join
+
+    nn = knn_join(emb, queries, k=k + 1, vec_col=vec_col, id_col=id_col, impl=impl)
+    nn = nn.where(F.col("id_q") != F.col("id_c"))
+    labels = emb.select(F.col(id_col), F.col(label_col))
+    q_lab = labels.withColumnRenamed(id_col, "id_q").withColumnRenamed(
+        label_col, "__lq"
+    )
+    c_lab = labels.withColumnRenamed(id_col, "id_c").withColumnRenamed(
+        label_col, "__lc"
+    )
+    joined = nn.join(F.broadcast(q_lab), "id_q").join(F.broadcast(c_lab), "id_c")
+    out = joined.groupBy(F.col("id_q").alias(id_col), F.col("__lq").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.sum(F.when(F.col("__lc") == F.col("__lq"), 1).otherwise(0)).alias("n_agree"),
+    )
+    return out.select(
+        id_col,
+        "label",
+        "n_neighbors",
+        "n_agree",
+        F.round(F.col("n_agree") / F.col("n_neighbors").cast("double"), 9).alias(
+            "agreement_r"
+        ),
+    )

@@ -5709,6 +5709,50 @@ def x103_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X122 — k-NN label consistency (operators/embeddings.py
+# label_consistency): X81 composition — k+1 neighbors, self dropped,
+# agreement over broadcast label relations. impl='sql' = oracle path.
+# --------------------------------------------------------------------------
+@query(
+    "x122_label_consistency",
+    None,  # SQL attached below — shares x81's cosine helper
+)
+def x122_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label-agreement for every 100th vector (label-noise screen)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import (
+        label_consistency,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    return label_consistency(emb, q, k=5, impl="sql")
+
+
+ORACLE_SQL["x122_label_consistency"] = f"""
+    WITH q AS (SELECT vec_id AS id_q, embedding AS qv
+               FROM embeddings WHERE vec_id % 100 = 0),
+    p AS (SELECT q.id_q, e.vec_id AS id_c,
+                 ROUND({_duck_cos('e.embedding', 'q.qv')}, 6) AS cos
+          FROM embeddings e CROSS JOIN q),
+    r AS (SELECT id_q, id_c,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY id_q
+                      ORDER BY cos DESC NULLS LAST, id_c) AS INTEGER) AS rnk
+          FROM p),
+    nn AS (SELECT id_q, id_c FROM r WHERE rnk <= 6 AND id_q <> id_c)
+    SELECT nn.id_q AS vec_id, ql.label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           CAST(SUM(CASE WHEN cl.label = ql.label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_agree,
+           ROUND(SUM(CASE WHEN cl.label = ql.label THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS agreement_r
+    FROM nn
+    JOIN embeddings ql ON ql.vec_id = nn.id_q
+    JOIN embeddings cl ON cl.vec_id = nn.id_c
+    GROUP BY 1, 2
+    """
+
+
+# --------------------------------------------------------------------------
 # X121 — rolling active users (operators/funnel.py rolling_active_users):
 # sliding-window COUNT DISTINCT via map-side day-contribution explode
 # (W x the distinct activity relation) + one (day, user) distinct.

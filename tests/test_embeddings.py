@@ -100,3 +100,29 @@ def test_zero_vector_guard(spark):
 def test_quantize_is_map_only(emb):
     plan = quantize_embeddings(emb)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_label_consistency_crafted(spark):
+    """X122: clean cluster members agree with neighbors; a mislabeled
+    vector inside a foreign cluster scores 0; self excluded."""
+    import math
+
+    def vec(angle):
+        return [math.cos(angle), math.sin(angle)]
+
+    # cluster A near angle 0 (label 1), cluster B near pi/2 (label 2),
+    # one planted mislabel: vector 10 sits in cluster A but carries label 2
+    rows = (
+        [(i, vec(0.01 * i), 1) for i in range(4)]
+        + [(10, vec(0.02), 2)]
+        + [(20 + i, vec(1.57 + 0.01 * i), 2) for i in range(4)]
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import label_consistency
+
+    out = {r.vec_id: r for r in label_consistency(emb, emb, k=3, impl="sql").collect()}
+    assert out[10].label == 2 and out[10].agreement_r == 0.0   # planted mislabel
+    assert out[0].agreement_r >= 2 / 3                         # clean A member
+    assert out[20].agreement_r >= 2 / 3                        # clean B member
+    assert all(r.n_neighbors == 3 for r in out.values())
