@@ -544,3 +544,55 @@ def test_stratified_split_exact_quotas_any_data(spark, rows, f1, f2):
         assert got[(s, "x")] == b1
         assert got[(s, "y")] == b2 - b1
         assert got[(s, None)] == n - b2
+
+
+@given(
+    weights=st.lists(st.integers(1, 50), min_size=1, max_size=25),
+)
+@settings(**SETTINGS)
+def test_weighted_median_matches_bruteforce_any_weights(spark, weights):
+    """X115 over arbitrary integer weights: the released value equals the
+    brute-force expansion's lower median."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.metrics import weighted_median
+
+    rows = [("g", float(i), w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    got = weighted_median(df, ["g"], "v", "w").collect()[0]
+    expanded = sorted(v for (_, v, w) in rows for _ in range(w))
+    n = len(expanded)
+    # lower weighted median == element at ceil(n/2)-1 of the expansion
+    expected = expanded[(n + 1) // 2 - 1]
+    assert got.weighted_median == expected
+    assert got.w_total == n
+
+
+@given(
+    counts=st.lists(st.integers(1, 30), min_size=2, max_size=12),
+    alpha=st.sampled_from([0.3, 0.5, 0.7]),
+)
+@settings(**SETTINGS)
+def test_ewma_matches_python_fold_any_series(spark, counts, alpha):
+    """X104 over arbitrary bucket series: every released value equals the
+    pure-Python truncated weighted fold."""
+    import datetime as dt
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import ewma_smooth
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("g", t0 + dt.timedelta(hours=i))
+        for i, c in enumerate(counts)
+        for _ in range(c)
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    W = 4
+    got = {
+        r.bucket_start.hour + 24 * (r.bucket_start.day - 1): r.ewma_r
+        for r in ewma_smooth(df, ["event_type"], alpha=alpha, window=W).collect()
+    }
+    wts = [alpha * (1 - alpha) ** i for i in range(W)]
+    for i, _ in enumerate(counts):
+        xs = counts[max(0, i - W + 1) : i + 1]
+        num = sum(x * wts[len(xs) - 1 - j] for j, x in enumerate(xs))
+        den = sum(wts[: len(xs)])
+        assert got[i] == pytest.approx(round(num / den, 6), abs=2e-6)
