@@ -596,3 +596,55 @@ def test_ewma_matches_python_fold_any_series(spark, counts, alpha):
         num = sum(x * wts[len(xs) - 1 - j] for j, x in enumerate(xs))
         den = sum(wts[: len(xs)])
         assert got[i] == pytest.approx(round(num / den, 6), abs=2e-6)
+
+
+@given(
+    a_iv=st.lists(
+        st.tuples(st.integers(0, 300), st.integers(0, 200)), min_size=1, max_size=15
+    ),
+    b_iv=st.lists(
+        st.tuples(st.integers(0, 300), st.integers(0, 200)), min_size=1, max_size=15
+    ),
+    bucket_min=st.sampled_from([7, 60, 187]),
+)
+@settings(**SETTINGS)
+def test_interval_overlap_join_matches_bruteforce_any_intervals(
+    spark, a_iv, b_iv, bucket_min
+):
+    """X98 over arbitrary (possibly empty/touching/multi-bucket) interval
+    sets and bucket widths: the fragment-join pair set equals the brute
+    force, each pair exactly once."""
+    import datetime as dt
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mk(iv):
+        return [
+            (i, t0 + dt.timedelta(minutes=s), t0 + dt.timedelta(minutes=s + d))
+            for i, (s, d) in enumerate(iv)
+        ]
+
+    ar, br = mk(a_iv), mk(b_iv)
+    a = spark.createDataFrame(ar, "id long, s timestamp, e timestamp")
+    b = spark.createDataFrame(br, "id long, bs timestamp, be timestamp")
+    got = [
+        (r["id"], r["r_id"])
+        for r in interval_overlap_join(
+            a, b, "s", "e", "bs", "be", bucket_us=bucket_min * 60_000_000
+        ).collect()
+    ]
+    # empty intervals ([t, t)) contain no points: the operator documents
+    # they emit nothing, so the brute force must skip them too
+    expected = {
+        (i, j)
+        for i, s1, e1 in ar
+        if e1 > s1
+        for j, s2, e2 in br
+        if e2 > s2 and s1 < e2 and s2 < e1
+    }
+    assert set(got) == expected
+    assert len(got) == len(expected)  # emit-once: no duplicate pairs
