@@ -155,6 +155,7 @@ HEADLINE = [
     "x120_burstiness",
     "x121_rolling_wau",
     "x122_label_consistency",
+    "x123_path_trigrams",
     "x111_gini",
     "x96_media_curation",
     "x97_delta_presence",

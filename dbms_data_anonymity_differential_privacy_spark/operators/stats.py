@@ -1229,3 +1229,40 @@ def gini_concentration(
         F.round(total, 6).alias("total_r"),
         F.round(gini, 9).alias("gini_r"),
     )
+
+
+def path_trigrams(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    k: int = 25,
+) -> DataFrame:
+    """X123 — top-k behavioral path trigrams: the most common
+    three-step event sequences across users (the path-analysis
+    extension of X72's pairwise transition matrix — pairs can't
+    distinguish "view→click→purchase" from "view→click→bounce").
+
+    One user-keyed ordered window pass produces both lags (the two lag
+    frames share the single sort — the x62 argument); counts
+    partial-combine on the (t1, t2, t3) keys, and top-k goes through
+    TakeOrderedAndProject under the total (cnt desc, t1, t2, t3) order.
+    Sequences never cross users; ties in ``ts`` break by ``id_col``.
+
+    Output: ``(t1, t2, t3, cnt)``, the ``k`` most frequent trigrams.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    tri = events.select(
+        F.lag(F.col(type_col), 2).over(w).alias("t1"),
+        F.lag(F.col(type_col), 1).over(w).alias("t2"),
+        F.col(type_col).alias("t3"),
+    ).where(F.col("t1").isNotNull())
+    counts = tri.groupBy("t1", "t2", "t3").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.orderBy(
+        F.desc("cnt"), F.asc("t1"), F.asc("t2"), F.asc("t3")
+    ).limit(k)

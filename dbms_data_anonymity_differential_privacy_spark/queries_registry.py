@@ -5709,6 +5709,33 @@ def x103_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X123 — path trigrams (operators/stats.py path_trigrams): top-k
+# three-step sequences off one user-keyed window pass; x72's pairwise
+# matrix can't separate paths.
+# --------------------------------------------------------------------------
+@query(
+    "x123_path_trigrams",
+    """
+    WITH t AS (SELECT lag(event_type, 2) OVER w AS t1,
+                      lag(event_type, 1) OVER w AS t2,
+                      event_type AS t3
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM t WHERE t1 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY cnt DESC, t1, t2, t3 LIMIT 25
+    """,
+)
+def x123_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 three-step user paths."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import path_trigrams
+
+    ev = load_table(spark, sf_dir, "events")
+    return path_trigrams(ev, k=25)
+
+
+# --------------------------------------------------------------------------
 # X122 — k-NN label consistency (operators/embeddings.py
 # label_consistency): X81 composition — k+1 neighbors, self dropped,
 # agreement over broadcast label relations. impl='sql' = oracle path.

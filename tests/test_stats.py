@@ -535,3 +535,25 @@ def test_gini_crafted_extremes(spark):
     dup = [(1, 5.0), (1, 5.0), (2, 10.0)]
     r2 = gini_concentration(spark.createDataFrame(dup, "k long, v double"), "k", "v").collect()[0]
     assert r2.n_keys == 2 and r2.gini_r == 0.0
+
+
+def test_path_trigrams_crafted(spark):
+    """X123: exact trigram counts on a hand-built flow; sequences never
+    cross users; equal-ts ties ordered by event_id."""
+    import datetime as dt
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import path_trigrams
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1: a b c b c  -> trigrams abc, bcb, cbc
+        (1, 7, t(0), "a"), (2, 7, t(1), "b"), (3, 7, t(2), "c"),
+        (4, 7, t(3), "b"), (5, 7, t(4), "c"),
+        # u2: a b c -> abc again
+        (6, 8, t(0), "a"), (7, 8, t(1), "b"), (8, 8, t(2), "c"),
+        # u3: only 2 events -> no trigram, and must NOT chain into u2
+        (9, 9, t(3), "x"), (10, 9, t(4), "y"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    out = {(r.t1, r.t2, r.t3): r.cnt for r in path_trigrams(df, k=10).collect()}
+    assert out == {("a", "b", "c"): 2, ("b", "c", "b"): 1, ("c", "b", "c"): 1}
