@@ -156,6 +156,7 @@ HEADLINE = [
     "x121_rolling_wau",
     "x122_label_consistency",
     "x123_path_trigrams",
+    "x124_decay_attribution",
     "x111_gini",
     "x96_media_curation",
     "x97_delta_presence",

@@ -530,3 +530,116 @@ def rolling_active_users(
         counts.join(F.broadcast(span), counts["day"] <= F.col("__hi"))
         .select(F.col("day").cast("string").alias("day"), "active_users")
     )
+
+
+def time_decay_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] | None = None,
+    half_life_hours: int = 24,
+    max_age_hours: int = 720,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """X124 — time-decay multi-touch attribution: each conversion's unit
+    of credit splits over its prior touches proportionally to
+    ``0.5^(age/half_life)`` — the third standard model bracketing x78
+    (last-touch) and x90 (linear): recent touches matter more, old ones
+    never quite vanish.
+
+    Exactness (this family's hardest float hazard — x90's docstring):
+    decayed weights are INTEGER micro-units from a driver-built literal
+    table ``W[h] = round(1e6 · 0.5^(h/half_life))`` over whole-hour ages
+    (0..max_age — ages beyond it weigh 0 and drop), so per-conversion
+    weight sums are exact int64 and each touch's credit is the integer
+    division ``(w · 1e6) DIV Σw`` — credit in parts-per-million, summing
+    to ≤ 1e6 per conversion (the DIV remainder, < n_touches ppm, is the
+    disclosed quantization; no float ever aggregates). The engine never
+    calls pow(): JVM ``Math.pow`` and C libm disagree in the last ulp,
+    the x86/x23 literal-table rationale.
+
+    Shape: the X17 user-keyed SortMergeJoin pairs conversions with
+    prior touches (range predicate in-stage); the decay table (721
+    rows) broadcasts; everything downstream is exact integer
+    aggregation. Conversions with no in-window touch credit '(none)'
+    the full 1e6.
+
+    Output: ``(touch_type, n_pairs, credit_ppm)`` — BIGINT ppm credits.
+    """
+    from pyspark.sql import Window
+
+    if half_life_hours < 1 or max_age_hours < 1:
+        raise ValueError("half_life_hours and max_age_hours must be >= 1")
+    spark = events.sparkSession
+    decay = spark.createDataFrame(
+        [(h, round(1_000_000 * 0.5 ** (h / half_life_hours))) for h in range(max_age_hours + 1)],
+        "__age_h long, __w long",
+    )
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("__u"), F.col(ts_col).alias("__cts"),
+        F.col(id_col).alias("__cid"),
+    )
+    if touch_types is None:
+        touches = events.filter(F.col(type_col) != conversion_type)
+    else:
+        touches = events.filter(F.col(type_col).isin(list(touch_types)))
+    touches = touches.select(
+        F.col(user_col).alias("__tu"), F.col(ts_col).alias("__tts"),
+        F.col(type_col).alias("__touch"),
+    )
+    age_h = F.floor(
+        (
+            F.unix_micros(F.col("__cts").cast("timestamp"))
+            - F.unix_micros(F.col("__tts").cast("timestamp"))
+        )
+        / F.lit(3_600_000_000)
+    )
+    pairs = (
+        conv.join(
+            touches,
+            (F.col("__u") == F.col("__tu")) & (F.col("__tts") <= F.col("__cts")),
+            "left",
+        )
+        .withColumn("__age_h", age_h)
+        .join(F.broadcast(decay), "__age_h", "left")
+        # beyond max_age (or no touch at all): weight NULL -> handled below
+    )
+    w = Window.partitionBy("__cid")
+    sum_w = F.sum("__w").over(w)
+    staged = pairs.select(
+        F.col("__cid"),
+        F.col("__touch"),
+        F.col("__w"),
+        sum_w.alias("__sw"),
+    )
+    has_weight = F.col("__sw").isNotNull() & (F.col("__sw") > 0)
+    # weighted touches of credited conversions; a conversion's over-age
+    # (weight-NULL) rows and weight-0 rows carry no credit and drop —
+    # they must NOT also feed '(none)', or credit would double-count
+    touch_rows = staged.where(has_weight & F.col("__w").isNotNull() & (F.col("__w") > 0)).select(
+        F.col("__touch").alias("touch_type"),
+        F.lit(1).alias("__n"),
+        F.expr("(__w * 1000000) DIV __sw").alias("__c"),
+    )
+    # '(none)': conversions with NO positive-weight touch at all (sum of
+    # weights NULL — no touches/all over-age — or 0), one full credit each
+    none_rows = (
+        staged.where(~has_weight)
+        .select("__cid")
+        .distinct()
+        .select(
+            F.lit("(none)").alias("touch_type"),
+            F.lit(1).alias("__n"),
+            F.lit(1_000_000).alias("__c"),
+        )
+    )
+    return (
+        touch_rows.unionByName(none_rows)
+        .groupBy("touch_type")
+        .agg(
+            F.sum("__n").cast("long").alias("n_pairs"),
+            F.sum("__c").cast("long").alias("credit_ppm"),
+        )
+    )

@@ -5709,6 +5709,53 @@ def x103_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X124 — time-decay attribution (operators/funnel.py
+# time_decay_attribution): integer micro-credit exactness — the decay
+# table is driver-built literal integers (no engine pow()), credits are
+# (w·1e6) DIV Σw. Same literal rows embedded in both engines.
+# --------------------------------------------------------------------------
+def _x124_sql(half_life: int = 24, max_age: int = 720) -> str:
+    rows = ", ".join(
+        f"({h}, {round(1_000_000 * 0.5 ** (h / half_life))})"
+        for h in range(max_age + 1)
+    )
+    return f"""
+    WITH conv AS (SELECT user_id AS u, ts AS cts, event_id AS cid
+                  FROM events WHERE event_type = 'purchase'),
+    t AS (SELECT user_id AS tu, ts AS tts, event_type AS touch
+          FROM events WHERE event_type <> 'purchase'),
+    decay(age_h, w) AS (VALUES {rows}),
+    p AS (SELECT c.cid, t.touch, d.w
+          FROM conv c
+          LEFT JOIN t ON t.tu = c.u AND t.tts <= c.cts
+          LEFT JOIN decay d ON d.age_h = CAST(FLOOR(
+                 (epoch_us(c.cts) - epoch_us(t.tts)) / 3600000000.0) AS BIGINT)),
+    s AS (SELECT *, SUM(w) OVER (PARTITION BY cid) AS sw FROM p),
+    tr AS (SELECT touch AS touch_type, 1 AS n, (CAST(w AS BIGINT) * 1000000) // sw AS c
+           FROM s WHERE sw IS NOT NULL AND sw > 0 AND w IS NOT NULL AND w > 0),
+    nr AS (SELECT '(none)' AS touch_type, 1 AS n, 1000000 AS c
+           FROM (SELECT DISTINCT cid FROM s WHERE sw IS NULL OR sw = 0))
+    SELECT touch_type, CAST(SUM(n) AS BIGINT) AS n_pairs,
+           CAST(SUM(c) AS BIGINT) AS credit_ppm
+    FROM (SELECT * FROM tr UNION ALL SELECT * FROM nr) GROUP BY 1
+    """
+
+
+@query("x124_decay_attribution", None)  # SQL attached below (literal table)
+def x124_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution (24 h half-life, ppm credits)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.funnel import (
+        time_decay_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return time_decay_attribution(ev, half_life_hours=24, max_age_hours=720)
+
+
+ORACLE_SQL["x124_decay_attribution"] = _x124_sql()
+
+
+# --------------------------------------------------------------------------
 # X123 — path trigrams (operators/stats.py path_trigrams): top-k
 # three-step sequences off one user-keyed window pass; x72's pairwise
 # matrix can't separate paths.

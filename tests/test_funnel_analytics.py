@@ -449,3 +449,35 @@ def test_rolling_active_users_crafted(spark):
 
     with pytest.raises(ValueError):
         rolling_active_users(df, window_days=0)
+
+
+def test_time_decay_attribution_crafted(spark):
+    """X124: hand-computed ppm credits with a 1 h half-life, over-age
+    touches dropped without spawning '(none)', credit conservation up
+    to DIV remainders."""
+    import datetime as dt
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.funnel import (
+        time_decay_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 10, 12)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # conversion with touches 0h and 1h old: w = 1e6, 5e5
+        (1, 1, t0 - h, "click"), (2, 1, t0, "view"), (3, 1, t0, "purchase"),
+        # conversion whose only touch is beyond max_age: full '(none)'
+        (4, 2, t0 - 10 * h, "click"), (5, 2, t0, "purchase"),
+        # conversion with no touch at all
+        (6, 3, t0, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    out = {r.touch_type: r for r in
+           time_decay_attribution(df, half_life_hours=1, max_age_hours=5).collect()}
+    w0, w1 = 1_000_000, 500_000
+    sw = w0 + w1
+    assert out["view"].credit_ppm == (w0 * 1_000_000) // sw
+    assert out["click"].credit_ppm == (w1 * 1_000_000) // sw
+    assert out["(none)"].n_pairs == 2 and out["(none)"].credit_ppm == 2_000_000
+    total = sum(r.credit_ppm for r in out.values())
+    assert 3_000_000 - 2 <= total <= 3_000_000  # conservation minus DIV remainder

@@ -113,6 +113,7 @@ NEW_THIS_ROUND: set[str] = {
     "x106_m_invariance", "x107_funnel_windowed", "pipe_corpus_datasheet", "x108_ks_test", "x109_spearman",
     "x110_anova", "x111_gini", "x112_novelty", "x113_source_overlap", "x114_dp_heatmap_exact",
     "x115_weighted_median", "x116_top_p", "x117_oov_rate", "x119_interp_gapfill", "x120_burstiness", "x121_rolling_wau", "x122_label_consistency", "x123_path_trigrams",
+    "x124_decay_attribution",
 }
 
 
