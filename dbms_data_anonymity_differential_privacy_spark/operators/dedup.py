@@ -18,6 +18,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dbms_data_anonymity_differential_privacy_spark.operators.text import fingerprint
 from dbms_data_anonymity_differential_privacy_spark.operators.util import fan_out
@@ -377,28 +378,74 @@ def connected_components(
     pairs: DataFrame,
     max_iter: int = 20,
     shortcut: bool = False,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
-    """Connected components of the undirected near-dup pair graph via
-    min-label propagation: every node starts labeled with its own id; each
-    round replaces a node's label with the minimum over itself and its
-    neighbors. Converges in O(graph diameter) rounds — duplicate clusters
-    are shallow (near-dup graphs are dense cliques-of-cliques), so the
-    bounded ``max_iter`` is a safety net, not a truncation in practice.
+    """Connected components of the undirected near-dup pair graph.
 
-    Scale shape: the iteration state is the (id, comp) relation — ids
-    only, never documents — and each round is one shuffle of the
-    symmetric edge list joined to the labels, both hash-partitioned on the
-    same key. The per-round convergence check is a metadata-sized count.
-    Labels are persisted per round and unpersisted after the next round is
-    materialized (bounded lineage, no re-execution cascade).
+    Hybrid strategy, decided at runtime from the materialized edge count
+    (the same AQE-style adaptivity as :func:`ngram_jaccard_pairs`):
+
+    - **edge list ≤ ``driver_threshold``** (the common case — near-dup
+      pairs are the *duplicate mass*, orders of magnitude smaller than the
+      corpus): collect the slim 16-byte edge rows and run union-find on
+      the driver. One Spark job (which also materializes the pair
+      pipeline for downstream reuse), zero iterative shuffles. 2M edges
+      is ~32 MB on the driver — trivially bounded.
+    - **larger graphs**: distributed min-label propagation: every node
+      starts labeled with its own id; each round replaces a node's label
+      with the minimum over itself and its neighbors. Converges in
+      O(graph diameter) rounds — duplicate clusters are shallow (dense
+      cliques-of-cliques), so the bounded ``max_iter`` is a safety net.
+      The iteration state is the (id, comp) relation — ids only, never
+      documents. The convergence signal is a ``__chg`` flag computed IN
+      the step join (nbr_comp < comp), so each round is exactly one
+      cached-materialize-and-count action, not a separate old-vs-new
+      join. Labels are persisted per round and unpersisted after the
+      next round is materialized (bounded lineage).
+
+    The input pair relation is persisted here so the symmetric edge union
+    (two branches) and the iterations evaluate the — potentially
+    expensive — upstream pair pipeline exactly once.
 
     Returns ``(id, comp)`` for every id that appears in a pair; ``comp``
-    is the minimum id of the component.
+    is the minimum id of the component. Both paths produce identical
+    output (min-id labeling); equivalence is pinned in
+    tests/test_extensions.py.
     """
-    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    sym = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
+    slim = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).persist()
+    n_edges = slim.count()  # one job: materializes the pair pipeline once
+    if n_edges <= driver_threshold:
+        rows = slim.collect()
+        id_type = slim.schema["a"].dataType
+        slim.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            ra, rb = find(r.a), find(r.b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp_of: dict = {}
+        nodes = set()
+        for r in rows:
+            nodes.add(r.a)
+            nodes.add(r.b)
+        # min-id labeling: roots are already component minima because
+        # union always attaches the larger root under the smaller one
+        out = [(n, find(n)) for n in sorted(nodes)]
+        schema = T.StructType(
+            [T.StructField("id", id_type, False), T.StructField("comp", id_type, False)]
+        )
+        return pairs.sparkSession.createDataFrame(out, schema)
+
+    sym = slim.unionByName(slim.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (
         sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).persist()
@@ -413,6 +460,8 @@ def connected_components(
             F.least(
                 labels["comp"], F.coalesce(F.col("nbr_comp"), labels["comp"])
             ).alias("comp"),
+            # convergence flag rides the step — no separate old-vs-new join
+            (F.col("nbr_comp") < labels["comp"]).alias("__chg"),
         )
         if shortcut:
             # pointer halving: comp <- label[comp]. Every comp value IS a
@@ -428,23 +477,27 @@ def connected_components(
             )
             new_labels = (
                 stepped.join(jump, stepped["comp"] == jump["__cid"])
-                .select(stepped["id"], F.col("__ccomp").alias("comp"))
+                .select(
+                    stepped["id"],
+                    F.col("__ccomp").alias("comp"),
+                    # the jump itself can lower a label after the nbr step
+                    # settles — fold it into the convergence flag too
+                    (stepped["__chg"] | (F.col("__ccomp") < stepped["comp"])).alias(
+                        "__chg"
+                    ),
+                )
                 .persist()
             )
         else:
             new_labels = stepped.persist()
-        n_changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") < F.col("o.comp"))
-            .count()
-        )
+        # one action: materializes the round's cache AND reads the flag
+        n_changed = new_labels.filter(F.col("__chg")).count()
         labels.unpersist()
         labels = new_labels
         if n_changed == 0:
             break
-    sym.unpersist()
-    return labels
+    slim.unpersist()
+    return labels.select("id", "comp")
 
 
 def dedup_corpus(
@@ -520,7 +573,10 @@ def near_dedup_corpus(
     then representative keeping (``greedy`` | ``components`` | ``best``
     with ``score_col`` — see :func:`dedup_corpus`). Returns the kept
     corpus with the input schema."""
-    stage1 = dedup_exact(df, [text_col], id_col)
+    # persisted: the kept corpus is read three times (pair generation,
+    # the score projection under policy='best', and the final anti-join) —
+    # without the cache boundary the exact-dedup window re-runs per read
+    stage1 = dedup_exact(df, [text_col], id_col).persist()
     if method == "jaccard":
         pairs = ngram_jaccard_pairs(stage1, threshold, n, text_col, id_col)
     elif method == "minhash":

@@ -1208,6 +1208,32 @@ def test_dedup_corpus_components_vs_greedy(spark):
         dedup_corpus(docs, pairs, policy="nope")
 
 
+def test_connected_components_driver_vs_distributed(spark):
+    """The driver union-find fast path and the distributed label
+    propagation (forced via driver_threshold=0) must produce identical
+    min-id labelings — on a chain (multi-round propagation), a clique,
+    and an isolated pair, with and without pointer halving."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import connected_components
+
+    edges = [(10, 11), (11, 12), (12, 13), (20, 21), (21, 22), (20, 22), (30, 31)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    want = {r.id: r.comp for r in connected_components(pairs).collect()}
+    assert want == {10: 10, 11: 10, 12: 10, 13: 10,
+                    20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+    dist = {
+        r.id: r.comp
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert dist == want
+    halved = {
+        r.id: r.comp
+        for r in connected_components(
+            pairs, driver_threshold=0, shortcut=True
+        ).collect()
+    }
+    assert halved == want
+
+
 def test_near_dup_suite_matches_individual_detectors(spark, sf001):
     """The shared-tokenization suite must produce exactly the pairs each
     detector produces standalone (one tokenize pass, same results)."""
