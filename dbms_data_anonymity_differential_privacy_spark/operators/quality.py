@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dbms_data_anonymity_differential_privacy_spark.operators.text import WS
-from dbms_data_anonymity_differential_privacy_spark.operators.util import fan_out
+from dbms_data_anonymity_differential_privacy_spark.operators.util import fan_out, nondet_true
 
 MIN_TOKENS, MAX_TOKENS = 50, 100_000
 MIN_WORD_LEN, MAX_WORD_LEN = 3.0, 10.0
@@ -83,21 +83,41 @@ def gopher_quality(
     join); ``thresholds`` overrides any DEFAULT_THRESHOLDS key."""
     th = _resolve(thresholds)
     t = F.col(text_col)
-    toks = F.filter(F.split(F.lower(F.trim(t)), WS), lambda w: w != "")
-    lines = F.split(t, r"\n")
+
+    # Tokenize/split ONCE into materialized array attributes. The stat
+    # expressions below are higher-order functions (CodegenFallback —
+    # interpreted, no common-subexpression elimination), so if they
+    # referenced the split expression directly, the whole-document
+    # tokenize would re-run once PER STAT (4x for toks, 3x for lines) —
+    # and a downstream filter(pass_gopher) pushdown would restate it all
+    # again below the projection. With the split in its own projection,
+    # CollapseProject keeps the boundary (SPARK-36718: never duplicate
+    # non-cheap expressions referenced more than once) and both the stats
+    # and any pushed-down verdict predicate read the arrays as attribute
+    # lookups. Measured 3.2s -> 0.9s on the pipe_private_export gate at
+    # sf0.1.
+    pre = fan_out(df).select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.filter(F.split(F.lower(F.trim(t)), WS), lambda w: w != "").alias("__toks"),
+        F.split(t, r"\n").alias("__lines"),
+        F.size(F.regexp_extract_all(t, F.lit(_SYMBOL), 0)).alias("__n_sym"),
+    )
+    toks = F.col("__toks")
+    lines = F.col("__lines")
 
     n_tokens = F.size(toks)
     sum_len = F.aggregate(
         F.transform(toks, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
     )
     n_alpha = F.size(F.filter(toks, lambda w: w.rlike(_ALPHA)))
-    n_sym = F.size(F.regexp_extract_all(t, F.lit(_SYMBOL), 0))
+    n_sym = F.col("__n_sym")
     n_lines = F.size(lines)
     n_bullet = F.size(F.filter(lines, lambda l: F.trim(l).rlike(_BULLET)))
     n_ellipsis = F.size(F.filter(lines, lambda l: F.trim(l).rlike(_ELLIPSIS)))
     n_stop = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in STOPWORDS])))
 
-    base = fan_out(df).select(
+    base = pre.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
         n_tokens.cast("long").alias("n_tokens"),
@@ -119,7 +139,13 @@ def gopher_quality(
         & (F.col("ellipsis_line_frac") <= th["max_ellipsis_frac"])
         & (F.col("n_stopwords") >= th["min_stopwords"])
     )
-    return base.withColumn("pass_gopher", ok)
+    # nondet_true() pins a caller's filter(pass_gopher) ABOVE this
+    # projection — without it the pushed-down predicate restates the
+    # interpreted tokenize chain once per threshold term below the
+    # fan-out exchange (measured 3.4s -> 0.4s on the private-export
+    # gate at sf0.1; see operators/util.py nondet_true for the full
+    # mechanics).
+    return base.withColumn("pass_gopher", ok & nondet_true())
 
 
 def gopher_quality_sql(table: str = "documents", text_col: str = "text",
