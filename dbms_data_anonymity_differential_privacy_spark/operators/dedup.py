@@ -1233,3 +1233,71 @@ def source_overlap_matrix(
             ).alias("jaccard_r"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Directional n-gram containment pairs: ``C(A in B) = |A∩B| / |A|``.
+
+    Jaccard (:func:`ngram_jaccard_pairs`) misses the
+    quote/boilerplate-inclusion case — a short doc fully embedded in a
+    much longer one has tiny Jaccard but containment 1.0. This is the
+    detector subsuming-document dedup and quote attribution use
+    (e.g. Lee et al. 2022 §5 discuss substring containment as the gap
+    exact-dup + Jaccard leave open).
+
+    Emits one row per unordered pair whose LARGER directional
+    containment clears ``threshold``:
+    ``(id_a, id_b, inter, na, nb, cont_a_r, cont_b_r)`` with
+    ``cont_a_r = round(inter/na, 9)`` (the fraction of A's shingles
+    inside B) and ``id_a < id_b``.
+
+    Same physical shape as the plain inverted-index Jaccard path: one
+    tokenize pass, 8-byte shingle-hash self-join with the df>=2 prune
+    (singleton shingles can join to nothing, so dropping them is exact),
+    one pair aggregation. The prefix filter does NOT apply — its bound
+    is Jaccard-specific — so run this after blocking/banding at corpus
+    scale if the shingle-frequency profile is hot.
+    """
+    toks = hashed_tokens(df, text_col, id_col)
+    sh_arr = toks.select(
+        F.col(id_col), F.array_distinct(shingle_hashes(F.col("__th"), n)).alias("hs")
+    ).persist()
+    exploded = sh_arr.select(
+        F.col(id_col),
+        F.size("hs").alias("n_sh"),
+        F.explode("hs").alias("shingle_h"),
+    ).persist()
+    dfreq = exploded.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("__df"))
+    joinable = exploded.join(dfreq.filter(F.col("__df") >= 2), on="shingle_h").select(
+        id_col, "n_sh", "shingle_h"
+    )
+    a = joinable.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"), "shingle_h")
+    b = joinable.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"), "shingle_h")
+    inter = (
+        a.join(b, on="shingle_h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+        )
+    )
+    scored = inter.select(
+        "id_a",
+        "id_b",
+        "inter",
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        F.round(F.col("inter") / F.col("na"), 9).alias("cont_a_r"),
+        F.round(F.col("inter") / F.col("nb"), 9).alias("cont_b_r"),
+    )
+    return scored.filter(
+        F.greatest(F.col("cont_a_r"), F.col("cont_b_r")) >= F.lit(threshold)
+    )

@@ -1,0 +1,134 @@
+"""Graph analytics over edge relations derived from the fact tables.
+
+Connected components lives in ``operators/dedup.py`` (it grew out of
+near-dup clustering); this module holds the *ranking* side, starting
+with fixed-iteration PageRank — the standard importance measure for
+entity graphs a warehouse derives (supplier→customer flows, co-purchase
+networks, citation/link graphs in a crawl corpus).
+
+**Exactness discipline**: ranks are kept in integer parts-per-billion
+with floor division at every step (teleport ``150_000_000 // N``,
+damping ``(17 * x) // 20`` = 0.85, contribution ``r // out_degree``).
+Integer sums are order-independent, so the result is bit-identical
+across Spark's nondeterministic shuffle reduction order AND across
+engines — the DuckDB twin replays the same iterations with ``//``.
+The ppb quantization error after 10 iterations is < 1e-6 of total mass:
+irrelevant for ranking, decisive for hash-checkability. Dangling-node
+mass is dropped (not redistributed) identically in both engines.
+
+Hybrid physical strategy (same AQE-style runtime decision as
+``dedup.connected_components``): edge lists at or under
+``driver_threshold`` — 16-byte rows, so 2M edges ≈ 32 MB — collect once
+and iterate in a Python dict loop (one Spark job total); larger graphs
+run the distributed loop: the edge relation and per-iteration rank
+relation are ids-only, hash-partitioned on the join key, ranks persisted
+per round and unpersisted after the next round materializes (bounded
+lineage). Ten fixed iterations = ten shuffles of a slim relation, never
+of fact rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PPB = 1_000_000_000
+TELEPORT_PPB = 150_000_000  # (1 - 0.85) * PPB exactly
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iters: int = 10,
+    driver_threshold: int = 2_000_000,
+) -> DataFrame:
+    """Fixed-iteration integer PageRank over a directed edge relation.
+
+    ``edges`` must have columns ``src`` and ``dst``; duplicate edges are
+    NOT deduplicated here (dedup upstream if multiplicity is not
+    intended — multiplicity weights the walk). Returns ``(node,
+    rank_ppb)`` for every node appearing as src or dst.
+
+    Update rule (all integer):
+        r_0(v)   = PPB // N
+        r_i+1(v) = TELEPORT_PPB // N + (17 * sum_{u->v} (r_i(u) // deg(u))) // 20
+    """
+    slim = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    ).persist()
+    n_edges = slim.count()
+
+    if n_edges <= driver_threshold:
+        rows = slim.collect()
+        slim.unpersist()
+        out_edges: dict[int, list[int]] = {}
+        deg: dict[int, int] = {}
+        nodes: set[int] = set()
+        for r in rows:
+            nodes.add(r.src)
+            nodes.add(r.dst)
+            out_edges.setdefault(r.src, []).append(r.dst)
+            deg[r.src] = deg.get(r.src, 0) + 1
+        n = len(nodes)
+        rank = {v: PPB // n for v in nodes}
+        for _ in range(iters):
+            contrib: dict[int, int] = {}
+            for u, dsts in out_edges.items():
+                share = rank[u] // deg[u]
+                for v in dsts:
+                    contrib[v] = contrib.get(v, 0) + share
+            rank = {
+                v: TELEPORT_PPB // n + (17 * contrib.get(v, 0)) // 20 for v in nodes
+            }
+        schema = T.StructType(
+            [
+                T.StructField("node", T.LongType(), False),
+                T.StructField("rank_ppb", T.LongType(), False),
+            ]
+        )
+        return edges.sparkSession.createDataFrame(
+            sorted(rank.items()), schema
+        )
+
+    nodes_df = (
+        slim.select(F.col("src").alias("node"))
+        .unionByName(slim.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes_df.count()
+    deg_df = slim.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    # degree rides the edge relation so each iteration is ONE join of
+    # ranks onto (src, dst, deg) — not a second degree join per round
+    edges_deg = slim.join(deg_df, on="src").persist()
+    edges_deg.count()
+    slim.unpersist()
+
+    rank = nodes_df.select("node", F.lit(PPB // n).alias("rank_ppb")).persist()
+    for _ in range(iters):
+        contrib = (
+            edges_deg.join(rank, edges_deg["src"] == rank["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_ppb div __deg").alias("__share"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__share").alias("__c"))
+        )
+        new_rank = (
+            nodes_df.join(contrib, on="node", how="left")
+            .select(
+                "node",
+                (
+                    F.lit(TELEPORT_PPB // n)
+                    + F.expr("(17 * coalesce(__c, 0L)) div 20")
+                ).alias("rank_ppb"),
+            )
+            .persist()
+        )
+        new_rank.count()
+        rank.unpersist()
+        rank = new_rank
+    nodes_df.unpersist()
+    edges_deg.unpersist()
+    return rank

@@ -144,3 +144,84 @@ def km_anonymity_audit(
             F.count(F.lit(1)).alias("support")
         )
     return support.withColumn("risky", F.col("support") < F.lit(int(k)))
+
+
+def anatomize(
+    df: DataFrame,
+    qi: Sequence[str],
+    sensitive: str,
+    id_col: str,
+    ell: int,
+) -> dict[str, DataFrame]:
+    """Anatomy release (Xiao & Tao, VLDB 2006): publish the QI table and
+    the sensitive table SEPARATELY, linked only by a group id — no
+    generalization, full QI utility, l-diversity inside each group.
+
+    Deterministic dealing construction: records sort by ``(sensitive,
+    id)`` and deal round-robin into ``n_groups = ceil(N / ell)`` buckets
+    (``group_id = (global_rank - 1) % n_groups``). Consecutive records
+    of one sensitive value land in distinct groups, so every group holds
+    ``ell`` distinct sensitive values whenever the eligibility condition
+    holds (max sensitive frequency <= n_groups — the same condition the
+    original greedy algorithm needs); the returned ``groups`` relation
+    carries the per-group distinct count so a caller can verify instead
+    of trusting.
+
+    Returns ``{"qit": (id, qi..., group_id), "st": (group_id, sensitive,
+    cnt), "groups": (group_id, group_size, n_distinct_sensitive,
+    l_diverse)}``.
+
+    Scale shape: ONE global sort (range partition by the composite sort
+    key — Spark's Window without PARTITION BY uses a single-partition
+    sort, so the rank is computed from a distributed sort via zipWithIndex
+    -free arithmetic: rank = row_number within sensitive value + offset of
+    the value, both from one (sensitive, count) rollup that broadcasts).
+    The fact table shuffles once, on the sensitive value.
+    """
+    if ell < 2:
+        raise ValueError("ell must be >= 2")
+    # global rank WITHOUT a single-reducer window: rank within each
+    # sensitive value (one keyed shuffle) + broadcast running offset of
+    # the value (kilobyte relation) = the exact (sensitive, id) order
+    per_val = Window.partitionBy(sensitive).orderBy(id_col)
+    ranked = df.withColumn("__r_in_val", F.row_number().over(per_val))
+    val_counts = (
+        df.groupBy(sensitive)
+        .agg(F.count(F.lit(1)).alias("__vc"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__vc").over(
+                    Window.orderBy(sensitive).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(sensitive, "__offset")
+    )
+    n_total = df.count()
+    n_groups = -(-n_total // ell)  # ceil
+    qit = (
+        ranked.join(F.broadcast(val_counts), on=sensitive)
+        .withColumn(
+            "__grank", F.col("__offset") + F.col("__r_in_val") - F.lit(1)
+        )
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in qi],
+            (F.col("__grank") % F.lit(int(n_groups))).cast("int").alias("group_id"),
+            F.col(sensitive).alias("__s"),
+        )
+    )
+    st = (
+        qit.groupBy("group_id", F.col("__s").alias(sensitive))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    groups = st.groupBy("group_id").agg(
+        F.sum("cnt").cast("long").alias("group_size"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_sensitive"),
+        (F.count(F.lit(1)) >= F.lit(int(ell))).alias("l_diverse"),
+    )
+    return {"qit": qit.drop("__s"), "st": st, "groups": groups}

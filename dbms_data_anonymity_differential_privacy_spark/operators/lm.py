@@ -149,3 +149,86 @@ def bigram_lm_scores(
         "n_bigrams",
         F.round(-F.col("__s") / F.col("n_bigrams"), round_to).alias("avg_nll"),
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 1000,
+    round_to: int = 9,
+) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: OLS of
+    ``ln(count)`` on ``ln(rank)`` for the ``top_k`` most frequent words.
+    A healthy natural-language corpus sits near slope -1 (Zipf 1949);
+    machine-generated or boilerplate-heavy corpora bend away — this is
+    the corpus-level cousin of the per-doc quality gates.
+
+    Output (single row): ``(n_words, slope_r, intercept_r, r2_r)``.
+
+    Exactness: rank->count pairing is deterministic under count ties
+    (rank i always pairs the i-th largest count, whichever word holds
+    it), ln values come from the driver-built C-libm table (the x23
+    idiom — DuckDB's ln() is the same libm double), and every OLS sum
+    is a sorted left fold (``aggregate(array_sort(collect_list(...)))``
+    / ``list_reduce(list_sort(list(...)))``) so float addition order is
+    identical on both engines.
+
+    Scale shape: ONE word-count shuffle on 8-byte token hashes; top-k
+    via TakeOrdered (map-side partial top-k, no global sort); the
+    regression itself runs over a k-row relation.
+    """
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), WS), lambda t: t != "")
+    wc = (
+        fan_out(df)
+        .select(F.explode(toks).alias("tok"))
+        .groupBy(F.xxhash64("tok").alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    topk = wc.orderBy(F.desc("cnt"), "h").limit(int(top_k)).persist()
+    cnts = sorted({int(r["cnt"]) for r in topk.select("cnt").collect()})
+    spark = df.sparkSession
+    ln_cnt = spark.createDataFrame(
+        [(c, math.log(float(c))) for c in cnts], "cnt long, y double"
+    )
+    n_rows = topk.count()
+    ln_rank = spark.createDataFrame(
+        [(i, math.log(float(i))) for i in range(1, n_rows + 1)],
+        "rank int, x double",
+    )
+    from pyspark.sql import Window
+
+    ranked = topk.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("cnt"), "h"))
+    )
+    xy = (
+        ranked.join(F.broadcast(ln_cnt), on="cnt")
+        .join(F.broadcast(ln_rank), on="rank")
+        .select("x", "y")
+    )
+
+    def fold(expr: str) -> F.Column:
+        return F.expr(
+            f"aggregate(array_sort(collect_list({expr})), "
+            "CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+        )
+
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        fold("x").alias("sx"),
+        fold("y").alias("sy"),
+        fold("x * y").alias("sxy"),
+        fold("x * x").alias("sxx"),
+        fold("y * y").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("n").cast("long").alias("n_words"),
+        F.round(cov / varx, round_to).alias("slope_r"),
+        F.round(
+            (F.col("sy") - (cov / varx) * F.col("sx")) / n, round_to
+        ).alias("intercept_r"),
+        F.round((cov * cov) / (varx * vary), round_to).alias("r2_r"),
+    )

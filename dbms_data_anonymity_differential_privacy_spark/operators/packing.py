@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dbms_data_anonymity_differential_privacy_spark.operators.util import fan_out
+
 
 def pack_concat_chunks(
     df: DataFrame,
@@ -115,3 +117,62 @@ def pack_concat_chunks(
         )
     )
     return out
+
+
+def sliding_chunks(
+    df: DataFrame,
+    chunk_size: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document sliding-window chunk plan — the RAG / long-context
+    preprocessing step: token windows of ``chunk_size`` advancing by
+    ``stride = chunk_size - overlap``, last window truncated (never
+    empty). Complements :func:`pack_concat_chunks` (which packs MANY
+    docs into fixed budgets; this splits ONE doc into windows).
+
+    Output: one row per chunk — ``(id, chunk_id, start_tok, end_tok,
+    chunk_tokens, n_tokens)`` with ``end_tok`` exclusive. Documents with
+    zero tokens emit nothing.
+
+    All integer arithmetic (token counts from the corpus-standard
+    whitespace tokenization); map-only — the chunk fan-out is a
+    ``sequence``+``explode`` with no shuffle anywhere.
+    """
+    if chunk_size < 1 or overlap < 0 or overlap >= chunk_size:
+        raise ValueError("need chunk_size >= 1 and 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    base = fan_out(df).select(
+        F.col(id_col), F.size(toks).cast("long").alias("n_tokens")
+    )
+    # n_chunks = 1 + floor((n - 1) / stride) for n > chunk? Careful: a
+    # window starting at s covers [s, s+chunk); windows start at
+    # 0, stride, 2*stride, ... while s < n and (s == 0 or s + overlap < n)
+    # — i.e. every window adds at least one NEW token. That gives
+    # n_chunks = 1 + ceil(max(n - chunk_size, 0) / stride).
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(
+            F.greatest(F.col("n_tokens") - F.lit(chunk_size), F.lit(0))
+            / F.lit(stride)
+        ).cast("long")
+    )
+    chunks = base.filter(F.col("n_tokens") > 0).select(
+        id_col,
+        "n_tokens",
+        F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * F.lit(stride)
+    end = F.least(start + F.lit(chunk_size), F.col("n_tokens"))
+    return chunks.select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        start.cast("long").alias("start_tok"),
+        end.cast("long").alias("end_tok"),
+        (end - start).cast("long").alias("chunk_tokens"),
+        "n_tokens",
+    )

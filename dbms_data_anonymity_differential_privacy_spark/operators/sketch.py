@@ -225,3 +225,67 @@ def kmv_distinct(df: DataFrame, cols, k: int = 256, salt: str = "") -> DataFrame
             9,
         ).alias("n_distinct_est_r"),
     )
+
+
+# fixed universal-hash family for the Bloom membership sketch: h_i(x) =
+# ((a_i * x + b_i) mod P) mod m. P = 2^31 - 1 (Mersenne prime); a_i, b_i
+# arbitrary fixed constants < P. Products stay under 2^62 for any long
+# key < 2^31, so the SAME integer arithmetic runs exactly on Spark longs
+# and DuckDB BIGINTs — membership is hash-checkable cross-engine, unlike
+# engine-builtin hash functions which never match across engines.
+BLOOM_P = 2_147_483_647
+BLOOM_HASHES = ((982_451_653, 12_289), (715_827_883, 524_287), (179_424_673, 6_700_417))
+
+
+def bloom_membership(
+    build: DataFrame,
+    build_col: str,
+    probe: DataFrame,
+    probe_col: str,
+    m: int = 8192,
+) -> DataFrame:
+    """Bloom-filter membership probe with engine-portable hashes.
+
+    Builds the filter over ``build[build_col]`` (long keys) as the
+    DISTINCT set of bit positions hit by the k=3 universal hashes, then
+    probes every ``probe[probe_col]`` key: ``maybe_present`` iff all 3
+    of its positions are set. Classic guarantee: no false negatives;
+    false-positive rate ~ (1 - e^{-kn/m})^k.
+
+    Output: one row per probe key — ``(key, maybe_present)``.
+
+    Scale shape: the position set is at most ``m`` rows (bounded by the
+    filter's bit width, NOT by the build cardinality) — it broadcasts as
+    a map-side hash join however big the build side is; the build pass
+    itself is one explode + distinct on integer positions (partial
+    aggregation collapses each partition to <= m rows before the
+    shuffle). This IS how engines ship runtime-filter bloom pushdowns:
+    build rolls up to a tiny bitset, probe stays map-only.
+    """
+
+    def positions(col: F.Column) -> list[F.Column]:
+        return [
+            ((col * F.lit(a) + F.lit(b)) % F.lit(BLOOM_P) % F.lit(m)).alias(f"__p{i}")
+            for i, (a, b) in enumerate(BLOOM_HASHES)
+        ]
+
+    key = F.col(build_col).cast("long")
+    bits = (
+        build.select(F.explode(F.array(*positions(key))).alias("pos"))
+        .distinct()
+        .withColumn("__set", F.lit(1))
+    )
+    pkey = F.col(probe_col).cast("long")
+    probed = probe.select(F.col(probe_col).alias("key"), *positions(pkey))
+    for i in range(len(BLOOM_HASHES)):
+        probed = (
+            probed.join(
+                F.broadcast(bits.select(F.col("pos").alias(f"__p{i}"), F.col("__set").alias(f"__s{i}"))),
+                on=f"__p{i}",
+                how="left",
+            )
+        )
+    maybe = F.lit(True)
+    for i in range(len(BLOOM_HASHES)):
+        maybe = maybe & F.col(f"__s{i}").isNotNull()
+    return probed.select("key", maybe.alias("maybe_present"))

@@ -5756,6 +5756,292 @@ ORACLE_SQL["x124_decay_attribution"] = _x124_sql()
 
 
 # --------------------------------------------------------------------------
+# X125 — SCD Type 2 build (operators/scd.py scd2_build): change-compress
+# the per-user event stream, then validity intervals / versions / the
+# is_current flag off the same key-partitioned window family. Oracle =
+# the literal two-window construction.
+# --------------------------------------------------------------------------
+@query(
+    "x125_scd2",
+    """
+    WITH s AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+               FROM events WHERE user_id % 20 = 0),
+    r AS (SELECT *, CASE WHEN ROW_NUMBER() OVER w = 1
+                           OR lag(event_type) OVER w IS DISTINCT FROM event_type
+                         THEN 1 ELSE 0 END AS nr
+          FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    st AS (SELECT user_id, event_type, ts, event_id FROM r WHERE nr = 1)
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER w2 AS valid_to,
+           CAST(ROW_NUMBER() OVER w2 AS INT) AS version,
+           (lead(ts) OVER w2 IS NULL) AS is_current
+    FROM st WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def x125_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history of each user's event_type state stream
+    (user_id % 20 slice keeps the published history sample-sized)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.scd import scd2_build
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    return scd2_build(
+        ev, ["user_id"], ["event_type"], ts_col="ts", tiebreak=["event_id"]
+    )
+
+
+# --------------------------------------------------------------------------
+# X126 — fixed-iteration integer PageRank (operators/graph.py
+# pagerank_int) over the supplier→customer trade graph. Integer ppb +
+# floor division at every step makes the iteration order-independent and
+# hash-exact; the oracle replays the same 10 iterations as chained CTEs.
+# --------------------------------------------------------------------------
+def _x126_sql(iters: int = 10) -> str:
+    ctes = [
+        "e0 AS (SELECT DISTINCT l.l_suppkey AS src, o.o_custkey AS dst"
+        " FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)",
+        "nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS (SELECT src AS node, COUNT(*) AS d FROM e0 GROUP BY 1)",
+        "pr0 AS (SELECT node, CAST(1000000000 // nn.n AS BIGINT) AS r"
+        " FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"pr{i} AS (SELECT n.node, CAST(150000000 // nn.n"
+            f" + (17 * COALESCE(s.c, 0)) // 20 AS BIGINT) AS r"
+            f" FROM nodes n CROSS JOIN nn LEFT JOIN"
+            f" (SELECT e.dst AS node, SUM(p.r // d.d) AS c"
+            f" FROM pr{i - 1} p JOIN e0 e ON e.src = p.node"
+            f" JOIN deg d ON d.node = p.node GROUP BY 1) s USING (node))"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + f" SELECT node, r AS rank_ppb FROM pr{iters}"
+    )
+
+
+@query("x126_pagerank", _x126_sql())
+def x126_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-iteration integer PageRank over distinct supplier→customer
+    edges (who ships to whom, via lineitem⋈orders)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import pagerank_int
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst"))
+        .distinct()
+    )
+    return pagerank_int(edges, iters=10)
+
+
+# --------------------------------------------------------------------------
+# X127 — Anatomy release (operators/kanonymity.py anatomize): QIT/ST
+# split with the deterministic round-robin dealing construction; output
+# is the sensitive table joined with the per-group diversity audit.
+# --------------------------------------------------------------------------
+@query(
+    "x127_anatomy",
+    """
+    WITH r AS (SELECT c_custkey AS id, c_mktsegment AS s,
+                      ROW_NUMBER() OVER (ORDER BY c_mktsegment, c_custkey) - 1
+                        AS grank
+               FROM customer),
+    n AS (SELECT COUNT(*) AS cnt FROM customer),
+    q AS (SELECT id, s,
+                 CAST(grank % CAST(CEIL(cnt / 3.0) AS BIGINT) AS INT) AS group_id
+          FROM r CROSS JOIN n),
+    st AS (SELECT group_id, s AS c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM q GROUP BY 1, 2),
+    g AS (SELECT group_id, CAST(SUM(cnt) AS BIGINT) AS group_size,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct_sensitive,
+                 COUNT(*) >= 3 AS l_diverse
+          FROM st GROUP BY 1)
+    SELECT st.group_id, st.c_mktsegment, st.cnt,
+           g.group_size, g.n_distinct_sensitive, g.l_diverse
+    FROM st JOIN g USING (group_id)
+    """,
+)
+def x127_anatomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anatomy bucketization of customers: sensitive = market segment,
+    l = 3; publishes the sensitive table with its diversity audit."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.kanonymity import anatomize
+
+    c = load_table(spark, sf_dir, "customer")
+    parts = anatomize(
+        c, qi=["c_nationkey"], sensitive="c_mktsegment", id_col="c_custkey", ell=3
+    )
+    return parts["st"].join(parts["groups"], on="group_id")
+
+
+# --------------------------------------------------------------------------
+# X128 — Zipf rank-frequency fit (operators/lm.py zipf_fit): OLS of
+# ln(count) on ln(rank) for the top-1000 words; libm log table + sorted
+# folds keep both engines bit-identical (the x23 idiom).
+# --------------------------------------------------------------------------
+@query(
+    "x128_zipf",
+    """
+    WITH toks AS (SELECT unnest(list_filter(
+                    string_split_regex(lower(trim(text)), '\\s+'),
+                    w -> w <> '')) AS tok FROM documents),
+    wc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+    topk AS (SELECT cnt FROM wc ORDER BY cnt DESC, tok LIMIT 1000),
+    xy AS (SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC) AS DOUBLE)) AS x,
+                  ln(CAST(cnt AS DOUBLE)) AS y FROM topk),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 list_reduce(list_sort(list(x)), (a, b) -> a + b) AS sx,
+                 list_reduce(list_sort(list(y)), (a, b) -> a + b) AS sy,
+                 list_reduce(list_sort(list(x * y)), (a, b) -> a + b) AS sxy,
+                 list_reduce(list_sort(list(x * x)), (a, b) -> a + b) AS sxx,
+                 list_reduce(list_sort(list(y * y)), (a, b) -> a + b) AS syy
+          FROM xy)
+    SELECT n AS n_words,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope_r,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 9)
+             AS intercept_r,
+           ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS r2_r
+    FROM s
+    """,
+)
+def x128_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf slope over the top-1000 vocabulary."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.lm import zipf_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_fit(docs, top_k=1000)
+
+
+# --------------------------------------------------------------------------
+# X129 — Bloom membership probe (operators/sketch.py bloom_membership):
+# engine-portable universal hashes; probe all customers against the
+# order-placing set and report the measured false-positive rate.
+# --------------------------------------------------------------------------
+@query(
+    "x129_bloom",
+    """
+    WITH pos AS (SELECT DISTINCT ((o_custkey * h.a + h.b) % 2147483647) % 8192 AS p
+                 FROM orders, (VALUES (982451653, 12289), (715827883, 524287),
+                                      (179424673, 6700417)) AS h(a, b)),
+    pr AS (SELECT c_custkey AS key,
+             ((c_custkey * 982451653 + 12289) % 2147483647) % 8192 AS p0,
+             ((c_custkey * 715827883 + 524287) % 2147483647) % 8192 AS p1,
+             ((c_custkey * 179424673 + 6700417) % 2147483647) % 8192 AS p2
+           FROM customer),
+    m AS (SELECT key, (p0 IN (SELECT p FROM pos) AND p1 IN (SELECT p FROM pos)
+                       AND p2 IN (SELECT p FROM pos)) AS maybe FROM pr),
+    t AS (SELECT DISTINCT o_custkey AS key FROM orders)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+           CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+           CAST(SUM(CASE WHEN t.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_member,
+           CAST(SUM(CASE WHEN maybe AND t.key IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_pos,
+           ROUND(SUM(CASE WHEN maybe AND t.key IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / NULLIF(SUM(CASE WHEN t.key IS NULL THEN 1 ELSE 0 END), 0), 9)
+             AS fp_rate_r
+    FROM m LEFT JOIN t USING (key)
+    """,
+)
+def x129_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom probe of every customer against the set that placed orders;
+    no false negatives by construction, FP rate measured against truth."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.sketch import bloom_membership
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    res = bloom_membership(o, "o_custkey", c, "c_custkey", m=8192)
+    truth = o.select(F.col("o_custkey").alias("key")).distinct().withColumn(
+        "__t", F.lit(1)
+    )
+    probed = res.join(F.broadcast(truth), on="key", how="left")
+    fp = F.col("maybe_present") & F.col("__t").isNull()
+    return probed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe"),
+        F.sum(F.col("maybe_present").cast("int")).cast("long").alias("n_maybe"),
+        F.sum(F.col("__t").isNotNull().cast("int")).cast("long").alias("n_member"),
+        F.sum(fp.cast("int")).cast("long").alias("n_false_pos"),
+        F.round(
+            F.sum(fp.cast("int"))
+            / F.nullif(F.sum(F.col("__t").isNull().cast("int")), F.lit(0)),
+            9,
+        ).alias("fp_rate_r"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X130 — sliding context-window chunk plan (operators/packing.py
+# sliding_chunks): RAG/long-context preprocessing; pure integer window
+# arithmetic, map-only sequence+explode fan-out.
+# --------------------------------------------------------------------------
+@query(
+    "x130_chunks",
+    """
+    WITH t AS (SELECT doc_id,
+                      CAST(len(list_filter(
+                        string_split_regex(lower(trim(text)), '\\s+'),
+                        w -> w <> '')) AS BIGINT) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 unnest(generate_series(0,
+                   CAST(CEIL(GREATEST(n_tokens - 512, 0) / 448.0) AS BIGINT)))
+                   AS chunk_id
+          FROM t WHERE n_tokens > 0)
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(chunk_id * 448 AS BIGINT) AS start_tok,
+           CAST(LEAST(chunk_id * 448 + 512, n_tokens) AS BIGINT) AS end_tok,
+           CAST(LEAST(chunk_id * 448 + 512, n_tokens) - chunk_id * 448 AS BIGINT)
+             AS chunk_tokens,
+           n_tokens
+    FROM c
+    """,
+)
+def x130_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """512-token windows with 64-token overlap over every document."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.packing import sliding_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sliding_chunks(docs, chunk_size=512, overlap=64)
+
+
+# --------------------------------------------------------------------------
+# X131 — directional containment pairs (operators/dedup.py
+# containment_pairs): |A∩B|/|A| catches short-doc-inside-long-doc
+# inclusion that Jaccard structurally misses. Same inverted-index shape
+# as the x03 twin, plus both directional scores.
+# --------------------------------------------------------------------------
+@query(
+    "x131_containment",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+               FROM documents),
+    sh AS (SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(toks[i:i+2], ' '))) AS s FROM t),
+    e AS (SELECT doc_id, len(s) AS ns, unnest(s) AS shingle FROM sh),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(a.ns AS BIGINT) AS na, CAST(b.ns AS BIGINT) AS nb,
+                 CAST(COUNT(*) AS BIGINT) AS inter
+          FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b, inter, na, nb,
+           ROUND(inter * 1.0 / na, 9) AS cont_a_r,
+           ROUND(inter * 1.0 / nb, 9) AS cont_b_r
+    FROM p
+    WHERE GREATEST(ROUND(inter * 1.0 / na, 9), ROUND(inter * 1.0 / nb, 9)) >= 0.5
+    """,
+)
+def x131_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs where either doc's 3-gram set is >= 50% contained in the
+    other's."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold=0.5, n=3)
+
+
+# --------------------------------------------------------------------------
 # X123 — path trigrams (operators/stats.py path_trigrams): top-k
 # three-step sequences off one user-keyed window pass; x72's pairwise
 # matrix can't separate paths.

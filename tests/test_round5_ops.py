@@ -1,0 +1,171 @@
+"""Round-5 operators: SCD2, integer PageRank, Anatomy, Zipf fit, Bloom
+membership, sliding chunks, containment pairs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import *  # noqa: F401,F403 — spark/sf fixtures
+
+
+def test_scd2_compresses_runs_and_versions(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.scd import scd2_build
+
+    rows = [
+        # key 1: A A B A  -> 3 runs
+        (1, "A", 10, 1), (1, "A", 20, 2), (1, "B", 30, 3), (1, "A", 40, 4),
+        # key 2: single row -> one open run
+        (2, "X", 15, 5),
+        # key 3: null -> value -> null
+        (3, None, 10, 6), (3, "Y", 20, 7), (3, None, 30, 8),
+    ]
+    df = spark.createDataFrame(rows, ["k", "state", "ts", "eid"])
+    out = scd2_build(df, ["k"], ["state"], ts_col="ts", tiebreak=["eid"]).collect()
+    hist = {(r.k, r.version): r for r in out}
+    assert len(out) == 3 + 1 + 3
+    assert hist[(1, 1)].state == "A" and hist[(1, 1)].valid_to == 30
+    assert hist[(1, 2)].state == "B" and hist[(1, 2)].valid_from == 30
+    assert hist[(1, 3)].state == "A" and hist[(1, 3)].is_current
+    assert hist[(2, 1)].is_current and hist[(2, 1)].valid_to is None
+    # null state rows survive as their own runs
+    assert hist[(3, 1)].state is None and hist[(3, 2)].state == "Y"
+    assert hist[(3, 3)].state is None and hist[(3, 3)].is_current
+    # exactly one current row per key
+    cur = [r for r in out if r.is_current]
+    assert sorted(r.k for r in cur) == [1, 2, 3]
+
+
+def test_pagerank_driver_vs_distributed_and_mass(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import (
+        PPB,
+        pagerank_int,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1), (5, 1), (5, 2)], ["src", "dst"]
+    )
+    drv = {r.node: r.rank_ppb for r in pagerank_int(edges, iters=5).collect()}
+    dist = {
+        r.node: r.rank_ppb
+        for r in pagerank_int(edges, iters=5, driver_threshold=0).collect()
+    }
+    assert drv == dist
+    assert set(drv) == {1, 2, 3, 4, 5}
+    # nodes with no in-links hold exactly the teleport share
+    assert drv[4] == drv[5] == 150_000_000 // 5 + 0
+    assert min(drv, key=drv.get) in (4, 5)
+    # mass bounded by PPB; floor-division only loses mass, never creates it
+    assert 0 < sum(drv.values()) <= PPB
+    # sinks (no out-edges) still hold teleport mass
+    assert all(v >= 150_000_000 // 5 for v in drv.values())
+
+
+def test_anatomize_groups_are_diverse_when_eligible(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.kanonymity import anatomize
+
+    # 12 records, 4 sensitive values x 3 each; ell=3 -> 4 groups of 3,
+    # max frequency 3 <= n_groups 4 -> every group must be l-diverse
+    rows = [(i, i % 5, "SABCD"[i % 4]) for i in range(12)]
+    df = spark.createDataFrame(rows, ["id", "qi1", "sens"])
+    parts = anatomize(df, qi=["qi1"], sensitive="sens", id_col="id", ell=3)
+    groups = parts["groups"].collect()
+    assert len(groups) == 4
+    assert all(g.l_diverse and g.group_size == 3 for g in groups)
+    # QIT and ST reconcile: per-group sensitive counts match
+    qit = parts["qit"].collect()
+    assert len(qit) == 12 and len({r.id for r in qit}) == 12
+    st_total = sum(r.cnt for r in parts["st"].collect())
+    assert st_total == 12
+    with pytest.raises(ValueError):
+        anatomize(df, qi=["qi1"], sensitive="sens", id_col="id", ell=1)
+
+
+def test_zipf_fit_recovers_exact_power_law(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.lm import zipf_fit
+
+    # construct counts 16, 8, 4, 2, 1 for words a..e: ln c = ln 16 - ln 2 * ...
+    # not exactly linear in ln rank, so cross-check against numpy OLS
+    words = {"aa": 16, "bb": 8, "cc": 4, "dd": 2, "ee": 1}
+    text = " ".join(w for w, c in words.items() for _ in range(c))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    row = zipf_fit(df, top_k=5).collect()[0]
+    import numpy as np
+
+    cnts = sorted(words.values(), reverse=True)
+    x = np.log(np.arange(1, 6, dtype=float))
+    y = np.log(np.array(cnts, dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert row.n_words == 5
+    assert abs(row.slope_r - slope) < 1e-6
+    assert abs(row.intercept_r - intercept) < 1e-6
+    assert 0.9 < row.r2_r <= 1.0
+
+
+def test_bloom_membership_no_false_negatives(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.sketch import bloom_membership
+
+    build = spark.createDataFrame([(k,) for k in range(0, 2000, 2)], ["k"])
+    probe = spark.createDataFrame([(k,) for k in range(2000)], ["k"])
+    res = {r.key: r.maybe_present for r in
+           bloom_membership(build, "k", probe, "k", m=8192).collect()}
+    # every member reports present
+    assert all(res[k] for k in range(0, 2000, 2))
+    # small filter, 1000 keys in 8192 bits, k=3: FP rate well under 50%
+    fps = sum(res[k] for k in range(1, 2000, 2))
+    assert fps < 500
+
+
+def test_sliding_chunks_cover_every_token(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.packing import sliding_chunks
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(25))),  # 25 tokens
+         (2, "one"),                                  # 1 token
+         (3, "   "),                                  # 0 tokens -> no chunks
+         (4, " ".join(f"u{i}" for i in range(10)))],  # exactly chunk_size
+        ["doc_id", "text"],
+    )
+    out = sliding_chunks(docs, chunk_size=10, overlap=3).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_tokens == 1
+    assert len(by_doc[4]) == 1 and by_doc[4][0].chunk_tokens == 10
+    # doc 1: starts 0,7,14,21 -> 4 chunks; union covers [0,25); stride 7
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.start_tok for r in c1] == [0, 7, 14, 21]
+    assert c1[-1].end_tok == 25
+    covered = set()
+    for r in c1:
+        assert 0 < r.chunk_tokens <= 10
+        covered.update(range(r.start_tok, r.end_tok))
+    assert covered == set(range(25))
+    with pytest.raises(ValueError):
+        sliding_chunks(docs, chunk_size=5, overlap=5)
+
+
+def test_containment_catches_subset_docs(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"w{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally unrelated words here okay")],
+        ["doc_id", "text"],
+    )
+    pairs = containment_pairs(docs, threshold=0.9, n=3).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.id_a, p.id_b) == (1, 2)
+    assert p.cont_a_r == 1.0  # short fully inside long
+    assert p.cont_b_r < 0.2
+    # Jaccard at the same strength misses it — the operator's raison d'etre
+    jac = ngram_jaccard_pairs(docs, threshold=0.9, n=3).collect()
+    assert jac == []
