@@ -331,3 +331,79 @@ def zorder_layout_sql(
         f"SELECT {keep_cols}, CAST({expr} AS BIGINT) AS {out_col} "
         f"FROM {table} CROSS JOIN s"
     )
+
+
+# fixed multipliers for the deterministic negative-sampling hash
+# (arbitrary primes; the same literals live in the oracle SQL)
+NEG_A = 982_451_653
+NEG_B = 179_424_673
+
+
+def negative_samples(
+    positives: DataFrame,
+    user_col: str,
+    item_col: str,
+    item_dim: DataFrame,
+    dim_item_col: str,
+    k: int = 5,
+    oversample: int = 4,
+) -> DataFrame:
+    """Deterministic negative sampling for implicit-feedback training
+    (word2vec / BPR / two-tower recommenders): for every user, ``k``
+    pseudo-random items the user did NOT interact with.
+
+    Candidate ``j`` for user ``u`` is ``1 + (u*NEG_A + j*NEG_B) mod N``
+    (N = |item_dim|), j = 1..k*oversample; candidates that miss the item
+    dimension or collide with a positive are dropped, duplicates keep
+    their smallest j, and the first k per user (by j, then item) win.
+    Fully integer and salt-free, so resampling a grown corpus is
+    reproducible — the property hash_sample gives row sampling, applied
+    to the negatives problem.
+
+    Scale shape: candidate generation is a map-only sequence+explode off
+    the distinct-user relation; the existence check joins the item
+    dimension on the item key; the positive knock-out is one anti-join
+    hash-partitioned on (user, item) — the same key the positives
+    relation naturally groups by. No per-user collect, no rand().
+
+    Output: ``(user_col, item_col, rnk)``, rnk in [1, k].
+    """
+    if k < 1 or oversample < 1:
+        raise ValueError("k and oversample must be >= 1")
+    n_items = item_dim.count()
+    users = positives.select(F.col(user_col).alias("__u")).distinct()
+    cand = users.select(
+        "__u", F.explode(F.sequence(F.lit(1), F.lit(k * oversample))).alias("__j")
+    ).select(
+        "__u",
+        "__j",
+        (
+            F.lit(1).cast("long")
+            + (
+                F.col("__u").cast("long") * F.lit(NEG_A)
+                + F.col("__j").cast("long") * F.lit(NEG_B)
+            )
+            % F.lit(int(n_items))
+        ).alias("__i"),
+    )
+    existing = cand.join(
+        item_dim.select(F.col(dim_item_col).alias("__i")), on="__i"
+    )
+    pos = positives.select(
+        F.col(user_col).alias("__u"), F.col(item_col).alias("__i")
+    ).distinct()
+    negs = (
+        existing.join(pos, on=["__u", "__i"], how="left_anti")
+        .groupBy("__u", "__i")
+        .agg(F.min("__j").alias("__j"))
+    )
+    w = Window.partitionBy("__u").orderBy("__j", "__i")
+    return (
+        negs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("__u").alias(user_col),
+            F.col("__i").alias(item_col),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

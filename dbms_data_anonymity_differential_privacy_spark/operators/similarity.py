@@ -517,3 +517,48 @@ def knn_join(
     )
     partial = c.mapInPandas(part, "id_q long, id_c long, cos double")
     return partial.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training: for
+    every query vector, the ``k`` most cosine-similar corpus rows whose
+    label DIFFERS from the query's — the negatives that sit closest to
+    the decision boundary, which contrastive losses weight hardest
+    (e.g. DPR's in-batch + hard negatives, Karpukhin et al. 2020).
+
+    Same physical shape as :func:`knn_join` (sql flavor): corpus never
+    shuffles, the query batch broadcasts, the label-mismatch filter
+    prunes BEFORE ranking, and rank<=k runs as a map-side
+    WindowGroupLimit partial. Arithmetic is the sequential-fold cosine,
+    bit-identical to the DuckDB oracle.
+
+    Output: ``(id_q, id_c, cos, rnk)``, rnk in [1, k].
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("id_q"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+        F.col(label_col).alias("ql"),
+    )
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("id_c"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        F.col(label_col).alias("cl"),
+    )
+    scored = (
+        c.join(F.broadcast(q), how="cross")
+        .filter(~F.col("cl").eqNullSafe(F.col("ql")))
+        .select(
+            "id_q", "id_c", F.round(cosine_expr(F.col("cv"), F.col("qv")), 6).alias("cos")
+        )
+    )
+    w = Window.partitionBy("id_q").orderBy(F.desc("cos"), F.col("id_c"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

@@ -1266,3 +1266,52 @@ def path_trigrams(
     return counts.orderBy(
         F.desc("cnt"), F.asc("t1"), F.asc("t2"), F.asc("t3")
     ).limit(k)
+
+
+def nelson_aalen(
+    durations: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator over (duration, event)
+    observations: ``H(t) = Σ_{t_i <= t} d_i / n_i`` with right censoring
+    — the additive sibling of :func:`kaplan_meier` (same at-risk
+    machinery, a cumulative SUM of hazard increments instead of a
+    product of survival factors); preferred when hazards are the
+    modeling target (Aalen 1978).
+
+    Same distributed form as KM: ONE aggregation to the
+    per-distinct-time relation, window cumsums for the at-risk count and
+    the hazard sum. The float cumsum runs in window order (ascending t)
+    on both engines, so addition order is identical and the result
+    hash-exact. Output: ``(t, n_risk, d_events, cumhaz_r)`` for death
+    times, ordered by t.
+    """
+    from pyspark.sql import Window
+
+    t = F.col(duration_col)
+    ev = F.col(event_col).cast("int")
+    per_t = durations.groupBy(t.alias("t")).agg(
+        F.sum(ev).alias("d"),
+        F.count(F.lit(1)).alias("obs"),
+    )
+    w_ord = Window.orderBy("t")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    total = F.sum("obs").over(Window.partitionBy())
+    staged = per_t.withColumn(
+        "n_risk", total - F.coalesce(F.sum("obs").over(w_prev), F.lit(0))
+    ).withColumn(
+        "cumhaz",
+        F.sum(F.col("d").cast("double") / F.col("n_risk").cast("double")).over(w_cum),
+    )
+    return (
+        staged.filter(F.col("d") > 0)
+        .select(
+            "t",
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("d").cast("long").alias("d_events"),
+            F.round("cumhaz", 9).alias("cumhaz_r"),
+        )
+        .orderBy("t")
+    )

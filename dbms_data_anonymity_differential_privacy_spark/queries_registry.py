@@ -6042,6 +6042,122 @@ def x131_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X132 — deterministic negative sampling (operators/sampling.py
+# negative_samples): hash-generated non-interacted items per user, the
+# implicit-feedback training-pair generator. All-integer, salt-free.
+# --------------------------------------------------------------------------
+@query(
+    "x132_negative_samples",
+    """
+    WITH u AS (SELECT DISTINCT o_custkey AS usr FROM orders),
+    n AS (SELECT COUNT(*) AS np FROM part),
+    j AS (SELECT usr, unnest(generate_series(1, 20)) AS jj FROM u),
+    c AS (SELECT usr, jj,
+                 1 + ((usr * 982451653 + jj * 179424673) % np) AS item
+          FROM j CROSS JOIN n),
+    ex AS (SELECT c.usr, c.jj, c.item FROM c JOIN part p ON p.p_partkey = c.item),
+    pos AS (SELECT DISTINCT o.o_custkey AS usr, l.l_partkey AS item
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    neg AS (SELECT usr, item, MIN(jj) AS jj FROM ex
+            WHERE NOT EXISTS (SELECT 1 FROM pos
+                              WHERE pos.usr = ex.usr AND pos.item = ex.item)
+            GROUP BY 1, 2),
+    r AS (SELECT usr, item,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY usr ORDER BY jj, item)
+                      AS INT) AS rnk
+          FROM neg)
+    SELECT usr AS o_custkey, item AS l_partkey, rnk FROM r WHERE rnk <= 5
+    """,
+)
+def x132_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 deterministic negative parts per ordering customer."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.sampling import negative_samples
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pos = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        "o_custkey", "l_partkey"
+    )
+    return negative_samples(
+        pos, "o_custkey", "l_partkey", p, "p_partkey", k=5, oversample=4
+    )
+
+
+# --------------------------------------------------------------------------
+# X133 — hard-negative mining (operators/similarity.py hard_negatives):
+# nearest different-label neighbors per query vector; knn_join's plan
+# with a label knock-out before ranking. Oracle = x81's literal cosine
+# with the label filter.
+# --------------------------------------------------------------------------
+@query(
+    "x133_hard_negatives",
+    f"""
+    WITH q AS (SELECT vec_id AS id_q, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id % 100 = 0),
+    p AS (SELECT q.id_q, e.vec_id AS id_c,
+                 ROUND({_duck_cos('e.embedding', 'q.qv')}, 6) AS cos
+          FROM embeddings e CROSS JOIN q
+          WHERE e.label IS DISTINCT FROM q.ql),
+    r AS (SELECT id_q, id_c, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY id_q
+                      ORDER BY cos DESC NULLS LAST, id_c) AS INTEGER) AS rnk
+          FROM p)
+    SELECT id_q, id_c, cos, rnk FROM r WHERE rnk <= 5
+    """,
+)
+def x133_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 100th vector's 5 nearest neighbors with a different label."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    return hard_negatives(emb, q, k=5)
+
+
+# --------------------------------------------------------------------------
+# X134 — Nelson–Aalen cumulative hazard (operators/stats.py
+# nelson_aalen): KM's at-risk machinery with an additive hazard cumsum;
+# window order fixes float addition order on both engines.
+# --------------------------------------------------------------------------
+@query(
+    "x134_nelson_aalen",
+    """
+    WITH pu AS (SELECT user_id,
+                       MIN(date_diff('second', TIMESTAMP '1970-01-01', ts)) AS s0,
+                       MAX(date_diff('second', TIMESTAMP '1970-01-01', ts)) AS s1,
+                       MIN(CASE WHEN event_type = 'purchase'
+                                THEN date_diff('second', TIMESTAMP '1970-01-01', ts)
+                           END) AS sc
+                FROM events GROUP BY 1),
+    d AS (SELECT COALESCE(sc - s0, s1 - s0) AS t,
+                 CASE WHEN sc IS NOT NULL THEN 1 ELSE 0 END AS ev FROM pu),
+    g AS (SELECT t, SUM(ev) AS d, COUNT(*) AS obs FROM d GROUP BY 1),
+    s AS (SELECT *, SUM(obs) OVER ()
+                    - COALESCE(SUM(obs) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                                              PRECEDING AND 1 PRECEDING), 0) AS n_risk
+          FROM g),
+    c AS (SELECT *, SUM(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cumhaz
+          FROM s)
+    SELECT t, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d_events,
+           ROUND(cumhaz, 9) AS cumhaz_r
+    FROM c WHERE d > 0
+    """,
+)
+def x134_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative hazard of time-to-purchase with right censoring."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+        nelson_aalen,
+        time_to_event,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return nelson_aalen(time_to_event(ev, "purchase"))
+
+
+# --------------------------------------------------------------------------
 # X123 — path trigrams (operators/stats.py path_trigrams): top-k
 # three-step sequences off one user-keyed window pass; x72's pairwise
 # matrix can't separate paths.

@@ -169,3 +169,65 @@ def test_containment_catches_subset_docs(spark):
     # Jaccard at the same strength misses it — the operator's raison d'etre
     jac = ngram_jaccard_pairs(docs, threshold=0.9, n=3).collect()
     assert jac == []
+
+
+def test_negative_samples_never_hit_positives(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.sampling import negative_samples
+
+    pos = spark.createDataFrame(
+        [(1, i) for i in range(1, 50)] + [(2, 3), (2, 4)], ["u", "it"]
+    )
+    items = spark.createDataFrame([(i,) for i in range(1, 101)], ["item_id"])
+    out = negative_samples(pos, "u", "it", items, "item_id", k=5, oversample=4).collect()
+    by_u: dict = {}
+    for r in out:
+        by_u.setdefault(r.u, []).append(r)
+    pos_set = {(1, i) for i in range(1, 50)} | {(2, 3), (2, 4)}
+    for u, rows in by_u.items():
+        assert len(rows) <= 5
+        assert len({r.it for r in rows}) == len(rows)  # no dup items
+        for r in rows:
+            assert (u, r.it) not in pos_set
+            assert 1 <= r.it <= 100
+        assert sorted(r.rnk for r in rows) == list(range(1, len(rows) + 1))
+    # determinism: rerun gives the identical result
+    again = negative_samples(pos, "u", "it", items, "item_id", k=5, oversample=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    with pytest.raises(ValueError):
+        negative_samples(pos, "u", "it", items, "item_id", k=0)
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.similarity import (
+        hard_negatives,
+        knn_join,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [0.99, 0.1], 0), (3, [0.9, 0.2], 1),
+        (4, [0.0, 1.0], 1), (5, [0.1, 0.9], 0),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    q = emb.filter(F.col("vec_id") == 1)
+    out = hard_negatives(emb, q, k=3).collect()
+    labels = {r[0]: r[2] for r in rows}
+    assert all(labels[r.id_c] != 0 for r in out)  # query 1 has label 0
+    # nearest different-label neighbor of vec 1 is vec 3
+    assert out[0].id_c == 3 and out[0].rnk == 1
+    # and the unconstrained knn would have ranked a same-label vec first
+    knn = knn_join(emb, q, k=2, impl="sql").collect()
+    assert labels[[r for r in knn if r.rnk == 2][0].id_c] == 0
+
+
+def test_nelson_aalen_matches_hand_computation(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import nelson_aalen
+
+    # t=1: d=1 n=4 -> 0.25 ; t=2: censored only -> no row ; t=3: d=2 n=2 -> +1.0
+    obs = [(1, 1), (2, 0), (3, 1), (3, 1)]
+    df = spark.createDataFrame(obs, ["duration", "event"])
+    out = {r.t: r for r in nelson_aalen(df).collect()}
+    assert set(out) == {1, 3}
+    assert out[1].n_risk == 4 and out[1].d_events == 1
+    assert abs(out[1].cumhaz_r - 0.25) < 1e-9
+    assert out[3].n_risk == 2 and out[3].d_events == 2
+    assert abs(out[3].cumhaz_r - 1.25) < 1e-9
