@@ -164,6 +164,16 @@ HEADLINE = [
     "x64_mutual_information",
     "pipe_event_analytics",
     "pipe_training_export",
+    "x125_scd2",
+    "x126_pagerank",
+    "x127_anatomy",
+    "x128_zipf",
+    "x129_bloom",
+    "x130_chunks",
+    "x131_containment",
+    "x132_negative_samples",
+    "x133_hard_negatives",
+    "x134_nelson_aalen",
 ]
 
 

@@ -6947,86 +6947,73 @@ def x104_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle hash green. After this round the union of r1-r4 green rows covers
 # every oracle-backed query in the registry.
 # --------------------------------------------------------------------------
-_WINDOW_R5 = [
-    # --- the 38 never-driver-checked oracle-backed queries ---
-    "x46_dp_distinct_exact",
-    "x47_shard_plan",
-    "pipe_training_export",
-    "x48_snapshot_diff",
-    "x49_heavy_hitters_exact",
-    "x50_weighted_sample",
-    "x51_beta_likeness",
-    "x52_gapfill",
-    "x53_mad_outliers",
-    "x54_funnel",
-    "x55_retention",
-    "x56_continual_exact",
-    "x57_fk_orphans",
-    "x57_key_unique",
-    "x58_apply_changes",
-    "x59_skew_report",
-    "x60_quantile_sketch",
-    "x60_kmv_distinct",
-    "x61_ohlc_bars",
-    "x62_lag_features",
-    "x63_group_ols",
-    "x64_mutual_information",
-    "x66_trending",
-    "x67_psi_drift",
-    "x68_dp_covariance_exact",
-    "x69_corr_matrix",
-    "x70_km_anonymity",
-    "x71_chi_squared",
-    "x72_transitions",
-    "x73_range_counts_exact",
-    "pipe_event_analytics",
-    "x74_ab_test",
-    "x75_benford",
-    "x76_seasonality",
-    "x77_expectations",
-    "x78_attribution",
-    "x79_kaplan_meier",
-    "x80_mann_whitney",
-    # --- new this round: exact twin for the shared pigeonhole pair join,
-    # --- the batched k-NN join (c02's rep slot — its class-size algebra
-    # --- stays exercised in-window by c01; c02 itself is r2-ledger-green),
-    # --- and quality-aware dedup (c05's rep slot — its telescoped risk
-    # --- algebra stays exercised inside pipe metrics; c05 r2-ledger-green)
-    "x41_pairs_exact",
-    "x81_knn_join",
+_WINDOW_R6 = [
+    # Round-5 window. Round 4 returned 50/50 green, so every r4 slot is
+    # now ledger-green and rotates out. This window = the 34 oracle
+    # queries that have never received a driver row (x90-x124 era +
+    # both r4-debut pipes), the 10 new round-5 queries (x125-x134), and
+    # 6 deliberate re-checks of operators whose physical plans changed
+    # this round (connected-components driver fast path: x82/x03_cc;
+    # Gopher-gate projection split + pushdown barrier: both exports are
+    # covered via pipe_training_export here and pipe_private_export in
+    # the backlog, plus the direct gopher/domain gates).
+    "x97_delta_presence",
+    "pipe_private_export",
+    "x95_zorder",
+    "x92_user_growth",
+    "x94_step_latency",
+    "x91_winsorize",
+    "x90_linear_attribution",
+    "x98_session_impact",
+    "x99_tfidf_topk",
+    "x100_qi_search",
+    "x101_ak_anonymity",
+    "x102_copurchase",
+    "x103_entities",
+    "x124_decay_attribution",
+    "x123_path_trigrams",
+    "x122_label_consistency",
+    "x121_rolling_wau",
+    "x120_burstiness",
+    "x119_interp_gapfill",
+    "x117_oov_rate",
+    "x115_weighted_median",
+    "x116_top_p",
+    "x114_dp_heatmap_exact",
+    "x113_source_overlap",
+    "x112_novelty",
+    "x110_anova",
+    "x111_gini",
+    "x109_spearman",
+    "x108_ks_test",
+    "pipe_corpus_datasheet",
+    "x107_funnel_windowed",
+    "x106_m_invariance",
+    "x105_pivot_release",
+    "x104_ewma",
+    "x125_scd2",
+    "x126_pagerank",
+    "x127_anatomy",
+    "x128_zipf",
+    "x129_bloom",
+    "x130_chunks",
+    "x131_containment",
+    "x132_negative_samples",
+    "x133_hard_negatives",
+    "x134_nelson_aalen",
     "x82_quality_dedup",
-    # x02_dedup_exact's rep slot -> x83 (x02 family fully r1-r3
-    # ledger-green; the dedup idiom stays in-window via x82/x03)
-    "x83_bm25_many",
-    # x03_ngram_jaccard's rep slot -> x84 (x03 family ledger-green; the
-    # jaccard pair stage stays in-window INSIDE x82_quality_dedup)
-    "x84_stratified_split",
-    # x05_text_stats' rep slot -> x85 report (text folds stay in-window
-    # via x83 BM25); c04_class_emd's rep slot -> x85 gate (c04 family
-    # ledger-green; its counts-relation algebra is in-window via
-    # x51_beta_likeness)
+    "x03_dedup_corpus_cc",
+    "pipe_training_export",
+    "x27_gopher_quality",
     "x85_domain_quality",
     "x85_domain_gate",
-    # x01_dp_count_exact's rep slot -> x86 (X1 family fully ledger-green;
-    # the pre-noise DP-exact idiom stays in-window via x46/x56/x68/x73)
-    "x86_temperature_sample",
-    # p01/c01/x06 rep slots -> the last three new r4 queries: the scan
-    # path is exercised by every query's load_table, c01 IS the driver's
-    # separate entry() smoke every round, and the X6 stream-batch twins
-    # are fully ledger-green — all three families keep r1-r3 driver rows
-    "x87_rolling_anomaly",
-    "x88_cusum",
-    "x89_set_union_exact",
-    # x04's topm re-enters deliberately: its threshold-hoist perf fix
-    # this round must keep the oracle hash green
-    "x04_cosine_pairs_topm",
 ]
 
 
 def _reorder_for_driver_window() -> None:
     ordered = (
-        [n for n in _WINDOW_R5 if n in QUERIES]
-        + [n for n in QUERIES if n in ORACLE_SQL and n not in _WINDOW_R5]
+        [n for n in _WINDOW_R6 if n in QUERIES]
+        + [n for n in QUERIES if n in ORACLE_SQL and n not in _WINDOW_R6]
         + [n for n in QUERIES if n not in ORACLE_SQL]
     )
     reordered = {n: QUERIES[n] for n in ordered}

@@ -4,15 +4,15 @@ The driver hash-checks only the first 50 registered queries. These tests
 fail loudly if a future registration pushes an oracle-backed query out of
 the window or leaves a SURVEY §2 component with NO driver signal — where
 "signal" is an in-window slot this round OR a driver-green row from a
-previous round (the rotation ledger below). Round 4 rotation: round 3 came
-back 50/50 green, so the window now holds the 38 oracle-backed queries
-that have never received a driver row, the new x41_pairs_exact twin, and
-one already-green representative per SURVEY component family.
+previous round (the rotation ledger below). Round 5 rotation: round 4 came
+back 50/50 green, so the window now holds the 34 oracle-backed queries
+still awaiting their first driver row, the 10 new round-5 queries
+(x125-x134), and 6 re-checks of operators whose plans changed this round.
 No Spark session needed — pure registration-order checks.
 """
 
 from dbms_data_anonymity_differential_privacy_spark.queries_registry import (
-    _WINDOW_R5,
+    _WINDOW_R6,
     ORACLE_SQL,
     QUERIES,
 )
@@ -20,7 +20,7 @@ from dbms_data_anonymity_differential_privacy_spark.queries_registry import (
 WINDOW = 50
 
 # Queries with hash_match=true in a driver-issued CORRECTNESS report —
-# the union of CORRECTNESS_r01/r02/r03.json green rows (99 names). A
+# the union of CORRECTNESS_r01..r04.json green rows. A
 # component may rotate out of the window ONLY if its queries are all here.
 DRIVER_GREEN_PRIOR = {
     "c01_k_anonymize_suppress", "c02_k_anonymity_audit", "c04_class_emd",
@@ -54,6 +54,24 @@ DRIVER_GREEN_PRIOR = {
     "x33_rollup_release", "x34_user_contrib", "x35_kmap_audit",
     "x37_pseudonymize", "x38_vgh", "x39_entropy_stats", "x39_recursive_cl",
     "x40_span_stats", "x43_profile", "x44_centroid_sums", "x45_quantize",
+    # round 4 (CORRECTNESS_r04.json, 50/50 green):
+    "pipe_event_analytics", "pipe_training_export", "x04_cosine_pairs_topm",
+    "x41_pairs_exact", "x46_dp_distinct_exact", "x47_shard_plan",
+    "x48_snapshot_diff", "x49_heavy_hitters_exact", "x50_weighted_sample",
+    "x51_beta_likeness", "x52_gapfill", "x53_mad_outliers",
+    "x54_funnel", "x55_retention", "x56_continual_exact",
+    "x57_fk_orphans", "x57_key_unique", "x58_apply_changes",
+    "x59_skew_report", "x60_kmv_distinct", "x60_quantile_sketch",
+    "x61_ohlc_bars", "x62_lag_features", "x63_group_ols",
+    "x64_mutual_information", "x66_trending", "x67_psi_drift",
+    "x68_dp_covariance_exact", "x69_corr_matrix", "x70_km_anonymity",
+    "x71_chi_squared", "x72_transitions", "x73_range_counts_exact",
+    "x74_ab_test", "x75_benford", "x76_seasonality",
+    "x77_expectations", "x78_attribution", "x79_kaplan_meier",
+    "x80_mann_whitney", "x81_knn_join", "x82_quality_dedup",
+    "x83_bm25_many", "x84_stratified_split", "x85_domain_gate",
+    "x85_domain_quality", "x86_temperature_sample", "x87_rolling_anomaly",
+    "x88_cusum", "x89_set_union_exact",
 }
 
 
@@ -68,13 +86,13 @@ def test_window_is_all_oracle_backed():
 
 
 def test_window_list_matches_registration():
-    """_WINDOW_R5 IS the window: every listed name registered, exactly 50,
+    """_WINDOW_R6 IS the window: every listed name registered, exactly 50,
     occupying the first 50 slots in order."""
-    assert len(_WINDOW_R5) == WINDOW
-    assert len(set(_WINDOW_R5)) == WINDOW
-    unregistered = [n for n in _WINDOW_R5 if n not in QUERIES]
+    assert len(_WINDOW_R6) == WINDOW
+    assert len(set(_WINDOW_R6)) == WINDOW
+    unregistered = [n for n in _WINDOW_R6 if n not in QUERIES]
     assert not unregistered, f"window names not registered: {unregistered}"
-    assert list(QUERIES)[:WINDOW] == _WINDOW_R5
+    assert list(QUERIES)[:WINDOW] == _WINDOW_R6
 
 
 def test_every_oracle_component_has_driver_signal():
@@ -103,18 +121,7 @@ def test_every_oracle_component_has_driver_signal():
 # x04_cosine_pairs_topm — the later r4 registrations debut outside and
 # rotate in next round; until then their check is the dual-SF local
 # oracle sweep.
-NEW_THIS_ROUND: set[str] = {
-    "x90_linear_attribution", "x91_winsorize",
-    "x92_user_growth", "x94_step_latency",
-    "x95_zorder", "pipe_private_export",
-    "x97_delta_presence", "x98_session_impact", "x99_tfidf_topk",
-    "x100_qi_search", "x101_ak_anonymity", "x102_copurchase",
-    "x103_entities", "x104_ewma", "x105_pivot_release",
-    "x106_m_invariance", "x107_funnel_windowed", "pipe_corpus_datasheet", "x108_ks_test", "x109_spearman",
-    "x110_anova", "x111_gini", "x112_novelty", "x113_source_overlap", "x114_dp_heatmap_exact",
-    "x115_weighted_median", "x116_top_p", "x117_oov_rate", "x119_interp_gapfill", "x120_burstiness", "x121_rolling_wau", "x122_label_consistency", "x123_path_trigrams",
-    "x124_decay_attribution",
-}
+NEW_THIS_ROUND: set[str] = set()  # round 5: every new oracle query debuts in-window
 
 
 def test_rotated_out_queries_were_driver_green():
