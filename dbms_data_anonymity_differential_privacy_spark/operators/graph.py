@@ -59,27 +59,27 @@ def pagerank_int(
     n_edges = slim.count()
 
     if n_edges <= driver_threshold:
-        rows = slim.collect()
+        import numpy as np
+
+        # Arrow transfer + vectorized int64 iteration: the same floor
+        # divisions as the distributed path (numpy // on int64 is exact
+        # floor division), ~50ms per iteration at 2M edges vs seconds
+        # for a Python dict loop; equivalence to the distributed path is
+        # pinned in tests/test_round5_ops.py.
+        pdf = slim.toPandas()
         slim.unpersist()
-        out_edges: dict[int, list[int]] = {}
-        deg: dict[int, int] = {}
-        nodes: set[int] = set()
-        for r in rows:
-            nodes.add(r.src)
-            nodes.add(r.dst)
-            out_edges.setdefault(r.src, []).append(r.dst)
-            deg[r.src] = deg.get(r.src, 0) + 1
+        src = pdf["src"].to_numpy(dtype=np.int64)
+        dst = pdf["dst"].to_numpy(dtype=np.int64)
+        nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+        src_i, dst_i = inv[: len(src)], inv[len(src):]
         n = len(nodes)
-        rank = {v: PPB // n for v in nodes}
+        deg = np.bincount(src_i, minlength=n)
+        rank = np.full(n, PPB // n, dtype=np.int64)
         for _ in range(iters):
-            contrib: dict[int, int] = {}
-            for u, dsts in out_edges.items():
-                share = rank[u] // deg[u]
-                for v in dsts:
-                    contrib[v] = contrib.get(v, 0) + share
-            rank = {
-                v: TELEPORT_PPB // n + (17 * contrib.get(v, 0)) // 20 for v in nodes
-            }
+            share = rank[src_i] // deg[src_i]
+            contrib = np.zeros(n, dtype=np.int64)
+            np.add.at(contrib, dst_i, share)
+            rank = TELEPORT_PPB // n + (17 * contrib) // 20
         schema = T.StructType(
             [
                 T.StructField("node", T.LongType(), False),
@@ -87,7 +87,7 @@ def pagerank_int(
             ]
         )
         return edges.sparkSession.createDataFrame(
-            sorted(rank.items()), schema
+            [(int(v), int(r)) for v, r in zip(nodes, rank)], schema
         )
 
     nodes_df = (
