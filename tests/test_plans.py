@@ -355,3 +355,46 @@ def test_qi_search_single_cube_pass(plans):
     assert len(re.findall(r"\bExpand\b", p)) == 1
     # one scan of customer for the cube; binning's min/max pass is separate
     assert p.count("CartesianProduct") == 0
+
+
+def test_hard_negatives_corpus_never_shuffles(plans):
+    """x133 inherits x81's shape: query batch broadcasts, label knock-out
+    and scoring are map-side, rank<=k is a map-side WindowGroupLimit
+    Partial; the only hash exchange is the slim (id_q) window input."""
+    p = plans["x133_hard_negatives"]
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert re.search(r"WindowGroupLimit.*Partial", p)
+    assert len(re.findall(r"Exchange hashpartitioning", p)) <= 1
+
+
+def test_sliding_chunks_map_only(plans):
+    """x130 must not shuffle at all: sequence+explode chunk fan-out is a
+    per-row Generate over the scan."""
+    p = plans["x130_chunks"]
+    assert "Exchange hashpartitioning" not in p
+    assert "Generate explode" in p
+
+
+def test_bloom_probe_broadcasts_position_set(plans):
+    """x129: the bit-position set is bounded by the filter width m and
+    must reach the probe as a broadcast, never by shuffling the probe
+    side against it."""
+    p = plans["x129_bloom"]
+    assert "BroadcastExchange" in p
+
+
+def test_scd2_single_window_family_shuffle(plans):
+    """x125: compression, versioning and close-out share ONE
+    key-partitioned sort — exactly one hash exchange of the dimension
+    rows."""
+    p = plans["x125_scd2"]
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+
+
+def test_anatomy_no_global_sort_of_rows(plans):
+    """x127: the global dealing rank must come from the per-sensitive
+    window + broadcast offset join — never a single-partition sort of
+    the fact rows."""
+    p = plans["x127_anatomy"]
+    assert "Exchange SinglePartition" not in p or "partial" in p.lower()
+    assert "BroadcastHashJoin" in p
