@@ -643,3 +643,120 @@ def time_decay_attribution(
             F.sum("__c").cast("long").alias("credit_ppm"),
         )
     )
+
+
+def rfm_segments(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM segmentation (Hughes 1994 — the classic CRM cut): per user,
+    Recency (days since last event, against the corpus-wide anchor =
+    global max timestamp), Frequency (event count), Monetary (summed
+    value); each quintiled with ``ntile`` under a deterministic total
+    order (better metric first, then user id), segment code =
+    ``r*100 + f*10 + m`` with 5 = best.
+
+    Output: per-segment rollup ``(segment, n_users, avg_recency_days_r,
+    avg_frequency_r, avg_monetary_r)`` — the release shape a CRM
+    consumes; at most ``n_tiles^3`` rows.
+
+    Scale shape: one user-keyed aggregation collapses the fact table;
+    three ntile windows share the per-user relation; the anchor is a
+    single-row broadcast. (The ntile note from decile_lift applies.)
+    """
+    anchor = events.agg(F.max(ts_col).alias("__maxts"))
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.max(ts_col).alias("__last"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.coalesce(F.sum(value_col), F.lit(0.0)).alias("money"),
+    )
+    staged = per_user.join(F.broadcast(anchor)).withColumn(
+        # microsecond epochs (unix_timestamp would truncate to seconds
+        # and drift from the oracle's epoch_us by up to ~1s/86400)
+        "rec_days",
+        (F.unix_micros(F.col("__maxts").cast("timestamp"))
+         - F.unix_micros(F.col("__last").cast("timestamp")))
+        / F.lit(86400000000.0),
+    )
+    from pyspark.sql import Window
+
+    # 5 = best for all three codes: recency orders DESC (largest gap ->
+    # tile 1), frequency/monetary ASC (largest -> tile 5)
+    w_r = Window.orderBy(F.desc("rec_days"), F.col("u"))
+    w_f = Window.orderBy(F.asc("freq"), F.col("u"))
+    w_m = Window.orderBy(F.asc("money"), F.col("u"))
+    coded = (
+        staged.withColumn("r", F.ntile(n_tiles).over(w_r))
+        .withColumn("f", F.ntile(n_tiles).over(w_f))
+        .withColumn("m", F.ntile(n_tiles).over(w_m))
+        .withColumn(
+            "segment", (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int")
+        )
+    )
+    return (
+        coded.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.avg("rec_days"), 9).alias("avg_recency_days_r"),
+            F.round(F.avg("freq"), 9).alias("avg_frequency_r"),
+            F.round(F.avg("money"), 9).alias("avg_monetary_r"),
+        )
+        .orderBy("segment")
+    )
+
+
+def popularity_hitk(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    split_date: str,
+    k: int = 20,
+) -> DataFrame:
+    """Hit-rate@k of the popularity baseline — the recommender-eval
+    floor every paper reports: train on purchases before ``split_date``,
+    recommend the global top-k items, a test user scores a hit if any of
+    their post-split purchases is in that list.
+
+    Output (single row): ``(k, n_test_users, n_hit, hit_rate_r)``.
+
+    Scale shape: the item-popularity aggregation partial-combines on
+    item keys; the top-k list is TakeOrdered then a k-row broadcast; the
+    test-side hit test is one map-side semi-join + user-keyed distinct.
+    Deterministic: ties at the k boundary break by item id.
+    """
+    split = F.lit(split_date).cast("timestamp")
+    purchases = orders.join(
+        lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("u"),
+        F.col("l_partkey").alias("item"),
+        F.col("o_orderdate").alias("d"),
+    )
+    topk = (
+        purchases.filter(F.col("d") < split)
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "item")
+        .limit(int(k))
+        .select("item")
+    )
+    test = purchases.filter(F.col("d") >= split)
+    test_users = test.select("u").distinct()
+    hits = (
+        test.join(F.broadcast(topk), on="item", how="left_semi")
+        .select("u")
+        .distinct()
+    )
+    n_t = test_users.agg(F.count(F.lit(1)).cast("long").alias("n_test_users"))
+    n_h = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    return (
+        n_t.join(F.broadcast(n_h))
+        .select(
+            F.lit(int(k)).alias("k"),
+            "n_test_users",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_test_users"), 9).alias("hit_rate_r"),
+        )
+    )

@@ -132,3 +132,90 @@ def pagerank_int(
     nodes_df.unpersist()
     edges_deg.unpersist()
     return rank
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact global triangle census of an undirected graph.
+
+    ``edges`` holds one row per undirected edge (``src``/``dst``, either
+    orientation, no self-loops required to be pre-filtered). Returns one
+    row: ``(n_nodes, n_edges, n_triangles, n_triples,
+    clustering_coeff_r)`` with the global (transitivity) coefficient
+    ``3*T / #connected-triples`` and ``#triples = Σ_v deg(v)·(deg(v)-1)/2``
+    — all integer until the single final division.
+
+    Physical strategy — the Suri–Vassilvitskii degree orientation
+    ("counting triangles and the curse of the last reducer", WWW 2011):
+    orient every edge from the (degree, id)-smaller endpoint to the
+    larger. Every triangle has exactly one orientation-consistent wedge,
+    and each node's ORIENTED out-degree is O(sqrt(|E|)), so the
+    wedge-generating self-join fans out by max oriented out-degree, not
+    by the max raw degree — the hot-node blowup (a celebrity node with
+    10^6 neighbors would otherwise emit 10^12 wedges) structurally
+    cannot happen. Wedges then semi-join the oriented edge set. Three
+    slim shuffles of 16-byte id pairs; payloads never move.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).alias("a"),
+            F.greatest(F.col("src"), F.col("dst")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        canon.select(F.col("a").alias("v"))
+        .unionByName(canon.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
+    )
+    # orient: from lower (deg, id) to higher (deg, id)
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("db"))
+    oriented = (
+        canon.join(da, on="a")
+        .join(db, on="b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("w")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
+            .alias("e")
+        )
+        .select(F.col("e.u").alias("u"), F.col("e.w").alias("w"))
+        .persist()
+    )
+    # wedges u->v, u->x generated in both (v,x) orders; the closing edge
+    # exists in exactly ONE orientation, so each triangle survives the
+    # semi-join exactly once (the apex u is the (deg,id)-minimum vertex)
+    e1 = oriented.select(F.col("u"), F.col("w").alias("v"))
+    e2 = oriented.select(F.col("u"), F.col("w").alias("x"))
+    wedges = e1.join(e2, on="u").filter(F.col("v") != F.col("x"))
+    closing = oriented.select(F.col("u").alias("v"), F.col("w").alias("x"))
+    tri = wedges.join(closing, on=["v", "x"], how="left_semi")
+    n_tri = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    stats = canon.agg(F.count(F.lit(1)).cast("long").alias("n_edges")).join(
+        deg.agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            # per-row integer halving (deg*(deg-1) is even) -> the sum
+            # stays int64, matching the oracle's SUM(d*(d-1)//2)
+            F.sum(F.expr("(deg * (deg - 1)) div 2")).cast("long").alias("n_triples"),
+        )
+    )
+    return stats.join(n_tri).select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "n_triples",
+        F.round(
+            F.when(
+                F.col("n_triples") > 0,
+                3.0 * F.col("n_triangles") / F.col("n_triples"),
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("clustering_coeff_r"),
+    )

@@ -6158,6 +6158,205 @@ def x134_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X135 — CUPED variance reduction (operators/stats.py cuped_adjust):
+# pre-period covariate, pooled theta, adjusted arm difference — one
+# user-keyed collapse, moments over the slim per-user relation.
+# --------------------------------------------------------------------------
+@query(
+    "x135_cuped",
+    """
+    WITH pu AS (SELECT user_id AS u,
+          COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                            THEN value END), 0.0) AS x,
+          COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                            THEN value END), 0.0) AS y
+        FROM events GROUP BY 1),
+    a AS (SELECT *, CAST(u % 2 AS INT) AS arm FROM pu),
+    m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+                 SUM(x*x) AS sxx, SUM(y*y) AS syy,
+                 SUM(CASE WHEN arm = 1 THEN y END) AS sy1,
+                 SUM(CASE WHEN arm = 0 THEN y END) AS sy0,
+                 SUM(CASE WHEN arm = 1 THEN x END) AS sx1,
+                 SUM(CASE WHEN arm = 0 THEN x END) AS sx0,
+                 SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+                 SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0
+          FROM a),
+    f AS (SELECT *, CAST(n AS DOUBLE) AS nd FROM m),
+    g AS (SELECT *,
+                 (sxy / nd - (sx / nd) * (sy / nd))
+                   / (sxx / nd - (sx / nd) * (sx / nd)) AS theta,
+                 sy1 / n1 - sy0 / n0 AS raw_diff
+          FROM f)
+    SELECT CAST(n AS BIGINT) AS n_users,
+           ROUND(theta, 9) AS theta_r,
+           ROUND(raw_diff, 9) AS raw_diff_r,
+           ROUND(raw_diff - theta * (sx1 / n1 - sx0 / n0), 9) AS adj_diff_r,
+           ROUND((theta * theta * (sxx / nd - (sx / nd) * (sx / nd)))
+                 / (syy / nd - (sy / nd) * (sy / nd)), 9) AS var_reduction_r
+    FROM g
+    """,
+)
+def x135_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED readout: January split mid-month, arms = user_id % 2."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import cuped_adjust
+
+    ev = load_table(spark, sf_dir, "events")
+    return cuped_adjust(ev, "2024-01-16 00:00:00")
+
+
+# --------------------------------------------------------------------------
+# X136 — decile lift / gains table (operators/stats.py decile_lift).
+# --------------------------------------------------------------------------
+@query(
+    "x136_decile_lift",
+    """
+    WITH pu AS (SELECT user_id AS u,
+          COALESCE(SUM(CASE WHEN event_type = 'click' THEN value END), 0.0)
+            AS score,
+          MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY 1),
+    t AS (SELECT *, NTILE(10) OVER (ORDER BY score DESC, u) AS decile FROM pu),
+    d AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+                 CAST(SUM(conv) AS BIGINT) AS n_converted
+          FROM t GROUP BY 1),
+    tot AS (SELECT CAST(SUM(conv) AS BIGINT) AS tc,
+                   CAST(COUNT(*) AS BIGINT) AS tn FROM t)
+    SELECT CAST(decile AS INT) AS decile, n_users, n_converted,
+           ROUND(n_converted * 1.0 / n_users, 9) AS conv_rate_r,
+           ROUND((n_converted * 1.0 / n_users) / (tc * 1.0 / tn), 9) AS lift_r
+    FROM d CROSS JOIN tot
+    """,
+)
+def x136_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-score deciles vs purchase conversion."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import decile_lift
+
+    ev = load_table(spark, sf_dir, "events")
+    return decile_lift(ev)
+
+
+# --------------------------------------------------------------------------
+# X137 — RFM segmentation (operators/funnel.py rfm_segments).
+# --------------------------------------------------------------------------
+@query(
+    "x137_rfm",
+    """
+    WITH anch AS (SELECT MAX(ts) AS maxts FROM events),
+    pu AS (SELECT user_id AS u, MAX(ts) AS last_ts,
+                  CAST(COUNT(*) AS BIGINT) AS freq,
+                  COALESCE(SUM(value), 0.0) AS money
+           FROM events GROUP BY 1),
+    st AS (SELECT u, freq, money,
+                  (epoch_us(anch.maxts) - epoch_us(last_ts)) / 86400000000.0
+                    AS rec_days
+           FROM pu CROSS JOIN anch),
+    coded AS (SELECT *,
+                CAST(NTILE(5) OVER (ORDER BY rec_days DESC, u) * 100
+                     + NTILE(5) OVER (ORDER BY freq ASC, u) * 10
+                     + NTILE(5) OVER (ORDER BY money ASC, u) AS INT) AS segment
+              FROM st)
+    SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(AVG(rec_days), 9) AS avg_recency_days_r,
+           ROUND(AVG(freq), 9) AS avg_frequency_r,
+           ROUND(AVG(money), 9) AS avg_monetary_r
+    FROM coded GROUP BY 1
+    """,
+)
+def x137_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment RFM rollup (5x5x5 coding, 5 = best)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.funnel import rfm_segments
+
+    ev = load_table(spark, sf_dir, "events")
+    return rfm_segments(ev)
+
+
+# --------------------------------------------------------------------------
+# X138 — triangle census (operators/graph.py triangle_count) over the
+# co-purchase graph (pairs with support >= 2): Suri–Vassilvitskii degree
+# orientation bounds wedge fan-out by the oriented out-degree. Oracle =
+# canonical a<b<c three-way self-join (orientation-invariant count).
+# --------------------------------------------------------------------------
+@query(
+    "x138_triangles",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    pr AS (SELECT a.i AS x, b.i AS y FROM items a
+           JOIN items b ON a.b = b.b AND a.i < b.i
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT x AS v FROM pr UNION ALL SELECT y AS v FROM pr)
+            GROUP BY 1),
+    tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS t
+            FROM pr e1 JOIN pr e2 ON e2.x = e1.x AND e2.y > e1.y
+            JOIN pr e3 ON e3.x = e1.y AND e3.y = e2.y)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pr) AS n_edges,
+           tri.t AS n_triangles,
+           (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_triples,
+           ROUND(CASE WHEN (SELECT SUM(d * (d - 1) // 2) FROM deg) > 0
+                      THEN 3.0 * tri.t
+                           / (SELECT SUM(d * (d - 1) // 2) FROM deg)
+                      ELSE 0.0 END, 9) AS clustering_coeff_r
+    FROM tri
+    """,
+)
+def x138_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering of the co-purchase graph."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_count(edges)
+
+
+# --------------------------------------------------------------------------
+# X139 — popularity hit@k (operators/funnel.py popularity_hitk): the
+# recommender-eval floor; train/test date split, top-k broadcast,
+# map-side semi-join hit test.
+# --------------------------------------------------------------------------
+@query(
+    "x139_hitk",
+    """
+    WITH pur AS (SELECT o.o_custkey AS u, l.l_partkey AS item, o.o_orderdate AS d
+                 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    topk AS (SELECT item FROM (SELECT item, COUNT(*) AS c FROM pur
+                               WHERE d < TIMESTAMP '1999-01-01 00:00:00'
+                               GROUP BY 1)
+             ORDER BY c DESC, item LIMIT 20),
+    test AS (SELECT u, item FROM pur
+             WHERE d >= TIMESTAMP '1999-01-01 00:00:00'),
+    tu AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n_test_users FROM test),
+    h AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n_hit FROM test
+          WHERE item IN (SELECT item FROM topk))
+    SELECT 20 AS k, tu.n_test_users, h.n_hit,
+           ROUND(h.n_hit * 1.0 / tu.n_test_users, 9) AS hit_rate_r
+    FROM tu CROSS JOIN h
+    """,
+)
+def x139_hitk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hit-rate@20 of the popularity baseline, 1999-01-01 split."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.funnel import popularity_hitk
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return popularity_hitk(o, li, "1999-01-01 00:00:00", k=20)
+
+
+# --------------------------------------------------------------------------
 # X123 — path trigrams (operators/stats.py path_trigrams): top-k
 # three-step sequences off one user-keyed window pass; x72's pairwise
 # matrix can't separate paths.

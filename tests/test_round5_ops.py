@@ -231,3 +231,101 @@ def test_nelson_aalen_matches_hand_computation(spark):
     assert abs(out[1].cumhaz_r - 0.25) < 1e-9
     assert out[3].n_risk == 2 and out[3].d_events == 2
     assert abs(out[3].cumhaz_r - 1.25) < 1e-9
+
+
+def test_cuped_reduces_variance_when_correlated(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import cuped_adjust
+
+    # users whose pre and post metrics are perfectly correlated except a
+    # constant arm effect: CUPED should keep the effect and report high
+    # variance reduction
+    import datetime
+
+    pre = datetime.datetime(2024, 1, 10)
+    post = datetime.datetime(2024, 1, 20)
+    rows = []
+    for u in range(100):
+        base = float(u % 7)
+        rows.append((u, pre, base))
+        rows.append((u, post, base + (2.0 if u % 2 == 1 else 0.0)))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    r = cuped_adjust(df, "2024-01-16 00:00:00").collect()[0]
+    assert r.n_users == 100
+    assert abs(r.adj_diff_r - 2.0) < 0.3   # arm effect survives
+    assert r.var_reduction_r > 0.5          # most variance explained by X
+    assert abs(r.theta_r - 1.0) < 0.2
+
+
+def test_decile_lift_orders_high_scores_first(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import decile_lift
+
+    rows = []
+    for u in range(100):
+        rows.append((u, "click", float(100 - u)))     # score = 100-u
+        if u < 20:                                     # top scorers convert
+            rows.append((u, "purchase", 1.0))
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "value"])
+    out = {r.decile: r for r in decile_lift(df).collect()}
+    assert len(out) == 10
+    assert out[1].conv_rate_r == 1.0 and out[2].conv_rate_r == 1.0
+    assert out[10].conv_rate_r == 0.0
+    assert out[1].lift_r == 5.0  # 1.0 / (20/100)
+    assert sum(r.n_users for r in out.values()) == 100
+
+
+def test_rfm_codes_best_customers_555(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.funnel import rfm_segments
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for u in range(25):
+        # user u has u+1 events, each of value u, last at day u
+        for i in range(u + 1):
+            rows.append((u, t0 + datetime.timedelta(days=u, hours=i), float(u)))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    segs = rfm_segments(df).collect()
+    assert sum(r.n_users for r in segs) == 25
+    # user 24: most recent, most frequent, highest monetary -> 555
+    assert any(r.segment == 555 and r.n_users >= 1 for r in segs)
+    # user 0: oldest, least frequent, lowest monetary -> 111
+    assert any(r.segment == 111 for r in segs)
+
+
+def test_triangle_count_known_graphs(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import triangle_count
+
+    # K4 has 4 triangles, 6 edges, 12 triples, transitivity 1.0
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    out = triangle_count(spark.createDataFrame(k4, ["src", "dst"])).collect()[0]
+    assert (out.n_nodes, out.n_edges, out.n_triangles, out.n_triples) == (4, 6, 4, 12)
+    assert out.clustering_coeff_r == 1.0
+    # a path a-b-c has 0 triangles, 1 triple; duplicate/reversed edges collapse
+    path = [(1, 2), (2, 3), (3, 2), (2, 1)]
+    out2 = triangle_count(spark.createDataFrame(path, ["src", "dst"])).collect()[0]
+    assert (out2.n_edges, out2.n_triangles, out2.n_triples) == (2, 0, 1)
+    assert out2.clustering_coeff_r == 0.0
+    # star K1,3: 3 triples, 0 triangles
+    star = [(0, 1), (0, 2), (0, 3)]
+    out3 = triangle_count(spark.createDataFrame(star, ["src", "dst"])).collect()[0]
+    assert (out3.n_triangles, out3.n_triples) == (0, 3)
+
+
+def test_popularity_hitk_hand_case(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.funnel import popularity_hitk
+    import datetime
+
+    d_tr = datetime.datetime(1998, 1, 1)
+    d_te = datetime.datetime(2000, 1, 1)
+    orders = spark.createDataFrame(
+        [(1, 10, d_tr), (2, 11, d_tr), (3, 10, d_te), (4, 12, d_te)],
+        ["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    # train: item 7 bought twice, item 8 once -> top-1 = {7}
+    li = spark.createDataFrame(
+        [(1, 7), (1, 8), (2, 7), (3, 7), (4, 9)], ["l_orderkey", "l_partkey"]
+    )
+    r = popularity_hitk(orders, li, "1999-01-01 00:00:00", k=1).collect()[0]
+    # test users: 10 (bought 7 -> hit), 12 (bought 9 -> miss)
+    assert r.k == 1 and r.n_test_users == 2 and r.n_hit == 1
+    assert r.hit_rate_r == 0.5
