@@ -174,6 +174,11 @@ HEADLINE = [
     "x132_negative_samples",
     "x133_hard_negatives",
     "x134_nelson_aalen",
+    "x135_cuped",
+    "x136_decile_lift",
+    "x137_rfm",
+    "x138_triangles",
+    "x139_hitk",
 ]
 
 

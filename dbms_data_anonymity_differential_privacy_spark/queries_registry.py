@@ -7150,12 +7150,13 @@ _WINDOW_R6 = [
     # Round-5 window. Round 4 returned 50/50 green, so every r4 slot is
     # now ledger-green and rotates out. This window = the 34 oracle
     # queries that have never received a driver row (x90-x124 era +
-    # both r4-debut pipes), the 10 new round-5 queries (x125-x134), and
-    # 6 deliberate re-checks of operators whose physical plans changed
-    # this round (connected-components driver fast path: x82/x03_cc;
-    # Gopher-gate projection split + pushdown barrier: both exports are
-    # covered via pipe_training_export here and pipe_private_export in
-    # the backlog, plus the direct gopher/domain gates).
+    # both r4-debut pipes), the 15 new round-5 queries (x125-x139), and
+    # 1 deliberate re-check of the operator whose physical plan changed
+    # most this round (connected-components driver fast path:
+    # x03_dedup_corpus_cc). The other plan-changed queries (x82, the
+    # Gopher-gate family) stay ledger-green from r4 and are re-verified
+    # by the local dual-SF oracle sweep; a first-ever driver row for a
+    # new query outranks a re-check.
     "x97_delta_presence",
     "pipe_private_export",
     "x95_zorder",
@@ -7200,12 +7201,12 @@ _WINDOW_R6 = [
     "x132_negative_samples",
     "x133_hard_negatives",
     "x134_nelson_aalen",
-    "x82_quality_dedup",
+    "x135_cuped",
+    "x136_decile_lift",
+    "x137_rfm",
+    "x138_triangles",
+    "x139_hitk",
     "x03_dedup_corpus_cc",
-    "pipe_training_export",
-    "x27_gopher_quality",
-    "x85_domain_quality",
-    "x85_domain_gate",
 ]
 
 

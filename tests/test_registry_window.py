@@ -6,8 +6,9 @@ the window or leaves a SURVEY §2 component with NO driver signal — where
 "signal" is an in-window slot this round OR a driver-green row from a
 previous round (the rotation ledger below). Round 5 rotation: round 4 came
 back 50/50 green, so the window now holds the 34 oracle-backed queries
-still awaiting their first driver row, the 10 new round-5 queries
-(x125-x134), and 6 re-checks of operators whose plans changed this round.
+still awaiting their first driver row, the 15 new round-5 queries
+(x125-x139), and 1 re-check of the operator whose plan changed most this
+round (x03_dedup_corpus_cc, the connected-components fast path).
 No Spark session needed — pure registration-order checks.
 """
 
