@@ -179,6 +179,7 @@ HEADLINE = [
     "x137_rfm",
     "x138_triangles",
     "x139_hitk",
+    "x140_retrieval_eval",
 ]
 
 

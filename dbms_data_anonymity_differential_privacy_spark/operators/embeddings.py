@@ -244,3 +244,130 @@ def label_consistency(
             "agreement_r"
         ),
     )
+
+
+def ndcg_weights(k: int) -> list[tuple[int, int, int]]:
+    """Integer DCG weight table for ranks 1..k: ``w = round(1e9 /
+    log2(rank + 1))`` plus its prefix sum (the ideal-DCG lookup).
+
+    Computed ONCE on the driver with Python libm (the x23/x124 literal-
+    table convention) so Spark and the DuckDB oracle consume the SAME
+    integers — no engine ever evaluates ``log2``, and the DCG sums are
+    exact int64 arithmetic, immune to float summation order.
+    """
+    import math
+
+    rows, cum = [], 0
+    for r in range(1, k + 1):
+        w = round(1e9 / math.log2(r + 1))
+        cum += w
+        rows.append((r, w, cum))
+    return rows
+
+
+def retrieval_eval(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    impl: str | None = None,
+) -> DataFrame:
+    """X140 — per-query retrieval-quality scorecard: NDCG@k, MRR and
+    recall@k of cosine k-NN retrieval, with same-label corpus rows as the
+    relevance ground truth (the standard ANN-benchmark protocol when no
+    click/judgment data exists; e.g. BEIR-style label-match evaluation).
+
+    Composition: the X81 batched k-NN join fetches ``k+1`` neighbors
+    (corpus never shuffles, query batch broadcasts, map-side per-query
+    top-k), the self-match drops out and ranks are RE-NUMBERED over the
+    same (id_q)-keyed sort — rank-sensitive metrics cannot tolerate the
+    gap x122 could ignore. All three metrics then reduce to integer
+    sufficient statistics over the queries×k relation:
+
+    - ``dcg = Σ w(rank)·rel`` with ``w`` from :func:`ndcg_weights` —
+      an exact int64 sum, order-free under partial aggregation;
+    - ``idcg = cumw(min(k, n_rel))`` — a broadcast lookup into the same
+      table, where ``n_rel`` is the query's same-label corpus count
+      minus self (a labels-sized relation, broadcast);
+    - ``mrr = 1/first_rel_rank``, ``recall = hits/min(k, n_rel)`` —
+      single IEEE divisions at release (the x51 one-division convention).
+
+    Per-query rows (not a float mean over queries) keep every released
+    double the result of exactly one division — bit-stable cross-engine;
+    roll up downstream if a corpus-level scalar is wanted.
+
+    Output: ``(vec_id, label, n_rel, hits, recall_k, mrr, ndcg)``.
+    Reference analogue: utility evaluation of released data
+    (utility-accuracy.py:52-69) re-targeted at the retrieval stack.
+    """
+    from pyspark.sql import Window
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.similarity import knn_join
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = emb.sparkSession
+    wtab = spark.createDataFrame(ndcg_weights(k), "rnk int, w long, cumw long")
+
+    nn = knn_join(emb, queries, k=k + 1, vec_col=vec_col, id_col=id_col, impl=impl)
+    nn = nn.where(F.col("id_q") != F.col("id_c"))
+    rerank = Window.partitionBy("id_q").orderBy(F.desc("cos"), F.col("id_c"))
+    nn = (
+        nn.withColumn("rnk2", F.row_number().over(rerank))
+        .filter(F.col("rnk2") <= k)
+        .drop("rnk")
+    )
+
+    labels = emb.select(F.col(id_col), F.col(label_col))
+    q_lab = labels.withColumnRenamed(id_col, "id_q").withColumnRenamed(label_col, "__lq")
+    c_lab = labels.withColumnRenamed(id_col, "id_c").withColumnRenamed(label_col, "__lc")
+    lab_counts = emb.groupBy(F.col(label_col).alias("__lq")).agg(
+        F.count(F.lit(1)).alias("__lab_n")
+    )
+
+    joined = (
+        nn.join(F.broadcast(q_lab), "id_q")
+        .join(F.broadcast(c_lab), "id_c")
+        .join(F.broadcast(wtab), F.col("rnk2") == F.col("rnk"))
+        .withColumn("rel", F.when(F.col("__lc") == F.col("__lq"), 1).otherwise(0))
+    )
+    per_q = joined.groupBy("id_q", "__lq").agg(
+        F.sum("rel").alias("hits"),
+        F.sum(F.col("w") * F.col("rel")).alias("dcg_int"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk2"))).alias("first_rel"),
+    )
+    scored = (
+        per_q.join(F.broadcast(lab_counts), "__lq")
+        .withColumn("n_rel", F.col("__lab_n") - F.lit(1))
+        .withColumn("ideal_k", F.least(F.lit(k), F.col("n_rel")))
+        .join(
+            F.broadcast(wtab.select(F.col("rnk").alias("ideal_k"), "cumw")),
+            "ideal_k",
+            "left",
+        )
+    )
+    return scored.select(
+        F.col("id_q").alias(id_col),
+        F.col("__lq").alias(label_col),
+        F.col("n_rel").cast("long").alias("n_rel"),
+        F.col("hits").cast("long").alias("hits"),
+        F.round(
+            F.when(
+                F.col("ideal_k") > 0,
+                F.col("hits") / F.col("ideal_k").cast("double"),
+            ).otherwise(F.lit(None)),
+            9,
+        ).alias("recall_k"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("first_rel").cast("double"), F.lit(0.0)), 9
+        ).alias("mrr"),
+        F.round(
+            F.when(
+                F.col("cumw").isNotNull(),
+                F.col("dcg_int").cast("double") / F.col("cumw").cast("double"),
+            ).otherwise(F.lit(None)),
+            9,
+        ).alias("ndcg"),
+    )

@@ -6357,6 +6357,66 @@ def x139_hitk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X140 — retrieval-quality scorecard (operators/embeddings.py
+# retrieval_eval): NDCG@k / MRR / recall@k of cosine k-NN with same-label
+# ground truth. X81 composition + the driver-libm integer weight table
+# (ndcg_weights) shared verbatim with the oracle, so DCG sums are exact
+# int64 and every released double is one IEEE division.
+# --------------------------------------------------------------------------
+def _x140_sql(k: int = 10) -> str:
+    from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import ndcg_weights
+
+    wvals = ", ".join(f"({r}, {w}, {cw})" for r, w, cw in ndcg_weights(k))
+    return f"""
+    WITH wt(rnk, w, cumw) AS (VALUES {wvals}),
+    q AS (SELECT vec_id AS id_q, embedding AS qv, label AS lq
+          FROM embeddings WHERE vec_id % 100 = 0),
+    p AS (SELECT q.id_q, q.lq, e.vec_id AS id_c, e.label AS lc,
+                 ROUND({_duck_cos('e.embedding', 'q.qv')}, 6) AS cos
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.id_q),
+    r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY id_q
+                         ORDER BY cos DESC NULLS LAST, id_c) AS INTEGER) AS rnk2
+          FROM p),
+    nn AS (SELECT *, CASE WHEN lc = lq THEN 1 ELSE 0 END AS rel
+           FROM r WHERE rnk2 <= {k}),
+    pq AS (SELECT id_q, lq, SUM(rel) AS hits,
+                  SUM(wt.w * rel) AS dcg_int,
+                  MIN(CASE WHEN rel = 1 THEN rnk2 END) AS first_rel
+           FROM nn JOIN wt ON wt.rnk = nn.rnk2
+           GROUP BY 1, 2),
+    lc AS (SELECT label AS lq, COUNT(*) AS lab_n FROM embeddings GROUP BY 1),
+    s AS (SELECT pq.*, lc.lab_n - 1 AS n_rel,
+                 LEAST({k}, lc.lab_n - 1) AS ideal_k
+          FROM pq JOIN lc USING (lq))
+    SELECT s.id_q AS vec_id, s.lq AS label,
+           CAST(s.n_rel AS BIGINT) AS n_rel,
+           CAST(s.hits AS BIGINT) AS hits,
+           ROUND(CASE WHEN s.ideal_k > 0
+                      THEN s.hits / CAST(s.ideal_k AS DOUBLE) END, 9) AS recall_k,
+           ROUND(COALESCE(1.0 / CAST(s.first_rel AS DOUBLE), 0.0), 9) AS mrr,
+           ROUND(CASE WHEN iw.cumw IS NOT NULL
+                      THEN CAST(s.dcg_int AS DOUBLE) / CAST(iw.cumw AS DOUBLE)
+                 END, 9) AS ndcg
+    FROM s LEFT JOIN wt iw ON iw.rnk = s.ideal_k
+    """
+
+
+@query("x140_retrieval_eval", None)
+def x140_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 / MRR / recall@10 scorecard for every 100th vector."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import (
+        retrieval_eval,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    return retrieval_eval(emb, q, k=10, impl="sql")
+
+
+ORACLE_SQL["x140_retrieval_eval"] = _x140_sql(10)
+
+
+# --------------------------------------------------------------------------
 # X123 — path trigrams (operators/stats.py path_trigrams): top-k
 # three-step sequences off one user-keyed window pass; x72's pairwise
 # matrix can't separate paths.

@@ -122,7 +122,13 @@ def test_every_oracle_component_has_driver_signal():
 # x04_cosine_pairs_topm — the later r4 registrations debut outside and
 # rotate in next round; until then their check is the dual-SF local
 # oracle sweep.
-NEW_THIS_ROUND: set[str] = set()  # round 5: every new oracle query debuts in-window
+# Round 5: the x125-x139 debuts fill the window alongside the 34-query
+# backlog; later round-5 registrations (x140+) debut outside — every slot
+# already holds a query awaiting its first driver row — and rotate in
+# next round; until then their check is the dual-SF local oracle sweep.
+NEW_THIS_ROUND: set[str] = {
+    "x140_retrieval_eval",
+}
 
 
 def test_rotated_out_queries_were_driver_green():

@@ -329,3 +329,54 @@ def test_popularity_hitk_hand_case(spark):
     # test users: 10 (bought 7 -> hit), 12 (bought 9 -> miss)
     assert r.k == 1 and r.n_test_users == 2 and r.n_hit == 1
     assert r.hit_rate_r == 0.5
+
+
+def test_retrieval_eval_hand_case(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import (
+        ndcg_weights,
+        retrieval_eval,
+    )
+
+    # weights: integer, strictly decreasing, cumw = prefix sum
+    wt = ndcg_weights(5)
+    assert wt[0] == (1, 10**9, 10**9)
+    assert [w for _, w, _ in wt] == sorted((w for _, w, _ in wt), reverse=True)
+    assert all(wt[i][2] == wt[i - 1][2] + wt[i][1] for i in range(1, 5))
+
+    rows = [
+        (0, [1.0, 0.0], 0),     # the query
+        (1, [1.0, 0.1], 0),     # relevant, 2nd-closest
+        (2, [0.5, 1.0], 1),     # irrelevant, farthest
+        (3, [1.0, 0.05], 1),    # irrelevant, closest
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    q = emb.filter(F.col("vec_id") == 0)
+    out = retrieval_eval(emb, q, k=3, impl="sql").collect()
+    assert len(out) == 1
+    r = out[0]
+    # ranking (self excluded): id3, id1, id2 -> one relevant hit at rank 2
+    assert r.n_rel == 1 and r.hits == 1
+    assert r.recall_k == 1.0            # 1 hit / min(k, n_rel)=1
+    assert r.mrr == 0.5                 # first relevant at rank 2
+    w2 = ndcg_weights(3)[1][1]
+    assert r.ndcg == round(w2 / 1e9, 9)  # dcg=w(2), idcg=cumw(1)=w(1)=1e9
+
+
+def test_retrieval_eval_perfect_and_empty(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import (
+        retrieval_eval,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),
+        (2, [0.8, 0.2], 0),
+        (3, [0.0, 1.0], 1),   # lone label: zero relevant others
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r.vec_id: r for r in retrieval_eval(emb, emb, k=2, impl="sql").collect()}
+    # id 0: both neighbors in top-2 are its own label -> perfect retrieval
+    assert out[0].ndcg == 1.0 and out[0].recall_k == 1.0 and out[0].mrr == 1.0
+    # id 3: n_rel == 0 -> ratio metrics NULL, mrr floor 0.0
+    assert out[3].n_rel == 0
+    assert out[3].recall_k is None and out[3].ndcg is None and out[3].mrr == 0.0
