@@ -180,6 +180,7 @@ HEADLINE = [
     "x138_triangles",
     "x139_hitk",
     "x140_retrieval_eval",
+    "x141_rrf_fuse",
 ]
 
 

@@ -207,3 +207,84 @@ def bm25_topk_many(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def rrf_weights(max_rank: int, k0: int = 60) -> list[tuple[int, int]]:
+    """Integer RRF weight table for ranks 1..max_rank: ``w = round(1e12 /
+    (k0 + rank))`` (Cormack et al. 2009's constant, default 60).
+
+    Driver-built once (the x23/x124/x140 literal-table convention), shared
+    verbatim with the DuckDB oracle, so fused scores are exact int64 sums —
+    immune to float summation order across lists and partitions.
+    """
+    return [(r, round(1e12 / (k0 + r))) for r in range(1, max_rank + 1)]
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+    k0: int = 60,
+    max_rank: int = 1000,
+    topk: int | None = None,
+) -> DataFrame:
+    """X141 — reciprocal-rank fusion of N ranked lists (Cormack, Clarke &
+    Büttcher SIGIR 2009): ``score(d) = Σ_lists 1/(k0 + rank_d)`` — the
+    standard hybrid-retrieval combiner (lexical BM25 + dense ANN + priors)
+    that needs no score calibration because it consumes only ranks.
+
+    Each input is a bounded top-N list ``(id_col, rank_col)`` with ranks in
+    [1, max_rank] — candidate lists, kilobytes next to the corpus that
+    produced them, so every stage here runs on metadata-sized relations:
+    union the lists map-side, one exact-int64 weight lookup against the
+    broadcast :func:`rrf_weights` table (a rank beyond ``max_rank`` is a
+    contract violation and fails loudly rather than silently dropping),
+    ONE groupBy on the candidate union, and a TakeOrdered top-k release.
+
+    Output: ``(id_col, n_lists, best_rank, rrf_int, rrf, fused_rank)``;
+    ``rrf = rrf_int / 1e12`` is one IEEE division (x51 convention).
+    """
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    if k0 < 1:
+        raise ValueError(f"k0 must be >= 1, got {k0}")
+    spark = rankings[0].sparkSession
+    wtab = spark.createDataFrame(rrf_weights(max_rank, k0), "rnk int, w long")
+
+    parts = [r.select(F.col(id_col), F.col(rank_col).cast("int").alias("__r")) for r in rankings]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    looked = u.join(F.broadcast(wtab), u["__r"] == wtab["rnk"], "left").select(
+        F.col(id_col),
+        F.col("__r"),
+        F.when(
+            F.col("w").isNotNull(), F.col("w")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"rrf_fuse: rank beyond max_rank={max_rank}: "),
+                    F.col("__r").cast("string"),
+                )
+            )
+        ).alias("__w"),
+    )
+    fused = looked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lists"),
+        F.min("__r").alias("best_rank"),
+        F.sum("__w").alias("rrf_int"),
+    )
+    out = fused.select(
+        id_col,
+        "n_lists",
+        "best_rank",
+        "rrf_int",
+        F.round(F.col("rrf_int").cast("double") / F.lit(1e12), 9).alias("rrf"),
+    )
+    w_rank = Window.orderBy(F.desc("rrf_int"), F.col(id_col))
+    out = out.withColumn("fused_rank", F.row_number().over(w_rank))
+    if topk is not None:
+        out = out.filter(F.col("fused_rank") <= topk)
+    return out

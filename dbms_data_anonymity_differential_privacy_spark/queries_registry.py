@@ -6417,6 +6417,72 @@ ORACLE_SQL["x140_retrieval_eval"] = _x140_sql(10)
 
 
 # --------------------------------------------------------------------------
+# X141 — reciprocal-rank fusion (operators/search.py rrf_fuse): hybrid
+# retrieval combiner over bounded candidate lists — BM25 top-100 fused
+# with a document-length prior top-100. Exact int64 weight sums via the
+# driver-built rrf_weights table (shared verbatim with the oracle); all
+# stages run on candidate-list-sized relations.
+# --------------------------------------------------------------------------
+def _x141_sql(n: int = 100, k0: int = 60, topk: int = 25) -> str:
+    from dbms_data_anonymity_differential_privacy_spark.operators.search import rrf_weights
+
+    wvals = ", ".join(f"({r}, {w})" for r, w in rrf_weights(n, k0))
+    bm25 = _bm25_oracle_sql(_BM25_TERMS, k=n, k1=1.2, b=0.75)
+    return f"""
+    WITH wt(rnk, w) AS (VALUES {wvals}),
+    la AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                               AS INTEGER) AS r
+           FROM ({bm25})),
+    lb AS (SELECT doc_id, r FROM (
+             SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)
+                                 AS INTEGER) AS r
+             FROM documents) WHERE r <= {n}),
+    u AS (SELECT * FROM la UNION ALL SELECT * FROM lb),
+    g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+                 CAST(MIN(r) AS INTEGER) AS best_rank,
+                 CAST(SUM(wt.w) AS BIGINT) AS rrf_int
+          FROM u JOIN wt ON wt.rnk = u.r
+          GROUP BY 1),
+    f AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rrf_int DESC, doc_id)
+                         AS INTEGER) AS fused_rank
+          FROM g)
+    SELECT doc_id, n_lists, best_rank, rrf_int,
+           ROUND(CAST(rrf_int AS DOUBLE) / 1e12, 9) AS rrf, fused_rank
+    FROM f WHERE fused_rank <= {topk}
+    """
+
+
+@query("x141_rrf_fuse", None)
+def x141_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF of BM25 top-100 and the length-prior top-100, top-25 release."""
+    from pyspark.sql import Window
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.search import (
+        bm25_topk,
+        rrf_fuse,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = bm25_topk(docs, _BM25_TERMS, k=100)
+    a = a.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.desc("score"), F.col("doc_id"))),
+    ).select("doc_id", "rnk")
+    # TakeOrdered first (distributed partial top-k), THEN rank the 100-row
+    # result — never a global-order window over the whole corpus.
+    b = docs.select("doc_id", "n_chars").orderBy(F.desc("n_chars"), "doc_id").limit(100)
+    b = b.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.desc("n_chars"), F.col("doc_id"))),
+    ).select("doc_id", "rnk")
+    out = rrf_fuse([a, b], k0=60, max_rank=100, topk=25)
+    return out.withColumn("n_lists", F.col("n_lists").cast("long"))
+
+
+ORACLE_SQL["x141_rrf_fuse"] = _x141_sql(100, 60, 25)
+
+
+# --------------------------------------------------------------------------
 # X123 — path trigrams (operators/stats.py path_trigrams): top-k
 # three-step sequences off one user-keyed window pass; x72's pairwise
 # matrix can't separate paths.

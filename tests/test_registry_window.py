@@ -128,6 +128,7 @@ def test_every_oracle_component_has_driver_signal():
 # next round; until then their check is the dual-SF local oracle sweep.
 NEW_THIS_ROUND: set[str] = {
     "x140_retrieval_eval",
+    "x141_rrf_fuse",
 }
 
 

@@ -380,3 +380,30 @@ def test_retrieval_eval_perfect_and_empty(spark):
     # id 3: n_rel == 0 -> ratio metrics NULL, mrr floor 0.0
     assert out[3].n_rel == 0
     assert out[3].recall_k is None and out[3].ndcg is None and out[3].mrr == 0.0
+
+
+def test_rrf_fuse_hand_case(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.search import rrf_fuse, rrf_weights
+
+    wt = dict(rrf_weights(5, k0=60))
+    a = spark.createDataFrame([(10, 1), (11, 2), (12, 3)], ["doc_id", "rnk"])
+    b = spark.createDataFrame([(11, 1), (13, 2)], ["doc_id", "rnk"])
+    out = {r.doc_id: r for r in rrf_fuse([a, b], max_rank=5).collect()}
+    # doc 11 appears in both lists -> highest fused score
+    assert out[11].n_lists == 2 and out[11].best_rank == 1
+    assert out[11].rrf_int == wt[2] + wt[1]
+    assert out[11].fused_rank == 1
+    # single-list docs score exactly their one weight
+    assert out[10].rrf_int == wt[1] and out[13].rrf_int == wt[2]
+    assert out[12].rrf_int == wt[3]
+    # rank 1 in one list beats rank 2 in one list
+    assert out[10].fused_rank < out[13].fused_rank
+    assert out[11].rrf == round((wt[2] + wt[1]) / 1e12, 9)
+
+
+def test_rrf_fuse_rank_overflow_fails_loudly(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.search import rrf_fuse
+
+    a = spark.createDataFrame([(10, 7)], ["doc_id", "rnk"])
+    with pytest.raises(Exception, match="max_rank"):
+        rrf_fuse([a], max_rank=5).collect()
