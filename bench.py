@@ -181,6 +181,7 @@ HEADLINE = [
     "x139_hitk",
     "x140_retrieval_eval",
     "x141_rrf_fuse",
+    "x142_acf",
 ]
 
 

@@ -1442,3 +1442,81 @@ def decile_lift(
         )
         .orderBy("decile")
     )
+
+
+def acf(
+    events: DataFrame,
+    max_lag: int = 24,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """X142 — exact autocorrelation function of the hourly event-rate
+    series at lags 1..max_lag: the time-series diagnostic behind
+    seasonality detection (a spike at lag 24 = daily cycle), anomaly-
+    window sizing (x87) and forecasting-model selection (Box & Jenkins).
+
+    Exactness by construction: the series is INTEGER hourly counts on a
+    DENSE epoch-hour spine (gaps count 0 — silence is data, the x52
+    argument), and the full-mean ACF estimator is cleared of divisions by
+    multiplying through by n²:
+
+        r_k = (n²·P_k − n·S·(A_k+B_k) + (n−k)·S²) / (n²·Q − n·S²)
+
+    with P_k = Σ c_t·c_{t−k}, A/B the lagged margin sums, S = Σc,
+    Q = Σc² — every term an exact DECIMAL(38,0) integer (the x109
+    overflow-proof convention; int64 dies around S²·n ~ 9e18), so
+    partial-agg merge order can never change a bit, and the release is
+    ONE IEEE division. NULL when the series is constant (zero variance).
+
+    Shape: one fact aggregation into hourly counts; the dense spine,
+    the (lag × bucket) self-join (≤ max_lag·n_buckets rows — the span
+    relation, kilobytes next to the fact table) and the per-lag rollup
+    all run on the buckets-sized relation. Fact rows shuffle once.
+
+    Output: ``(lag, n_pairs, acf_r)`` for lags 1..max_lag.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    DEC = "decimal(38,0)"
+    spark = events.sparkSession
+
+    hour = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(3600)).alias("t")
+    counts = events.groupBy(hour).agg(F.count(F.lit(1)).alias("c"))
+    bounds = counts.agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("t"))
+    dense = spine.join(counts, "t", "left").select(
+        "t", F.coalesce("c", F.lit(0)).alias("c")
+    )
+
+    lags = spark.range(1, max_lag + 1).select(F.col("id").cast("int").alias("lag"))
+    cur = dense.crossJoin(F.broadcast(lags))
+    prev = dense.select(F.col("t").alias("__tp"), F.col("c").alias("__cp"))
+    pairs = cur.join(prev, cur["t"] - cur["lag"] == prev["__tp"])
+    per_lag = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("c") * F.col("__cp")).cast(DEC)).alias("P"),
+        F.sum(F.col("c").cast(DEC)).alias("A"),
+        F.sum(F.col("__cp").cast(DEC)).alias("B"),
+    )
+    totals = dense.agg(
+        F.count(F.lit(1)).cast(DEC).alias("n"),
+        F.sum(F.col("c").cast(DEC)).alias("S"),
+        F.sum((F.col("c") * F.col("c")).cast(DEC)).alias("Q"),
+    )
+    j = per_lag.crossJoin(F.broadcast(totals))
+    n, S, Q = F.col("n"), F.col("S"), F.col("Q")
+    num = (
+        n * n * F.col("P")
+        - n * S * (F.col("A") + F.col("B"))
+        + (n - F.col("lag").cast(DEC)) * S * S
+    )
+    den = n * n * Q - n * S * S
+    return (
+        j.select(
+            "lag",
+            "n_pairs",
+            F.round(
+                F.when(den > 0, num.cast("double") / den.cast("double")), ROUND_DP
+            ).alias("acf_r"),
+        )
+        .orderBy("lag")
+    )

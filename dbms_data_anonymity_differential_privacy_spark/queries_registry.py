@@ -6483,6 +6483,46 @@ ORACLE_SQL["x141_rrf_fuse"] = _x141_sql(100, 60, 25)
 
 
 # --------------------------------------------------------------------------
+# X142 — autocorrelation function (operators/stats.py acf): exact ACF of
+# the hourly rate series on a dense spine; n²-cleared estimator in
+# DECIMAL(38,0)/HUGEINT, one IEEE division per lag. Everything after the
+# single fact aggregation runs on the buckets-sized relation.
+# --------------------------------------------------------------------------
+@query(
+    "x142_acf",
+    """
+    WITH e AS (SELECT date_diff('second', TIMESTAMP '1970-01-01', ts) // 3600 AS t
+               FROM events),
+    cnt AS (SELECT t, COUNT(*) AS c FROM e GROUP BY 1),
+    b AS (SELECT MIN(t) AS lo, MAX(t) AS hi FROM cnt),
+    sp AS (SELECT unnest(generate_series(lo, hi)) AS t FROM b),
+    d AS (SELECT sp.t, COALESCE(cnt.c, 0) AS c FROM sp LEFT JOIN cnt USING (t)),
+    tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(c) AS HUGEINT) AS S,
+                   CAST(SUM(c*c) AS HUGEINT) AS Q
+            FROM d),
+    lg AS (SELECT unnest(generate_series(1, 24)) AS lag),
+    p AS (SELECT lg.lag AS lag, COUNT(*) AS n_pairs,
+                 CAST(SUM(d1.c * d2.c) AS HUGEINT) AS pk,
+                 CAST(SUM(d1.c) AS HUGEINT) AS ak,
+                 CAST(SUM(d2.c) AS HUGEINT) AS bk
+          FROM lg CROSS JOIN d d1 JOIN d d2 ON d2.t = d1.t - lg.lag
+          GROUP BY 1)
+    SELECT CAST(p.lag AS INTEGER) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+           ROUND(CASE WHEN (n*n*Q - n*S*S) > 0 THEN
+                   CAST(n*n*pk - n*S*(ak+bk) + (n - p.lag)*S*S AS DOUBLE)
+                   / CAST(n*n*Q - n*S*S AS DOUBLE) END, 9) AS acf_r
+    FROM p CROSS JOIN tot
+    """,
+)
+def x142_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF of the hourly event rate at lags 1..24."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import acf
+
+    ev = load_table(spark, sf_dir, "events")
+    return acf(ev, max_lag=24)
+
+
+# --------------------------------------------------------------------------
 # X123 — path trigrams (operators/stats.py path_trigrams): top-k
 # three-step sequences off one user-keyed window pass; x72's pairwise
 # matrix can't separate paths.

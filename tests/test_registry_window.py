@@ -129,6 +129,7 @@ def test_every_oracle_component_has_driver_signal():
 NEW_THIS_ROUND: set[str] = {
     "x140_retrieval_eval",
     "x141_rrf_fuse",
+    "x142_acf",
 }
 
 

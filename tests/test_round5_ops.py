@@ -407,3 +407,60 @@ def test_rrf_fuse_rank_overflow_fails_loudly(spark):
     a = spark.createDataFrame([(10, 7)], ["doc_id", "rnk"])
     with pytest.raises(Exception, match="max_rank"):
         rrf_fuse([a], max_rank=5).collect()
+
+
+def _acf_events(spark, counts):
+    """Events realizing the given hourly count series starting 2024-01-01."""
+    import datetime
+
+    rows = []
+    eid = 0
+    for h, c in enumerate(counts):
+        t = datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=h)
+        for _ in range(c):
+            rows.append((eid, t))
+            eid += 1
+    return spark.createDataFrame(rows, "event_id long, ts timestamp")
+
+
+def test_acf_matches_numpy_full_mean_estimator(spark):
+    import numpy as np
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import acf
+
+    counts = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+    out = {r.lag: r for r in acf(_acf_events(spark, counts), max_lag=4).collect()}
+    x = np.array(counts, dtype=float)
+    xc = x - x.mean()
+    den = (xc * xc).sum()
+    for k in range(1, 5):
+        expect = (xc[k:] * xc[:-k]).sum() / den
+        assert out[k].n_pairs == len(counts) - k
+        assert abs(out[k].acf_r - expect) < 1e-9
+
+
+def test_acf_periodic_series_peaks_at_period(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import acf
+
+    counts = [10, 2, 5, 10, 2, 5, 10, 2, 5, 10, 2, 5]  # period 3
+    out = {r.lag: r.acf_r for r in acf(_acf_events(spark, counts), max_lag=4).collect()}
+    assert out[3] > out[1] and out[3] > out[2] and out[3] > out[4]
+    assert out[3] > 0.7
+
+
+def test_acf_gaps_zero_filled_and_constant_null(spark):
+    import datetime
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import acf
+
+    # hours 0 and 3 observed, 1-2 silent -> dense spine has 4 buckets
+    t0 = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, t0), (2, t0 + datetime.timedelta(hours=3))], "event_id long, ts timestamp"
+    )
+    out = {r.lag: r for r in acf(ev, max_lag=2).collect()}
+    assert out[1].n_pairs == 3 and out[2].n_pairs == 2
+
+    # constant series -> zero variance -> NULL acf
+    ev2 = _acf_events(spark, [2, 2, 2, 2])
+    assert all(r.acf_r is None for r in acf(ev2, max_lag=2).collect())
