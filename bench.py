@@ -182,6 +182,7 @@ HEADLINE = [
     "x140_retrieval_eval",
     "x141_rrf_fuse",
     "x142_acf",
+    "x143_mann_kendall",
 ]
 
 

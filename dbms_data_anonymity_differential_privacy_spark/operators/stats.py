@@ -1520,3 +1520,119 @@ def acf(
         )
         .orderBy("lag")
     )
+
+
+def mann_kendall(
+    events: DataFrame,
+    ts_col: str = "ts",
+    alpha_z: float = 1.96,
+) -> DataFrame:
+    """X143 — Mann-Kendall trend test + Sen's slope on the daily
+    event-rate series: the standard nonparametric "is this metric
+    drifting?" monitor (Mann 1945, Kendall 1975; Sen 1968 slope) —
+    monotone-trend detection with no normality assumption, robust to
+    outliers where the OLS fit (x63) is not.
+
+    The series is INTEGER daily counts on a dense zero-filled epoch-day
+    spine (x142's spine; silence is data). All-pairs statistics run on
+    the buckets-sized relation — n days → n(n−1)/2 pairs, kilobytes —
+    never on fact rows, which shuffle exactly once into the day counts:
+
+    - ``S = Σ_{i<j} sign(c_j − c_i)`` — exact int64;
+    - tie-corrected ``18·Var(S) = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)``
+      kept ×18 as an exact integer; z then costs one exact-int/18
+      division, one IEEE sqrt, one more division (all correctly-rounded
+      IEEE ops, bit-identical cross-engine);
+    - Sen's slope = the exact median of pairwise slopes, each slope ONE
+      integer division to double; even-count median = one add + one
+      halving (deterministic), the x115 exact-median discipline.
+
+    Output (single row): ``(n_periods, n_pairs, s_stat, var18, z_r,
+    sen_slope_r, trend)`` with trend ∈ {increasing, decreasing,
+    no_trend} at ``alpha_z`` (default two-sided 5%).
+    """
+    from pyspark.sql import Window
+
+    day = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(86400)).alias("t")
+    counts = events.groupBy(day).agg(F.count(F.lit(1)).alias("c"))
+    bounds = counts.agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("t"))
+    dense = spine.join(counts, "t", "left").select(
+        "t", F.coalesce("c", F.lit(0)).alias("c")
+    )
+
+    a = dense.select(F.col("t").alias("t1"), F.col("c").alias("c1"))
+    b = dense.select(F.col("t").alias("t2"), F.col("c").alias("c2"))
+    pairs = a.join(b, F.col("t2") > F.col("t1")).select(
+        F.signum((F.col("c2") - F.col("c1")).cast("double")).cast("long").alias("sgn"),
+        (
+            (F.col("c2") - F.col("c1")).cast("double")
+            / (F.col("t2") - F.col("t1")).cast("double")
+        ).alias("slope"),
+    )
+
+    w_ord = Window.orderBy("slope")
+    ranked = pairs.withColumn("rk", F.row_number().over(w_ord))
+    med = (
+        ranked.crossJoin(
+            F.broadcast(pairs.agg(F.count(F.lit(1)).alias("m")))
+        )
+        .filter(
+            (F.col("rk") == F.floor((F.col("m") + 1) / 2))
+            | (F.col("rk") == F.floor(F.col("m") / 2) + 1)
+        )
+        .agg(
+            (F.sum("slope") / F.count(F.lit(1)).cast("double")).alias("sen_slope")
+        )
+    )
+
+    s_tot = pairs.agg(
+        F.sum("sgn").alias("s_stat"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    nrow = dense.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        dense.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("tg"))
+        .filter(F.col("tg") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("tg") * (F.col("tg") - 1) * (2 * F.col("tg") + 5)),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+
+    j = (
+        s_tot.crossJoin(F.broadcast(nrow))
+        .crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(med))
+    )
+    n = F.col("n")
+    var18 = (n * (n - 1) * (2 * n + 5) - F.col("tie_term")).alias("var18")
+    var_d = F.col("var18").cast("double") / F.lit(18.0)
+    z = F.when(F.col("var18") <= 0, F.lit(None)).otherwise(
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double") / F.sqrt(var_d))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double") / F.sqrt(var_d))
+        .otherwise(F.lit(0.0))
+    )
+    staged = j.select(
+        n.alias("n_periods"),
+        "n_pairs",
+        "s_stat",
+        var18,
+        "sen_slope",
+    ).select(
+        "n_periods",
+        "n_pairs",
+        "s_stat",
+        "var18",
+        F.round(z, ROUND_DP).alias("z_r"),
+        F.round(F.col("sen_slope"), ROUND_DP).alias("sen_slope_r"),
+    )
+    return staged.withColumn(
+        "trend",
+        F.when(F.col("z_r").isNull(), F.lit("no_trend"))
+        .when(F.col("z_r") >= F.lit(alpha_z), F.lit("increasing"))
+        .when(F.col("z_r") <= F.lit(-alpha_z), F.lit("decreasing"))
+        .otherwise(F.lit("no_trend")),
+    )

@@ -6523,6 +6523,59 @@ def x142_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X143 — Mann-Kendall trend + Sen's slope (operators/stats.py
+# mann_kendall): nonparametric drift test on the daily rate series; all
+# pairwise statistics on the buckets relation, exact-integer S and
+# tie-corrected 18·Var(S), exact pairwise-slope median.
+# --------------------------------------------------------------------------
+@query(
+    "x143_mann_kendall",
+    """
+    WITH e AS (SELECT date_diff('second', TIMESTAMP '1970-01-01', ts) // 86400 AS t
+               FROM events),
+    cnt AS (SELECT t, COUNT(*) AS c FROM e GROUP BY 1),
+    b AS (SELECT MIN(t) AS lo, MAX(t) AS hi FROM cnt),
+    sp AS (SELECT unnest(generate_series(lo, hi)) AS t FROM b),
+    d AS (SELECT sp.t, COALESCE(cnt.c, 0) AS c FROM sp LEFT JOIN cnt USING (t)),
+    pr AS (SELECT CAST(SIGN(d2.c - d1.c) AS BIGINT) AS sgn,
+                  CAST(d2.c - d1.c AS DOUBLE) / CAST(d2.t - d1.t AS DOUBLE) AS slope
+           FROM d d1 JOIN d d2 ON d2.t > d1.t),
+    rk AS (SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rk FROM pr),
+    m AS (SELECT COUNT(*) AS m FROM pr),
+    med AS (SELECT SUM(slope) / COUNT(*) AS sen FROM rk CROSS JOIN m
+            WHERE rk = (m + 1) // 2 OR rk = m // 2 + 1),
+    st AS (SELECT CAST(SUM(sgn) AS BIGINT) AS s_stat,
+                  CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pr),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    ti AS (SELECT CAST(COALESCE(SUM(tg*(tg-1)*(2*tg+5)), 0) AS BIGINT) AS tie_term
+           FROM (SELECT COUNT(*) AS tg FROM d GROUP BY c) WHERE tg > 1),
+    v AS (SELECT n*(n-1)*(2*n+5) - tie_term AS var18 FROM nn CROSS JOIN ti),
+    z AS (SELECT ROUND(CASE WHEN v.var18 <= 0 THEN NULL
+                   WHEN st.s_stat > 0 THEN CAST(st.s_stat - 1 AS DOUBLE)
+                        / sqrt(CAST(v.var18 AS DOUBLE) / 18.0)
+                   WHEN st.s_stat < 0 THEN CAST(st.s_stat + 1 AS DOUBLE)
+                        / sqrt(CAST(v.var18 AS DOUBLE) / 18.0)
+                   ELSE 0.0 END, 9) AS z_r
+          FROM st CROSS JOIN v)
+    SELECT nn.n AS n_periods, st.n_pairs, st.s_stat,
+           CAST(v.var18 AS BIGINT) AS var18, z.z_r,
+           ROUND(med.sen, 9) AS sen_slope_r,
+           CASE WHEN z.z_r IS NULL THEN 'no_trend'
+                WHEN z.z_r >= 1.96 THEN 'increasing'
+                WHEN z.z_r <= -1.96 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM nn CROSS JOIN st CROSS JOIN v CROSS JOIN med CROSS JOIN z
+    """,
+)
+def x143_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend verdict + Sen's slope on the daily rate."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import mann_kendall
+
+    ev = load_table(spark, sf_dir, "events")
+    return mann_kendall(ev)
+
+
+# --------------------------------------------------------------------------
 # X123 — path trigrams (operators/stats.py path_trigrams): top-k
 # three-step sequences off one user-keyed window pass; x72's pairwise
 # matrix can't separate paths.

@@ -130,6 +130,7 @@ NEW_THIS_ROUND: set[str] = {
     "x140_retrieval_eval",
     "x141_rrf_fuse",
     "x142_acf",
+    "x143_mann_kendall",
 }
 
 

@@ -464,3 +464,60 @@ def test_acf_gaps_zero_filled_and_constant_null(spark):
     # constant series -> zero variance -> NULL acf
     ev2 = _acf_events(spark, [2, 2, 2, 2])
     assert all(r.acf_r is None for r in acf(ev2, max_lag=2).collect())
+
+
+def _daily_events(spark, counts):
+    import datetime
+
+    rows, eid = [], 0
+    for d, c in enumerate(counts):
+        t = datetime.datetime(2024, 1, 1, 12) + datetime.timedelta(days=d)
+        for _ in range(c):
+            rows.append((eid, t))
+            eid += 1
+    return spark.createDataFrame(rows, "event_id long, ts timestamp")
+
+
+def test_mann_kendall_monotone_series(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import mann_kendall
+
+    # strictly increasing: S = n(n-1)/2, Sen slope = exact median of slopes
+    counts = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
+    r = mann_kendall(_daily_events(spark, counts)).collect()[0]
+    n = len(counts)
+    assert r.n_periods == n and r.n_pairs == n * (n - 1) // 2
+    assert r.s_stat == n * (n - 1) // 2
+    assert r.var18 == n * (n - 1) * (2 * n + 5)  # no ties
+    assert r.sen_slope_r == 1.0
+    assert r.trend == "increasing" and r.z_r > 1.96
+
+
+def test_mann_kendall_matches_textbook_hand_case(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import mann_kendall
+
+    counts = [4, 2, 4, 7, 5]
+    r = mann_kendall(_daily_events(spark, counts)).collect()[0]
+    # hand S: pairs (4,2)-1 (4,4)0 (4,7)+1 (4,5)+1 (2,4)+1 (2,7)+1 (2,5)+1
+    #         (4,7)+1 (4,5)+1 (7,5)-1  => S = 5
+    assert r.s_stat == 5 and r.n_pairs == 10
+    # ties: value 4 appears twice -> tie_term = 2*1*9 = 18
+    n = 5
+    assert r.var18 == n * (n - 1) * (2 * n + 5) - 18
+    # sen: median of 10 pairwise slopes, hand-sorted
+    slopes = sorted(
+        (b - a) / (j - i)
+        for i, a in enumerate(counts)
+        for j, b in enumerate(counts)
+        if j > i
+    )
+    expect = (slopes[4] + slopes[5]) / 2
+    assert abs(r.sen_slope_r - expect) < 1e-9
+    assert r.trend == "no_trend"
+
+
+def test_mann_kendall_constant_series_null_z(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import mann_kendall
+
+    r = mann_kendall(_daily_events(spark, [3, 3, 3, 3])).collect()[0]
+    assert r.s_stat == 0 and r.var18 == 0
+    assert r.z_r is None and r.trend == "no_trend"
