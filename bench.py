@@ -183,6 +183,7 @@ HEADLINE = [
     "x141_rrf_fuse",
     "x142_acf",
     "x143_mann_kendall",
+    "x144_target_encode",
 ]
 
 

@@ -6576,6 +6576,41 @@ def x143_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X144 — smoothed target encoding (operators/features.py target_encode):
+# Micci-Barreca shrunk category rates; inner division cleared by N so
+# numerator/denominator are exact DECIMAL/HUGEINT integers and each
+# category releases ONE IEEE division. One fact groupBy, scalars ride a
+# broadcast cross join.
+# --------------------------------------------------------------------------
+@query(
+    "x144_target_encode",
+    """
+    WITH pc AS (SELECT o_orderpriority, COUNT(*) AS n,
+                       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS hits
+                FROM orders GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nn,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                        AS HUGEINT) AS hh
+            FROM orders)
+    SELECT o_orderpriority, CAST(pc.n AS BIGINT) AS n,
+           CAST(pc.hits AS BIGINT) AS hits,
+           ROUND(CASE WHEN (CAST(pc.n AS HUGEINT) + 20) * nn > 0 THEN
+                   CAST(CAST(pc.hits AS HUGEINT) * nn + 20 * hh AS DOUBLE)
+                   / CAST((CAST(pc.n AS HUGEINT) + 20) * nn AS DOUBLE) END, 9) AS enc_r
+    FROM pc CROSS JOIN tot
+    """,
+)
+def x144_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed 'order fully shipped' rate per priority class, m=20."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.features import target_encode
+
+    o = load_table(spark, sf_dir, "orders")
+    return target_encode(
+        o, "o_orderpriority", (F.col("o_orderstatus") == "F").cast("int"), m=20
+    )
+
+
+# --------------------------------------------------------------------------
 # X123 — path trigrams (operators/stats.py path_trigrams): top-k
 # three-step sequences off one user-keyed window pass; x72's pairwise
 # matrix can't separate paths.

@@ -131,6 +131,7 @@ NEW_THIS_ROUND: set[str] = {
     "x141_rrf_fuse",
     "x142_acf",
     "x143_mann_kendall",
+    "x144_target_encode",
 }
 
 

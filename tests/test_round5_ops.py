@@ -521,3 +521,25 @@ def test_mann_kendall_constant_series_null_z(spark):
     r = mann_kendall(_daily_events(spark, [3, 3, 3, 3])).collect()[0]
     assert r.s_stat == 0 and r.var18 == 0
     assert r.z_r is None and r.trend == "no_trend"
+
+
+def test_target_encode_shrinks_toward_prior(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.features import target_encode
+
+    rows = (
+        [("big", 1)] * 80 + [("big", 0)] * 20      # big: rate 0.8, n=100
+        + [("rare", 1)] * 1 + [("rare", 0)] * 1    # rare: rate 0.5, n=2
+    )
+    df = spark.createDataFrame(rows, ["cat", "y"])
+    out = {r.cat: r for r in target_encode(df, "cat", F.col("y"), m=10).collect()}
+    prior = 81 / 102
+    # exact closed form: (hits + m*prior) / (n + m)
+    assert abs(out["big"].enc_r - (80 + 10 * prior) / 110) < 1e-9
+    assert abs(out["rare"].enc_r - (1 + 10 * prior) / 12) < 1e-9
+    # shrinkage direction: big stays near 0.8, rare pulled toward prior
+    assert abs(out["rare"].enc_r - prior) < abs(0.5 - prior)
+    assert out["big"].n == 100 and out["big"].hits == 80
+
+    # m=0 degenerates to the plain category rate
+    out0 = {r.cat: r for r in target_encode(df, "cat", F.col("y"), m=0).collect()}
+    assert out0["big"].enc_r == 0.8 and out0["rare"].enc_r == 0.5
