@@ -184,6 +184,7 @@ HEADLINE = [
     "x142_acf",
     "x143_mann_kendall",
     "x144_target_encode",
+    "x145_jsd_sources",
 ]
 
 

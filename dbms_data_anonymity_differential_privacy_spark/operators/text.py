@@ -352,3 +352,136 @@ def oov_rate(
             9,
         ).alias("oov_rate_r"),
     )
+
+
+def jsd_divergence(
+    df: DataFrame,
+    source_a: str,
+    source_b: str,
+    top_k: int = 300,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """X145 — Jensen-Shannon divergence between two sources' word
+    distributions over a shared top-``top_k`` vocabulary (+ an OTHER
+    bucket, so both distributions stay complete): the bounded, symmetric
+    corpus-drift measure — 0 = identical, ln 2 = disjoint — that
+    complements PSI (x67, binned scalar drift) and the overlap matrix
+    (x113, shingle containment) with a proper distributional distance,
+    the quantity mixture tuning and domain-shift monitors report (Lin
+    1991; the pretraining-data-analysis standard).
+
+    Exactness: vocabulary selection is (total count desc, token asc) —
+    deterministic cross-engine; per-word probabilities never materialize.
+    Each KL term is ``(a_w/A)*ln(2u/(u+v))`` with ``u = a_w*B,
+    v = b_w*A`` exact int64 products — the ln args are ratios of exact
+    integers, evaluated ONCE per distinct (u, v) pair by driver-side
+    C-libm ``math.log`` and broadcast back (the x23/x128 idiom; DuckDB's
+    ``ln`` binds the same libm, JVM ``Math.log`` never runs). Term sums
+    are sorted left folds (x128), so float addition order is pinned.
+
+    Shape: ONE (source, token) word-count shuffle restricted to the two
+    sources; everything after runs on the (top_k+1)-row vector relation.
+    The collected log-table is bounded by ``top_k + 1`` rows.
+
+    Output (single row): ``(n_terms, a_total, b_total, jsd_r,
+    jsd_norm_r)`` — ``jsd_norm = jsd / ln 2`` in [0, 1].
+    """
+    import math
+
+    spark = df.sparkSession
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), WS), lambda t: t != "")
+    two = df.filter(F.col(source_col).isin([source_a, source_b]))
+    wc = (
+        fan_out(two)
+        .select(F.col(source_col).alias("__s"), F.explode(toks).alias("tok"))
+        .groupBy("__s", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    a_cnt = F.sum(F.when(F.col("__s") == source_a, F.col("cnt")).otherwise(0))
+    b_cnt = F.sum(F.when(F.col("__s") == source_b, F.col("cnt")).otherwise(0))
+    per_tok = wc.groupBy("tok").agg(
+        a_cnt.alias("a"), b_cnt.alias("b"), (a_cnt + b_cnt).alias("t")
+    )
+    vocab = per_tok.orderBy(F.desc("t"), "tok").limit(int(top_k))
+    tot = per_tok.agg(F.sum("a").alias("A"), F.sum("b").alias("B"))
+    vsum = vocab.agg(
+        F.coalesce(F.sum("a"), F.lit(0)).alias("va"),
+        F.coalesce(F.sum("b"), F.lit(0)).alias("vb"),
+    )
+    other = (
+        tot.crossJoin(F.broadcast(vsum))
+        .select(
+            F.lit(" <other>").alias("tok"),
+            (F.col("A") - F.col("va")).alias("a"),
+            (F.col("B") - F.col("vb")).alias("b"),
+        )
+    )
+    vec = vocab.select("tok", "a", "b").unionByName(other).persist()
+
+    # exact int cross-products; ln args evaluated once per distinct pair
+    # by driver libm and broadcast back
+    totals = tot.collect()[0]
+    A, B = int(totals["A"]), int(totals["B"])
+    if A == 0 or B == 0:
+        raise ValueError("both sources must contain at least one token")
+    uv = [
+        (int(r["a"]) * B, int(r["b"]) * A)
+        for r in vec.select("a", "b").distinct().collect()
+    ]
+    ln_rows = [
+        (
+            u,
+            v,
+            math.log(2.0 * u / (u + v)) if u > 0 else None,
+            math.log(2.0 * v / (u + v)) if v > 0 else None,
+        )
+        for u, v in uv
+        if u + v > 0
+    ]
+    ln_tab = spark.createDataFrame(ln_rows, "u long, v long, lnp double, lnq double")
+
+    terms = (
+        vec.select(
+            "tok",
+            (F.col("a") * F.lit(B)).alias("u"),
+            (F.col("b") * F.lit(A)).alias("v"),
+            F.col("a"),
+            F.col("b"),
+        )
+        .join(F.broadcast(ln_tab), ["u", "v"], "left")
+        .select(
+            F.when(
+                F.col("lnp").isNotNull(),
+                (F.col("a").cast("double") / F.lit(float(A))) * F.col("lnp"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pt"),
+            F.when(
+                F.col("lnq").isNotNull(),
+                (F.col("b").cast("double") / F.lit(float(B))) * F.col("lnq"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("qt"),
+        )
+    )
+
+    def fold(expr: str) -> "F.Column":
+        return F.expr(
+            f"aggregate(array_sort(collect_list({expr})), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+
+    s = terms.agg(
+        F.count(F.lit(1)).alias("n"), fold("pt").alias("sp"), fold("qt").alias("sq")
+    )
+    jsd = F.lit(0.5) * (F.col("sp") + F.col("sq"))
+    ln2 = F.lit(math.log(2.0))
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.lit(A).cast("long").alias("a_total"),
+        F.lit(B).cast("long").alias("b_total"),
+        F.round(jsd, 9).alias("jsd_r"),
+        F.round(jsd / ln2, 9).alias("jsd_norm_r"),
+    )

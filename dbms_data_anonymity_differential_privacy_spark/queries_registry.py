@@ -6611,6 +6611,64 @@ def x144_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X145 — Jensen-Shannon divergence between sources (operators/text.py
+# jsd_divergence): bounded symmetric corpus-drift distance over the
+# shared top-k vocabulary + OTHER bucket. ln args are ratios of exact
+# int64 cross-products evaluated by libm (driver math.log on the Spark
+# side, DuckDB ln here — the same C library); sorted-fold term sums.
+# --------------------------------------------------------------------------
+@query(
+    "x145_jsd_sources",
+    """
+    WITH two AS (SELECT source AS s,
+                        list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                    w -> w <> '') AS toks
+                 FROM documents WHERE source IN ('src0', 'src1')),
+    tk AS (SELECT s, unnest(toks) AS tok FROM two),
+    wc AS (SELECT tok,
+                  SUM(CASE WHEN s = 'src0' THEN 1 ELSE 0 END) AS a,
+                  SUM(CASE WHEN s = 'src1' THEN 1 ELSE 0 END) AS b
+           FROM tk GROUP BY 1),
+    vocab AS (SELECT tok, a, b FROM wc ORDER BY (a + b) DESC, tok LIMIT 300),
+    tot AS (SELECT CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb
+            FROM wc),
+    vs AS (SELECT CAST(COALESCE(SUM(a), 0) AS BIGINT) AS va,
+                  CAST(COALESCE(SUM(b), 0) AS BIGINT) AS vb FROM vocab),
+    vec AS (SELECT tok, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b FROM vocab
+            UNION ALL
+            SELECT ' <other>', tot.ta - vs.va, tot.tb - vs.vb
+            FROM tot CROSS JOIN vs),
+    t2 AS (SELECT vec.a, vec.b, vec.a * tot.tb AS u, vec.b * tot.ta AS v,
+                  tot.ta, tot.tb
+           FROM vec CROSS JOIN tot),
+    terms AS (SELECT
+        CASE WHEN u > 0 THEN (CAST(a AS DOUBLE) / CAST(ta AS DOUBLE))
+                             * ln(CAST(2.0 AS DOUBLE) * u / (u + v))
+             ELSE 0.0 END AS pt,
+        CASE WHEN v > 0 THEN (CAST(b AS DOUBLE) / CAST(tb AS DOUBLE))
+                             * ln(CAST(2.0 AS DOUBLE) * v / (u + v))
+             ELSE 0.0 END AS qt
+        FROM t2),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                  list_reduce(list_sort(list(pt)), (x, y) -> x + y) AS sp,
+                  list_reduce(list_sort(list(qt)), (x, y) -> x + y) AS sq
+           FROM terms)
+    SELECT n AS n_terms, tot.ta AS a_total, tot.tb AS b_total,
+           ROUND(CAST(0.5 AS DOUBLE) * (sp + sq), 9) AS jsd_r,
+           ROUND(CAST(0.5 AS DOUBLE) * (sp + sq) / ln(CAST(2.0 AS DOUBLE)), 9)
+             AS jsd_norm_r
+    FROM st CROSS JOIN tot
+    """,
+)
+def x145_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSD between src0 and src1 word distributions, top-300 vocab."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import jsd_divergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jsd_divergence(docs, "src0", "src1", top_k=300)
+
+
+# --------------------------------------------------------------------------
 # X123 — path trigrams (operators/stats.py path_trigrams): top-k
 # three-step sequences off one user-keyed window pass; x72's pairwise
 # matrix can't separate paths.

@@ -132,6 +132,7 @@ NEW_THIS_ROUND: set[str] = {
     "x142_acf",
     "x143_mann_kendall",
     "x144_target_encode",
+    "x145_jsd_sources",
 }
 
 

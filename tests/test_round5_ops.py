@@ -543,3 +543,61 @@ def test_target_encode_shrinks_toward_prior(spark):
     # m=0 degenerates to the plain category rate
     out0 = {r.cat: r for r in target_encode(df, "cat", F.col("y"), m=0).collect()}
     assert out0["big"].enc_r == 0.8 and out0["rare"].enc_r == 0.5
+
+
+def _src_docs(spark, a_text, b_text):
+    rows = [(1, a_text, "A"), (2, b_text, "B")]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_jsd_identical_zero_disjoint_ln2(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import jsd_divergence
+
+    same = "x y z x y z"
+    r = jsd_divergence(_src_docs(spark, same, same), "A", "B", top_k=10).collect()[0]
+    assert r.jsd_r == 0.0 and r.jsd_norm_r == 0.0
+
+    r2 = jsd_divergence(
+        _src_docs(spark, "aa aa bb", "cc dd dd"), "A", "B", top_k=10
+    ).collect()[0]
+    assert r2.jsd_norm_r == 1.0  # disjoint vocabularies -> JSD = ln 2
+
+
+def test_jsd_matches_scipy_formula(spark):
+    import math
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import jsd_divergence
+
+    a = "w1 w1 w1 w2 w2 w3"
+    b = "w1 w2 w2 w2 w4 w4"
+    r = jsd_divergence(_src_docs(spark, a, b), "A", "B", top_k=10).collect()[0]
+
+    def dist(text):
+        toks = text.split()
+        return {w: toks.count(w) / len(toks) for w in set(toks)}
+
+    p, q = dist(a), dist(b)
+    words = set(p) | set(q)
+    jsd = 0.0
+    for w in words:
+        pw, qw = p.get(w, 0.0), q.get(w, 0.0)
+        m = (pw + qw) / 2
+        if pw > 0:
+            jsd += 0.5 * pw * math.log(pw / m)
+        if qw > 0:
+            jsd += 0.5 * qw * math.log(qw / m)
+    assert abs(r.jsd_r - jsd) < 1e-9
+    assert r.a_total == 6 and r.b_total == 6
+
+
+def test_jsd_other_bucket_completes_distribution(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import jsd_divergence
+
+    # top_k=1 keeps only the most frequent token; the rest lands in OTHER,
+    # so totals still cover every token
+    a = "top top top rare1 rare2"
+    b = "top top rare3 rare3 rare3"
+    r = jsd_divergence(_src_docs(spark, a, b), "A", "B", top_k=1).collect()[0]
+    assert r.n_terms == 2  # 'top' + OTHER
+    assert r.a_total == 5 and r.b_total == 5
+    assert 0.0 < r.jsd_norm_r < 1.0
