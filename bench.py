@@ -185,6 +185,7 @@ HEADLINE = [
     "x143_mann_kendall",
     "x144_target_encode",
     "x145_jsd_sources",
+    "x146_cohort_ltv",
 ]
 
 

@@ -760,3 +760,91 @@ def popularity_hitk(
             F.round(F.col("n_hit") / F.col("n_test_users"), 9).alias("hit_rate_r"),
         )
     )
+
+
+def cohort_ltv(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    event_col: str = "event_type",
+    value_event: str = "purchase",
+) -> DataFrame:
+    """X146 — cohort lifetime-value curve: for each weekly signup cohort
+    (first activity week, x55's cohort definition), cumulative revenue
+    per cohort user by cohort age — the curve LTV forecasting, payback
+    windows and mixture-of-cohorts revenue accounting read from.
+
+    Ages are DENSE per cohort (0..weeks-to-the-corpus-horizon, quiet
+    weeks release 0.0) so every curve is complete and directly
+    comparable. The cumulative sum runs as an ORDERED window over the
+    (cohort, age) relation — float addition order pinned by the frame,
+    and per-cell revenue follows the repo's SUM(value)+ROUND 9
+    discipline (x74/x137). ``ltv = cum_rev / cohort_users`` is one IEEE
+    division.
+
+    Shape: one distinct (user, week) collapse + one revenue aggregation
+    over the fact table; cohorts join broadcast; the dense grid and
+    windows run on the (cohorts × ages) relation — kilobytes.
+
+    Output: ``(cohort, age_weeks, cohort_users, rev_r, cum_rev_r,
+    ltv_r)``.
+    """
+    from pyspark.sql import Window
+
+    act = (
+        events.select(
+            F.col(user_col),
+            F.to_date(F.date_trunc("week", F.col(ts_col))).alias("period"),
+        )
+        .distinct()
+    )
+    first = act.groupBy(user_col).agg(F.min("period").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_users"))
+
+    rev = (
+        events.filter(F.col(event_col) == value_event)
+        .select(
+            F.col(user_col),
+            F.to_date(F.date_trunc("week", F.col(ts_col))).alias("period"),
+            F.col(value_col),
+        )
+        .join(first, user_col)
+        .groupBy(
+            "cohort",
+            (F.datediff("period", "cohort") / 7).cast("int").alias("age_weeks"),
+        )
+        .agg(F.sum(value_col).alias("rev"))
+    )
+
+    horizon = act.agg(F.max("period").alias("hi"))
+    grid = (
+        sizes.crossJoin(F.broadcast(horizon))
+        .select(
+            "cohort",
+            "cohort_users",
+            F.explode(
+                F.sequence(
+                    F.lit(0), (F.datediff("hi", "cohort") / 7).cast("int")
+                )
+            ).alias("age_weeks"),
+        )
+    )
+    dense = grid.join(rev, ["cohort", "age_weeks"], "left").select(
+        "cohort",
+        "age_weeks",
+        "cohort_users",
+        F.coalesce("rev", F.lit(0.0)).alias("rev"),
+    )
+    w = Window.partitionBy("cohort").orderBy("age_weeks").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = F.sum("rev").over(w)
+    return dense.select(
+        F.col("cohort").cast("string").alias("cohort"),
+        "age_weeks",
+        "cohort_users",
+        F.round("rev", 9).alias("rev_r"),
+        F.round(cum, 9).alias("cum_rev_r"),
+        F.round(cum / F.col("cohort_users").cast("double"), 9).alias("ltv_r"),
+    )

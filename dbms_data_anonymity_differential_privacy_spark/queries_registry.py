@@ -6669,6 +6669,55 @@ def x145_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X146 — cohort LTV curve (operators/funnel.py cohort_ltv): dense
+# per-cohort cumulative revenue per user by cohort age; x55 cohort
+# definition, ordered-window cumsum, one division for ltv. Fact rows
+# aggregate twice (activity collapse + revenue); the grid/windows run on
+# the cohorts-by-ages relation.
+# --------------------------------------------------------------------------
+@query(
+    "x146_cohort_ltv",
+    """
+    WITH act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS period
+                 FROM events),
+    f AS (SELECT user_id, MIN(period) AS cohort FROM act GROUP BY 1),
+    sz AS (SELECT cohort, COUNT(*) AS cohort_users FROM f GROUP BY 1),
+    rev AS (SELECT f.cohort,
+                   CAST((date_trunc('week', e.ts) - f.cohort) // 7 AS INT)
+                     AS age_weeks,
+                   SUM(e.value) AS rev
+            FROM events e JOIN f ON f.user_id = e.user_id
+            WHERE e.event_type = 'purchase'
+            GROUP BY 1, 2),
+    hz AS (SELECT MAX(period) AS hi FROM act),
+    grid AS (SELECT sz.cohort, sz.cohort_users,
+                    unnest(generate_series(0,
+                        CAST((hz.hi - sz.cohort) // 7 AS INT))) AS age_weeks
+             FROM sz CROSS JOIN hz),
+    dense AS (SELECT g.cohort, g.age_weeks, g.cohort_users,
+                     COALESCE(rev.rev, 0.0) AS rev
+              FROM grid g LEFT JOIN rev
+                ON rev.cohort = g.cohort AND rev.age_weeks = g.age_weeks),
+    c AS (SELECT *, SUM(rev) OVER (PARTITION BY cohort ORDER BY age_weeks
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum
+          FROM dense)
+    SELECT CAST(cohort AS VARCHAR) AS cohort, CAST(age_weeks AS INT) AS age_weeks,
+           CAST(cohort_users AS BIGINT) AS cohort_users,
+           ROUND(rev, 9) AS rev_r, ROUND(cum, 9) AS cum_rev_r,
+           ROUND(cum / CAST(cohort_users AS DOUBLE), 9) AS ltv_r
+    FROM c
+    """,
+)
+def x146_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-cohort cumulative purchase revenue per user by age."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.funnel import cohort_ltv
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_ltv(ev)
+
+
+# --------------------------------------------------------------------------
 # X123 — path trigrams (operators/stats.py path_trigrams): top-k
 # three-step sequences off one user-keyed window pass; x72's pairwise
 # matrix can't separate paths.

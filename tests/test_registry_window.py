@@ -133,6 +133,7 @@ NEW_THIS_ROUND: set[str] = {
     "x143_mann_kendall",
     "x144_target_encode",
     "x145_jsd_sources",
+    "x146_cohort_ltv",
 }
 
 

@@ -601,3 +601,39 @@ def test_jsd_other_bucket_completes_distribution(spark):
     assert r.n_terms == 2  # 'top' + OTHER
     assert r.a_total == 5 and r.b_total == 5
     assert 0.0 < r.jsd_norm_r < 1.0
+
+
+def test_cohort_ltv_hand_case(spark):
+    import datetime
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.funnel import cohort_ltv
+
+    # Monday anchors: 2024-01-01 and 2024-01-08 are week starts
+    w0 = datetime.datetime(2024, 1, 1, 10)
+    w1 = datetime.datetime(2024, 1, 8, 10)
+    w2 = datetime.datetime(2024, 1, 15, 10)
+    rows = [
+        # user 1: cohort w0, buys 10.0 in w0 and 20.0 in w2
+        (1, 1, w0, "purchase", 10.0),
+        (2, 1, w2, "purchase", 20.0),
+        # user 2: cohort w0 (click only, no purchase)
+        (3, 2, w0, "click", 0.0),
+        # user 3: cohort w1, buys 6.0 in w1
+        (4, 3, w1, "purchase", 6.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    out = {(r.cohort, r.age_weeks): r for r in cohort_ltv(ev).collect()}
+    # cohort w0: 2 users, ages 0..2 dense
+    c0 = "2024-01-01"
+    assert out[(c0, 0)].cohort_users == 2
+    assert out[(c0, 0)].rev_r == 10.0 and out[(c0, 0)].ltv_r == 5.0
+    assert out[(c0, 1)].rev_r == 0.0 and out[(c0, 1)].cum_rev_r == 10.0  # quiet week
+    assert out[(c0, 2)].cum_rev_r == 30.0 and out[(c0, 2)].ltv_r == 15.0
+    # cohort w1: 1 user, ages 0..1 (horizon = w2)
+    c1 = "2024-01-08"
+    assert out[(c1, 0)].ltv_r == 6.0
+    assert out[(c1, 1)].rev_r == 0.0 and out[(c1, 1)].cum_rev_r == 6.0
+    assert (c1, 2) not in out  # ages stop at the corpus horizon
+    assert len(out) == 3 + 2
