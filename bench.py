@@ -186,6 +186,7 @@ HEADLINE = [
     "x144_target_encode",
     "x145_jsd_sources",
     "x146_cohort_ltv",
+    "x147_roc_auc",
 ]
 
 

@@ -74,3 +74,59 @@ def target_encode(
             F.when(den > 0, num.cast("double") / den.cast("double")), ROUND_DP
         ).alias("enc_r"),
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label: Column,
+) -> DataFrame:
+    """X147 — exact ROC-AUC of a score against a binary ``label``
+    expression (0/1), by the rank formulation (AUC = the Mann-Whitney
+    U statistic normalized; Hanley & McNeil 1982) — the model-quality
+    scalar next to the decile gains table (x136).
+
+    Tie-averaged ranks are handled the x109/x80 way: on the DISTINCT
+    score-value relation, DOUBLED rank sums stay exact integers —
+
+        AUC = (S2 - n_pos*(n_pos+1)) / (2*n_pos*n_neg)
+
+    with ``S2 = sum over values of cnt_pos*(2*cum_before + cnt + 1)``
+    summed in DECIMAL(38,0) (merge-order-proof; int64 dies near n²),
+    and the release is ONE IEEE division. NULL when either class is
+    empty.
+
+    Shape: one groupBy collapses fact rows to the distinct-score
+    relation; the rank cumsum windows that compact relation — fact rows
+    never sort globally.
+
+    Output (single row): ``(n_pos, n_neg, auc_r)``.
+    """
+    from pyspark.sql import Window
+
+    per_v = df.select(F.col(score_col).alias("__v"), label.alias("__y")).groupBy(
+        "__v"
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("__y").alias("pos"),
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.withColumn(
+        "cumb", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+    s = ranked.agg(
+        F.sum(
+            (F.col("pos") * (2 * F.col("cumb") + F.col("cnt") + 1)).cast(_DEC)
+        ).alias("s2"),
+        F.sum("pos").cast(_DEC).alias("np"),
+        F.sum(F.col("cnt") - F.col("pos")).cast(_DEC).alias("nn"),
+    )
+    num = F.col("s2") - F.col("np") * (F.col("np") + 1)
+    den = 2 * F.col("np") * F.col("nn")
+    return s.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        F.round(
+            F.when(den > 0, num.cast("double") / den.cast("double")), ROUND_DP
+        ).alias("auc_r"),
+    )

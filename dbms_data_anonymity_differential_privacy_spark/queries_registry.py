@@ -6718,6 +6718,39 @@ def x146_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X147 — exact ROC-AUC (operators/features.py roc_auc): rank-formulation
+# AUC with x109-style doubled tie-averaged ranks — exact DECIMAL/HUGEINT
+# sums over the distinct-score relation, one IEEE division at release.
+# --------------------------------------------------------------------------
+@query(
+    "x147_roc_auc",
+    """
+    WITH pv AS (SELECT o_totalprice AS v, COUNT(*) AS cnt,
+                       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS pos
+                FROM orders GROUP BY 1),
+    r AS (SELECT *, COALESCE(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND 1 PRECEDING), 0) AS cumb
+          FROM pv),
+    s AS (SELECT CAST(SUM(pos * (2 * cumb + cnt + 1)) AS HUGEINT) AS s2,
+                 CAST(SUM(pos) AS HUGEINT) AS np,
+                 CAST(SUM(cnt - pos) AS HUGEINT) AS nn
+          FROM r)
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           ROUND(CASE WHEN 2 * np * nn > 0 THEN
+                   CAST(s2 - np * (np + 1) AS DOUBLE)
+                   / CAST(2 * np * nn AS DOUBLE) END, 9) AS auc_r
+    FROM s
+    """,
+)
+def x147_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC of order price as a predictor of 'fully shipped' status."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.features import roc_auc
+
+    o = load_table(spark, sf_dir, "orders")
+    return roc_auc(o, "o_totalprice", (F.col("o_orderstatus") == "F").cast("int"))
+
+
+# --------------------------------------------------------------------------
 # X123 — path trigrams (operators/stats.py path_trigrams): top-k
 # three-step sequences off one user-keyed window pass; x72's pairwise
 # matrix can't separate paths.

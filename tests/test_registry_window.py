@@ -134,6 +134,7 @@ NEW_THIS_ROUND: set[str] = {
     "x144_target_encode",
     "x145_jsd_sources",
     "x146_cohort_ltv",
+    "x147_roc_auc",
 }
 
 

@@ -637,3 +637,40 @@ def test_cohort_ltv_hand_case(spark):
     assert out[(c1, 1)].rev_r == 0.0 and out[(c1, 1)].cum_rev_r == 6.0
     assert (c1, 2) not in out  # ages stop at the corpus horizon
     assert len(out) == 3 + 2
+
+
+def test_roc_auc_separation_and_ties(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.features import roc_auc
+
+    # perfect separation -> AUC 1; reversed -> 0; random-ish ties -> hand value
+    perfect = spark.createDataFrame(
+        [(0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1)], ["s", "y"]
+    )
+    r = roc_auc(perfect, "s", F.col("y")).collect()[0]
+    assert r.auc_r == 1.0 and r.n_pos == 2 and r.n_neg == 2
+
+    reverse = spark.createDataFrame(
+        [(0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1)], ["s", "y"]
+    )
+    assert roc_auc(reverse, "s", F.col("y")).collect()[0].auc_r == 0.0
+
+    # all scores tied -> AUC exactly 0.5 by tie-averaging
+    tied = spark.createDataFrame([(0.5, 0), (0.5, 1), (0.5, 0), (0.5, 1)], ["s", "y"])
+    assert roc_auc(tied, "s", F.col("y")).collect()[0].auc_r == 0.5
+
+
+def test_roc_auc_matches_sklearn_style_bruteforce(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.features import roc_auc
+
+    data = [(0.1, 0), (0.4, 0), (0.35, 1), (0.8, 1), (0.4, 1), (0.7, 0), (0.4, 0)]
+    df = spark.createDataFrame(data, ["s", "y"])
+    r = roc_auc(df, "s", F.col("y")).collect()[0]
+    # brute force: P(score_pos > score_neg) + 0.5 P(tie)
+    pos = [s for s, y in data if y == 1]
+    neg = [s for s, y in data if y == 0]
+    wins = sum((p > n) + 0.5 * (p == n) for p in pos for n in neg)
+    assert abs(r.auc_r - wins / (len(pos) * len(neg))) < 1e-9
+
+    # single-class input -> NULL
+    one = spark.createDataFrame([(0.3, 1), (0.7, 1)], ["s", "y"])
+    assert roc_auc(one, "s", F.col("y")).collect()[0].auc_r is None
