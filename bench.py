@@ -187,6 +187,7 @@ HEADLINE = [
     "x145_jsd_sources",
     "x146_cohort_ltv",
     "x147_roc_auc",
+    "x148_bh_fdr",
 ]
 
 

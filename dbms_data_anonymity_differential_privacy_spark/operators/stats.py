@@ -1636,3 +1636,132 @@ def mann_kendall(
         .when(F.col("z_r") <= F.lit(-alpha_z), F.lit("decreasing"))
         .otherwise(F.lit("no_trend")),
     )
+
+
+def bh_critical_z(m: int, q: float = 0.05) -> list[tuple[int, float]]:
+    """Benjamini-Hochberg critical |z| ladder for a FIXED family of ``m``
+    two-sided z-tests at FDR level ``q``: step i rejects when
+    ``|z|_(i) >= crit_i`` with ``crit_i = InvPhi(1 - i*q/(2m))`` — the
+    exact inversion of ``p_(i) <= (i/m)*q``, so no engine ever needs an
+    erf/erfc (which SQL engines lack and JVM/libm disagree on anyway).
+
+    Computed ONCE on the driver with stdlib ``statistics.NormalDist``
+    (pure-Python inverse CDF — platform-independent) and consumed as
+    literals by BOTH engines, the x23/x124/x140 shared-table discipline.
+    Valid because the family size is a PUBLIC constant (the event-type
+    domain), not data-measured.
+    """
+    from statistics import NormalDist
+
+    nd = NormalDist()
+    return [(i, nd.inv_cdf(1.0 - i * q / (2.0 * m))) for i in range(1, m + 1)]
+
+
+def bh_fdr_ab_family(
+    events: DataFrame,
+    metric_types: Sequence[str],
+    q: float = 0.05,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    salt: str = "ab",
+) -> DataFrame:
+    """X148 — Benjamini-Hochberg FDR control over a FAMILY of A/B tests:
+    one two-proportion z-test per metric in ``metric_types`` (per-user
+    incidence, x74's deterministic md5 arm split), then the BH step-up
+    procedure at FDR ``q`` — the multiple-comparisons guard every
+    experimentation platform applies before declaring winners (Benjamini
+    & Hochberg 1995).
+
+    The BH comparison ``p_(i) <= (i/m)q`` runs entirely in |z| space
+    against the :func:`bh_critical_z` ladder (driver-built literals), so
+    the whole procedure is engine-exact: z is the x74 fixed expression,
+    ranking is (|z| desc NULLS LAST, metric) — deterministic — and the
+    step-up "reject 1..k for the LARGEST passing k" is one window max
+    over the m-row family relation. Untestable metrics (zero pooled
+    variance -> NULL z) rank last and can never reject.
+
+    Shape: ONE per-user aggregation builds all m incidence flags in one
+    pass (no per-metric scans), one wide rollup + stack to the m-row
+    relation; everything after is kilobyte-scale.
+
+    Output: ``(metric, conv_a, conv_b, z_r, bh_rank, crit_r,
+    rejected)``, one row per metric.
+    """
+    from pyspark.sql import Window
+
+    if not metric_types:
+        raise ValueError("need at least one metric type")
+    m = len(metric_types)
+    spark = events.sparkSession
+    crit = spark.createDataFrame(
+        [(i, c) for i, c in bh_critical_z(m, q)], "bh_rank int, crit double"
+    )
+
+    flags = [
+        F.max(F.when(F.col(type_col) == t, 1).otherwise(0)).alias(f"__f{i}")
+        for i, t in enumerate(metric_types)
+    ]
+    users = events.groupBy(user_col).agg(*flags)
+    h = F.substring(
+        F.md5(
+            F.concat_ws("|", F.col(user_col).cast("string"), F.lit(salt)).cast("binary")
+        ),
+        1,
+        8,
+    )
+    tagged = users.withColumn("__a", (h < F.lit("80000000")).cast("int"))
+    aggs = [F.sum("__a").cast("long").alias("n_a"), F.count(F.lit(1)).alias("n_u")]
+    for i in range(m):
+        aggs.append(
+            F.sum(F.col("__a") * F.col(f"__f{i}")).cast("long").alias(f"__ca{i}")
+        )
+        aggs.append(
+            F.sum((1 - F.col("__a")) * F.col(f"__f{i}")).cast("long").alias(f"__cb{i}")
+        )
+    wide = tagged.agg(*aggs)
+
+    per_metric = wide.select(
+        F.col("n_a"),
+        (F.col("n_u") - F.col("n_a")).alias("n_b"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("metric"),
+                        F.col(f"__ca{i}").alias("conv_a"),
+                        F.col(f"__cb{i}").alias("conv_b"),
+                    )
+                    for i, t in enumerate(metric_types)
+                ]
+            )
+        ).alias("s"),
+    ).select("n_a", "n_b", "s.metric", "s.conv_a", "s.conv_b")
+
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    pa = F.col("conv_a").cast("double") / na
+    pb = F.col("conv_b").cast("double") / nb
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (na + nb)
+    se = F.sqrt(pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    z = F.when(se > 0, (pa - pb) / se)
+    scored = per_metric.select(
+        "metric", "conv_a", "conv_b", F.round(z, ROUND_DP).alias("z_r")
+    )
+
+    w_rank = Window.orderBy(F.desc_nulls_last(F.abs(F.col("z_r"))), "metric")
+    ranked = scored.withColumn("bh_rank", F.row_number().over(w_rank)).join(
+        F.broadcast(crit), "bh_rank"
+    )
+    flag = F.col("z_r").isNotNull() & (F.abs(F.col("z_r")) >= F.col("crit"))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    k = F.max(F.when(flag, F.col("bh_rank")).otherwise(0)).over(w_all)
+    return ranked.select(
+        "metric",
+        "conv_a",
+        "conv_b",
+        "z_r",
+        "bh_rank",
+        F.round(F.col("crit"), ROUND_DP).alias("crit_r"),
+        (F.col("bh_rank") <= k).alias("rejected"),
+    )

@@ -6417,6 +6417,81 @@ ORACLE_SQL["x140_retrieval_eval"] = _x140_sql(10)
 
 
 # --------------------------------------------------------------------------
+# X148 — Benjamini-Hochberg FDR over the per-metric A/B family
+# (operators/stats.py bh_fdr_ab_family): one z-test per public event
+# type, BH step-up run in |z| space against the driver-built critical-z
+# ladder (bh_critical_z — stdlib inverse normal CDF, shared literals),
+# so no engine evaluates erf. One per-user pass builds every flag.
+# --------------------------------------------------------------------------
+_BH_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _x148_sql(q: float = 0.05) -> str:
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import bh_critical_z
+
+    m = len(_BH_TYPES)
+    crit_vals = ", ".join(f"({i}, {c!r})" for i, c in bh_critical_z(m, q))
+    flag_cols = ",\n                      ".join(
+        f"MAX(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS f{i}"
+        for i, t in enumerate(_BH_TYPES)
+    )
+    conv_cols = ",\n                 ".join(
+        f"CAST(SUM(a * f{i}) AS BIGINT) AS ca{i}, "
+        f"CAST(SUM((1 - a) * f{i}) AS BIGINT) AS cb{i}"
+        for i in range(m)
+    )
+    branches = "\n           UNION ALL ".join(
+        f"SELECT n_a, n_b, '{t}' AS metric, ca{i} AS conv_a, cb{i} AS conv_b FROM w"
+        for i, t in enumerate(_BH_TYPES)
+    )
+    return f"""
+    WITH u AS (SELECT user_id,
+                      {flag_cols}
+               FROM events GROUP BY 1),
+    t AS (SELECT *, CASE WHEN substr(md5(cast(user_id AS varchar) || '|ab'), 1, 8)
+                              < '80000000' THEN 1 ELSE 0 END AS a FROM u),
+    w AS (SELECT CAST(SUM(a) AS BIGINT) AS n_a,
+                 CAST(COUNT(*) - SUM(a) AS BIGINT) AS n_b,
+                 {conv_cols}
+          FROM t),
+    pm AS ({branches}),
+    sc AS (SELECT metric, conv_a, conv_b, n_a, n_b,
+                  CAST(conv_a AS DOUBLE) / n_a AS pa,
+                  CAST(conv_b AS DOUBLE) / n_b AS pb,
+                  CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pool
+           FROM pm),
+    s2 AS (SELECT *, SQRT(pool * (1.0 - pool) * (1.0 / n_a + 1.0 / n_b)) AS se
+           FROM sc),
+    z AS (SELECT metric, conv_a, conv_b,
+                 ROUND(CASE WHEN se > 0 THEN (pa - pb) / se END, 9) AS z_r
+          FROM s2),
+    rk AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY ABS(z_r) DESC NULLS LAST,
+                                             metric) AS INT) AS bh_rank
+           FROM z),
+    cr(bh_rank, crit) AS (VALUES {crit_vals}),
+    j AS (SELECT rk.*, cr.crit FROM rk JOIN cr USING (bh_rank)),
+    kk AS (SELECT MAX(CASE WHEN z_r IS NOT NULL AND ABS(z_r) >= crit
+                           THEN bh_rank ELSE 0 END) AS k FROM j)
+    SELECT metric, conv_a, conv_b, z_r, bh_rank,
+           ROUND(crit, 9) AS crit_r, bh_rank <= k AS rejected
+    FROM j CROSS JOIN kk
+    """
+
+
+@query("x148_bh_fdr", None)
+def x148_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BH-FDR verdicts for the five per-event-type A/B incidence tests."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import bh_fdr_ab_family
+
+    ev = load_table(spark, sf_dir, "events")
+    return bh_fdr_ab_family(ev, _BH_TYPES, q=0.05)
+
+
+ORACLE_SQL["x148_bh_fdr"] = _x148_sql(0.05)
+
+
+
+# --------------------------------------------------------------------------
 # X141 — reciprocal-rank fusion (operators/search.py rrf_fuse): hybrid
 # retrieval combiner over bounded candidate lists — BM25 top-100 fused
 # with a document-length prior top-100. Exact int64 weight sums via the

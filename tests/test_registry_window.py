@@ -135,6 +135,7 @@ NEW_THIS_ROUND: set[str] = {
     "x145_jsd_sources",
     "x146_cohort_ltv",
     "x147_roc_auc",
+    "x148_bh_fdr",
 }
 
 

@@ -674,3 +674,82 @@ def test_roc_auc_matches_sklearn_style_bruteforce(spark):
     # single-class input -> NULL
     one = spark.createDataFrame([(0.3, 1), (0.7, 1)], ["s", "y"])
     assert roc_auc(one, "s", F.col("y")).collect()[0].auc_r is None
+
+
+def test_bh_critical_ladder_monotone_and_exact(spark):
+    from statistics import NormalDist
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import bh_critical_z
+
+    lad = bh_critical_z(5, 0.05)
+    crits = [c for _, c in lad]
+    # step-up thresholds loosen with rank: crit_1 (Bonferroni-like) is
+    # strictest, crit_m equals the single-test 1.96-ish cut
+    assert crits == sorted(crits, reverse=True)
+    assert abs(crits[-1] - NormalDist().inv_cdf(1 - 0.025)) < 1e-12
+    assert abs(crits[0] - NormalDist().inv_cdf(1 - 0.005)) < 1e-12
+
+
+def test_bh_fdr_rejects_planted_effect_only(spark):
+    import datetime
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import bh_fdr_ab_family
+
+    # users 0..999; md5 split decides arms. Metric 'hot' fires for arm-a
+    # users only (massive effect); 'cold' fires for everyone (no effect).
+    from pyspark.sql import functions as SF
+
+    base = spark.range(1000).select(SF.col("id").alias("user_id"))
+    h = SF.substring(
+        SF.md5(SF.concat_ws("|", SF.col("user_id").cast("string"), SF.lit("ab")).cast("binary")),
+        1, 8,
+    )
+    arms = base.withColumn("a", (h < SF.lit("80000000")).cast("int"))
+    t0 = datetime.datetime(2024, 1, 1)
+    hot = arms.filter(SF.col("a") == 1).select(
+        SF.col("user_id"), SF.lit(t0).alias("ts"), SF.lit("hot").alias("event_type")
+    )
+    cold = arms.select(
+        SF.col("user_id"), SF.lit(t0).alias("ts"), SF.lit("cold").alias("event_type")
+    )
+    ev = hot.unionByName(cold)
+    out = {r.metric: r for r in bh_fdr_ab_family(ev, ["hot", "cold", "ghost"]).collect()}
+    assert out["hot"].rejected and out["hot"].bh_rank == 1
+    assert not out["cold"].rejected
+    # ghost never fires -> zero pooled variance -> NULL z, ranks last
+    assert out["ghost"].z_r is None and out["ghost"].bh_rank == 3
+    assert not out["ghost"].rejected
+
+
+def test_bh_step_up_rejects_prefix_through_gap(spark):
+    """BH rejects ALL tests ranked above the largest passing rank, even
+    ones that individually miss their own threshold."""
+    import datetime
+
+    from pyspark.sql import functions as SF
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+        bh_critical_z,
+        bh_fdr_ab_family,
+    )
+
+    # two strong effects; with m=2 both cross, and rejected is a prefix
+    base = spark.range(400).select(SF.col("id").alias("user_id"))
+    h = SF.substring(
+        SF.md5(SF.concat_ws("|", SF.col("user_id").cast("string"), SF.lit("ab")).cast("binary")),
+        1, 8,
+    )
+    arms = base.withColumn("a", (h < SF.lit("80000000")).cast("int"))
+    t0 = datetime.datetime(2024, 1, 1)
+    m1 = arms.filter(SF.col("a") == 1).select(
+        "user_id", SF.lit(t0).alias("ts"), SF.lit("m1").alias("event_type")
+    )
+    m2 = arms.filter(SF.col("a") == 0).select(
+        "user_id", SF.lit(t0).alias("ts"), SF.lit("m2").alias("event_type")
+    )
+    out = {r.metric: r for r in bh_fdr_ab_family(m1.unionByName(m2), ["m1", "m2"]).collect()}
+    assert out["m1"].rejected and out["m2"].rejected
+    ranks = sorted((out["m1"].bh_rank, out["m2"].bh_rank))
+    assert ranks == [1, 2]
+    crits = dict(bh_critical_z(2, 0.05))
+    assert abs(out["m1"].crit_r - round(crits[out["m1"].bh_rank], 9)) < 1e-9
