@@ -188,6 +188,7 @@ HEADLINE = [
     "x146_cohort_ltv",
     "x147_roc_auc",
     "x148_bh_fdr",
+    "x149_kcore",
 ]
 
 

@@ -219,3 +219,73 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             9,
         ).alias("clustering_coeff_r"),
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int | None = None,
+) -> DataFrame:
+    """X149 — k-core of an undirected graph: iteratively peel nodes with
+    degree < ``k`` until fixpoint (Seidman 1983) — the standard dense-
+    subgraph screen behind community seeding, spam/bot-ring detection
+    and graph-sampling curricula; composes with the x138 co-purchase
+    graph exactly like triangles do.
+
+    ``edges`` are distinct undirected pairs ``(x, y)`` with ``x < y``.
+    Each peel round is ONE degree aggregation over the surviving edge
+    relation + two semi-joins back — the edge relation only ever
+    SHRINKS, so rounds get cheaper; no adjacency matrix, no driver
+    collection. ``rounds=None`` iterates to convergence (one extra
+    scalar count per round, the x03-cc convergence-flag discipline);
+    a FIXED ``rounds`` replays exactly that many peels — the oracle-
+    replayable form (x126's fixed-iteration precedent), identical to
+    the converged answer once the graph stabilizes (tests pin this).
+
+    Output: ``(node, degree)`` for nodes with >= 1 surviving incident
+    edge, degree measured in the final surviving subgraph.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    # Each round's plan references the previous round's relation three
+    # times (degree union + two semi-joins); left lazy, the nested tree
+    # grows ~3^rounds and Catalyst analysis explodes. localCheckpoint
+    # TRUNCATES lineage every round — the iterative-graph discipline
+    # x126's distributed path uses — so round r always optimizes a
+    # two-join plan over a materialized edge relation. (Executor-local
+    # storage: on a cluster, a lost executor re-runs the job — the
+    # standard trade for iterative graph loops; checkpoint() to a
+    # reliable store if that matters.)
+    e = edges.select("x", "y").localCheckpoint(eager=True)
+    i = 0
+    prev_cnt = None
+    while True:
+        if rounds is not None and i >= rounds:
+            break
+        if rounds is None:
+            cnt = e.count()
+            if cnt == prev_cnt:
+                break
+            prev_cnt = cnt
+        deg = (
+            e.select(F.col("x").alias("v"))
+            .unionAll(e.select(F.col("y").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        surv = deg.filter(F.col("d") >= k).select("v")
+        nxt = (
+            e.join(surv.withColumnRenamed("v", "x"), "x", "left_semi")
+            .join(surv.withColumnRenamed("v", "y"), "y", "left_semi")
+            .select("x", "y")
+            .localCheckpoint(eager=True)
+        )
+        e = nxt
+        i += 1
+    out = (
+        e.select(F.col("x").alias("node"))
+        .unionAll(e.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return out

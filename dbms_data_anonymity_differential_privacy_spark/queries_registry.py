@@ -6490,6 +6490,66 @@ def x148_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SQL["x148_bh_fdr"] = _x148_sql(0.05)
 
 
+# --------------------------------------------------------------------------
+# X149 — k-core decomposition (operators/graph.py kcore): fixed-round
+# peel over the x138 co-purchase graph; each round one degree agg + two
+# semi-joins on the shrinking edge relation. Oracle replays the same
+# rounds as chained CTEs (x126 fixed-iteration precedent).
+# --------------------------------------------------------------------------
+def _x149_sql(k: int, rounds: int) -> str:
+    cte = [
+        """e0 AS MATERIALIZED (SELECT a.i AS x, b.i AS y
+           FROM (SELECT DISTINCT l_orderkey AS bsk, l_partkey AS i FROM lineitem) a
+           JOIN (SELECT DISTINCT l_orderkey AS bsk, l_partkey AS i FROM lineitem) b
+             ON a.bsk = b.bsk AND a.i < b.i
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        cte.append(
+            f"""d{r} AS MATERIALIZED (SELECT v, COUNT(*) AS d FROM
+             (SELECT x AS v FROM e{p} UNION ALL SELECT y AS v FROM e{p})
+             GROUP BY 1),
+    s{r} AS MATERIALIZED (SELECT v FROM d{r} WHERE d >= {k}),
+    e{r} AS MATERIALIZED (SELECT e{p}.x, e{p}.y FROM e{p}
+             JOIN s{r} sa ON sa.v = e{p}.x
+             JOIN s{r} sb ON sb.v = e{p}.y)"""
+        )
+    body = ",\n    ".join(cte)
+    return f"""
+    WITH {body}
+    SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM
+      (SELECT x AS v FROM e{rounds} UNION ALL SELECT y AS v FROM e{rounds})
+    GROUP BY 1
+    """
+
+
+@query("x149_kcore", None)
+def x149_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase item graph, 6 peel rounds."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import kcore
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("bsk"), F.col("l_partkey").alias("i")
+    ).distinct()
+    a = items.select(F.col("bsk"), F.col("i").alias("x"))
+    b = items.select(F.col("bsk"), F.col("i").alias("y"))
+    edges = (
+        a.join(b, "bsk")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .filter(F.col("__w") >= 2)
+        .select("x", "y")
+    )
+    return kcore(edges, k=3, rounds=6)
+
+
+ORACLE_SQL["x149_kcore"] = _x149_sql(3, 6)
+
+
+
 
 # --------------------------------------------------------------------------
 # X141 — reciprocal-rank fusion (operators/search.py rrf_fuse): hybrid

@@ -136,6 +136,7 @@ NEW_THIS_ROUND: set[str] = {
     "x146_cohort_ltv",
     "x147_roc_auc",
     "x148_bh_fdr",
+    "x149_kcore",
 }
 
 

@@ -753,3 +753,37 @@ def test_bh_step_up_rejects_prefix_through_gap(spark):
     assert ranks == [1, 2]
     crits = dict(bh_critical_z(2, 0.05))
     assert abs(out["m1"].crit_r - round(crits[out["m1"].bh_rank], 9)) < 1e-9
+
+
+def test_kcore_peels_tail_and_keeps_clique(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import kcore
+
+    # K4 clique (1-4) + a pendant path 4-5-6: 2-core = exactly the clique
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        ["x", "y"],
+    )
+    out = {r.node: r.degree for r in kcore(edges, k=2, rounds=None).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    # 3-core: same clique; 4-core: empty
+    assert {r.node for r in kcore(edges, k=3, rounds=None).collect()} == {1, 2, 3, 4}
+    assert kcore(edges, k=4, rounds=None).collect() == []
+
+
+def test_kcore_fixed_rounds_converges_to_fixpoint(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import kcore
+
+    # a long path collapses entirely under k=2, one vertex per round from
+    # each end — fixed rounds must match convergence once rounds >= depth
+    path_edges = spark.createDataFrame([(i, i + 1) for i in range(1, 8)], ["x", "y"])
+    conv = sorted((r.node, r.degree) for r in kcore(path_edges, k=2, rounds=None).collect())
+    fixed = sorted((r.node, r.degree) for r in kcore(path_edges, k=2, rounds=6).collect())
+    assert conv == fixed == []
+
+    # cycle survives k=2 in full regardless of rounds
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], ["x", "y"]
+    )
+    conv_c = sorted((r.node, r.degree) for r in kcore(cyc, k=2, rounds=None).collect())
+    fixed_c = sorted((r.node, r.degree) for r in kcore(cyc, k=2, rounds=3).collect())
+    assert conv_c == fixed_c == [(1, 2), (2, 2), (3, 2), (4, 2)]
