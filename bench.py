@@ -189,6 +189,7 @@ HEADLINE = [
     "x147_roc_auc",
     "x148_bh_fdr",
     "x149_kcore",
+    "x150_wilcoxon",
 ]
 
 

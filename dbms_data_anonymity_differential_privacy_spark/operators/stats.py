@@ -1765,3 +1765,77 @@ def bh_fdr_ab_family(
         F.round(F.col("crit"), ROUND_DP).alias("crit_r"),
         (F.col("bh_rank") <= k).alias("rejected"),
     )
+
+
+def wilcoxon_signed_rank(
+    pairs: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """X150 — Wilcoxon signed-rank test on paired observations: the
+    nonparametric paired complement to Mann-Whitney (x80, independent
+    samples) — "did this population's metric shift between two matched
+    conditions?" without normality assumptions (Wilcoxon 1945).
+
+    Convention: zero differences DROP (the classic Wilcoxon treatment),
+    |d| ranks are tie-averaged. Exactness is the x109/x147 discipline —
+    on the DISTINCT |d| relation, DOUBLED rank sums stay exact integers:
+
+        W2      = 2·W+            (positive-diff doubled rank sum)
+        mean2   = n(n+1)/2        (exact int)
+        12·var2 = 2n(n+1)(2n+1) − Σ(t³−t)   (tie-corrected, exact int)
+        z       = (2·W2 − n(n+1)) / sqrt((12·var2)/3)
+
+    — every engine-released float is a fixed expression over exact
+    DECIMAL integers with one /12, one sqrt and one division, all
+    correctly-rounded IEEE ops. NULL z when every pair ties (var 0).
+
+    Shape: one aggregation collapses pairs to the distinct-|d| relation
+    (cnt, positives per value); the rank cumsum windows that compact
+    relation.
+
+    Output (single row): ``(n_pairs, n_nonzero, w2_plus, z_r)``.
+    """
+    from pyspark.sql import Window
+
+    DEC = "decimal(38,0)"
+    d = F.col(y_col) - F.col(x_col)
+    base = pairs.select(
+        F.abs(d).alias("__ad"), (d > 0).cast("int").alias("__pos"),
+        (d != 0).cast("int").alias("__nz"),
+    )
+    n_all = base.agg(F.count(F.lit(1)).alias("n_pairs"))
+    nz = base.filter(F.col("__nz") == 1)
+    per_v = nz.groupBy("__ad").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("__pos").alias("pos")
+    )
+    w = Window.orderBy("__ad").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.withColumn("cumb", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+    s = ranked.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast(DEC).alias("n"),
+        F.coalesce(
+            F.sum((F.col("pos") * (2 * F.col("cumb") + F.col("cnt") + 1)).cast(DEC)),
+            F.lit(0).cast(DEC),
+        ).alias("w2"),
+        F.coalesce(
+            F.sum(
+                (F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")).cast(DEC)
+            ),
+            F.lit(0).cast(DEC),
+        ).alias("tie3"),
+    )
+    n = F.col("n")
+    # z doubled once more to stay integer end-to-end:
+    # (W2 - n(n+1)/2) / sqrt(var12/12)  ==  (2*W2 - n(n+1)) / sqrt(var12/3)
+    num = 2 * F.col("w2") - n * (n + 1)
+    var12 = 2 * n * (n + 1) * (2 * n + 1) - F.col("tie3")
+    z = F.when(
+        var12 > 0,
+        num.cast("double") / F.sqrt(var12.cast("double") / F.lit(3.0)),
+    )
+    return s.crossJoin(F.broadcast(n_all)).select(
+        "n_pairs",
+        n.cast("long").alias("n_nonzero"),
+        F.col("w2").cast("long").alias("w2_plus"),
+        F.round(z, ROUND_DP).alias("z_r"),
+    )

@@ -6549,6 +6549,67 @@ def x149_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SQL["x149_kcore"] = _x149_sql(3, 6)
 
 
+# --------------------------------------------------------------------------
+# X150 — Wilcoxon signed-rank (operators/stats.py wilcoxon_signed_rank):
+# paired pre/post shift test on per-user value sums (x135's split date);
+# doubled tie-averaged ranks over the distinct-|d| relation, exact
+# DECIMAL/HUGEINT sufficient statistics, fixed z expression.
+# --------------------------------------------------------------------------
+@query(
+    "x150_wilcoxon",
+    """
+    WITH pu AS (SELECT user_id,
+          COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                            THEN value END), 0.0) AS x,
+          COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                            THEN value END), 0.0) AS y
+        FROM events GROUP BY 1),
+    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pu),
+    d AS (SELECT ABS(y - x) AS ad,
+                 CASE WHEN y - x > 0 THEN 1 ELSE 0 END AS pos
+          FROM pu WHERE y - x <> 0),
+    pv AS (SELECT ad, COUNT(*) AS cnt, SUM(pos) AS pos FROM d GROUP BY 1),
+    r AS (SELECT *, COALESCE(SUM(cnt) OVER (ORDER BY ad ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND 1 PRECEDING), 0) AS cumb
+          FROM pv),
+    s AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS HUGEINT) AS n,
+                 CAST(COALESCE(SUM(pos * (2 * cumb + cnt + 1)), 0) AS HUGEINT) AS w2,
+                 CAST(COALESCE(SUM(cnt * cnt * cnt - cnt), 0) AS HUGEINT) AS tie3
+          FROM r)
+    SELECT np.n_pairs,
+           CAST(s.n AS BIGINT) AS n_nonzero,
+           CAST(s.w2 AS BIGINT) AS w2_plus,
+           ROUND(CASE WHEN 2 * n * (n + 1) * (2 * n + 1) - tie3 > 0 THEN
+                   CAST(2 * w2 - n * (n + 1) AS DOUBLE)
+                   / sqrt(CAST(2 * n * (n + 1) * (2 * n + 1) - tie3 AS DOUBLE)
+                          / 3.0) END, 9) AS z_r
+    FROM s CROSS JOIN np
+    """,
+)
+def x150_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired pre/post per-user value shift, Wilcoxon signed-rank z."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import wilcoxon_signed_rank
+
+    ev = load_table(spark, sf_dir, "events")
+    pre = F.coalesce(
+        F.sum(
+            F.when(F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"),
+                   F.col("value"))
+        ),
+        F.lit(0.0),
+    )
+    post = F.coalesce(
+        F.sum(
+            F.when(F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"),
+                   F.col("value"))
+        ),
+        F.lit(0.0),
+    )
+    pairs = ev.groupBy("user_id").agg(pre.alias("x"), post.alias("y"))
+    return wilcoxon_signed_rank(pairs, "x", "y")
+
+
+
 
 
 # --------------------------------------------------------------------------

@@ -137,6 +137,7 @@ NEW_THIS_ROUND: set[str] = {
     "x147_roc_auc",
     "x148_bh_fdr",
     "x149_kcore",
+    "x150_wilcoxon",
 }
 
 

@@ -787,3 +787,68 @@ def test_kcore_fixed_rounds_converges_to_fixpoint(spark):
     conv_c = sorted((r.node, r.degree) for r in kcore(cyc, k=2, rounds=None).collect())
     fixed_c = sorted((r.node, r.degree) for r in kcore(cyc, k=2, rounds=3).collect())
     assert conv_c == fixed_c == [(1, 2), (2, 2), (3, 2), (4, 2)]
+
+
+def test_wilcoxon_matches_scipy_and_drops_zeros(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+        wilcoxon_signed_rank,
+    )
+
+    x = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    y = [2.5, 2.0, 5.0, 3.0, 9.0, 8.5, 7.5, 12.0]  # one zero diff (idx 1)
+    df = spark.createDataFrame(list(zip(x, y)), ["x", "y"])
+    r = wilcoxon_signed_rank(df, "x", "y").collect()[0]
+    assert r.n_pairs == 8 and r.n_nonzero == 7
+
+    try:
+        from scipy import stats as sps
+    except ImportError:
+        pass
+    else:
+        import numpy as np
+
+        # scipy with zero_method='wilcox' drops zeros, correction=False
+        stat, _ = sps.wilcoxon(np.array(x), np.array(y), zero_method="wilcox",
+                               correction=False, mode="approx")
+        # scipy returns min(W+, W-); reconstruct W+ from our doubled sum
+        assert r.w2_plus % 2 == 0 or True  # doubled-rank sum, may be odd w/ ties
+        n = r.n_nonzero
+        w_minus = n * (n + 1) / 2 - r.w2_plus / 2
+        assert abs(min(r.w2_plus / 2, w_minus) - stat) < 1e-9
+
+    # hand z cross-check via direct formula (no ties in |d| here? compute anyway)
+    import math
+
+    diffs = [b - a for a, b in zip(x, y) if b != a]
+    ads = sorted(abs(d) for d in diffs)
+    ranks = {}
+    i = 0
+    while i < len(ads):
+        j = i
+        while j < len(ads) and ads[j] == ads[i]:
+            j += 1
+        for t in range(i, j):
+            ranks.setdefault(ads[i], (i + 1 + j) / 2)
+        i = j
+    wplus = sum(ranks[abs(d)] for d in diffs if d > 0)
+    n = len(diffs)
+    ties = {}
+    for a in ads:
+        ties[a] = ties.get(a, 0) + 1
+    tie3 = sum(t**3 - t for t in ties.values())
+    var = n * (n + 1) * (2 * n + 1) / 24 - tie3 / 48
+    z = (wplus - n * (n + 1) / 4) / math.sqrt(var)
+    assert abs(r.z_r - z) < 1e-8
+    assert r.w2_plus == int(round(2 * wplus))
+
+
+def test_wilcoxon_all_zero_diffs_null_z(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+        wilcoxon_signed_rank,
+    )
+
+    df = spark.createDataFrame([(1.0, 1.0), (2.0, 2.0)], ["x", "y"])
+    r = wilcoxon_signed_rank(df, "x", "y").collect()[0]
+    assert r.n_pairs == 2 and r.n_nonzero == 0
+    assert r.w2_plus is None or r.w2_plus == 0
+    assert r.z_r is None
