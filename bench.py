@@ -190,6 +190,8 @@ HEADLINE = [
     "x148_bh_fdr",
     "x149_kcore",
     "x150_wilcoxon",
+    "x151_assortativity",
+    "x152_powerlaw",
 ]
 
 

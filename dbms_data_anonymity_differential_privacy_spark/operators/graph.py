@@ -289,3 +289,121 @@ def kcore(
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     return out
+
+
+def assortativity(edges: DataFrame) -> DataFrame:
+    """X151 — degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over edges — positive = hubs link
+    hubs (social nets), negative = hubs link leaves (the co-purchase /
+    infrastructure signature). The one-scalar structure probe next to
+    the triangle census (x138) and k-core (x149).
+
+    ``edges`` are distinct undirected ``(x, y)``, x < y. Each edge
+    contributes BOTH directed pairs (the standard symmetric treatment),
+    so the closed form collapses to
+
+        r = (|P|·Σjk − S²) / (|P|·Q − S²)
+
+    over the directed-pair multiset P (|P| = 2M), S = Σj, Q = Σj²,
+    C = Σjk — all exact DECIMAL(38,0) integers (degree products over
+    int64 edges; the x109 overflow-proof convention), released with ONE
+    IEEE division. NULL when all degrees are equal (zero variance).
+
+    Shape: one degree aggregation, degrees join back onto the edge
+    relation on node keys (AQE decides broadcast — the degree relation
+    is nodes-sized), ONE sufficient-statistics aggregation. No windows,
+    no iteration.
+
+    Output (single row): ``(n_nodes, n_edges, r_assort)``.
+    """
+    DEC = "decimal(38,0)"
+    deg = (
+        edges.select(F.col("x").alias("v"))
+        .unionAll(edges.select(F.col("y").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dx = deg.withColumnRenamed("v", "x").withColumnRenamed("d", "dx")
+    dy = deg.withColumnRenamed("v", "y").withColumnRenamed("d", "dy")
+    e = edges.join(dx, "x").join(dy, "y")
+    # both directed orientations: (dx, dy) and (dy, dx)
+    pairs = e.select(F.col("dx").alias("j"), F.col("dy").alias("k")).unionAll(
+        e.select(F.col("dy").alias("j"), F.col("dx").alias("k"))
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).cast(DEC).alias("p"),
+        F.sum(F.col("j").cast(DEC)).alias("s"),
+        F.sum((F.col("j") * F.col("j")).cast(DEC)).alias("q"),
+        F.sum((F.col("j") * F.col("k")).cast(DEC)).alias("c"),
+    )
+    n_nodes = deg.count()
+    n_edges = edges.count()
+    num = F.col("p") * F.col("c") - F.col("s") * F.col("s")
+    den = F.col("p") * F.col("q") - F.col("s") * F.col("s")
+    return s.select(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.round(
+            F.when(den > 0, num.cast("double") / den.cast("double")), 9
+        ).alias("r_assort"),
+    )
+
+
+def powerlaw_alpha(edges: DataFrame, d_min: int = 2) -> DataFrame:
+    """X152 — power-law exponent of the degree distribution by the
+    discrete MLE approximation of Clauset, Shalizi & Newman (SIAM Rev.
+    2009, eq. 3.7):
+
+        alpha = 1 + n_tail / Σ_{d_i >= d_min} ln(d_i / (d_min - 0.5))
+
+    — the scale-free-ness probe next to the Zipf fit (x128, token
+    frequencies): heavy-tailed degree structure decides whether skew
+    salting and hot-key handling matter for graph joins downstream.
+
+    Exactness: ln values come from the driver-built C-libm table over
+    the DISTINCT degree values (bounded by max degree — the x23/x128
+    idiom; DuckDB's ln binds the same libm), the tail sum is a sorted
+    left fold of cnt·ln terms over the distinct-degree relation, and
+    alpha is a fixed two-op double expression. NULL when the tail is
+    empty or every tail degree equals d_min... (zero log-sum).
+
+    Shape: one degree aggregation + one distinct-degree collapse; the
+    fold runs on the distinct-degree relation (kilobytes).
+
+    Output (single row): ``(n_tail, d_min, alpha_r)``.
+    """
+    import math
+
+    if d_min < 1:
+        raise ValueError(f"d_min must be >= 1, got {d_min}")
+    spark = edges.sparkSession
+    deg = (
+        edges.select(F.col("x").alias("v"))
+        .unionAll(edges.select(F.col("y").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    per_d = deg.groupBy("d").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("d") >= d_min
+    ).persist()
+    dvals = sorted(int(r["d"]) for r in per_d.select("d").distinct().collect())
+    shift = d_min - 0.5
+    ln_tab = spark.createDataFrame(
+        [(d, math.log(d / shift)) for d in dvals], "d long, lnv double"
+    )
+    terms = per_d.join(F.broadcast(ln_tab), "d").select(
+        (F.col("cnt").cast("double") * F.col("lnv")).alias("t"), F.col("cnt")
+    )
+    fold = F.expr(
+        "aggregate(array_sort(collect_list(t)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+    )
+    s = terms.agg(F.sum("cnt").alias("n_tail"), fold.alias("lsum"))
+    alpha = F.when(
+        F.col("lsum") > 0,
+        F.lit(1.0) + F.col("n_tail").cast("double") / F.col("lsum"),
+    )
+    return s.select(
+        F.col("n_tail").cast("long").alias("n_tail"),
+        F.lit(d_min).cast("int").alias("d_min"),
+        F.round(alpha, 9).alias("alpha_r"),
+    )

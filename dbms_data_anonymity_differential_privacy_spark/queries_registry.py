@@ -6609,6 +6609,109 @@ def x150_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wilcoxon_signed_rank(pairs, "x", "y")
 
 
+# --------------------------------------------------------------------------
+# X151 — degree assortativity (operators/graph.py assortativity): Pearson
+# correlation of endpoint degrees over the x138 co-purchase graph; exact
+# DECIMAL/HUGEINT sufficient statistics over both directed orientations,
+# one IEEE division.
+# --------------------------------------------------------------------------
+@query(
+    "x151_assortativity",
+    """
+    WITH e AS MATERIALIZED (SELECT a.i AS x, b.i AS y
+           FROM (SELECT DISTINCT l_orderkey AS bsk, l_partkey AS i FROM lineitem) a
+           JOIN (SELECT DISTINCT l_orderkey AS bsk, l_partkey AS i FROM lineitem) b
+             ON a.bsk = b.bsk AND a.i < b.i
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    deg AS MATERIALIZED (SELECT v, COUNT(*) AS d FROM
+           (SELECT x AS v FROM e UNION ALL SELECT y AS v FROM e) GROUP BY 1),
+    jk AS (SELECT dx.d AS j, dy.d AS k
+           FROM e JOIN deg dx ON dx.v = e.x JOIN deg dy ON dy.v = e.y),
+    pr AS (SELECT j, k FROM jk UNION ALL SELECT k AS j, j AS k FROM jk),
+    s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS p, CAST(SUM(j) AS HUGEINT) AS sj,
+                 CAST(SUM(j * j) AS HUGEINT) AS q, CAST(SUM(j * k) AS HUGEINT) AS c
+          FROM pr)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           ROUND(CASE WHEN p * q - sj * sj > 0 THEN
+                   CAST(p * c - sj * sj AS DOUBLE)
+                   / CAST(p * q - sj * sj AS DOUBLE) END, 9) AS r_assort
+    FROM s
+    """,
+)
+def x151_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase item graph."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import assortativity
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("bsk"), F.col("l_partkey").alias("i")
+    ).distinct()
+    a = items.select(F.col("bsk"), F.col("i").alias("x"))
+    b = items.select(F.col("bsk"), F.col("i").alias("y"))
+    edges = (
+        a.join(b, "bsk")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .filter(F.col("__w") >= 2)
+        .select("x", "y")
+        .persist()
+    )
+    return assortativity(edges)
+
+
+# --------------------------------------------------------------------------
+# X152 — power-law degree exponent (operators/graph.py powerlaw_alpha):
+# CSN discrete MLE over the co-purchase degree distribution; driver-libm
+# ln table over distinct degrees, sorted-fold tail sum, fixed two-op
+# release.
+# --------------------------------------------------------------------------
+@query(
+    "x152_powerlaw",
+    """
+    WITH e AS MATERIALIZED (SELECT a.i AS x, b.i AS y
+           FROM (SELECT DISTINCT l_orderkey AS bsk, l_partkey AS i FROM lineitem) a
+           JOIN (SELECT DISTINCT l_orderkey AS bsk, l_partkey AS i FROM lineitem) b
+             ON a.bsk = b.bsk AND a.i < b.i
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    deg AS (SELECT v, COUNT(*) AS d FROM
+            (SELECT x AS v FROM e UNION ALL SELECT y AS v FROM e) GROUP BY 1),
+    pd AS (SELECT d, COUNT(*) AS cnt FROM deg WHERE d >= 2 GROUP BY 1),
+    t AS (SELECT CAST(cnt AS DOUBLE) * ln(CAST(d AS DOUBLE) / CAST(1.5 AS DOUBLE)) AS t, cnt
+          FROM pd),
+    s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tail,
+                 list_reduce(list_sort(list(t)), (a, b) -> a + b) AS lsum
+          FROM t)
+    SELECT n_tail, CAST(2 AS INT) AS d_min,
+           ROUND(CASE WHEN lsum > 0
+                      THEN CAST(1.0 AS DOUBLE) + CAST(n_tail AS DOUBLE) / lsum END, 9) AS alpha_r
+    FROM s
+    """,
+)
+def x152_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSN power-law exponent of the co-purchase degree tail, d_min=2."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import powerlaw_alpha
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("bsk"), F.col("l_partkey").alias("i")
+    ).distinct()
+    a = items.select(F.col("bsk"), F.col("i").alias("x"))
+    b = items.select(F.col("bsk"), F.col("i").alias("y"))
+    edges = (
+        a.join(b, "bsk")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .filter(F.col("__w") >= 2)
+        .select("x", "y")
+    )
+    return powerlaw_alpha(edges, d_min=2)
+
+
+
+
 
 
 

@@ -138,6 +138,8 @@ NEW_THIS_ROUND: set[str] = {
     "x148_bh_fdr",
     "x149_kcore",
     "x150_wilcoxon",
+    "x151_assortativity",
+    "x152_powerlaw",
 }
 
 

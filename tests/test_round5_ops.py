@@ -852,3 +852,65 @@ def test_wilcoxon_all_zero_diffs_null_z(spark):
     assert r.n_pairs == 2 and r.n_nonzero == 0
     assert r.w2_plus is None or r.w2_plus == 0
     assert r.z_r is None
+
+
+def test_assortativity_star_is_negative_clique_null(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import assortativity
+
+    # star K1,4: every edge pairs degree 4 with degree 1 -> r = -1
+    star = spark.createDataFrame([(0, i) for i in range(1, 5)], ["x", "y"])
+    r = assortativity(star).collect()[0]
+    assert r.n_nodes == 5 and r.n_edges == 4
+    assert r.r_assort == -1.0
+
+    # clique K4: all degrees equal -> zero variance -> NULL
+    k4 = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)], ["x", "y"]
+    )
+    assert assortativity(k4).collect()[0].r_assort is None
+
+
+def test_assortativity_matches_networkx_formula(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import assortativity
+
+    # mixed graph, hand Pearson over both directed orientations
+    edges = [(1, 2), (2, 3), (3, 4), (2, 4), (4, 5)]
+    df = spark.createDataFrame(edges, ["x", "y"])
+    deg: dict = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    pairs = [(deg[a], deg[b]) for a, b in edges] + [(deg[b], deg[a]) for a, b in edges]
+    p = len(pairs)
+    sj = sum(j for j, _ in pairs)
+    q = sum(j * j for j, _ in pairs)
+    c = sum(j * k for j, k in pairs)
+    expect = (p * c - sj * sj) / (p * q - sj * sj)
+    r = assortativity(df).collect()[0]
+    assert abs(r.r_assort - expect) < 1e-9
+
+
+def test_powerlaw_alpha_recovers_planted_exponent(spark):
+    import math
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import powerlaw_alpha
+
+    # build a graph whose degree sequence is a planted tail, then check
+    # the estimator against the same closed form computed by hand
+    edges = []
+    nid = 1000
+    hubs = [(1, 8), (2, 8), (3, 4), (4, 4), (5, 2), (6, 2), (7, 2), (8, 2)]
+    for hub, d in hubs:
+        for _ in range(d):
+            edges.append((hub, nid))
+            nid += 1
+    df = spark.createDataFrame(edges, ["x", "y"])
+    r = powerlaw_alpha(df, d_min=2).collect()[0]
+    tail = [d for _, d in hubs if d >= 2]
+    expect = 1.0 + len(tail) / sum(math.log(d / 1.5) for d in sorted(tail))
+    assert r.n_tail == len(tail) and r.d_min == 2
+    assert abs(r.alpha_r - expect) < 1e-6
+
+    # leaves (degree 1) are excluded by d_min=2
+    r1 = powerlaw_alpha(df, d_min=1).collect()[0]
+    assert r1.n_tail == len(tail) + sum(d for _, d in hubs)
