@@ -7825,6 +7825,37 @@ def x104_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X153 — skyline / Pareto frontier (operators/skyline.py). Orders that are
+# not dominated on (totalprice, orderdate): no other order is >= on both
+# and > on one. The reference's only selection is a single-criterion
+# threshold (naive-suppresion.py:40); the skyline is the exact
+# multi-criteria generalization. Oracle mirrors the collapse->sweep
+# formulation (group-max then running max over d1 desc), NOT the
+# quadratic NOT EXISTS.
+# --------------------------------------------------------------------------
+@query(
+    "x153_skyline",
+    """
+    WITH g AS (SELECT o_totalprice AS d1, MAX(o_orderdate) AS mx2
+               FROM orders GROUP BY 1),
+    s AS (SELECT d1, mx2,
+                 MAX(mx2) OVER (ORDER BY d1 DESC ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND 1 PRECEDING) AS gmax
+          FROM g),
+    f AS (SELECT d1, mx2 FROM s WHERE gmax IS NULL OR mx2 > gmax)
+    SELECT o.o_totalprice, o.o_orderdate, o.o_orderkey
+    FROM orders o JOIN f ON o.o_totalprice = f.d1 AND o.o_orderdate = f.mx2
+    """,
+)
+def x153_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of orders maximising (totalprice, recency)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.skyline import skyline_2d
+
+    o = load_table(spark, sf_dir, "orders")
+    return skyline_2d(o, "o_totalprice", "o_orderdate", payload=["o_orderkey"])
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
 # every r3-window query now holds a driver row and rotates out. This

@@ -1,0 +1,68 @@
+"""Round-6 operators: skyline, importance weights, link prediction,
+rank statistics, permutation tests, quantile normalization, label
+propagation, isotonic calibration, association rules."""
+
+from __future__ import annotations
+
+import itertools
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import *  # noqa: F401,F403 — spark/sf fixtures
+
+
+def _brute_skyline(points):
+    """All-pairs dominance reference: p survives iff no q >= p everywhere
+    and > p somewhere."""
+    out = []
+    for p in points:
+        dominated = any(
+            all(qq >= pp for qq, pp in zip(q, p))
+            and any(qq > pp for qq, pp in zip(q, p))
+            for q in points
+        )
+        if not dominated:
+            out.append(p)
+    return sorted(out)
+
+
+def test_skyline_2d_matches_bruteforce(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.skyline import skyline_2d
+
+    rng = random.Random(7)
+    pts = [(rng.randint(0, 30) * 1.0, rng.randint(0, 30) * 1.0) for _ in range(400)]
+    # Force tie rows: duplicate a frontier-ish point verbatim.
+    pts += [(30.0, 30.0), (30.0, 30.0)]
+    df = spark.createDataFrame(
+        [(a, b, i) for i, (a, b) in enumerate(pts)], ["a", "b", "pid"]
+    )
+    got = sorted(
+        (r.a, r.b) for r in skyline_2d(df, "a", "b", payload=["pid"]).collect()
+    )
+    assert got == _brute_skyline(pts)
+
+
+def test_skyline_2d_keeps_all_tie_payloads(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.skyline import skyline_2d
+
+    pts = [(1.0, 5.0, 1), (1.0, 5.0, 2), (5.0, 1.0, 3), (0.5, 0.5, 4)]
+    df = spark.createDataFrame(pts, ["a", "b", "pid"])
+    got = {r.pid for r in skyline_2d(df, "a", "b", payload=["pid"]).collect()}
+    assert got == {1, 2, 3}
+
+
+@pytest.mark.parametrize("k", [2, 3, 4])
+def test_skyline_kd_matches_bruteforce(spark, k):
+    from dbms_data_anonymity_differential_privacy_spark.operators.skyline import skyline_kd
+
+    rng = random.Random(k)
+    pts = [tuple(float(rng.randint(0, 8)) for _ in range(k)) for _ in range(250)]
+    cols = [f"d{i}" for i in range(k)]
+    df = spark.createDataFrame([(*p, i) for i, p in enumerate(pts)], [*cols, "pid"])
+    got = sorted(
+        tuple(r[c] for c in cols) for r in skyline_kd(df, cols, payload=["pid"]).collect()
+    )
+    assert got == _brute_skyline(pts)
