@@ -250,3 +250,74 @@ def top_p_support(
             < F.lit(num) * F.sum("cnt").over(w_all)
         ).alias("kept"),
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 2000,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al., NeurIPS 2023)
+    — unigram-LM flavor.
+
+    Scores every NON-target document by the log-likelihood ratio of its
+    tokens under a target-pool vs raw-pool unigram model (add-1 smoothing
+    over a shared top-``vocab_size`` vocabulary). High weight = "looks
+    like the target distribution" — the selection signal DSIR feeds into
+    resampling. ``target_pred`` is a boolean Column marking the target
+    pool (e.g. ``F.col("source") == "src0"``).
+
+    Spark shape (reference has nothing comparable — its corpus ops are
+    single-table pandas): one tokenize->explode pass; a word-count shuffle
+    TRUNCATED to the top-``vocab_size`` rows (count desc, word asc — the
+    deterministic x19 vocab convention); per-word LLR computed on that
+    kilobyte relation and **broadcast** back onto the token stream; one
+    final per-doc aggregation. No fact-table shuffle carries anything
+    wider than (doc_id, 8-byte llr).
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        docs.select(id_col, target_pred.alias("_is_target"), text_col)
+        .select(
+            id_col,
+            "_is_target",
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    counts = toks.groupBy("w").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("ct"),
+    )
+    vocab = (
+        counts.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.orderBy(F.col("n_all").desc(), F.col("w").asc())
+            ),
+        )
+        .filter(F.col("_rk") <= vocab_size)
+        .select("w", "ct", (F.col("n_all") - F.col("ct")).alias("cr"))
+    )
+    tot = vocab.agg(
+        F.sum("ct").alias("t_tot"), F.sum("cr").alias("r_tot")
+    )
+    llr = vocab.crossJoin(F.broadcast(tot)).select(
+        "w",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("t_tot") + float(vocab_size)))
+            - F.log((F.col("cr") + 1.0) / (F.col("r_tot") + float(vocab_size)))
+        ).alias("llr"),
+    )
+    return (
+        toks.filter(~F.col("_is_target"))
+        .join(F.broadcast(llr), on="w", how="inner")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("llr"), 6).alias("dsir_weight"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )

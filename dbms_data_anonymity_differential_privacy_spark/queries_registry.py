@@ -7856,6 +7856,45 @@ def x153_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X154 — DSIR importance weights (operators/mixing.py dsir_importance):
+# score every non-target document by the unigram log-likelihood ratio of
+# a target pool (source='src0') vs the raw pool, add-1 smoothed over the
+# shared top-2000 vocabulary (x19 tie-break convention). The selection
+# signal of Xie et al. 2023's importance resampling. Both sides sum
+# libm/StrictMath ln values rounded at 6 dp after a ~100-term sum — the
+# same float-absorption contract as x23/x104.
+# --------------------------------------------------------------------------
+@query(
+    "x154_dsir_weights",
+    """
+    WITH tok AS (SELECT doc_id, source = 'src0' AS is_t,
+                        unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+                 FROM documents),
+    tok2 AS (SELECT * FROM tok WHERE w <> ''),
+    counts AS (SELECT w, COUNT(*) AS n_all,
+                      SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+               FROM tok2 GROUP BY w),
+    vocab AS (SELECT w, ct, n_all - ct AS cr FROM counts
+              ORDER BY n_all DESC, w LIMIT 2000),
+    tot AS (SELECT SUM(ct) AS t_tot, SUM(cr) AS r_tot FROM vocab),
+    llr AS (SELECT w, ln((ct + 1.0) / (t_tot + 2000.0))
+                     - ln((cr + 1.0) / (r_tot + 2000.0)) AS llr
+            FROM vocab CROSS JOIN tot)
+    SELECT doc_id, ROUND(SUM(llr), 6) AS dsir_weight,
+           COUNT(*) AS n_terms
+    FROM tok2 JOIN llr USING (w) WHERE NOT is_t
+    GROUP BY doc_id
+    """,
+)
+def x154_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR unigram importance weight per non-target document."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.mixing import dsir_importance
+
+    d = load_table(spark, sf_dir, "documents")
+    return dsir_importance(d, F.col("source") == "src0")
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
 # every r3-window query now holds a driver row and rotates out. This

@@ -66,3 +66,41 @@ def test_skyline_kd_matches_bruteforce(spark, k):
         tuple(r[c] for c in cols) for r in skyline_kd(df, cols, payload=["pid"]).collect()
     )
     assert got == _brute_skyline(pts)
+
+
+def test_dsir_importance_matches_bruteforce(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.mixing import dsir_importance
+
+    docs = [
+        (1, "cat dog cat", "t"),
+        (2, "dog fish", "t"),
+        (3, "cat cat dog", "r"),   # target-like
+        (4, "fish fish bird", "r"),
+        (5, "bird", "r"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "pool"])
+    out = {
+        r.doc_id: (r.dsir_weight, r.n_terms)
+        for r in dsir_importance(df, F.col("pool") == "t", vocab_size=4).collect()
+    }
+    # brute force: vocab = all 4 words; target counts cat2 dog2 fish1 bird0
+    import math
+
+    ct = {"cat": 2, "dog": 2, "fish": 1, "bird": 0}
+    cr = {"cat": 2, "dog": 1, "fish": 2, "bird": 2}
+    t_tot, r_tot, V = 5, 7, 4
+
+    def llr(w):
+        return math.log((ct[w] + 1) / (t_tot + V)) - math.log((cr[w] + 1) / (r_tot + V))
+
+    exp = {
+        3: round(llr("cat") * 2 + llr("dog"), 6),
+        4: round(llr("fish") * 2 + llr("bird"), 6),
+        5: round(llr("bird"), 6),
+    }
+    assert set(out) == {3, 4, 5}
+    assert out[3][1] == 3 and out[4][1] == 3 and out[5][1] == 1
+    for k in exp:
+        assert abs(out[k][0] - exp[k]) < 1e-9
+    # the target-like doc outranks the dissimilar ones
+    assert out[3][0] > out[4][0] and out[3][0] > out[5][0]
