@@ -407,3 +407,51 @@ def powerlaw_alpha(edges: DataFrame, d_min: int = 2) -> DataFrame:
         F.lit(d_min).cast("int").alias("d_min"),
         F.round(alpha, 9).alias("alpha_r"),
     )
+
+
+def adamic_adar(edges: DataFrame, top: int = 20) -> DataFrame:
+    """Adamic–Adar link prediction over an undirected edge relation.
+
+    ``edges`` has one row per undirected edge with ``src < dst``. For
+    every NON-adjacent pair (u, v) with at least one common neighbor,
+    scores ``AA = sum_{w in N(u) ∩ N(v)} 1 / ln(deg(w))`` (deg(w) >= 2
+    always holds for a common neighbor, so ln is positive) and returns
+    the ``top`` pairs by (aa_r desc, u, v) — the classic
+    missing-link ranking (Adamic & Adar 2003).
+
+    Shape: wedge enumeration is the one heavy stage — a self-join of the
+    adjacency relation on the center node, emitting Σ_w deg(w)² pairs.
+    That is the canonical AA cost; at crawl scale cap hub degrees
+    upstream (drop w with deg above a threshold — hubs contribute
+    ~1/ln(deg) ≈ 0 anyway). Everything else is slim: an 8-byte degree
+    relation broadcast onto the wedges, one (u,v) aggregation, an
+    anti-join against the edge list, and a distributed TakeOrdered for
+    the final cut (no single-reducer window).
+    """
+    pr = edges.select(
+        F.col("src").cast("long").alias("x"), F.col("dst").cast("long").alias("y")
+    )
+    nb = pr.selectExpr("x AS node", "y AS nbr").unionAll(
+        pr.selectExpr("y AS node", "x AS nbr")
+    )
+    deg = nb.groupBy(F.col("node").alias("w")).agg(F.count(F.lit(1)).alias("d"))
+    a, b = nb.alias("a"), nb.alias("b")
+    wedges = a.join(
+        b, (F.col("a.nbr") == F.col("b.nbr")) & (F.col("a.node") < F.col("b.node"))
+    ).select(
+        F.col("a.node").alias("u"), F.col("b.node").alias("v"), F.col("a.nbr").alias("w")
+    )
+    cand = (
+        wedges.join(F.broadcast(deg), on="w", how="inner")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.round(F.sum(1.0 / F.log(F.col("d"))), 6).alias("aa_r"),
+        )
+    )
+    nonedge = cand.join(
+        pr, on=[cand["u"] == pr["x"], cand["v"] == pr["y"]], how="left_anti"
+    )
+    return nonedge.orderBy(
+        F.col("aa_r").desc(), F.col("u").asc(), F.col("v").asc()
+    ).limit(top)

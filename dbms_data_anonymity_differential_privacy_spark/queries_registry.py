@@ -7895,6 +7895,54 @@ def x154_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X155 — Adamic–Adar link prediction (operators/graph.py adamic_adar) over
+# the x138 co-purchase graph (parts sharing >= 2 orders): top-20
+# non-adjacent part pairs ranked by summed 1/ln(common-neighbor degree).
+# Deterministic cut: (aa_r desc, u, v).
+# --------------------------------------------------------------------------
+@query(
+    "x155_adamic_adar",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    pr AS (SELECT a.i AS x, b.i AS y FROM items a
+           JOIN items b ON a.b = b.b AND a.i < b.i
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    nb AS (SELECT x AS node, y AS nbr FROM pr UNION ALL SELECT y, x FROM pr),
+    deg AS (SELECT node AS w, CAST(COUNT(*) AS BIGINT) AS d FROM nb GROUP BY 1),
+    wedge AS (SELECT a.node AS u, b.node AS v, a.nbr AS w
+              FROM nb a JOIN nb b ON a.nbr = b.nbr AND a.node < b.node),
+    cand AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn,
+                    ROUND(SUM(1.0 / ln(d)), 6) AS aa_r
+             FROM wedge JOIN deg USING (w) GROUP BY 1, 2)
+    SELECT u, v, cn, aa_r FROM cand c
+    WHERE NOT EXISTS (SELECT 1 FROM pr WHERE pr.x = c.u AND pr.y = c.v)
+    ORDER BY aa_r DESC, u, v LIMIT 20
+    """,
+)
+def x155_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted missing links in the co-purchase graph."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import adamic_adar
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("src", "dst")
+    )
+    return adamic_adar(edges, top=20)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
 # every r3-window query now holds a driver row and rotates out. This

@@ -104,3 +104,30 @@ def test_dsir_importance_matches_bruteforce(spark):
         assert abs(out[k][0] - exp[k]) < 1e-9
     # the target-like doc outranks the dissimilar ones
     assert out[3][0] > out[4][0] and out[3][0] > out[5][0]
+
+
+def test_adamic_adar_matches_bruteforce(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import adamic_adar
+
+    # path graph 1-2-3-4-5 plus edge 2-4: known common-neighbor structure
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {(r.u, r.v): (r.cn, r.aa_r) for r in adamic_adar(df, top=100).collect()}
+
+    deg = {1: 1, 2: 3, 3: 2, 4: 3, 5: 1}
+    adj = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+    nodes = sorted(deg)
+    exp = {}
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if (u, v) in adj:
+                continue
+            common = [
+                w for w in nodes if (u, w) in adj and (v, w) in adj
+            ]
+            if common:
+                exp[(u, v)] = (
+                    len(common),
+                    round(sum(1.0 / math.log(deg[w]) for w in common), 6),
+                )
+    assert out == exp
