@@ -1839,3 +1839,66 @@ def wilcoxon_signed_rank(
         F.col("w2").cast("long").alias("w2_plus"),
         F.round(z, ROUND_DP).alias("z_r"),
     )
+
+
+def kruskal_wallis(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """Kruskal–Wallis H test — the k-group extension of Mann–Whitney
+    (x80): does at least one group's value distribution stochastically
+    dominate? The rank-based companion to one-way ANOVA (x110) for
+    heavy-tailed metrics.
+
+    Same no-global-rank shape as x80: collapse to the per-distinct-value
+    count relation, derive midranks from one ordered cumsum over it, and
+    compute per-group rank sums with a slim join of two distinct-value
+    relations. H uses the standard tie correction
+    ``1 - Σ(t³-t)/(N³-N)``. The only window runs over the distinct-value
+    relation (pre-bucket near-continuous metrics at 100 TB — x80 note).
+
+    Output (single row): ``(n_total, k_groups, h_r, h_tie_r)`` with
+    h_tie the tie-corrected statistic (χ²_{k-1} under H0).
+    """
+    from pyspark.sql import Window
+
+    gv = df.select(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+    ).filter(F.col("__v").isNotNull() & F.col("__g").isNotNull())
+    per_gv = gv.groupBy("__v", "__g").agg(F.count(F.lit(1)).alias("__c"))
+    per_v = gv.groupBy("__v").agg(F.count(F.lit(1)).alias("__t"))
+    w_prev = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked_v = per_v.select(
+        "__v",
+        "__t",
+        (
+            F.coalesce(F.sum("__t").over(w_prev), F.lit(0)).cast("double")
+            + (F.col("__t").cast("double") + F.lit(1.0)) / F.lit(2.0)
+        ).alias("__midrank"),
+    )
+    rank_sums = (
+        per_gv.join(ranked_v.select("__v", "__midrank"), on="__v")
+        .groupBy("__g")
+        .agg(
+            F.sum("__c").cast("long").alias("__ng"),
+            F.sum(F.col("__c").cast("double") * F.col("__midrank")).alias("__rg"),
+        )
+    )
+    ties = ranked_v.agg(
+        F.sum(F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t"))
+        .cast("double")
+        .alias("__tie3")
+    )
+    agg = rank_sums.agg(
+        F.sum("__ng").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.sum(
+            F.col("__rg") * F.col("__rg") / F.col("__ng").cast("double")
+        ).alias("__s"),
+    ).crossJoin(F.broadcast(ties))
+    n = F.col("n_total").cast("double")
+    h = F.lit(12.0) / (n * (n + 1.0)) * F.col("__s") - F.lit(3.0) * (n + 1.0)
+    corr = F.lit(1.0) - F.col("__tie3") / (n * n * n - n)
+    return agg.select(
+        "n_total",
+        "k_groups",
+        F.round(h, 9).alias("h_r"),
+        F.round(F.when(corr > 0, h / corr), 9).alias("h_tie_r"),
+    )

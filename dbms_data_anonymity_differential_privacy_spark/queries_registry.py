@@ -7943,6 +7943,51 @@ def x155_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X156 — Kruskal–Wallis H (operators/stats.py kruskal_wallis): k-group
+# rank test of event value across event types; x80's distinct-value
+# cumsum shape, midranks + tie correction.
+# --------------------------------------------------------------------------
+@query(
+    "x156_kruskal_wallis",
+    """
+    WITH gv AS (SELECT event_type AS g, value AS v FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    per_gv AS (SELECT v, g, COUNT(*) AS c FROM gv GROUP BY 1, 2),
+    per_v AS (SELECT v, COUNT(*) AS t FROM gv GROUP BY 1),
+    rv AS (SELECT v, t,
+                  CAST(COALESCE(SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+                  + (CAST(t AS DOUBLE) + 1.0) / 2.0 AS midrank
+           FROM per_v),
+    rs AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ng,
+                  SUM(CAST(c AS DOUBLE) * midrank) AS rg
+           FROM per_gv JOIN rv USING (v) GROUP BY g),
+    ties AS (SELECT CAST(SUM(t * t * t - t) AS DOUBLE) AS tie3 FROM rv),
+    agg AS (SELECT CAST(SUM(ng) AS BIGINT) AS n_total,
+                   CAST(COUNT(*) AS BIGINT) AS k_groups,
+                   SUM(rg * rg / CAST(ng AS DOUBLE)) AS s
+            FROM rs)
+    SELECT n_total, k_groups,
+           ROUND(12.0 / (n_total * (n_total + 1.0)) * s
+                 - 3.0 * (n_total + 1.0), 9) AS h_r,
+           ROUND(CASE WHEN 1.0 - tie3 / (CAST(n_total AS DOUBLE) * n_total * n_total
+                                         - n_total) > 0
+                      THEN (12.0 / (n_total * (n_total + 1.0)) * s
+                            - 3.0 * (n_total + 1.0))
+                           / (1.0 - tie3 / (CAST(n_total AS DOUBLE) * n_total
+                                            * n_total - n_total)) END, 9) AS h_tie_r
+    FROM agg CROSS JOIN ties
+    """,
+)
+def x156_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H across event types on the value metric."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import kruskal_wallis
+
+    ev = load_table(spark, sf_dir, "events")
+    return kruskal_wallis(ev, "value", "event_type")
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
 # every r3-window query now holds a driver row and rotates out. This

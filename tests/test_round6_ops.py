@@ -131,3 +131,39 @@ def test_adamic_adar_matches_bruteforce(spark):
                     round(sum(1.0 / math.log(deg[w]) for w in common), 6),
                 )
     assert out == exp
+
+
+def test_kruskal_wallis_matches_bruteforce(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import kruskal_wallis
+
+    rows = (
+        [("a", v) for v in [1.0, 2.0, 2.0, 5.0]]
+        + [("b", v) for v in [2.0, 4.0, 6.0]]
+        + [("c", v) for v in [3.0, 3.0, 7.0, 8.0, 8.0]]
+    )
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = kruskal_wallis(df, "v", "g").collect()[0]
+
+    # brute force with midranks
+    vals = sorted(v for _, v in rows)
+    rank = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        rank[vals[i]] = (i + 1 + j) / 2.0
+        i = j
+    n = len(rows)
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(rank[v])
+    s = sum(sum(rs) ** 2 / len(rs) for rs in groups.values())
+    h = 12.0 / (n * (n + 1)) * s - 3 * (n + 1)
+    from collections import Counter
+
+    t3 = sum(t**3 - t for t in Counter(vals).values())
+    h_tie = h / (1 - t3 / (n**3 - n))
+    assert out.n_total == n and out.k_groups == 3
+    assert abs(out.h_r - round(h, 9)) < 1e-9
+    assert abs(out.h_tie_r - round(h_tie, 9)) < 1e-9
