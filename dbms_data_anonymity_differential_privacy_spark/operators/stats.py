@@ -1902,3 +1902,55 @@ def kruskal_wallis(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
         F.round(h, 9).alias("h_r"),
         F.round(F.when(corr > 0, h / corr), 9).alias("h_tie_r"),
     )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Cliff's delta — the ordinal effect size companion to x80's
+    Mann–Whitney test: ``δ = (P[a > b] - P[a < b])`` over all cross-group
+    pairs, in [-1, 1]. Reports the practical magnitude a bare z-score
+    hides.
+
+    Pair counts come from the x80 distinct-value cumsum relation, so the
+    whole statistic is INTEGER-exact (win/loss/tie counts are bigint
+    sums of count products) until the single final division — no float
+    accumulation to absorb, the strongest cross-engine hash contract.
+
+    Output (single row): ``(n_a, n_b, wins_a, wins_b, ties, delta_r)``.
+    """
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    counts = (
+        df.filter(g.isin([group_a, group_b]) & F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("__v"))
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).alias("__na"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).alias("__nb"),
+        )
+    )
+    w_prev = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    staged = counts.select(
+        "__na",
+        "__nb",
+        F.coalesce(F.sum("__nb").over(w_prev), F.lit(0)).alias("__b_below"),
+        F.coalesce(F.sum("__na").over(w_prev), F.lit(0)).alias("__a_below"),
+    )
+    agg = staged.agg(
+        F.sum("__na").cast("long").alias("n_a"),
+        F.sum("__nb").cast("long").alias("n_b"),
+        F.sum(F.col("__na") * F.col("__b_below")).cast("long").alias("wins_a"),
+        F.sum(F.col("__nb") * F.col("__a_below")).cast("long").alias("wins_b"),
+        F.sum(F.col("__na") * F.col("__nb")).cast("long").alias("ties"),
+    )
+    pairs = (F.col("n_a") * F.col("n_b")).cast("double")
+    delta = (F.col("wins_a") - F.col("wins_b")).cast("double") / pairs
+    return agg.select(
+        "n_a", "n_b", "wins_a", "wins_b", "ties",
+        F.round(F.when(pairs > 0, delta), 9).alias("delta_r"),
+    )

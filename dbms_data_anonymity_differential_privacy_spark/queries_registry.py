@@ -7988,6 +7988,47 @@ def x156_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X157 — Cliff's delta (operators/stats.py cliffs_delta): ordinal effect
+# size purchase-vs-click on value. Win/loss/tie pair counts are
+# integer-exact from the x80 distinct-value cumsum; one final division.
+# --------------------------------------------------------------------------
+@query(
+    "x157_cliffs_delta",
+    """
+    WITH c AS (SELECT value AS v,
+                      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS na,
+                      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nb
+               FROM events
+               WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+               GROUP BY 1),
+    s AS (SELECT na, nb,
+                 COALESCE(SUM(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND 1 PRECEDING), 0) AS b_below,
+                 COALESCE(SUM(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND 1 PRECEDING), 0) AS a_below
+          FROM c),
+    agg AS (SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+                   CAST(SUM(nb) AS BIGINT) AS n_b,
+                   CAST(SUM(na * b_below) AS BIGINT) AS wins_a,
+                   CAST(SUM(nb * a_below) AS BIGINT) AS wins_b,
+                   CAST(SUM(na * nb) AS BIGINT) AS ties
+            FROM s)
+    SELECT n_a, n_b, wins_a, wins_b, ties,
+           ROUND(CASE WHEN n_a * n_b > 0 THEN
+                 CAST(wins_a - wins_b AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)
+                 END, 9) AS delta_r
+    FROM agg
+    """,
+)
+def x157_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta effect size, purchase vs click event values."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import cliffs_delta
+
+    ev = load_table(spark, sf_dir, "events")
+    return cliffs_delta(ev, "value", "event_type", "purchase", "click")
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
 # every r3-window query now holds a driver row and rotates out. This

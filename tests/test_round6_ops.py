@@ -167,3 +167,20 @@ def test_kruskal_wallis_matches_bruteforce(spark):
     assert out.n_total == n and out.k_groups == 3
     assert abs(out.h_r - round(h, 9)) < 1e-9
     assert abs(out.h_tie_r - round(h_tie, 9)) < 1e-9
+
+
+def test_cliffs_delta_matches_bruteforce(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import cliffs_delta
+
+    a_vals = [1.0, 3.0, 3.0, 7.0, 9.0]
+    b_vals = [2.0, 3.0, 5.0, 5.0]
+    rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = cliffs_delta(df, "v", "g", "a", "b").collect()[0]
+
+    wins_a = sum(1 for x in a_vals for y in b_vals if x > y)
+    wins_b = sum(1 for x in a_vals for y in b_vals if x < y)
+    ties = sum(1 for x in a_vals for y in b_vals if x == y)
+    assert (out.wins_a, out.wins_b, out.ties) == (wins_a, wins_b, ties)
+    assert out.n_a == 5 and out.n_b == 4
+    assert abs(out.delta_r - round((wins_a - wins_b) / 20.0, 9)) < 1e-12
