@@ -1954,3 +1954,86 @@ def cliffs_delta(
         "n_a", "n_b", "wins_a", "wins_b", "ties",
         F.round(F.when(pairs > 0, delta), 9).alias("delta_r"),
     )
+
+
+def permutation_test_means(
+    df: DataFrame,
+    value_col: str,
+    unit_col: str,
+    n_perms: int = 100,
+    salt: str = "permtest",
+) -> DataFrame:
+    """Randomization-inference p-value for a difference in per-unit mean
+    outcomes — the assumption-free companion to the parametric A/B tests
+    (x74 z, x135 CUPED): re-randomize the unit assignment ``n_perms``
+    times and ask how often the permuted |mean diff| reaches the
+    observed one.
+
+    Determinism contract: assignment p=0 (the observed split) AND every
+    permutation are drawn from the engine's portable md5 hash
+    (``operators/sampling.py`` convention, ``md5(unit|perm|salt)`` first
+    8 hex chars vs '80000000'), so any SQL engine reproduces the exact
+    same permutations — no RNG state, no seed tables.
+
+    Shape: one fact aggregation to per-unit sums; the (P+1)-way explode
+    multiplies only that slim unit relation; per-perm means come from a
+    partial-aggregated groupBy to P+1 rows. p-value =
+    ``(1 + #{p >= 1 : |diff_p| >= |diff_0|}) / (P + 1)``.
+
+    Output (single row): ``(n_units, n_perms, obs_diff_r, p_value_r)``.
+    """
+    per_unit = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(unit_col).alias("__u"))
+        .agg(F.sum(value_col).alias("__x"))
+    )
+    perm_ids = F.array([F.lit(i) for i in range(n_perms + 1)])
+    assigned = per_unit.select(
+        "__u", "__x", F.explode(perm_ids).alias("__p")
+    ).withColumn(
+        "__treat",
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("__u").cast("string"),
+                    F.col("__p").cast("string"),
+                    F.lit(salt),
+                ).cast("binary")
+            ),
+            1,
+            8,
+        )
+        < F.lit("80000000"),
+    )
+    per_perm = assigned.groupBy("__p").agg(
+        F.avg(F.when(F.col("__treat"), F.col("__x"))).alias("__mt"),
+        F.avg(F.when(~F.col("__treat"), F.col("__x"))).alias("__mc"),
+        F.count(F.lit(1)).alias("__n"),
+    ).select(
+        "__p", "__n", (F.col("__mt") - F.col("__mc")).alias("__diff")
+    )
+    obs = per_perm.filter(F.col("__p") == 0).select(
+        F.col("__n").alias("n_units"), F.col("__diff").alias("__obs")
+    )
+    return (
+        per_perm.filter(F.col("__p") >= 1)
+        .crossJoin(F.broadcast(obs))
+        .agg(
+            F.first("n_units").alias("n_units"),
+            F.count(F.lit(1)).cast("long").alias("n_perms"),
+            F.round(F.first("__obs"), 6).alias("obs_diff_r"),
+            F.round(
+                (
+                    F.lit(1.0)
+                    + F.sum(
+                        F.when(
+                            F.abs(F.col("__diff")) >= F.abs(F.col("__obs")), 1
+                        ).otherwise(0)
+                    )
+                )
+                / (F.count(F.lit(1)) + F.lit(1.0)),
+                6,
+            ).alias("p_value_r"),
+        )
+    )

@@ -8029,6 +8029,44 @@ def x157_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X158 — permutation test (operators/stats.py permutation_test_means):
+# randomization-inference p-value for the hash-split A/B difference in
+# per-user value sums; 100 portable md5-drawn permutations, so DuckDB
+# replays the identical assignments.
+# --------------------------------------------------------------------------
+@query(
+    "x158_permutation_test",
+    """
+    WITH pu AS (SELECT user_id AS u, SUM(value) AS x FROM events
+                WHERE value IS NOT NULL GROUP BY 1),
+    a AS (SELECT u, x, p,
+                 substr(md5(CAST(u AS VARCHAR) || '|' || CAST(p AS VARCHAR)
+                            || '|permtest'), 1, 8) < '80000000' AS treat
+          FROM pu CROSS JOIN (SELECT unnest(generate_series(0, 100)) AS p)),
+    pp AS (SELECT p, COUNT(*) AS n,
+                  AVG(CASE WHEN treat THEN x END)
+                  - AVG(CASE WHEN NOT treat THEN x END) AS diff
+           FROM a GROUP BY 1),
+    obs AS (SELECT n AS n_units, diff AS obs FROM pp WHERE p = 0)
+    SELECT CAST(n_units AS BIGINT) AS n_units,
+           CAST(COUNT(*) AS BIGINT) AS n_perms,
+           ROUND(MAX(obs), 6) AS obs_diff_r,
+           ROUND((1.0 + SUM(CASE WHEN ABS(diff) >= ABS(obs) THEN 1 ELSE 0 END))
+                 / (COUNT(*) + 1.0), 6) AS p_value_r
+    FROM pp CROSS JOIN obs WHERE p >= 1 GROUP BY n_units
+    """,
+)
+def x158_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation p-value for the A/B difference in per-user spend."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+        permutation_test_means,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return permutation_test_means(ev, "value", "user_id", n_perms=100)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
 # every r3-window query now holds a driver row and rotates out. This

@@ -184,3 +184,33 @@ def test_cliffs_delta_matches_bruteforce(spark):
     assert (out.wins_a, out.wins_b, out.ties) == (wins_a, wins_b, ties)
     assert out.n_a == 5 and out.n_b == 4
     assert abs(out.delta_r - round((wins_a - wins_b) / 20.0, 9)) < 1e-12
+
+
+def test_permutation_test_matches_bruteforce(spark):
+    import hashlib
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import permutation_test_means
+
+    rng = random.Random(3)
+    rows = [(u, float(rng.randint(0, 20))) for u in range(40) for _ in range(2)]
+    df = spark.createDataFrame(rows, ["u", "v"])
+    out = permutation_test_means(df, "v", "u", n_perms=19).collect()[0]
+
+    sums = {}
+    for u, v in rows:
+        sums[u] = sums.get(u, 0.0) + v
+
+    def treat(u, p):
+        h = hashlib.md5(f"{u}|{p}|permtest".encode()).hexdigest()[:8]
+        return h < "80000000"
+
+    def diff(p):
+        t = [x for u, x in sums.items() if treat(u, p)]
+        c = [x for u, x in sums.items() if not treat(u, p)]
+        return sum(t) / len(t) - sum(c) / len(c)
+
+    obs = diff(0)
+    hits = sum(1 for p in range(1, 20) if abs(diff(p)) >= abs(obs))
+    assert out.n_units == 40 and out.n_perms == 19
+    assert abs(out.obs_diff_r - round(obs, 6)) < 1e-9
+    assert abs(out.p_value_r - round((1 + hits) / 20.0, 6)) < 1e-9
