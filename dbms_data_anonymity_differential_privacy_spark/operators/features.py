@@ -29,6 +29,8 @@ feature joins consume — fact rows never shuffle to be encoded.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -129,4 +131,61 @@ def roc_auc(
         F.round(
             F.when(den > 0, num.cast("double") / den.cast("double")), ROUND_DP
         ).alias("auc_r"),
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_cols: Sequence[str],
+) -> DataFrame:
+    """Pooled-reference quantile normalization (nearest-rank flavor):
+    replace each row's value with the pooled distribution's order
+    statistic at the row's within-group quantile, removing per-group
+    distribution shift while preserving within-group rank order — the
+    cross-source calibration step batch-effect pipelines use before
+    comparing per-source metrics.
+
+    Mapping is INTEGER-exact end to end: within-group rank r of n_g maps
+    to pooled rank ``k = ceil(((2r-1) / (2 n_g)) · N)`` computed as
+    ``((2r-1)·N + 2·n_g - 1) div (2·n_g)``, and the pooled order
+    statistic comes from exploding the distinct-value count relation
+    into an (k, value) rank table — an equi-join, never an inequality
+    join. Shapes: one per-group window (fact shuffle on group), one
+    distinct-value cumsum (slim), one N-row rank relation joined on k.
+
+    Output: ``(*id_cols, group_col, value_col, qnorm)``.
+    """
+    from pyspark.sql import Window
+
+    d = df.select(*id_cols, group_col, F.col(value_col).alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    pv = d.groupBy("__v").agg(F.count(F.lit(1)).alias("__t"))
+    w_prev = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = pv.select(
+        "__v", "__t", F.coalesce(F.sum("__t").over(w_prev), F.lit(0)).alias("__lo")
+    )
+    ranks = cum.select(
+        F.col("__lo"),
+        F.col("__v").alias("qnorm"),
+        F.explode(F.sequence(F.lit(1), F.col("__t"))).alias("__i"),
+    ).select((F.col("__lo") + F.col("__i")).alias("__k"), "qnorm")
+    n_all = d.agg(F.count(F.lit(1)).alias("__n"))
+    sizes = d.groupBy(group_col).agg(F.count(F.lit(1)).alias("__ng"))
+    w_rank = Window.partitionBy(group_col).orderBy(
+        F.col("__v").asc(), *[F.col(c).asc() for c in id_cols]
+    )
+    ranked = (
+        d.withColumn("__r", F.row_number().over(w_rank))
+        .join(F.broadcast(sizes), on=group_col)
+        .crossJoin(F.broadcast(n_all))
+        .withColumn(
+            "__k",
+            F.expr("((2 * __r - 1) * __n + 2 * __ng - 1) DIV (2 * __ng)"),
+        )
+    )
+    return ranked.join(ranks, on="__k").select(
+        *id_cols, group_col, F.col("__v").alias(value_col), "qnorm"
     )

@@ -8067,6 +8067,43 @@ def x158_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X159 — quantile normalization (operators/features.py
+# quantile_normalize): per-source document lengths mapped onto the
+# pooled length distribution by nearest-rank quantile; integer-exact
+# (rank arithmetic via DIV, values from the pooled domain).
+# --------------------------------------------------------------------------
+@query(
+    "x159_quantile_norm",
+    """
+    WITH d AS (SELECT doc_id, source, n_chars AS v FROM documents
+               WHERE n_chars IS NOT NULL),
+    pv AS (SELECT v, COUNT(*) AS t FROM d GROUP BY 1),
+    cum AS (SELECT v, t, COALESCE(SUM(t) OVER (ORDER BY v ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo
+            FROM pv),
+    ranks AS (SELECT lo + unnest(generate_series(1, t)) AS k, v AS qnorm
+              FROM cum),
+    n AS (SELECT COUNT(*) AS n_all FROM d),
+    g AS (SELECT source, COUNT(*) AS ng FROM d GROUP BY 1),
+    r AS (SELECT doc_id, source, v,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY v, doc_id) AS rk
+          FROM d),
+    kk AS (SELECT doc_id, source, v,
+                  ((2 * rk - 1) * n_all + 2 * ng - 1) // (2 * ng) AS k
+           FROM r JOIN g USING (source) CROSS JOIN n)
+    SELECT doc_id, source, v AS n_chars, qnorm
+    FROM kk JOIN ranks USING (k)
+    """,
+)
+def x159_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize per-source document lengths to the pool."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.features import quantile_normalize
+
+    d = load_table(spark, sf_dir, "documents")
+    return quantile_normalize(d, "n_chars", "source", id_cols=["doc_id"])
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
 # every r3-window query now holds a driver row and rotates out. This

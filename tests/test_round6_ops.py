@@ -214,3 +214,29 @@ def test_permutation_test_matches_bruteforce(spark):
     assert out.n_units == 40 and out.n_perms == 19
     assert abs(out.obs_diff_r - round(obs, 6)) < 1e-9
     assert abs(out.p_value_r - round((1 + hits) / 20.0, 6)) < 1e-9
+
+
+def test_quantile_normalize_invariants(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.features import quantile_normalize
+
+    rng = random.Random(11)
+    # group "hi" shifted +100 vs group "lo": qnorm must erase the shift
+    rows = [(i, "lo", float(rng.randint(0, 50))) for i in range(60)] + [
+        (i + 100, "hi", float(rng.randint(100, 150))) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["rid", "g", "v"])
+    out = quantile_normalize(df, "v", "g", id_cols=["rid"]).collect()
+    assert len(out) == 120
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append((r.v, r.qnorm))
+    pooled = sorted(v for _, _, v in rows)
+    for g, pairs in by_g.items():
+        # qnorm values are drawn from the pooled domain
+        assert all(q in pooled for _, q in pairs)
+        # rank order within group is preserved
+        pairs.sort()
+        qs = [q for _, q in pairs]
+        assert qs == sorted(qs)
+    # equal group sizes: both groups map onto near-identical references
+    assert sorted(q for _, q in by_g["lo"]) == sorted(q for _, q in by_g["hi"])
