@@ -455,3 +455,53 @@ def adamic_adar(edges: DataFrame, top: int = 20) -> DataFrame:
     return nonedge.orderBy(
         F.col("aa_r").desc(), F.col("u").asc(), F.col("v").asc()
     ).limit(top)
+
+
+def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) made fully
+    deterministic: every round each node adopts the most frequent label
+    among its neighbors, ties broken by SMALLEST label — no RNG, no
+    visit order, so any engine replays the identical fixed-point
+    trajectory. ``iters`` is fixed (not run-to-convergence) for the same
+    reason the integer PageRank is fixed-iteration: a data-independent
+    plan with a bounded number of shuffles.
+
+    Per round: one join of the adjacency relation against the current
+    (node, label) relation — ids-only, hash-partitioned on the join key
+    — one (node, label) count aggregation, and one per-node top-1 window
+    (partitioned, no global order). Labels persist per round and
+    unpersist after the next materializes (x149 kcore lineage
+    discipline).
+
+    Returns ``(node, community)`` for every node with at least one edge.
+    """
+    from pyspark.sql import Window
+
+    pr = edges.select(
+        F.col("src").cast("long").alias("x"), F.col("dst").cast("long").alias("y")
+    )
+    adj = pr.selectExpr("x AS node", "y AS nbr").unionAll(
+        pr.selectExpr("y AS node", "x AS nbr")
+    ).persist()
+    labels = adj.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    ).persist()
+    labels.count()
+    w = Window.partitionBy("node").orderBy(F.col("__c").desc(), F.col("label").asc())
+    for _ in range(iters):
+        msgs = adj.join(
+            labels.select(F.col("node").alias("nbr"), "label"), on="nbr"
+        ).select("node", "label")
+        nxt = (
+            msgs.groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select("node", "label")
+            .persist()
+        )
+        nxt.count()
+        labels.unpersist()
+        labels = nxt
+    adj.unpersist()
+    return labels.select("node", F.col("label").alias("community"))

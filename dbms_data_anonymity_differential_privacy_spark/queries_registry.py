@@ -8104,6 +8104,62 @@ def x159_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X160 — label propagation communities (operators/graph.py
+# label_propagation): 3 deterministic synchronous rounds (mode of
+# neighbor labels, ties -> smallest) over the co-purchase graph; oracle
+# replays the identical rounds as unrolled CTEs.
+# --------------------------------------------------------------------------
+def _x160_sql(iters: int = 3) -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"""r{i} AS (SELECT a.node, l.label FROM adj a
+                   JOIN {prev} l ON l.node = a.nbr),
+    c{i} AS (SELECT node, label, COUNT(*) AS c FROM r{i} GROUP BY 1, 2),
+    l{i} AS (SELECT node, label FROM
+                 (SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node
+                         ORDER BY c DESC, label) AS rk FROM c{i})
+             WHERE rk = 1)"""
+        )
+        prev = f"l{i}"
+    return f"""
+    WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    pr AS (SELECT a.i AS x, b.i AS y FROM items a
+           JOIN items b ON a.b = b.b AND a.i < b.i
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    adj AS (SELECT x AS node, y AS nbr FROM pr UNION ALL SELECT y, x FROM pr),
+    l0 AS (SELECT DISTINCT node, node AS label FROM adj),
+    {", ".join(rounds)}
+    SELECT node, label AS community FROM {prev}
+    """
+
+
+@query("x160_label_prop", _x160_sql())
+def x160_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-round label-propagation communities."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("src", "dst")
+    )
+    return label_propagation(edges, iters=3)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
 # every r3-window query now holds a driver row and rotates out. This

@@ -240,3 +240,19 @@ def test_quantile_normalize_invariants(spark):
         assert qs == sorted(qs)
     # equal group sizes: both groups map onto near-identical references
     assert sorted(q for _, q in by_g["lo"]) == sorted(q for _, q in by_g["hi"])
+
+
+def test_label_propagation_two_cliques(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import label_propagation
+
+    # two 4-cliques joined by one bridge edge: communities must separate
+    def clique(nodes):
+        return [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1:]]
+
+    edges = clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r.node: r.community for r in label_propagation(df, iters=3).collect()}
+    assert set(out) == {1, 2, 3, 4, 10, 11, 12, 13}
+    left = {out[n] for n in [1, 2, 3]}
+    right = {out[n] for n in [11, 12, 13]}
+    assert len(left) == 1 and len(right) == 1 and left != right
