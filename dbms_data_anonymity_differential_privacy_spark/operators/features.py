@@ -189,3 +189,74 @@ def quantile_normalize(
     return ranked.join(ranks, on="__k").select(
         *id_cols, group_col, F.col("__v").alias(value_col), "qnorm"
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    n_bins: int = 40,
+) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration curve: bin the
+    score, then fit weighted PAVA to the per-bin positive rate — the
+    standard score→probability calibrator (Zadrozny & Elkan 2002,
+    pool-adjacent-violators).
+
+    Exactness: labels are 0/1, so per-bin (positives, total) stay
+    INTEGER through the fit; PAVA pools compare means by integer
+    cross-multiplication (``s_i · n_j`` vs ``s_j · n_i``) — no float
+    drift decides a pool — and every fitted value is an exact
+    integer-ratio double. That makes the result equal, bit for bit, to
+    the closed-form minimax characterization
+    ``iso(i) = max_{j<=i} min_{k>=i} mean(y[j..k])`` a SQL oracle can
+    evaluate over the bin relation.
+
+    Scale shape: ONE fact aggregation to at most ``n_bins`` rows
+    (map-side partial); the PAVA loop runs driver-side on that
+    bounded-by-construction relation (x21/x29 bounded-collect
+    discipline). Output: ``(bin, n, pos, rate_r, iso_r)`` per non-empty
+    bin.
+    """
+    from ..functions.binning import bin_equal_width
+
+    y = label_col if not isinstance(label_col, str) else F.col(label_col)
+    binned = bin_equal_width(
+        df.select(F.col(score_col), y.cast("long").alias("__y")),
+        score_col,
+        n_bins,
+        out_col="__bin",
+    )
+    bins = (
+        binned.groupBy(F.col("__bin").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__y").cast("long").alias("pos"),
+        )
+        .orderBy("bin")
+        .collect()  # bounded: <= n_bins rows by construction
+    )
+    # Weighted PAVA over (pos, n) blocks with integer mean comparison.
+    blocks: list[list[int]] = []  # [start_bin, pos, n]
+    for r in bins:
+        blocks.append([r.bin, r.pos, r.n])
+        while len(blocks) >= 2 and (
+            blocks[-2][1] * blocks[-1][2] >= blocks[-1][1] * blocks[-2][2]
+        ):
+            b = blocks.pop()
+            blocks[-1][1] += b[1]
+            blocks[-1][2] += b[2]
+    fitted = {}
+    starts = [b[0] for b in blocks] + [bins[-1].bin + 1 if bins else 0]
+    for (s, p, n), nxt in zip(blocks, starts[1:]):
+        for r in bins:
+            if s <= r.bin < nxt:
+                fitted[r.bin] = p / n
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        [
+            (r.bin, r.n, r.pos, round(r.pos / r.n, 9), round(fitted[r.bin], 9))
+            for r in bins
+        ],
+        "bin INT, n BIGINT, pos BIGINT, rate_r DOUBLE, iso_r DOUBLE",
+    )
+    return out

@@ -8160,6 +8160,59 @@ def x160_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X161 — isotonic calibration (operators/features.py
+# isotonic_calibration): weighted PAVA over 40 equal-width price bins
+# against the binary finished-order label. Oracle evaluates the
+# closed-form minimax characterization iso(i) = max_{j<=i} min_{k>=i}
+# mean(y[j..k]) over the bin relation — PAVA's exact fixed point, and
+# bit-equal here because all segment means are single divisions of
+# exact integers (correctly-rounded IEEE).
+# --------------------------------------------------------------------------
+@query(
+    "x161_isotonic",
+    """
+    WITH base AS (SELECT o_totalprice AS sc,
+                         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+                  FROM orders),
+    mm AS (SELECT MIN(sc) AS mn, MAX(sc) AS mx FROM base),
+    b AS (SELECT CAST(CASE WHEN mm.mn = mm.mx THEN 0 ELSE
+                 LEAST(FLOOR((sc - mm.mn) * 40 / (mm.mx - mm.mn)), 39)
+                 END AS INT) AS bin, y
+          FROM base CROSS JOIN mm),
+    bins AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(y) AS BIGINT) AS pos
+             FROM b GROUP BY 1),
+    pref AS (SELECT bin, n, pos,
+                    SUM(n) OVER (ORDER BY bin) AS cn,
+                    SUM(pos) OVER (ORDER BY bin) AS cp
+             FROM bins),
+    seg AS (SELECT a.bin AS j, c.bin AS k,
+                   CAST(c.cp - (a.cp - a.pos) AS DOUBLE)
+                   / CAST(c.cn - (a.cn - a.n) AS DOUBLE) AS m
+            FROM pref a JOIN pref c ON a.bin <= c.bin),
+    mn AS (SELECT s.j, i.bin AS i, MIN(s.m) AS v
+           FROM seg s JOIN bins i ON s.j <= i.bin AND s.k >= i.bin
+           GROUP BY 1, 2),
+    iso AS (SELECT i, MAX(v) AS iso FROM mn GROUP BY 1)
+    SELECT bins.bin, bins.n, bins.pos,
+           ROUND(CAST(bins.pos AS DOUBLE) / bins.n, 9) AS rate_r,
+           ROUND(iso.iso, 9) AS iso_r
+    FROM bins JOIN iso ON iso.i = bins.bin
+    """,
+)
+def x161_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration of finished-order rate vs order price."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.features import (
+        isotonic_calibration,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    return isotonic_calibration(
+        o, "o_totalprice", (F.col("o_orderstatus") == "F").cast("long"), n_bins=40
+    )
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
 # every r3-window query now holds a driver row and rotates out. This

@@ -256,3 +256,45 @@ def test_label_propagation_two_cliques(spark):
     left = {out[n] for n in [1, 2, 3]}
     right = {out[n] for n in [11, 12, 13]}
     assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_isotonic_calibration_pava_properties(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.features import (
+        isotonic_calibration,
+    )
+
+    rng = random.Random(5)
+    # noisy monotone-ish relationship between score and outcome
+    rows = []
+    for _ in range(600):
+        s = rng.random()
+        y = 1 if rng.random() < 0.2 + 0.6 * s else 0
+        rows.append((s, y))
+    df = spark.createDataFrame(rows, ["score", "y"])
+    out = sorted(
+        isotonic_calibration(df, "score", F.col("y"), n_bins=12).collect(),
+        key=lambda r: r.bin,
+    )
+    iso = [r.iso_r for r in out]
+    # monotone non-decreasing
+    assert all(a <= b + 1e-12 for a, b in zip(iso, iso[1:]))
+    # weighted mean preserved exactly (PAVA projects onto monotone cone)
+    tot_pos = sum(r.pos for r in out)
+    tot_n = sum(r.n for r in out)
+    assert abs(sum(r.iso_r * r.n for r in out) - tot_pos) < 1e-6 * tot_n
+    # fitted values bounded by [0, 1] and pool means where violated
+    assert all(0.0 <= v <= 1.0 for v in iso)
+
+    # exact equality with the minimax characterization
+    pos = [r.pos for r in out]
+    ns = [r.n for r in out]
+    k = len(out)
+    for i in range(k):
+        best = max(
+            min(
+                sum(pos[j : kk + 1]) / sum(ns[j : kk + 1])
+                for kk in range(i, k)
+            )
+            for j in range(i + 1)
+        )
+        assert abs(out[i].iso_r - round(best, 9)) < 1e-9
