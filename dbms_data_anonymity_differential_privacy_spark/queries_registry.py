@@ -8213,6 +8213,33 @@ def x161_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X162 — stream-stream interval join, batch twin (streaming/joins.py):
+# click→purchase attribution pairs within 30 minutes; the streaming
+# flavor shares the same condition builder and is equivalence-tested in
+# tests/test_round6_ops.py.
+# --------------------------------------------------------------------------
+@query(
+    "x162_stream_join",
+    """
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(date_diff('microsecond', c.ts, p.ts) // 1000000 AS BIGINT) AS lag_sec
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def x162_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase pairs within the 30-minute attribution window."""
+    from dbms_data_anonymity_differential_privacy_spark.streaming.joins import (
+        click_purchase_pairs_batch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return click_purchase_pairs_batch(ev)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
 # every r3-window query now holds a driver row and rotates out. This

@@ -298,3 +298,41 @@ def test_isotonic_calibration_pava_properties(spark):
             for j in range(i + 1)
         )
         assert abs(out[i].iso_r - round(best, 9)) < 1e-9
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    import shutil
+
+    from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_table
+    from dbms_data_anonymity_differential_privacy_spark.streaming.anonymize import events_readstream
+    from dbms_data_anonymity_differential_privacy_spark.streaming.joins import (
+        click_purchase_pairs_batch,
+        click_purchase_pairs_stream,
+    )
+
+    sf0001 = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf0001, "events")
+    batch = {
+        (r.user_id, r.click_id, r.purchase_id, r.lag_sec)
+        for r in click_purchase_pairs_batch(ev).collect()
+    }
+
+    stream_dir = tmp_path / "events"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf0001}/events.parquet", stream_dir / "part-000.parquet")
+    stream = click_purchase_pairs_stream(events_readstream(spark, str(stream_dir)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ss_join_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.click_id, r.purchase_id, r.lag_sec)
+        for r in spark.sql("SELECT * FROM ss_join_test").collect()
+    }
+    assert got == batch
+    assert len(batch) > 0
