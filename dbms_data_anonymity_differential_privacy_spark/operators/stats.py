@@ -2037,3 +2037,97 @@ def permutation_test_means(
             ).alias("p_value_r"),
         )
     )
+
+
+def poisson1_thresholds_hex(cap: int = 8) -> list[str]:
+    """Cumulative Poisson(1) CDF mapped onto the md5 8-hex-char space —
+    the shared literal table both the Spark bootstrap and its SQL oracle
+    compare hashes against (count k iff t_{k-1} <= h < t_k; h >= t_{cap-1}
+    gets the capped count). Tail mass beyond ``cap`` is ~1e-6 of draws."""
+    import math
+
+    out = []
+    cum = 0.0
+    for k in range(cap):
+        cum += math.exp(-1.0) / math.factorial(k)
+        out.append(format(min(int(cum * 16**8), 16**8 - 1), "08x"))
+    return out
+
+
+def bootstrap_ci_mean(
+    df: DataFrame,
+    value_col: str,
+    unit_col: str,
+    n_boot: int = 200,
+    salt: str = "boot",
+) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean of per-unit value sums —
+    the resampling-based uncertainty quantifier that needs no variance
+    formula. Each unit's resample multiplicity per replicate is a
+    Poisson(1) draw (the streaming-scale bootstrap of Chamandy et al.
+    2012), decoded from the engine's portable md5 hash against the
+    ``poisson1_thresholds_hex`` literal table, so any SQL engine replays
+    the identical resamples.
+
+    Shape: one fact aggregation to per-unit sums; a B-way explode of
+    that slim relation; per-replicate weighted means via partial-agg
+    groupBy to B rows; the CI is nearest-rank order statistics
+    (ceil(.025 B), ceil(.975 B)) over those B values — windows touch a
+    B-row relation only.
+
+    Output (single row):
+    ``(n_units, n_boot, mean_r, lo95_r, hi95_r)``.
+    """
+    from pyspark.sql import Window
+
+    thresholds = poisson1_thresholds_hex()
+    per_unit = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(unit_col).alias("__u"))
+        .agg(F.sum(value_col).alias("__x"))
+    )
+    boot_ids = F.array([F.lit(i) for i in range(1, n_boot + 1)])
+    h = F.substring(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("__u").cast("string"),
+                F.col("__b").cast("string"),
+                F.lit(salt),
+            ).cast("binary")
+        ),
+        1,
+        8,
+    )
+    w_expr = F.lit(len(thresholds))
+    for k in range(len(thresholds) - 1, -1, -1):
+        w_expr = F.when(h < F.lit(thresholds[k]), F.lit(k)).otherwise(w_expr)
+    exploded = per_unit.select(
+        "__u", "__x", F.explode(boot_ids).alias("__b")
+    ).withColumn("__w", w_expr)
+    boots = exploded.groupBy("__b").agg(
+        (
+            F.sum(F.col("__w").cast("double") * F.col("__x"))
+            / F.sum(F.col("__w").cast("double"))
+        ).alias("__m")
+    )
+    lo_rk = -(-25 * n_boot // 1000)  # ceil(0.025 B)
+    hi_rk = -(-975 * n_boot // 1000)  # ceil(0.975 B)
+    w_rank = Window.orderBy(F.col("__m").asc())
+    ranked = boots.withColumn("__rk", F.row_number().over(w_rank))
+    ci = ranked.agg(
+        F.max(F.when(F.col("__rk") == lo_rk, F.col("__m"))).alias("__lo"),
+        F.max(F.when(F.col("__rk") == hi_rk, F.col("__m"))).alias("__hi"),
+        F.count(F.lit(1)).cast("long").alias("n_boot"),
+    )
+    base = per_unit.agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.avg("__x").alias("__mean"),
+    )
+    return base.crossJoin(F.broadcast(ci)).select(
+        "n_units",
+        "n_boot",
+        F.round("__mean", 6).alias("mean_r"),
+        F.round("__lo", 6).alias("lo95_r"),
+        F.round("__hi", 6).alias("hi95_r"),
+    )

@@ -8240,6 +8240,53 @@ def x162_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X163 — Poisson bootstrap CI (operators/stats.py bootstrap_ci_mean):
+# 95% CI for mean per-user spend from 200 portable md5-decoded
+# Poisson(1) resamples; nearest-rank order statistics over the B-row
+# replicate relation.
+# --------------------------------------------------------------------------
+def _x163_sql(n_boot: int = 200, salt: str = "boot") -> str:
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import poisson1_thresholds_hex
+
+    th = poisson1_thresholds_hex()
+    case = "CASE " + " ".join(
+        f"WHEN h < '{t}' THEN {k}" for k, t in enumerate(th)
+    ) + f" ELSE {len(th)} END"
+    lo_rk = -(-25 * n_boot // 1000)
+    hi_rk = -(-975 * n_boot // 1000)
+    return f"""
+    WITH pu AS (SELECT user_id AS u, SUM(value) AS x FROM events
+                WHERE value IS NOT NULL GROUP BY 1),
+    e AS (SELECT u, x, b,
+                 substr(md5(CAST(u AS VARCHAR) || '|' || CAST(b AS VARCHAR)
+                            || '|{salt}'), 1, 8) AS h
+          FROM pu CROSS JOIN (SELECT unnest(generate_series(1, {n_boot})) AS b)),
+    wtd AS (SELECT b, {case} AS w, x FROM e),
+    boots AS (SELECT b, SUM(w * x) / SUM(CAST(w AS DOUBLE)) AS m
+              FROM wtd GROUP BY 1),
+    ranked AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rk FROM boots),
+    ci AS (SELECT MAX(CASE WHEN rk = {lo_rk} THEN m END) AS lo,
+                  MAX(CASE WHEN rk = {hi_rk} THEN m END) AS hi,
+                  CAST(COUNT(*) AS BIGINT) AS n_boot
+           FROM ranked),
+    base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units, AVG(x) AS mean
+             FROM pu)
+    SELECT n_units, n_boot, ROUND(mean, 6) AS mean_r,
+           ROUND(lo, 6) AS lo95_r, ROUND(hi, 6) AS hi95_r
+    FROM base CROSS JOIN ci
+    """
+
+
+@query("x163_bootstrap_ci", _x163_sql())
+def x163_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for mean per-user spend."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import bootstrap_ci_mean
+
+    ev = load_table(spark, sf_dir, "events")
+    return bootstrap_ci_mean(ev, "value", "user_id", n_boot=200)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
 # every r3-window query now holds a driver row and rotates out. This

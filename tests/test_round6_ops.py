@@ -336,3 +336,39 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     }
     assert got == batch
     assert len(batch) > 0
+
+
+def test_bootstrap_ci_matches_bruteforce(spark):
+    import hashlib
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+        bootstrap_ci_mean,
+        poisson1_thresholds_hex,
+    )
+
+    rng = random.Random(9)
+    rows = [(u, float(rng.randint(1, 30))) for u in range(50)]
+    df = spark.createDataFrame(rows, ["u", "v"])
+    out = bootstrap_ci_mean(df, "v", "u", n_boot=40).collect()[0]
+
+    th = poisson1_thresholds_hex()
+
+    def weight(u, b):
+        h = hashlib.md5(f"{u}|{b}|boot".encode()).hexdigest()[:8]
+        for k, t in enumerate(th):
+            if h < t:
+                return k
+        return len(th)
+
+    sums = dict(rows)
+    means = []
+    for b in range(1, 41):
+        num = sum(weight(u, b) * x for u, x in sums.items())
+        den = sum(weight(u, b) for u in sums)
+        means.append(num / den)
+    means.sort()
+    assert out.n_units == 50 and out.n_boot == 40
+    assert abs(out.mean_r - round(sum(sums.values()) / 50, 6)) < 1e-9
+    assert abs(out.lo95_r - round(means[0], 6)) < 1e-9  # ceil(0.025*40)=1
+    assert abs(out.hi95_r - round(means[38], 6)) < 1e-9  # ceil(0.975*40)=39
+    assert out.lo95_r <= out.mean_r <= out.hi95_r
