@@ -457,7 +457,9 @@ def adamic_adar(edges: DataFrame, top: int = 20) -> DataFrame:
     ).limit(top)
 
 
-def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, iters: int = 3, driver_threshold: int = 2_000_000
+) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) made fully
     deterministic: every round each node adopts the most frequent label
     among its neighbors, ties broken by SMALLEST label — no RNG, no
@@ -479,10 +481,46 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
 
     pr = edges.select(
         F.col("src").cast("long").alias("x"), F.col("dst").cast("long").alias("y")
-    )
+    ).persist()
+    n_edges = pr.count()
+
+    if n_edges <= driver_threshold:
+        import numpy as np
+
+        # Same hybrid runtime choice as pagerank_int: a 16-byte-row edge
+        # list at or under the threshold iterates in vectorized numpy on
+        # the driver (one Spark job total). Per round the mode-with-
+        # min-tie-break is one lexsort over the (node, -count, label)
+        # message keys. Equivalence to the distributed path is pinned in
+        # tests/test_round6_ops.py.
+        pdf = pr.toPandas()
+        pr.unpersist()
+        src = pdf["x"].to_numpy(dtype=np.int64)
+        dst = pdf["y"].to_numpy(dtype=np.int64)
+        nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+        s_i, d_i = inv[: len(src)], inv[len(src):]
+        a_node = np.concatenate([s_i, d_i])
+        a_nbr = np.concatenate([d_i, s_i])
+        n = len(nodes)
+        lab = np.arange(n, dtype=np.int64)
+        for _ in range(iters):
+            key = a_node * n + lab[a_nbr]
+            uk, cnt = np.unique(key, return_counts=True)
+            k_node, k_lab = uk // n, uk % n
+            order = np.lexsort((k_lab, -cnt, k_node))
+            firsts = np.unique(k_node[order], return_index=True)[1]
+            nxt = lab.copy()
+            nxt[k_node[order][firsts]] = k_lab[order][firsts]
+            lab = nxt
+        return edges.sparkSession.createDataFrame(
+            [(int(nodes[i]), int(nodes[lab[i]])) for i in range(n)],
+            "node LONG, community LONG",
+        )
+
     adj = pr.selectExpr("x AS node", "y AS nbr").unionAll(
         pr.selectExpr("y AS node", "x AS nbr")
     ).persist()
+    pr.unpersist()
     labels = adj.select("node").distinct().select(
         "node", F.col("node").alias("label")
     ).persist()

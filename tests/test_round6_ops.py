@@ -372,3 +372,21 @@ def test_bootstrap_ci_matches_bruteforce(spark):
     assert abs(out.lo95_r - round(means[0], 6)) < 1e-9  # ceil(0.025*40)=1
     assert abs(out.hi95_r - round(means[38], 6)) < 1e-9  # ceil(0.975*40)=39
     assert out.lo95_r <= out.mean_r <= out.hi95_r
+
+
+def test_label_propagation_driver_matches_distributed(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import label_propagation
+
+    rng = random.Random(21)
+    edges = list({(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(150)})
+    edges = [(a, b) for a, b in edges if a < b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    fast = {
+        (r.node, r.community)
+        for r in label_propagation(df, iters=3).collect()
+    }
+    dist = {
+        (r.node, r.community)
+        for r in label_propagation(df, iters=3, driver_threshold=0).collect()
+    }
+    assert fast == dist and len(fast) > 0
