@@ -485,3 +485,68 @@ def jsd_divergence(
         F.round(jsd, 9).alias("jsd_r"),
         F.round(jsd / ln2, 9).alias("jsd_norm_r"),
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    iters: int = 10,
+    top: int = 30,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    the word co-occurrence graph (adjacent tokens, undirected, deduped)
+    picks the corpus's structurally central vocabulary — the unsupervised
+    keyword signal next to tf-idf (x99).
+
+    Composition: tokenization is the x19 convention; adjacency pairs come
+    from a map-only array transform (struct-zipping each token with its
+    successor — no per-document window shuffle); words get dense integer
+    ids (row_number over the sorted distinct vocabulary, a slim global
+    window) so the INTEGER PageRank (``operators.graph.pagerank_int``,
+    bit-exact cross-engine) can run unchanged; the final cut is a
+    distributed TakeOrdered by (rank desc, word).
+
+    Output: ``(word, rank_ppb)``, top ``top`` rows.
+    """
+    from pyspark.sql import Window
+
+    from .graph import pagerank_int
+
+    d = docs.select(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("t")
+    )
+    pairs = (
+        d.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS wa, t[i+1] AS wb)) ELSE"
+                    " array() END"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.wa").alias("wa"), F.col("p.wb").alias("wb"))
+        .filter((F.col("wa") != "") & (F.col("wb") != "") & (F.col("wa") != F.col("wb")))
+    )
+    und = pairs.select(
+        F.least("wa", "wb").alias("a"), F.greatest("wa", "wb").alias("b")
+    ).distinct()
+    vocab = (
+        d.select(F.explode("t").alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+        .withColumn("wid", F.row_number().over(Window.orderBy("w")))
+    )
+    va = vocab.select(F.col("w").alias("a"), F.col("wid").alias("ida"))
+    vb = vocab.select(F.col("w").alias("b"), F.col("wid").alias("idb"))
+    ids = und.join(va, on="a").join(vb, on="b")
+    edges = ids.selectExpr("ida AS src", "idb AS dst").unionAll(
+        ids.selectExpr("idb AS src", "ida AS dst")
+    )
+    pr = pagerank_int(edges, iters=iters)
+    return (
+        pr.join(vocab, pr["node"] == vocab["wid"])
+        .select(F.col("w").alias("word"), F.col("rank_ppb"))
+        .orderBy(F.col("rank_ppb").desc(), F.col("word").asc())
+        .limit(top)
+    )

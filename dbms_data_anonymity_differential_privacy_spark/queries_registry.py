@@ -8287,6 +8287,60 @@ def x163_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X164 — TextRank keywords (operators/text.py textrank_keywords):
+# integer PageRank (x126 update rule, bit-exact) over the adjacent-token
+# co-occurrence graph; dense word ids from the sorted vocabulary. Top 30
+# by (rank desc, word).
+# --------------------------------------------------------------------------
+def _x164_sql(iters: int = 10, top: int = 30) -> str:
+    ctes = [
+        r"toks AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t"
+        " FROM documents)",
+        "p0 AS (SELECT t, unnest(generate_series(1, CAST(len(t) AS INT) - 1)) AS i"
+        " FROM toks)",
+        "pe AS (SELECT t[i] AS wa, t[i+1] AS wb FROM p0"
+        " WHERE t[i] <> '' AND t[i+1] <> '' AND t[i] <> t[i+1])",
+        "und AS (SELECT DISTINCT LEAST(wa, wb) AS a, GREATEST(wa, wb) AS b FROM pe)",
+        "vocab AS (SELECT w, ROW_NUMBER() OVER (ORDER BY w) AS wid FROM"
+        " (SELECT DISTINCT unnest(t) AS w FROM toks) WHERE w <> '')",
+        "e0 AS (SELECT va.wid AS src, vb.wid AS dst FROM und"
+        " JOIN vocab va ON va.w = und.a JOIN vocab vb ON vb.w = und.b"
+        " UNION ALL SELECT vb.wid, va.wid FROM und"
+        " JOIN vocab va ON va.w = und.a JOIN vocab vb ON vb.w = und.b)",
+        "nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS (SELECT src AS node, COUNT(*) AS d FROM e0 GROUP BY 1)",
+        "pr0 AS (SELECT node, CAST(1000000000 // nn.n AS BIGINT) AS r"
+        " FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"pr{i} AS (SELECT n.node, CAST(150000000 // nn.n"
+            f" + (17 * COALESCE(s.c, 0)) // 20 AS BIGINT) AS r"
+            f" FROM nodes n CROSS JOIN nn LEFT JOIN"
+            f" (SELECT e.dst AS node, SUM(p.r // d.d) AS c"
+            f" FROM pr{i - 1} p JOIN e0 e ON e.src = p.node"
+            f" JOIN deg d ON d.node = p.node GROUP BY 1) s USING (node))"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT v.w AS word, p.r AS rank_ppb FROM pr{iters} p"
+        f" JOIN vocab v ON v.wid = p.node"
+        f" ORDER BY p.r DESC, v.w LIMIT {top}"
+    )
+
+
+@query("x164_textrank", _x164_sql())
+def x164_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 TextRank keywords over the document corpus."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import textrank_keywords
+
+    d = load_table(spark, sf_dir, "documents")
+    return textrank_keywords(d, iters=10, top=30)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
 # every r3-window query now holds a driver row and rotates out. This

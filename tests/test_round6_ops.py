@@ -390,3 +390,21 @@ def test_label_propagation_driver_matches_distributed(spark):
         for r in label_propagation(df, iters=3, driver_threshold=0).collect()
     }
     assert fast == dist and len(fast) > 0
+
+
+def test_textrank_hub_word_wins(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import textrank_keywords
+
+    # 'hub' co-occurs with every other word; it must rank first
+    docs = [
+        ("hub alpha hub beta",),
+        ("gamma hub delta",),
+        ("hub epsilon",),
+        ("alpha beta",),
+    ]
+    df = spark.createDataFrame(docs, ["text"])
+    out = textrank_keywords(df, iters=10, top=10).collect()
+    assert out[0].word == "hub"
+    assert all(out[i].rank_ppb >= out[i + 1].rank_ppb for i in range(len(out) - 1))
+    words = {r.word for r in out}
+    assert {"alpha", "beta", "gamma", "delta", "epsilon"} <= words
