@@ -2131,3 +2131,34 @@ def bootstrap_ci_mean(
         F.round("__lo", 6).alias("lo95_r"),
         F.round("__hi", 6).alias("hi95_r"),
     )
+
+
+def theil_index(df: DataFrame, value_col: str, group_cols: Sequence[str]) -> DataFrame:
+    """Theil T inequality index per group — the decomposable companion
+    to the Gini concentration (x111): ``T = (1/n) Σ (x/μ) ln(x/μ)`` over
+    strictly positive values, 0 = perfect equality, ln(n) = one unit
+    holds everything.
+
+    One partial-aggregated pass: Σx and n per group first, then a second
+    pass folds Σ x·ln(x) — rewritten as
+    ``T = (Σ x·ln(x)) / (n·μ) - ln(μ)`` so no per-row join against the
+    group mean is needed; both engines sum the same libm ln values and
+    round at 6 dp (x154 float contract).
+
+    Output: ``(*group_cols, n, total_r, theil_r)``.
+    """
+    pos = df.filter(F.col(value_col) > 0)
+    x = F.col(value_col).cast("double")
+    agg = pos.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("__s"),
+        F.sum(x * F.log(x)).alias("__sxlnx"),
+    )
+    mu = F.col("__s") / F.col("n")
+    theil = F.col("__sxlnx") / F.col("__s") - F.log(mu)
+    return agg.select(
+        *group_cols,
+        "n",
+        F.round("__s", 6).alias("total_r"),
+        F.round(theil, 6).alias("theil_r"),
+    )

@@ -8341,6 +8341,30 @@ def x164_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X165 — Theil T inequality (operators/stats.py theil_index): per
+# event-type inequality of positive event values; T = Σx·ln(x)/Σx −
+# ln(μ), x154 ln/6dp float contract.
+# --------------------------------------------------------------------------
+@query(
+    "x165_theil",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 6) AS total_r,
+           ROUND(SUM(value * ln(value)) / SUM(value)
+                 - ln(SUM(value) / COUNT(*)), 6) AS theil_r
+    FROM events WHERE value > 0
+    GROUP BY event_type
+    """,
+)
+def x165_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil inequality of positive event values per event type."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import theil_index
+
+    ev = load_table(spark, sf_dir, "events")
+    return theil_index(ev, "value", ["event_type"])
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
 # every r3-window query now holds a driver row and rotates out. This

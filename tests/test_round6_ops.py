@@ -408,3 +408,20 @@ def test_textrank_hub_word_wins(spark):
     assert all(out[i].rank_ppb >= out[i + 1].rank_ppb for i in range(len(out) - 1))
     words = {r.word for r in out}
     assert {"alpha", "beta", "gamma", "delta", "epsilon"} <= words
+
+
+def test_theil_index_properties(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import theil_index
+
+    rows = [("eq", 5.0)] * 8 + [("uneq", 0.001)] * 7 + [("uneq", 100.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r.g: r for r in theil_index(df, "v", ["g"]).collect()}
+    # perfect equality -> 0
+    assert abs(out["eq"].theil_r) < 1e-9
+    # extreme concentration -> near ln(n) = ln(8)
+    assert out["uneq"].theil_r > 0.9 * math.log(8)
+    # brute force check
+    vals = [0.001] * 7 + [100.0]
+    mu = sum(vals) / len(vals)
+    t = sum((v / mu) * math.log(v / mu) for v in vals) / len(vals)
+    assert abs(out["uneq"].theil_r - round(t, 6)) < 1e-6
