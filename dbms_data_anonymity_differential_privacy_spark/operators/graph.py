@@ -543,3 +543,59 @@ def label_propagation(
         labels = nxt
     adj.unpersist()
     return labels.select("node", F.col("label").alias("community"))
+
+
+def bfs_profile(
+    edges: DataFrame, n_landmarks: int = 4, max_depth: int = 4
+) -> DataFrame:
+    """Multi-source BFS distance profile from deterministic landmarks —
+    the bounded-depth core of landmark-based closeness/diameter
+    estimation (Potamias et al. 2009). Landmarks are the ``n_landmarks``
+    SMALLEST node ids (data-independent tie-free choice); ``max_depth``
+    is fixed so the plan has a bounded number of shuffles (pagerank/LPA
+    discipline).
+
+    Per round the reached set expands by one hop with the same
+    formulation the SQL oracle unrolls: union the previous distances
+    with (frontier ⋈ adjacency, dist+1) and keep the per-(landmark,
+    node) MIN — revisits resolve by aggregation, no anti-join needed.
+    All relations are ids-only; each round is one join + one
+    aggregation, persisted and unpersisted kcore-style.
+
+    Output: ``(landmark, dist, n_nodes)`` — how many nodes sit at each
+    hop distance from each landmark (unreached nodes within the depth
+    bound are simply absent).
+    """
+    pr = edges.select(
+        F.col("src").cast("long").alias("x"), F.col("dst").cast("long").alias("y")
+    )
+    adj = pr.selectExpr("x AS node", "y AS nbr").unionAll(
+        pr.selectExpr("y AS node", "x AS nbr")
+    ).persist()
+    landmarks = (
+        adj.select("node").distinct().orderBy("node").limit(n_landmarks)
+    )
+    dist = landmarks.select(
+        F.col("node").alias("lm"), "node", F.lit(0).alias("dist")
+    ).persist()
+    dist.count()
+    for d in range(1, max_depth + 1):
+        frontier = dist.filter(F.col("dist") == d - 1)
+        expanded = frontier.join(adj, on="node").select(
+            "lm", F.col("nbr").alias("node"), F.lit(d).alias("dist")
+        )
+        nxt = (
+            dist.unionByName(expanded)
+            .groupBy("lm", "node")
+            .agg(F.min("dist").alias("dist"))
+            .persist()
+        )
+        nxt.count()
+        dist.unpersist()
+        dist = nxt
+    adj.unpersist()
+    # dist stays cached: the output aggregation below is its only
+    # consumer and unpersisting first would force a full BFS recompute.
+    return dist.groupBy(F.col("lm").alias("landmark"), "dist").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )

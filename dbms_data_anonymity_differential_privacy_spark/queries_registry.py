@@ -8365,6 +8365,61 @@ def x165_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X166 — landmark BFS profile (operators/graph.py bfs_profile): hop
+# distance histogram from the 4 smallest co-purchase nodes, 4 unrolled
+# rounds (union + per-(lm,node) MIN — identical formulation both sides).
+# --------------------------------------------------------------------------
+def _x166_sql(n_landmarks: int = 4, max_depth: int = 4) -> str:
+    ctes = [
+        "items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem)",
+        "pr AS (SELECT a.i AS x, b.i AS y FROM items a"
+        " JOIN items b ON a.b = b.b AND a.i < b.i"
+        " GROUP BY 1, 2 HAVING COUNT(*) >= 2)",
+        "adj AS (SELECT x AS node, y AS nbr FROM pr UNION ALL SELECT y, x FROM pr)",
+        f"d0 AS (SELECT node AS lm, node, 0 AS dist FROM"
+        f" (SELECT DISTINCT node FROM adj ORDER BY node LIMIT {n_landmarks}))",
+    ]
+    for d in range(1, max_depth + 1):
+        ctes.append(
+            f"d{d} AS (SELECT lm, node, MIN(dist) AS dist FROM ("
+            f"SELECT * FROM d{d - 1}"
+            f" UNION ALL SELECT p.lm, a.nbr AS node, p.dist + 1 AS dist"
+            f" FROM d{d - 1} p JOIN adj a ON a.node = p.node"
+            f" WHERE p.dist = {d - 1}) GROUP BY 1, 2)"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT lm AS landmark, dist, CAST(COUNT(*) AS BIGINT) AS n_nodes"
+        f" FROM d{max_depth} GROUP BY 1, 2"
+    )
+
+
+@query("x166_bfs_profile", _x166_sql())
+def x166_bfs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-distance histogram from 4 landmark parts, depth 4."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import bfs_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("src", "dst")
+    )
+    return bfs_profile(edges, n_landmarks=4, max_depth=4)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
 # every r3-window query now holds a driver row and rotates out. This

@@ -425,3 +425,20 @@ def test_theil_index_properties(spark):
     mu = sum(vals) / len(vals)
     t = sum((v / mu) * math.log(v / mu) for v in vals) / len(vals)
     assert abs(out["uneq"].theil_r - round(t, 6)) < 1e-6
+
+
+def test_bfs_profile_path_graph(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import bfs_profile
+
+    # path 1-2-3-4-5-6: landmark 1 sees one node per hop
+    edges = [(i, i + 1) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {
+        (r.landmark, r.dist): r.n_nodes
+        for r in bfs_profile(df, n_landmarks=2, max_depth=3).collect()
+    }
+    # landmarks are the 2 smallest nodes: 1 and 2
+    assert out[(1, 0)] == 1 and out[(1, 1)] == 1 and out[(1, 2)] == 1 and out[(1, 3)] == 1
+    assert (1, 4) not in out  # depth bound respected
+    assert out[(2, 0)] == 1 and out[(2, 1)] == 2  # nodes 1 and 3
+    assert out[(2, 2)] == 1 and out[(2, 3)] == 1
