@@ -568,10 +568,48 @@ def bfs_profile(
     """
     pr = edges.select(
         F.col("src").cast("long").alias("x"), F.col("dst").cast("long").alias("y")
-    )
+    ).persist()
+    n_edges = pr.count()
+
+    if n_edges <= 2_000_000:
+        import numpy as np
+
+        # pagerank/LPA hybrid discipline: small edge lists BFS on the
+        # driver in one Spark job; equivalence pinned in tests.
+        pdf = pr.toPandas()
+        pr.unpersist()
+        src = pdf["x"].to_numpy(dtype=np.int64)
+        dst = pdf["y"].to_numpy(dtype=np.int64)
+        nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+        s_i, d_i = inv[: len(src)], inv[len(src):]
+        a_node = np.concatenate([s_i, d_i])
+        a_nbr = np.concatenate([d_i, s_i])
+        n = len(nodes)
+        rows = []
+        for lm in range(min(n_landmarks, n)):
+            distv = np.full(n, -1, dtype=np.int64)
+            distv[lm] = 0
+            frontier = np.array([lm])
+            for d in range(1, max_depth + 1):
+                mask = np.isin(a_node, frontier)
+                cand = np.unique(a_nbr[mask])
+                cand = cand[distv[cand] < 0]
+                if len(cand) == 0:
+                    break
+                distv[cand] = d
+                frontier = cand
+            for d in range(max_depth + 1):
+                cnt = int((distv == d).sum())
+                if cnt:
+                    rows.append((int(nodes[lm]), d, cnt))
+        return edges.sparkSession.createDataFrame(
+            rows, "landmark LONG, dist INT, n_nodes LONG"
+        )
+
     adj = pr.selectExpr("x AS node", "y AS nbr").unionAll(
         pr.selectExpr("y AS node", "x AS nbr")
     ).persist()
+    pr.unpersist()
     landmarks = (
         adj.select("node").distinct().orderBy("node").limit(n_landmarks)
     )

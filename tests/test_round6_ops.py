@@ -442,3 +442,40 @@ def test_bfs_profile_path_graph(spark):
     assert (1, 4) not in out  # depth bound respected
     assert out[(2, 0)] == 1 and out[(2, 1)] == 2  # nodes 1 and 3
     assert out[(2, 2)] == 1 and out[(2, 3)] == 1
+
+
+def test_bfs_profile_matches_bruteforce(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import bfs_profile
+
+    rng = random.Random(31)
+    edges = list({(rng.randint(0, 50), rng.randint(0, 50)) for _ in range(120)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    fast = {
+        (r.landmark, r.dist, r.n_nodes)
+        for r in bfs_profile(df, n_landmarks=3, max_depth=3).collect()
+    }
+    # pin against a brute-force BFS (the distributed and driver paths
+    # share the same fixture-checked formulation; the oracle twin covers
+    # the distributed SQL replay)
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    exp = set()
+    for lm in sorted(adj)[:3]:
+        dist = {lm: 0}
+        frontier = [lm]
+        for d in range(1, 4):
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        from collections import Counter
+
+        for dd, cnt in Counter(dist.values()).items():
+            exp.add((lm, dd, cnt))
+    assert fast == exp
