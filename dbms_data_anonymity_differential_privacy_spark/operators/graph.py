@@ -428,9 +428,13 @@ def adamic_adar(edges: DataFrame, top: int = 20) -> DataFrame:
     anti-join against the edge list, and a distributed TakeOrdered for
     the final cut (no single-reducer window).
     """
+    # Persist the slim edge list: four consumers (two wedge sides,
+    # degrees, the final anti-join) would otherwise each replay the
+    # upstream edge construction. The adjacency doubling stays lazy —
+    # it is a map over the cached relation.
     pr = edges.select(
         F.col("src").cast("long").alias("x"), F.col("dst").cast("long").alias("y")
-    )
+    ).persist()
     nb = pr.selectExpr("x AS node", "y AS nbr").unionAll(
         pr.selectExpr("y AS node", "x AS nbr")
     )

@@ -398,3 +398,96 @@ def test_anatomy_no_global_sort_of_rows(plans):
     p = plans["x127_anatomy"]
     assert "Exchange SinglePartition" not in p or "partial" in p.lower()
     assert "BroadcastHashJoin" in p
+
+
+def test_skyline_broadcast_joinback_no_cartesian(plans):
+    """x153: the frontier joins back to the fact table BROADCAST (it is
+    kilobytes), and no stage is an unkeyed pair join — the naive skyline
+    formulation would be a CartesianProduct NOT EXISTS."""
+    p = plans["x153_skyline"]
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # fact rows shuffle exactly once (the per-d1 collapse); the bucketed
+    # prune + global sweep run on the slim group relation
+    assert len(re.findall(r"Exchange hashpartitioning", p)) <= 2
+
+
+def test_dsir_broadcasts_llr_table(plans):
+    """x154: the per-word LLR relation (vocab-sized) broadcasts onto the
+    token stream — fact tokens never shuffle to be scored; the only fact
+    shuffles are the word-count and per-doc aggregations."""
+    p = plans["x154_dsir_weights"]
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_adamic_adar_broadcast_degrees_takeordered_cut(plans):
+    """x155: common-neighbor degrees broadcast onto the wedge stream and
+    the final top-k is a distributed TakeOrderedAndProject, not a global
+    sort or single-reducer window."""
+    p = plans["x155_adamic_adar"]
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_rank_stats_collapse_before_global_window(plans):
+    """x156/x157: the only single-partition exchanges feed windows/aggs
+    over the DISTINCT-VALUE relation — fact rows collapse in a
+    partial-aggregated hash shuffle first (the x80 shape)."""
+    for name in ("x156_kruskal_wallis", "x157_cliffs_delta"):
+        p = plans[name]
+        assert len(re.findall(r"Exchange hashpartitioning", p)) >= 1
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p
+
+
+def test_permutation_and_bootstrap_explode_slim_relation_only(plans):
+    """x158/x163: the (P+1)-way replicate explode happens AFTER the
+    per-unit collapse — the generator's child plan must aggregate the
+    fact table, so the explode multiplies unit rows, never event rows."""
+    for name in ("x158_permutation_test", "x163_bootstrap_ci"):
+        p = plans[name]
+        gen = p.find("Generate explode")
+        agg = p.find("HashAggregate")
+        assert gen != -1 and agg != -1
+        # the explode node sits above (before, in explain order) at least
+        # one aggregate of the fact scan
+        assert "HashAggregate" in p[gen:]
+
+
+def test_quantile_norm_equi_join_rank_table(plans):
+    """x159: the pooled rank lookup is an EQUI-join against the exploded
+    (k, value) rank relation — never an inequality/range join (which
+    would plan as BroadcastNestedLoop over fact rows)."""
+    p = plans["x159_quantile_norm"]
+    assert "CartesianProduct" not in p
+    # the only BNL joins are one-row scalar cross joins (n_all); the
+    # k-lookup itself must appear as a hash join
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_textrank_distributed_cut_no_python(plans):
+    """x164: tokenize→pairs is a map-only array transform (no per-doc
+    window shuffle), the final cut is TakeOrderedAndProject, and nothing
+    drops to row-at-a-time Python."""
+    p = plans["x164_textrank"]
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_theil_single_fact_aggregation(plans):
+    """x165: one partial-aggregated group shuffle, no joins at all — the
+    Σx·ln(x) rewrite removed the per-row mean join."""
+    p = plans["x165_theil"]
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+    assert "Join" not in p
+
+
+def test_stream_join_twin_is_keyed_join(plans):
+    """x162: the attribution pair join is keyed on user_id (hash or
+    broadcast) with the time bounds as join filters — never an unkeyed
+    pair join."""
+    p = plans["x162_stream_join"]
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
