@@ -192,6 +192,20 @@ HEADLINE = [
     "x150_wilcoxon",
     "x151_assortativity",
     "x152_powerlaw",
+    "x153_skyline",
+    "x154_dsir_weights",
+    "x155_adamic_adar",
+    "x156_kruskal_wallis",
+    "x157_cliffs_delta",
+    "x158_permutation_test",
+    "x159_quantile_norm",
+    "x160_label_prop",
+    "x161_isotonic",
+    "x162_stream_join",
+    "x163_bootstrap_ci",
+    "x164_textrank",
+    "x165_theil",
+    "x166_bfs_profile",
 ]
 
 
