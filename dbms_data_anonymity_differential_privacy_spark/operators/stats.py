@@ -2162,3 +2162,60 @@ def theil_index(df: DataFrame, value_col: str, group_cols: Sequence[str]) -> Dat
         F.round("__s", 6).alias("total_r"),
         F.round(theil, 6).alias("theil_r"),
     )
+
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    x_col,
+    y_col,
+    id_cols: Sequence[str],
+    top: int = 10,
+) -> DataFrame:
+    """Bivariate Mahalanobis-distance outlier screen — the covariance-
+    aware upgrade of the per-column MAD screen (x53): rows unusual in
+    the JOINT distribution (e.g. high price with low quantity) score
+    high even when each marginal looks ordinary.
+
+    For 2-D the inverse covariance has a closed form, so
+    ``d² = (s_yy·dx² - 2·s_xy·dx·dy + s_xx·dy²) / det`` is a plain
+    column expression both engines evaluate identically from the same
+    five moment scalars (population covariance, one aggregation).
+    Shape: ONE moments pass, the 5-scalar relation broadcast back, a
+    map-only d² projection, distributed TakeOrdered for the top cut.
+
+    Output: ``(*id_cols, x, y, d2_r)``, top ``top`` rows by
+    (d2_r desc, *id_cols).
+    """
+    x = (x_col if not isinstance(x_col, str) else F.col(x_col)).cast("double")
+    y = (y_col if not isinstance(y_col, str) else F.col(y_col)).cast("double")
+    base = df.select(*id_cols, x.alias("x"), y.alias("y")).filter(
+        F.col("x").isNotNull() & F.col("y").isNotNull()
+    )
+    m = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("x").alias("__mx"),
+        F.avg("y").alias("__my"),
+        F.avg(F.col("x") * F.col("x")).alias("__sxx2"),
+        F.avg(F.col("y") * F.col("y")).alias("__syy2"),
+        F.avg(F.col("x") * F.col("y")).alias("__sxy2"),
+    ).select(
+        "__mx",
+        "__my",
+        (F.col("__sxx2") - F.col("__mx") * F.col("__mx")).alias("__sxx"),
+        (F.col("__syy2") - F.col("__my") * F.col("__my")).alias("__syy"),
+        (F.col("__sxy2") - F.col("__mx") * F.col("__my")).alias("__sxy"),
+    )
+    dx = F.col("x") - F.col("__mx")
+    dy = F.col("y") - F.col("__my")
+    det = F.col("__sxx") * F.col("__syy") - F.col("__sxy") * F.col("__sxy")
+    d2 = (
+        F.col("__syy") * dx * dx
+        - F.lit(2.0) * F.col("__sxy") * dx * dy
+        + F.col("__sxx") * dy * dy
+    ) / det
+    return (
+        base.crossJoin(F.broadcast(m))
+        .select(*id_cols, "x", "y", F.round(F.when(det > 0, d2), 6).alias("d2_r"))
+        .orderBy(F.col("d2_r").desc(), *[F.col(c).asc() for c in id_cols])
+        .limit(top)
+    )

@@ -8420,6 +8420,44 @@ def x166_bfs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X167 — Mahalanobis outliers (operators/stats.py mahalanobis_outliers):
+# joint (extendedprice, quantity) outliers via the closed-form 2-D
+# inverse covariance; one moments pass broadcast back, TakeOrdered cut.
+# --------------------------------------------------------------------------
+@query(
+    "x167_mahalanobis",
+    """
+    WITH base AS (SELECT l_orderkey, l_linenumber,
+                         CAST(l_extendedprice AS DOUBLE) AS x,
+                         CAST(l_quantity AS DOUBLE) AS y
+                  FROM lineitem
+                  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+    m AS (SELECT AVG(x) AS mx, AVG(y) AS my,
+                 AVG(x * x) - AVG(x) * AVG(x) AS sxx,
+                 AVG(y * y) - AVG(y) * AVG(y) AS syy,
+                 AVG(x * y) - AVG(x) * AVG(y) AS sxy
+          FROM base)
+    SELECT l_orderkey, l_linenumber, x, y,
+           ROUND(CASE WHEN sxx * syy - sxy * sxy > 0 THEN
+                 (syy * (x - mx) * (x - mx)
+                  - 2.0 * sxy * (x - mx) * (y - my)
+                  + sxx * (y - my) * (y - my))
+                 / (sxx * syy - sxy * sxy) END, 6) AS d2_r
+    FROM base CROSS JOIN m
+    ORDER BY d2_r DESC, l_orderkey, l_linenumber LIMIT 10
+    """,
+)
+def x167_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 joint price/quantity outliers by Mahalanobis distance."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import mahalanobis_outliers
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return mahalanobis_outliers(
+        li, "l_extendedprice", "l_quantity", ["l_orderkey", "l_linenumber"], top=10
+    )
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
 # every r3-window query now holds a driver row and rotates out. This

@@ -479,3 +479,33 @@ def test_bfs_profile_matches_bruteforce(spark):
         for dd, cnt in Counter(dist.values()).items():
             exp.add((lm, dd, cnt))
     assert fast == exp
+
+
+def test_mahalanobis_matches_bruteforce(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import mahalanobis_outliers
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(200):
+        x = rng.gauss(0, 1)
+        rows.append((i, x, 2 * x + rng.gauss(0, 0.3)))
+    rows.append((999, 3.0, -6.0))  # joint outlier: against the correlation
+    df = spark.createDataFrame(rows, ["rid", "x", "y"])
+    out = mahalanobis_outliers(df, "x", "y", ["rid"], top=5).collect()
+    assert out[0].rid == 999  # the anti-correlated point dominates
+
+    # brute-force d2 with numpy
+    import numpy as np
+
+    arr = np.array([(x, y) for _, x, y in rows])
+    mu = arr.mean(axis=0)
+    cov = np.cov(arr.T, bias=True)
+    inv = np.linalg.inv(cov)
+    d = arr - mu
+    d2 = np.einsum("ij,jk,ik->i", d, inv, d)
+    exp_top = sorted(
+        zip((r[0] for r in rows), d2), key=lambda t: (-round(t[1], 6), t[0])
+    )[:5]
+    for got, (rid, dd) in zip(out, exp_top):
+        assert got.rid == rid
+        assert abs(got.d2_r - round(dd, 6)) < 1e-5
