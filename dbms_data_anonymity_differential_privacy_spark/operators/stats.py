@@ -2219,3 +2219,99 @@ def mahalanobis_outliers(
         .orderBy(F.col("d2_r").desc(), *[F.col(c).asc() for c in id_cols])
         .limit(top)
     )
+
+
+# O'Brien-Fleming two-sided group-sequential constants c(K) at overall
+# alpha=0.05 (Jennison & Turnbull 2000, Table 2.3); boundary at look k of
+# K is c(K)*sqrt(K/k). Public literals — shared verbatim with the oracle.
+OBF_C = {1: 1.960, 2: 1.977, 3: 2.004, 4: 2.024, 5: 2.040}
+
+
+def sequential_ab(
+    events: DataFrame,
+    looks: Sequence[str],
+    convert_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    salt: str = "ab",
+) -> DataFrame:
+    """X168 — group-sequential A/B monitoring with O'Brien-Fleming
+    boundaries: at each scheduled interim look the cumulative
+    two-proportion z (x74 fixed expression, portable md5 arm split) is
+    compared against ``OBF_C[K]*sqrt(K/k)`` — early looks need
+    overwhelming evidence, the final look spends almost the full alpha
+    (Pocock/OBF sequential-testing canon; Jennison & Turnbull 2000).
+
+    ``looks`` is a PUBLIC calendar of K cutoff timestamps (data-
+    independent — required for the boundary constants to be literals).
+    A user enters look k's denominator when their first event is at or
+    before the cutoff; they convert if their first ``convert_type``
+    event is too.
+
+    Shape: ONE per-user collapse (arm, first-event ts, first-conversion
+    ts); the K-way explode multiplies that slim relation; per-look
+    counts partial-aggregate to K rows; z and the boundary are fixed
+    expressions over those K rows.
+
+    Output: ``(look, n_a, n_b, conv_a, conv_b, z_r, bound_r, reject)``.
+    """
+    k_total = len(looks)
+    if k_total not in OBF_C:
+        raise ValueError(f"looks must have 1..{max(OBF_C)} entries")
+    c = OBF_C[k_total]
+    per_user = events.groupBy(F.col(user_col).alias("__u")).agg(
+        F.min(ts_col).alias("__first"),
+        F.min(
+            F.when(F.col(type_col) == convert_type, F.col(ts_col))
+        ).alias("__conv"),
+    ).withColumn(
+        "__arm_a",
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.col("__u").cast("string"), F.lit(salt)).cast(
+                    "binary"
+                )
+            ),
+            1,
+            8,
+        )
+        < F.lit("80000000"),
+    )
+    look_rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("look"),
+                F.lit(ts).cast("timestamp").alias("__cut"),
+            )
+            for i, ts in enumerate(looks)
+        ]
+    )
+    staged = per_user.select(
+        "__u", "__first", "__conv", "__arm_a", F.explode(look_rows).alias("__l")
+    ).select(
+        "__u", "__first", "__conv", "__arm_a",
+        F.col("__l.look").alias("look"), F.col("__l.__cut").alias("__cut"),
+    ).filter(F.col("__first") <= F.col("__cut"))
+    agg = staged.groupBy("look").agg(
+        F.sum(F.when(F.col("__arm_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~F.col("__arm_a"), 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(
+            F.when(F.col("__arm_a") & (F.col("__conv") <= F.col("__cut")), 1).otherwise(0)
+        ).cast("long").alias("conv_a"),
+        F.sum(
+            F.when((~F.col("__arm_a")) & (F.col("__conv") <= F.col("__cut")), 1).otherwise(0)
+        ).cast("long").alias("conv_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    pa, pb = F.col("conv_a") / na, F.col("conv_b") / nb
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (na + nb)
+    se = F.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))
+    z = F.when(se > 0, (pa - pb) / se)
+    bound = F.lit(c) * F.sqrt(F.lit(float(k_total)) / F.col("look").cast("double"))
+    return agg.select(
+        "look", "n_a", "n_b", "conv_a", "conv_b",
+        F.round(z, 9).alias("z_r"),
+        F.round(bound, 9).alias("bound_r"),
+        (F.abs(F.coalesce(z, F.lit(0.0))) >= bound).alias("reject"),
+    )

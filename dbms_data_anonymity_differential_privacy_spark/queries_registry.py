@@ -8458,6 +8458,69 @@ def x167_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X168 — group-sequential A/B (operators/stats.py sequential_ab): 4
+# weekly O'Brien-Fleming interim looks at the purchase-conversion z;
+# boundary literals c(4)*sqrt(4/k) shared verbatim with the oracle.
+# --------------------------------------------------------------------------
+_X168_LOOKS = [
+    "2024-01-08 00:00:00",
+    "2024-01-15 00:00:00",
+    "2024-01-22 00:00:00",
+    "2024-01-29 00:00:00",
+]
+
+
+def _x168_sql() -> str:
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import OBF_C
+
+    k_total = len(_X168_LOOKS)
+    c = OBF_C[k_total]
+    looks = ", ".join(
+        f"({i + 1}, TIMESTAMP '{ts}')" for i, ts in enumerate(_X168_LOOKS)
+    )
+    return f"""
+    WITH pu AS (SELECT user_id AS u, MIN(ts) AS first_ts,
+                       MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS conv_ts,
+                       substr(md5(CAST(user_id AS VARCHAR) || '|ab'), 1, 8)
+                           < '80000000' AS arm_a
+                FROM events GROUP BY 1),
+    lk(look, cut) AS (VALUES {looks}),
+    st AS (SELECT * FROM pu CROSS JOIN lk WHERE first_ts <= cut),
+    agg AS (SELECT look,
+                   CAST(SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN NOT arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                   CAST(SUM(CASE WHEN arm_a AND conv_ts <= cut THEN 1 ELSE 0 END)
+                        AS BIGINT) AS conv_a,
+                   CAST(SUM(CASE WHEN NOT arm_a AND conv_ts <= cut THEN 1 ELSE 0 END)
+                        AS BIGINT) AS conv_b
+            FROM st GROUP BY 1)
+    SELECT look, n_a, n_b, conv_a, conv_b,
+           ROUND(CASE WHEN (conv_a + conv_b) > 0 AND (conv_a + conv_b) < (n_a + n_b)
+                 THEN (conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+                      / sqrt((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE)
+                             * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                             * (1.0 / n_a + 1.0 / n_b)) END, 9) AS z_r,
+           ROUND({c!r} * sqrt({float(k_total)!r} / look), 9) AS bound_r,
+           ABS(COALESCE(CASE WHEN (conv_a + conv_b) > 0 AND (conv_a + conv_b) < (n_a + n_b)
+                 THEN (conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+                      / sqrt((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE)
+                             * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                             * (1.0 / n_a + 1.0 / n_b)) END, 0.0))
+               >= {c!r} * sqrt({float(k_total)!r} / look) AS reject
+    FROM agg
+    """
+
+
+@query("x168_sequential_ab", _x168_sql())
+def x168_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-look O'Brien-Fleming sequential A/B on purchase conversion."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import sequential_ab
+
+    ev = load_table(spark, sf_dir, "events")
+    return sequential_ab(ev, _X168_LOOKS)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
 # every r3-window query now holds a driver row and rotates out. This

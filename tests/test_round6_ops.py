@@ -509,3 +509,52 @@ def test_mahalanobis_matches_bruteforce(spark):
     for got, (rid, dd) in zip(out, exp_top):
         assert got.rid == rid
         assert abs(got.d2_r - round(dd, 6)) < 1e-5
+
+
+def test_sequential_ab_matches_bruteforce(spark):
+    import datetime
+    import hashlib
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import OBF_C, sequential_ab
+
+    rng = random.Random(17)
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for u in range(120):
+        first = base + datetime.timedelta(hours=rng.randint(0, 500))
+        rows.append((u, first, "view"))
+        if rng.random() < 0.4:
+            rows.append(
+                (u, first + datetime.timedelta(hours=rng.randint(1, 200)), "purchase")
+            )
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    looks = ["2024-01-08 00:00:00", "2024-01-15 00:00:00", "2024-01-22 00:00:00"]
+    out = {r.look: r for r in sequential_ab(df, looks).collect()}
+
+    def arm_a(u):
+        return hashlib.md5(f"{u}|ab".encode()).hexdigest()[:8] < "80000000"
+
+    users = {}
+    for u, ts, t in rows:
+        e = users.setdefault(u, {"first": ts, "conv": None})
+        e["first"] = min(e["first"], ts)
+        if t == "purchase":
+            e["conv"] = ts if e["conv"] is None else min(e["conv"], ts)
+    for k, cut_s in enumerate(looks, 1):
+        cut = datetime.datetime.fromisoformat(cut_s)
+        ents = {u: e for u, e in users.items() if e["first"] <= cut}
+        n_a = sum(1 for u in ents if arm_a(u))
+        n_b = len(ents) - n_a
+        ca = sum(1 for u, e in ents.items() if arm_a(u) and e["conv"] and e["conv"] <= cut)
+        cb = sum(1 for u, e in ents.items() if not arm_a(u) and e["conv"] and e["conv"] <= cut)
+        r = out[k]
+        assert (r.n_a, r.n_b, r.conv_a, r.conv_b) == (n_a, n_b, ca, cb)
+        pool = (ca + cb) / (n_a + n_b)
+        se = math.sqrt(pool * (1 - pool) * (1 / n_a + 1 / n_b))
+        z = (ca / n_a - cb / n_b) / se
+        bound = OBF_C[3] * math.sqrt(3 / k)
+        assert abs(r.z_r - round(z, 9)) < 1e-9
+        assert abs(r.bound_r - round(bound, 9)) < 1e-9
+        assert r.reject == (abs(z) >= bound)
+    # boundary ladder is decreasing: early looks demand more evidence
+    assert out[1].bound_r > out[2].bound_r > out[3].bound_r
