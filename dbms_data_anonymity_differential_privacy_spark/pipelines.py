@@ -541,3 +541,42 @@ def corpus_datasheet(docs: DataFrame, gopher_thresholds: dict | None = None) -> 
         )
         .drop("__top_n")
     )
+
+
+def graph_insights(edges: DataFrame, pr_iters: int = 10, lp_iters: int = 3) -> DataFrame:
+    """Composite graph-analytics release: build the edge relation ONCE
+    and fan it to integer PageRank (importance) and label-propagation
+    (community), joined into one per-node relation — the single-output
+    "graph datasheet" a curation pipeline attaches to an entity graph.
+
+    The directed PageRank runs over both orientations of the undirected
+    edge set (same convention as x164's TextRank), so rank mass follows
+    co-occurrence symmetrically. Persisting the slim edge list means the
+    two analyses share one upstream build; both inherit the pagerank/LPA
+    hybrid driver fast paths for metadata-scale graphs.
+
+    Output: ``(node, rank_ppb, community, community_size)``.
+    """
+    from pyspark.sql import functions as F
+
+    from .operators.graph import label_propagation, pagerank_int
+
+    slim = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    ).persist()
+    slim.count()
+    both = slim.unionAll(
+        slim.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = pagerank_int(both, iters=pr_iters)
+    lp = label_propagation(slim, iters=lp_iters)
+    sizes = lp.groupBy("community").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    out = (
+        pr.join(lp, on="node")
+        .join(F.broadcast(sizes), on="community")
+        .select("node", "rank_ppb", "community", "community_size")
+    )
+    slim.unpersist()
+    return out

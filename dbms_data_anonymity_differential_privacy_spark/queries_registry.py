@@ -8521,6 +8521,86 @@ def x168_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# pipe_graph_insights — composite graph datasheet (pipelines.py
+# graph_insights): ONE co-purchase edge build fanned to integer
+# PageRank (both orientations) + 3-round label propagation + community
+# sizes, joined per node. Oracle = the x126 + x160 CTE chains over the
+# shared edge CTE.
+# --------------------------------------------------------------------------
+def _pipe_graph_sql(pr_iters: int = 10, lp_iters: int = 3) -> str:
+    ctes = [
+        "items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem)",
+        "prr AS (SELECT a.i AS x, b.i AS y FROM items a"
+        " JOIN items b ON a.b = b.b AND a.i < b.i"
+        " GROUP BY 1, 2 HAVING COUNT(*) >= 2)",
+        "e0 AS (SELECT x AS src, y AS dst FROM prr UNION ALL SELECT y, x FROM prr)",
+        "nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS (SELECT src AS node, COUNT(*) AS d FROM e0 GROUP BY 1)",
+        "pr0 AS (SELECT node, CAST(1000000000 // nn.n AS BIGINT) AS r"
+        " FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, pr_iters + 1):
+        ctes.append(
+            f"pr{i} AS (SELECT n.node, CAST(150000000 // nn.n"
+            f" + (17 * COALESCE(s.c, 0)) // 20 AS BIGINT) AS r"
+            f" FROM nodes n CROSS JOIN nn LEFT JOIN"
+            f" (SELECT e.dst AS node, SUM(p.r // d.d) AS c"
+            f" FROM pr{i - 1} p JOIN e0 e ON e.src = p.node"
+            f" JOIN deg d ON d.node = p.node GROUP BY 1) s USING (node))"
+        )
+    ctes.append("l0 AS (SELECT node, node AS label FROM nodes)")
+    prev = "l0"
+    for i in range(1, lp_iters + 1):
+        ctes.append(
+            f"r{i} AS (SELECT a.dst AS node, l.label FROM e0 a"
+            f" JOIN {prev} l ON l.node = a.src)"
+        )
+        ctes.append(f"c{i} AS (SELECT node, label, COUNT(*) AS c FROM r{i} GROUP BY 1, 2)")
+        ctes.append(
+            f"l{i} AS (SELECT node, label FROM"
+            f" (SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node"
+            f" ORDER BY c DESC, label) AS rk FROM c{i}) WHERE rk = 1)"
+        )
+        prev = f"l{i}"
+    ctes.append(
+        f"sizes AS (SELECT label AS community, CAST(COUNT(*) AS BIGINT)"
+        f" AS community_size FROM {prev} GROUP BY 1)"
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT p.node, p.r AS rank_ppb, l.label AS community, s.community_size"
+        f" FROM pr{pr_iters} p JOIN {prev} l ON l.node = p.node"
+        f" JOIN sizes s ON s.community = l.label"
+    )
+
+
+@query("pipe_graph_insights", _pipe_graph_sql())
+def pipe_graph_insights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part graph datasheet: PageRank + community over co-purchase."""
+    from dbms_data_anonymity_differential_privacy_spark.pipelines import graph_insights
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("src", "dst")
+    )
+    return graph_insights(edges)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
 # every r3-window query now holds a driver row and rotates out. This

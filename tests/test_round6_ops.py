@@ -558,3 +558,28 @@ def test_sequential_ab_matches_bruteforce(spark):
         assert r.reject == (abs(z) >= bound)
     # boundary ladder is decreasing: early looks demand more evidence
     assert out[1].bound_r > out[2].bound_r > out[3].bound_r
+
+
+def test_graph_insights_composition(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import label_propagation, pagerank_int
+    from dbms_data_anonymity_differential_privacy_spark.pipelines import graph_insights
+
+    def clique(nodes):
+        return [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1:]]
+
+    edges = clique([1, 2, 3]) + clique([10, 11, 12, 13]) + [(3, 10)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r.node: r for r in graph_insights(df).collect()}
+    # matches the standalone operators run on the same edges
+    both = df.unionAll(df.selectExpr("dst AS src", "src AS dst"))
+    pr = {r.node: r.rank_ppb for r in pagerank_int(both, iters=10).collect()}
+    lp = {r.node: r.community for r in label_propagation(df, iters=3).collect()}
+    assert set(out) == set(pr)
+    for n, r in out.items():
+        assert r.rank_ppb == pr[n] and r.community == lp[n]
+    # community sizes are consistent
+    from collections import Counter
+
+    sizes = Counter(lp.values())
+    for n, r in out.items():
+        assert r.community_size == sizes[r.community]
