@@ -156,3 +156,90 @@ def expectation_report(
     return wide.select(F.explode(F.array(*rows)).alias("e")).select(
         "e.rule_id", "e.rule", "e.column", "e.n_checked", "e.n_violations", "e.passed"
     )
+
+
+def deletion_impact_plan(
+    df: DataFrame,
+    subject_ids: DataFrame,
+    subject_col: str,
+    partition_expr,
+    partition_name: str = "partition",
+) -> DataFrame:
+    """Right-to-erasure (GDPR Art. 17) rewrite planner: given a relation
+    of deletion-request subject ids, report — per storage partition —
+    how many rows must go and what fraction of the partition rewrites.
+    This is the planning half of compliance deletes on immutable
+    formats: partitions with affected_rows = 0 are skipped entirely,
+    the rest pay a full rewrite, so the affected-fraction column IS the
+    cost model.
+
+    Shape: the subject list BROADCASTS (deletion requests are tiny
+    relative to the fact table); one pass computes per-partition totals
+    and affected counts together (conditional aggregation over the
+    broadcast-hash membership flag — the fact table never shuffles by
+    subject). Output: ``(partition_name, n_rows, affected_rows,
+    affected_ppm, must_rewrite)`` with the fraction in exact integer
+    parts-per-million.
+    """
+    subjects = subject_ids.select(
+        F.col(subject_col).alias("__subj")
+    ).distinct()
+    flagged = df.select(
+        partition_expr.alias(partition_name), F.col(subject_col).alias("__s")
+    ).join(
+        F.broadcast(subjects.withColumn("__hit", F.lit(1))),
+        F.col("__s") == F.col("__subj"),
+        "left",
+    )
+    return flagged.groupBy(partition_name).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("affected_rows"),
+        F.expr("CAST(sum(coalesce(__hit, 0)) * 1000000 DIV count(1) AS BIGINT)").alias(
+            "affected_ppm"
+        ),
+        (F.sum(F.coalesce(F.col("__hit"), F.lit(0))) > 0).alias("must_rewrite"),
+    )
+
+
+def join_cardinality_profile(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    top: int = 10,
+) -> DataFrame:
+    """Exact join-cardinality profile — the CBO-style diagnostic run
+    BEFORE a big join: output size ``|A ⋈ B| = Σ_k cA(k)·cB(k)``, the
+    key overlap counts, and the ``top`` heaviest keys by pair
+    contribution (the skew candidates a salting strategy targets).
+
+    Shape: each side collapses to its per-key count relation (one
+    partial-agg shuffle each); the profile joins the two SLIM count
+    relations, never the fact tables — the whole point is predicting
+    the expensive join without running it. The summary row aggregates
+    that count-join; heavy keys are a distributed TakeOrdered.
+
+    Output: one row per heavy key ``(key, left_rows, right_rows,
+    pairs)`` ordered by (pairs desc, key), plus the grand totals as the
+    key = NULL row.
+    """
+    ca = left.groupBy(F.col(left_key).alias("key")).agg(
+        F.count(F.lit(1)).alias("left_rows")
+    )
+    cb = right.groupBy(F.col(right_key).alias("key")).agg(
+        F.count(F.lit(1)).alias("right_rows")
+    )
+    joined = ca.join(cb, on="key").select(
+        "key",
+        F.col("left_rows").cast("long").alias("left_rows"),
+        F.col("right_rows").cast("long").alias("right_rows"),
+        (F.col("left_rows") * F.col("right_rows")).cast("long").alias("pairs"),
+    )
+    heavy = joined.orderBy(F.col("pairs").desc(), F.col("key").asc()).limit(top)
+    totals = joined.agg(
+        F.lit(None).cast(joined.schema["key"].dataType).alias("key"),
+        F.sum("left_rows").cast("long").alias("left_rows"),
+        F.sum("right_rows").cast("long").alias("right_rows"),
+        F.sum("pairs").cast("long").alias("pairs"),
+    )
+    return heavy.unionByName(totals)

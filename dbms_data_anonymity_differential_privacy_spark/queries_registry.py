@@ -8601,6 +8601,91 @@ def pipe_graph_insights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X169 — GDPR deletion-impact plan (operators/integrity.py
+# deletion_impact_plan): per-day rewrite cost for the ~1% of users whose
+# portable md5 lands under the threshold (stand-in for a deletion-
+# request relation); subject list broadcasts, fact never shuffles.
+# --------------------------------------------------------------------------
+@query(
+    "x169_delete_plan",
+    """
+    WITH subj AS (SELECT DISTINCT user_id FROM events
+                  WHERE substr(md5(CAST(user_id AS VARCHAR) || '|erasure'), 1, 8)
+                        < '028f5c28'),
+    flagged AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       CASE WHEN s.user_id IS NULL THEN 0 ELSE 1 END AS hit
+                FROM events e LEFT JOIN subj s ON s.user_id = e.user_id)
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(hit) AS BIGINT) AS affected_rows,
+           CAST(SUM(hit) * 1000000 // COUNT(*) AS BIGINT) AS affected_ppm,
+           SUM(hit) > 0 AS must_rewrite
+    FROM flagged GROUP BY day
+    """,
+)
+def x169_delete_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day rewrite plan for a 1% erasure-request cohort."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.integrity import (
+        deletion_impact_plan,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    subjects = ev.select("user_id").where(
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.col("user_id").cast("string"), F.lit("erasure")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            8,
+        )
+        < F.lit("028f5c28")
+    )
+    return deletion_impact_plan(
+        ev,
+        subjects,
+        "user_id",
+        F.date_trunc("day", F.col("ts")),
+        partition_name="day",
+    )
+
+
+# --------------------------------------------------------------------------
+# X170 — join-cardinality profile (operators/integrity.py
+# join_cardinality_profile): predicted |orders ⋈ lineitem| and the top
+# skew keys from the two slim per-key count relations — the fact tables
+# never join.
+# --------------------------------------------------------------------------
+@query(
+    "x170_join_cardinality",
+    """
+    WITH ca AS (SELECT o_orderkey AS key, COUNT(*) AS left_rows
+                FROM orders GROUP BY 1),
+    cb AS (SELECT l_orderkey AS key, COUNT(*) AS right_rows
+           FROM lineitem GROUP BY 1),
+    j AS (SELECT key, CAST(left_rows AS BIGINT) AS left_rows,
+                 CAST(right_rows AS BIGINT) AS right_rows,
+                 CAST(left_rows * right_rows AS BIGINT) AS pairs
+          FROM ca JOIN cb USING (key))
+    SELECT * FROM (SELECT * FROM j ORDER BY pairs DESC, key LIMIT 10)
+    UNION ALL
+    SELECT NULL AS key, CAST(SUM(left_rows) AS BIGINT),
+           CAST(SUM(right_rows) AS BIGINT), CAST(SUM(pairs) AS BIGINT)
+    FROM j
+    """,
+)
+def x170_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicted orders⋈lineitem size + top skew keys, facts never join."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.integrity import (
+        join_cardinality_profile,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return join_cardinality_profile(o, li, "o_orderkey", "l_orderkey", top=10)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
 # every r3-window query now holds a driver row and rotates out. This

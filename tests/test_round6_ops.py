@@ -583,3 +583,39 @@ def test_graph_insights_composition(spark):
     sizes = Counter(lp.values())
     for n, r in out.items():
         assert r.community_size == sizes[r.community]
+
+
+def test_deletion_impact_plan_counts(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.integrity import deletion_impact_plan
+
+    rows = [(u, p) for p in ("a", "b") for u in range(10)] + [(99, "c")]
+    df = spark.createDataFrame(rows, ["uid", "part"])
+    subj = spark.createDataFrame([(3,), (7,), (99,), (1234,)], ["uid"])
+    out = {
+        r.part: r
+        for r in deletion_impact_plan(
+            df, subj, "uid", F.col("part"), partition_name="part"
+        ).collect()
+    }
+    assert out["a"].n_rows == 10 and out["a"].affected_rows == 2
+    assert out["a"].affected_ppm == 200000 and out["a"].must_rewrite
+    assert out["c"].affected_rows == 1 and out["c"].must_rewrite
+    assert out["b"].affected_ppm == 200000
+
+
+def test_join_cardinality_profile_exact(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.integrity import (
+        join_cardinality_profile,
+    )
+
+    left = spark.createDataFrame([(k,) for k in [1, 1, 2, 3, 3, 3]], ["k"])
+    right = spark.createDataFrame([(k,) for k in [1, 3, 3, 4]], ["k"])
+    rows = join_cardinality_profile(left, right, "k", "k", top=5).collect()
+    by_key = {r.key: r for r in rows}
+    # key 3: 3*2=6 pairs; key 1: 2*1=2; key 2 and 4 don't overlap
+    assert by_key[3].pairs == 6 and by_key[1].pairs == 2
+    assert 2 not in by_key and 4 not in by_key
+    total = by_key[None]
+    assert total.pairs == 8  # exact |A join B|
+    # verify against the actual join
+    assert left.join(right, on="k").count() == 8
