@@ -206,6 +206,11 @@ HEADLINE = [
     "x164_textrank",
     "x165_theil",
     "x166_bfs_profile",
+    "x167_mahalanobis",
+    "x168_sequential_ab",
+    "x169_delete_plan",
+    "x170_join_cardinality",
+    "pipe_graph_insights",
 ]
 
 

@@ -491,3 +491,40 @@ def test_stream_join_twin_is_keyed_join(plans):
     p = plans["x162_stream_join"]
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_mahalanobis_single_moments_pass_takeordered(plans):
+    """x167: one moments aggregation broadcast back; the top cut is
+    TakeOrderedAndProject; no Cartesian pair stage."""
+    p = plans["x167_mahalanobis"]
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 0
+
+
+def test_sequential_ab_explodes_user_relation_only(plans):
+    """x168: the K-look explode multiplies the per-user collapse (one
+    fact shuffle), never raw events."""
+    p = plans["x168_sequential_ab"]
+    gen = p.find("Generate explode")
+    assert gen != -1 and "HashAggregate" in p[gen:]
+    assert len(re.findall(r"Exchange hashpartitioning", p)) <= 2
+
+
+def test_delete_plan_broadcasts_subjects(plans):
+    """x169: the erasure-request relation broadcasts; the fact table
+    never shuffles by subject (one partition-key aggregation only)."""
+    p = plans["x169_delete_plan"]
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_join_cardinality_joins_count_relations_not_facts(plans):
+    """x170: both sides collapse to per-key counts BEFORE the join — the
+    join inputs are aggregates, so each side shows a partial/final
+    HashAggregate pair under the join, and no fact-fact join exists."""
+    p = plans["x170_join_cardinality"]
+    assert "CartesianProduct" not in p
+    # the count-relation join may be broadcast or shuffled; both fine —
+    # what matters is aggregates feed it
+    assert p.count("HashAggregate") >= 4
