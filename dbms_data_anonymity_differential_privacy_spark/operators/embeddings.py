@@ -371,3 +371,66 @@ def retrieval_eval(
             9,
         ).alias("ndcg"),
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Greedy k-center (farthest-point-first) coreset selection — the
+    classic 2-approximation (Gonzalez 1985) diversity sampler training-
+    data pipelines use to pick maximally-spread exemplars from an
+    embedding pool. Seed = smallest id; each round adds the point
+    farthest (squared L2, min over chosen centers) from the current
+    set, ties to the smallest id; the selection distance sequence is the
+    coverage-radius curve.
+
+    Exactness: d(x,c) expands to ``dot(x,x) - 2·dot(x,c) + dot(c,c)``
+    with every dot a SEQUENTIAL fold (bit-identical to DuckDB's
+    list_dot_product — the x04 contract), so the greedy trajectory is
+    engine-exact; only the released distances round.
+
+    Shape: per round ONE map-only distance-update projection (center
+    vector rides the plan as a literal array) and one distributed
+    TakeOrdered(1) — k bounded 1-row collects total, no shuffles of the
+    pool. Output: ``(round, vec_id, dist_r)``, dist NULL for the seed.
+    """
+    from .similarity import _dot
+
+    v = F.col(vec_col).cast("array<double>")
+    pool = df.select(
+        F.col(id_col).alias("__id"), v.alias("__v"), _dot(v, v).alias("__xx")
+    ).persist()
+
+    def dist_to(center_vec: list[float], center_xx: float):
+        lit = F.array(*[F.lit(float(x)) for x in center_vec])
+        return F.col("__xx") - 2.0 * _dot(F.col("__v"), lit) + F.lit(center_xx)
+
+    seed = pool.orderBy(F.col("__id").asc()).limit(1).collect()[0]
+    chosen = [(1, int(seed["__id"]), None)]
+    cur = pool.select(
+        "__id", "__v", "__xx",
+        dist_to(list(seed["__v"]), float(seed["__xx"])).alias("__d"),
+    ).persist()
+    cur.count()
+    for r in range(2, k + 1):
+        far = cur.orderBy(F.col("__d").desc(), F.col("__id").asc()).limit(1).collect()[0]
+        chosen.append((r, int(far["__id"]), float(far["__d"])))
+        nxt = cur.select(
+            "__id", "__v", "__xx",
+            F.least(
+                F.col("__d"),
+                dist_to(list(far["__v"]), float(far["__xx"])),
+            ).alias("__d"),
+        ).persist()
+        nxt.count()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    pool.unpersist()
+    return df.sparkSession.createDataFrame(
+        [(r, i, None if d is None else round(d, 6)) for r, i, d in chosen],
+        "round INT, vec_id LONG, dist_r DOUBLE",
+    )

@@ -8686,6 +8686,52 @@ def x170_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X171 — k-center coreset (operators/embeddings.py kcenter_coreset):
+# greedy farthest-point diversity selection over the embedding pool,
+# k=8; dist = dot(x,x) - 2 dot(x,c) + dot(c,c) with sequential-fold
+# dots (x04 bit-exactness contract), so the greedy trajectory replays
+# identically from the unrolled oracle CTEs.
+# --------------------------------------------------------------------------
+def _x171_sql(k: int = 8) -> str:
+    ctes = [
+        "e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,"
+        " list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))"
+        " AS xx FROM embeddings)",
+        "s1 AS (SELECT id, v, xx FROM e ORDER BY id LIMIT 1)",
+        "d1 AS (SELECT e.id, e.v, e.xx,"
+        " e.xx - 2 * list_dot_product(e.v, s1.v) + s1.xx AS d"
+        " FROM e CROSS JOIN s1)",
+    ]
+    for r in range(2, k + 1):
+        ctes.append(
+            f"s{r} AS (SELECT id, v, xx, d FROM d{r - 1}"
+            f" ORDER BY d DESC, id LIMIT 1)"
+        )
+        if r < k:
+            ctes.append(
+                f"d{r} AS (SELECT p.id, p.v, p.xx,"
+                f" LEAST(p.d, p.xx - 2 * list_dot_product(p.v, s{r}.v) + s{r}.xx) AS d"
+                f" FROM d{r - 1} p CROSS JOIN s{r})"
+            )
+    sels = [
+        "SELECT 1 AS round, s1.id AS vec_id, CAST(NULL AS DOUBLE) AS dist_r FROM s1"
+    ] + [
+        f"SELECT {r} AS round, s{r}.id AS vec_id, ROUND(s{r}.d, 6) AS dist_r FROM s{r}"
+        for r in range(2, k + 1)
+    ]
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(sels)
+
+
+@query("x171_kcenter", _x171_sql())
+def x171_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy farthest-point 8-exemplar coreset of the embedding pool."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import kcenter_coreset
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_coreset(emb, k=8)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
 # every r3-window query now holds a driver row and rotates out. This

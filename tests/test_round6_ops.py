@@ -619,3 +619,35 @@ def test_join_cardinality_profile_exact(spark):
     assert total.pairs == 8  # exact |A join B|
     # verify against the actual join
     assert left.join(right, on="k").count() == 8
+
+
+def test_kcenter_coreset_matches_bruteforce(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import kcenter_coreset
+
+    rng = random.Random(41)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = [(r.round, r.vec_id, r.dist_r) for r in kcenter_coreset(df, k=5).collect()]
+    out.sort()
+
+    # brute-force greedy with the same expansion
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    pool = {i: v for i, v in vecs}
+    xx = {i: dot(v, v) for i, v in vecs}
+    chosen = [min(pool)]
+    exp = [(1, chosen[0], None)]
+    d = {i: xx[i] - 2 * dot(pool[i], pool[chosen[0]]) + xx[chosen[0]] for i in pool}
+    for r in range(2, 6):
+        far = min(pool, key=lambda i: (-d[i], i))
+        exp.append((r, far, round(d[far], 6)))
+        nd = {i: xx[i] - 2 * dot(pool[i], pool[far]) + xx[far] for i in pool}
+        d = {i: min(d[i], nd[i]) for i in pool}
+    assert out == sorted(exp)
+    # coverage radius is non-increasing after round 2
+    radii = [t[2] for t in out if t[2] is not None]
+    assert all(a >= b - 1e-9 for a, b in zip(radii, radii[1:]))
