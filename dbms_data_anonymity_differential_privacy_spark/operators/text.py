@@ -550,3 +550,43 @@ def textrank_keywords(
         .orderBy(F.col("rank_ppb").desc(), F.col("word").asc())
         .limit(top)
     )
+
+
+def feature_hashing(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Signed feature hashing (the "hashing trick", Weinberger et al.
+    ICML 2009): token counts fold into a fixed ``n_buckets``-dim sparse
+    vector with a ±1 sign hash, so collisions cancel in expectation —
+    the constant-memory featurizer for unbounded vocabularies.
+
+    Both hashes derive from the PORTABLE md5 of the token (bucket = the
+    first 8 hex chars as an integer mod ``n_buckets``; sign = the 9th
+    hex char's top bit), so the feature matrix is engine-exact and
+    integer-valued. Shape: tokenize/explode map-only, then ONE
+    (doc, bucket) partial-agg shuffle. Zero entries are not emitted
+    (sparse representation).
+
+    Output: ``(id_col, bucket, feat)``.
+    """
+    toks = (
+        docs.select(
+            id_col,
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .withColumn("__h", F.md5(F.col("w").cast("binary")))
+    )
+    bucket = F.pmod(
+        F.conv(F.substring("__h", 1, 8), 16, 10).cast("long"), F.lit(n_buckets)
+    )
+    sign = F.when(F.substring("__h", 9, 1) < "8", 1).otherwise(-1)
+    return (
+        toks.select(id_col, bucket.alias("bucket"), sign.alias("__s"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("__s").cast("long").alias("feat"))
+        .filter(F.col("feat") != 0)
+    )

@@ -8732,6 +8732,34 @@ def x171_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X172 — feature hashing (operators/text.py feature_hashing): signed
+# 64-bucket hashing-trick features from the portable md5 of each token;
+# integer-exact sparse matrix.
+# --------------------------------------------------------------------------
+@query(
+    "x172_feature_hashing",
+    r"""
+    WITH tok AS (SELECT doc_id,
+                        unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+                 FROM documents),
+    h AS (SELECT doc_id, md5(w) AS hh FROM tok WHERE w <> ''),
+    f AS (SELECT doc_id,
+                 CAST('0x' || substr(hh, 1, 8) AS BIGINT) % 64 AS bucket,
+                 CASE WHEN substr(hh, 9, 1) < '8' THEN 1 ELSE -1 END AS s
+          FROM h)
+    SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS feat
+    FROM f GROUP BY 1, 2 HAVING SUM(s) <> 0
+    """,
+)
+def x172_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed 64-bucket hashed bag-of-words features per document."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import feature_hashing
+
+    d = load_table(spark, sf_dir, "documents")
+    return feature_hashing(d, n_buckets=64)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
 # every r3-window query now holds a driver row and rotates out. This

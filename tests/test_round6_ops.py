@@ -651,3 +651,23 @@ def test_kcenter_coreset_matches_bruteforce(spark):
     # coverage radius is non-increasing after round 2
     radii = [t[2] for t in out if t[2] is not None]
     assert all(a >= b - 1e-9 for a, b in zip(radii, radii[1:]))
+
+
+def test_feature_hashing_matches_bruteforce(spark):
+    import hashlib
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import feature_hashing
+
+    docs = [(1, "apple banana apple"), (2, "banana cherry"), (3, "  apple  ")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {(r.doc_id, r.bucket): r.feat for r in feature_hashing(df, n_buckets=16).collect()}
+
+    exp = {}
+    for did, text in docs:
+        for w in text.strip().lower().split():
+            h = hashlib.md5(w.encode()).hexdigest()
+            b = int(h[:8], 16) % 16
+            s = 1 if h[8] < "8" else -1
+            exp[(did, b)] = exp.get((did, b), 0) + s
+    exp = {k: v for k, v in exp.items() if v != 0}
+    assert out == exp
