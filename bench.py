@@ -211,6 +211,8 @@ HEADLINE = [
     "x169_delete_plan",
     "x170_join_cardinality",
     "pipe_graph_insights",
+    "x171_kcenter",
+    "x172_feature_hashing",
 ]
 
 
