@@ -140,6 +140,30 @@ NEW_THIS_ROUND: set[str] = {
     "x150_wilcoxon",
     "x151_assortativity",
     "x152_powerlaw",
+    # Round-6 session debuts — outside the (already full) round-5 window,
+    # rotate in next round; until then their check is the dual-SF local
+    # oracle sweep + per-op pytest.
+    "x153_skyline",
+    "x154_dsir_weights",
+    "x155_adamic_adar",
+    "x156_kruskal_wallis",
+    "x157_cliffs_delta",
+    "x158_permutation_test",
+    "x159_quantile_norm",
+    "x160_label_prop",
+    "x161_isotonic",
+    "x162_stream_join",
+    "x163_bootstrap_ci",
+    "x164_textrank",
+    "x165_theil",
+    "x166_bfs_profile",
+    "x167_mahalanobis",
+    "x168_sequential_ab",
+    "x169_delete_plan",
+    "x170_join_cardinality",
+    "pipe_graph_insights",
+    "x171_kcenter",
+    "x172_feature_hashing",
 }
 
 
