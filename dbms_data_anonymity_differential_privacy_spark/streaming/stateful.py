@@ -66,3 +66,71 @@ def kanon_gate_batch(events: DataFrame, k: int = 5) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= F.lit(k))
     )
+
+
+MG_OUTPUT_SCHEMA = "event_type string, item long, count_lb long, n_seen long"
+MG_STATE_SCHEMA = "items array<long>, counts array<long>, n_seen long"
+
+
+def heavy_hitters_stateful(
+    events: DataFrame,
+    k: int = 8,
+    group_col: str = "event_type",
+    item_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming Misra–Gries heavy hitters per group — the unbounded-
+    stream flavor of the batch sketch (``operators/sketch.py``): per
+    group the state is at most ``k`` (item, count) counters plus the
+    stream length, so memory is O(groups · k) forever. The classic MG
+    guarantee survives batching verbatim (count_lb underestimates a true
+    count by at most n_seen/k, and every item with frequency > n_seen/k
+    is tracked), because MG folds compose: applying the update rule
+    row-by-row across micro-batches IS the sequential algorithm.
+
+    Rows are applied in event-time order WITHIN each micro-batch (same
+    disclosed discipline as the streaming funnel); the equivalence test
+    replays one batch and compares against a sequential reference fold.
+    Emits the group's current tracked set each time it changes (update
+    mode).
+    """
+
+    def fold(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, counts, n_seen = state.get
+            sketch = dict(zip(items, counts))
+        else:
+            sketch, n_seen = {}, 0
+        for pdf in pdfs:
+            for item in pdf.sort_values(ts_col)[item_col]:
+                item = int(item)
+                n_seen += 1
+                if item in sketch:
+                    sketch[item] += 1
+                elif len(sketch) < k:
+                    sketch[item] = 1
+                else:
+                    # decrement-all; drop zeros (the MG eviction step)
+                    sketch = {i: c - 1 for i, c in sketch.items() if c > 1}
+        items = sorted(sketch)
+        state.update(([int(i) for i in items], [int(sketch[i]) for i in items], int(n_seen)))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(items),
+                "item": items,
+                "count_lb": [sketch[i] for i in items],
+                "n_seen": [n_seen] * len(items),
+            }
+        )
+
+    return events.groupBy(group_col).applyInPandasWithState(
+        fold,
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

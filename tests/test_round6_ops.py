@@ -671,3 +671,56 @@ def test_feature_hashing_matches_bruteforce(spark):
             exp[(did, b)] = exp.get((did, b), 0) + s
     exp = {k: v for k, v in exp.items() if v != 0}
     assert out == exp
+
+
+def test_streaming_heavy_hitters_matches_sequential_fold(spark, tmp_path):
+    import shutil
+
+    from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_table
+    from dbms_data_anonymity_differential_privacy_spark.streaming.anonymize import events_readstream
+    from dbms_data_anonymity_differential_privacy_spark.streaming.stateful import heavy_hitters_stateful
+
+    sf0001 = "/root/testdata/sf0.001"
+    k = 6
+    stream_dir = tmp_path / "events"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf0001}/events.parquet", stream_dir / "part-000.parquet")
+    q = (
+        heavy_hitters_stateful(events_readstream(spark, str(stream_dir)), k=k)
+        .writeStream.format("memory")
+        .queryName("mg_stream_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM mg_stream_test").collect()
+    # update mode: the emission with the max n_seen per group is final
+    latest_n = {}
+    for r in rows:
+        latest_n[r.event_type] = max(latest_n.get(r.event_type, 0), r.n_seen)
+    final = {}
+    for r in rows:
+        if r.n_seen == latest_n[r.event_type]:
+            final.setdefault(r.event_type, {})[r.item] = r.count_lb
+
+    # sequential reference MG over ts-ordered events
+    ev = load_table(spark, sf0001, "events").orderBy("ts").collect()
+    ref = {}
+    n_by_g = {}
+    for e in ev:
+        g, item = e.event_type, int(e.user_id)
+        sk = ref.setdefault(g, {})
+        n_by_g[g] = n_by_g.get(g, 0) + 1
+        if item in sk:
+            sk[item] += 1
+        elif len(sk) < k:
+            sk[item] = 1
+        else:
+            ref[g] = {i: c - 1 for i, c in sk.items() if c > 1}
+    assert final == ref
+    # MG guarantee: tracked count underestimates by at most n/k
+    for g, sk in final.items():
+        assert all(c >= 1 for c in sk.values())
+        assert len(sk) <= k
