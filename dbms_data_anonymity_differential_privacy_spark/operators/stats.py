@@ -2315,3 +2315,83 @@ def sequential_ab(
         F.round(bound, 9).alias("bound_r"),
         (F.abs(F.coalesce(z, F.lit(0.0))) >= bound).alias("reject"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    value_col: str,
+    unit_col: str,
+    ts_col: str,
+    cutoff: str,
+    salt: str = "ab",
+) -> DataFrame:
+    """Two-period difference-in-differences estimator: the causal-
+    inference workhorse for launches without a concurrent control —
+    ``DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre)`` removes both
+    the group baseline and the common time trend (Card & Krueger 1994
+    canon). Arms come from the engine's portable md5 split; pre/post
+    from the public ``cutoff`` timestamp.
+
+    Per-cell means are over PER-UNIT period sums (unit-level clustering
+    of the metric, the x80/x158 discipline), and the plug-in standard
+    error aggregates the four cell variances ``Σ s²_cell/n_cell``. One
+    per-(unit, period) collapse is the only fact shuffle; everything
+    after runs on the 4-row cell relation.
+
+    Output (single row): ``(n_units, did_r, se_r, t_r)`` plus the four
+    cell means.
+    """
+    cut = F.lit(cutoff).cast("timestamp")
+    per_unit = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(unit_col).alias("__u"),
+            (F.col(ts_col) >= cut).alias("__post"),
+        )
+        .agg(F.sum(value_col).alias("__x"))
+        .withColumn(
+            "__treat",
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("__u").cast("string"), F.lit(salt)
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            )
+            < F.lit("80000000"),
+        )
+    )
+    cells = per_unit.groupBy("__treat", "__post").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.avg("__x").alias("__m"),
+        (F.avg(F.col("__x") * F.col("__x")) - F.avg("__x") * F.avg("__x")).alias(
+            "__v"
+        ),
+    )
+    cell = lambda t, p, col: F.max(  # noqa: E731 — 4-row pivot
+        F.when((F.col("__treat") == t) & (F.col("__post") == p), F.col(col))
+    )
+    agg = cells.agg(
+        F.sum("__n").alias("n_units"),
+        cell(True, False, "__m").alias("m_t_pre"),
+        cell(True, True, "__m").alias("m_t_post"),
+        cell(False, False, "__m").alias("m_c_pre"),
+        cell(False, True, "__m").alias("m_c_post"),
+        F.sum(F.col("__v") / (F.col("__n") - 1)).alias("__se2"),
+    )
+    did = (F.col("m_t_post") - F.col("m_t_pre")) - (
+        F.col("m_c_post") - F.col("m_c_pre")
+    )
+    se = F.sqrt(F.col("__se2"))
+    return agg.select(
+        "n_units",
+        F.round("m_t_pre", 6).alias("m_t_pre_r"),
+        F.round("m_t_post", 6).alias("m_t_post_r"),
+        F.round("m_c_pre", 6).alias("m_c_pre_r"),
+        F.round("m_c_post", 6).alias("m_c_post_r"),
+        F.round(did, 6).alias("did_r"),
+        F.round(se, 6).alias("se_r"),
+        F.round(F.when(se > 0, did / se), 6).alias("t_r"),
+    )
