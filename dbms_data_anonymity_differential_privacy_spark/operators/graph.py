@@ -336,13 +336,16 @@ def assortativity(edges: DataFrame) -> DataFrame:
         F.sum((F.col("j") * F.col("j")).cast(DEC)).alias("q"),
         F.sum((F.col("j") * F.col("k")).cast(DEC)).alias("c"),
     )
-    n_nodes = deg.count()
-    n_edges = edges.count()
+    # ONE Spark action: n_edges = |P|/2 falls straight out of the pairs
+    # aggregation (p = 2M, always even) and n_nodes rides along as a
+    # broadcast 1-row agg — the old separate deg.count()/edges.count()
+    # driver actions recomputed the upstream edge build up to 3× per call.
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     num = F.col("p") * F.col("c") - F.col("s") * F.col("s")
     den = F.col("p") * F.col("q") - F.col("s") * F.col("s")
-    return s.select(
-        F.lit(n_nodes).cast("long").alias("n_nodes"),
-        F.lit(n_edges).cast("long").alias("n_edges"),
+    return s.crossJoin(F.broadcast(nn)).select(
+        "n_nodes",
+        (F.col("p") / F.lit(2)).cast("long").alias("n_edges"),
         F.round(
             F.when(den > 0, num.cast("double") / den.cast("double")), 9
         ).alias("r_assort"),

@@ -1563,31 +1563,39 @@ def mann_kendall(
 
     a = dense.select(F.col("t").alias("t1"), F.col("c").alias("c1"))
     b = dense.select(F.col("t").alias("t2"), F.col("c").alias("c2"))
+    # t2 > t1 ⇒ sign(slope) == sign(c2 − c1), so the ONE distinct-slope
+    # count relation below carries everything: S = Σ sign(slope)·cnt and
+    # the exact median via cumulative counts (the x80/x115 idiom). The
+    # quadratic pairs relation is consumed by exactly one aggregation —
+    # no recompute, no persist, and the only window runs over distinct
+    # slope values (≤ pairs, typically ≪) instead of all n(n−1)/2 rows.
     pairs = a.join(b, F.col("t2") > F.col("t1")).select(
-        F.signum((F.col("c2") - F.col("c1")).cast("double")).cast("long").alias("sgn"),
         (
             (F.col("c2") - F.col("c1")).cast("double")
             / (F.col("t2") - F.col("t1")).cast("double")
         ).alias("slope"),
     )
-
-    w_ord = Window.orderBy("slope")
-    ranked = pairs.withColumn("rk", F.row_number().over(w_ord))
-    med = (
-        ranked.crossJoin(
-            F.broadcast(pairs.agg(F.count(F.lit(1)).alias("m")))
-        )
-        .filter(
-            (F.col("rk") == F.floor((F.col("m") + 1) / 2))
-            | (F.col("rk") == F.floor(F.col("m") / 2) + 1)
-        )
-        .agg(
-            (F.sum("slope") / F.count(F.lit(1)).cast("double")).alias("sen_slope")
-        )
+    sc = pairs.groupBy("slope").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("slope").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.orderBy("slope").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-
-    s_tot = pairs.agg(
-        F.sum("sgn").alias("s_stat"), F.count(F.lit(1)).alias("n_pairs")
+    cum = sc.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "m", F.sum("cnt").over(w_all)
+    )
+    lo_rk = F.floor((F.col("m") + 1) / 2)
+    hi_rk = F.floor(F.col("m") / 2) + 1
+    covers = lambda rk: (F.col("cum") >= rk) & (F.col("cum") - F.col("cnt") < rk)
+    stats = cum.agg(
+        F.max(F.when(covers(lo_rk), F.col("slope"))).alias("__s_lo"),
+        F.max(F.when(covers(hi_rk), F.col("slope"))).alias("__s_hi"),
+        F.sum(F.signum(F.col("slope")).cast("long") * F.col("cnt")).alias("s_stat"),
+        F.sum("cnt").alias("n_pairs"),
+    )
+    s_tot = stats.select(
+        "s_stat",
+        "n_pairs",
+        ((F.col("__s_lo") + F.col("__s_hi")) / F.lit(2.0)).alias("sen_slope"),
     )
     nrow = dense.agg(F.count(F.lit(1)).alias("n"))
     ties = (
@@ -1602,11 +1610,7 @@ def mann_kendall(
         )
     )
 
-    j = (
-        s_tot.crossJoin(F.broadcast(nrow))
-        .crossJoin(F.broadcast(ties))
-        .crossJoin(F.broadcast(med))
-    )
+    j = s_tot.crossJoin(F.broadcast(nrow)).crossJoin(F.broadcast(ties))
     n = F.col("n")
     var18 = (n * (n - 1) * (2 * n + 5) - F.col("tie_term")).alias("var18")
     var_d = F.col("var18").cast("double") / F.lit(18.0)
@@ -2113,8 +2117,14 @@ def bootstrap_ci_mean(
     )
     lo_rk = -(-25 * n_boot // 1000)  # ceil(0.025 B)
     hi_rk = -(-975 * n_boot // 1000)  # ceil(0.975 B)
+    # A replicate where every unit drew Poisson weight 0 has a NULL mean
+    # (0/0); Spark windows order NULLs FIRST while DuckDB defaults to
+    # NULLS LAST — drop them before ranking on BOTH sides (the oracle
+    # mirrors this) so the nearest-rank indices can never land on a NULL.
     w_rank = Window.orderBy(F.col("__m").asc())
-    ranked = boots.withColumn("__rk", F.row_number().over(w_rank))
+    ranked = boots.filter(F.col("__m").isNotNull()).withColumn(
+        "__rk", F.row_number().over(w_rank)
+    )
     ci = ranked.agg(
         F.max(F.when(F.col("__rk") == lo_rk, F.col("__m"))).alias("__lo"),
         F.max(F.when(F.col("__rk") == hi_rk, F.col("__m"))).alias("__hi"),

@@ -8264,7 +8264,8 @@ def _x163_sql(n_boot: int = 200, salt: str = "boot") -> str:
     wtd AS (SELECT b, {case} AS w, x FROM e),
     boots AS (SELECT b, SUM(w * x) / SUM(CAST(w AS DOUBLE)) AS m
               FROM wtd GROUP BY 1),
-    ranked AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rk FROM boots),
+    ranked AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rk
+               FROM boots WHERE m IS NOT NULL),
     ci AS (SELECT MAX(CASE WHEN rk = {lo_rk} THEN m END) AS lo,
                   MAX(CASE WHEN rk = {hi_rk} THEN m END) AS hi,
                   CAST(COUNT(*) AS BIGINT) AS n_boot

@@ -83,16 +83,19 @@ def heavy_hitters_stateful(
     stream flavor of the batch sketch (``operators/sketch.py``): per
     group the state is at most ``k`` (item, count) counters plus the
     stream length, so memory is O(groups · k) forever. The classic MG
-    guarantee survives batching verbatim (count_lb underestimates a true
-    count by at most n_seen/k, and every item with frequency > n_seen/k
-    is tracked), because MG folds compose: applying the update rule
+    guarantee survives batching verbatim (with ``k`` counters, count_lb
+    underestimates a true count by at most n_seen/(k+1) — the tight
+    bound; every item with true frequency > n_seen/(k+1) is therefore
+    tracked), because MG folds compose: applying the update rule
     row-by-row across micro-batches IS the sequential algorithm.
 
     Rows are applied in event-time order WITHIN each micro-batch (same
-    disclosed discipline as the streaming funnel); the equivalence test
-    replays one batch and compares against a sequential reference fold.
-    Emits the group's current tracked set each time it changes (update
-    mode).
+    disclosed discipline as the streaming funnel): all Arrow chunks for
+    the group are concatenated FIRST and sorted once (stable mergesort,
+    item as tiebreak), so groups larger than one Arrow batch still fold
+    in batch-wide event-time order. The equivalence test replays one
+    batch and compares against a sequential reference fold. Emits the
+    group's current tracked set each time it changes (update mode).
     """
 
     def fold(
@@ -105,8 +108,11 @@ def heavy_hitters_stateful(
             sketch = dict(zip(items, counts))
         else:
             sketch, n_seen = {}, 0
-        for pdf in pdfs:
-            for item in pdf.sort_values(ts_col)[item_col]:
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            ordered = batch.sort_values([ts_col, item_col], kind="mergesort")
+            for item in ordered[item_col]:
                 item = int(item)
                 n_seen += 1
                 if item in sketch:

@@ -685,16 +685,25 @@ def test_streaming_heavy_hitters_matches_sequential_fold(spark, tmp_path):
     stream_dir = tmp_path / "events"
     stream_dir.mkdir()
     shutil.copy(f"{sf0001}/events.parquet", stream_dir / "part-000.parquet")
-    q = (
-        heavy_hitters_stateful(events_readstream(spark, str(stream_dir)), k=k)
-        .writeStream.format("memory")
-        .queryName("mg_stream_test")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .start()
-    )
-    q.awaitTermination(120)
+    # Force tiny Arrow chunks so every group spans MANY pdf chunks inside
+    # applyInPandasWithState — exercising the concat-then-sort-once path
+    # (a per-chunk sort would break batch-wide event-time order here).
+    batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev_batch = spark.conf.get(batch_key)
+    spark.conf.set(batch_key, "64")
+    try:
+        q = (
+            heavy_hitters_stateful(events_readstream(spark, str(stream_dir)), k=k)
+            .writeStream.format("memory")
+            .queryName("mg_stream_test")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set(batch_key, prev_batch)
     rows = spark.sql("SELECT * FROM mg_stream_test").collect()
     # update mode: the emission with the max n_seen per group is final
     latest_n = {}
@@ -705,8 +714,9 @@ def test_streaming_heavy_hitters_matches_sequential_fold(spark, tmp_path):
         if r.n_seen == latest_n[r.event_type]:
             final.setdefault(r.event_type, {})[r.item] = r.count_lb
 
-    # sequential reference MG over ts-ordered events
-    ev = load_table(spark, sf0001, "events").orderBy("ts").collect()
+    # sequential reference MG over ts-ordered events (user_id tiebreak —
+    # the same deterministic order the stateful fold applies per batch)
+    ev = load_table(spark, sf0001, "events").orderBy("ts", "user_id").collect()
     ref = {}
     n_by_g = {}
     for e in ev:
