@@ -20,6 +20,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from dbms_data_anonymity_differential_privacy_spark.operators.util import gate_broadcast_keys
+
 CLASS_SIZE_COL = "class_size"
 
 
@@ -46,9 +48,11 @@ def k_anonymize_suppress(df: DataFrame, qi: Sequence[str], k: int) -> DataFrame:
     map-side partial counts (skew-safe — a modal class partial-aggregates
     on every mapper instead of landing on one reducer, the failure mode of
     the window-count formulation), and the output path is scan + broadcast
-    probe. If the frequent-key relation outgrows broadcast range (worst
-    case rows/k keys), drop the hint and AQE falls back to a shuffled semi
-    join with skew splitting. Reference semantics:
+    probe. The hint is SIZE-GATED (``gate_broadcast_keys``): the frequent
+    relation is worst-case rows/k keys, so it is counted once and
+    broadcast only under ``spark.graft.broadcast.keyRowLimit`` rows —
+    above that AQE plans a shuffled semi join with skew splitting instead
+    of a forced broadcast OOMing the driver. Reference semantics:
     ``naive-suppresion.py:29-40`` / ``t-closeness.py:91-95``.
 
     NULL handling contract: a row with ANY NULL QI value is always
@@ -65,7 +69,7 @@ def k_anonymize_suppress(df: DataFrame, qi: Sequence[str], k: int) -> DataFrame:
         .select(*qi)
     )
     # semi-join hoists join keys to the front — restore the input order
-    return df.join(F.broadcast(frequent), on=list(qi), how="left_semi").select(
+    return df.join(gate_broadcast_keys(frequent), on=list(qi), how="left_semi").select(
         *df.columns
     )
 

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dbms_data_anonymity_differential_privacy_spark.operators.kanonymity import k_anonymize_suppress
+from dbms_data_anonymity_differential_privacy_spark.operators.util import gate_broadcast_keys
 
 ROUND_DP = 9
 
@@ -159,10 +160,12 @@ def t_closeness_filter(
     Physical shape: the fact table is NEVER shuffled as whole rows. One
     aggregation produces the (class, sensitive, count) relation; class
     sizes, the k-filter, and the EMD verdict are all computed on that tiny
-    relation; surviving class keys broadcast back onto the fact scan as a
-    semi-join. (If the class-key relation ever outgrew broadcast range —
-    rows/k keys worst-case — drop the ``broadcast`` hint and AQE picks a
-    shuffled semi-join; the algebra is unchanged.)
+    relation; surviving class keys join back onto the fact scan as a
+    semi-join whose broadcast hint is SIZE-GATED (``gate_broadcast_keys``):
+    the verdict relation is worst-case rows/k keys, so it is counted once
+    and broadcast only under ``spark.graft.broadcast.keyRowLimit`` rows —
+    above that the hint is withheld and AQE plans a shuffled semi-join
+    with runtime skew splitting; the algebra is unchanged.
     """
     if mode not in ("strict", "reference"):
         raise ValueError(f"unknown mode: {mode}")
@@ -172,12 +175,15 @@ def t_closeness_filter(
     sizes = counts.groupBy(*qi).agg(F.sum("__cnt").alias("__class_size"))
     big = sizes.filter(F.col("__class_size") >= F.lit(k)).select(*qi)
     if mode == "reference":
-        return df.join(F.broadcast(big), on=list(qi), how="left_semi")
-    # strict: EMD measured over the post-k-anonymity population
-    kcounts = counts.join(F.broadcast(big), on=list(qi), how="left_semi").persist()
+        return df.join(gate_broadcast_keys(big), on=list(qi), how="left_semi")
+    # strict: EMD measured over the post-k-anonymity population. The gated
+    # `big` keys feed BOTH the counts semi-join and nothing else; `ok` is
+    # gated separately before the fact probe.
+    big = gate_broadcast_keys(big)
+    kcounts = counts.join(big, on=list(qi), how="left_semi").persist()
     emd = _emd_from_counts(kcounts, qi, sensitive)
     ok = emd.filter(F.col("emd") <= F.lit(t)).select(*qi)
-    return df.join(F.broadcast(ok), on=list(qi), how="left_semi")
+    return df.join(gate_broadcast_keys(ok), on=list(qi), how="left_semi")
 
 
 def l_diversity_filter(
@@ -190,7 +196,8 @@ def l_diversity_filter(
     the three filters share one physical shape.
 
     Same zero-fact-shuffle plan as ``t_closeness_filter``: one aggregation
-    to (class, #distinct-sensitive, size), verdict keys broadcast back.
+    to (class, #distinct-sensitive, size), verdict keys joined back with
+    the same size-gated broadcast hint.
     """
     stats = df.groupBy(*qi).agg(
         F.countDistinct(sensitive).alias("__nsv"),
@@ -199,7 +206,7 @@ def l_diversity_filter(
     ok = stats.filter(
         (F.col("__nsv") >= F.lit(l)) & (F.col("__sz") >= F.lit(k))
     ).select(*qi)
-    return df.join(F.broadcast(ok), on=list(qi), how="left_semi").select(*df.columns)
+    return df.join(gate_broadcast_keys(ok), on=list(qi), how="left_semi").select(*df.columns)
 
 
 def t_violations(df: DataFrame, qi: Sequence[str], sensitive: str, t: float = 0.2) -> DataFrame:

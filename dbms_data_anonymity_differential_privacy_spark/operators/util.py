@@ -32,6 +32,49 @@ def nondet_true() -> Column:
     return F.size(F.shuffle(F.array(F.lit(1)))) > 0
 
 
+BROADCAST_KEY_ROW_LIMIT_CONF = "spark.graft.broadcast.keyRowLimit"
+DEFAULT_KEY_ROW_LIMIT = 1_000_000
+
+
+def gate_broadcast_keys(keys: DataFrame, row_limit: int | None = None) -> DataFrame:
+    """Size-gate a class-key relation before it is used as the built side
+    of a semi/anti join: broadcast-hint it ONLY when it is actually small.
+
+    The k-anonymity / t-closeness family joins a derived key relation
+    (frequent classes, EMD-passing classes) back onto the fact scan. That
+    relation is worst-case rows/k keys — on a 100 TB fact table with a
+    high-cardinality QI it can reach tens of GB, and a hard-coded
+    ``F.broadcast`` hint would OOM the driver (the hint overrides Spark's
+    own ``autoBroadcastJoinThreshold`` safety). Editing source to "drop
+    the hint" is not a scale strategy, so the decision is data-driven:
+
+    - the key relation is persisted and counted ONCE (the count reuses
+      the aggregation the broadcast exchange would have to run anyway;
+      the persisted blocks then feed the join probe, so the fact table
+      still contributes exactly one pass per aggregation),
+    - under ``row_limit`` rows (default 1M ≈ tens of MB of QI tuples,
+      configurable per session via ``spark.graft.broadcast.keyRowLimit``)
+      the relation returns wrapped in ``F.broadcast`` → BHJ, fact side
+      never shuffles,
+    - at or above the limit it returns un-hinted → AQE plans a shuffled
+      semi join with runtime skew splitting (and may still pick a
+      runtime broadcast if the post-shuffle size allows).
+
+    Streaming inputs pass through un-hinted (no count possible); the
+    stream-side k-anon gates build their key relations per micro-batch.
+    """
+    if keys.isStreaming:
+        return keys
+    if row_limit is None:
+        row_limit = int(
+            keys.sparkSession.conf.get(
+                BROADCAST_KEY_ROW_LIMIT_CONF, str(DEFAULT_KEY_ROW_LIMIT)
+            )
+        )
+    keys = keys.persist()
+    return F.broadcast(keys) if keys.count() <= row_limit else keys
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition a *narrow* input so CPU-heavy per-row work (regex
     shingling, hash signatures, vector math) uses every core.

@@ -42,6 +42,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import 
     ROUND_DP as _ROUND_DP,
     _emd_from_counts,
 )
+from dbms_data_anonymity_differential_privacy_spark.operators.util import gate_broadcast_keys
 
 ROUND_DP = 9
 
@@ -76,9 +77,10 @@ def naive_suppression_pipeline(
     clean = df.na.drop("any")
     sizes = class_sizes(clean, qi).persist()  # the one fact aggregation
     kept = sizes.filter(F.col("class_size") >= F.lit(k)).persist()
-    anon = clean.join(F.broadcast(kept.select(*qi)), on=list(qi), how="left_semi").select(
-        *clean.columns
-    ).persist()
+    # frequent-class keys: size-gated hint (worst-case rows/k keys)
+    anon = clean.join(
+        gate_broadcast_keys(kept.select(*qi)), on=list(qi), how="left_semi"
+    ).select(*clean.columns).persist()
 
     n_orig = sizes.agg(F.coalesce(F.sum("class_size"), F.lit(0)).alias("__n_orig"))
     n_anon = kept.agg(F.coalesce(F.sum("class_size"), F.lit(0)).alias("__n_anon"))
@@ -236,17 +238,21 @@ def t_closeness_pipeline(
     )
     sizes = counts.groupBy(*eff_qi).agg(F.sum("__cnt").alias("__class_size"))
     big = sizes.filter(F.col("__class_size") >= F.lit(k)).select(*eff_qi)
+    # Verdict-key relations are worst-case rows/k keys — size-gated hint
+    # (gate_broadcast_keys) instead of a hard F.broadcast: counted once
+    # (the persisted relation then feeds both consumers below), broadcast
+    # only under spark.graft.broadcast.keyRowLimit, else AQE shuffled semi.
     if mode == "reference":
-        ok = big  # SURVEY §3.4: as-written pipeline = k-filter only
+        ok = gate_broadcast_keys(big)  # SURVEY §3.4: as-written = k-filter only
     else:
-        kcounts = counts.join(F.broadcast(big), on=eff_qi, how="left_semi")
-        ok = (
+        kcounts = counts.join(gate_broadcast_keys(big), on=eff_qi, how="left_semi")
+        ok = gate_broadcast_keys(
             _emd_from_counts(kcounts, eff_qi, sensitive)
             .filter(F.col("emd") <= F.lit(t))
             .select(*eff_qi)
         )
-    post_counts = counts.join(F.broadcast(ok), on=eff_qi, how="left_semi").persist()
-    anon = work.join(F.broadcast(ok), on=eff_qi, how="left_semi").persist()
+    post_counts = counts.join(ok, on=eff_qi, how="left_semi").persist()
+    anon = work.join(ok, on=eff_qi, how="left_semi").persist()
 
     # metric definitions identical to suppression_rate / uniqueness_rate /
     # t_violations (operators/metrics.py, operators/tcloseness.py), just

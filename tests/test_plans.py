@@ -64,14 +64,20 @@ def test_no_cartesian_product_anywhere(plans):
 
 
 def test_flagship_single_fact_shuffle(plans):
-    """c01 = bin + class-frequency agg + broadcast semi join: the only
-    hash-partition exchange carries QI tuples (map-side partially
-    aggregated, skew-safe); fact rows reach the output without any
-    shuffle."""
+    """c01 = bin + class-frequency agg + broadcast semi join. The
+    frequent-key relation is persisted by the size gate, so the explain
+    text embeds its (already materialized) cached plan — the QI-tuple
+    aggregation with its ONE hash exchange lives there; the LIVE probe
+    plan (everything above the InMemoryRelation) must have ZERO hash
+    exchanges: fact rows reach the output without any shuffle."""
     p = plans["c01_k_anonymize_suppress"]
-    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
-    assert "BroadcastExchange" in p
-    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    live, _, cached = p.partition("InMemoryRelation")
+    assert cached, "frequent-key relation no longer persisted by the gate"
+    assert len(re.findall(r"Exchange hashpartitioning", live)) == 0
+    assert "BroadcastExchange" in live
+    assert "BroadcastHashJoin" in live and "LeftSemi" in live
+    # the one QI-tuple shuffle lives inside the cached key-relation plan
+    assert "Exchange hashpartitioning" in cached
 
 
 def test_join_back_broadcasts_frequent_classes(plans):
@@ -90,6 +96,50 @@ def test_tcloseness_filter_broadcasts_class_verdicts(plans):
     broadcast back onto the fact rows."""
     p = plans["c04_t_closeness_strict"]
     assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_class_key_broadcast_hint_is_size_gated(spark, sf001):
+    """The k-anonymity / t-closeness class-key joins hint broadcast ONLY
+    when the key relation is under spark.graft.broadcast.keyRowLimit —
+    above the limit the hint is withheld and the plan falls back to a
+    shuffled semi join (AQE skew-splittable) instead of a forced
+    broadcast that would OOM the driver on a rows/k-key relation at
+    100 TB. Gate both flavors: BHJ under the limit (the module-level
+    `plans` gates above), shuffled LeftSemi with the limit forced to 0
+    here (autoBroadcastJoinThreshold disabled so Spark's own size
+    estimate can't re-introduce a broadcast at toy scale), with result
+    counts identical under both strategies."""
+    from dbms_data_anonymity_differential_privacy_spark import queries_registry as qr
+
+    spark.catalog.clearCache()
+    baseline = {
+        n: qr.QUERIES[n](spark, sf001).count()
+        for n in ("c01_k_anonymize_suppress", "c04_t_closeness_strict")
+    }
+    spark.catalog.clearCache()
+    prev_limit = spark.conf.get("spark.graft.broadcast.keyRowLimit", None)
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.graft.broadcast.keyRowLimit", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, n_rows in baseline.items():
+            df = qr.QUERIES[name](spark, sf001)
+            p = plan_of(df)
+            # EMD internals legitimately broadcast kilobyte dimension
+            # relations (support/global distribution) — the gate applies
+            # to the CLASS-KEY semi joins only.
+            assert not re.search(r"BroadcastHashJoin.*LeftSemi", p), (
+                f"{name}: class-key semi join still broadcast at limit 0"
+            )
+            assert "LeftSemi" in p, f"{name}: semi join vanished"
+            assert df.count() == n_rows, f"{name}: gated plan changed the result"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        if prev_limit is None:
+            spark.conf.unset("spark.graft.broadcast.keyRowLimit")
+        else:
+            spark.conf.set("spark.graft.broadcast.keyRowLimit", prev_limit)
+        spark.catalog.clearCache()
 
 
 def test_map_only_ops_scan_once(plans):
