@@ -65,6 +65,7 @@ def bigram_lm_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_to: int = 6,
+    exact: bool = True,
 ) -> DataFrame:
     """Per-document average negative log-likelihood under a
     Laplace-smoothed bigram LM trained on ``df`` itself.
@@ -72,6 +73,16 @@ def bigram_lm_scores(
     Tokenization matches the corpus convention (lower, trim, whitespace
     split, drop empties — same as ``vocab_stats``/``bm25_topk``).
     Documents with < 2 tokens have no bigram support and are excluded.
+
+    ``exact=True`` (the oracle default) evaluates every log driver-side
+    with C-libm over the distinct integer log inputs and broadcasts the
+    table back — bit-identical to DuckDB's ``ln`` (module docstring).
+    ``exact=False`` is the PRODUCTION mode: logs run JVM-side with
+    ``F.log`` inside whole-stage codegen — no driver materialization at
+    all (the libm table, though count-histogram bounded, is still
+    millions of collected rows at a 10^13-token corpus). JVM Math.log
+    differs from libm by ≤1 ulp on ~1e-4 of inputs, so the two modes
+    agree to ~1e-15 relative (pinned in tests).
 
     Output: ``(id_col, n_bigrams, avg_nll)``.
     """
@@ -109,32 +120,40 @@ def bigram_lm_scores(
     )
     v = int(vocab)
 
-    # Driver-side C-libm log table over the distinct integer log inputs
-    # (metadata-sized; see module docstring), fetched in ONE job over the
-    # union of both count relations. Two broadcast joins then put the
-    # exact libm values on every occurrence without the JVM touching log.
-    vals = (
-        cb.select((F.col("cb") + 1).alias("val"))
-        .unionByName(cu.select((F.col("cu") + v).alias("val")))
-        .distinct()
-        .collect()
-    )
-    log_rows = [(x, math.log(x)) for x in sorted(int(r["val"]) for r in vals)]
-    logtab = spark.createDataFrame(log_rows, "val long, lnval double")
-
-    scored = (
-        occ.join(cb, ["h1", "h2"])
-        .join(cu, ["h1"])
-        .join(
-            F.broadcast(logtab.select(F.col("val").alias("__nv"), F.col("lnval").alias("__ln_num"))),
-            F.col("cb") + 1 == F.col("__nv"),
+    joined = occ.join(cb, ["h1", "h2"]).join(cu, ["h1"])
+    if exact:
+        # Driver-side C-libm log table over the distinct integer log inputs
+        # (metadata-sized; see module docstring), fetched in ONE job over the
+        # union of both count relations. Two broadcast joins then put the
+        # exact libm values on every occurrence without the JVM touching log.
+        vals = (
+            cb.select((F.col("cb") + 1).alias("val"))
+            .unionByName(cu.select((F.col("cu") + v).alias("val")))
+            .distinct()
+            .collect()
         )
-        .join(
-            F.broadcast(logtab.select(F.col("val").alias("__dv"), F.col("lnval").alias("__ln_den"))),
-            F.col("cu") + v == F.col("__dv"),
+        log_rows = [(x, math.log(x)) for x in sorted(int(r["val"]) for r in vals)]
+        logtab = spark.createDataFrame(log_rows, "val long, lnval double")
+        scored = (
+            joined.join(
+                F.broadcast(logtab.select(F.col("val").alias("__nv"), F.col("lnval").alias("__ln_num"))),
+                F.col("cb") + 1 == F.col("__nv"),
+            )
+            .join(
+                F.broadcast(logtab.select(F.col("val").alias("__dv"), F.col("lnval").alias("__ln_den"))),
+                F.col("cu") + v == F.col("__dv"),
+            )
+            .select(id_col, (F.col("__ln_num") - F.col("__ln_den")).alias("logp"))
         )
-        .select(id_col, (F.col("__ln_num") - F.col("__ln_den")).alias("logp"))
-    )
+    else:
+        # production: JVM log inside codegen, zero driver materialization
+        scored = joined.select(
+            id_col,
+            (
+                F.log((F.col("cb") + 1).cast("double"))
+                - F.log((F.col("cu") + v).cast("double"))
+            ).alias("logp"),
+        )
 
     # Sorted left fold per document: deterministic summation order on
     # both engines (DuckDB twin: list_reduce(list_sort(list(logp)))).
@@ -156,6 +175,7 @@ def zipf_fit(
     text_col: str = "text",
     top_k: int = 1000,
     round_to: int = 9,
+    exact: bool = True,
 ) -> DataFrame:
     """Zipf rank-frequency fit over the corpus vocabulary: OLS of
     ``ln(count)`` on ``ln(rank)`` for the ``top_k`` most frequent words.
@@ -184,27 +204,37 @@ def zipf_fit(
         .groupBy(F.xxhash64("tok").alias("h"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    topk = wc.orderBy(F.desc("cnt"), "h").limit(int(top_k)).persist()
-    cnts = sorted({int(r["cnt"]) for r in topk.select("cnt").collect()})
-    spark = df.sparkSession
-    ln_cnt = spark.createDataFrame(
-        [(c, math.log(float(c))) for c in cnts], "cnt long, y double"
-    )
-    n_rows = topk.count()
-    ln_rank = spark.createDataFrame(
-        [(i, math.log(float(i))) for i in range(1, n_rows + 1)],
-        "rank int, x double",
-    )
     from pyspark.sql import Window
 
+    topk = wc.orderBy(F.desc("cnt"), "h").limit(int(top_k)).persist()
     ranked = topk.withColumn(
         "rank", F.row_number().over(Window.orderBy(F.desc("cnt"), "h"))
     )
-    xy = (
-        ranked.join(F.broadcast(ln_cnt), on="cnt")
-        .join(F.broadcast(ln_rank), on="rank")
-        .select("x", "y")
-    )
+    if exact:
+        cnts = sorted({int(r["cnt"]) for r in topk.select("cnt").collect()})
+        spark = df.sparkSession
+        ln_cnt = spark.createDataFrame(
+            [(c, math.log(float(c))) for c in cnts], "cnt long, y double"
+        )
+        n_rows = topk.count()
+        ln_rank = spark.createDataFrame(
+            [(i, math.log(float(i))) for i in range(1, n_rows + 1)],
+            "rank int, x double",
+        )
+        xy = (
+            ranked.join(F.broadcast(ln_cnt), on="cnt")
+            .join(F.broadcast(ln_rank), on="rank")
+            .select("x", "y")
+        )
+    else:
+        # production: JVM log in codegen (the libm tables exist only for
+        # the DuckDB bit-exactness gate; the top-k relation is k rows, so
+        # either way this is cheap — the flag keeps the mode contract
+        # uniform across the log-table family)
+        xy = ranked.select(
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("cnt").cast("double")).alias("y"),
+        )
 
     def fold(expr: str) -> F.Column:
         return F.expr(

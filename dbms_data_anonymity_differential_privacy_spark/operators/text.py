@@ -225,6 +225,7 @@ def tfidf_topk(
     k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    exact: bool = True,
 ) -> DataFrame:
     """X99 — top-``k`` TF-IDF keyword terms per document.
 
@@ -269,24 +270,31 @@ def tfidf_topk(
     tf.persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
     n_docs = tf.select(id_col).distinct().count()
-    vals = sorted(
-        int(r["df_docs"]) for r in dfreq.select("df_docs").distinct().collect()
-    )
-    spark = df.sparkSession
-    logtab = spark.createDataFrame(
-        [(v, math.log((n_docs + 1.0) / (v + 1.0))) for v in vals],
-        "df_docs long, __idf double",
-    )
-    scored = (
-        tf.join(dfreq, "term")
-        .join(F.broadcast(logtab), "df_docs")
-        .select(
-            F.col(id_col),
-            "term",
-            "tf",
-            "df_docs",
-            F.round(F.col("tf") * F.col("__idf"), 6).alias("tfidf_r"),
+    if exact:
+        # oracle mode: distinct df values → driver C-libm table (DuckDB
+        # ln bit-exactness; see module docstring)
+        vals = sorted(
+            int(r["df_docs"]) for r in dfreq.select("df_docs").distinct().collect()
         )
+        spark = df.sparkSession
+        logtab = spark.createDataFrame(
+            [(v, math.log((n_docs + 1.0) / (v + 1.0))) for v in vals],
+            "df_docs long, __idf double",
+        )
+        base = tf.join(dfreq, "term").join(F.broadcast(logtab), "df_docs")
+        idf = F.col("__idf")
+    else:
+        # production mode: JVM log inside codegen, no driver-side distinct
+        # collect (the df-value set, though count-histogram bounded, still
+        # grows with the corpus)
+        base = tf.join(dfreq, "term")
+        idf = F.log(F.lit(n_docs + 1.0) / (F.col("df_docs") + F.lit(1.0)))
+    scored = base.select(
+        F.col(id_col),
+        "term",
+        "tf",
+        "df_docs",
+        F.round(F.col("tf") * idf, 6).alias("tfidf_r"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf_r"), F.asc("term"))
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
@@ -361,6 +369,7 @@ def jsd_divergence(
     top_k: int = 300,
     text_col: str = "text",
     source_col: str = "source",
+    exact: bool = True,
 ) -> DataFrame:
     """X145 — Jensen-Shannon divergence between two sources' word
     distributions over a shared top-``top_k`` vocabulary (+ an OTHER
@@ -420,51 +429,58 @@ def jsd_divergence(
     )
     vec = vocab.select("tok", "a", "b").unionByName(other).persist()
 
-    # exact int cross-products; ln args evaluated once per distinct pair
-    # by driver libm and broadcast back
+    # exact int cross-products; in exact mode the ln args are evaluated
+    # once per distinct pair by driver libm and broadcast back
     totals = tot.collect()[0]
     A, B = int(totals["A"]), int(totals["B"])
     if A == 0 or B == 0:
         raise ValueError("both sources must contain at least one token")
-    uv = [
-        (int(r["a"]) * B, int(r["b"]) * A)
-        for r in vec.select("a", "b").distinct().collect()
-    ]
-    ln_rows = [
-        (
-            u,
-            v,
-            math.log(2.0 * u / (u + v)) if u > 0 else None,
-            math.log(2.0 * v / (u + v)) if v > 0 else None,
-        )
-        for u, v in uv
-        if u + v > 0
-    ]
-    ln_tab = spark.createDataFrame(ln_rows, "u long, v long, lnp double, lnq double")
-
-    terms = (
-        vec.select(
-            "tok",
-            (F.col("a") * F.lit(B)).alias("u"),
-            (F.col("b") * F.lit(A)).alias("v"),
-            F.col("a"),
-            F.col("b"),
-        )
-        .join(F.broadcast(ln_tab), ["u", "v"], "left")
-        .select(
-            F.when(
-                F.col("lnp").isNotNull(),
-                (F.col("a").cast("double") / F.lit(float(A))) * F.col("lnp"),
+    uved = vec.select(
+        "tok",
+        (F.col("a") * F.lit(B)).alias("u"),
+        (F.col("b") * F.lit(A)).alias("v"),
+        F.col("a"),
+        F.col("b"),
+    )
+    if exact:
+        uv = [
+            (int(r["a"]) * B, int(r["b"]) * A)
+            for r in vec.select("a", "b").distinct().collect()
+        ]
+        ln_rows = [
+            (
+                u,
+                v,
+                math.log(2.0 * u / (u + v)) if u > 0 else None,
+                math.log(2.0 * v / (u + v)) if v > 0 else None,
             )
-            .otherwise(F.lit(0.0))
-            .alias("pt"),
-            F.when(
-                F.col("lnq").isNotNull(),
-                (F.col("b").cast("double") / F.lit(float(B))) * F.col("lnq"),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("qt"),
+            for u, v in uv
+            if u + v > 0
+        ]
+        ln_tab = spark.createDataFrame(ln_rows, "u long, v long, lnp double, lnq double")
+        withln = uved.join(F.broadcast(ln_tab), ["u", "v"], "left")
+    else:
+        # production mode: JVM log in codegen — same guards (term is 0
+        # when the source count is 0), no driver-side distinct collect
+        s = (F.col("u") + F.col("v")).cast("double")
+        withln = uved.select(
+            "tok", "u", "v", "a", "b",
+            F.when(F.col("u") > 0, F.log(F.lit(2.0) * F.col("u").cast("double") / s)).alias("lnp"),
+            F.when(F.col("v") > 0, F.log(F.lit(2.0) * F.col("v").cast("double") / s)).alias("lnq"),
         )
+    terms = withln.select(
+        F.when(
+            F.col("lnp").isNotNull(),
+            (F.col("a").cast("double") / F.lit(float(A))) * F.col("lnp"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pt"),
+        F.when(
+            F.col("lnq").isNotNull(),
+            (F.col("b").cast("double") / F.lit(float(B))) * F.col("lnq"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("qt"),
     )
 
     def fold(expr: str) -> "F.Column":

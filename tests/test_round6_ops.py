@@ -734,3 +734,89 @@ def test_streaming_heavy_hitters_matches_sequential_fold(spark, tmp_path):
     for g, sk in final.items():
         assert all(c >= 1 for c in sk.values())
         assert len(sk) <= k
+
+
+# ---------------------------------------------------------------------------
+# exact=True (driver C-libm table, the oracle default) vs exact=False
+# (JVM F.log in codegen, the production mode — zero driver
+# materialization). JVM Math.log differs from libm by <=1 ulp on ~1e-4 of
+# inputs, so after the in-query ROUND the two modes must agree to 1e-9
+# relative — the contract that lets a 100 TB run skip the log-table
+# collect entirely.
+# ---------------------------------------------------------------------------
+
+
+def _rel_close(a, b, tol=1e-9):
+    if a is None or b is None:
+        return a is None and b is None
+    return abs(a - b) <= tol * max(1.0, abs(a), abs(b))
+
+
+def test_bigram_lm_exact_and_jvm_modes_agree(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.lm import bigram_lm_scores
+    from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    ex = {r.doc_id: (r.n_bigrams, r.avg_nll) for r in bigram_lm_scores(docs).collect()}
+    jv = {
+        r.doc_id: (r.n_bigrams, r.avg_nll)
+        for r in bigram_lm_scores(docs, exact=False).collect()
+    }
+    assert ex.keys() == jv.keys() and len(ex) > 0
+    for d in ex:
+        assert ex[d][0] == jv[d][0]
+        assert _rel_close(ex[d][1], jv[d][1]), (d, ex[d], jv[d])
+
+
+def test_zipf_fit_exact_and_jvm_modes_agree(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.lm import zipf_fit
+    from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    ex = zipf_fit(docs, top_k=200).collect()[0]
+    jv = zipf_fit(docs, top_k=200, exact=False).collect()[0]
+    assert ex.n_words == jv.n_words
+    for f in ("slope_r", "intercept_r", "r2_r"):
+        assert _rel_close(ex[f], jv[f]), (f, ex[f], jv[f])
+
+
+def test_tfidf_exact_and_jvm_modes_agree(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import tfidf_topk
+    from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    key = lambda r: (r.doc_id, r.term)
+    ex = {key(r): (r.tf, r.df_docs, r.tfidf_r, r.rnk) for r in tfidf_topk(docs).collect()}
+    jv = {
+        key(r): (r.tf, r.df_docs, r.tfidf_r, r.rnk)
+        for r in tfidf_topk(docs, exact=False).collect()
+    }
+    # ranks could only differ if a 6-dp-rounded score flipped across modes
+    assert ex == jv
+
+
+def test_jsd_exact_and_jvm_modes_agree(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import jsd_divergence
+    from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    srcs = [r[0] for r in docs.select("source").distinct().orderBy("source").collect()]
+    a, b = srcs[0], srcs[1]
+    ex = jsd_divergence(docs, a, b, top_k=100).collect()[0]
+    jv = jsd_divergence(docs, a, b, top_k=100, exact=False).collect()[0]
+    assert (ex.n_terms, ex.a_total, ex.b_total) == (jv.n_terms, jv.a_total, jv.b_total)
+    for f in ("jsd_r", "jsd_norm_r"):
+        assert _rel_close(ex[f], jv[f]), (f, ex[f], jv[f])
+
+
+def test_jvm_log_modes_have_no_driver_log_table(spark):
+    """The production flavor's physical plan must contain the JVM LOG and
+    no broadcast scan of a local log-table relation."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.lm import bigram_lm_scores
+    from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    p = bigram_lm_scores(docs, exact=False)._jdf.queryExecution().explainString(jmode)
+    assert "ln(" in p  # JVM log expression inside the projection
+    assert "LocalTableScan" not in p and "Scan ExistingRDD" not in p
