@@ -213,6 +213,13 @@ HEADLINE = [
     "pipe_graph_insights",
     "x171_kcenter",
     "x172_feature_hashing",
+    "x01_dp_noise_moments",
+    # distributed graph flavors: the iterative join plans 100x scale
+    # runs, bench-visible even where the hybrid fast path would absorb
+    # the sf (r5 verdict task 5)
+    "x126_pagerank_dist",
+    "x160_label_prop_dist",
+    "x166_bfs_dist",
 ]
 
 
@@ -237,10 +244,30 @@ def main() -> None:
     # overhead IS the measurement, with ±30% spread at n=3) take up to 7 —
     # the extra samples cost milliseconds exactly where they narrow the
     # band most.
+    # Ambient-load telemetry so a slow suite is mechanically adjudicable
+    # (r5 verdict: the 93->178 s jump was box contention, proven only by
+    # hand re-runs). Sampled before and after the sweep; per-query load
+    # at measurement time rides in the full artifact.
+    def load_snapshot() -> dict:
+        la1, la5, la15 = os.getloadavg()
+        try:
+            n_procs = len([p for p in os.listdir("/proc") if p.isdigit()])
+        except OSError:
+            n_procs = -1
+        return {
+            "loadavg_1m": round(la1, 2),
+            "loadavg_5m": round(la5, 2),
+            "loadavg_15m": round(la15, 2),
+            "n_processes": n_procs,
+        }
+
+    load_start = load_snapshot()
     timings: dict[str, float] = {}
+    query_load: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
         runs = 0
+        query_load[name] = round(os.getloadavg()[0], 2)
         while runs < 3 or (best < 1.0 and runs < 7):
             # operators persist intermediates; clear so every run pays its
             # own materialization (CacheManager would otherwise hand run 2
@@ -253,12 +280,16 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    load_end = load_snapshot()
     full = {
         "metric": "headline_suite_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "load_start": load_start,
+        "load_end": load_end,
+        "query_loadavg_1m": query_load,
     }
     # Full per-query map goes to a file artifact; stdout gets the full line
     # FIRST and then a compact summary line LAST. The driver's tail capture
@@ -278,6 +309,9 @@ def main() -> None:
                 "unit": "sec",
                 "sf": float(sf),
                 "n_queries": len(timings),
+                "loadavg_1m_start": load_start["loadavg_1m"],
+                "loadavg_1m_end": load_end["loadavg_1m"],
+                "n_processes": load_end["n_processes"],
             }
         )
     )

@@ -553,7 +553,10 @@ def label_propagation(
 
 
 def bfs_profile(
-    edges: DataFrame, n_landmarks: int = 4, max_depth: int = 4
+    edges: DataFrame,
+    n_landmarks: int = 4,
+    max_depth: int = 4,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Multi-source BFS distance profile from deterministic landmarks —
     the bounded-depth core of landmark-based closeness/diameter
@@ -578,7 +581,7 @@ def bfs_profile(
     ).persist()
     n_edges = pr.count()
 
-    if n_edges <= 2_000_000:
+    if n_edges <= driver_threshold:
         import numpy as np
 
         # pagerank/LPA hybrid discipline: small edge lists BFS on the

@@ -13,7 +13,7 @@ No Spark session needed — pure registration-order checks.
 """
 
 from dbms_data_anonymity_differential_privacy_spark.queries_registry import (
-    _WINDOW_R6,
+    _WINDOW_R7,
     ORACLE_SQL,
     QUERIES,
 )
@@ -73,6 +73,19 @@ DRIVER_GREEN_PRIOR = {
     "x83_bm25_many", "x84_stratified_split", "x85_domain_gate",
     "x85_domain_quality", "x86_temperature_sample", "x87_rolling_anomaly",
     "x88_cusum", "x89_set_union_exact",
+    # round 5 (CORRECTNESS_r05.json, 50/50 green):
+    "pipe_corpus_datasheet", "pipe_private_export", "x03_dedup_corpus_cc", "x100_qi_search",
+    "x101_ak_anonymity", "x102_copurchase", "x103_entities", "x104_ewma", "x105_pivot_release",
+    "x106_m_invariance", "x107_funnel_windowed", "x108_ks_test", "x109_spearman",
+    "x110_anova", "x111_gini", "x112_novelty", "x113_source_overlap", "x114_dp_heatmap_exact",
+    "x115_weighted_median", "x116_top_p", "x117_oov_rate", "x119_interp_gapfill",
+    "x120_burstiness", "x121_rolling_wau", "x122_label_consistency", "x123_path_trigrams",
+    "x124_decay_attribution", "x125_scd2", "x126_pagerank", "x127_anatomy", "x128_zipf",
+    "x129_bloom", "x130_chunks", "x131_containment", "x132_negative_samples",
+    "x133_hard_negatives", "x134_nelson_aalen", "x135_cuped", "x136_decile_lift",
+    "x137_rfm", "x138_triangles", "x139_hitk", "x90_linear_attribution", "x91_winsorize",
+    "x92_user_growth", "x94_step_latency", "x95_zorder", "x97_delta_presence",
+    "x98_session_impact", "x99_tfidf_topk",
 }
 
 
@@ -87,13 +100,13 @@ def test_window_is_all_oracle_backed():
 
 
 def test_window_list_matches_registration():
-    """_WINDOW_R6 IS the window: every listed name registered, exactly 50,
+    """_WINDOW_R7 IS the window: every listed name registered, exactly 50,
     occupying the first 50 slots in order."""
-    assert len(_WINDOW_R6) == WINDOW
-    assert len(set(_WINDOW_R6)) == WINDOW
-    unregistered = [n for n in _WINDOW_R6 if n not in QUERIES]
+    assert len(_WINDOW_R7) == WINDOW
+    assert len(set(_WINDOW_R7)) == WINDOW
+    unregistered = [n for n in _WINDOW_R7 if n not in QUERIES]
     assert not unregistered, f"window names not registered: {unregistered}"
-    assert list(QUERIES)[:WINDOW] == _WINDOW_R6
+    assert list(QUERIES)[:WINDOW] == _WINDOW_R7
 
 
 def test_every_oracle_component_has_driver_signal():
@@ -116,7 +129,10 @@ def test_every_oracle_component_has_driver_signal():
 
 # Oracle-backed queries registered this round that debut OUTSIDE the
 # window (only allowed when every window slot holds a query still awaiting
-# its first driver row). Round 4: after the 38-query backlog plus eleven
+# its first driver row). Round 6: empty — the four r6 debuts
+# (x01_dp_noise_moments, x126_pagerank_dist, x160_label_prop_dist,
+# x166_bfs_dist) all sit IN the window alongside the 34-query backlog
+# and 12 re-checks of plan-changed operators. Round 4: after the 38-query backlog plus eleven
 # new r4 queries (x41_pairs_exact, x81-x89) filled the window — every slot
 # now holds a query with no driver row except the deliberately re-checked
 # x04_cosine_pairs_topm — the later r4 registrations debut outside and
@@ -126,45 +142,7 @@ def test_every_oracle_component_has_driver_signal():
 # backlog; later round-5 registrations (x140+) debut outside — every slot
 # already holds a query awaiting its first driver row — and rotate in
 # next round; until then their check is the dual-SF local oracle sweep.
-NEW_THIS_ROUND: set[str] = {
-    "x140_retrieval_eval",
-    "x141_rrf_fuse",
-    "x142_acf",
-    "x143_mann_kendall",
-    "x144_target_encode",
-    "x145_jsd_sources",
-    "x146_cohort_ltv",
-    "x147_roc_auc",
-    "x148_bh_fdr",
-    "x149_kcore",
-    "x150_wilcoxon",
-    "x151_assortativity",
-    "x152_powerlaw",
-    # Round-6 session debuts — outside the (already full) round-5 window,
-    # rotate in next round; until then their check is the dual-SF local
-    # oracle sweep + per-op pytest.
-    "x153_skyline",
-    "x154_dsir_weights",
-    "x155_adamic_adar",
-    "x156_kruskal_wallis",
-    "x157_cliffs_delta",
-    "x158_permutation_test",
-    "x159_quantile_norm",
-    "x160_label_prop",
-    "x161_isotonic",
-    "x162_stream_join",
-    "x163_bootstrap_ci",
-    "x164_textrank",
-    "x165_theil",
-    "x166_bfs_profile",
-    "x167_mahalanobis",
-    "x168_sequential_ab",
-    "x169_delete_plan",
-    "x170_join_cardinality",
-    "pipe_graph_insights",
-    "x171_kcenter",
-    "x172_feature_hashing",
-}
+NEW_THIS_ROUND: set[str] = set()
 
 
 def test_rotated_out_queries_were_driver_green():

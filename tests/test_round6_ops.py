@@ -820,3 +820,75 @@ def test_jvm_log_modes_have_no_driver_log_table(spark):
     p = bigram_lm_scores(docs, exact=False)._jdf.queryExecution().explainString(jmode)
     assert "ln(" in p  # JVM log expression inside the projection
     assert "LocalTableScan" not in p and "Scan ExistingRDD" not in p
+
+
+def test_dp_noise_moments_match_closed_form_across_scales(spark):
+    """The Laplace moment audit holds at several epsilons — m2 tracks the
+    closed-form 2b^2, so a scale miscalibration (the bug class this
+    query exists to catch) fails here before it reaches the oracle."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_noise_moments
+
+    for eps in (0.5, 1.0, 4.0):
+        r = dp_noise_moments(spark, n_groups=1000, epsilon=eps).collect()[0]
+        b = 1.0 / eps
+        assert r.n_groups == 1000
+        assert r.mean_ok and r.m2_ok and r.frac_ok, (eps, r)
+        assert abs(r.m2_r - 2.0 * b * b) <= 0.3 * 2.0 * b * b
+        assert abs(r.frac_small_r - 0.5) <= 0.1
+        # deterministic re-run: identical release (hash-derived noise)
+        r2 = dp_noise_moments(spark, n_groups=1000, epsilon=eps).collect()[0]
+        assert r == r2
+
+
+def test_jaccard_adaptive_switch_on_zipfian_boilerplate(spark):
+    """Adversarial fixture for the adaptive inverted-index vs rare-first
+    prefix-filter switch (operators/dedup.py): a pathological Zipfian
+    corpus where one boilerplate sentence sits in 90% of documents. The
+    hot shingles' df^2 pair volume is THE blowup mode on web corpora, so
+    the adaptive decision (prefix_filter=None) must pick the prefix
+    path — observable as the exact re-score's array_intersect in the
+    physical plan — and produce EXACTLY the pairs both forced strategies
+    produce. A benign unique-content corpus must keep the plain path."""
+    import random
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(11)
+    boiler = "subscribe to our newsletter for updates and offers today"
+    docs = []
+    for i in range(200):
+        unique = " ".join(f"w{rng.randint(0, 10_000)}" for _ in range(10))
+        # 90% boilerplate-infested; near-dup mass comes from doc pairs
+        # sharing the boilerplate AND half their unique tail
+        if i % 10 != 9:
+            docs.append((i, f"{boiler} {unique}"))
+        else:
+            docs.append((i, unique))
+    # a handful of true near-dups
+    docs += [(1000, docs[0][1]), (1001, docs[3][1] + " extra")]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def plan(df):
+        jm = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        return df._jdf.queryExecution().explainString(jm)
+
+    adaptive = ngram_jaccard_pairs(sdf, threshold=0.5, n=3)
+    assert "array_intersect" in plan(adaptive), "Zipfian corpus: prefix path not chosen"
+    got_adaptive = {(r.id_a, r.id_b, r.jaccard) for r in adaptive.collect()}
+    got_prefix = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(sdf, threshold=0.5, n=3, prefix_filter=True).collect()
+    }
+    got_plain = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(sdf, threshold=0.5, n=3, prefix_filter=False).collect()
+    }
+    assert got_adaptive == got_prefix == got_plain
+    assert (0, 1000, 1.0) in {(a, b, j) for a, b, j in got_plain}
+
+    # benign corpus: all-unique content -> plain inverted index stays
+    benign = spark.createDataFrame(
+        [(i, " ".join(f"u{i}_{j}" for j in range(12))) for i in range(100)],
+        "doc_id long, text string",
+    )
+    assert "array_intersect" not in plan(ngram_jaccard_pairs(benign, threshold=0.5, n=3))
