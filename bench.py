@@ -220,6 +220,8 @@ HEADLINE = [
     "x126_pagerank_dist",
     "x160_label_prop_dist",
     "x166_bfs_dist",
+    "x173_linear_quality",
+    "x174_leakage_safe_split",
 ]
 
 

@@ -1301,3 +1301,60 @@ def containment_pairs(
     return scored.filter(
         F.greatest(F.col("cont_a_r"), F.col("cont_b_r")) >= F.lit(threshold)
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    n: int = 3,
+    valid_frac: float = 0.1,
+    salt: str = "split",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup-aware train/validation split: assign every document's
+    whole near-duplicate COMPONENT to one side, so near-duplicates can
+    never straddle the split — the leakage failure mode of naive random
+    splits on web corpora (a validation doc whose near-twin sits in
+    train scores as memorized). The eval-integrity counterpart of
+    decontamination (x18): x18 protects against EXTERNAL benchmark
+    leakage, this protects the pipeline's OWN held-out split.
+
+    Construction: exact + n-gram-Jaccard pairs (identical texts have
+    J = 1 ≥ any threshold, so exact dups are included for free) →
+    :func:`connected_components` min-id labeling → the COMPONENT id (not
+    the doc id) hashes to a side via the portable md5 fraction
+    ``int(md5(comp|salt)[:8], 16) < valid_frac · 2^32`` (the x10
+    hash-split discipline — deterministic, engine-exact, stable under
+    re-runs and data layout). Singleton docs are their own component.
+
+    Shape: the pair/CC machinery is the x03 corpus path (shuffles on
+    8-byte shingle hashes + ids-only iteration); the split itself adds
+    one ids-only left join + a map-only hash. At 100 TB the components
+    relation is bounded by the near-dup mass, not the corpus.
+
+    Output: ``(id_col, component, split)`` with split ∈ {train, valid}.
+    """
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=threshold, n=n, text_col=text_col, id_col=id_col
+    )
+    comp = connected_components(pairs)
+    full = docs.select(F.col(id_col)).join(
+        comp.withColumnRenamed("id", id_col), on=id_col, how="left"
+    )
+    component = F.coalesce(F.col("comp"), F.col(id_col)).alias("component")
+    cut = int(valid_frac * 4294967296)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", component.cast("string"), F.lit(salt)).cast("binary")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return full.select(
+        F.col(id_col),
+        component,
+        F.when(h < F.lit(cut), F.lit("valid")).otherwise(F.lit("train")).alias("split"),
+    )

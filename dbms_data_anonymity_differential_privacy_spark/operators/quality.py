@@ -317,3 +317,63 @@ def compression_ratio(
 
     out = fan_out(df.select(id_col, text_col)).mapInPandas(run, schema)
     return out.withColumnRenamed("__id", id_col)
+
+
+def linear_quality_score(
+    df: DataFrame,
+    n_buckets: int = 64,
+    threshold: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights_seed: int = 12345,
+) -> DataFrame:
+    """Model-based quality filtering: LINEAR-CLASSIFIER INFERENCE over
+    hashed bag-of-words features — the fastText-style quality gate of
+    CCNet / LLaMA-era pipelines (Wenzek et al. 2020; Joulin et al. 2017),
+    the learned complement to the rule-based Gopher gate above. Training
+    is offline; at corpus scale the pipeline runs INFERENCE ONLY, which
+    is exactly what this operator models.
+
+    The feature map is the engine's portable signed hashing trick
+    (`text.feature_hashing`: md5 bucket + ±1 sign — engine-exact
+    integers) and the weight vector is a deterministic published
+    artifact: ``w_b = pmod(b·2654435761 + seed, 1000003)/1000003 − 0.5``
+    — pure integer arithmetic + one IEEE division, reproducible in any
+    SQL engine (in production, swap in real trained weights as a
+    broadcast literal table; every physical property is identical).
+
+    No transcendentals: the release is the raw LOGIT (the sigmoid is
+    monotone, so thresholding the logit IS thresholding the
+    probability) — bit-exact cross-engine with the sorted-fold sum
+    discipline (per-doc terms ≤ n_buckets).
+
+    Shape: tokenize/explode map-only → ONE (doc, bucket) partial-agg
+    shuffle (the feature_hashing shuffle) → per-doc fold; the weight
+    expression is computed inline from the bucket id (no join at all).
+    Docs with zero surviving features release logit 0.
+
+    Output: ``(id_col, n_feats, logit_r, keep)``.
+    """
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import feature_hashing
+
+    feats = feature_hashing(df, n_buckets=n_buckets, id_col=id_col, text_col=text_col)
+    w = (
+        F.pmod(F.col("bucket") * F.lit(2654435761) + F.lit(int(weights_seed)), F.lit(1000003))
+        .cast("double") / F.lit(1000003.0) - F.lit(0.5)
+    )
+    terms = feats.select(
+        id_col, (F.col("feat").cast("double") * w).alias("__t")
+    )
+    per_doc = terms.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_feats"),
+        F.expr(
+            "aggregate(array_sort(collect_list(__t)), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("__logit"),
+    )
+    base = df.select(id_col)
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+        F.round(F.coalesce("__logit", F.lit(0.0)), 9).alias("logit_r"),
+        (F.coalesce("__logit", F.lit(0.0)) > F.lit(float(threshold))).alias("keep"),
+    )

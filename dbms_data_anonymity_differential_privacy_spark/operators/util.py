@@ -90,6 +90,27 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         # the source's job (maxFilesPerTrigger etc.), so pass through
         return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if _partition_count(df) >= target:
         return df
     return df.repartition(target)
+
+
+_PARTITION_COUNT_CACHE: dict[int, int] = {}
+
+
+def _partition_count(df: DataFrame) -> int:
+    """Partition count of a batch DataFrame, memoized by the analyzed
+    plan's semantic hash: ``df.rdd.getNumPartitions()`` converts the plan
+    to an RDD (no job, but real analysis cost), and composition loops —
+    the near-dup suite calls fan_out on the same token relation per
+    detector — would otherwise pay it once per call. Same semantic plan
+    ⇒ same partitioning, so the cache is sound; bounded to 4096 entries
+    (cleared wholesale — plans are session-scoped and tiny)."""
+    key = df.semanticHash()
+    n = _PARTITION_COUNT_CACHE.get(key)
+    if n is None:
+        if len(_PARTITION_COUNT_CACHE) >= 4096:
+            _PARTITION_COUNT_CACHE.clear()
+        n = df.rdd.getNumPartitions()
+        _PARTITION_COUNT_CACHE[key] = n
+    return n

@@ -8852,6 +8852,97 @@ def x172_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X173 — linear quality-classifier inference (operators/quality.py
+# linear_quality_score): the fastText/CCNet-style learned quality gate,
+# run as pure inference over the x172 hashed features with a
+# deterministic published weight vector; the release is the raw logit
+# (monotone in the probability), so there are no transcendentals and the
+# fold is engine-exact.
+# --------------------------------------------------------------------------
+@query(
+    "x173_linear_quality",
+    r"""
+    WITH tok AS (SELECT doc_id,
+                        unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+                 FROM documents),
+    h AS (SELECT doc_id, md5(w) AS hh FROM tok WHERE w <> ''),
+    f AS (SELECT doc_id,
+                 CAST('0x' || substr(hh, 1, 8) AS BIGINT) % 64 AS bucket,
+                 CASE WHEN substr(hh, 9, 1) < '8' THEN 1 ELSE -1 END AS s
+          FROM h),
+    feat AS (SELECT doc_id, bucket, SUM(s) AS feat
+             FROM f GROUP BY 1, 2 HAVING SUM(s) <> 0),
+    terms AS (SELECT doc_id,
+                     feat * (CAST((bucket * 2654435761 + 12345) % 1000003 AS DOUBLE)
+                             / 1000003.0 - 0.5) AS t
+              FROM feat),
+    pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+                  list_reduce(list_sort(list(t)), (a, b) -> a + b) AS logit
+           FROM terms GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(pd.n_feats, 0) AS n_feats,
+           ROUND(COALESCE(pd.logit, 0.0), 9) AS logit_r,
+           COALESCE(pd.logit, 0.0) > 0.0 AS keep
+    FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+    """,
+)
+def x173_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier inference (logit release) over signed
+    hashed bag-of-words features."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.quality import (
+        linear_quality_score,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return linear_quality_score(d, n_buckets=64)
+
+
+# --------------------------------------------------------------------------
+# X174 — leakage-safe train/validation split (operators/dedup.py
+# leakage_safe_split): whole near-dup components (x03 CC machinery) hash
+# to one side via the portable md5 fraction, so near-duplicates never
+# straddle the split — the internal-eval counterpart of x18
+# decontamination.
+# --------------------------------------------------------------------------
+@query(
+    "x174_leakage_safe_split",
+    r"""
+    WITH RECURSIVE t AS (SELECT doc_id,
+                string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+    sh AS (SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(toks[i:i+2], ' '))) AS s FROM t),
+    e AS (SELECT doc_id, len(s) AS ns, unnest(s) AS shingle FROM sh),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ns AS na, b.ns AS nb,
+                 COUNT(*) AS inter
+          FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+    pe AS (SELECT id_a, id_b FROM p WHERE ROUND(inter / (na + nb - inter), 9) >= 0.2),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pe
+            UNION ALL SELECT id_b AS a, id_a AS b FROM pe),
+    reach(id, anc) AS (SELECT DISTINCT a AS id, a AS anc FROM sym
+                       UNION
+                       SELECT s.b AS id, r.anc FROM reach r JOIN sym s ON s.a = r.id),
+    comp AS (SELECT id, MIN(anc) AS comp FROM reach GROUP BY id),
+    assigned AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS component
+             FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+    SELECT doc_id, component,
+           CASE WHEN CAST('0x' || substr(md5(CAST(component AS VARCHAR) || '|split'), 1, 8)
+                          AS BIGINT) < 429496729
+                THEN 'valid' ELSE 'train' END AS split
+    FROM assigned
+    """,
+)
+def x174_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-component-aware train/valid split (J >= 0.2 trigram
+    components, 10% validation by component hash)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import leakage_safe_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return leakage_safe_split(d, threshold=0.2, n=3, valid_frac=0.1)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
 # every r3-window query now holds a driver row and rotates out. This
@@ -8876,8 +8967,9 @@ _WINDOW_R7 = [
     # operators whose physical plans or code paths changed this round
     # (size-gated class-key broadcasts: c01/c02/c04/pipes/x08; exact-flag
     # refactors: x23/x99/x128; single-pass Mann-Kendall & assortativity
-    # and the prefix-filter fixture family ride the 34; x03/x19 were the
-    # r5 bench-outlier queries whose text-path code was touched).
+    # and the prefix-filter fixture family ride the 34) plus the two
+    # late-r6 debuts x173/x174 (first-ever driver rows outrank
+    # re-checks).
     # After this round the union of r1-r6 green rows covers every
     # oracle-backed query registered before round 6.
     "x140_retrieval_eval",
@@ -8928,8 +9020,8 @@ _WINDOW_R7 = [
     "x23_bigram_lm",
     "x99_tfidf_topk",
     "x128_zipf",
-    "x03_ngram_jaccard",
-    "x19_vocab",
+    "x173_linear_quality",
+    "x174_leakage_safe_split",
 ]
 
 

@@ -892,3 +892,95 @@ def test_jaccard_adaptive_switch_on_zipfian_boilerplate(spark):
         "doc_id long, text string",
     )
     assert "array_intersect" not in plan(ngram_jaccard_pairs(benign, threshold=0.5, n=3))
+
+
+def test_gate_broadcast_keys_contract(spark, tmp_path):
+    """Size-gate unit contract: hinted under the limit, un-hinted above,
+    streaming passthrough, and the partition-count probe memoizes by
+    semantic hash (no repeated plan->RDD conversions in composition
+    loops)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.util import (
+        _PARTITION_COUNT_CACHE,
+        _partition_count,
+        gate_broadcast_keys,
+    )
+
+    keys = spark.range(100).select(F.col("id").alias("k"))
+    hinted = gate_broadcast_keys(keys, row_limit=1000)
+    unhinted = gate_broadcast_keys(keys, row_limit=10)
+    # the hint lives in the logical plan as a ResolvedHint node
+    assert "hint" in hinted._jdf.queryExecution().logical().toString().lower()
+    assert "hint" not in unhinted._jdf.queryExecution().logical().toString().lower()
+
+    # streaming relations pass through untouched (no count possible)
+    sdir = tmp_path / "s"
+    sdir.mkdir()
+    spark.range(5).write.mode("overwrite").parquet(str(sdir / "p"))
+    stream = spark.readStream.schema("id long").parquet(str(sdir / "p"))
+    assert gate_broadcast_keys(stream) is stream
+
+    # memoized probe: same semantic plan -> one cache entry, stable value
+    _PARTITION_COUNT_CACHE.clear()
+    df = spark.range(0, 1000, 1, 4)
+    n1 = _partition_count(df)
+    n2 = _partition_count(df.select("*"))
+    assert n1 == n2 == 4
+    assert len(_PARTITION_COUNT_CACHE) == 1
+
+
+def test_linear_quality_score_matches_bruteforce(spark):
+    import hashlib
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.quality import linear_quality_score
+
+    docs = [(1, "apple banana apple"), (2, "banana cherry"), (3, ""), (4, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: (r.n_feats, r.logit_r, r.keep) for r in
+           linear_quality_score(df, n_buckets=16).collect()}
+
+    feats = {}
+    for did, text in docs:
+        for w in (text or "").strip().lower().split():
+            h = hashlib.md5(w.encode()).hexdigest()
+            b = int(h[:8], 16) % 16
+            s = 1 if h[8] < "8" else -1
+            feats[(did, b)] = feats.get((did, b), 0) + s
+    logits = {}
+    for (did, b), f in feats.items():
+        if f == 0:
+            continue
+        w = ((b * 2654435761 + 12345) % 1000003) / 1000003.0 - 0.5
+        logits.setdefault(did, []).append(f * w)
+    assert set(out) == {1, 2, 3, 4}
+    for did in (1, 2):
+        terms = sorted(logits.get(did, []))  # empty if ±1 signs fully cancel
+        s = 0.0
+        for x in terms:
+            s += x
+        assert out[did] == (len(terms), round(s, 9), s > 0.0)
+    assert out[3] == (0, 0.0, False) and out[4] == (0, 0.0, False)
+
+
+def test_leakage_safe_split_never_splits_near_dups(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import leakage_safe_split
+    from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    out = leakage_safe_split(docs, threshold=0.2, n=3, valid_frac=0.1)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    side = {r.doc_id: r.split for r in rows}
+    comp = {r.doc_id: r.component for r in rows}
+    # every member of a component lands on the SAME side
+    by_comp = {}
+    for d, c in comp.items():
+        by_comp.setdefault(c, set()).add(side[d])
+    assert all(len(s) == 1 for s in by_comp.values())
+    # split fraction lands near 10% of COMPONENTS (hash fraction contract)
+    comps = set(comp.values())
+    v = sum(1 for c in comps if side[next(d for d in comp if comp[d] == c)] == "valid")
+    assert 0.03 <= v / len(comps) <= 0.20
+    # determinism
+    rows2 = {(r.doc_id, r.component, r.split) for r in
+             leakage_safe_split(docs, threshold=0.2, n=3, valid_frac=0.1).collect()}
+    assert rows2 == {(r.doc_id, r.component, r.split) for r in rows}
