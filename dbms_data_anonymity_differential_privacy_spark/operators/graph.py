@@ -352,7 +352,7 @@ def assortativity(edges: DataFrame) -> DataFrame:
     )
 
 
-def powerlaw_alpha(edges: DataFrame, d_min: int = 2) -> DataFrame:
+def powerlaw_alpha(edges: DataFrame, d_min: int = 2, exact: bool = True) -> DataFrame:
     """X152 — power-law exponent of the degree distribution by the
     discrete MLE approximation of Clauset, Shalizi & Newman (SIAM Rev.
     2009, eq. 3.7):
@@ -389,14 +389,25 @@ def powerlaw_alpha(edges: DataFrame, d_min: int = 2) -> DataFrame:
     per_d = deg.groupBy("d").agg(F.count(F.lit(1)).alias("cnt")).filter(
         F.col("d") >= d_min
     ).persist()
-    dvals = sorted(int(r["d"]) for r in per_d.select("d").distinct().collect())
     shift = d_min - 0.5
-    ln_tab = spark.createDataFrame(
-        [(d, math.log(d / shift)) for d in dvals], "d long, lnv double"
-    )
-    terms = per_d.join(F.broadcast(ln_tab), "d").select(
-        (F.col("cnt").cast("double") * F.col("lnv")).alias("t"), F.col("cnt")
-    )
+    if exact:
+        dvals = sorted(int(r["d"]) for r in per_d.select("d").distinct().collect())
+        ln_tab = spark.createDataFrame(
+            [(d, math.log(d / shift)) for d in dvals], "d long, lnv double"
+        )
+        terms = per_d.join(F.broadcast(ln_tab), "d").select(
+            (F.col("cnt").cast("double") * F.col("lnv")).alias("t"), F.col("cnt")
+        )
+    else:
+        # production flavor (x23/x99/x128 exact-flag contract): JVM log
+        # in codegen, no driver collect over the distinct-degree relation
+        terms = per_d.select(
+            (
+                F.col("cnt").cast("double")
+                * F.log(F.col("d").cast("double") / F.lit(shift))
+            ).alias("t"),
+            F.col("cnt"),
+        )
     fold = F.expr(
         "aggregate(array_sort(collect_list(t)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
     )

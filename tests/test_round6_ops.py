@@ -984,3 +984,20 @@ def test_leakage_safe_split_never_splits_near_dups(spark):
     rows2 = {(r.doc_id, r.component, r.split) for r in
              leakage_safe_split(docs, threshold=0.2, n=3, valid_frac=0.1).collect()}
     assert rows2 == {(r.doc_id, r.component, r.split) for r in rows}
+
+
+def test_powerlaw_exact_and_jvm_modes_agree(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import powerlaw_alpha
+    from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("l_suppkey").alias("x"), F.col("o_custkey").alias("y"))
+        .distinct()
+    )
+    ex = powerlaw_alpha(edges).collect()[0]
+    jv = powerlaw_alpha(edges, exact=False).collect()[0]
+    assert ex.n_tail == jv.n_tail and ex.d_min == jv.d_min
+    assert abs(ex.alpha_r - jv.alpha_r) <= 1e-9 * max(1.0, abs(ex.alpha_r))
