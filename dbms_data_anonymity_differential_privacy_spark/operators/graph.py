@@ -104,34 +104,57 @@ def pagerank_int(
     edges_deg.count()
     slim.unpersist()
 
-    rank = nodes_df.select("node", F.lit(PPB // n).alias("rank_ppb")).persist()
+    # The iteration state holds ONLY nodes with in-edges (the contrib
+    # relation). A node with no in-edges has the CONSTANT rank
+    # TELEPORT_PPB//n after round 1 (PPB//n before round 1), so instead
+    # of a per-round left join against the full node relation, the
+    # edge-side join coalesces missing ranks to that round's default —
+    # one join + one aggregation per round, nothing else. Round 1 skips
+    # the join entirely (every rank is the PPB//n literal). Values are
+    # bit-identical to the dense formulation (oracle-checked).
+    if iters < 1:
+        return nodes_df.select("node", F.lit(PPB // n).alias("rank_ppb"))
+    rank = None  # (node, rank_ppb) for nodes WITH in-edges; None = round 0
+    default = PPB // n
     for _ in range(iters):
-        contrib = (
-            edges_deg.join(rank, edges_deg["src"] == rank["node"])
-            .select(
+        if rank is None:
+            shared = edges_deg.select(
                 F.col("dst").alias("node"),
-                F.expr("rank_ppb div __deg").alias("__share"),
+                F.expr(f"{default}L div __deg").alias("__share"),
             )
-            .groupBy("node")
-            .agg(F.sum("__share").alias("__c"))
-        )
+        else:
+            shared = (
+                edges_deg.join(rank, edges_deg["src"] == rank["node"], "left")
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr(f"coalesce(rank_ppb, {default}L) div __deg").alias(
+                        "__share"
+                    ),
+                )
+            )
         new_rank = (
-            nodes_df.join(contrib, on="node", how="left")
+            shared.groupBy("node")
+            .agg(F.sum("__share").alias("__c"))
             .select(
                 "node",
                 (
                     F.lit(TELEPORT_PPB // n)
-                    + F.expr("(17 * coalesce(__c, 0L)) div 20")
+                    + F.expr("(17 * __c) div 20")
                 ).alias("rank_ppb"),
             )
             .persist()
         )
         new_rank.count()
-        rank.unpersist()
+        if rank is not None:
+            rank.unpersist()
         rank = new_rank
-    nodes_df.unpersist()
+        default = TELEPORT_PPB // n  # rank of no-in-edge nodes, rounds >= 1
+    # re-attach the constant-rank nodes (no in-edges) once, at the end
+    out = nodes_df.join(rank, on="node", how="left").select(
+        "node", F.coalesce("rank_ppb", F.lit(default)).alias("rank_ppb")
+    )
     edges_deg.unpersist()
-    return rank
+    return out
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:
