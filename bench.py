@@ -266,6 +266,7 @@ def main() -> None:
     load_start = load_snapshot()
     timings: dict[str, float] = {}
     query_load: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         best = float("inf")
         runs = 0
@@ -276,10 +277,17 @@ def main() -> None:
             # the first run's cache and report a fantasy number)
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            force(qr.QUERIES[name](spark, sf_dir))
+            try:
+                force(qr.QUERIES[name](spark, sf_dir))
+            except Exception as e:  # noqa: BLE001 — one bad query must
+                # not kill the whole artifact; record and move on (the
+                # sf1 int64-overflow episode took the entire run down)
+                errors[name] = f"{type(e).__name__}: {e}"[:300]
+                break
             best = min(best, time.perf_counter() - t0)
             runs += 1
-        timings[name] = round(best, 3)
+        if name not in errors:
+            timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     load_end = load_snapshot()
@@ -292,6 +300,7 @@ def main() -> None:
         "load_start": load_start,
         "load_end": load_end,
         "query_loadavg_1m": query_load,
+        "errors": errors,
     }
     # Full per-query map goes to a file artifact; stdout gets the full line
     # FIRST and then a compact summary line LAST. The driver's tail capture
@@ -314,6 +323,7 @@ def main() -> None:
                 "loadavg_1m_start": load_start["loadavg_1m"],
                 "loadavg_1m_end": load_end["loadavg_1m"],
                 "n_processes": load_end["n_processes"],
+                "n_errors": len(errors),
             }
         )
     )

@@ -228,11 +228,17 @@ def kmv_distinct(df: DataFrame, cols, k: int = 256, salt: str = "") -> DataFrame
 
 
 # fixed universal-hash family for the Bloom membership sketch: h_i(x) =
-# ((a_i * x + b_i) mod P) mod m. P = 2^31 - 1 (Mersenne prime); a_i, b_i
-# arbitrary fixed constants < P. Products stay under 2^62 for any long
-# key < 2^31, so the SAME integer arithmetic runs exactly on Spark longs
-# and DuckDB BIGINTs — membership is hash-checkable cross-engine, unlike
-# engine-builtin hash functions which never match across engines.
+# ((a_i * (x mod P) + b_i) mod P) mod m. P = 2^31 - 1 (Mersenne prime);
+# a_i, b_i arbitrary fixed constants < P. The key is reduced mod P FIRST
+# (identity for keys < 2^31, so small-sf hash positions are unchanged),
+# which keeps every product under 2^62 for ANY long key — without the
+# pre-reduction, billion-scale surrogate ids (exactly what a 100 TB
+# catalog hands out; caught by the sf1 bench overflowing int64) would
+# overflow the multiply on BOTH engines. The SAME integer arithmetic
+# runs exactly on Spark longs and DuckDB BIGINTs — membership is
+# hash-checkable cross-engine, unlike engine-builtin hash functions
+# which never match across engines. Key contract: non-negative ids
+# (both engines' % follows the dividend sign).
 BLOOM_P = 2_147_483_647
 BLOOM_HASHES = ((982_451_653, 12_289), (715_827_883, 524_287), (179_424_673, 6_700_417))
 
@@ -264,8 +270,9 @@ def bloom_membership(
     """
 
     def positions(col: F.Column) -> list[F.Column]:
+        reduced = col % F.lit(BLOOM_P)
         return [
-            ((col * F.lit(a) + F.lit(b)) % F.lit(BLOOM_P) % F.lit(m)).alias(f"__p{i}")
+            ((reduced * F.lit(a) + F.lit(b)) % F.lit(BLOOM_P) % F.lit(m)).alias(f"__p{i}")
             for i, (a, b) in enumerate(BLOOM_HASHES)
         ]
 

@@ -5946,13 +5946,14 @@ def x128_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x129_bloom",
     """
-    WITH pos AS (SELECT DISTINCT ((o_custkey * h.a + h.b) % 2147483647) % 8192 AS p
+    WITH pos AS (SELECT DISTINCT (((o_custkey % 2147483647) * h.a + h.b)
+                                  % 2147483647) % 8192 AS p
                  FROM orders, (VALUES (982451653, 12289), (715827883, 524287),
                                       (179424673, 6700417)) AS h(a, b)),
     pr AS (SELECT c_custkey AS key,
-             ((c_custkey * 982451653 + 12289) % 2147483647) % 8192 AS p0,
-             ((c_custkey * 715827883 + 524287) % 2147483647) % 8192 AS p1,
-             ((c_custkey * 179424673 + 6700417) % 2147483647) % 8192 AS p2
+             (((c_custkey % 2147483647) * 982451653 + 12289) % 2147483647) % 8192 AS p0,
+             (((c_custkey % 2147483647) * 715827883 + 524287) % 2147483647) % 8192 AS p1,
+             (((c_custkey % 2147483647) * 179424673 + 6700417) % 2147483647) % 8192 AS p2
            FROM customer),
     m AS (SELECT key, (p0 IN (SELECT p FROM pos) AND p1 IN (SELECT p FROM pos)
                        AND p2 IN (SELECT p FROM pos)) AS maybe FROM pr),
