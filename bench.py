@@ -222,6 +222,7 @@ HEADLINE = [
     "x166_bfs_dist",
     "x173_linear_quality",
     "x174_leakage_safe_split",
+    "x175_semantic_dedup",
 ]
 
 

@@ -1358,3 +1358,48 @@ def leakage_safe_split(
         component,
         F.when(h < F.lit(cut), F.lit("valid")).otherwise(F.lit("train")).alias("split"),
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.6,
+    block_col: str | None = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style embedding-level corpus dedup (Abbas et al. 2023):
+    two documents are semantic duplicates when their embeddings' cosine
+    clears ``threshold``; whole duplicate CLUSTERS (connected components
+    of the pair graph, not just pairwise drops) collapse to one
+    representative — the min-id member, the same deterministic policy as
+    the text-level corpus dedup (x03).
+
+    The blocking column is the coarse-quantizer stand-in (in SemDeDup
+    proper: a k-means cluster id; here the embedding table's ``label``)
+    — pairs are only scored INSIDE a block, which is what makes the
+    quadratic scoring tractable at 100 TB (per-block pair volume, never
+    corpus²). The pair generator is :func:`similarity.
+    cosine_self_join_pairs` (per-row norms, bit-exact vs the SQL
+    oracle); components are :func:`connected_components` (driver
+    union-find under 2M edges, distributed min-label propagation above).
+
+    Output: ``(id_col, component, kept)`` for EVERY embedding row —
+    singletons are their own component and always kept.
+    """
+    from dbms_data_anonymity_differential_privacy_spark.operators.similarity import (
+        cosine_self_join_pairs,
+    )
+
+    pairs = cosine_self_join_pairs(
+        emb, threshold=threshold, block_col=block_col, vec_col=vec_col, id_col=id_col
+    )
+    comp = connected_components(pairs)
+    out = emb.select(F.col(id_col)).join(
+        comp.withColumnRenamed("id", id_col), on=id_col, how="left"
+    )
+    component = F.coalesce(F.col("comp"), F.col(id_col))
+    return out.select(
+        F.col(id_col),
+        component.alias("component"),
+        (component == F.col(id_col)).alias("kept"),
+    )

@@ -8944,6 +8944,41 @@ def x174_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X175 — SemDeDup-style embedding-level corpus dedup (operators/dedup.py
+# semantic_dedup): cosine >= t pairs inside the label block (the
+# coarse-quantizer stand-in), whole duplicate clusters (connected
+# components) collapse to the min-id representative.
+# --------------------------------------------------------------------------
+@query(
+    "x175_semantic_dedup",
+    f"""
+    WITH RECURSIVE pe AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ROUND({_duck_cos('a.embedding', 'b.embedding')}, 6) >= 0.6),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pe
+            UNION ALL SELECT id_b AS a, id_a AS b FROM pe),
+    reach(id, anc) AS (SELECT DISTINCT a AS id, a AS anc FROM sym
+                       UNION
+                       SELECT s.b AS id, r.anc FROM reach r JOIN sym s ON s.a = r.id),
+    comp AS (SELECT id, MIN(anc) AS comp FROM reach GROUP BY id)
+    SELECT e.vec_id,
+           COALESCE(c.comp, e.vec_id) AS component,
+           COALESCE(c.comp, e.vec_id) = e.vec_id AS kept
+    FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+    """,
+)
+def x175_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup clusters collapsed to min-id
+    representatives (cos >= 0.6, label-blocked)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, threshold=0.6, block_col="label")
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
 # every r3-window query now holds a driver row and rotates out. This
@@ -9020,9 +9055,9 @@ _WINDOW_R7 = [
     "x08_l_diversity",
     "x23_bigram_lm",
     "x99_tfidf_topk",
-    "x128_zipf",
     "x173_linear_quality",
     "x174_leakage_safe_split",
+    "x175_semantic_dedup",
 ]
 
 
