@@ -1001,3 +1001,26 @@ def test_powerlaw_exact_and_jvm_modes_agree(spark):
     jv = powerlaw_alpha(edges, exact=False).collect()[0]
     assert ex.n_tail == jv.n_tail and ex.d_min == jv.d_min
     assert abs(ex.alpha_r - jv.alpha_r) <= 1e-9 * max(1.0, abs(ex.alpha_r))
+
+
+def test_semantic_dedup_collapses_clusters(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import semantic_dedup
+
+    # two exact-duplicate clusters + two singletons, one block
+    rows = [
+        (1, "b", [1.0, 0.0, 0.0]),
+        (2, "b", [1.0, 0.0, 0.0]),       # dup of 1
+        (3, "b", [0.9999, 0.01, 0.0]),   # near-dup of 1/2
+        (4, "b", [0.0, 1.0, 0.0]),       # singleton
+        (5, "c", [1.0, 0.0, 0.0]),       # same vector, DIFFERENT block
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    out = {r.vec_id: (r.component, r.kept) for r in
+           semantic_dedup(df, threshold=0.99, block_col="label").collect()}
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)
+    assert out[3] == (1, False)
+    assert out[4] == (4, True)
+    # blocking is a hard boundary: 5 never pairs with 1 despite cos=1
+    assert out[5] == (5, True)
+    assert len(out) == 5
