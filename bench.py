@@ -287,7 +287,10 @@ def main() -> None:
                 break
             best = min(best, time.perf_counter() - t0)
             runs += 1
-        if name not in errors:
+        # a transient error on a LATER repeat must not discard a valid
+        # measurement — keep the best finite timing; the error note
+        # still rides in the artifact for adjudication
+        if best != float("inf"):
             timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

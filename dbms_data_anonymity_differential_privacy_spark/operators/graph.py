@@ -113,7 +113,11 @@ def pagerank_int(
     # the join entirely (every rank is the PPB//n literal). Values are
     # bit-identical to the dense formulation (oracle-checked).
     if iters < 1:
-        return nodes_df.select("node", F.lit(PPB // n).alias("rank_ppb"))
+        out0 = nodes_df.select("node", F.lit(PPB // n).alias("rank_ppb"))
+        out0 = out0.localCheckpoint(eager=True)
+        nodes_df.unpersist()
+        edges_deg.unpersist()
+        return out0
     rank = None  # (node, rank_ppb) for nodes WITH in-edges; None = round 0
     default = PPB // n
     for _ in range(iters):
@@ -149,10 +153,16 @@ def pagerank_int(
             rank.unpersist()
         rank = new_rank
         default = TELEPORT_PPB // n  # rank of no-in-edge nodes, rounds >= 1
-    # re-attach the constant-rank nodes (no in-edges) once, at the end
+    # re-attach the constant-rank nodes (no in-edges) once, at the end;
+    # localCheckpoint truncates the lineage so every per-round cache AND
+    # the node relation can be released immediately (no cache residue
+    # across repeated calls in one session — kcore discipline)
     out = nodes_df.join(rank, on="node", how="left").select(
         "node", F.coalesce("rank_ppb", F.lit(default)).alias("rank_ppb")
     )
+    out = out.localCheckpoint(eager=True)
+    rank.unpersist()
+    nodes_df.unpersist()
     edges_deg.unpersist()
     return out
 

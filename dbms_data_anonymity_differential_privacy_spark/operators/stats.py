@@ -2115,16 +2115,27 @@ def bootstrap_ci_mean(
             / F.sum(F.col("__w").cast("double"))
         ).alias("__m")
     )
-    lo_rk = -(-25 * n_boot // 1000)  # ceil(0.025 B)
-    hi_rk = -(-975 * n_boot // 1000)  # ceil(0.975 B)
     # A replicate where every unit drew Poisson weight 0 has a NULL mean
     # (0/0); Spark windows order NULLs FIRST while DuckDB defaults to
     # NULLS LAST — drop them before ranking on BOTH sides (the oracle
     # mirrors this) so the nearest-rank indices can never land on a NULL.
+    # The nearest-rank indices are then computed from the SURVIVING
+    # replicate count (integer ceil on positive operands: (k·m+999) div
+    # 1000 — equals the usual ceil(0.025·B)/ceil(0.975·B) constants when
+    # nothing is dropped, and stays in range when replicates are), so a
+    # dropped replicate can neither shift the percentile nor push the
+    # index past the relation.
     w_rank = Window.orderBy(F.col("__m").asc())
-    ranked = boots.filter(F.col("__m").isNotNull()).withColumn(
-        "__rk", F.row_number().over(w_rank)
+    w_all = Window.orderBy(F.col("__m").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
+    ranked = (
+        boots.filter(F.col("__m").isNotNull())
+        .withColumn("__rk", F.row_number().over(w_rank))
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+    )
+    lo_rk = F.expr("(25 * __n + 999) div 1000")
+    hi_rk = F.expr("(975 * __n + 999) div 1000")
     ci = ranked.agg(
         F.max(F.when(F.col("__rk") == lo_rk, F.col("__m"))).alias("__lo"),
         F.max(F.when(F.col("__rk") == hi_rk, F.col("__m"))).alias("__hi"),

@@ -62,6 +62,17 @@ def gate_broadcast_keys(keys: DataFrame, row_limit: int | None = None) -> DataFr
 
     Streaming inputs pass through un-hinted (no count possible); the
     stream-side k-anon gates build their key relations per micro-batch.
+
+    Cache contract: the persisted key relation is NOT unpersisted here —
+    the caller's join consumes it lazily, so this function cannot know
+    when release is safe. In the hinted branch the residue is bounded by
+    ``row_limit`` rows; in the un-hinted branch the cache is what saves
+    the second fact-table pass the shuffled join would otherwise pay.
+    Spark's MEMORY_AND_DISK blocks are LRU-evictable, and the engine's
+    harnesses (bench, the oracle gate, the test plans fixture) clear the
+    cache between queries. The count also makes the operator EAGER at
+    construction time — the deliberate cost of a data-driven plan
+    decision, the same trade AQE makes with runtime statistics.
     """
     if keys.isStreaming:
         return keys
@@ -95,18 +106,26 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
-_PARTITION_COUNT_CACHE: dict[int, int] = {}
+_PARTITION_COUNT_CACHE: dict[tuple, int] = {}
 
 
 def _partition_count(df: DataFrame) -> int:
-    """Partition count of a batch DataFrame, memoized by the analyzed
-    plan's semantic hash: ``df.rdd.getNumPartitions()`` converts the plan
-    to an RDD (no job, but real analysis cost), and composition loops —
-    the near-dup suite calls fan_out on the same token relation per
-    detector — would otherwise pay it once per call. Same semantic plan
-    ⇒ same partitioning, so the cache is sound; bounded to 4096 entries
-    (cleared wholesale — plans are session-scoped and tiny)."""
-    key = df.semanticHash()
+    """Partition count of a batch DataFrame, memoized by (semantic plan
+    hash, schema, session parallelism): ``df.rdd.getNumPartitions()``
+    converts the plan to an RDD (no job, but real analysis cost), and
+    composition loops — the near-dup suite calls fan_out on the same
+    token relation per detector — would otherwise pay it once per call.
+    The composite key makes a raw 32-bit semanticHash collision across
+    DIFFERENT plans effectively impossible; a stale hit is possible only
+    if the same path's file count changes mid-session, and the blast
+    radius is a parallelism heuristic (fan_out), never correctness.
+    Bounded to 4096 entries (cleared wholesale — plans are
+    session-scoped and tiny)."""
+    key = (
+        df.semanticHash(),
+        hash(df.schema.simpleString()),
+        df.sparkSession.sparkContext.defaultParallelism,
+    )
     n = _PARTITION_COUNT_CACHE.get(key)
     if n is None:
         if len(_PARTITION_COUNT_CACHE) >= 4096:

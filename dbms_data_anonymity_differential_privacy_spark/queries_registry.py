@@ -8166,23 +8166,7 @@ def x160_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 3-round label-propagation communities."""
     from dbms_data_anonymity_differential_privacy_spark.operators.graph import label_propagation
 
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .filter(F.col("__c") >= 2)
-        .select("src", "dst")
-    )
-    return label_propagation(edges, iters=3)
+    return label_propagation(_copurchase_part_edges(spark, sf_dir), iters=3)
 
 
 # --------------------------------------------------------------------------
@@ -8278,8 +8262,6 @@ def _x163_sql(n_boot: int = 200, salt: str = "boot") -> str:
     case = "CASE " + " ".join(
         f"WHEN h < '{t}' THEN {k}" for k, t in enumerate(th)
     ) + f" ELSE {len(th)} END"
-    lo_rk = -(-25 * n_boot // 1000)
-    hi_rk = -(-975 * n_boot // 1000)
     return f"""
     WITH pu AS (SELECT user_id AS u, SUM(value) AS x FROM events
                 WHERE value IS NOT NULL GROUP BY 1),
@@ -8290,10 +8272,11 @@ def _x163_sql(n_boot: int = 200, salt: str = "boot") -> str:
     wtd AS (SELECT b, {case} AS w, x FROM e),
     boots AS (SELECT b, SUM(w * x) / SUM(CAST(w AS DOUBLE)) AS m
               FROM wtd GROUP BY 1),
-    ranked AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rk
+    ranked AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rk,
+                      COUNT(*) OVER () AS nn
                FROM boots WHERE m IS NOT NULL),
-    ci AS (SELECT MAX(CASE WHEN rk = {lo_rk} THEN m END) AS lo,
-                  MAX(CASE WHEN rk = {hi_rk} THEN m END) AS hi,
+    ci AS (SELECT MAX(CASE WHEN rk = (25 * nn + 999) // 1000 THEN m END) AS lo,
+                  MAX(CASE WHEN rk = (975 * nn + 999) // 1000 THEN m END) AS hi,
                   CAST(COUNT(*) AS BIGINT) AS n_boot
            FROM ranked),
     base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units, AVG(x) AS mean
@@ -8427,23 +8410,9 @@ def x166_bfs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hop-distance histogram from 4 landmark parts, depth 4."""
     from dbms_data_anonymity_differential_privacy_spark.operators.graph import bfs_profile
 
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .filter(F.col("__c") >= 2)
-        .select("src", "dst")
+    return bfs_profile(
+        _copurchase_part_edges(spark, sf_dir), n_landmarks=4, max_depth=4
     )
-    return bfs_profile(edges, n_landmarks=4, max_depth=4)
 
 
 def _copurchase_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
