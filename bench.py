@@ -214,6 +214,7 @@ HEADLINE = [
     "x171_kcenter",
     "x172_feature_hashing",
     "x01_dp_noise_moments",
+    "x01_dp_noise_moments_gauss",
     # distributed graph flavors: the iterative join plans 100x scale
     # runs, bench-visible even where the hybrid fast path would absorb
     # the sf (r5 verdict task 5)

@@ -1419,6 +1419,7 @@ def dp_noise_moments(
     epsilon: float = 1.0,
     seed: int = 42,
     release: str = "noise-moments-audit",
+    mechanism: str = "laplace",
 ) -> DataFrame:
     """X1 diagnostics — closed-form moment audit of the Laplace mechanism's
     actual noise, driver-visible and oracle-checkable.
@@ -1450,9 +1451,30 @@ def dp_noise_moments(
     """
     import math
 
-    b = 1.0 / epsilon
     grid = spark.range(int(n_groups)).select(F.col("id").alias("__g"))
-    rel = dp_count(grid, ["__g"], epsilon, seed=seed, release=release)
+    if mechanism == "laplace":
+        # Laplace(0, b): m2 = 2b^2, median of |X| = b ln 2
+        b = 1.0 / epsilon
+        m2_expected = 2.0 * b * b
+        median_abs = b * math.log(2.0)
+        rel = dp_count(grid, ["__g"], epsilon, seed=seed, release=release)
+    elif mechanism == "gaussian":
+        # N(0, sigma^2) through the production Box-Muller path: m2 =
+        # sigma^2, median of |X| = 0.6745 sigma (the probit of 0.75,
+        # stdlib NormalDist - platform-independent literal)
+        from statistics import NormalDist
+
+        sigma = gaussian_sigma(min(epsilon, 0.99), 1e-6, 1.0)
+        m2_expected = sigma * sigma
+        median_abs = NormalDist().inv_cdf(0.75) * sigma
+        agg0 = grid.groupBy("__g").agg(F.count(F.lit(1)).alias("count_exact"))
+        rel = agg0.withColumn(
+            "count_dp",
+            F.col("count_exact")
+            + gaussian_noise(["__g"], sigma, seed, f"gauss-moments:{release}"),
+        )
+    else:
+        raise ValueError(f"unknown mechanism: {mechanism}")
     resid = (F.col("count_dp") - F.col("count_exact")).alias("__r")
     base = rel.select(resid)
 
@@ -1467,20 +1489,23 @@ def dp_noise_moments(
         F.count(F.lit(1)).alias("n"),
         fold("__r").alias("__s1"),
         fold("__r * __r").alias("__s2"),
-        fold(f"CAST(CASE WHEN abs(__r) <= {b} * ln(2.0) THEN 1 ELSE 0 END AS DOUBLE)").alias(
-            "__small"
-        ),
+        fold(
+            f"CAST(CASE WHEN abs(__r) <= {median_abs!r} THEN 1 ELSE 0 END AS DOUBLE)"
+        ).alias("__small"),
     )
     mean = F.col("__s1") / n
     m2 = F.col("__s2") / n
     frac = F.col("__small") / n
-    mean_bound = 6.0 * b * math.sqrt(2.0 / float(n_groups))
+    # 6 sigma of the CLT mean; +-30% on m2 (>= 4 sigma given the
+    # mechanism's kurtosis at n=1000); +-0.10 on the Binomial(n, 1/2)
+    # median fraction (6 sigma)
+    mean_bound = 6.0 * math.sqrt(m2_expected / float(n_groups))
     return agg.select(
         F.col("n").cast("long").alias("n_groups"),
         F.round(mean, 6).alias("mean_r"),
         F.round(m2, 6).alias("m2_r"),
         F.round(frac, 6).alias("frac_small_r"),
         (F.abs(mean) <= F.lit(mean_bound)).alias("mean_ok"),
-        ((m2 >= F.lit(0.7 * 2.0 * b * b)) & (m2 <= F.lit(1.3 * 2.0 * b * b))).alias("m2_ok"),
+        ((m2 >= F.lit(0.7 * m2_expected)) & (m2 <= F.lit(1.3 * m2_expected))).alias("m2_ok"),
         ((frac >= F.lit(0.40)) & (frac <= F.lit(0.60))).alias("frac_ok"),
     )

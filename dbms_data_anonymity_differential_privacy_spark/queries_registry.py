@@ -1028,6 +1028,25 @@ def x01_dp_noise_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x01_dp_noise_moments_gauss",
+    """
+    -- Box-Muller Gaussian-mechanism moment audit (same design as the
+    -- Laplace twin above): verdicts from closed-form bounds plus the
+    -- sorted-fold moments of the deterministic draw, pinned as literals.
+    SELECT CAST(1000 AS BIGINT) AS n_groups,
+           -0.060601 AS mean_r, 27.268444 AS m2_r, 0.495 AS frac_small_r,
+           TRUE AS mean_ok, TRUE AS m2_ok, TRUE AS frac_ok
+    """,
+)
+def x01_dp_noise_moments_gauss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form moment audit of the production Gaussian (Box-Muller)
+    noise path — the x68/x01-gaussian family's hard signal."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_noise_moments
+
+    return dp_noise_moments(spark, mechanism="gaussian")
+
+
+@query(
     "x02_dedup_exact",
     """
     SELECT doc_id, text, lang, source, n_chars FROM documents
@@ -9023,7 +9042,7 @@ _WINDOW_R7 = [
     "pipe_naive_metrics",
     "x08_l_diversity",
     "x23_bigram_lm",
-    "x99_tfidf_topk",
+    "x01_dp_noise_moments_gauss",
     "x173_linear_quality",
     "x174_leakage_safe_split",
     "x175_semantic_dedup",

@@ -1024,3 +1024,23 @@ def test_semantic_dedup_collapses_clusters(spark):
     # blocking is a hard boundary: 5 never pairs with 1 despite cos=1
     assert out[5] == (5, True)
     assert len(out) == 5
+
+
+def test_dp_gaussian_noise_moments_match_closed_form(spark):
+    from statistics import NormalDist
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
+        dp_noise_moments,
+        gaussian_sigma,
+    )
+
+    r = dp_noise_moments(spark, mechanism="gaussian").collect()[0]
+    sigma = gaussian_sigma(0.99, 1e-6, 1.0)
+    assert r.n_groups == 1000
+    assert r.mean_ok and r.m2_ok and r.frac_ok, r
+    assert abs(r.m2_r - sigma * sigma) <= 0.3 * sigma * sigma
+    assert abs(r.frac_small_r - 0.5) <= 0.1
+    # the |X| median check pins the probit constant too
+    assert NormalDist().inv_cdf(0.75) == 0.6744897501960817
+    r2 = dp_noise_moments(spark, mechanism="gaussian").collect()[0]
+    assert r == r2
