@@ -4,11 +4,13 @@ The driver hash-checks only the first 50 registered queries. These tests
 fail loudly if a future registration pushes an oracle-backed query out of
 the window or leaves a SURVEY §2 component with NO driver signal — where
 "signal" is an in-window slot this round OR a driver-green row from a
-previous round (the rotation ledger below). Round 5 rotation: round 4 came
+previous round (the rotation ledger below). Round 6 rotation: round 5 came
 back 50/50 green, so the window now holds the 34 oracle-backed queries
-still awaiting their first driver row, the 15 new round-5 queries
-(x125-x139), and 1 re-check of the operator whose plan changed most this
-round (x03_dedup_corpus_cc, the connected-components fast path).
+still awaiting their first driver row (x140-x172 + pipe_graph_insights),
+the 6 round-6 debuts (the two noise-moment audits, the three forced
+distributed graph flavors, plus x173-x175), and re-checks of the
+operators whose plans changed this round (size-gated broadcasts:
+c01/c02/c04/pipes/x08; exact-flag refactor: x23).
 No Spark session needed — pure registration-order checks.
 """
 
