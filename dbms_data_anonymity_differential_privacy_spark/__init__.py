@@ -52,6 +52,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
     dp_count_gaussian,
     dp_sum_gaussian,
     dp_mode,
+    dp_noise_moments,
     dp_quantile,
     dp_topk,
     gaussian_sigma,
@@ -61,9 +62,11 @@ from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
     dedup_exact,
     dedup_by_fingerprint,
     dedup_corpus,
+    leakage_safe_split,
     minhash_lsh_pairs,
     near_dedup_corpus,
     ngram_jaccard_pairs,
+    semantic_dedup,
     simhash_pairs,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import (
@@ -108,6 +111,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.quality import (
     domain_gate,
     domain_quality_report,
     gopher_quality,
+    linear_quality_score,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.bpe import bpe_tokenize, bpe_train
 from dbms_data_anonymity_differential_privacy_spark.operators.linkage import (
@@ -258,6 +262,10 @@ __all__ = [
     "gaussian_sigma",
     "cluster_anonymize",
     "dedup_exact",
+    "dp_noise_moments",
+    "leakage_safe_split",
+    "linear_quality_score",
+    "semantic_dedup",
     "dedup_by_fingerprint",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
