@@ -294,12 +294,19 @@ def main() -> None:
         if best != float("inf"):
             timings[name] = round(best, 3)
 
-    total = round(sum(timings.values()), 3)
+    # An errored query is absent from `timings`, which would silently
+    # SHRINK the headline sum relative to prior-round artifacts with the
+    # same query list — a smaller total must never read as a speedup. So
+    # when any query errored, the headline `value` is null (adjudication
+    # must look at `partial_total` + `errors`, not compare totals).
+    partial_total = round(sum(timings.values()), 3)
+    total = partial_total if not errors else None
     load_end = load_snapshot()
     full = {
         "metric": "headline_suite_wall_sec",
         "value": total,
         "unit": "sec",
+        "partial_total": partial_total,
         "queries": timings,
         "sf": float(sf),
         "load_start": load_start,
@@ -323,12 +330,16 @@ def main() -> None:
                 "metric": "headline_suite_wall_sec",
                 "value": total,
                 "unit": "sec",
+                "partial_total": partial_total,
                 "sf": float(sf),
                 "n_queries": len(timings),
                 "loadavg_1m_start": load_start["loadavg_1m"],
                 "loadavg_1m_end": load_end["loadavg_1m"],
                 "n_processes": load_end["n_processes"],
                 "n_errors": len(errors),
+                # names ride the compact line so the tail capture alone
+                # suffices to see WHAT failed, not just how many
+                "error_queries": sorted(errors),
             }
         )
     )

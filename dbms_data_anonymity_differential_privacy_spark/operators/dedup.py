@@ -1320,13 +1320,19 @@ def leakage_safe_split(
     decontamination (x18): x18 protects against EXTERNAL benchmark
     leakage, this protects the pipeline's OWN held-out split.
 
-    Construction: exact + n-gram-Jaccard pairs (identical texts have
-    J = 1 ≥ any threshold, so exact dups are included for free) →
-    :func:`connected_components` min-id labeling → the COMPONENT id (not
-    the doc id) hashes to a side via the portable md5 fraction
-    ``int(md5(comp|salt)[:8], 16) < valid_frac · 2^32`` (the x10
-    hash-split discipline — deterministic, engine-exact, stable under
-    re-runs and data layout). Singleton docs are their own component.
+    Construction: n-gram-Jaccard pairs UNIONED with an exact-text-hash
+    pair source → :func:`connected_components` min-id labeling → the
+    COMPONENT id (not the doc id) hashes to a side via the portable md5
+    fraction ``int(md5(comp|salt)[:8], 16) < valid_frac · 2^32`` (the
+    x10 hash-split discipline — deterministic, engine-exact, stable
+    under re-runs and data layout). Singleton docs are their own
+    component. The explicit exact source exists because Jaccard alone
+    does NOT cover all exact duplicates: identical documents shorter
+    than the shingle width ``n`` produce zero shingles, are never
+    paired, and would straddle the split as separate singletons — the
+    exact source pairs every doc with the min-id holder of its md5(text)
+    group (one extra shuffle on a 16-byte hash; for docs ≥ n tokens the
+    pairs are redundant with J = 1 and CC absorbs them).
 
     Shape: the pair/CC machinery is the x03 corpus path (shuffles on
     8-byte shingle hashes + ids-only iteration); the split itself adds
@@ -1335,10 +1341,26 @@ def leakage_safe_split(
 
     Output: ``(id_col, component, split)`` with split ∈ {train, valid}.
     """
-    pairs = ngram_jaccard_pairs(
+    from pyspark.sql import Window
+
+    jac = ngram_jaccard_pairs(
         docs, threshold=threshold, n=n, text_col=text_col, id_col=id_col
+    ).select("id_a", "id_b")
+    # exact-text pairs: every doc links to the min-id holder of its
+    # md5(text) group (star topology — |group|-1 edges, CC-equivalent to
+    # the clique). Covers identical docs with < n tokens (zero shingles)
+    # that the Jaccard source structurally misses.
+    exact = (
+        docs.select(
+            F.col(id_col), F.md5(F.col(text_col).cast("binary")).alias("__h")
+        )
+        .select(
+            F.min(id_col).over(Window.partitionBy("__h")).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
     )
-    comp = connected_components(pairs)
+    comp = connected_components(jac.unionByName(exact))
     full = docs.select(F.col(id_col)).join(
         comp.withColumnRenamed("id", id_col), on=id_col, how="left"
     )

@@ -1446,8 +1446,16 @@ def dp_noise_moments(
     moment — the oracle row goes red. Bounds are deterministic functions
     of (ε, n) only, so the release is reproducible at any sf.
 
-    Output (single row): ``(n_groups, mean_r, m2_r, frac_small_r,
-    mean_ok, m2_ok, frac_ok)``.
+    The calibrated noise scale (Laplace ``b = 1/ε``; Gaussian ``σ`` from
+    :func:`gaussian_sigma`) rides the release row as ``scale_r`` so the
+    audit is self-describing — a reader can verify ``m2_r ≈ 2·b²`` (or
+    ``σ²``) without re-deriving the calibration. The Gaussian path
+    inherits ``gaussian_sigma``'s own domain contract and raises
+    ``ValueError`` for ε outside (0, 1) — it never silently substitutes
+    a capped ε (the classic mechanism's theorem only holds there).
+
+    Output (single row): ``(n_groups, scale_r, mean_r, m2_r,
+    frac_small_r, mean_ok, m2_ok, frac_ok)``.
     """
     import math
 
@@ -1455,16 +1463,20 @@ def dp_noise_moments(
     if mechanism == "laplace":
         # Laplace(0, b): m2 = 2b^2, median of |X| = b ln 2
         b = 1.0 / epsilon
+        scale = b
         m2_expected = 2.0 * b * b
         median_abs = b * math.log(2.0)
         rel = dp_count(grid, ["__g"], epsilon, seed=seed, release=release)
     elif mechanism == "gaussian":
         # N(0, sigma^2) through the production Box-Muller path: m2 =
         # sigma^2, median of |X| = 0.6745 sigma (the probit of 0.75,
-        # stdlib NormalDist - platform-independent literal)
+        # stdlib NormalDist - platform-independent literal).
+        # gaussian_sigma raises for epsilon outside (0, 1): the audit
+        # must audit the REQUESTED calibration, never a silent cap.
         from statistics import NormalDist
 
-        sigma = gaussian_sigma(min(epsilon, 0.99), 1e-6, 1.0)
+        sigma = gaussian_sigma(epsilon, 1e-6, 1.0)
+        scale = sigma
         m2_expected = sigma * sigma
         median_abs = NormalDist().inv_cdf(0.75) * sigma
         agg0 = grid.groupBy("__g").agg(F.count(F.lit(1)).alias("count_exact"))
@@ -1502,6 +1514,7 @@ def dp_noise_moments(
     mean_bound = 6.0 * math.sqrt(m2_expected / float(n_groups))
     return agg.select(
         F.col("n").cast("long").alias("n_groups"),
+        F.lit(round(scale, 6)).alias("scale_r"),
         F.round(mean, 6).alias("mean_r"),
         F.round(m2, 6).alias("m2_r"),
         F.round(frac, 6).alias("frac_small_r"),

@@ -36,7 +36,9 @@ BROADCAST_KEY_ROW_LIMIT_CONF = "spark.graft.broadcast.keyRowLimit"
 DEFAULT_KEY_ROW_LIMIT = 1_000_000
 
 
-def gate_broadcast_keys(keys: DataFrame, row_limit: int | None = None) -> DataFrame:
+def gate_broadcast_keys(
+    keys: DataFrame, row_limit: int | None = None, hint: str = "auto"
+) -> DataFrame:
     """Size-gate a class-key relation before it is used as the built side
     of a semi/anti join: broadcast-hint it ONLY when it is actually small.
 
@@ -63,27 +65,86 @@ def gate_broadcast_keys(keys: DataFrame, row_limit: int | None = None) -> DataFr
     Streaming inputs pass through un-hinted (no count possible); the
     stream-side k-anon gates build their key relations per micro-batch.
 
-    Cache contract: the persisted key relation is NOT unpersisted here —
-    the caller's join consumes it lazily, so this function cannot know
-    when release is safe. In the hinted branch the residue is bounded by
+    Cache contract (ownership + release): the persisted key relation is
+    NOT unpersisted here — the caller's join consumes it lazily, so this
+    function cannot know when release is safe. Instead every persisted
+    relation is tracked in a module-level registry;
+    :func:`release_cached_relations` unpersists and clears them all, and
+    is the contract for long-lived sessions that compose many
+    k-anonymize/t-closeness calls: run the consuming action, then call
+    ``release_cached_relations()`` (the engine's harnesses — bench, the oracle
+    gate, the plans fixture — already ``clearCache()`` between queries,
+    which subsumes it). In the hinted branch the residue is bounded by
     ``row_limit`` rows; in the un-hinted branch the cache is what saves
     the second fact-table pass the shuffled join would otherwise pay.
-    Spark's MEMORY_AND_DISK blocks are LRU-evictable, and the engine's
-    harnesses (bench, the oracle gate, the test plans fixture) clear the
-    cache between queries. The count also makes the operator EAGER at
-    construction time — the deliberate cost of a data-driven plan
-    decision, the same trade AQE makes with runtime statistics.
+    The count also makes the operator EAGER at CONSTRUCTION time — the
+    deliberate cost of a data-driven plan decision, the same trade AQE
+    makes with runtime statistics (callers that build plans in a loop
+    should pass ``hint=`` to skip it).
+
+    ``hint`` escape hatch for composition loops that already know the
+    answer (or must stay lazy):
+
+    - ``'auto'`` (default): persist + count + registry, data-driven.
+    - ``'broadcast'``: trust the caller — wrap in ``F.broadcast`` with
+      NO persist and NO eager count (plan construction stays lazy; the
+      broadcast exchange is the only materialization).
+    - ``'shuffle'``: pass through un-hinted, no persist, no count — AQE
+      owns the join strategy entirely.
     """
     if keys.isStreaming:
         return keys
+    if hint == "broadcast":
+        return F.broadcast(keys)
+    if hint == "shuffle":
+        return keys
+    if hint != "auto":
+        raise ValueError(f"hint must be 'auto'|'broadcast'|'shuffle', got {hint!r}")
     if row_limit is None:
         row_limit = int(
             keys.sparkSession.conf.get(
                 BROADCAST_KEY_ROW_LIMIT_CONF, str(DEFAULT_KEY_ROW_LIMIT)
             )
         )
-    keys = keys.persist()
+    keys = track_cached(keys.persist())
     return F.broadcast(keys) if keys.count() <= row_limit else keys
+
+
+# Session-scoped ledger of every relation the engine persists on the
+# caller's behalf (gate_broadcast_keys key relations, the pipelines'
+# shared counts relations). Bounded in practice by the number of
+# operator calls since the last release; each entry's blocks are
+# bounded by its own slim relation, never fact rows.
+_CACHE_LEDGER: list[DataFrame] = []
+
+
+def track_cached(df: DataFrame) -> DataFrame:
+    """Record a persisted relation in the engine's cache ledger so
+    :func:`release_cached_relations` can unpersist it later. Returns the
+    input unchanged (wrap-at-persist idiom:
+    ``track_cached(df.persist())``)."""
+    _CACHE_LEDGER.append(df)
+    return df
+
+
+def release_cached_relations() -> int:
+    """Unpersist every ledger-tracked relation — the ownership contract
+    for long-lived sessions composing many k-anonymize / t-closeness /
+    pipeline calls, whose internally-persisted relations the caller
+    otherwise cannot reach. Call it AFTER the consuming action (collect/
+    write); the blocks are only a cache, so a too-early release merely
+    forfeits reuse (plans recompute), never correctness. The engine's
+    harnesses clear the whole Spark cache between queries, which
+    subsumes this. Returns the number of relations released."""
+    n = 0
+    for df in _CACHE_LEDGER:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 — a dead session must not
+            pass  # block releasing the rest
+    _CACHE_LEDGER.clear()
+    return n
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -106,30 +167,43 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
-_PARTITION_COUNT_CACHE: dict[tuple, int] = {}
+from collections import OrderedDict
+
+_PARTITION_COUNT_CACHE: OrderedDict[tuple, int] = OrderedDict()
 
 
 def _partition_count(df: DataFrame) -> int:
     """Partition count of a batch DataFrame, memoized by (semantic plan
-    hash, schema, session parallelism): ``df.rdd.getNumPartitions()``
-    converts the plan to an RDD (no job, but real analysis cost), and
-    composition loops — the near-dup suite calls fan_out on the same
-    token relation per detector — would otherwise pay it once per call.
-    The composite key makes a raw 32-bit semanticHash collision across
-    DIFFERENT plans effectively impossible; a stale hit is possible only
-    if the same path's file count changes mid-session, and the blast
-    radius is a parallelism heuristic (fan_out), never correctness.
-    Bounded to 4096 entries (cleared wholesale — plans are
-    session-scoped and tiny)."""
+    hash, schema, input-file count, session parallelism):
+    ``df.rdd.getNumPartitions()`` converts the plan to an RDD (no job,
+    but real analysis cost), and composition loops — the near-dup suite
+    calls fan_out on the same token relation per detector — would
+    otherwise pay it once per call. The composite key makes a raw
+    32-bit semanticHash collision across DIFFERENT plans effectively
+    impossible, and folding ``len(df.inputFiles())`` into the key means
+    a re-read of the same path AFTER files were appended misses the
+    cache instead of returning a stale count (inputFiles is a catalog
+    listing, far cheaper than the RDD conversion; non-file plans
+    contribute 0). Blast radius of any stale hit is a parallelism
+    heuristic (fan_out), never correctness. Bounded to 4096 entries
+    with true LRU eviction — the hot composition-loop entries survive
+    when a scan-heavy session fills the cache."""
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # noqa: BLE001 — exotic plans without file sources
+        n_files = -1
     key = (
         df.semanticHash(),
         hash(df.schema.simpleString()),
+        n_files,
         df.sparkSession.sparkContext.defaultParallelism,
     )
     n = _PARTITION_COUNT_CACHE.get(key)
-    if n is None:
-        if len(_PARTITION_COUNT_CACHE) >= 4096:
-            _PARTITION_COUNT_CACHE.clear()
-        n = df.rdd.getNumPartitions()
-        _PARTITION_COUNT_CACHE[key] = n
+    if n is not None:
+        _PARTITION_COUNT_CACHE.move_to_end(key)
+        return n
+    while len(_PARTITION_COUNT_CACHE) >= 4096:
+        _PARTITION_COUNT_CACHE.popitem(last=False)
+    n = df.rdd.getNumPartitions()
+    _PARTITION_COUNT_CACHE[key] = n
     return n

@@ -42,7 +42,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import 
     ROUND_DP as _ROUND_DP,
     _emd_from_counts,
 )
-from dbms_data_anonymity_differential_privacy_spark.operators.util import gate_broadcast_keys
+from dbms_data_anonymity_differential_privacy_spark.operators.util import gate_broadcast_keys, track_cached
 
 ROUND_DP = 9
 
@@ -75,12 +75,13 @@ def naive_suppression_pipeline(
     Fact rows are only rescanned to build the anonymized output relation.
     """
     clean = df.na.drop("any")
-    sizes = class_sizes(clean, qi).persist()  # the one fact aggregation
-    kept = sizes.filter(F.col("class_size") >= F.lit(k)).persist()
+    sizes = track_cached(class_sizes(clean, qi).persist())  # the one fact aggregation
+    kept = track_cached(sizes.filter(F.col("class_size") >= F.lit(k)).persist())
     # frequent-class keys: size-gated hint (worst-case rows/k keys)
     anon = clean.join(
         gate_broadcast_keys(kept.select(*qi)), on=list(qi), how="left_semi"
-    ).select(*clean.columns).persist()
+    ).select(*clean.columns)
+    anon = track_cached(anon.persist())
 
     n_orig = sizes.agg(F.coalesce(F.sum("class_size"), F.lit(0)).alias("__n_orig"))
     n_anon = kept.agg(F.coalesce(F.sum("class_size"), F.lit(0)).alias("__n_anon"))
@@ -131,7 +132,7 @@ def clustering_pipeline(
     clustered, generalized = cluster_anonymize(df, qi, n_clusters, seed)
     # The clustered relation feeds every metric below; its lineage contains
     # an MLlib model transform → always worth pinning.
-    clustered = clustered.persist()
+    clustered = track_cached(clustered.persist())
 
     sizes = class_sizes(clustered, ["cluster"])
     kcheck = sizes.agg(
@@ -234,7 +235,11 @@ def t_closeness_pipeline(
     # difference between one big-table pass for the whole metrics row and
     # five. Only the anonymized output itself rescans fact rows.
     counts = (
-        work.groupBy(*eff_qi, sensitive).agg(F.count(F.lit(1)).alias("__cnt")).persist()
+        track_cached(
+            work.groupBy(*eff_qi, sensitive)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .persist()
+        )
     )
     sizes = counts.groupBy(*eff_qi).agg(F.sum("__cnt").alias("__class_size"))
     big = sizes.filter(F.col("__class_size") >= F.lit(k)).select(*eff_qi)
@@ -251,8 +256,8 @@ def t_closeness_pipeline(
             .filter(F.col("emd") <= F.lit(t))
             .select(*eff_qi)
         )
-    post_counts = counts.join(ok, on=eff_qi, how="left_semi").persist()
-    anon = work.join(ok, on=eff_qi, how="left_semi").persist()
+    post_counts = track_cached(counts.join(ok, on=eff_qi, how="left_semi").persist())
+    anon = track_cached(work.join(ok, on=eff_qi, how="left_semi").persist())
 
     # metric definitions identical to suppression_rate / uniqueness_rate /
     # t_violations (operators/metrics.py, operators/tcloseness.py), just

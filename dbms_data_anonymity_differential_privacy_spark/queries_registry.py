@@ -1013,7 +1013,7 @@ def x01_svt_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- moments measured once from the deterministic draw. A broken
     -- transform (sign fold, 1-2|u| slip, scale miscalibration) shifts
     -- every pinned moment and flips at least one verdict.
-    SELECT CAST(1000 AS BIGINT) AS n_groups,
+    SELECT CAST(1000 AS BIGINT) AS n_groups, 1.0 AS scale_r,
            0.050829 AS mean_r, 2.142958 AS m2_r, 0.498 AS frac_small_r,
            TRUE AS mean_ok, TRUE AS m2_ok, TRUE AS frac_ok
     """,
@@ -1033,8 +1033,12 @@ def x01_dp_noise_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- Box-Muller Gaussian-mechanism moment audit (same design as the
     -- Laplace twin above): verdicts from closed-form bounds plus the
     -- sorted-fold moments of the deterministic draw, pinned as literals.
-    SELECT CAST(1000 AS BIGINT) AS n_groups,
-           -0.060601 AS mean_r, 27.268444 AS m2_r, 0.495 AS frac_small_r,
+    -- epsilon = 0.5 explicitly: the classic mechanism's calibration only
+    -- holds for epsilon in (0, 1) and the operator now REJECTS values
+    -- outside it instead of silently capping; sigma = sqrt(2 ln 1.25e6)
+    -- / 0.5 = 10.597605 rides the row as scale_r (m2_r ~= sigma^2).
+    SELECT CAST(1000 AS BIGINT) AS n_groups, 10.597605 AS scale_r,
+           -0.11999 AS mean_r, 106.903207 AS m2_r, 0.495 AS frac_small_r,
            TRUE AS mean_ok, TRUE AS m2_ok, TRUE AS frac_ok
     """,
 )
@@ -1043,7 +1047,7 @@ def x01_dp_noise_moments_gauss(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise path — the x68/x01-gaussian family's hard signal."""
     from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_noise_moments
 
-    return dp_noise_moments(spark, mechanism="gaussian")
+    return dp_noise_moments(spark, mechanism="gaussian", epsilon=0.5)
 
 
 @query(
@@ -8907,8 +8911,16 @@ def x173_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2, 3, 4),
     pe AS (SELECT id_a, id_b FROM p WHERE ROUND(inter / (na + nb - inter), 9) >= 0.2),
-    sym AS (SELECT id_a AS a, id_b AS b FROM pe
-            UNION ALL SELECT id_b AS a, id_a AS b FROM pe),
+    -- exact-text pair source: star edges to the min-id holder of each
+    -- md5(text) group -- covers identical docs shorter than the shingle
+    -- width, which produce zero shingles and never reach pe
+    ex AS (SELECT MIN(doc_id) OVER (PARTITION BY md5(text)) AS id_a,
+                  doc_id AS id_b
+           FROM documents),
+    pu AS (SELECT id_a, id_b FROM pe
+           UNION ALL SELECT id_a, id_b FROM ex WHERE id_a < id_b),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pu
+            UNION ALL SELECT id_b AS a, id_a AS b FROM pu),
     reach(id, anc) AS (SELECT DISTINCT a AS id, a AS anc FROM sym
                        UNION
                        SELECT s.b AS id, r.anc FROM reach r JOIN sym s ON s.a = r.id),

