@@ -224,6 +224,7 @@ HEADLINE = [
     "x173_linear_quality",
     "x174_leakage_safe_split",
     "x175_semantic_dedup",
+    "x175_semantic_dedup_auto",
 ]
 
 

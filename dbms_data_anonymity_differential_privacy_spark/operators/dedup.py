@@ -1388,6 +1388,7 @@ def semantic_dedup(
     block_col: str | None = "label",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    auto_block_k: int = 8,
 ) -> DataFrame:
     """SemDeDup-style embedding-level corpus dedup (Abbas et al. 2023):
     two documents are semantic duplicates when their embeddings' cosine
@@ -1396,14 +1397,35 @@ def semantic_dedup(
     representative — the min-id member, the same deterministic policy as
     the text-level corpus dedup (x03).
 
-    The blocking column is the coarse-quantizer stand-in (in SemDeDup
-    proper: a k-means cluster id; here the embedding table's ``label``)
-    — pairs are only scored INSIDE a block, which is what makes the
-    quadratic scoring tractable at 100 TB (per-block pair volume, never
-    corpus²). The pair generator is :func:`similarity.
-    cosine_self_join_pairs` (per-row norms, bit-exact vs the SQL
-    oracle); components are :func:`connected_components` (driver
-    union-find under 2M edges, distributed min-label propagation above).
+    The blocking column is the coarse quantizer (in SemDeDup proper: a
+    k-means cluster id) — pairs are only scored INSIDE a block, which is
+    what makes the quadratic scoring tractable at 100 TB (per-block pair
+    volume, never corpus²). Two ways to get one:
+
+    - ``block_col='label'`` (or any existing column): use a
+      pre-existing block assignment — honest when the corpus already
+      carries a cluster/LSH/topic id.
+    - ``block_col=None`` (SELF-BLOCKING, the unlabeled-corpus path):
+      derive the quantizer from the data — pick ``auto_block_k``
+      maximally-spread exemplars with the greedy k-center coreset
+      (:func:`embeddings.kcenter_coreset`, engine-exact trajectory) and
+      assign every embedding to its nearest center (squared L2, ties to
+      the earlier-chosen center). The k center vectors ride the
+      assignment projection as literal arrays — the assignment is one
+      MAP-ONLY pass over the corpus (k interpreted folds per row), no
+      shuffle, no crossJoin anywhere in the plan (plan-gated in
+      tests/test_round7_ops.py). Construction is eager (the coreset
+      collects k 1-row selections — bounded driver work, the x171
+      contract). Exactness: distances expand to
+      ``dot(x,x) − 2·dot(x,c) + dot(c,c)`` with every dot a sequential
+      fold, bit-identical to DuckDB's ``list_dot_product`` (the x04
+      contract), so the block assignment — and therefore the whole
+      release — is SQL-twinnable and oracle-hashed (x175_auto).
+
+    The pair generator is :func:`similarity.cosine_self_join_pairs`
+    (per-row norms, bit-exact vs the SQL oracle); components are
+    :func:`connected_components` (driver union-find under 2M edges,
+    distributed min-label propagation above).
 
     Output: ``(id_col, component, kept)`` for EVERY embedding row —
     singletons are their own component and always kept.
@@ -1412,8 +1434,57 @@ def semantic_dedup(
         cosine_self_join_pairs,
     )
 
+    pair_src, pair_block = emb, block_col
+    if block_col is None:
+        if not auto_block_k:
+            raise ValueError(
+                "semantic_dedup with block_col=None requires auto_block_k >= 1: "
+                "unblocked pair scoring is corpus-quadratic (use "
+                "similarity.cosine_self_join_pairs directly for small-data "
+                "brute force)"
+            )
+        from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import (
+            kcenter_coreset,
+        )
+        from dbms_data_anonymity_differential_privacy_spark.operators.similarity import _dot
+
+        centers = kcenter_coreset(
+            emb, k=auto_block_k, vec_col=vec_col, id_col=id_col
+        )
+        v = F.col(vec_col).cast("array<double>")
+        crows = (
+            centers.join(emb, on=id_col)
+            .select("round", v.alias("__cv"))
+            .collect()
+        )
+        xx = _dot(v, v)
+        cands = []
+        for row in sorted(crows, key=lambda r: r["round"]):
+            cvec = [float(x) for x in row["__cv"]]
+            # sequential left-fold of c·c in list order — bit-identical
+            # to the engine fold that produced e.xx (IEEE doubles, same
+            # operation order)
+            cxx = 0.0
+            for x in cvec:
+                cxx += x * x
+            clit = F.array(*[F.lit(x) for x in cvec])
+            cands.append(
+                F.struct(
+                    (xx - 2.0 * _dot(v, clit) + F.lit(cxx)).alias("d"),
+                    F.lit(int(row["round"])).alias("r"),
+                )
+            )
+        # argmin by (distance, selection round): struct comparison is
+        # lexicographic, so ties go to the earlier-chosen center
+        pair_src = emb.withColumn("__blk", F.array_min(F.array(*cands))["r"])
+        pair_block = "__blk"
+
     pairs = cosine_self_join_pairs(
-        emb, threshold=threshold, block_col=block_col, vec_col=vec_col, id_col=id_col
+        pair_src,
+        threshold=threshold,
+        block_col=pair_block,
+        vec_col=vec_col,
+        id_col=id_col,
     )
     comp = connected_components(pairs)
     out = emb.select(F.col(id_col)).join(

@@ -8777,7 +8777,10 @@ def x170_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dots (x04 bit-exactness contract), so the greedy trajectory replays
 # identically from the unrolled oracle CTEs.
 # --------------------------------------------------------------------------
-def _x171_sql(k: int = 8) -> str:
+def _kcenter_ctes(k: int = 8) -> list[str]:
+    """The greedy k-center selection as chained CTEs — shared by the
+    x171 trajectory oracle and the x175_auto self-blocking oracle (the
+    same engine-exact selection feeds both)."""
     ctes = [
         "e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,"
         " list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))"
@@ -8798,6 +8801,11 @@ def _x171_sql(k: int = 8) -> str:
                 f" LEAST(p.d, p.xx - 2 * list_dot_product(p.v, s{r}.v) + s{r}.xx) AS d"
                 f" FROM d{r - 1} p CROSS JOIN s{r})"
             )
+    return ctes
+
+
+def _x171_sql(k: int = 8) -> str:
+    ctes = _kcenter_ctes(k)
     sels = [
         "SELECT 1 AS round, s1.id AS vec_id, CAST(NULL AS DOUBLE) AS dist_r FROM s1"
     ] + [
@@ -8976,6 +8984,64 @@ def x175_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(e, threshold=0.6, block_col="label")
+
+
+# --------------------------------------------------------------------------
+# X175-auto — SELF-BLOCKING SemDeDup (operators/dedup.py semantic_dedup
+# with block_col=None): the unlabeled-corpus path. Blocks are derived
+# from the data — the greedy k-center coreset (x171 machinery, engine-
+# exact trajectory) picks 8 spread exemplars and every embedding is
+# assigned to its nearest center (squared L2, ties to the earlier
+# round). Pairs are scored inside the derived blocks only — no
+# crossJoin anywhere (plan-gated). The oracle replays the identical
+# selection (shared _kcenter_ctes), assignment (ROW_NUMBER over (d, r)),
+# blocked cosine pairs, and recursive-closure components. Threshold 0.4:
+# the synthetic embeddings' max pair cosine is ~0.51, so the release has
+# real multi-member components to discriminate on.
+# --------------------------------------------------------------------------
+def _x175_auto_sql(k: int = 8, thr: float = 0.4) -> str:
+    ctes = _kcenter_ctes(k)
+    cent = " UNION ALL ".join(
+        f"SELECT {r} AS r, v, xx FROM s{r}" for r in range(1, k + 1)
+    )
+    ctes += [
+        f"cent AS ({cent})",
+        "dists AS (SELECT e.id, c.r,"
+        " e.xx - 2 * list_dot_product(e.v, c.v) + c.xx AS d"
+        " FROM e CROSS JOIN cent c)",
+        "asg AS (SELECT id, r AS blk FROM (SELECT id, r,"
+        " ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, r) AS rn"
+        " FROM dists) WHERE rn = 1)",
+        "eb AS (SELECT e2.vec_id AS id, e2.embedding AS emb, a.blk"
+        " FROM embeddings e2 JOIN asg a ON a.id = e2.vec_id)",
+        f"pe AS (SELECT a.id AS id_a, b.id AS id_b"
+        f" FROM eb a JOIN eb b ON a.blk = b.blk AND a.id < b.id"
+        f" WHERE ROUND({_duck_cos('a.emb', 'b.emb')}, 6) >= {thr})",
+        "sym AS (SELECT id_a AS a, id_b AS b FROM pe"
+        " UNION ALL SELECT id_b AS a, id_a AS b FROM pe)",
+        "reach(id, anc) AS (SELECT DISTINCT a AS id, a AS anc FROM sym"
+        " UNION"
+        " SELECT s.b AS id, r.anc FROM reach r JOIN sym s ON s.a = r.id)",
+        "comp AS (SELECT id, MIN(anc) AS comp FROM reach GROUP BY id)",
+    ]
+    return (
+        "WITH RECURSIVE "
+        + ", ".join(ctes)
+        + " SELECT e.vec_id, COALESCE(c.comp, e.vec_id) AS component,"
+        " COALESCE(c.comp, e.vec_id) = e.vec_id AS kept"
+        " FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id"
+    )
+
+
+@query("x175_semantic_dedup_auto", _x175_auto_sql())
+def x175_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup on an UNLABELED corpus: blocks derived from the k-center
+    coreset (k=8), cosine >= 0.4 pairs inside derived blocks, min-id
+    representatives."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, threshold=0.4, block_col=None, auto_block_k=8)
 
 
 # --------------------------------------------------------------------------

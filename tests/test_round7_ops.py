@@ -87,6 +87,73 @@ def test_naive_pipeline_end_to_end_zero_cache_residue(spark, sf0001):
 
 
 # ---------------------------------------------------------------------------
+# Self-blocking semantic dedup (x175_auto): no crossJoin, high recall on
+# planted near-duplicates
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_auto_plan_has_no_crossjoin(spark, sf0001):
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import semantic_dedup
+    from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf0001, "embeddings")
+    out = semantic_dedup(emb, threshold=0.4, block_col=None, auto_block_k=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_auto_requires_k(spark, sf0001):
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import semantic_dedup
+    from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf0001, "embeddings")
+    with pytest.raises(ValueError):
+        semantic_dedup(emb, block_col=None, auto_block_k=0)
+
+
+def test_semantic_dedup_auto_recall_on_planted_dups(spark):
+    """Planted near-duplicates (tiny perturbations, cosine ~0.999) sit
+    almost on top of each other, so nearest-center assignment puts them
+    in the same derived block — the auto mode must recover (almost) all
+    brute-force components. Recall here is exact-100% by construction
+    margin; we assert >= 0.9 to keep the test robust."""
+    import random
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import semantic_dedup
+
+    rng = random.Random(7)
+    rows = []
+    vid = 0
+    originals = []
+    for g in range(40):  # 40 well-separated base directions in R^16
+        base = [rng.gauss(0, 1) for _ in range(16)]
+        originals.append((vid, base))
+        rows.append((vid, [float(x) for x in base]))
+        vid += 1
+    # plant 2 near-dups for the first 20 bases
+    planted = []
+    for g in range(20):
+        src_id, base = originals[g]
+        for _ in range(2):
+            pert = [float(x + rng.gauss(0, 0.01)) for x in base]
+            rows.append((vid, pert))
+            planted.append((src_id, vid))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+    auto = semantic_dedup(emb, threshold=0.98, block_col=None, auto_block_k=6)
+    comp = {r.vec_id: r.component for r in auto.collect()}
+    hit = sum(1 for s, d in planted if comp[s] == comp[d])
+    assert hit / len(planted) >= 0.9, f"recall {hit}/{len(planted)}"
+    # determinism: same input -> identical assignment
+    again = {r.vec_id: r.component for r in
+             semantic_dedup(emb, threshold=0.98, block_col=None,
+                            auto_block_k=6).collect()}
+    assert again == comp
+
+
+# ---------------------------------------------------------------------------
 # leakage_safe_split: exact duplicates co-assign even below shingle width
 # ---------------------------------------------------------------------------
 
