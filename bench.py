@@ -128,6 +128,7 @@ HEADLINE = [
     "x94_step_latency",
     "x95_zorder",
     "pipe_private_export",
+    "pipe_private_export_stream",
     "x98_session_impact",
     "x99_tfidf_topk",
     "x100_qi_search",

@@ -228,6 +228,10 @@ from dbms_data_anonymity_differential_privacy_spark.streaming.anomaly import (
     rolling_anomaly_stream,
 )
 from dbms_data_anonymity_differential_privacy_spark.streaming.funnel import funnel_stateful
+from dbms_data_anonymity_differential_privacy_spark.streaming.export import (
+    private_export_batch,
+    private_export_stream,
+)
 
 __all__ = [
     "get_spark",
@@ -374,6 +378,8 @@ __all__ = [
     "psi_drift_bins",
     "dp_covariance",
     "funnel_stateful",
+    "private_export_batch",
+    "private_export_stream",
     "rolling_anomaly_stateful",
     "rolling_anomaly_stream",
     "correlation_matrix",

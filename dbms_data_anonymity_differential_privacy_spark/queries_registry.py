@@ -4987,6 +4987,58 @@ def pipe_private_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# pipe_private_export_stream — the STREAMING private-export composite's
+# batch twin (streaming/export.py). Differences from pipe_private_export
+# are exactly the representative-independence requirements of the
+# streaming dedup: dedup key carries lang, shard hashes the content
+# FINGERPRINT (not doc_id) — so first-arrival (stream) and min-id
+# (batch) representatives roll up byte-identically; stream≡batch is
+# pinned in tests/test_round7_ops.py over real micro-batches.
+# --------------------------------------------------------------------------
+def _private_export_stream_sql() -> str:
+    from dbms_data_anonymity_differential_privacy_spark.operators.clean import clean_text_sql
+    from dbms_data_anonymity_differential_privacy_spark.operators.pii import redact_pii_sql
+    from dbms_data_anonymity_differential_privacy_spark.operators.quality import gopher_quality_sql
+
+    cleaned = clean_text_sql("text")
+    red = redact_pii_sql("c.__clean")
+    gq = gopher_quality_sql("redacted", thresholds=_GOPHER_TUNING)
+    return f"""
+    WITH c AS (SELECT doc_id, lang, {cleaned} AS __clean FROM documents),
+    redacted AS (SELECT doc_id, lang, {red} AS text,
+                        CASE WHEN {red} <> c.__clean THEN 1 ELSE 0 END AS __redacted
+                 FROM c),
+    g AS ({gq}),
+    kept AS (SELECT redacted.doc_id, redacted.lang, redacted.text,
+                    g.n_tokens, redacted.__redacted
+             FROM g JOIN redacted USING (doc_id) WHERE g.pass_gopher),
+    d AS (SELECT * FROM (
+            SELECT kept.*,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS __fp
+            FROM kept)
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY lang, __fp ORDER BY doc_id) = 1),
+    h AS (SELECT lang, n_tokens, __redacted,
+            (CAST('0x' || substr(md5(__fp || '|pexport-stream'), 1, 8)
+                  AS BIGINT) * 8) >> 32 AS shard
+          FROM d)
+    SELECT shard, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(__redacted) AS BIGINT) AS n_docs_redacted
+    FROM h GROUP BY shard, lang
+    """
+
+
+@query("pipe_private_export_stream", _private_export_stream_sql())
+def pipe_private_export_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming private-export composite (fingerprint
+    dedup on dropDuplicatesWithinWatermark in stream mode)."""
+    from dbms_data_anonymity_differential_privacy_spark.streaming.export import private_export_batch
+
+    docs = load_table(spark, sf_dir, "documents")
+    return private_export_batch(docs, n_shards=8, thresholds=_GOPHER_TUNING)
+
+
+# --------------------------------------------------------------------------
 # X95 — Z-order layout key (operators/sampling.py zorder_layout): the
 # lakehouse OPTIMIZE ZORDER primitive — equal-width bin each dimension,
 # bit-interleave the bins, sort by the key before write so per-file
