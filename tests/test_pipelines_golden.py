@@ -331,3 +331,55 @@ def test_corpus_datasheet_consistency(spark, sf001):
     assert row.top_lang == top["lang"]
     assert row.top_lang_share_r == round(top["count"] / n_docs, 9)
     assert 0.0 <= row.mean_quality_r <= 1.0
+
+
+def test_three_pipeline_readme_shape_relationships(adult_sdf):
+    """End-to-end semantic invariants of the FULL three-pipeline run,
+    mirroring the reference's published relationships (BASELINE.md /
+    README.md:3) under the reference CONFIG (k=5, t=0.2, age 5 bins /
+    capital 3 bins, 10 clusters):
+
+    - naive suppression rate >> t-closeness suppression rate
+      (77.93% vs 38% published; binning coarsens the QI so far fewer
+      classes fall below k),
+    - re-identification risk ordering:
+      clustering (0.0003) < t-closeness < naive (0.1137).
+
+    The golden tests above pin exact VALUES; this pins the cross-
+    pipeline SHAPE, so a future regression in any composite flips a
+    semantic invariant, not just a hash."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.metrics import reid_risk
+
+    naive = pipelines.naive_suppression_pipeline(adult_sdf, QI, K)["metrics"].first()
+    tc = pipelines.t_closeness_pipeline(
+        adult_sdf,
+        QI,
+        "income",
+        k=K,
+        t=0.2,
+        bin_spec={"age": 5, "capital_gain_k": 3},
+        mode="strict",
+    )
+    trow = tc["metrics"].first()
+    eff_qi = [
+        "age_bin", "workclass", "education", "marital_status", "sex",
+        "capital_gain_k_bin",
+    ]
+    t_risk = reid_risk(tc["anonymized"], eff_qi).first()["reid_risk"]
+    crow = (
+        pipelines.clustering_pipeline(
+            adult_sdf.na.drop("any"), QI, n_clusters=10, k=K, seed=42
+        )["metrics"].first()
+    )
+
+    # suppression shape: naive >> t-closeness (at least 2x apart, as in
+    # the published 77.93% vs 38%)
+    assert naive["suppression_rate"] > 2 * trow["suppression_rate"], (
+        naive["suppression_rate"], trow["suppression_rate"],
+    )
+    # risk ordering: clustering < t-closeness < naive
+    assert crow["reid_risk"] < t_risk < naive["reid_risk"], (
+        crow["reid_risk"], t_risk, naive["reid_risk"],
+    )
+    # clustering never suppresses rows (reference quirk, SURVEY §3.2)
+    assert crow["suppression_rate"] == 0.0
