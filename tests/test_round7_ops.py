@@ -186,6 +186,51 @@ def test_leakage_safe_split_coassigns_short_exact_dups(spark):
 
 
 # ---------------------------------------------------------------------------
+# x04_cosine_pairs_topm: WindowGroupLimit partial survives AQE at the
+# INFLATED scale (the sf1 hotspot gate — r6 verdict task 8)
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_topm_partial_window_limit_at_inflated_scale(spark, sf0001, tmp_path):
+    """The map-side per-key top-k (WindowGroupLimit Partial) is what
+    bounds the exchange to n*m rows; AQE re-plans at runtime, so the
+    static sf0.01 gate in test_plans.py is not evidence for the inflated
+    regime. Build a 10x-inflated embeddings table with the
+    tools/inflate_sf.py transform (key remap + cyclic rotation), run the
+    registry query to COMPLETION, and assert the partial limit is in the
+    FINAL adaptive plan."""
+    import re
+
+    from dbms_data_anonymity_differential_privacy_spark import queries_registry as qr
+    from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_table
+
+    sys_path = str(tmp_path / "sf_inflated")
+    emb = load_table(spark, sf0001, "embeddings")
+    parts = []
+    for i in range(10):
+        p = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * (1 << 40)))
+        if i:
+            p = p.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice(F.col("embedding"), i + 1, F.size(F.col("embedding"))),
+                    F.slice(F.col("embedding"), 1, F.lit(i)),
+                ),
+            )
+        parts.append(p)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(sys_path + "/embeddings.parquet")
+
+    df = qr.QUERIES["x04_cosine_pairs_topm"](spark, sys_path)
+    n = df.count()  # run to completion so AQE finalizes the plan
+    assert n > 0
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"WindowGroupLimit.*Partial", final), final[:2000]
+
+
+# ---------------------------------------------------------------------------
 # Streaming private export: stream ≡ batch byte identity over micro-batches
 # ---------------------------------------------------------------------------
 

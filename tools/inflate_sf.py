@@ -101,8 +101,25 @@ def inflate(spark: SparkSession, src: str, out: str, copies: int) -> None:
             "embedding", _rotate(F.col("embedding"), i)
         ),
     )
-    # dimension-like tables pass through so every registry query still runs
-    for name in ("region", "nation", "supplier", "part", "lineitem"):
+    # lineitem + its part/supplier dimensions inflate WITH remapped keys
+    # (r6 verdict task 2): the co-purchase and supplier→customer graphs
+    # derive from lineitem⋈orders / lineitem self-joins, and a
+    # passthrough lineitem kept those graphs the SAME size at every sf —
+    # the *_dist iterative plans were only ever measured on fixed-size
+    # graphs. Per-copy key remapping on all three FK columns produces
+    # `copies` disjoint isomorphic copies of each graph: nodes and edges
+    # scale by the copy factor while the degree distribution (the skew
+    # that drives join fan-out) is preserved exactly. FK integrity
+    # holds copy-by-copy (orders/part/supplier remap with the same
+    # stride), so every registry join keeps its per-copy hit rate.
+    build(
+        "lineitem",
+        lambda df, i: remap(df, i, "l_orderkey", "l_partkey", "l_suppkey"),
+    )
+    build("part", lambda df, i: remap(df, i, "p_partkey"))
+    build("supplier", lambda df, i: remap(df, i, "s_suppkey"))
+    # true dimension tables pass through so every registry query still runs
+    for name in ("region", "nation"):
         load_table(spark, src, name).write.mode("overwrite").parquet(
             f"{out}/{name}.parquet"
         )
