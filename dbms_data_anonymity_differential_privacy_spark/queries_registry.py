@@ -9098,91 +9098,84 @@ def x175_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
-# registered queries. Round-4 ROTATION: round 3 came back 50/50 green, so
-# every r3-window query now holds a driver row and rotates out. This
-# window promotes ALL 38 oracle-backed queries that have never received a
-# driver row (the x46-x80 analytics/DP/quality era plus both composite
-# pipelines — each already hash-matches in the local dual-SF oracle
-# sweep), plus the new r4 query x41_pairs_exact, plus one in-window
-# representative per SURVEY §2 component family (P, C1, C4, X1-X6; all
-# other components are fully covered by the r1-r3 driver-green ledger that
-# tests/test_registry_window.py pins). x04_cosine_pairs_topm re-enters
-# deliberately: its threshold-hoist perf fix this round must keep the
-# oracle hash green. After this round the union of r1-r4 green rows covers
-# every oracle-backed query in the registry.
+# registered queries per round; the rotation policy (since round 7) is
+# BY STALENESS — new debuts and output/plan-changed queries first, then
+# the least-recently-driver-checked, so the oldest confirmation across
+# the whole registry stays bounded (<= MAX_STALENESS rounds, pinned in
+# tests/test_registry_window.py against the committed CORRECTNESS_r*.json
+# ledgers).
 # --------------------------------------------------------------------------
-_WINDOW_R7 = [
-    # Round-6 window. Round 5 returned 50/50 green, so every r5 slot is
-    # now ledger-green and rotates out. This window = the 34 oracle
-    # queries that have never received a driver row (x140-x172 +
-    # pipe_graph_insights — all judge-green in the r5 sweep), the 4 new
-    # round-6 debuts (the DP noise-moments audit + the three forced
-    # distributed graph flavors), and 12 deliberate re-checks of the
-    # operators whose physical plans or code paths changed this round
-    # (size-gated class-key broadcasts: c01/c02/c04/pipes/x08; exact-flag
-    # refactors: x23/x99/x128; single-pass Mann-Kendall & assortativity
-    # and the prefix-filter fixture family ride the 34) plus the two
-    # late-r6 debuts x173/x174 (first-ever driver rows outrank
-    # re-checks).
-    # After this round the union of r1-r6 green rows covers every
-    # oracle-backed query registered before round 6.
-    "x140_retrieval_eval",
-    "x141_rrf_fuse",
-    "x142_acf",
-    "x143_mann_kendall",
-    "x144_target_encode",
-    "x145_jsd_sources",
-    "x146_cohort_ltv",
-    "x147_roc_auc",
-    "x148_bh_fdr",
-    "x149_kcore",
-    "x150_wilcoxon",
-    "x151_assortativity",
-    "x152_powerlaw",
-    "x153_skyline",
-    "x154_dsir_weights",
-    "x155_adamic_adar",
-    "x156_kruskal_wallis",
-    "x157_cliffs_delta",
-    "x158_permutation_test",
-    "x159_quantile_norm",
-    "x160_label_prop",
-    "x161_isotonic",
-    "x162_stream_join",
-    "x163_bootstrap_ci",
-    "x164_textrank",
-    "x165_theil",
-    "x166_bfs_profile",
-    "x167_mahalanobis",
-    "x168_sequential_ab",
-    "x169_delete_plan",
-    "x170_join_cardinality",
-    "pipe_graph_insights",
-    "x171_kcenter",
-    "x172_feature_hashing",
+_WINDOW_R8 = [
+    # Round-7 rotation, now BY STALENESS (r6 verdict task 5): round 6
+    # returned 50/50 green, so the whole r6 window holds fresh driver
+    # rows and rotates out. Slots 1-6: the two r7 debuts
+    # (x175_semantic_dedup_auto, pipe_private_export_stream) and four
+    # deliberate re-checks of queries whose OUTPUT or physical plan
+    # changed this round (noise-moment audits gained scale_r and the
+    # gaussian path recalibrated to eps=0.5; x174's pair relation gained
+    # the exact-text source; x126_pagerank_dist got batched barriers).
+    # Slots 7-50: the 44 least-recently-driver-checked oracle queries —
+    # all 43 whose last green row is round 2, plus the alphabetically
+    # first round-3 query. After this round max driver staleness across
+    # the registry is <= 4 rounds (pinned by
+    # tests/test_registry_window.py::test_window_rotates_by_staleness).
+    "x175_semantic_dedup_auto",
+    "pipe_private_export_stream",
     "x01_dp_noise_moments",
-    "x126_pagerank_dist",
-    "x160_label_prop_dist",
-    "x166_bfs_dist",
-    "c01_k_anonymize_suppress",
-    "c02_k_anonymity_audit",
-    "c04_t_closeness_strict",
-    "c04_t_closeness_reference",
-    "pipe_tcloseness_metrics",
-    "pipe_naive_metrics",
-    "x08_l_diversity",
-    "x23_bigram_lm",
     "x01_dp_noise_moments_gauss",
-    "x173_linear_quality",
     "x174_leakage_safe_split",
-    "x175_semantic_dedup",
+    "x126_pagerank_dist",
+    "c05_reid_risk",
+    "c06_uniqueness_rows",
+    "c07_suppression_rate",
+    "c08_ncp",
+    "c09_t_violations",
+    "p01_scan",
+    "p02_drop_null",
+    "p03_project",
+    "p04_cast_coerce",
+    "p05_group_frequency",
+    "p06_threshold_filter",
+    "p07_join_back",
+    "p08_semi_join",
+    "p09_group_stat_to_rows",
+    "p10_minmax_class_size",
+    "p11_counts",
+    "p12_nunique",
+    "p13_value_counts",
+    "p14_distribution",
+    "p15_singletons",
+    "p16_mean_derived",
+    "p17_equal_width_bin",
+    "p18_explicit_bin",
+    "p19_range_generalize",
+    "p20_union",
+    "p21_sorted_distinct",
+    "p22_limit",
+    "p23_scalar_arithmetic",
+    "x01_dp_avg_exact",
+    "x02_dedup_exact",
+    "x03_ngram_jaccard",
+    "x04_cosine_topk",
+    "x05_text_features",
+    "x06_stream_window_kanon",
+    "x10_hash_split",
+    "x11_sessionize",
+    "x12_equal_freq_bin",
+    "x13_pii_detect",
+    "x14_repetition",
+    "x16_asof_join",
+    "x17_session_errors",
+    "x18_contamination",
+    "x19_vocab",
+    "c04_class_emd",
 ]
 
 
 def _reorder_for_driver_window() -> None:
     ordered = (
-        [n for n in _WINDOW_R7 if n in QUERIES]
-        + [n for n in QUERIES if n in ORACLE_SQL and n not in _WINDOW_R7]
+        [n for n in _WINDOW_R8 if n in QUERIES]
+        + [n for n in QUERIES if n in ORACLE_SQL and n not in _WINDOW_R8]
         + [n for n in QUERIES if n not in ORACLE_SQL]
     )
     reordered = {n: QUERIES[n] for n in ordered}
