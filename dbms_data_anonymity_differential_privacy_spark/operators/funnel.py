@@ -778,10 +778,18 @@ def cohort_ltv(
     Ages are DENSE per cohort (0..weeks-to-the-corpus-horizon, quiet
     weeks release 0.0) so every curve is complete and directly
     comparable. The cumulative sum runs as an ORDERED window over the
-    (cohort, age) relation — float addition order pinned by the frame,
-    and per-cell revenue follows the repo's SUM(value)+ROUND 9
-    discipline (x74/x137). ``ltv = cum_rev / cohort_users`` is one IEEE
-    division.
+    (cohort, age) relation — float addition order pinned by the frame.
+    Per-cell revenue is a SORTED-FOLD sum
+    (``aggregate(array_sort(collect_list(value)))``, the x173/noise-
+    moments discipline): a plain ``SUM(double)`` reduces in shuffle
+    order, and at sf0.1 the ~5k-addend cells accumulate enough last-bit
+    drift to flip the 9-dp rounding band vs the oracle (measured:
+    1.0e-9 on a ~2.3e5 magnitude cell). The fold pins the addition
+    order on both engines. Memory note: the per-cell list is bounded by
+    one cohort-week's purchase rows; at extreme cell sizes swap to a
+    two-level fold (sort within week-shards, fold shard sums) before
+    reaching for a plain SUM. ``ltv = cum_rev / cohort_users`` is one
+    IEEE division.
 
     Shape: one distinct (user, week) collapse + one revenue aggregation
     over the fact table; cohorts join broadcast; the dense grid and
@@ -814,7 +822,12 @@ def cohort_ltv(
             "cohort",
             (F.datediff("period", "cohort") / 7).cast("int").alias("age_weeks"),
         )
-        .agg(F.sum(value_col).alias("rev"))
+        .agg(
+            F.expr(
+                f"aggregate(array_sort(collect_list({value_col})), "
+                "CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+            ).alias("rev")
+        )
     )
 
     horizon = act.agg(F.max("period").alias("hi"))

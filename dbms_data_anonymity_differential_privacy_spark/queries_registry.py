@@ -7085,7 +7085,10 @@ def x145_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev AS (SELECT f.cohort,
                    CAST((date_trunc('week', e.ts) - f.cohort) // 7 AS INT)
                      AS age_weeks,
-                   SUM(e.value) AS rev
+                   -- sorted fold, not SUM: pins float addition order so
+                   -- the 9-dp release can't straddle a rounding band
+                   -- (matches the engine's aggregate(array_sort(...)))
+                   list_reduce(list_sort(list(e.value)), (a, b) -> a + b) AS rev
             FROM events e JOIN f ON f.user_id = e.user_id
             WHERE e.event_type = 'purchase'
             GROUP BY 1, 2),
