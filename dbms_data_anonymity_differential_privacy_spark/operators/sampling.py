@@ -360,6 +360,15 @@ def negative_samples(
     reproducible — the property hash_sample gives row sampling, applied
     to the negatives problem.
 
+    Overflow discipline (the r6 Bloom-hash lesson, applied here after
+    the sf1 inflation caught the same bug): the user id is reduced
+    ``mod N`` BEFORE the multiply — mathematically identical for every
+    u (modular arithmetic), value-identical at all scales, and keeps
+    the product under 2^63 for any int64 user id as long as
+    ``N < 2^63 / NEG_A ≈ 9.4e9`` (an item DIMENSION beyond nine billion
+    rows is outside this operator's design range; raise N's hash width
+    before raising that bound).
+
     Scale shape: candidate generation is a map-only sequence+explode off
     the distinct-user relation; the existence check joins the item
     dimension on the item key; the positive knock-out is one anti-join
@@ -380,7 +389,7 @@ def negative_samples(
         (
             F.lit(1).cast("long")
             + (
-                F.col("__u").cast("long") * F.lit(NEG_A)
+                (F.col("__u").cast("long") % F.lit(int(n_items))) * F.lit(NEG_A)
                 + F.col("__j").cast("long") * F.lit(NEG_B)
             )
             % F.lit(int(n_items))

@@ -6154,7 +6154,10 @@ def x131_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT COUNT(*) AS np FROM part),
     j AS (SELECT usr, unnest(generate_series(1, 20)) AS jj FROM u),
     c AS (SELECT usr, jj,
-                 1 + ((usr * 982451653 + jj * 179424673) % np) AS item
+                 -- usr reduced mod np BEFORE the multiply: identical
+                 -- value (modular arithmetic) and no int64 overflow at
+                 -- billion-scale surrogate ids (r6 Bloom-hash lesson)
+                 1 + (((usr % np) * 982451653 + jj * 179424673) % np) AS item
           FROM j CROSS JOIN n),
     ex AS (SELECT c.usr, c.jj, c.item FROM c JOIN part p ON p.p_partkey = c.item),
     pos AS (SELECT DISTINCT o.o_custkey AS usr, l.l_partkey AS item
