@@ -189,6 +189,34 @@ def test_leakage_safe_split_coassigns_short_exact_dups(spark):
 
 
 # ---------------------------------------------------------------------------
+# Distributed PageRank barrier batching: bit-identical across batch
+# boundaries (iters below, at, and past BARRIER_EVERY)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("iters", [3, 5, 7, 12])
+def test_pagerank_barrier_batching_bit_identical(spark, iters):
+    """BARRIER_EVERY=5 materializes every fifth round; the in-between
+    rounds ride lazily. The refactor must be value-invisible at every
+    batch geometry: iters strictly inside one batch (3), exactly at the
+    barrier (5), one partial batch past it (7), and two barriers + a
+    partial (12). Driver fast path is the independent reference."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import pagerank_int
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(12) for b in [(a * 3 + 1) % 12, (a * 5 + 2) % 12]
+         if a != b],
+        "src LONG, dst LONG",
+    )
+    drv = {r.node: r.rank_ppb for r in pagerank_int(edges, iters=iters).collect()}
+    dist = {
+        r.node: r.rank_ppb
+        for r in pagerank_int(edges, iters=iters, driver_threshold=0).collect()
+    }
+    assert drv == dist
+
+
+# ---------------------------------------------------------------------------
 # x04_cosine_pairs_topm: WindowGroupLimit partial survives AQE at the
 # INFLATED scale (the sf1 hotspot gate — r6 verdict task 8)
 # ---------------------------------------------------------------------------
