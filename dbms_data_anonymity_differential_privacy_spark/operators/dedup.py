@@ -1389,6 +1389,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     auto_block_k: int = 8,
+    coreset_sample: float | None = None,
 ) -> DataFrame:
     """SemDeDup-style embedding-level corpus dedup (Abbas et al. 2023):
     two documents are semantic duplicates when their embeddings' cosine
@@ -1416,7 +1417,15 @@ def semantic_dedup(
       shuffle, no crossJoin anywhere in the plan (plan-gated in
       tests/test_round7_ops.py). Construction is eager (the coreset
       collects k 1-row selections — bounded driver work, the x171
-      contract). Exactness: distances expand to
+      contract). ``coreset_sample``: the greedy selection itself scans
+      the FITTING pool once per center; at 100 TB fit the quantizer on
+      a deterministic hash-sample (``coreset_sample=1e-4`` ≈ a
+      million-vector pool) — the standard coarse-quantizer practice
+      (SemDeDup fits k-means on a subset too). Sampling only shrinks
+      the fitting pool; ASSIGNMENT still covers every row, the sample
+      is the portable md5 fraction (reproducible, SQL-twinnable), and
+      ``None`` (default, the oracle-hashed x175_auto config) fits on
+      the full pool. Exactness: distances expand to
       ``dot(x,x) − 2·dot(x,c) + dot(c,c)`` with every dot a sequential
       fold, bit-identical to DuckDB's ``list_dot_product`` (the x04
       contract), so the block assignment — and therefore the whole
@@ -1448,8 +1457,20 @@ def semantic_dedup(
         )
         from dbms_data_anonymity_differential_privacy_spark.operators.similarity import _dot
 
+        fit_pool = emb
+        if coreset_sample is not None:
+            from dbms_data_anonymity_differential_privacy_spark.operators.sampling import hash_sample
+
+            fit_pool = hash_sample(
+                emb, [id_col], coreset_sample, salt="semdedup-coreset"
+            )
+            # a too-aggressive fraction can leave fewer than k fitting
+            # points — fall back to the full pool (the count runs on the
+            # SAMPLED relation, so it is cheap even when emb is not)
+            if fit_pool.limit(auto_block_k).count() < auto_block_k:
+                fit_pool = emb
         centers = kcenter_coreset(
-            emb, k=auto_block_k, vec_col=vec_col, id_col=id_col
+            fit_pool, k=auto_block_k, vec_col=vec_col, id_col=id_col
         )
         v = F.col(vec_col).cast("array<double>")
         crows = (

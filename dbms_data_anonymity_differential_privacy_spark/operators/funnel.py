@@ -779,17 +779,19 @@ def cohort_ltv(
     weeks release 0.0) so every curve is complete and directly
     comparable. The cumulative sum runs as an ORDERED window over the
     (cohort, age) relation — float addition order pinned by the frame.
-    Per-cell revenue is a SORTED-FOLD sum
-    (``aggregate(array_sort(collect_list(value)))``, the x173/noise-
-    moments discipline): a plain ``SUM(double)`` reduces in shuffle
-    order, and at sf0.1 the ~5k-addend cells accumulate enough last-bit
-    drift to flip the 9-dp rounding band vs the oracle (measured:
-    1.0e-9 on a ~2.3e5 magnitude cell). The fold pins the addition
-    order on both engines. Memory note: the per-cell list is bounded by
-    one cohort-week's purchase rows; at extreme cell sizes swap to a
-    two-level fold (sort within week-shards, fold shard sums) before
-    reaching for a plain SUM. ``ltv = cum_rev / cohort_users`` is one
-    IEEE division.
+    Per-cell revenue is a TWO-LEVEL sorted-fold sum (the x173/noise-
+    moments discipline, nested): a plain ``SUM(double)`` reduces in
+    shuffle order, and at sf0.1 the ~5k-addend cells accumulate enough
+    last-bit drift to flip the 9-dp rounding band vs the oracle
+    (measured: 1.0e-9 on a ~2.3e5 magnitude cell). Level 1 folds each
+    USER's purchases within the cell (list bounded by one user's weekly
+    purchase count — tiny at any corpus scale); level 2 folds the
+    per-user sums (list bounded by users active in that cohort-week).
+    Both levels sort before folding, so the addition order is pinned on
+    both engines and the release is hash-exact, while no aggregation
+    buffer ever holds a whole cohort-week's raw purchase rows — the
+    single-level formulation's 100×-scale failure mode.
+    ``ltv = cum_rev / cohort_users`` is one IEEE division.
 
     Shape: one distinct (user, week) collapse + one revenue aggregation
     over the fact table; cohorts join broadcast; the dense grid and
@@ -821,10 +823,18 @@ def cohort_ltv(
         .groupBy(
             "cohort",
             (F.datediff("period", "cohort") / 7).cast("int").alias("age_weeks"),
+            F.col(user_col),
         )
         .agg(
             F.expr(
                 f"aggregate(array_sort(collect_list({value_col})), "
+                "CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+            ).alias("__urev")
+        )
+        .groupBy("cohort", "age_weeks")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(__urev)), "
                 "CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
             ).alias("rev")
         )

@@ -7085,16 +7085,21 @@ def x145_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
                  FROM events),
     f AS (SELECT user_id, MIN(period) AS cohort FROM act GROUP BY 1),
     sz AS (SELECT cohort, COUNT(*) AS cohort_users FROM f GROUP BY 1),
-    rev AS (SELECT f.cohort,
-                   CAST((date_trunc('week', e.ts) - f.cohort) // 7 AS INT)
-                     AS age_weeks,
-                   -- sorted fold, not SUM: pins float addition order so
-                   -- the 9-dp release can't straddle a rounding band
-                   -- (matches the engine's aggregate(array_sort(...)))
-                   list_reduce(list_sort(list(e.value)), (a, b) -> a + b) AS rev
-            FROM events e JOIN f ON f.user_id = e.user_id
-            WHERE e.event_type = 'purchase'
-            GROUP BY 1, 2),
+    -- two-level sorted fold, not SUM: pins float addition order at both
+    -- levels so the 9-dp release can't straddle a rounding band, while
+    -- no aggregation holds a whole cohort-week's raw rows (matches the
+    -- engine's nested aggregate(array_sort(collect_list(...))))
+    pu AS (SELECT f.cohort,
+                  CAST((date_trunc('week', e.ts) - f.cohort) // 7 AS INT)
+                    AS age_weeks,
+                  e.user_id,
+                  list_reduce(list_sort(list(e.value)), (a, b) -> a + b) AS urev
+           FROM events e JOIN f ON f.user_id = e.user_id
+           WHERE e.event_type = 'purchase'
+           GROUP BY 1, 2, 3),
+    rev AS (SELECT cohort, age_weeks,
+                   list_reduce(list_sort(list(urev)), (a, b) -> a + b) AS rev
+            FROM pu GROUP BY 1, 2),
     hz AS (SELECT MAX(period) AS hi FROM act),
     grid AS (SELECT sz.cohort, sz.cohort_users,
                     unnest(generate_series(0,

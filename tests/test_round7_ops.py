@@ -155,6 +155,26 @@ def test_semantic_dedup_auto_recall_on_planted_dups(spark):
                             auto_block_k=6).collect()}
     assert again == comp
 
+    # sampled-coreset mode (the 100 TB fitting path): quantizer fit on a
+    # deterministic hash-sample, assignment still over every row — the
+    # planted near-dups stay co-blocked (they are nearly coincident, so
+    # any center set assigns them together)
+    samp = semantic_dedup(
+        emb, threshold=0.98, block_col=None, auto_block_k=6,
+        coreset_sample=0.5,
+    )
+    comp_s = {r.vec_id: r.component for r in samp.collect()}
+    assert len(comp_s) == len(comp)
+    hit_s = sum(1 for s, d in planted if comp_s[s] == comp_s[d])
+    assert hit_s / len(planted) >= 0.9
+    # a fraction too small to yield k fitting points falls back to the
+    # full pool instead of failing
+    tiny = semantic_dedup(
+        emb, threshold=0.98, block_col=None, auto_block_k=6,
+        coreset_sample=1e-9,
+    )
+    assert {r.vec_id: r.component for r in tiny.collect()} == comp
+
 
 # ---------------------------------------------------------------------------
 # leakage_safe_split: exact duplicates co-assign even below shingle width
