@@ -9124,11 +9124,13 @@ _WINDOW_R8 = [
     # deliberate re-checks of queries whose OUTPUT or physical plan
     # changed this round (noise-moment audits gained scale_r and the
     # gaussian path recalibrated to eps=0.5; x174's pair relation gained
-    # the exact-text source; x126_pagerank_dist got batched barriers).
-    # Slots 7-50: the 44 least-recently-driver-checked oracle queries —
-    # all 43 whose last green row is round 2, plus the alphabetically
-    # first round-3 query. After this round max driver staleness across
-    # the registry is <= 4 rounds (pinned by
+    # the exact-text source; x126_pagerank_dist got batched barriers;
+    # x146's revenue release moved to the two-level sorted fold — the
+    # one query whose VALUES changed at the last-bit level, so it must
+    # not coast on its r6 row). Slots 8-50: the 43 least-recently-
+    # driver-checked oracle queries (all those whose last green row is
+    # round 2). After this round max driver staleness across the
+    # registry is <= 4 rounds (pinned by
     # tests/test_registry_window.py::test_window_rotates_by_staleness).
     "x175_semantic_dedup_auto",
     "pipe_private_export_stream",
@@ -9136,6 +9138,7 @@ _WINDOW_R8 = [
     "x01_dp_noise_moments_gauss",
     "x174_leakage_safe_split",
     "x126_pagerank_dist",
+    "x146_cohort_ltv",
     "c05_reid_risk",
     "c06_uniqueness_rows",
     "c07_suppression_rate",
@@ -9179,7 +9182,6 @@ _WINDOW_R8 = [
     "x17_session_errors",
     "x18_contamination",
     "x19_vocab",
-    "c04_class_emd",
 ]
 
 
