@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -166,8 +168,6 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         return df
     return df.repartition(target)
 
-
-from collections import OrderedDict
 
 _PARTITION_COUNT_CACHE: OrderedDict[tuple, int] = OrderedDict()
 
