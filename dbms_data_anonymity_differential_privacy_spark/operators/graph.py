@@ -592,7 +592,8 @@ def label_propagation(
     ).persist()
     labels.count()
     w = Window.partitionBy("node").orderBy(F.col("__c").desc(), F.col("label").asc())
-    for _ in range(iters):
+    persisted = labels  # last MATERIALIZED label relation
+    for i in range(1, iters + 1):
         msgs = adj.join(
             labels.select(F.col("node").alias("nbr"), "label"), on="nbr"
         ).select("node", "label")
@@ -602,10 +603,17 @@ def label_propagation(
             .withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") == 1)
             .select("node", "label")
-            .persist()
         )
-        nxt.count()
-        labels.unpersist()
+        # pagerank barrier-batching discipline: materialize every
+        # BARRIER_EVERY rounds (plus the last); in-between rounds chain
+        # lazily on the last barrier's cache. Pure plan refactor —
+        # labels are deterministic (mode + min tie-break), so values
+        # are bit-identical (dist≡driver equivalence pinned in tests).
+        if i % BARRIER_EVERY == 0 or i == iters:
+            nxt = nxt.persist()
+            nxt.count()
+            persisted.unpersist()
+            persisted = nxt
         labels = nxt
     adj.unpersist()
     return labels.select("node", F.col("label").alias("community"))
@@ -686,6 +694,12 @@ def bfs_profile(
         F.col("node").alias("lm"), "node", F.lit(0).alias("dist")
     ).persist()
     dist.count()
+    # Barrier every SECOND round here (not BARRIER_EVERY=5): each BFS
+    # round consumes `dist` TWICE (frontier filter + union), so an
+    # unmaterialized chain doubles the subplan per lazy level — depth-2
+    # keeps the plan at <=4 copies of the last barrier (runtime cost is
+    # deduplicated by exchange reuse, but ANALYSIS cost is not).
+    persisted = dist
     for d in range(1, max_depth + 1):
         frontier = dist.filter(F.col("dist") == d - 1)
         expanded = frontier.join(adj, on="node").select(
@@ -695,10 +709,12 @@ def bfs_profile(
             dist.unionByName(expanded)
             .groupBy("lm", "node")
             .agg(F.min("dist").alias("dist"))
-            .persist()
         )
-        nxt.count()
-        dist.unpersist()
+        if d % 2 == 0 or d == max_depth:
+            nxt = nxt.persist()
+            nxt.count()
+            persisted.unpersist()
+            persisted = nxt
         dist = nxt
     adj.unpersist()
     # dist stays cached: the output aggregation below is its only
