@@ -410,14 +410,23 @@ def kcenter_coreset(
 
     seed = pool.orderBy(F.col("__id").asc()).limit(1).collect()[0]
     chosen = [(1, int(seed["__id"]), None)]
+    # ONE job per round: the TakeOrdered collect below is itself the
+    # action that populates the round's persisted distance relation, so
+    # no separate count() barrier is needed. The PREVIOUS round's cache
+    # is released only after the current round has materialized (the
+    # current relation is built from it lazily).
     cur = pool.select(
         "__id", "__v", "__xx",
         dist_to(list(seed["__v"]), float(seed["__xx"])).alias("__d"),
     ).persist()
-    cur.count()
+    prev = None
     for r in range(2, k + 1):
         far = cur.orderBy(F.col("__d").desc(), F.col("__id").asc()).limit(1).collect()[0]
+        if prev is not None:
+            prev.unpersist()
         chosen.append((r, int(far["__id"]), float(far["__d"])))
+        if r == k:  # k centers chosen — no further update round needed
+            break
         nxt = cur.select(
             "__id", "__v", "__xx",
             F.least(
@@ -425,10 +434,10 @@ def kcenter_coreset(
                 dist_to(list(far["__v"]), float(far["__xx"])),
             ).alias("__d"),
         ).persist()
-        nxt.count()
-        cur.unpersist()
-        cur = nxt
+        prev, cur = cur, nxt
     cur.unpersist()
+    if prev is not None:
+        prev.unpersist()
     pool.unpersist()
     return df.sparkSession.createDataFrame(
         [(r, i, None if d is None else round(d, 6)) for r, i, d in chosen],

@@ -8856,24 +8856,29 @@ def x170_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kcenter_ctes(k: int = 8) -> list[str]:
     """The greedy k-center selection as chained CTEs — shared by the
     x171 trajectory oracle and the x175_auto self-blocking oracle (the
-    same engine-exact selection feeds both)."""
+    same engine-exact selection feeds both). Every CTE is
+    ``AS MATERIALIZED``: DuckDB inlines plain CTEs per reference, and a
+    chain whose level r is referenced by both s{r+1} and d{r+1} (and by
+    the x175_auto cent union) re-expands EXPONENTIALLY in k — measured
+    63 s vs 0.1 s at sf0.01 for the x175_auto oracle. Values are
+    unchanged; materialization is an evaluation-strategy hint only."""
     ctes = [
-        "e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,"
+        "e AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,"
         " list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))"
         " AS xx FROM embeddings)",
-        "s1 AS (SELECT id, v, xx FROM e ORDER BY id LIMIT 1)",
-        "d1 AS (SELECT e.id, e.v, e.xx,"
+        "s1 AS MATERIALIZED (SELECT id, v, xx FROM e ORDER BY id LIMIT 1)",
+        "d1 AS MATERIALIZED (SELECT e.id, e.v, e.xx,"
         " e.xx - 2 * list_dot_product(e.v, s1.v) + s1.xx AS d"
         " FROM e CROSS JOIN s1)",
     ]
     for r in range(2, k + 1):
         ctes.append(
-            f"s{r} AS (SELECT id, v, xx, d FROM d{r - 1}"
+            f"s{r} AS MATERIALIZED (SELECT id, v, xx, d FROM d{r - 1}"
             f" ORDER BY d DESC, id LIMIT 1)"
         )
         if r < k:
             ctes.append(
-                f"d{r} AS (SELECT p.id, p.v, p.xx,"
+                f"d{r} AS MATERIALIZED (SELECT p.id, p.v, p.xx,"
                 f" LEAST(p.d, p.xx - 2 * list_dot_product(p.v, s{r}.v) + s{r}.xx) AS d"
                 f" FROM d{r - 1} p CROSS JOIN s{r})"
             )
@@ -9081,14 +9086,14 @@ def _x175_auto_sql(k: int = 8, thr: float = 0.4) -> str:
         f"SELECT {r} AS r, v, xx FROM s{r}" for r in range(1, k + 1)
     )
     ctes += [
-        f"cent AS ({cent})",
-        "dists AS (SELECT e.id, c.r,"
+        f"cent AS MATERIALIZED ({cent})",
+        "dists AS MATERIALIZED (SELECT e.id, c.r,"
         " e.xx - 2 * list_dot_product(e.v, c.v) + c.xx AS d"
         " FROM e CROSS JOIN cent c)",
-        "asg AS (SELECT id, r AS blk FROM (SELECT id, r,"
+        "asg AS MATERIALIZED (SELECT id, r AS blk FROM (SELECT id, r,"
         " ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, r) AS rn"
         " FROM dists) WHERE rn = 1)",
-        "eb AS (SELECT e2.vec_id AS id, e2.embedding AS emb, a.blk"
+        "eb AS MATERIALIZED (SELECT e2.vec_id AS id, e2.embedding AS emb, a.blk"
         " FROM embeddings e2 JOIN asg a ON a.id = e2.vec_id)",
         f"pe AS (SELECT a.id AS id_a, b.id AS id_b"
         f" FROM eb a JOIN eb b ON a.blk = b.blk AND a.id < b.id"
