@@ -1349,9 +1349,15 @@ def leakage_safe_split(
     # exact-text pairs: every doc links to the min-id holder of its
     # md5(text) group (star topology — |group|-1 edges, CC-equivalent to
     # the clique). Covers identical docs with < n tokens (zero shingles)
-    # that the Jaccard source structurally misses.
+    # that the Jaccard source structurally misses. NULL texts are
+    # EXCLUDED: md5(NULL) is NULL and the window would otherwise fuse
+    # every missing-text doc into one giant component, swinging the
+    # split fractions by the whole null mass — absent text is absent
+    # evidence of duplication, so null-text docs stay independent
+    # singletons (their pre-round-7 behavior).
     exact = (
-        docs.select(
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
             F.col(id_col), F.md5(F.col(text_col).cast("binary")).alias("__h")
         )
         .select(
@@ -1473,11 +1479,23 @@ def semantic_dedup(
             fit_pool, k=auto_block_k, vec_col=vec_col, id_col=id_col
         )
         v = F.col(vec_col).cast("array<double>")
+        # kcenter_coreset's output schema names the id column vec_id
+        # regardless of id_col (its public contract) — realias before
+        # joining back for the center VECTORS
         crows = (
-            centers.join(emb, on=id_col)
+            centers.select("round", F.col("vec_id").alias(id_col))
+            .join(emb, on=id_col)
             .select("round", v.alias("__cv"))
             .collect()
         )
+        if not crows:
+            # empty corpus: nothing to block or pair — the documented
+            # (id, component, kept) shape over zero rows
+            return emb.select(
+                F.col(id_col),
+                F.col(id_col).alias("component"),
+                F.lit(True).alias("kept"),
+            )
         xx = _dot(v, v)
         cands = []
         for row in sorted(crows, key=lambda r: r["round"]):

@@ -408,7 +408,13 @@ def kcenter_coreset(
         lit = F.array(*[F.lit(float(x)) for x in center_vec])
         return F.col("__xx") - 2.0 * _dot(F.col("__v"), lit) + F.lit(center_xx)
 
-    seed = pool.orderBy(F.col("__id").asc()).limit(1).collect()[0]
+    seed_rows = pool.orderBy(F.col("__id").asc()).limit(1).collect()
+    if not seed_rows:
+        pool.unpersist()
+        return df.sparkSession.createDataFrame(
+            [], "round INT, vec_id LONG, dist_r DOUBLE"
+        )
+    seed = seed_rows[0]
     chosen = [(1, int(seed["__id"]), None)]
     # ONE job per round: the TakeOrdered collect below is itself the
     # action that populates the round's persisted distance relation, so

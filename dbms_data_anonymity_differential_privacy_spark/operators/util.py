@@ -94,14 +94,24 @@ def gate_broadcast_keys(
     - ``'shuffle'``: pass through un-hinted, no persist, no count — AQE
       owns the join strategy entirely.
     """
+    if hint not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"hint must be 'auto'|'broadcast'|'shuffle', got {hint!r}")
     if keys.isStreaming:
+        # a stream cannot be counted ('auto') or broadcast: honor
+        # 'shuffle'/'auto' as passthrough, but an explicit 'broadcast'
+        # is a contradiction the caller must hear about, not a silent
+        # downgrade
+        if hint == "broadcast":
+            raise ValueError(
+                "hint='broadcast' on a streaming key relation: a stream "
+                "cannot be broadcast — build per-micro-batch keys or use "
+                "hint='shuffle'"
+            )
         return keys
     if hint == "broadcast":
         return F.broadcast(keys)
     if hint == "shuffle":
         return keys
-    if hint != "auto":
-        raise ValueError(f"hint must be 'auto'|'broadcast'|'shuffle', got {hint!r}")
     if row_limit is None:
         row_limit = int(
             keys.sparkSession.conf.get(
@@ -114,10 +124,16 @@ def gate_broadcast_keys(
 
 # Session-scoped ledger of every relation the engine persists on the
 # caller's behalf (gate_broadcast_keys key relations, the pipelines'
-# shared counts relations). Bounded in practice by the number of
-# operator calls since the last release; each entry's blocks are
-# bounded by its own slim relation, never fact rows.
+# shared counts relations). Each entry's blocks are bounded by its own
+# slim relation, never fact rows. HARD-capped: harnesses that rely on
+# spark.catalog.clearCache() between queries never drain the ledger's
+# Python/JVM plan references, so without a cap a long bench sweep or
+# composition loop would accumulate them until process exit. On
+# overflow the OLDEST entry is unpersisted and dropped — correctness-
+# safe (a cache release only risks recompute), and an entry that old is
+# long past its consuming action.
 _CACHE_LEDGER: list[DataFrame] = []
+_CACHE_LEDGER_CAP = 512
 
 
 def track_cached(df: DataFrame) -> DataFrame:
@@ -125,6 +141,12 @@ def track_cached(df: DataFrame) -> DataFrame:
     :func:`release_cached_relations` can unpersist it later. Returns the
     input unchanged (wrap-at-persist idiom:
     ``track_cached(df.persist())``)."""
+    while len(_CACHE_LEDGER) >= _CACHE_LEDGER_CAP:
+        old = _CACHE_LEDGER.pop(0)
+        try:
+            old.unpersist()
+        except Exception:  # noqa: BLE001 — dead session entries just drop
+            pass
     _CACHE_LEDGER.append(df)
     return df
 

@@ -9002,10 +9002,12 @@ def x173_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     pe AS (SELECT id_a, id_b FROM p WHERE ROUND(inter / (na + nb - inter), 9) >= 0.2),
     -- exact-text pair source: star edges to the min-id holder of each
     -- md5(text) group -- covers identical docs shorter than the shingle
-    -- width, which produce zero shingles and never reach pe
+    -- width, which produce zero shingles and never reach pe. NULL texts
+    -- excluded (they must stay independent singletons, not one fused
+    -- component).
     ex AS (SELECT MIN(doc_id) OVER (PARTITION BY md5(text)) AS id_a,
                   doc_id AS id_b
-           FROM documents),
+           FROM documents WHERE text IS NOT NULL),
     pu AS (SELECT id_a, id_b FROM pe
            UNION ALL SELECT id_a, id_b FROM ex WHERE id_a < id_b),
     sym AS (SELECT id_a AS a, id_b AS b FROM pu

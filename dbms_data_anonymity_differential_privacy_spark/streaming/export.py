@@ -74,11 +74,26 @@ def _kept_with_fp(docs: DataFrame, thresholds: Mapping | None) -> DataFrame:
         thresholds=dict(thresholds or {}),
         keep_cols=("lang", "text", "__redacted"),
     )
+    # Synthetic event time is BOUNDED to one day (doc_id mod 86400): if
+    # it grew with doc_id, the watermark delay would silently become an
+    # id-DISTANCE bound — two identical docs whose ids differ by more
+    # than delay-in-seconds would land outside each other's dedup
+    # horizon and the stream≡batch byte identity would break on any
+    # corpus past ~2.6M ids (or any sparse id space). With a one-day
+    # spread the default 30-day watermark can never evict mid-corpus,
+    # whatever the id range. Production streams should replace this
+    # column with their REAL arrival timestamp — then the watermark is
+    # a true time horizon and state stays bounded on infinite streams
+    # (with the synthetic column, state is bounded by distinct kept
+    # fingerprints instead, the same bound the batch dedup shuffle pays).
     return (
         gated.filter(F.col("pass_gopher"))
         .select("doc_id", "lang", "text", "n_tokens", "__redacted")
         .withColumn("__fp", fingerprint(F.col("text")))
-        .withColumn("ts", F.timestamp_seconds(F.lit(_TS_EPOCH) + F.col("doc_id")))
+        .withColumn(
+            "ts",
+            F.timestamp_seconds(F.lit(_TS_EPOCH) + F.col("doc_id") % F.lit(86400)),
+        )
     )
 
 

@@ -145,3 +145,39 @@ def test_rows_only_queries_registered_last():
     assert all(n not in ORACLE_SQL for n in names[first_rows_only:]), (
         "oracle-backed query registered after a rows-only query"
     )
+
+
+def test_coverage_doc_counts_match_registry():
+    """COVERAGE.md's headline surface counts must track the registry —
+    stale counts were a round-3 verdict finding; this pins them.
+    (Dropped by mistake in the round-7 rewrite of this module and
+    restored after an independent review caught the regression.)"""
+    import pathlib
+    import re
+
+    text = pathlib.Path(__file__).parent.parent.joinpath("COVERAGE.md").read_text()
+    m = re.search(
+        r"the full (\d+)-query oracle surface — (\d+)\s*\nregistered queries, (\d+) rows-only",
+        text,
+    )
+    assert m, "COVERAGE.md headline count sentence not found"
+    n_oracle, n_registered, n_rows_only = map(int, m.groups())
+    assert n_oracle == len(ORACLE_SQL), (n_oracle, len(ORACLE_SQL))
+    assert n_registered == len(QUERIES), (n_registered, len(QUERIES))
+    assert n_rows_only == len(QUERIES) - len(ORACLE_SQL)
+
+
+def test_bench_headline_names_registered():
+    """Every bench.py HEADLINE name must be a registered query — a typo
+    here would crash the driver's per-round bench run."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", pathlib.Path(__file__).parent.parent / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, f"bench HEADLINE names not registered: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)

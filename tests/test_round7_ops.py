@@ -176,6 +176,35 @@ def test_semantic_dedup_auto_recall_on_planted_dups(spark):
     assert {r.vec_id: r.component for r in tiny.collect()} == comp
 
 
+def test_semantic_dedup_auto_honors_custom_id_col(spark):
+    """kcenter_coreset's output schema names the id column vec_id
+    regardless of id_col; the auto-blocking path must realias before
+    joining back (review finding: custom id_col crashed)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0]) for i in range(12)],
+        "doc_id LONG, emb ARRAY<FLOAT>",
+    )
+    out = semantic_dedup(
+        emb, threshold=0.99, block_col=None, auto_block_k=3,
+        vec_col="emb", id_col="doc_id",
+    )
+    assert out.columns == ["doc_id", "component", "kept"]
+    assert out.count() == 12
+
+
+def test_semantic_dedup_auto_empty_input(spark):
+    """Empty corpus: the documented zero-row (id, component, kept) shape,
+    not an IndexError from the coreset seed collect."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import semantic_dedup
+
+    emb = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = semantic_dedup(emb, threshold=0.5, block_col=None, auto_block_k=4)
+    assert out.columns == ["vec_id", "component", "kept"]
+    assert out.count() == 0
+
+
 # ---------------------------------------------------------------------------
 # leakage_safe_split: exact duplicates co-assign even below shingle width
 # ---------------------------------------------------------------------------
@@ -206,6 +235,24 @@ def test_leakage_safe_split_coassigns_short_exact_dups(spark):
     assert out[3] == out[4]  # long exact dups still co-assign (J = 1)
     assert out[5][0] == 5  # singleton stays its own component
     assert len(out) == 5
+
+
+def test_leakage_safe_split_null_texts_stay_independent(spark):
+    """NULL texts carry no duplication evidence: they must remain
+    independent singleton components, never fuse into one giant
+    md5(NULL) component whose single coin flip would swing the split
+    fractions by the whole null mass (review finding)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, None) for i in range(1, 8)] + [(8, "some real text here")],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r.doc_id: r.component for r in
+            leakage_safe_split(docs, threshold=0.2, n=3).collect()}
+    assert len(rows) == 8
+    for i in range(1, 8):
+        assert rows[i] == i, f"null-text doc {i} fused into {rows[i]}"
 
 
 # ---------------------------------------------------------------------------

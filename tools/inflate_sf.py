@@ -112,12 +112,42 @@ def inflate(spark: SparkSession, src: str, out: str, copies: int) -> None:
     # that drives join fan-out) is preserved exactly. FK integrity
     # holds copy-by-copy (orders/part/supplier remap with the same
     # stride), so every registry join keeps its per-copy hit rate.
+    #
+    # part/supplier keys use a DENSE stride (max source key + 1, keys
+    # are 0..N0-1) instead of KEY_STRIDE: the negative-sampling family
+    # (x132/x133) probes items by `1 + hash % count(dim)`, a DENSE-range
+    # lookup — a 2^40 stride would leave 90% of generated candidates
+    # pointing at key-space holes, silently collapsing the existence-
+    # join hit rate the sf1 rows are supposed to measure at 10x.
+    def dense_stride(name: str, key: str) -> int:
+        return (
+            load_table(spark, src, name).agg(F.max(F.col(key))).collect()[0][0] + 1
+        )
+
+    part_stride = dense_stride("part", "p_partkey")
+    supp_stride = dense_stride("supplier", "s_suppkey")
+
+    def remap_strided(df: DataFrame, copy: int, col_strides: dict) -> DataFrame:
+        for c, stride in col_strides.items():
+            df = df.withColumn(c, F.col(c) + F.lit(copy * stride))
+        return df
+
     build(
         "lineitem",
-        lambda df, i: remap(df, i, "l_orderkey", "l_partkey", "l_suppkey"),
+        lambda df, i: remap_strided(
+            df,
+            i,
+            {
+                "l_orderkey": KEY_STRIDE,
+                "l_partkey": part_stride,
+                "l_suppkey": supp_stride,
+            },
+        ),
     )
-    build("part", lambda df, i: remap(df, i, "p_partkey"))
-    build("supplier", lambda df, i: remap(df, i, "s_suppkey"))
+    build("part", lambda df, i: remap_strided(df, i, {"p_partkey": part_stride}))
+    build(
+        "supplier", lambda df, i: remap_strided(df, i, {"s_suppkey": supp_stride})
+    )
     # true dimension tables pass through so every registry query still runs
     for name in ("region", "nation"):
         load_table(spark, src, name).write.mode("overwrite").parquet(
