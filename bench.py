@@ -226,6 +226,8 @@ HEADLINE = [
     "x174_leakage_safe_split",
     "x175_semantic_dedup",
     "x175_semantic_dedup_auto",
+    "x176_line_dedup",
+    "x177_random_projection",
 ]
 
 

@@ -62,6 +62,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
     dedup_exact,
     dedup_by_fingerprint,
     dedup_corpus,
+    dedup_lines_corpus,
     leakage_safe_split,
     minhash_lsh_pairs,
     near_dedup_corpus,
@@ -162,6 +163,8 @@ from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import 
     dequantize,
     label_centroids,
     quantize_embeddings,
+    random_project,
+    rp_sign_matrix,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.sampling import assign_shards
 from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_count_distinct_users, dp_set_union, dp_set_union_exact
@@ -274,6 +277,9 @@ __all__ = [
     "leakage_safe_split",
     "linear_quality_score",
     "semantic_dedup",
+    "dedup_lines_corpus",
+    "random_project",
+    "rp_sign_matrix",
     "dedup_by_fingerprint",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",

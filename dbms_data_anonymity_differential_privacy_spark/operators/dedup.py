@@ -1535,3 +1535,101 @@ def semantic_dedup(
         component.alias("component"),
         (component == F.col(id_col)).alias("kept"),
     )
+
+
+def dedup_lines_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """X176 — corpus-level duplicated-line removal (the CCNet / RefinedWeb
+    paragraph-dedup stage: Wenzek et al. 2020 dedupe normalized paragraphs
+    by hash across the whole crawl; Penedo et al. 2023 repeat it line-wise).
+    Absent from the reference (SURVEY §0 — no corpus ops at all); designed
+    from the public Spark API.
+
+    A document is split on ``delim`` into lines with positions. A line's
+    identity is its TRIMMED content; among all occurrences of the same
+    content corpus-wide, only the canonical first occurrence — the minimum
+    ``(id, position)`` pair, a total order independent of partitioning —
+    survives. Lines whose trimmed length is below ``min_chars`` are exempt
+    (always kept in place): blank/separator lines are document structure,
+    and deduping them would fuse every document onto one winner.
+
+    Output, one row per input document::
+
+        (id, n_lines, n_kept, text_hash)
+
+    where ``text_hash = md5(kept lines re-joined by delim in position
+    order)`` — a whole-text witness that the rebuilt document is
+    byte-identical across engines, without shipping the text.
+
+    Scale shape (100 TB), built to survive the boilerplate hot key (a
+    "Subscribe!" line occurring in 10% of the crawl):
+
+    1. winners — ``groupBy(xxhash64(trimmed line)).agg(min(id, pos))``
+       over the SLIM ``(hash, id, pos)`` projection: a partial-combined
+       aggregation, so the hot key collapses to one row per map task
+       before the exchange (a window over the hash — the obvious
+       formulation — would ship every occurrence of the hot line to one
+       reducer). The exchange carries 8-byte keys + two longs, no text.
+    2. keep-marking — lines LEFT-join the winner ``(id, pos)`` relation
+       on ``(id, pos)``: unique join keys by construction, zero skew.
+    3. rebuild — kept lines regroup by ``id``.
+
+    The line text moves through exchanges twice (2 and 3) — any
+    formulation must move it at least once. Hash-keying (rather than
+    grouping on the raw line string) keeps exchange 1's key fixed at 8
+    bytes; a 64-bit collision across distinct line contents merges two
+    dedup groups (probability ~n^2/2^65 — the standard CCNet trade,
+    which hashes paragraphs to sha1 prefixes for the same reason). The
+    DuckDB twin groups on the raw content, so an actual collision would
+    surface as an oracle mismatch instead of passing silently.
+    """
+    if min_chars < 0:
+        raise ValueError("min_chars must be >= 0")
+    # split() takes a Java regex but the rebuild joins the literal string:
+    # \Q...\E-quote the delimiter so both sides agree on any literal delim.
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\\Q" + delim + "\\E", -1)
+        ).alias("__pos", "__line"),
+    )
+    norm = F.trim(F.col("__line"))
+    dedupable = F.length(norm) >= min_chars
+    winners = (
+        lines.filter(dedupable)
+        .groupBy(F.xxhash64(norm).alias("__k"))
+        .agg(F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__f"))
+        .select(
+            F.col("__f")[id_col].alias("__wid"),
+            F.col("__f")["__pos"].alias("__wpos"),
+            F.lit(True).alias("__w"),
+        )
+    )
+    joined = lines.join(
+        winners,
+        (F.col(id_col) == F.col("__wid")) & (F.col("__pos") == F.col("__wpos")),
+        "left",
+    )
+    kept = ~dedupable | F.coalesce(F.col("__w"), F.lit(False))
+    marked = joined.withColumn("__keep", kept)
+    rebuilt = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("__keep"), F.struct(F.col("__pos"), F.col("__line")))
+                )
+            ),
+            lambda s: s["__line"],
+        ),
+        delim,
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        F.md5(rebuilt).alias("text_hash"),
+    )

@@ -37,6 +37,8 @@ broadcast-consumable by IVF/assignment stages downstream.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -448,4 +450,85 @@ def kcenter_coreset(
     return df.sparkSession.createDataFrame(
         [(r, i, None if d is None else round(d, 6)) for r, i, d in chosen],
         "round INT, vec_id LONG, dist_r DOUBLE",
+    )
+
+
+def rp_sign_matrix(in_dim: int, out_dim: int, seed: str = "rp") -> list[list[float]]:
+    """Deterministic Rademacher (+-1) sign matrix for :func:`random_project`,
+    derived from md5 parity of ``"{seed}:{j}:{i}"`` — pure stdlib, identical
+    on any engine that can compute md5, no RNG state. Returned as
+    ``out_dim`` rows of ``in_dim`` signs."""
+    import hashlib
+
+    def sign(j: int, i: int) -> float:
+        h = hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()
+        return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+    return [[sign(j, i) for i in range(in_dim)] for j in range(out_dim)]
+
+
+def random_project(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "rp",
+) -> DataFrame:
+    """X177 — Johnson–Lindenstrauss random projection with a Rademacher
+    (+-1/sqrt(out_dim)) matrix (Achlioptas 2003, "Database-friendly random
+    projections"): the standard dimensionality cut in front of LSH/ANN and
+    clustering at corpus scale — a 768-dim float32 embedding becomes
+    ``out_dim`` doubles while pairwise distances are preserved within
+    (1 +- eps) w.h.p., shrinking every downstream shuffle by d/out_dim.
+
+    The projection matrix is NOT data-dependent and NOT stored: it is
+    re-derived from md5 parity (:func:`rp_sign_matrix`), so any engine —
+    or a reader auditing a release — reproduces the exact same projection
+    from ``(seed, in_dim, out_dim)`` alone. Signs ride the plan as literal
+    arrays (out_dim x in_dim doubles, trivially small vs a broadcast).
+
+    Output: one row per (vector, output dimension) —
+    ``(id, dim, value)`` with ``value`` rounded to 9 dp — long-form so the
+    release is scalar-typed (array columns don't hash portably across
+    engines). Each value is a SEQUENTIAL left-fold of
+    ``sum_i v[i] * sign[j][i]`` in index order divided by sqrt(out_dim):
+    the same accumulation order as DuckDB's ``list_dot_product``, so the
+    doubles are bit-identical across engines.
+
+    Scale shape: map-only — zero shuffles, whole-stage-codegen arithmetic
+    over the array column; out_dim * in_dim multiply-adds per row. Rows
+    with NULL or wrong-length vectors are dropped (disclosed; a quarantine
+    count belongs to the profiling ops).
+    """
+    if in_dim < 1 or out_dim < 1:
+        raise ValueError("in_dim and out_dim must be >= 1")
+    signs = rp_sign_matrix(in_dim, out_dim, seed)
+    inv = 1.0 / math.sqrt(float(out_dim))
+    v = F.col(vec_col).cast("array<double>")
+    dims = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("dim"),
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            v,
+                            F.array(*[F.lit(s) for s in signs[j]]),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    * F.lit(inv),
+                    9,
+                ).alias("value"),
+            )
+            for j in range(out_dim)
+        ]
+    )
+    return (
+        df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == in_dim))
+        .select(F.col(id_col), F.explode(dims).alias("__p"))
+        .select(id_col, F.col("__p.dim").alias("dim"), F.col("__p.value").alias("value"))
     )

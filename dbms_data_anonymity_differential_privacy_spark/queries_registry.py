@@ -9128,6 +9128,96 @@ def x175_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X176 — corpus-level duplicated-line removal (operators/dedup.py
+# dedup_lines_corpus): the CCNet/RefinedWeb paragraph-dedup stage —
+# corpus-wide, only the canonical first occurrence (min (doc_id, pos))
+# of each line survives, documents are rebuilt from their kept lines.
+# The fixture's documents are single-line token streams, so the query
+# first reshapes each into 4-token lines (deterministic segmentation —
+# ~6% of segments are corpus-duplicated at sf0.01, a real dedup load);
+# the md5 whole-text witness pins the rebuilt documents byte-identical.
+# --------------------------------------------------------------------------
+_X176_SEG_W = 4
+
+
+@query(
+    "x176_line_dedup",
+    f"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+               FROM documents),
+    e AS (SELECT doc_id, unnest(toks) AS tok,
+                 unnest(range(1, len(toks) + 1)) AS pos FROM t),
+    l AS (SELECT doc_id, CAST(floor((pos - 1) / {_X176_SEG_W}) AS BIGINT) AS lpos,
+                 string_agg(tok, ' ' ORDER BY pos) AS line
+          FROM e GROUP BY doc_id, CAST(floor((pos - 1) / {_X176_SEG_W}) AS BIGINT)),
+    k AS (SELECT doc_id, lpos, line,
+                 ROW_NUMBER() OVER (PARTITION BY trim(line)
+                                    ORDER BY doc_id, lpos) AS rn,
+                 length(trim(line)) AS nl
+          FROM l),
+    kept AS (SELECT doc_id, lpos, line FROM k WHERE nl < 1 OR rn = 1),
+    r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                 string_agg(line, chr(10) ORDER BY lpos) AS txt
+          FROM kept GROUP BY doc_id),
+    a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM l GROUP BY doc_id)
+    SELECT a.doc_id, a.n_lines, CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           md5(COALESCE(r.txt, '')) AS text_hash
+    FROM a LEFT JOIN r USING (doc_id)
+    """,
+)
+def x176_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus line dedup: 4-token segmentation, first-occurrence
+    retention, per-doc rebuilt-text md5 witness."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import dedup_lines_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nseg = F.ceil(F.size(toks) / F.lit(_X176_SEG_W)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), F.greatest(nseg, F.lit(1)) - 1),
+        lambda i: F.array_join(F.slice(toks, i * _X176_SEG_W + 1, _X176_SEG_W), " "),
+    )
+    shaped = docs.select("doc_id", F.array_join(segs, "\n").alias("text"))
+    return dedup_lines_corpus(shaped, text_col="text", id_col="doc_id")
+
+
+# --------------------------------------------------------------------------
+# X177 — Johnson–Lindenstrauss random projection (operators/embeddings.py
+# random_project): Rademacher +-1/sqrt(out_dim) matrix re-derived from md5
+# parity, so the oracle replays the IDENTICAL matrix as literal arrays and
+# every projected double is a sequential fold == list_dot_product. Map-only
+# (zero shuffles); out_dim=16 divides by 4.0 exactly so the engine's
+# multiply-by-inverse and the SQL's divide are bit-identical.
+# --------------------------------------------------------------------------
+def _x177_sql(in_dim: int = 64, out_dim: int = 16, seed: str = "rp") -> str:
+    from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import rp_sign_matrix
+
+    m = rp_sign_matrix(in_dim, out_dim, seed)
+    rows = ", ".join(
+        f"(CAST({j} AS INTEGER), [{', '.join(str(s) for s in row)}]::DOUBLE[])"
+        for j, row in enumerate(m)
+    )
+    return f"""
+    WITH s(dim, signs) AS (VALUES {rows})
+    SELECT e.vec_id, s.dim,
+           ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), s.signs)
+                 * (1.0 / sqrt({float(out_dim)!r})), 9) AS value
+    FROM embeddings e CROSS JOIN s
+    WHERE e.embedding IS NOT NULL AND len(e.embedding) = {in_dim}
+    """
+
+
+@query("x177_random_projection", _x177_sql())
+def x177_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL projection of the 64-dim embeddings to 16 dims, long-form
+    (vec_id, dim, value) release."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import random_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return random_project(emb, in_dim=64, out_dim=16)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries per round; the rotation policy (since round 7) is
 # BY STALENESS — new debuts and output/plan-changed queries first, then
@@ -9139,21 +9229,26 @@ def x175_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINDOW_R8 = [
     # Round-7 rotation, now BY STALENESS (r6 verdict task 5): round 6
     # returned 50/50 green, so the whole r6 window holds fresh driver
-    # rows and rotates out. Slots 1-6: the two r7 debuts
-    # (x175_semantic_dedup_auto, pipe_private_export_stream) and four
-    # deliberate re-checks of queries whose OUTPUT or physical plan
-    # changed this round (noise-moment audits gained scale_r and the
-    # gaussian path recalibrated to eps=0.5; x174's pair relation gained
-    # the exact-text source; x126_pagerank_dist got batched barriers;
+    # rows and rotates out. Slots 1-9: the four r7 debuts
+    # (x175_semantic_dedup_auto, pipe_private_export_stream,
+    # x176_line_dedup, x177_random_projection) and five deliberate
+    # re-checks of queries whose OUTPUT or physical plan changed this
+    # round (noise-moment audits gained scale_r and the gaussian path
+    # recalibrated to eps=0.5; x174's pair relation gained the
+    # exact-text source; x126_pagerank_dist got batched barriers;
     # x146's revenue release moved to the two-level sorted fold — the
     # one query whose VALUES changed at the last-bit level, so it must
-    # not coast on its r6 row). Slots 8-50: the 43 least-recently-
+    # not coast on its r6 row). Remaining slots: the least-recently-
     # driver-checked oracle queries (all those whose last green row is
-    # round 2). After this round max driver staleness across the
-    # registry is <= 4 rounds (pinned by
+    # round 2; the two r2-green rows displaced by the new debuts —
+    # x18_contamination, x19_vocab — sit at staleness 5 = MAX_STALENESS
+    # and lead the r8 rotation). Max driver staleness across the
+    # registry stays <= MAX_STALENESS (pinned by
     # tests/test_registry_window.py::test_window_rotates_by_staleness).
     "x175_semantic_dedup_auto",
     "pipe_private_export_stream",
+    "x176_line_dedup",
+    "x177_random_projection",
     "x01_dp_noise_moments",
     "x01_dp_noise_moments_gauss",
     "x174_leakage_safe_split",
@@ -9200,8 +9295,6 @@ _WINDOW_R8 = [
     "x14_repetition",
     "x16_asof_join",
     "x17_session_errors",
-    "x18_contamination",
-    "x19_vocab",
 ]
 
 

@@ -399,3 +399,170 @@ def test_gate_hint_matches_auto_semantics(spark, sf0001):
     assert run("broadcast") == base
     assert run("shuffle") == base
     release_cached_relations()
+
+
+# ---------------------------------------------------------------------------
+# x176: corpus-level duplicated-line removal (dedup_lines_corpus)
+# ---------------------------------------------------------------------------
+
+
+def _line_dedup(spark, rows, **kw):
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import dedup_lines_corpus
+
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = dedup_lines_corpus(df, **kw)
+    return {r["doc_id"]: (r["n_lines"], r["n_kept"], r["text_hash"]) for r in out.collect()}
+
+
+def _md5(s: str) -> str:
+    import hashlib
+
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    """A line shared across documents survives only at its minimum
+    (doc_id, pos); the rebuilt text drops later occurrences in place."""
+    got = _line_dedup(
+        spark,
+        [
+            (1, "alpha\nshared one\nbeta"),
+            (2, "shared one\ngamma\nshared one"),
+            (3, "delta\nshared one"),
+        ],
+    )
+    assert got[1] == (3, 3, _md5("alpha\nshared one\nbeta"))
+    assert got[2] == (3, 1, _md5("gamma"))
+    assert got[3] == (2, 1, _md5("delta"))
+
+
+def test_line_dedup_identity_is_trimmed_content(spark):
+    """'  x  ' and 'x' are the same line for dedup purposes, but the KEPT
+    occurrence is rebuilt with its ORIGINAL bytes."""
+    got = _line_dedup(spark, [(1, "  x  \ny"), (2, "x\nz")])
+    assert got[1] == (2, 2, _md5("  x  \ny"))
+    assert got[2] == (2, 1, _md5("z"))
+
+
+def test_line_dedup_blank_lines_exempt(spark):
+    """min_chars=1 (default): blank/whitespace lines are structure — kept
+    in every document, never fused onto one winner."""
+    got = _line_dedup(spark, [(1, "a\n\nb"), (2, "c\n\nd")])
+    assert got[1] == (3, 3, _md5("a\n\nb"))
+    assert got[2] == (3, 3, _md5("c\n\nd"))
+
+
+def test_line_dedup_doc_losing_every_line(spark):
+    got = _line_dedup(spark, [(1, "only line"), (2, "only line")])
+    assert got[1] == (1, 1, _md5("only line"))
+    assert got[2] == (1, 0, _md5(""))
+
+
+def test_line_dedup_null_text_and_literal_delim(spark):
+    """NULL text behaves as empty; a regex-metacharacter delimiter is
+    treated literally (split is \\Q-quoted to match the literal rebuild)."""
+    got = _line_dedup(spark, [(1, None), (2, "a.b.a.c")], delim=".")
+    assert got[1] == (1, 1, _md5(""))
+    # 'a' dedups against itself within doc 2: first occurrence kept
+    assert got[2] == (4, 3, _md5("a.b.c"))
+
+
+def test_line_dedup_partition_invariant(spark):
+    """The winner is a total order over (doc_id, pos) — repartitioning the
+    input must not change a single output byte."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import dedup_lines_corpus
+
+    rows = [(i, f"common header\nbody {i}\ncommon footer") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    a = sorted(map(tuple, dedup_lines_corpus(df).collect()))
+    b = sorted(map(tuple, dedup_lines_corpus(df.repartition(7, "text")).collect()))
+    assert a == b
+    # header+footer survive only in doc 0
+    by_id = {t[0]: t for t in a}
+    assert by_id[0][2] == 3 and all(by_id[i][2] == 1 for i in range(1, 50))
+
+
+# ---------------------------------------------------------------------------
+# x177: Johnson–Lindenstrauss random projection (random_project)
+# ---------------------------------------------------------------------------
+
+
+def test_random_project_matches_numpy(spark):
+    """The engine fold reproduces the exact matrix product with the
+    rp_sign_matrix signs (same seed) to double precision."""
+    import numpy as np
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import (
+        random_project,
+        rp_sign_matrix,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(20, 8)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = random_project(df, in_dim=8, out_dim=4, seed="t")
+    got = {(r["vec_id"], r["dim"]): r["value"] for r in out.collect()}
+    assert len(got) == 80
+    m = np.array(rp_sign_matrix(8, 4, "t"))  # 4 x 8
+    want = (vecs.astype("float64") @ m.T) / np.sqrt(4.0)
+    for i in range(20):
+        for j in range(4):
+            assert got[(i, j)] == pytest.approx(round(float(want[i, j]), 9), abs=1e-9)
+
+
+def test_random_project_preserves_distances(spark):
+    """JL contract: with out_dim=32 from 64, pairwise squared distances
+    are preserved within a loose (1 +- 0.75) band — a broken sign matrix
+    (e.g. all +1) collapses distances and fails this wildly."""
+    import numpy as np
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import random_project
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(12, 64))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = random_project(df, in_dim=64, out_dim=32).collect()
+    proj = np.zeros((12, 32))
+    for r in out:
+        proj[r["vec_id"], r["dim"]] = r["value"]
+    for a in range(12):
+        for b in range(a + 1, 12):
+            d0 = float(np.sum((vecs[a] - vecs[b]) ** 2))
+            d1 = float(np.sum((proj[a] - proj[b]) ** 2))
+            assert 0.25 * d0 < d1 < 1.75 * d0, (a, b, d0, d1)
+
+
+def test_random_project_drops_malformed_and_is_seeded(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import random_project
+
+    rows = [(0, [1.0, 2.0]), (1, None), (2, [1.0]), (3, [3.0, 4.0])]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = random_project(df, in_dim=2, out_dim=2, seed="a")
+    assert sorted({r["vec_id"] for r in out.collect()}) == [0, 3]
+    a = {(r["vec_id"], r["dim"]): r["value"] for r in out.collect()}
+    b = {
+        (r["vec_id"], r["dim"]): r["value"]
+        for r in random_project(df, in_dim=2, out_dim=2, seed="b").collect()
+    }
+    assert a != b  # seed changes the matrix
+
+
+def test_x177_plan_is_map_only(spark, sf0001):
+    """Zero exchanges: the projection must stay whole-stage map-side."""
+    df = qr.QUERIES["x177_random_projection"](spark, sf0001)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_x176_plan_is_skew_safe(spark, sf0001):
+    """Winner selection must be a partial-combined aggregation, NOT a
+    window over the line hash — a window ships every occurrence of a
+    corpus-wide boilerplate line to one reducer."""
+    df = qr.QUERIES["x176_line_dedup"](spark, sf0001)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial min" in plan.lower()
+    assert "BatchEvalPython" not in plan
