@@ -228,6 +228,10 @@ HEADLINE = [
     "x175_semantic_dedup_auto",
     "x176_line_dedup",
     "x177_random_projection",
+    "x178_winnowing",
+    "x179_pettitt",
+    "x180_mmr_rerank",
+    "x181_embedding_drift",
 ]
 
 

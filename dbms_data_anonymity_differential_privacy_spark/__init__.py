@@ -64,6 +64,8 @@ from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
     dedup_corpus,
     dedup_lines_corpus,
     leakage_safe_split,
+    winnow_fingerprints,
+    winnow_match_pairs,
     minhash_lsh_pairs,
     near_dedup_corpus,
     ngram_jaccard_pairs,
@@ -87,6 +89,8 @@ from dbms_data_anonymity_differential_privacy_spark.operators.similarity import 
     ivf_index,
     ivf_topk,
     knn_join,
+    mmr_rerank,
+    mmr_rerank_embeddings,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.sampling import (
     hash_sample,
@@ -165,6 +169,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import 
     quantize_embeddings,
     random_project,
     rp_sign_matrix,
+    embedding_drift,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.sampling import assign_shards
 from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_count_distinct_users, dp_set_union, dp_set_union_exact
@@ -210,6 +215,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.profile import ske
 from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
     group_ols,
     mutual_information,
+    pettitt_test,
     ab_test_proportions,
     benford_audit,
     chi_squared,
@@ -280,6 +286,12 @@ __all__ = [
     "dedup_lines_corpus",
     "random_project",
     "rp_sign_matrix",
+    "winnow_fingerprints",
+    "winnow_match_pairs",
+    "embedding_drift",
+    "pettitt_test",
+    "mmr_rerank",
+    "mmr_rerank_embeddings",
     "dedup_by_fingerprint",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",

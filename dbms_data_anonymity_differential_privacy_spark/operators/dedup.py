@@ -1633,3 +1633,126 @@ def dedup_lines_corpus(
         F.sum(F.col("__keep").cast("long")).alias("n_kept"),
         F.md5(rebuilt).alias("text_hash"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """X178 — winnowing document fingerprints (Schleimer, Wilkerson &
+    Aiken 2003, the MOSS algorithm): select a position-robust subset of
+    k-gram hashes such that any shared substring of length >= w + k - 1
+    tokens between two documents is GUARANTEED to contribute at least one
+    shared fingerprint — the coverage guarantee MinHash cannot give
+    (MinHash bounds expected Jaccard error; winnowing bounds worst-case
+    detection). Absent from the reference (SURVEY §0 — no corpus ops);
+    designed from the public algorithm.
+
+    Selection rule (the paper's robust variant): slide a window of ``w``
+    consecutive k-gram hashes; in each window keep the minimum hash,
+    breaking ties by RIGHTMOST position. Expected density is
+    2 / (w + 1) of all k-grams, so the fingerprint relation is a tunable
+    fraction of the shingle relation.
+
+    The hash must order identically on every engine because the
+    SELECTION (not just the identity) depends on hash ORDER: md5 hex of
+    the space-joined lowercased k-gram, compared lexicographically — a
+    portable total order, unlike engine-native 64-bit hashes
+    (xxhash64 vs DuckDB's hash() disagree). 32 hex chars per selected
+    gram is the honest cost; the pair join downstream carries only
+    selected rows (~2/(w+1) density).
+
+    Documents with fewer than ``w + k - 1`` tokens degrade gracefully:
+    the only valid window start is position 0 and the frame truncates at
+    the partition end, so the single corpus-visible minimum of ALL their
+    k-grams is selected (documents shorter than ``k`` tokens have no
+    k-grams and no fingerprints — disclosed, same as the shingle ops).
+
+    Output: ``(id, h, fpos)`` — one row per distinct selected
+    (fingerprint, position); the same hash selected at two positions in
+    one document appears twice (positions matter for extent estimation),
+    so consumers that want set semantics must project-distinct on
+    ``(id, h)`` (:func:`winnow_match_pairs` does).
+
+    Scale shape: one tokenization pass; k-grams stay an array column
+    until a single posexplode; the ONE exchange is the per-doc sort for
+    the window (partitioned by doc id — uniform unless one document is a
+    significant fraction of the corpus). min-of-struct with a bounded
+    w-row frame is a linear scan per partition; no self-join, no
+    quadratic blowup at any stage.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_g = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    grams = F.when(
+        n_g > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_g - 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = fan_out(df).select(F.col(id_col), F.posexplode(grams).alias("pos", "h"))
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    per_doc = Window.partitionBy(id_col)
+    # min(struct(h, -pos)) == (smallest hash, rightmost position): the
+    # paper's tie rule, one expression, no second pass. Valid window
+    # starts are pos <= G - w (greatest(..., 0) keeps the degenerate
+    # short-doc window at pos 0).
+    return (
+        g.withColumn(
+            "__m", F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(win)
+        )
+        .withColumn("__G", F.count(F.lit(1)).over(per_doc))
+        .filter(F.col("pos") <= F.greatest(F.col("__G") - F.lit(w), F.lit(0)))
+        .select(F.col(id_col), F.col("__m.h").alias("h"), (-F.col("__m.np")).alias("fpos"))
+        .distinct()
+    )
+
+
+def winnow_match_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+    max_df: int = 50,
+    min_shared: int = 3,
+) -> DataFrame:
+    """X178 — cross-document content-overlap candidates from winnowing
+    fingerprints (the MOSS match step): documents sharing >= ``min_shared``
+    distinct fingerprints, with the shared count as the overlap score.
+    By the winnowing guarantee, any copied passage of
+    ``w + k - 1`` (default 7) or more tokens between two documents
+    surfaces at least one shared fingerprint — so ``min_shared`` counts
+    (approximately) distinct copied passages, a plagiarism/boilerplate
+    signal orthogonal to whole-doc Jaccard.
+
+    Stop-fingerprint removal before the pair join: a fingerprint
+    appearing in more than ``max_df`` documents is corpus boilerplate and
+    would contribute a df^2 pair blowup (the hot-key death of every
+    inverted-index join); dropping it is both the scale guard and the
+    standard relevance heuristic (MOSS does the same via its shared-
+    fingerprint cap). With the cap, pair volume is bounded by
+    sum_h min(df_h, max_df)^2 — linear in corpus size for fixed max_df.
+
+    Output: ``(doc_a, doc_b, n_shared)`` with doc_a < doc_b.
+    """
+    sel = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    dh = sel.select(F.col(id_col), "h").distinct()
+    keep = dh.groupBy("h").agg(F.count(F.lit(1)).alias("__df")).filter(
+        F.col("__df") <= max_df
+    )
+    ok = dh.join(keep.select("h"), "h")
+    a = ok.select(F.col(id_col).alias("doc_a"), "h")
+    b = ok.select(F.col(id_col).alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

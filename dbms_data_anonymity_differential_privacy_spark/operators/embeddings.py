@@ -532,3 +532,87 @@ def random_project(
         .select(F.col(id_col), F.explode(dims).alias("__p"))
         .select(id_col, F.col("__p.dim").alias("dim"), F.col("__p.value").alias("value"))
     )
+
+
+def embedding_drift(
+    df: DataFrame,
+    in_b,
+    in_dim: int,
+    bits: int = 8,
+    seed: str = "drift",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """X181 — embedding distribution drift between two populations, the
+    monitoring op for a production embedding pipeline ("did the new
+    crawl / new encoder shift the embedding distribution?"). Scalar-PSI
+    (x67) cannot see a 64-dim distribution; this projects every vector
+    through the deterministic Rademacher matrix (:func:`rp_sign_matrix`,
+    the x177 machinery) and buckets it by the ``bits``-bit SIGN PATTERN
+    — a SimHash-style coarse quantizer with 2^bits cells that is
+    data-independent, engine-reproducible, and storage-free.
+
+    ``in_b`` is a boolean Column splitting rows into population A
+    (false) and B (true). Per cell, proportions are Laplace-smoothed —
+    ``p = (count + 1) / (n + 2^bits)`` — over the DENSE cell spine
+    (unobserved cells still contribute to PSI; dropping them biases the
+    index toward zero exactly when drift concentrates mass). Released
+    row::
+
+        (n_a, n_b, cells_a, cells_b, psi_r, tv_r)
+
+    PSI = sum (p - q) ln(p / q) rounded at 6 dp (the x145/x154 libm-sum
+    contract: both engines sum the same ln values; partial-agg order
+    perturbs only the last bits). TV = 0.5 sum |p - q| rounded at 9 dp.
+    Rule-of-thumb thresholds (PSI > 0.25 = major shift) are the
+    caller's; this releases the indices.
+
+    Scale shape: the projection is map-only (x177); the only exchanges
+    are one groupBy per vector id (bits rows -> 1) and one groupBy on
+    the 2^bits cell space — the drift statistic itself aggregates a
+    256-row relation however large the corpus is. Sign of the ROUNDED
+    projection value decides the cell, so both engines branch on
+    bit-identical doubles (and -0.0 >= 0 is true in both).
+    """
+    if bits < 1 or bits > 16:
+        raise ValueError("bits must be in [1, 16]")
+    proj = random_project(df, in_dim, out_dim=bits, vec_col=vec_col, id_col=id_col, seed=seed)
+    flag = df.select(F.col(id_col), in_b.cast("boolean").alias("__b"))
+    cell = (
+        proj.groupBy(id_col)
+        .agg(
+            F.sum(
+                (F.col("value") >= 0).cast("long")
+                * F.pow(F.lit(2.0), F.col("dim")).cast("long")
+            ).alias("cell")
+        )
+        .join(flag, id_col)
+    )
+    n_cells = 2 ** bits
+    counts = cell.groupBy("cell").agg(
+        F.sum(F.when(~F.col("__b"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("__b"), 1).otherwise(0)).alias("cb"),
+    )
+    spine = df.sparkSession.range(n_cells).select(F.col("id").alias("cell"))
+    dense = spine.join(counts, "cell", "left").select(
+        "cell",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    tot = dense.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    sm = dense.crossJoin(tot).select(
+        "cell", "ca", "cb",
+        ((F.col("ca") + 1).cast("double") / (F.col("n_a") + n_cells).cast("double")).alias("p"),
+        ((F.col("cb") + 1).cast("double") / (F.col("n_b") + n_cells).cast("double")).alias("q"),
+        "n_a", "n_b",
+    )
+    return sm.agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.sum((F.col("ca") > 0).cast("long")).alias("cells_a"),
+        F.sum((F.col("cb") > 0).cast("long")).alias("cells_b"),
+        F.round(
+            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6
+        ).alias("psi_r"),
+        F.round(0.5 * F.sum(F.abs(F.col("p") - F.col("q"))), 9).alias("tv_r"),
+    )

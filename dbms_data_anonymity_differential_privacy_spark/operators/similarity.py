@@ -562,3 +562,178 @@ def hard_negatives(
     )
     w = Window.partitionBy("id_q").orderBy(F.desc("cos"), F.col("id_c"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def mmr_rerank(
+    rel: DataFrame,
+    sims: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """X180 — Maximal Marginal Relevance re-ranking (Carbonell &
+    Goldstein 1998): greedily pick ``k`` results per query maximizing
+    ``lam * rel(c) - (1 - lam) * max_{s in selected} sim(c, s)`` — the
+    standard diversity pass between retrieval and a RAG prompt (top-k by
+    raw relevance returns near-duplicates; MMR trades relevance for
+    coverage). Absent from the reference; designed from the public
+    formulation.
+
+    Inputs are the retrieval stage's own artifacts:
+
+    - ``rel``:  ``(q_id, c_id, rel)`` — candidates per query with
+      relevance, PRE-ROUNDED by the caller (the greedy branches on
+      comparisons, so both engines must see bit-identical scores);
+    - ``sims``: ``(q_id, id_a, id_b, sim)`` — pairwise similarity within
+      each query's candidate set, both directions, same rounding.
+
+    The greedy is inherently sequential PER QUERY but embarrassingly
+    parallel ACROSS queries, and the state per query is the bounded
+    candidate set (n_cand relevances + n_cand^2 sims — n_cand is a
+    retrieval constant like 12, never corpus-sized). That is exactly the
+    cogrouped-``applyInPandas`` shape: one Arrow batch per query, a
+    few-hundred-float greedy in pandas, no driver loop, no corpus-wide
+    state. At 100 TB the only big relations are the INPUTS, built by the
+    blocked/bounded x04 machinery upstream; this operator's shuffle keys
+    are query ids (uniform by construction).
+
+    Determinism contract: max-over-empty-set is 0.0 (so the first pick's
+    score is ``lam * rel``, the uniform formula); ties broken by smallest
+    candidate id (strict ``>`` keeps the earliest in id-ascending scan
+    order == SQL ``row_number() ORDER BY score DESC, c ASC``); all
+    arithmetic is two IEEE multiplies and a subtract on pre-rounded
+    doubles — bit-identical cross-engine. The greedy COMPARES unrounded
+    scores; only the release rounds, and it rounds JVM-side (F.round),
+    never in Python (half-even vs SQL half-away diverges on the
+    boundary-heavy 0.7*rel values). Output: ``(q_id, rank, c_id,
+    score_r)`` with score rounded at 9 dp, ``rank`` 1-based; queries with
+    fewer than ``k`` candidates release what they have.
+    """
+    import pandas as pd
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    one_m_lam = 1.0 - lam
+
+    def _greedy(rel_pdf: pd.DataFrame, sim_pdf: pd.DataFrame) -> pd.DataFrame:
+        if rel_pdf.empty:
+            return pd.DataFrame(
+                {"q_id": [], "rank": [], "c_id": [], "score_r": []}
+            ).astype({"q_id": "int64", "rank": "int32", "c_id": "int64", "score_r": "float64"})
+        q = int(rel_pdf["q_id"].iloc[0])
+        relmap = dict(zip(rel_pdf["c_id"].astype("int64"), rel_pdf["rel"].astype("float64")))
+        simmap = {
+            (int(a), int(b)): float(s)
+            for a, b, s in zip(sim_pdf["id_a"], sim_pdf["id_b"], sim_pdf["sim"])
+        }
+        remaining = sorted(relmap)
+        selected: list[int] = []
+        rows = []
+        while remaining and len(selected) < k:
+            best_c, best_sc = None, None
+            for c in remaining:  # id-ascending: strict > == smallest-id tie-break
+                ms = max((simmap.get((c, s), 0.0) for s in selected), default=0.0)
+                sc = lam * relmap[c] - one_m_lam * ms
+                if best_sc is None or sc > best_sc:
+                    best_c, best_sc = c, sc
+            selected.append(best_c)
+            remaining.remove(best_c)
+            rows.append((q, len(selected), best_c, best_sc))
+        return pd.DataFrame(rows, columns=["q_id", "rank", "c_id", "score_r"]).astype(
+            {"q_id": "int64", "rank": "int32", "c_id": "int64", "score_r": "float64"}
+        )
+
+    def _fn(_key, rel_pdf: pd.DataFrame, sim_pdf: pd.DataFrame) -> pd.DataFrame:
+        return _greedy(rel_pdf, sim_pdf)
+
+    out = (
+        rel.groupBy("q_id")
+        .cogroup(sims.groupBy("q_id"))
+        .applyInPandas(_fn, "q_id long, rank int, c_id long, score_r double")
+    )
+    # the release rounding runs JVM-side: Python round() is half-even on
+    # the binary value while SQL ROUND is not — 0.7 * (a 9dp-rounded rel)
+    # lands on the 10th-decimal boundary ~1/10 of the time, so the two
+    # conventions visibly diverge; F.round == DuckDB ROUND is the
+    # repo-wide contract
+    return out.select("q_id", "rank", "c_id", F.round("score_r", 9).alias("score_r"))
+
+
+def mmr_rerank_embeddings(
+    df: DataFrame,
+    query_mod: int = 20,
+    n_cand: int = 12,
+    k: int = 5,
+    lam: float = 0.7,
+    block_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """X180 wrapper — build the MMR inputs from an embedding table with
+    the x04 discipline, then greedy-select.
+
+    Queries are the rows with ``id % query_mod == 0`` (a deterministic
+    sample standing in for an external query table). Candidate
+    generation is BLOCKED on ``block_col`` (the x04 bound: never
+    corpus x queries), relevance is cosine rounded at 9 dp, and each
+    query keeps its top ``n_cand`` by ``(rel DESC, id ASC)`` — ranked on
+    the ROUNDED value so both engines cut the same set. Pairwise sims
+    are computed only within each query's kept candidate set
+    (<= n_cand^2 per query, a constant). Zero vectors (NULL cosine)
+    never become candidates.
+    """
+    df = fan_out(df)
+    v = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col), v.alias("__v"), _norm(v).alias("__n"), F.col(block_col))
+    q = base.filter((F.col(id_col) % query_mod) == 0).select(
+        F.col(id_col).alias("q_id"), F.col("__v").alias("qv"),
+        F.col("__n").alias("qn"), F.col(block_col).alias("__blk_q"),
+    )
+    c = base.select(
+        F.col(id_col).alias("c_id"), F.col("__v").alias("cv"),
+        F.col("__n").alias("cn"), F.col(block_col).alias("__blk_c"),
+    )
+    denom = F.col("qn") * F.col("cn")
+    rel_all = (
+        q.join(c, F.col("__blk_q") == F.col("__blk_c"))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id", "c_id", "cv", "cn",
+            F.round(
+                F.when(denom != 0.0, _dot(F.col("qv"), F.col("cv")) / denom)
+            , 9).alias("rel"),
+        )
+        .filter(F.col("rel").isNotNull())
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("q_id").orderBy(F.desc("rel"), F.col("c_id"))
+    )
+    cand = rel_all.withColumn("__rn", rn).filter(F.col("__rn") <= n_cand)
+    rel = cand.select("q_id", "c_id", "rel")
+    # norms were folded once per row upstream (the cosine_self_join_pairs
+    # lesson: HOF folds get no codegen CSE) — carry them, never re-fold
+    a = cand.select(
+        "q_id", F.col("c_id").alias("id_a"), F.col("cv").alias("va"), F.col("cn").alias("na")
+    )
+    # dataset aliases + qualified refs: both sides share cand's lineage
+    # and Spark's ambiguous-self-join check rejects bare column refs
+    b = cand.select(
+        "q_id", F.col("c_id").alias("id_b"),
+        F.col("cv").alias("vb"), F.col("cn").alias("nb"),
+    )
+    sd = F.col("na") * F.col("nb")
+    sims = (
+        a.alias("A")
+        .join(b.alias("B"), F.col("A.q_id") == F.col("B.q_id"))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.col("A.q_id").alias("q_id"), "id_a", "id_b",
+            F.round(
+                F.when(sd != 0.0, _dot(F.col("va"), F.col("vb")) / sd), 9
+            ).alias("sim"),
+        )
+    )
+    return mmr_rerank(rel, sims, k=k, lam=lam)

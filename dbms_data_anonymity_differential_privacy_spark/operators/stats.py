@@ -2416,3 +2416,81 @@ def diff_in_diff(
         F.round(se, 6).alias("se_r"),
         F.round(F.when(se > 0, did / se), 6).alias("t_r"),
     )
+
+
+def pettitt_test(
+    series: DataFrame,
+    t_col: str = "t",
+    v_col: str = "v",
+) -> DataFrame:
+    """X179 — Pettitt changepoint test (Pettitt 1979, "A non-parametric
+    approach to the change-point problem"): locate the single most likely
+    abrupt shift in a series' distribution with no normality assumption —
+    the rank-based complement to CUSUM (x88, which assumes a known target
+    mean) and Mann–Kendall (x143, which tests monotone TREND; Pettitt
+    tests a STEP). The standard hydrology/monitoring changepoint screen.
+
+    Math kept exactly integer until the final p-value: with midranks
+    ``R_i`` of the full series, ``U_t = 2·Σ_{i≤t} R_i − t(n+1)``.
+    ``2·R_i`` for a tie group occupying sorted positions ``a..a+c−1`` is
+    ``2a + c − 1`` — an integer — so every ``U_t`` is an exact int64
+    (midranks never materialize as floats). ``K = max|U_t|`` over
+    ``t ≤ n−1``; the changepoint is the FIRST period achieving it (total
+    order, partitioning-independent). Significance is Pettitt's
+    approximation ``p ≈ min(1, 2·exp(−6K²/(n³+n²)))`` — one scalar exp on
+    the single released row, rounded at 9 dp (the x79 exp contract).
+
+    Input: a ``(t, v)`` series relation (caller aggregates fact rows to
+    periods first — the all-rows windows here run on the PERIODS
+    relation, thousands of rows at any corpus scale, never on fact rows;
+    the x143 discipline). Output (single row):
+    ``(n_periods, k_stat, u_at_change, change_t, p_r)``.
+
+    Scale shape: fact rows shuffle once into the period aggregation
+    upstream; everything after is windows over the slim period relation
+    (two single-partition sorts of ~10^3 rows) and a constant-size
+    release row.
+    """
+    from pyspark.sql import Window
+
+    t, v = F.col(t_col), F.col(v_col)
+    n_w = Window.partitionBy()
+    rnk_w = Window.orderBy(v_col)
+    tie_w = Window.partitionBy(v_col)
+    ranked = series.select(
+        t.alias("__t"),
+        (2 * F.rank().over(rnk_w) + F.count(F.lit(1)).over(tie_w) - 1).alias("__r2"),
+        F.count(F.lit(1)).over(n_w).alias("__n"),
+    )
+    cum_w = Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, 0)
+    u = ranked.select(
+        "__t",
+        "__n",
+        F.row_number().over(Window.orderBy("__t")).alias("__i"),
+        (F.sum("__r2").over(cum_w) - F.row_number().over(Window.orderBy("__t"))
+         * (F.col("__n") + 1)).alias("__u"),
+    ).filter(F.col("__i") <= F.col("__n") - 1)
+    best = u.select(
+        F.col("__n").alias("n_periods"),
+        F.col("__u").alias("u_at_change"),
+        F.abs("__u").alias("__k"),
+        "__t",
+        F.row_number()
+        .over(Window.orderBy(F.abs("__u").desc(), F.col("__t").asc()))
+        .alias("__rn"),
+    ).filter(F.col("__rn") == 1)
+    n_d = F.col("n_periods").cast("double")
+    k_d = F.col("__k").cast("double")
+    return best.select(
+        F.col("n_periods").cast("long").alias("n_periods"),
+        F.col("__k").cast("long").alias("k_stat"),
+        F.col("u_at_change").cast("long").alias("u_at_change"),
+        F.col("__t").alias("change_t"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                2.0 * F.exp(-6.0 * k_d * k_d / (n_d * n_d * n_d + n_d * n_d)),
+            ),
+            9,
+        ).alias("p_r"),
+    )

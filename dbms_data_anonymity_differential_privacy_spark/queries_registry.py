@@ -9218,6 +9218,257 @@ def x177_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X178 — winnowing fingerprints + MOSS-style match pairs (operators/
+# dedup.py winnow_match_pairs). The SELECTION depends on hash ORDER, so
+# the hash is md5 hex of the space-joined k-gram — a portable total
+# order both engines compare identically (engine-native 64-bit hashes
+# disagree across engines). Rightmost-min tie-break == min(struct(h,
+# -pos)) in both dialects. Stop-fingerprints (df > max_df) are dropped
+# before the pair join — the hot-key guard AND the MOSS relevance rule.
+# --------------------------------------------------------------------------
+_X178 = {"k": 4, "w": 4, "max_df": 50, "min_shared": 3}
+
+
+@query(
+    "x178_winnowing",
+    f"""
+    WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+               FROM documents),
+    e AS (SELECT doc_id, toks,
+                 unnest(range(0, greatest(len(toks) - {_X178["k"]} + 1, 0))) AS pos
+          FROM t),
+    g AS (SELECT doc_id, pos,
+                 md5(array_to_string(toks[pos + 1 : pos + {_X178["k"]}], ' ')) AS h
+          FROM e),
+    w AS (SELECT doc_id, pos,
+                 min(struct_pack(h := h, np := -pos)) OVER
+                   (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND {_X178["w"] - 1} FOLLOWING) AS m,
+                 count(*) OVER (PARTITION BY doc_id) AS G
+          FROM g),
+    sel AS (SELECT DISTINCT doc_id, m.h AS h FROM w
+            WHERE pos <= greatest(G - {_X178["w"]}, 0)),
+    freq AS (SELECT h FROM sel GROUP BY h HAVING count(*) <= {_X178["max_df"]}),
+    ok AS (SELECT sel.doc_id, sel.h FROM sel JOIN freq USING (h))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+    FROM ok a JOIN ok b USING (h)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= {_X178["min_shared"]}
+    """,
+)
+def x178_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) content-overlap candidates: k=4-gram md5 hashes,
+    w=4 windows, rightmost-min selection, stop-fingerprint cap df<=50,
+    pairs sharing >= 3 distinct fingerprints."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import winnow_match_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_match_pairs(docs, **_X178)
+
+
+# --------------------------------------------------------------------------
+# X179 — Pettitt changepoint test (operators/stats.py pettitt_test) on
+# the daily shipped-quantity series. Exactly integer until the final
+# p-value: 2·midrank for a tie group at sorted positions a..a+c−1 is
+# 2a+c−1, so U_t = Σ2R − t(n+1) is exact int64 on both engines; the one
+# scalar exp on the released row follows the x79 EXP+ROUND(9) contract.
+# Daily sums of l_quantity are integer-valued doubles (TPC-H quantities
+# are 1..50), so the cast to BIGINT is exact in any summation order.
+# --------------------------------------------------------------------------
+@query(
+    "x179_pettitt",
+    """
+    WITH d AS (SELECT CAST(floor(date_diff('second', TIMESTAMP '1970-01-01',
+                                            l_shipdate) / 86400) AS BIGINT) AS t,
+                      CAST(SUM(l_quantity) AS BIGINT) AS v
+               FROM lineitem GROUP BY 1),
+    r AS (SELECT t,
+                 2 * rank() OVER (ORDER BY v)
+                   + count(*) OVER (PARTITION BY v) - 1 AS r2,
+                 count(*) OVER () AS n
+          FROM d),
+    u AS (SELECT t, n, row_number() OVER (ORDER BY t) AS i,
+                 SUM(r2) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW)
+                   - row_number() OVER (ORDER BY t) * (n + 1) AS u
+          FROM r QUALIFY i <= n - 1),
+    b AS (SELECT n, u, abs(u) AS k, t,
+                 row_number() OVER (ORDER BY abs(u) DESC, t ASC) AS rn
+          FROM u QUALIFY rn = 1)
+    SELECT CAST(n AS BIGINT) AS n_periods, CAST(k AS BIGINT) AS k_stat,
+           CAST(u AS BIGINT) AS u_at_change, t AS change_t,
+           ROUND(LEAST(1.0, 2.0 * EXP(-6.0 * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))), 9) AS p_r
+    FROM b
+    """,
+)
+def x179_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank changepoint on daily shipped quantity: exact-integer
+    U statistics, first-argmax changepoint day, Pettitt p approximation."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import pettitt_test
+
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.floor(F.unix_timestamp("l_shipdate") / F.lit(86400)).alias("t")
+    ).agg(F.sum("l_quantity").cast("long").alias("v"))
+    return pettitt_test(daily, "t", "v")
+
+
+# --------------------------------------------------------------------------
+# X180 — MMR diversified re-ranking (operators/similarity.py mmr_rerank):
+# the greedy is sequential per query, so the oracle UNROLLS the k=5
+# selection as 5 CTE stages — each stage row_numbers the surviving
+# candidates by (score DESC, id ASC) exactly as the engine's strict->
+# scan does. Float contract: rel/sim are ROUND(cos, 9) BEFORE the greedy
+# on both engines; lam and (1 - lam) are embedded via Python repr so the
+# SQL parses the IDENTICAL doubles (1.0 - 0.7 is 0.30000000000000004 —
+# a DECIMAL 0.3 literal would diverge); the score is two IEEE multiplies
+# and a subtract on those shared doubles.
+# --------------------------------------------------------------------------
+_X180 = {"query_mod": 20, "n_cand": 12, "k": 5, "lam": 0.7}
+
+
+def _x180_sql(query_mod: int = 20, n_cand: int = 12, k: int = 5, lam: float = 0.7) -> str:
+    lam_s = f"CAST({lam!r} AS DOUBLE)"
+    oml_s = f"CAST({1.0 - lam!r} AS DOUBLE)"
+    stages = []
+    prev_union = None
+    for i in range(1, k + 1):
+        if i == 1:
+            stages.append(
+                f"""s1 AS (SELECT q_id, 1 AS rank, c_id, score FROM (
+        SELECT q_id, c_id, {lam_s} * rel AS score,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY {lam_s} * rel DESC, c_id) AS rn
+        FROM cand) WHERE rn = 1)"""
+            )
+            prev_union = "s1"
+        else:
+            stages.append(
+                f"""u{i - 1} AS (SELECT * FROM {prev_union}),
+    s{i} AS (SELECT q_id, {i} AS rank, c_id, score FROM (
+        SELECT c.q_id, c.c_id,
+               {lam_s} * c.rel - {oml_s} * COALESCE(m.ms, 0.0) AS score,
+               ROW_NUMBER() OVER (PARTITION BY c.q_id
+                   ORDER BY {lam_s} * c.rel - {oml_s} * COALESCE(m.ms, 0.0) DESC,
+                            c.c_id) AS rn
+        FROM cand c
+        LEFT JOIN (SELECT p.q_id, p.id_a AS c_id, max(p.sim) AS ms
+                   FROM sims p JOIN u{i - 1} s
+                     ON p.q_id = s.q_id AND p.id_b = s.c_id
+                   GROUP BY 1, 2) m
+          ON c.q_id = m.q_id AND c.c_id = m.c_id
+        WHERE NOT EXISTS (SELECT 1 FROM u{i - 1} s
+                          WHERE s.q_id = c.q_id AND s.c_id = c.c_id)
+        ) WHERE rn = 1)"""
+            )
+            prev_union = f"(SELECT * FROM u{i - 1} UNION ALL SELECT * FROM s{i})"
+    final_union = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, k + 1))
+    return f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
+                         sqrt(list_dot_product(
+                             CAST(embedding AS DOUBLE[]),
+                             CAST(embedding AS DOUBLE[]))) AS n
+                  FROM embeddings),
+    r0 AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.v AS cv, c.n AS cn,
+                  ROUND(CASE WHEN q.n * c.n <> 0
+                        THEN list_dot_product(q.v, c.v) / (q.n * c.n) END, 9) AS rel
+           FROM base q JOIN base c
+             ON q.label = c.label AND q.vec_id <> c.vec_id
+           WHERE q.vec_id % {query_mod} = 0),
+    cand AS (SELECT q_id, c_id, cv, cn, rel FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                             ORDER BY rel DESC, c_id) AS rn
+               FROM r0 WHERE rel IS NOT NULL) WHERE rn <= {n_cand}),
+    sims AS (SELECT x.q_id, x.c_id AS id_a, y.c_id AS id_b,
+                    ROUND(CASE WHEN x.cn * y.cn <> 0
+                          THEN list_dot_product(x.cv, y.cv) / (x.cn * y.cn) END, 9) AS sim
+             FROM cand x JOIN cand y
+               ON x.q_id = y.q_id AND x.c_id <> y.c_id),
+    {",".join(stages)}
+    SELECT q_id, CAST(rank AS INTEGER) AS rank, c_id,
+           ROUND(score, 9) AS score_r
+    FROM ({final_union})
+    """
+
+
+@query("x180_mmr_rerank", _x180_sql(**_X180))
+def x180_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-5 per query (queries = vec_id % 20 == 0,
+    label-blocked top-12 candidates, lam=0.7): cogrouped-applyInPandas
+    greedy, oracle = 5 unrolled SQL stages."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.similarity import (
+        mmr_rerank_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_rerank_embeddings(emb, **_X180)
+
+
+# --------------------------------------------------------------------------
+# X181 — embedding distribution drift (operators/embeddings.py
+# embedding_drift): PSI + total variation between two populations over
+# the 8-bit sign-pattern cells of the deterministic RP projection (the
+# x177 matrix, seed 'drift'). Laplace smoothing over the DENSE 256-cell
+# spine — unobserved cells still contribute. PSI rounds at 6 dp (the
+# x145/x154 libm-sum contract), TV at 9.
+# --------------------------------------------------------------------------
+def _x181_sql(in_dim: int = 64, bits: int = 8, seed: str = "drift") -> str:
+    from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import rp_sign_matrix
+
+    m = rp_sign_matrix(in_dim, bits, seed)
+    rows = ", ".join(
+        f"(CAST({j} AS INTEGER), [{', '.join(str(s) for s in row)}]::DOUBLE[])"
+        for j, row in enumerate(m)
+    )
+    n_cells = 2 ** bits
+    return f"""
+    WITH s(dim, signs) AS (VALUES {rows}),
+    p AS (SELECT e.vec_id, s.dim,
+                 ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), s.signs)
+                       * (1.0 / sqrt({float(bits)!r})), 9) AS value
+          FROM embeddings e CROSS JOIN s
+          WHERE e.embedding IS NOT NULL AND len(e.embedding) = {in_dim}),
+    cells AS (SELECT vec_id,
+                     CAST(SUM(CASE WHEN value >= 0
+                          THEN CAST(power(2, dim) AS BIGINT) ELSE 0 END) AS BIGINT) AS cell,
+                     CAST(max(vec_id % 2) AS BOOLEAN) AS b
+              FROM p GROUP BY vec_id),
+    counts AS (SELECT cell,
+                      SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS ca,
+                      SUM(CASE WHEN b THEN 1 ELSE 0 END) AS cb
+               FROM cells GROUP BY cell),
+    spine AS (SELECT unnest(range(0, {n_cells})) AS cell),
+    dense AS (SELECT spine.cell, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+              FROM spine LEFT JOIN counts ON spine.cell = counts.cell),
+    tot AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM dense),
+    sm AS (SELECT ca, cb, n_a, n_b,
+                  CAST(ca + 1 AS DOUBLE) / CAST(n_a + {n_cells} AS DOUBLE) AS p,
+                  CAST(cb + 1 AS DOUBLE) / CAST(n_b + {n_cells} AS DOUBLE) AS q
+           FROM dense CROSS JOIN tot)
+    SELECT CAST(MAX(n_a) AS BIGINT) AS n_a, CAST(MAX(n_b) AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cells_a,
+           CAST(SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cells_b,
+           ROUND(SUM((p - q) * ln(p / q)), 6) AS psi_r,
+           ROUND(0.5 * SUM(ABS(p - q)), 9) AS tv_r
+    FROM sm
+    """
+
+
+@query("x181_embedding_drift", _x181_sql())
+def x181_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift between even- and odd-id populations: 8-bit RP
+    sign cells, Laplace-smoothed PSI + TV over the dense 256-cell spine."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import (
+        embedding_drift,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_drift(emb, (F.col("vec_id") % 2) == 1, in_dim=64, bits=8)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries per round; the rotation policy (since round 7) is
 # BY STALENESS — new debuts and output/plan-changed queries first, then
@@ -9229,9 +9480,12 @@ def x177_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINDOW_R8 = [
     # Round-7 rotation, now BY STALENESS (r6 verdict task 5): round 6
     # returned 50/50 green, so the whole r6 window holds fresh driver
-    # rows and rotates out. Slots 1-9: the four r7 debuts
+    # rows and rotates out. Slots 1-13: the eight r7 debuts
     # (x175_semantic_dedup_auto, pipe_private_export_stream,
-    # x176_line_dedup, x177_random_projection) and five deliberate
+    # x176_line_dedup, x177_random_projection, x178_winnowing,
+    # x179_pettitt, x180_mmr_rerank, x181_embedding_drift — the last
+    # four displaced x13/x14/x16/x17, which sit exactly AT max
+    # staleness 5 and lead the r8 rotation) and five deliberate
     # re-checks of queries whose OUTPUT or physical plan changed this
     # round (noise-moment audits gained scale_r and the gaussian path
     # recalibrated to eps=0.5; x174's pair relation gained the
@@ -9249,6 +9503,10 @@ _WINDOW_R8 = [
     "pipe_private_export_stream",
     "x176_line_dedup",
     "x177_random_projection",
+    "x178_winnowing",
+    "x179_pettitt",
+    "x180_mmr_rerank",
+    "x181_embedding_drift",
     "x01_dp_noise_moments",
     "x01_dp_noise_moments_gauss",
     "x174_leakage_safe_split",
@@ -9291,10 +9549,6 @@ _WINDOW_R8 = [
     "x10_hash_split",
     "x11_sessionize",
     "x12_equal_freq_bin",
-    "x13_pii_detect",
-    "x14_repetition",
-    "x16_asof_join",
-    "x17_session_errors",
 ]
 
 

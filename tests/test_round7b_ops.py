@@ -1,0 +1,301 @@
+"""Round-7 second-wave operator tests: winnowing fingerprints (x178),
+Pettitt changepoint (x179), MMR re-ranking (x180), embedding drift (x181).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
+    winnow_fingerprints,
+    winnow_match_pairs,
+)
+from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import embedding_drift
+from dbms_data_anonymity_differential_privacy_spark.operators.similarity import (
+    mmr_rerank,
+    mmr_rerank_embeddings,
+)
+from dbms_data_anonymity_differential_privacy_spark.operators.stats import pettitt_test
+
+
+# ---------------------------------------------------------------------------
+# X178 winnowing
+# ---------------------------------------------------------------------------
+
+K, W = 4, 4
+GUARANTEE = W + K - 1  # any shared passage this long must share a fingerprint
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+
+
+def test_winnow_coverage_guarantee(spark):
+    """The paper's theorem: two documents sharing a passage of
+    >= w + k - 1 tokens share at least one selected fingerprint —
+    checked for a passage planted at different offsets in otherwise
+    disjoint documents."""
+    passage = " ".join(f"shared{i}" for i in range(GUARANTEE))
+    for prefix_len in (0, 1, 5, 9):
+        a_prefix = " ".join(f"aa{i}" for i in range(prefix_len))
+        b_prefix = " ".join(f"bb{i}" for i in range(17))
+        a = (a_prefix + " " + passage + " " + "atail0 atail1").strip()
+        b = (b_prefix + " " + passage).strip()
+        fp = winnow_fingerprints(_docs(spark, [a, b]), k=K, w=W)
+        rows = fp.collect()
+        h_a = {r.h for r in rows if r.doc_id == 0}
+        h_b = {r.h for r in rows if r.doc_id == 1}
+        assert h_a & h_b, f"guarantee violated at prefix_len={prefix_len}"
+
+
+def test_winnow_density_and_short_docs(spark):
+    long_doc = " ".join(f"tok{i}" for i in range(200))
+    just_kgrams = " ".join(f"u{i}" for i in range(K))  # exactly 1 k-gram
+    too_short = "a b c"  # < k tokens: no k-grams at all
+    fp = winnow_fingerprints(_docs(spark, [long_doc, just_kgrams, too_short]), k=K, w=W)
+    by_doc = {r[0]: r[1] for r in fp.groupBy("doc_id").count().collect()}
+    n_kgrams = 200 - K + 1
+    # density ~ 2/(w+1); distinct tokens => loose bounds around it
+    assert n_kgrams * 1 / (W + 1) <= by_doc[0] <= n_kgrams * 4 / (W + 1)
+    assert by_doc[1] == 1  # degenerate window selects the single k-gram
+    assert 2 not in by_doc  # sub-k docs contribute nothing
+
+
+def test_winnow_positions_are_selected_minima(spark):
+    """Every selected (h, fpos) is the k-gram actually at that position,
+    and consecutive selections are never more than w positions apart
+    (the winnowing spacing property)."""
+    doc = " ".join(f"v{i % 13}" for i in range(60))
+    fp = winnow_fingerprints(_docs(spark, [doc]), k=K, w=W).orderBy("fpos").collect()
+    positions = [r.fpos for r in fp]
+    assert positions == sorted(positions)
+    assert positions[0] <= W - 1
+    for a, b in zip(positions, positions[1:]):
+        assert b - a <= W, "gap between consecutive fingerprints exceeds w"
+
+
+def test_winnow_pairs_stop_fingerprints_and_invariance(spark):
+    """A passage shared by MORE than max_df docs is boilerplate: it must
+    not produce pairs. The same corpus under a different partitioning
+    produces identical pairs."""
+    boiler = " ".join(f"sub{i}" for i in range(12))
+    texts = [boiler + f" uniq{j}a uniq{j}b uniq{j}c" for j in range(8)]
+    docs = _docs(spark, texts)
+    # max_df=4 < 8 sharers: every boilerplate fingerprint is dropped
+    none = winnow_match_pairs(docs, k=K, w=W, max_df=4, min_shared=1)
+    assert none.count() == 0
+    # max_df high enough: all 28 pairs surface
+    allp = winnow_match_pairs(docs, k=K, w=W, max_df=50, min_shared=1)
+    assert allp.count() == 8 * 7 // 2
+    rep = winnow_match_pairs(docs.repartition(7), k=K, w=W, max_df=50, min_shared=1)
+    assert sorted(map(tuple, allp.collect())) == sorted(map(tuple, rep.collect()))
+
+
+def test_winnow_plan_has_no_cartesian(spark):
+    docs = _docs(spark, ["a b c d e f g h"] * 3)
+    plan = winnow_match_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_winnow_validates(spark):
+    with pytest.raises(ValueError):
+        winnow_fingerprints(_docs(spark, ["a"]), k=0)
+
+
+# ---------------------------------------------------------------------------
+# X179 Pettitt
+# ---------------------------------------------------------------------------
+
+
+def _series(spark, values):
+    return spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(values)], "t LONG, v LONG"
+    )
+
+
+def test_pettitt_planted_step(spark):
+    vals = [10] * 30 + [50] * 30
+    row = pettitt_test(_series(spark, vals)).collect()[0]
+    assert row.n_periods == 60
+    assert row.change_t == 29  # last index of the low regime (0-based)
+    # K for a clean step at n/2 is n^2/4 * ... large; p must be tiny
+    assert row.p_r < 1e-6
+    assert row.k_stat == abs(row.u_at_change)
+
+
+def test_pettitt_constant_series_is_null_result(spark):
+    row = pettitt_test(_series(spark, [7] * 20)).collect()[0]
+    assert row.k_stat == 0
+    assert row.p_r == 1.0
+
+
+def test_pettitt_step_direction_flips_sign(spark):
+    up = pettitt_test(_series(spark, [1] * 10 + [9] * 10)).collect()[0]
+    down = pettitt_test(_series(spark, [9] * 10 + [1] * 10)).collect()[0]
+    assert up.k_stat == down.k_stat
+    assert up.u_at_change == -down.u_at_change
+    assert up.change_t == down.change_t == 9
+
+
+def test_pettitt_matches_direct_computation(spark):
+    """Independent O(n^2) definition: U_t = sum_{i<=t} sum_{j>t}
+    sign(v_i - v_j) over the raw values."""
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9]
+    n = len(vals)
+    best_k, best_t, best_u = -1, None, None
+    for t in range(n - 1):
+        u = sum(
+            (vals[i] > vals[j]) - (vals[i] < vals[j])
+            for i in range(t + 1)
+            for j in range(t + 1, n)
+        )
+        if abs(u) > best_k:
+            best_k, best_t, best_u = abs(u), t, u
+    row = pettitt_test(_series(spark, vals)).collect()[0]
+    assert (row.k_stat, row.change_t, row.u_at_change) == (best_k, best_t, best_u)
+
+
+# ---------------------------------------------------------------------------
+# X180 MMR
+# ---------------------------------------------------------------------------
+
+
+def _rel_sims(spark, rel_rows, sim_rows):
+    rel = spark.createDataFrame(rel_rows, "q_id LONG, c_id LONG, rel DOUBLE")
+    sims = spark.createDataFrame(sim_rows, "q_id LONG, id_a LONG, id_b LONG, sim DOUBLE")
+    return rel, sims
+
+
+def test_mmr_prefers_diversity_over_raw_rank(spark):
+    """c1 and c2 are near-duplicates; c3 is less relevant but novel.
+    Pure relevance picks (c1, c2); MMR at lam=0.7 picks (c1, c3)."""
+    rel, sims = _rel_sims(
+        spark,
+        [(0, 1, 1.0), (0, 2, 0.98), (0, 3, 0.80)],
+        [
+            (0, 1, 2, 0.99), (0, 2, 1, 0.99),
+            (0, 1, 3, 0.10), (0, 3, 1, 0.10),
+            (0, 2, 3, 0.10), (0, 3, 2, 0.10),
+        ],
+    )
+    out = mmr_rerank(rel, sims, k=2, lam=0.7).orderBy("rank").collect()
+    assert [r.c_id for r in out] == [1, 3]
+    assert out[0].score_r == pytest.approx(0.7 * 1.0)
+    assert out[1].score_r == pytest.approx(0.7 * 0.80 - 0.3 * 0.10)
+
+
+def test_mmr_matches_reference_greedy(spark):
+    """Independent in-test greedy over a seeded random instance."""
+    import random
+
+    rng = random.Random(42)
+    cands = list(range(10))
+    rel_rows = [(5, c, round(rng.random(), 9)) for c in cands]
+    sim_rows = []
+    for a in cands:
+        for b in cands:
+            if a < b:
+                s = round(rng.random(), 9)
+                sim_rows += [(5, a, b, s), (5, b, a, s)]
+    relmap = {c: r for _, c, r in rel_rows}
+    simmap = {(a, b): s for _, a, b, s in sim_rows}
+    lam, k = 0.7, 4
+    selected, remaining, expect = [], sorted(cands), []
+    while remaining and len(selected) < k:
+        best_c, best_sc = None, None
+        for c in remaining:
+            ms = max((simmap.get((c, s), 0.0) for s in selected), default=0.0)
+            sc = lam * relmap[c] - (1.0 - lam) * ms
+            if best_sc is None or sc > best_sc:
+                best_c, best_sc = c, sc
+        selected.append(best_c)
+        remaining.remove(best_c)
+        expect.append((5, len(selected), best_c))
+    rel, sims = _rel_sims(spark, rel_rows, sim_rows)
+    out = mmr_rerank(rel, sims, k=k, lam=lam).orderBy("rank").collect()
+    assert [(r.q_id, r["rank"], r.c_id) for r in out] == expect
+
+
+def test_mmr_fewer_candidates_than_k_and_ties(spark):
+    rel, sims = _rel_sims(
+        spark,
+        [(1, 7, 0.5), (1, 3, 0.5)],  # exact tie: smallest id first
+        [(1, 7, 3, 0.0), (1, 3, 7, 0.0)],
+    )
+    out = mmr_rerank(rel, sims, k=5, lam=0.7).orderBy("rank").collect()
+    assert [r.c_id for r in out] == [3, 7]  # tie -> id asc; only 2 rows
+
+
+def test_mmr_validates(spark):
+    rel, sims = _rel_sims(spark, [(0, 1, 0.5)], [(0, 1, 1, 1.0)])
+    with pytest.raises(ValueError):
+        mmr_rerank(rel, sims, k=0)
+    with pytest.raises(ValueError):
+        mmr_rerank(rel, sims, lam=1.5)
+
+
+def test_mmr_embeddings_wrapper_invariants(spark, sf0001):
+    out = mmr_rerank_embeddings(
+        spark.read.parquet(f"{sf0001}/embeddings.parquet"),
+        query_mod=50, n_cand=8, k=3,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, rows in by_q.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        assert len({r.c_id for r in rows}) == len(rows)
+        assert q % 50 == 0
+
+
+# ---------------------------------------------------------------------------
+# X181 embedding drift
+# ---------------------------------------------------------------------------
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+
+def test_drift_identical_populations_is_zero(spark):
+    import random
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(40)]
+    rows = []
+    for i, v in enumerate(vecs):  # even id and odd id carry the SAME vector
+        rows += [(2 * i, v), (2 * i + 1, v)]
+    row = embedding_drift(
+        _emb(spark, rows), (F.col("vec_id") % 2) == 1, in_dim=8, bits=4
+    ).collect()[0]
+    assert row.n_a == row.n_b == 40
+    assert row.cells_a == row.cells_b
+    assert row.psi_r == 0.0
+    assert row.tv_r == 0.0
+
+
+def test_drift_planted_shift_detected(spark):
+    rows = []
+    for i in range(40):
+        base = [1.0 + 0.01 * i] + [0.05] * 7  # population A: +e1 cone
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, [-x for x in base]))  # B: mirrored cone
+    row = embedding_drift(
+        _emb(spark, rows), (F.col("vec_id") % 2) == 1, in_dim=8, bits=4
+    ).collect()[0]
+    assert row.psi_r > 0.25  # "major shift" rule-of-thumb
+    assert row.tv_r > 0.5
+
+
+def test_drift_malformed_rows_dropped_and_validates(spark):
+    rows = [(0, [1.0] * 8), (1, None), (2, [1.0] * 3), (3, [1.0] * 8)]
+    row = embedding_drift(
+        _emb(spark, rows), (F.col("vec_id") % 2) == 1, in_dim=8, bits=4
+    ).collect()[0]
+    assert row.n_a + row.n_b == 2  # ids 1 (null) and 2 (wrong dim) dropped
+    with pytest.raises(ValueError):
+        embedding_drift(_emb(spark, rows), F.lit(True), in_dim=8, bits=0)
