@@ -232,6 +232,8 @@ HEADLINE = [
     "x179_pettitt",
     "x180_mmr_rerank",
     "x181_embedding_drift",
+    "x182_split_conformal",
+    "x183_mutual_knn",
 ]
 
 

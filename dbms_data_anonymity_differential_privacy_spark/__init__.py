@@ -91,6 +91,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.similarity import 
     knn_join,
     mmr_rerank,
     mmr_rerank_embeddings,
+    mutual_knn_pairs,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.sampling import (
     hash_sample,
@@ -216,6 +217,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
     group_ols,
     mutual_information,
     pettitt_test,
+    split_conformal,
     ab_test_proportions,
     benford_audit,
     chi_squared,
@@ -290,8 +292,10 @@ __all__ = [
     "winnow_match_pairs",
     "embedding_drift",
     "pettitt_test",
+    "split_conformal",
     "mmr_rerank",
     "mmr_rerank_embeddings",
+    "mutual_knn_pairs",
     "dedup_by_fingerprint",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",

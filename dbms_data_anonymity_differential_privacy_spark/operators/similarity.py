@@ -737,3 +737,45 @@ def mmr_rerank_embeddings(
         )
     )
     return mmr_rerank(rel, sims, k=k, lam=lam)
+
+
+def mutual_knn_pairs(
+    df: DataFrame,
+    m: int = 5,
+    block_col: str | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    impl: str | None = None,
+) -> DataFrame:
+    """X183 — reciprocal (mutual) k-NN pairs: ``(a, b)`` where ``b`` is in
+    ``a``'s top-m neighbors AND ``a`` is in ``b``'s — the standard
+    high-precision filter on top of raw nearest-neighbor candidates
+    (asymmetric hubs fail it: a centroid-ish vector appears in everyone's
+    top-m, but its own top-m holds only its true peers, so hub edges are
+    dropped). Used as the edge set for high-confidence embedding dedup
+    and as the k-reciprocal re-ranking primitive (Zhong et al. 2017).
+
+    Pure composition: the directed top-m relation comes from
+    :func:`cosine_pairs_topm` (bounded <= n*m rows by construction,
+    map-side WindowGroupLimit partial), then ONE equi-join of that slim
+    relation with itself on the reversed key — never touches vectors
+    again, never exceeds n*m rows on either side. Output
+    ``(id_a, id_b, cos, rank_ab, rank_ba)`` with ``id_a < id_b``:
+    ``rank_ab`` = b's rank in a's list, ``rank_ba`` = a's rank in b's.
+    """
+    d = cosine_pairs_topm(
+        df, m=m, block_col=block_col, vec_col=vec_col, id_col=id_col, impl=impl
+    )
+    fwd = d.select("id_a", "id_b", "cos", F.col("rnk").alias("rank_ab"))
+    rev = d.select(
+        F.col("id_a").alias("__ra"), F.col("id_b").alias("__rb"),
+        F.col("rnk").alias("rank_ba"),
+    )
+    return (
+        fwd.join(
+            rev,
+            (F.col("id_a") == F.col("__rb")) & (F.col("id_b") == F.col("__ra")),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "cos", "rank_ab", "rank_ba")
+    )

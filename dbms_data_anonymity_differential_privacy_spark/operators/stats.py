@@ -2494,3 +2494,102 @@ def pettitt_test(
             9,
         ).alias("p_r"),
     )
+
+
+def split_conformal(
+    df: DataFrame,
+    y_col: str,
+    group_cols: Sequence[str],
+    id_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """X182 — split-conformal prediction intervals (Papadopoulos et al.
+    2002; Vovk's inductive conformal prediction; the Lei et al. 2018
+    distribution-free regression recipe): the standard
+    finite-sample-valid uncertainty wrapper for ANY predictor — here the
+    per-group mean, the simplest exchangeable baseline. An ML-eval op a
+    training pipeline needs next to accuracy (c10) and calibration
+    (x136): "what +-q certifies 90% coverage, and does held-out coverage
+    actually hit it?"
+
+    Protocol, exact and engine-portable end to end:
+
+    - split by id parity: calibration = even, evaluation = odd (a
+      deterministic, partitioning-independent split — the x10 idiom);
+    - predictor: the calibration-half group mean, ROUNDED AT 6 dp before
+      any residual is formed (both engines' float sums agree to ~1e-10
+      relative; rounding makes the *predictor* bit-identical so every
+      residual after it is an exact IEEE subtraction of shared doubles);
+    - nonconformity: absolute residual; q_hat = the k-th smallest
+      calibration residual with ``k = ceil((n_cal + 1) (1 - alpha))`` —
+      the conformal index that gives the >= 1 - alpha finite-sample
+      guarantee (NOT the naive empirical quantile, which undercovers);
+      an exact order statistic, no interpolation;
+    - coverage = fraction of evaluation residuals <= q_hat, an exact
+      int/int ratio.
+
+    Groups where ``k > n_cal`` (calibration too small for the requested
+    alpha: the honest interval is infinite) are RELEASED with NULL
+    ``q_r``/``coverage_r`` rather than dropped — an auditor must see
+    which groups could not be certified. Evaluation rows in groups with
+    no calibration rows at all have no predictor and are not released
+    (no row, disclosed here).
+
+    Output per group: ``(*group_cols, n_cal, n_eval, q_r, coverage_r)``
+    — q at 6 dp, coverage at 9.
+
+    Scale shape: one shuffle on the group key for the calibration
+    aggregate, one for the order statistic (window over each group's
+    CALIBRATION rows only), one broadcast-size join of the per-group
+    (yhat, q) relation back to evaluation rows; no corpus-wide sort.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    gcols = list(group_cols)
+    y = F.col(y_col).cast("double")
+    rows = df.filter(y.isNotNull())
+    cal = rows.filter((F.col(id_col) % 2) == 0)
+    ev = rows.filter((F.col(id_col) % 2) == 1)
+    stats = cal.groupBy(*gcols).agg(
+        F.round(F.sum(y) / F.count(F.lit(1)), 6).alias("__yhat"),
+        F.count(F.lit(1)).alias("n_cal"),
+        F.ceil((F.count(F.lit(1)) + 1) * F.lit(1.0 - alpha)).cast("long").alias("__k"),
+    )
+    calr = cal.join(stats, gcols).select(
+        *gcols,
+        F.abs(y - F.col("__yhat")).alias("__r"),
+        F.col(id_col).alias("__id"),
+        "__k",
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(*gcols).orderBy(F.col("__r"), F.col("__id"))
+    )
+    q = (
+        calr.withColumn("__rn", rn)
+        .filter(F.col("__rn") == F.col("__k"))
+        .select(*gcols, F.col("__r").alias("__q"))
+    )
+    per_group = stats.join(q, gcols, "left")  # k > n_cal -> no q row -> NULL
+    evr = ev.join(per_group, gcols).select(
+        *gcols, F.abs(y - F.col("__yhat")).alias("__r"), "__q"
+    )
+    cov = evr.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.round(
+            F.sum((F.col("__r") <= F.col("__q")).cast("long"))
+            / F.count(F.lit(1)),
+            9,
+        ).alias("coverage_r"),
+    )
+    return (
+        per_group.join(cov, gcols, "left")
+        .select(
+            *gcols,
+            F.col("n_cal").cast("long").alias("n_cal"),
+            F.coalesce(F.col("n_eval"), F.lit(0)).cast("long").alias("n_eval"),
+            F.round(F.col("__q"), 6).alias("q_r"),
+            F.when(F.col("__q").isNotNull(), F.col("coverage_r")).alias("coverage_r"),
+        )
+    )

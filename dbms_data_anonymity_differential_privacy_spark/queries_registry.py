@@ -9469,6 +9469,103 @@ def x181_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X182 — split-conformal prediction intervals (operators/stats.py
+# split_conformal): per-segment mean predictor fit on the even-id
+# calibration half, conformal k = ceil((n+1)(1-alpha)) order statistic,
+# held-out coverage on the odd-id half. The predictor is rounded at 6 dp
+# BEFORE residuals form, so every residual is an exact IEEE subtraction
+# of shared doubles; (1 - alpha) is embedded via repr and CAST AS DOUBLE
+# so DuckDB multiplies the same double instead of a DECIMAL 0.9.
+# --------------------------------------------------------------------------
+_X182_ALPHA = 0.1
+
+
+@query(
+    "x182_split_conformal",
+    f"""
+    WITH rws AS (SELECT c_mktsegment AS seg, CAST(c_acctbal AS DOUBLE) AS y,
+                        c_custkey AS id
+                 FROM customer WHERE c_acctbal IS NOT NULL),
+    cal AS (SELECT * FROM rws WHERE id % 2 = 0),
+    ev  AS (SELECT * FROM rws WHERE id % 2 = 1),
+    st AS (SELECT seg, ROUND(SUM(y) / COUNT(*), 6) AS yhat,
+                  COUNT(*) AS n_cal,
+                  CAST(ceil((COUNT(*) + 1) * CAST({1.0 - _X182_ALPHA!r} AS DOUBLE))
+                       AS BIGINT) AS k
+           FROM cal GROUP BY seg),
+    calr AS (SELECT cal.seg, ABS(cal.y - st.yhat) AS r, cal.id, st.k
+             FROM cal JOIN st USING (seg)),
+    q AS (SELECT seg, r AS q FROM (
+            SELECT seg, r, k,
+                   ROW_NUMBER() OVER (PARTITION BY seg ORDER BY r, id) AS rn
+            FROM calr) WHERE rn = k),
+    pg AS (SELECT st.seg, st.yhat, st.n_cal, q.q FROM st LEFT JOIN q USING (seg)),
+    evr AS (SELECT ev.seg, ABS(ev.y - pg.yhat) AS r, pg.q
+            FROM ev JOIN pg USING (seg)),
+    cov AS (SELECT seg, COUNT(*) AS n_eval,
+                   ROUND(SUM(CASE WHEN r <= q THEN 1 ELSE 0 END) * 1.0
+                         / COUNT(*), 9) AS coverage_r
+            FROM evr GROUP BY seg)
+    SELECT pg.seg AS c_mktsegment, CAST(pg.n_cal AS BIGINT) AS n_cal,
+           CAST(COALESCE(cov.n_eval, 0) AS BIGINT) AS n_eval,
+           ROUND(pg.q, 6) AS q_r,
+           CASE WHEN pg.q IS NOT NULL THEN cov.coverage_r END AS coverage_r
+    FROM pg LEFT JOIN cov USING (seg)
+    """,
+)
+def x182_split_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 90% intervals for account balance per market
+    segment: parity split, group-mean predictor, conformal order
+    statistic, held-out coverage."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import split_conformal
+
+    c = load_table(spark, sf_dir, "customer")
+    return split_conformal(
+        c, "c_acctbal", ["c_mktsegment"], "c_custkey", alpha=_X182_ALPHA
+    )
+
+
+# --------------------------------------------------------------------------
+# X183 — reciprocal (mutual) k-NN pairs (operators/similarity.py
+# mutual_knn_pairs): the high-precision dedup edge set — b in a's top-m
+# AND a in b's. Pure composition on the x04 directed top-m relation
+# (<= n*m rows), then one reversed-key equi-join of that slim relation
+# with itself; oracle reuses the x04 SQL shape verbatim plus the join.
+# --------------------------------------------------------------------------
+@query(
+    "x183_mutual_knn",
+    f"""
+    WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                      ROUND({{DCOS}}, 6) AS cos
+               FROM embeddings a JOIN embeddings b
+                 ON a.label = b.label AND a.vec_id <> b.vec_id),
+    r AS (SELECT id_a, id_b, cos,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY id_a
+                      ORDER BY cos DESC NULLS LAST, id_b) AS INTEGER) AS rnk
+          FROM p),
+    d AS (SELECT id_a, id_b, cos, rnk FROM r WHERE rnk <= 5)
+    SELECT d.id_a, d.id_b, d.cos, d.rnk AS rank_ab, e.rnk AS rank_ba
+    FROM d JOIN d e ON d.id_a = e.id_b AND d.id_b = e.id_a
+    WHERE d.id_a < d.id_b
+    """,
+)
+def x183_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual top-5 cosine neighbors within label blocks: hub-robust
+    high-confidence near-dup edges with both directed ranks."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.similarity import (
+        mutual_knn_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mutual_knn_pairs(emb, m=5, block_col="label", impl="sql")
+
+
+ORACLE_SQL["x183_mutual_knn"] = ORACLE_SQL["x183_mutual_knn"].replace(
+    "{DCOS}", _duck_cos("a.embedding", "b.embedding")
+)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries per round; the rotation policy (since round 7) is
 # BY STALENESS — new debuts and output/plan-changed queries first, then
@@ -9480,12 +9577,13 @@ def x181_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINDOW_R8 = [
     # Round-7 rotation, now BY STALENESS (r6 verdict task 5): round 6
     # returned 50/50 green, so the whole r6 window holds fresh driver
-    # rows and rotates out. Slots 1-13: the eight r7 debuts
+    # rows and rotates out. Slots 1-15: the ten r7 debuts
     # (x175_semantic_dedup_auto, pipe_private_export_stream,
     # x176_line_dedup, x177_random_projection, x178_winnowing,
-    # x179_pettitt, x180_mmr_rerank, x181_embedding_drift — the last
-    # four displaced x13/x14/x16/x17, which sit exactly AT max
-    # staleness 5 and lead the r8 rotation) and five deliberate
+    # x179_pettitt, x180_mmr_rerank, x181_embedding_drift,
+    # x182_split_conformal, x183_mutual_knn — the last six displaced
+    # x11/x12/x13/x14/x16/x17, which sit exactly AT max staleness 5
+    # and lead the r8 rotation) and five deliberate
     # re-checks of queries whose OUTPUT or physical plan changed this
     # round (noise-moment audits gained scale_r and the gaussian path
     # recalibrated to eps=0.5; x174's pair relation gained the
@@ -9507,6 +9605,8 @@ _WINDOW_R8 = [
     "x179_pettitt",
     "x180_mmr_rerank",
     "x181_embedding_drift",
+    "x182_split_conformal",
+    "x183_mutual_knn",
     "x01_dp_noise_moments",
     "x01_dp_noise_moments_gauss",
     "x174_leakage_safe_split",
@@ -9547,8 +9647,6 @@ _WINDOW_R8 = [
     "x05_text_features",
     "x06_stream_window_kanon",
     "x10_hash_split",
-    "x11_sessionize",
-    "x12_equal_freq_bin",
 ]
 
 

@@ -299,3 +299,113 @@ def test_drift_malformed_rows_dropped_and_validates(spark):
     assert row.n_a + row.n_b == 2  # ids 1 (null) and 2 (wrong dim) dropped
     with pytest.raises(ValueError):
         embedding_drift(_emb(spark, rows), F.lit(True), in_dim=8, bits=0)
+
+
+# ---------------------------------------------------------------------------
+# X182 split conformal
+# ---------------------------------------------------------------------------
+
+
+def test_conformal_small_case_exact(spark):
+    """Hand-computed: one group, calibration residuals known, k = ceil
+    ((n_cal+1)*0.5) at alpha=0.5."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import split_conformal
+
+    # even ids (cal): y = 10, 20, 30, 40 -> mean 25; residuals 15, 5, 5, 15
+    # odd ids (eval): y = 24, 26, 50 -> residuals 1, 1, 25
+    rows = [(0, 10.0), (2, 20.0), (4, 30.0), (6, 40.0),
+            (1, 24.0), (3, 26.0), (5, 50.0)]
+    df = spark.createDataFrame([(i, "g", y) for i, y in rows], "id LONG, g STRING, y DOUBLE")
+    out = split_conformal(df, "y", ["g"], "id", alpha=0.5).collect()[0]
+    # k = ceil(5 * 0.5) = 3 -> sorted cal residuals [5, 5, 15, 15] -> q = 15
+    assert out.n_cal == 4 and out.n_eval == 3
+    assert out.q_r == 15.0
+    assert out.coverage_r == pytest.approx(2 / 3)
+
+
+def test_conformal_coverage_guarantee_on_synthetic(spark):
+    """Finite-sample guarantee: held-out coverage ~ 1 - alpha for
+    exchangeable data (deterministic pseudo-noise, generous slack)."""
+    import random
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import split_conformal
+
+    rng = random.Random(3)
+    data = [(i, f"g{i % 3}", 100.0 + rng.gauss(0, 5)) for i in range(3000)]
+    df = spark.createDataFrame(data, "id LONG, g STRING, y DOUBLE")
+    for r in split_conformal(df, "y", ["g"], "id", alpha=0.1).collect():
+        assert 0.85 <= r.coverage_r <= 0.95, r
+
+
+def test_conformal_uncertifiable_group_released_null(spark):
+    """k > n_cal (tiny calibration at small alpha): the group is released
+    with NULL q/coverage, not silently dropped."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import split_conformal
+
+    df = spark.createDataFrame(
+        [(0, "g", 1.0), (2, "g", 2.0), (1, "g", 1.5)], "id LONG, g STRING, y DOUBLE"
+    )
+    out = split_conformal(df, "y", ["g"], "id", alpha=0.1).collect()
+    # n_cal = 2, k = ceil(3 * 0.9) = 3 > 2
+    assert len(out) == 1 and out[0].q_r is None and out[0].coverage_r is None
+    with pytest.raises(ValueError):
+        split_conformal(df, "y", ["g"], "id", alpha=0.0)
+
+
+# ---------------------------------------------------------------------------
+# X183 mutual kNN
+# ---------------------------------------------------------------------------
+
+
+def test_mutual_knn_drops_hub_edges(spark):
+    """A hub near everyone appears in every top-m, but its own top-m only
+    holds its true peers: non-peer hub edges must not survive."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.similarity import (
+        mutual_knn_pairs,
+    )
+
+    # two tight clusters + a hub between them (8-dim)
+    rows = []
+    for i in range(4):  # cluster A around +e1
+        rows.append((i, [10.0, 0.1 * i, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))
+    for i in range(4):  # cluster B around +e2
+        rows.append((10 + i, [0.1 * i, 10.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))
+    rows.append((99, [7.0, 7.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))  # hub
+    df = spark.createDataFrame(
+        [(i, v, "x") for i, v in rows], "vec_id LONG, embedding ARRAY<DOUBLE>, label STRING"
+    )
+    pairs = mutual_knn_pairs(df, m=3, block_col="label", impl="sql").collect()
+    ids = {(r.id_a, r.id_b) for r in pairs}
+    # the hub is in everyone's top-3 candidate range, but its own top-3
+    # cannot cover 8 vectors: at most 3 hub edges survive
+    hub_edges = [p for p in ids if 99 in p]
+    assert len(hub_edges) <= 3
+    # within-cluster mutual edges survive
+    assert any(a < 4 and b < 4 for a, b in ids)
+    for r in pairs:
+        assert r.id_a < r.id_b
+        assert 1 <= r.rank_ab <= 3 and 1 <= r.rank_ba <= 3
+
+
+def test_mutual_knn_matches_direct_computation(spark, sf0001):
+    """Reciprocity check against the directed relation itself."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.similarity import (
+        cosine_pairs_topm,
+        mutual_knn_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf0001}/embeddings.parquet")
+    directed = {
+        (r.id_a, r.id_b): r.rnk
+        for r in cosine_pairs_topm(emb, m=4, block_col="label", impl="sql").collect()
+    }
+    expect = {
+        (a, b): (r1, directed[(b, a)])
+        for (a, b), r1 in directed.items()
+        if (b, a) in directed and a < b
+    }
+    got = {
+        (r.id_a, r.id_b): (r.rank_ab, r.rank_ba)
+        for r in mutual_knn_pairs(emb, m=4, block_col="label", impl="sql").collect()
+    }
+    assert got == expect and len(got) > 0
