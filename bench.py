@@ -234,6 +234,8 @@ HEADLINE = [
     "x181_embedding_drift",
     "x182_split_conformal",
     "x183_mutual_knn",
+    "x184_good_turing",
+    "x185_heaps_fit",
 ]
 
 

@@ -101,7 +101,12 @@ from dbms_data_anonymity_differential_privacy_spark.operators.sampling import (
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.packing import pack_concat_chunks
 from dbms_data_anonymity_differential_privacy_spark.operators.search import bm25_topk, bm25_topk_many
-from dbms_data_anonymity_differential_privacy_spark.operators.text import text_stats, with_text_features
+from dbms_data_anonymity_differential_privacy_spark.operators.text import (
+    good_turing_stats,
+    heaps_fit,
+    text_stats,
+    with_text_features,
+)
 from dbms_data_anonymity_differential_privacy_spark.operators.lm import bigram_lm_scores
 from dbms_data_anonymity_differential_privacy_spark.operators.clean import (
     clean_text,
@@ -296,6 +301,8 @@ __all__ = [
     "mmr_rerank",
     "mmr_rerank_embeddings",
     "mutual_knn_pairs",
+    "good_turing_stats",
+    "heaps_fit",
     "dedup_by_fingerprint",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",

@@ -606,3 +606,137 @@ def feature_hashing(
         .agg(F.sum("__s").cast("long").alias("feat"))
         .filter(F.col("feat") != 0)
     )
+
+
+def good_turing_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """X184 — Good–Turing unseen-mass and richness estimates (Good 1953;
+    Gale & Sampson 1995 for the smoothing framing; Chao 1984 for the
+    richness bound): from the token frequency spectrum alone, estimate
+    (a) the probability mass of token types NOT yet seen — the number
+    every vocabulary/coverage decision (tokenizer fit, OOV budget, "have
+    we crawled enough?") actually needs — and (b) the Chao1 lower bound
+    on the true vocabulary size.
+
+    - ``gt_unseen_r``: V1 / N — the Good–Turing estimate that the next
+      token drawn is a NEW type (V1 = hapax count, N = token count);
+    - ``coverage_r``: 1 − V1/N, the estimated type coverage;
+    - ``chao1_r``: V + V1(V1−1) / (2(V2+1)) — the bias-corrected Chao1
+      richness floor (exact rational; the +1 keeps it defined when no
+      type occurs exactly twice).
+
+    All three are one exact integer-ratio expression each, rounded at
+    6 dp. Optionally grouped (e.g. per language) via ``group_cols``.
+
+    Scale shape: one tokenization pass, ONE shuffle into (token, count),
+    a second slim aggregation of the frequency spectrum (counts of
+    counts) — the released relation is one row per group. The spectrum
+    aggregation partial-combines, so corpus-scale token skew collapses
+    map-side.
+    """
+    gcols = list(group_cols or [])
+    toks = F.split(F.lower(F.trim(F.col(text_col))), WS)
+    e = fan_out(df).select(*gcols, F.explode(toks).alias("__t")).filter(F.col("__t") != "")
+    tf = e.groupBy(*gcols, "__t").agg(F.count(F.lit(1)).alias("__c"))
+    spec = tf.groupBy(*gcols).agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum((F.col("__c") == 1).cast("long")).alias("v1"),
+        F.sum((F.col("__c") == 2).cast("long")).alias("v2"),
+    )
+    n = F.col("n_tokens").cast("double")
+    v1 = F.col("v1").cast("double")
+    v2 = F.col("v2").cast("double")
+    return spec.select(
+        *gcols,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("vocab").cast("long").alias("vocab"),
+        F.col("v1").cast("long").alias("v1"),
+        F.col("v2").cast("long").alias("v2"),
+        F.round(v1 / n, 6).alias("gt_unseen_r"),
+        F.round(1.0 - v1 / n, 6).alias("coverage_r"),
+        F.round(
+            F.col("vocab").cast("double") + v1 * (v1 - 1.0) / (2.0 * (v2 + 1.0)), 6
+        ).alias("chao1_r"),
+    )
+
+
+def heaps_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X185 — Heaps' law fit (Heaps 1978; Herdan 1960): vocabulary growth
+    ``V(N) ≈ K·N^beta`` — the planning curve for "how much bigger does
+    the vocabulary get if we crawl 10x more?". The exponent beta (~0.5
+    for natural language) is the released quantity; a corpus whose beta
+    is drifting up is picking up junk (serial numbers, hashes), one
+    drifting to 0 is saturating.
+
+    The growth CURVE is computed exactly, one point per document in
+    ``id_col`` order (a deterministic corpus order both engines share):
+    ``N(d)`` = cumulative token count through doc d, ``V(d)`` =
+    cumulative distinct types — each type counted at its FIRST document
+    (min doc id per token: a partial-combining aggregation, no
+    corpus-order scan of occurrences). The fit is closed-form log-log
+    OLS over all curve points: ``beta = (n·Σxy − Σx·Σy) /
+    (n·Σx² − (Σx)²)`` with x = ln N(d), y = ln V(d), ``K = exp(ȳ −
+    beta·x̄)``; both engines sum the same libm ln values (the x145/x154
+    contract), released at 6 dp.
+
+    Output (single row): ``(n_docs, n_tokens, vocab, beta_r, k_r)``.
+
+    Scale shape: the two corpus-wide shuffles are (token → first doc)
+    and (doc → token count); the curve and the fit then live on the
+    per-DOCUMENT relation (one row per doc — millions, not billions),
+    with two cumulative windows and one closed-form aggregation over it.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), WS)
+    e = fan_out(df).select(F.col(id_col), F.explode(toks).alias("__t")).filter(
+        F.col("__t") != ""
+    )
+    per_doc = e.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nt"))
+    first = e.groupBy("__t").agg(F.min(id_col).alias("__fd"))
+    new_types = first.groupBy(F.col("__fd").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("__nv")
+    )
+    from pyspark.sql import Window
+
+    cum = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        per_doc.join(new_types, id_col, "left")
+        .select(id_col, "__nt", F.coalesce("__nv", F.lit(0)).alias("__nv"))
+        .select(
+            id_col,
+            F.sum("__nt").over(cum).alias("__N"),
+            F.sum("__nv").over(cum).alias("__V"),
+        )
+        .filter((F.col("__N") > 0) & (F.col("__V") > 0))
+    )
+    x = F.log(F.col("__N").cast("double"))
+    y = F.log(F.col("__V").cast("double"))
+    s = curve.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.max("__N").cast("long").alias("n_tokens"),
+        F.max("__V").cast("long").alias("vocab"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_docs"),
+        "n_tokens",
+        "vocab",
+        F.round(beta, 6).alias("beta_r"),
+        F.round(
+            F.exp(F.col("sy") / F.col("n") - beta * (F.col("sx") / F.col("n"))), 6
+        ).alias("k_r"),
+    )

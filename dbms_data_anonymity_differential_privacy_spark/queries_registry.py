@@ -9566,6 +9566,90 @@ ORACLE_SQL["x183_mutual_knn"] = ORACLE_SQL["x183_mutual_knn"].replace(
 
 
 # --------------------------------------------------------------------------
+# X184 — Good–Turing unseen mass + Chao1 richness (operators/text.py
+# good_turing_stats): exact integer frequency-spectrum ratios per
+# language, rounded at 6 dp.
+# --------------------------------------------------------------------------
+@query(
+    "x184_good_turing",
+    """
+    WITH e AS (SELECT lang,
+                      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+               FROM documents),
+    tf AS (SELECT lang, t, COUNT(*) AS c FROM e WHERE t <> '' GROUP BY lang, t),
+    spec AS (SELECT lang, SUM(c) AS n_tokens, COUNT(*) AS vocab,
+                    SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS v1,
+                    SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS v2
+             FROM tf GROUP BY lang)
+    SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(vocab AS BIGINT) AS vocab,
+           CAST(v1 AS BIGINT) AS v1, CAST(v2 AS BIGINT) AS v2,
+           ROUND(CAST(v1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS gt_unseen_r,
+           ROUND(1.0 - CAST(v1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS coverage_r,
+           ROUND(CAST(vocab AS DOUBLE)
+                 + CAST(v1 AS DOUBLE) * (CAST(v1 AS DOUBLE) - 1.0)
+                   / (2.0 * (CAST(v2 AS DOUBLE) + 1.0)), 6) AS chao1_r
+    FROM spec
+    """,
+)
+def x184_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing unseen-token mass, type coverage, and Chao1 richness
+    floor per language."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import good_turing_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return good_turing_stats(docs, group_cols=["lang"])
+
+
+# --------------------------------------------------------------------------
+# X185 — Heaps' law vocabulary-growth fit (operators/text.py heaps_fit):
+# the growth curve is exact (first-doc-per-type counting, one point per
+# document in id order); the log-log OLS sums libm ln values on both
+# engines (x145/x154 contract) and releases beta/K at 6 dp.
+# --------------------------------------------------------------------------
+@query(
+    "x185_heaps_fit",
+    """
+    WITH e AS (SELECT doc_id,
+                      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+               FROM documents),
+    e2 AS (SELECT doc_id, t FROM e WHERE t <> ''),
+    pd AS (SELECT doc_id, COUNT(*) AS nt FROM e2 GROUP BY doc_id),
+    fd AS (SELECT t, MIN(doc_id) AS fdoc FROM e2 GROUP BY t),
+    nv AS (SELECT fdoc AS doc_id, COUNT(*) AS nv FROM fd GROUP BY fdoc),
+    curve AS (SELECT pd.doc_id,
+                     SUM(pd.nt) OVER (ORDER BY pd.doc_id ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND CURRENT ROW) AS N,
+                     SUM(COALESCE(nv.nv, 0)) OVER (ORDER BY pd.doc_id ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND CURRENT ROW) AS V
+              FROM pd LEFT JOIN nv USING (doc_id)),
+    c2 AS (SELECT * FROM curve WHERE N > 0 AND V > 0),
+    s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 SUM(ln(CAST(N AS DOUBLE))) AS sx,
+                 SUM(ln(CAST(V AS DOUBLE))) AS sy,
+                 SUM(ln(CAST(N AS DOUBLE)) * ln(CAST(N AS DOUBLE))) AS sxx,
+                 SUM(ln(CAST(N AS DOUBLE)) * ln(CAST(V AS DOUBLE))) AS sxy,
+                 MAX(N) AS n_tokens, MAX(V) AS vocab
+          FROM c2)
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(vocab AS BIGINT) AS vocab,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta_r,
+           ROUND(EXP(sy / n - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                 * (sx / n)), 6) AS k_r
+    FROM s
+    """,
+)
+def x185_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law V = K*N^beta fit over the exact per-document
+    vocabulary-growth curve."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import heaps_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return heaps_fit(docs)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries per round; the rotation policy (since round 7) is
 # BY STALENESS — new debuts and output/plan-changed queries first, then
@@ -9577,12 +9661,13 @@ ORACLE_SQL["x183_mutual_knn"] = ORACLE_SQL["x183_mutual_knn"].replace(
 _WINDOW_R8 = [
     # Round-7 rotation, now BY STALENESS (r6 verdict task 5): round 6
     # returned 50/50 green, so the whole r6 window holds fresh driver
-    # rows and rotates out. Slots 1-15: the ten r7 debuts
+    # rows and rotates out. Slots 1-17: the twelve r7 debuts
     # (x175_semantic_dedup_auto, pipe_private_export_stream,
     # x176_line_dedup, x177_random_projection, x178_winnowing,
     # x179_pettitt, x180_mmr_rerank, x181_embedding_drift,
-    # x182_split_conformal, x183_mutual_knn — the last six displaced
-    # x11/x12/x13/x14/x16/x17, which sit exactly AT max staleness 5
+    # x182_split_conformal, x183_mutual_knn, x184_good_turing,
+    # x185_heaps_fit — the last eight displaced x06_stream_window_kanon/
+    # x10/x11/x12/x13/x14/x16/x17, which sit exactly AT max staleness 5
     # and lead the r8 rotation) and five deliberate
     # re-checks of queries whose OUTPUT or physical plan changed this
     # round (noise-moment audits gained scale_r and the gaussian path
@@ -9607,6 +9692,8 @@ _WINDOW_R8 = [
     "x181_embedding_drift",
     "x182_split_conformal",
     "x183_mutual_knn",
+    "x184_good_turing",
+    "x185_heaps_fit",
     "x01_dp_noise_moments",
     "x01_dp_noise_moments_gauss",
     "x174_leakage_safe_split",
@@ -9645,8 +9732,6 @@ _WINDOW_R8 = [
     "x03_ngram_jaccard",
     "x04_cosine_topk",
     "x05_text_features",
-    "x06_stream_window_kanon",
-    "x10_hash_split",
 ]
 
 

@@ -409,3 +409,63 @@ def test_mutual_knn_matches_direct_computation(spark, sf0001):
         for r in mutual_knn_pairs(emb, m=4, block_col="label", impl="sql").collect()
     }
     assert got == expect and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# X184 Good-Turing / X185 Heaps
+# ---------------------------------------------------------------------------
+
+
+def test_good_turing_spectrum_identity(spark):
+    """Hand-built corpus with a known frequency spectrum."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import good_turing_stats
+
+    # tokens: a a a  b b  c  d  -> N=7, V=4, V1=2 (c,d), V2=1 (b)
+    docs = spark.createDataFrame(
+        [(0, "a a a b"), (1, "b c d")], "doc_id LONG, text STRING"
+    )
+    row = good_turing_stats(docs).collect()[0]
+    assert (row.n_tokens, row.vocab, row.v1, row.v2) == (7, 4, 2, 1)
+    assert row.gt_unseen_r == pytest.approx(2 / 7, abs=1e-6)
+    assert row.coverage_r == pytest.approx(1 - 2 / 7, abs=1e-6)
+    # chao1 = 4 + 2*1 / (2*(1+1)) = 4.5
+    assert row.chao1_r == pytest.approx(4.5, abs=1e-6)
+
+
+def test_good_turing_groups_partition_the_corpus(spark, sf0001):
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import good_turing_stats
+
+    docs = spark.read.parquet(f"{sf0001}/documents.parquet")
+    whole = good_turing_stats(docs).collect()[0]
+    parts = good_turing_stats(docs, group_cols=["lang"]).collect()
+    assert sum(r.n_tokens for r in parts) == whole.n_tokens
+    for r in parts:
+        assert 0.0 <= r.gt_unseen_r <= 1.0
+        assert r.chao1_r >= r.vocab
+
+
+def test_heaps_fit_recovers_planted_exponent(spark):
+    """A corpus engineered so V(N) = N^0.5 exactly at every document:
+    doc d contributes 2d+1 tokens of which d+1... simpler: make each doc
+    d (1-based) bring total N = d^2 and V = d, i.e. beta = 0.5, K = 1."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import heaps_fit
+
+    docs = []
+    for d in range(1, 25):
+        n_new_tokens = d * d - (d - 1) * (d - 1)  # 2d - 1 occurrences
+        # one NEW type (w{d}) + repeats of the first type to pad
+        toks = [f"w{d}"] + ["w1"] * (n_new_tokens - 1)
+        docs.append((d, " ".join(toks)))
+    row = heaps_fit(spark.createDataFrame(docs, "doc_id LONG, text STRING")).collect()[0]
+    assert row.n_docs == 24
+    assert row.n_tokens == 24 * 24 and row.vocab == 24
+    assert row.beta_r == pytest.approx(0.5, abs=1e-6)
+    assert row.k_r == pytest.approx(1.0, abs=1e-6)
+
+
+def test_heaps_fit_beta_in_natural_range_on_fixture(spark, sf0001):
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import heaps_fit
+
+    row = heaps_fit(spark.read.parquet(f"{sf0001}/documents.parquet")).collect()[0]
+    assert 0.0 < row.beta_r < 1.0
+    assert row.vocab <= row.n_tokens
