@@ -236,6 +236,7 @@ HEADLINE = [
     "x183_mutual_knn",
     "x184_good_turing",
     "x185_heaps_fit",
+    "x186_stream_drift",
 ]
 
 

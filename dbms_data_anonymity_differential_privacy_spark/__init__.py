@@ -101,6 +101,11 @@ from dbms_data_anonymity_differential_privacy_spark.operators.sampling import (
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.packing import pack_concat_chunks
 from dbms_data_anonymity_differential_privacy_spark.operators.search import bm25_topk, bm25_topk_many
+from dbms_data_anonymity_differential_privacy_spark.streaming.drift import (
+    drift_windows_batch,
+    drift_windows_stream,
+    reference_counts,
+)
 from dbms_data_anonymity_differential_privacy_spark.operators.text import (
     good_turing_stats,
     heaps_fit,
@@ -303,6 +308,9 @@ __all__ = [
     "mutual_knn_pairs",
     "good_turing_stats",
     "heaps_fit",
+    "drift_windows_batch",
+    "drift_windows_stream",
+    "reference_counts",
     "dedup_by_fingerprint",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",

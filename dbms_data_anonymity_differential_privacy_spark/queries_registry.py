@@ -9650,6 +9650,65 @@ def x185_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X186 — streaming drift monitor, batch twin (streaming/drift.py
+# drift_windows_batch): per-day PSI of the event-type mix vs the global
+# reference. The engine embeds the reference as exact integer literals
+# (one driver collect of the tiny type histogram — the kcenter idiom);
+# the oracle computes the same integers inline, so both sides divide and
+# ln identical doubles. Laplace smoothing over B = len(ref)+1 buckets
+# (OTHER absorbs unseen/NULL types); PSI rounds at 6 dp.
+# --------------------------------------------------------------------------
+@query(
+    "x186_stream_drift",
+    """
+    WITH ref AS (SELECT event_type, COUNT(*) AS c FROM events
+                 WHERE event_type IS NOT NULL GROUP BY 1),
+    rt AS (SELECT COUNT(*) + 1 AS b, SUM(c) AS rn FROM ref),
+    w AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+                 event_type
+          FROM events),
+    wc AS (SELECT window_start, COUNT(*) AS n FROM w GROUP BY 1),
+    tc0 AS (SELECT window_start, event_type, COUNT(*) AS c FROM w
+            WHERE event_type IS NOT NULL GROUP BY 1, 2),
+    grid AS (SELECT wc.window_start, wc.n, r.c AS ref_c, COALESCE(tc0.c, 0) AS c
+             FROM wc CROSS JOIN ref r
+             LEFT JOIN tc0 ON tc0.window_start = wc.window_start
+                          AND tc0.event_type = r.event_type),
+    terms AS (SELECT window_start, n,
+                     SUM(((CAST(c AS DOUBLE) + 1.0) / (CAST(n AS DOUBLE) + CAST(rt.b AS DOUBLE))
+                          - CAST(ref_c + 1 AS DOUBLE) / CAST(rt.rn + rt.b AS DOUBLE))
+                         * ln(((CAST(c AS DOUBLE) + 1.0) / (CAST(n AS DOUBLE) + CAST(rt.b AS DOUBLE)))
+                              / (CAST(ref_c + 1 AS DOUBLE) / CAST(rt.rn + rt.b AS DOUBLE)))) AS psi_m,
+                     SUM(c) AS msum
+              FROM grid CROSS JOIN rt GROUP BY 1, 2),
+    full_psi AS (SELECT t.window_start, t.n,
+                        t.psi_m
+                        + ((CAST(t.n - t.msum AS DOUBLE) + 1.0)
+                           / (CAST(t.n AS DOUBLE) + CAST(rt.b AS DOUBLE))
+                           - 1.0 / CAST(rt.rn + rt.b AS DOUBLE))
+                          * ln(((CAST(t.n - t.msum AS DOUBLE) + 1.0)
+                                / (CAST(t.n AS DOUBLE) + CAST(rt.b AS DOUBLE)))
+                               / (1.0 / CAST(rt.rn + rt.b AS DOUBLE))) AS psi
+                 FROM terms t CROSS JOIN rt)
+    SELECT window_start, CAST(n AS BIGINT) AS n_events, ROUND(psi, 6) AS psi_r
+    FROM full_psi
+    """,
+)
+def x186_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day PSI of the event-type mix vs the corpus-wide reference —
+    batch twin of the streaming drift monitor (stream ≡ batch pinned in
+    pytest)."""
+    from dbms_data_anonymity_differential_privacy_spark.streaming.drift import (
+        drift_windows_batch,
+        reference_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ref = reference_counts(ev)
+    return drift_windows_batch(ev, ref, window="1 day")
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries per round; the rotation policy (since round 7) is
 # BY STALENESS — new debuts and output/plan-changed queries first, then
@@ -9661,14 +9720,15 @@ def x185_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINDOW_R8 = [
     # Round-7 rotation, now BY STALENESS (r6 verdict task 5): round 6
     # returned 50/50 green, so the whole r6 window holds fresh driver
-    # rows and rotates out. Slots 1-17: the twelve r7 debuts
+    # rows and rotates out. Slots 1-18: the thirteen r7 debuts
     # (x175_semantic_dedup_auto, pipe_private_export_stream,
     # x176_line_dedup, x177_random_projection, x178_winnowing,
     # x179_pettitt, x180_mmr_rerank, x181_embedding_drift,
     # x182_split_conformal, x183_mutual_knn, x184_good_turing,
-    # x185_heaps_fit — the last eight displaced x06_stream_window_kanon/
-    # x10/x11/x12/x13/x14/x16/x17, which sit exactly AT max staleness 5
-    # and lead the r8 rotation) and five deliberate
+    # x185_heaps_fit, x186_stream_drift — the last nine displaced
+    # x05_text_features/x06_stream_window_kanon/x10/x11/x12/x13/x14/
+    # x16/x17, which sit exactly AT max staleness 5 and lead the r8
+    # rotation) and five deliberate
     # re-checks of queries whose OUTPUT or physical plan changed this
     # round (noise-moment audits gained scale_r and the gaussian path
     # recalibrated to eps=0.5; x174's pair relation gained the
@@ -9694,6 +9754,7 @@ _WINDOW_R8 = [
     "x183_mutual_knn",
     "x184_good_turing",
     "x185_heaps_fit",
+    "x186_stream_drift",
     "x01_dp_noise_moments",
     "x01_dp_noise_moments_gauss",
     "x174_leakage_safe_split",
@@ -9731,7 +9792,6 @@ _WINDOW_R8 = [
     "x02_dedup_exact",
     "x03_ngram_jaccard",
     "x04_cosine_topk",
-    "x05_text_features",
 ]
 
 

@@ -469,3 +469,78 @@ def test_heaps_fit_beta_in_natural_range_on_fixture(spark, sf0001):
     row = heaps_fit(spark.read.parquet(f"{sf0001}/documents.parquet")).collect()[0]
     assert 0.0 < row.beta_r < 1.0
     assert row.vocab <= row.n_tokens
+
+
+# ---------------------------------------------------------------------------
+# X186 streaming drift monitor
+# ---------------------------------------------------------------------------
+
+
+def test_drift_stream_matches_batch(spark, sf0001, tmp_path):
+    """The Structured Streaming drift monitor over the events file
+    (availableNow -> memory sink) must equal the batch twin exactly."""
+    import shutil
+
+    from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_table
+    from dbms_data_anonymity_differential_privacy_spark.streaming.drift import (
+        drift_windows_batch,
+        drift_windows_stream,
+        reference_counts,
+    )
+
+    ev = load_table(spark, sf0001, "events")
+    ref = reference_counts(ev)
+    batch = {
+        (r.window_start, r.n_events, r.psi_r)
+        for r in drift_windows_batch(ev, ref, window="1 day").collect()
+    }
+    stream_dir = tmp_path / "events"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf0001}/events.parquet", stream_dir / "part-000.parquet")
+    sdf = drift_windows_stream(spark, str(stream_dir), ref, window="1 day", watermark="2 days")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("x186_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.n_events, r.psi_r)
+        for r in spark.sql("SELECT * FROM x186_test").collect()
+    }
+    assert got == batch and len(batch) > 0
+
+
+def test_drift_windows_flag_planted_mix_shift(spark):
+    """A window whose type mix matches the reference scores near zero;
+    a window drawn from a disjoint mix scores high; drift into an
+    UNSEEN type (the OTHER bucket) is visible."""
+    import datetime
+
+    from dbms_data_anonymity_differential_privacy_spark.streaming.drift import drift_windows_batch
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # day 0: 90 a + 10 b (the reference mix), day 1: 10 a + 90 b,
+    # day 2: 100 of a type the reference never saw
+    for i in range(90):
+        rows.append((base, "a"))
+    for i in range(10):
+        rows.append((base, "b"))
+    d1 = base + datetime.timedelta(days=1)
+    for i in range(10):
+        rows.append((d1, "a"))
+    for i in range(90):
+        rows.append((d1, "b"))
+    d2 = base + datetime.timedelta(days=2)
+    for i in range(100):
+        rows.append((d2, "zz"))
+    ev = spark.createDataFrame(rows, "ts TIMESTAMP, event_type STRING")
+    ref = {"a": 90, "b": 10}
+    out = {r.window_start.day: r.psi_r for r in drift_windows_batch(ev, ref).collect()}
+    assert out[1] < 0.05          # matches the reference
+    assert out[2] > 1.0           # inverted mix
+    assert out[3] > 2.0           # all mass on an unseen type
