@@ -237,6 +237,8 @@ HEADLINE = [
     "x184_good_turing",
     "x185_heaps_fit",
     "x186_stream_drift",
+    "x187_gating_curve",
+    "x188_markov_stationary",
 ]
 
 

@@ -124,6 +124,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.mixing import (
     mixture_rates,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.quality import (
+    quality_gating_curve,
     domain_gate,
     domain_quality_report,
     gopher_quality,
@@ -225,6 +226,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.snapshot import ap
 from dbms_data_anonymity_differential_privacy_spark.operators.profile import skew_report
 from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
     group_ols,
+    markov_stationary,
     mutual_information,
     pettitt_test,
     split_conformal,
@@ -303,11 +305,13 @@ __all__ = [
     "embedding_drift",
     "pettitt_test",
     "split_conformal",
+    "markov_stationary",
     "mmr_rerank",
     "mmr_rerank_embeddings",
     "mutual_knn_pairs",
     "good_turing_stats",
     "heaps_fit",
+    "quality_gating_curve",
     "drift_windows_batch",
     "drift_windows_stream",
     "reference_counts",

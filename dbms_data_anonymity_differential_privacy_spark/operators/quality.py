@@ -377,3 +377,81 @@ def linear_quality_score(
         F.round(F.coalesce("__logit", F.lit(0.0)), 9).alias("logit_r"),
         (F.coalesce("__logit", F.lit(0.0)) > F.lit(float(threshold))).alias("keep"),
     )
+
+
+def quality_gating_curve(
+    df: DataFrame,
+    n_tiles: int = 10,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """X187 — quality-gating (data-pruning) curve: for each score decile
+    threshold, how much of the corpus survives the gate — the curve a
+    data-mix owner reads before choosing a pruning threshold (Sorscher
+    et al. 2022 "Beyond neural scaling laws" makes the keep-fraction the
+    decision variable; every CCNet/LLaMA-style pipeline picks its
+    quality cut from exactly this table).
+
+    Documents are scored by the linear quality classifier
+    (:func:`linear_quality_score`, the engine-exact logit) and ranked
+    into ``n_tiles`` exact equal-frequency tiles on ``(logit DESC, id)``
+    — the ntile assignment is a total order, partitioning-independent.
+    Row ``d`` of the release describes gating AT tile d's floor:
+
+        (tile, score_floor_r, n_docs_cum, n_tokens_cum,
+         frac_docs_r, frac_tokens_r)
+
+    — documents and whitespace tokens retained if every tile <= d is
+    kept, as exact cumulative integers and int/int fractions (9 dp).
+    Token counts use the x05 whitespace contract (empty tokens dropped).
+
+    Scale shape: scoring is the x173 shape (one (doc, bucket) shuffle);
+    tokens are counted in the same map-only projection that carries the
+    text; the ntile + cumulative windows run on the per-DOCUMENT slim
+    relation, and the released relation is n_tiles rows. At 10^9+ docs
+    the single-partition ntile window would re-bucket by score range
+    first (the x142 spine discipline) — at any tested scale the
+    per-doc relation is far below executor memory.
+    """
+    from pyspark.sql import Window
+
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+    scored = linear_quality_score(df, n_buckets=n_buckets, id_col=id_col, text_col=text_col)
+    toks = fan_out(df).select(
+        F.col(id_col),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: w != ""
+            )
+        ).cast("long").alias("__nt"),
+    )
+    ranked = scored.join(toks, id_col).select(
+        F.col("logit_r"),
+        "__nt",
+        F.ntile(n_tiles)
+        .over(Window.orderBy(F.desc("logit_r"), F.col(id_col)))
+        .alias("tile"),
+    )
+    per_tile = ranked.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("__d"),
+        F.sum("__nt").alias("__t"),
+        F.min("logit_r").alias("score_floor_r"),
+    )
+    cum = Window.orderBy("tile").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.orderBy("tile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per_tile.select(
+        F.col("tile").cast("int").alias("tile"),
+        "score_floor_r",
+        F.sum("__d").over(cum).cast("long").alias("n_docs_cum"),
+        F.sum("__t").over(cum).cast("long").alias("n_tokens_cum"),
+        F.round(
+            F.sum("__d").over(cum).cast("double") / F.sum("__d").over(tot).cast("double"), 9
+        ).alias("frac_docs_r"),
+        F.round(
+            F.sum("__t").over(cum).cast("double") / F.sum("__t").over(tot).cast("double"), 9
+        ).alias("frac_tokens_r"),
+    )

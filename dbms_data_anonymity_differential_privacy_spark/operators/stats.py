@@ -2593,3 +2593,75 @@ def split_conformal(
             F.when(F.col("__q").isNotNull(), F.col("coverage_r")).alias("coverage_r"),
         )
     )
+
+
+def markov_stationary(
+    events: DataFrame,
+    n_iter: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """X188 — stationary distribution of the empirical event-type Markov
+    chain: where user flow CONVERGES — the long-run share of attention
+    each state captures, the summary the x72 transition matrix feeds
+    (and the non-graph cousin of PageRank: same power iteration, chain =
+    observed behavior instead of links).
+
+    The chain is the row-normalized MLE of x72's transition counts
+    (UNROUNDED divisions of exact int64 counts — both engines derive
+    bit-identical probabilities). Dangling states (appearing only as a
+    transition TARGET) get a self-loop so probability mass is conserved;
+    the start vector is uniform over the full state set; ``n_iter``
+    fixed power-iteration steps (the x36-chain discipline: a FIXED
+    unrolled computation, not a convergence test, so both engines run
+    the identical arithmetic).
+
+    Driver-side iteration is the deliberate scale choice, NOT a
+    shortcut: the state space is the event-type vocabulary — tens of
+    states by contract, a <=|S|^2 relation — while the DATA-side work
+    (the per-user lag + the count aggregation) stays distributed. This
+    is the kcenter/x171 idiom: corpus-scale extraction in Spark,
+    bounded-size math on the collected summary, released as literals.
+    Accumulation order inside each step is pinned (sorted state order)
+    so the doubles are reproducible; the oracle's SQL SUM differs only
+    in last-bit summation order, absorbed by the 9 dp release rounding.
+
+    Output: one row per state, ``(state, pi_r)`` — including
+    zero-incoming states at exactly 0.0.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    counts = (
+        transition_matrix(events, user_col, ts_col, type_col, id_col)
+        .select("from_type", "to_type", "cnt")
+        .collect()
+    )
+    c: dict[tuple[str, str], int] = {(r.from_type, r.to_type): r.cnt for r in counts}
+    states = sorted({s for pair in c for s in pair})
+    row_tot: dict[str, int] = {}
+    for (f, _t), n in c.items():
+        row_tot[f] = row_tot.get(f, 0) + n
+    prob: dict[tuple[str, str], float] = {
+        (f, t): n / row_tot[f] for (f, t), n in c.items()
+    }
+    for s in states:
+        if s not in row_tot:
+            prob[(s, s)] = 1.0  # dangling: self-loop conserves mass
+    pi = {s: 1.0 / len(states) for s in states} if states else {}
+    for _ in range(n_iter):
+        nxt = {s: 0.0 for s in states}
+        for f in states:  # sorted order pins the accumulation
+            pf = pi[f]
+            if pf == 0.0:
+                continue
+            for t in states:
+                p = prob.get((f, t))
+                if p is not None:
+                    nxt[t] += pf * p
+        pi = nxt
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        [(s, round(pi[s], 9)) for s in states], "state STRING, pi_r DOUBLE"
+    )

@@ -8941,10 +8941,9 @@ def x172_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (monotone in the probability), so there are no transcendentals and the
 # fold is engine-exact.
 # --------------------------------------------------------------------------
-@query(
-    "x173_linear_quality",
-    r"""
-    WITH tok AS (SELECT doc_id,
+# Shared CTE core for the linear-quality logit: x173 releases it per doc,
+# x187 builds the gating curve on it — one definition, zero drift.
+_X173_CORE = r"""tok AS (SELECT doc_id,
                         unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
                  FROM documents),
     h AS (SELECT doc_id, md5(w) AS hh FROM tok WHERE w <> ''),
@@ -8960,12 +8959,19 @@ def x172_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM feat),
     pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
                   list_reduce(list_sort(list(t)), (a, b) -> a + b) AS logit
-           FROM terms GROUP BY 1)
-    SELECT d.doc_id,
-           COALESCE(pd.n_feats, 0) AS n_feats,
-           ROUND(COALESCE(pd.logit, 0.0), 9) AS logit_r,
-           COALESCE(pd.logit, 0.0) > 0.0 AS keep
-    FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+           FROM terms GROUP BY 1),
+    scored AS (SELECT d.doc_id,
+                      COALESCE(pd.n_feats, 0) AS n_feats,
+                      ROUND(COALESCE(pd.logit, 0.0), 9) AS logit_r,
+                      COALESCE(pd.logit, 0.0) > 0.0 AS keep
+               FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id)"""
+
+
+@query(
+    "x173_linear_quality",
+    f"""
+    WITH {_X173_CORE}
+    SELECT doc_id, n_feats, logit_r, keep FROM scored
     """,
 )
 def x173_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9709,6 +9715,106 @@ def x186_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X187 — quality-gating (data-pruning) curve (operators/quality.py
+# quality_gating_curve): per score-decile threshold, the exact cumulative
+# doc/token retention — built on the shared x173 logit core, ntile on
+# (logit DESC, doc_id) is a total order, cumulative windows run on the
+# 10-row tile relation.
+# --------------------------------------------------------------------------
+@query(
+    "x187_gating_curve",
+    f"""
+    WITH {{X173_CORE}},
+    nt AS (SELECT s.doc_id, s.logit_r,
+                  len(list_filter(string_split_regex(lower(trim(d.text)), '\\s+'),
+                                  w -> w <> '')) AS ntk,
+                  CAST(NTILE(10) OVER (ORDER BY s.logit_r DESC, s.doc_id) AS INTEGER)
+                      AS tile
+           FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+    pt AS (SELECT tile, COUNT(*) AS dd, SUM(ntk) AS tt, MIN(logit_r) AS score_floor_r
+           FROM nt GROUP BY tile)
+    SELECT tile, score_floor_r,
+           CAST(SUM(dd) OVER (ORDER BY tile ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS n_docs_cum,
+           CAST(SUM(tt) OVER (ORDER BY tile ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS n_tokens_cum,
+           ROUND(CAST(SUM(dd) OVER (ORDER BY tile ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS DOUBLE)
+                 / CAST(SUM(dd) OVER () AS DOUBLE), 9) AS frac_docs_r,
+           ROUND(CAST(SUM(tt) OVER (ORDER BY tile ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS DOUBLE)
+                 / CAST(SUM(tt) OVER () AS DOUBLE), 9) AS frac_tokens_r
+    FROM pt
+    """,
+)
+def x187_gating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-pruning curve: cumulative doc/token retention at each
+    linear-quality score decile."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.quality import (
+        quality_gating_curve,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_gating_curve(docs, n_tiles=10)
+
+
+ORACLE_SQL["x187_gating_curve"] = ORACLE_SQL["x187_gating_curve"].replace(
+    "{X173_CORE}", _X173_CORE
+)
+
+
+# --------------------------------------------------------------------------
+# X188 — stationary distribution of the event-type Markov chain
+# (operators/stats.py markov_stationary): the x72 counts row-normalized
+# with UNROUNDED exact-int divisions, dangling states self-looped,
+# uniform start, 20 unrolled power-iteration steps. The engine iterates
+# driver-side on the collected |S|^2 summary (the kcenter idiom); the
+# oracle unrolls the same 20 steps as CTEs — summation-order last-bit
+# differences are absorbed by the 9 dp release rounding.
+# --------------------------------------------------------------------------
+def _x188_sql(n_iter: int = 20) -> str:
+    steps = []
+    for i in range(1, n_iter + 1):
+        prev = "pi0" if i == 1 else f"pi{i - 1}"
+        steps.append(
+            f"""pi{i} AS (SELECT pm.t AS state, SUM({prev}.p * pm.pr) AS p
+            FROM {prev} JOIN pm ON pm.f = {prev}.state GROUP BY 1)"""
+        )
+    return f"""
+    WITH pr0 AS (SELECT user_id, event_type,
+                        LAG(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS from_type
+                 FROM events),
+    c AS (SELECT from_type, event_type AS to_type, COUNT(*) AS cnt
+          FROM pr0 WHERE from_type IS NOT NULL GROUP BY 1, 2),
+    states AS (SELECT DISTINCT s FROM
+                 (SELECT from_type AS s FROM c UNION SELECT to_type FROM c)),
+    rt AS (SELECT from_type, SUM(cnt) AS tot FROM c GROUP BY 1),
+    pm AS (SELECT c.from_type AS f, c.to_type AS t,
+                  CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS pr
+           FROM c JOIN rt USING (from_type)
+           UNION ALL
+           SELECT s, s, 1.0 FROM states
+           WHERE s NOT IN (SELECT from_type FROM rt)),
+    ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM states),
+    pi0 AS (SELECT s AS state, 1.0 / ns.n AS p FROM states CROSS JOIN ns),
+    {",".join(steps)}
+    SELECT states.s AS state, ROUND(COALESCE(pi{n_iter}.p, 0.0), 9) AS pi_r
+    FROM states LEFT JOIN pi{n_iter} ON pi{n_iter}.state = states.s
+    """
+
+
+@query("x188_markov_stationary", _x188_sql())
+def x188_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-run event-type share: 20 power-iteration steps on the
+    empirical transition chain, dangling states self-looped."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import markov_stationary
+
+    ev = load_table(spark, sf_dir, "events")
+    return markov_stationary(ev, n_iter=20)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries per round; the rotation policy (since round 7) is
 # BY STALENESS — new debuts and output/plan-changed queries first, then
@@ -9720,15 +9826,17 @@ def x186_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINDOW_R8 = [
     # Round-7 rotation, now BY STALENESS (r6 verdict task 5): round 6
     # returned 50/50 green, so the whole r6 window holds fresh driver
-    # rows and rotates out. Slots 1-18: the thirteen r7 debuts
+    # rows and rotates out. Slots 1-20: the fifteen r7 debuts
     # (x175_semantic_dedup_auto, pipe_private_export_stream,
     # x176_line_dedup, x177_random_projection, x178_winnowing,
     # x179_pettitt, x180_mmr_rerank, x181_embedding_drift,
     # x182_split_conformal, x183_mutual_knn, x184_good_turing,
-    # x185_heaps_fit, x186_stream_drift — the last nine displaced
-    # x05_text_features/x06_stream_window_kanon/x10/x11/x12/x13/x14/
-    # x16/x17, which sit exactly AT max staleness 5 and lead the r8
-    # rotation) and five deliberate
+    # x185_heaps_fit, x186_stream_drift, x187_gating_curve,
+    # x188_markov_stationary — the last eleven displaced
+    # x03_ngram_jaccard/x04_cosine_topk/x05_text_features/
+    # x06_stream_window_kanon/x10/x11/x12/x13/x14/x16/x17, which sit
+    # exactly AT max staleness 5 and lead the r8 rotation) and five
+    # deliberate
     # re-checks of queries whose OUTPUT or physical plan changed this
     # round (noise-moment audits gained scale_r and the gaussian path
     # recalibrated to eps=0.5; x174's pair relation gained the
@@ -9755,6 +9863,8 @@ _WINDOW_R8 = [
     "x184_good_turing",
     "x185_heaps_fit",
     "x186_stream_drift",
+    "x187_gating_curve",
+    "x188_markov_stationary",
     "x01_dp_noise_moments",
     "x01_dp_noise_moments_gauss",
     "x174_leakage_safe_split",
@@ -9790,8 +9900,6 @@ _WINDOW_R8 = [
     "p23_scalar_arithmetic",
     "x01_dp_avg_exact",
     "x02_dedup_exact",
-    "x03_ngram_jaccard",
-    "x04_cosine_topk",
 ]
 
 

@@ -544,3 +544,109 @@ def test_drift_windows_flag_planted_mix_shift(spark):
     assert out[1] < 0.05          # matches the reference
     assert out[2] > 1.0           # inverted mix
     assert out[3] > 2.0           # all mass on an unseen type
+
+
+# ---------------------------------------------------------------------------
+# X187 quality gating curve
+# ---------------------------------------------------------------------------
+
+
+def test_gating_curve_monotone_and_terminal(spark, sf0001):
+    from dbms_data_anonymity_differential_privacy_spark.operators.quality import (
+        quality_gating_curve,
+    )
+
+    docs = spark.read.parquet(f"{sf0001}/documents.parquet")
+    rows = sorted(quality_gating_curve(docs, n_tiles=10).collect(), key=lambda r: r.tile)
+    assert [r.tile for r in rows] == list(range(1, 11))
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_docs_cum < b.n_docs_cum
+        assert a.n_tokens_cum <= b.n_tokens_cum
+        assert a.score_floor_r >= b.score_floor_r  # thresholds descend
+        assert a.frac_docs_r <= b.frac_docs_r
+    last = rows[-1]
+    assert last.frac_docs_r == 1.0 and last.frac_tokens_r == 1.0
+    assert last.n_docs_cum == docs.count()
+
+
+def test_gating_curve_tracks_score_join(spark, sf0001):
+    """Tile-1 docs are exactly the top-decile scorers."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.quality import (
+        linear_quality_score,
+        quality_gating_curve,
+    )
+
+    docs = spark.read.parquet(f"{sf0001}/documents.parquet")
+    n = docs.count()
+    top = {
+        r.doc_id
+        for r in linear_quality_score(docs)
+        .orderBy(F.desc("logit_r"), "doc_id")
+        .limit(n // 10)
+        .collect()
+    }
+    floor1 = {
+        r.score_floor_r
+        for r in quality_gating_curve(docs, n_tiles=10).collect()
+        if r.tile == 1
+    }.pop()
+    scored = linear_quality_score(docs).filter(F.col("logit_r") >= floor1).count()
+    # every tile-1 doc scores >= the tile-1 floor; floor is the decile cut
+    assert scored >= len(top) > 0
+    with pytest.raises(ValueError):
+        quality_gating_curve(docs, n_tiles=0)
+
+
+# ---------------------------------------------------------------------------
+# X188 Markov stationary
+# ---------------------------------------------------------------------------
+
+
+def _ev(spark, seqs):
+    """Build an events table from per-user event-type sequences."""
+    import datetime
+
+    rows = []
+    eid = 0
+    for uid, seq in enumerate(seqs):
+        for i, t in enumerate(seq):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i), uid, t)
+            )
+            eid += 1
+    return spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING"
+    )
+
+
+def test_markov_stationary_two_state_closed_form(spark):
+    """Chain a->b with prob 1, b->a with prob 1: stationary = (0.5, 0.5)
+    whatever the start (period-2 chain from uniform start stays uniform)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import markov_stationary
+
+    ev = _ev(spark, [["a", "b", "a", "b", "a"]] * 3)
+    out = {r.state: r.pi_r for r in markov_stationary(ev, n_iter=20).collect()}
+    assert out == {"a": 0.5, "b": 0.5}
+
+
+def test_markov_stationary_absorbing_state_takes_all(spark):
+    """a -> b -> b ...: b absorbs (its only observed transition is b->b
+    is absent here, so b is DANGLING and self-loops); all mass ends in b."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import markov_stationary
+
+    ev = _ev(spark, [["a", "b"]] * 4)
+    out = {r.state: r.pi_r for r in markov_stationary(ev, n_iter=30).collect()}
+    assert out["b"] == pytest.approx(1.0, abs=1e-9)
+    assert out["a"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_markov_stationary_conserves_mass_on_fixture(spark, sf0001):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import markov_stationary
+    from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf0001, "events")
+    rows = markov_stationary(ev).collect()
+    assert sum(r.pi_r for r in rows) == pytest.approx(1.0, abs=1e-6)
+    assert all(r.pi_r >= 0 for r in rows)
+    with pytest.raises(ValueError):
+        markov_stationary(ev, n_iter=0)
