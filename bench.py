@@ -239,6 +239,7 @@ HEADLINE = [
     "x186_stream_drift",
     "x187_gating_curve",
     "x188_markov_stationary",
+    "x189_langid_eval",
 ]
 
 

@@ -107,6 +107,7 @@ from dbms_data_anonymity_differential_privacy_spark.streaming.drift import (
     reference_counts,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.text import (
+    classification_eval,
     good_turing_stats,
     heaps_fit,
     text_stats,
@@ -309,6 +310,7 @@ __all__ = [
     "mmr_rerank",
     "mmr_rerank_embeddings",
     "mutual_knn_pairs",
+    "classification_eval",
     "good_turing_stats",
     "heaps_fit",
     "quality_gating_curve",

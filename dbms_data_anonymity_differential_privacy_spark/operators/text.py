@@ -740,3 +740,69 @@ def heaps_fit(
             F.exp(F.col("sy") / F.col("n") - beta * (F.col("sx") / F.col("n"))), 6
         ).alias("k_r"),
     )
+
+
+def classification_eval(
+    df: DataFrame,
+    gold_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """X189 — per-class classification evaluation: precision, recall, F1
+    for any (gold, prediction) pair of label columns — the standard
+    eval table behind every classifier-driven curation stage (language
+    ID x05, quality gate x173, domain gate x85). Exact integer
+    tp / n_gold / n_pred counts; one division each for P and R; F1 is
+    their harmonic mean; all released at 9 dp; classes with no
+    predictions release NULL precision (not a fake 0), classes with
+    tp = 0 release NULL F1.
+
+    Output, one row per class in the UNION of gold and predicted labels
+    (a prediction-only class — e.g. 'und' from the lang-ID — must show
+    its precision hit; a gold-only class must show the recall miss)::
+
+        (label, n_gold, n_pred, tp, precision_r, recall_r, f1_r)
+
+    Scale shape: three partial-combined aggregations over the slim
+    (gold, pred) projection — each is one shuffle on a label key whose
+    cardinality is the class vocabulary; the final joins run on
+    class-sized relations.
+    """
+    pairs = df.select(F.col(gold_col).alias("__g"), F.col(pred_col).alias("__p"))
+    gold = pairs.groupBy(F.col("__g").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_gold")
+    )
+    pred = pairs.groupBy(F.col("__p").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    tp = (
+        pairs.filter(F.col("__g") == F.col("__p"))
+        .groupBy(F.col("__g").alias("label"))
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    classes = gold.select("label").union(pred.select("label")).distinct()
+    j = (
+        classes.join(gold, "label", "left")
+        .join(pred, "label", "left")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            F.coalesce("n_gold", F.lit(0)).cast("long").alias("n_gold"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    p = F.when(F.col("n_pred") > 0, F.col("tp").cast("double") / F.col("n_pred").cast("double"))
+    r = F.when(F.col("n_gold") > 0, F.col("tp").cast("double") / F.col("n_gold").cast("double"))
+    return j.select(
+        "label", "n_gold", "n_pred", "tp",
+        F.round(p, 9).alias("precision_r"),
+        F.round(r, 9).alias("recall_r"),
+        F.round(
+            F.when(
+                (F.coalesce(p, F.lit(0.0)) + F.coalesce(r, F.lit(0.0))) > 0,
+                2.0 * F.coalesce(p, F.lit(0.0)) * F.coalesce(r, F.lit(0.0))
+                / (F.coalesce(p, F.lit(0.0)) + F.coalesce(r, F.lit(0.0))),
+            ),
+            9,
+        ).alias("f1_r"),
+    )

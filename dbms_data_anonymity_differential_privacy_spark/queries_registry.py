@@ -9815,6 +9815,69 @@ def x188_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X189 — per-class classification eval (operators/text.py
+# classification_eval) applied to the x05 language-ID predictions
+# against the documents.lang gold column: exact integer tp/n_gold/n_pred
+# per class over the UNION of gold and predicted labels, one division
+# each for P and R, harmonic-mean F1, 9 dp. Shares the x05 score CTE.
+# --------------------------------------------------------------------------
+@query(
+    "x189_langid_eval",
+    f"""
+    WITH {{LANG_SCORE_CTE}},
+    pr AS (SELECT lang AS g,
+                  CASE WHEN GREATEST(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+                       WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                       WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+                       WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                       WHEN s_es = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                       ELSE 'zh' END AS p
+           FROM ls),
+    gold AS (SELECT g AS label, COUNT(*) AS n_gold FROM pr GROUP BY 1),
+    pred AS (SELECT p AS label, COUNT(*) AS n_pred FROM pr GROUP BY 1),
+    tp AS (SELECT g AS label, COUNT(*) AS tp FROM pr WHERE g = p GROUP BY 1),
+    classes AS (SELECT DISTINCT label FROM
+                  (SELECT label FROM gold UNION ALL SELECT label FROM pred)),
+    j AS (SELECT c.label,
+                 CAST(COALESCE(gold.n_gold, 0) AS BIGINT) AS n_gold,
+                 CAST(COALESCE(pred.n_pred, 0) AS BIGINT) AS n_pred,
+                 CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp
+          FROM classes c
+          LEFT JOIN gold USING (label)
+          LEFT JOIN pred USING (label)
+          LEFT JOIN tp USING (label)),
+    m AS (SELECT *,
+                 CASE WHEN n_pred > 0
+                      THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END AS p,
+                 CASE WHEN n_gold > 0
+                      THEN CAST(tp AS DOUBLE) / CAST(n_gold AS DOUBLE) END AS r
+          FROM j)
+    SELECT label, n_gold, n_pred, tp,
+           ROUND(p, 9) AS precision_r,
+           ROUND(r, 9) AS recall_r,
+           ROUND(CASE WHEN COALESCE(p, 0.0) + COALESCE(r, 0.0) > 0
+                 THEN 2.0 * COALESCE(p, 0.0) * COALESCE(r, 0.0)
+                      / (COALESCE(p, 0.0) + COALESCE(r, 0.0)) END, 9) AS f1_r
+    FROM m
+    """,
+)
+def x189_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the n-gram language-ID heuristic
+    against the gold lang column."""
+    from dbms_data_anonymity_differential_privacy_spark.operators import text as tx
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import classification_eval
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select("lang", tx.lang_id(F.col("text")).alias("lang_pred"))
+    return classification_eval(pairs, "lang", "lang_pred")
+
+
+ORACLE_SQL["x189_langid_eval"] = ORACLE_SQL["x189_langid_eval"].replace(
+    "{LANG_SCORE_CTE}", _LANG_SCORE_CTE
+)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries per round; the rotation policy (since round 7) is
 # BY STALENESS — new debuts and output/plan-changed queries first, then
@@ -9826,17 +9889,17 @@ def x188_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINDOW_R8 = [
     # Round-7 rotation, now BY STALENESS (r6 verdict task 5): round 6
     # returned 50/50 green, so the whole r6 window holds fresh driver
-    # rows and rotates out. Slots 1-20: the fifteen r7 debuts
+    # rows and rotates out. Slots 1-21: the sixteen r7 debuts
     # (x175_semantic_dedup_auto, pipe_private_export_stream,
     # x176_line_dedup, x177_random_projection, x178_winnowing,
     # x179_pettitt, x180_mmr_rerank, x181_embedding_drift,
     # x182_split_conformal, x183_mutual_knn, x184_good_turing,
     # x185_heaps_fit, x186_stream_drift, x187_gating_curve,
-    # x188_markov_stationary — the last eleven displaced
-    # x03_ngram_jaccard/x04_cosine_topk/x05_text_features/
-    # x06_stream_window_kanon/x10/x11/x12/x13/x14/x16/x17, which sit
-    # exactly AT max staleness 5 and lead the r8 rotation) and five
-    # deliberate
+    # x188_markov_stationary, x189_langid_eval — the last twelve
+    # displaced x02_dedup_exact/x03_ngram_jaccard/x04_cosine_topk/
+    # x05_text_features/x06_stream_window_kanon/x10/x11/x12/x13/x14/
+    # x16/x17, which sit exactly AT max staleness 5 and lead the r8
+    # rotation) and five deliberate
     # re-checks of queries whose OUTPUT or physical plan changed this
     # round (noise-moment audits gained scale_r and the gaussian path
     # recalibrated to eps=0.5; x174's pair relation gained the
@@ -9865,6 +9928,7 @@ _WINDOW_R8 = [
     "x186_stream_drift",
     "x187_gating_curve",
     "x188_markov_stationary",
+    "x189_langid_eval",
     "x01_dp_noise_moments",
     "x01_dp_noise_moments_gauss",
     "x174_leakage_safe_split",
@@ -9899,7 +9963,6 @@ _WINDOW_R8 = [
     "p22_limit",
     "p23_scalar_arithmetic",
     "x01_dp_avg_exact",
-    "x02_dedup_exact",
 ]
 
 

@@ -650,3 +650,43 @@ def test_markov_stationary_conserves_mass_on_fixture(spark, sf0001):
     assert all(r.pi_r >= 0 for r in rows)
     with pytest.raises(ValueError):
         markov_stationary(ev, n_iter=0)
+
+
+# ---------------------------------------------------------------------------
+# X189 classification eval
+# ---------------------------------------------------------------------------
+
+
+def test_classification_eval_hand_computed(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import classification_eval
+
+    # gold: a a a b b c ; pred: a a b b b d
+    pairs = spark.createDataFrame(
+        [("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"), ("c", "d")],
+        "g STRING, p STRING",
+    )
+    out = {r.label: r for r in classification_eval(pairs, "g", "p").collect()}
+    assert set(out) == {"a", "b", "c", "d"}
+    a = out["a"]
+    assert (a.n_gold, a.n_pred, a.tp) == (3, 2, 2)
+    assert a.precision_r == 1.0 and a.recall_r == pytest.approx(2 / 3)
+    assert a.f1_r == pytest.approx(0.8)
+    b = out["b"]
+    assert (b.n_gold, b.n_pred, b.tp) == (2, 3, 2)
+    assert b.f1_r == pytest.approx(0.8)
+    c = out["c"]  # gold-only class: recall miss visible, precision NULL
+    assert (c.n_gold, c.n_pred, c.tp) == (1, 0, 0)
+    assert c.precision_r is None and c.recall_r == 0.0 and c.f1_r is None
+    d = out["d"]  # prediction-only class: precision hit visible
+    assert (d.n_gold, d.n_pred, d.tp) == (0, 1, 0)
+    assert d.precision_r == 0.0 and d.recall_r is None and d.f1_r is None
+
+
+def test_classification_eval_perfect_predictor(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import classification_eval
+
+    pairs = spark.createDataFrame(
+        [(x, x) for x in "aabbccdd"], "g STRING, p STRING"
+    )
+    for r in classification_eval(pairs, "g", "p").collect():
+        assert r.precision_r == 1.0 and r.recall_r == 1.0 and r.f1_r == 1.0
