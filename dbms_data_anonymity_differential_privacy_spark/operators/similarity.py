@@ -581,8 +581,13 @@ def mmr_rerank(
     Inputs are the retrieval stage's own artifacts:
 
     - ``rel``:  ``(q_id, c_id, rel)`` — candidates per query with
-      relevance, PRE-ROUNDED by the caller (the greedy branches on
-      comparisons, so both engines must see bit-identical scores);
+      relevance, PRE-ROUNDED by the caller at SIX decimals (the greedy
+      branches on comparisons, so both engines must see bit-identical
+      scores — and the 6 dp input bound means every greedy score is an
+      exactly-7-decimal value, so the 9 dp release rounding NEVER sits
+      on a half-way boundary where engine rounding conventions diverge;
+      9 dp inputs put 0.7*rel exactly ON such boundaries ~1/10 of the
+      time, and one of them flipped between engines at sf0.1);
     - ``sims``: ``(q_id, id_a, id_b, sim)`` — pairwise similarity within
       each query's candidate set, both directions, same rounding.
 
@@ -702,7 +707,7 @@ def mmr_rerank_embeddings(
             "q_id", "c_id", "cv", "cn",
             F.round(
                 F.when(denom != 0.0, _dot(F.col("qv"), F.col("cv")) / denom)
-            , 9).alias("rel"),
+            , 6).alias("rel"),
         )
         .filter(F.col("rel").isNotNull())
     )
@@ -732,7 +737,7 @@ def mmr_rerank_embeddings(
         .select(
             F.col("A.q_id").alias("q_id"), "id_a", "id_b",
             F.round(
-                F.when(sd != 0.0, _dot(F.col("va"), F.col("vb")) / sd), 9
+                F.when(sd != 0.0, _dot(F.col("va"), F.col("vb")) / sd), 6
             ).alias("sim"),
         )
     )

@@ -9326,8 +9326,12 @@ def x179_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the greedy is sequential per query, so the oracle UNROLLS the k=5
 # selection as 5 CTE stages — each stage row_numbers the surviving
 # candidates by (score DESC, id ASC) exactly as the engine's strict->
-# scan does. Float contract: rel/sim are ROUND(cos, 9) BEFORE the greedy
-# on both engines; lam and (1 - lam) are embedded via Python repr so the
+# scan does. Float contract: rel/sim are ROUND(cos, 6) BEFORE the greedy
+# on both engines — 6 dp inputs make every score an exactly-7-decimal
+# value, so the 9 dp release rounding never sits on a half-way boundary
+# (9 dp inputs put 0.7*rel exactly ON boundaries ~1/10 of the time and
+# Spark's BigDecimal HALF_UP vs DuckDB's binary std::round flipped one
+# value at sf0.1); lam and (1 - lam) are embedded via Python repr so the
 # SQL parses the IDENTICAL doubles (1.0 - 0.7 is 0.30000000000000004 —
 # a DECIMAL 0.3 literal would diverge); the score is two IEEE multiplies
 # and a subtract on those shared doubles.
@@ -9379,7 +9383,7 @@ def _x180_sql(query_mod: int = 20, n_cand: int = 12, k: int = 5, lam: float = 0.
                   FROM embeddings),
     r0 AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.v AS cv, c.n AS cn,
                   ROUND(CASE WHEN q.n * c.n <> 0
-                        THEN list_dot_product(q.v, c.v) / (q.n * c.n) END, 9) AS rel
+                        THEN list_dot_product(q.v, c.v) / (q.n * c.n) END, 6) AS rel
            FROM base q JOIN base c
              ON q.label = c.label AND q.vec_id <> c.vec_id
            WHERE q.vec_id % {query_mod} = 0),
@@ -9389,7 +9393,7 @@ def _x180_sql(query_mod: int = 20, n_cand: int = 12, k: int = 5, lam: float = 0.
                FROM r0 WHERE rel IS NOT NULL) WHERE rn <= {n_cand}),
     sims AS (SELECT x.q_id, x.c_id AS id_a, y.c_id AS id_b,
                     ROUND(CASE WHEN x.cn * y.cn <> 0
-                          THEN list_dot_product(x.cv, y.cv) / (x.cn * y.cn) END, 9) AS sim
+                          THEN list_dot_product(x.cv, y.cv) / (x.cn * y.cn) END, 6) AS sim
              FROM cand x JOIN cand y
                ON x.q_id = y.q_id AND x.c_id <> y.c_id),
     {",".join(stages)}
