@@ -648,3 +648,52 @@ def test_interval_overlap_join_matches_bruteforce_any_intervals(
     }
     assert set(got) == expected
     assert len(got) == len(expected)  # emit-once: no duplicate pairs
+
+
+# ---------------------------------------------------------------------------
+# X178 winnowing invariants (round 7): the two paper theorems, on ANY
+# token stream — (1) spacing: consecutive selected positions are at most
+# w apart; (2) coverage: any window of w consecutive k-grams contains at
+# least one selected position. A pure-Python reference implementation of
+# rightmost-min winnowing must agree exactly with the engine.
+# ---------------------------------------------------------------------------
+
+tokens_strategy = st.lists(
+    st.sampled_from([f"t{i}" for i in range(7)]), min_size=8, max_size=60
+)
+
+
+def _winnow_reference(toks: list[str], k: int, w: int) -> set[tuple[str, int]]:
+    import hashlib
+
+    grams = [
+        hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+        for i in range(len(toks) - k + 1)
+    ]
+    sel: set[tuple[str, int]] = set()
+    last_start = max(len(grams) - w, 0)
+    for a in range(last_start + 1):
+        win = grams[a : a + w]
+        m = min(win)
+        pos = a + max(i for i, h in enumerate(win) if h == m)  # rightmost min
+        sel.add((grams[pos], pos))
+    return sel
+
+
+@given(toks=tokens_strategy)
+@settings(**SETTINGS)
+def test_winnowing_matches_reference_and_theorems(spark, toks):
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    k, w = 3, 4
+    df = spark.createDataFrame([(0, " ".join(toks))], "doc_id LONG, text STRING")
+    got = {(r.h, r.fpos) for r in winnow_fingerprints(df, k=k, w=w).collect()}
+    assert got == _winnow_reference([t.lower() for t in toks], k, w)
+    positions = sorted(p for _h, p in got)
+    for a, b in zip(positions, positions[1:]):
+        assert b - a <= w  # spacing theorem
+    n_grams = len(toks) - k + 1
+    for a in range(max(n_grams - w, 0) + 1):  # coverage theorem
+        assert any(a <= p <= a + w - 1 for p in positions)
