@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dbms_data_anonymity_differential_privacy_spark.operators.text import fingerprint
-from dbms_data_anonymity_differential_privacy_spark.operators.util import fan_out
+from dbms_data_anonymity_differential_privacy_spark.operators.util import fan_out, track_cached
 
 
 def dedup_exact(df: DataFrame, keys: Sequence[str], id_col: str) -> DataFrame:
@@ -143,21 +143,23 @@ def ngram_jaccard_pairs(
     # REFERENCE (no codegen CSE — measured 7x blowup). The cache boundary
     # makes `hs` an attribute read. The same relation IS the exact
     # re-score set for the prefix path — one materialization, three uses.
-    sh_arr = toks.select(
+    sh_arr = track_cached(toks.select(
         F.col(id_col), F.array_distinct(shingle_hashes(F.col("__th"), n)).alias("hs")
-    ).persist()
+    ).persist())
     # n_sh rides along from the materialized array — NOT a later
     # groupBy(id).count() over the exploded relation, which would be a
     # second full shuffle just to recover a number known at explode time.
-    exploded = sh_arr.select(
+    exploded = track_cached(sh_arr.select(
         F.col(id_col),
         F.size("hs").alias("n_sh"),
         F.explode("hs").alias("shingle_h"),
-    ).persist()
+    ).persist())
     # persisted: the adaptive decision below materializes it, and the
     # chosen path's frequency join then reuses that work instead of
     # re-aggregating the exploded relation
-    dfreq = exploded.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("__df")).persist()
+    dfreq = track_cached(
+        exploded.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("__df")).persist()
+    )
     if prefix_filter is None:
         stats = dfreq.agg(
             F.sum(F.col("__df") * F.col("__df")).alias("s2"),
@@ -293,7 +295,7 @@ def minhash_lsh_pairs(
     # the materialized token-hash attribute (size(__th) >= n iff at least
     # one shingle exists) — never a re-statement of the interpreted chain.
     toks = tokens if tokens is not None else hashed_tokens(df, text_col, id_col)
-    sh = (
+    sh = track_cached(
         toks.filter(F.size(F.col("__th")) >= F.lit(n))
         .select(
             F.col(id_col),
@@ -497,7 +499,9 @@ def connected_components(
         if n_changed == 0:
             break
     slim.unpersist()
-    return labels.select("id", "comp")
+    # the FINAL labels relation stays persisted for the caller's lazy
+    # consumption — ledger-tracked so release_cached_relations() owns it
+    return track_cached(labels).select("id", "comp")
 
 
 def dedup_corpus(
@@ -576,7 +580,7 @@ def near_dedup_corpus(
     # persisted: the kept corpus is read three times (pair generation,
     # the score projection under policy='best', and the final anti-join) —
     # without the cache boundary the exact-dedup window re-runs per read
-    stage1 = dedup_exact(df, [text_col], id_col).persist()
+    stage1 = track_cached(dedup_exact(df, [text_col], id_col).persist())
     if method == "jaccard":
         pairs = ngram_jaccard_pairs(stage1, threshold, n, text_col, id_col)
     elif method == "minhash":
@@ -820,7 +824,7 @@ def simhash_pairs(
     # persist: the block-join branches reference this relation repeatedly,
     # and the simhash vote aggregate is interpreted (no codegen CSE) — it
     # must be evaluated once per row, not once per branch
-    hashed = (
+    hashed = track_cached(
         toks.select(
             F.col(id_col), simhash_from_token_hashes(F.col("__th"), bits).alias("sh")
         )
@@ -937,7 +941,7 @@ def near_dup_suite(
 
     Returns ``{"jaccard": pairs, "minhash": pairs, "simhash": pairs}``.
     """
-    toks = hashed_tokens(df, text_col, id_col).persist()
+    toks = track_cached(hashed_tokens(df, text_col, id_col).persist())
     return {
         "jaccard": ngram_jaccard_pairs(
             df, jaccard_threshold, n, text_col, id_col, tokens=toks
@@ -1131,9 +1135,9 @@ def ngram_novelty(
     than ``n`` tokens release ``(0, 0, 0.0)``.
     """
     toks = hashed_tokens(df, text_col, id_col)
-    sh_arr = toks.select(
+    sh_arr = track_cached(toks.select(
         F.col(id_col), F.array_distinct(shingle_hashes(F.col("__th"), n)).alias("hs")
-    ).persist()
+    ).persist())
     exploded = sh_arr.select(
         F.col(id_col), F.size("hs").alias("n_sh"), F.explode("hs").alias("__h")
     )
@@ -1201,7 +1205,7 @@ def source_overlap_matrix(
         )
         .distinct()
     )
-    sh.persist()
+    track_cached(sh.persist())
     sizes = sh.groupBy("__src").agg(F.count(F.lit(1)).alias("__n"))
     a = sh.select(F.col("__src").alias("source_a"), "__h")
     b = sh.select(F.col("__src").alias("source_b"), "__h")
@@ -1265,14 +1269,14 @@ def containment_pairs(
     scale if the shingle-frequency profile is hot.
     """
     toks = hashed_tokens(df, text_col, id_col)
-    sh_arr = toks.select(
+    sh_arr = track_cached(toks.select(
         F.col(id_col), F.array_distinct(shingle_hashes(F.col("__th"), n)).alias("hs")
-    ).persist()
-    exploded = sh_arr.select(
+    ).persist())
+    exploded = track_cached(sh_arr.select(
         F.col(id_col),
         F.size("hs").alias("n_sh"),
         F.explode("hs").alias("shingle_h"),
-    ).persist()
+    ).persist())
     dfreq = exploded.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("__df"))
     joinable = exploded.join(dfreq.filter(F.col("__df") >= 2), on="shingle_h").select(
         id_col, "n_sh", "shingle_h"

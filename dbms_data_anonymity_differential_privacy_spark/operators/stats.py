@@ -884,7 +884,9 @@ def copurchase_lift(
             .where(F.col("__sz") <= max_basket_size)
             .drop("__sz")
         )
-    items.persist()
+    from dbms_data_anonymity_differential_privacy_spark.operators.util import track_cached
+
+    track_cached(items.persist())
     n_baskets = items.select("__b").distinct().agg(
         F.count(F.lit(1)).alias("__n")
     )

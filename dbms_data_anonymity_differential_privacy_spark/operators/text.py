@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dbms_data_anonymity_differential_privacy_spark.operators.util import fan_out
+from dbms_data_anonymity_differential_privacy_spark.operators.util import fan_out, track_cached
 
 # Whitespace tokenizer (P-analog of str.split()).
 WS = r"\s+"
@@ -267,7 +267,7 @@ def tfidf_topk(
     tf = e.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     # persisted: backs the df-frequency aggregation, the distinct-value
     # collect, and the score join without re-running the explode shuffle
-    tf.persist()
+    track_cached(tf.persist())
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
     n_docs = tf.select(id_col).distinct().count()
     if exact:
@@ -331,7 +331,7 @@ def oov_rate(
         .select(F.col(id_col), F.explode_outer(toks).alias("tok"))
         .where(F.col("tok").isNotNull() & (F.col("tok") != ""))
     )
-    e.persist()
+    track_cached(e.persist())
     vocab = (
         e.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("__f"))
@@ -408,6 +408,7 @@ def jsd_divergence(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .persist()
     )
+    track_cached(wc)
     a_cnt = F.sum(F.when(F.col("__s") == source_a, F.col("cnt")).otherwise(0))
     b_cnt = F.sum(F.when(F.col("__s") == source_b, F.col("cnt")).otherwise(0))
     per_tok = wc.groupBy("tok").agg(
@@ -427,7 +428,7 @@ def jsd_divergence(
             (F.col("B") - F.col("vb")).alias("b"),
         )
     )
-    vec = vocab.select("tok", "a", "b").unionByName(other).persist()
+    vec = track_cached(vocab.select("tok", "a", "b").unionByName(other).persist())
 
     # exact int cross-products; in exact mode the ln args are evaluated
     # once per distinct pair by driver libm and broadcast back

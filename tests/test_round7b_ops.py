@@ -690,3 +690,39 @@ def test_classification_eval_perfect_predictor(spark):
     )
     for r in classification_eval(pairs, "g", "p").collect():
         assert r.precision_r == 1.0 and r.recall_r == 1.0 and r.f1_r == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Cache-ledger lifecycle: operator-internal persists are tracked
+# ---------------------------------------------------------------------------
+
+
+def test_operator_persists_are_ledger_released(spark, sf0001):
+    """Every consumer-lazy persist inside the dedup/text/stats operators
+    must ride the cache ledger: after consuming the results and calling
+    release_cached_relations(), no persisted RDDs remain."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
+        near_dedup_corpus,
+        ngram_jaccard_pairs,
+    )
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import copurchase_lift
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import tfidf_topk
+    from dbms_data_anonymity_differential_privacy_spark.operators.util import (
+        release_cached_relations,
+    )
+
+    spark.catalog.clearCache()
+    release_cached_relations()
+
+    docs = spark.read.parquet(f"{sf0001}/documents.parquet")
+    li = spark.read.parquet(f"{sf0001}/lineitem.parquet")
+    ngram_jaccard_pairs(docs, 0.5).count()
+    near_dedup_corpus(docs).count()
+    copurchase_lift(li, "l_orderkey", "l_partkey", top_k=5).count()
+    tfidf_topk(docs, k=3).count()
+
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert jmap.size() > 0, "operators should have persisted internally"
+    release_cached_relations()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert jmap.size() == 0, f"untracked cache residue: {jmap.size()} RDDs"
