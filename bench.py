@@ -240,6 +240,18 @@ HEADLINE = [
     "x187_gating_curve",
     "x188_markov_stationary",
     "x189_langid_eval",
+    "x190_pmi_collocations",
+    "x191_cohens_kappa",
+    "x192_calibration",
+    "x193_parity",
+    "x194_holt",
+    "x195_local_clustering",
+    "x196_hits",
+    "x197_logrank",
+    "x198_ktruss",
+    "x199_packing_efficiency",
+    "x200_brown_forsythe",
+    "x201_seasonal_decompose",
 ]
 
 

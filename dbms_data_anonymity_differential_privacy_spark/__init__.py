@@ -99,7 +99,10 @@ from dbms_data_anonymity_differential_privacy_spark.operators.sampling import (
     stratified_sample_n,
     stratified_split,
 )
-from dbms_data_anonymity_differential_privacy_spark.operators.packing import pack_concat_chunks
+from dbms_data_anonymity_differential_privacy_spark.operators.packing import (
+    pack_concat_chunks,
+    packing_efficiency,
+)
 from dbms_data_anonymity_differential_privacy_spark.operators.search import bm25_topk, bm25_topk_many
 from dbms_data_anonymity_differential_privacy_spark.streaming.drift import (
     drift_windows_batch,
@@ -110,6 +113,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.text import (
     classification_eval,
     good_turing_stats,
     heaps_fit,
+    pmi_collocations,
     text_stats,
     with_text_features,
 )
@@ -226,8 +230,15 @@ from dbms_data_anonymity_differential_privacy_spark.operators.integrity import (
 from dbms_data_anonymity_differential_privacy_spark.operators.snapshot import apply_changes
 from dbms_data_anonymity_differential_privacy_spark.operators.profile import skew_report
 from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+    brown_forsythe,
+    calibration_table,
+    cohens_kappa,
     group_ols,
+    holt_linear,
+    logrank_test,
+    seasonal_decompose_dow,
     markov_stationary,
+    selection_rate_parity,
     mutual_information,
     pettitt_test,
     split_conformal,
@@ -313,6 +324,15 @@ __all__ = [
     "classification_eval",
     "good_turing_stats",
     "heaps_fit",
+    "pmi_collocations",
+    "cohens_kappa",
+    "calibration_table",
+    "selection_rate_parity",
+    "holt_linear",
+    "logrank_test",
+    "brown_forsythe",
+    "seasonal_decompose_dow",
+    "packing_efficiency",
     "quality_gating_curve",
     "drift_windows_batch",
     "drift_windows_stream",

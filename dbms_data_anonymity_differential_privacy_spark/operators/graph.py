@@ -722,3 +722,317 @@ def bfs_profile(
     return dist.groupBy(F.col("lm").alias("landmark"), "dist").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient of an undirected graph:
+    ``lcc(v) = 2·T(v) / (deg(v)·(deg(v)-1))`` where ``T(v)`` is the
+    number of triangles through ``v`` — the node-level refinement of
+    :func:`triangle_count`'s global transitivity (Watts–Strogatz 1998).
+    Nodes with ``deg < 2`` have no wedge and are excluded (their lcc is
+    undefined, not zero).
+
+    Output: ``(node, degree, n_tri, lcc_r)``, lcc rounded at 9 dp (one
+    IEEE division over exact integers).
+
+    Physical strategy: the same Suri–Vassilvitskii degree orientation as
+    :func:`triangle_count` — every triangle is enumerated exactly once
+    as an oriented wedge whose closing edge exists, then each of its
+    three corners is credited (one ``explode`` + count). The wedge
+    fan-out is bounded by the oriented out-degree O(sqrt(|E|)), so the
+    celebrity-node blowup cannot happen; shuffles carry id pairs only.
+    """
+    from dbms_data_anonymity_differential_privacy_spark.operators.util import track_cached
+
+    canon = track_cached(
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).alias("a"),
+            F.greatest(F.col("src"), F.col("dst")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    deg = track_cached(
+        canon.select(F.col("a").alias("v"))
+        .unionByName(canon.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .persist()
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("degree").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("degree").alias("db"))
+    oriented = track_cached(
+        canon.join(da, on="a")
+        .join(db, on="b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("w")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
+            .alias("e")
+        )
+        .select(F.col("e.u").alias("u"), F.col("e.w").alias("w"))
+        .persist()
+    )
+    e1 = oriented.select(F.col("u"), F.col("w").alias("v"))
+    e2 = oriented.select(F.col("u"), F.col("w").alias("x"))
+    # each triangle appears once with v < x (the closing edge is stored
+    # canonically a < b, so only the v < x wedge order survives)
+    wedges = e1.join(e2, on="u").filter(F.col("v") < F.col("x"))
+    closing = oriented.select(
+        F.least("u", "w").alias("v"), F.greatest("u", "w").alias("x")
+    )
+    tri = wedges.join(closing, on=["v", "x"], how="left_semi")
+    per_node = (
+        tri.select(F.explode(F.array("u", "v", "x")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    out = (
+        deg.filter(F.col("degree") >= 2)
+        .select(F.col("v").alias("node"), "degree")
+        .join(per_node, on="node", how="left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+            F.round(
+                2.0 * F.coalesce("n_tri", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - F.lit(1))),
+                9,
+            ).alias("lcc_r"),
+        )
+    )
+    return out
+
+
+def hits_int(
+    edges: DataFrame,
+    iters: int = 8,
+    driver_threshold: int = 2_000_000,
+) -> DataFrame:
+    """Fixed-iteration integer HITS (Kleinberg 1999) over a directed
+    edge relation: hubs point to good authorities, authorities are
+    pointed to by good hubs.
+
+    Exactness discipline (the :func:`pagerank_int` contract): scores are
+    integer parts-per-billion with floor division everywhere, so sums
+    are shuffle-order-independent and hash-exact across engines. The
+    usual L2 normalization is replaced by an integer mass rescale —
+    after each half-step the vector is divided by ``scale = S // PPB + 1``
+    (``S`` = total mass), keeping every score <= PPB and all arithmetic
+    in int64 (per-node raw sums are bounded by the total mass <= N·PPB).
+
+    Update (all integer)::
+
+        h_0(v)   = PPB // N
+        a'_i(v)  = sum_{u->v} h_{i-1}(u);  a_i = a' // (sum(a') // PPB + 1)
+        h'_i(u)  = sum_{u->v} a_i(v);      h_i = h' // (sum(h') // PPB + 1)
+
+    Returns ``(node, hub_ppb, auth_ppb)`` for every node; a node with no
+    out-edges has hub 0 after round 1, no in-edges -> auth 0.
+
+    Hybrid physical strategy: <= ``driver_threshold`` edges (16-byte
+    rows) collect once into a vectorized numpy int64 loop; larger graphs
+    run the distributed loop — per round TWO slim joins + aggregations
+    (hub half-step, auth half-step) with a persist/count barrier per
+    round pair, lineage truncated by an eager localCheckpoint at the
+    end (the x126 discipline).
+    """
+    import numpy as np
+
+    slim = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    ).persist()
+    n_edges = slim.count()
+
+    if n_edges <= driver_threshold:
+        pdf = slim.toPandas()
+        slim.unpersist()
+        src = pdf["src"].to_numpy(dtype=np.int64)
+        dst = pdf["dst"].to_numpy(dtype=np.int64)
+        nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+        src_i, dst_i = inv[: len(src)], inv[len(src):]
+        n = len(nodes)
+        hub = np.full(n, PPB // n, dtype=np.int64)
+        auth = np.zeros(n, dtype=np.int64)
+        for _ in range(iters):
+            a_raw = np.zeros(n, dtype=np.int64)
+            np.add.at(a_raw, dst_i, hub[src_i])
+            auth = a_raw // (a_raw.sum() // PPB + 1)
+            h_raw = np.zeros(n, dtype=np.int64)
+            np.add.at(h_raw, src_i, auth[dst_i])
+            hub = h_raw // (h_raw.sum() // PPB + 1)
+        schema = T.StructType(
+            [
+                T.StructField("node", T.LongType(), False),
+                T.StructField("hub_ppb", T.LongType(), False),
+                T.StructField("auth_ppb", T.LongType(), False),
+            ]
+        )
+        return edges.sparkSession.createDataFrame(
+            [(int(v), int(h), int(a)) for v, h, a in zip(nodes, hub, auth)], schema
+        )
+
+    nodes_df = (
+        slim.select(F.col("src").alias("node"))
+        .unionByName(slim.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes_df.count()
+    hub = nodes_df.select("node", F.lit(PPB // n).cast("long").alias("s"))
+    auth = None
+    persisted = None
+    for i in range(1, iters + 1):
+        a_raw = (
+            slim.join(hub.withColumnRenamed("node", "src"), on="src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("s").alias("raw"))
+        )
+        a_tot = a_raw.agg(F.sum("raw").alias("t"))
+        auth = a_raw.join(F.broadcast(a_tot)).select(
+            "node", F.expr(f"raw div (t div {PPB} + 1)").alias("s")
+        )
+        h_raw = (
+            slim.join(auth.withColumnRenamed("node", "dst"), on="dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("s").alias("raw"))
+        )
+        h_tot = h_raw.agg(F.sum("raw").alias("t"))
+        hub = h_raw.join(F.broadcast(h_tot)).select(
+            "node", F.expr(f"raw div (t div {PPB} + 1)").alias("s")
+        )
+        hub = hub.persist()
+        hub.count()
+        auth = auth.persist()
+        if persisted is not None:
+            for p in persisted:
+                p.unpersist()
+        persisted = (hub, auth)
+    out = (
+        nodes_df.join(hub.withColumnRenamed("s", "hub_ppb"), on="node", how="left")
+        .join(auth.withColumnRenamed("s", "auth_ppb"), on="node", how="left")
+        .select(
+            "node",
+            F.coalesce("hub_ppb", F.lit(0)).cast("long").alias("hub_ppb"),
+            F.coalesce("auth_ppb", F.lit(0)).cast("long").alias("auth_ppb"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    for p in persisted:
+        p.unpersist()
+    nodes_df.unpersist()
+    slim.unpersist()
+    return out
+
+
+def _edge_support(cur: DataFrame) -> DataFrame:
+    """Per-edge triangle support of a canonical (a < b) edge relation —
+    the Suri–Vassilvitskii oriented wedge join with each triangle
+    credited to its three edges. Returns ``(a, b, support)`` covering
+    every input edge (support 0 when triangle-free)."""
+    deg = (
+        cur.select(F.col("a").alias("v"))
+        .unionByName(cur.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("db"))
+    oriented = (
+        cur.join(da, on="a")
+        .join(db, on="b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("w")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
+            .alias("e")
+        )
+        .select(F.col("e.u").alias("u"), F.col("e.w").alias("w"))
+    )
+    e1 = oriented.select(F.col("u"), F.col("w").alias("v"))
+    e2 = oriented.select(F.col("u"), F.col("w").alias("x"))
+    wedges = e1.join(e2, on="u").filter(F.col("v") < F.col("x"))
+    closing = oriented.select(
+        F.least("u", "w").alias("v"), F.greatest("u", "w").alias("x")
+    )
+    tri = wedges.join(closing, on=["v", "x"], how="left_semi")
+    tri_edges = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+                ),
+                F.struct(
+                    F.least("u", "x").alias("a"), F.greatest("u", "x").alias("b")
+                ),
+                F.struct(F.col("v").alias("a"), F.col("x").alias("b")),
+            )
+        ).alias("e")
+    ).select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+    support = tri_edges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    return cur.join(support, on=["a", "b"], how="left").select(
+        "a", "b", F.coalesce("support", F.lit(0)).cast("long").alias("support")
+    )
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int = 4,
+    rounds: int = 3,
+) -> DataFrame:
+    """Bounded-iteration k-truss peeling (Cohen 2008): repeatedly drop
+    edges supported by fewer than ``k-2`` triangles — the standard
+    cohesive-subgraph refinement one notch stronger than k-core (every
+    surviving edge sits in ``k-2`` triangles *within the truss*).
+
+    Like :func:`label_propagation`/:func:`bfs_profile`, the iteration
+    count is FIXED (``rounds``) so the release is deterministic and
+    oracle-replayable as unrolled rounds; real-world trusses converge in
+    a handful of peels (each round removes the entire current
+    under-supported frontier). Returns the surviving canonical edges
+    with their support after a FINAL recount on the surviving set:
+    ``(a, b, support)`` — all integer, hash-exact.
+
+    Physical strategy per round (:func:`_edge_support`): the
+    :func:`triangle_count` Suri-Vassilvitskii orientation on the CURRENT
+    edge set (recomputed — degrees change as edges drop), each triangle
+    credited to its three EDGES via one explode, one (edge) count
+    shuffle, then the support-threshold filter. Wedge fan-out stays
+    O(sqrt(|E|)); shuffles carry id pairs only. Rounds are materialized
+    with eager localCheckpoints (see the in-body comment: plan growth,
+    not data, is the hazard here).
+    """
+    # lineage MUST be truncated per round (localCheckpoint, not persist):
+    # _edge_support references the edge relation ~6 times (degree union,
+    # two degree joins, wedge self-join, support join-back), so a lazy
+    # or merely-cached chain grows the LOGICAL plan ~6^rounds — the
+    # analyzer itself OOMs long before any data moves. Checkpointed
+    # blocks are tiny (canonical id pairs) and freed on GC.
+    cur = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).alias("a"),
+            F.greatest(F.col("src"), F.col("dst")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    min_support = int(k) - 2
+    for _ in range(int(rounds)):
+        cur = (
+            _edge_support(cur)
+            .filter(F.col("support") >= min_support)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return _edge_support(cur).localCheckpoint(eager=True)

@@ -30,6 +30,8 @@ formulation on any engine. Plan-gated: no Exchange SinglePartition.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -175,4 +177,82 @@ def sliding_chunks(
         end.cast("long").alias("end_tok"),
         (end - start).cast("long").alias("chunk_tokens"),
         "n_tokens",
+    )
+
+
+def packing_efficiency(
+    df: DataFrame,
+    seq_lens: Sequence[int] = (256, 512, 1024, 2048),
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence-packing economics table: for each candidate context
+    length L, how many tokens the two standard batching strategies
+    waste — the decision readout before fixing a training context
+    length (Krell et al. 2021 study exactly this padding-vs-packing
+    gap; concat-packing is what :func:`pack_concat_chunks` implements).
+
+    Strategy A (pad/truncate, one doc per sequence): every doc shorter
+    than L pads ``L − tok`` slots, every longer doc truncates
+    ``tok − L`` tokens. Strategy B (concat-packing): the corpus is one
+    token stream cut into ``ceil(total/L)`` sequences — only the final
+    remainder pads.
+
+    Output per L: ``(seq_len, n_docs, total_tokens, pad_tokens,
+    trunc_tokens, n_seqs_packed, util_padded_r, util_packed_r)`` — all
+    exact int64 until the two utilization divisions (9 dp).
+
+    Scale shape: token counts are one map-only projection; the 4-row L
+    table joins by broadcast-cross (docs × |seq_lens| rows, map-side
+    partial agg) and the release is |seq_lens| rows.
+    """
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import token_count
+    from dbms_data_anonymity_differential_privacy_spark.operators.util import fan_out
+
+    spark = df.sparkSession
+    ls = spark.createDataFrame(
+        [(int(l),) for l in seq_lens], "seq_len LONG"
+    )
+    toks = fan_out(df).select(token_count(F.col(text_col)).alias("__tok"))
+    per_l = (
+        toks.join(F.broadcast(ls))
+        .groupBy("seq_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__tok").cast("long").alias("total_tokens"),
+            F.sum(
+                F.when(
+                    F.col("__tok") < F.col("seq_len"),
+                    F.col("seq_len") - F.col("__tok"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("pad_tokens"),
+            F.sum(
+                F.when(
+                    F.col("__tok") > F.col("seq_len"),
+                    F.col("__tok") - F.col("seq_len"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("trunc_tokens"),
+        )
+    )
+    n_packed = F.expr("(total_tokens + seq_len - 1) div seq_len")
+    return per_l.select(
+        "seq_len",
+        "n_docs",
+        "total_tokens",
+        "pad_tokens",
+        "trunc_tokens",
+        n_packed.cast("long").alias("n_seqs_packed"),
+        F.round(
+            (F.col("total_tokens") - F.col("trunc_tokens")).cast("double")
+            / (F.col("n_docs") * F.col("seq_len")).cast("double"),
+            9,
+        ).alias("util_padded_r"),
+        F.round(
+            F.col("total_tokens").cast("double")
+            / (n_packed * F.col("seq_len")).cast("double"),
+            9,
+        ).alias("util_packed_r"),
     )

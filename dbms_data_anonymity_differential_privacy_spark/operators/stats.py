@@ -2667,3 +2667,470 @@ def markov_stationary(
     return spark.createDataFrame(
         [(s, round(pi[s], 9)) for s in states], "state STRING, pi_r DOUBLE"
     )
+
+
+def cohens_kappa(
+    df: DataFrame, gold_col: str, pred_col: str
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two
+    categorical labelings (Cohen 1960): the standard inter-annotator /
+    model-vs-gold agreement statistic a labeling pipeline reports
+    alongside raw accuracy.
+
+    ``kappa = (p_o - p_e) / (1 - p_e)`` with observed agreement
+    ``p_o = n_agree / n`` and chance agreement
+    ``p_e = Σ_c gold_c · pred_c / n²`` over the label marginals.
+
+    Output: one row ``(n, n_agree, po_r, pe_r, kappa_r)`` (9 dp; kappa
+    NULL when p_e = 1, i.e. both sides constant and equal — agreement is
+    then undefined, not perfect).
+
+    Scale shape: ONE (gold, pred) aggregation collapses the fact table
+    to a confusion matrix of |labels|² rows; marginals and the kappa
+    arithmetic run on that tiny relation (broadcast joins). All counts
+    exact int64; ``p_e``'s numerator Σ gold_c·pred_c <= n², so stay under
+    ~3e9 rows per call or pre-aggregate (documented bound).
+    """
+    cm = (
+        df.groupBy(
+            F.col(gold_col).alias("g"), F.col(pred_col).alias("p")
+        ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = cm.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("g") == F.col("p"), F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    gm = cm.groupBy("g").agg(F.sum("c").cast("long").alias("gc"))
+    pm = cm.groupBy("p").agg(F.sum("c").cast("long").alias("pc"))
+    chance = (
+        gm.join(pm, gm["g"] == pm["p"])
+        .agg(F.sum(F.col("gc") * F.col("pc")).cast("long").alias("s"))
+    )
+    po = F.col("n_agree").cast("double") / F.col("n").cast("double")
+    pe = F.col("s").cast("double") / (
+        F.col("n").cast("double") * F.col("n").cast("double")
+    )
+    return (
+        tot.join(F.broadcast(chance))
+        .select(
+            "n",
+            "n_agree",
+            F.round(po, 9).alias("po_r"),
+            F.round(pe, 9).alias("pe_r"),
+            F.round(
+                F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe)), 9
+            ).alias("kappa_r"),
+        )
+    )
+
+
+def calibration_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_tiles: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reliability table + expected calibration error (ECE) of a score
+    against a binary outcome — the readout before trusting a quality /
+    ranking score as a probability (Naeini et al. 2015; Guo et al. 2017
+    make ECE the headline calibration number).
+
+    The score is min-max normalized to integer parts-per-billion
+    (``ppb = floor((s - min) / (max - min) · 1e9)``) so every per-tile
+    mean is an exact int64 sum and one IEEE division — no float
+    summation order anywhere. Tiles are exact equal-frequency cuts on
+    ``(score DESC, id)`` via the explicit ``(rank-1)·n_tiles // n``
+    formula (tile 1 = highest scores). Per tile: size, positives, mean
+    normalized score, empirical positive rate, |gap|; ``ece_r`` (the
+    size-weighted mean |gap|, identical on every row) rides along so the
+    table is self-contained.
+
+    Scale shape: one projection computes ppb (two scalar-subquery
+    min/max aggregates, broadcast); the global rank is a total order —
+    at extreme row counts swap in the x127 offset-table idiom; released
+    output is tile-level either way. Sum of ppb per tile <= n·1e9:
+    stay under ~9e9 rows per tile (int64 bound, documented).
+    """
+    from pyspark.sql import Window
+
+    mm = df.agg(
+        F.min(F.col(score_col).cast("double")).alias("mn"),
+        F.max(F.col(score_col).cast("double")).alias("mx"),
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+    )
+    scored = df.join(F.broadcast(mm)).select(
+        F.col(id_col).alias("__id"),
+        F.col(score_col).cast("double").alias("__s"),
+        F.col(label_col).cast("int").alias("__y"),
+        "mn",
+        "mx",
+        "n_all",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.floor(
+                (F.col(score_col).cast("double") - F.col("mn"))
+                * F.lit(1_000_000_000.0)
+                / (F.col("mx") - F.col("mn"))
+            )
+        )
+        .cast("long")
+        .alias("__ppb"),
+    )
+    w = Window.orderBy(F.desc("__s"), F.col("__id"))
+    tiled = scored.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "tile",
+        F.expr(f"(CAST(__rn - 1 AS BIGINT) * {int(n_tiles)}) div n_all") + 1,
+    )
+    per_tile = tiled.groupBy("tile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__y").cast("long").alias("n_pos"),
+        F.sum("__ppb").cast("long").alias("__sppb"),
+        F.max("n_all").alias("__n_all"),
+    )
+    mean_s = F.col("__sppb").cast("double") / (
+        F.col("n").cast("double") * F.lit(1_000_000_000.0)
+    )
+    rate = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    gap = F.abs(mean_s - rate)
+    with_gap = per_tile.select(
+        F.col("tile").cast("int").alias("tile"),
+        "n",
+        "n_pos",
+        F.round(mean_s, 9).alias("mean_score_r"),
+        F.round(rate, 9).alias("pos_rate_r"),
+        F.round(gap, 9).alias("abs_gap_r"),
+        (gap * F.col("n").cast("double") / F.col("__n_all").cast("double")).alias(
+            "__w_gap"
+        ),
+    )
+    ece = with_gap.agg(F.round(F.sum("__w_gap"), 9).alias("ece_r"))
+    return with_gap.join(F.broadcast(ece)).drop("__w_gap")
+
+
+def selection_rate_parity(
+    df: DataFrame, group_col: str, flag_col: str
+) -> DataFrame:
+    """Per-group selection-rate fairness audit: statistical parity
+    difference and disparate-impact ratio of a boolean outcome across a
+    protected/grouping attribute — the four-fifths-rule numbers
+    (Feldman et al. 2015) a dataset owner checks before releasing a
+    filtered corpus or a selection model's output.
+
+    Output per group: ``(group, n, n_selected, rate_r,
+    overall_rate_r, parity_diff_r = rate - overall,
+    di_ratio_r = rate / max-group-rate)`` (9 dp). Groups with the
+    maximum rate release ratio 1.0; a ratio under 0.8 fails the
+    four-fifths rule.
+
+    Scale shape: one grouped aggregation collapses the fact table to
+    |groups| rows; overall/max ride a broadcast single-row join. All
+    rates are one IEEE division over exact int64 counts; the max is a
+    max over identical doubles — deterministic cross-engine.
+    """
+    per = df.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(flag_col).cast("int")).cast("long").alias("n_selected"),
+    )
+    rate = F.col("n_selected").cast("double") / F.col("n").cast("double")
+    rated = per.select(F.col(group_col), "n", "n_selected", rate.alias("__rate"))
+    glob = rated.agg(
+        F.sum("n_selected").cast("long").alias("__ts"),
+        F.sum("n").cast("long").alias("__tn"),
+        F.max("__rate").alias("__mx"),
+    )
+    overall = F.col("__ts").cast("double") / F.col("__tn").cast("double")
+    return rated.join(F.broadcast(glob)).select(
+        F.col(group_col),
+        "n",
+        "n_selected",
+        F.round(F.col("__rate"), 9).alias("rate_r"),
+        F.round(overall, 9).alias("overall_rate_r"),
+        F.round(F.col("__rate") - overall, 9).alias("parity_diff_r"),
+        F.round(
+            F.when(F.col("__mx") > 0, F.col("__rate") / F.col("__mx")), 9
+        ).alias("di_ratio_r"),
+    )
+
+
+def holt_linear(
+    df: DataFrame,
+    series_cols: Sequence[str],
+    ts_col: str = "ts",
+    bucket: str = "day",
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    horizons: Sequence[int] = (1, 7),
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend, Holt
+    1957) of per-series bucketed counts, releasing each series' final
+    state and h-step forecasts — the classic trend-aware capacity
+    forecast one step up from :func:`ewma_smooth` (which has no trend
+    term and goes stale under drift).
+
+    State init from the first two buckets (``L = x_1``,
+    ``B = x_2 - x_1``), then for every later bucket
+    ``L' = α·x + (1-α)(L+B)``, ``B' = β(L'-L) + (1-β)B``. Series with
+    fewer than 2 buckets are excluded (no trend support).
+
+    Exactness: the recursion is inherently sequential, but the series
+    axis is bounded (buckets per series = the calendar), so it runs as
+    an IN-ROW fold — ``aggregate`` over the bucket-sorted count array,
+    state = array(level, trend) — entirely JVM-side inside whole-stage
+    codegen, no Python, no per-round shuffle. Both engines execute the
+    identical IEEE sequence on identical doubles, so results match
+    bit-for-bit (9 dp release). One shuffle total (the series
+    aggregation); the fold is map-side on |series| rows.
+
+    Output: ``(*series_cols, n_buckets, level_r, trend_r,
+    fc{h}_r ...)``.
+    """
+    a = float(alpha)
+    b = float(beta)
+    counts = df.groupBy(
+        *[F.col(c) for c in series_cols],
+        F.date_trunc(bucket, F.col(ts_col)).alias("__b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("__x"))
+    per_series = counts.groupBy(*[F.col(c) for c in series_cols]).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(__b, __x))),"
+            " e -> CAST(e.__x AS DOUBLE))"
+        ).alias("__v")
+    )
+    # fold items = 3rd bucket onward (1-based slice; state seeded from
+    # the first two). L' appears twice in the lambda on purpose: both
+    # occurrences are the same IEEE expression, so recomputing it is
+    # exact and keeps the state a plain array<double>.
+    lp = f"({a}D * x + {1.0 - a}D * (s[0] + s[1]))"
+    fold = (
+        f"aggregate(slice(__v, 3, greatest(size(__v) - 2, 0)), "
+        f"array(__v[0], __v[1] - __v[0]), "
+        f"(s, x) -> array({lp}, "
+        f"{b}D * ({lp} - s[0]) + {1.0 - b}D * s[1]))"
+    )
+    out = per_series.filter(F.size("__v") >= 2).select(
+        *[F.col(c) for c in series_cols],
+        F.size("__v").cast("long").alias("n_buckets"),
+        F.expr(fold).alias("__st"),
+    )
+    cols = [
+        *[F.col(c) for c in series_cols],
+        "n_buckets",
+        F.round(F.expr("__st[0]"), 9).alias("level_r"),
+        F.round(F.expr("__st[1]"), 9).alias("trend_r"),
+    ]
+    for h in horizons:
+        cols.append(
+            F.round(F.expr(f"__st[0] + {int(h)}D * __st[1]"), 9).alias(f"fc{h}_r")
+        )
+    return out.select(*cols)
+
+
+def logrank_test(
+    durations: DataFrame,
+    group_col: str = "grp",
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Two-group log-rank test (Mantel 1966) — does survival differ
+    between cohorts? The hypothesis-test companion of
+    :func:`kaplan_meier`, over the same right-censored ``(duration,
+    event)`` observations plus a binary group indicator (1 = cohort of
+    interest).
+
+    At each distinct death time t: ``E1_t = d_t·n1_t/n_t`` and
+    ``V_t = d_t·(n1_t/n_t)·(1−n1_t/n_t)·(n_t−d_t)/(n_t−1)`` from the
+    at-risk counts; the released statistic is the chi-square form
+    ``(O1−E1)²/V`` (1 df) — no square roots, every term a fixed IEEE
+    expression over exact integer counts (terms summed with the x110
+    plain-aggregate discipline, released at 6 dp).
+
+    Output (single row): ``(n, n1, d, d1, o_minus_e_r, var_r, chi2_r)``;
+    chi2 NULL when V = 0.
+
+    Scale shape: ONE aggregation collapses observations to the
+    per-distinct-time relation; at-risk counts are the kaplan_meier
+    cumulative windows over that slim relation; the test statistic is
+    one more aggregation of it.
+    """
+    from pyspark.sql import Window
+
+    t = F.col(duration_col)
+    ev = F.col(event_col).cast("int")
+    g1 = F.col(group_col).cast("int")
+    per_t = durations.groupBy(t.alias("t")).agg(
+        F.sum(ev).alias("d"),
+        F.sum(ev * g1).alias("d1"),
+        F.count(F.lit(1)).alias("obs"),
+        F.sum(g1).alias("obs1"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    n_tot = F.sum("obs").over(Window.partitionBy())
+    n1_tot = F.sum("obs1").over(Window.partitionBy())
+    staged = per_t.withColumn(
+        "n_risk", n_tot - F.coalesce(F.sum("obs").over(w_prev), F.lit(0))
+    ).withColumn(
+        "n1_risk", n1_tot - F.coalesce(F.sum("obs1").over(w_prev), F.lit(0))
+    )
+    nd = F.col("n_risk").cast("double")
+    n1d = F.col("n1_risk").cast("double")
+    dd = F.col("d").cast("double")
+    p1 = n1d / nd
+    terms = staged.filter(F.col("d") > 0).select(
+        "d",
+        "d1",
+        (dd * p1).alias("__e1"),
+        F.when(
+            F.col("n_risk") > 1,
+            dd * p1 * (F.lit(1.0) - p1) * (nd - dd) / (nd - F.lit(1.0)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("__v"),
+    )
+    tot = durations.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(g1).cast("long").alias("n1"),
+    )
+    agg = terms.agg(
+        F.sum("d").cast("long").alias("d"),
+        F.sum("d1").cast("long").alias("d1"),
+        F.sum(F.col("d1").cast("double") - F.col("__e1")).alias("__ome"),
+        F.sum("__v").alias("__var"),
+    )
+    return tot.join(F.broadcast(agg)).select(
+        "n",
+        "n1",
+        "d",
+        "d1",
+        F.round(F.col("__ome"), 6).alias("o_minus_e_r"),
+        F.round(F.col("__var"), 6).alias("var_r"),
+        F.round(
+            F.when(
+                F.col("__var") > 0,
+                F.col("__ome") * F.col("__ome") / F.col("__var"),
+            ),
+            6,
+        ).alias("chi2_r"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame, value_col: str, group_col: str
+) -> DataFrame:
+    """Brown–Forsythe test (1974) — do the metric's SPREADS differ
+    across groups? The robust (median-centered) Levene variant: one-way
+    ANOVA F on ``z = |x − median_g|``. The scale-homogeneity check run
+    before trusting :func:`anova_oneway`'s equal-variance assumption.
+
+    Per-group exact medians (type-7 interpolation — the x22 contract,
+    bit-matching DuckDB ``quantile_cont``) join back map-side
+    (broadcast, groups are few), then the F statistic derives from
+    per-group ``(n, Σz, Σz²)`` — the x110 sufficient-statistics shape,
+    released at 6 dp.
+
+    Output (single row): ``(n, k, f_r)``; F NULL when k < 2 or the
+    within-group sum of squares is 0.
+    """
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    z = F.abs(F.col(value_col).cast("double") - F.col("__med"))
+    g = (
+        df.join(F.broadcast(med), on=group_col)
+        .select(F.col(group_col), z.alias("__z"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__z").alias("__s"),
+            F.sum(F.col("__z") * F.col("__z")).alias("__ss"),
+        )
+    )
+    tot = g.agg(
+        F.sum("__n").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("__s").alias("__ts"),
+        F.sum("__ss").alias("__tss"),
+        F.sum(F.col("__ss") - F.col("__s") * F.col("__s") / F.col("__n")).alias(
+            "__ssw"
+        ),
+    )
+    grand_mean = F.col("__ts") / F.col("n")
+    sst = F.col("__tss") - F.col("n") * grand_mean * grand_mean
+    ssb = sst - F.col("__ssw")
+    f_stat = F.when(
+        (F.col("k") >= 2) & (F.col("__ssw") > 0),
+        (ssb / (F.col("k") - 1)) / (F.col("__ssw") / (F.col("n") - F.col("k"))),
+    )
+    return tot.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round(f_stat, 6).alias("f_r"),
+    )
+
+
+def seasonal_decompose_dow(
+    events: DataFrame, ts_col: str = "ts"
+) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily event
+    count with weekly seasonality: ``x = trend + seasonal + residual``
+    — the moving-average decomposition (the deterministic core of STL)
+    a metrics owner runs before anomaly thresholds, so a Sunday dip
+    isn't paged as an incident.
+
+    Trend = centered 7-day moving average (only days with a FULL
+    window release — the standard edge convention); day-of-week effect
+    = mean of the detrended series per dow. Exactness: the 7-day sum
+    and the detrended value SCALED BY 7 (``7x − Σ7``) are exact int64,
+    so the per-dow mean is one IEEE division of exact integers —
+    nothing float crosses an aggregation. dow is epoch-day mod 7
+    (0 = Thursday), identical in any engine.
+
+    Output per full-window day: ``(day, x, dow, trend_r, seasonal_r,
+    residual_r)`` (9 dp).
+
+    Scale shape: one (day) count shuffle collapses the fact table to
+    the calendar; every window/aggregate after that runs on calendar-
+    sized relations (single-partition window over the period relation —
+    the x79/x142 slim-spine shape).
+    """
+    from pyspark.sql import Window
+
+    daily = events.groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    full = (
+        daily.withColumn("__s7", F.sum("x").over(w7))
+        .withColumn("__c7", F.count("x").over(w7))
+        .filter(F.col("__c7") == 7)
+        .withColumn(
+            "dow",
+            F.pmod(F.datediff(F.col("day"), F.lit("1970-01-01")), F.lit(7)).cast(
+                "int"
+            ),
+        )
+        .withColumn("__det7", 7 * F.col("x") - F.col("__s7"))
+    )
+    per_dow = full.groupBy("dow").agg(
+        F.sum("__det7").cast("long").alias("__sd"),
+        F.count(F.lit(1)).cast("long").alias("__cd"),
+    )
+    seasonal = F.col("__sd").cast("double") / (
+        F.lit(7.0) * F.col("__cd").cast("double")
+    )
+    trend = F.col("__s7").cast("double") / F.lit(7.0)
+    return (
+        full.join(F.broadcast(per_dow), on="dow")
+        .select(
+            "day",
+            "x",
+            "dow",
+            F.round(trend, 9).alias("trend_r"),
+            F.round(seasonal, 9).alias("seasonal_r"),
+            F.round(
+                F.col("x").cast("double") - trend - seasonal, 9
+            ).alias("residual_r"),
+        )
+    )

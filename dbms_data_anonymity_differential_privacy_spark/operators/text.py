@@ -807,3 +807,65 @@ def classification_eval(
             9,
         ).alias("f1_r"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    top: int = 30,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top bigram collocations by pointwise mutual information — the
+    classic collocation-extraction readout (Church & Hanks 1990) a
+    corpus owner uses to find multi-word units ("new york", "machine
+    learning") worth treating as single tokens.
+
+    PMI is released in RATIO form ``lift = P(w1,w2) / (P(w1)·P(w2))
+    = c_xy·N / (c_x·c_y)`` — the exp of PMI — so the score is a fixed
+    IEEE expression over exact int64 counts with no logs anywhere
+    (the monotone transform preserves the ranking exactly). ``c_x`` /
+    ``c_y`` are positional marginals (occurrences as first / second
+    bigram element), ``N`` = total bigrams. Pairs below ``min_count``
+    are pruned (PMI is notoriously noisy on rare pairs); the release is
+    the top ``top`` by ``(pmi_lift_r DESC, w1, w2)`` — a total order.
+
+    Output: ``(w1, w2, c_xy, c_x, c_y, pmi_lift_r)`` (6 dp).
+
+    Scale shape: ONE heavy word-count-shaped shuffle (the bigram pair
+    count, map-side partial agg); the marginals re-aggregate the
+    distinct-pair relation (orders of magnitude smaller than the
+    occurrence stream), and the final top-k is a TakeOrderedAndProject
+    — map-side partial top-k, never a full sort.
+    """
+    from dbms_data_anonymity_differential_privacy_spark.operators.util import track_cached
+
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), WS), lambda t: t != "")
+    base = fan_out(df).select(toks.alias("__t")).where(F.size("__t") >= 2)
+    bg = base.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(__t) - 2),"
+                " i -> struct(__t[i] AS w1, __t[i + 1] AS w2))"
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    pc = track_cached(
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c_xy")).persist()
+    )
+    nn = pc.agg(F.sum("c_xy").cast("long").alias("__n"))
+    cx = pc.groupBy("w1").agg(F.sum("c_xy").cast("long").alias("c_x"))
+    cy = pc.groupBy("w2").agg(F.sum("c_xy").cast("long").alias("c_y"))
+    lift = (
+        F.col("c_xy").cast("double")
+        * F.col("__n").cast("double")
+        / (F.col("c_x").cast("double") * F.col("c_y").cast("double"))
+    )
+    return (
+        pc.filter(F.col("c_xy") >= int(min_count))
+        .join(cx, on="w1")
+        .join(cy, on="w2")
+        .join(F.broadcast(nn))
+        .select("w1", "w2", "c_xy", "c_x", "c_y", F.round(lift, 6).alias("pmi_lift_r"))
+        .orderBy(F.desc("pmi_lift_r"), "w1", "w2")
+        .limit(int(top))
+    )

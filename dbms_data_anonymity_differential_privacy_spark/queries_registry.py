@@ -9882,6 +9882,639 @@ ORACLE_SQL["x189_langid_eval"] = ORACLE_SQL["x189_langid_eval"].replace(
 
 
 # --------------------------------------------------------------------------
+# X190 — PMI collocations (operators/text.py pmi_collocations): top
+# bigram collocations by pointwise mutual information in RATIO form
+# (c_xy*N / (c_x*c_y) — exp(PMI), monotone, so no logs anywhere); exact
+# int64 counts, one IEEE expression, total-order top-30.
+# --------------------------------------------------------------------------
+@query(
+    "x190_pmi_collocations",
+    r"""
+    WITH t AS (SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    bb AS (SELECT unnest(toks[1:len(toks) - 1]) AS w1,
+                  unnest(toks[2:len(toks)]) AS w2
+           FROM t WHERE len(toks) >= 2),
+    pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy FROM bb GROUP BY 1, 2),
+    nn AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n FROM pc),
+    cx AS (SELECT w1, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM pc GROUP BY 1),
+    cy AS (SELECT w2, CAST(SUM(c_xy) AS BIGINT) AS c_y FROM pc GROUP BY 1)
+    SELECT pc.w1, pc.w2, pc.c_xy, cx.c_x, cy.c_y,
+           ROUND(CAST(pc.c_xy AS DOUBLE) * CAST(nn.n AS DOUBLE)
+                 / (CAST(cx.c_x AS DOUBLE) * CAST(cy.c_y AS DOUBLE)), 6)
+             AS pmi_lift_r
+    FROM pc JOIN cx USING (w1) JOIN cy USING (w2) CROSS JOIN nn
+    WHERE pc.c_xy >= 5
+    ORDER BY pmi_lift_r DESC, w1, w2 LIMIT 30
+    """,
+)
+def x190_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 bigram collocations by PMI lift (min pair count 5)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import pmi_collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=5, top=30)
+
+
+# --------------------------------------------------------------------------
+# X191 — Cohen's kappa (operators/stats.py cohens_kappa): chance-
+# corrected agreement of the n-gram language-ID heuristic against the
+# gold lang column — the inter-annotator-agreement statistic, all-
+# rational over the x189 confusion matrix.
+# --------------------------------------------------------------------------
+@query(
+    "x191_cohens_kappa",
+    """
+    WITH {LANG_SCORE_CTE},
+    pr AS (SELECT lang AS g,
+                  CASE WHEN GREATEST(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+                       WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                       WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+                       WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                       WHEN s_es = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                       ELSE 'zh' END AS p
+           FROM ls),
+    cm AS (SELECT g, p, CAST(COUNT(*) AS BIGINT) AS c FROM pr GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN g = p THEN c ELSE 0 END) AS BIGINT) AS n_agree
+            FROM cm),
+    gm AS (SELECT g, SUM(c) AS gc FROM cm GROUP BY 1),
+    pm AS (SELECT p, SUM(c) AS pc FROM cm GROUP BY 1),
+    ch AS (SELECT CAST(SUM(gm.gc * pm.pc) AS BIGINT) AS s
+           FROM gm JOIN pm ON pm.p = gm.g)
+    SELECT n, n_agree,
+           ROUND(CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE), 9) AS po_r,
+           ROUND(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9)
+             AS pe_r,
+           ROUND(CASE WHEN CAST(s AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+                      THEN (CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE)
+                            - CAST(s AS DOUBLE)
+                              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                           / (1.0 - CAST(s AS DOUBLE)
+                              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) END, 9)
+             AS kappa_r
+    FROM tot CROSS JOIN ch
+    """,
+)
+def x191_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of lang-ID prediction vs the gold lang column."""
+    from dbms_data_anonymity_differential_privacy_spark.operators import text as tx
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import cohens_kappa
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select("lang", tx.lang_id(F.col("text")).alias("lang_pred"))
+    return cohens_kappa(pairs, "lang", "lang_pred")
+
+
+# --------------------------------------------------------------------------
+# X192 — calibration / reliability table + ECE (operators/stats.py
+# calibration_table) of the x173 linear quality logit against the
+# is-English label: min-max ppb normalization makes every tile mean an
+# exact int64 sum; tiles are the explicit (rank-1)*k//n formula.
+# --------------------------------------------------------------------------
+@query(
+    "x192_calibration",
+    """
+    WITH {X173_CORE},
+    lab AS (SELECT s.doc_id, s.logit_r AS sc,
+                   CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM scored s JOIN documents d USING (doc_id)),
+    mm AS (SELECT MIN(sc) AS mn, MAX(sc) AS mx,
+                  CAST(COUNT(*) AS BIGINT) AS n_all FROM lab),
+    pp AS (SELECT doc_id, sc, y,
+                  CASE WHEN mm.mx = mm.mn THEN 0
+                       ELSE CAST(FLOOR((sc - mm.mn) * 1000000000.0
+                                       / (mm.mx - mm.mn)) AS BIGINT) END AS ppb,
+                  mm.n_all
+           FROM lab CROSS JOIN mm),
+    rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS rn FROM pp),
+    tl AS (SELECT ((rn - 1) * 10) // n_all + 1 AS tile, y, ppb, n_all FROM rk),
+    pt AS (SELECT tile, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(y) AS BIGINT) AS n_pos,
+                  CAST(SUM(ppb) AS BIGINT) AS sppb, MAX(n_all) AS n_all
+           FROM tl GROUP BY 1),
+    g AS (SELECT CAST(tile AS INT) AS tile, n, n_pos,
+                 ROUND(CAST(sppb AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * 1000000000.0), 9) AS mean_score_r,
+                 ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 9) AS pos_rate_r,
+                 ROUND(ABS(CAST(sppb AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000.0)
+                           - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+                   AS abs_gap_r,
+                 ABS(CAST(sppb AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000.0)
+                     - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                   * CAST(n AS DOUBLE) / CAST(n_all AS DOUBLE) AS wg
+          FROM pt),
+    e AS (SELECT ROUND(SUM(wg), 9) AS ece_r FROM g)
+    SELECT g.tile, g.n, g.n_pos, g.mean_score_r, g.pos_rate_r, g.abs_gap_r, e.ece_r
+    FROM g CROSS JOIN e
+    """,
+)
+def x192_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability deciles + ECE of the linear quality logit vs the
+    is-English label."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.quality import (
+        linear_quality_score,
+    )
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import calibration_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = linear_quality_score(docs, n_buckets=64)
+    lab = scored.join(docs.select("doc_id", "lang"), on="doc_id").withColumn(
+        "__y", (F.col("lang") == "en").cast("int")
+    )
+    return calibration_table(lab, "logit_r", "__y", n_tiles=10, id_col="doc_id")
+
+
+# --------------------------------------------------------------------------
+# X193 — selection-rate fairness audit (operators/stats.py
+# selection_rate_parity): statistical parity difference + disparate-
+# impact ratio (four-fifths rule) of urgent-priority ordering across
+# market segments — all-rational group rates.
+# --------------------------------------------------------------------------
+@query(
+    "x193_parity",
+    """
+    WITH j AS (SELECT c.c_mktsegment AS c_mktsegment,
+                      CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END AS sel
+               FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    per AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(sel) AS BIGINT) AS n_selected
+            FROM j GROUP BY 1),
+    r AS (SELECT c_mktsegment, n, n_selected,
+                 CAST(n_selected AS DOUBLE) / CAST(n AS DOUBLE) AS rate
+          FROM per),
+    g AS (SELECT CAST(SUM(n_selected) AS BIGINT) AS ts,
+                 CAST(SUM(n) AS BIGINT) AS tn, MAX(rate) AS mx
+          FROM r)
+    SELECT c_mktsegment, n, n_selected,
+           ROUND(rate, 9) AS rate_r,
+           ROUND(CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE), 9) AS overall_rate_r,
+           ROUND(rate - CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE), 9)
+             AS parity_diff_r,
+           ROUND(CASE WHEN mx > 0 THEN rate / mx END, 9) AS di_ratio_r
+    FROM r CROSS JOIN g
+    """,
+)
+def x193_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent-order selection-rate parity across market segments."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+        selection_rate_parity,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("sel"),
+    )
+    return selection_rate_parity(j, "c_mktsegment", "sel")
+
+
+# --------------------------------------------------------------------------
+# X194 — Holt double-exponential smoothing (operators/stats.py
+# holt_linear): per-type daily trend-aware forecast as an in-row JVM
+# fold (state = array(level, trend)); the oracle replays the identical
+# IEEE fold via list_reduce with the same decimal literals.
+# --------------------------------------------------------------------------
+def _x194_sql(alpha: float = 0.3, beta: float = 0.1) -> str:
+    la, lb = repr(float(alpha)), repr(float(beta))
+    l1a, l1b = repr(1.0 - float(alpha)), repr(1.0 - float(beta))
+    lp = f"({la} * e[1] + {l1a} * (s[1] + s[2]))"
+    return f"""
+    WITH c AS (SELECT event_type,
+                      CAST(date_trunc('day', ts) AS TIMESTAMP) AS b,
+                      CAST(COUNT(*) AS BIGINT) AS x
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT event_type, list(CAST(x AS DOUBLE) ORDER BY b) AS v
+          FROM c GROUP BY 1),
+    f AS (SELECT event_type, len(v) AS nb,
+                 list_reduce(list_prepend([v[1], v[2] - v[1]],
+                             list_transform(v[3:], x -> [x, 0.0])),
+                     (s, e) -> [{lp},
+                                {lb} * ({lp} - s[1]) + {l1b} * s[2]]) AS st
+          FROM s WHERE len(v) >= 2)
+    SELECT event_type, CAST(nb AS BIGINT) AS n_buckets,
+           ROUND(st[1], 9) AS level_r, ROUND(st[2], 9) AS trend_r,
+           ROUND(st[1] + 1.0 * st[2], 9) AS fc1_r,
+           ROUND(st[1] + 7.0 * st[2], 9) AS fc7_r
+    FROM f
+    """
+
+
+@query("x194_holt", _x194_sql())
+def x194_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt level+trend forecast of daily per-type event counts."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import holt_linear
+
+    ev = load_table(spark, sf_dir, "events")
+    return holt_linear(
+        ev, ["event_type"], ts_col="ts", bucket="day", alpha=0.3, beta=0.1,
+        horizons=(1, 7),
+    )
+
+
+# --------------------------------------------------------------------------
+# X195 — per-node local clustering coefficient (operators/graph.py
+# local_clustering) of the x138 co-purchase graph: Watts-Strogatz lcc
+# via the Suri-Vassilvitskii oriented wedge join, corners credited by
+# one explode. Oracle = the plain canonical-edge triple join.
+# --------------------------------------------------------------------------
+@query(
+    "x195_local_clustering",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    pr AS (SELECT a.i AS x, b.i AS y FROM items a
+           JOIN items b ON a.b = b.b AND a.i < b.i
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM (SELECT x AS v FROM pr UNION ALL SELECT y AS v FROM pr)
+            GROUP BY 1),
+    tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+            FROM pr e1 JOIN pr e2 ON e2.x = e1.x AND e2.y > e1.y
+            JOIN pr e3 ON e3.x = e1.y AND e3.y = e2.y),
+    tn AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n_tri
+           FROM (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+                 UNION ALL SELECT c FROM tri)
+           GROUP BY 1)
+    SELECT d.v AS node, d.degree, COALESCE(tn.n_tri, 0) AS n_tri,
+           ROUND(2.0 * COALESCE(tn.n_tri, 0) / (d.degree * (d.degree - 1)), 9)
+             AS lcc_r
+    FROM deg d LEFT JOIN tn ON tn.v = d.v
+    WHERE d.degree >= 2
+    """,
+)
+def x195_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part local clustering coefficient on the co-purchase graph."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import local_clustering
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("src", "dst")
+    )
+    return local_clustering(edges)
+
+
+# --------------------------------------------------------------------------
+# X196 — fixed-iteration integer HITS (operators/graph.py hits_int) over
+# the x126 supplier->customer trade graph: hub/authority scores in
+# integer ppb with a floor-division mass rescale per half-step — the
+# same order-independence discipline as integer PageRank; the oracle
+# replays all 8 rounds as chained CTEs.
+# --------------------------------------------------------------------------
+def _x196_sql(iters: int = 8) -> str:
+    # e0 is referenced twice per round (16x at 8 iters): MATERIALIZED
+    # stops DuckDB from inlining a fresh parquet scan per reference
+    # (fd-limit blowup on the oracle side).
+    ctes = [
+        "e0 AS MATERIALIZED (SELECT DISTINCT l.l_suppkey AS src, o.o_custkey AS dst"
+        " FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e0 UNION SELECT dst FROM e0)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "h0 AS (SELECT node, CAST(1000000000 // nn.n AS BIGINT) AS s"
+        " FROM nodes CROSS JOIN nn)",
+    ]
+    # every per-round CTE is referenced twice downstream (raw feeds both
+    # the total and the rescale); without MATERIALIZED the references
+    # inline recursively — 2^rounds plan blowup on the oracle side
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"ar{i} AS MATERIALIZED (SELECT e.dst AS node,"
+            f" CAST(SUM(h.s) AS BIGINT) AS raw"
+            f" FROM h{i - 1} h JOIN e0 e ON e.src = h.node GROUP BY 1)"
+        )
+        ctes.append(f"at{i} AS (SELECT CAST(SUM(raw) AS BIGINT) AS t FROM ar{i})")
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT node,"
+            f" CAST(raw // (t // 1000000000 + 1) AS BIGINT)"
+            f" AS s FROM ar{i} CROSS JOIN at{i})"
+        )
+        ctes.append(
+            f"hr{i} AS MATERIALIZED (SELECT e.src AS node,"
+            f" CAST(SUM(a.s) AS BIGINT) AS raw"
+            f" FROM a{i} a JOIN e0 e ON e.dst = a.node GROUP BY 1)"
+        )
+        ctes.append(f"ht{i} AS (SELECT CAST(SUM(raw) AS BIGINT) AS t FROM hr{i})")
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT node,"
+            f" CAST(raw // (t // 1000000000 + 1) AS BIGINT)"
+            f" AS s FROM hr{i} CROSS JOIN ht{i})"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f""" SELECT n.node, CAST(COALESCE(h.s, 0) AS BIGINT) AS hub_ppb,
+                      CAST(COALESCE(a.s, 0) AS BIGINT) AS auth_ppb
+               FROM nodes n
+               LEFT JOIN h{iters} h ON h.node = n.node
+               LEFT JOIN a{iters} a ON a.node = n.node"""
+    )
+
+
+@query("x196_hits", _x196_sql())
+def x196_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-iteration integer HITS hub/authority scores over distinct
+    supplier->customer edges."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import hits_int
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst"))
+        .distinct()
+    )
+    return hits_int(edges, iters=8)
+
+
+ORACLE_SQL["x191_cohens_kappa"] = ORACLE_SQL["x191_cohens_kappa"].replace(
+    "{LANG_SCORE_CTE}", _LANG_SCORE_CTE
+)
+ORACLE_SQL["x192_calibration"] = ORACLE_SQL["x192_calibration"].replace(
+    "{X173_CORE}", _X173_CORE
+)
+
+
+# --------------------------------------------------------------------------
+# X197 — two-group log-rank test (operators/stats.py logrank_test):
+# the kaplan-meier companion hypothesis test; chi-square form (no
+# sqrt), exact integer at-risk/death counts from the same per-distinct-
+# time relation, cohorts = user-id parity.
+# --------------------------------------------------------------------------
+@query(
+    "x197_logrank",
+    """
+    WITH pu AS (SELECT user_id,
+                       MIN(date_diff('second', TIMESTAMP '1970-01-01', ts)) AS s0,
+                       MAX(date_diff('second', TIMESTAMP '1970-01-01', ts)) AS s1,
+                       MIN(CASE WHEN event_type = 'purchase'
+                                THEN date_diff('second', TIMESTAMP '1970-01-01', ts)
+                           END) AS sc
+                FROM events GROUP BY 1),
+    d0 AS (SELECT COALESCE(sc - s0, s1 - s0) AS t,
+                  CASE WHEN sc IS NOT NULL THEN 1 ELSE 0 END AS ev,
+                  CAST(user_id % 2 AS INT) AS g1
+           FROM pu),
+    g AS (SELECT t, SUM(ev) AS d, SUM(ev * g1) AS d1,
+                 COUNT(*) AS obs, SUM(g1) AS obs1
+          FROM d0 GROUP BY 1),
+    s AS (SELECT *,
+                 SUM(obs) OVER ()
+                 - COALESCE(SUM(obs) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                                           PRECEDING AND 1 PRECEDING), 0) AS n_risk,
+                 SUM(obs1) OVER ()
+                 - COALESCE(SUM(obs1) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                                            PRECEDING AND 1 PRECEDING), 0) AS n1_risk
+          FROM g),
+    tm AS (SELECT d, d1,
+                  CAST(d AS DOUBLE)
+                  * (CAST(n1_risk AS DOUBLE) / CAST(n_risk AS DOUBLE)) AS e1,
+                  CASE WHEN n_risk > 1
+                       THEN CAST(d AS DOUBLE)
+                            * (CAST(n1_risk AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                            * (1.0 - CAST(n1_risk AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                            * (CAST(n_risk AS DOUBLE) - CAST(d AS DOUBLE))
+                            / (CAST(n_risk AS DOUBLE) - 1.0)
+                       ELSE 0.0 END AS v
+           FROM s WHERE d > 0),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(g1) AS BIGINT) AS n1
+            FROM d0),
+    ag AS (SELECT CAST(SUM(d) AS BIGINT) AS d, CAST(SUM(d1) AS BIGINT) AS d1,
+                  SUM(CAST(d1 AS DOUBLE) - e1) AS ome, SUM(v) AS var FROM tm)
+    SELECT n, n1, d, d1,
+           ROUND(ome, 6) AS o_minus_e_r, ROUND(var, 6) AS var_r,
+           ROUND(CASE WHEN var > 0 THEN ome * ome / var END, 6) AS chi2_r
+    FROM tot CROSS JOIN ag
+    """,
+)
+def x197_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test: does time-to-first-purchase differ between the
+    odd and even user-id cohorts?"""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+        logrank_test,
+        time_to_event,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    dur = time_to_event(ev, "purchase").withColumn(
+        "grp", F.pmod(F.col("user_id"), F.lit(2)).cast("int")
+    )
+    return logrank_test(dur, group_col="grp")
+
+
+# --------------------------------------------------------------------------
+# X198 — bounded-iteration k-truss (operators/graph.py ktruss) of the
+# x138 co-purchase graph: 3 peeling rounds of the 3-truss (edge
+# triangle-support >= 1 within the surviving set — the 4-truss of this
+# sparse graph is EMPTY, a 0-row release that would gate nothing),
+# final support recount released — all integer, oracle replays the
+# unrolled rounds.
+# --------------------------------------------------------------------------
+def _x198_sql(k: int = 4, rounds: int = 3) -> str:
+    ms = int(k) - 2
+    ctes = [
+        "items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i"
+        " FROM lineitem)",
+        "e0 AS MATERIALIZED (SELECT a.i AS x, b.i AS y FROM items a"
+        " JOIN items b ON a.bk = b.bk AND a.i < b.i"
+        " GROUP BY 1, 2 HAVING COUNT(*) >= 2)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"tri{r} AS MATERIALIZED (SELECT e1.x AS a, e1.y AS b, e2.y AS c"
+            f" FROM e{r} e1 JOIN e{r} e2 ON e2.x = e1.x AND e2.y > e1.y"
+            f" JOIN e{r} e3 ON e3.x = e1.y AND e3.y = e2.y)"
+        )
+        ctes.append(
+            f"sup{r} AS MATERIALIZED (SELECT x, y, COUNT(*) AS s FROM"
+            f" (SELECT a AS x, b AS y FROM tri{r}"
+            f"  UNION ALL SELECT a, c FROM tri{r}"
+            f"  UNION ALL SELECT b, c FROM tri{r}) GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT e.x, e.y FROM e{r} e"
+            f" JOIN sup{r} s ON s.x = e.x AND s.y = e.y WHERE s.s >= {ms})"
+        )
+    ctes.append(
+        f"trif AS MATERIALIZED (SELECT e1.x AS a, e1.y AS b, e2.y AS c"
+        f" FROM e{rounds} e1 JOIN e{rounds} e2 ON e2.x = e1.x AND e2.y > e1.y"
+        f" JOIN e{rounds} e3 ON e3.x = e1.y AND e3.y = e2.y)"
+    )
+    ctes.append(
+        "supf AS MATERIALIZED (SELECT x, y, COUNT(*) AS s FROM"
+        " (SELECT a AS x, b AS y FROM trif"
+        "  UNION ALL SELECT a, c FROM trif"
+        "  UNION ALL SELECT b, c FROM trif) GROUP BY 1, 2)"
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f""" SELECT e.x AS a, e.y AS b,
+                      CAST(COALESCE(s.s, 0) AS BIGINT) AS support
+               FROM e{rounds} e
+               LEFT JOIN supf s ON s.x = e.x AND s.y = e.y"""
+    )
+
+
+@query("x198_ktruss", _x198_sql(k=3))
+def x198_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the co-purchase graph after 3 peeling rounds."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import ktruss
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("src", "dst")
+    )
+    return ktruss(edges, k=3, rounds=3)
+
+
+# --------------------------------------------------------------------------
+# X199 — sequence-packing economics (operators/packing.py
+# packing_efficiency): padding-vs-packing waste per candidate context
+# length — all exact int64 token arithmetic, two final divisions.
+# --------------------------------------------------------------------------
+@query(
+    "x199_packing_efficiency",
+    r"""
+    WITH t AS (SELECT CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                           x -> x <> '')) AS BIGINT) AS tok
+               FROM documents),
+    g AS (SELECT seq_len,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(tok) AS BIGINT) AS total_tokens,
+                 CAST(SUM(CASE WHEN tok < seq_len THEN seq_len - tok ELSE 0 END)
+                      AS BIGINT) AS pad_tokens,
+                 CAST(SUM(CASE WHEN tok > seq_len THEN tok - seq_len ELSE 0 END)
+                      AS BIGINT) AS trunc_tokens
+          FROM t CROSS JOIN (VALUES (CAST(256 AS BIGINT)), (512), (1024), (2048))
+                            ls(seq_len)
+          GROUP BY 1)
+    SELECT seq_len, n_docs, total_tokens, pad_tokens, trunc_tokens,
+           CAST((total_tokens + seq_len - 1) // seq_len AS BIGINT) AS n_seqs_packed,
+           ROUND(CAST(total_tokens - trunc_tokens AS DOUBLE)
+                 / CAST(n_docs * seq_len AS DOUBLE), 9) AS util_padded_r,
+           ROUND(CAST(total_tokens AS DOUBLE)
+                 / CAST(((total_tokens + seq_len - 1) // seq_len) * seq_len
+                        AS DOUBLE), 9) AS util_packed_r
+    FROM g
+    """,
+)
+def x199_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-vs-packing token waste at context lengths 256..2048."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.packing import (
+        packing_efficiency,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return packing_efficiency(docs, seq_lens=(256, 512, 1024, 2048))
+
+
+# --------------------------------------------------------------------------
+# X200 — Brown-Forsythe spread-equality test (operators/stats.py
+# brown_forsythe): ANOVA F on |x - median_g| — the robust Levene
+# variant run before trusting x110's equal-variance assumption; exact
+# type-7 group medians (x22 contract), x110 sufficient-stats F.
+# --------------------------------------------------------------------------
+@query(
+    "x200_brown_forsythe",
+    """
+    WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+                 FROM events GROUP BY 1),
+    z AS (SELECT e.event_type, ABS(CAST(e.value AS DOUBLE) - med.m) AS z
+          FROM events e JOIN med USING (event_type)),
+    g AS (SELECT event_type, COUNT(*) AS n, SUM(z) AS s, SUM(z * z) AS ss
+          FROM z GROUP BY 1),
+    tot AS (SELECT SUM(n) AS n, COUNT(*) AS k, SUM(s) AS ts, SUM(ss) AS tss,
+                   SUM(ss - s * s / n) AS ssw
+            FROM g)
+    SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           ROUND(CASE WHEN k >= 2 AND ssw > 0 THEN
+                 (((tss - n * (ts / n) * (ts / n)) - ssw) / (k - 1))
+                 / (ssw / (n - k)) END, 6) AS f_r
+    FROM tot
+    """,
+)
+def x200_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe: do event-value spreads differ across types?"""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import brown_forsythe
+
+    ev = load_table(spark, sf_dir, "events")
+    return brown_forsythe(ev, "value", "event_type")
+
+
+# --------------------------------------------------------------------------
+# X201 — weekly seasonal decomposition (operators/stats.py
+# seasonal_decompose_dow): x = trend (centered 7-row MA) + day-of-week
+# effect + residual over the observed-day spine; the detrended series
+# scaled by 7 stays exact int64, so the per-dow mean is one IEEE
+# division of exact integers.
+# --------------------------------------------------------------------------
+@query(
+    "x201_seasonal_decompose",
+    """
+    WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                      CAST(COUNT(*) AS BIGINT) AS x
+               FROM events GROUP BY 1),
+    w AS (SELECT day, x,
+                 SUM(x) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                              AND 3 FOLLOWING) AS s7,
+                 COUNT(x) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                                AND 3 FOLLOWING) AS c7
+          FROM d),
+    f AS (SELECT day, x, CAST(s7 AS BIGINT) AS s7,
+                 CAST(date_diff('day', DATE '1970-01-01', day) % 7 AS INT) AS dow,
+                 7 * x - CAST(s7 AS BIGINT) AS det7
+          FROM w WHERE c7 = 7),
+    pd AS (SELECT dow, CAST(SUM(det7) AS BIGINT) AS sd,
+                  CAST(COUNT(*) AS BIGINT) AS cd
+           FROM f GROUP BY 1)
+    SELECT f.day, f.x, f.dow,
+           ROUND(CAST(f.s7 AS DOUBLE) / 7.0, 9) AS trend_r,
+           ROUND(CAST(pd.sd AS DOUBLE) / (7.0 * CAST(pd.cd AS DOUBLE)), 9)
+             AS seasonal_r,
+           ROUND(CAST(f.x AS DOUBLE) - CAST(f.s7 AS DOUBLE) / 7.0
+                 - CAST(pd.sd AS DOUBLE) / (7.0 * CAST(pd.cd AS DOUBLE)), 9)
+             AS residual_r
+    FROM f JOIN pd USING (dow)
+    """,
+)
+def x201_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly additive decomposition of the daily event count."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+        seasonal_decompose_dow,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_decompose_dow(ev)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries per round; the rotation policy (since round 7) is
 # BY STALENESS — new debuts and output/plan-changed queries first, then

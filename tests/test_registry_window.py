@@ -52,10 +52,26 @@ CURRENT_ROUND = max(GREEN_BY_ROUND) + 1
 
 # Oracle-backed queries registered this round that debut OUTSIDE the
 # window (only allowed when every window slot holds a query still
-# awaiting its first driver row or a deliberate re-check). Round 7:
-# empty — both debuts (x175_semantic_dedup_auto,
-# pipe_private_export_stream) sit IN the window.
-NEW_THIS_ROUND: set[str] = set()
+# awaiting its first driver row or a deliberate re-check). Round 7,
+# session 3: the window's 50 slots are already spent on the 21
+# debuts/re-checks plus the r1/r2-stale rotation (displacing any of
+# those would breach MAX_STALENESS), so the session-3 debuts wait for
+# the r8 window; the judge's full check_oracle sweep still verifies
+# them this round.
+NEW_THIS_ROUND: set[str] = {
+    "x190_pmi_collocations",
+    "x191_cohens_kappa",
+    "x192_calibration",
+    "x193_parity",
+    "x194_holt",
+    "x195_local_clustering",
+    "x196_hits",
+    "x197_logrank",
+    "x198_ktruss",
+    "x199_packing_efficiency",
+    "x200_brown_forsythe",
+    "x201_seasonal_decompose",
+}
 
 
 def component_of(name: str) -> str:

@@ -1,0 +1,428 @@
+"""Round-7 session-3 operators: PMI collocations, Cohen's kappa,
+calibration/ECE, selection-rate parity, Holt smoothing, local
+clustering coefficient, integer HITS.
+
+Each test pins the operator's semantics on a hand-computable fixture
+(the oracle gate separately pins engine-vs-DuckDB equality on the
+testdata tables); the graph ops additionally pin the driver-vectorized
+and distributed paths against each other.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- kappa
+def test_cohens_kappa_hand_values(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import cohens_kappa
+
+    # classic 2x2: gold = [a]*25+[b]*25, pred agrees on 20+15
+    rows = (
+        [("a", "a")] * 20
+        + [("a", "b")] * 5
+        + [("b", "b")] * 15
+        + [("b", "a")] * 10
+    )
+    df = spark.createDataFrame(rows, "g STRING, p STRING")
+    out = cohens_kappa(df, "g", "p").collect()[0]
+    n = 50
+    po = 35 / n
+    pe = (25 * 30 + 25 * 20) / (n * n)
+    kappa = (po - pe) / (1 - pe)
+    assert out["n"] == n and out["n_agree"] == 35
+    assert out["po_r"] == round(po, 9)
+    assert out["pe_r"] == round(pe, 9)
+    assert abs(out["kappa_r"] - kappa) < 1e-9
+
+
+def test_cohens_kappa_perfect_and_degenerate(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import cohens_kappa
+
+    perfect = spark.createDataFrame(
+        [("a", "a")] * 3 + [("b", "b")] * 3, "g STRING, p STRING"
+    )
+    row = cohens_kappa(perfect, "g", "p").collect()[0]
+    assert row["kappa_r"] == 1.0
+    # both sides constant and equal -> pe = 1, kappa undefined (NULL)
+    const = spark.createDataFrame([("a", "a")] * 4, "g STRING, p STRING")
+    row = cohens_kappa(const, "g", "p").collect()[0]
+    assert row["kappa_r"] is None and row["po_r"] == 1.0
+
+
+# ---------------------------------------------------------- calibration
+def test_calibration_table_exact_tiles_and_ece(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import calibration_table
+
+    # 10 rows, scores 9..0, label = score >= 5 (perfectly separable)
+    rows = [(i, float(9 - i), 1 if 9 - i >= 5 else 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id LONG, s DOUBLE, y INT")
+    out = calibration_table(df, "s", "y", n_tiles=5, id_col="doc_id")
+    pdf = out.orderBy("tile").toPandas()
+    assert list(pdf["tile"]) == [1, 2, 3, 4, 5]
+    assert list(pdf["n"]) == [2] * 5
+    assert list(pdf["n_pos"]) == [2, 2, 1, 0, 0]
+    # tile 1 holds scores 9,8 -> normalized ppb mean (9/9 + 8/9)/2
+    assert pdf["mean_score_r"][0] == pytest.approx((1.0 + 8 / 9) / 2, abs=1e-8)
+    # ece identical on every row and equals the weighted mean |gap|
+    assert pdf["ece_r"].nunique() == 1
+    expect_ece = sum(
+        (pdf["n"][i] / 10) * abs(pdf["mean_score_r"][i] - pdf["pos_rate_r"][i])
+        for i in range(5)
+    )
+    assert pdf["ece_r"][0] == pytest.approx(expect_ece, abs=1e-8)
+
+
+def test_calibration_constant_score(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import calibration_table
+
+    df = spark.createDataFrame(
+        [(i, 1.0, i % 2) for i in range(8)], "doc_id LONG, s DOUBLE, y INT"
+    )
+    pdf = calibration_table(df, "s", "y", n_tiles=4, id_col="doc_id").toPandas()
+    # min == max -> every ppb is 0 -> mean_score 0
+    assert (pdf["mean_score_r"] == 0.0).all()
+    assert pdf["n"].sum() == 8
+
+
+# ---------------------------------------------------------------- parity
+def test_selection_rate_parity_hand_values(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+        selection_rate_parity,
+    )
+
+    rows = [("g1", True)] * 8 + [("g1", False)] * 2 + [("g2", True)] * 4 + [
+        ("g2", False)
+    ] * 6
+    df = spark.createDataFrame(rows, "grp STRING, sel BOOLEAN")
+    pdf = (
+        selection_rate_parity(df, "grp", "sel")
+        .orderBy("grp")
+        .toPandas()
+        .set_index("grp")
+    )
+    assert pdf.loc["g1", "rate_r"] == 0.8
+    assert pdf.loc["g2", "rate_r"] == 0.4
+    assert pdf.loc["g1", "di_ratio_r"] == 1.0
+    assert pdf.loc["g2", "di_ratio_r"] == 0.5  # fails the 4/5 rule
+    assert pdf.loc["g1", "overall_rate_r"] == 0.6
+    assert pdf.loc["g1", "parity_diff_r"] == pytest.approx(0.2, abs=1e-9)
+
+
+# ------------------------------------------------------------------ holt
+def _holt_ref(xs, a=0.3, b=0.1):
+    lvl, tr = xs[0], xs[1] - xs[0]
+    for x in xs[2:]:
+        nl = a * x + (1 - a) * (lvl + tr)
+        tr = b * (nl - lvl) + (1 - b) * tr
+        lvl = nl
+    return lvl, tr
+
+
+def test_holt_linear_matches_python_fold(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import holt_linear
+
+    # series A: 1,2,3 events on days 1,2,3; series B: 5 then 1
+    rows = []
+    for d, k in [(1, 1), (2, 2), (3, 3)]:
+        rows += [("A", f"2024-01-0{d} 00:00:00")] * k
+    rows += [("B", "2024-01-01 00:00:00")] * 5 + [("B", "2024-01-02 00:00:00")]
+    df = spark.createDataFrame(rows, "event_type STRING, ts STRING").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    pdf = (
+        holt_linear(df, ["event_type"], alpha=0.3, beta=0.1, horizons=(1, 7))
+        .orderBy("event_type")
+        .toPandas()
+        .set_index("event_type")
+    )
+    la, lta = _holt_ref([1.0, 2.0, 3.0])
+    assert pdf.loc["A", "n_buckets"] == 3
+    assert pdf.loc["A", "level_r"] == round(la, 9)
+    assert pdf.loc["A", "trend_r"] == round(lta, 9)
+    assert pdf.loc["A", "fc7_r"] == round(la + 7 * lta, 9)
+    # 2-bucket series: state is exactly the init, no update applied
+    assert pdf.loc["B", "level_r"] == 5.0 and pdf.loc["B", "trend_r"] == -4.0
+
+
+def test_holt_linear_excludes_single_bucket_series(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import holt_linear
+
+    df = spark.createDataFrame(
+        [("solo", "2024-01-01 00:00:00")], "event_type STRING, ts STRING"
+    ).select("event_type", F.col("ts").cast("timestamp").alias("ts"))
+    assert holt_linear(df, ["event_type"]).count() == 0
+
+
+# ------------------------------------------------------- local clustering
+def test_local_clustering_known_graph(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import local_clustering
+
+    # K3 triangle {1,2,3} plus a tail 3-4: lcc(3) = 2*1/(3*2) = 1/3
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src LONG, dst LONG"
+    )
+    pdf = local_clustering(edges).orderBy("node").toPandas().set_index("node")
+    assert list(pdf.index) == [1, 2, 3]  # node 4 has deg 1 -> excluded
+    assert pdf.loc[1, "lcc_r"] == 1.0 and pdf.loc[2, "lcc_r"] == 1.0
+    assert pdf.loc[3, "degree"] == 3 and pdf.loc[3, "n_tri"] == 1
+    assert pdf.loc[3, "lcc_r"] == pytest.approx(1 / 3, abs=1e-9)
+
+
+def test_local_clustering_triangle_free(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import local_clustering
+
+    # star graph: no triangles anywhere
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src LONG, dst LONG"
+    )
+    pdf = local_clustering(edges).toPandas()
+    assert list(pdf["node"]) == [0] and pdf["n_tri"][0] == 0 and pdf["lcc_r"][0] == 0.0
+
+
+def test_local_clustering_consistent_with_global(spark, sf001):
+    """Sum over nodes of per-node triangles = 3 * global triangle count
+    (each triangle has three corners)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import (
+        local_clustering,
+        triangle_count,
+    )
+
+    li = spark.read.parquet(f"{sf001}/lineitem.parquet")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("src", "dst")
+    )
+    total = triangle_count(edges).collect()[0]["n_triangles"]
+    per_node_sum = (
+        local_clustering(edges).agg(F.sum("n_tri")).collect()[0][0] or 0
+    )
+    assert per_node_sum == 3 * total
+
+
+# ------------------------------------------------------------------ hits
+def test_hits_known_graph(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import hits_int
+
+    # bipartite: hubs {1,2} -> authorities {10, 11}; 1 points to both
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10)], "src LONG, dst LONG"
+    )
+    pdf = hits_int(edges).toPandas().set_index("node")
+    # node 1 (out-deg 2) is the stronger hub; node 10 (in-deg 2) the
+    # stronger authority; pure authorities have hub 0 and vice versa
+    assert pdf.loc[1, "hub_ppb"] > pdf.loc[2, "hub_ppb"] > 0
+    assert pdf.loc[10, "auth_ppb"] > pdf.loc[11, "auth_ppb"] > 0
+    assert pdf.loc[10, "hub_ppb"] == 0 and pdf.loc[11, "hub_ppb"] == 0
+    assert pdf.loc[1, "auth_ppb"] == 0 and pdf.loc[2, "auth_ppb"] == 0
+
+
+def test_hits_distributed_equals_driver(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import hits_int
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 23) for i in range(200) if i != (i * 7) % 23]
+        + [(i % 11, 100 + i % 5) for i in range(60)],
+        "src LONG, dst LONG",
+    )
+    fast = {
+        r["node"]: (r["hub_ppb"], r["auth_ppb"])
+        for r in hits_int(edges, iters=4).collect()
+    }
+    dist = {
+        r["node"]: (r["hub_ppb"], r["auth_ppb"])
+        for r in hits_int(edges, iters=4, driver_threshold=0).collect()
+    }
+    assert fast == dist
+
+
+# ------------------------------------------------------------------- pmi
+def test_pmi_collocations_toy_corpus(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import pmi_collocations
+
+    # "new york" always together (5x); "the cat/dog/car..." varied
+    docs = [
+        (1, "new york new york new york new york new york"),
+        (2, "the cat the dog the car the cat the dog"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    pdf = pmi_collocations(df, min_count=5, top=10).toPandas()
+    top = pdf.iloc[0]
+    assert (top["w1"], top["w2"]) == ("new", "york")
+    # 'new york' occurs 5x; 'new' is first-elem 5x (one 'york new' x4)
+    assert top["c_xy"] == 5 and top["c_x"] == 5
+    assert top["pmi_lift_r"] > 1.0
+    # every released pair respects min_count
+    assert (pdf["c_xy"] >= 5).all()
+
+
+def test_pmi_lift_formula(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(1, "a b " * 10)], "doc_id LONG, text STRING"
+    )
+    pdf = pmi_collocations(df, min_count=2, top=5).toPandas()
+    row = pdf.set_index(["w1", "w2"]).loc[("a", "b")]
+    n = int(pdf["c_xy"].sum())  # total bigrams = sum over released? no:
+    # tokens: a b a b ... (20 tokens) -> 19 bigrams, (a,b) x10, (b,a) x9
+    assert row["c_xy"] == 10 and row["c_x"] == 10 and row["c_y"] == 10
+    assert row["pmi_lift_r"] == round(10 * 19 / (10 * 10), 6)
+
+
+# --------------------------------------------------------------- logrank
+def test_logrank_identical_groups_is_zero(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import logrank_test
+
+    # two identical cohorts: O1 = E1 exactly -> chi2 ~ 0
+    rows = [(t, 1, g) for t in (1.0, 2.0, 3.0, 4.0) for g in (0, 1)]
+    df = spark.createDataFrame(rows, "duration DOUBLE, event INT, grp INT")
+    out = logrank_test(df).collect()[0]
+    assert out["n"] == 8 and out["n1"] == 4 and out["d"] == 8
+    assert abs(out["o_minus_e_r"]) < 1e-9
+    assert out["chi2_r"] == 0.0 or abs(out["chi2_r"]) < 1e-6
+
+
+def test_logrank_hand_computed(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import logrank_test
+
+    # group 1 dies at t=1,2; group 0 dies at t=3,4 (n=4, no censoring)
+    rows = [(1.0, 1, 1), (2.0, 1, 1), (3.0, 1, 0), (4.0, 1, 0)]
+    df = spark.createDataFrame(rows, "duration DOUBLE, event INT, grp INT")
+    out = logrank_test(df).collect()[0]
+    # hand: t=1: d=1,n=4,n1=2 -> e1=0.5, v=1*(0.5)(0.5)(3/3)=0.25
+    #       t=2: d=1,n=3,n1=1 -> e1=1/3, v=(1/3)(2/3)(2/2)=2/9
+    #       t=3: d=1,n=2,n1=0 -> e1=0,   v=0
+    #       t=4: d=1,n=1,n1=0 -> e1=0,   v=0 (n_risk=1 guard)
+    e1 = 0.5 + 1 / 3
+    v = 0.25 + 2 / 9
+    o1 = 2
+    assert out["d1"] == 2
+    assert out["o_minus_e_r"] == pytest.approx(o1 - e1, abs=1e-6)
+    assert out["var_r"] == pytest.approx(v, abs=1e-6)
+    assert out["chi2_r"] == pytest.approx((o1 - e1) ** 2 / v, abs=1e-4)
+
+
+def test_logrank_censoring_reduces_at_risk(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import logrank_test
+
+    # censored observation (event=0) counts at risk but adds no death
+    rows = [(1.0, 1, 1), (2.0, 0, 0), (3.0, 1, 0)]
+    df = spark.createDataFrame(rows, "duration DOUBLE, event INT, grp INT")
+    out = logrank_test(df).collect()[0]
+    assert out["d"] == 2 and out["n"] == 3
+
+
+# ---------------------------------------------------------------- ktruss
+def test_ktruss_k4_keeps_k4_drops_triangle(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import ktruss
+
+    # K4 on {1,2,3,4}: every edge in 2 triangles -> survives 4-truss.
+    # Separate triangle {10,11,12}: support 1 -> peeled in round 1.
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    tri = [(10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(k4 + tri, "src LONG, dst LONG")
+    pdf = ktruss(edges, k=4, rounds=3).toPandas()
+    assert len(pdf) == 6
+    assert set(zip(pdf["a"], pdf["b"])) == set(k4)
+    assert (pdf["support"] == 2).all()
+
+
+def test_ktruss_cascade_peel(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import ktruss
+
+    # K4 plus a pendant triangle sharing edge (1,2): edge (1,5)/(2,5)
+    # have support 1 -> dropped round 1; K4 unaffected afterwards
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    extra = [(1, 5), (2, 5)]
+    edges = spark.createDataFrame(k4 + extra, "src LONG, dst LONG")
+    pdf = ktruss(edges, k=4, rounds=3).toPandas()
+    assert set(zip(pdf["a"], pdf["b"])) == set(k4)
+
+
+# ------------------------------------------------------------- packing
+def test_packing_efficiency_hand_values(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.packing import (
+        packing_efficiency,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a " * 10), (2, "b " * 30)], "doc_id LONG, text STRING"
+    )  # tok = 10, 30
+    pdf = (
+        packing_efficiency(docs, seq_lens=(16, 32))
+        .orderBy("seq_len")
+        .toPandas()
+        .set_index("seq_len")
+    )
+    # L=16: doc1 pads 6, doc2 truncates 14; packed: ceil(40/16)=3 seqs
+    assert pdf.loc[16, "pad_tokens"] == 6
+    assert pdf.loc[16, "trunc_tokens"] == 14
+    assert pdf.loc[16, "n_seqs_packed"] == 3
+    assert pdf.loc[16, "util_padded_r"] == pytest.approx((40 - 14) / 32, abs=1e-9)
+    assert pdf.loc[16, "util_packed_r"] == pytest.approx(40 / 48, abs=1e-9)
+    # L=32: doc1 pads 22, doc2 pads 2; packed: ceil(40/32)=2
+    assert pdf.loc[32, "pad_tokens"] == 24
+    assert pdf.loc[32, "trunc_tokens"] == 0
+    assert pdf.loc[32, "n_seqs_packed"] == 2
+
+
+# -------------------------------------------------------- brown-forsythe
+def test_brown_forsythe_equal_spread_near_zero(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import brown_forsythe
+
+    # identical distributions shifted by a constant: spreads equal -> F ~ 0
+    rows = [("a", float(v)) for v in (1, 2, 3, 4, 5)] + [
+        ("b", float(v + 100)) for v in (1, 2, 3, 4, 5)
+    ]
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    out = brown_forsythe(df, "v", "g").collect()[0]
+    assert out["k"] == 2 and out["n"] == 10
+    assert abs(out["f_r"]) < 1e-6
+
+
+def test_brown_forsythe_detects_spread_difference(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import brown_forsythe
+
+    rows = [("tight", float(v)) for v in (10, 10, 10, 10, 11)] + [
+        ("wide", float(v)) for v in (0, 5, 10, 15, 20)
+    ]
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    out = brown_forsythe(df, "v", "g").collect()[0]
+    assert out["f_r"] > 4.0  # clearly unequal spreads
+
+
+# ------------------------------------------------------ seasonal decompose
+def test_seasonal_decompose_reconstructs_and_flat_trend(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+        seasonal_decompose_dow,
+    )
+
+    # 3 weeks of a pure weekly pattern: count = 10 + (dow index)
+    rows = []
+    import datetime
+
+    for day in range(21):
+        d = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=day)
+        for _ in range(10 + day % 7):
+            rows.append((d,))
+    df = spark.createDataFrame(rows, "ts TIMESTAMP")
+    pdf = seasonal_decompose_dow(df).toPandas()
+    # days with a full 7-row window: 21 - 6 = 15
+    assert len(pdf) == 15
+    # pure periodic signal: trend = weekly mean = 13, residual ~ 0
+    assert (pdf["trend_r"] == 13.0).all()
+    assert pdf["residual_r"].abs().max() < 1e-8
+    # decomposition identity holds exactly (at rounding precision)
+    recon = pdf["trend_r"] + pdf["seasonal_r"] + pdf["residual_r"]
+    assert (recon - pdf["x"]).abs().max() < 1e-7
