@@ -252,6 +252,12 @@ HEADLINE = [
     "x199_packing_efficiency",
     "x200_brown_forsythe",
     "x201_seasonal_decompose",
+    "x202_hll_distinct",
+    "x203_readability",
+    "x204_cramers_v",
+    "x205_cochran_armitage",
+    "x206_token_fertility",
+    "x207_ipw_ate",
 ]
 
 

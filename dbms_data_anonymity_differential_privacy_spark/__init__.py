@@ -111,6 +111,8 @@ from dbms_data_anonymity_differential_privacy_spark.streaming.drift import (
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.text import (
     classification_eval,
+    readability_scores,
+    token_fertility,
     good_turing_stats,
     heaps_fit,
     pmi_collocations,
@@ -195,6 +197,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.sketch import (
     heavy_hitters,
     kmv_distinct,
     quantile_sketch,
+    hll_distinct,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.snapshot import (
     snapshot_diff,
@@ -232,7 +235,10 @@ from dbms_data_anonymity_differential_privacy_spark.operators.profile import ske
 from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
     brown_forsythe,
     calibration_table,
+    cochran_armitage,
     cohens_kappa,
+    cramers_v,
+    ipw_ate,
     group_ols,
     holt_linear,
     logrank_test,
@@ -333,6 +339,12 @@ __all__ = [
     "brown_forsythe",
     "seasonal_decompose_dow",
     "packing_efficiency",
+    "cramers_v",
+    "cochran_armitage",
+    "ipw_ate",
+    "readability_scores",
+    "token_fertility",
+    "hll_distinct",
     "quality_gating_curve",
     "drift_windows_batch",
     "drift_windows_stream",

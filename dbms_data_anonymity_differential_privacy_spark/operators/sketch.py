@@ -296,3 +296,88 @@ def bloom_membership(
     for i in range(len(BLOOM_HASHES)):
         maybe = maybe & F.col(f"__s{i}").isNotNull()
     return probed.select("key", maybe.alias("maybe_present"))
+
+
+# HyperLogLog geometry: p = 12 -> m = 4096 registers; alpha_m is the
+# standard bias constant 0.7213/(1 + 1.079/m) embedded as one decimal
+# literal so both engines parse the identical double.
+HLL_P = 12
+HLL_M = 4096
+HLL_ALPHA = 0.7211100396160289
+
+
+def hll_distinct(df: DataFrame, col: str, include_exact: bool = True) -> DataFrame:
+    """X202 — HyperLogLog distinct-count synopsis (Flajolet et al. 2007),
+    built from PORTABLE md5 hashes so the registers — and therefore the
+    ESTIMATE — are bit-identical in any engine (unlike builtin
+    ``approx_count_distinct``, whose HLL++ registers are engine-private;
+    that flavor is ``profile_columns exact=False``). The companion of
+    :func:`kmv_distinct` with the industry-standard register layout: the
+    4096-register relation is MERGEABLE (max per register), which is the
+    production story — per-shard registers roll up with one more max.
+
+    Register construction: bucket = first 12 bits of md5 (3 hex chars);
+    rank = leading-zero count of the next 52 bits + 1, computed from HEX
+    characters (strip leading '0's, then a 16-way CASE on the first
+    non-zero digit) — pure string/integer ops, no bit intrinsics needed.
+    Duplicates never matter (register = MAX of ranks), so the input is
+    NOT pre-deduplicated — one (bucket) partial-agg shuffle total.
+
+    Estimate: ``alpha·m²/Σ 2^(−M_j)`` with empty registers contributing
+    2⁰; the 2-powers are exact doubles and the 4096-term sum runs as a
+    SORTED in-row fold (register relation is metadata-sized), so the raw
+    estimate is deterministic cross-engine. Small-range linear counting
+    (``raw <= 2.5m`` and zeros present) applies the standard
+    ``m·ln(m/V)`` correction (6 dp).
+
+    Output (single row): ``(m_registers, n_nonempty, raw_est_r, est_r``
+    [, ``n_exact``]) — ``include_exact`` adds the true distinct count
+    for sketch-quality audits (one extra distinct shuffle; disable at
+    100 TB).
+    """
+    h = F.md5(F.col(col).cast("string").cast("binary"))
+    rem = F.regexp_replace(F.substring(h, 4, 13), "^0+", "")
+    first = F.substring(rem, 1, 1)
+    bits_first = (
+        F.when(first == "1", 1)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 3)
+        .otherwise(4)
+    )
+    rank = F.when(rem == "", F.lit(53)).otherwise(
+        4 * (13 - F.length(rem)) + (4 - bits_first) + 1
+    )
+    reg = (
+        df.select(
+            F.conv(F.substring(h, 1, 3), 16, 10).cast("long").alias("bucket"),
+            rank.alias("__rank"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("__rank").alias("m"))
+    )
+    s = reg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nonempty"),
+        F.expr(
+            "aggregate(array_sort(collect_list(power(2.0D, -CAST(m AS DOUBLE)))), "
+            "CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("__sum_nz"),
+    )
+    md = F.lit(float(HLL_M))
+    raw = (F.lit(HLL_ALPHA) * md * md) / (
+        F.col("__sum_nz") + (md - F.col("n_nonempty").cast("double"))
+    )
+    zeros = md - F.col("n_nonempty").cast("double")
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (F.col("n_nonempty") < HLL_M),
+        md * F.log(md / zeros),
+    ).otherwise(raw)
+    out = s.select(
+        F.lit(HLL_M).cast("long").alias("m_registers"),
+        "n_nonempty",
+        F.round(raw, 6).alias("raw_est_r"),
+        F.round(est, 6).alias("est_r"),
+    )
+    if include_exact:
+        exact = df.agg(F.countDistinct(F.col(col)).cast("long").alias("n_exact"))
+        out = out.join(F.broadcast(exact))
+    return out

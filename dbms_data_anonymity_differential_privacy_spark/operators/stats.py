@@ -3134,3 +3134,195 @@ def seasonal_decompose_dow(
             ).alias("residual_r"),
         )
     )
+
+
+def cramers_v(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cramér's V — the [0,1]-normalized effect size of
+    :func:`chi_squared`: ``V = sqrt(X² / (n · min(r−1, c−1)))``, the
+    number an analyst can compare ACROSS tables (raw X² scales with n
+    and table shape). Uses the same telescoped full-grid algebra as
+    x71 (``X² = N·Σ c²/(c_a·c_b) − N`` — zero cells never materialize),
+    plus the two marginal cardinalities. Sqrt is a single IEEE op on
+    both engines (the x80 precedent).
+
+    Output (single row): ``(n, r, c, chi2_r, v_r)`` (6 dp); V NULL for
+    degenerate 1×k tables.
+    """
+    from pyspark.sql import Window
+
+    joint = df.groupBy(F.col(a_col).alias("__a"), F.col(b_col).alias("__b")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wa, wb, wall = Window.partitionBy("__a"), Window.partitionBy("__b"), Window.partitionBy()
+    cells = (
+        joint.withColumn("__ca", F.sum("__c").over(wa))
+        .withColumn("__cb", F.sum("__c").over(wb))
+        .withColumn("__n", F.sum("__c").over(wall))
+        .withColumn("__ma", F.row_number().over(wa.orderBy("__b")) == 1)
+        .withColumn("__mb", F.row_number().over(wb.orderBy("__a")) == 1)
+    )
+    term = (F.col("__c") * F.col("__c")).cast("double") / (
+        F.col("__ca") * F.col("__cb")
+    ).cast("double")
+    agg = cells.agg(
+        F.max("__n").cast("long").alias("n"),
+        F.sum(F.when(F.col("__ma"), 1).otherwise(0)).cast("long").alias("r"),
+        F.sum(F.when(F.col("__mb"), 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(term).alias("__t"),
+    )
+    chi2 = F.col("n").cast("double") * F.col("__t") - F.col("n").cast("double")
+    mindof = F.least(F.col("r") - 1, F.col("c") - 1)
+    return agg.select(
+        "n",
+        "r",
+        "c",
+        F.round(chi2, 6).alias("chi2_r"),
+        F.round(
+            F.when(
+                mindof >= 1,
+                F.sqrt(chi2 / (F.col("n").cast("double") * mindof.cast("double"))),
+            ),
+            6,
+        ).alias("v_r"),
+    )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    score_col: str,
+    flag_col: str,
+) -> DataFrame:
+    """Cochran–Armitage trend test: is a binary outcome's rate
+    MONOTONICALLY associated with an ordered (integer-scored) grouping?
+    The dose-response test — one step sharper than x71's unordered
+    chi-squared when the grouping has a natural order (hour of day,
+    bin index, exposure level).
+
+    ``T = Σ_i s_i (r_i − n_i·p̄)`` and
+    ``Var = p̄(1−p̄)(Σ n_i s_i² − (Σ n_i s_i)²/N)``; the release is the
+    chi-square form ``T²/Var`` (1 df). Every sum is an exact int64
+    moment of the per-group count relation (``s`` integer); the handful
+    of final divisions are fixed IEEE expressions (6 dp).
+
+    Output (single row): ``(n, n_pos, k, t_r, var_r, chi2_r)``; chi2
+    NULL when Var = 0 (all scores equal or p̄ degenerate).
+    """
+    per = df.groupBy(F.col(score_col).cast("long").alias("__s")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col(flag_col).cast("int")).cast("long").alias("__r"),
+    )
+    agg = per.agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.sum("__r").cast("long").alias("n_pos"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("__s") * F.col("__r")).cast("long").alias("__sr"),
+        F.sum(F.col("__s") * F.col("__n")).cast("long").alias("__sn"),
+        F.sum(F.col("__s") * F.col("__s") * F.col("__n")).cast("long").alias("__ssn"),
+    )
+    nd = F.col("n").cast("double")
+    pbar = F.col("n_pos").cast("double") / nd
+    t_stat = F.col("__sr").cast("double") - F.col("__sn").cast("double") * pbar
+    var = (
+        pbar
+        * (F.lit(1.0) - pbar)
+        * (
+            F.col("__ssn").cast("double")
+            - F.col("__sn").cast("double") * F.col("__sn").cast("double") / nd
+        )
+    )
+    return agg.select(
+        "n",
+        "n_pos",
+        "k",
+        F.round(t_stat, 6).alias("t_r"),
+        F.round(var, 6).alias("var_r"),
+        F.round(F.when(var > 0, t_stat * t_stat / var), 6).alias("chi2_r"),
+    )
+
+
+def ipw_ate(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    group_col: str,
+    cents: bool = True,
+) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect with a
+    stratified (exact-rate) propensity model — the observational-data
+    counterpart of x74's randomized A/B difference (Rosenbaum & Rubin
+    1983).
+
+    With strata-exact propensities the Horvitz–Thompson sum TELESCOPES
+    to the stratified estimator: ``ATE = Σ_g n_g (ȳ_t,g − ȳ_c,g) / n``
+    — so instead of summing millions of reweighted doubles (whose
+    reordering noise would swamp a 6-dp release), the engine aggregates
+    EXACT integer cent sums per stratum (``cents=True``, the x111
+    as-cents idiom; set False for already-integer outcomes) and the
+    released value is a |strata|-term fold of fixed IEEE expressions.
+
+    Strata violating positivity (treatment rate 0 or 1 — no
+    counterfactual) are EXCLUDED; ``n_kept/n_total`` discloses it. The
+    naive unadjusted difference rides along so the reader sees what the
+    adjustment did.
+
+    Output (single row): ``(n_total, n_kept, n_treated, ate_ipw_r,
+    naive_diff_r)`` (6 dp).
+
+    Scale shape: ONE grouped aggregation collapses the fact table to
+    |strata| sufficient-statistic rows; everything after is
+    constant-size math.
+    """
+    t = F.col(treat_col).cast("int")
+    scale = 100.0 if cents else 1.0
+    yc = (
+        F.round(F.col(outcome_col).cast("double") * scale).cast("long")
+        if cents
+        else F.col(outcome_col).cast("long")
+    )
+    per = df.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(t).cast("long").alias("__nt"),
+        F.sum(t * yc).cast("long").alias("__syt"),
+        F.sum((F.lit(1) - t) * yc).cast("long").alias("__syc"),
+    )
+    kept = per.filter((F.col("__nt") > 0) & (F.col("__nt") < F.col("__n")))
+    ybar_t = F.col("__syt").cast("double") / (
+        F.col("__nt").cast("double") * F.lit(scale)
+    )
+    ybar_c = F.col("__syc").cast("double") / (
+        (F.col("__n") - F.col("__nt")).cast("double") * F.lit(scale)
+    )
+    terms = kept.select(
+        "__n",
+        "__nt",
+        "__syt",
+        "__syc",
+        (F.col("__n").cast("double") * (ybar_t - ybar_c)).alias("__term"),
+    )
+    agg = terms.agg(
+        F.sum("__n").cast("long").alias("n_kept"),
+        F.sum("__nt").cast("long").alias("n_treated"),
+        F.sum(F.col("__n") - F.col("__nt")).cast("long").alias("__ncont"),
+        F.sum("__syt").cast("long").alias("__tsyt"),
+        F.sum("__syc").cast("long").alias("__tsyc"),
+        F.expr(
+            "aggregate(array_sort(collect_list(__term)), CAST(0.0 AS DOUBLE), "
+            "(a, x) -> a + x)"
+        ).alias("__ate_sum"),
+    )
+    tot = df.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return tot.join(F.broadcast(agg)).select(
+        "n_total",
+        "n_kept",
+        "n_treated",
+        F.round(F.col("__ate_sum") / F.col("n_kept").cast("double"), 6).alias(
+            "ate_ipw_r"
+        ),
+        F.round(
+            F.col("__tsyt").cast("double")
+            / (F.col("n_treated").cast("double") * F.lit(scale))
+            - F.col("__tsyc").cast("double")
+            / (F.col("__ncont").cast("double") * F.lit(scale)),
+            6,
+        ).alias("naive_diff_r"),
+    )

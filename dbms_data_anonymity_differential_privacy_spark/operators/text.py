@@ -869,3 +869,90 @@ def pmi_collocations(
         .orderBy(F.desc("pmi_lift_r"), "w1", "w2")
         .limit(int(top))
     )
+
+
+def readability_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading ease + Flesch–Kincaid grade per document — the
+    classic readability gate (Flesch 1948; Kincaid et al. 1975) a
+    corpus curator uses alongside the Gopher rules to target an
+    audience level.
+
+    Syllables are the standard regex heuristic: vowel-group count
+    (``[aeiouy]+`` runs in the lowercased text — groups cannot span
+    whitespace, so the text-level count equals the per-word sum with no
+    per-word loop). Sentences = ``[.!?]+`` runs, floored at 1. Both
+    regexes are plain character classes with identical semantics in
+    Java regex and any RE2-style engine. Heuristic disclosure:
+    vowel-less tokens count 0 syllables; non-Latin scripts score
+    meaningless numbers — gate on lang first.
+
+    Output: ``(id_col, n_words, n_sentences, n_syllables, flesch_r,
+    fk_grade_r)`` (6 dp; NULL scores for wordless docs). One map-only
+    projection — whole-stage codegen, no shuffle at all.
+    """
+    t = F.col(text_col)
+    words = token_count(t)
+    syl = F.size(F.regexp_extract_all(F.lower(t), F.lit("[aeiouy]+"), 0))
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), 0)), F.lit(1)
+    )
+    out = fan_out(df).select(
+        F.col(id_col),
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        syl.cast("long").alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    return out.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.when(
+                F.col("n_words") > 0,
+                F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw,
+            ),
+            6,
+        ).alias("flesch_r"),
+        F.round(
+            F.when(
+                F.col("n_words") > 0,
+                F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59),
+            ),
+            6,
+        ).alias("fk_grade_r"),
+    )
+
+
+def token_fertility(df: DataFrame, text_col: str = "text", by: str = "lang") -> DataFrame:
+    """Per-group tokenizer fertility: subword (BPE-ish) tokens per
+    whitespace word — the number a tokenizer owner watches per language
+    (high fertility = the vocabulary underserves that language, costing
+    context budget; Rust et al. 2021 make this the headline tokenizer-
+    fairness metric).
+
+    Output per group: ``(by, n_docs, n_words, n_bpe_tokens,
+    fertility_r, avg_words_r)`` — exact int64 token sums, two IEEE
+    divisions (9 dp). One map-only projection + one grouped agg.
+    """
+    t = F.col(text_col)
+    per = fan_out(df).select(
+        F.col(by),
+        token_count(t).cast("long").alias("__w"),
+        bpe_ish_token_count(t).cast("long").alias("__b"),
+    )
+    return per.groupBy(by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__w").cast("long").alias("n_words"),
+        F.sum("__b").cast("long").alias("n_bpe_tokens"),
+        F.round(
+            F.sum("__b").cast("double") / F.sum("__w").cast("double"), 9
+        ).alias("fertility_r"),
+        F.round(
+            F.sum("__w").cast("double") / F.count(F.lit(1)).cast("double"), 9
+        ).alias("avg_words_r"),
+    )

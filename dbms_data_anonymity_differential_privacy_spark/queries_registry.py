@@ -10515,6 +10515,280 @@ def x201_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X202 — HyperLogLog distinct sketch (operators/sketch.py hll_distinct):
+# portable-md5 registers (bucket = 12 bits, rank = hex leading-zero
+# count of the next 52), so registers AND estimate are engine-exact —
+# the mergeable production synopsis next to x60's KMV. Small-range
+# linear counting applied; exact count rides along as quality audit.
+# --------------------------------------------------------------------------
+@query(
+    "x202_hll_distinct",
+    f"""
+    WITH h AS (SELECT md5(CAST(l_partkey AS VARCHAR)) AS hh FROM lineitem),
+    r AS (SELECT CAST('0x' || substr(hh, 1, 3) AS BIGINT) AS bucket,
+                 regexp_replace(substr(hh, 4, 13), '^0+', '') AS rem
+          FROM h),
+    rk AS (SELECT bucket,
+                  CASE WHEN rem = '' THEN 53
+                       ELSE 4 * (13 - length(rem))
+                            + (4 - CASE WHEN substr(rem, 1, 1) = '1' THEN 1
+                                        WHEN substr(rem, 1, 1) IN ('2', '3') THEN 2
+                                        WHEN substr(rem, 1, 1) IN ('4', '5', '6', '7')
+                                             THEN 3
+                                        ELSE 4 END) + 1 END AS rank
+           FROM r),
+    reg AS (SELECT bucket, MAX(rank) AS m FROM rk GROUP BY 1),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nonempty,
+                 list_reduce(list_sort(list(power(2.0, -CAST(m AS DOUBLE)))),
+                             (a, b) -> a + b) AS sum_nz
+          FROM reg),
+    e AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact
+          FROM lineitem)
+    SELECT CAST(4096 AS BIGINT) AS m_registers, n_nonempty,
+           ROUND((0.7211100396160289e0 * 4096.0 * 4096.0)
+                 / (sum_nz + (4096.0 - CAST(n_nonempty AS DOUBLE))), 6)
+             AS raw_est_r,
+           ROUND(CASE WHEN (0.7211100396160289e0 * 4096.0 * 4096.0)
+                           / (sum_nz + (4096.0 - CAST(n_nonempty AS DOUBLE)))
+                           <= 10240.0
+                       AND n_nonempty < 4096
+                      THEN 4096.0 * LN(4096.0
+                                       / (4096.0 - CAST(n_nonempty AS DOUBLE)))
+                      ELSE (0.7211100396160289e0 * 4096.0 * 4096.0)
+                           / (sum_nz + (4096.0 - CAST(n_nonempty AS DOUBLE)))
+                 END, 6) AS est_r,
+           n_exact
+    FROM s CROSS JOIN e
+    """,
+)
+def x202_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL(p=12) distinct-part estimate over lineitem part keys, with
+    the exact count alongside."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.sketch import hll_distinct
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return hll_distinct(li, "l_partkey", include_exact=True)
+
+
+# --------------------------------------------------------------------------
+# X203 — readability (operators/text.py readability_scores): Flesch
+# reading ease + FK grade from the vowel-group syllable heuristic —
+# map-only, plain character-class regexes identical across engines.
+# --------------------------------------------------------------------------
+@query(
+    "x203_readability",
+    r"""
+    WITH b AS (SELECT doc_id,
+                      CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                           x -> x <> '')) AS BIGINT) AS n_words,
+                      CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                           AS BIGINT) AS n_sentences,
+                      CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                           AS BIGINT) AS n_syllables
+               FROM documents)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           ROUND(CASE WHEN n_words > 0 THEN
+                 206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+                 END, 6) AS flesch_r,
+           ROUND(CASE WHEN n_words > 0 THEN
+                 0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                 + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+                 - 15.59 END, 6) AS fk_grade_r
+    FROM b
+    """,
+)
+def x203_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Flesch reading ease and Flesch-Kincaid grade."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import readability_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return readability_scores(docs)
+
+
+# --------------------------------------------------------------------------
+# X204 — Cramér's V (operators/stats.py cramers_v): normalized effect
+# size of nation × market-segment association — x71's telescoped
+# full-grid chi-square plus the marginal cardinalities, one sqrt.
+# --------------------------------------------------------------------------
+@query(
+    "x204_cramers_v",
+    """
+    WITH joint AS (SELECT c_nationkey AS a, c_mktsegment AS b, COUNT(*) AS cc
+                   FROM customer GROUP BY 1, 2),
+    m AS (SELECT CAST(SUM(cc) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+                 CAST(COUNT(DISTINCT b) AS BIGINT) AS c FROM joint),
+    ma AS (SELECT a, SUM(cc) AS ca FROM joint GROUP BY 1),
+    mb AS (SELECT b, SUM(cc) AS cb FROM joint GROUP BY 1),
+    t AS (SELECT SUM(CAST(j.cc * j.cc AS DOUBLE) / CAST(ma.ca * mb.cb AS DOUBLE))
+                   AS tt
+          FROM joint j JOIN ma USING (a) JOIN mb USING (b))
+    SELECT m.n, m.r, m.c,
+           ROUND(CAST(m.n AS DOUBLE) * t.tt - CAST(m.n AS DOUBLE), 6) AS chi2_r,
+           ROUND(CASE WHEN LEAST(m.r - 1, m.c - 1) >= 1 THEN
+                 SQRT((CAST(m.n AS DOUBLE) * t.tt - CAST(m.n AS DOUBLE))
+                      / (CAST(m.n AS DOUBLE)
+                         * CAST(LEAST(m.r - 1, m.c - 1) AS DOUBLE))) END, 6)
+             AS v_r
+    FROM m CROSS JOIN t
+    """,
+)
+def x204_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V of customer nation × market segment."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import cramers_v
+
+    c = load_table(spark, sf_dir, "customer")
+    return cramers_v(c, "c_nationkey", "c_mktsegment")
+
+
+# --------------------------------------------------------------------------
+# X205 — Cochran-Armitage trend test (operators/stats.py
+# cochran_armitage): is the purchase rate monotonically associated with
+# hour of day? Exact int64 score moments, chi-square form.
+# --------------------------------------------------------------------------
+@query(
+    "x205_cochran_armitage",
+    """
+    WITH d AS (SELECT CAST(date_part('hour', ts) AS BIGINT) AS s,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS f
+               FROM events),
+    per AS (SELECT s, COUNT(*) AS n, SUM(f) AS r FROM d GROUP BY 1),
+    a AS (SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(r) AS BIGINT) AS n_pos,
+                 CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(s * r) AS BIGINT) AS sr,
+                 CAST(SUM(s * n) AS BIGINT) AS sn,
+                 CAST(SUM(s * s * n) AS BIGINT) AS ssn
+          FROM per)
+    SELECT n, n_pos, k,
+           ROUND(CAST(sr AS DOUBLE)
+                 - CAST(sn AS DOUBLE) * (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)),
+                 6) AS t_r,
+           ROUND((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(ssn AS DOUBLE)
+                    - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(n AS DOUBLE)),
+                 6) AS var_r,
+           ROUND(CASE WHEN (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(ssn AS DOUBLE)
+                              - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)
+                                / CAST(n AS DOUBLE)) > 0
+                      THEN (CAST(sr AS DOUBLE)
+                            - CAST(sn AS DOUBLE)
+                              * (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)))
+                           * (CAST(sr AS DOUBLE)
+                              - CAST(sn AS DOUBLE)
+                                * (CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)))
+                           / ((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                              * (1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                              * (CAST(ssn AS DOUBLE)
+                                 - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)
+                                   / CAST(n AS DOUBLE))) END, 6) AS chi2_r
+    FROM a
+    """,
+)
+def x205_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage: purchase-rate trend over hour of day."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import cochran_armitage
+
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.hour(F.col("ts")).alias("hr"),
+        (F.col("event_type") == "purchase").alias("f"),
+    )
+    return cochran_armitage(scored, "hr", "f")
+
+
+# --------------------------------------------------------------------------
+# X206 — tokenizer fertility (operators/text.py token_fertility):
+# BPE-ish subword tokens per whitespace word, per language — the
+# tokenizer-fairness number (Rust et al. 2021); exact int64 token sums.
+# --------------------------------------------------------------------------
+@query(
+    "x206_token_fertility",
+    f"""
+    WITH per AS (SELECT lang,
+        CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '')) AS BIGINT) AS w,
+        CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS b
+      FROM documents)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS n_words,
+           CAST(SUM(b) AS BIGINT) AS n_bpe_tokens,
+           ROUND(CAST(SUM(b) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 9)
+             AS fertility_r,
+           ROUND(CAST(SUM(w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+             AS avg_words_r
+    FROM per GROUP BY 1
+    """,
+)
+def x206_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language BPE-ish subword fertility over whitespace words."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import token_fertility
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_fertility(docs)
+
+
+# --------------------------------------------------------------------------
+# X207 — IPW average treatment effect (operators/stats.py ipw_ate):
+# strata-exact propensities telescope the Horvitz-Thompson sum to the
+# stratified estimator, so the engine aggregates exact integer CENT
+# sums per market segment — no fact-row double summation anywhere.
+# --------------------------------------------------------------------------
+@query(
+    "x207_ipw_ate",
+    """
+    WITH j AS (SELECT c.c_mktsegment AS g,
+                      CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                        AS t,
+                      CAST(ROUND(CAST(o.o_totalprice AS DOUBLE) * 100.0)
+                           AS BIGINT) AS yc
+               FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    per AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(t) AS BIGINT) AS nt,
+                   CAST(SUM(t * yc) AS BIGINT) AS syt,
+                   CAST(SUM((1 - t) * yc) AS BIGINT) AS syc
+            FROM j GROUP BY 1),
+    k AS (SELECT *,
+                 CAST(n AS DOUBLE)
+                 * (CAST(syt AS DOUBLE) / (CAST(nt AS DOUBLE) * 100.0)
+                    - CAST(syc AS DOUBLE) / (CAST(n - nt AS DOUBLE) * 100.0))
+                   AS term
+          FROM per WHERE nt > 0 AND nt < n),
+    a AS (SELECT CAST(SUM(n) AS BIGINT) AS n_kept,
+                 CAST(SUM(nt) AS BIGINT) AS n_treated,
+                 CAST(SUM(n - nt) AS BIGINT) AS ncont,
+                 CAST(SUM(syt) AS BIGINT) AS tsyt,
+                 CAST(SUM(syc) AS BIGINT) AS tsyc,
+                 list_reduce(list_sort(list(term)), (x, y) -> x + y) AS ate_sum
+          FROM k),
+    tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM j)
+    SELECT n_total, n_kept, n_treated,
+           ROUND(ate_sum / CAST(n_kept AS DOUBLE), 6) AS ate_ipw_r,
+           ROUND(CAST(tsyt AS DOUBLE) / (CAST(n_treated AS DOUBLE) * 100.0)
+                 - CAST(tsyc AS DOUBLE) / (CAST(ncont AS DOUBLE) * 100.0), 6)
+             AS naive_diff_r
+    FROM tt CROSS JOIN a
+    """,
+)
+def x207_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPW ATE of urgent order priority on order value, stratified by
+    market segment."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import ipw_ate
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment",
+        (F.col("o_orderpriority") == "1-URGENT").alias("t"),
+        "o_totalprice",
+    )
+    return ipw_ate(j, "t", "o_totalprice", "c_mktsegment", cents=True)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries per round; the rotation policy (since round 7) is
 # BY STALENESS — new debuts and output/plan-changed queries first, then

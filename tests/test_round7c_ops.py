@@ -426,3 +426,142 @@ def test_seasonal_decompose_reconstructs_and_flat_trend(spark):
     # decomposition identity holds exactly (at rounding precision)
     recon = pdf["trend_r"] + pdf["seasonal_r"] + pdf["residual_r"]
     assert (recon - pdf["x"]).abs().max() < 1e-7
+
+
+# ------------------------------------------------------------------- hll
+def test_hll_distinct_accuracy_and_determinism(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.sketch import hll_distinct
+
+    df = spark.createDataFrame(
+        [(i % 5000,) for i in range(20000)], "k LONG"
+    )
+    out = hll_distinct(df, "k").collect()[0]
+    assert out["n_exact"] == 5000
+    # HLL(p=12) std error ~ 1.04/sqrt(4096) = 1.6%; allow 5%
+    assert abs(out["est_r"] - 5000) / 5000 < 0.05
+    # duplicates never change registers: same estimate without them
+    out2 = hll_distinct(
+        spark.createDataFrame([(i,) for i in range(5000)], "k LONG"), "k"
+    ).collect()[0]
+    assert out2["est_r"] == out["est_r"]
+
+
+def test_hll_small_range_linear_counting(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.sketch import hll_distinct
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "k LONG")
+    out = hll_distinct(df, "k").collect()[0]
+    # far below 2.5m -> linear counting regime, very accurate
+    assert abs(out["est_r"] - 100) < 5
+    assert out["n_nonempty"] <= 100
+
+
+# ----------------------------------------------------------- readability
+def test_readability_hand_computed(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import readability_scores
+
+    # "the cat sat." -> 3 words, 1 sentence, 3 syllables (e, a, a)
+    df = spark.createDataFrame([(1, "the cat sat.")], "doc_id LONG, text STRING")
+    out = readability_scores(df).collect()[0]
+    assert out["n_words"] == 3 and out["n_sentences"] == 1
+    assert out["n_syllables"] == 3
+    expect = 206.835 - 1.015 * 3.0 - 84.6 * 1.0
+    assert out["flesch_r"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_readability_empty_and_harder_text(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import readability_scores
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "Bureaucratic organizations perpetuate intricate hierarchies! Why?")],
+        "doc_id LONG, text STRING",
+    )
+    pdf = readability_scores(df).toPandas().set_index("doc_id")
+    assert pdf.loc[1, "flesch_r"] is None or pdf.loc[1].isna()["flesch_r"]
+    # polysyllabic text scores much harder (lower) than "the cat sat."
+    assert pdf.loc[2, "flesch_r"] < 10
+    assert pdf.loc[2, "n_sentences"] == 2
+
+
+# ------------------------------------------------------------- cramers v
+def test_cramers_v_perfect_and_independent(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import cramers_v
+
+    # perfect association: b determined by a -> V = 1
+    perfect = spark.createDataFrame(
+        [(a, f"lab{a}") for a in (1, 2, 3) for _ in range(10)], "a INT, b STRING"
+    )
+    row = cramers_v(perfect, "a", "b").collect()[0]
+    assert row["v_r"] == pytest.approx(1.0, abs=1e-9)
+    # exact independence: uniform grid -> chi2 = 0, V = 0
+    indep = spark.createDataFrame(
+        [(a, b) for a in (1, 2) for b in ("x", "y") for _ in range(5)],
+        "a INT, b STRING",
+    )
+    row = cramers_v(indep, "a", "b").collect()[0]
+    assert abs(row["chi2_r"]) < 1e-6 and abs(row["v_r"]) < 1e-3
+
+
+# ----------------------------------------------------- cochran-armitage
+def test_cochran_armitage_monotone_vs_flat(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import cochran_armitage
+
+    # strong monotone trend: rate 0.1 / 0.5 / 0.9 over scores 0/1/2
+    rows = []
+    for s, pos in ((0, 10), (1, 50), (2, 90)):
+        rows += [(s, True)] * pos + [(s, False)] * (100 - pos)
+    df = spark.createDataFrame(rows, "s INT, f BOOLEAN")
+    out = cochran_armitage(df, "s", "f").collect()[0]
+    assert out["n"] == 300 and out["n_pos"] == 150 and out["k"] == 3
+    assert out["chi2_r"] > 50  # overwhelming trend
+    # flat rates -> statistic ~ 0
+    flat = []
+    for s in (0, 1, 2):
+        flat += [(s, True)] * 30 + [(s, False)] * 70
+    out = cochran_armitage(
+        spark.createDataFrame(flat, "s INT, f BOOLEAN"), "s", "f"
+    ).collect()[0]
+    assert abs(out["t_r"]) < 1e-9 and out["chi2_r"] < 1e-6
+
+
+# -------------------------------------------------------------- fertility
+def test_token_fertility_values(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import token_fertility
+
+    # "ab12 cd" -> 2 words; BPE-ish: ab|12|cd -> 3 subwords
+    df = spark.createDataFrame(
+        [(1, "en", "ab12 cd"), (2, "en", "x y")], "doc_id LONG, lang STRING, text STRING"
+    )
+    out = token_fertility(df).collect()[0]
+    assert out["n_docs"] == 2 and out["n_words"] == 4
+    assert out["n_bpe_tokens"] == 5
+    assert out["fertility_r"] == 1.25
+
+
+# ------------------------------------------------------------------- ipw
+def test_ipw_ate_telescopes_to_stratified(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import ipw_ate
+
+    # stratum A: treated mean 10, control mean 8 (effect 2, n=4)
+    # stratum B: treated mean 20, control mean 19 (effect 1, n=4)
+    rows = [
+        ("A", 1, 10.0), ("A", 1, 10.0), ("A", 0, 8.0), ("A", 0, 8.0),
+        ("B", 1, 20.0), ("B", 1, 20.0), ("B", 0, 19.0), ("B", 0, 19.0),
+    ]
+    df = spark.createDataFrame(rows, "g STRING, t INT, y DOUBLE")
+    out = ipw_ate(df, "t", "y", "g").collect()[0]
+    assert out["n_total"] == 8 and out["n_kept"] == 8
+    assert out["ate_ipw_r"] == pytest.approx((4 * 2 + 4 * 1) / 8, abs=1e-9)
+
+
+def test_ipw_ate_drops_no_overlap_strata(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import ipw_ate
+
+    rows = [
+        ("ok", 1, 5.0), ("ok", 0, 3.0),
+        ("all_treated", 1, 100.0), ("all_treated", 1, 100.0),
+    ]
+    df = spark.createDataFrame(rows, "g STRING, t INT, y DOUBLE")
+    out = ipw_ate(df, "t", "y", "g").collect()[0]
+    assert out["n_total"] == 4 and out["n_kept"] == 2
+    assert out["ate_ipw_r"] == pytest.approx(2.0, abs=1e-9)
