@@ -258,6 +258,10 @@ HEADLINE = [
     "x205_cochran_armitage",
     "x206_token_fertility",
     "x207_ipw_ate",
+    "x208_item_cf",
+    "x209_odds_ratio",
+    "x210_mcnemar",
+    "x211_distinct_users",
 ]
 
 

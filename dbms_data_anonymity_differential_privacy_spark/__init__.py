@@ -104,6 +104,10 @@ from dbms_data_anonymity_differential_privacy_spark.operators.packing import (
     packing_efficiency,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.search import bm25_topk, bm25_topk_many
+from dbms_data_anonymity_differential_privacy_spark.streaming.audience import (
+    windowed_distinct_users_batch,
+    windowed_distinct_users_stream,
+)
 from dbms_data_anonymity_differential_privacy_spark.streaming.drift import (
     drift_windows_batch,
     drift_windows_stream,
@@ -239,6 +243,9 @@ from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
     cohens_kappa,
     cramers_v,
     ipw_ate,
+    item_cf_topk,
+    mcnemar_test,
+    odds_ratio_2x2,
     group_ols,
     holt_linear,
     logrank_test,
@@ -345,6 +352,11 @@ __all__ = [
     "readability_scores",
     "token_fertility",
     "hll_distinct",
+    "item_cf_topk",
+    "odds_ratio_2x2",
+    "mcnemar_test",
+    "windowed_distinct_users_batch",
+    "windowed_distinct_users_stream",
     "quality_gating_curve",
     "drift_windows_batch",
     "drift_windows_stream",

@@ -3326,3 +3326,172 @@ def ipw_ate(
             6,
         ).alias("naive_diff_r"),
     )
+
+
+def item_cf_topk(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int = 5,
+    min_pair: int = 2,
+) -> DataFrame:
+    """Item-item collaborative-filtering neighbors: cosine similarity on
+    basket co-occurrence counts — the classic "customers who bought X
+    also bought Y" recommender (Sarwar et al. WWW 2001; Amazon's
+    item-to-item CF). The normalized refinement of
+    :func:`copurchase_lift`: ``cos(i,j) = c_ij / sqrt(c_i · c_j)`` over
+    exact int64 basket counts (one sqrt per released pair — the x80
+    precedent).
+
+    Output: top-``k`` neighbors per item by ``(cosine_r DESC, other)``
+    — ``(item, other, c_pair, c_item, c_other, cosine_r)`` (6 dp),
+    pairs below ``min_pair`` co-occurrences pruned.
+
+    Scale shape: distinct (basket, item) → the a<b self-join within
+    baskets (bounded by basket size², the x102/x138 shape) → ONE pair
+    count shuffle; item marginals re-aggregate the distinct relation;
+    per-item top-k is a rank window cut map-side (WindowGroupLimit).
+    """
+    from pyspark.sql import Window
+
+    items = baskets.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__b") == F.col("b.__b")) & (F.col("a.__i") < F.col("b.__i")),
+        )
+        .groupBy(F.col("a.__i").alias("x"), F.col("b.__i").alias("y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_pair"))
+        .filter(F.col("c_pair") >= int(min_pair))
+    )
+    marg = items.groupBy(F.col("__i").alias("item")).agg(
+        F.count(F.lit(1)).cast("long").alias("c_item")
+    )
+    both = pairs.select(
+        F.col("x").alias("item"), F.col("y").alias("other"), "c_pair"
+    ).unionByName(
+        pairs.select(F.col("y").alias("item"), F.col("x").alias("other"), "c_pair")
+    )
+    scored = (
+        both.join(marg, on="item")
+        .join(
+            marg.select(
+                F.col("item").alias("other"), F.col("c_item").alias("c_other")
+            ),
+            on="other",
+        )
+        .select(
+            "item",
+            "other",
+            "c_pair",
+            "c_item",
+            "c_other",
+            F.round(
+                F.col("c_pair").cast("double")
+                / F.sqrt(F.col("c_item").cast("double") * F.col("c_other").cast("double")),
+                6,
+            ).alias("cosine_r"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("cosine_r"), F.col("other"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= int(k))
+        .drop("__rk")
+    )
+
+
+def odds_ratio_2x2(
+    df: DataFrame, expose_col: str, outcome_col: str
+) -> DataFrame:
+    """2×2 odds ratio with Haldane–Anscombe correction and the Woolf
+    95% CI — the case-control association readout (the effect-size
+    companion of x71/x204 for the binary-binary case; Bland & Altman
+    2000 for the CI formula).
+
+    Cells ``a`` (exposed+outcome), ``b`` (exposed only), ``c`` (outcome
+    only), ``d`` (neither) are exact int64; if ANY cell is zero, 0.5 is
+    added to ALL (the standard correction, disclosed via
+    ``corrected``). ``OR = ad/bc``; ``SE = sqrt(1/a+1/b+1/c+1/d)``;
+    CI = exp(ln OR ± 1.96·SE). ln/exp/sqrt are fixed IEEE expressions
+    (6 dp, the x79/x80 contract).
+
+    Output (single row): ``(a, b, c, d, corrected, or_r, log_or_r,
+    ci_lo_r, ci_hi_r)``.
+    """
+    e = F.col(expose_col).cast("boolean")
+    o = F.col(outcome_col).cast("boolean")
+    agg = df.agg(
+        F.sum((e & o).cast("int")).cast("long").alias("a"),
+        F.sum((e & ~o).cast("int")).cast("long").alias("b"),
+        F.sum((~e & o).cast("int")).cast("long").alias("c"),
+        F.sum((~e & ~o).cast("int")).cast("long").alias("d"),
+    )
+    corrected = (
+        (F.col("a") == 0) | (F.col("b") == 0) | (F.col("c") == 0) | (F.col("d") == 0)
+    )
+    half = F.when(corrected, F.lit(0.5)).otherwise(F.lit(0.0))
+    ad = F.col("a").cast("double") + half
+    bd = F.col("b").cast("double") + half
+    cd = F.col("c").cast("double") + half
+    dd = F.col("d").cast("double") + half
+    orr = ad * dd / (bd * cd)
+    se = F.sqrt(1.0 / ad + 1.0 / bd + 1.0 / cd + 1.0 / dd)
+    return agg.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        corrected.alias("corrected"),
+        F.round(orr, 6).alias("or_r"),
+        F.round(F.log(orr), 6).alias("log_or_r"),
+        F.round(F.exp(F.log(orr) - F.lit(1.96) * se), 6).alias("ci_lo_r"),
+        F.round(F.exp(F.log(orr) + F.lit(1.96) * se), 6).alias("ci_hi_r"),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame, correct_a_col: str, correct_b_col: str
+) -> DataFrame:
+    """McNemar's test on PAIRED binary predictors: do two classifiers
+    disagree asymmetrically on the same examples? The standard
+    model-comparison test when both run on one eval set (Dietterich
+    1998) — an unpaired x74 z-test would waste the pairing.
+
+    Only the discordant cells matter: ``b`` (A right, B wrong) vs ``c``
+    (A wrong, B right); ``chi2 = (b−c)²/(b+c)`` with the
+    continuity-corrected ``(|b−c|−1)²/(b+c)`` alongside — exact int64
+    counts, one division each (6 dp; NULL when b+c = 0).
+
+    Output (single row): ``(n, n_both, b, c, chi2_r, chi2_cc_r)``.
+    """
+    ca = F.col(correct_a_col).cast("boolean")
+    cb = F.col(correct_b_col).cast("boolean")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((ca & cb).cast("int")).cast("long").alias("n_both"),
+        F.sum((ca & ~cb).cast("int")).cast("long").alias("b"),
+        F.sum((~ca & cb).cast("int")).cast("long").alias("c"),
+    )
+    bd = F.col("b").cast("double")
+    cd = F.col("c").cast("double")
+    denom = bd + cd
+    return agg.select(
+        "n",
+        "n_both",
+        "b",
+        "c",
+        F.round(
+            F.when(denom > 0, (bd - cd) * (bd - cd) / denom), 6
+        ).alias("chi2_r"),
+        F.round(
+            F.when(
+                denom > 0,
+                (F.abs(bd - cd) - 1.0) * (F.abs(bd - cd) - 1.0) / denom,
+            ),
+            6,
+        ).alias("chi2_cc_r"),
+    )

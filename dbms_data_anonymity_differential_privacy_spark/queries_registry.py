@@ -10789,6 +10789,181 @@ def x207_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X208 — item-item CF neighbors (operators/stats.py item_cf_topk):
+# cosine on basket co-occurrence counts, top-5 per part — the
+# Sarwar/Amazon recommender; x102's normalized refinement.
+# --------------------------------------------------------------------------
+@query(
+    "x208_item_cf",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    pairs AS (SELECT a.i AS x, b.i AS y, CAST(COUNT(*) AS BIGINT) AS c_pair
+              FROM items a JOIN items b ON a.b = b.b AND a.i < b.i
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    marg AS (SELECT i AS item, CAST(COUNT(*) AS BIGINT) AS c_item
+             FROM items GROUP BY 1),
+    bidir AS (SELECT x AS item, y AS other, c_pair FROM pairs
+              UNION ALL SELECT y AS item, x AS other, c_pair FROM pairs),
+    s AS (SELECT bo.item, bo.other, bo.c_pair, m1.c_item,
+                 m2.c_item AS c_other,
+                 ROUND(CAST(bo.c_pair AS DOUBLE)
+                       / SQRT(CAST(m1.c_item AS DOUBLE)
+                              * CAST(m2.c_item AS DOUBLE)), 6) AS cosine_r
+          FROM bidir bo JOIN marg m1 ON m1.item = bo.item
+          JOIN marg m2 ON m2.item = bo.other),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+                                       ORDER BY cosine_r DESC, other) AS rk
+          FROM s)
+    SELECT item, other, c_pair, c_item, c_other, cosine_r FROM r WHERE rk <= 5
+    """,
+)
+def x208_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 item-item cosine CF neighbors on the co-purchase baskets."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import item_cf_topk
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return item_cf_topk(li, "l_orderkey", "l_partkey", k=5, min_pair=2)
+
+
+# --------------------------------------------------------------------------
+# X209 — 2x2 odds ratio + Woolf CI (operators/stats.py odds_ratio_2x2):
+# building-segment exposure vs urgent-priority outcome; Haldane
+# correction when any cell is empty.
+# --------------------------------------------------------------------------
+@query(
+    "x209_odds_ratio",
+    """
+    WITH j AS (SELECT (c.c_mktsegment = 'BUILDING') AS e,
+                      (o.o_orderpriority = '1-URGENT') AS ou
+               FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    cells AS (SELECT
+        CAST(SUM(CASE WHEN e AND ou THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN e AND NOT ou THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN NOT e AND ou THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN NOT e AND NOT ou THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM j),
+    h AS (SELECT *,
+                 (a = 0 OR b = 0 OR c = 0 OR d = 0) AS corrected,
+                 CAST(a AS DOUBLE) + CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+                                          THEN 0.5 ELSE 0.0 END AS ad,
+                 CAST(b AS DOUBLE) + CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+                                          THEN 0.5 ELSE 0.0 END AS bd,
+                 CAST(c AS DOUBLE) + CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+                                          THEN 0.5 ELSE 0.0 END AS cd,
+                 CAST(d AS DOUBLE) + CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0
+                                          THEN 0.5 ELSE 0.0 END AS dd
+          FROM cells)
+    SELECT a, b, c, d, corrected,
+           ROUND(ad * dd / (bd * cd), 6) AS or_r,
+           ROUND(LN(ad * dd / (bd * cd)), 6) AS log_or_r,
+           ROUND(EXP(LN(ad * dd / (bd * cd))
+                     - 1.96 * SQRT(1.0 / ad + 1.0 / bd + 1.0 / cd + 1.0 / dd)),
+                 6) AS ci_lo_r,
+           ROUND(EXP(LN(ad * dd / (bd * cd))
+                     + 1.96 * SQRT(1.0 / ad + 1.0 / bd + 1.0 / cd + 1.0 / dd)),
+                 6) AS ci_hi_r
+    FROM h
+    """,
+)
+def x209_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio of urgent priority for BUILDING-segment customers."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import odds_ratio_2x2
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        (F.col("c_mktsegment") == "BUILDING").alias("e"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("ou"),
+    )
+    return odds_ratio_2x2(j, "e", "ou")
+
+
+# --------------------------------------------------------------------------
+# X210 — McNemar paired-classifier test (operators/stats.py
+# mcnemar_test): full 5-probe language-ID vs the en-only ablation on
+# the SAME documents — only the discordant cells matter.
+# --------------------------------------------------------------------------
+@query(
+    "x210_mcnemar",
+    """
+    WITH {LANG_SCORE_CTE},
+    pr AS (SELECT lang,
+                  CASE WHEN GREATEST(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+                       WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                       WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+                       WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                       WHEN s_es = GREATEST(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                       ELSE 'zh' END AS p,
+                  CASE WHEN s_en > 0 THEN 'en' ELSE 'und' END AS q
+           FROM ls),
+    d AS (SELECT (p = lang) AS ca, (q = lang) AS cb FROM pr),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN ca AND cb THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_both,
+                   CAST(SUM(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END) AS BIGINT)
+                     AS b,
+                   CAST(SUM(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END) AS BIGINT)
+                     AS c
+            FROM d)
+    SELECT n, n_both, b, c,
+           ROUND(CASE WHEN b + c > 0 THEN
+                 (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+                 * (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+                 / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) END, 6) AS chi2_r,
+           ROUND(CASE WHEN b + c > 0 THEN
+                 (ABS(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+                 * (ABS(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+                 / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE)) END, 6) AS chi2_cc_r
+    FROM agg
+    """,
+)
+def x210_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar: does the 5-probe language-ID beat the en-only ablation
+    on the same documents?"""
+    from dbms_data_anonymity_differential_privacy_spark.operators import text as tx
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import mcnemar_test
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = tx.lang_scores(F.col("text"))
+    pred_b = F.when(scores["en"] > 0, F.lit("en")).otherwise(F.lit("und"))
+    pairs = docs.select(
+        (tx.lang_id(F.col("text")) == F.col("lang")).alias("ca"),
+        (pred_b == F.col("lang")).alias("cb"),
+    )
+    return mcnemar_test(pairs, "ca", "cb")
+
+
+# --------------------------------------------------------------------------
+# X211 — windowed distinct users, streaming twin (streaming/audience.py):
+# exact per-day unique users; the stream composes dropDuplicates-
+# WithinWatermark with a windowed count (two chained stateful ops), the
+# batch twin is the oracle surface here.
+# --------------------------------------------------------------------------
+@query(
+    "x211_distinct_users",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def x211_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact unique users per day (batch twin of the streaming
+    audience metric)."""
+    from dbms_data_anonymity_differential_privacy_spark.streaming.audience import (
+        windowed_distinct_users_batch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_distinct_users_batch(ev, window="1 day")
+
+
+ORACLE_SQL["x210_mcnemar"] = ORACLE_SQL["x210_mcnemar"].replace(
+    "{LANG_SCORE_CTE}", _LANG_SCORE_CTE
+)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries per round; the rotation policy (since round 7) is
 # BY STALENESS — new debuts and output/plan-changed queries first, then

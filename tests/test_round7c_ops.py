@@ -565,3 +565,128 @@ def test_ipw_ate_drops_no_overlap_strata(spark):
     out = ipw_ate(df, "t", "y", "g").collect()[0]
     assert out["n_total"] == 4 and out["n_kept"] == 2
     assert out["ate_ipw_r"] == pytest.approx(2.0, abs=1e-9)
+
+
+# --------------------------------------------------------------- item cf
+def test_item_cf_hand_values(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import item_cf_topk
+
+    # baskets: {1,2} x3, {1,3} x1, {2,3} x1 -> c_1=4, c_2=4, c_3=2
+    rows = (
+        [(b, i) for b in (10, 11, 12) for i in (1, 2)]
+        + [(13, 1), (13, 3), (14, 2), (14, 3)]
+    )
+    df = spark.createDataFrame(rows, "bk LONG, it LONG")
+    pdf = item_cf_topk(df, "bk", "it", k=5, min_pair=1).toPandas()
+    top1 = pdf[pdf["item"] == 1].sort_values("cosine_r", ascending=False).iloc[0]
+    assert top1["other"] == 2
+    assert top1["cosine_r"] == pytest.approx(3 / (4 * 4) ** 0.5, abs=1e-6)
+    # symmetric pair appears on both sides
+    assert ((pdf["item"] == 2) & (pdf["other"] == 1)).any()
+
+
+def test_item_cf_respects_k_and_min_pair(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import item_cf_topk
+
+    rows = [(b, i) for b in range(20) for i in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "bk LONG, it LONG")
+    pdf = item_cf_topk(df, "bk", "it", k=2, min_pair=2).toPandas()
+    assert (pdf.groupby("item").size() <= 2).all()
+    assert (pdf["c_pair"] >= 2).all()
+
+
+# ------------------------------------------------------------ odds ratio
+def test_odds_ratio_hand_values(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import odds_ratio_2x2
+
+    # a=20 b=10 c=5 d=15 -> OR = 20*15/(10*5) = 6
+    rows = (
+        [(True, True)] * 20 + [(True, False)] * 10
+        + [(False, True)] * 5 + [(False, False)] * 15
+    )
+    df = spark.createDataFrame(rows, "e BOOLEAN, o BOOLEAN")
+    out = odds_ratio_2x2(df, "e", "o").collect()[0]
+    assert (out["a"], out["b"], out["c"], out["d"]) == (20, 10, 5, 15)
+    assert not out["corrected"]
+    assert out["or_r"] == pytest.approx(6.0, abs=1e-6)
+    assert out["ci_lo_r"] < 6.0 < out["ci_hi_r"]
+
+
+def test_odds_ratio_haldane_on_zero_cell(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import odds_ratio_2x2
+
+    rows = [(True, True)] * 5 + [(False, False)] * 5 + [(False, True)] * 2
+    df = spark.createDataFrame(rows, "e BOOLEAN, o BOOLEAN")
+    out = odds_ratio_2x2(df, "e", "o").collect()[0]
+    assert out["corrected"] and out["or_r"] > 0  # finite despite b = 0
+
+
+# --------------------------------------------------------------- mcnemar
+def test_mcnemar_hand_values(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import mcnemar_test
+
+    # b = 9 (A right, B wrong), c = 1 -> chi2 = 64/10, cc = 49/10
+    rows = (
+        [(True, True)] * 30 + [(True, False)] * 9
+        + [(False, True)] * 1 + [(False, False)] * 10
+    )
+    df = spark.createDataFrame(rows, "ca BOOLEAN, cb BOOLEAN")
+    out = mcnemar_test(df, "ca", "cb").collect()[0]
+    assert out["b"] == 9 and out["c"] == 1 and out["n_both"] == 30
+    assert out["chi2_r"] == pytest.approx(6.4, abs=1e-9)
+    assert out["chi2_cc_r"] == pytest.approx(4.9, abs=1e-9)
+
+
+def test_mcnemar_no_discordance_is_null(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import mcnemar_test
+
+    df = spark.createDataFrame(
+        [(True, True)] * 4 + [(False, False)] * 2, "ca BOOLEAN, cb BOOLEAN"
+    )
+    out = mcnemar_test(df, "ca", "cb").collect()[0]
+    assert out["chi2_r"] is None
+
+
+# ------------------------------------------------ streaming distinct users
+def test_windowed_distinct_users_stream_matches_batch(spark, sf0001, tmp_path):
+    """The two-stateful-op stream (dedup-within-watermark -> windowed
+    count) must agree exactly with the batch countDistinct on every
+    window it emits; append mode withholds only windows the final
+    watermark hasn't closed."""
+    import shutil
+
+    from dbms_data_anonymity_differential_privacy_spark.streaming.audience import (
+        windowed_distinct_users_batch,
+        windowed_distinct_users_stream,
+    )
+    from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf0001, "events")
+    batch = {
+        r.window_start: r.n_users
+        for r in windowed_distinct_users_batch(ev, window="1 day").collect()
+    }
+    stream_dir = tmp_path / "events"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf0001}/events.parquet", stream_dir / "part-000.parquet")
+    stream_df = windowed_distinct_users_stream(
+        spark, str(stream_dir), window="1 day", watermark="1 hour"
+    )
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("x211_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.window_start: r.n_users
+        for r in spark.sql("SELECT * FROM x211_test").collect()
+    }
+    assert len(got) > 0
+    # every emitted window is exactly the batch answer
+    assert got == {k: batch[k] for k in got}
+    # append mode may withhold the last windows (watermark lag only)
+    assert len(got) >= len(batch) - 2
