@@ -262,6 +262,9 @@ HEADLINE = [
     "x209_odds_ratio",
     "x210_mcnemar",
     "x211_distinct_users",
+    "x212_markov_attribution",
+    "x213_rmst",
+    "x214_pca_project",
 ]
 
 

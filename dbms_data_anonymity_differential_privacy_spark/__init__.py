@@ -193,6 +193,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import 
     random_project,
     rp_sign_matrix,
     embedding_drift,
+    pca_project,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.sampling import assign_shards
 from dbms_data_anonymity_differential_privacy_spark.operators.dp import dp_count_distinct_users, dp_set_union, dp_set_union_exact
@@ -213,6 +214,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.funnel import (
     last_touch_attribution,
     linear_attribution,
     retention_cohorts,
+    markov_attribution,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.sampling import weighted_sample_n
 from dbms_data_anonymity_differential_privacy_spark.operators.tcloseness import (
@@ -246,6 +248,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
     item_cf_topk,
     mcnemar_test,
     odds_ratio_2x2,
+    rmst,
     group_ols,
     holt_linear,
     logrank_test,
@@ -357,6 +360,9 @@ __all__ = [
     "mcnemar_test",
     "windowed_distinct_users_batch",
     "windowed_distinct_users_stream",
+    "markov_attribution",
+    "rmst",
+    "pca_project",
     "quality_gating_curve",
     "drift_windows_batch",
     "drift_windows_stream",

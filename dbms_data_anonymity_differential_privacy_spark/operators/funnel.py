@@ -871,3 +871,145 @@ def cohort_ltv(
         F.round(cum, 9).alias("cum_rev_r"),
         F.round(cum / F.col("cohort_users").cast("double"), 9).alias("ltv_r"),
     )
+
+
+def markov_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    n_iter: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Markov-chain attribution by REMOVAL EFFECT (Anderl et al. 2016)
+    — the data-driven successor of the x78/x90/x124 rule-based models:
+    build the first-order journey chain (START → touches → CONV/NULL),
+    then credit each channel by how much the conversion probability
+    drops when the channel is removed (transitions into it redirected
+    to NULL).
+
+    Journey: each user's events ordered by ``(ts, id)``, truncated at
+    the FIRST conversion (which becomes the absorbing CONV state);
+    users who never convert end in NULL. Transition probabilities are
+    UNROUNDED divisions of exact int64 counts. Absorption probabilities
+    use ``n_iter`` fixed Jacobi steps from x = 0 (the x188 discipline:
+    a fixed unrolled computation both engines replay identically;
+    accumulation order pinned by sorted state order driver-side — the
+    oracle's SQL SUM differs only at the last bit, absorbed by the 9 dp
+    release).
+
+    Driver-side iteration is the deliberate scale choice (the
+    x188/kcenter idiom): the chain lives on the event-TYPE vocabulary
+    (tens of states), while the journey construction — the corpus-scale
+    work — is one user-keyed window pass plus one count aggregation.
+
+    Output: one row per channel, ``(channel, p_conv_base_r,
+    p_conv_removed_r, removal_effect_r, share_r)`` (9 dp); share is the
+    removal effect normalized over channels (NULL when the total
+    effect is 0).
+    """
+    from pyspark.sql import Window
+
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    e2 = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.col(type_col).alias("__ty"),
+    ).withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("__u").orderBy("__ts", "__id")
+        ),
+    )
+    per_u = e2.groupBy("__u").agg(
+        F.min(F.when(F.col("__ty") == conversion_type, F.col("__rn"))).alias(
+            "__crn"
+        ),
+        F.max("__rn").alias("__mrn"),
+    )
+    kept = e2.join(per_u, on="__u").filter(
+        F.col("__crn").isNull() | (F.col("__rn") <= F.col("__crn"))
+    )
+    st = F.when(F.col("__ty") == conversion_type, F.lit("CONV")).otherwise(
+        F.col("__ty")
+    )
+    seq = kept.select(
+        "__u", "__rn", st.alias("__st"), "__crn", "__mrn"
+    )
+    wq = Window.partitionBy("__u").orderBy("__rn")
+    steps = seq.select(
+        F.coalesce(F.lag("__st").over(wq), F.lit("START")).alias("f"),
+        F.col("__st").alias("t"),
+    )
+    terminal = seq.filter(
+        F.col("__crn").isNull() & (F.col("__rn") == F.col("__mrn"))
+    ).select(F.col("__st").alias("f"), F.lit("NULL").alias("t"))
+    counts = (
+        steps.unionByName(terminal)
+        .groupBy("f", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .collect()
+    )
+    c: dict[tuple[str, str], int] = {(r.f, r.t): r.c for r in counts}
+    row_tot: dict[str, int] = {}
+    for (f, _t), n in c.items():
+        row_tot[f] = row_tot.get(f, 0) + n
+    prob: dict[tuple[str, str], float] = {
+        (f, t): n / row_tot[f] for (f, t), n in c.items()
+    }
+    channels = sorted(
+        s for s in {x for pair in c for x in pair}
+        if s not in ("START", "CONV", "NULL")
+    )
+
+    def absorb(p: dict[tuple[str, str], float]) -> float:
+        trans = sorted({f for (f, _t) in p})
+        x = {s: 0.0 for s in trans}
+        for _ in range(n_iter):
+            nxt = {}
+            for s in trans:  # sorted order pins accumulation
+                acc = p.get((s, "CONV"), 0.0)
+                for t in trans:
+                    pt = p.get((s, t))
+                    if pt is not None and x[t] != 0.0:
+                        acc += pt * x[t]
+                nxt[s] = acc
+            x = nxt
+        return x.get("START", 0.0)
+
+    p_base = absorb(prob)
+    rows = []
+    re_sum = 0.0
+    removed: dict[str, float] = {}
+    for ch in channels:
+        p_rm: dict[tuple[str, str], float] = {}
+        # sorted iteration pins the float-merge order (prob's dict order
+        # follows the nondeterministic collect order)
+        for (f, t), v in sorted(prob.items()):
+            if f == ch:
+                continue  # node removed: its outgoing edges are unreachable
+            t2 = "NULL" if t == ch else t
+            p_rm[(f, t2)] = p_rm.get((f, t2), 0.0) + v
+        removed[ch] = absorb(p_rm)
+        re = (p_base - removed[ch]) / p_base if p_base > 0 else 0.0
+        re_sum += re
+        rows.append((ch, removed[ch], re))
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                ch,
+                round(p_base, 6),
+                round(p_rm_v, 6),
+                round(re, 6),
+                round(re / re_sum, 6) if re_sum > 0 else None,
+            )
+            for ch, p_rm_v, re in rows
+        ],
+        "channel STRING, p_conv_base_r DOUBLE, p_conv_removed_r DOUBLE, "
+        "removal_effect_r DOUBLE, share_r DOUBLE",
+    )

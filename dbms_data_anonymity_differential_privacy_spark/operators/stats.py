@@ -3495,3 +3495,102 @@ def mcnemar_test(
             6,
         ).alias("chi2_cc_r"),
     )
+
+
+def rmst(
+    durations: DataFrame,
+    tau: float,
+    duration_col: str = "duration",
+    event_col: str = "event",
+) -> DataFrame:
+    """Restricted mean survival time: the area under the Kaplan–Meier
+    curve up to horizon ``tau`` — "average event-free time in the first
+    τ seconds", the model-free effect measure survival analysts report
+    when hazards aren't proportional (Royston & Parmar 2013). Companion
+    of :func:`kaplan_meier` (same per-distinct-time relation) and the
+    natural KPI on x79's time-to-conversion data.
+
+    The KM step function is integrated segment-wise:
+    ``Σ S(t_i)·(min(t_{i+1}, τ) − t_i)`` over death times below τ, plus
+    the leading [0, t_1) segment at S = 1. Survival values come from the
+    same zero-aware log-sum construction as x79 (identical windows both
+    engines); the segment sum runs over the slim per-time relation.
+
+    Output (single row): ``(tau_r, n, n_events_used, rmst_r)`` (6 dp).
+    """
+    from pyspark.sql import Window
+
+    t = F.col(duration_col)
+    ev = F.col(event_col).cast("int")
+    per_t = durations.groupBy(t.cast("double").alias("t")).agg(
+        F.sum(ev).alias("d"),
+        F.count(F.lit(1)).alias("obs"),
+    )
+    w_ord = Window.orderBy("t")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    total = F.sum("obs").over(Window.partitionBy())
+    staged = (
+        per_t.withColumn(
+            "n_risk", total - F.coalesce(F.sum("obs").over(w_prev), F.lit(0))
+        )
+        .withColumn(
+            "__f",
+            F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk").cast("double"),
+        )
+        .withColumn(
+            "__dead", F.max(F.when(F.col("__f") == 0.0, 1).otherwise(0)).over(w_cum)
+        )
+        .withColumn(
+            "__logsum",
+            F.sum(
+                F.when(F.col("__f") > 0.0, F.log("__f")).otherwise(0.0)
+            ).over(w_cum),
+        )
+    )
+    km = staged.filter(F.col("d") > 0).select(
+        "t",
+        F.when(F.col("__dead") == 1, F.lit(0.0))
+        .otherwise(F.exp("__logsum"))
+        .alias("s"),
+    )
+    w2 = Window.orderBy("t")
+    seg = km.select(
+        "t",
+        "s",
+        F.lag("t").over(w2).alias("t_prev"),
+        F.lag("s").over(w2).alias("s_prev"),
+    )
+    tau_l = F.lit(float(tau))
+    # segment ENDING at this death time: survival before it applies
+    contrib = F.when(
+        F.coalesce(F.col("t_prev"), F.lit(0.0)) < tau_l,
+        F.coalesce(F.col("s_prev"), F.lit(1.0))
+        * (F.least(F.col("t"), tau_l) - F.coalesce(F.col("t_prev"), F.lit(0.0))),
+    ).otherwise(F.lit(0.0))
+    # tail after the LAST death time, at its post-drop survival
+    tail = seg.agg(
+        F.max("t").alias("__tl"),
+    ).join(km.withColumnRenamed("t", "__tl"), on="__tl")
+    tail_contrib = tail.select(
+        F.when(
+            F.col("__tl") < tau_l, F.col("s") * (tau_l - F.col("__tl"))
+        )
+        .otherwise(F.lit(0.0))
+        .alias("__tail")
+    )
+    main = seg.agg(
+        F.sum(contrib).alias("__area"),
+        F.count(F.lit(1)).cast("long").alias("n_events_used"),
+    )
+    tot = durations.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        tot.join(F.broadcast(main))
+        .join(F.broadcast(tail_contrib))
+        .select(
+            F.round(tau_l, 6).alias("tau_r"),
+            "n",
+            "n_events_used",
+            F.round(F.col("__area") + F.col("__tail"), 6).alias("rmst_r"),
+        )
+    )

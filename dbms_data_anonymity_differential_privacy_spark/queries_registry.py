@@ -10964,6 +10964,184 @@ ORACLE_SQL["x210_mcnemar"] = ORACLE_SQL["x210_mcnemar"].replace(
 
 
 # --------------------------------------------------------------------------
+# X212 — Markov-chain attribution by removal effect (operators/funnel.py
+# markov_attribution): the data-driven successor of x78/x90/x124;
+# journey chain built distributed, absorption replayed as 30 unrolled
+# Jacobi steps per variant (base + one per channel) — the x188
+# discipline. Channels are the data-independent event vocabulary.
+# --------------------------------------------------------------------------
+PUBLIC_EVENT_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _x212_sql(n_iter: int = 30, channels=PUBLIC_EVENT_CHANNELS) -> str:
+    ctes = [
+        "e2 AS (SELECT user_id, event_type,"
+        " ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn"
+        " FROM events)",
+        "cv AS (SELECT user_id,"
+        " MIN(CASE WHEN event_type = 'purchase' THEN rn END) AS crn,"
+        " MAX(rn) AS mrn FROM e2 GROUP BY 1)",
+        "fj AS (SELECT e2.user_id, e2.rn,"
+        " CASE WHEN e2.event_type = 'purchase' THEN 'CONV' ELSE e2.event_type END"
+        " AS st, cv.crn, cv.mrn"
+        " FROM e2 JOIN cv USING (user_id)"
+        " WHERE cv.crn IS NULL OR e2.rn <= cv.crn)",
+        "tr0 AS (SELECT COALESCE(LAG(st) OVER (PARTITION BY user_id ORDER BY rn),"
+        " 'START') AS f, st AS t FROM fj)",
+        "term AS (SELECT st AS f, 'NULL' AS t FROM fj"
+        " WHERE crn IS NULL AND rn = mrn)",
+        "cnt AS (SELECT f, t, COUNT(*) AS c FROM"
+        " (SELECT f, t FROM tr0 UNION ALL SELECT f, t FROM term) GROUP BY 1, 2)",
+        "rt AS (SELECT f, SUM(c) AS nn FROM cnt GROUP BY 1)",
+        "p AS MATERIALIZED (SELECT cnt.f, cnt.t,"
+        " CAST(cnt.c AS DOUBLE) / CAST(rt.nn AS DOUBLE) AS p"
+        " FROM cnt JOIN rt USING (f))",
+    ]
+    variants = [("b", None)] + [(f"v{i}", ch) for i, ch in enumerate(channels)]
+    for tag, ch in variants:
+        if ch is None:
+            ctes.append(f"p_{tag} AS MATERIALIZED (SELECT f, t, p FROM p)")
+        else:
+            ctes.append(
+                f"p_{tag} AS MATERIALIZED (SELECT f,"
+                f" CASE WHEN t = '{ch}' THEN 'NULL' ELSE t END AS t,"
+                f" SUM(p) AS p FROM p WHERE f <> '{ch}' GROUP BY 1, 2)"
+            )
+        ctes.append(
+            f"pc_{tag} AS MATERIALIZED (SELECT f AS s,"
+            f" SUM(CASE WHEN t = 'CONV' THEN p ELSE 0.0 END) AS pc"
+            f" FROM p_{tag} GROUP BY 1)"
+        )
+        ctes.append(f"x_{tag}_0 AS (SELECT s, 0.0 AS x FROM pc_{tag})")
+        # every step MATERIALIZED: a lazy chain of 30 nested-subquery
+        # CTEs makes DuckDB's planner super-linear in depth (measured:
+        # 0.08 s at depth 5, 3 s at depth 15, unbounded at 30)
+        for k in range(1, n_iter + 1):
+            ctes.append(
+                f"x_{tag}_{k} AS MATERIALIZED (SELECT pc.s, pc.pc + COALESCE(sj.v, 0.0) AS x"
+                f" FROM pc_{tag} pc LEFT JOIN"
+                f" (SELECT pp.f AS s, SUM(pp.p * xk.x) AS v"
+                f"  FROM p_{tag} pp JOIN x_{tag}_{k - 1} xk ON xk.s = pp.t"
+                f"  GROUP BY 1) sj ON sj.s = pc.s)"
+            )
+    ctes.append(
+        f"base AS (SELECT x AS pb FROM x_b_{n_iter} WHERE s = 'START')"
+    )
+    fin_rows = " UNION ALL ".join(
+        f"SELECT '{ch}' AS channel,"
+        f" (SELECT x FROM x_v{i}_{n_iter} WHERE s = 'START') AS pr"
+        for i, ch in enumerate(channels)
+    )
+    ctes.append(f"fin AS ({fin_rows})")
+    ctes.append(
+        "re AS MATERIALIZED (SELECT channel, pr,"
+        " CASE WHEN base.pb > 0 THEN (base.pb - pr) / base.pb ELSE 0.0 END AS re"
+        " FROM fin CROSS JOIN base)"
+    )
+    ctes.append("ssum AS (SELECT SUM(re) AS s FROM re)")
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + """ SELECT re.channel,
+                     ROUND(base.pb, 6) AS p_conv_base_r,
+                     ROUND(re.pr, 6) AS p_conv_removed_r,
+                     ROUND(re.re, 6) AS removal_effect_r,
+                     ROUND(CASE WHEN ssum.s > 0 THEN re.re / ssum.s END, 6)
+                       AS share_r
+              FROM re CROSS JOIN base CROSS JOIN ssum"""
+    )
+
+
+@query("x212_markov_attribution", _x212_sql())
+def x212_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal-effect attribution of purchase conversions over the
+    event-type journey chain."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.funnel import markov_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return markov_attribution(ev, conversion_type="purchase", n_iter=30)
+
+
+# --------------------------------------------------------------------------
+# X213 — restricted mean survival time (operators/stats.py rmst): area
+# under the x79 KM curve up to a 7-day horizon — segment-wise exact
+# integration over the per-distinct-time relation.
+# --------------------------------------------------------------------------
+@query(
+    "x213_rmst",
+    """
+    WITH pu AS (SELECT user_id,
+                       MIN(date_diff('second', TIMESTAMP '1970-01-01', ts)) AS s0,
+                       MAX(date_diff('second', TIMESTAMP '1970-01-01', ts)) AS s1,
+                       MIN(CASE WHEN event_type = 'purchase'
+                                THEN date_diff('second', TIMESTAMP '1970-01-01', ts)
+                           END) AS sc
+                FROM events GROUP BY 1),
+    d0 AS (SELECT CAST(COALESCE(sc - s0, s1 - s0) AS DOUBLE) AS t,
+                  CASE WHEN sc IS NOT NULL THEN 1 ELSE 0 END AS ev FROM pu),
+    g AS (SELECT t, SUM(ev) AS d, COUNT(*) AS obs FROM d0 GROUP BY 1),
+    s AS (SELECT *, SUM(obs) OVER ()
+                    - COALESCE(SUM(obs) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                                              PRECEDING AND 1 PRECEDING), 0)
+                      AS n_risk
+          FROM g),
+    f AS (SELECT *, 1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS fct
+          FROM s),
+    c AS (SELECT *,
+                 MAX(CASE WHEN fct = 0.0 THEN 1 ELSE 0 END)
+                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS dead,
+                 SUM(CASE WHEN fct > 0.0 THEN LN(fct) ELSE 0.0 END)
+                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS logsum
+          FROM f),
+    km AS (SELECT t, CASE WHEN dead = 1 THEN 0.0 ELSE EXP(logsum) END AS sv
+           FROM c WHERE d > 0),
+    seg AS (SELECT t, sv, LAG(t) OVER (ORDER BY t) AS t_prev,
+                   LAG(sv) OVER (ORDER BY t) AS s_prev
+            FROM km),
+    m AS (SELECT SUM(CASE WHEN COALESCE(t_prev, 0.0) < 604800.0
+                          THEN COALESCE(s_prev, 1.0)
+                               * (LEAST(t, 604800.0) - COALESCE(t_prev, 0.0))
+                          ELSE 0.0 END) AS area,
+                 CAST(COUNT(*) AS BIGINT) AS n_events_used
+          FROM seg),
+    tl AS (SELECT t, sv FROM km ORDER BY t DESC LIMIT 1),
+    tail AS (SELECT CASE WHEN t < 604800.0 THEN sv * (604800.0 - t)
+                         ELSE 0.0 END AS tlc FROM tl),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d0)
+    SELECT ROUND(604800.0, 6) AS tau_r, n, n_events_used,
+           ROUND(area + tlc, 6) AS rmst_r
+    FROM tot CROSS JOIN m CROSS JOIN tail
+    """,
+)
+def x213_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean purchase-free time in the first 7 days (RMST at tau=7d)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+        rmst,
+        time_to_event,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return rmst(time_to_event(ev, "purchase"), tau=604800.0)
+
+
+# --------------------------------------------------------------------------
+# X214 — PCA projection (operators/embeddings.py pca_project): top-2
+# principal components from the exact covariance (x68 sufficient-stats
+# shape), eigendecomposed driver-side — rows-only by contract (no SQL
+# eigensolver; same class as C3/C10), invariants in pytest.
+# --------------------------------------------------------------------------
+@query("x214_pca_project")
+def x214_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings projected onto their top-2 principal components."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_project(emb, k=2)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries per round; the rotation policy (since round 7) is
 # BY STALENESS — new debuts and output/plan-changed queries first, then

@@ -81,6 +81,8 @@ NEW_THIS_ROUND: set[str] = {
     "x209_odds_ratio",
     "x210_mcnemar",
     "x211_distinct_users",
+    "x212_markov_attribution",
+    "x213_rmst",
 }
 
 

@@ -690,3 +690,109 @@ def test_windowed_distinct_users_stream_matches_batch(spark, sf0001, tmp_path):
     assert got == {k: batch[k] for k in got}
     # append mode may withhold the last windows (watermark lag only)
     assert len(got) >= len(batch) - 2
+
+
+# --------------------------------------------------- markov attribution
+def test_markov_attribution_single_channel_gets_all_credit(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.funnel import markov_attribution
+
+    # every converting journey passes through 'ad' only
+    rows = []
+    eid = 0
+    for u in range(10):
+        rows.append((u, f"2024-01-01 00:0{u % 6}:00", eid, "ad")); eid += 1
+        if u < 7:
+            rows.append((u, f"2024-01-01 01:0{u % 6}:00", eid, "purchase")); eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id LONG, ts STRING, event_id LONG, event_type STRING"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    pdf = markov_attribution(df, n_iter=30).toPandas().set_index("channel")
+    assert list(pdf.index) == ["ad"]
+    assert pdf.loc["ad", "p_conv_base_r"] == pytest.approx(0.7, abs=1e-6)
+    assert pdf.loc["ad", "p_conv_removed_r"] == 0.0
+    assert pdf.loc["ad", "removal_effect_r"] == pytest.approx(1.0, abs=1e-6)
+    assert pdf.loc["ad", "share_r"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_markov_attribution_useless_channel_gets_no_credit(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.funnel import markov_attribution
+
+    # 'ad' leads to purchase; 'spam' only appears in non-converting tails
+    rows = []
+    eid = 0
+    for u in range(6):
+        rows.append((u, "2024-01-01 00:00:00", eid, "ad")); eid += 1
+        rows.append((u, "2024-01-01 00:10:00", eid, "purchase")); eid += 1
+    for u in range(6, 10):
+        rows.append((u, "2024-01-01 00:00:00", eid, "spam")); eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id LONG, ts STRING, event_id LONG, event_type STRING"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    pdf = markov_attribution(df, n_iter=30).toPandas().set_index("channel")
+    assert pdf.loc["spam", "removal_effect_r"] == pytest.approx(0.0, abs=1e-6)
+    assert pdf.loc["ad", "removal_effect_r"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_markov_attribution_shares_sum_to_one(spark, sf0001):
+    from dbms_data_anonymity_differential_privacy_spark.operators.funnel import markov_attribution
+    from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf0001, "events")
+    pdf = markov_attribution(ev, n_iter=30).toPandas()
+    assert abs(pdf["share_r"].sum() - 1.0) < 1e-4
+    assert (pdf["p_conv_base_r"] > 0).all()
+
+
+# -------------------------------------------------------------------- rmst
+def test_rmst_hand_computed(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import rmst
+
+    # deaths at t=2 (S: 1->0.75), t=4 (0.75->0.5); censored at 6, 8
+    rows = [(2.0, 1), (4.0, 1), (6.0, 0), (8.0, 0)]
+    df = spark.createDataFrame(rows, "duration DOUBLE, event INT")
+    out = rmst(df, tau=5.0).collect()[0]
+    # area: [0,2)x1 + [2,4)x0.75 + [4,5)x0.5 = 2 + 1.5 + 0.5 = 4.0
+    assert out["rmst_r"] == pytest.approx(4.0, abs=1e-6)
+    assert out["n"] == 4 and out["n_events_used"] == 2
+
+
+def test_rmst_tau_before_first_event(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import rmst
+
+    df = spark.createDataFrame([(10.0, 1), (20.0, 1)], "duration DOUBLE, event INT")
+    out = rmst(df, tau=5.0).collect()[0]
+    assert out["rmst_r"] == pytest.approx(5.0, abs=1e-6)  # S=1 throughout
+
+
+# --------------------------------------------------------------------- pca
+def test_pca_project_invariants(spark, sf0001):
+    import numpy as np
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import pca_project
+    from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf0001, "embeddings")
+    pdf = pca_project(emb, k=2).toPandas()
+    assert len(pdf) == emb.count()
+    v1, v2 = pdf["pc1_r"].var(ddof=0), pdf["pc2_r"].var(ddof=0)
+    # variance ordering + components capture real variance
+    assert v1 >= v2 > 0
+    # projections are centered (mean ~ 0)
+    assert abs(pdf["pc1_r"].mean()) < 1e-3
+    # pc1 and pc2 are uncorrelated (orthogonal directions)
+    corr = np.corrcoef(pdf["pc1_r"], pdf["pc2_r"])[0, 1]
+    assert abs(corr) < 0.05
+
+
+def test_pca_project_known_direction(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import pca_project
+
+    # variance concentrated on axis 0: pc1 must be that axis
+    rows = [(i, [float(i), 0.1 * (i % 2), 0.0, 0.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    pdf = pca_project(df, k=2).toPandas().sort_values("vec_id")
+    import numpy as np
+
+    xs = np.arange(40) - 19.5
+    got = pdf["pc1_r"].to_numpy()
+    assert np.allclose(np.abs(got), np.abs(xs), atol=0.2)
