@@ -265,6 +265,10 @@ HEADLINE = [
     "x212_markov_attribution",
     "x213_rmst",
     "x214_pca_project",
+    "x215_wilson_ci",
+    "x216_keyness",
+    "x217_mantel_haenszel",
+    "x218_theil_sen",
 ]
 
 

@@ -115,6 +115,7 @@ from dbms_data_anonymity_differential_privacy_spark.streaming.drift import (
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.text import (
     classification_eval,
+    keyness_llr,
     readability_scores,
     token_fertility,
     good_turing_stats,
@@ -246,9 +247,12 @@ from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
     cramers_v,
     ipw_ate,
     item_cf_topk,
+    mantel_haenszel_or,
     mcnemar_test,
     odds_ratio_2x2,
     rmst,
+    theil_sen_slope,
+    wilson_ci_rates,
     group_ols,
     holt_linear,
     logrank_test,
@@ -363,6 +367,10 @@ __all__ = [
     "markov_attribution",
     "rmst",
     "pca_project",
+    "wilson_ci_rates",
+    "mantel_haenszel_or",
+    "theil_sen_slope",
+    "keyness_llr",
     "quality_gating_curve",
     "drift_windows_batch",
     "drift_windows_stream",

@@ -3594,3 +3594,159 @@ def rmst(
             F.round(F.col("__area") + F.col("__tail"), 6).alias("rmst_r"),
         )
     )
+
+
+def wilson_ci_rates(
+    df: DataFrame, group_col: str, flag_col: str, z: float = 1.96
+) -> DataFrame:
+    """Per-group proportion with the Wilson score interval — the
+    recommended small-sample / extreme-rate CI (Brown, Cai & DasGupta
+    2001; the Wald interval collapses at p near 0/1), the error bars a
+    rate dashboard should carry.
+
+    ``center = (p + z²/2n) / (1 + z²/n)``,
+    ``half = z·sqrt(p(1−p)/n + z²/4n²) / (1 + z²/n)`` — exact int64
+    counts, fixed IEEE expressions, one sqrt (6 dp).
+
+    Output per group: ``(group, n, n_pos, rate_r, ci_lo_r, ci_hi_r)``.
+    One grouped aggregation; constant math after.
+    """
+    zf = float(z)
+    per = df.groupBy(F.col(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(flag_col).cast("int")).cast("long").alias("n_pos"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("n_pos").cast("double") / nd
+    z2 = F.lit(zf * zf)
+    denom = F.lit(1.0) + z2 / nd
+    center = (p + z2 / (F.lit(2.0) * nd)) / denom
+    half = (
+        F.lit(zf)
+        * F.sqrt(p * (F.lit(1.0) - p) / nd + z2 / (F.lit(4.0) * nd * nd))
+        / denom
+    )
+    return per.select(
+        F.col(group_col),
+        "n",
+        "n_pos",
+        F.round(p, 6).alias("rate_r"),
+        F.round(center - half, 6).alias("ci_lo_r"),
+        F.round(center + half, 6).alias("ci_hi_r"),
+    )
+
+
+def mantel_haenszel_or(
+    df: DataFrame, stratum_col: str, expose_col: str, outcome_col: str
+) -> DataFrame:
+    """Mantel–Haenszel pooled odds ratio across strata — the
+    confounder-adjusted 2×2 effect (Mantel & Haenszel 1959), the
+    meta-analytic companion of :func:`odds_ratio_2x2` and the classic
+    Simpson's-paradox guard: the crude OR rides along so the reader
+    sees what stratification changed.
+
+    ``OR_MH = Σ_i (a_i·d_i/n_i) / Σ_i (b_i·c_i/n_i)`` — per-stratum
+    exact int64 cells; the two sums run over the |strata|-sized relation
+    (sorted in-row fold, deterministic). 6 dp.
+
+    Output (single row): ``(k_strata, or_mh_r, or_crude_r)``; NULL MH
+    when the denominator is 0.
+    """
+    e = F.col(expose_col).cast("boolean")
+    o = F.col(outcome_col).cast("boolean")
+    per = df.groupBy(F.col(stratum_col)).agg(
+        F.sum((e & o).cast("int")).cast("long").alias("a"),
+        F.sum((e & ~o).cast("int")).cast("long").alias("b"),
+        F.sum((~e & o).cast("int")).cast("long").alias("c"),
+        F.sum((~e & ~o).cast("int")).cast("long").alias("d"),
+    )
+    nd = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    terms = per.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        (F.col("a").cast("double") * F.col("d").cast("double") / nd).alias("__num"),
+        (F.col("b").cast("double") * F.col("c").cast("double") / nd).alias("__den"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k_strata"),
+        F.sum("a").cast("long").alias("__ta"),
+        F.sum("b").cast("long").alias("__tb"),
+        F.sum("c").cast("long").alias("__tc"),
+        F.sum("d").cast("long").alias("__td"),
+        F.expr(
+            "aggregate(array_sort(collect_list(__num)), CAST(0.0 AS DOUBLE),"
+            " (x, y) -> x + y)"
+        ).alias("__n"),
+        F.expr(
+            "aggregate(array_sort(collect_list(__den)), CAST(0.0 AS DOUBLE),"
+            " (x, y) -> x + y)"
+        ).alias("__d"),
+    )
+    crude = (
+        F.col("__ta").cast("double") * F.col("__td").cast("double")
+    ) / (F.col("__tb").cast("double") * F.col("__tc").cast("double"))
+    return agg.select(
+        "k_strata",
+        F.round(F.when(F.col("__d") > 0, F.col("__n") / F.col("__d")), 6).alias(
+            "or_mh_r"
+        ),
+        F.round(
+            F.when((F.col("__tb") > 0) & (F.col("__tc") > 0), crude), 6
+        ).alias("or_crude_r"),
+    )
+
+
+def theil_sen_slope(
+    events: DataFrame, ts_col: str = "ts"
+) -> DataFrame:
+    """Theil–Sen robust trend of the daily event count: the MEDIAN of
+    all pairwise slopes — up to 29% contamination tolerance where OLS
+    breaks on one outlier day; the magnitude companion of x143's
+    Mann-Kendall direction test (Sen 1968).
+
+    Slopes are fixed IEEE divisions over exact integer (count, epoch-
+    day) pairs; the median is exact type-7 interpolation (the x22
+    contract). The intercept is the median of ``x_i − slope·t_i`` at
+    the released slope.
+
+    Output (single row): ``(n_days, n_pairs, slope_r, intercept_r)``
+    (6 dp).
+
+    Scale shape: one (day) count shuffle collapses the fact table to
+    the calendar; the pair join is calendar² — days(days−1)/2 rows, a
+    constant-sized relation at ANY corpus scale (~66k pairs for a year).
+    """
+    daily = events.groupBy(
+        F.datediff(F.date_trunc("day", F.col(ts_col)), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("t")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("a.t") < F.col("b.t")).select(
+        (
+            (F.col("b.x") - F.col("a.x")).cast("double")
+            / (F.col("b.t") - F.col("a.t")).cast("double")
+        ).alias("__s")
+    )
+    sl = slopes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("percentile(__s, 0.5)").alias("__slope"),
+    )
+    resid = daily.join(F.broadcast(sl)).select(
+        "n_pairs",
+        "__slope",
+        (F.col("x").cast("double") - F.col("__slope") * F.col("t").cast("double")).alias(
+            "__r"
+        ),
+    )
+    return resid.groupBy("n_pairs", "__slope").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr("percentile(__r, 0.5)").alias("__icpt"),
+    ).select(
+        "n_days",
+        "n_pairs",
+        F.round(F.col("__slope"), 6).alias("slope_r"),
+        F.round(F.col("__icpt"), 6).alias("intercept_r"),
+    )

@@ -956,3 +956,66 @@ def token_fertility(df: DataFrame, text_col: str = "text", by: str = "lang") -> 
             F.sum("__w").cast("double") / F.count(F.lit(1)).cast("double"), 9
         ).alias("avg_words_r"),
     )
+
+
+def keyness_llr(
+    df: DataFrame,
+    target_col: str,
+    text_col: str = "text",
+    min_count: int = 5,
+    top: int = 30,
+) -> DataFrame:
+    """Distinctive-term extraction by log-likelihood ratio keyness
+    (Dunning 1993; Rayson & Garside 2000) — which tokens
+    over-represent the target slice vs the rest of the corpus? The
+    corpus-linguistics staple behind "what is this source/cluster
+    about" readouts, sharper than raw frequency ratios on rare terms.
+
+    ``G² = 2·Σ_cell O·ln(O/E)`` over the 2-cell term row (target,
+    rest), expected from the marginals; zero cells contribute 0 (their
+    limit). Token counts are exact int64; the two ln terms are fixed
+    IEEE expressions (6 dp — the x145/x185 contract). Terms below
+    ``min_count`` total occurrences are pruned; release = top ``top``
+    by ``(g2_r DESC, token)``, signed by direction (negative G² when
+    the term is UNDER-represented in the target).
+
+    Output: ``(token, n_target, n_rest, g2_r)``.
+
+    Scale shape: one word-count shuffle carrying per-token conditional
+    counts (target / rest as two SUM columns — never a second pass);
+    marginals are one broadcast row; top-k is a TakeOrderedAndProject.
+    """
+    t = F.filter(F.split(F.lower(F.trim(F.col(text_col))), WS), lambda x: x != "")
+    toks = fan_out(df).select(
+        F.col(target_col).cast("boolean").alias("__tg"), F.explode(t).alias("__w")
+    )
+    per = toks.groupBy("__w").agg(
+        F.sum(F.col("__tg").cast("int")).cast("long").alias("n_target"),
+        F.sum((~F.col("__tg")).cast("int")).cast("long").alias("n_rest"),
+    ).filter(F.col("n_target") + F.col("n_rest") >= int(min_count))
+    tot = toks.agg(
+        F.sum(F.col("__tg").cast("int")).cast("long").alias("__t1"),
+        F.sum((~F.col("__tg")).cast("int")).cast("long").alias("__t2"),
+    )
+    o1 = F.col("n_target").cast("double")
+    o2 = F.col("n_rest").cast("double")
+    t1 = F.col("__t1").cast("double")
+    t2 = F.col("__t2").cast("double")
+    e1 = t1 * (o1 + o2) / (t1 + t2)
+    e2 = t2 * (o1 + o2) / (t1 + t2)
+    g2 = F.lit(2.0) * (
+        F.when(o1 > 0, o1 * F.log(o1 / e1)).otherwise(F.lit(0.0))
+        + F.when(o2 > 0, o2 * F.log(o2 / e2)).otherwise(F.lit(0.0))
+    )
+    signed = F.when(o1 / t1 >= o2 / t2, g2).otherwise(-g2)
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            F.col("__w").alias("token"),
+            "n_target",
+            "n_rest",
+            F.round(signed, 6).alias("g2_r"),
+        )
+        .orderBy(F.desc("g2_r"), "token")
+        .limit(int(top))
+    )

@@ -11142,6 +11142,195 @@ def x214_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X215 — Wilson score intervals (operators/stats.py wilson_ci_rates):
+# per-segment urgent-order rate with the recommended small-sample CI.
+# --------------------------------------------------------------------------
+def _x215_sql(z: float = 1.96) -> str:
+    z2 = repr(z * z)
+    zl = repr(float(z))
+    return f"""
+    WITH j AS (SELECT c.c_mktsegment AS c_mktsegment,
+                      CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                        AS sel
+               FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    per AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(sel) AS BIGINT) AS n_pos
+            FROM j GROUP BY 1),
+    e AS (SELECT *, CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                 1.0 + {z2} / CAST(n AS DOUBLE) AS den
+          FROM per)
+    SELECT c_mktsegment, n, n_pos,
+           ROUND(p, 6) AS rate_r,
+           ROUND((p + {z2} / (2.0 * CAST(n AS DOUBLE))) / den
+                 - {zl} * SQRT(p * (1.0 - p) / CAST(n AS DOUBLE)
+                               + {z2} / (4.0 * CAST(n AS DOUBLE)
+                                         * CAST(n AS DOUBLE))) / den, 6)
+             AS ci_lo_r,
+           ROUND((p + {z2} / (2.0 * CAST(n AS DOUBLE))) / den
+                 + {zl} * SQRT(p * (1.0 - p) / CAST(n AS DOUBLE)
+                               + {z2} / (4.0 * CAST(n AS DOUBLE)
+                                         * CAST(n AS DOUBLE))) / den, 6)
+             AS ci_hi_r
+    FROM e
+    """
+
+
+@query("x215_wilson_ci", _x215_sql())
+def x215_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Urgent-order rate per market segment with Wilson 95% intervals."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import wilson_ci_rates
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "c_mktsegment",
+        (F.col("o_orderpriority") == "1-URGENT").alias("sel"),
+    )
+    return wilson_ci_rates(j, "c_mktsegment", "sel")
+
+
+# --------------------------------------------------------------------------
+# X216 — keyness / distinctive terms (operators/text.py keyness_llr):
+# Dunning log-likelihood G² of English-slice tokens vs the rest —
+# signed by direction, one conditional-count word shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "x216_keyness",
+    r"""
+    WITH tk AS (SELECT (lang = 'en') AS tg,
+                       unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+                FROM documents),
+    tk2 AS (SELECT tg, w FROM tk WHERE w <> ''),
+    per AS (SELECT w AS token,
+                   CAST(SUM(CASE WHEN tg THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_target,
+                   CAST(SUM(CASE WHEN tg THEN 0 ELSE 1 END) AS BIGINT) AS n_rest
+            FROM tk2 GROUP BY 1 HAVING COUNT(*) >= 5),
+    tot AS (SELECT CAST(SUM(CASE WHEN tg THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+                   CAST(SUM(CASE WHEN tg THEN 0 ELSE 1 END) AS BIGINT) AS t2
+            FROM tk2),
+    g AS (SELECT token, n_target, n_rest,
+                 CAST(n_target AS DOUBLE) AS o1, CAST(n_rest AS DOUBLE) AS o2,
+                 CAST(t1 AS DOUBLE) AS t1, CAST(t2 AS DOUBLE) AS t2
+          FROM per CROSS JOIN tot),
+    s AS (SELECT token, n_target, n_rest,
+                 2.0 * (CASE WHEN o1 > 0
+                             THEN o1 * LN(o1 / (t1 * (o1 + o2) / (t1 + t2)))
+                             ELSE 0.0 END
+                        + CASE WHEN o2 > 0
+                               THEN o2 * LN(o2 / (t2 * (o1 + o2) / (t1 + t2)))
+                               ELSE 0.0 END) AS gg,
+                 (o1 / t1 >= o2 / t2) AS up
+          FROM g)
+    SELECT token, n_target, n_rest,
+           ROUND(CASE WHEN up THEN gg ELSE -gg END, 6) AS g2_r
+    FROM s
+    ORDER BY g2_r DESC, token LIMIT 30
+    """,
+)
+def x216_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 tokens most distinctive of the English corpus slice."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import keyness_llr
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__is_en", F.col("lang") == "en"
+    )
+    return keyness_llr(docs, "__is_en", min_count=5, top=30)
+
+
+# --------------------------------------------------------------------------
+# X217 — Mantel-Haenszel pooled odds ratio (operators/stats.py
+# mantel_haenszel_or): urgent-priority vs order-status association,
+# nation-adjusted — the Simpson's-paradox guard next to x209's crude OR.
+# --------------------------------------------------------------------------
+@query(
+    "x217_mantel_haenszel",
+    """
+    WITH j AS (SELECT c.c_nationkey AS s,
+                      (o.o_orderpriority = '1-URGENT') AS e,
+                      (o.o_orderstatus = 'F') AS ou
+               FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    per AS (SELECT s,
+                   CAST(SUM(CASE WHEN e AND ou THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                   CAST(SUM(CASE WHEN e AND NOT ou THEN 1 ELSE 0 END) AS BIGINT)
+                     AS b,
+                   CAST(SUM(CASE WHEN NOT e AND ou THEN 1 ELSE 0 END) AS BIGINT)
+                     AS c,
+                   CAST(SUM(CASE WHEN NOT e AND NOT ou THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d
+            FROM j GROUP BY 1),
+    t AS (SELECT a, b, c, d,
+                 CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                   / CAST(a + b + c + d AS DOUBLE) AS num,
+                 CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                   / CAST(a + b + c + d AS DOUBLE) AS den
+          FROM per),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_strata,
+                   CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb,
+                   CAST(SUM(c) AS BIGINT) AS tc, CAST(SUM(d) AS BIGINT) AS td,
+                   list_reduce(list_sort(list(num)), (x, y) -> x + y) AS sn,
+                   list_reduce(list_sort(list(den)), (x, y) -> x + y) AS sd
+            FROM t)
+    SELECT k_strata,
+           ROUND(CASE WHEN sd > 0 THEN sn / sd END, 6) AS or_mh_r,
+           ROUND(CASE WHEN tb > 0 AND tc > 0 THEN
+                 CAST(ta AS DOUBLE) * CAST(td AS DOUBLE)
+                 / (CAST(tb AS DOUBLE) * CAST(tc AS DOUBLE)) END, 6)
+             AS or_crude_r
+    FROM agg
+    """,
+)
+def x217_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation-adjusted pooled odds ratio of urgent priority on
+    finished-order status."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+        mantel_haenszel_or,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "c_nationkey",
+        (F.col("o_orderpriority") == "1-URGENT").alias("e"),
+        (F.col("o_orderstatus") == "F").alias("ou"),
+    )
+    return mantel_haenszel_or(j, "c_nationkey", "e", "ou")
+
+
+# --------------------------------------------------------------------------
+# X218 — Theil-Sen robust trend (operators/stats.py theil_sen_slope):
+# median pairwise slope of the daily event count — x143's magnitude
+# companion; the pair join is calendar², constant at any corpus scale.
+# --------------------------------------------------------------------------
+@query(
+    "x218_theil_sen",
+    """
+    WITH d AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+                                     date_trunc('day', ts)) AS BIGINT) AS t,
+                      CAST(COUNT(*) AS BIGINT) AS x
+               FROM events GROUP BY 1),
+    s AS (SELECT CAST(b.x - a.x AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS sl
+          FROM d a JOIN d b ON a.t < b.t),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 quantile_cont(sl, 0.5) AS slope FROM s),
+    r AS (SELECT m.n_pairs, m.slope,
+                 CAST(d.x AS DOUBLE) - m.slope * CAST(d.t AS DOUBLE) AS res
+          FROM d CROSS JOIN m)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days, n_pairs,
+           ROUND(slope, 6) AS slope_r,
+           ROUND(quantile_cont(res, 0.5), 6) AS intercept_r
+    FROM r GROUP BY n_pairs, slope
+    """,
+)
+def x218_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen slope/intercept of the daily event-count trend."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import theil_sen_slope
+
+    ev = load_table(spark, sf_dir, "events")
+    return theil_sen_slope(ev)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries per round; the rotation policy (since round 7) is
 # BY STALENESS — new debuts and output/plan-changed queries first, then

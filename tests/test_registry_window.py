@@ -83,6 +83,10 @@ NEW_THIS_ROUND: set[str] = {
     "x211_distinct_users",
     "x212_markov_attribution",
     "x213_rmst",
+    "x215_wilson_ci",
+    "x216_keyness",
+    "x217_mantel_haenszel",
+    "x218_theil_sen",
 }
 
 

@@ -796,3 +796,95 @@ def test_pca_project_known_direction(spark):
     xs = np.arange(40) - 19.5
     got = pdf["pc1_r"].to_numpy()
     assert np.allclose(np.abs(got), np.abs(xs), atol=0.2)
+
+
+# ------------------------------------------------------------ wilson ci
+def test_wilson_ci_hand_values(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import wilson_ci_rates
+
+    df = spark.createDataFrame(
+        [("g", True)] * 8 + [("g", False)] * 2, "grp STRING, f BOOLEAN"
+    )
+    out = wilson_ci_rates(df, "grp", "f").collect()[0]
+    # wilson for p=0.8, n=10, z=1.96: center=(0.8+0.192)/1.384
+    z2 = 1.96 * 1.96
+    den = 1 + z2 / 10
+    center = (0.8 + z2 / 20) / den
+    half = 1.96 * ((0.8 * 0.2 / 10 + z2 / 400) ** 0.5) / den
+    assert out["rate_r"] == 0.8
+    assert out["ci_lo_r"] == pytest.approx(center - half, abs=1e-6)
+    assert out["ci_hi_r"] == pytest.approx(center + half, abs=1e-6)
+    # wilson never leaves [0, 1], even at extreme rates
+    ext = spark.createDataFrame([("g", True)] * 5, "grp STRING, f BOOLEAN")
+    row = wilson_ci_rates(ext, "grp", "f").collect()[0]
+    assert 0.0 <= row["ci_lo_r"] < 1.0 and row["ci_hi_r"] <= 1.0
+
+
+# -------------------------------------------------------------- keyness
+def test_keyness_finds_planted_term(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import keyness_llr
+
+    target = [(i, True, "quantum flux common word filler") for i in range(10)]
+    rest = [(100 + i, False, "ordinary common word filler text") for i in range(10)]
+    df = spark.createDataFrame(
+        target + rest, "doc_id LONG, tg BOOLEAN, text STRING"
+    )
+    pdf = keyness_llr(df, "tg", min_count=5, top=10).toPandas()
+    top = pdf.iloc[0]
+    assert top["token"] in ("quantum", "flux")
+    assert top["n_target"] == 10 and top["n_rest"] == 0 and top["g2_r"] > 0
+    # balanced terms score ~0; rest-only terms score negative
+    common = pdf.set_index("token")
+    assert abs(common.loc["common", "g2_r"]) < 1.0
+
+
+def test_keyness_sign_direction(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import keyness_llr
+
+    df = spark.createDataFrame(
+        [(1, True, "aa " * 10), (2, False, "bb " * 10)],
+        "doc_id LONG, tg BOOLEAN, text STRING",
+    )
+    pdf = keyness_llr(df, "tg", min_count=5, top=10).toPandas().set_index("token")
+    assert pdf.loc["aa", "g2_r"] > 0 and pdf.loc["bb", "g2_r"] < 0
+
+
+# ------------------------------------------------------ mantel-haenszel
+def test_mantel_haenszel_simpsons_paradox(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+        mantel_haenszel_or,
+    )
+
+    # within each stratum exposure does nothing (OR = 1), but exposure
+    # concentrates in the high-outcome stratum -> crude OR > 1
+    rows = []
+    #     stratum "hi": outcome rate 0.8 regardless; mostly exposed
+    rows += [("hi", True, True)] * 32 + [("hi", True, False)] * 8
+    rows += [("hi", False, True)] * 8 + [("hi", False, False)] * 2
+    #     stratum "lo": outcome rate 0.2 regardless; mostly unexposed
+    rows += [("lo", True, True)] * 2 + [("lo", True, False)] * 8
+    rows += [("lo", False, True)] * 8 + [("lo", False, False)] * 32
+    df = spark.createDataFrame(rows, "s STRING, e BOOLEAN, o BOOLEAN")
+    out = mantel_haenszel_or(df, "s", "e", "o").collect()[0]
+    assert out["k_strata"] == 2
+    assert out["or_mh_r"] == pytest.approx(1.0, abs=1e-6)
+    assert out["or_crude_r"] > 2.0  # confounded crude estimate
+
+
+# -------------------------------------------------------------- theil-sen
+def test_theil_sen_recovers_planted_trend(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import theil_sen_slope
+
+    import datetime
+
+    # counts = 10 + 3*day, with one wild outlier day that OLS would chase
+    rows = []
+    for day in range(15):
+        d = datetime.datetime(2024, 3, 1) + datetime.timedelta(days=day)
+        cnt = 10 + 3 * day if day != 7 else 500
+        rows += [(d,)] * cnt
+    df = spark.createDataFrame(rows, "ts TIMESTAMP")
+    out = theil_sen_slope(df).collect()[0]
+    assert out["n_days"] == 15
+    assert out["n_pairs"] == 15 * 14 // 2
+    assert out["slope_r"] == pytest.approx(3.0, abs=0.5)  # outlier-robust
