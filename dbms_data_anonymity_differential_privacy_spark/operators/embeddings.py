@@ -650,7 +650,10 @@ def pca_project(
     import numpy as np
     import pandas as pd
 
-    d = df.select(F.size(vec_col)).first()[0]
+    first = df.select(F.size(vec_col)).first()
+    if first is None:
+        raise ValueError("pca_project: empty input relation")
+    d = first[0]
 
     def moments(batches):
         from pyspark import TaskContext

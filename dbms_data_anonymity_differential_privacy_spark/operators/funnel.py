@@ -896,8 +896,10 @@ def markov_attribution(
     use ``n_iter`` fixed Jacobi steps from x = 0 (the x188 discipline:
     a fixed unrolled computation both engines replay identically;
     accumulation order pinned by sorted state order driver-side — the
-    oracle's SQL SUM differs only at the last bit, absorbed by the 9 dp
-    release).
+    oracle's SQL SUM differs only at the last bit; the release rounds at
+    6 dp with HALF-AWAY semantics (util.sql_round) because the values
+    are driver-computed — Python's half-even round would diverge from
+    SQL ROUND on decimal-exact boundaries).
 
     Driver-side iteration is the deliberate scale choice (the
     x188/kcenter idiom): the chain lives on the event-TYPE vocabulary
@@ -905,7 +907,7 @@ def markov_attribution(
     work — is one user-keyed window pass plus one count aggregation.
 
     Output: one row per channel, ``(channel, p_conv_base_r,
-    p_conv_removed_r, removal_effect_r, share_r)`` (9 dp); share is the
+    p_conv_removed_r, removal_effect_r, share_r)`` (6 dp); share is the
     removal effect normalized over channels (NULL when the total
     effect is 0).
     """
@@ -998,15 +1000,17 @@ def markov_attribution(
         re = (p_base - removed[ch]) / p_base if p_base > 0 else 0.0
         re_sum += re
         rows.append((ch, removed[ch], re))
+    from dbms_data_anonymity_differential_privacy_spark.operators.util import sql_round
+
     spark = events.sparkSession
     return spark.createDataFrame(
         [
             (
                 ch,
-                round(p_base, 6),
-                round(p_rm_v, 6),
-                round(re, 6),
-                round(re / re_sum, 6) if re_sum > 0 else None,
+                sql_round(p_base, 6),
+                sql_round(p_rm_v, 6),
+                sql_round(re, 6),
+                sql_round(re / re_sum, 6) if re_sum > 0 else None,
             )
             for ch, p_rm_v, re in rows
         ],

@@ -364,7 +364,14 @@ def assortativity(edges: DataFrame) -> DataFrame:
 
     Output (single row): ``(n_nodes, n_edges, r_assort)``.
     """
+    from dbms_data_anonymity_differential_privacy_spark.operators.util import track_cached
+
     DEC = "decimal(38,0)"
+    # the edge relation feeds the degree union TWICE plus the join-back:
+    # without a persist the (often expensive) upstream edge construction
+    # appears 3-4x in the plan and ReusedExchange only sometimes dedupes
+    # it (measured at sf0.1 on the co-purchase build: 4.4 s -> 3.4 s)
+    edges = track_cached(edges.persist())
     deg = (
         edges.select(F.col("x").alias("v"))
         .unionAll(edges.select(F.col("y").alias("v")))
@@ -724,45 +731,25 @@ def bfs_profile(
     )
 
 
-def local_clustering(edges: DataFrame) -> DataFrame:
-    """Per-node local clustering coefficient of an undirected graph:
-    ``lcc(v) = 2·T(v) / (deg(v)·(deg(v)-1))`` where ``T(v)`` is the
-    number of triangles through ``v`` — the node-level refinement of
-    :func:`triangle_count`'s global transitivity (Watts–Strogatz 1998).
-    Nodes with ``deg < 2`` have no wedge and are excluded (their lcc is
-    undefined, not zero).
-
-    Output: ``(node, degree, n_tri, lcc_r)``, lcc rounded at 9 dp (one
-    IEEE division over exact integers).
-
-    Physical strategy: the same Suri–Vassilvitskii degree orientation as
-    :func:`triangle_count` — every triangle is enumerated exactly once
-    as an oriented wedge whose closing edge exists, then each of its
-    three corners is credited (one ``explode`` + count). The wedge
-    fan-out is bounded by the oriented out-degree O(sqrt(|E|)), so the
-    celebrity-node blowup cannot happen; shuffles carry id pairs only.
-    """
-    from dbms_data_anonymity_differential_privacy_spark.operators.util import track_cached
-
-    canon = track_cached(
-        edges.select(
-            F.least(F.col("src"), F.col("dst")).alias("a"),
-            F.greatest(F.col("src"), F.col("dst")).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .persist()
-    )
-    deg = track_cached(
+def _oriented_triangles(canon: DataFrame):
+    """Shared oriented-triangle enumerator over a canonical (a < b,
+    distinct) edge relation: returns ``(deg, tri)`` where ``deg`` is
+    ``(v, degree)`` and ``tri`` has one row per triangle as ``(u, v, x)``
+    with ``v < x`` (u = the Suri–Vassilvitskii (degree, id)-minimal
+    apex). Used by :func:`local_clustering` (corner credit) and
+    :func:`ktruss`'s :func:`_edge_support` (edge credit); the global
+    :func:`triangle_count` keeps its original both-orders formulation —
+    equivalence between the two is pinned by the per-node-sum = 3·T
+    consistency test."""
+    deg = (
         canon.select(F.col("a").alias("v"))
         .unionByName(canon.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
-        .persist()
     )
     da = deg.select(F.col("v").alias("a"), F.col("degree").alias("da"))
     db = deg.select(F.col("v").alias("b"), F.col("degree").alias("db"))
-    oriented = track_cached(
+    oriented = (
         canon.join(da, on="a")
         .join(db, on="b")
         .select(
@@ -775,17 +762,46 @@ def local_clustering(edges: DataFrame) -> DataFrame:
             .alias("e")
         )
         .select(F.col("e.u").alias("u"), F.col("e.w").alias("w"))
-        .persist()
     )
     e1 = oriented.select(F.col("u"), F.col("w").alias("v"))
     e2 = oriented.select(F.col("u"), F.col("w").alias("x"))
-    # each triangle appears once with v < x (the closing edge is stored
-    # canonically a < b, so only the v < x wedge order survives)
     wedges = e1.join(e2, on="u").filter(F.col("v") < F.col("x"))
     closing = oriented.select(
         F.least("u", "w").alias("v"), F.greatest("u", "w").alias("x")
     )
     tri = wedges.join(closing, on=["v", "x"], how="left_semi")
+    return deg, tri
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient of an undirected graph:
+    ``lcc(v) = 2·T(v) / (deg(v)·(deg(v)-1))`` where ``T(v)`` is the
+    number of triangles through ``v`` — the node-level refinement of
+    :func:`triangle_count`'s global transitivity (Watts–Strogatz 1998).
+    Nodes with ``deg < 2`` have no wedge and are excluded (their lcc is
+    undefined, not zero).
+
+    Output: ``(node, degree, n_tri, lcc_r)``, lcc rounded at 9 dp (one
+    IEEE division over exact integers).
+
+    Physical strategy: the shared :func:`_oriented_triangles` enumerator
+    (Suri–Vassilvitskii degree orientation — wedge fan-out bounded by
+    the oriented out-degree O(sqrt(|E|)), so the celebrity-node blowup
+    cannot happen), then each triangle's three corners credited by one
+    ``explode`` + count. Shuffles carry id pairs only.
+    """
+    from dbms_data_anonymity_differential_privacy_spark.operators.util import track_cached
+
+    canon = track_cached(
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).alias("a"),
+            F.greatest(F.col("src"), F.col("dst")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    deg, tri = _oriented_triangles(canon)
     per_node = (
         tri.select(F.explode(F.array("u", "v", "x")).alias("node"))
         .groupBy("node")
@@ -857,6 +873,10 @@ def hits_int(
         nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
         src_i, dst_i = inv[: len(src)], inv[len(src):]
         n = len(nodes)
+        if n == 0:  # empty edge relation: empty release, not a crash
+            return edges.sparkSession.createDataFrame(
+                [], "node LONG, hub_ppb LONG, auth_ppb LONG"
+            )
         hub = np.full(n, PPB // n, dtype=np.int64)
         auth = np.zeros(n, dtype=np.int64)
         for _ in range(iters):
@@ -909,6 +929,10 @@ def hits_int(
         hub = hub.persist()
         hub.count()
         auth = auth.persist()
+        # auth MUST materialize before the prior round unpersists: the
+        # final join consumes it lazily, and a cold auth would cascade a
+        # full recompute of every round at the closing localCheckpoint
+        auth.count()
         if persisted is not None:
             for p in persisted:
                 p.unpersist()
@@ -931,39 +955,11 @@ def hits_int(
 
 
 def _edge_support(cur: DataFrame) -> DataFrame:
-    """Per-edge triangle support of a canonical (a < b) edge relation —
-    the Suri–Vassilvitskii oriented wedge join with each triangle
-    credited to its three edges. Returns ``(a, b, support)`` covering
-    every input edge (support 0 when triangle-free)."""
-    deg = (
-        cur.select(F.col("a").alias("v"))
-        .unionByName(cur.select(F.col("b").alias("v")))
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("da"))
-    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("db"))
-    oriented = (
-        cur.join(da, on="a")
-        .join(db, on="b")
-        .select(
-            F.when(
-                (F.col("da") < F.col("db"))
-                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
-                F.struct(F.col("a").alias("u"), F.col("b").alias("w")),
-            )
-            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("w")))
-            .alias("e")
-        )
-        .select(F.col("e.u").alias("u"), F.col("e.w").alias("w"))
-    )
-    e1 = oriented.select(F.col("u"), F.col("w").alias("v"))
-    e2 = oriented.select(F.col("u"), F.col("w").alias("x"))
-    wedges = e1.join(e2, on="u").filter(F.col("v") < F.col("x"))
-    closing = oriented.select(
-        F.least("u", "w").alias("v"), F.greatest("u", "w").alias("x")
-    )
-    tri = wedges.join(closing, on=["v", "x"], how="left_semi")
+    """Per-edge triangle support of a canonical (a < b) edge relation:
+    the shared :func:`_oriented_triangles` enumeration with each
+    triangle credited to its three edges. Returns ``(a, b, support)``
+    covering every input edge (support 0 when triangle-free)."""
+    _deg, tri = _oriented_triangles(cur)
     tri_edges = tri.select(
         F.explode(
             F.array(

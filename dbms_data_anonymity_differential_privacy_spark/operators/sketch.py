@@ -321,7 +321,10 @@ def hll_distinct(df: DataFrame, col: str, include_exact: bool = True) -> DataFra
     characters (strip leading '0's, then a 16-way CASE on the first
     non-zero digit) — pure string/integer ops, no bit intrinsics needed.
     Duplicates never matter (register = MAX of ranks), so the input is
-    NOT pre-deduplicated — one (bucket) partial-agg shuffle total.
+    NOT pre-deduplicated — one (bucket) partial-agg shuffle total. NULLs
+    are excluded up front (md5(NULL) would otherwise mint a phantom
+    register whose power term silently drops — and the SQL twin's
+    list() would carry the NULL into a NULL estimate).
 
     Estimate: ``alpha·m²/Σ 2^(−M_j)`` with empty registers contributing
     2⁰; the 2-powers are exact doubles and the 4096-term sum runs as a
@@ -348,7 +351,8 @@ def hll_distinct(df: DataFrame, col: str, include_exact: bool = True) -> DataFra
         4 * (13 - F.length(rem)) + (4 - bits_first) + 1
     )
     reg = (
-        df.select(
+        df.filter(F.col(col).isNotNull())
+        .select(
             F.conv(F.substring(h, 1, 3), 16, 10).cast("long").alias("bucket"),
             rank.alias("__rank"),
         )

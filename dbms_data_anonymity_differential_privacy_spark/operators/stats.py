@@ -3568,19 +3568,22 @@ def rmst(
         F.coalesce(F.col("s_prev"), F.lit(1.0))
         * (F.least(F.col("t"), tau_l) - F.coalesce(F.col("t_prev"), F.lit(0.0))),
     ).otherwise(F.lit(0.0))
-    # tail after the LAST death time, at its post-drop survival
-    tail = seg.agg(
-        F.max("t").alias("__tl"),
-    ).join(km.withColumnRenamed("t", "__tl"), on="__tl")
-    tail_contrib = tail.select(
-        F.when(
-            F.col("__tl") < tau_l, F.col("s") * (tau_l - F.col("__tl"))
+    # tail after the LAST death time, at its post-drop survival; the
+    # max-of-struct aggregate always yields ONE row (NULL struct when
+    # the cohort has no deaths at all), so an all-censored input
+    # releases rmst = tau instead of collapsing to zero rows
+    tail_contrib = km.agg(
+        F.max(F.struct("t", "s")).alias("__m")
+    ).select(
+        F.when(F.col("__m").isNull(), tau_l)
+        .when(
+            F.col("__m.t") < tau_l, F.col("__m.s") * (tau_l - F.col("__m.t"))
         )
         .otherwise(F.lit(0.0))
         .alias("__tail")
     )
     main = seg.agg(
-        F.sum(contrib).alias("__area"),
+        F.coalesce(F.sum(contrib), F.lit(0.0)).alias("__area"),
         F.count(F.lit(1)).cast("long").alias("n_events_used"),
     )
     tot = durations.agg(F.count(F.lit(1)).cast("long").alias("n"))

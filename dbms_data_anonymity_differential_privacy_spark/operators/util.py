@@ -229,3 +229,16 @@ def _partition_count(df: DataFrame) -> int:
     n = df.rdd.getNumPartitions()
     _PARTITION_COUNT_CACHE[key] = n
     return n
+
+
+def sql_round(v: float, nd: int) -> float:
+    """Round half AWAY from zero — the SQL engines' ROUND convention
+    (DuckDB/Spark scale-and-round), for DRIVER-SIDE releases that an
+    oracle replays with SQL ROUND. Python's builtin ``round`` is
+    half-EVEN: a value landing exactly on a half-way boundary (possible
+    whenever the construction yields decimal-exact doubles — the x180
+    lesson) would flip between engines."""
+    import math
+
+    scaled = abs(v) * (10 ** nd)
+    return math.copysign(math.floor(scaled + 0.5), v) / (10 ** nd)

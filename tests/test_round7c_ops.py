@@ -888,3 +888,38 @@ def test_theil_sen_recovers_planted_trend(spark):
     assert out["n_days"] == 15
     assert out["n_pairs"] == 15 * 14 // 2
     assert out["slope_r"] == pytest.approx(3.0, abs=0.5)  # outlier-robust
+
+
+def test_rmst_all_censored_cohort(spark):
+    """A cohort with zero events must release rmst = tau (S = 1
+    throughout), not collapse to an empty relation — the review-caught
+    edge case."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import rmst
+
+    df = spark.createDataFrame(
+        [(3.0, 0), (9.0, 0), (20.0, 0)], "duration DOUBLE, event INT"
+    )
+    out = rmst(df, tau=7.0).collect()
+    assert len(out) == 1
+    assert out[0]["rmst_r"] == pytest.approx(7.0, abs=1e-9)
+    assert out[0]["n_events_used"] == 0
+
+
+def test_hits_empty_edges(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.graph import hits_int
+
+    empty = spark.createDataFrame([], "src LONG, dst LONG")
+    assert hits_int(empty).count() == 0
+
+
+def test_hll_ignores_nulls(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.sketch import hll_distinct
+
+    with_nulls = spark.createDataFrame(
+        [(i,) for i in range(200)] + [(None,)] * 50, "k LONG"
+    )
+    without = spark.createDataFrame([(i,) for i in range(200)], "k LONG")
+    a = hll_distinct(with_nulls, "k").collect()[0]
+    b = hll_distinct(without, "k").collect()[0]
+    assert a["est_r"] == b["est_r"] and a["n_nonempty"] == b["n_nonempty"]
+    assert a["n_exact"] == 200
