@@ -20,6 +20,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dbms_data_anonymity_differential_privacy_spark import get_spark  # noqa: E402
+from dbms_data_anonymity_differential_privacy_spark.operators.util import (  # noqa: E402
+    release_cached_relations,
+)
 from dbms_data_anonymity_differential_privacy_spark import queries_registry as qr  # noqa: E402
 
 # Headline set: one per workload family (suppression, audit/metrics,
@@ -269,6 +272,8 @@ HEADLINE = [
     "x216_keyness",
     "x217_mantel_haenszel",
     "x218_theil_sen",
+    "x219_qini",
+    "x220_overdispersion",
 ]
 
 
@@ -312,6 +317,7 @@ def main() -> None:
 
     load_start = load_snapshot()
     timings: dict[str, float] = {}
+    n_done = 0
     query_load: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
@@ -321,8 +327,13 @@ def main() -> None:
         while runs < 3 or (best < 1.0 and runs < 7):
             # operators persist intermediates; clear so every run pays its
             # own materialization (CacheManager would otherwise hand run 2
-            # the first run's cache and report a fantasy number)
+            # the first run's cache and report a fantasy number); drain
+            # the engine's cache ledger too, and nudge the JVM GC so
+            # localCheckpoint blocks from earlier queries actually free —
+            # at sf1 the 236-query session otherwise accumulates heap
+            # until a late query OOMs (x196, measured)
             spark.catalog.clearCache()
+            release_cached_relations()
             t0 = time.perf_counter()
             try:
                 force(qr.QUERIES[name](spark, sf_dir))
@@ -338,6 +349,9 @@ def main() -> None:
         # still rides in the artifact for adjudication
         if best != float("inf"):
             timings[name] = round(best, 3)
+        n_done += 1
+        if n_done % 25 == 0:
+            spark.sparkContext._jvm.System.gc()
 
     # An errored query is absent from `timings`, which would silently
     # SHRINK the headline sum relative to prior-round artifacts with the
@@ -363,8 +377,11 @@ def main() -> None:
     # FIRST and then a compact summary line LAST. The driver's tail capture
     # truncated round 3's single giant line from the front (parsed: null),
     # so the final line must stay small enough to always survive the tail.
+    # sf-suffixed artifact for non-default scale factors: an sf1 scaling
+    # run must never clobber the committed sf0.1 artifact (it did once).
+    art = "BENCH_full.json" if sf == "0.1" else f"BENCH_full_sf{sf}.json"
     with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), art),
         "w",
     ) as f:
         json.dump(full, f, indent=1)

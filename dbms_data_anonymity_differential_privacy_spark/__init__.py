@@ -250,6 +250,8 @@ from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
     mantel_haenszel_or,
     mcnemar_test,
     odds_ratio_2x2,
+    overdispersion_check,
+    qini_curve,
     rmst,
     theil_sen_slope,
     wilson_ci_rates,
@@ -371,6 +373,8 @@ __all__ = [
     "mantel_haenszel_or",
     "theil_sen_slope",
     "keyness_llr",
+    "qini_curve",
+    "overdispersion_check",
     "quality_gating_curve",
     "drift_windows_batch",
     "drift_windows_stream",

@@ -906,12 +906,19 @@ def hits_int(
     n = nodes_df.count()
     hub = nodes_df.select("node", F.lit(PPB // n).cast("long").alias("s"))
     auth = None
-    persisted = None
     for i in range(1, iters + 1):
+        # each RAW half-step relation feeds BOTH its mass total and the
+        # rescaled vector, so the LOGICAL plan doubles per half-step —
+        # 2^(2*iters) copies of round 1 by the end; even with the data
+        # persisted, plan-string generation alone OOMs the driver
+        # (measured at sf1: the ktruss lesson again). Eager
+        # localCheckpoints truncate the lineage each half-step; the
+        # checkpointed blocks are slim (node, sum) relations.
         a_raw = (
             slim.join(hub.withColumnRenamed("node", "src"), on="src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("s").alias("raw"))
+            .localCheckpoint(eager=True)
         )
         a_tot = a_raw.agg(F.sum("raw").alias("t"))
         auth = a_raw.join(F.broadcast(a_tot)).select(
@@ -921,22 +928,12 @@ def hits_int(
             slim.join(auth.withColumnRenamed("node", "dst"), on="dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("s").alias("raw"))
+            .localCheckpoint(eager=True)
         )
         h_tot = h_raw.agg(F.sum("raw").alias("t"))
         hub = h_raw.join(F.broadcast(h_tot)).select(
             "node", F.expr(f"raw div (t div {PPB} + 1)").alias("s")
         )
-        hub = hub.persist()
-        hub.count()
-        auth = auth.persist()
-        # auth MUST materialize before the prior round unpersists: the
-        # final join consumes it lazily, and a cold auth would cascade a
-        # full recompute of every round at the closing localCheckpoint
-        auth.count()
-        if persisted is not None:
-            for p in persisted:
-                p.unpersist()
-        persisted = (hub, auth)
     out = (
         nodes_df.join(hub.withColumnRenamed("s", "hub_ppb"), on="node", how="left")
         .join(auth.withColumnRenamed("s", "auth_ppb"), on="node", how="left")
@@ -947,8 +944,6 @@ def hits_int(
         )
     )
     out = out.localCheckpoint(eager=True)
-    for p in persisted:
-        p.unpersist()
     nodes_df.unpersist()
     slim.unpersist()
     return out

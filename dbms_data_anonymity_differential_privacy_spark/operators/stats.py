@@ -3753,3 +3753,124 @@ def theil_sen_slope(
         F.round(F.col("__slope"), 6).alias("slope_r"),
         F.round(F.col("__icpt"), 6).alias("intercept_r"),
     )
+
+
+def qini_curve(
+    events: DataFrame,
+    treat_event: str = "click",
+    convert_event: str = "purchase",
+    score_event: str = "view",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Qini curve — the uplift-model evaluation readout (Radcliffe 2007):
+    rank users by a targeting score, and at each decile compare
+    CUMULATIVE conversions among treated users against the
+    control-scaled counterfactual ``conv_c · (n_t/n_c)``. The uplift
+    cousin of :func:`decile_lift` (which evaluates response, not
+    incremental effect).
+
+    Treated = user has a ``treat_event``; converted = has a
+    ``convert_event``; score = summed ``value`` over ``score_event``
+    rows (0 default). Deciles are exact ``(score DESC, user)`` ntile
+    cuts. Per decile row: cumulative treated/control counts and
+    conversions, and ``qini_r = conv_t_cum − conv_c_cum·(n_t_cum/
+    n_c_cum)`` — all exact int64 until the one scaling division (6 dp;
+    NULL while no control user has been seen).
+
+    Output: ``(decile, n_t_cum, n_c_cum, conv_t_cum, conv_c_cum,
+    qini_r)``.
+
+    Scale shape: one user-keyed aggregation collapses the fact table;
+    the ntile + cumulative windows run on the per-user relation (slim;
+    x127 offset-table idiom at extreme user counts — released output is
+    decile-level).
+    """
+    from pyspark.sql import Window
+
+    per_user = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == score_event, F.col(value_col))),
+            F.lit(0.0),
+        ).alias("score"),
+        F.max((F.col("event_type") == treat_event).cast("int")).alias("t"),
+        F.max((F.col("event_type") == convert_event).cast("int")).alias("conv"),
+    )
+    w = Window.orderBy(F.desc("score"), F.col("u"))
+    tiled = per_user.withColumn("decile", F.ntile(n_bins).over(w))
+    per_dec = tiled.groupBy("decile").agg(
+        F.sum("t").cast("long").alias("__nt"),
+        F.sum(F.lit(1) - F.col("t")).cast("long").alias("__nc"),
+        F.sum(F.col("t") * F.col("conv")).cast("long").alias("__ct"),
+        F.sum((F.lit(1) - F.col("t")) * F.col("conv")).cast("long").alias("__cc"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_dec.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.sum("__nt").over(wc).cast("long").alias("n_t_cum"),
+        F.sum("__nc").over(wc).cast("long").alias("n_c_cum"),
+        F.sum("__ct").over(wc).cast("long").alias("conv_t_cum"),
+        F.sum("__cc").over(wc).cast("long").alias("conv_c_cum"),
+    )
+    qini = F.when(
+        F.col("n_c_cum") > 0,
+        F.col("conv_t_cum").cast("double")
+        - F.col("conv_c_cum").cast("double")
+        * (F.col("n_t_cum").cast("double") / F.col("n_c_cum").cast("double")),
+    )
+    return cum.select(
+        "decile",
+        "n_t_cum",
+        "n_c_cum",
+        "conv_t_cum",
+        "conv_c_cum",
+        F.round(qini, 6).alias("qini_r"),
+    ).orderBy("decile")
+
+
+def overdispersion_check(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Fisher dispersion index of daily counts per event type: is the
+    arrival process Poisson-like (index ≈ 1) or bursty/overdispersed
+    (index ≫ 1)? The one-line diagnosis run before trusting Poisson
+    anomaly thresholds (x87) or Poisson A/B approximations — counts on
+    real traffic are almost always overdispersed, and this quantifies
+    how much.
+
+    ``D = s² / x̄`` over the per-day counts, with the chi-square form
+    ``(n−1)·D`` (df = n−1). Sufficient statistics are exact int64
+    (Σx, Σx² over integer daily counts), so the release is a fixed IEEE
+    expression (6 dp; NULL when fewer than 2 days or zero mean).
+
+    Output per type: ``(event_type, n_days, mean_r, var_r,
+    dispersion_r, chi2_r)``.
+
+    Scale shape: one (type, day) count shuffle collapses the fact
+    table to the calendar grid; one more aggregation to |types| rows.
+    """
+    daily = events.groupBy(
+        F.col(type_col), F.date_trunc("day", F.col(ts_col)).alias("__d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__x"))
+    agg = daily.groupBy(type_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("__x").cast("long").alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("__ss"),
+    )
+    nd = F.col("n_days").cast("double")
+    mean = F.col("__s").cast("double") / nd
+    var = (
+        F.col("__ss").cast("double") - F.col("__s").cast("double") * mean
+    ) / (nd - F.lit(1.0))
+    disp = F.when((F.col("n_days") >= 2) & (F.col("__s") > 0), var / mean)
+    return agg.select(
+        F.col(type_col),
+        "n_days",
+        F.round(mean, 6).alias("mean_r"),
+        F.round(F.when(F.col("n_days") >= 2, var), 6).alias("var_r"),
+        F.round(disp, 6).alias("dispersion_r"),
+        F.round((nd - F.lit(1.0)) * disp, 6).alias("chi2_r"),
+    )

@@ -11331,6 +11331,100 @@ def x218_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X219 — Qini uplift curve (operators/stats.py qini_curve): cumulative
+# incremental conversions by score decile — decile_lift's uplift cousin;
+# exact int64 counts, one scaling division per row.
+# --------------------------------------------------------------------------
+@query(
+    "x219_qini",
+    """
+    WITH pu AS (SELECT user_id,
+                       COALESCE(SUM(CASE WHEN event_type = 'view'
+                                         THEN value END), 0.0) AS score,
+                       MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                         AS t,
+                       MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                         AS conv
+                FROM events GROUP BY 1),
+    tl AS (SELECT *, NTILE(10) OVER (ORDER BY score DESC, user_id) AS decile
+           FROM pu),
+    pd AS (SELECT decile,
+                  SUM(t) AS nt, SUM(1 - t) AS nc,
+                  SUM(t * conv) AS ct, SUM((1 - t) * conv) AS cc
+           FROM tl GROUP BY 1),
+    cm AS (SELECT CAST(decile AS INT) AS decile,
+                  CAST(SUM(nt) OVER w AS BIGINT) AS n_t_cum,
+                  CAST(SUM(nc) OVER w AS BIGINT) AS n_c_cum,
+                  CAST(SUM(ct) OVER w AS BIGINT) AS conv_t_cum,
+                  CAST(SUM(cc) OVER w AS BIGINT) AS conv_c_cum
+           FROM pd WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW))
+    SELECT decile, n_t_cum, n_c_cum, conv_t_cum, conv_c_cum,
+           ROUND(CASE WHEN n_c_cum > 0 THEN
+                 CAST(conv_t_cum AS DOUBLE)
+                 - CAST(conv_c_cum AS DOUBLE)
+                   * (CAST(n_t_cum AS DOUBLE) / CAST(n_c_cum AS DOUBLE))
+                 END, 6) AS qini_r
+    FROM cm ORDER BY decile
+    """,
+)
+def x219_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve: cumulative incremental purchases of clickers vs
+    non-clickers by view-engagement decile."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import qini_curve
+
+    ev = load_table(spark, sf_dir, "events")
+    return qini_curve(ev)
+
+
+# --------------------------------------------------------------------------
+# X220 — overdispersion check (operators/stats.py overdispersion_check):
+# Fisher dispersion index of daily counts per event type — the Poisson
+# sanity gate before trusting x87's anomaly thresholds.
+# --------------------------------------------------------------------------
+@query(
+    "x220_overdispersion",
+    """
+    WITH d AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
+                        AS dd,
+                      CAST(COUNT(*) AS BIGINT) AS x
+               FROM events GROUP BY 1, 2),
+    a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(SUM(x) AS BIGINT) AS s, CAST(SUM(x * x) AS BIGINT) AS ss
+          FROM d GROUP BY 1)
+    SELECT event_type, n_days,
+           ROUND(CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS mean_r,
+           ROUND(CASE WHEN n_days >= 2 THEN
+                 (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                  * (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)))
+                 / (CAST(n_days AS DOUBLE) - 1.0) END, 6) AS var_r,
+           ROUND(CASE WHEN n_days >= 2 AND s > 0 THEN
+                 ((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                   * (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)))
+                  / (CAST(n_days AS DOUBLE) - 1.0))
+                 / (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) END, 6)
+             AS dispersion_r,
+           ROUND(CASE WHEN n_days >= 2 AND s > 0 THEN
+                 (CAST(n_days AS DOUBLE) - 1.0)
+                 * (((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+                      * (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)))
+                     / (CAST(n_days AS DOUBLE) - 1.0))
+                    / (CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE))) END, 6)
+             AS chi2_r
+    FROM a
+    """,
+)
+def x220_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher dispersion index of daily counts per event type."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+        overdispersion_check,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return overdispersion_check(ev)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries per round; the rotation policy (since round 7) is
 # BY STALENESS — new debuts and output/plan-changed queries first, then

@@ -87,6 +87,8 @@ NEW_THIS_ROUND: set[str] = {
     "x216_keyness",
     "x217_mantel_haenszel",
     "x218_theil_sen",
+    "x219_qini",
+    "x220_overdispersion",
 }
 
 

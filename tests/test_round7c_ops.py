@@ -923,3 +923,51 @@ def test_hll_ignores_nulls(spark):
     b = hll_distinct(without, "k").collect()[0]
     assert a["est_r"] == b["est_r"] and a["n_nonempty"] == b["n_nonempty"]
     assert a["n_exact"] == 200
+
+
+# -------------------------------------------------------------------- qini
+def test_qini_positive_uplift(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import qini_curve
+
+    # treated users convert at 100%, controls never: strong uplift
+    rows = []
+    eid = 0
+    for u in range(20):
+        rows.append((u, "2024-01-01 00:00:00", eid, "view", float(20 - u))); eid += 1
+        if u % 2 == 0:
+            rows.append((u, "2024-01-01 01:00:00", eid, "click", 0.0)); eid += 1
+            rows.append((u, "2024-01-01 02:00:00", eid, "purchase", 0.0)); eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id LONG, ts STRING, event_id LONG, event_type STRING, value DOUBLE"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    pdf = qini_curve(df).toPandas()
+    assert len(pdf) == 10
+    last = pdf.iloc[-1]
+    assert last["n_t_cum"] == 10 and last["n_c_cum"] == 10
+    assert last["conv_t_cum"] == 10 and last["conv_c_cum"] == 0
+    assert last["qini_r"] == pytest.approx(10.0, abs=1e-9)
+    # cumulative counts are monotone
+    assert pdf["n_t_cum"].is_monotonic_increasing
+    assert pdf["qini_r"].dropna().is_monotonic_increasing
+
+
+# ---------------------------------------------------------- overdispersion
+def test_overdispersion_burstiness_detected(spark):
+    import datetime
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+        overdispersion_check,
+    )
+
+    rows = []
+    # 'steady': 5 per day; 'bursty': alternating 1 and 19 (same mean 10)
+    for day in range(10):
+        d = datetime.datetime(2024, 5, 1) + datetime.timedelta(days=day)
+        rows += [(d, "steady")] * 5
+        rows += [(d, "bursty")] * (1 if day % 2 else 19)
+    df = spark.createDataFrame(rows, "ts TIMESTAMP, event_type STRING")
+    pdf = overdispersion_check(df).toPandas().set_index("event_type")
+    assert pdf.loc["steady", "dispersion_r"] == 0.0  # constant counts
+    assert pdf.loc["bursty", "dispersion_r"] > 5.0
+    assert pdf.loc["bursty", "var_r"] == pytest.approx(90.0, abs=1e-6)
+    assert pdf.loc["bursty", "chi2_r"] == pytest.approx(9 * 9.0, abs=1e-4)
