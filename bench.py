@@ -274,6 +274,8 @@ HEADLINE = [
     "x218_theil_sen",
     "x219_qini",
     "x220_overdispersion",
+    "x221_friedman",
+    "x222_tost",
 ]
 
 

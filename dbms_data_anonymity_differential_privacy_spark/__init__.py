@@ -245,6 +245,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
     cochran_armitage,
     cohens_kappa,
     cramers_v,
+    friedman_test,
     ipw_ate,
     item_cf_topk,
     mantel_haenszel_or,
@@ -254,6 +255,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
     qini_curve,
     rmst,
     theil_sen_slope,
+    tost_equivalence,
     wilson_ci_rates,
     group_ols,
     holt_linear,
@@ -375,6 +377,8 @@ __all__ = [
     "keyness_llr",
     "qini_curve",
     "overdispersion_check",
+    "friedman_test",
+    "tost_equivalence",
     "quality_gating_curve",
     "drift_windows_batch",
     "drift_windows_stream",

@@ -3874,3 +3874,153 @@ def overdispersion_check(
         F.round(disp, 6).alias("dispersion_r"),
         F.round((nd - F.lit(1.0)) * disp, 6).alias("chi2_r"),
     )
+
+
+def friedman_test(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Friedman test (1937) — the repeated-measures, rank-based "do the
+    k treatments differ?" over matched blocks: here, do the event TYPES
+    consistently out-rank each other across DAYS? The nonparametric
+    complement of x110 (one-way ANOVA assumes independent groups; daily
+    type counts share each day's traffic level, which blocking absorbs).
+
+    Counts are ranked WITHIN each complete block (days missing any type
+    are excluded — the classic complete-block requirement, count
+    disclosed); ties take the average rank (exact .5 fractions).
+    ``Q = 12/(n·k·(k+1)) · Σ_j R_j² − 3·n·(k+1)`` — rank sums are exact
+    2×-integers, so Q is a fixed IEEE expression (6 dp; chi-square with
+    k−1 df, p-value left to the caller — the x71 policy).
+
+    Output (single row): ``(n_blocks, k, q_r)``.
+
+    Scale shape: one (day, type) count shuffle collapses the fact
+    table to the calendar grid; ranks are windows over k-row
+    partitions; one aggregation to k rank sums.
+    """
+    from pyspark.sql import Window
+
+    daily = events.groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("__d"), F.col(type_col)
+    ).agg(F.count(F.lit(1)).cast("long").alias("__x"))
+    k_types = daily.select(type_col).distinct().count()
+    complete = (
+        daily.groupBy("__d")
+        .agg(F.count(F.lit(1)).alias("__kt"))
+        .filter(F.col("__kt") == k_types)
+        .select("__d")
+    )
+    blocks = daily.join(F.broadcast(complete), on="__d")
+    wr = Window.partitionBy("__d").orderBy("__x")
+    wt = Window.partitionBy("__d", "__x")
+    ranked = blocks.withColumn(
+        "__rank2",  # 2x the average rank: stays exact integer under ties
+        2 * F.rank().over(wr) + (F.count(F.lit(1)).over(wt) - 1),
+    )
+    sums = ranked.groupBy(type_col).agg(
+        F.sum("__rank2").cast("long").alias("__r2"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    agg = sums.agg(
+        F.max("__n").cast("long").alias("n_blocks"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            (F.col("__r2").cast("double") / F.lit(2.0))
+            * (F.col("__r2").cast("double") / F.lit(2.0))
+        ).alias("__sr2"),
+    )
+    nd = F.col("n_blocks").cast("double")
+    kd = F.col("k").cast("double")
+    q = (
+        F.lit(12.0) / (nd * kd * (kd + F.lit(1.0))) * F.col("__sr2")
+        - F.lit(3.0) * nd * (kd + F.lit(1.0))
+    )
+    return agg.select(
+        "n_blocks",
+        "k",
+        F.round(F.when((F.col("n_blocks") > 0) & (F.col("k") >= 2), q), 6).alias(
+            "q_r"
+        ),
+    )
+
+
+def tost_equivalence(
+    df: DataFrame,
+    group_col: str,
+    flag_col: str,
+    margin: float = 0.02,
+    z_crit: float = 1.6448536269514722,
+) -> DataFrame:
+    """TOST equivalence test for two proportions (Schuirmann 1987) —
+    the "no worse AND no better than ±margin" launch gate: a
+    non-significant x74 difference is NOT evidence of equivalence, TOST
+    is. Both one-sided z statistics are released; equivalence holds
+    when BOTH exceed the critical value (default z at alpha = 0.05,
+    embedded as one decimal literal so the verdict branches on
+    identical doubles in any engine).
+
+    ``z_lower = (diff + margin)/se``, ``z_upper = (margin − diff)/se``
+    with the unpooled ``se = sqrt(p1(1−p1)/n1 + p2(1−p2)/n2)`` — exact
+    int64 counts, fixed IEEE expressions (6 dp).
+
+    Expects exactly TWO groups (ordered by group value: diff =
+    rate(first) − rate(second)); raises otherwise.
+
+    Output (single row): ``(g1, g2, n1, n2, rate1_r, rate2_r, diff_r,
+    z_lower_r, z_upper_r, equivalent)``.
+    """
+    per = (
+        df.groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum(F.col(flag_col).cast("int")).cast("long").alias("__p"),
+        )
+        .orderBy("__g")
+        .collect()
+    )
+    if len(per) != 2:
+        raise ValueError(f"tost_equivalence expects exactly 2 groups, got {len(per)}")
+    spark = df.sparkSession
+    base = spark.createDataFrame(
+        [
+            (
+                str(per[0]["__g"]),
+                str(per[1]["__g"]),
+                per[0]["__n"],
+                per[1]["__n"],
+                per[0]["__p"],
+                per[1]["__p"],
+            )
+        ],
+        "g1 STRING, g2 STRING, n1 LONG, n2 LONG, p1 LONG, p2 LONG",
+    )
+    r1 = F.col("p1").cast("double") / F.col("n1").cast("double")
+    r2 = F.col("p2").cast("double") / F.col("n2").cast("double")
+    diff = r1 - r2
+    se = F.sqrt(
+        r1 * (F.lit(1.0) - r1) / F.col("n1").cast("double")
+        + r2 * (F.lit(1.0) - r2) / F.col("n2").cast("double")
+    )
+    m = F.lit(float(margin))
+    # degenerate rates (both cohorts at exactly 0 or 1) zero the SE:
+    # the test is then undefined — NULL z's, equivalent false (never
+    # claim equivalence on a vacuous denominator)
+    zl = F.when(se > 0, (diff + m) / se)
+    zu = F.when(se > 0, (m - diff) / se)
+    return base.select(
+        "g1",
+        "g2",
+        "n1",
+        "n2",
+        F.round(r1, 6).alias("rate1_r"),
+        F.round(r2, 6).alias("rate2_r"),
+        F.round(diff, 6).alias("diff_r"),
+        F.round(zl, 6).alias("z_lower_r"),
+        F.round(zu, 6).alias("z_upper_r"),
+        F.coalesce(
+            (zl >= F.lit(float(z_crit))) & (zu >= F.lit(float(z_crit))),
+            F.lit(False),
+        ).alias("equivalent"),
+    )

@@ -11425,6 +11425,107 @@ def x220_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X221 — Friedman test (operators/stats.py friedman_test): rank-based
+# repeated-measures comparison of event types across day blocks —
+# x110's nonparametric, blocked complement. Rank sums ride as exact
+# 2x-integers.
+# --------------------------------------------------------------------------
+@query(
+    "x221_friedman",
+    """
+    WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS dd,
+                      event_type, CAST(COUNT(*) AS BIGINT) AS x
+               FROM events GROUP BY 1, 2),
+    kk AS (SELECT COUNT(DISTINCT event_type) AS k FROM d),
+    cb AS (SELECT dd FROM d GROUP BY dd
+           HAVING COUNT(*) = (SELECT k FROM kk)),
+    b AS (SELECT d.* FROM d JOIN cb USING (dd)),
+    r AS (SELECT event_type,
+                 2 * RANK() OVER (PARTITION BY dd ORDER BY x)
+                 + (COUNT(*) OVER (PARTITION BY dd, x) - 1) AS r2
+          FROM b),
+    s AS (SELECT event_type, CAST(SUM(r2) AS BIGINT) AS r2s,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM r GROUP BY 1),
+    a AS (SELECT CAST(MAX(n) AS BIGINT) AS n_blocks,
+                 CAST(COUNT(*) AS BIGINT) AS k,
+                 SUM((CAST(r2s AS DOUBLE) / 2.0)
+                     * (CAST(r2s AS DOUBLE) / 2.0)) AS sr2
+          FROM s)
+    SELECT n_blocks, k,
+           ROUND(CASE WHEN n_blocks > 0 AND k >= 2 THEN
+                 12.0 / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+                         * (CAST(k AS DOUBLE) + 1.0)) * sr2
+                 - 3.0 * CAST(n_blocks AS DOUBLE)
+                   * (CAST(k AS DOUBLE) + 1.0) END, 6) AS q_r
+    FROM a
+    """,
+)
+def x221_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman Q: do event types consistently out-rank each other
+    across days?"""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import friedman_test
+
+    ev = load_table(spark, sf_dir, "events")
+    return friedman_test(ev)
+
+
+# --------------------------------------------------------------------------
+# X222 — TOST equivalence (operators/stats.py tost_equivalence): the
+# two-one-sided-tests launch gate on per-user purchase rates of the
+# parity cohorts — "within ±2 points", not just "not significantly
+# different".
+# --------------------------------------------------------------------------
+@query(
+    "x222_tost",
+    """
+    WITH pu AS (SELECT user_id % 2 AS g,
+                       CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                          THEN 1 ELSE 0 END) >= 5
+                            THEN 1 ELSE 0 END AS f
+                FROM events GROUP BY user_id),
+    per AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(f) AS BIGINT) AS p
+            FROM pu GROUP BY 1),
+    b AS (SELECT '0' AS g1, '1' AS g2,
+                 CAST(SUM(CASE WHEN g = 0 THEN n END) AS BIGINT) AS n1,
+                 CAST(SUM(CASE WHEN g = 1 THEN n END) AS BIGINT) AS n2,
+                 CAST(SUM(CASE WHEN g = 0 THEN p END) AS BIGINT) AS p1,
+                 CAST(SUM(CASE WHEN g = 1 THEN p END) AS BIGINT) AS p2
+          FROM per),
+    e AS (SELECT *, CAST(p1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS r1,
+                 CAST(p2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS r2
+          FROM b),
+    z AS (SELECT *, r1 - r2 AS diff,
+                 SQRT(r1 * (1.0 - r1) / CAST(n1 AS DOUBLE)
+                      + r2 * (1.0 - r2) / CAST(n2 AS DOUBLE)) AS se
+          FROM e)
+    SELECT g1, g2, n1, n2,
+           ROUND(r1, 6) AS rate1_r, ROUND(r2, 6) AS rate2_r,
+           ROUND(diff, 6) AS diff_r,
+           ROUND(CASE WHEN se > 0 THEN (diff + 0.02) / se END, 6) AS z_lower_r,
+           ROUND(CASE WHEN se > 0 THEN (0.02 - diff) / se END, 6) AS z_upper_r,
+           COALESCE(CASE WHEN se > 0 THEN (diff + 0.02) / se END
+                      >= 1.6448536269514722
+                    AND CASE WHEN se > 0 THEN (0.02 - diff) / se END
+                      >= 1.6448536269514722, FALSE) AS equivalent
+    FROM z
+    """,
+)
+def x222_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST: are the parity cohorts' heavy-buyer (>= 5 purchases)
+    rates equivalent within ±2 points?"""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import tost_equivalence
+
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int")) >= 5
+        ).cast("int").alias("f")
+    ).select(F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("g"), "f")
+    return tost_equivalence(pu, "g", "f", margin=0.02)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries per round; the rotation policy (since round 7) is
 # BY STALENESS — new debuts and output/plan-changed queries first, then

@@ -89,6 +89,8 @@ NEW_THIS_ROUND: set[str] = {
     "x218_theil_sen",
     "x219_qini",
     "x220_overdispersion",
+    "x221_friedman",
+    "x222_tost",
 }
 
 

@@ -971,3 +971,68 @@ def test_overdispersion_burstiness_detected(spark):
     assert pdf.loc["bursty", "dispersion_r"] > 5.0
     assert pdf.loc["bursty", "var_r"] == pytest.approx(90.0, abs=1e-6)
     assert pdf.loc["bursty", "chi2_r"] == pytest.approx(9 * 9.0, abs=1e-4)
+
+
+# ---------------------------------------------------------------- friedman
+def test_friedman_consistent_ordering_vs_shuffled(spark):
+    import datetime
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import friedman_test
+
+    rows = []
+    # 8 days where A < B < C consistently -> large Q
+    for day in range(8):
+        d = datetime.datetime(2024, 6, 1) + datetime.timedelta(days=day)
+        rows += [(d, "A")] * (5 + day) + [(d, "B")] * (20 + day) + [(d, "C")] * (40 + day)
+    df = spark.createDataFrame(rows, "ts TIMESTAMP, event_type STRING")
+    out = friedman_test(df).collect()[0]
+    assert out["n_blocks"] == 8 and out["k"] == 3
+    # perfectly consistent ranks: Q = 12n/(k(k+1)) * sum((rj - mean)^2)/n... max = n*(k-1)*... for k=3, Q = 2n = 16
+    assert out["q_r"] == pytest.approx(16.0, abs=1e-6)
+
+
+def test_friedman_excludes_incomplete_blocks(spark):
+    import datetime
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import friedman_test
+
+    rows = []
+    for day in range(4):
+        d = datetime.datetime(2024, 6, 1) + datetime.timedelta(days=day)
+        rows += [(d, "A")] * 3 + [(d, "B")] * 5
+    # one extra day with only A: incomplete, must be dropped
+    rows += [(datetime.datetime(2024, 6, 9), "A")] * 2
+    df = spark.createDataFrame(rows, "ts TIMESTAMP, event_type STRING")
+    out = friedman_test(df).collect()[0]
+    assert out["n_blocks"] == 4
+
+
+# -------------------------------------------------------------------- tost
+def test_tost_equivalent_rates(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import tost_equivalence
+
+    # both cohorts at 50% over n=1000 each: clearly within ±5 points
+    rows = [(0, i % 2) for i in range(1000)] + [(1, (i + 1) % 2) for i in range(1000)]
+    df = spark.createDataFrame(rows, "g INT, f INT")
+    out = tost_equivalence(df, "g", "f", margin=0.05).collect()[0]
+    assert out["equivalent"] is True
+    assert out["diff_r"] == 0.0
+    assert out["z_lower_r"] > 1.645 and out["z_upper_r"] > 1.645
+
+
+def test_tost_not_equivalent_when_gap_exceeds_margin(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import tost_equivalence
+
+    rows = [(0, 1)] * 600 + [(0, 0)] * 400 + [(1, 1)] * 400 + [(1, 0)] * 600
+    df = spark.createDataFrame(rows, "g INT, f INT")
+    out = tost_equivalence(df, "g", "f", margin=0.05).collect()[0]
+    assert out["equivalent"] is False  # 20-point gap >> 5-point margin
+    assert out["diff_r"] == pytest.approx(0.2, abs=1e-9)
+
+
+def test_tost_degenerate_rates_never_equivalent(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import tost_equivalence
+
+    df = spark.createDataFrame([(0, 1)] * 10 + [(1, 1)] * 10, "g INT, f INT")
+    out = tost_equivalence(df, "g", "f").collect()[0]
+    assert out["z_lower_r"] is None and out["equivalent"] is False
