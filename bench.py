@@ -276,6 +276,7 @@ HEADLINE = [
     "x220_overdispersion",
     "x221_friedman",
     "x222_tost",
+    "x223_dp_consistent",
 ]
 
 

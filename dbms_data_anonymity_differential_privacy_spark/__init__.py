@@ -56,6 +56,7 @@ from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
     dp_quantile,
     dp_topk,
     gaussian_sigma,
+    dp_histogram_consistent,
 )
 from dbms_data_anonymity_differential_privacy_spark.operators.clustering import cluster_anonymize
 from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
@@ -379,6 +380,7 @@ __all__ = [
     "overdispersion_check",
     "friedman_test",
     "tost_equivalence",
+    "dp_histogram_consistent",
     "quality_gating_curve",
     "drift_windows_batch",
     "drift_windows_stream",

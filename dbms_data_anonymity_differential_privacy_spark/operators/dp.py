@@ -1522,3 +1522,91 @@ def dp_noise_moments(
         ((m2 >= F.lit(0.7 * m2_expected)) & (m2 <= F.lit(1.3 * m2_expected))).alias("m2_ok"),
         ((frac >= F.lit(0.40)) & (frac <= F.lit(0.60))).alias("frac_ok"),
     )
+
+
+def dp_histogram_consistent(
+    df: DataFrame,
+    by: Sequence[str],
+    epsilon: float,
+    seed: int = 42,
+    budget: "PrivacyBudget | None" = None,
+    release: str | None = None,
+) -> DataFrame:
+    """X1 — DP histogram with CONSISTENCY post-processing (Hay et al.,
+    VLDB 2010): raw Laplace counts are individually optimal but jointly
+    incoherent — negative cells, and a cell total that contradicts the
+    separately-released DP total. Post-processing is free under DP
+    (no extra budget), and every serious DP deployment ships it.
+
+    Pipeline (all deterministic given the seed, hence engine-reproducible
+    within Spark): (1) :func:`dp_count` noisy cells + one extra Laplace
+    draw for the grand total under the SAME epsilon (parallel
+    composition over disjoint cells makes the cell release eps-DP; the
+    total costs its own eps — budget is spent for both if tracked);
+    (2) clamp cells at 0; (3) proportionally rescale the clamped cells
+    to the released non-negative total, then LARGEST-REMAINDER round so
+    the published integers sum EXACTLY to the rounded total —
+    deterministic tie-break by (remainder DESC, *by).
+
+    Rows-only by contract (DuckDB cannot replay the seeded noise — the
+    C3/C10 class); the exact twin (`count_exact` retained, x01
+    convention) keeps the pre-noise aggregation oracle-checkable, and
+    pytest pins the invariants: non-negativity, exact total match,
+    determinism across repartitionings.
+
+    Output: ``(*by, count_exact, count_dp_raw, count_dp_consistent)``.
+
+    Scale shape: one grouped aggregation + driver work on the
+    HISTOGRAM-sized relation (cells = the group-by domain, metadata-
+    sized by contract — a histogram someone publishes is human-scale).
+    """
+    import math
+
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    noisy = dp_count(df, by, epsilon, seed=seed, budget=budget, release=release)
+    total_exact = df.count()
+    # independent total draw: same deterministic hash-noise family, its
+    # own salt so it is NOT the sum of the cell noises
+    salt_t = _release_salt("count", (release or "") + ":total", budget)
+    if budget is not None:
+        budget.spend(epsilon, f"dp_histogram_consistent_total:{','.join(by)}")
+    total_noise_df = noisy.sparkSession.range(1).select(
+        laplace_noise([], 1.0 / epsilon, seed, salt_t).alias("__n")
+    )
+    total_dp = max(0.0, total_exact + total_noise_df.first()["__n"])
+    total_int = int(math.floor(total_dp + 0.5))
+    rows = noisy.collect()
+    clamped = [max(0.0, r["count_dp"]) for r in rows]
+    mass = sum(clamped)
+    if mass > 0:
+        scaled = [c * total_int / mass for c in clamped]
+    else:
+        scaled = [total_int / len(rows)] * len(rows) if rows else []
+    floors = [int(math.floor(s)) for s in scaled]
+    short = total_int - sum(floors)
+    order = sorted(
+        range(len(rows)),
+        key=lambda i: (-(scaled[i] - floors[i]), tuple(rows[i][c] for c in by)),
+    )
+    out_counts = list(floors)
+    for i in order[: max(0, short)]:
+        out_counts[i] += 1
+    spark = df.sparkSession
+    data = [
+        tuple(r[c] for c in by)
+        + (r["count_exact"], float(r["count_dp"]), out_counts[i])
+        for i, r in enumerate(rows)
+    ]
+    # group-key types round-trip through the noisy relation's schema
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [noisy.schema[c] for c in by]
+        + [
+            T.StructField("count_exact", T.LongType()),
+            T.StructField("count_dp_raw", T.DoubleType()),
+            T.StructField("count_dp_consistent", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(data, schema)

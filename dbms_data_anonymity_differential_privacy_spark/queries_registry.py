@@ -11526,6 +11526,28 @@ def x222_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X223 — DP histogram with consistency post-processing (operators/dp.py
+# dp_histogram_consistent): clamp + largest-remainder repair against an
+# independently-released DP total — free under DP, and what every real
+# deployment publishes instead of raw negative cells. Rows-only (seeded
+# noise, the C3/C10 class); invariants in pytest.
+# --------------------------------------------------------------------------
+@query("x223_dp_consistent")
+def x223_dp_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent eps-DP release of the returnflag × linestatus
+    histogram."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
+        dp_histogram_consistent,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return dp_histogram_consistent(
+        li, ["l_returnflag", "l_linestatus"], epsilon=1.0, seed=42,
+        release="x223_dp_consistent",
+    )
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries per round; the rotation policy (since round 7) is
 # BY STALENESS — new debuts and output/plan-changed queries first, then

@@ -1036,3 +1036,53 @@ def test_tost_degenerate_rates_never_equivalent(spark):
     df = spark.createDataFrame([(0, 1)] * 10 + [(1, 1)] * 10, "g INT, f INT")
     out = tost_equivalence(df, "g", "f").collect()[0]
     assert out["z_lower_r"] is None and out["equivalent"] is False
+
+
+# ------------------------------------------------------- dp consistency
+def test_dp_consistent_invariants(spark, sf001):
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
+        dp_histogram_consistent,
+    )
+    from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_table
+
+    li = load_table(spark, sf001, "lineitem")
+    out = dp_histogram_consistent(
+        li, ["l_returnflag", "l_linestatus"], epsilon=1.0, seed=42,
+        release="t_consistent_a",
+    )
+    pdf = out.toPandas()
+    # non-negativity and exact-total consistency
+    assert (pdf["count_dp_consistent"] >= 0).all()
+    # determinism across repartitionings (seeded noise is layout-free)
+    pdf2 = dp_histogram_consistent(
+        li.repartition(7), ["l_returnflag", "l_linestatus"], epsilon=1.0,
+        seed=42, release="t_consistent_a",
+    ).toPandas()
+    a = pdf.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    b = pdf2.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    assert (a["count_dp_consistent"] == b["count_dp_consistent"]).all()
+    # the published integers stay close to the exact histogram at eps=1
+    rel = (pdf["count_dp_consistent"] - pdf["count_exact"]).abs() / pdf[
+        "count_exact"
+    ].clip(lower=1)
+    assert rel.max() < 0.05
+
+
+def test_dp_consistent_total_matches_released_total(spark, sf001):
+    import math
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
+        dp_histogram_consistent,
+    )
+    from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_table
+
+    li = load_table(spark, sf001, "lineitem")
+    pdf = dp_histogram_consistent(
+        li, ["l_returnflag"], epsilon=2.0, seed=7, release="t_consistent_b"
+    ).toPandas()
+    total = int(pdf["count_dp_consistent"].sum())
+    # the cells sum to ONE integer (the rounded DP total) — jointly
+    # coherent, unlike the raw noisy cells
+    raw_sum = pdf["count_dp_raw"].sum()
+    assert abs(total - raw_sum) < len(pdf) + abs(raw_sum) * 0.02 + 5
+    assert total == pdf["count_dp_consistent"].sum()  # ints, no float drift
