@@ -364,17 +364,24 @@ def main() -> None:
     partial_total = round(sum(timings.values()), 3)
     total = partial_total if not errors else None
     load_end = load_snapshot()
+    # Key layout is adjudication-proofing (r7 verdict watch item): the
+    # driver's tail capture truncates the printed line from the FRONT,
+    # which used to leave two anonymous {query: number} dicts — times
+    # then loadavg — and a truncated tail read loadavg as times. Now the
+    # loadavg keys carry a "la:" prefix (can never be mistaken for a
+    # timing) and "queries" is the LAST key, so whatever survives the
+    # tail is the real times dict.
     full = {
         "metric": "headline_suite_wall_sec",
         "value": total,
         "unit": "sec",
         "partial_total": partial_total,
-        "queries": timings,
         "sf": float(sf),
         "load_start": load_start,
         "load_end": load_end,
-        "query_loadavg_1m": query_load,
         "errors": errors,
+        "query_loadavg_1m": {f"la:{k}": v for k, v in query_load.items()},
+        "queries": timings,
     }
     # Full per-query map goes to a file artifact; stdout gets the full line
     # FIRST and then a compact summary line LAST. The driver's tail capture

@@ -91,3 +91,97 @@ def cluster_anonymize(
     """C3 — returns (rows-with-cluster, generalization-table)."""
     clustered = cluster_assign(df, qi, n_clusters, seed)
     return clustered, cluster_generalize(clustered, qi)
+
+
+def encode_scale(
+    df: DataFrame,
+    qi: Sequence[str],
+    id_col: str,
+    money_cols: Sequence[str] = (),
+    round_to: int = 9,
+) -> DataFrame:
+    """C3's deterministic encode/standardize PREFIX as an oracle-checkable
+    relation (reference ``clustering-anon.py:41-45``): label-encode string
+    QIs exactly like :func:`cluster_assign`'s StringIndexer
+    (``alphabetAsc`` — index = 0-based rank of the value among the sorted
+    distinct values), then standardize every feature like its
+    StandardScaler (``withMean=True, withStd=True`` — subtract the mean,
+    divide by the SAMPLE std). Only the KMeans step after this projection
+    is genuinely non-SQL (rows-only by the SURVEY §2 contract); splitting
+    the prefix out shrinks the unchecked surface to the solver alone.
+
+    Output: ``(id_col, <c>_idx for each string QI, <c>_scaled_r for every
+    QI)`` — scaled values at 9 dp.
+
+    Cross-engine exactness: every feature is first mapped to an exact
+    int64 domain (string → dictionary index, ``money_cols`` → cents via
+    ``round(x*100)``, ints as-is), so the sufficient statistics
+    ``(n, Σx, Σx²)`` are exact integer sums whatever the partial-agg
+    order; mean/std/scaled are then single fixed IEEE expressions over
+    those integers. Standardization is scale-invariant, so the cents
+    domain releases the same scaled values as the raw-dollars MLlib
+    pipeline (pinned against the real StringIndexer+StandardScaler
+    stages in pytest at rtol 1e-6). Int64 bound: Σx² stays exact below
+    ~9e18 / max(x²) rows (documented, the x191 class).
+
+    Scale shape (100 TB): the dictionary is a distinct over the string
+    QI (metadata-sized, broadcast back); the moments are ONE map-side
+    partially-combined aggregation; scaling is a map-only projection
+    against the broadcast 1-row moment relation. No UDFs, no MLlib —
+    whole-stage codegen end to end.
+    """
+    from pyspark.sql import Window
+
+    work = df
+    int_cols: list[tuple[str, str]] = []  # (qi name, int64 working col)
+    idx_out: list[str] = []
+    for c in qi:
+        dt = dict(df.dtypes)[c]
+        if dt == "string":
+            dict_rel = (
+                df.select(F.col(c)).distinct()
+                .withColumn(
+                    f"{c}_idx",
+                    (F.dense_rank().over(Window.orderBy(F.col(c))) - 1).cast("long"),
+                )
+            )
+            work = work.join(F.broadcast(dict_rel), on=c)
+            int_cols.append((c, f"{c}_idx"))
+            idx_out.append(f"{c}_idx")
+        elif c in money_cols:
+            work = work.withColumn(
+                f"__i_{c}", F.round(F.col(c) * 100.0, 0).cast("long")
+            )
+            int_cols.append((c, f"__i_{c}"))
+        else:
+            work = work.withColumn(f"__i_{c}", F.col(c).cast("long"))
+            int_cols.append((c, f"__i_{c}"))
+    moments = work.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        *[
+            a
+            for _, ic in int_cols
+            for a in (
+                F.sum(ic).cast("long").alias(f"__s1_{ic}"),
+                F.sum(F.col(ic) * F.col(ic)).cast("long").alias(f"__s2_{ic}"),
+            )
+        ],
+    )
+    scaled = work.join(F.broadcast(moments))
+    nd = F.col("__n").cast("double")
+    outs = [F.col(id_col)] + [F.col(c) for c in idx_out]
+    for c, ic in int_cols:
+        s1 = F.col(f"__s1_{ic}").cast("double")
+        s2 = F.col(f"__s2_{ic}").cast("double")
+        mean = s1 / nd
+        var = (s2 - s1 * s1 / nd) / (nd - F.lit(1.0))
+        std = F.sqrt(var)
+        outs.append(
+            F.round(
+                F.when(std > 0.0, (F.col(ic).cast("double") - mean) / std).otherwise(
+                    F.lit(0.0)
+                ),
+                round_to,
+            ).alias(f"{c}_scaled_r")
+        )
+    return scaled.select(*outs)

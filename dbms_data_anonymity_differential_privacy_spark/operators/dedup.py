@@ -1392,6 +1392,14 @@ def leakage_safe_split(
     )
 
 
+# Self-blocking semantic dedup fits its k-center quantizer on a sampled
+# pool once the corpus exceeds the threshold (coreset_sample=None path);
+# the target keeps the greedy selection's k scans ~constant-cost while
+# the spread of the sample still covers the space (recall-pinned).
+_CORESET_FIT_THRESHOLD = 16_384
+_CORESET_FIT_TARGET = 8_192.0
+
+
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.6,
@@ -1434,8 +1442,13 @@ def semantic_dedup(
       (SemDeDup fits k-means on a subset too). Sampling only shrinks
       the fitting pool; ASSIGNMENT still covers every row, the sample
       is the portable md5 fraction (reproducible, SQL-twinnable), and
-      ``None`` (default, the oracle-hashed x175_auto config) fits on
-      the full pool. Exactness: distances expand to
+      ``None`` (default) fits on the full pool up to
+      ``_CORESET_FIT_THRESHOLD`` rows and then AUTO-SAMPLES to
+      ~``_CORESET_FIT_TARGET`` fitting rows (r7 verdict task 5; block
+      recall vs the full-pool trajectory pinned >= 0.95 at sf1). The
+      oracle-hashed x175_auto config at sf0.01/sf0.1 sits below the
+      threshold, so its release is the full-pool one.
+      Exactness: distances expand to
       ``dot(x,x) − 2·dot(x,c) + dot(c,c)`` with every dot a sequential
       fold, bit-identical to DuckDB's ``list_dot_product`` (the x04
       contract), so the block assignment — and therefore the whole
@@ -1468,11 +1481,28 @@ def semantic_dedup(
         from dbms_data_anonymity_differential_privacy_spark.operators.similarity import _dot
 
         fit_pool = emb
-        if coreset_sample is not None:
+        frac = coreset_sample
+        if frac is None:
+            # r7 verdict task 5: above _CORESET_FIT_THRESHOLD rows the
+            # greedy selection's k full-pool scans stop being free, so
+            # the quantizer fits on a deterministic hash-sample targeting
+            # ~_CORESET_FIT_TARGET rows BY DEFAULT — the standard coarse-
+            # quantizer practice (SemDeDup fits k-means on a subset).
+            # Sampling shrinks only the FITTING pool; assignment still
+            # covers every row. Block recall vs the full-pool trajectory
+            # is pinned >= 0.95 at sf1 in tests/test_round8_ops.py. The
+            # count is one partial-combined aggregation — noise against
+            # the k scans it prices. Fixture SFs (sf0.01/sf0.1) sit below
+            # the threshold, so the oracle-hashed x175_auto release is
+            # byte-identical to the always-full-pool behavior there.
+            n = emb.count()
+            if n > _CORESET_FIT_THRESHOLD:
+                frac = _CORESET_FIT_TARGET / float(n)
+        if frac is not None:
             from dbms_data_anonymity_differential_privacy_spark.operators.sampling import hash_sample
 
             fit_pool = hash_sample(
-                emb, [id_col], coreset_sample, salt="semdedup-coreset"
+                emb, [id_col], frac, salt="semdedup-coreset"
             )
             # a too-aggressive fraction can leave fewer than k fitting
             # points — fall back to the full pool (the count runs on the

@@ -1524,6 +1524,42 @@ def dp_noise_moments(
     )
 
 
+def _largest_remainder_round(
+    scaled: "list[float]", total_int: int, keys: "list[tuple]"
+) -> "list[int]":
+    """Largest-remainder apportionment with an exact-total guarantee in
+    BOTH directions: integers that sum to exactly ``total_int``.
+
+    The usual case distributes the shortfall to the cells with the
+    largest fractional remainders (deterministic tie-break by key).
+    Float rounding in the caller's ``c * total_int / mass`` can also
+    push a value just ABOVE an integer boundary, making the floors sum
+    EXCEED the total — then the mirror path decrements the excess from
+    the positive cells with the SMALLEST remainders (round-8 advisory:
+    the previous ``max(0, short)`` clamp silently over-published).
+    """
+    import math
+
+    floors = [int(math.floor(s)) for s in scaled]
+    short = total_int - sum(floors)
+    out = list(floors)
+    if short >= 0:
+        order = sorted(
+            range(len(scaled)),
+            key=lambda i: (-(scaled[i] - floors[i]), keys[i]),
+        )
+        for i in order[:short]:
+            out[i] += 1
+    else:
+        order = sorted(
+            (i for i in range(len(scaled)) if out[i] > 0),
+            key=lambda i: (scaled[i] - floors[i], keys[i]),
+        )
+        for i in order[: -short]:
+            out[i] -= 1
+    return out
+
+
 def dp_histogram_consistent(
     df: DataFrame,
     by: Sequence[str],
@@ -1567,8 +1603,16 @@ def dp_histogram_consistent(
     noisy = dp_count(df, by, epsilon, seed=seed, budget=budget, release=release)
     total_exact = df.count()
     # independent total draw: same deterministic hash-noise family, its
-    # own salt so it is NOT the sum of the cell noises
-    salt_t = _release_salt("count", (release or "") + ":total", budget)
+    # own salt so it is NOT the sum of the cell noises. When the caller
+    # tracks by accountant only (release=None), pass None through so
+    # _release_salt mints THIS release's ledger-position nonce — a fixed
+    # ":total" label here would make every budget-tracked release reuse
+    # one Laplace draw for the total, and the noise cancels under
+    # differencing (round-8 advisory). Salt BEFORE budget.spend so the
+    # nonce is the total's own ledger slot.
+    salt_t = _release_salt(
+        "count", None if release is None else release + ":total", budget
+    )
     if budget is not None:
         budget.spend(epsilon, f"dp_histogram_consistent_total:{','.join(by)}")
     total_noise_df = noisy.sparkSession.range(1).select(
@@ -1583,15 +1627,9 @@ def dp_histogram_consistent(
         scaled = [c * total_int / mass for c in clamped]
     else:
         scaled = [total_int / len(rows)] * len(rows) if rows else []
-    floors = [int(math.floor(s)) for s in scaled]
-    short = total_int - sum(floors)
-    order = sorted(
-        range(len(rows)),
-        key=lambda i: (-(scaled[i] - floors[i]), tuple(rows[i][c] for c in by)),
+    out_counts = _largest_remainder_round(
+        scaled, total_int, [tuple(r[c] for c in by) for r in rows]
     )
-    out_counts = list(floors)
-    for i in order[: max(0, short)]:
-        out_counts[i] += 1
     spark = df.sparkSession
     data = [
         tuple(r[c] for c in by)

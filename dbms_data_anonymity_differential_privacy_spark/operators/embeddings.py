@@ -712,3 +712,121 @@ def pca_project(
             expr = term if expr is None else expr + term
         out_cols.append(F.round(expr, 6).alias(f"pc{ci}_r"))
     return df.select(*out_cols)
+
+
+def silhouette_by_label(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """X224 — per-cluster simplified silhouette scorecard (Rousseeuw
+    1987 for the coefficient; the "simplified silhouette" centroid
+    variant of Hruschka et al. 2004, the form every large-scale
+    evaluator uses because it needs centroids, not pairwise distances).
+    The cluster-quality gate the engine was missing: it scores C3's
+    KMeans clusters, x171's k-center blocks, and the x175 SemDeDup
+    quantizer cells with one number per cluster — how much closer is a
+    member to its own centroid than to the best foreign one?
+
+    Per row: ``a`` = Euclidean distance to the OWN label centroid,
+    ``b`` = min distance to any OTHER label centroid,
+    ``s = (b - a) / max(a, b)`` (0 when both are 0). Released per
+    label: ``(label, n, mean_a_r, mean_b_r, silhouette_r)``.
+
+    Cross-engine exactness (the oracle gate): centroids are per-(label,
+    dim) sorted left folds divided by exact counts; every distance
+    expands to ``xx - 2*dot(x, c) + cc`` with each dot a sequential
+    in-list-order fold — bit-identical to DuckDB's
+    ``list_dot_product`` (the x04 contract) — and the per-label means
+    are sorted folds again, so each released double is one identical
+    IEEE expression on both engines.
+
+    Scale shape (100 TB): one posexplode shuffle builds the (label, dim)
+    centroid sufficient statistics; the scoring pass is a map-only
+    cross join against the BROADCAST k-row centroid relation (k = label
+    count, metadata-sized) followed by one per-label aggregation. The
+    per-(label,dim) and per-label collect_list folds bound memory by
+    cluster size — at corpus scale swap them for plain sums (tolerance
+    contract) or the integer ``centroid_sums`` path; the fold variant
+    IS the oracle-hashed release.
+    """
+    from dbms_data_anonymity_differential_privacy_spark.operators.similarity import _dot
+
+    v = _as_double_array(F.col(vec_col))
+    e = df.select(
+        F.col(id_col).alias("__id"), F.col(label_col).alias("__lbl"), v.alias("__v")
+    )
+    # exact per-(label, dim) centroid coordinates: sorted fold / count
+    sums = (
+        e.select("__lbl", F.posexplode("__v").alias("__pos", "__x"))
+        .groupBy("__lbl", "__pos")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.expr(
+                "aggregate(array_sort(collect_list(__x)), CAST(0.0 AS DOUBLE),"
+                " (a, b) -> a + b)"
+            ).alias("__s"),
+        )
+    )
+    cent = (
+        sums.groupBy("__lbl")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("__pos", (F.col("__s") / F.col("__n").cast("double")).alias("__m"))
+                )
+            ).alias("__p")
+        )
+        .select(
+            F.col("__lbl").alias("__clbl"),
+            F.transform("__p", lambda p: p["__m"]).alias("__cv"),
+        )
+        .withColumn("__cc", _dot(F.col("__cv"), F.col("__cv")))
+    )
+    scored = (
+        e.withColumn("__xx", _dot(F.col("__v"), F.col("__v")))
+        .join(F.broadcast(cent))
+        .select(
+            "__id",
+            "__lbl",
+            "__clbl",
+            F.sqrt(
+                F.greatest(
+                    F.col("__xx") - 2.0 * _dot(F.col("__v"), F.col("__cv")) + F.col("__cc"),
+                    F.lit(0.0),
+                )
+            ).alias("__d"),
+        )
+    )
+    ab = scored.groupBy("__id", "__lbl").agg(
+        F.max(F.when(F.col("__clbl") == F.col("__lbl"), F.col("__d"))).alias("__a"),
+        F.min(F.when(F.col("__clbl") != F.col("__lbl"), F.col("__d"))).alias("__b"),
+    )
+    s = F.when(
+        F.greatest(F.col("__a"), F.col("__b")) > 0.0,
+        (F.col("__b") - F.col("__a")) / F.greatest(F.col("__a"), F.col("__b")),
+    ).otherwise(F.lit(0.0))
+    per = ab.select(F.col("__lbl"), F.col("__a"), F.col("__b"), s.alias("__s"))
+
+    def fold(col: str) -> Column:
+        return F.expr(
+            f"aggregate(array_sort(collect_list({col})), CAST(0.0 AS DOUBLE),"
+            " (a, b) -> a + b)"
+        )
+
+    out = per.groupBy(F.col("__lbl").alias(label_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        fold("__a").alias("__sa"),
+        fold("__b").alias("__sb"),
+        fold("__s").alias("__ss"),
+    )
+    nd = F.col("n").cast("double")
+    return out.select(
+        label_col,
+        "n",
+        F.round(F.col("__sa") / nd, round_to).alias("mean_a_r"),
+        F.round(F.col("__sb") / nd, round_to).alias("mean_b_r"),
+        F.round(F.col("__ss") / nd, round_to).alias("silhouette_r"),
+    )

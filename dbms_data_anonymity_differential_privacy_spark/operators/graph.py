@@ -860,6 +860,11 @@ def hits_int(
     """
     import numpy as np
 
+    if iters < 1:
+        # the ktruss/markov validation discipline: iters=0 would return
+        # zero auth on the driver branch but crash the distributed branch
+        # (auth never assigned) — inconsistent, so refuse it up front
+        raise ValueError("hits_int requires iters >= 1")
     slim = edges.select(
         F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
     ).persist()

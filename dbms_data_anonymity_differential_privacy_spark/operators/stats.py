@@ -4024,3 +4024,210 @@ def tost_equivalence(
             F.lit(False),
         ).alias("equivalent"),
     )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """X225 — Kendall's tau-b rank correlation (Kendall 1938; tau-b tie
+    correction per Kendall 1945): the pair-concordance complement of
+    x109 Spearman. Spearman answers "is the monotone trend strong?";
+    tau answers "what fraction of pairs agree in order?" — the number
+    quality teams quote when comparing two document scorers or two
+    ranking models, and the more robust statistic under heavy ties
+    (exactly the regime of small count-valued features).
+
+    ``tau_b = (C - D) / sqrt((n0 - t_x) * (n0 - t_y))`` with
+    ``n0 = n(n-1)/2``, C/D the concordant/discordant pair counts and
+    ``t_x = Σ c_x(c_x-1)/2`` the tied-pair counts per marginal.
+
+    Output (single row):
+    ``(n, concordant, discordant, ties_x, ties_y, tau_b_r)`` (9 dp;
+    NULL when either marginal is constant — tau undefined).
+
+    Cross-engine exactness: every pair count is exact int64 arithmetic
+    on the CONTINGENCY GRID, so the only float op is the final
+    (C-D)/sqrt(..) division — one identical IEEE expression per engine.
+
+    Scale shape (100 TB): one (x, y) aggregation collapses the fact
+    table to the joint grid; the pair counting is a broadcast non-equi
+    self-join of the GRID against itself — |grid|² cell pairs, never
+    row pairs. Built for small discrete domains (counts, ratings,
+    bins); with ~1e4 distinct cells the join is 1e8 cheap comparisons.
+    Dense/continuous features should be binned first (x12/x17 family).
+    Int64 bounds: n0 and the tie products stay exact below n ≈ 4.3e9
+    rows (documented bound, the x191 class).
+    """
+    g = (
+        df.groupBy(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .persist()
+    )
+    tot = g.agg(
+        F.sum("__c").cast("long").alias("n"),
+        # tied-in-BOTH pairs, needed by neither marginal term — but the
+        # within-cell pairs are tied in x AND y, so they enter t_x and
+        # t_y via the marginals below; nothing to do here
+    )
+    tx = (
+        g.groupBy("__x")
+        .agg(F.sum("__c").cast("long").alias("__cx"))
+        .agg(
+            F.expr("CAST(SUM((__cx * (__cx - 1)) div 2) AS BIGINT)").alias("ties_x")
+        )
+    )
+    ty = (
+        g.groupBy("__y")
+        .agg(F.sum("__c").cast("long").alias("__cy"))
+        .agg(
+            F.expr("CAST(SUM((__cy * (__cy - 1)) div 2) AS BIGINT)").alias("ties_y")
+        )
+    )
+    a = g.select(
+        F.col("__x").alias("__xa"), F.col("__y").alias("__ya"), F.col("__c").alias("__ca")
+    )
+    b = g.select(
+        F.col("__x").alias("__xb"), F.col("__y").alias("__yb"), F.col("__c").alias("__cb")
+    )
+    cd = (
+        a.join(F.broadcast(b), F.col("__xa") < F.col("__xb"))
+        .agg(
+            F.sum(
+                F.when(F.col("__ya") < F.col("__yb"), F.col("__ca") * F.col("__cb")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("concordant"),
+            F.sum(
+                F.when(F.col("__ya") > F.col("__yb"), F.col("__ca") * F.col("__cb")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("discordant"),
+        )
+    )
+    out = tot.join(F.broadcast(cd)).join(F.broadcast(tx)).join(F.broadcast(ty))
+    nd = F.col("n").cast("double")
+    n0 = nd * (nd - F.lit(1.0)) / F.lit(2.0)
+    denom = F.sqrt(
+        (n0 - F.col("ties_x").cast("double")) * (n0 - F.col("ties_y").cast("double"))
+    )
+    num = F.col("concordant").cast("double") - F.col("discordant").cast("double")
+    g.unpersist()
+    return out.select(
+        "n",
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+        F.round(F.when(denom > 0.0, num / denom), 9).alias("tau_b_r"),
+    )
+
+
+# LCM(1..16): every per-unit pair-denominator (m_u - 1) up to 16 divides
+# it, so the Krippendorff observed-disagreement sum stays exact int64.
+_KRIPP_LCM = 720720
+
+
+def krippendorff_alpha_nominal(
+    df: DataFrame,
+    unit_col: str,
+    label_col: str,
+    max_ratings_per_unit: int = 17,
+) -> DataFrame:
+    """X226 — Krippendorff's alpha, nominal metric (Krippendorff 2004,
+    coincidence-matrix form): the general inter-annotator agreement
+    statistic — any number of raters per unit, missing ratings allowed
+    (units keep whatever ratings they have). The multi-rater successor
+    of x191 Cohen's kappa, which handles exactly two labelings; a
+    labeling pipeline with 3+ redundant annotations per example (the
+    standard RLHF/eval setup) reports alpha.
+
+    ``alpha = 1 - D_o / D_e`` where, over units with ``m_u >= 2``
+    ratings, ``D_o = (1/n) Σ_u (m_u² - Σ_c n_uc²) / (m_u - 1)`` (the
+    within-unit pairable disagreement) and
+    ``D_e = (n² - Σ_c n_c²) / (n(n-1))`` (the marginal chance
+    disagreement), with n = total pairable ratings and n_c the label
+    marginals.
+
+    Output (single row):
+    ``(n_units, n_ratings, n_labels, d_obs_r, d_exp_r, alpha_r)``
+    (9 dp; alpha NULL when D_e = 0 — every rating one label, agreement
+    undefined).
+
+    Cross-engine exactness: each unit's disagreement is scaled by
+    LCM(1..16) = 720720, making ``LCM·(m_u²-Σn_uc²)/(m_u-1)`` exact
+    integer division — the whole D_o numerator is an int64 sum, and the
+    released floats are single IEEE expressions over exact integers
+    (the x226 twin of the x221 2×-rank trick). Requires
+    ``m_u <= max_ratings_per_unit`` (≤17 keeps the divisibility;
+    raise the LCM for wider panels) — violated units raise loudly
+    rather than silently degrade.
+
+    Scale shape (100 TB): one (unit, label) count shuffle, one per-unit
+    reduction, one label-marginal reduction — three word-count-shaped
+    aggregations, all partial-combining; the release is one row.
+    Int64 bound: LCM·m² per unit ≈ 2e8 at m=17; exact below ~4e10
+    pairable ratings.
+    """
+    if max_ratings_per_unit > 17:
+        raise ValueError(
+            "krippendorff_alpha_nominal: LCM(1..16) covers at most 17 "
+            "ratings per unit; raise _KRIPP_LCM for wider panels"
+        )
+    uc = df.groupBy(F.col(unit_col).alias("__u"), F.col(label_col).alias("__l")).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    per_u = (
+        uc.groupBy("__u")
+        .agg(
+            F.sum("__c").cast("long").alias("__m"),
+            F.sum(F.col("__c") * F.col("__c")).cast("long").alias("__ssq"),
+        )
+        .filter(F.col("__m") >= 2)
+    )
+    # loud contract: a unit wider than the LCM bound would make the
+    # integer division inexact and silently skew alpha
+    over = per_u.filter(F.col("__m") > max_ratings_per_unit).limit(1).count()
+    if over:
+        raise ValueError(
+            f"krippendorff_alpha_nominal: a unit exceeds "
+            f"max_ratings_per_unit={max_ratings_per_unit}"
+        )
+    per_u = per_u.withColumn(
+        "__do_num",
+        F.expr(
+            f"CAST({_KRIPP_LCM} AS BIGINT) * (__m * __m - __ssq) div (__m - 1)"
+        ),
+    )
+    tot = per_u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("__m").cast("long").alias("n_ratings"),
+        F.sum("__do_num").cast("long").alias("__s"),
+    )
+    marg = (
+        uc.join(per_u.select("__u"), on="__u")
+        .groupBy("__l")
+        .agg(F.sum("__c").cast("long").alias("__nc"))
+    )
+    mt = marg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+        F.sum(F.col("__nc") * F.col("__nc")).cast("long").alias("__t"),
+    )
+    out = tot.join(F.broadcast(mt))
+    nd = F.col("n_ratings").cast("double")
+    d_obs = F.col("__s").cast("double") / F.lit(float(_KRIPP_LCM)) / nd
+    de_num = nd * nd - F.col("__t").cast("double")
+    d_exp = de_num / (nd * (nd - F.lit(1.0)))
+    return out.select(
+        "n_units",
+        "n_ratings",
+        "n_labels",
+        F.round(d_obs, 9).alias("d_obs_r"),
+        F.round(d_exp, 9).alias("d_exp_r"),
+        F.round(F.when(de_num > 0.0, F.lit(1.0) - d_obs / d_exp), 9).alias("alpha_r"),
+    )

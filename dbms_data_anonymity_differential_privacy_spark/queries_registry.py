@@ -11548,6 +11548,215 @@ def x223_dp_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# C3-prefix — deterministic encode/standardize projection
+# (operators/clustering.py encode_scale): the StringIndexer(alphabetAsc)
+# + StandardScaler(withMean, withStd) stages of C3 as an oracle-checkable
+# relation (r7 verdict task 7 — shrinks the rows-only surface to the
+# KMeans solver alone; MLlib-stage parity pinned in tests).
+# --------------------------------------------------------------------------
+def _c03_encode_scale_sql() -> str:
+    # exact int64 sufficient statistics per feature; mean/std/scaled are
+    # the same fixed IEEE expressions the engine evaluates
+    feats = [("c_nationkey", "i1"), ("c_mktsegment", "i2"), ("c_acctbal", "i3")]
+    sel = ["c_custkey", "c_mktsegment_idx"]
+    for c, i in feats:
+        mean = f"(CAST(s1{i} AS DOUBLE) / CAST(n AS DOUBLE))"
+        var = (
+            f"((CAST(s2{i} AS DOUBLE) - CAST(s1{i} AS DOUBLE) * CAST(s1{i} AS DOUBLE)"
+            f" / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))"
+        )
+        std = f"SQRT({var})"
+        sel.append(
+            f"ROUND(CASE WHEN {std} > 0.0 THEN (CAST({i} AS DOUBLE) - {mean}) / {std}"
+            f" ELSE 0.0 END, 9) AS {c}_scaled_r"
+        )
+    moments = ", ".join(
+        f"CAST(SUM({i}) AS BIGINT) AS s1{i}, CAST(SUM({i} * {i}) AS BIGINT) AS s2{i}"
+        for _, i in feats
+    )
+    return f"""
+    WITH dict AS (SELECT c_mktsegment,
+                         CAST(DENSE_RANK() OVER (ORDER BY c_mktsegment) - 1 AS BIGINT)
+                           AS c_mktsegment_idx
+                  FROM (SELECT DISTINCT c_mktsegment FROM customer)),
+    b AS MATERIALIZED (SELECT c_custkey, d.c_mktsegment_idx,
+                CAST(c_nationkey AS BIGINT) AS i1,
+                d.c_mktsegment_idx AS i2,
+                CAST(ROUND(c_acctbal * 100.0, 0) AS BIGINT) AS i3
+         FROM customer c JOIN dict d USING (c_mktsegment)),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, {moments} FROM b)
+    SELECT {', '.join(sel)} FROM b CROSS JOIN m
+    """
+
+
+@query("c03_encode_scale", _c03_encode_scale_sql())
+def c03_encode_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3's deterministic prefix: label-encode + standardize the customer
+    QI exactly like cluster_assign's StringIndexer/StandardScaler."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.clustering import encode_scale
+
+    c = load_table(spark, sf_dir, "customer")
+    return encode_scale(
+        c,
+        ["c_nationkey", "c_mktsegment", "c_acctbal"],
+        id_col="c_custkey",
+        money_cols=("c_acctbal",),
+    )
+
+
+# --------------------------------------------------------------------------
+# X224 — simplified silhouette per cluster (operators/embeddings.py
+# silhouette_by_label): the cluster-quality gate for C3 / x171 / x175
+# blocks. Centroids are sorted-fold means; distances expand to
+# xx − 2·dot + cc with in-order folds == list_dot_product (x04 contract).
+# --------------------------------------------------------------------------
+@query(
+    "x224_silhouette",
+    """
+    WITH e AS MATERIALIZED (SELECT vec_id, label,
+                list_transform(embedding, y -> CAST(y AS DOUBLE)) AS v
+         FROM embeddings),
+    dims AS (SELECT label, r.i AS i, CAST(COUNT(*) AS BIGINT) AS n,
+                    list_reduce(list_sort(list(v[r.i])), (a, b) -> a + b) AS s
+             FROM e, range(1, 65) r(i) GROUP BY label, r.i),
+    cent AS MATERIALIZED (
+        SELECT label AS clbl, list(s / CAST(n AS DOUBLE) ORDER BY i) AS cv
+        FROM dims GROUP BY label),
+    c2 AS (SELECT clbl, cv, list_dot_product(cv, cv) AS cc FROM cent),
+    d AS (SELECT e.vec_id, e.label, c.clbl,
+                 SQRT(GREATEST(list_dot_product(e.v, e.v)
+                               - 2 * list_dot_product(e.v, c.cv) + c.cc, 0.0)) AS dist
+          FROM e CROSS JOIN c2 c),
+    ab AS (SELECT vec_id, label,
+                  MAX(CASE WHEN clbl = label THEN dist END) AS a,
+                  MIN(CASE WHEN clbl <> label THEN dist END) AS b
+           FROM d GROUP BY 1, 2),
+    sil AS (SELECT label, a, b,
+                   CASE WHEN GREATEST(a, b) > 0.0
+                        THEN (b - a) / GREATEST(a, b) ELSE 0.0 END AS s
+            FROM ab)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(list_reduce(list_sort(list(a)), (x, y) -> x + y)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_a_r,
+           ROUND(list_reduce(list_sort(list(b)), (x, y) -> x + y)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_b_r,
+           ROUND(list_reduce(list_sort(list(s)), (x, y) -> x + y)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS silhouette_r
+    FROM sil GROUP BY label
+    """,
+)
+def x224_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label simplified silhouette over the embeddings table."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import (
+        silhouette_by_label,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return silhouette_by_label(emb)
+
+
+# --------------------------------------------------------------------------
+# X225 — Kendall tau-b (operators/stats.py kendall_tau_b): pair-
+# concordance rank agreement on the CONTINGENCY GRID (|grid|² cell
+# pairs, never row pairs) — all counts exact int64, one float division.
+# Instance: per-user view count vs purchase count.
+# --------------------------------------------------------------------------
+_X225_N0 = "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0)"
+_X225_DEN = (
+    f"SQRT(({_X225_N0} - CAST(ties_x AS DOUBLE))"
+    f" * ({_X225_N0} - CAST(ties_y AS DOUBLE)))"
+)
+
+
+@query(
+    "x225_kendall_tau",
+    f"""
+    WITH pu AS (SELECT user_id,
+                       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS x,
+                       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS y
+                FROM events GROUP BY 1),
+    g AS MATERIALIZED (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM pu GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM g),
+    tx AS (SELECT CAST(SUM((cx * (cx - 1)) // 2) AS BIGINT) AS ties_x
+           FROM (SELECT CAST(SUM(c) AS BIGINT) AS cx FROM g GROUP BY x)),
+    ty AS (SELECT CAST(SUM((cy * (cy - 1)) // 2) AS BIGINT) AS ties_y
+           FROM (SELECT CAST(SUM(c) AS BIGINT) AS cy FROM g GROUP BY y)),
+    cd AS (SELECT CAST(SUM(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END) AS BIGINT)
+                    AS concordant,
+                  CAST(SUM(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END) AS BIGINT)
+                    AS discordant
+           FROM g a JOIN g b ON a.x < b.x)
+    SELECT n, concordant, discordant, ties_x, ties_y,
+           ROUND(CASE WHEN {_X225_DEN} > 0.0
+                      THEN (CAST(concordant AS DOUBLE) - CAST(discordant AS DOUBLE))
+                           / {_X225_DEN} END, 9) AS tau_b_r
+    FROM tot CROSS JOIN cd CROSS JOIN tx CROSS JOIN ty
+    """,
+)
+def x225_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tau-b rank agreement between per-user view and purchase counts."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import kendall_tau_b
+
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "view").cast("long")).alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("y"),
+    )
+    return kendall_tau_b(pu, "x", "y")
+
+
+# --------------------------------------------------------------------------
+# X226 — Krippendorff's alpha, nominal (operators/stats.py
+# krippendorff_alpha_nominal): multi-rater agreement with missing
+# ratings — x191's generalization. LCM(1..16) scaling keeps the
+# observed-disagreement sum exact int64 (the x221 2×-rank idiom).
+# Instance: do an order's lineitems agree on l_returnflag?
+# --------------------------------------------------------------------------
+_X226_ND = "CAST(n_ratings AS DOUBLE)"
+_X226_DOBS = f"(CAST(s AS DOUBLE) / 720720.0 / {_X226_ND})"
+_X226_DENUM = f"({_X226_ND} * {_X226_ND} - CAST(t AS DOUBLE))"
+_X226_DEXP = f"({_X226_DENUM} / ({_X226_ND} * ({_X226_ND} - 1.0)))"
+
+
+@query(
+    "x226_krippendorff",
+    f"""
+    WITH uc AS MATERIALIZED (
+        SELECT l_orderkey AS u, l_returnflag AS l, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2),
+    pu AS MATERIALIZED (
+        SELECT u, CAST(SUM(c) AS BIGINT) AS m, CAST(SUM(c * c) AS BIGINT) AS ssq
+        FROM uc GROUP BY 1 HAVING SUM(c) >= 2),
+    don AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+                   CAST(SUM(m) AS BIGINT) AS n_ratings,
+                   CAST(SUM(CAST(720720 AS BIGINT) * (m * m - ssq) // (m - 1))
+                        AS BIGINT) AS s
+            FROM pu),
+    marg AS (SELECT l, CAST(SUM(c) AS BIGINT) AS nc
+             FROM uc JOIN pu USING (u) GROUP BY 1),
+    mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_labels,
+                  CAST(SUM(nc * nc) AS BIGINT) AS t FROM marg)
+    SELECT n_units, n_ratings, n_labels,
+           ROUND({_X226_DOBS}, 9) AS d_obs_r,
+           ROUND({_X226_DEXP}, 9) AS d_exp_r,
+           ROUND(CASE WHEN {_X226_DENUM} > 0.0
+                      THEN 1.0 - {_X226_DOBS} / {_X226_DEXP} END, 9) AS alpha_r
+    FROM don CROSS JOIN mt
+    """,
+)
+def x226_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff alpha: within-order agreement on l_returnflag."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+        krippendorff_alpha_nominal,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return krippendorff_alpha_nominal(li, "l_orderkey", "l_returnflag")
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries per round; the rotation policy (since round 7) is
 # BY STALENESS — new debuts and output/plan-changed queries first, then
@@ -11557,82 +11766,70 @@ def x223_dp_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ledgers).
 # --------------------------------------------------------------------------
 _WINDOW_R8 = [
-    # Round-7 rotation, now BY STALENESS (r6 verdict task 5): round 6
-    # returned 50/50 green, so the whole r6 window holds fresh driver
-    # rows and rotates out. Slots 1-21: the sixteen r7 debuts
-    # (x175_semantic_dedup_auto, pipe_private_export_stream,
-    # x176_line_dedup, x177_random_projection, x178_winnowing,
-    # x179_pettitt, x180_mmr_rerank, x181_embedding_drift,
-    # x182_split_conformal, x183_mutual_knn, x184_good_turing,
-    # x185_heaps_fit, x186_stream_drift, x187_gating_curve,
-    # x188_markov_stationary, x189_langid_eval — the last twelve
-    # displaced x02_dedup_exact/x03_ngram_jaccard/x04_cosine_topk/
-    # x05_text_features/x06_stream_window_kanon/x10/x11/x12/x13/x14/
-    # x16/x17, which sit exactly AT max staleness 5 and lead the r8
-    # rotation) and five deliberate
-    # re-checks of queries whose OUTPUT or physical plan changed this
-    # round (noise-moment audits gained scale_r and the gaussian path
-    # recalibrated to eps=0.5; x174's pair relation gained the
-    # exact-text source; x126_pagerank_dist got batched barriers;
-    # x146's revenue release moved to the two-level sorted fold — the
-    # one query whose VALUES changed at the last-bit level, so it must
-    # not coast on its r6 row). Remaining slots: the least-recently-
-    # driver-checked oracle queries (all those whose last green row is
-    # round 2; the two r2-green rows displaced by the new debuts —
-    # x18_contamination, x19_vocab — sit at staleness 5 = MAX_STALENESS
-    # and lead the r8 rotation). Max driver staleness across the
-    # registry stays <= MAX_STALENESS (pinned by
+    # Round-8 rotation BY STALENESS (r7 verdict task 1 — the one red
+    # test last round): round 7 returned 50/50 green, so the entire r7
+    # window holds fresh driver rows and rotates out. Slots 1-4: this
+    # round's debuts (c03_encode_scale — the C3 deterministic prefix,
+    # r7 task 7 — plus x224-x226). Slots 5-36: the 32 session-3 debuts
+    # (x190-x222) that have NEVER held a driver row — they debuted
+    # after the r7 window was cut and are the round's confirmation
+    # debt. Slots 37-50: the 14 queries whose newest driver green is
+    # round 2 (staleness 6 > MAX_STALENESS — the exact list from the
+    # failing r7 assertion). The 46 queries last confirmed in round 3
+    # sit AT staleness 5 and lead the r9 rotation. Max driver
+    # staleness across the registry returns to <= MAX_STALENESS once
+    # CORRECTNESS_r08.json lands (pinned by
     # tests/test_registry_window.py::test_window_rotates_by_staleness).
-    "x175_semantic_dedup_auto",
-    "pipe_private_export_stream",
-    "x176_line_dedup",
-    "x177_random_projection",
-    "x178_winnowing",
-    "x179_pettitt",
-    "x180_mmr_rerank",
-    "x181_embedding_drift",
-    "x182_split_conformal",
-    "x183_mutual_knn",
-    "x184_good_turing",
-    "x185_heaps_fit",
-    "x186_stream_drift",
-    "x187_gating_curve",
-    "x188_markov_stationary",
-    "x189_langid_eval",
-    "x01_dp_noise_moments",
-    "x01_dp_noise_moments_gauss",
-    "x174_leakage_safe_split",
-    "x126_pagerank_dist",
-    "x146_cohort_ltv",
-    "c05_reid_risk",
-    "c06_uniqueness_rows",
-    "c07_suppression_rate",
-    "c08_ncp",
-    "c09_t_violations",
-    "p01_scan",
-    "p02_drop_null",
-    "p03_project",
-    "p04_cast_coerce",
-    "p05_group_frequency",
-    "p06_threshold_filter",
-    "p07_join_back",
-    "p08_semi_join",
-    "p09_group_stat_to_rows",
-    "p10_minmax_class_size",
-    "p11_counts",
-    "p12_nunique",
-    "p13_value_counts",
-    "p14_distribution",
-    "p15_singletons",
-    "p16_mean_derived",
-    "p17_equal_width_bin",
-    "p18_explicit_bin",
-    "p19_range_generalize",
-    "p20_union",
-    "p21_sorted_distinct",
-    "p22_limit",
-    "p23_scalar_arithmetic",
-    "x01_dp_avg_exact",
+    "c03_encode_scale",
+    "x224_silhouette",
+    "x225_kendall_tau",
+    "x226_krippendorff",
+    "x190_pmi_collocations",
+    "x191_cohens_kappa",
+    "x192_calibration",
+    "x193_parity",
+    "x194_holt",
+    "x195_local_clustering",
+    "x196_hits",
+    "x197_logrank",
+    "x198_ktruss",
+    "x199_packing_efficiency",
+    "x200_brown_forsythe",
+    "x201_seasonal_decompose",
+    "x202_hll_distinct",
+    "x203_readability",
+    "x204_cramers_v",
+    "x205_cochran_armitage",
+    "x206_token_fertility",
+    "x207_ipw_ate",
+    "x208_item_cf",
+    "x209_odds_ratio",
+    "x210_mcnemar",
+    "x211_distinct_users",
+    "x212_markov_attribution",
+    "x213_rmst",
+    "x215_wilson_ci",
+    "x216_keyness",
+    "x217_mantel_haenszel",
+    "x218_theil_sen",
+    "x219_qini",
+    "x220_overdispersion",
+    "x221_friedman",
+    "x222_tost",
+    "x02_dedup_exact",
+    "x03_ngram_jaccard",
+    "x04_cosine_topk",
+    "x05_text_features",
+    "x06_stream_window_kanon",
+    "x10_hash_split",
+    "x11_sessionize",
+    "x12_equal_freq_bin",
+    "x13_pii_detect",
+    "x14_repetition",
+    "x16_asof_join",
+    "x17_session_errors",
+    "x18_contamination",
+    "x19_vocab",
 ]
 
 

@@ -52,46 +52,11 @@ CURRENT_ROUND = max(GREEN_BY_ROUND) + 1
 
 # Oracle-backed queries registered this round that debut OUTSIDE the
 # window (only allowed when every window slot holds a query still
-# awaiting its first driver row or a deliberate re-check). Round 7,
-# session 3: the window's 50 slots are already spent on the 21
-# debuts/re-checks plus the r1/r2-stale rotation (displacing any of
-# those would breach MAX_STALENESS), so the session-3 debuts wait for
-# the r8 window; the judge's full check_oracle sweep still verifies
-# them this round.
-NEW_THIS_ROUND: set[str] = {
-    "x190_pmi_collocations",
-    "x191_cohens_kappa",
-    "x192_calibration",
-    "x193_parity",
-    "x194_holt",
-    "x195_local_clustering",
-    "x196_hits",
-    "x197_logrank",
-    "x198_ktruss",
-    "x199_packing_efficiency",
-    "x200_brown_forsythe",
-    "x201_seasonal_decompose",
-    "x202_hll_distinct",
-    "x203_readability",
-    "x204_cramers_v",
-    "x205_cochran_armitage",
-    "x206_token_fertility",
-    "x207_ipw_ate",
-    "x208_item_cf",
-    "x209_odds_ratio",
-    "x210_mcnemar",
-    "x211_distinct_users",
-    "x212_markov_attribution",
-    "x213_rmst",
-    "x215_wilson_ci",
-    "x216_keyness",
-    "x217_mantel_haenszel",
-    "x218_theil_sen",
-    "x219_qini",
-    "x220_overdispersion",
-    "x221_friedman",
-    "x222_tost",
-}
+# awaiting its first driver row or a deliberate re-check). Round 8:
+# empty — the window's 50 slots hold the 4 r8 debuts (all in-window),
+# the 32 session-3 debuts that were waiting here last round, and the
+# 14 round-2-stale queries from the failing r7 staleness assertion.
+NEW_THIS_ROUND: set[str] = set()
 
 
 def component_of(name: str) -> str:

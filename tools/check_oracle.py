@@ -6,7 +6,14 @@ row-count, column names, and order-insensitive values (exact for
 non-floats, equality-after-canonicalization for floats). Queries without
 an oracle get a rows-only smoke run.
 
-Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [query_name ...]
+
+``--json`` additionally writes a CORRECTNESS-shaped artifact (the
+driver's per-query row schema: rows/schema/hash match + err) so local
+sweeps can be committed as supplementary evidence. Do NOT name such
+artifacts ``CORRECTNESS_r<N>.json`` — that glob is the DRIVER-green
+ledger (tests/test_registry_window.py) and local sweeps must not count
+as driver confirmations.
 """
 
 from __future__ import annotations
@@ -86,8 +93,13 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from dbms_data_anonymity_differential_privacy_spark import get_spark
@@ -96,6 +108,7 @@ def main() -> int:
     con = duck_con(sf_dir)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -105,17 +118,39 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
+            report[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None, "err": f"spark: {e}",
+            }
             continue
         if name not in oracles:
             print(f"ok   {name}: rows-only, {len(spark_pdf)} rows ({time.time() - t0:.1f}s)")
+            report[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(spark_pdf), "oracle_rows": None, "err": None,
+                "rows_only": True,
+            }
             continue
         try:
             duck_pdf = con.execute(oracles[name]).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
+            report[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": len(spark_pdf), "oracle_rows": None,
+                "err": f"duckdb: {e}",
+            }
             continue
         problems = compare(name, spark_pdf, duck_pdf)
+        report[name] = {
+            "rows_match": len(spark_pdf) == len(duck_pdf),
+            "schema_match": sorted(spark_pdf.columns) == sorted(duck_pdf.columns),
+            "hash_match": not problems,
+            "spark_rows": len(spark_pdf),
+            "oracle_rows": len(duck_pdf),
+            "err": "; ".join(problems) or None,
+        }
         if problems:
             failures += 1
             print(f"FAIL {name} ({time.time() - t0:.1f}s)")
@@ -124,6 +159,12 @@ def main() -> int:
         else:
             print(f"ok   {name}: {len(spark_pdf)} rows hash-match ({time.time() - t0:.1f}s)")
     print(f"\n{len(qs)} queries, {failures} failures")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "results": report}, f, indent=1)
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
