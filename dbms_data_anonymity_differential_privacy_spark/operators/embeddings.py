@@ -744,13 +744,15 @@ def silhouette_by_label(
     IEEE expression on both engines.
 
     Scale shape (100 TB): one posexplode shuffle builds the (label, dim)
-    centroid sufficient statistics; the scoring pass is a map-only
-    cross join against the BROADCAST k-row centroid relation (k = label
-    count, metadata-sized) followed by one per-label aggregation. The
-    per-(label,dim) and per-label collect_list folds bound memory by
-    cluster size — at corpus scale swap them for plain sums (tolerance
-    contract) or the integer ``centroid_sums`` path; the fold variant
-    IS the oracle-hashed release.
+    centroid sufficient statistics; the k centroid vectors (k = label
+    count, metadata-sized) are collected once and ride the scoring
+    projection as LITERAL arrays — the x175 idiom — so the per-row
+    a/b/s computation is MAP-ONLY (no k× row inflation, no per-id
+    shuffle), and the only post-scoring exchange is the one per-label
+    aggregation. The per-(label,dim) and per-label collect_list folds
+    bound memory by cluster size — at corpus scale swap them for plain
+    sums (tolerance contract) or the integer ``centroid_sums`` path;
+    the fold variant IS the oracle-hashed release.
     """
     from dbms_data_anonymity_differential_privacy_spark.operators.similarity import _dot
 
@@ -770,7 +772,7 @@ def silhouette_by_label(
             ).alias("__s"),
         )
     )
-    cent = (
+    crows = (
         sums.groupBy("__lbl")
         .agg(
             F.array_sort(
@@ -779,36 +781,37 @@ def silhouette_by_label(
                 )
             ).alias("__p")
         )
-        .select(
-            F.col("__lbl").alias("__clbl"),
-            F.transform("__p", lambda p: p["__m"]).alias("__cv"),
-        )
-        .withColumn("__cc", _dot(F.col("__cv"), F.col("__cv")))
+        .select("__lbl", F.transform("__p", lambda p: p["__m"]).alias("__cv"))
+        .collect()  # k rows — bounded driver work (the x175 contract)
     )
-    scored = (
-        e.withColumn("__xx", _dot(F.col("__v"), F.col("__v")))
-        .join(F.broadcast(cent))
-        .select(
-            "__id",
-            "__lbl",
-            "__clbl",
-            F.sqrt(
-                F.greatest(
-                    F.col("__xx") - 2.0 * _dot(F.col("__v"), F.col("__cv")) + F.col("__cc"),
-                    F.lit(0.0),
-                )
-            ).alias("__d"),
+    xx = _dot(F.col("__v"), F.col("__v"))
+    dists = []  # (label literal, distance expression)
+    for row in crows:
+        cvec = [float(x) for x in row["__cv"]]
+        # sequential left-fold of c·c in list order — bit-identical to
+        # the fold the broadcast-relation formulation would have used
+        cxx = 0.0
+        for x in cvec:
+            cxx += x * x
+        clit = F.array(*[F.lit(x) for x in cvec])
+        d = F.sqrt(
+            F.greatest(xx - 2.0 * _dot(F.col("__v"), clit) + F.lit(cxx), F.lit(0.0))
         )
+        dists.append((row["__lbl"], d))
+    # a = distance to the OWN centroid (exactly one non-null candidate),
+    # b = min distance to any OTHER centroid; array_min/max skip NULLs —
+    # the same null-skipping MIN/MAX(CASE ...) semantics the SQL twin uses
+    a = F.array_max(
+        F.array(*[F.when(F.col("__lbl") == F.lit(lbl), d) for lbl, d in dists])
     )
-    ab = scored.groupBy("__id", "__lbl").agg(
-        F.max(F.when(F.col("__clbl") == F.col("__lbl"), F.col("__d"))).alias("__a"),
-        F.min(F.when(F.col("__clbl") != F.col("__lbl"), F.col("__d"))).alias("__b"),
+    b = F.array_min(
+        F.array(*[F.when(F.col("__lbl") != F.lit(lbl), d) for lbl, d in dists])
     )
     s = F.when(
-        F.greatest(F.col("__a"), F.col("__b")) > 0.0,
-        (F.col("__b") - F.col("__a")) / F.greatest(F.col("__a"), F.col("__b")),
+        F.greatest(a, b) > 0.0,
+        (b - a) / F.greatest(a, b),
     ).otherwise(F.lit(0.0))
-    per = ab.select(F.col("__lbl"), F.col("__a"), F.col("__b"), s.alias("__s"))
+    per = e.select(F.col("__lbl"), a.alias("__a"), b.alias("__b"), s.alias("__s"))
 
     def fold(col: str) -> Column:
         return F.expr(

@@ -4060,7 +4060,13 @@ def kendall_tau_b(
     Int64 bounds: n0 and the tie products stay exact below n ≈ 4.3e9
     rows (documented bound, the x191 class).
     """
-    g = (
+    from dbms_data_anonymity_differential_privacy_spark.operators.util import track_cached
+
+    # the grid feeds FIVE consumers (n, tie marginals ×2, both join
+    # sides); persist so the fact-table aggregation runs once, ledger-
+    # tracked because the consuming action is the CALLER's (an
+    # unpersist here would fire before the plan ever materializes)
+    g = track_cached(
         df.groupBy(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
         .persist()
@@ -4117,7 +4123,6 @@ def kendall_tau_b(
         (n0 - F.col("ties_x").cast("double")) * (n0 - F.col("ties_y").cast("double"))
     )
     num = F.col("concordant").cast("double") - F.col("discordant").cast("double")
-    g.unpersist()
     return out.select(
         "n",
         "concordant",
@@ -4179,16 +4184,25 @@ def krippendorff_alpha_nominal(
             "krippendorff_alpha_nominal: LCM(1..16) covers at most 17 "
             "ratings per unit; raise _KRIPP_LCM for wider panels"
         )
-    uc = df.groupBy(F.col(unit_col).alias("__u"), F.col(label_col).alias("__l")).agg(
-        F.count(F.lit(1)).cast("long").alias("__c")
+    from dbms_data_anonymity_differential_privacy_spark.operators.util import track_cached
+
+    # uc feeds both the per-unit reduction and the label marginals, and
+    # per_u is consumed eagerly by the bound check below and again by
+    # the release — persist both (ledger-tracked) so the fact-table
+    # aggregation runs once
+    uc = track_cached(
+        df.groupBy(F.col(unit_col).alias("__u"), F.col(label_col).alias("__l"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .persist()
     )
-    per_u = (
+    per_u = track_cached(
         uc.groupBy("__u")
         .agg(
             F.sum("__c").cast("long").alias("__m"),
             F.sum(F.col("__c") * F.col("__c")).cast("long").alias("__ssq"),
         )
         .filter(F.col("__m") >= 2)
+        .persist()
     )
     # loud contract: a unit wider than the LCM bound would make the
     # integer division inexact and silently skew alpha

@@ -49,9 +49,16 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
 EVENTS_SCHEMA = _events_schema(T.TimestampType())
 
 
-def events_readstream(spark: SparkSession, events_path: str) -> DataFrame:
+def events_readstream(
+    spark: SparkSession, events_path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source readStream over an events directory with ``ts`` always
     arriving as a proper TimestampType, whatever the file encoding.
+
+    ``max_files_per_trigger`` caps each micro-batch at that many source
+    files (the file source's ``maxFilesPerTrigger``; respected by
+    availableNow replays too) — how the stream-state bench drives a
+    multi-batch replay with per-batch state/throughput telemetry.
 
     Streaming sources need a declared schema, and the events table has
     shipped in two encodings (TIMESTAMP(NANOS) stored as int64, and native
@@ -81,16 +88,19 @@ def events_readstream(spark: SparkSession, events_path: str) -> DataFrame:
     prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     probe = spark.read.parquet(events_path)
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     if dict(probe.dtypes).get("ts") == "bigint":
         # Nanos directory: the stream relies on the flag staying set so the
         # file source reads int64; leave it on for this session.
-        raw = spark.readStream.schema(_events_schema(T.LongType())).parquet(events_path)
+        raw = reader.schema(_events_schema(T.LongType())).parquet(events_path)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if prev_nanos is None:
         spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     else:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
-    return spark.readStream.schema(EVENTS_SCHEMA).parquet(events_path)
+    return reader.schema(EVENTS_SCHEMA).parquet(events_path)
 
 
 def _windowed_counts(events: DataFrame, k: int, window: str) -> DataFrame:

@@ -483,3 +483,18 @@ def test_c10_utility_band_at_sf01(spark):
     assert row["accuracy_drop"] == pytest.approx(
         row["accuracy_original"] - row["accuracy_anonymized"], abs=1e-9
     )
+
+
+def test_silhouette_plan_is_map_only_scoring(spark):
+    """x224's scoring must ride literal centroid arrays (the x175
+    idiom): no cartesian/broadcast-NL join, no per-id shuffle — the
+    ONLY exchange in the released plan is the per-label aggregation,
+    and the scan prunes to (embedding, label)."""
+    from dbms_data_anonymity_differential_privacy_spark import queries_registry as qr
+
+    df = qr.QUERIES["x224_silhouette"](spark, SF001)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "ReadSchema: struct<embedding:array<float>,label:int>" in plan
