@@ -277,6 +277,10 @@ HEADLINE = [
     "x221_friedman",
     "x222_tost",
     "x223_dp_consistent",
+    "c03_encode_scale",
+    "x224_silhouette",
+    "x225_kendall_tau",
+    "x226_krippendorff",
 ]
 
 

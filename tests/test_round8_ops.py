@@ -498,3 +498,82 @@ def test_silhouette_plan_is_map_only_scoring(spark):
     assert "BroadcastNestedLoop" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "ReadSchema: struct<embedding:array<float>,label:int>" in plan
+
+
+# ---------------------------------------------------------------------------
+# Brute-force reference cross-checks: the grid/LCM formulations must
+# equal the O(n²)/textbook computations on small data.
+# ---------------------------------------------------------------------------
+
+
+def test_kendall_tau_matches_bruteforce(spark):
+    import itertools
+    import math
+    import random
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import kendall_tau_b
+
+    rng = random.Random(8)
+    data = [(i, rng.randint(0, 6), rng.randint(0, 4)) for i in range(200)]
+    df = spark.createDataFrame(data, "k LONG, x LONG, y LONG")
+    r = kendall_tau_b(df, "x", "y").first()
+
+    c = d = tx = ty = 0
+    for (_, xa, ya), (_, xb, yb) in itertools.combinations(data, 2):
+        if xa == xb and ya == yb:
+            tx += 1
+            ty += 1
+        elif xa == xb:
+            tx += 1
+        elif ya == yb:
+            ty += 1
+        elif (xa < xb) == (ya < yb):
+            c += 1
+        else:
+            d += 1
+    n = len(data)
+    n0 = n * (n - 1) / 2
+    tau = (c - d) / math.sqrt((n0 - tx) * (n0 - ty))
+    assert r["concordant"] == c and r["discordant"] == d
+    assert r["ties_x"] == tx and r["ties_y"] == ty
+    assert r["tau_b_r"] == pytest.approx(tau, abs=1e-8)
+
+
+def test_krippendorff_matches_textbook(spark):
+    import random
+    from collections import Counter, defaultdict
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+        krippendorff_alpha_nominal,
+    )
+
+    rng = random.Random(9)
+    rows = []
+    for u in range(60):
+        m = rng.randint(1, 6)
+        for _ in range(m):
+            rows.append((u, rng.choice("abc")))
+    df = spark.createDataFrame(rows, "u LONG, l STRING")
+    r = krippendorff_alpha_nominal(df, "u", "l").first()
+
+    units: dict = defaultdict(Counter)
+    for u, lbl in rows:
+        units[u][lbl] += 1
+    kept = {u: cnt for u, cnt in units.items() if sum(cnt.values()) >= 2}
+    n = sum(sum(c.values()) for c in kept.values())
+    d_obs = (
+        sum(
+            (m * m - sum(v * v for v in cnt.values())) / (m - 1)
+            for cnt, m in ((c, sum(c.values())) for c in kept.values())
+        )
+        / n
+    )
+    marg: Counter = Counter()
+    for cnt in kept.values():
+        marg.update(cnt)
+    d_exp = (n * n - sum(v * v for v in marg.values())) / (n * (n - 1))
+    alpha = 1.0 - d_obs / d_exp
+    assert r["n_ratings"] == n
+    assert r["d_obs_r"] == pytest.approx(d_obs, abs=1e-8)
+    assert r["d_exp_r"] == pytest.approx(d_exp, abs=1e-8)
+    assert r["alpha_r"] == pytest.approx(alpha, abs=1e-8)
