@@ -11758,79 +11758,64 @@ def x226_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
-# registered queries per round; the rotation policy (since round 7) is
-# BY STALENESS — new debuts and output/plan-changed queries first, then
-# the least-recently-driver-checked, so the oldest confirmation across
-# the whole registry stays bounded (<= MAX_STALENESS rounds, pinned in
-# tests/test_registry_window.py against the committed CORRECTNESS_r*.json
-# ledgers).
+# registered queries per round; the rotation policy is BY STALENESS —
+# and since round 8 the rotation is COMPUTED, not hand-cut: the window
+# is derived at import time from the committed CORRECTNESS_r*.json
+# ledgers (the driver's own reports), ordering oracle queries by
+# (newest driver-green round, name) ascending so never-confirmed
+# debuts lead, then the least-recently-confirmed. When the driver's
+# next artifact lands, the window self-rotates — the r7 "shipped with
+# its own staleness gate red" process defect cannot recur, because
+# there is no list to forget to update. Invariants pinned in
+# tests/test_registry_window.py.
 # --------------------------------------------------------------------------
-_WINDOW_R8 = [
-    # Round-8 rotation BY STALENESS (r7 verdict task 1 — the one red
-    # test last round): round 7 returned 50/50 green, so the entire r7
-    # window holds fresh driver rows and rotates out. Slots 1-4: this
-    # round's debuts (c03_encode_scale — the C3 deterministic prefix,
-    # r7 task 7 — plus x224-x226). Slots 5-36: the 32 session-3 debuts
-    # (x190-x222) that have NEVER held a driver row — they debuted
-    # after the r7 window was cut and are the round's confirmation
-    # debt. Slots 37-50: the 14 queries whose newest driver green is
-    # round 2 (staleness 6 > MAX_STALENESS — the exact list from the
-    # failing r7 assertion). The 46 queries last confirmed in round 3
-    # sit AT staleness 5 and lead the r9 rotation. Max driver
-    # staleness across the registry returns to <= MAX_STALENESS once
-    # CORRECTNESS_r08.json lands (pinned by
-    # tests/test_registry_window.py::test_window_rotates_by_staleness).
-    "c03_encode_scale",
-    "x224_silhouette",
-    "x225_kendall_tau",
-    "x226_krippendorff",
-    "x190_pmi_collocations",
-    "x191_cohens_kappa",
-    "x192_calibration",
-    "x193_parity",
-    "x194_holt",
-    "x195_local_clustering",
-    "x196_hits",
-    "x197_logrank",
-    "x198_ktruss",
-    "x199_packing_efficiency",
-    "x200_brown_forsythe",
-    "x201_seasonal_decompose",
-    "x202_hll_distinct",
-    "x203_readability",
-    "x204_cramers_v",
-    "x205_cochran_armitage",
-    "x206_token_fertility",
-    "x207_ipw_ate",
-    "x208_item_cf",
-    "x209_odds_ratio",
-    "x210_mcnemar",
-    "x211_distinct_users",
-    "x212_markov_attribution",
-    "x213_rmst",
-    "x215_wilson_ci",
-    "x216_keyness",
-    "x217_mantel_haenszel",
-    "x218_theil_sen",
-    "x219_qini",
-    "x220_overdispersion",
-    "x221_friedman",
-    "x222_tost",
-    "x02_dedup_exact",
-    "x03_ngram_jaccard",
-    "x04_cosine_topk",
-    "x05_text_features",
-    "x06_stream_window_kanon",
-    "x10_hash_split",
-    "x11_sessionize",
-    "x12_equal_freq_bin",
-    "x13_pii_detect",
-    "x14_repetition",
-    "x16_asof_join",
-    "x17_session_errors",
-    "x18_contamination",
-    "x19_vocab",
-]
+WINDOW_SIZE = 50
+
+# Queries whose OUTPUT or physical plan changed this round and must not
+# coast on an older green row: they take window slots ahead of the
+# ordinary staleness rotation. Self-draining — once the driver's next
+# artifact re-confirms them they rotate like everyone else, but REMOVE
+# entries here once re-confirmed so the slots free up.
+FORCE_RECHECK: list[str] = []
+
+
+def _driver_green_ledger() -> dict[str, int]:
+    """name -> newest round with a driver-issued hash-match, read from
+    the committed CORRECTNESS_r<N>.json artifacts. Local sweep artifacts
+    (CORRECTNESS_local_*.json) deliberately do NOT count — the driver's
+    hash is the contract."""
+    import json
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    last: dict[str, int] = {}
+    for f in root.glob("CORRECTNESS_r*.json"):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)", f.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def _driver_window() -> list[str]:
+    last = _driver_green_ledger()
+    rotation = sorted(
+        (n for n in QUERIES if n in ORACLE_SQL and n not in FORCE_RECHECK),
+        key=lambda n: (last.get(n, -1), n),
+    )
+    window = [n for n in FORCE_RECHECK if n in QUERIES] + rotation
+    return window[:WINDOW_SIZE]
+
+
+_WINDOW_R8 = _driver_window()
 
 
 def _reorder_for_driver_window() -> None:
