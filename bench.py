@@ -281,6 +281,7 @@ HEADLINE = [
     "x224_silhouette",
     "x225_kendall_tau",
     "x226_krippendorff",
+    "x227_canary_audit",
 ]
 
 

@@ -1790,3 +1790,73 @@ def winnow_match_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def canary_audit(
+    df: DataFrame,
+    canaries: "Sequence[str]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X227 — planted-canary memorization audit (Carlini et al. 2019,
+    "The Secret Sharer": unique canary strings are planted before
+    training and their duplication level predicts extraction risk; the
+    Secret Sharer protocol's first, data-side half is exactly this
+    report). Given the PUBLIC canary list, release per canary how often
+    and how widely it occurs in the corpus — the number a privacy
+    review reads before approving a training run, and the input to the
+    canary-exposure computation the model-side half performs.
+
+    Output, one row per canary (canaries absent from the corpus release
+    zeros — absence is the PASSING result and must be visible)::
+
+        (canary_id, canary, n_docs, n_occurrences, first_doc_id)
+
+    ``n_occurrences`` counts overlapping-free occurrences via the
+    classic length-difference identity
+    ``(len(t) - len(replace(t, c, ''))) / len(c)`` — pure JVM
+    built-ins; ``first_doc_id`` is the min doc id containing the
+    canary (deterministic witness).
+
+    Scale shape (100 TB): the canary list is data-independent metadata
+    (tens of strings) riding the projection as LITERALS — the scan is
+    ONE map-only pass over the corpus (all canaries tested per row,
+    zero joins), followed by one partial-combined aggregation to
+    |canaries| rows. No shuffle carries text.
+
+    Cross-engine exactness: counts are exact int64; no floats anywhere.
+    """
+    rows = []
+    for cid, c in enumerate(canaries):
+        if not c:
+            raise ValueError("empty canary string")
+        t = F.col(text_col)
+        occ = (F.length(t) - F.length(F.replace(t, F.lit(c), F.lit("")))) / F.lit(
+            len(c)
+        )
+        rows.append(
+            F.struct(
+                F.lit(cid).alias("canary_id"),
+                F.lit(c).alias("canary"),
+                occ.cast("long").alias("occ"),
+                F.col(id_col).alias("id"),
+            )
+        )
+    exploded = df.select(F.explode(F.array(*rows)).alias("c")).select(
+        "c.canary_id", "c.canary", "c.occ", "c.id"
+    )
+    return (
+        exploded.groupBy("canary_id", "canary")
+        .agg(
+            F.sum((F.col("occ") > 0).cast("long")).alias("n_docs"),
+            F.sum("occ").alias("n_occurrences"),
+            F.min(F.when(F.col("occ") > 0, F.col("id"))).alias("first_doc_id"),
+        )
+        .select(
+            "canary_id",
+            "canary",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            "first_doc_id",
+        )
+    )

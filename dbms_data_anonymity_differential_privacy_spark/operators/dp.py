@@ -1540,23 +1540,46 @@ def _largest_remainder_round(
     """
     import math
 
+    if total_int < 0:
+        raise ValueError("total_int must be >= 0")
     floors = [int(math.floor(s)) for s in scaled]
-    short = total_int - sum(floors)
     out = list(floors)
-    if short >= 0:
+    n = len(out)
+    short = total_int - sum(out)
+    # Total-correct for ANY input, not just the caller's near-normalized
+    # one (|short| <= 1 there). Semantics = repeated unit passes (each
+    # pass adjusts every eligible cell once, remainder-ordered); the
+    # full passes are applied in closed form, then one partial pass.
+    if short > 0:
+        q, r = divmod(short, n)
+        if q:
+            out = [c + q for c in out]
         order = sorted(
-            range(len(scaled)),
-            key=lambda i: (-(scaled[i] - floors[i]), keys[i]),
+            range(n), key=lambda i: (-(scaled[i] - floors[i]), keys[i])
         )
-        for i in order[:short]:
+        for i in order[:r]:
             out[i] += 1
-    else:
-        order = sorted(
-            (i for i in range(len(scaled)) if out[i] > 0),
-            key=lambda i: (scaled[i] - floors[i], keys[i]),
-        )
-        for i in order[: -short]:
-            out[i] -= 1
+    elif short < 0:
+        deficit = -short
+        # k full passes: out_i = max(0, out_i - k); find the largest k
+        # whose cumulative removal still fits the deficit
+        lo, hi = 0, max(out) if out else 0
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if sum(out[i] - max(0, out[i] - mid) for i in range(n)) <= deficit:
+                lo = mid
+            else:
+                hi = mid - 1
+        removed = sum(out[i] - max(0, out[i] - lo) for i in range(n))
+        out = [max(0, c - lo) for c in out]
+        rest = deficit - removed
+        if rest:
+            order = sorted(
+                (i for i in range(n) if out[i] > 0),
+                key=lambda i: (scaled[i] - floors[i], keys[i]),
+            )
+            for i in order[:rest]:
+                out[i] -= 1
     return out
 
 

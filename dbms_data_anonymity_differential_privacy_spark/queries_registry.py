@@ -11757,6 +11757,43 @@ def x226_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X227 — planted-canary memorization audit (operators/dedup.py
+# canary_audit): the data-side half of the Secret Sharer protocol —
+# per-canary duplication counts over the corpus, map-only literal scan.
+# Canary list is PUBLIC metadata by protocol construction.
+# --------------------------------------------------------------------------
+X227_CANARIES = ["table window", "spark order data", "zzz-canary-0001"]
+
+
+def _x227_sql() -> str:
+    vals = ", ".join(f"({i}, '{c}')" for i, c in enumerate(X227_CANARIES))
+    return f"""
+    WITH c(canary_id, canary) AS (VALUES {vals}),
+    e AS (SELECT c.canary_id, c.canary,
+                 CAST((length(d.text) - length(replace(d.text, c.canary, '')))
+                      // length(c.canary) AS BIGINT) AS occ,
+                 d.doc_id
+          FROM documents d CROSS JOIN c)
+    SELECT canary_id, canary,
+           CAST(SUM(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+           CAST(SUM(occ) AS BIGINT) AS n_occurrences,
+           MIN(CASE WHEN occ > 0 THEN doc_id END) AS first_doc_id
+    FROM e GROUP BY 1, 2
+    """
+
+
+@query("x227_canary_audit", _x227_sql())
+def x227_canary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secret Sharer data-side audit: how duplicated is each planted
+    canary in the documents corpus? (Zeros for absent canaries — the
+    passing result stays visible.)"""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import canary_audit
+
+    d = load_table(spark, sf_dir, "documents")
+    return canary_audit(d, X227_CANARIES)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries per round; the rotation policy is BY STALENESS —
 # and since round 8 the rotation is COMPUTED, not hand-cut: the window

@@ -577,3 +577,46 @@ def test_krippendorff_matches_textbook(spark):
     assert r["d_obs_r"] == pytest.approx(d_obs, abs=1e-8)
     assert r["d_exp_r"] == pytest.approx(d_exp, abs=1e-8)
     assert r["alpha_r"] == pytest.approx(alpha, abs=1e-8)
+
+
+def test_largest_remainder_property():
+    """Any non-negative scaled vector, any total: the published integers
+    sum EXACTLY to the total and never go negative."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(st.floats(0.0, 1e6, allow_nan=False), min_size=1, max_size=20),
+        st.integers(0, 10_000),
+    )
+    def prop(scaled, total):
+        out = _largest_remainder_round(scaled, total, [(i,) for i in range(len(scaled))])
+        assert sum(out) == total
+        assert min(out) >= 0
+
+    prop()
+
+
+def test_canary_audit_planted_and_absent(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import canary_audit
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the canary XYZZY sings XYZZY twice"),
+            (2, "no secrets here"),
+            (3, "XYZZY appears once"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["canary"]: r for r in canary_audit(docs, ["XYZZY", "PLUGH"]).collect()}
+    assert out["XYZZY"]["n_docs"] == 2
+    assert out["XYZZY"]["n_occurrences"] == 3
+    assert out["XYZZY"]["first_doc_id"] == 1
+    # absence is the PASSING result and must be a visible zero row
+    assert out["PLUGH"]["n_docs"] == 0
+    assert out["PLUGH"]["n_occurrences"] == 0
+    assert out["PLUGH"]["first_doc_id"] is None
+
+    with pytest.raises(ValueError, match="empty canary"):
+        canary_audit(docs, [""])
