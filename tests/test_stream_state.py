@@ -147,3 +147,84 @@ def test_private_export_stream_state_bounded(spark, tmp_path):
     # (lang, fingerprint) mass — the docstring's state contract
     peak = max(max(per_op) for per_op in state)
     assert peak <= n_keys, f"state {peak} exceeds distinct-key bound {n_keys}"
+
+
+def test_x211_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """Kill the stream after the first half of the timeline, then start a
+    NEW query object from the SAME checkpoint: the dedup + window state
+    must restore (no reprocessing — the restarted query reads only the
+    new file), every window must be emitted exactly once across the two
+    lives, and the union of emissions must equal the batch answer."""
+    from dbms_data_anonymity_differential_privacy_spark.streaming.anonymize import (
+        events_readstream,
+    )
+    from dbms_data_anonymity_differential_privacy_spark.streaming.audience import (
+        windowed_distinct_users_batch,
+    )
+
+    ev = load_table(spark, SF001, "events")
+    batch = {
+        r["window_start"]: r["n_users"]
+        for r in windowed_distinct_users_batch(ev, window="1 day").collect()
+    }
+    mid = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    import datetime as dt
+
+    cut = mid["lo"] + (mid["hi"] - mid["lo"]) / 2
+    stream_dir = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ckpt")
+    ev.filter(F.col("ts") < F.lit(cut)).coalesce(1).write.mode("append").parquet(stream_dir)
+    n_slice2 = ev.filter(F.col("ts") >= F.lit(cut)).count()
+
+    def build():
+        src = events_readstream(spark, stream_dir)
+        keyed = src.withWatermark("ts", "1 hour").withColumn(
+            "__wstart", F.window("ts", "1 day").getField("start")
+        )
+        deduped = keyed.dropDuplicatesWithinWatermark(["__wstart", "user_id"])
+        return (
+            deduped.groupBy(F.window("ts", "1 day").alias("__w"))
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .select(F.col("__w.start").alias("window_start"), "n_users")
+        )
+
+    # the memory sink does not support checkpoint recovery — the file
+    # sink is the REAL exactly-once path (commit log in _spark_metadata)
+    out_dir = str(tmp_path / "out")
+
+    def run_life():
+        q = (
+            build().writeStream.format("parquet")
+            .outputMode("append").trigger(availableNow=True)
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt).start()
+        )
+        q.awaitTermination(300)
+        return q
+
+    run_life()
+    life1 = {
+        r["window_start"]: r["n_users"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert life1, "first life emitted nothing"
+
+    time.sleep(1.05)
+    ev.filter(F.col("ts") >= F.lit(cut)).coalesce(1).write.mode("append").parquet(stream_dir)
+    q2 = run_life()
+    rows = spark.read.parquet(out_dir).collect()
+    # exactly-once across the restart: no window row appears twice
+    assert len(rows) == len({r["window_start"] for r in rows}), "duplicate window emissions"
+    merged = {r["window_start"]: r["n_users"] for r in rows}
+    # restart did NOT reprocess the first file: the second life read
+    # only the new slice
+    rows_life2 = sum(int(p["numInputRows"]) for p in q2.recentProgress)
+    assert rows_life2 == n_slice2, (rows_life2, n_slice2)
+    assert set(life1) <= set(merged)
+    # every emitted window equals the batch answer — INCLUDING the
+    # boundary window whose users span both files (state restored)
+    assert merged == {k: batch[k] for k in merged}
+    assert len(merged) > len(life1)  # the second life closed new windows
+    assert len(merged) >= len(batch) - 2  # watermark may withhold the tail
