@@ -1398,6 +1398,19 @@ def leakage_safe_split(
 # the spread of the sample still covers the space (recall-pinned).
 _CORESET_FIT_THRESHOLD = 16_384
 _CORESET_FIT_TARGET = 8_192.0
+# Above the threshold the auto-derived quantizer also SCALES: enough
+# centers to keep blocks near the target size (bounded by the literal-
+# expression cap — past that, swap the assignment to an Arrow batch),
+# and the pair join grid-splits each block for parallelism.
+_BLOCK_TARGET_ROWS = 4_096
+_AUTO_BLOCK_K_CAP = 64
+_PAIR_GRID = 8
+# The grid split pays ~grid/2 row replication + (k x grid^2/2)-way task
+# scheduling; below this corpus size the per-cell work is too small for
+# that overhead to win (measured: sf1/20k rows 14.4 -> 18.6 s WITH the
+# grid, sf3/60k rows 496 -> 80 s — the straggler regime starts past
+# ~2 blocks per core).
+_PAIR_GRID_THRESHOLD = 32_768
 
 
 def semantic_dedup(
@@ -1466,7 +1479,7 @@ def semantic_dedup(
         cosine_self_join_pairs,
     )
 
-    pair_src, pair_block = emb, block_col
+    pair_src, pair_block, pair_grid = emb, block_col, None
     if block_col is None:
         if not auto_block_k:
             raise ValueError(
@@ -1498,6 +1511,20 @@ def semantic_dedup(
             n = emb.count()
             if n > _CORESET_FIT_THRESHOLD:
                 frac = _CORESET_FIT_TARGET / float(n)
+                # SCALE the quantizer with the corpus (the 30x lesson,
+                # SCALE.md round-8 sf3 section): with a FIXED k the
+                # per-block pair volume grows as (n/k)^2 and the join's
+                # parallelism is k tasks — one oversized cell became a
+                # 496 s single-core straggler at 60k rows. Growing k
+                # keeps blocks near _BLOCK_TARGET_ROWS (total pair work
+                # ~ n x block, linear), and the triangular pair-join
+                # grid below spreads whatever imbalance remains.
+                auto_block_k = max(
+                    auto_block_k,
+                    min(_AUTO_BLOCK_K_CAP, -(-n // _BLOCK_TARGET_ROWS)),
+                )
+                if n > _PAIR_GRID_THRESHOLD:
+                    pair_grid = _PAIR_GRID
         if frac is not None:
             from dbms_data_anonymity_differential_privacy_spark.operators.sampling import hash_sample
 
@@ -1558,6 +1585,7 @@ def semantic_dedup(
         block_col=pair_block,
         vec_col=vec_col,
         id_col=id_col,
+        grid=pair_grid,
     )
     comp = connected_components(pairs)
     out = emb.select(F.col(id_col)).join(

@@ -620,3 +620,27 @@ def test_canary_audit_planted_and_absent(spark):
 
     with pytest.raises(ValueError, match="empty canary"):
         canary_audit(docs, [""])
+
+
+def test_cosine_pairs_grid_split_is_exact(spark):
+    """The triangular grid split must release the IDENTICAL pair set and
+    scores as the plain per-block join — it only changes the shuffle
+    key, never the math."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.similarity import (
+        cosine_self_join_pairs,
+    )
+    from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF001, "embeddings")
+    plain = sorted(
+        map(tuple, cosine_self_join_pairs(emb, 0.3, block_col="label").collect())
+    )
+    assert plain, "fixture produced no qualifying pairs"
+    for g in (2, 8):
+        grid = sorted(
+            map(
+                tuple,
+                cosine_self_join_pairs(emb, 0.3, block_col="label", grid=g).collect(),
+            )
+        )
+        assert grid == plain, f"grid={g} changed the release"
