@@ -1413,6 +1413,36 @@ _PAIR_GRID = 8
 _PAIR_GRID_THRESHOLD = 32_768
 
 
+def _kmeans_blocks(
+    emb: DataFrame,
+    fit_fraction: "float | None",
+    k: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Coarse-quantizer blocks for :func:`semantic_dedup` past the
+    literal-center cap: MLlib KMeans (k-means||, fixed seed) fit on the
+    hash-sampled pool, assignment via the fitted model's JVM transform.
+    Returns ``emb`` + an int ``__blk`` column."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.sampling import hash_sample
+
+    pool = emb
+    if fit_fraction is not None:
+        pool = hash_sample(emb, [id_col], fit_fraction, salt="semdedup-coreset")
+    feat = array_to_vector(F.col(vec_col).cast("array<double>"))
+    train = pool.select(feat.alias("__features"))
+    km = KMeans(
+        k=int(k), seed=42, featuresCol="__features", predictionCol="__blk",
+        maxIter=20,
+    )
+    model = km.fit(train)
+    assigned = model.transform(emb.withColumn("__features", feat))
+    return assigned.drop("__features")
+
+
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.6,
@@ -1510,7 +1540,7 @@ def semantic_dedup(
             # byte-identical to the always-full-pool behavior there.
             n = emb.count()
             if n > _CORESET_FIT_THRESHOLD:
-                frac = _CORESET_FIT_TARGET / float(n)
+                frac = min(1.0, _CORESET_FIT_TARGET / float(n))
                 # SCALE the quantizer with the corpus (the 30x lesson,
                 # SCALE.md round-8 sf3 section): with a FIXED k the
                 # per-block pair volume grows as (n/k)^2 and the join's
@@ -1525,6 +1555,41 @@ def semantic_dedup(
                 )
                 if n > _PAIR_GRID_THRESHOLD:
                     pair_grid = _PAIR_GRID
+                k_needed = -(-n // _BLOCK_TARGET_ROWS)
+                if k_needed > _AUTO_BLOCK_K_CAP:
+                    # Past the literal-center cap the k-center machinery
+                    # stops being the right quantizer twice over: the
+                    # greedy selection is k driver round-trips, and k
+                    # 64-dim literal arrays in one assignment projection
+                    # blow up codegen. This is exactly where SemDeDup
+                    # proper uses k-means — MLlib KMeans fit on the
+                    # SAMPLED pool, JVM-side transform for assignment
+                    # (array_to_vector, no Python in the scan). Above
+                    # the cap the release is rows-only by the C3
+                    # contract (k-means won't bit-match any SQL oracle);
+                    # the oracle-hashed fixture configs never get here.
+                    pair_src = _kmeans_blocks(
+                        emb, frac, k_needed, vec_col, id_col
+                    )
+                    pair_block = "__blk"
+                    pairs = cosine_self_join_pairs(
+                        pair_src,
+                        threshold=threshold,
+                        block_col=pair_block,
+                        vec_col=vec_col,
+                        id_col=id_col,
+                        grid=pair_grid,
+                    )
+                    comp = connected_components(pairs)
+                    out = emb.select(F.col(id_col)).join(
+                        comp.withColumnRenamed("id", id_col), on=id_col, how="left"
+                    )
+                    component = F.coalesce(F.col("comp"), F.col(id_col))
+                    return out.select(
+                        F.col(id_col),
+                        component.alias("component"),
+                        (component == F.col(id_col)).alias("kept"),
+                    )
         if frac is not None:
             from dbms_data_anonymity_differential_privacy_spark.operators.sampling import hash_sample
 

@@ -644,3 +644,33 @@ def test_cosine_pairs_grid_split_is_exact(spark):
             )
         )
         assert grid == plain, f"grid={g} changed the release"
+
+
+def test_semantic_dedup_kmeans_escalation(spark, monkeypatch):
+    """Past the literal-center cap the auto path must escalate to the
+    MLlib KMeans quantizer (SemDeDup proper) and still release a sound
+    (id, component, kept) partition. Trigger the branch at fixture
+    scale by shrinking the module thresholds."""
+    from dbms_data_anonymity_differential_privacy_spark.operators import dedup as dd
+    from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_table
+
+    monkeypatch.setattr(dd, "_CORESET_FIT_THRESHOLD", 100)
+    monkeypatch.setattr(dd, "_CORESET_FIT_TARGET", 64.0)
+    monkeypatch.setattr(dd, "_BLOCK_TARGET_ROWS", 50)
+    monkeypatch.setattr(dd, "_AUTO_BLOCK_K_CAP", 4)
+    monkeypatch.setattr(dd, "_PAIR_GRID_THRESHOLD", 100)
+
+    emb = load_table(spark, SF001, "embeddings")  # 500 rows -> k_needed=10 > 4
+    out = dd.semantic_dedup(emb, threshold=0.4, block_col=None)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    assert len({r["vec_id"] for r in rows}) == len(rows)
+    for r in rows:
+        assert r["kept"] == (r["component"] == r["vec_id"])
+        assert r["component"] <= r["vec_id"]  # min-id representative
+    # the quantizer actually found structure: some duplicate clusters
+    # collapse (the fixture has pairs above 0.4 inside k-means cells)
+    assert any(not r["kept"] for r in rows)
+    # deterministic: same seed, same release
+    rows2 = dd.semantic_dedup(emb, threshold=0.4, block_col=None).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
