@@ -1434,6 +1434,11 @@ def _kmeans_blocks(
         pool = hash_sample(emb, [id_col], fit_fraction, salt="semdedup-coreset")
     feat = array_to_vector(F.col(vec_col).cast("array<double>"))
     train = pool.select(feat.alias("__features"))
+    # k can never exceed the fitting pool (KMeans requires k <= points);
+    # at corpora where the block target would demand more centers than
+    # the ~8k sample holds, blocks run over target and the triangular
+    # pair grid carries the extra parallelism (documented trade)
+    k = min(int(k), max(1, train.count() // 2))
     km = KMeans(
         k=int(k), seed=42, featuresCol="__features", predictionCol="__blk",
         maxIter=20,
