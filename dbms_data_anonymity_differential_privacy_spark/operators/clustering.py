@@ -111,7 +111,10 @@ def encode_scale(
     the prefix out shrinks the unchecked surface to the solver alone.
 
     Output: ``(id_col, <c>_idx for each string QI, <c>_scaled_r for every
-    QI)`` — scaled values at 9 dp.
+    QI)`` — scaled values at 9 dp. Rows with a NULL string QI are
+    DROPPED (dictionary excludes NULL + inner join), mirroring
+    StringIndexer's default ``handleInvalid="error"`` refusal to encode
+    NULL — they never reach the moments either.
 
     Cross-engine exactness: every feature is first mapped to an exact
     int64 domain (string → dictionary index, ``money_cols`` → cents via
@@ -138,8 +141,16 @@ def encode_scale(
     for c in qi:
         dt = dict(df.dtypes)[c]
         if dt == "string":
+            # NULLs are excluded from the dictionary: Spark's ascending
+            # window ranks NULL FIRST (shifting every real label's index
+            # off the documented StringIndexer(alphabetAsc) parity) while
+            # DuckDB's DENSE_RANK ranks NULL LAST — and StringIndexer's
+            # default handleInvalid="error" rejects NULLs outright. The
+            # inner join below then drops NULL-QI rows from the output
+            # AND the moments, which is the documented contract: rows
+            # with a NULL string QI are not encodable (round-8 advisory).
             dict_rel = (
-                df.select(F.col(c)).distinct()
+                df.select(F.col(c)).where(F.col(c).isNotNull()).distinct()
                 .withColumn(
                     f"{c}_idx",
                     (F.dense_rank().over(Window.orderBy(F.col(c))) - 1).cast("long"),

@@ -1545,6 +1545,13 @@ def _largest_remainder_round(
     floors = [int(math.floor(s)) for s in scaled]
     out = list(floors)
     n = len(out)
+    if n == 0:
+        # Empty cell list (empty or fully-filtered input): there is
+        # nothing to apportion the total onto — publish the empty
+        # histogram, matching the pre-consistency behavior, instead of
+        # divmod-by-zero when the independent total's noise rounds >= 1
+        # (round-8 advisory).
+        return out
     short = total_int - sum(out)
     # Total-correct for ANY input, not just the caller's near-normalized
     # one (|short| <= 1 there). Semantics = repeated unit passes (each

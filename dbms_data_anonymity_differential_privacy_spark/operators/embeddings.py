@@ -720,6 +720,7 @@ def silhouette_by_label(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_to: int = 6,
+    exact_fold_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """X224 — per-cluster simplified silhouette scorecard (Rousseeuw
     1987 for the coefficient; the "simplified silhouette" centroid
@@ -750,9 +751,17 @@ def silhouette_by_label(
     a/b/s computation is MAP-ONLY (no k× row inflation, no per-id
     shuffle), and the only post-scoring exchange is the one per-label
     aggregation. The per-(label,dim) and per-label collect_list folds
-    bound memory by cluster size — at corpus scale swap them for plain
-    sums (tolerance contract) or the integer ``centroid_sums`` path;
-    the fold variant IS the oracle-hashed release.
+    bound memory by cluster size, so past ``exact_fold_max_rows`` input
+    rows (default 2M) the operator AUTOMATICALLY switches both fold
+    sites to plain partial-combining ``sum()`` — constant aggregation-
+    buffer memory at any cluster size, with a tolerance contract: plain
+    sums are partial-order-dependent in the last ulps, so they agree
+    with the fold release to ~1e-9 relative (inside ``round_to`` = 6 dp
+    in practice) but are not bit-pinned. The fold variant IS the
+    oracle-hashed release and fires on every fixture (the x175
+    inert-below-threshold pattern); the escalation carries its own
+    tolerance + plan test (round-8 verdict task 3). Gate cost: one
+    count() of the input — parquet-metadata-cheap on a plain scan.
     """
     from dbms_data_anonymity_differential_privacy_spark.operators.similarity import _dot
 
@@ -760,16 +769,27 @@ def silhouette_by_label(
     e = df.select(
         F.col(id_col).alias("__id"), F.col(label_col).alias("__lbl"), v.alias("__v")
     )
+    # scale escape: past the threshold the exact collect_list folds
+    # would materialize cluster-sized arrays in single aggregation
+    # buffers — switch to plain partial-combining sums (tolerance
+    # contract, see docstring)
+    exact_folds = df.count() <= exact_fold_max_rows
+
+    def sum_of(col: str) -> Column:
+        if exact_folds:
+            return F.expr(
+                f"aggregate(array_sort(collect_list({col})), CAST(0.0 AS DOUBLE),"
+                " (a, b) -> a + b)"
+            )
+        return F.sum(col)
+
     # exact per-(label, dim) centroid coordinates: sorted fold / count
     sums = (
         e.select("__lbl", F.posexplode("__v").alias("__pos", "__x"))
         .groupBy("__lbl", "__pos")
         .agg(
             F.count(F.lit(1)).cast("long").alias("__n"),
-            F.expr(
-                "aggregate(array_sort(collect_list(__x)), CAST(0.0 AS DOUBLE),"
-                " (a, b) -> a + b)"
-            ).alias("__s"),
+            sum_of("__x").alias("__s"),
         )
     )
     crows = (
@@ -813,17 +833,11 @@ def silhouette_by_label(
     ).otherwise(F.lit(0.0))
     per = e.select(F.col("__lbl"), a.alias("__a"), b.alias("__b"), s.alias("__s"))
 
-    def fold(col: str) -> Column:
-        return F.expr(
-            f"aggregate(array_sort(collect_list({col})), CAST(0.0 AS DOUBLE),"
-            " (a, b) -> a + b)"
-        )
-
     out = per.groupBy(F.col("__lbl").alias(label_col)).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        fold("__a").alias("__sa"),
-        fold("__b").alias("__sb"),
-        fold("__s").alias("__ss"),
+        sum_of("__a").alias("__sa"),
+        sum_of("__b").alias("__sb"),
+        sum_of("__s").alias("__ss"),
     )
     nd = F.col("n").cast("double")
     return out.select(

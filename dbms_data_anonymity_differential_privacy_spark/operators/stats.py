@@ -4030,6 +4030,7 @@ def kendall_tau_b(
     df: DataFrame,
     x_col: str,
     y_col: str,
+    max_distinct: int = 4096,
 ) -> DataFrame:
     """X225 — Kendall's tau-b rank correlation (Kendall 1938; tau-b tie
     correction per Kendall 1945): the pair-concordance complement of
@@ -4056,9 +4057,20 @@ def kendall_tau_b(
     self-join of the GRID against itself — |grid|² cell pairs, never
     row pairs. Built for small discrete domains (counts, ratings,
     bins); with ~1e4 distinct cells the join is 1e8 cheap comparisons.
-    Dense/continuous features should be binned first (x12/x17 family).
-    Int64 bounds: n0 and the tie products stay exact below n ≈ 4.3e9
-    rows (documented bound, the x191 class).
+    GUARDED: if either marginal exceeds ``max_distinct`` distinct
+    values (default 4096 — the ~1.7e7-cell-pair ceiling), the call
+    raises with a pointer to the x12 equal-frequency binner instead of
+    silently going |grid|²-quadratic on a continuous column (round-8
+    verdict task 4). The check rides the persisted grid, so it costs
+    one metadata-sized aggregation, not a second fact-table scan.
+    Int64 bounds: ``n0 = n(n-1)/2`` is computed EXACTLY in int64 via
+    the even-factor split (``(n div 2)(n-1)`` or ``n((n-1) div 2)``),
+    and ``n0 - ties`` stays int64 — exact below n ≈ 4.3e9 rows. The
+    final denominator casts each difference to double before the
+    multiply (their int64 product would overflow); that cast rounds
+    above ~9e15 pairs but is the identical IEEE operation on both
+    engines, so cross-engine parity holds at any n (round-8 advisory:
+    the old all-double n0 lost integer exactness past n ≈ 1.3e8).
     """
     from dbms_data_anonymity_differential_privacy_spark.operators.util import track_cached
 
@@ -4071,6 +4083,19 @@ def kendall_tau_b(
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
         .persist()
     )
+    # quadratic guard: the |grid|² self-join below is only sane on small
+    # discrete domains — refuse continuous inputs rather than blow up
+    card = g.agg(
+        F.countDistinct("__x").alias("__dx"), F.countDistinct("__y").alias("__dy")
+    ).first()
+    if card["__dx"] > max_distinct or card["__dy"] > max_distinct:
+        raise ValueError(
+            f"kendall_tau_b: marginal cardinality ({card['__dx']} x, "
+            f"{card['__dy']} y) exceeds max_distinct={max_distinct}; the "
+            "grid self-join would be quadratic in distinct values. Bin "
+            "continuous columns first (equal_frequency_bin / x12 family) "
+            "or raise max_distinct explicitly."
+        )
     tot = g.agg(
         F.sum("__c").cast("long").alias("n"),
         # tied-in-BOTH pairs, needed by neither marginal term — but the
@@ -4117,10 +4142,14 @@ def kendall_tau_b(
         )
     )
     out = tot.join(F.broadcast(cd)).join(F.broadcast(tx)).join(F.broadcast(ty))
-    nd = F.col("n").cast("double")
-    n0 = nd * (nd - F.lit(1.0)) / F.lit(2.0)
+    # exact int64 n0 = n(n-1)/2 via the even-factor split (one of n, n-1
+    # is always even, so the floor-div loses nothing); n0 - ties stays
+    # int64; only the final denominator factors cast to double
+    n0 = F.expr(
+        "CASE WHEN n % 2 = 0 THEN (n div 2) * (n - 1) ELSE n * ((n - 1) div 2) END"
+    ).cast("long")
     denom = F.sqrt(
-        (n0 - F.col("ties_x").cast("double")) * (n0 - F.col("ties_y").cast("double"))
+        (n0 - F.col("ties_x")).cast("double") * (n0 - F.col("ties_y")).cast("double")
     )
     num = F.col("concordant").cast("double") - F.col("discordant").cast("double")
     return out.select(

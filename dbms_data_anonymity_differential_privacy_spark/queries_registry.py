@@ -11578,7 +11578,8 @@ def _c03_encode_scale_sql() -> str:
     WITH dict AS (SELECT c_mktsegment,
                          CAST(DENSE_RANK() OVER (ORDER BY c_mktsegment) - 1 AS BIGINT)
                            AS c_mktsegment_idx
-                  FROM (SELECT DISTINCT c_mktsegment FROM customer)),
+                  FROM (SELECT DISTINCT c_mktsegment FROM customer
+                        WHERE c_mktsegment IS NOT NULL)),
     b AS MATERIALIZED (SELECT c_custkey, d.c_mktsegment_idx,
                 CAST(c_nationkey AS BIGINT) AS i1,
                 d.c_mktsegment_idx AS i2,
@@ -11661,10 +11662,13 @@ def x224_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pairs, never row pairs) — all counts exact int64, one float division.
 # Instance: per-user view count vs purchase count.
 # --------------------------------------------------------------------------
-_X225_N0 = "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0)"
+# exact int64 n0 via the even-factor split, matching the engine
+# (operators/stats.py kendall_tau_b, round-8 advisory); each (n0 - ties)
+# difference stays int64 and casts to double only for the multiply
+_X225_N0 = "(CASE WHEN n % 2 = 0 THEN (n // 2) * (n - 1) ELSE n * ((n - 1) // 2) END)"
 _X225_DEN = (
-    f"SQRT(({_X225_N0} - CAST(ties_x AS DOUBLE))"
-    f" * ({_X225_N0} - CAST(ties_y AS DOUBLE)))"
+    f"SQRT(CAST({_X225_N0} - ties_x AS DOUBLE)"
+    f" * CAST({_X225_N0} - ties_y AS DOUBLE))"
 )
 
 
@@ -11766,7 +11770,13 @@ X227_CANARIES = ["table window", "spark order data", "zzz-canary-0001"]
 
 
 def _x227_sql() -> str:
-    vals = ", ".join(f"({i}, '{c}')" for i, c in enumerate(X227_CANARIES))
+    # single quotes doubled per ANSI SQL so a quote-bearing canary can't
+    # desynchronize the twin (the engine path uses F.lit and was already
+    # immune) — round-8 advisory
+    vals = ", ".join(
+        "({}, '{}')".format(i, c.replace("'", "''"))
+        for i, c in enumerate(X227_CANARIES)
+    )
     return f"""
     WITH c(canary_id, canary) AS (VALUES {vals}),
     e AS (SELECT c.canary_id, c.canary,
@@ -11813,7 +11823,16 @@ WINDOW_SIZE = 50
 # ordinary staleness rotation. Self-draining — once the driver's next
 # artifact re-confirms them they rotate like everyone else, but REMOVE
 # entries here once re-confirmed so the slots free up.
-FORCE_RECHECK: list[str] = []
+FORCE_RECHECK: list[str] = [
+    # r9: x225 moved to exact-int64 n0 (engine + oracle, round-8 advisory);
+    # c03's dictionary now excludes NULL (engine + oracle). Values are
+    # unchanged on the fixtures but both plans changed — re-confirm.
+    "x225_kendall_tau",
+    "c03_encode_scale",
+    # r9: silhouette gained the exact_fold_max_rows escalation (inert on
+    # fixtures, but the operator body changed) — re-confirm the release.
+    "x224_silhouette",
+]
 
 
 def _driver_green_ledger() -> dict[str, int]:

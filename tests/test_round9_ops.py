@@ -1,0 +1,158 @@
+"""Round-9 regression tests: the four round-8 ADVICE findings plus the
+verdict's hardening tasks (kendall guard, silhouette scale branch)."""
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# ADVICE (medium): _largest_remainder_round on an empty cell list must
+# publish the empty histogram, not divmod-by-zero, even when the
+# independently-released DP total rounds >= 1.
+# ---------------------------------------------------------------------------
+def test_largest_remainder_empty_cells_returns_empty():
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
+        _largest_remainder_round,
+    )
+
+    assert _largest_remainder_round([], 3, []) == []
+    assert _largest_remainder_round([], 0, []) == []
+
+
+def test_dp_histogram_consistent_empty_input(spark, sf001):
+    """End-to-end: a fully-filtered input releases an empty consistent
+    histogram across many seeds (about half of which round the noisy
+    total to >= 1 — the crash regime of the round-8 advisory)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
+        dp_histogram_consistent,
+    )
+    from dbms_data_anonymity_differential_privacy_spark.queries_registry import load_table
+
+    li = load_table(spark, sf001, "lineitem").where(F.lit(False))
+    for seed in range(6):
+        out = dp_histogram_consistent(
+            li, ["l_returnflag"], epsilon=1.0, seed=seed,
+            release=f"r9_empty_hist_{seed}",
+        )
+        assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# ADVICE (low): encode_scale must exclude NULLs from the string
+# dictionary (Spark ranks NULL first, DuckDB last — either way
+# StringIndexer parity breaks) and drop NULL-QI rows as documented.
+# ---------------------------------------------------------------------------
+def test_encode_scale_null_string_qi(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.clustering import encode_scale
+
+    df = spark.createDataFrame(
+        [(1, "b", 10), (2, None, 20), (3, "a", 30), (4, "c", 40), (5, "a", 50)],
+        "id long, seg string, v long",
+    )
+    out = encode_scale(df, ["seg", "v"], id_col="id").collect()
+    got = {r["id"]: r["seg_idx"] for r in out}
+    # NULL row dropped; indices are 0-based ranks over NON-NULL labels
+    assert 2 not in got
+    assert got == {1: 1, 3: 0, 4: 2, 5: 0}
+    # moments exclude the dropped row: v mean over {10,30,40,50} = 32.5,
+    # so v=10's scaled value is negative and v=50's positive
+    sv = {r["id"]: r["v_scaled_r"] for r in out}
+    assert sv[1] < 0 < sv[5]
+
+
+# ---------------------------------------------------------------------------
+# Verdict task 4 + ADVICE (low): kendall_tau_b — quadratic-input guard
+# and exact-int64 n0.
+# ---------------------------------------------------------------------------
+def test_kendall_guard_refuses_continuous(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import kendall_tau_b
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("x"), (F.col("id") % 7).alias("y")
+    )
+    with pytest.raises(ValueError, match="max_distinct"):
+        kendall_tau_b(df, "x", "y", max_distinct=4096).collect()
+    # raising the bound explicitly re-enables the computation
+    row = kendall_tau_b(df, "x", "y", max_distinct=5000).first()
+    assert row["n"] == 5000 and row["ties_x"] == 0
+
+
+def test_kendall_exact_int64_n0(spark):
+    """The even-factor-split n0 equals n(n-1)/2 exactly and tau matches
+    the closed form on a small hand-checked grid."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import kendall_tau_b
+
+    rows = [(1, 1), (2, 2), (2, 2), (3, 1), (3, 3)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = kendall_tau_b(df, "x", "y").first()
+    n = len(rows)
+    n0 = n * (n - 1) // 2  # 10
+    # pairs: C=4 (1,1)-(2,2)x2,(1,1)-(3,3); recount by hand:
+    # (1,1)&(2,2): conc x2 ; (1,1)&(3,1): tie_y ; (1,1)&(3,3): conc
+    # (2,2)&(2,2): tie both ; (2,2)&(3,1): disc x2 ; (2,2)&(3,3): conc x2
+    # (3,1)&(3,3): tie_x
+    assert (r["concordant"], r["discordant"]) == (5, 2)
+    assert (r["ties_x"], r["ties_y"]) == (2, 2)
+    import math
+
+    expect = (5 - 2) / math.sqrt((n0 - 2) * (n0 - 2))
+    assert abs(r["tau_b_r"] - round(expect, 9)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Verdict task 3: silhouette's scale escape is real code — past
+# exact_fold_max_rows the collect_list folds switch to plain sums
+# (tolerance contract), below it the fold release is byte-stable.
+# ---------------------------------------------------------------------------
+def test_silhouette_scale_escape(spark, sf001):
+    from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import (
+        silhouette_by_label,
+    )
+    from dbms_data_anonymity_differential_privacy_spark.queries_registry import load_table
+
+    emb = load_table(spark, sf001, "embeddings").withColumn(
+        "label", F.pmod(F.xxhash64("vec_id"), F.lit(5))
+    )
+    fold = silhouette_by_label(emb, "label", "embedding", "vec_id")
+    esc = silhouette_by_label(
+        emb, "label", "embedding", "vec_id", exact_fold_max_rows=1
+    )
+    # the escalated plan carries no collect_list fold anywhere
+    plan = esc._jdf.queryExecution().toString()
+    assert "collect_list" not in plan
+    f = {r["label"]: r for r in fold.collect()}
+    g = {r["label"]: r for r in esc.collect()}
+    assert set(f) == set(g) and len(f) == 5
+    for lbl in f:
+        assert f[lbl]["n"] == g[lbl]["n"]
+        for c in ("mean_a_r", "mean_b_r", "silhouette_r"):
+            # tolerance contract: plain sums agree to ~1e-9 relative,
+            # i.e. at most one ulp of the 6-dp rounding
+            assert abs(f[lbl][c] - g[lbl][c]) <= 1e-6
+
+
+# ---------------------------------------------------------------------------
+# ADVICE (low): the x227 oracle builder must escape single quotes so a
+# quote-bearing canary cannot desynchronize the DuckDB twin.
+# ---------------------------------------------------------------------------
+def test_x227_sql_escapes_quotes(monkeypatch):
+    import dbms_data_anonymity_differential_privacy_spark.queries_registry as qr
+
+    monkeypatch.setattr(qr, "X227_CANARIES", ["it's a trap", "plain"])
+    sql = qr._x227_sql()
+    assert "'it''s a trap'" in sql
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.execute(
+        "INSERT INTO documents VALUES (1, 'well it''s a trap indeed'), (2, 'plain plain')"
+    )
+    got = {
+        r[1]: (r[2], r[3])
+        for r in con.execute(sql).fetchall()
+    }
+    assert got["it's a trap"] == (1, 1)
+    assert got["plain"] == (1, 2)
