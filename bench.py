@@ -289,6 +289,33 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Fixed calibration workload (r8 verdict task 5): a data-independent,
+# CPU-bound reference computation whose wall measures THIS BOX AT THIS
+# MOMENT. Per-query times divided by the speed factor
+# (calibration_sec / CALIBRATION_REF_SEC) are comparable across rounds:
+# a real 1.4x regression survives normalization, the ±10% ambient drift
+# that muddied the r8 common-242 comparison does not. The reference
+# constant is the min-of-7 measured on a quiet round-9 box (loadavg
+# < 1); it is a fixed denominator, never remeasured, so normalized
+# numbers stay on one scale forever.
+CALIBRATION_REF_SEC = 1.65
+
+
+def calibrate(spark) -> float:
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(7):
+        t0 = time.perf_counter()
+        force(
+            spark.range(0, 200_000_000, 1, 32).select(
+                F.sum(F.xxhash64("id") % 1000003).alias("h")
+            )
+        )
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -297,6 +324,10 @@ def main() -> None:
 
     # warmup: JVM + parquet footer + codegen paths
     force(qr.QUERIES["p01_scan"](spark, sf_dir))
+
+    # per-invocation box-speed constant (see CALIBRATION_REF_SEC)
+    calibration_sec = calibrate(spark)
+    speed_factor = calibration_sec / CALIBRATION_REF_SEC
 
     # min over repeated runs per query: later runs reuse JVM-warm code
     # paths and OS page cache, so the min reports steady-state latency.
@@ -385,6 +416,22 @@ def main() -> None:
         "load_start": load_start,
         "load_end": load_end,
         "errors": errors,
+        # box-speed normalization (r8 verdict task 5): divide any timing
+        # by speed_factor to compare across rounds on one scale; the
+        # normalized dicts carry that division pre-applied. Keys carry a
+        # "norm:" prefix so a front-truncated tail capture can never
+        # mistake them for the raw times dict (which stays LAST).
+        "calibration": {
+            "calibration_sec": round(calibration_sec, 3),
+            "ref_sec": CALIBRATION_REF_SEC,
+            "speed_factor": round(speed_factor, 4),
+        },
+        "value_normalized": (
+            round(total / speed_factor, 3) if total is not None else None
+        ),
+        "queries_normalized": {
+            f"norm:{k}": round(v / speed_factor, 3) for k, v in timings.items()
+        },
         "query_loadavg_1m": {f"la:{k}": v for k, v in query_load.items()},
         "queries": timings,
     }
@@ -409,6 +456,11 @@ def main() -> None:
                 "unit": "sec",
                 "partial_total": partial_total,
                 "sf": float(sf),
+                "calibration_sec": round(calibration_sec, 3),
+                "speed_factor": round(speed_factor, 4),
+                "value_normalized": (
+                    round(total / speed_factor, 3) if total is not None else None
+                ),
                 "n_queries": len(timings),
                 "loadavg_1m_start": load_start["loadavg_1m"],
                 "loadavg_1m_end": load_end["loadavg_1m"],

@@ -401,9 +401,12 @@ def connected_components(
       The iteration state is the (id, comp) relation — ids only, never
       documents. The convergence signal is a ``__chg`` flag computed IN
       the step join (nbr_comp < comp), so each round is exactly one
-      cached-materialize-and-count action, not a separate old-vs-new
-      join. Labels are persisted per round and unpersisted after the
-      next round is materialized (bounded lineage).
+      materialize-and-count action, not a separate old-vs-new join.
+      Labels are eagerly ``localCheckpoint``-ed per round: they feed
+      2-4 consumers per round, so persist alone would leave the LOGICAL
+      plan doubling every round (persist caches data, never the plan)
+      and plan-string generation OOMs by round ~8 — measured at the
+      300k-row SemDeDup escalation proof (r9), same trap as graph.py.
 
     The input pair relation is persisted here so the symmetric edge union
     (two branches) and the iterations evaluate the — potentially
@@ -447,10 +450,22 @@ def connected_components(
         )
         return pairs.sparkSession.createDataFrame(out, schema)
 
-    sym = slim.unionByName(slim.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # Distributed path: eager localCheckpoint discipline throughout (the
+    # graph.py lesson, learned AGAIN here at the 300k-row SemDeDup proof:
+    # labels feeds 2-4 consumers per round, so a persist-only iteration
+    # DOUBLES the logical plan every round and AQE's plan-STRING
+    # generation alone OOMs the driver by round ~8 — persist caches data,
+    # never the plan). The symmetric edge relation is checkpointed ONCE
+    # so every round's plan starts from a flat scan instead of the full
+    # upstream pair pipeline (grid-split unions, quantizer transforms);
+    # each round's labels are checkpointed eagerly, truncating lineage.
+    sym = slim.unionByName(
+        slim.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    slim.unpersist()
     labels = (
         sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["id"])
@@ -488,20 +503,21 @@ def connected_components(
                         "__chg"
                     ),
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
         else:
-            new_labels = stepped.persist()
-        # one action: materializes the round's cache AND reads the flag
+            new_labels = stepped.localCheckpoint(eager=True)
+        # the eager checkpoint materialized the round; the count reads
+        # the stored blocks (old rounds' blocks free on JVM GC — ids-only
+        # relations, ~tens of MB per round)
         n_changed = new_labels.filter(F.col("__chg")).count()
-        labels.unpersist()
         labels = new_labels
         if n_changed == 0:
             break
-    slim.unpersist()
-    # the FINAL labels relation stays persisted for the caller's lazy
-    # consumption — ledger-tracked so release_cached_relations() owns it
-    return track_cached(labels).select("id", "comp")
+    # the FINAL labels relation is a materialized localCheckpoint —
+    # NEVER ledger-tracked (releasing a checkpoint's blocks would
+    # corrupt its truncated lineage); callers consume it lazily
+    return labels.select("id", "comp")
 
 
 def dedup_corpus(

@@ -187,6 +187,146 @@ class ZCDPBudget:
         return rho + 2.0 * math.sqrt(rho * math.log(1.0 / delta))
 
 
+# RDP order grid (Mironov 2017 practice: a fixed ladder spanning the
+# small-alpha regime that wins for many weak releases and the
+# large-alpha regime that wins for few strong ones).
+_RDP_ALPHAS = (
+    1.25, 1.5, 1.75, 2.0, 2.5, 3.0, 3.5, 4.0, 5.0, 6.0, 8.0, 10.0,
+    12.0, 16.0, 20.0, 24.0, 32.0, 48.0, 64.0, 128.0, 256.0,
+)
+
+
+class RenyiBudget:
+    """Rényi-DP accountant (Mironov, CSF 2017) — the tighter composition
+    the round-8 verdict asked for (task 7). Drop-in for
+    :class:`PrivacyBudget`: mechanisms call the same duck-typed
+    ``spend(epsilon, label, delta)``, and the accountant tracks the
+    EXACT RDP curve of each mechanism over the ``_RDP_ALPHAS`` order
+    grid instead of adding raw epsilons:
+
+    - ``delta == 0`` (Laplace/exponential, calibration ``b = Δ/eps``):
+      ``eps_a = ln( a/(2a-1) · e^{(a-1)eps} + (a-1)/(2a-1) · e^{-a·eps} )
+      / (a-1)`` — Mironov Prop. 6 with ``Δ/b = eps``.
+    - ``delta > 0`` (Gaussian calibrated by :func:`gaussian_sigma`,
+      ``σ/Δ = sqrt(2 ln(1.25/δ))/eps``): ``eps_a = a·eps² /
+      (4 ln(1.25/δ))`` — Mironov Prop. 7. The calibration delta is NOT
+      spent (the Gaussian's RDP curve is exact); the only delta in the
+      final guarantee is the conversion delta below.
+
+    Curves ADD across releases, adaptively (Mironov Prop. 1);
+    :meth:`epsilon_at` converts via ``eps(δ) = min_a [eps_a +
+    ln(1/δ)/(a-1)]`` (Mironov Prop. 3) and then takes the min with
+    BASIC composition ``Σ eps_i`` — both are simultaneously valid
+    guarantees (the basic branch additionally requires the summed
+    calibration deltas to fit under the conversion delta, checked), so
+    the accountant is NEVER looser than :class:`PrivacyBudget` on any
+    sequence, and strictly tighter once the release count grows (the
+    comparative assertion lives in tests/test_round9_ops.py).
+
+    Enforcement: constructed with ``(total_epsilon, target_delta)``;
+    ``spend`` admits a release iff the post-release
+    ``epsilon_at(target_delta)`` still fits ``total_epsilon`` —
+    rejection raises BEFORE the ledger mutates, like the other
+    accountants. Driver-side only.
+    """
+
+    def __init__(self, total_epsilon: float, target_delta: float):
+        import math
+
+        if total_epsilon <= 0:
+            raise ValueError("total_epsilon must be positive")
+        if not 0.0 < target_delta < 1.0:
+            raise ValueError("target_delta must be in (0, 1)")
+        self.total = float(total_epsilon)
+        self.target_delta = float(target_delta)
+        self._ln_inv_delta = math.log(1.0 / self.target_delta)
+        # per-alpha accumulated RDP epsilons
+        self._rdp = [0.0] * len(_RDP_ALPHAS)
+        # (label, epsilon, delta) as passed by the mechanism — epsilon
+        # feeds the basic-composition cap, delta its validity condition
+        self.ledger: list[tuple[str, float, float]] = []
+
+    @staticmethod
+    def _curve(epsilon: float, delta: float) -> "list[float]":
+        import math
+
+        if epsilon <= 0:
+            raise ValueError("epsilon must be positive")
+        out = []
+        if delta == 0.0:
+            for a in _RDP_ALPHAS:
+                e = math.log(
+                    a / (2.0 * a - 1.0) * math.exp((a - 1.0) * epsilon)
+                    + (a - 1.0) / (2.0 * a - 1.0) * math.exp(-a * epsilon)
+                ) / (a - 1.0)
+                # an RDP curve is dominated by the pure-DP bound
+                out.append(min(e, epsilon))
+        else:
+            if not 0.0 < delta < 1.0:
+                raise ValueError("delta must be in [0, 1)")
+            scale = epsilon * epsilon / (4.0 * math.log(1.25 / delta))
+            out = [a * scale for a in _RDP_ALPHAS]
+        return out
+
+    def _eps_at(self, rdp: "list[float]", basic_eps: float, basic_delta: float) -> float:
+        conv = min(
+            e + self._ln_inv_delta / (a - 1.0)
+            for a, e in zip(_RDP_ALPHAS, rdp)
+        )
+        # the basic-composition bound is only usable when its own delta
+        # total fits under the conversion delta
+        if basic_delta <= self.target_delta:
+            return min(conv, basic_eps)
+        return conv
+
+    @property
+    def spent(self) -> float:
+        """Converted (epsilon at target_delta) spent so far."""
+        return self._eps_at(
+            self._rdp,
+            sum(e for _, e, _ in self.ledger),
+            sum(d for _, _, d in self.ledger),
+        )
+
+    @property
+    def remaining(self) -> float:
+        return self.total - self.spent
+
+    def spend(self, epsilon: float, label: str = "", delta: float = 0.0) -> float:
+        curve = self._curve(epsilon, delta)
+        post = [r + c for r, c in zip(self._rdp, curve)]
+        post_eps = self._eps_at(
+            post,
+            sum(e for _, e, _ in self.ledger) + epsilon,
+            sum(d for _, _, d in self.ledger) + delta,
+        )
+        if post_eps > self.total + 1e-12:
+            raise BudgetExceededError(
+                f"release {label!r} would bring eps({self.target_delta:g}) to "
+                f"{post_eps:.6g} > total {self.total:.6g} (RDP-converted)"
+            )
+        self._rdp = post
+        self.ledger.append((label, float(epsilon), float(delta)))
+        return epsilon
+
+    def epsilon_at(self, delta: float) -> float:
+        """Total (epsilon, delta)-DP guarantee of everything spent so
+        far, converted at the caller's delta (may differ from the
+        enforcement target_delta)."""
+        import math
+
+        if not 0 < delta < 1:
+            raise ValueError("delta must be in (0, 1)")
+        ln_inv = math.log(1.0 / delta)
+        conv = min(
+            e + ln_inv / (a - 1.0) for a, e in zip(_RDP_ALPHAS, self._rdp)
+        )
+        basic_eps = sum(e for _, e, _ in self.ledger)
+        if sum(d for _, _, d in self.ledger) <= delta:
+            return min(conv, basic_eps)
+        return conv
+
+
 def _release_salt(
     mechanism: str, release: str | None, budget: "PrivacyBudget | None"
 ) -> str:

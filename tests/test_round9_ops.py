@@ -102,6 +102,91 @@ def test_kendall_exact_int64_n0(spark):
 
 
 # ---------------------------------------------------------------------------
+# Verdict task 7: Rényi composition — on the SAME release sequence as
+# the r8 ledger e2e test, the RDP-converted spend is never above basic
+# sequential composition, strictly below it for a Gaussian-heavy
+# sequence, and exhaustion still rejects before the ledger mutates.
+# ---------------------------------------------------------------------------
+def test_renyi_budget_tighter_than_basic(spark, sf001):
+    import math
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
+        BudgetExceededError,
+        PrivacyBudget,
+        RenyiBudget,
+        dp_above_threshold,
+        dp_count,
+        dp_count_gaussian,
+        dp_histogram,
+        dp_histogram_consistent,
+        dp_sum,
+    )
+    from dbms_data_anonymity_differential_privacy_spark.queries_registry import load_table
+
+    ev = load_table(spark, sf001, "events")
+    basic = PrivacyBudget(total_epsilon=4.0, total_delta=1e-6)
+    renyi = RenyiBudget(total_epsilon=4.0, target_delta=1e-5)
+
+    def run_sequence(budget, seed0):
+        dp_count(ev, ["event_type"], epsilon=0.5, seed=seed0, budget=budget).collect()
+        dp_sum(
+            ev, ["event_type"], "value", epsilon=0.5, lower=0.0, upper=100.0,
+            seed=seed0 + 1, budget=budget,
+        ).collect()
+        dp_histogram(
+            ev, "value", n_bins=10, epsilon=0.5, lower=0.0, upper=100.0,
+            seed=seed0 + 2, budget=budget,
+        ).collect()
+        dp_above_threshold(
+            ev, ["event_type"], threshold=1000.0, epsilon=0.5, seed=seed0 + 3,
+            budget=budget,
+        ).collect()
+        dp_count_gaussian(
+            ev, ["event_type"], epsilon=0.5, delta=1e-6, seed=seed0 + 4,
+            budget=budget,
+        ).collect()
+        dp_histogram_consistent(
+            ev, ["event_type"], epsilon=0.4, seed=seed0 + 5, budget=budget
+        )
+
+    run_sequence(basic, 1)
+    run_sequence(renyi, 21)
+    assert len(renyi.ledger) == len(basic.ledger) == 7
+    # comparative assertion: advanced <= basic on the SAME sequence
+    assert renyi.spent <= basic.spent + 1e-12
+    assert renyi.epsilon_at(1e-5) <= basic.spent + 1e-12
+
+    # Gaussian-heavy sequence: RDP is STRICTLY tighter — 8 Gaussian
+    # releases at eps=0.5 cost 4.0 under basic composition but well
+    # under 2.0 RDP-converted
+    g = RenyiBudget(total_epsilon=4.0, target_delta=1e-5)
+    for i in range(8):
+        g.spend(0.5, label=f"gauss{i}", delta=1e-6)
+    assert g.spent < 2.0 < 8 * 0.5
+    # the conversion really is the documented min over the alpha grid
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import _RDP_ALPHAS
+
+    scale = 8 * 0.25 / (4.0 * math.log(1.25 / 1e-6))
+    expect = min(
+        a * scale + math.log(1e5) / (a - 1.0) for a in _RDP_ALPHAS
+    )
+    assert g.spent == pytest.approx(expect)
+
+    # exhaustion rejects BEFORE the ledger mutates
+    full = RenyiBudget(total_epsilon=1.0, target_delta=1e-5)
+    full.spend(0.9, label="big")
+    before_rdp, before_ledger = list(full._rdp), list(full.ledger)
+    with pytest.raises(BudgetExceededError):
+        full.spend(0.9, label="too-much")
+    assert full._rdp == before_rdp and full.ledger == before_ledger
+
+    # a Laplace release's RDP curve is dominated by its pure-DP epsilon
+    lone = RenyiBudget(total_epsilon=1.0, target_delta=1e-5)
+    lone.spend(0.3, label="lap")
+    assert lone.spent <= 0.3 + 1e-12
+
+
+# ---------------------------------------------------------------------------
 # Verdict task 3: silhouette's scale escape is real code — past
 # exact_fold_max_rows the collect_list folds switch to plain sums
 # (tolerance contract), below it the fold release is byte-stable.

@@ -1,0 +1,231 @@
+"""Prove the SemDeDup KMeans escalation at its REAL trigger (round-8
+verdict task 1).
+
+``semantic_dedup``'s self-blocking path escalates from literal k-center
+blocks to an MLlib KMeans quantizer once ``k_needed = ceil(n /
+_BLOCK_TARGET_ROWS)`` exceeds ``_AUTO_BLOCK_K_CAP`` (=64), i.e. past
+~262k embedding rows. Every prior round exercised that branch only via
+shrunk thresholds in pytest; this tool runs it at PRODUCTION thresholds
+on a 300k-row corpus (150 isometric copies of the 2k-row sf0.1
+embeddings) and records, into ``.bench_data/kmeans_escalation.json``:
+
+- wall time of the escalated x175-auto release (min of ``--runs``),
+- a plan gate on the actual KMeans-assignment relation: no Python
+  evaluators in the scan (``BatchEvalPython``/``ArrowEvalPython``) and
+  no literal-center blowup (plan size stays bounded; the k=74 literal
+  path would carry 74x64 doubles in one projection),
+- detection parity vs the literal-center trajectory: the SAME corpus
+  quantized by the capped k=64 literal k-center path (the branch the
+  cap would otherwise take), comparing the detected-duplicate id sets
+  both directions. Pair-identity between two different quantizers is
+  boundary-dominated (see SCALE.md round-8 note), so the bar is
+  detection-power recall, asserted >= 0.60 each way.
+
+Corpus construction (the inflate_sf contract, extended past 64 copies):
+each copy remaps vec_id by a stride and applies a DISTINCT isometry —
+cyclic rotation by ``copy % 64`` composed with a per-group elementwise
+sign pattern (a diagonal orthogonal matrix, so norms and within-copy
+pairwise distances are preserved exactly) — within-copy duplicate
+structure is bijectively preserved, cross-copy cosines concentrate
+near 0 at d=64, so candidate volume scales like a real corpus.
+
+Usage: python tools/kmeans_escalation_proof.py [--copies 150] [--runs 2]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from dbms_data_anonymity_differential_privacy_spark import get_spark
+from dbms_data_anonymity_differential_privacy_spark.operators import dedup as dd
+from dbms_data_anonymity_differential_privacy_spark.operators.util import (
+    release_cached_relations,
+)
+from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_table
+
+SRC = "/root/testdata/sf0.1"
+OUT_DIR = "/root/repo/.bench_data/sf15_emb"
+ARTIFACT = "/root/repo/.bench_data/kmeans_escalation.json"
+KEY_STRIDE = 1 << 40
+DIM = 64
+
+
+def _isometry(arr, copy: int):
+    """Distinct per-copy isometry: rotate by copy % DIM, then flip signs
+    by one of three elementwise patterns keyed by copy // DIM (all are
+    diagonal +-1 matrices — exact isometries)."""
+    r = copy % DIM
+    if r:
+        arr = F.concat(F.slice(arr, r + 1, F.size(arr)), F.slice(arr, 1, F.lit(r)))
+    g = copy // DIM
+    if g == 1:
+        arr = F.transform(arr, lambda x, j: F.when(j % 2 == 0, x).otherwise(-x))
+    elif g == 2:
+        arr = F.transform(
+            arr, lambda x, j: F.when((j / 2).cast("int") % 2 == 0, x).otherwise(-x)
+        )
+    elif g > 2:
+        raise ValueError("at most 192 copies supported (3 sign patterns x 64 rotations)")
+    return arr
+
+
+def build_corpus(spark, copies: int) -> str:
+    path = f"{OUT_DIR}/embeddings.parquet"
+    marker = f"{OUT_DIR}/.copies_{copies}"
+    if os.path.exists(marker):
+        print(f"corpus exists: {path}")
+        return OUT_DIR
+    src = load_table(spark, SRC, "embeddings")
+    parts = [
+        src.select(
+            (F.col("vec_id") + F.lit(i * KEY_STRIDE)).alias("vec_id"),
+            _isometry(F.col("embedding"), i).alias("embedding"),
+            *[c for c in src.columns if c not in ("vec_id", "embedding")],
+        )
+        for i in range(copies)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.repartition(32).write.mode("overwrite").parquet(path)
+    open(marker, "w").close()
+    print(f"embeddings: x{copies} written to {path}")
+    return OUT_DIR
+
+
+def run_release(spark, sf_dir: str, runs: int):
+    """Timed escalated release + spy on the quantizer branch."""
+    spy: dict = {}
+    orig = dd._kmeans_blocks
+
+    def spy_blocks(emb, frac, k, vec_col, id_col):
+        out = orig(emb, frac, k, vec_col, id_col)
+        spy["k"] = int(k)
+        spy["plan"] = out._jdf.queryExecution().toString()
+        return out
+
+    dd._kmeans_blocks = spy_blocks
+    try:
+        best, result = float("inf"), None
+        for _ in range(runs):
+            spark.catalog.clearCache()
+            release_cached_relations()
+            emb = load_table(spark, sf_dir, "embeddings")
+            t0 = time.perf_counter()
+            out = dd.semantic_dedup(emb, threshold=0.4, block_col=None, auto_block_k=8)
+            rows = out.collect()
+            best = min(best, time.perf_counter() - t0)
+            result = rows
+    finally:
+        dd._kmeans_blocks = orig
+    return best, result, spy
+
+
+def run_literal_k64(spark, sf_dir: str, n: int):
+    """The literal-center trajectory the cap would otherwise take:
+    same corpus, _BLOCK_TARGET_ROWS raised so k_needed == 64 == cap."""
+    import math
+
+    old = dd._BLOCK_TARGET_ROWS
+    dd._BLOCK_TARGET_ROWS = math.ceil(n / dd._AUTO_BLOCK_K_CAP)
+    try:
+        spark.catalog.clearCache()
+        release_cached_relations()
+        emb = load_table(spark, sf_dir, "embeddings")
+        t0 = time.perf_counter()
+        rows = dd.semantic_dedup(
+            emb, threshold=0.4, block_col=None, auto_block_k=8
+        ).collect()
+        wall = time.perf_counter() - t0
+    finally:
+        dd._BLOCK_TARGET_ROWS = old
+    return wall, rows
+
+
+def main() -> int:
+    copies, runs = 150, 2
+    args = sys.argv[1:]
+    for i, a in enumerate(args):
+        if a == "--copies":
+            copies = int(args[i + 1])
+        if a == "--runs":
+            runs = int(args[i + 1])
+
+    spark = get_spark(app_name="kmeans-escalation-proof")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = build_corpus(spark, copies)
+    n = load_table(spark, sf_dir, "embeddings").count()
+    k_needed = -(-n // dd._BLOCK_TARGET_ROWS)
+    assert k_needed > dd._AUTO_BLOCK_K_CAP, (
+        f"corpus too small to trigger escalation: n={n}, k_needed={k_needed}"
+        f" <= cap {dd._AUTO_BLOCK_K_CAP}; raise --copies"
+    )
+    print(f"corpus n={n}, k_needed={k_needed} > cap {dd._AUTO_BLOCK_K_CAP}")
+
+    wall_esc, rows_esc, spy = run_release(spark, sf_dir, runs)
+    assert spy.get("k") == k_needed, f"escalation branch did not engage: {spy.keys()}"
+    plan = spy["plan"]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+        "Python evaluator in the KMeans assignment scan"
+    )
+    assert len(plan) < 200_000, (
+        f"assignment plan is {len(plan)} chars — literal blowup? "
+        "(the k-center literal path at this k would be ~MBs)"
+    )
+    dup_esc = {r["vec_id"] for r in rows_esc if not r["kept"]}
+    comp_esc = len({r["component"] for r in rows_esc})
+    print(
+        f"escalated: wall={wall_esc:.1f}s k={spy['k']} dups={len(dup_esc)}"
+        f" components={comp_esc} plan_chars={len(plan)}"
+    )
+
+    wall_lit, rows_lit = run_literal_k64(spark, sf_dir, n)
+    dup_lit = {r["vec_id"] for r in rows_lit if not r["kept"]}
+    comp_lit = len({r["component"] for r in rows_lit})
+    print(
+        f"literal-k64: wall={wall_lit:.1f}s dups={len(dup_lit)} components={comp_lit}"
+    )
+
+    inter = len(dup_esc & dup_lit)
+    rec_esc_vs_lit = inter / max(1, len(dup_lit))
+    rec_lit_vs_esc = inter / max(1, len(dup_esc))
+    print(
+        f"detection recall: escalated-vs-literal={rec_esc_vs_lit:.4f}"
+        f" literal-vs-escalated={rec_lit_vs_esc:.4f}"
+    )
+    assert rec_esc_vs_lit >= 0.60 and rec_lit_vs_esc >= 0.60, (
+        "escalated quantizer lost detection power vs the literal trajectory"
+    )
+
+    art = {
+        "n_rows": n,
+        "copies": copies,
+        "k_escalated": spy["k"],
+        "cap": dd._AUTO_BLOCK_K_CAP,
+        "wall_escalated_s": round(wall_esc, 2),
+        "wall_literal_k64_s": round(wall_lit, 2),
+        "dups_escalated": len(dup_esc),
+        "dups_literal": len(dup_lit),
+        "components_escalated": comp_esc,
+        "components_literal": comp_lit,
+        "recall_escalated_vs_literal": round(rec_esc_vs_lit, 4),
+        "recall_literal_vs_escalated": round(rec_lit_vs_esc, 4),
+        "plan_chars": len(plan),
+        "plan_gate": "no BatchEvalPython/ArrowEvalPython; plan < 200k chars",
+    }
+    os.makedirs(os.path.dirname(ARTIFACT), exist_ok=True)
+    with open(ARTIFACT, "w") as f:
+        json.dump(art, f, indent=1)
+    print(json.dumps(art))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
