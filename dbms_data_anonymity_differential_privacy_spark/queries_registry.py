@@ -2115,23 +2115,27 @@ def x11_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # X15 — Mondrian multidimensional k-anonymity (operators/mondrian.py,
 # LeFevre et al. ICDE 2006): generalization instead of suppression — keeps
-# 100% of rows where C1 drops small classes. Rows-only: the recursive
-# median-split tree is not SQL-expressible; invariants (every leaf >= k,
-# zero suppression, rows inside their leaf ranges) are pinned in
-# tests/test_mondrian.py.
+# 100% of rows where C1 drops small classes. Oracle-backed since r9 (the
+# r8 verdict task-8 ask): the QI rides the exact-int64 CENTS domain
+# (acctbal cents + nationkey), making the whole median-split trajectory
+# reproducible op-for-op in DuckDB (the x15_mondrian_exact argument); the
+# release maps bounds back to dollars with ONE identical IEEE division
+# per engine. Full-release invariants (rows inside ranges, zero
+# suppression) stay pinned in tests/test_mondrian.py.
 # --------------------------------------------------------------------------
-@query("x15_mondrian")
-def x15_mondrian(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dbms_data_anonymity_differential_privacy_spark.operators.mondrian import mondrian_anonymize
+_X15_FINAL = """
+    , leaves AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS cnt,
+                        MIN(d1) / 100.0 AS c_acctbal_lo,
+                        MAX(d1) / 100.0 AS c_acctbal_hi,
+                        MIN(d0) AS c_nationkey_lo, MAX(d0) AS c_nationkey_hi
+                 FROM r{rounds} GROUP BY pid)
+    SELECT c_acctbal_lo, c_acctbal_hi, c_nationkey_lo, c_nationkey_hi,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows
+    FROM leaves GROUP BY 1, 2, 3, 4
+"""
 
-    c = load_table(spark, sf_dir, "customer")
-    anon = mondrian_anonymize(c, ["c_acctbal", "c_nationkey"], 25, median="exact")
-    return anon.groupBy(
-        "c_acctbal_lo", "c_acctbal_hi", "c_nationkey_lo", "c_nationkey_hi"
-    ).agg(F.count(F.lit(1)).alias("n_rows"))
 
-
-def _mondrian_oracle_sql(k: int, rounds: int) -> str:
+def _mondrian_oracle_sql(k: int, rounds: int, final: str | None = None) -> str:
     """Unrolled DuckDB twin of the breadth-first Mondrian loop
     (operators/mondrian.py _assign_slim, median='exact') over customer with
     dims (c_nationkey, acctbal-in-cents).
@@ -2184,7 +2188,9 @@ def _mondrian_oracle_sql(k: int, rounds: int) -> str:
                FROM r{i} r JOIN x{i} x USING (pid))"""
         )
     sql.append(
-        f"""
+        final.format(rounds=rounds)
+        if final is not None
+        else f"""
     SELECT pid, CAST(COUNT(*) AS BIGINT) AS cnt,
            MIN(d0) AS c_nationkey_lo, MAX(d0) AS c_nationkey_hi,
            MIN(d1) AS acct_cents_lo, MAX(d1) AS acct_cents_hi
@@ -2208,6 +2214,28 @@ def x15_mondrian_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c_acctbal") * 100, 0).alias("acct_cents"),
     )
     return mondrian_leaf_bounds(prepped, ["c_nationkey", "acct_cents"], k=150, median="exact")
+
+
+@query("x15_mondrian", _mondrian_oracle_sql(k=25, rounds=12, final=_X15_FINAL))
+def x15_mondrian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mondrian generalization summary: per distinct leaf-bounds box, how
+    many rows it generalizes (k=25, exact medians, cents QI domain; dim
+    order nationkey-then-cents matches the oracle's index tie-break).
+    rounds=12 in the twin covers convergence depth up to sf0.1 — any
+    extra unrolled round is an identity map."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.mondrian import mondrian_anonymize
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey"),
+        F.round(F.col("c_acctbal") * 100, 0).alias("acct_cents"),
+    )
+    anon = mondrian_anonymize(c, ["c_nationkey", "acct_cents"], 25, median="exact")
+    return anon.groupBy(
+        (F.col("acct_cents_lo") / 100.0).alias("c_acctbal_lo"),
+        (F.col("acct_cents_hi") / 100.0).alias("c_acctbal_hi"),
+        "c_nationkey_lo",
+        "c_nationkey_hi",
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
 
 
 # --------------------------------------------------------------------------
@@ -11832,6 +11860,10 @@ FORCE_RECHECK: list[str] = [
     # r9: silhouette gained the exact_fold_max_rows escalation (inert on
     # fixtures, but the operator body changed) — re-confirm the release.
     "x224_silhouette",
+    # r9: x15_mondrian converted from rows-only to oracle-backed (cents
+    # QI domain, dim order flipped to match the twin's tie-break) — its
+    # output changed and it has never carried a driver hash.
+    "x15_mondrian",
 ]
 
 
