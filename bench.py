@@ -282,6 +282,11 @@ HEADLINE = [
     "x225_kendall_tau",
     "x226_krippendorff",
     "x227_canary_audit",
+    "x228_capture_recapture",
+    "x229_anderson_darling",
+    "x230_ljung_box",
+    "x231_neyman_allocation",
+    "x232_count_min",
 ]
 
 

@@ -1974,3 +1974,70 @@ def canary_audit(
             "first_doc_id",
         )
     )
+
+
+def capture_recapture_audit(
+    pairs_a: DataFrame,
+    pairs_b: DataFrame,
+    id_col: str = "id_b",
+) -> DataFrame:
+    """X228 — capture-recapture duplicate-population estimate (Chapman
+    1951's bias-corrected Lincoln-Petersen): treat two INDEPENDENT
+    near-dup detectors as two capture occasions over the same unknown
+    population of true duplicates, and estimate how many duplicates the
+    corpus really contains — including the ones BOTH detectors missed.
+    This is the coverage audit a dedup pipeline publishes next to its
+    drop count: "we dropped 480, capture-recapture estimates ~520 exist"
+    turns an unverifiable cleaning step into a measurable one. The same
+    estimator wildlife surveys and record-linkage QA use.
+
+    Inputs are two PAIR relations (the ``(id_a, id_b, ...)`` shape every
+    pair generator here emits); a document counts as "captured" by a
+    detector when it appears as the DROPPED side (``id_b``) of any
+    qualifying pair — the greedy-policy flag (Lee et al. 2022 §3.2),
+    consistent with x03_dedup_corpus.
+
+    ``chapman = (n1+1)(n2+1)/(m+1) - 1`` (exact-integer numerator, one
+    IEEE division; defined even at m=0), ``lincoln_petersen = n1*n2/m``
+    (NULL at m=0). Independence caveat documented: correlated detectors
+    bias both estimators low — pair detectors with different
+    representations (e.g. different shingle widths).
+
+    Output (single row): ``(n_a, n_b, n_both, chapman_r,
+    lincoln_petersen_r)`` at 6 dp.
+
+    Scale shape (100 TB): each flag set is one distinct over a pair
+    relation's dropped column; the overlap is one join of two id sets
+    (metadata-sized relative to the corpus); the release is one row.
+    """
+    fa = pairs_a.select(F.col(id_col).alias("__id")).distinct()
+    fb = pairs_b.select(F.col(id_col).alias("__id")).distinct()
+    agg = (
+        fa.withColumn("__a", F.lit(1))
+        .join(fb.withColumn("__b", F.lit(1)), on="__id", how="full")
+        .agg(
+            F.sum(F.coalesce(F.col("__a"), F.lit(0))).cast("long").alias("n_a"),
+            F.sum(F.coalesce(F.col("__b"), F.lit(0))).cast("long").alias("n_b"),
+            F.sum(
+                F.when(F.col("__a").isNotNull() & F.col("__b").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_both"),
+        )
+    )
+    n1 = F.col("n_a").cast("double")
+    n2 = F.col("n_b").cast("double")
+    m = F.col("n_both").cast("double")
+    chapman = (
+        ((F.col("n_a") + F.lit(1)) * (F.col("n_b") + F.lit(1))).cast("double")
+        / (m + F.lit(1.0))
+        - F.lit(1.0)
+    )
+    lp = F.when(F.col("n_both") > 0, n1 * n2 / m)
+    return agg.select(
+        "n_a",
+        "n_b",
+        "n_both",
+        F.round(chapman, 6).alias("chapman_r"),
+        F.round(lp, 6).alias("lincoln_petersen_r"),
+    )

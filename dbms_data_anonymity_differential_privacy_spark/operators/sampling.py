@@ -416,3 +416,82 @@ def negative_samples(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    total_budget: int,
+) -> DataFrame:
+    """X231 — Neyman-optimal stratified sample allocation (Neyman 1934):
+    given a sampling budget, allocate draws across strata proportional
+    to ``N_h · σ_h`` — the allocation that minimizes the variance of the
+    stratified mean estimator. The planning step in front of every
+    stratified evaluation run (x101's stratified sampling executes a
+    plan; this computes the optimal one): big, noisy strata get more
+    budget; small or homogeneous strata get less than proportional.
+
+    Cross-engine exactness: per-stratum ``Σx`` and ``Σx²`` are sorted
+    in-row folds over the stratum's values (the x04/x224 contract —
+    bit-identical to DuckDB's ``list_reduce(list_sort(...))``), the
+    sample std is one fixed IEEE expression over them, the normalizer
+    ``Σ_h N_h σ_h`` folds the per-stratum products in sorted order, and
+    the released allocation is ``round(budget · weight)`` — half-up on
+    positives in both engines. Allocations are RAW rounded weights
+    (they can sum to budget ± #strata; the exact-total variant is one
+    largest-remainder pass away, the x223 machinery) — documented so
+    the release is a pure per-stratum function, join-free to audit.
+    Zero-variance or singleton strata carry σ_h = 0 and draw no budget.
+
+    Output: ``(stratum, n_rows, sd_r, weight_r, n_alloc)`` per stratum
+    at 9 dp.
+
+    Scale shape (100 TB): one fact aggregation per stratum (the fold
+    arrays bound memory by stratum size — pre-aggregate or swap to
+    plain sums past the x224 threshold, same documented trade), one
+    strata-sized rollup for the normalizer, one broadcast join back.
+    """
+    if total_budget < 0:
+        raise ValueError("total_budget must be >= 0")
+    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr(
+            f"aggregate(array_sort(collect_list(CAST({value_col} AS DOUBLE))),"
+            " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("__sx"),
+        F.expr(
+            f"aggregate(array_sort(collect_list(CAST({value_col} AS DOUBLE)"
+            f" * CAST({value_col} AS DOUBLE))),"
+            " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("__sxx"),
+    )
+    nd = F.col("n_rows").cast("double")
+    var = F.when(
+        F.col("n_rows") > 1,
+        (F.col("__sxx") - F.col("__sx") * F.col("__sx") / nd) / (nd - F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    staged = per.select(
+        "stratum",
+        "n_rows",
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("__sd"),
+    ).withColumn("__w", F.col("n_rows").cast("double") * F.col("__sd"))
+    norm = staged.agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(__w)), CAST(0.0 AS DOUBLE),"
+            " (a, b) -> a + b)"
+        ).alias("__norm")
+    )
+    out = staged.join(F.broadcast(norm))
+    weight = F.when(F.col("__norm") > 0, F.col("__w") / F.col("__norm")).otherwise(
+        F.lit(0.0)
+    )
+    return out.select(
+        "stratum",
+        "n_rows",
+        F.round("__sd", 9).alias("sd_r"),
+        F.round(weight, 9).alias("weight_r"),
+        F.round(F.lit(float(total_budget)) * weight, 0)
+        .cast("long")
+        .alias("n_alloc"),
+    )

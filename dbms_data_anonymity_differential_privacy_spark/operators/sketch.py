@@ -385,3 +385,73 @@ def hll_distinct(df: DataFrame, col: str, include_exact: bool = True) -> DataFra
         exact = df.agg(F.countDistinct(F.col(col)).cast("long").alias("n_exact"))
         out = out.join(F.broadcast(exact))
     return out
+
+
+def count_min_estimates(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+    top: int = 20,
+    salt: str = "cms",
+) -> DataFrame:
+    """X232 — Count-Min sketch (Cormode & Muthukrishnan 2005) with a
+    side-by-side exact audit: build the d×w counter grid with portable
+    md5 bucket hashes, then release, for the exact top-``top`` keys,
+    the exact count next to the CMS estimate (min over the key's d
+    counters). The one-sided error contract — ``cms >= exact``, excess
+    ≤ εN with ε = e/w at δ = e^−d — becomes an AUDITABLE relation
+    instead of a paper claim; this is the sketch a 100 TB pipeline
+    ships when the exact key space (x49's Misra-Gries regime) no
+    longer fits anywhere.
+
+    Portability: bucket_i(k) = hex(md5(k || '#<salt>' || i))[:8] mod w —
+    the same md5 fraction discipline as hash_sample/x10, so DuckDB
+    reproduces every counter exactly; estimates and counts are integer;
+    the release carries no floats at all. Ties in the top-k break by
+    key ascending (deterministic).
+
+    Output: ``(key, exact_count, cms_count, overcount)`` for the top
+    keys by exact count.
+
+    Scale shape (100 TB): the counter grid is ONE aggregation of the
+    keyed stream exploded ×depth (map-side combining collapses to d·w
+    rows ≪ the stream); the exact top-k is one aggregation + a
+    TakeOrdered; the estimate join touches top·depth counter rows
+    against the d·w grid — broadcast-sized both sides.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    spark = df.sparkSession
+    keyed = df.select(F.col(key_col).cast("string").alias("__k")).where(
+        F.col("__k").isNotNull() & (F.col("__k") != "")
+    )
+    rows = spark.range(0, depth).select(F.col("id").cast("int").alias("__i"))
+
+    def bucket(k: F.Column, i: F.Column) -> F.Column:
+        h = F.md5(F.concat(k, F.lit(f"#{salt}"), i.cast("string")))
+        return (
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(width)
+        ).alias("__b")
+
+    counters = (
+        keyed.crossJoin(F.broadcast(rows))
+        .groupBy(F.col("__i"), bucket(F.col("__k"), F.col("__i")))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    exact = keyed.groupBy("__k").agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    topk = exact.orderBy(F.desc("exact_count"), F.asc("__k")).limit(top)
+    probes = topk.crossJoin(F.broadcast(rows)).select(
+        "__k", "exact_count", "__i", bucket(F.col("__k"), F.col("__i"))
+    )
+    est = (
+        probes.join(counters, on=["__i", "__b"])
+        .groupBy("__k", "exact_count")
+        .agg(F.min("__c").alias("cms_count"))
+    )
+    return est.select(
+        F.col("__k").alias("key"),
+        "exact_count",
+        "cms_count",
+        (F.col("cms_count") - F.col("exact_count")).alias("overcount"),
+    )

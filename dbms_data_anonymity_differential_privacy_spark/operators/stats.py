@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 ROUND_DP = 9
@@ -4273,4 +4273,225 @@ def krippendorff_alpha_nominal(
         F.round(d_obs, 9).alias("d_obs_r"),
         F.round(d_exp, 9).alias("d_exp_r"),
         F.round(F.when(de_num > 0.0, F.lit(1.0) - d_obs / d_exp), 9).alias("alpha_r"),
+    )
+
+
+def _sq(c: Column) -> Column:
+    """x*x, never pow(x, 2): plain multiply is one correctly-rounded IEEE
+    op on both engines; libm pow carries no such cross-engine promise."""
+    return c * c
+
+
+def anderson_darling_2samp(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """X229 — two-sample Anderson-Darling statistic, midrank (tie-aware)
+    version (Pettitt 1976; the k=2 case of Scholz & Stephens 1987
+    ``A2akN``, the variant scipy's anderson_ksamp computes): the
+    tail-sensitive complement to KS (x108) and MWU (x80) — AD weights
+    the empirical-CDF discrepancy by 1/(F(1-F)), so distributional
+    drift concentrated in the tails (the regime that breaks quality
+    gates and outlier filters) registers long before KS moves.
+
+    Computed on the DISTINCT-VALUE relation, never per-row ranks: for
+    pooled distinct value j with multiplicity ``l_j``, sample counts
+    ``l_aj``/``l_bj`` and strictly-below cumulative counts, the doubled
+    midrank cumulatives ``M2_ij = 2*below_i + l_ij`` and
+    ``B2_j = 2*below + l_j`` keep every count exact int64, and the
+    per-value contribution reduces to
+
+        t_j = l_j * [ (N*M2_aj - n_a*B2_j)^2 / n_a
+                    + (N*M2_bj - n_b*B2_j)^2 / n_b ]
+              / (B2_j*(2N - B2_j) - N*l_j)
+
+    with ``A2akN = (N-1)/N^2 * sum_j t_j``. (Derivation: the doubled
+    cumulatives absorb the 1/2 midrank offsets; the factor-4 the square
+    picks up cancels against the denominator's; the per-value weight is
+    l_j/N, contributing the second 1/N.) The squared numerator is cast
+    to double BEFORE squaring (it exceeds int64 past N ~ 40k) — one
+    identical IEEE expression per engine — and the per-value terms sum
+    via a sorted fold, so the released double is bit-reproducible
+    (the x80/x156 distinct-value contract). Values tied across the
+    whole pool (den = 0, only possible when every row is one value)
+    contribute 0.
+
+    Output (single row): ``(n_a, n_b, n_distinct, a2_r)`` at 9 dp —
+    the raw A2akN statistic; standardization/p-value are driver-side
+    (the x71/x74 convention; pinned against a NumPy midrank
+    reimplementation in pytest).
+
+    Scale shape (100 TB): ONE aggregation collapses the fact table to
+    the distinct-value relation; cumulatives are windows over that
+    compact relation; the release is one row. Near-continuous doubles
+    at extreme scale: pre-bucket (rank tests stay valid on binned data;
+    the formula is already tie-aware).
+    """
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    counts = (
+        df.filter(g.isin([group_a, group_b]))
+        .groupBy(F.col(value_col).alias("__v"))
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("__la"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).cast("long").alias("__lb"),
+        )
+    )
+    w_prev = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    staged = (
+        counts.withColumn("__ba", F.coalesce(F.sum("__la").over(w_prev), F.lit(0)))
+        .withColumn("__bb", F.coalesce(F.sum("__lb").over(w_prev), F.lit(0)))
+        .withColumn("__l", F.col("__la") + F.col("__lb"))
+    )
+    tot = staged.agg(
+        F.sum("__la").cast("long").alias("n_a"),
+        F.sum("__lb").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    terms = staged.join(F.broadcast(tot)).select(
+        F.col("n_a"),
+        F.col("n_b"),
+        F.col("n_distinct"),
+        F.col("__v"),
+        (
+            F.col("__l").cast("double")
+            * (
+                _sq(
+                    (
+                        (F.col("n_a") + F.col("n_b"))
+                        * (F.lit(2) * F.col("__ba") + F.col("__la"))
+                        - F.col("n_a")
+                        * (F.lit(2) * (F.col("__ba") + F.col("__bb")) + F.col("__l"))
+                    ).cast("double")
+                )
+                / F.col("n_a").cast("double")
+                + _sq(
+                    (
+                        (F.col("n_a") + F.col("n_b"))
+                        * (F.lit(2) * F.col("__bb") + F.col("__lb"))
+                        - F.col("n_b")
+                        * (F.lit(2) * (F.col("__ba") + F.col("__bb")) + F.col("__l"))
+                    ).cast("double")
+                )
+                / F.col("n_b").cast("double")
+            )
+        ).alias("__num"),
+        (
+            (F.lit(2) * (F.col("__ba") + F.col("__bb")) + F.col("__l"))
+            * (
+                F.lit(2) * (F.col("n_a") + F.col("n_b"))
+                - (F.lit(2) * (F.col("__ba") + F.col("__bb")) + F.col("__l"))
+            )
+            - (F.col("n_a") + F.col("n_b")) * F.col("__l")
+        )
+        .cast("long")
+        .alias("__den"),
+    )
+    per = terms.select(
+        "n_a",
+        "n_b",
+        "n_distinct",
+        F.when(F.col("__den") > 0, F.col("__num") / F.col("__den").cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("__t"),
+    )
+    out = per.groupBy("n_a", "n_b", "n_distinct").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(__t)), CAST(0.0 AS DOUBLE),"
+            " (a, b) -> a + b)"
+        ).alias("__s")
+    )
+    nd = (F.col("n_a") + F.col("n_b")).cast("double")
+    a2 = (nd - F.lit(1.0)) / (nd * nd) * F.col("__s")
+    return out.select(
+        "n_a", "n_b", "n_distinct", F.round(a2, 9).alias("a2_r")
+    )
+
+
+def ljung_box(
+    events: DataFrame,
+    max_lag: int = 24,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """X230 — Ljung-Box portmanteau whiteness test on the hourly
+    event-rate series (Ljung & Box 1978): ``Q = n(n+2) Σ_{k=1..h}
+    r_k²/(n−k)`` — the one-number "is there ANY autocorrelation left?"
+    summary that model-residual checks and drift monitors quote, where
+    x142 releases the per-lag picture. Under the null (white series) Q
+    is chi-square with h dof; the p-value is driver-side, the x71/x74
+    convention.
+
+    Exactness: the series and per-lag sufficient statistics are x142's
+    exactly (dense zero-filled integer spine, DECIMAL(38,0) sums); each
+    r_k is the same single IEEE division x142 releases (unrounded
+    here), the per-lag terms ``r_k²/(n−k)`` fold in lag order, and
+    ``n(n+2)`` stays an exact integer until the final multiply — every
+    float op identical cross-engine. NULL when the series is constant.
+
+    Output (single row): ``(n_periods, max_lag, q_r)`` at 9 dp.
+
+    Scale shape: identical to x142 — fact rows shuffle once into hourly
+    counts; everything after runs on the buckets-sized relation.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    DEC = "decimal(38,0)"
+    spark = events.sparkSession
+
+    hour = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(3600)).alias("t")
+    counts = events.groupBy(hour).agg(F.count(F.lit(1)).alias("c"))
+    bounds = counts.agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("t"))
+    dense = spine.join(counts, "t", "left").select(
+        "t", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    lags = spark.range(1, max_lag + 1).select(F.col("id").cast("int").alias("lag"))
+    cur = dense.crossJoin(F.broadcast(lags))
+    prev = dense.select(F.col("t").alias("__tp"), F.col("c").alias("__cp"))
+    pairs = cur.join(prev, cur["t"] - cur["lag"] == prev["__tp"])
+    per_lag = pairs.groupBy("lag").agg(
+        F.sum((F.col("c") * F.col("__cp")).cast(DEC)).alias("P"),
+        F.sum(F.col("c").cast(DEC)).alias("A"),
+        F.sum(F.col("__cp").cast(DEC)).alias("B"),
+    )
+    totals = dense.agg(
+        F.count(F.lit(1)).cast(DEC).alias("n"),
+        F.sum(F.col("c").cast(DEC)).alias("S"),
+        F.sum((F.col("c") * F.col("c")).cast(DEC)).alias("Q"),
+    )
+    j = per_lag.crossJoin(F.broadcast(totals))
+    n, S, Q = F.col("n"), F.col("S"), F.col("Q")
+    num = (
+        n * n * F.col("P")
+        - n * S * (F.col("A") + F.col("B"))
+        + (n - F.col("lag").cast(DEC)) * S * S
+    )
+    den = n * n * Q - n * S * S
+    r = num.cast("double") / den.cast("double")
+    term = r * r / (n - F.col("lag").cast(DEC)).cast("double")
+    staged = j.select(
+        F.col("n").cast("long").alias("n_periods"),
+        F.when(den > 0, term).alias("__term"),
+        F.col("lag"),
+    )
+    out = staged.groupBy("n_periods").agg(
+        F.count(F.lit(1)).cast("int").alias("max_lag"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(lag, __term))),"
+            " CAST(0.0 AS DOUBLE), (a, x) -> a + x.__term)"
+        ).alias("__s"),
+        F.sum(F.when(F.col("__term").isNull(), 1).otherwise(0)).alias("__nulls"),
+    )
+    q = (
+        (F.col("n_periods") * (F.col("n_periods") + F.lit(2))).cast("double")
+        * F.col("__s")
+    )
+    return out.select(
+        "n_periods",
+        "max_lag",
+        F.round(F.when(F.col("__nulls") == 0, q), 9).alias("q_r"),
     )

@@ -11832,6 +11832,276 @@ def x227_canary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X228 — capture-recapture dedup-coverage audit (operators/dedup.py
+# capture_recapture_audit): Chapman's estimator over two independent
+# near-dup detectors (3-gram vs 4-gram Jaccard at 0.2) — estimates the
+# TRUE duplicate population, including what both detectors missed.
+# --------------------------------------------------------------------------
+def _shingle_ctes(n: int, tag: str) -> str:
+    """Width-n shingle chain (the SHINGLE_CTES template, parameterized)."""
+    return (
+        f"sh{tag} AS (SELECT doc_id, list_distinct(list_transform("
+        f"generate_series(1, greatest(len(toks) - {n - 1}, 0)), "
+        f"i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS s FROM t), "
+        f"e{tag} AS (SELECT doc_id, len(s) AS ns, unnest(s) AS shingle FROM sh{tag}), "
+        f"p{tag} AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ns AS na,"
+        f" b.ns AS nb, COUNT(*) AS inter"
+        f" FROM e{tag} a JOIN e{tag} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id"
+        f" GROUP BY 1, 2, 3, 4), "
+        f"f{tag} AS (SELECT DISTINCT id_b FROM p{tag}"
+        f" WHERE ROUND(inter / (na + nb - inter), 9) >= 0.2)"
+    )
+
+
+@query(
+    "x228_capture_recapture",
+    f"""
+    WITH t AS MATERIALIZED (SELECT doc_id,
+                    string_split_regex(lower(trim(text)), '\\s+') AS toks
+               FROM documents),
+    {_shingle_ctes(3, "a")},
+    {_shingle_ctes(4, "b")},
+    agg AS (SELECT CAST(SUM(CASE WHEN fa.id_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN fb.id_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                   CAST(SUM(CASE WHEN fa.id_b IS NOT NULL AND fb.id_b IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+            FROM fa FULL JOIN fb USING (id_b))
+    SELECT n_a, n_b, n_both,
+           ROUND(CAST((n_a + 1) * (n_b + 1) AS DOUBLE)
+                 / (CAST(n_both AS DOUBLE) + 1.0) - 1.0, 6) AS chapman_r,
+           ROUND(CASE WHEN n_both > 0 THEN CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                      / CAST(n_both AS DOUBLE) END, 6) AS lincoln_petersen_r
+    FROM agg
+    """,
+)
+def x228_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many near-dups does the corpus REALLY contain? Chapman
+    estimate from the 3-gram and 4-gram Jaccard detectors' flag sets."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
+        capture_recapture_audit,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return capture_recapture_audit(
+        ngram_jaccard_pairs(docs, threshold=0.2, n=3),
+        ngram_jaccard_pairs(docs, threshold=0.2, n=4),
+    )
+
+
+# --------------------------------------------------------------------------
+# X229 — two-sample Anderson-Darling, midrank version (operators/stats.py
+# anderson_darling_2samp): tail-sensitive distribution-drift test on the
+# distinct-value relation; doubled midrank cumulatives keep every count
+# exact int64, per-value terms fold sorted. Instance: view vs purchase
+# transaction values.
+# --------------------------------------------------------------------------
+_X229_B2 = "(2 * (ba + bb) + l)"
+_X229_NUMA = "CAST((n_a + n_b) * (2 * ba + la) - n_a * {b2} AS DOUBLE)".format(b2=_X229_B2)
+_X229_NUMB = "CAST((n_a + n_b) * (2 * bb + lb) - n_b * {b2} AS DOUBLE)".format(b2=_X229_B2)
+_X229_DEN = (
+    f"CAST({_X229_B2} * (2 * (n_a + n_b) - {_X229_B2})"
+    f" - (n_a + n_b) * l AS BIGINT)"
+)
+
+
+@query(
+    "x229_anderson_darling",
+    f"""
+    WITH f AS (SELECT value AS v, event_type AS g FROM events
+               WHERE event_type IN ('view', 'purchase')),
+    c AS (SELECT v,
+                 CAST(SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS la,
+                 CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS lb
+          FROM f GROUP BY v),
+    s AS (SELECT v, la, lb, la + lb AS l,
+                 COALESCE(SUM(la) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS ba,
+                 COALESCE(SUM(lb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS bb
+          FROM c),
+    tot AS (SELECT CAST(SUM(la) AS BIGINT) AS n_a, CAST(SUM(lb) AS BIGINT) AS n_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct
+            FROM s),
+    terms AS (SELECT n_a, n_b, n_distinct,
+                     CASE WHEN {_X229_DEN} > 0 THEN
+                       CAST(l AS DOUBLE)
+                       * ({_X229_NUMA} * {_X229_NUMA} / CAST(n_a AS DOUBLE)
+                          + {_X229_NUMB} * {_X229_NUMB} / CAST(n_b AS DOUBLE))
+                       / CAST({_X229_DEN} AS DOUBLE)
+                     ELSE 0.0 END AS t
+              FROM s CROSS JOIN tot),
+    fold AS (SELECT n_a, n_b, n_distinct,
+                    list_reduce(list_sort(list(t)), (a, b) -> a + b) AS sm
+             FROM terms GROUP BY 1, 2, 3)
+    SELECT n_a, n_b, n_distinct,
+           ROUND((CAST(n_a + n_b AS DOUBLE) - 1.0)
+                 / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)) * sm, 9)
+             AS a2_r
+    FROM fold
+    """,
+)
+def x229_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-sensitive A2akN between view and purchase transaction
+    values (the drift test that moves before KS does)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+        anderson_darling_2samp,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return anderson_darling_2samp(ev, "value", "event_type", "view", "purchase")
+
+
+# --------------------------------------------------------------------------
+# X230 — Ljung-Box portmanteau test (operators/stats.py ljung_box): the
+# one-number whiteness summary over x142's exact hourly ACF machinery;
+# terms r_k^2/(n-k) fold in lag order, n(n+2) stays integer.
+# --------------------------------------------------------------------------
+@query(
+    "x230_ljung_box",
+    """
+    WITH e AS (SELECT date_diff('second', TIMESTAMP '1970-01-01', ts) // 3600 AS t
+               FROM events),
+    cnt AS (SELECT t, COUNT(*) AS c FROM e GROUP BY 1),
+    b AS (SELECT MIN(t) AS lo, MAX(t) AS hi FROM cnt),
+    sp AS (SELECT unnest(generate_series(lo, hi)) AS t FROM b),
+    d AS MATERIALIZED (SELECT sp.t, COALESCE(cnt.c, 0) AS c FROM sp LEFT JOIN cnt USING (t)),
+    tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, CAST(SUM(c) AS HUGEINT) AS S,
+                   CAST(SUM(c*c) AS HUGEINT) AS Q
+            FROM d),
+    lg AS (SELECT unnest(generate_series(1, 24)) AS lag),
+    p AS (SELECT lg.lag AS lag,
+                 CAST(SUM(d1.c * d2.c) AS HUGEINT) AS pk,
+                 CAST(SUM(d1.c) AS HUGEINT) AS ak,
+                 CAST(SUM(d2.c) AS HUGEINT) AS bk
+          FROM lg CROSS JOIN d d1 JOIN d d2 ON d2.t = d1.t - lg.lag
+          GROUP BY 1),
+    terms AS (SELECT CAST(n AS BIGINT) AS n_periods,
+                     CASE WHEN (n*n*Q - n*S*S) > 0 THEN
+                       (CAST(n*n*pk - n*S*(ak+bk) + (n - p.lag)*S*S AS DOUBLE)
+                        / CAST(n*n*Q - n*S*S AS DOUBLE))
+                       * (CAST(n*n*pk - n*S*(ak+bk) + (n - p.lag)*S*S AS DOUBLE)
+                          / CAST(n*n*Q - n*S*S AS DOUBLE))
+                       / CAST(n - p.lag AS DOUBLE)
+                     END AS t,
+                     p.lag AS lag
+              FROM p CROSS JOIN tot),
+    fold AS (SELECT n_periods, CAST(COUNT(*) AS INTEGER) AS max_lag,
+                    list_reduce(list(t ORDER BY lag), (a, b) -> a + b) AS sm,
+                    SUM(CASE WHEN t IS NULL THEN 1 ELSE 0 END) AS nulls
+             FROM terms GROUP BY 1)
+    SELECT n_periods, max_lag,
+           ROUND(CASE WHEN nulls = 0 THEN
+                   CAST(n_periods * (n_periods + 2) AS DOUBLE) * sm END, 9) AS q_r
+    FROM fold
+    """,
+)
+def x230_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the hourly event rate white noise? Q over lags 1..24."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import ljung_box
+
+    ev = load_table(spark, sf_dir, "events")
+    return ljung_box(ev, max_lag=24)
+
+
+# --------------------------------------------------------------------------
+# X231 — Neyman-optimal stratified allocation (operators/sampling.py
+# neyman_allocation): budget ∝ N_h σ_h per stratum; sorted-fold moments,
+# one fixed IEEE expression per release column.
+# --------------------------------------------------------------------------
+_X231_SD = (
+    "CASE WHEN n_rows > 1 THEN sqrt(greatest((sxx - sx * sx / CAST(n_rows AS DOUBLE))"
+    " / (CAST(n_rows AS DOUBLE) - 1.0), 0.0)) ELSE 0.0 END"
+)
+
+
+@query(
+    "x231_neyman_allocation",
+    f"""
+    WITH per AS (SELECT event_type AS stratum, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                        list_reduce(list_sort(list(CAST(value AS DOUBLE))),
+                                    (a, b) -> a + b) AS sx,
+                        list_reduce(list_sort(list(CAST(value AS DOUBLE)
+                                                   * CAST(value AS DOUBLE))),
+                                    (a, b) -> a + b) AS sxx
+                 FROM events GROUP BY 1),
+    staged AS (SELECT stratum, n_rows, {_X231_SD} AS sd,
+                      CAST(n_rows AS DOUBLE) * ({_X231_SD}) AS w
+               FROM per),
+    norm AS (SELECT list_reduce(list_sort(list(w)), (a, b) -> a + b) AS nm
+             FROM staged)
+    SELECT stratum, n_rows, ROUND(sd, 9) AS sd_r,
+           ROUND(CASE WHEN nm > 0 THEN w / nm ELSE 0.0 END, 9) AS weight_r,
+           CAST(ROUND(10000.0 * (CASE WHEN nm > 0 THEN w / nm ELSE 0.0 END), 0)
+                AS BIGINT) AS n_alloc
+    FROM staged CROSS JOIN norm
+    """,
+)
+def x231_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal 10k-draw sample allocation across event types by
+    N_h * sigma_h of the transaction value."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return neyman_allocation(ev, "event_type", "value", total_budget=10_000)
+
+
+# --------------------------------------------------------------------------
+# X232 — Count-Min sketch with exact audit (operators/sketch.py
+# count_min_estimates): d×w portable-md5 counter grid over the document
+# token stream; top-20 exact counts released next to their CMS estimates
+# (one-sided error made auditable).
+# --------------------------------------------------------------------------
+_X232_D, _X232_W, _X232_TOP = 4, 512, 20
+
+
+@query(
+    "x232_count_min",
+    f"""
+    WITH tok AS MATERIALIZED (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS k
+        FROM documents),
+    keyed AS (SELECT k FROM tok WHERE k IS NOT NULL AND k <> ''),
+    rows_ AS (SELECT unnest(generate_series(0, {_X232_D - 1})) AS i),
+    counters AS (SELECT i,
+                        ('0x' || substr(md5(k || '#cms' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+                          % {_X232_W} AS b,
+                        CAST(COUNT(*) AS BIGINT) AS c
+                 FROM keyed CROSS JOIN rows_ GROUP BY 1, 2),
+    exact AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS exact_count
+              FROM keyed GROUP BY 1),
+    topk AS (SELECT k, exact_count FROM exact
+             ORDER BY exact_count DESC, k ASC LIMIT {_X232_TOP}),
+    probes AS (SELECT k, exact_count, i,
+                      ('0x' || substr(md5(k || '#cms' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+                        % {_X232_W} AS b
+               FROM topk CROSS JOIN rows_)
+    SELECT probes.k AS key, probes.exact_count,
+           CAST(MIN(counters.c) AS BIGINT) AS cms_count,
+           CAST(MIN(counters.c) - probes.exact_count AS BIGINT) AS overcount
+    FROM probes JOIN counters USING (i, b)
+    GROUP BY 1, 2
+    """,
+)
+def x232_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS token-frequency estimates vs exact counts for the corpus
+    top-20 tokens (d=4, w=512)."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.sketch import (
+        count_min_estimates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+    )
+    return count_min_estimates(
+        tok, "token", depth=_X232_D, width=_X232_W, top=_X232_TOP
+    )
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries per round; the rotation policy is BY STALENESS —
 # and since round 8 the rotation is COMPUTED, not hand-cut: the window

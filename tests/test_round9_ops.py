@@ -241,3 +241,152 @@ def test_x227_sql_escapes_quotes(monkeypatch):
     }
     assert got["it's a trap"] == (1, 1)
     assert got["plain"] == (1, 2)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 operator batch: capture-recapture, Anderson-Darling, Ljung-Box,
+# Neyman allocation, Count-Min audit.
+# ---------------------------------------------------------------------------
+def test_capture_recapture_hand_case(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
+        capture_recapture_audit,
+    )
+
+    pa = spark.createDataFrame(
+        [(0, 1), (0, 2), (9, 3)], "id_a long, id_b long"
+    )
+    pb = spark.createDataFrame(
+        [(0, 2), (0, 3), (1, 4), (1, 5)], "id_a long, id_b long"
+    )
+    r = capture_recapture_audit(pa, pb).first()
+    assert (r["n_a"], r["n_b"], r["n_both"]) == (3, 4, 2)
+    # chapman = 4*5/3 - 1, lincoln-petersen = 3*4/2
+    assert r["chapman_r"] == round(4 * 5 / 3 - 1, 6)
+    assert r["lincoln_petersen_r"] == 6.0
+    # m = 0: chapman defined, LP NULL
+    pc = spark.createDataFrame([(0, 9)], "id_a long, id_b long")
+    r0 = capture_recapture_audit(pa, pc).first()
+    assert r0["n_both"] == 0 and r0["lincoln_petersen_r"] is None
+    assert r0["chapman_r"] == round(4 * 2 - 1, 6)
+
+
+def _a2akn_numpy(samples):
+    """scipy.stats._anderson_ksamp_midrank reimplementation (NumPy only —
+    scipy is not in this container)."""
+    import numpy as np
+
+    Z = np.sort(np.hstack(samples))
+    N = len(Z)
+    Zstar = np.unique(Z)
+    left = Z.searchsorted(Zstar, side="left")
+    lj = Z.searchsorted(Zstar, side="right") - left
+    Bj = left + lj / 2.0
+    A2akN = 0.0
+    for s in samples:
+        s = np.sort(s)
+        Mij = s.searchsorted(Zstar, side="right").astype(float)
+        fij = s.searchsorted(Zstar, side="right") - s.searchsorted(Zstar, side="left")
+        Mij -= fij / 2.0
+        inner = (
+            lj / float(N) * (N * Mij - Bj * len(s)) ** 2
+            / (Bj * (N - Bj) - N * lj / 4.0)
+        )
+        A2akN += inner.sum() / len(s)
+    return A2akN * (N - 1.0) / N
+
+
+def test_anderson_darling_numpy_parity(spark):
+    import numpy as np
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+        anderson_darling_2samp,
+    )
+
+    rng = np.random.RandomState(7)
+    cases = {
+        "ties": (
+            np.round(rng.normal(0, 1, 400), 1),
+            np.round(rng.normal(0.3, 1.3, 300), 1),
+        ),
+        "no-ties": (rng.normal(0, 1, 200), rng.normal(0, 1, 150)),
+        "ints": (
+            rng.poisson(4, 300).astype(float),
+            rng.poisson(5, 250).astype(float),
+        ),
+    }
+    for name, (a, b) in cases.items():
+        expect = _a2akn_numpy([a, b])
+        rows = [(float(v), "a") for v in a] + [(float(v), "b") for v in b]
+        df = spark.createDataFrame(rows, "v double, g string")
+        r = anderson_darling_2samp(df, "v", "g", "a", "b").first()
+        assert abs(r["a2_r"] - expect) < 1e-6, (name, r["a2_r"], expect)
+        assert r["n_a"] == len(a) and r["n_b"] == len(b)
+
+
+def test_ljung_box_consistent_with_acf(spark, sf001):
+    """Q must equal n(n+2) sum r_k^2/(n-k) recomputed from the x142 ACF
+    releases (same series, same lags) to rounding tolerance, and a
+    strongly autocorrelated series must dwarf white noise."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import acf, ljung_box
+    from dbms_data_anonymity_differential_privacy_spark.queries_registry import load_table
+
+    ev = load_table(spark, sf001, "events")
+    q = ljung_box(ev, max_lag=24).first()
+    rs = {r["lag"]: r["acf_r"] for r in acf(ev, max_lag=24).collect()}
+    n = q["n_periods"]
+    expect = n * (n + 2) * sum(rs[k] ** 2 / (n - k) for k in rs)
+    # acf_r is rounded at 9dp, so allow the accumulated rounding band
+    assert abs(q["q_r"] - expect) / max(expect, 1.0) < 1e-5
+    assert q["max_lag"] == 24
+
+    # constant series -> NULL
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    flat = spark.createDataFrame(
+        [(base + dt.timedelta(hours=h),) for h in range(50)], "ts timestamp"
+    )
+    assert ljung_box(flat, max_lag=5).first()["q_r"] is None
+
+
+def test_neyman_allocation_hand_case(spark):
+    import math
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    rows = (
+        [("a", float(v)) for v in (0, 2, 4, 6)]      # sd ~ 2.582
+        + [("b", float(v)) for v in (5, 5, 5, 5, 5, 5)]  # sd 0
+        + [("c", 7.0)]                                # singleton, sd 0
+        + [("d", 0.0), ("d", 10.0)]                   # sd ~ 7.071
+    )
+    df = spark.createDataFrame(rows, "s string, v double")
+    out = {r["stratum"]: r for r in neyman_allocation(df, "s", "v", 1000).collect()}
+    sd_a = math.sqrt(((0 - 3) ** 2 + (2 - 3) ** 2 + (4 - 3) ** 2 + (6 - 3) ** 2) / 3)
+    assert abs(out["a"]["sd_r"] - round(sd_a, 9)) < 1e-9
+    assert out["b"]["sd_r"] == 0.0 and out["b"]["n_alloc"] == 0
+    assert out["c"]["sd_r"] == 0.0 and out["c"]["n_alloc"] == 0
+    w_a = 4 * sd_a
+    w_d = 2 * math.sqrt(50.0)
+    assert abs(out["a"]["weight_r"] - round(w_a / (w_a + w_d), 9)) < 1e-8
+    assert out["a"]["n_alloc"] + out["d"]["n_alloc"] in (999, 1000, 1001)
+
+
+def test_count_min_one_sided_and_tight_when_wide(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.sketch import (
+        count_min_estimates,
+    )
+
+    rows = [(f"k{i % 37}",) for i in range(3000)]
+    df = spark.createDataFrame(rows, "k string")
+    out = count_min_estimates(df, "k", depth=4, width=1024, top=10).collect()
+    assert len(out) == 10
+    for r in out:
+        # CMS error is one-sided by construction
+        assert r["cms_count"] >= r["exact_count"]
+        assert r["overcount"] == r["cms_count"] - r["exact_count"]
+    # 37 keys in 1024 buckets x 4 rows: some row almost surely collision-
+    # free per key -> min estimate exact
+    assert all(r["overcount"] == 0 for r in out)

@@ -52,7 +52,7 @@ from dbms_data_anonymity_differential_privacy_spark.sources.readers import load_
 
 SRC = "/root/testdata/sf0.1"
 OUT_DIR = "/root/repo/.bench_data/sf15_emb"
-ARTIFACT = "/root/repo/.bench_data/kmeans_escalation.json"
+ARTIFACT = "/root/repo/.bench_data/kmeans_escalation_t{th}.json"
 KEY_STRIDE = 1 << 40
 DIM = 64
 
@@ -100,7 +100,7 @@ def build_corpus(spark, copies: int) -> str:
     return OUT_DIR
 
 
-def run_release(spark, sf_dir: str, runs: int):
+def run_release(spark, sf_dir: str, runs: int, threshold: float):
     """Timed escalated release + spy on the quantizer branch."""
     spy: dict = {}
     orig = dd._kmeans_blocks
@@ -119,7 +119,7 @@ def run_release(spark, sf_dir: str, runs: int):
             release_cached_relations()
             emb = load_table(spark, sf_dir, "embeddings")
             t0 = time.perf_counter()
-            out = dd.semantic_dedup(emb, threshold=0.4, block_col=None, auto_block_k=8)
+            out = dd.semantic_dedup(emb, threshold=threshold, block_col=None, auto_block_k=8)
             rows = out.collect()
             best = min(best, time.perf_counter() - t0)
             result = rows
@@ -128,7 +128,7 @@ def run_release(spark, sf_dir: str, runs: int):
     return best, result, spy
 
 
-def run_literal_k64(spark, sf_dir: str, n: int):
+def run_literal_k64(spark, sf_dir: str, n: int, threshold: float):
     """The literal-center trajectory the cap would otherwise take:
     same corpus, _BLOCK_TARGET_ROWS raised so k_needed == 64 == cap."""
     import math
@@ -141,7 +141,7 @@ def run_literal_k64(spark, sf_dir: str, n: int):
         emb = load_table(spark, sf_dir, "embeddings")
         t0 = time.perf_counter()
         rows = dd.semantic_dedup(
-            emb, threshold=0.4, block_col=None, auto_block_k=8
+            emb, threshold=threshold, block_col=None, auto_block_k=8
         ).collect()
         wall = time.perf_counter() - t0
     finally:
@@ -150,13 +150,15 @@ def run_literal_k64(spark, sf_dir: str, n: int):
 
 
 def main() -> int:
-    copies, runs = 150, 2
+    copies, runs, threshold = 150, 2, 0.4
     args = sys.argv[1:]
     for i, a in enumerate(args):
         if a == "--copies":
             copies = int(args[i + 1])
         if a == "--runs":
             runs = int(args[i + 1])
+        if a == "--threshold":
+            threshold = float(args[i + 1])
 
     spark = get_spark(app_name="kmeans-escalation-proof")
     spark.sparkContext.setLogLevel("ERROR")
@@ -169,7 +171,7 @@ def main() -> int:
     )
     print(f"corpus n={n}, k_needed={k_needed} > cap {dd._AUTO_BLOCK_K_CAP}")
 
-    wall_esc, rows_esc, spy = run_release(spark, sf_dir, runs)
+    wall_esc, rows_esc, spy = run_release(spark, sf_dir, runs, threshold)
     assert spy.get("k") == k_needed, f"escalation branch did not engage: {spy.keys()}"
     plan = spy["plan"]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
@@ -186,7 +188,7 @@ def main() -> int:
         f" components={comp_esc} plan_chars={len(plan)}"
     )
 
-    wall_lit, rows_lit = run_literal_k64(spark, sf_dir, n)
+    wall_lit, rows_lit = run_literal_k64(spark, sf_dir, n, threshold)
     dup_lit = {r["vec_id"] for r in rows_lit if not r["kept"]}
     comp_lit = len({r["component"] for r in rows_lit})
     print(
@@ -205,6 +207,7 @@ def main() -> int:
     )
 
     art = {
+        "threshold": threshold,
         "n_rows": n,
         "copies": copies,
         "k_escalated": spy["k"],
@@ -220,8 +223,9 @@ def main() -> int:
         "plan_chars": len(plan),
         "plan_gate": "no BatchEvalPython/ArrowEvalPython; plan < 200k chars",
     }
-    os.makedirs(os.path.dirname(ARTIFACT), exist_ok=True)
-    with open(ARTIFACT, "w") as f:
+    path = ARTIFACT.format(th=threshold)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
         json.dump(art, f, indent=1)
     print(json.dumps(art))
     return 0
