@@ -287,6 +287,9 @@ HEADLINE = [
     "x230_ljung_box",
     "x231_neyman_allocation",
     "x232_count_min",
+    "x233_boilerplate",
+    "x234_minhash_estimate",
+    "x235_anderson_ksamp",
 ]
 
 

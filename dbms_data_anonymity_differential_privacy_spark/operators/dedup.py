@@ -2041,3 +2041,98 @@ def capture_recapture_audit(
         F.round(chapman, 6).alias("chapman_r"),
         F.round(lp, 6).alias("lincoln_petersen_r"),
     )
+
+
+# Carter-Wegman permutation constants for the PORTABLE (md5-based)
+# MinHash audit — same family as minhash_lsh_pairs' _affine, precomputed
+# driver-side so both engines consume identical literals.
+_MH_AUDIT_P = (1 << 61) - 1
+
+
+def _mh_audit_perms(num_hashes: int) -> "list[tuple[int, int, int]]":
+    out = []
+    for i in range(num_hashes):
+        a = ((0x9E3779B9 * (2 * i + 1)) & 0x1FFFFFFE) | 1  # odd, < 2^29
+        b = (0x85EBCA6B94D049BB * (i + 1)) & 0x1FFFFFFFFFFFFFFF  # < 2^61
+        out.append((i, a, b))
+    return out
+
+
+def minhash_jaccard_audit(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    n: int = 3,
+    num_hashes: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X234 — MinHash estimator audit (Broder 1997): for every exact
+    n-gram-Jaccard qualifying pair, release the exact Jaccard NEXT TO
+    the k-permutation MinHash estimate ``(1/k) Σ_i [mh_i(A)=mh_i(B)]``
+    and the absolute error — the x232 Count-Min idea applied to the
+    sketch this engine's own LSH dedup (x03) relies on: the estimator's
+    accuracy contract (err ~ sqrt(J(1-J)/k)) becomes an auditable
+    relation over real corpus pairs instead of a paper bound.
+
+    Portability: the production LSH path (minhash_lsh_pairs) hashes via
+    xxhash64 — Spark-only. The AUDIT derives its base hash from an md5
+    hex prefix (``conv(substr(md5(shingle),1,8),16,10)``, the x10/x232
+    discipline) so DuckDB replays every signature component exactly; the
+    Carter-Wegman maps ``(a_i·h32 + b_i) mod (2^61-1)`` use the SAME
+    driver-computed constants on both engines (exact int64:
+    h32 < 2^32, a < 2^29 → product < 2^61; +b < 2^62).
+
+    Output per qualifying pair: ``(id_a, id_b, jaccard_r,
+    minhash_est_r, abs_err_r)`` at 9 dp.
+
+    Scale shape (100 TB): signatures are ONE aggregation of the shingle
+    relation exploded ×k with map-side min-combining; the audit join
+    touches qualifying pairs × k signature rows — pair-relation-sized,
+    never corpus². The exact pair relation reuses
+    :func:`ngram_jaccard_pairs` (shared tokenization economics).
+    """
+    spark = docs.sparkSession
+    sh_rel = (
+        fan_out(docs)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("__sh"),
+        )
+    )
+    h32 = F.conv(F.substring(F.md5(F.col("__sh")), 1, 8), 16, 10).cast("long")
+    perms = spark.createDataFrame(
+        _mh_audit_perms(num_hashes), "i INT, a LONG, b LONG"
+    )
+    sig = (
+        sh_rel.withColumn("__h32", h32)
+        .crossJoin(F.broadcast(perms))
+        .groupBy("__id", "i")
+        .agg(
+            F.min(
+                F.pmod(F.col("__h32") * F.col("a") + F.col("b"), F.lit(_MH_AUDIT_P))
+            ).alias("__mh")
+        )
+    )
+    sig = track_cached(sig.persist())  # feeds both sides of the pair join
+    pairs = ngram_jaccard_pairs(docs, threshold=threshold, n=n)
+    sa = sig.select(F.col("__id").alias("id_a"), "i", F.col("__mh").alias("__ma"))
+    sb = sig.select(F.col("__id").alias("id_b"), "i", F.col("__mh").alias("__mb"))
+    est = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "i"])
+        .groupBy("id_a", "id_b", "jaccard")
+        .agg(
+            (
+                F.sum(F.when(F.col("__ma") == F.col("__mb"), 1).otherwise(0))
+                .cast("double")
+                / F.lit(float(num_hashes))
+            ).alias("__est")
+        )
+    )
+    return est.select(
+        "id_a",
+        "id_b",
+        F.col("jaccard").alias("jaccard_r"),
+        F.round("__est", 9).alias("minhash_est_r"),
+        F.round(F.abs(F.col("jaccard") - F.col("__est")), 9).alias("abs_err_r"),
+    )

@@ -455,3 +455,91 @@ def quality_gating_curve(
             F.sum("__t").over(cum).cast("double") / F.sum("__t").over(tot).cast("double"), 9
         ).alias("frac_tokens_r"),
     )
+
+
+def boilerplate_by_source(
+    docs: DataFrame,
+    line_tokens: int = 4,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """X233 — per-source boilerplate-line detection (the C4/CCNet
+    cleaning stage: navigation chrome, cookie banners, footers — lines
+    repeated across many documents of one SOURCE are template, not
+    content). A line is boilerplate when it appears in >= ``min_df``
+    distinct documents of its source; the release is the per-source
+    scorecard a curation pipeline gates on: how much of the source's
+    token mass is template?
+
+    The fixture's documents are single-line token streams, so documents
+    are first segmented into ``line_tokens``-token lines (deterministic
+    segmentation, the x176 convention — real corpora would split on
+    newlines instead).
+
+    Output per source: ``(source, n_docs, n_lines, n_distinct_lines,
+    n_boilerplate_lines, boilerplate_token_share_r)`` — the share is
+    (token mass of boilerplate line occurrences) / (total token mass),
+    both exact int64, one IEEE division at 9 dp.
+
+    Scale shape (100 TB): tokenize/segment is map-only; ONE
+    (source, line) aggregation with map-side combining carries the
+    document frequencies (the word-count shape); the per-source rollup
+    runs on the distinct-line relation. No joins back to documents —
+    the occurrence counts ride the same aggregation.
+    """
+    if line_tokens < 1 or min_df < 1:
+        raise ValueError("line_tokens and min_df must be >= 1")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    e = docs.select(
+        F.col(id_col).alias("__id"),
+        F.col(source_col).alias("source"),
+        F.posexplode(toks).alias("__pos", "__tok"),
+    )
+    lines = e.groupBy(
+        "source",
+        "__id",
+        F.floor(F.col("__pos") / F.lit(line_tokens)).alias("__lpos"),
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("__line"),
+        F.count(F.lit(1)).cast("long").alias("__ntok"),
+    )
+    per_line = lines.groupBy("source", "__line").agg(
+        F.countDistinct("__id").cast("long").alias("__df"),
+        F.count(F.lit(1)).cast("long").alias("__occ"),
+        F.sum("__ntok").cast("long").alias("__tok_mass"),
+    )
+    docs_per_source = lines.groupBy("source").agg(
+        F.countDistinct("__id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+    roll = per_line.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_lines"),
+        F.sum(F.when(F.col("__df") >= min_df, 1).otherwise(0))
+        .cast("long")
+        .alias("n_boilerplate_lines"),
+        F.sum(F.when(F.col("__df") >= min_df, F.col("__tok_mass")).otherwise(0))
+        .cast("long")
+        .alias("__bp_mass"),
+        F.sum("__tok_mass").cast("long").alias("__mass"),
+    )
+    out = docs_per_source.join(roll, "source")
+    share = F.when(
+        F.col("__mass") > 0,
+        F.col("__bp_mass").cast("double") / F.col("__mass").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "source",
+        "n_docs",
+        "n_lines",
+        "n_distinct_lines",
+        "n_boilerplate_lines",
+        F.round(share, 9).alias("boilerplate_token_share_r"),
+    )

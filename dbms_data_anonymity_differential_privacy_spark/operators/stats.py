@@ -4495,3 +4495,102 @@ def ljung_box(
         "max_lag",
         F.round(F.when(F.col("__nulls") == 0, q), 9).alias("q_r"),
     )
+
+
+def anderson_darling_ksamp(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    groups: Sequence,
+) -> DataFrame:
+    """X235 — k-sample Anderson-Darling A2akN (Scholz & Stephens 1987,
+    midrank version): does ANY of the k cohorts draw from a different
+    distribution? The one-test answer before k·(k-1)/2 pairwise x229
+    runs — the standard homogeneity screen across data sources, time
+    slices, or annotator cohorts. Identical machinery to
+    :func:`anderson_darling_2samp` (doubled midrank cumulatives, exact
+    int64 counts, x*x squares, sorted term fold) generalized to k
+    per-group count/cumulative columns.
+
+    Output (single row): ``(n_total, n_groups, n_distinct, a2_r)`` at
+    9 dp; NumPy-midrank parity pinned in pytest.
+
+    Scale shape: one distinct-value aggregation (k conditional sums in
+    the same pass), windows on the compact relation, one-row release.
+    """
+    from pyspark.sql import Window
+
+    ks = list(groups)
+    if len(ks) < 2:
+        raise ValueError("need at least 2 groups")
+    g = F.col(group_col)
+    counts = (
+        df.filter(g.isin(ks))
+        .groupBy(F.col(value_col).alias("__v"))
+        .agg(
+            *[
+                F.sum(F.when(g == k, 1).otherwise(0)).cast("long").alias(f"__l{i}")
+                for i, k in enumerate(ks)
+            ]
+        )
+    )
+    w_prev = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    staged = counts
+    for i in range(len(ks)):
+        staged = staged.withColumn(
+            f"__b{i}", F.coalesce(F.sum(f"__l{i}").over(w_prev), F.lit(0))
+        )
+    l_tot = None
+    b_tot = None
+    for i in range(len(ks)):
+        l_tot = F.col(f"__l{i}") if l_tot is None else l_tot + F.col(f"__l{i}")
+        b_tot = F.col(f"__b{i}") if b_tot is None else b_tot + F.col(f"__b{i}")
+    staged = staged.withColumn("__l", l_tot).withColumn("__bt", b_tot)
+    tot = staged.agg(
+        *[F.sum(f"__l{i}").cast("long").alias(f"n_{i}") for i in range(len(ks))],
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    t = staged.join(F.broadcast(tot))
+    N = None
+    for i in range(len(ks)):
+        N = F.col(f"n_{i}") if N is None else N + F.col(f"n_{i}")
+    b2 = F.lit(2) * F.col("__bt") + F.col("__l")
+    den = (b2 * (F.lit(2) * N - b2) - N * F.col("__l")).cast("long")
+    inner = None
+    for i in range(len(ks)):
+        num_i = _sq(
+            (
+                N * (F.lit(2) * F.col(f"__b{i}") + F.col(f"__l{i}"))
+                - F.col(f"n_{i}") * b2
+            ).cast("double")
+        ) / F.col(f"n_{i}").cast("double")
+        inner = num_i if inner is None else inner + num_i
+    term = F.when(
+        den > 0, F.col("__l").cast("double") * inner / den.cast("double")
+    ).otherwise(F.lit(0.0))
+    per = t.select(
+        *[F.col(f"n_{i}") for i in range(len(ks))],
+        F.col("n_distinct"),
+        term.alias("__t"),
+    )
+    out = per.groupBy(
+        *[F.col(f"n_{i}") for i in range(len(ks))], F.col("n_distinct")
+    ).agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(__t)), CAST(0.0 AS DOUBLE),"
+            " (a, b) -> a + b)"
+        ).alias("__s")
+    )
+    n_total = None
+    for i in range(len(ks)):
+        n_total = (
+            F.col(f"n_{i}") if n_total is None else n_total + F.col(f"n_{i}")
+        )
+    nd = n_total.cast("double")
+    a2 = (nd - F.lit(1.0)) / (nd * nd) * F.col("__s")
+    return out.select(
+        n_total.cast("long").alias("n_total"),
+        F.lit(len(ks)).cast("int").alias("n_groups"),
+        "n_distinct",
+        F.round(a2, 9).alias("a2_r"),
+    )

@@ -12102,6 +12102,175 @@ def x232_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X233 — per-source boilerplate detection (operators/quality.py
+# boilerplate_by_source): the C4/CCNet template-removal stage as a
+# per-source scorecard; x176's 4-token segmentation, one word-count-
+# shaped (source, line) aggregation.
+# --------------------------------------------------------------------------
+@query(
+    "x233_boilerplate",
+    """
+    WITH t AS (SELECT doc_id, source,
+                      string_split_regex(trim(text), '\\s+') AS toks
+               FROM documents),
+    e AS (SELECT doc_id, source, unnest(toks) AS tok,
+                 unnest(range(1, len(toks) + 1)) AS pos FROM t),
+    l AS (SELECT source, doc_id, CAST(floor((pos - 1) / 4) AS BIGINT) AS lpos,
+                 string_agg(tok, ' ' ORDER BY pos) AS line,
+                 CAST(COUNT(*) AS BIGINT) AS ntok
+          FROM e GROUP BY 1, 2, 3),
+    per_line AS (SELECT source, line,
+                        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+                        CAST(SUM(ntok) AS BIGINT) AS tok_mass
+                 FROM l GROUP BY 1, 2),
+    dps AS (SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM l GROUP BY 1),
+    roll AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct_lines,
+                    CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_boilerplate_lines,
+                    CAST(SUM(CASE WHEN df >= 2 THEN tok_mass ELSE 0 END) AS BIGINT)
+                      AS bp_mass,
+                    CAST(SUM(tok_mass) AS BIGINT) AS mass
+             FROM per_line GROUP BY 1)
+    SELECT dps.source, n_docs, n_lines, n_distinct_lines, n_boilerplate_lines,
+           ROUND(CASE WHEN mass > 0
+                      THEN CAST(bp_mass AS DOUBLE) / CAST(mass AS DOUBLE)
+                      ELSE 0.0 END, 9) AS boilerplate_token_share_r
+    FROM dps JOIN roll USING (source)
+    """,
+)
+def x233_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of each source's token mass is repeated template?"""
+    from dbms_data_anonymity_differential_privacy_spark.operators.quality import (
+        boilerplate_by_source,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_by_source(docs, line_tokens=4, min_df=2)
+
+
+# --------------------------------------------------------------------------
+# X234 — MinHash estimator audit (operators/dedup.py
+# minhash_jaccard_audit): exact Jaccard vs 32-permutation MinHash
+# estimate per qualifying pair — portable md5 base hash so DuckDB
+# replays every signature component (the x232 estimator-audit family).
+# --------------------------------------------------------------------------
+def _x234_sql() -> str:
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
+        _MH_AUDIT_P,
+        _mh_audit_perms,
+    )
+
+    perms = ", ".join(f"({i}, {a}, {b})" for i, a, b in _mh_audit_perms(32))
+    return f"""
+    WITH {SHINGLE_CTES},
+    p AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ns AS na, b.ns AS nb,
+                 COUNT(*) AS inter
+          FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+    pairs AS (SELECT id_a, id_b, ROUND(inter / (na + nb - inter), 9) AS jaccard
+              FROM p WHERE ROUND(inter / (na + nb - inter), 9) >= 0.2),
+    perms(i, a, b) AS (VALUES {perms}),
+    h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h32
+          FROM e),
+    sig AS MATERIALIZED (SELECT doc_id, i,
+                 MIN((h32 * a + b) % {_MH_AUDIT_P}) AS mh
+          FROM h CROSS JOIN perms GROUP BY 1, 2)
+    SELECT pairs.id_a, pairs.id_b, pairs.jaccard AS jaccard_r,
+           ROUND(CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE)
+                 / 32.0, 9) AS minhash_est_r,
+           ROUND(ABS(pairs.jaccard
+                     - CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE)
+                       / 32.0), 9) AS abs_err_r
+    FROM pairs
+    JOIN sig sa ON sa.doc_id = pairs.id_a
+    JOIN sig sb ON sb.doc_id = pairs.id_b AND sb.i = sa.i
+    GROUP BY 1, 2, 3
+    """
+
+
+@query("x234_minhash_estimate", _x234_sql())
+def x234_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash accuracy audit: exact Jaccard vs the 32-hash estimate for
+    every qualifying near-dup pair."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
+        minhash_jaccard_audit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_jaccard_audit(docs, threshold=0.2, n=3, num_hashes=32)
+
+
+# --------------------------------------------------------------------------
+# X235 — k-sample Anderson-Darling (operators/stats.py
+# anderson_darling_ksamp): one homogeneity screen across all five event
+# cohorts' transaction values (x229 machinery, k conditional columns).
+# --------------------------------------------------------------------------
+_X235_GROUPS = ["click", "error", "purchase", "signup", "view"]
+
+
+def _x235_sql() -> str:
+    k = _X235_GROUPS
+    las = ", ".join(
+        f"CAST(SUM(CASE WHEN g = '{v}' THEN 1 ELSE 0 END) AS BIGINT) AS l{i}"
+        for i, v in enumerate(k)
+    )
+    bas = ", ".join(
+        f"COALESCE(SUM(l{i}) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING"
+        f" AND 1 PRECEDING), 0) AS b{i}"
+        for i in range(len(k))
+    )
+    l_tot = " + ".join(f"l{i}" for i in range(len(k)))
+    b_tot = " + ".join(f"b{i}" for i in range(len(k)))
+    ns = ", ".join(f"CAST(SUM(l{i}) AS BIGINT) AS n{i}" for i in range(len(k)))
+    n_tot = " + ".join(f"n{i}" for i in range(len(k)))
+    b2 = "(2 * bt + l)"
+    den = f"CAST({b2} * (2 * ({n_tot}) - {b2}) - ({n_tot}) * l AS BIGINT)"
+    inner = " + ".join(
+        f"(CAST(({n_tot}) * (2 * b{i} + l{i}) - n{i} * {b2} AS DOUBLE)"
+        f" * CAST(({n_tot}) * (2 * b{i} + l{i}) - n{i} * {b2} AS DOUBLE)"
+        f" / CAST(n{i} AS DOUBLE))"
+        for i in range(len(k))
+    )
+    in_list = ", ".join(f"'{v}'" for v in k)
+    return f"""
+    WITH f AS (SELECT value AS v, event_type AS g FROM events
+               WHERE event_type IN ({in_list})),
+    c AS (SELECT v, {las} FROM f GROUP BY v),
+    s AS (SELECT v, {', '.join(f'l{i}' for i in range(len(k)))}, {bas}
+          FROM c),
+    s2 AS (SELECT *, {l_tot} AS l, {b_tot} AS bt FROM s),
+    tot AS (SELECT {ns}, CAST(COUNT(*) AS BIGINT) AS n_distinct FROM s2),
+    terms AS (SELECT n_distinct, {n_tot} AS n_total,
+                     CASE WHEN {den} > 0 THEN
+                       CAST(l AS DOUBLE) * ({inner}) / CAST({den} AS DOUBLE)
+                     ELSE 0.0 END AS t
+              FROM s2 CROSS JOIN tot),
+    fold AS (SELECT n_total, n_distinct,
+                    list_reduce(list_sort(list(t)), (a, b) -> a + b) AS sm
+             FROM terms GROUP BY 1, 2)
+    SELECT CAST(n_total AS BIGINT) AS n_total,
+           CAST({len(k)} AS INTEGER) AS n_groups, n_distinct,
+           ROUND((CAST(n_total AS DOUBLE) - 1.0)
+                 / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)) * sm, 9)
+             AS a2_r
+    FROM fold
+    """
+
+
+@query("x235_anderson_ksamp", _x235_sql())
+def x235_anderson_ksamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the five event cohorts share one value distribution?"""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+        anderson_darling_ksamp,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return anderson_darling_ksamp(ev, "value", "event_type", _X235_GROUPS)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries per round; the rotation policy is BY STALENESS —
 # and since round 8 the rotation is COMPUTED, not hand-cut: the window

@@ -390,3 +390,79 @@ def test_count_min_one_sided_and_tight_when_wide(spark):
     # 37 keys in 1024 buckets x 4 rows: some row almost surely collision-
     # free per key -> min estimate exact
     assert all(r["overcount"] == 0 for r in out)
+
+
+def test_boilerplate_by_source_hand_case(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.quality import (
+        boilerplate_by_source,
+    )
+
+    # source s1: the 4-token line "a b c d" appears in BOTH docs
+    # (boilerplate at min_df=2); each doc also has a unique line.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d w x y z", "s1"),
+            (2, "a b c d q r s t", "s1"),
+            (3, "h i j k", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in boilerplate_by_source(docs, 4, 2).collect()}
+    s1 = out["s1"]
+    assert (s1["n_docs"], s1["n_lines"], s1["n_distinct_lines"]) == (2, 4, 3)
+    assert s1["n_boilerplate_lines"] == 1
+    # boilerplate mass = the repeated line's occurrences: 8 of 16 tokens
+    assert s1["boilerplate_token_share_r"] == 0.5
+    s2 = out["s2"]
+    assert s2["n_boilerplate_lines"] == 0
+    assert s2["boilerplate_token_share_r"] == 0.0
+
+
+def test_minhash_audit_error_band(spark, sf001):
+    """The estimator must honor the Broder accuracy contract on real
+    corpus pairs: mean |err| well inside the k=32 binomial band, and
+    exact-duplicate pairs (J=1) estimate exactly 1."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
+        minhash_jaccard_audit,
+    )
+    from dbms_data_anonymity_differential_privacy_spark.queries_registry import load_table
+
+    docs = load_table(spark, sf001, "documents")
+    rows = minhash_jaccard_audit(docs, threshold=0.2, n=3, num_hashes=32).collect()
+    assert rows, "no qualifying pairs at sf0.01"
+    for r in rows:
+        assert 0.0 <= r["minhash_est_r"] <= 1.0
+        if r["jaccard_r"] == 1.0:
+            # identical shingle sets -> identical signatures, always
+            assert r["minhash_est_r"] == 1.0
+    # sigma at J~0.3, k=32 is ~0.08; mean |err| across pairs must sit
+    # well inside 2 sigma
+    mean_err = sum(r["abs_err_r"] for r in rows) / len(rows)
+    assert mean_err < 0.16, mean_err
+
+
+def test_anderson_ksamp_numpy_parity_and_2samp_consistency(spark):
+    import numpy as np
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
+        anderson_darling_2samp,
+        anderson_darling_ksamp,
+    )
+
+    rng = np.random.RandomState(11)
+    groups = {
+        "a": np.round(rng.normal(0, 1, 250), 1),
+        "b": np.round(rng.normal(0.2, 1, 200), 1),
+        "c": np.round(rng.normal(0, 1.5, 150), 1),
+    }
+    expect = _a2akn_numpy(list(groups.values()))
+    rows = [(float(v), g) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = anderson_darling_ksamp(df, "v", "g", ["a", "b", "c"]).first()
+    assert abs(r["a2_r"] - expect) < 1e-6
+    assert r["n_total"] == 600 and r["n_groups"] == 3
+
+    # k=2 degenerates to the 2-sample release
+    two = anderson_darling_ksamp(df.filter("g != 'c'"), "v", "g", ["a", "b"]).first()
+    base = anderson_darling_2samp(df.filter("g != 'c'"), "v", "g", "a", "b").first()
+    assert two["a2_r"] == base["a2_r"]
