@@ -1449,17 +1449,24 @@ def _kmeans_blocks(
     if fit_fraction is not None:
         pool = hash_sample(emb, [id_col], fit_fraction, salt="semdedup-coreset")
     feat = array_to_vector(F.col(vec_col).cast("array<double>"))
-    train = pool.select(feat.alias("__features"))
-    # k can never exceed the fitting pool (KMeans requires k <= points);
-    # at corpora where the block target would demand more centers than
-    # the ~8k sample holds, blocks run over target and the triangular
-    # pair grid carries the extra parallelism (documented trade)
-    k = min(int(k), max(1, train.count() // 2))
-    km = KMeans(
-        k=int(k), seed=42, featuresCol="__features", predictionCol="__blk",
-        maxIter=20,
-    )
-    model = km.fit(train)
+    # persist the (sampled, ~8k-row) fit pool: the k-bound count below
+    # and the k-means|| iterations otherwise each re-scan the sampling
+    # projection (r8 verdict watch item 3 — the count was a second scan)
+    train = pool.select(feat.alias("__features")).persist()
+    try:
+        # k can never exceed the fitting pool (KMeans requires k <=
+        # points); at corpora where the block target would demand more
+        # centers than the ~8k sample holds, blocks run over target and
+        # the triangular pair grid carries the extra parallelism
+        # (documented trade)
+        k = min(int(k), max(1, train.count() // 2))
+        km = KMeans(
+            k=int(k), seed=42, featuresCol="__features", predictionCol="__blk",
+            maxIter=20,
+        )
+        model = km.fit(train)
+    finally:
+        train.unpersist()
     assigned = model.transform(emb.withColumn("__features", feat))
     return assigned.drop("__features")
 
