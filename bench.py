@@ -298,15 +298,17 @@ def force(df) -> None:
 
 
 # Fixed calibration workload (r8 verdict task 5): a data-independent,
-# CPU-bound reference computation whose wall measures THIS BOX AT THIS
-# MOMENT. Per-query times divided by the speed factor
-# (calibration_sec / CALIBRATION_REF_SEC) are comparable across rounds:
-# a real 1.4x regression survives normalization, the ±10% ambient drift
-# that muddied the r8 common-242 comparison does not. The reference
-# constant is the min-of-7 measured on a quiet round-9 box (loadavg
-# < 1); it is a fixed denominator, never remeasured, so normalized
-# numbers stay on one scale forever.
-CALIBRATION_REF_SEC = 1.65
+# CPU-bound reference computation (5B-row xxhash64 fold, ~1.5 s on a
+# quiet box — large enough that scheduling noise is <5%) whose wall
+# measures THIS BOX AT THIS MOMENT. Per-query times divided by the
+# speed factor (calibration_sec / CALIBRATION_REF_SEC) are comparable
+# across rounds: a real 1.4x regression survives normalization, the
+# ±10% ambient drift that muddied the r8 common-242 comparison does
+# not. The reference constant is the min-of-7 measured on a quiet
+# round-9 box (loadavg 1.5, nothing else running); it is a fixed
+# denominator, never remeasured, so normalized numbers stay on one
+# scale forever.
+CALIBRATION_REF_SEC = 1.5
 
 
 def calibrate(spark) -> float:
@@ -316,7 +318,7 @@ def calibrate(spark) -> float:
     for _ in range(7):
         t0 = time.perf_counter()
         force(
-            spark.range(0, 200_000_000, 1, 32).select(
+            spark.range(0, 5_000_000_000, 1, 32).select(
                 F.sum(F.xxhash64("id") % 1000003).alias("h")
             )
         )
