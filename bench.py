@@ -290,6 +290,9 @@ HEADLINE = [
     "x233_boilerplate",
     "x234_minhash_estimate",
     "x235_anderson_ksamp",
+    "x236_theil_u",
+    "x237_msttr",
+    "x238_line_dup_profile",
 ]
 
 

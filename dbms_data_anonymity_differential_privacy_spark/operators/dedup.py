@@ -2143,3 +2143,68 @@ def minhash_jaccard_audit(
         F.round("__est", 9).alias("minhash_est_r"),
         F.round(F.abs(F.col("jaccard") - F.col("__est")), 9).alias("abs_err_r"),
     )
+
+
+def line_duplication_profile(
+    docs: DataFrame,
+    line_tokens: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X238 — the corpus duplication PROFILE: for every line-repetition
+    count s, how many distinct lines occur exactly s times and what
+    share of the corpus token mass they carry. x176 answers "remove the
+    duplicates"; this answers the datasheet question BEFORE removal —
+    is duplication a flat 2x tail or a few mega-repeated boilerplate
+    lines? (The shape decides between line-dedup, boilerplate removal
+    (x233), and doing nothing.) The same histogram-of-multiplicities
+    relation Good-Turing (x184) reads for types, here over x176's
+    4-token line segmentation with token-mass accounting.
+
+    Output per multiplicity: ``(occurrences, n_distinct_lines, n_line_
+    occurrences, token_mass, token_share_r)`` ascending, share at 9 dp.
+
+    Scale shape (100 TB): segmentation is map-only; one (line)
+    aggregation with map-side combining (word-count shape), one
+    histogram rollup on the distinct-line relation, one broadcast of
+    the 1-row total. The released relation is at most
+    max-multiplicity rows.
+    """
+    if line_tokens < 1:
+        raise ValueError("line_tokens must be >= 1")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    e = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(toks).alias("__pos", "__tok"),
+    )
+    lines = e.groupBy(
+        "__id", F.floor(F.col("__pos") / F.lit(line_tokens)).alias("__lpos")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("__line"),
+        F.count(F.lit(1)).cast("long").alias("__ntok"),
+    )
+    per_line = lines.groupBy("__line").agg(
+        F.count(F.lit(1)).cast("long").alias("__occ"),
+        F.sum("__ntok").cast("long").alias("__mass"),
+    )
+    hist = per_line.groupBy(F.col("__occ").alias("occurrences")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_lines"),
+        F.sum("__occ").cast("long").alias("n_line_occurrences"),
+        F.sum("__mass").cast("long").alias("token_mass"),
+    )
+    total = per_line.agg(F.sum("__mass").cast("long").alias("__tot"))
+    return hist.join(F.broadcast(total)).select(
+        "occurrences",
+        "n_distinct_lines",
+        "n_line_occurrences",
+        "token_mass",
+        F.round(
+            F.col("token_mass").cast("double") / F.col("__tot").cast("double"), 9
+        ).alias("token_share_r"),
+    )

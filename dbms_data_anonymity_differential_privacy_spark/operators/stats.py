@@ -4594,3 +4594,68 @@ def anderson_darling_ksamp(
         "n_distinct",
         F.round(a2, 9).alias("a2_r"),
     )
+
+
+def theil_u(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """X236 — Theil's uncertainty coefficient, both directions (Theil
+    1970): the NORMALIZED, asymmetric companion to x64's mutual
+    information — ``U(A|B) = I(A;B) / H(A)`` is the fraction of A's
+    entropy explained by knowing B. The asymmetry is the point: for
+    feature screens "how much does source tell me about lang" and the
+    reverse are different questions (Cramér's V, x204, symmetrizes them
+    away). Same counts-relation algebra as x64: one fact aggregation to
+    the (a, b, count) relation, window marginals, one rollup; the
+    telescoped ``c_ab·N/(c_a·c_b)`` keeps integer products inside each
+    log (the x64 exactness note).
+
+    Output (single row): ``(n, n_cells, h_a_r, h_b_r, mi_r,
+    u_a_given_b_r, u_b_given_a_r)`` at 9 dp; U is NULL when the
+    conditioned entropy is 0 (a constant column explains nothing and
+    has nothing to explain).
+    """
+    from pyspark.sql import Window
+
+    joint = df.groupBy(
+        F.col(a_col).alias("__a"), F.col(b_col).alias("__b")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    wall = Window.partitionBy()
+    cells = (
+        joint.withColumn("__ca", F.sum("__c").over(wa))
+        .withColumn("__cb", F.sum("__c").over(wb))
+        .withColumn("__n", F.sum("__c").over(wall))
+        .withColumn("__ma", F.row_number().over(wa.orderBy("__b")) == 1)
+        .withColumn("__mb", F.row_number().over(wb.orderBy("__a")) == 1)
+    )
+    n = F.col("__n").cast("double")
+    p_ab = F.col("__c") / n
+    ratio = (F.col("__c") * F.col("__n")).cast("double") / (
+        F.col("__ca") * F.col("__cb")
+    ).cast("double")
+    pa = F.col("__ca") / n
+    pb = F.col("__cb") / n
+    agg = cells.agg(
+        F.max("__n").cast("long").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        (-F.sum(F.when(F.col("__ma"), pa * F.log(pa)).otherwise(0.0))).alias("__ha"),
+        (-F.sum(F.when(F.col("__mb"), pb * F.log(pb)).otherwise(0.0))).alias("__hb"),
+        F.sum(p_ab * F.log(ratio)).alias("__mi"),
+    )
+    return agg.select(
+        "n",
+        "n_cells",
+        F.round("__ha", ROUND_DP).alias("h_a_r"),
+        F.round("__hb", ROUND_DP).alias("h_b_r"),
+        F.round("__mi", ROUND_DP).alias("mi_r"),
+        F.round(
+            F.when(F.col("__ha") > 0.0, F.col("__mi") / F.col("__ha")), ROUND_DP
+        ).alias("u_a_given_b_r"),
+        F.round(
+            F.when(F.col("__hb") > 0.0, F.col("__mi") / F.col("__hb")), ROUND_DP
+        ).alias("u_b_given_a_r"),
+    )

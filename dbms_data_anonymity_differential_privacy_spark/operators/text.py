@@ -1019,3 +1019,65 @@ def keyness_llr(
         .orderBy(F.desc("g2_r"), "token")
         .limit(int(top))
     )
+
+
+def msttr(
+    docs: DataFrame,
+    segment_tokens: int = 50,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """X237 — mean segmental type-token ratio (MSTTR, Johnson 1944): the
+    length-robust lexical-diversity number. Plain TTR falls with text
+    length (Heaps' law, x185), so corpora of different document lengths
+    are incomparable under it; MSTTR scores fixed-size segments and
+    averages — the standard corpus-linguistics normalization, and a
+    practical LLM-data quality signal (template/spam text has LOW
+    segment diversity even when the corpus vocabulary is large).
+
+    Segments are consecutive ``segment_tokens``-token windows per
+    document (the x176 segmentation); the trailing partial segment is
+    DROPPED (the textbook protocol — partial segments would re-import
+    the length bias). Exactness: every kept segment has exactly
+    ``segment_tokens`` tokens, so ``mean TTR = Σ distinct_types /
+    (segment_tokens · n_segments)`` — exact int64 numerator and
+    denominator, ONE IEEE division per group.
+
+    Output per group: ``(group, n_segments, n_tokens, msttr_r)`` at
+    9 dp.
+
+    Scale shape (100 TB): tokenize/segment is map-only; one
+    (group, doc, segment) distinct-count aggregation with map-side
+    combining; one group rollup. No joins.
+    """
+    if segment_tokens < 1:
+        raise ValueError("segment_tokens must be >= 1")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    e = docs.select(
+        F.col(group_col).alias("group"),
+        F.col("doc_id").alias("__id"),
+        F.posexplode(toks).alias("__pos", "__tok"),
+    )
+    seg = e.groupBy(
+        "group",
+        "__id",
+        F.floor(F.col("__pos") / F.lit(segment_tokens)).alias("__seg"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("__ntok"),
+        F.countDistinct("__tok").cast("long").alias("__types"),
+    )
+    full = seg.filter(F.col("__ntok") == segment_tokens)
+    out = full.groupBy("group").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum("__ntok").cast("long").alias("n_tokens"),
+        F.sum("__types").cast("long").alias("__sum_types"),
+    )
+    return out.select(
+        "group",
+        "n_segments",
+        "n_tokens",
+        F.round(
+            F.col("__sum_types").cast("double") / F.col("n_tokens").cast("double"),
+            9,
+        ).alias("msttr_r"),
+    )

@@ -12271,6 +12271,123 @@ def x235_anderson_ksamp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X236 — Theil's uncertainty coefficient (operators/stats.py theil_u):
+# normalized asymmetric association, U(A|B) = MI/H(A) — x64's machinery
+# with the directional ratios released. Instance: customer
+# segment vs nation.
+# --------------------------------------------------------------------------
+@query(
+    "x236_theil_u",
+    """
+    WITH j AS (SELECT c_mktsegment AS a, c_nationkey AS b, COUNT(*) AS c
+               FROM customer GROUP BY 1, 2),
+    m AS (SELECT *, SUM(c) OVER (PARTITION BY a) AS ca,
+                 SUM(c) OVER (PARTITION BY b) AS cb,
+                 SUM(c) OVER () AS nn,
+                 ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) AS ra,
+                 ROW_NUMBER() OVER (PARTITION BY b ORDER BY a) AS rb
+          FROM j),
+    agg AS (SELECT CAST(MAX(nn) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   -SUM(CASE WHEN ra = 1 THEN (CAST(ca AS DOUBLE) / nn)
+                                              * LN(CAST(ca AS DOUBLE) / nn)
+                             ELSE 0 END) AS ha,
+                   -SUM(CASE WHEN rb = 1 THEN (CAST(cb AS DOUBLE) / nn)
+                                              * LN(CAST(cb AS DOUBLE) / nn)
+                             ELSE 0 END) AS hb,
+                   SUM((CAST(c AS DOUBLE) / nn)
+                       * LN(CAST(c * nn AS DOUBLE) / CAST(ca * cb AS DOUBLE))) AS mi
+            FROM m)
+    SELECT n, n_cells, ROUND(ha, 9) AS h_a_r, ROUND(hb, 9) AS h_b_r,
+           ROUND(mi, 9) AS mi_r,
+           ROUND(CASE WHEN ha > 0.0 THEN mi / ha END, 9) AS u_a_given_b_r,
+           ROUND(CASE WHEN hb > 0.0 THEN mi / hb END, 9) AS u_b_given_a_r
+    FROM agg
+    """,
+)
+def x236_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much does nation explain segment, and vice versa?"""
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import theil_u
+
+    c = load_table(spark, sf_dir, "customer")
+    return theil_u(c, "c_mktsegment", "c_nationkey")
+
+
+# --------------------------------------------------------------------------
+# X237 — mean segmental TTR (operators/text.py msttr): length-robust
+# lexical diversity per language; exact-int numerator/denominator, one
+# division (full 50-token segments only).
+# --------------------------------------------------------------------------
+@query(
+    "x237_msttr",
+    """
+    WITH t AS (SELECT doc_id, lang,
+                      string_split_regex(lower(trim(text)), '\\s+') AS toks
+               FROM documents),
+    e AS (SELECT doc_id, lang, unnest(toks) AS tok,
+                 unnest(range(1, len(toks) + 1)) AS pos FROM t),
+    seg AS (SELECT lang, doc_id, CAST(floor((pos - 1) / 50) AS BIGINT) AS seg,
+                   CAST(COUNT(*) AS BIGINT) AS ntok,
+                   CAST(COUNT(DISTINCT tok) AS BIGINT) AS types
+            FROM e GROUP BY 1, 2, 3)
+    SELECT lang AS "group", CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(types) AS DOUBLE) / CAST(SUM(ntok) AS DOUBLE), 9)
+             AS msttr_r
+    FROM seg WHERE ntok = 50 GROUP BY 1
+    """,
+)
+def x237_msttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-robust lexical diversity (50-token segments) per language."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import msttr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return msttr(docs, segment_tokens=50)
+
+
+# --------------------------------------------------------------------------
+# X238 — corpus line-duplication profile (operators/dedup.py
+# line_duplication_profile): histogram of line multiplicities with
+# token-mass accounting — the datasheet shape question before x176/x233
+# act on it.
+# --------------------------------------------------------------------------
+@query(
+    "x238_line_dup_profile",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+               FROM documents),
+    e AS (SELECT doc_id, unnest(toks) AS tok,
+                 unnest(range(1, len(toks) + 1)) AS pos FROM t),
+    l AS (SELECT doc_id, CAST(floor((pos - 1) / 4) AS BIGINT) AS lpos,
+                 string_agg(tok, ' ' ORDER BY pos) AS line,
+                 CAST(COUNT(*) AS BIGINT) AS ntok
+          FROM e GROUP BY 1, 2),
+    per_line AS (SELECT line, CAST(COUNT(*) AS BIGINT) AS occ,
+                        CAST(SUM(ntok) AS BIGINT) AS mass
+                 FROM l GROUP BY 1),
+    hist AS (SELECT occ AS occurrences,
+                    CAST(COUNT(*) AS BIGINT) AS n_distinct_lines,
+                    CAST(SUM(occ) AS BIGINT) AS n_line_occurrences,
+                    CAST(SUM(mass) AS BIGINT) AS token_mass
+             FROM per_line GROUP BY 1),
+    tot AS (SELECT CAST(SUM(mass) AS BIGINT) AS t FROM per_line)
+    SELECT occurrences, n_distinct_lines, n_line_occurrences, token_mass,
+           ROUND(CAST(token_mass AS DOUBLE) / CAST(t AS DOUBLE), 9)
+             AS token_share_r
+    FROM hist CROSS JOIN tot
+    """,
+)
+def x238_line_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is corpus duplication a flat 2x tail or mega-repeated boilerplate?"""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
+        line_duplication_profile,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return line_duplication_profile(docs, line_tokens=4)
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries per round; the rotation policy is BY STALENESS —
 # and since round 8 the rotation is COMPUTED, not hand-cut: the window

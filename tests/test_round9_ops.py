@@ -466,3 +466,57 @@ def test_anderson_ksamp_numpy_parity_and_2samp_consistency(spark):
     two = anderson_darling_ksamp(df.filter("g != 'c'"), "v", "g", ["a", "b"]).first()
     base = anderson_darling_2samp(df.filter("g != 'c'"), "v", "g", "a", "b").first()
     assert two["a2_r"] == base["a2_r"]
+
+
+def test_theil_u_hand_case(spark):
+    import math
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.stats import theil_u
+
+    # B determines A completely -> U(A|B) = 1; A says less about B
+    rows = [("x", 1), ("x", 1), ("y", 2), ("y", 3)]
+    df = spark.createDataFrame(rows, "a string, b long")
+    r = theil_u(df, "a", "b").first()
+    assert r["u_a_given_b_r"] == 1.0
+    h_a = -(0.5 * math.log(0.5)) * 2
+    h_b = -(0.5 * math.log(0.5) + 2 * 0.25 * math.log(0.25))
+    mi = h_a  # I(A;B) = H(A) when B determines A
+    assert abs(r["h_a_r"] - round(h_a, 9)) < 1e-9
+    assert abs(r["u_b_given_a_r"] - round(mi / h_b, 9)) < 1e-9
+    # constant column -> U against it is NULL
+    const = spark.createDataFrame([("x", 1), ("x", 2)], "a string, b long")
+    rc = theil_u(const, "a", "b").first()
+    assert rc["u_a_given_b_r"] is None
+
+
+def test_msttr_exact_and_partial_segments_dropped(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import msttr
+
+    # doc: 2 full 5-token segments (4 and 3 distinct types) + a 2-token
+    # remainder that must be DROPPED
+    text = "a b c d a  e e f e g  h i"
+    df = spark.createDataFrame([(1, text, "en")], "doc_id long, text string, lang string")
+    r = msttr(df, segment_tokens=5).first()
+    assert r["n_segments"] == 2 and r["n_tokens"] == 10
+    assert r["msttr_r"] == round((4 + 3) / 10, 9)
+
+
+def test_line_dup_profile_accounting(spark, sf001):
+    """The profile must tile the corpus exactly: occurrence-weighted
+    line counts and token masses sum back to the segmentation totals,
+    and shares sum to 1."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
+        line_duplication_profile,
+    )
+    from dbms_data_anonymity_differential_privacy_spark.queries_registry import load_table
+
+    docs = load_table(spark, sf001, "documents")
+    rows = line_duplication_profile(docs, line_tokens=4).collect()
+    assert any(r["occurrences"] >= 2 for r in rows), "no duplicated lines?"
+    total_tokens = docs.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+    ).first()[0]
+    assert sum(r["token_mass"] for r in rows) == total_tokens
+    assert abs(sum(r["token_share_r"] for r in rows) - 1.0) < 1e-6
+    for r in rows:
+        assert r["n_line_occurrences"] == r["occurrences"] * r["n_distinct_lines"]
