@@ -31,6 +31,12 @@ NAMES = [
     "pipe_tcloseness_metrics",
     "x224_silhouette",
     "c01_k_anonymize_suppress",
+    # round-9 debuts with non-trivial scale shapes: two shingle-pair
+    # chains (x228), the 4x-exploded counter grid (x232), and the
+    # signature join over the pair relation (x234)
+    "x228_capture_recapture",
+    "x232_count_min",
+    "x234_minhash_estimate",
 ]
 
 
