@@ -293,6 +293,8 @@ HEADLINE = [
     "x236_theil_u",
     "x237_msttr",
     "x238_line_dup_profile",
+    "x239_dedup_survivor_bias",
+    "x240_vocab_coverage",
 ]
 
 

@@ -543,3 +543,56 @@ def boilerplate_by_source(
         "n_boilerplate_lines",
         F.round(share, 9).alias("boilerplate_token_share_r"),
     )
+
+
+def dedup_survivor_bias(
+    docs: DataFrame,
+    pairs: DataFrame,
+    thresholds: dict | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X239 — dedup survivor-bias audit: does near-dedup systematically
+    drop different-quality documents than it keeps? The curation-QA
+    check nobody runs until it bites — greedy min-id dropping is
+    quality-blind, and if duplicated content skews long/short or
+    high/low quality, the post-dedup corpus distribution silently
+    shifts. Releases the Gopher pass rate and mean token count of KEPT
+    vs DROPPED documents side by side; a large gap means the dedup
+    policy needs the quality-aware survivor variant (x82).
+
+    ``pairs`` is any near-dup pair relation; a document is "dropped"
+    when it appears as ``id_b`` (the greedy policy, Lee et al. 2022
+    §3.2 — consistent with x03_dedup_corpus and x228).
+
+    Output (two rows): ``(status, n_docs, n_pass_gopher, pass_rate_r,
+    mean_tokens_r)`` at 9 dp — exact integer numerators, one division
+    each.
+
+    Scale shape (100 TB): the quality flags are x27's map-only
+    projection; the drop set is one distinct over the pair relation's
+    dropped column; one broadcast-able join and a 2-row rollup.
+    """
+    gq = gopher_quality(docs, thresholds=dict(thresholds or {}), keep_cols=())
+    drops = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    j = gq.join(drops, id_col, "left")
+    out = j.groupBy(
+        F.when(F.col("__dropped").isNotNull(), F.lit("dropped"))
+        .otherwise(F.lit("kept"))
+        .alias("status")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("pass_gopher").cast("long")).cast("long").alias("n_pass_gopher"),
+        F.sum("n_tokens").cast("long").alias("__tok"),
+    )
+    nd = F.col("n_docs").cast("double")
+    return out.select(
+        "status",
+        "n_docs",
+        "n_pass_gopher",
+        F.round(F.col("n_pass_gopher").cast("double") / nd, 9).alias("pass_rate_r"),
+        F.round(F.col("__tok").cast("double") / nd, 9).alias("mean_tokens_r"),
+    )

@@ -1081,3 +1081,68 @@ def msttr(
             9,
         ).alias("msttr_r"),
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    ks: "Sequence[int]" = (100, 1000, 10000),
+    text_col: str = "text",
+) -> DataFrame:
+    """X240 — vocabulary coverage curve: what fraction of all token
+    OCCURRENCES does the top-K vocabulary cover, for each planning
+    breakpoint K? The tokenizer/vocab-pruning question (how big must
+    the vocab be before <unk> mass is negligible) and the Zipf (x128)
+    companion that answers it in budget terms rather than exponents.
+
+    Ranking is deterministic: tokens ordered by (count DESC, token ASC).
+    Coverage = Σ counts of rank ≤ K / Σ all counts — exact int64
+    numerator and denominator, ONE division per breakpoint.
+
+    Output per breakpoint: ``(k, vocab_size, covered_occurrences,
+    total_occurrences, coverage_r)`` at 9 dp, ascending k;
+    ``vocab_size = min(k, |V|)``.
+
+    Scale shape (100 TB): one token-frequency aggregation (word-count
+    shape); the rank window runs on the vocab-sized relation; the
+    breakpoint rollup explodes each vocab row into its ≤|ks| qualifying
+    breakpoints (constant factor). Fact rows shuffle once.
+    """
+    from pyspark.sql import Window
+
+    ks = sorted(set(int(k) for k in ks))
+    if not ks or ks[0] < 1:
+        raise ValueError("ks must be positive ints")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tf = (
+        docs.select(F.explode(toks).alias("__t"))
+        .where(F.col("__t") != "")
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    ranked = tf.withColumn(
+        "__rn",
+        F.row_number().over(Window.orderBy(F.desc("__c"), F.asc("__t"))),
+    )
+    kdf = F.array(*[F.lit(k) for k in ks])
+    hits = ranked.select(
+        "__c", "__rn", F.explode(kdf).alias("k")
+    ).where(F.col("__rn") <= F.col("k"))
+    per_k = hits.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum("__c").cast("long").alias("covered_occurrences"),
+    )
+    total = tf.agg(F.sum("__c").cast("long").alias("total_occurrences"))
+    return (
+        per_k.join(F.broadcast(total))
+        .select(
+            "k",
+            "vocab_size",
+            "covered_occurrences",
+            "total_occurrences",
+            F.round(
+                F.col("covered_occurrences").cast("double")
+                / F.col("total_occurrences").cast("double"),
+                9,
+            ).alias("coverage_r"),
+        )
+    )

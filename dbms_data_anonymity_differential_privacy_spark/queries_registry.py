@@ -12388,6 +12388,85 @@ def x238_line_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# X239 — dedup survivor-bias audit (operators/quality.py
+# dedup_survivor_bias): Gopher pass rate + mean tokens of kept vs
+# dropped docs under the greedy 3-gram near-dedup — does dedup shift
+# the quality distribution?
+# --------------------------------------------------------------------------
+def _x239_sql() -> str:
+    from dbms_data_anonymity_differential_privacy_spark.operators.quality import gopher_quality_sql
+
+    gq = gopher_quality_sql("documents", thresholds=_GOPHER_TUNING)
+    return f"""
+    WITH {SHINGLE_CTES},
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ns AS na, b.ns AS nb,
+                 COUNT(*) AS inter
+          FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+    drops AS (SELECT DISTINCT id_b AS doc_id FROM p
+              WHERE ROUND(inter / (na + nb - inter), 9) >= 0.2),
+    g AS ({gq}),
+    j AS (SELECT CASE WHEN drops.doc_id IS NOT NULL THEN 'dropped'
+                      ELSE 'kept' END AS status,
+                 g.n_tokens, CASE WHEN g.pass_gopher THEN 1 ELSE 0 END AS pg
+          FROM g LEFT JOIN drops USING (doc_id))
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(pg) AS BIGINT) AS n_pass_gopher,
+           ROUND(CAST(SUM(pg) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+             AS pass_rate_r,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+             AS mean_tokens_r
+    FROM j GROUP BY 1
+    """
+
+
+@query("x239_dedup_survivor_bias", _x239_sql())
+def x239_dedup_survivor_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did near-dedup drop different-quality docs than it kept?"""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import ngram_jaccard_pairs
+    from dbms_data_anonymity_differential_privacy_spark.operators.quality import (
+        dedup_survivor_bias,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2, n=3)
+    return dedup_survivor_bias(docs, pairs, thresholds=_GOPHER_TUNING)
+
+
+# --------------------------------------------------------------------------
+# X240 — vocabulary coverage curve (operators/text.py vocab_coverage):
+# occurrence mass covered by the top-K vocab at planning breakpoints —
+# the budget-terms companion of x128 Zipf.
+# --------------------------------------------------------------------------
+@query(
+    "x240_vocab_coverage",
+    """
+    WITH e AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+               FROM documents),
+    tf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM e WHERE t <> ''
+           GROUP BY 1),
+    ranked AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t ASC) AS rn
+               FROM tf),
+    ks(k) AS (VALUES (100), (1000), (10000)),
+    hits AS (SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS vocab_size,
+                    CAST(SUM(c) AS BIGINT) AS covered_occurrences
+             FROM ranked JOIN ks ON ranked.rn <= ks.k GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total_occurrences FROM tf)
+    SELECT k, vocab_size, covered_occurrences, total_occurrences,
+           ROUND(CAST(covered_occurrences AS DOUBLE)
+                 / CAST(total_occurrences AS DOUBLE), 9) AS coverage_r
+    FROM hits CROSS JOIN tot
+    """,
+)
+def x240_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much occurrence mass do the top 100/1k/10k tokens cover?"""
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import vocab_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_coverage(docs, ks=(100, 1000, 10000))
+
+
+# --------------------------------------------------------------------------
 # Registration-order window. The driver hash-checks only the FIRST 50
 # registered queries per round; the rotation policy is BY STALENESS —
 # and since round 8 the rotation is COMPUTED, not hand-cut: the window

@@ -520,3 +520,45 @@ def test_line_dup_profile_accounting(spark, sf001):
     assert abs(sum(r["token_share_r"] for r in rows) - 1.0) < 1e-6
     for r in rows:
         assert r["n_line_occurrences"] == r["occurrences"] * r["n_distinct_lines"]
+
+
+def test_dedup_survivor_bias_partition(spark, sf001):
+    """kept + dropped must tile the corpus; dropped docs exist at sf0.01
+    (the x03 pair fixture); rates stay in [0, 1]."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import ngram_jaccard_pairs
+    from dbms_data_anonymity_differential_privacy_spark.operators.quality import (
+        dedup_survivor_bias,
+    )
+    from dbms_data_anonymity_differential_privacy_spark.queries_registry import (
+        _GOPHER_TUNING,
+        load_table,
+    )
+
+    docs = load_table(spark, sf001, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2, n=3)
+    rows = {r["status"]: r for r in dedup_survivor_bias(docs, pairs, _GOPHER_TUNING).collect()}
+    assert set(rows) == {"kept", "dropped"}
+    assert rows["kept"]["n_docs"] + rows["dropped"]["n_docs"] == docs.count()
+    n_drops = pairs.select("id_b").distinct().count()
+    assert rows["dropped"]["n_docs"] == n_drops
+    for r in rows.values():
+        assert 0.0 <= r["pass_rate_r"] <= 1.0 and r["mean_tokens_r"] > 0
+
+
+def test_vocab_coverage_monotone_and_exact(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.text import vocab_coverage
+
+    # 3 types with counts 5, 3, 2 -> coverage at k=1: 0.5, k=2: 0.8, k=9: 1.0
+    text = " ".join(["a"] * 5 + ["b"] * 3 + ["c"] * 2)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = {r["k"]: r for r in vocab_coverage(df, ks=(1, 2, 9)).collect()}
+    assert rows[1]["coverage_r"] == 0.5 and rows[1]["vocab_size"] == 1
+    assert rows[2]["coverage_r"] == 0.8
+    assert rows[9]["coverage_r"] == 1.0 and rows[9]["vocab_size"] == 3
+    # deterministic count-tie break by token asc: b before c at equal
+    # counts is exercised by making them tie
+    text2 = "a a b c"
+    r2 = {r["k"]: r for r in vocab_coverage(
+        spark.createDataFrame([(1, text2)], "doc_id long, text string"), ks=(2,)
+    ).collect()}
+    assert r2[2]["covered_occurrences"] == 3  # a(2) + b(1), not c
