@@ -2023,10 +2023,22 @@ def capture_recapture_audit(
         fa.withColumn("__a", F.lit(1))
         .join(fb.withColumn("__b", F.lit(1)), on="__id", how="full")
         .agg(
-            F.sum(F.coalesce(F.col("__a"), F.lit(0))).cast("long").alias("n_a"),
-            F.sum(F.coalesce(F.col("__b"), F.lit(0))).cast("long").alias("n_b"),
-            F.sum(
-                F.when(F.col("__a").isNotNull() & F.col("__b").isNotNull(), 1).otherwise(0)
+            # coalesce AFTER the sum too: a zero-row full join (neither
+            # detector flagged anything) must release (0, 0, 0), not NULLs
+            # (round-9 review finding)
+            F.coalesce(F.sum(F.coalesce(F.col("__a"), F.lit(0))), F.lit(0))
+            .cast("long")
+            .alias("n_a"),
+            F.coalesce(F.sum(F.coalesce(F.col("__b"), F.lit(0))), F.lit(0))
+            .cast("long")
+            .alias("n_b"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("__a").isNotNull() & F.col("__b").isNotNull(), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
             )
             .cast("long")
             .alias("n_both"),
@@ -2121,7 +2133,9 @@ def minhash_jaccard_audit(
         )
     )
     sig = track_cached(sig.persist())  # feeds both sides of the pair join
-    pairs = ngram_jaccard_pairs(docs, threshold=threshold, n=n)
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=threshold, n=n, text_col=text_col, id_col=id_col
+    )
     sa = sig.select(F.col("__id").alias("id_a"), "i", F.col("__mh").alias("__ma"))
     sb = sig.select(F.col("__id").alias("id_b"), "i", F.col("__mh").alias("__mb"))
     est = (
@@ -2189,9 +2203,15 @@ def line_duplication_profile(
         ).alias("__line"),
         F.count(F.lit(1)).cast("long").alias("__ntok"),
     )
-    per_line = lines.groupBy("__line").agg(
-        F.count(F.lit(1)).cast("long").alias("__occ"),
-        F.sum("__ntok").cast("long").alias("__mass"),
+    # per_line feeds the histogram AND the total — persist the
+    # distinct-line-sized relation so segmentation runs once
+    per_line = track_cached(
+        lines.groupBy("__line")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__occ"),
+            F.sum("__ntok").cast("long").alias("__mass"),
+        )
+        .persist()
     )
     hist = per_line.groupBy(F.col("__occ").alias("occurrences")).agg(
         F.count(F.lit(1)).cast("long").alias("n_distinct_lines"),

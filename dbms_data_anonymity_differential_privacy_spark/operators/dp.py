@@ -204,9 +204,18 @@ class RenyiBudget:
     EXACT RDP curve of each mechanism over the ``_RDP_ALPHAS`` order
     grid instead of adding raw epsilons:
 
-    - ``delta == 0`` (Laplace/exponential, calibration ``b = Δ/eps``):
-      ``eps_a = ln( a/(2a-1) · e^{(a-1)eps} + (a-1)/(2a-1) · e^{-a·eps} )
-      / (a-1)`` — Mironov Prop. 6 with ``Δ/b = eps``.
+    - ``delta == 0`` (any pure eps-DP release — Laplace, exponential,
+      SVT, tree-composed counters): the GENERIC bound
+      ``eps_a = min(eps, a·eps²/2)`` — ``eps`` from the definition of
+      RDP's limit, ``a·eps²/2`` via Bun & Steinke Prop. 1.4
+      (eps-DP ⇒ (eps²/2)-zCDP ⇒ eps_a ≤ a·eps²/2). The
+      mechanism-specific Laplace curve (Mironov Prop. 6) is TIGHTER but
+      is NOT a valid RDP bound for arbitrary pure-DP mechanisms (e.g.
+      randomized-response-shaped releases exceed it; the exponential
+      mechanism carries no such promise), and this accountant cannot
+      see which mechanism is spending — an accountant that under-counts
+      is worse than none, so it charges the bound that holds for all
+      (round-9 review finding).
     - ``delta > 0`` (Gaussian calibrated by :func:`gaussian_sigma`,
       ``σ/Δ = sqrt(2 ln(1.25/δ))/eps``): ``eps_a = a·eps² /
       (4 ln(1.25/δ))`` — Mironov Prop. 7. The calibration delta is NOT
@@ -254,13 +263,9 @@ class RenyiBudget:
             raise ValueError("epsilon must be positive")
         out = []
         if delta == 0.0:
-            for a in _RDP_ALPHAS:
-                e = math.log(
-                    a / (2.0 * a - 1.0) * math.exp((a - 1.0) * epsilon)
-                    + (a - 1.0) / (2.0 * a - 1.0) * math.exp(-a * epsilon)
-                ) / (a - 1.0)
-                # an RDP curve is dominated by the pure-DP bound
-                out.append(min(e, epsilon))
+            # generic pure-DP bound, valid for EVERY eps-DP mechanism
+            # (see class docstring — the Laplace-specific curve is not)
+            out = [min(epsilon, a * epsilon * epsilon / 2.0) for a in _RDP_ALPHAS]
         else:
             if not 0.0 < delta < 1.0:
                 raise ValueError("delta must be in [0, 1)")

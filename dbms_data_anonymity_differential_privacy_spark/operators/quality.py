@@ -511,6 +511,12 @@ def boilerplate_by_source(
         ).alias("__line"),
         F.count(F.lit(1)).cast("long").alias("__ntok"),
     )
+    # lines feeds the per-line DF relation AND the per-source doc/line
+    # counts — persist the slim segmented relation so the tokenize +
+    # segment pass runs once (ledger-tracked)
+    from dbms_data_anonymity_differential_privacy_spark.operators.util import track_cached
+
+    lines = track_cached(lines.persist())
     per_line = lines.groupBy("source", "__line").agg(
         F.countDistinct("__id").cast("long").alias("__df"),
         F.count(F.lit(1)).cast("long").alias("__occ"),
@@ -572,7 +578,9 @@ def dedup_survivor_bias(
     projection; the drop set is one distinct over the pair relation's
     dropped column; one broadcast-able join and a 2-row rollup.
     """
-    gq = gopher_quality(docs, thresholds=dict(thresholds or {}), keep_cols=())
+    gq = gopher_quality(
+        docs, id_col=id_col, thresholds=dict(thresholds or {}), keep_cols=()
+    )
     drops = (
         pairs.select(F.col("id_b").alias(id_col))
         .distinct()

@@ -471,11 +471,20 @@ def neyman_allocation(
         F.col("n_rows") > 1,
         (F.col("__sxx") - F.col("__sx") * F.col("__sx") / nd) / (nd - F.lit(1.0)),
     ).otherwise(F.lit(0.0))
-    staged = per.select(
-        "stratum",
-        "n_rows",
-        F.sqrt(F.greatest(var, F.lit(0.0))).alias("__sd"),
-    ).withColumn("__w", F.col("n_rows").cast("double") * F.col("__sd"))
+    # staged feeds the normalizer AND the release — persist the
+    # strata-sized relation (ledger-tracked) so the per-stratum fold
+    # aggregation runs once
+    from dbms_data_anonymity_differential_privacy_spark.operators.util import track_cached
+
+    staged = track_cached(
+        per.select(
+            "stratum",
+            "n_rows",
+            F.sqrt(F.greatest(var, F.lit(0.0))).alias("__sd"),
+        )
+        .withColumn("__w", F.col("n_rows").cast("double") * F.col("__sd"))
+        .persist()
+    )
     norm = staged.agg(
         F.expr(
             "aggregate(array_sort(collect_list(__w)), CAST(0.0 AS DOUBLE),"

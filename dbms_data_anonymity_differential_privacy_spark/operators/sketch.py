@@ -434,12 +434,24 @@ def count_min_estimates(
             F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(width)
         ).alias("__b")
 
-    counters = (
-        keyed.crossJoin(F.broadcast(rows))
-        .groupBy(F.col("__i"), bucket(F.col("__k"), F.col("__i")))
-        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    from dbms_data_anonymity_differential_privacy_spark.operators.util import track_cached
+
+    # ONE corpus scan: the exact per-key counts are the sketch's
+    # sufficient statistic, so the counter grid derives from the
+    # vocab-sized relation (sum of key counts per bucket == count of
+    # occurrences per bucket), and top-k reads the same cache — the
+    # unpersisted three-scan shape re-tokenized the corpus three times
+    # (round-9 review finding).
+    exact = track_cached(
+        keyed.groupBy("__k")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+        .persist()
     )
-    exact = keyed.groupBy("__k").agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    counters = (
+        exact.crossJoin(F.broadcast(rows))
+        .groupBy(F.col("__i"), bucket(F.col("__k"), F.col("__i")))
+        .agg(F.sum("exact_count").cast("long").alias("__c"))
+    )
     topk = exact.orderBy(F.desc("exact_count"), F.asc("__k")).limit(top)
     probes = topk.crossJoin(F.broadcast(rows)).select(
         "__k", "exact_count", "__i", bucket(F.col("__k"), F.col("__i"))

@@ -670,6 +670,8 @@ def mann_whitney_u(
     """
     from pyspark.sql import Window
 
+    from dbms_data_anonymity_differential_privacy_spark.operators.util import track_cached
+
     g = F.col(group_col)
     counts = (
         df.filter(g.isin([group_a, group_b]))
@@ -4332,6 +4334,8 @@ def anderson_darling_2samp(
     """
     from pyspark.sql import Window
 
+    from dbms_data_anonymity_differential_privacy_spark.operators.util import track_cached
+
     g = F.col(group_col)
     counts = (
         df.filter(g.isin([group_a, group_b]))
@@ -4342,10 +4346,14 @@ def anderson_darling_2samp(
         )
     )
     w_prev = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
-    staged = (
+    # staged feeds the totals AND the term projection — persist the
+    # distinct-value-sized relation (ledger-tracked) so the fact
+    # aggregation + window run once
+    staged = track_cached(
         counts.withColumn("__ba", F.coalesce(F.sum("__la").over(w_prev), F.lit(0)))
         .withColumn("__bb", F.coalesce(F.sum("__lb").over(w_prev), F.lit(0)))
         .withColumn("__l", F.col("__la") + F.col("__lb"))
+        .persist()
     )
     tot = staged.agg(
         F.sum("__la").cast("long").alias("n_a"),
@@ -4520,6 +4528,8 @@ def anderson_darling_ksamp(
     """
     from pyspark.sql import Window
 
+    from dbms_data_anonymity_differential_privacy_spark.operators.util import track_cached
+
     ks = list(groups)
     if len(ks) < 2:
         raise ValueError("need at least 2 groups")
@@ -4545,7 +4555,9 @@ def anderson_darling_ksamp(
     for i in range(len(ks)):
         l_tot = F.col(f"__l{i}") if l_tot is None else l_tot + F.col(f"__l{i}")
         b_tot = F.col(f"__b{i}") if b_tot is None else b_tot + F.col(f"__b{i}")
-    staged = staged.withColumn("__l", l_tot).withColumn("__bt", b_tot)
+    staged = track_cached(
+        staged.withColumn("__l", l_tot).withColumn("__bt", b_tot).persist()
+    )
     tot = staged.agg(
         *[F.sum(f"__l{i}").cast("long").alias(f"n_{i}") for i in range(len(ks))],
         F.count(F.lit(1)).cast("long").alias("n_distinct"),

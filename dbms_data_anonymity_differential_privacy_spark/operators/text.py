@@ -1113,11 +1113,15 @@ def vocab_coverage(
     if not ks or ks[0] < 1:
         raise ValueError("ks must be positive ints")
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    tf = (
+    # tf feeds the rank window AND the total — persist the vocab-sized
+    # relation so the corpus tokenization runs once (ledger-tracked; the
+    # consuming action is the caller's)
+    tf = track_cached(
         docs.select(F.explode(toks).alias("__t"))
         .where(F.col("__t") != "")
         .groupBy("__t")
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .persist()
     )
     ranked = tf.withColumn(
         "__rn",

@@ -562,3 +562,69 @@ def test_vocab_coverage_monotone_and_exact(spark):
         spark.createDataFrame([(1, text2)], "doc_id long, text string"), ks=(2,)
     ).collect()}
     assert r2[2]["covered_occurrences"] == 3  # a(2) + b(1), not c
+
+
+def test_renyi_generic_curve_sound_for_worst_case_pure_dp():
+    """The accountant's delta=0 curve must DOMINATE the true RDP of the
+    worst-case pure-DP release (binary randomized response) at every
+    order — the Laplace-specific curve it replaced did not (review
+    finding: it under-counted exponential/SVT spends)."""
+    import math
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.dp import (
+        _RDP_ALPHAS,
+        RenyiBudget,
+    )
+
+    for eps in (0.25, 0.5, 1.0, 2.0):
+        p = math.exp(eps) / (1.0 + math.exp(eps))
+        q = 1.0 - p
+        curve = RenyiBudget._curve(eps, 0.0)
+        for a, charged in zip(_RDP_ALPHAS, curve):
+            true_rr = math.log(p**a * q ** (1 - a) + q**a * p ** (1 - a)) / (a - 1)
+            assert charged >= true_rr - 1e-12, (eps, a, charged, true_rr)
+            # and the charge stays a real RDP curve (<= the pure-DP cap)
+            assert charged <= eps + 1e-12
+
+
+def test_capture_recapture_empty_detectors(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
+        capture_recapture_audit,
+    )
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    r = capture_recapture_audit(empty, empty).first()
+    assert (r["n_a"], r["n_b"], r["n_both"]) == (0, 0, 0)
+    assert r["chapman_r"] == 0.0 and r["lincoln_petersen_r"] is None
+
+
+def test_minhash_audit_custom_columns(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
+        minhash_jaccard_audit,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words in this one here now"),
+        ],
+        "id long, body string",
+    )
+    rows = minhash_jaccard_audit(
+        df, threshold=0.2, n=3, num_hashes=32, text_col="body", id_col="id"
+    ).collect()
+    assert rows and {(r["id_a"], r["id_b"]) for r in rows} == {(1, 2)}
+
+
+def test_survivor_bias_custom_id_col(spark):
+    from dbms_data_anonymity_differential_privacy_spark.operators.quality import (
+        dedup_survivor_bias,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "word " * 60) for i in range(6)], "id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 5)], "id_a long, id_b long")
+    rows = {r["status"]: r for r in dedup_survivor_bias(docs, pairs, id_col="id").collect()}
+    assert rows["dropped"]["n_docs"] == 1 and rows["kept"]["n_docs"] == 5
