@@ -53,6 +53,33 @@ from pyspark.sql import functions as F
 _HASH_MOD = 2_147_483_647  # 2^31 - 1; plenty of uniform resolution
 ROUND_DP = 9  # float rounding for oracle-checkable score columns
 
+# Mechanism families an accountant can be told about at spend time.
+# The tag decides which RDP/zCDP curve is SOUND for the release:
+# "gaussian" (exact Mironov Prop. 7 / exact rho) requires delta>0
+# calibration via gaussian_sigma; "laplace" regains the tight
+# mechanism-specific Prop. 6 curve for its pure part; everything else
+# ("exponential", "svt", "generic") gets the bound valid for every
+# eps-DP mechanism. A delta>0 spend NOT tagged gaussian is treated as
+# the eps-DP-up-to-TV-delta decomposition: the pure curve is charged on
+# eps and delta accumulates into a total-variation allowance subtracted
+# from the conversion delta (round-9 review: charging the Gaussian
+# curve for dp_set_union's Laplace-threshold delta was unsound — its
+# Renyi divergence is infinite at every order).
+_MECHANISMS = frozenset({"laplace", "gaussian", "exponential", "svt", "generic"})
+
+
+def _check_mechanism(mechanism: str, delta: float) -> None:
+    if mechanism not in _MECHANISMS:
+        raise ValueError(
+            f"unknown mechanism tag {mechanism!r}; expected one of "
+            f"{sorted(_MECHANISMS)}"
+        )
+    if mechanism == "gaussian" and delta <= 0.0:
+        raise ValueError(
+            "mechanism='gaussian' requires the calibration delta > 0 "
+            "(gaussian_sigma); a delta=0 Gaussian spend has no curve"
+        )
+
 
 class PrivacyBudget:
     """Sequential-composition (epsilon, delta) accountant (Dwork & Roth
@@ -91,11 +118,20 @@ class PrivacyBudget:
     def remaining_delta(self) -> float:
         return self.total_delta - self.spent_delta
 
-    def spend(self, epsilon: float, label: str = "", delta: float = 0.0) -> float:
+    def spend(
+        self,
+        epsilon: float,
+        label: str = "",
+        delta: float = 0.0,
+        mechanism: str = "generic",
+    ) -> float:
         if epsilon <= 0:
             raise ValueError("epsilon must be positive")
         if delta < 0:
             raise ValueError("delta must be >= 0")
+        _check_mechanism(mechanism, delta)
+        # basic (eps, delta) sequential composition is mechanism-blind —
+        # the tag is validated for interface parity but changes nothing
         if self.spent + epsilon > self.total + 1e-12:
             raise BudgetExceededError(
                 f"release {label!r} needs eps={epsilon}, only {self.remaining:.6g} "
@@ -120,11 +156,21 @@ class ZCDPBudget:
     ``spend(epsilon, label, delta)`` duck-typed interface, and the
     accountant converts each release to its rho cost:
 
-    - Gaussian release calibrated by :func:`gaussian_sigma` (``delta > 0``):
-      ``rho = sensitivity^2 / (2 sigma^2) = epsilon^2 / (4 ln(1.25/delta))``
-      (the sensitivity cancels against the calibration).
-    - Pure-DP release (``delta == 0``, Laplace/exponential): eps-DP implies
-      ``(eps^2 / 2)``-zCDP (Bun & Steinke Prop. 1.4).
+    - ``mechanism='gaussian'`` release calibrated by :func:`gaussian_sigma`
+      (``delta > 0``): ``rho = sensitivity^2 / (2 sigma^2) =
+      epsilon^2 / (4 ln(1.25/delta))`` (the sensitivity cancels against
+      the calibration; this rho is EXACT, so the calibration delta is
+      not spent).
+    - Pure-DP release (``delta == 0``, Laplace/exponential/SVT): eps-DP
+      implies ``(eps^2 / 2)``-zCDP (Bun & Steinke Prop. 1.4).
+    - A ``delta > 0`` spend NOT tagged gaussian (e.g. ``dp_set_union``'s
+      Laplace-threshold stability mechanism) has NO finite zCDP in
+      general — its Renyi divergence can be infinite at every order. The
+      sound decomposition (round-9 review): charge the pure-DP rho on
+      its epsilon and accumulate delta into a total-variation allowance
+      ``spent_tv_delta`` that :meth:`epsilon_at` subtracts from the
+      conversion delta (the guarantee only exists at ``delta >
+      spent_tv_delta``).
 
     rho composes ADDITIVELY even adaptively, which is strictly tighter than
     (eps, delta) sequential composition for many Gaussian releases: k
@@ -143,6 +189,7 @@ class ZCDPBudget:
             raise ValueError("total_rho must be positive")
         self.total_rho = float(total_rho)
         self.ledger: list[tuple[str, float]] = []
+        self.spent_tv_delta = 0.0
 
     @property
     def spent_rho(self) -> float:
@@ -153,38 +200,58 @@ class ZCDPBudget:
         return self.total_rho - self.spent_rho
 
     @staticmethod
-    def rho_of(epsilon: float, delta: float = 0.0) -> float:
+    def rho_of(epsilon: float, delta: float = 0.0, mechanism: str = "generic") -> float:
         import math
 
         if epsilon <= 0:
             raise ValueError("epsilon must be positive")
-        if delta == 0.0:
-            return epsilon * epsilon / 2.0
-        if not 0.0 < delta < 1.0:
+        _check_mechanism(mechanism, delta)
+        if not 0.0 <= delta < 1.0:
             # delta >= 1 would make log(1.25/delta) <= log(1.25) — and past
             # 1.25 NEGATIVE, which spend() would append as a budget CREDIT.
             raise ValueError("delta must be in [0, 1)")
-        return epsilon * epsilon / (4.0 * math.log(1.25 / delta))
+        if mechanism == "gaussian":
+            return epsilon * epsilon / (4.0 * math.log(1.25 / delta))
+        # every eps-DP mechanism: Bun & Steinke Prop. 1.4; a non-Gaussian
+        # delta>0 spend charges the pure part here and its delta goes to
+        # the caller's TV allowance (see spend)
+        return epsilon * epsilon / 2.0
 
-    def spend(self, epsilon: float, label: str = "", delta: float = 0.0) -> float:
-        rho = self.rho_of(epsilon, delta)
+    def spend(
+        self,
+        epsilon: float,
+        label: str = "",
+        delta: float = 0.0,
+        mechanism: str = "generic",
+    ) -> float:
+        rho = self.rho_of(epsilon, delta, mechanism)
         if self.spent_rho + rho > self.total_rho + 1e-15:
             raise BudgetExceededError(
                 f"release {label!r} needs rho={rho:.6g}, only "
                 f"{self.remaining_rho:.6g} of {self.total_rho:.6g} remains"
             )
         self.ledger.append((label, rho))
+        if mechanism != "gaussian" and delta > 0.0:
+            self.spent_tv_delta += float(delta)
         return epsilon
 
     def epsilon_at(self, delta: float) -> float:
         """Total (epsilon, delta)-DP guarantee implied by the rho spent so
-        far, at the caller's chosen delta."""
+        far, at the caller's chosen delta. Non-Gaussian delta spends
+        consumed ``spent_tv_delta`` of the allowance first — the
+        conversion only holds at ``delta > spent_tv_delta``."""
         import math
 
         if not 0 < delta < 1:
             raise ValueError("delta must be in (0, 1)")
+        conv_delta = delta - self.spent_tv_delta
+        if conv_delta <= 0.0:
+            raise ValueError(
+                f"no guarantee exists at delta={delta:g}: non-Gaussian "
+                f"releases already spent {self.spent_tv_delta:g} of TV delta"
+            )
         rho = self.spent_rho
-        return rho + 2.0 * math.sqrt(rho * math.log(1.0 / delta))
+        return rho + 2.0 * math.sqrt(rho * math.log(1.0 / conv_delta))
 
 
 # RDP order grid (Mironov 2017 practice: a fixed ladder spanning the
@@ -201,26 +268,36 @@ class RenyiBudget:
     the round-8 verdict asked for (task 7). Drop-in for
     :class:`PrivacyBudget`: mechanisms call the same duck-typed
     ``spend(epsilon, label, delta)``, and the accountant tracks the
-    EXACT RDP curve of each mechanism over the ``_RDP_ALPHAS`` order
-    grid instead of adding raw epsilons:
+    RDP curve of each mechanism over the ``_RDP_ALPHAS`` order grid
+    instead of adding raw epsilons. Which curve is sound depends on the
+    mechanism FAMILY, which callers declare via ``spend(...,
+    mechanism=)`` (round-9 review findings, both directions):
 
-    - ``delta == 0`` (any pure eps-DP release — Laplace, exponential,
-      SVT, tree-composed counters): the GENERIC bound
+    - pure eps-DP spends (``delta == 0``): the GENERIC bound
       ``eps_a = min(eps, a·eps²/2)`` — ``eps`` from the definition of
       RDP's limit, ``a·eps²/2`` via Bun & Steinke Prop. 1.4
-      (eps-DP ⇒ (eps²/2)-zCDP ⇒ eps_a ≤ a·eps²/2). The
-      mechanism-specific Laplace curve (Mironov Prop. 6) is TIGHTER but
-      is NOT a valid RDP bound for arbitrary pure-DP mechanisms (e.g.
-      randomized-response-shaped releases exceed it; the exponential
-      mechanism carries no such promise), and this accountant cannot
-      see which mechanism is spending — an accountant that under-counts
-      is worse than none, so it charges the bound that holds for all
-      (round-9 review finding).
-    - ``delta > 0`` (Gaussian calibrated by :func:`gaussian_sigma`,
+      (eps-DP ⇒ (eps²/2)-zCDP ⇒ eps_a ≤ a·eps²/2). This holds for
+      EVERY eps-DP mechanism (randomized response, exponential, SVT).
+      ``mechanism='laplace'`` additionally mins in the tight
+      mechanism-specific Laplace curve (Mironov Prop. 6,
+      ``eps_a = ln(a/(2a-1)·e^{(a-1)eps} + (a-1)/(2a-1)·e^{-a·eps}) /
+      (a-1)``) — valid for Laplace specifically, tighter than the
+      generic bound at small eps·a.
+    - ``mechanism='gaussian'`` (calibrated by :func:`gaussian_sigma`,
       ``σ/Δ = sqrt(2 ln(1.25/δ))/eps``): ``eps_a = a·eps² /
       (4 ln(1.25/δ))`` — Mironov Prop. 7. The calibration delta is NOT
       spent (the Gaussian's RDP curve is exact); the only delta in the
       final guarantee is the conversion delta below.
+    - ``delta > 0`` spends NOT tagged gaussian (e.g. ``dp_set_union``'s
+      Laplace-threshold stability release): no finite RDP curve exists
+      in general — released-item events can have probability zero on the
+      neighbor dataset, making the Renyi divergence infinite at every
+      order, so charging ANY curve on (eps, delta) would under-count.
+      Sound decomposition instead: the mechanism is eps-DP up to a
+      delta-TV event, so the pure-DP curve is charged on eps and delta
+      accumulates into ``spent_tv_delta``, which the conversion
+      subtracts from its target delta (the guarantee only exists at
+      ``delta > spent_tv_delta``).
 
     Curves ADD across releases, adaptively (Mironov Prop. 1);
     :meth:`epsilon_at` converts via ``eps(δ) = min_a [eps_a +
@@ -251,33 +328,58 @@ class RenyiBudget:
         self._ln_inv_delta = math.log(1.0 / self.target_delta)
         # per-alpha accumulated RDP epsilons
         self._rdp = [0.0] * len(_RDP_ALPHAS)
+        # TV delta consumed by non-Gaussian delta>0 spends (see docstring)
+        self.spent_tv_delta = 0.0
         # (label, epsilon, delta) as passed by the mechanism — epsilon
         # feeds the basic-composition cap, delta its validity condition
         self.ledger: list[tuple[str, float, float]] = []
 
     @staticmethod
-    def _curve(epsilon: float, delta: float) -> "list[float]":
+    def _curve(
+        epsilon: float, delta: float, mechanism: str = "generic"
+    ) -> "list[float]":
         import math
 
         if epsilon <= 0:
             raise ValueError("epsilon must be positive")
-        out = []
-        if delta == 0.0:
-            # generic pure-DP bound, valid for EVERY eps-DP mechanism
-            # (see class docstring — the Laplace-specific curve is not)
-            out = [min(epsilon, a * epsilon * epsilon / 2.0) for a in _RDP_ALPHAS]
-        else:
-            if not 0.0 < delta < 1.0:
-                raise ValueError("delta must be in [0, 1)")
+        _check_mechanism(mechanism, delta)
+        if not 0.0 <= delta < 1.0:
+            raise ValueError("delta must be in [0, 1)")
+        if mechanism == "gaussian":
             scale = epsilon * epsilon / (4.0 * math.log(1.25 / delta))
-            out = [a * scale for a in _RDP_ALPHAS]
+            return [a * scale for a in _RDP_ALPHAS]
+        # generic pure-DP bound, valid for EVERY eps-DP mechanism; a
+        # non-gaussian delta>0 spend charges only its pure part here and
+        # routes delta to the TV allowance (spend)
+        out = [min(epsilon, a * epsilon * epsilon / 2.0) for a in _RDP_ALPHAS]
+        if mechanism == "laplace":
+            # Mironov Prop. 6 exact Laplace curve, via log-sum-exp so
+            # e^{(a-1)eps} cannot overflow at alpha=256
+            for i, a in enumerate(_RDP_ALPHAS):
+                t1 = math.log(a / (2.0 * a - 1.0)) + (a - 1.0) * epsilon
+                t2 = math.log((a - 1.0) / (2.0 * a - 1.0)) - a * epsilon
+                hi, lo = (t1, t2) if t1 >= t2 else (t2, t1)
+                lap = (hi + math.log1p(math.exp(lo - hi))) / (a - 1.0)
+                out[i] = min(out[i], lap)
         return out
 
-    def _eps_at(self, rdp: "list[float]", basic_eps: float, basic_delta: float) -> float:
-        conv = min(
-            e + self._ln_inv_delta / (a - 1.0)
-            for a, e in zip(_RDP_ALPHAS, rdp)
-        )
+    def _eps_at(
+        self,
+        rdp: "list[float]",
+        basic_eps: float,
+        basic_delta: float,
+        tv_delta: float,
+    ) -> float:
+        import math
+
+        conv_delta = self.target_delta - tv_delta
+        if conv_delta > 0.0:
+            ln_inv = math.log(1.0 / conv_delta)
+            conv = min(
+                e + ln_inv / (a - 1.0) for a, e in zip(_RDP_ALPHAS, rdp)
+            )
+        else:
+            conv = math.inf
         # the basic-composition bound is only usable when its own delta
         # total fits under the conversion delta
         if basic_delta <= self.target_delta:
@@ -291,19 +393,28 @@ class RenyiBudget:
             self._rdp,
             sum(e for _, e, _ in self.ledger),
             sum(d for _, _, d in self.ledger),
+            self.spent_tv_delta,
         )
 
     @property
     def remaining(self) -> float:
         return self.total - self.spent
 
-    def spend(self, epsilon: float, label: str = "", delta: float = 0.0) -> float:
-        curve = self._curve(epsilon, delta)
+    def spend(
+        self,
+        epsilon: float,
+        label: str = "",
+        delta: float = 0.0,
+        mechanism: str = "generic",
+    ) -> float:
+        curve = self._curve(epsilon, delta, mechanism)
+        tv_inc = float(delta) if (mechanism != "gaussian" and delta > 0.0) else 0.0
         post = [r + c for r, c in zip(self._rdp, curve)]
         post_eps = self._eps_at(
             post,
             sum(e for _, e, _ in self.ledger) + epsilon,
             sum(d for _, _, d in self.ledger) + delta,
+            self.spent_tv_delta + tv_inc,
         )
         if post_eps > self.total + 1e-12:
             raise BudgetExceededError(
@@ -311,6 +422,7 @@ class RenyiBudget:
                 f"{post_eps:.6g} > total {self.total:.6g} (RDP-converted)"
             )
         self._rdp = post
+        self.spent_tv_delta += tv_inc
         self.ledger.append((label, float(epsilon), float(delta)))
         return epsilon
 
@@ -322,10 +434,14 @@ class RenyiBudget:
 
         if not 0 < delta < 1:
             raise ValueError("delta must be in (0, 1)")
-        ln_inv = math.log(1.0 / delta)
-        conv = min(
-            e + ln_inv / (a - 1.0) for a, e in zip(_RDP_ALPHAS, self._rdp)
-        )
+        conv_delta = delta - self.spent_tv_delta
+        if conv_delta > 0.0:
+            ln_inv = math.log(1.0 / conv_delta)
+            conv = min(
+                e + ln_inv / (a - 1.0) for a, e in zip(_RDP_ALPHAS, self._rdp)
+            )
+        else:
+            conv = math.inf
         basic_eps = sum(e for _, e, _ in self.ledger)
         if sum(d for _, _, d in self.ledger) <= delta:
             return min(conv, basic_eps)
@@ -422,7 +538,7 @@ def dp_count(
     scale = 1.0 / epsilon
     salt = _release_salt("count", release, budget)
     if budget is not None:
-        budget.spend(epsilon, f"dp_count:{','.join(by)}")
+        budget.spend(epsilon, f"dp_count:{','.join(by)}", mechanism="laplace")
     agg = df.groupBy(*by).agg(F.count(F.lit(1)).alias("count_exact"))
     return agg.withColumn(
         "count_dp", F.col("count_exact") + laplace_noise(by, scale, seed, salt)
@@ -453,7 +569,7 @@ def dp_sum(
     scale = sens / epsilon
     salt = _release_salt("sum", release, budget)
     if budget is not None:
-        budget.spend(epsilon, f"dp_sum:{value_col}")
+        budget.spend(epsilon, f"dp_sum:{value_col}", mechanism="laplace")
     clipped = F.least(F.greatest(F.col(value_col), F.lit(lower)), F.lit(upper))
     agg = df.groupBy(*by).agg(F.sum(clipped).alias("sum_exact"))
     return agg.withColumn("sum_dp", F.col("sum_exact") + laplace_noise(by, scale, seed, salt))
@@ -493,7 +609,7 @@ def dp_histogram(
         raise ValueError("need public bounds lower < upper")
     salt = _release_salt("hist", release, budget)
     if budget is not None:
-        budget.spend(epsilon, f"dp_histogram:{value_col}@{n_bins}")
+        budget.spend(epsilon, f"dp_histogram:{value_col}@{n_bins}", mechanism="laplace")
     clipped = F.least(F.greatest(F.col(value_col), F.lit(lower)), F.lit(upper))
     binned = df.select(
         F.least(
@@ -579,7 +695,10 @@ def dp_count_gaussian(
     sigma = gaussian_sigma(epsilon, delta, sensitivity=1.0)  # validates before charging
     salt = _release_salt("count.gauss", release, budget)
     if budget is not None:
-        budget.spend(epsilon, f"dp_count_gaussian:{','.join(by)}", delta=delta)
+        budget.spend(
+            epsilon, f"dp_count_gaussian:{','.join(by)}", delta=delta,
+            mechanism="gaussian",
+        )
     agg = df.groupBy(*by).agg(F.count(F.lit(1)).alias("count_exact"))
     return agg.withColumn(
         "count_dp", F.col("count_exact") + gaussian_noise(by, sigma, seed, salt)
@@ -607,7 +726,10 @@ def dp_sum_gaussian(
     sigma = gaussian_sigma(epsilon, delta, sensitivity=sens)  # validates before charging
     salt = _release_salt("sum.gauss", release, budget)
     if budget is not None:
-        budget.spend(epsilon, f"dp_sum_gaussian:{value_col}", delta=delta)
+        budget.spend(
+            epsilon, f"dp_sum_gaussian:{value_col}", delta=delta,
+            mechanism="gaussian",
+        )
     clipped = F.least(F.greatest(F.col(value_col), F.lit(lower)), F.lit(upper))
     agg = df.groupBy(*by).agg(F.sum(clipped).alias("sum_exact"))
     return agg.withColumn("sum_dp", F.col("sum_exact") + gaussian_noise(by, sigma, seed, salt))
@@ -684,7 +806,7 @@ def dp_mode(
     scale = 2.0 / epsilon
     salt = _release_salt("mode", release, budget)
     if budget is not None:
-        budget.spend(epsilon, f"dp_mode:{candidate_col}")
+        budget.spend(epsilon, f"dp_mode:{candidate_col}", mechanism="exponential")
     key = [*by, candidate_col]
     scores = _candidate_count_scores(df, by, candidate_col, candidates)
     noisy = scores.withColumn(
@@ -743,7 +865,7 @@ def dp_topk(
     scale = 2.0 * k / epsilon
     salt = _release_salt("topk", release, budget)
     if budget is not None:
-        budget.spend(epsilon, f"dp_topk:{candidate_col}@{k}")
+        budget.spend(epsilon, f"dp_topk:{candidate_col}@{k}", mechanism="exponential")
     key = [*by, candidate_col]
     scores = _candidate_count_scores(df, by, candidate_col, candidates)
     noisy = scores.withColumn(
@@ -919,7 +1041,10 @@ def dp_above_threshold(
     salt_t = _release_salt("svt.T", release, budget)
     salt_q = _release_salt("svt.q", release, budget)
     if budget is not None:
-        budget.spend(epsilon, f"dp_above_threshold:{','.join(by)}@{threshold}")
+        budget.spend(
+            epsilon, f"dp_above_threshold:{','.join(by)}@{threshold}",
+            mechanism="svt",
+        )
     scores = df.groupBy(*by).agg(F.count(F.lit(1)).alias("count_exact"))
     noisy = scores.withColumn("__tk", F.lit(0)).withColumn(
         "__above",
@@ -1527,7 +1652,10 @@ def dp_histogram_2d(
         raise ValueError("need public bounds lower < upper on both axes")
     salt = _release_salt("hist2d", release, budget)
     if budget is not None:
-        budget.spend(epsilon, f"dp_histogram_2d:{x_col}x{y_col}@{n_bins_x}x{n_bins_y}")
+        budget.spend(
+            epsilon, f"dp_histogram_2d:{x_col}x{y_col}@{n_bins_x}x{n_bins_y}",
+            mechanism="laplace",
+        )
 
     def bin_of(col: str, lo: float, hi: float, n: int):
         clipped = F.least(F.greatest(F.col(col), F.lit(lo)), F.lit(hi))
@@ -1789,7 +1917,10 @@ def dp_histogram_consistent(
         "count", None if release is None else release + ":total", budget
     )
     if budget is not None:
-        budget.spend(epsilon, f"dp_histogram_consistent_total:{','.join(by)}")
+        budget.spend(
+            epsilon, f"dp_histogram_consistent_total:{','.join(by)}",
+            mechanism="laplace",
+        )
     total_noise_df = noisy.sparkSession.range(1).select(
         laplace_noise([], 1.0 / epsilon, seed, salt_t).alias("__n")
     )

@@ -700,7 +700,7 @@ def test_zcdp_budget_accounting():
     )
 
     b = ZCDPBudget(total_rho=0.2)
-    b.spend(0.5, "gauss", delta=1e-6)
+    b.spend(0.5, "gauss", delta=1e-6, mechanism="gaussian")
     b.spend(0.5, "laplace")  # delta=0 -> pure-DP conversion
     rho_gauss = 0.25 / (4.0 * math.log(1.25e6))
     assert b.spent_rho == _pytest.approx(rho_gauss + 0.125)
@@ -711,12 +711,12 @@ def test_zcdp_budget_accounting():
     # zCDP says rho = 20 * rho_gauss -> far tighter total epsilon
     many = ZCDPBudget(total_rho=1.0)
     for i in range(20):
-        many.spend(0.5, f"g{i}", delta=1e-6)
+        many.spend(0.5, f"g{i}", delta=1e-6, mechanism="gaussian")
     assert many.epsilon_at(1e-6) < 10.0 / 2
     with _pytest.raises(BudgetExceededError):
         over = ZCDPBudget(total_rho=rho_gauss * 1.5)
-        over.spend(0.5, "a", delta=1e-6)
-        over.spend(0.5, "b", delta=1e-6)
+        over.spend(0.5, "a", delta=1e-6, mechanism="gaussian")
+        over.spend(0.5, "b", delta=1e-6, mechanism="gaussian")
 
 
 def test_zcdp_budget_drives_mechanism(spark, sf0001):
@@ -1165,12 +1165,12 @@ def test_zcdp_invalid_delta_refused_before_charging():
     from dbms_data_anonymity_differential_privacy_spark.operators.dp import PrivacyBudget, ZCDPBudget
 
     with pytest.raises(ValueError):
-        ZCDPBudget.rho_of(1.0, delta=1.25)
+        ZCDPBudget.rho_of(1.0, delta=1.25, mechanism="gaussian")
     with pytest.raises(ValueError):
-        ZCDPBudget.rho_of(1.0, delta=2.0)  # would be a negative-rho credit
+        ZCDPBudget.rho_of(1.0, delta=2.0, mechanism="gaussian")  # would be a negative-rho credit
     b = ZCDPBudget(total_rho=1.0)
     with pytest.raises(ValueError):
-        b.spend(1.0, "bad", delta=1.5)
+        b.spend(1.0, "bad", delta=1.5, mechanism="gaussian")
     assert b.ledger == []
 
 

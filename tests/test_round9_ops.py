@@ -161,7 +161,7 @@ def test_renyi_budget_tighter_than_basic(spark, sf001):
     # under 2.0 RDP-converted
     g = RenyiBudget(total_epsilon=4.0, target_delta=1e-5)
     for i in range(8):
-        g.spend(0.5, label=f"gauss{i}", delta=1e-6)
+        g.spend(0.5, label=f"gauss{i}", delta=1e-6, mechanism="gaussian")
     assert g.spent < 2.0 < 8 * 0.5
     # the conversion really is the documented min over the alpha grid
     from dbms_data_anonymity_differential_privacy_spark.operators.dp import _RDP_ALPHAS
