@@ -21,7 +21,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from dbms_data_anonymity_differential_privacy_spark.operators.text import fingerprint
-from dbms_data_anonymity_differential_privacy_spark.operators.util import fan_out, track_cached
+from dbms_data_anonymity_differential_privacy_spark.operators.util import (
+    fan_out,
+    free_local_checkpoint,
+    track_cached,
+)
 
 
 def dedup_exact(df: DataFrame, keys: Sequence[str], id_col: str) -> DataFrame:
@@ -508,15 +512,25 @@ def connected_components(
         else:
             new_labels = stepped.localCheckpoint(eager=True)
         # the eager checkpoint materialized the round; the count reads
-        # the stored blocks (old rounds' blocks free on JVM GC — ids-only
-        # relations, ~tens of MB per round)
+        # the stored blocks
         n_changed = new_labels.filter(F.col("__chg")).count()
+        # round N's labels now have zero consumers — free their blocks
+        # eagerly instead of waiting for driver GC (round-9 review:
+        # long-lived drivers accumulated every round's ids-only blocks)
+        free_local_checkpoint(labels)
         labels = new_labels
         if n_changed == 0:
             break
-    # the FINAL labels relation is a materialized localCheckpoint —
-    # NEVER ledger-tracked (releasing a checkpoint's blocks would
-    # corrupt its truncated lineage); callers consume it lazily
+    # the final labels are materialized, so the symmetric edge relation
+    # is consumed too
+    free_local_checkpoint(sym)
+    # The FINAL labels relation stays a materialized localCheckpoint —
+    # NEVER ledger-tracked and not freed here (callers consume it
+    # lazily; releasing a checkpoint's blocks makes it unrecomputable).
+    # Failure mode to know: localCheckpoint blocks live on executors
+    # with NO lineage fallback — on executor loss, jobs reading this
+    # relation FAIL instead of recomputing (acceptable here: the loop
+    # would have to re-run anyway, and the caller retries the query).
     return labels.select("id", "comp")
 
 

@@ -1026,6 +1026,7 @@ def msttr(
     segment_tokens: int = 50,
     text_col: str = "text",
     group_col: str = "lang",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """X237 — mean segmental type-token ratio (MSTTR, Johnson 1944): the
     length-robust lexical-diversity number. Plain TTR falls with text
@@ -1055,7 +1056,7 @@ def msttr(
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     e = docs.select(
         F.col(group_col).alias("group"),
-        F.col("doc_id").alias("__id"),
+        F.col(id_col).alias("__id"),
         F.posexplode(toks).alias("__pos", "__tok"),
     )
     seg = e.groupBy(

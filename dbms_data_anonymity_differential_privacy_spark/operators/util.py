@@ -171,6 +171,34 @@ def release_cached_relations() -> int:
     return n
 
 
+def free_local_checkpoint(df: DataFrame) -> bool:
+    """Deterministically release the storage blocks behind a
+    ``df.localCheckpoint(eager=True)`` result.
+
+    ONLY safe when NOTHING will read ``df`` (or any plan derived from
+    it) again: a local checkpoint's lineage is truncated, so after the
+    blocks are dropped the relation is unrecomputable — any later
+    action on it fails. The intended caller is an iterative loop that
+    checkpoints per round: once round N+1's checkpoint is materialized,
+    round N's relation has zero consumers and its blocks (which
+    otherwise linger until JVM GC notices the dropped reference —
+    round-9 review) can be freed eagerly.
+
+    These relations must NEVER ride the :func:`track_cached` ledger —
+    :func:`release_cached_relations` frees blocks that plans may still
+    re-read, which is fine for a cache but corrupts a checkpoint.
+
+    Returns True if a backing RDD was found and unpersisted."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        if node.getClass().getName().endswith("LogicalRDD"):
+            node.rdd().unpersist(False)
+            return True
+    except Exception:  # noqa: BLE001 — freeing is best-effort; GC is
+        pass  # the fallback, exactly the pre-round-10 behavior
+    return False
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition a *narrow* input so CPU-heavy per-row work (regex
     shingling, hash signatures, vector math) uses every core.

@@ -11861,10 +11861,10 @@ def _shingle_ctes(n: int, tag: str) -> str:
                FROM documents),
     {_shingle_ctes(3, "a")},
     {_shingle_ctes(4, "b")},
-    agg AS (SELECT CAST(SUM(CASE WHEN fa.id_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-                   CAST(SUM(CASE WHEN fb.id_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-                   CAST(SUM(CASE WHEN fa.id_b IS NOT NULL AND fb.id_b IS NOT NULL
-                            THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+    agg AS (SELECT COALESCE(CAST(SUM(CASE WHEN fa.id_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_a,
+                   COALESCE(CAST(SUM(CASE WHEN fb.id_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_b,
+                   COALESCE(CAST(SUM(CASE WHEN fa.id_b IS NOT NULL AND fb.id_b IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_both
             FROM fa FULL JOIN fb USING (id_b))
     SELECT n_a, n_b, n_both,
            ROUND(CAST((n_a + 1) * (n_b + 1) AS DOUBLE)
@@ -11879,13 +11879,19 @@ def x228_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate from the 3-gram and 4-gram Jaccard detectors' flag sets."""
     from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
         capture_recapture_audit,
+        hashed_tokens,
         ngram_jaccard_pairs,
     )
+    from dbms_data_anonymity_differential_privacy_spark.operators.util import track_cached
 
     docs = load_table(spark, sf_dir, "documents")
+    # ONE tokenization pass feeds both detectors (the token-hash array is
+    # shingle-width-independent; regex split + per-token hashing is the
+    # dominant per-doc CPU — r9 verdict measured ~1/3 of x228's wall)
+    toks = track_cached(hashed_tokens(docs).persist())
     return capture_recapture_audit(
-        ngram_jaccard_pairs(docs, threshold=0.2, n=3),
-        ngram_jaccard_pairs(docs, threshold=0.2, n=4),
+        ngram_jaccard_pairs(docs, threshold=0.2, n=3, tokens=toks),
+        ngram_jaccard_pairs(docs, threshold=0.2, n=4, tokens=toks),
     )
 
 
@@ -12487,18 +12493,13 @@ WINDOW_SIZE = 50
 # artifact re-confirms them they rotate like everyone else, but REMOVE
 # entries here once re-confirmed so the slots free up.
 FORCE_RECHECK: list[str] = [
-    # r9: x225 moved to exact-int64 n0 (engine + oracle, round-8 advisory);
-    # c03's dictionary now excludes NULL (engine + oracle). Values are
-    # unchanged on the fixtures but both plans changed — re-confirm.
-    "x225_kendall_tau",
-    "c03_encode_scale",
-    # r9: silhouette gained the exact_fold_max_rows escalation (inert on
-    # fixtures, but the operator body changed) — re-confirm the release.
-    "x224_silhouette",
-    # r9: x15_mondrian converted from rows-only to oracle-backed (cents
-    # QI domain, dim order flipped to match the twin's tie-break) — its
-    # output changed and it has never carried a driver hash.
-    "x15_mondrian",
+    # r10: empty — all four r9 entries (x225, c03_encode_scale, x224,
+    # x15_mondrian) were driver-confirmed in CORRECTNESS_r09.json, so the
+    # slots return to the staleness rotation (which now leads with the
+    # 6-round-stale r3 cohort, x30-x43). The r10 code changes (accountant
+    # soundness, CC checkpoint freeing, msttr id_col, x228 shared
+    # tokenization + twin COALESCE) alter NO committed release hash —
+    # verified by the local full sweep before commit.
 ]
 
 
@@ -12538,13 +12539,13 @@ def _driver_window() -> list[str]:
     return window[:WINDOW_SIZE]
 
 
-_WINDOW_R8 = _driver_window()
+_DRIVER_WINDOW = _driver_window()
 
 
 def _reorder_for_driver_window() -> None:
     ordered = (
-        [n for n in _WINDOW_R8 if n in QUERIES]
-        + [n for n in QUERIES if n in ORACLE_SQL and n not in _WINDOW_R8]
+        [n for n in _DRIVER_WINDOW if n in QUERIES]
+        + [n for n in QUERIES if n in ORACLE_SQL and n not in _DRIVER_WINDOW]
         + [n for n in QUERIES if n not in ORACLE_SQL]
     )
     reordered = {n: QUERIES[n] for n in ordered}

@@ -35,7 +35,7 @@ from dbms_data_anonymity_differential_privacy_spark.queries_registry import (
     QUERIES,
     WINDOW_SIZE,
     _driver_window,
-    _WINDOW_R8,
+    _DRIVER_WINDOW,
 )
 
 ROOT = Path(__file__).resolve().parent.parent
@@ -90,10 +90,10 @@ def test_window_is_all_oracle_backed():
 
 
 def test_registration_honors_computed_window():
-    assert len(_WINDOW_R8) == WINDOW_SIZE
-    assert len(set(_WINDOW_R8)) == WINDOW_SIZE
-    assert INSIDE == _WINDOW_R8
-    assert _WINDOW_R8 == _driver_window(), "window drifted from the ledger"
+    assert len(_DRIVER_WINDOW) == WINDOW_SIZE
+    assert len(set(_DRIVER_WINDOW)) == WINDOW_SIZE
+    assert INSIDE == _DRIVER_WINDOW
+    assert _DRIVER_WINDOW == _driver_window(), "window drifted from the ledger"
 
 
 def test_force_recheck_entries_are_registered_oracle_queries():
