@@ -1997,6 +1997,106 @@ def canary_audit(
     )
 
 
+def near_dup_plan_audit(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    switch_factor: int = 50,
+) -> DataFrame:
+    """EXPLAIN for the adaptive Jaccard join: the shingle-frequency
+    statistics :func:`ngram_jaccard_pairs` bases its physical-strategy
+    switch on, plus the candidate-pair volume EACH strategy would
+    shuffle — so the sum(df²) >= ``switch_factor``·sum(df) trigger is an
+    auditable release, not a hidden heuristic (round-9 verdict task 7:
+    committed evidence that the prefix path ENGAGES on boilerplate-heavy
+    corpora and what it saves).
+
+    One row: ``(n_docs, n_shingles, n_postings, sum_df2,
+    plain_cand_pairs, prefix_cand_pairs, prefix_chosen)``.
+
+    - ``plain_cand_pairs`` = Σ_s df·(df−1)/2 — the exact candidate-row
+      volume the inverted-index self-join generates (its blowup mode:
+      one shingle in 30 % of docs contributes (0.3·N)²/2 alone).
+    - ``prefix_cand_pairs`` = the same sum over the PPJoin rare-first
+      prefix postings (rank by (df, shingle) within doc, keep
+      rn ≤ n_sh − ceil(t·n_sh) + 1, df ≥ 2).
+
+    Portability: the audit ranks by the string shingle itself (binary
+    collation on both engines), where the operator ranks equal-df
+    shingles by their xxhash64 — candidate COUNTS under equal-df
+    tie-breaks differ by which equal-frequency shingles make the cut,
+    never in magnitude; the operator's exactness is unaffected (prefix
+    choice changes candidates, re-scoring makes the PAIR SET identical —
+    tests/test_properties.py).
+
+    Scale shape: tokenize/shingle map-only; one df aggregation; one
+    per-doc row_number window over the posting relation (bounded by doc
+    shingle counts); three scalar aggregations. No pair joins — the
+    audit costs O(postings), precisely so it can run BEFORE committing
+    to a strategy at 100 TB.
+    """
+    sh = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), n)).alias("s"),
+    )
+    sh = track_cached(sh.persist())
+    e = sh.select(
+        "id", F.size("s").alias("n_sh"), F.explode("s").alias("shingle")
+    )
+    e = track_cached(e.persist())
+    dfreq = track_cached(
+        e.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).persist()
+    )
+    n_docs = sh.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    stats = dfreq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.coalesce(F.sum("df"), F.lit(0)).cast("long").alias("n_postings"),
+        F.coalesce(F.sum(F.col("df") * F.col("df")), F.lit(0))
+        .cast("long")
+        .alias("sum_df2"),
+        F.coalesce(
+            F.sum(F.expr("CAST(df * (df - 1) DIV 2 AS BIGINT)")), F.lit(0)
+        )
+        .cast("long")
+        .alias("plain_cand_pairs"),
+    )
+    ranked = e.join(dfreq, on="shingle").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("id").orderBy("df", "shingle")),
+    )
+    prefix = ranked.filter(
+        (
+            F.col("rn")
+            <= F.col("n_sh") - F.ceil(F.lit(float(threshold)) * F.col("n_sh")) + 1
+        )
+        & (F.col("df") >= 2)
+    )
+    pstats = prefix.groupBy("shingle").agg(F.count(F.lit(1)).alias("pdf")).agg(
+        F.coalesce(
+            F.sum(F.expr("CAST(pdf * (pdf - 1) DIV 2 AS BIGINT)")), F.lit(0)
+        )
+        .cast("long")
+        .alias("prefix_cand_pairs")
+    )
+    return (
+        n_docs.crossJoin(stats)  # 1-row constant relations: broadcast
+        .crossJoin(pstats)
+        .select(
+            "n_docs",
+            "n_shingles",
+            "n_postings",
+            "sum_df2",
+            "plain_cand_pairs",
+            "prefix_cand_pairs",
+            (
+                F.col("sum_df2") > F.lit(int(switch_factor)) * F.col("n_postings")
+            ).alias("prefix_chosen"),
+        )
+    )
+
+
 def capture_recapture_audit(
     pairs_a: DataFrame,
     pairs_b: DataFrame,

@@ -932,11 +932,15 @@ def x01_dp_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x09_json_props",
     """
+    WITH e AS (SELECT event_type,
+                      CASE WHEN json_valid(props)
+                           THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                           END AS k
+               FROM events)
     SELECT event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
-               / COUNT(*) AS avg_k
-    FROM events GROUP BY 1
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
+    FROM e GROUP BY 1
     """,
 )
 def x09_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3158,18 +3162,52 @@ def x38_vgh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
-@query("x38_vgh_min_level")
+@query(
+    "x38_vgh_min_level",
+    """
+    WITH gen AS (
+      SELECT c_nationkey,
+             c_mktsegment AS s0,
+             CASE WHEN c_mktsegment IN ('AUTOMOBILE', 'MACHINERY') THEN 'INDUSTRIAL'
+                  WHEN c_mktsegment IN ('BUILDING', 'FURNITURE', 'HOUSEHOLD') THEN 'HOME'
+                  ELSE '*' END AS s1,
+             '*' AS s2
+      FROM customer),
+    lv AS (
+      SELECT 0 AS level, c_nationkey, s0 AS seg FROM gen
+      UNION ALL SELECT 1, c_nationkey, s1 FROM gen
+      UNION ALL SELECT 2, c_nationkey, s2 FROM gen),
+    sizes AS (SELECT level, c_nationkey, seg, COUNT(*) AS n
+              FROM lv GROUP BY 1, 2, 3),
+    per_level AS (SELECT level, MIN(n) AS min_n, COUNT(*) AS n_classes
+                  FROM sizes GROUP BY 1),
+    chosen AS (SELECT MIN(level) AS level FROM per_level WHERE min_n >= 25)
+    SELECT c.level AS level, p.min_n AS min_class_size, p.n_classes AS n_classes
+    FROM chosen c JOIN per_level p ON p.level = c.level
+    """,
+)
 def x38_vgh_min_level(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X38 — Samarati minimal-level search (rows-only: the lattice walk
-    collects one scalar per level). Reports the chosen level and the
-    resulting minimum class size over the (nationkey, segment) QI."""
+    """X38 — Samarati minimal-level search. The PROBE loop is driver-side
+    (one scalar per level), but the RELEASED relation — (chosen level,
+    min class size, class count) — is deterministic, so the twin replays
+    the whole lattice walk in SQL: union all levels of the single-
+    attribute chain, aggregate class sizes per level, pick the minimal
+    level with min >= k (r9 verdict task 8; the x15_mondrian precedent
+    for oracle-ing a driver-probed release)."""
     from dbms_data_anonymity_differential_privacy_spark.operators.generalize import (
         min_level_for_k,
     )
 
     c = load_table(spark, sf_dir, "customer")
     qi = ["c_nationkey", "c_mktsegment"]
-    level, g = min_level_for_k(c, qi, "c_mktsegment", _X38_VGH, k=25)
+    try:
+        level, g = min_level_for_k(c, qi, "c_mktsegment", _X38_VGH, k=25)
+    except ValueError:
+        # no level achieves k (tiny SFs): the RELEASE is the empty
+        # relation, matching the twin's empty `chosen` join
+        return spark.createDataFrame(
+            [], "level int, min_class_size long, n_classes long"
+        )
     sizes = g.groupBy(*qi).agg(F.count(F.lit(1)).alias("n"))
     return sizes.agg(
         F.lit(level).alias("level"),
@@ -5311,7 +5349,8 @@ _X89_RHO = 3 + (3 / 2.0) * math.log(3 / (2.0 * 0.05))
     "x89_set_union_exact",
     f"""
     WITH pairs AS (SELECT DISTINCT user_id,
-                          json_extract_string(props, '$.k') AS item
+                          CASE WHEN json_valid(props)
+                               THEN json_extract_string(props, '$.k') END AS item
                    FROM events),
     r AS (SELECT user_id, item,
                  ROW_NUMBER() OVER (PARTITION BY user_id
@@ -12470,6 +12509,63 @@ def x240_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return vocab_coverage(docs, ks=(100, 1000, 10000))
+
+
+# --------------------------------------------------------------------------
+# X241 — near-dup planner audit (operators/dedup.py near_dup_plan_audit):
+# the shingle-frequency statistics behind ngram_jaccard_pairs' adaptive
+# plain-index vs prefix-filter switch, plus the candidate-pair volume
+# each physical strategy would shuffle. The twin ranks by (df, shingle)
+# — binary string collation on both engines; the threshold literal is
+# CAST AS DOUBLE so DuckDB's ceil sees the same IEEE product as Spark's
+# (a bare decimal literal would be DECIMAL arithmetic).
+# --------------------------------------------------------------------------
+@query(
+    "x241_near_dup_plan",
+    """
+    WITH t AS MATERIALIZED (SELECT doc_id,
+                    string_split_regex(lower(trim(text)), '\\s+') AS toks
+               FROM documents),
+    sh AS (SELECT doc_id, list_distinct(list_transform(
+                    generate_series(1, greatest(len(toks) - 2, 0)),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS s
+           FROM t),
+    e AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+    dfreq AS (SELECT shingle, COUNT(*) AS df FROM e GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_shingles,
+                     COALESCE(SUM(df), 0) AS n_postings,
+                     COALESCE(SUM(df * df), 0) AS sum_df2,
+                     COALESCE(SUM((df * (df - 1)) // 2), 0) AS plain_cand_pairs
+              FROM dfreq),
+    nd AS (SELECT COUNT(*) AS n_docs FROM sh),
+    ranked AS (SELECT e.doc_id, e.n_sh, e.shingle, d.df,
+                      ROW_NUMBER() OVER (PARTITION BY e.doc_id
+                                         ORDER BY d.df, e.shingle) AS rn
+               FROM e JOIN dfreq d USING (shingle)),
+    pref AS (SELECT shingle, COUNT(*) AS pdf
+             FROM ranked
+             WHERE rn <= n_sh - CEIL(CAST(0.2 AS DOUBLE) * n_sh) + 1
+               AND df >= 2
+             GROUP BY 1),
+    ps AS (SELECT COALESCE(SUM((pdf * (pdf - 1)) // 2), 0) AS prefix_cand_pairs
+           FROM pref)
+    SELECT CAST(nd.n_docs AS BIGINT) AS n_docs,
+           CAST(stats.n_shingles AS BIGINT) AS n_shingles,
+           CAST(stats.n_postings AS BIGINT) AS n_postings,
+           CAST(stats.sum_df2 AS BIGINT) AS sum_df2,
+           CAST(stats.plain_cand_pairs AS BIGINT) AS plain_cand_pairs,
+           CAST(ps.prefix_cand_pairs AS BIGINT) AS prefix_cand_pairs,
+           stats.sum_df2 > 50 * stats.n_postings AS prefix_chosen
+    FROM nd, stats, ps
+    """,
+)
+def x241_near_dup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Would the adaptive Jaccard join take the PPJoin prefix path on
+    this corpus, and what candidate volume does each strategy imply?"""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import near_dup_plan_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return near_dup_plan_audit(docs, threshold=0.2, n=3)
 
 
 # --------------------------------------------------------------------------

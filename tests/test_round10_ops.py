@@ -91,3 +91,82 @@ def test_free_local_checkpoint_contract(spark):
     # non-checkpoint relations are refused (returns False, no-op)
     plain = spark.range(10).withColumn("z", F.col("id") + 1)
     assert free_local_checkpoint(plain) is False
+
+
+# ---------------------------------------------------------------------------
+# Verdict task 7: the adaptive prefix-filter switch ENGAGES on a
+# boilerplate-heavy (planted-Zipf) corpus, the prefix path's candidate
+# volume collapses vs the plain index, and the released pair set is
+# unchanged. On a benign corpus the switch stays off.
+# ---------------------------------------------------------------------------
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _rand_text(rng, n_tok, vocab):
+    return " ".join(f"w{int(rng.randint(vocab))}" for _ in range(n_tok))
+
+
+def test_prefix_switch_engages_on_planted_zipf(spark):
+    import numpy as np
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
+        near_dup_plan_audit,
+        ngram_jaccard_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    # a 40-token boilerplate block planted into 30% of 2500 docs: its
+    # ~38 shingles each hit df=750, so sum(df^2) ~ 21M while postings
+    # stay ~340k -- past the 50x production trigger. (A single hot
+    # shingle cannot trip 50x below ~14k docs; the quadratic-vs-linear
+    # race is the point of the switch.)
+    hot = " ".join(f"boiler{j}" for j in range(40))
+    rows = []
+    for i in range(2500):
+        body = _rand_text(rng, 100, 5000)
+        text = body + " " + hot if i % 10 < 3 else body
+        rows.append((i, text))
+    docs = _mk_docs(spark, rows)
+
+    audit = near_dup_plan_audit(docs, threshold=0.5, n=3).first()
+    assert audit["prefix_chosen"], audit
+    # the engaged trigger is the operator's own condition
+    assert audit["sum_df2"] > 50 * audit["n_postings"]
+    # the hot shingles alone contribute ~38 * (750 choose 2) ~ 10.7M
+    # candidate rows; at t=0.5 the rare-first prefix (keep ~ n_sh/2
+    # rarest) never reaches them
+    assert audit["plain_cand_pairs"] > 5_000_000
+    assert audit["prefix_cand_pairs"] < 0.05 * audit["plain_cand_pairs"], audit
+
+    # and the adaptive operator (prefix engaged) still releases exactly
+    # the plain-index pair set: the 750 planted docs share the block but
+    # differ in their 100-token bodies, so true pairs are the j>=0.5 ones
+    adaptive = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, n=3).collect()
+    }
+    plain = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.5, n=3, prefix_filter=False
+        ).collect()
+    }
+    assert adaptive == plain
+
+
+def test_prefix_switch_stays_off_on_benign_corpus(spark):
+    import numpy as np
+
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
+        near_dup_plan_audit,
+    )
+
+    rng = np.random.RandomState(11)
+    docs = _mk_docs(
+        spark, [(i, _rand_text(rng, 25, 50000)) for i in range(600)]
+    )
+    audit = near_dup_plan_audit(docs, threshold=0.2, n=3).first()
+    assert not audit["prefix_chosen"], audit
+    # sanity: the audit's volumes are consistent (prefix <= plain)
+    assert audit["prefix_cand_pairs"] <= audit["plain_cand_pairs"]
