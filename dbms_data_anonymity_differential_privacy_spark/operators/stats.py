@@ -252,8 +252,10 @@ def psi_drift_bins(
     t = joined.withColumn("n_old", F.sum("c_old").over(wall)).withColumn(
         "n_new", F.sum("c_new").over(wall)
     )
-    p_old = F.greatest(F.col("c_old") / F.col("n_old"), F.lit(float(eps)))
-    p_new = F.greatest(F.col("c_new") / F.col("n_new"), F.lit(float(eps)))
+    # try_divide: an empty side floors to eps on BOTH engines (greatest
+    # ignores NULL in Spark and DuckDB alike) instead of ANSI-raising
+    p_old = F.greatest(F.try_divide(F.col("c_old"), F.col("n_old")), F.lit(float(eps)))
+    p_new = F.greatest(F.try_divide(F.col("c_new"), F.col("n_new")), F.lit(float(eps)))
     return t.withColumn(
         "psi_term", F.round((p_new - p_old) * F.log(p_new / p_old), ROUND_DP)
     )
@@ -440,10 +442,16 @@ def ab_test_proportions(
         F.sum(F.when(F.col("__v") == "b", F.col("__conv")).otherwise(0)).cast("long").alias("conv_b"),
     )
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
-    pa = F.col("conv_a").cast("double") / na
-    pb = F.col("conv_b").cast("double") / nb
-    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (na + nb)
-    se = F.sqrt(pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    # try_divide: an empty arm yields NULL rates/z instead of raising
+    # under ANSI — matching SQL division semantics (fuzz-oracle, r10)
+    pa = F.try_divide(F.col("conv_a").cast("double"), na)
+    pb = F.try_divide(F.col("conv_b").cast("double"), nb)
+    pool = F.try_divide((F.col("conv_a") + F.col("conv_b")).cast("double"), na + nb)
+    se = F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (F.try_divide(F.lit(1.0), na) + F.try_divide(F.lit(1.0), nb))
+    )
     z = F.when(se > 0, (pa - pb) / se)
     return agg.select(
         "n_a", "n_b", "conv_a", "conv_b",
@@ -674,7 +682,11 @@ def mann_whitney_u(
 
     g = F.col(group_col)
     counts = (
+        # NULL observations rank nowhere, and NULL ORDER BY position is
+        # engine-dependent (Spark NULLS FIRST, DuckDB NULLS LAST) —
+        # exclude (fuzz-oracle finding, r10)
         df.filter(g.isin([group_a, group_b]))
+        .filter(F.col(value_col).isNotNull())
         .groupBy(F.col(value_col).alias("__v"))
         .agg(
             F.sum(F.when(g == group_a, 1).otherwise(0)).alias("__na"),
@@ -700,7 +712,8 @@ def mann_whitney_u(
     n = na + nb
     mu = na * nb / F.lit(2.0)
     sigma = F.sqrt(
-        na * nb / F.lit(12.0) * ((n + F.lit(1.0)) - F.col("__ties") / (n * (n - F.lit(1.0))))
+        na * nb / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.try_divide(F.col("__ties"), n * (n - F.lit(1.0))))
     )
     z = F.when(sigma > 0, (F.col("__u") - mu) / sigma)
     return agg.select(
@@ -1033,7 +1046,12 @@ def ks_statistic(
     from pyspark.sql import Window
 
     counts = (
+        # NULL observations carry no value to rank — and engines disagree
+        # on NULL ORDER BY position (Spark NULLS FIRST, DuckDB NULLS
+        # LAST), so keeping them would make the CDF walk engine-dependent
+        # (fuzz-oracle finding, r10)
         df.where(F.col(group_col).isin([group_a, group_b]))
+        .where(F.col(value_col).isNotNull())
         .groupBy(value_col)
         .agg(
             F.sum(F.when(F.col(group_col) == group_a, 1).otherwise(0)).alias("__ca"),
@@ -1062,7 +1080,11 @@ def ks_statistic(
         "n_a",
         "n_b",
         "d_num",
-        F.round(F.col("d_num") / (F.col("n_a") * F.col("n_b")), 9).alias("ks_r"),
+        # one-sided-empty sample: no distance is defined — NULL, matching
+        # SQL division semantics (ANSI Spark would raise on the raw /)
+        F.round(F.try_divide(F.col("d_num"), F.col("n_a") * F.col("n_b")), 9).alias(
+            "ks_r"
+        ),
     )
 
 
@@ -1368,16 +1390,22 @@ def cuped_adjust(
         F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
     )
     nd = F.col("n").cast("double")
+    # try_divide throughout: zero covariate variance, an empty arm, or a
+    # constant outcome make the estimator undefined -> NULL instead of
+    # an ANSI raise (SQL division semantics; fuzz-oracle, r10)
     cov = F.col("sxy") / nd - (F.col("sx") / nd) * (F.col("sy") / nd)
     varx = F.col("sxx") / nd - (F.col("sx") / nd) * (F.col("sx") / nd)
     vary = F.col("syy") / nd - (F.col("sy") / nd) * (F.col("sy") / nd)
-    theta = cov / varx
-    raw_diff = F.col("sy1") / F.col("n1") - F.col("sy0") / F.col("n0")
+    theta = F.try_divide(cov, varx)
+    raw_diff = F.try_divide(F.col("sy1"), F.col("n1")) - F.try_divide(
+        F.col("sy0"), F.col("n0")
+    )
     adj_diff = raw_diff - theta * (
-        F.col("sx1") / F.col("n1") - F.col("sx0") / F.col("n0")
+        F.try_divide(F.col("sx1"), F.col("n1"))
+        - F.try_divide(F.col("sx0"), F.col("n0"))
     )
     # var(Y - theta X) = var(Y) - theta^2 var(X) at the pooled optimum
-    var_reduction = (theta * theta * varx) / vary
+    var_reduction = F.try_divide(theta * theta * varx, vary)
     return m.select(
         F.col("n").cast("long").alias("n_users"),
         F.round(theta, 9).alias("theta_r"),
@@ -1438,9 +1466,13 @@ def decile_lift(
             "n_users",
             "n_converted",
             F.round(F.col("n_converted") / F.col("n_users"), 9).alias("conv_rate_r"),
+            # zero population conversions: lift undefined -> NULL
+            # (SQL division semantics; fuzz-oracle, r10)
             F.round(
-                (F.col("n_converted") / F.col("n_users"))
-                / (F.col("__tc") / F.col("__tn")),
+                F.try_divide(
+                    F.col("n_converted") / F.col("n_users"),
+                    F.col("__tc") / F.col("__tn"),
+                ),
                 9,
             ).alias("lift_r"),
         )
@@ -1746,10 +1778,16 @@ def bh_fdr_ab_family(
     ).select("n_a", "n_b", "s.metric", "s.conv_a", "s.conv_b")
 
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
-    pa = F.col("conv_a").cast("double") / na
-    pb = F.col("conv_b").cast("double") / nb
-    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (na + nb)
-    se = F.sqrt(pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    # try_divide: an empty arm yields NULL rates/z instead of raising
+    # under ANSI — matching SQL division semantics (fuzz-oracle, r10)
+    pa = F.try_divide(F.col("conv_a").cast("double"), na)
+    pb = F.try_divide(F.col("conv_b").cast("double"), nb)
+    pool = F.try_divide((F.col("conv_a") + F.col("conv_b")).cast("double"), na + nb)
+    se = F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (F.try_divide(F.lit(1.0), na) + F.try_divide(F.lit(1.0), nb))
+    )
     z = F.when(se > 0, (pa - pb) / se)
     scored = per_metric.select(
         "metric", "conv_a", "conv_b", F.round(z, ROUND_DP).alias("z_r")
@@ -1902,8 +1940,12 @@ def kruskal_wallis(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
         ).alias("__s"),
     ).crossJoin(F.broadcast(ties))
     n = F.col("n_total").cast("double")
-    h = F.lit(12.0) / (n * (n + 1.0)) * F.col("__s") - F.lit(3.0) * (n + 1.0)
-    corr = F.lit(1.0) - F.col("__tie3") / (n * n * n - n)
+    # try_divide: single-observation input makes the tie correction's
+    # denominator n^3 - n zero — NULL, not an ANSI raise (fuzz, r10)
+    h = F.try_divide(F.lit(12.0), n * (n + 1.0)) * F.col("__s") - F.lit(3.0) * (
+        n + 1.0
+    )
+    corr = F.lit(1.0) - F.try_divide(F.col("__tie3"), n * n * n - n)
     return agg.select(
         "n_total",
         "k_groups",
@@ -2114,9 +2156,11 @@ def bootstrap_ci_mean(
         "__u", "__x", F.explode(boot_ids).alias("__b")
     ).withColumn("__w", w_expr)
     boots = exploded.groupBy("__b").agg(
-        (
-            F.sum(F.col("__w").cast("double") * F.col("__x"))
-            / F.sum(F.col("__w").cast("double"))
+        # try_divide: an all-zero-weight replicate is the documented
+        # NULL-mean case below — it must not ANSI-raise (fuzz, r10)
+        F.try_divide(
+            F.sum(F.col("__w").cast("double") * F.col("__x")),
+            F.sum(F.col("__w").cast("double")),
         ).alias("__m")
     )
     # A replicate where every unit drew Poisson weight 0 has a NULL mean
@@ -2329,9 +2373,15 @@ def sequential_ab(
         ).cast("long").alias("conv_b"),
     )
     na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
-    pa, pb = F.col("conv_a") / na, F.col("conv_b") / nb
-    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (na + nb)
-    se = F.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))
+    # try_divide: an empty arm at a look yields NULL z (fuzz-oracle, r10)
+    pa = F.try_divide(F.col("conv_a").cast("double"), na)
+    pb = F.try_divide(F.col("conv_b").cast("double"), nb)
+    pool = F.try_divide((F.col("conv_a") + F.col("conv_b")).cast("double"), na + nb)
+    se = F.sqrt(
+        pool
+        * (1.0 - pool)
+        * (F.try_divide(F.lit(1.0), na) + F.try_divide(F.lit(1.0), nb))
+    )
     z = F.when(se > 0, (pa - pb) / se)
     bound = F.lit(c) * F.sqrt(F.lit(float(k_total)) / F.col("look").cast("double"))
     return agg.select(
@@ -4338,7 +4388,10 @@ def anderson_darling_2samp(
 
     g = F.col(group_col)
     counts = (
+        # NULL observations rank nowhere; NULL ORDER BY position is
+        # engine-dependent — exclude (fuzz-oracle finding, r10)
         df.filter(g.isin([group_a, group_b]))
+        .filter(F.col(value_col).isNotNull())
         .groupBy(F.col(value_col).alias("__v"))
         .agg(
             F.sum(F.when(g == group_a, 1).otherwise(0)).cast("long").alias("__la"),
@@ -4366,26 +4419,33 @@ def anderson_darling_2samp(
         F.col("n_distinct"),
         F.col("__v"),
         (
+            # try_divide: with an empty group every term goes NULL
+            # instead of raising under ANSI; the release is masked NULL
+            # at the end (fuzz-oracle finding, r10)
             F.col("__l").cast("double")
             * (
-                _sq(
-                    (
-                        (F.col("n_a") + F.col("n_b"))
-                        * (F.lit(2) * F.col("__ba") + F.col("__la"))
-                        - F.col("n_a")
-                        * (F.lit(2) * (F.col("__ba") + F.col("__bb")) + F.col("__l"))
-                    ).cast("double")
+                F.try_divide(
+                    _sq(
+                        (
+                            (F.col("n_a") + F.col("n_b"))
+                            * (F.lit(2) * F.col("__ba") + F.col("__la"))
+                            - F.col("n_a")
+                            * (F.lit(2) * (F.col("__ba") + F.col("__bb")) + F.col("__l"))
+                        ).cast("double")
+                    ),
+                    F.col("n_a").cast("double"),
                 )
-                / F.col("n_a").cast("double")
-                + _sq(
-                    (
-                        (F.col("n_a") + F.col("n_b"))
-                        * (F.lit(2) * F.col("__bb") + F.col("__lb"))
-                        - F.col("n_b")
-                        * (F.lit(2) * (F.col("__ba") + F.col("__bb")) + F.col("__l"))
-                    ).cast("double")
+                + F.try_divide(
+                    _sq(
+                        (
+                            (F.col("n_a") + F.col("n_b"))
+                            * (F.lit(2) * F.col("__bb") + F.col("__lb"))
+                            - F.col("n_b")
+                            * (F.lit(2) * (F.col("__ba") + F.col("__bb")) + F.col("__l"))
+                        ).cast("double")
+                    ),
+                    F.col("n_b").cast("double"),
                 )
-                / F.col("n_b").cast("double")
             )
         ).alias("__num"),
         (
@@ -4415,8 +4475,17 @@ def anderson_darling_2samp(
     )
     nd = (F.col("n_a") + F.col("n_b")).cast("double")
     a2 = (nd - F.lit(1.0)) / (nd * nd) * F.col("__s")
+    # one-sided-empty sample: the test is undefined (the per-term
+    # divisions by n_a/n_b have no value) — release NULL, matching the
+    # twin's SQL NULL propagation (fuzz-oracle finding, r10). The guard
+    # sits OUTSIDE the fold so ANSI Spark never evaluates x/0: Catalyst
+    # cannot prove n_a > 0, but the fold runs on a relation whose rows
+    # all carry the same n_a, and with n_a = 0 the masked branch is the
+    # one returned.
+    defined = (F.col("n_a") > 0) & (F.col("n_b") > 0)
     return out.select(
-        "n_a", "n_b", "n_distinct", F.round(a2, 9).alias("a2_r")
+        "n_a", "n_b", "n_distinct",
+        F.when(defined, F.round(a2, 9)).alias("a2_r"),
     )
 
 
@@ -4535,7 +4604,10 @@ def anderson_darling_ksamp(
         raise ValueError("need at least 2 groups")
     g = F.col(group_col)
     counts = (
+        # NULL observations rank nowhere; NULL ORDER BY position is
+        # engine-dependent — exclude (fuzz-oracle finding, r10)
         df.filter(g.isin(ks))
+        .filter(F.col(value_col).isNotNull())
         .groupBy(F.col(value_col).alias("__v"))
         .agg(
             *[
@@ -4570,12 +4642,17 @@ def anderson_darling_ksamp(
     den = (b2 * (F.lit(2) * N - b2) - N * F.col("__l")).cast("long")
     inner = None
     for i in range(len(ks)):
-        num_i = _sq(
-            (
-                N * (F.lit(2) * F.col(f"__b{i}") + F.col(f"__l{i}"))
-                - F.col(f"n_{i}") * b2
-            ).cast("double")
-        ) / F.col(f"n_{i}").cast("double")
+        # try_divide: an empty group makes every term NULL instead of
+        # raising under ANSI; the release is masked NULL at the end
+        num_i = F.try_divide(
+            _sq(
+                (
+                    N * (F.lit(2) * F.col(f"__b{i}") + F.col(f"__l{i}"))
+                    - F.col(f"n_{i}") * b2
+                ).cast("double")
+            ),
+            F.col(f"n_{i}").cast("double"),
+        )
         inner = num_i if inner is None else inner + num_i
     term = F.when(
         den > 0, F.col("__l").cast("double") * inner / den.cast("double")
@@ -4600,11 +4677,17 @@ def anderson_darling_ksamp(
         )
     nd = n_total.cast("double")
     a2 = (nd - F.lit(1.0)) / (nd * nd) * F.col("__s")
+    # any empty group: the k-sample test is undefined — NULL release,
+    # matching the twin's SQL NULL propagation (fuzz-oracle finding, r10)
+    defined = None
+    for i in range(len(ks)):
+        d_i = F.col(f"n_{i}") > 0
+        defined = d_i if defined is None else (defined & d_i)
     return out.select(
         n_total.cast("long").alias("n_total"),
         F.lit(len(ks)).cast("int").alias("n_groups"),
         "n_distinct",
-        F.round(a2, 9).alias("a2_r"),
+        F.when(defined, F.round(a2, 9)).alias("a2_r"),
     )
 
 

@@ -4931,7 +4931,8 @@ def x79_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (SELECT value AS v,
                       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS na,
                       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nb
-               FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+               FROM events WHERE event_type IN ('click', 'view')
+                 AND value IS NOT NULL GROUP BY 1),
     s AS (SELECT *, COALESCE(SUM(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
                                            PRECEDING AND 1 PRECEDING), 0) AS b_below,
                  na + nb AS t FROM c),
@@ -7771,7 +7772,8 @@ def x109_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH counts AS (SELECT value,
                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
-           FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+           FROM events WHERE event_type IN ('click', 'purchase')
+             AND value IS NOT NULL GROUP BY 1),
     cum AS (SELECT CAST(SUM(ca) OVER w AS BIGINT) AS cum_a,
                    CAST(SUM(cb) OVER w AS BIGINT) AS cum_b
             FROM counts WINDOW w AS (ORDER BY value
@@ -11954,7 +11956,7 @@ _X229_DEN = (
     "x229_anderson_darling",
     f"""
     WITH f AS (SELECT value AS v, event_type AS g FROM events
-               WHERE event_type IN ('view', 'purchase')),
+               WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
     c AS (SELECT v,
                  CAST(SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS la,
                  CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS lb
@@ -11980,9 +11982,10 @@ _X229_DEN = (
                     list_reduce(list_sort(list(t)), (a, b) -> a + b) AS sm
              FROM terms GROUP BY 1, 2, 3)
     SELECT n_a, n_b, n_distinct,
-           ROUND((CAST(n_a + n_b AS DOUBLE) - 1.0)
-                 / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)) * sm, 9)
-             AS a2_r
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             ROUND((CAST(n_a + n_b AS DOUBLE) - 1.0)
+                   / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)) * sm, 9)
+           END AS a2_r
     FROM fold
     """,
 )
@@ -12279,27 +12282,29 @@ def _x235_sql() -> str:
         for i in range(len(k))
     )
     in_list = ", ".join(f"'{v}'" for v in k)
+    defined = "(" + " AND ".join(f"n{i} > 0" for i in range(len(k))) + ")"
     return f"""
     WITH f AS (SELECT value AS v, event_type AS g FROM events
-               WHERE event_type IN ({in_list})),
+               WHERE event_type IN ({in_list}) AND value IS NOT NULL),
     c AS (SELECT v, {las} FROM f GROUP BY v),
     s AS (SELECT v, {', '.join(f'l{i}' for i in range(len(k)))}, {bas}
           FROM c),
     s2 AS (SELECT *, {l_tot} AS l, {b_tot} AS bt FROM s),
     tot AS (SELECT {ns}, CAST(COUNT(*) AS BIGINT) AS n_distinct FROM s2),
-    terms AS (SELECT n_distinct, {n_tot} AS n_total,
+    terms AS (SELECT n_distinct, {n_tot} AS n_total, {defined} AS defined,
                      CASE WHEN {den} > 0 THEN
                        CAST(l AS DOUBLE) * ({inner}) / CAST({den} AS DOUBLE)
                      ELSE 0.0 END AS t
               FROM s2 CROSS JOIN tot),
-    fold AS (SELECT n_total, n_distinct,
+    fold AS (SELECT n_total, n_distinct, defined,
                     list_reduce(list_sort(list(t)), (a, b) -> a + b) AS sm
-             FROM terms GROUP BY 1, 2)
+             FROM terms GROUP BY 1, 2, 3)
     SELECT CAST(n_total AS BIGINT) AS n_total,
            CAST({len(k)} AS INTEGER) AS n_groups, n_distinct,
-           ROUND((CAST(n_total AS DOUBLE) - 1.0)
-                 / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)) * sm, 9)
-             AS a2_r
+           CASE WHEN defined THEN
+             ROUND((CAST(n_total AS DOUBLE) - 1.0)
+                   / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)) * sm, 9)
+           END AS a2_r
     FROM fold
     """
 
