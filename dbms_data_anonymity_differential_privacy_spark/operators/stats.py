@@ -104,9 +104,12 @@ def mutual_information(
     """
     from pyspark.sql import Window
 
-    joint = df.groupBy(
-        F.col(a_col).alias("__a"), F.col(b_col).alias("__b")
-    ).agg(F.count(F.lit(1)).alias("__c"))
+    joint = (
+        # listwise NULL deletion — the x71/x204 convention (fuzz, r10)
+        df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
     wa = Window.partitionBy("__a")
     wb = Window.partitionBy("__b")
     wall = Window.partitionBy()
@@ -339,8 +342,13 @@ def chi_squared(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    joint = df.groupBy(F.col(a_col).alias("__a"), F.col(b_col).alias("__b")).agg(
-        F.count(F.lit(1)).alias("__c")
+    joint = (
+        # listwise NULL deletion: a NULL category is missing data, not a
+        # level — and SQL COUNT(DISTINCT)/equi-join semantics drop it,
+        # so keeping it made the release engine-dependent (fuzz, r10)
+        df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
     )
     wa, wb, wall = Window.partitionBy("__a"), Window.partitionBy("__b"), Window.partitionBy()
     cells = (
@@ -1185,8 +1193,12 @@ def anova_oneway(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
     # SSB = total SS − SSW, with total SS = Σx² − n·x̄²
     sst = F.col("__tss") - F.col("n") * grand_mean * grand_mean
     ssb = sst - F.col("__ssw")
+    # gate on the ROUNDED SSW: on an all-constant metric the raw SSW is
+    # catastrophic-cancellation noise (~±1e-10) whose sign/bits differ
+    # by engine summation order, so `raw > 0` made F engine-dependent
+    # garbage; at 6 dp both engines see 0 and release NULL (fuzz, r10)
     f_stat = F.when(
-        (F.col("k") >= 2) & (F.col("__ssw") > 0),
+        (F.col("k") >= 2) & (F.round(F.col("__ssw"), 6) > 0),
         (ssb / (F.col("k") - 1)) / (F.col("__ssw") / (F.col("n") - F.col("k"))),
     )
     return tot.select(
@@ -3111,8 +3123,12 @@ def brown_forsythe(
     grand_mean = F.col("__ts") / F.col("n")
     sst = F.col("__tss") - F.col("n") * grand_mean * grand_mean
     ssb = sst - F.col("__ssw")
+    # gate on the ROUNDED SSW: on an all-constant metric the raw SSW is
+    # catastrophic-cancellation noise (~±1e-10) whose sign/bits differ
+    # by engine summation order, so `raw > 0` made F engine-dependent
+    # garbage; at 6 dp both engines see 0 and release NULL (fuzz, r10)
     f_stat = F.when(
-        (F.col("k") >= 2) & (F.col("__ssw") > 0),
+        (F.col("k") >= 2) & (F.round(F.col("__ssw"), 6) > 0),
         (ssb / (F.col("k") - 1)) / (F.col("__ssw") / (F.col("n") - F.col("k"))),
     )
     return tot.select(
@@ -3202,8 +3218,13 @@ def cramers_v(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    joint = df.groupBy(F.col(a_col).alias("__a"), F.col(b_col).alias("__b")).agg(
-        F.count(F.lit(1)).alias("__c")
+    joint = (
+        # listwise NULL deletion: a NULL category is missing data, not a
+        # level — and SQL COUNT(DISTINCT)/equi-join semantics drop it,
+        # so keeping it made the release engine-dependent (fuzz, r10)
+        df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
     )
     wa, wb, wall = Window.partitionBy("__a"), Window.partitionBy("__b"), Window.partitionBy()
     cells = (
@@ -3954,9 +3975,13 @@ def friedman_test(
     """
     from pyspark.sql import Window
 
-    daily = events.groupBy(
-        F.date_trunc("day", F.col(ts_col)).alias("__d"), F.col(type_col)
-    ).agg(F.count(F.lit(1)).cast("long").alias("__x"))
+    daily = (
+        # a NULL treatment label is missing data, not a k-th treatment —
+        # and SQL COUNT(DISTINCT) would drop it anyway (fuzz, r10)
+        events.filter(F.col(type_col).isNotNull())
+        .groupBy(F.date_trunc("day", F.col(ts_col)).alias("__d"), F.col(type_col))
+        .agg(F.count(F.lit(1)).cast("long").alias("__x"))
+    )
     k_types = daily.select(type_col).distinct().count()
     complete = (
         daily.groupBy("__d")
@@ -4714,9 +4739,12 @@ def theil_u(
     """
     from pyspark.sql import Window
 
-    joint = df.groupBy(
-        F.col(a_col).alias("__a"), F.col(b_col).alias("__b")
-    ).agg(F.count(F.lit(1)).alias("__c"))
+    joint = (
+        # listwise NULL deletion — the x71/x204 convention (fuzz, r10)
+        df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
     wa = Window.partitionBy("__a")
     wb = Window.partitionBy("__b")
     wall = Window.partitionBy()

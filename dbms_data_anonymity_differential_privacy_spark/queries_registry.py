@@ -1382,7 +1382,9 @@ def x05_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LANG_SCORE_CTE = (
     "ls AS (SELECT lang, "
     + ", ".join(
-        f"len(regexp_extract_all(lower(text), '{pat}')) AS s_{lg}"
+        # COALESCE: NULL text scores 0 everywhere -> 'und', matching the
+        # engine (a NULL score would fall through the CASE to 'zh')
+        f"len(regexp_extract_all(lower(COALESCE(text, '')), '{pat}')) AS s_{lg}"
         for lg, pat in (
             ("en", r"\b(the|and|of|to|in)\b"),
             ("de", r"\b(der|die|und|das|ist)\b"),
@@ -4321,7 +4323,8 @@ def x63_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x64_mutual_information",
     """
     WITH j AS (SELECT lang AS a, source AS b, COUNT(*) AS c
-               FROM documents GROUP BY 1, 2),
+               FROM documents
+               WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
     m AS (SELECT *, SUM(c) OVER (PARTITION BY a) AS ca,
                  SUM(c) OVER (PARTITION BY b) AS cb,
                  SUM(c) OVER () AS nn,
@@ -4535,7 +4538,8 @@ def x70_km_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x71_chi_squared",
     """
     WITH j AS (SELECT lang AS a, source AS b, COUNT(*) AS c
-               FROM documents GROUP BY 1, 2),
+               FROM documents
+               WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
     m AS (SELECT *, SUM(c) OVER (PARTITION BY a) AS ca,
                  SUM(c) OVER (PARTITION BY b) AS cb,
                  SUM(c) OVER () AS nn,
@@ -7664,7 +7668,7 @@ def x112_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n, k,
            ROUND((tss - n * (ts / n) * (ts / n)) - ssw, 6) AS ssb_r,
            ROUND(ssw, 6) AS ssw_r,
-           CASE WHEN k >= 2 AND ssw > 0
+           CASE WHEN k >= 2 AND ROUND(ssw, 6) > 0
                 THEN ROUND((((tss - n * (ts / n) * (ts / n)) - ssw) / (k - 1))
                            / (ssw / (n - k)), 6) END AS f_r
     FROM t
@@ -10523,7 +10527,7 @@ def x199_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
                    SUM(ss - s * s / n) AS ssw
             FROM g)
     SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
-           ROUND(CASE WHEN k >= 2 AND ssw > 0 THEN
+           ROUND(CASE WHEN k >= 2 AND ROUND(ssw, 6) > 0 THEN
                  (((tss - n * (ts / n) * (ts / n)) - ssw) / (k - 1))
                  / (ssw / (n - k)) END, 6) AS f_r
     FROM tot
@@ -10685,7 +10689,9 @@ def x203_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x204_cramers_v",
     """
     WITH joint AS (SELECT c_nationkey AS a, c_mktsegment AS b, COUNT(*) AS cc
-                   FROM customer GROUP BY 1, 2),
+                   FROM customer
+                   WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+                   GROUP BY 1, 2),
     m AS (SELECT CAST(SUM(cc) AS BIGINT) AS n,
                  CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
                  CAST(COUNT(DISTINCT b) AS BIGINT) AS c FROM joint),
@@ -11504,7 +11510,7 @@ def x220_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS dd,
                       event_type, CAST(COUNT(*) AS BIGINT) AS x
-               FROM events GROUP BY 1, 2),
+               FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
     kk AS (SELECT COUNT(DISTINCT event_type) AS k FROM d),
     cb AS (SELECT dd FROM d GROUP BY dd
            HAVING COUNT(*) = (SELECT k FROM kk)),
@@ -12330,7 +12336,9 @@ def x235_anderson_ksamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x236_theil_u",
     """
     WITH j AS (SELECT c_mktsegment AS a, c_nationkey AS b, COUNT(*) AS c
-               FROM customer GROUP BY 1, 2),
+               FROM customer
+               WHERE c_mktsegment IS NOT NULL AND c_nationkey IS NOT NULL
+               GROUP BY 1, 2),
     m AS (SELECT *, SUM(c) OVER (PARTITION BY a) AS ca,
                  SUM(c) OVER (PARTITION BY b) AS cb,
                  SUM(c) OVER () AS nn,
