@@ -893,7 +893,14 @@ def quantile_scores(df: DataFrame, by: Sequence[str], value_col: str, q: float) 
     """
     from pyspark.sql import Window
 
-    counts = df.groupBy(*by, value_col).agg(F.count(F.lit(1)).alias("__c"))
+    # a NULL value is not a candidate, and NULL ORDER BY position is
+    # engine-dependent — its count would shift every below-rank on one
+    # engine only (fuzz-oracle finding, r10)
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*by, value_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
     w_cum = Window.partitionBy(*[F.col(c) for c in by]).orderBy(value_col)
     w_all = Window.partitionBy(*[F.col(c) for c in by])
     return (
@@ -1185,7 +1192,14 @@ def dp_count_distinct_users(
     salt = _release_salt("cdistinct", release, budget)
     if budget is not None:
         budget.spend(epsilon, f"dp_count_distinct:{user_col}@G{max_groups}")
-    pairs = df.select(user_col, *by).distinct()
+    # NULL group labels are excluded from the release: a published
+    # NULL category is not a real domain value, and the NULL-keyed slot
+    # made the per-user cap engine-dependent (concat_ws skips NULLs,
+    # SQL || nulls the whole rank key — fuzz-oracle finding, r10)
+    nn = df
+    for c in by:
+        nn = nn.filter(F.col(c).isNotNull())
+    pairs = nn.select(user_col, *by).distinct()
     rank_key = F.md5(
         F.concat_ws(
             "|", *[F.col(c).cast("string") for c in (user_col, *by)]

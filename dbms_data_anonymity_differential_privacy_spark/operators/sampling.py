@@ -454,6 +454,10 @@ def neyman_allocation(
     """
     if total_budget < 0:
         raise ValueError("total_budget must be >= 0")
+    # NULL values carry no sigma information and DuckDB's list() keeps
+    # NULLs where collect_list drops them — exclude rows with NULL value
+    # or stratum on both engines (fuzz-oracle finding, r10)
+    df = df.filter(F.col(value_col).isNotNull() & F.col(stratum_col).isNotNull())
     per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.expr(

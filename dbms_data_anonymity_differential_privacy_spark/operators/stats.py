@@ -2520,6 +2520,9 @@ def pettitt_test(
     from pyspark.sql import Window
 
     t, v = F.col(t_col), F.col(v_col)
+    # a period with NULL value has no rank; NULL ORDER BY position is
+    # engine-dependent — exclude (fuzz-oracle finding, r10)
+    series = series.filter(v.isNotNull())
     n_w = Window.partitionBy()
     rnk_w = Window.orderBy(v_col)
     tie_w = Window.partitionBy(v_col)
@@ -3498,10 +3501,13 @@ def odds_ratio_2x2(
     e = F.col(expose_col).cast("boolean")
     o = F.col(outcome_col).cast("boolean")
     agg = df.agg(
-        F.sum((e & o).cast("int")).cast("long").alias("a"),
-        F.sum((e & ~o).cast("int")).cast("long").alias("b"),
-        F.sum((~e & o).cast("int")).cast("long").alias("c"),
-        F.sum((~e & ~o).cast("int")).cast("long").alias("d"),
+        # COALESCE: an empty cohort is the all-zero table (corrected
+        # Haldane release), not a NULL-boolean row whose pandas/Arrow
+        # rendering differs by engine (fuzz-oracle finding, r10)
+        F.coalesce(F.sum((e & o).cast("int")), F.lit(0)).cast("long").alias("a"),
+        F.coalesce(F.sum((e & ~o).cast("int")), F.lit(0)).cast("long").alias("b"),
+        F.coalesce(F.sum((~e & o).cast("int")), F.lit(0)).cast("long").alias("c"),
+        F.coalesce(F.sum((~e & ~o).cast("int")), F.lit(0)).cast("long").alias("d"),
     )
     corrected = (
         (F.col("a") == 0) | (F.col("b") == 0) | (F.col("c") == 0) | (F.col("d") == 0)

@@ -840,7 +840,8 @@ def x01_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x01_dp_quantile_exact",
     """
-    WITH c AS (SELECT l_returnflag, l_quantity, COUNT(*) AS c FROM lineitem GROUP BY 1, 2),
+    WITH c AS (SELECT l_returnflag, l_quantity, COUNT(*) AS c FROM lineitem
+               WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
     w AS (SELECT l_returnflag, l_quantity,
                  SUM(c) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) - c AS below,
                  SUM(c) OVER (PARTITION BY l_returnflag) AS n
@@ -3573,7 +3574,8 @@ def x44_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x46_dp_distinct_exact",
     """
-    WITH pairs AS (SELECT DISTINCT user_id, event_type FROM events),
+    WITH pairs AS (SELECT DISTINCT user_id, event_type FROM events
+                   WHERE event_type IS NOT NULL),
     ranked AS (
       SELECT event_type,
              ROW_NUMBER() OVER (
@@ -9360,7 +9362,7 @@ def x178_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (SELECT CAST(floor(date_diff('second', TIMESTAMP '1970-01-01',
                                             l_shipdate) / 86400) AS BIGINT) AS t,
                       CAST(SUM(l_quantity) AS BIGINT) AS v
-               FROM lineitem GROUP BY 1),
+               FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
     r AS (SELECT t,
                  2 * rank() OVER (ORDER BY v)
                    + count(*) OVER (PARTITION BY v) - 1 AS r2,
@@ -10912,10 +10914,10 @@ def x208_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (o.o_orderpriority = '1-URGENT') AS ou
                FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
     cells AS (SELECT
-        CAST(SUM(CASE WHEN e AND ou THEN 1 ELSE 0 END) AS BIGINT) AS a,
-        CAST(SUM(CASE WHEN e AND NOT ou THEN 1 ELSE 0 END) AS BIGINT) AS b,
-        CAST(SUM(CASE WHEN NOT e AND ou THEN 1 ELSE 0 END) AS BIGINT) AS c,
-        CAST(SUM(CASE WHEN NOT e AND NOT ou THEN 1 ELSE 0 END) AS BIGINT) AS d
+        COALESCE(CAST(SUM(CASE WHEN e AND ou THEN 1 ELSE 0 END) AS BIGINT), 0) AS a,
+        COALESCE(CAST(SUM(CASE WHEN e AND NOT ou THEN 1 ELSE 0 END) AS BIGINT), 0) AS b,
+        COALESCE(CAST(SUM(CASE WHEN NOT e AND ou THEN 1 ELSE 0 END) AS BIGINT), 0) AS c,
+        COALESCE(CAST(SUM(CASE WHEN NOT e AND NOT ou THEN 1 ELSE 0 END) AS BIGINT), 0) AS d
       FROM j),
     h AS (SELECT *,
                  (a = 0 OR b = 0 OR c = 0 OR d = 0) AS corrected,
@@ -11175,15 +11177,19 @@ def x212_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg AS (SELECT t, sv, LAG(t) OVER (ORDER BY t) AS t_prev,
                    LAG(sv) OVER (ORDER BY t) AS s_prev
             FROM km),
-    m AS (SELECT SUM(CASE WHEN COALESCE(t_prev, 0.0) < 604800.0
+    m AS (SELECT COALESCE(SUM(CASE WHEN COALESCE(t_prev, 0.0) < 604800.0
                           THEN COALESCE(s_prev, 1.0)
                                * (LEAST(t, 604800.0) - COALESCE(t_prev, 0.0))
-                          ELSE 0.0 END) AS area,
+                          ELSE 0.0 END), 0.0) AS area,
                  CAST(COUNT(*) AS BIGINT) AS n_events_used
           FROM seg),
     tl AS (SELECT t, sv FROM km ORDER BY t DESC LIMIT 1),
-    tail AS (SELECT CASE WHEN t < 604800.0 THEN sv * (604800.0 - t)
-                         ELSE 0.0 END AS tlc FROM tl),
+    -- scalar subquery so a death-free cohort still yields ONE row:
+    -- survival stays 1 through tau, rmst = tau (matches the engine)
+    tail AS (SELECT COALESCE((SELECT CASE WHEN t < 604800.0
+                                          THEN sv * (604800.0 - t)
+                                          ELSE 0.0 END FROM tl),
+                             604800.0) AS tlc),
     tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d0)
     SELECT ROUND(604800.0, 6) AS tau_r, n, n_events_used,
            ROUND(area + tlc, 6) AS rmst_r
@@ -12078,7 +12084,8 @@ _X231_SD = (
                         list_reduce(list_sort(list(CAST(value AS DOUBLE)
                                                    * CAST(value AS DOUBLE))),
                                     (a, b) -> a + b) AS sxx
-                 FROM events GROUP BY 1),
+                 FROM events
+                 WHERE value IS NOT NULL AND event_type IS NOT NULL GROUP BY 1),
     staged AS (SELECT stratum, n_rows, {_X231_SD} AS sd,
                       CAST(n_rows AS DOUBLE) * ({_X231_SD}) AS w
                FROM per),

@@ -158,6 +158,13 @@ def perturb_table(name: str, src: str, dst: str, rng: np.random.RandomState) -> 
     else:
         k = max(1, int(n0 * frac))
     replace = bool(rng.rand() < 0.3)
+    if name in ("documents", "embeddings"):
+        # doc_id/vec_id are identity keys the near-dup/ANN releases are
+        # keyed on (pair relations, per-id estimates) — duplicating them
+        # is out of contract, not an off-fixture data shape. The rand()
+        # is still drawn so the seed's downstream draws are unchanged.
+        replace = False
+        k = min(k, n0)
     idx = rng.choice(n0, size=k, replace=replace)
     df = df.iloc[np.sort(idx)].reset_index(drop=True)
 
