@@ -106,11 +106,16 @@ def roc_auc(
     """
     from pyspark.sql import Window
 
-    per_v = df.select(F.col(score_col).alias("__v"), label.alias("__y")).groupBy(
-        "__v"
-    ).agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum("__y").alias("pos"),
+    # NULL scores rank nowhere and NULL ORDER BY position is engine-
+    # dependent — exclude (fuzz-oracle finding, r10)
+    per_v = (
+        df.filter(F.col(score_col).isNotNull())
+        .select(F.col(score_col).alias("__v"), label.alias("__y"))
+        .groupBy("__v")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("__y").alias("pos"),
+        )
     )
     w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
     ranked = per_v.withColumn(

@@ -1244,7 +1244,13 @@ def gini_concentration(
     v = F.col(value_col)
     if as_cents:
         v = F.round(v * 100).cast("long")
-    totals = df.groupBy(F.col(key_col).alias("__k")).agg(F.sum(v).alias("__x"))
+    # keys whose values are all NULL have no total to rank, and NULL
+    # ORDER BY position is engine-dependent — exclude (fuzz, r10)
+    totals = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(key_col).alias("__k"))
+        .agg(F.sum(v).alias("__x"))
+    )
     w = Window.orderBy(F.col("__x").asc(), F.col("__k").asc())
     ranked = totals.select(
         F.col("__x"), F.row_number().over(w).cast("long").alias("__i")
@@ -1638,7 +1644,8 @@ def mann_kendall(
         F.max(F.when(covers(lo_rk), F.col("slope"))).alias("__s_lo"),
         F.max(F.when(covers(hi_rk), F.col("slope"))).alias("__s_hi"),
         F.sum(F.signum(F.col("slope")).cast("long") * F.col("cnt")).alias("s_stat"),
-        F.sum("cnt").alias("n_pairs"),
+        # a single-period series has ZERO pairs, not NULL pairs (fuzz, r10)
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_pairs"),
     )
     s_tot = stats.select(
         "s_stat",
@@ -4035,6 +4042,7 @@ def tost_equivalence(
     flag_col: str,
     margin: float = 0.02,
     z_crit: float = 1.6448536269514722,
+    groups: "tuple | None" = None,
 ) -> DataFrame:
     """TOST equivalence test for two proportions (Schuirmann 1987) —
     the "no worse AND no better than ±margin" launch gate: a
@@ -4063,11 +4071,30 @@ def tost_equivalence(
         .orderBy("__g")
         .collect()
     )
-    if len(per) != 2:
+    if groups is not None:
+        # nominal-cohort form (the SQL-pivot shape): release BOTH named
+        # cohorts; one with no rows carries NULL stats and equivalent
+        # stays false (fuzz-oracle finding, r10 — the twin pivots on
+        # literal labels and must not diverge when a cohort is empty)
+        if len(groups) != 2:
+            raise ValueError("groups must name exactly 2 cohorts")
+        by_g = {r["__g"]: r for r in per}
+        g1, g2 = groups
+        r1_, r2_ = by_g.get(g1), by_g.get(g2)
+        rows = [
+            (
+                str(g1),
+                str(g2),
+                None if r1_ is None else r1_["__n"],
+                None if r2_ is None else r2_["__n"],
+                None if r1_ is None else r1_["__p"],
+                None if r2_ is None else r2_["__p"],
+            )
+        ]
+    elif len(per) != 2:
         raise ValueError(f"tost_equivalence expects exactly 2 groups, got {len(per)}")
-    spark = df.sparkSession
-    base = spark.createDataFrame(
-        [
+    else:
+        rows = [
             (
                 str(per[0]["__g"]),
                 str(per[1]["__g"]),
@@ -4076,7 +4103,10 @@ def tost_equivalence(
                 per[0]["__p"],
                 per[1]["__p"],
             )
-        ],
+        ]
+    spark = df.sparkSession
+    base = spark.createDataFrame(
+        rows,
         "g1 STRING, g2 STRING, n1 LONG, n2 LONG, p1 LONG, p2 LONG",
     )
     r1 = F.col("p1").cast("double") / F.col("n1").cast("double")
@@ -4316,25 +4346,38 @@ def krippendorff_alpha_nominal(
         .filter(F.col("__m") >= 2)
         .persist()
     )
-    # loud contract: a unit wider than the LCM bound would make the
-    # integer division inexact and silently skew alpha
+    # a unit wider than the LCM bound would make the integer division
+    # inexact — ESCALATE to the sorted-fold double path (one IEEE
+    # division per unit, deterministic fold order on both engines; the
+    # AD-test idiom) instead of raising (fuzz-oracle finding, r10). The
+    # twin switches on the same MAX(m) condition.
     over = per_u.filter(F.col("__m") > max_ratings_per_unit).limit(1).count()
     if over:
-        raise ValueError(
-            f"krippendorff_alpha_nominal: a unit exceeds "
-            f"max_ratings_per_unit={max_ratings_per_unit}"
+        per_u = per_u.withColumn(
+            "__do_d",
+            (F.col("__m") * F.col("__m") - F.col("__ssq")).cast("double")
+            / (F.col("__m") - 1).cast("double"),
         )
-    per_u = per_u.withColumn(
-        "__do_num",
-        F.expr(
-            f"CAST({_KRIPP_LCM} AS BIGINT) * (__m * __m - __ssq) div (__m - 1)"
-        ),
-    )
-    tot = per_u.agg(
-        F.count(F.lit(1)).cast("long").alias("n_units"),
-        F.sum("__m").cast("long").alias("n_ratings"),
-        F.sum("__do_num").cast("long").alias("__s"),
-    )
+        tot = per_u.agg(
+            F.count(F.lit(1)).cast("long").alias("n_units"),
+            F.sum("__m").cast("long").alias("n_ratings"),
+            F.expr(
+                "aggregate(array_sort(collect_list(__do_d)),"
+                " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            ).alias("__sd"),
+        )
+    else:
+        per_u = per_u.withColumn(
+            "__do_num",
+            F.expr(
+                f"CAST({_KRIPP_LCM} AS BIGINT) * (__m * __m - __ssq) div (__m - 1)"
+            ),
+        )
+        tot = per_u.agg(
+            F.count(F.lit(1)).cast("long").alias("n_units"),
+            F.sum("__m").cast("long").alias("n_ratings"),
+            F.sum("__do_num").cast("long").alias("__s"),
+        )
     marg = (
         uc.join(per_u.select("__u"), on="__u")
         .groupBy("__l")
@@ -4346,7 +4389,10 @@ def krippendorff_alpha_nominal(
     )
     out = tot.join(F.broadcast(mt))
     nd = F.col("n_ratings").cast("double")
-    d_obs = F.col("__s").cast("double") / F.lit(float(_KRIPP_LCM)) / nd
+    if over:
+        d_obs = F.col("__sd") / nd
+    else:
+        d_obs = F.col("__s").cast("double") / F.lit(float(_KRIPP_LCM)) / nd
     de_num = nd * nd - F.col("__t").cast("double")
     d_exp = de_num / (nd * (nd - F.lit(1.0)))
     return out.select(

@@ -7212,7 +7212,7 @@ def x146_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH pv AS (SELECT o_totalprice AS v, COUNT(*) AS cnt,
                        SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS pos
-                FROM orders GROUP BY 1),
+                FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
     r AS (SELECT *, COALESCE(SUM(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
                              PRECEDING AND 1 PRECEDING), 0) AS cumb
           FROM pv),
@@ -7694,7 +7694,7 @@ def x110_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH totals AS (SELECT o_custkey AS k,
                            CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
-                    FROM orders GROUP BY 1),
+                    FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
     ranked AS (SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x ASC, k ASC) AS BIGINT) AS i
                FROM totals),
     a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(x) AS BIGINT) AS t,
@@ -11603,7 +11603,7 @@ def x222_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("event_type") == "purchase").cast("int")) >= 5
         ).cast("int").alias("f")
     ).select(F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("g"), "f")
-    return tost_equivalence(pu, "g", "f", margin=0.02)
+    return tost_equivalence(pu, "g", "f", margin=0.02, groups=(0, 1))
 
 
 # --------------------------------------------------------------------------
@@ -11800,7 +11800,12 @@ def x225_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Instance: do an order's lineitems agree on l_returnflag?
 # --------------------------------------------------------------------------
 _X226_ND = "CAST(n_ratings AS DOUBLE)"
-_X226_DOBS = f"(CAST(s AS DOUBLE) / 720720.0 / {_X226_ND})"
+# the engine escalates past 17 ratings/unit to a sorted-fold double path
+# (LCM divisibility breaks) — the twin switches on the same MAX(m)
+_X226_DOBS = (
+    f"(CASE WHEN mx <= 17 THEN CAST(s AS DOUBLE) / 720720.0"
+    f" ELSE sd END / {_X226_ND})"
+)
 _X226_DENUM = f"({_X226_ND} * {_X226_ND} - CAST(t AS DOUBLE))"
 _X226_DEXP = f"({_X226_DENUM} / ({_X226_ND} * ({_X226_ND} - 1.0)))"
 
@@ -11817,7 +11822,11 @@ _X226_DEXP = f"({_X226_DENUM} / ({_X226_ND} * ({_X226_ND} - 1.0)))"
     don AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
                    CAST(SUM(m) AS BIGINT) AS n_ratings,
                    CAST(SUM(CAST(720720 AS BIGINT) * (m * m - ssq) // (m - 1))
-                        AS BIGINT) AS s
+                        AS BIGINT) AS s,
+                   MAX(m) AS mx,
+                   list_reduce(list_sort(list(CAST(m * m - ssq AS DOUBLE)
+                                              / CAST(m - 1 AS DOUBLE))),
+                               (a, b) -> a + b) AS sd
             FROM pu),
     marg AS (SELECT l, CAST(SUM(c) AS BIGINT) AS nc
              FROM uc JOIN pu USING (u) GROUP BY 1),
