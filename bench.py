@@ -295,6 +295,8 @@ HEADLINE = [
     "x238_line_dup_profile",
     "x239_dedup_survivor_bias",
     "x240_vocab_coverage",
+    "x241_near_dup_plan",
+    "x38_vgh_min_level",
 ]
 
 

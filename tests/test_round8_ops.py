@@ -248,14 +248,39 @@ def test_krippendorff_alpha_agreement_extremes(spark):
     assert krippendorff_alpha_nominal(mono, "u", "l").first()["alpha_r"] is None
 
 
-def test_krippendorff_rejects_wide_units(spark):
+def test_krippendorff_wide_units_escalate_to_fold_path(spark):
+    """r10: units past the LCM(1..16) bound no longer raise — the
+    operator escalates to the sorted-fold double path and still
+    releases the textbook alpha (checked against a direct NumPy-free
+    reference computation)."""
     from dbms_data_anonymity_differential_privacy_spark.operators.stats import (
         krippendorff_alpha_nominal,
     )
 
-    wide = spark.createDataFrame([(1, str(i % 2)) for i in range(18)], "u LONG, l STRING")
-    with pytest.raises(ValueError, match="max_ratings_per_unit"):
-        krippendorff_alpha_nominal(wide, "u", "l")
+    # unit 1: 18 alternating ratings (wide); unit 2: 4 agreeing ratings
+    rows = [(1, str(i % 2)) for i in range(18)] + [(2, "0")] * 4
+    wide = spark.createDataFrame(rows, "u LONG, l STRING")
+    r = krippendorff_alpha_nominal(wide, "u", "l").first()
+    assert r["n_units"] == 2 and r["n_ratings"] == 22
+    # reference: D_o = (1/n) Σ (m²−Σn_uc²)/(m−1); D_e = (n²−Σn_c²)/(n(n−1))
+    do = ((18 * 18 - (81 + 81)) / 17 + (16 - 16) / 3) / 22
+    nc0, nc1 = 9 + 4, 9
+    de = (22 * 22 - (nc0 * nc0 + nc1 * nc1)) / (22 * 21)
+    assert r["d_obs_r"] == pytest.approx(do, abs=1e-9)
+    assert r["d_exp_r"] == pytest.approx(de, abs=1e-9)
+    assert r["alpha_r"] == pytest.approx(1 - do / de, abs=1e-8)
+
+    # and a narrow panel still takes the exact-integer LCM path with an
+    # identical release (paths agree where both are defined)
+    narrow = spark.createDataFrame(
+        [(u, str((u + i) % 3)) for u in range(6) for i in range(5)],
+        "u LONG, l STRING",
+    )
+    a_lcm = krippendorff_alpha_nominal(narrow, "u", "l").first()
+    a_fold = krippendorff_alpha_nominal(
+        narrow, "u", "l", max_ratings_per_unit=2
+    ).first()  # force the fold path on the same data
+    assert a_lcm["alpha_r"] == pytest.approx(a_fold["alpha_r"], abs=1e-9)
 
 
 # ---------------------------------------------------------------------------
