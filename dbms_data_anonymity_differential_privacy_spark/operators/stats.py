@@ -1124,7 +1124,7 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     DEC = "decimal(30,0)"
 
     def rank_table(col: str, alias: str) -> DataFrame:
-        cnts = df.groupBy(F.col(col).alias("__v")).agg(
+        cnts = slim.groupBy(F.col(col).alias("__v")).agg(
             F.count(F.lit(1)).alias("__c")
         )
         w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
@@ -1135,7 +1135,11 @@ def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             ).alias(alias),
         )
 
-    slim = df.select(x_col, y_col)
+    # listwise NULL deletion BEFORE ranking: a NULL's group count would
+    # shift every midrank on the engine whose ORDER BY puts NULLs first
+    # (fuzz-oracle class, r10) — and ranks must be computed over exactly
+    # the rows the correlation uses
+    slim = df.select(x_col, y_col).na.drop(subset=[x_col, y_col])
     ranked = slim.join(F.broadcast(rank_table(x_col, "__rx")), x_col).join(
         F.broadcast(rank_table(y_col, "__ry")), y_col
     )

@@ -7726,7 +7726,8 @@ def x111_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x109_spearman",
     """
-    WITH slim AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+    WITH slim AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+                  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
     rx AS (SELECT x, 2 * COALESCE(SUM(c) OVER (ORDER BY x
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS rx
            FROM (SELECT x, COUNT(*) AS c FROM slim GROUP BY 1)),

@@ -37,6 +37,9 @@ NAMES = [
     "x228_capture_recapture",
     "x232_count_min",
     "x234_minhash_estimate",
+    # round-10 debut: planner audit — O(postings), no pair joins; its
+    # curve should track the tokenize/df-aggregation cost, not pairs
+    "x241_near_dup_plan",
 ]
 
 
