@@ -467,7 +467,15 @@ def ann_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: score only rows sharing the query's LSH bucket,
     exact cosine re-rank inside. Recall < 1 by design; the candidate scan
-    is ~n/2^planes of the table."""
+    is ~n/2^planes of the table.
+
+    Measured at the 301k-row regime (ANN_RECALL.json, SCALE.md r10): on
+    ISOTROPIC embeddings single-bucket recall decays fast with plane
+    count (0.25 @ 4 planes, 0.06 @ 8) — a true neighbor crosses each
+    random hyperplane with non-trivial probability and one probe
+    forgives none of them. Prefer ivf_index/ivf_topk (recall 0.68 at a
+    25% probe fraction there); keep this for clustered corpora or as a
+    cheap pre-filter."""
     dim = len(query_vec)
     bucketed = lsh_bucket_signature(df, n_planes, dim, seed, vec_col)
     # The query's bucket uses the same hash-derived planes — computed by

@@ -170,3 +170,31 @@ def test_prefix_switch_stays_off_on_benign_corpus(spark):
     assert not audit["prefix_chosen"], audit
     # sanity: the audit's volumes are consistent (prefix <= plain)
     assert audit["prefix_cand_pairs"] <= audit["plain_cand_pairs"]
+
+
+# ---------------------------------------------------------------------------
+# Verdict task 4: ANN recall measured at the production regime (301k-row
+# sf15 corpus, tools/ann_recall_regime.py). The committed artifact is the
+# evidence; these pins make a silent regression (or a deleted artifact)
+# fail the suite. The committed operating point: IVF n_lists=32,
+# n_probe=8.
+# ---------------------------------------------------------------------------
+def test_ann_recall_artifact_floor():
+    import json
+    import pathlib
+
+    art = pathlib.Path(__file__).parent.parent / "ANN_RECALL.json"
+    d = json.loads(art.read_text())
+    assert d["corpus_rows"] >= 300_000 and d["n_queries"] >= 40
+    by_probe = {r["n_probe"]: r for r in d["ivf"]}
+    op = by_probe[8]
+    # floor at the committed operating point, measured on the ISOTROPIC
+    # synthetic corpus (the hard case — no cluster structure to exploit;
+    # clustered real embeddings sit above this)
+    assert op["recall_at_10"] >= 0.60, op
+    # and the probe knob is a real trade-off: recall monotone in n_probe
+    probes = sorted(by_probe)
+    recalls = [by_probe[p]["recall_at_10"] for p in probes]
+    assert recalls == sorted(recalls), recalls
+    # the scale story: probing 8/32 lists beats the exact scan's wall
+    assert op["wall_per_query_sec"] < d["exact_wall_per_query_sec"]
