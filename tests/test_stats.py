@@ -82,11 +82,16 @@ class TestMutualInformation:
         assert r["mi_r"] == pytest.approx(mi, abs=1e-9)
         assert r["n"] == 100 and r["n_cells"] == 4
 
-    def test_nulls_are_a_category(self, spark):
-        rows = [("x", None)] * 5 + [("y", "v")] * 5
+    def test_nulls_are_listwise_deleted(self, spark):
+        # r10 fuzz finding: NULL is missing data, not a category — Spark
+        # kept it as a level while the SQL twin's COUNT(DISTINCT)/joins
+        # dropped it, so the release was engine-dependent off-fixture.
+        # Convention now matches correlation_matrix: listwise deletion.
+        rows = [("x", None)] * 5 + [("y", "v")] * 5 + [("x", "u")] * 5
         df = spark.createDataFrame(rows, "a string, b string")
         r = mutual_information(df, "a", "b").collect()[0]
-        assert r["n_cells"] == 2
+        assert r["n_cells"] == 2  # (x,u) and (y,v); the NULL rows are out
+        assert r["n"] == 10
         assert r["mi_r"] == pytest.approx(math.log(2))  # a determines b
 
 
