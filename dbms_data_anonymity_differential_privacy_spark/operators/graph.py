@@ -33,6 +33,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from dbms_data_anonymity_differential_privacy_spark.operators.util import (
+    bounded_loop_plan,
+)
+
 PPB = 1_000_000_000
 TELEPORT_PPB = 150_000_000  # (1 - 0.85) * PPB exactly
 BARRIER_EVERY = 5  # distributed-PageRank rounds per materialization barrier
@@ -122,60 +126,65 @@ def pagerank_int(
     rank = None  # (node, rank_ppb) for nodes WITH in-edges; None = round 0
     default = PPB // n
     persisted = None  # the last MATERIALIZED rank relation
-    for i in range(1, iters + 1):
-        if rank is None:
-            shared = edges_deg.select(
-                F.col("dst").alias("node"),
-                F.expr(f"{default}L div __deg").alias("__share"),
-            )
-        else:
-            shared = (
-                edges_deg.join(rank, edges_deg["src"] == rank["node"], "left")
-                .select(
+    # AQE adds per-stage re-planning latency to every one of the loop's
+    # exchanges with nothing to decide for slim fixed-shape rounds —
+    # scoped off below the size gate (r10 optimization; see
+    # util.bounded_loop_plan for the measurement and the 100 TB rationale)
+    with bounded_loop_plan(edges.sparkSession, n_edges):
+        for i in range(1, iters + 1):
+            if rank is None:
+                shared = edges_deg.select(
                     F.col("dst").alias("node"),
-                    F.expr(f"coalesce(rank_ppb, {default}L) div __deg").alias(
-                        "__share"
-                    ),
+                    F.expr(f"{default}L div __deg").alias("__share"),
+                )
+            else:
+                shared = (
+                    edges_deg.join(rank, edges_deg["src"] == rank["node"], "left")
+                    .select(
+                        F.col("dst").alias("node"),
+                        F.expr(f"coalesce(rank_ppb, {default}L) div __deg").alias(
+                            "__share"
+                        ),
+                    )
+                )
+            new_rank = (
+                shared.groupBy("node")
+                .agg(F.sum("__share").alias("__c"))
+                .select(
+                    "node",
+                    (
+                        F.lit(TELEPORT_PPB // n)
+                        + F.expr("(17 * __c) div 20")
+                    ).alias("rank_ppb"),
                 )
             )
-        new_rank = (
-            shared.groupBy("node")
-            .agg(F.sum("__share").alias("__c"))
-            .select(
-                "node",
-                (
-                    F.lit(TELEPORT_PPB // n)
-                    + F.expr("(17 * __c) div 20")
-                ).alias("rank_ppb"),
-            )
+            # Barrier every BARRIER_EVERY rounds (plus the last): each
+            # persist + count + unpersist is a fixed scheduling cost
+            # (~1.9 s/round at sf0.1, r6 verdict), and the in-between rounds
+            # ride lazily on the last barrier's cache — up to BARRIER_EVERY
+            # slim joins + aggregations per materialized stage, so lineage
+            # stays bounded while the barrier count drops 5x (measured at
+            # sf0.1: 18.6 s per-round → 10.2 s batched). On executor loss
+            # recomputation rolls back at most BARRIER_EVERY rounds — the
+            # standard iterative-checkpoint trade. Values are a pure plan
+            # refactor: bit-identical (oracle row unchanged, dist≡driver
+            # equivalence pinned in tests).
+            if i % BARRIER_EVERY == 0 or i == iters:
+                new_rank = new_rank.persist()
+                new_rank.count()
+                if persisted is not None:
+                    persisted.unpersist()
+                persisted = new_rank
+            rank = new_rank
+            default = TELEPORT_PPB // n  # rank of no-in-edge nodes, rounds >= 1
+        # re-attach the constant-rank nodes (no in-edges) once, at the end;
+        # localCheckpoint truncates the lineage so every per-round cache AND
+        # the node relation can be released immediately (no cache residue
+        # across repeated calls in one session — kcore discipline)
+        out = nodes_df.join(rank, on="node", how="left").select(
+            "node", F.coalesce("rank_ppb", F.lit(default)).alias("rank_ppb")
         )
-        # Barrier every BARRIER_EVERY rounds (plus the last): each
-        # persist + count + unpersist is a fixed scheduling cost
-        # (~1.9 s/round at sf0.1, r6 verdict), and the in-between rounds
-        # ride lazily on the last barrier's cache — up to BARRIER_EVERY
-        # slim joins + aggregations per materialized stage, so lineage
-        # stays bounded while the barrier count drops 5x (measured at
-        # sf0.1: 18.6 s per-round → 10.2 s batched). On executor loss
-        # recomputation rolls back at most BARRIER_EVERY rounds — the
-        # standard iterative-checkpoint trade. Values are a pure plan
-        # refactor: bit-identical (oracle row unchanged, dist≡driver
-        # equivalence pinned in tests).
-        if i % BARRIER_EVERY == 0 or i == iters:
-            new_rank = new_rank.persist()
-            new_rank.count()
-            if persisted is not None:
-                persisted.unpersist()
-            persisted = new_rank
-        rank = new_rank
-        default = TELEPORT_PPB // n  # rank of no-in-edge nodes, rounds >= 1
-    # re-attach the constant-rank nodes (no in-edges) once, at the end;
-    # localCheckpoint truncates the lineage so every per-round cache AND
-    # the node relation can be released immediately (no cache residue
-    # across repeated calls in one session — kcore discipline)
-    out = nodes_df.join(rank, on="node", how="left").select(
-        "node", F.coalesce("rank_ppb", F.lit(default)).alias("rank_ppb")
-    )
-    out = out.localCheckpoint(eager=True)
+        out = out.localCheckpoint(eager=True)
     persisted.unpersist()
     nodes_df.unpersist()
     edges_deg.unpersist()
@@ -594,34 +603,38 @@ def label_propagation(
         pr.selectExpr("y AS node", "x AS nbr")
     ).persist()
     pr.unpersist()
-    labels = adj.select("node").distinct().select(
-        "node", F.col("node").alias("label")
-    ).persist()
-    labels.count()
-    w = Window.partitionBy("node").orderBy(F.col("__c").desc(), F.col("label").asc())
-    persisted = labels  # last MATERIALIZED label relation
-    for i in range(1, iters + 1):
-        msgs = adj.join(
-            labels.select(F.col("node").alias("nbr"), "label"), on="nbr"
-        ).select("node", "label")
-        nxt = (
-            msgs.groupBy("node", "label")
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") == 1)
-            .select("node", "label")
+    # scoped AQE-off for the bounded loop (see util.bounded_loop_plan)
+    with bounded_loop_plan(edges.sparkSession, n_edges):
+        labels = adj.select("node").distinct().select(
+            "node", F.col("node").alias("label")
+        ).persist()
+        labels.count()
+        w = Window.partitionBy("node").orderBy(
+            F.col("__c").desc(), F.col("label").asc()
         )
-        # pagerank barrier-batching discipline: materialize every
-        # BARRIER_EVERY rounds (plus the last); in-between rounds chain
-        # lazily on the last barrier's cache. Pure plan refactor —
-        # labels are deterministic (mode + min tie-break), so values
-        # are bit-identical (dist≡driver equivalence pinned in tests).
-        if i % BARRIER_EVERY == 0 or i == iters:
-            nxt = nxt.persist()
-            nxt.count()
-            persisted.unpersist()
-            persisted = nxt
-        labels = nxt
+        persisted = labels  # last MATERIALIZED label relation
+        for i in range(1, iters + 1):
+            msgs = adj.join(
+                labels.select(F.col("node").alias("nbr"), "label"), on="nbr"
+            ).select("node", "label")
+            nxt = (
+                msgs.groupBy("node", "label")
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") == 1)
+                .select("node", "label")
+            )
+            # pagerank barrier-batching discipline: materialize every
+            # BARRIER_EVERY rounds (plus the last); in-between rounds chain
+            # lazily on the last barrier's cache. Pure plan refactor —
+            # labels are deterministic (mode + min tie-break), so values
+            # are bit-identical (dist≡driver equivalence pinned in tests).
+            if i % BARRIER_EVERY == 0 or i == iters:
+                nxt = nxt.persist()
+                nxt.count()
+                persisted.unpersist()
+                persisted = nxt
+            labels = nxt
     adj.unpersist()
     return labels.select("node", F.col("label").alias("community"))
 
@@ -697,32 +710,34 @@ def bfs_profile(
     landmarks = (
         adj.select("node").distinct().orderBy("node").limit(n_landmarks)
     )
-    dist = landmarks.select(
-        F.col("node").alias("lm"), "node", F.lit(0).alias("dist")
-    ).persist()
-    dist.count()
-    # Barrier every SECOND round here (not BARRIER_EVERY=5): each BFS
-    # round consumes `dist` TWICE (frontier filter + union), so an
-    # unmaterialized chain doubles the subplan per lazy level — depth-2
-    # keeps the plan at <=4 copies of the last barrier (runtime cost is
-    # deduplicated by exchange reuse, but ANALYSIS cost is not).
-    persisted = dist
-    for d in range(1, max_depth + 1):
-        frontier = dist.filter(F.col("dist") == d - 1)
-        expanded = frontier.join(adj, on="node").select(
-            "lm", F.col("nbr").alias("node"), F.lit(d).alias("dist")
-        )
-        nxt = (
-            dist.unionByName(expanded)
-            .groupBy("lm", "node")
-            .agg(F.min("dist").alias("dist"))
-        )
-        if d % 2 == 0 or d == max_depth:
-            nxt = nxt.persist()
-            nxt.count()
-            persisted.unpersist()
-            persisted = nxt
-        dist = nxt
+    # scoped AQE-off for the bounded loop (see util.bounded_loop_plan)
+    with bounded_loop_plan(edges.sparkSession, n_edges):
+        dist = landmarks.select(
+            F.col("node").alias("lm"), "node", F.lit(0).alias("dist")
+        ).persist()
+        dist.count()
+        # Barrier every SECOND round here (not BARRIER_EVERY=5): each BFS
+        # round consumes `dist` TWICE (frontier filter + union), so an
+        # unmaterialized chain doubles the subplan per lazy level — depth-2
+        # keeps the plan at <=4 copies of the last barrier (runtime cost is
+        # deduplicated by exchange reuse, but ANALYSIS cost is not).
+        persisted = dist
+        for d in range(1, max_depth + 1):
+            frontier = dist.filter(F.col("dist") == d - 1)
+            expanded = frontier.join(adj, on="node").select(
+                "lm", F.col("nbr").alias("node"), F.lit(d).alias("dist")
+            )
+            nxt = (
+                dist.unionByName(expanded)
+                .groupBy("lm", "node")
+                .agg(F.min("dist").alias("dist"))
+            )
+            if d % 2 == 0 or d == max_depth:
+                nxt = nxt.persist()
+                nxt.count()
+                persisted.unpersist()
+                persisted = nxt
+            dist = nxt
     adj.unpersist()
     # dist stays cached: the output aggregation below is its only
     # consumer and unpersisting first would force a full BFS recompute.
