@@ -88,7 +88,9 @@ def bigram_lm_scores(
     """
     spark = df.sparkSession
     toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), WS), lambda t: t != "")
-    base = fan_out(df).select(F.col(id_col), toks.alias("__t"))
+    # cached: the bigram expansion AND the vocabulary count read the
+    # tokenized relation — one regex tokenization pass, not two (r10)
+    base = fan_out(df).select(F.col(id_col), toks.alias("__t")).persist()
 
     # Bigram occurrences as 8-byte hash pairs (one map-side pass).
     occ = (
@@ -106,11 +108,15 @@ def bigram_lm_scores(
     )
     occ.persist()
 
-    # Model: bigram counts + history counts (word-count shuffle shape).
+    # Model: bigram counts + history counts, PRE-JOINED at bigram grain
+    # (model-sized join) so the fat occurrence relation is joined ONCE —
+    # the previous occ ⋈ cb ⋈ cu shape shuffled the per-token-occurrence
+    # relation through two exchanges (r10 optimization, guide §2.3/§2.4;
+    # at corpus scale occ is the 10^13-row relation, the model is the
+    # distinct-bigram relation).
     cb = occ.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("cb"))
     cu = occ.groupBy("h1").agg(F.count(F.lit(1)).alias("cu"))
-    cb.persist()
-    cu.persist()
+    model = cb.join(cu, on="h1").persist()
 
     # Vocabulary size over ALL token positions (exact).
     vocab = (
@@ -120,22 +126,22 @@ def bigram_lm_scores(
     )
     v = int(vocab)
 
-    joined = occ.join(cb, ["h1", "h2"]).join(cu, ["h1"])
     if exact:
         # Driver-side C-libm log table over the distinct integer log inputs
-        # (metadata-sized; see module docstring), fetched in ONE job over the
-        # union of both count relations. Two broadcast joins then put the
-        # exact libm values on every occurrence without the JVM touching log.
+        # (metadata-sized; see module docstring), fetched in ONE job over
+        # the pre-joined model. The exact libm values attach to the MODEL
+        # (one row per distinct bigram), not to every occurrence — the
+        # same released numbers at a fraction of the join work.
         vals = (
-            cb.select((F.col("cb") + 1).alias("val"))
-            .unionByName(cu.select((F.col("cu") + v).alias("val")))
+            model.select((F.col("cb") + 1).alias("val"))
+            .unionByName(model.select((F.col("cu") + v).alias("val")))
             .distinct()
             .collect()
         )
         log_rows = [(x, math.log(x)) for x in sorted(int(r["val"]) for r in vals)]
         logtab = spark.createDataFrame(log_rows, "val long, lnval double")
-        scored = (
-            joined.join(
+        model_lp = (
+            model.join(
                 F.broadcast(logtab.select(F.col("val").alias("__nv"), F.col("lnval").alias("__ln_num"))),
                 F.col("cb") + 1 == F.col("__nv"),
             )
@@ -143,17 +149,19 @@ def bigram_lm_scores(
                 F.broadcast(logtab.select(F.col("val").alias("__dv"), F.col("lnval").alias("__ln_den"))),
                 F.col("cu") + v == F.col("__dv"),
             )
-            .select(id_col, (F.col("__ln_num") - F.col("__ln_den")).alias("logp"))
+            .select("h1", "h2", (F.col("__ln_num") - F.col("__ln_den")).alias("logp"))
         )
     else:
         # production: JVM log inside codegen, zero driver materialization
-        scored = joined.select(
-            id_col,
+        model_lp = model.select(
+            "h1",
+            "h2",
             (
                 F.log((F.col("cb") + 1).cast("double"))
                 - F.log((F.col("cu") + v).cast("double"))
             ).alias("logp"),
         )
+    scored = occ.join(model_lp, ["h1", "h2"]).select(id_col, "logp")
 
     # Sorted left fold per document: deterministic summation order on
     # both engines (DuckDB twin: list_reduce(list_sort(list(logp)))).

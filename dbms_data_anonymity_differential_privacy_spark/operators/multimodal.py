@@ -1149,6 +1149,17 @@ def hamming_pairs_64(
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
 
+    # The block join below is a SELF-join: left lazy, both sides would
+    # re-execute the upstream fingerprint pipeline — for the media paths
+    # that is the whole Python decode run twice (measured: x41 full
+    # 2.56 s vs 0.86 s for a single decode+hash pass at sf0.1). The
+    # relation is 16 bytes/fingerprint at any scale, so persist + eager
+    # count materializes it exactly once for both join sides (r10).
+    from dbms_data_anonymity_differential_privacy_spark.operators.util import track_cached
+
+    hashes = track_cached(hashes.persist())
+    hashes.count()
+
     def block_expr(i: int):
         shift = i * width
         if i == n_blocks - 1:
