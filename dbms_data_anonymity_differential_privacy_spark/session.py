@@ -45,6 +45,17 @@ def get_spark(
         # parallelism over fewer/larger shuffle partitions. 16 MB still
         # amortizes task overhead fine at cluster scale.
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        # Allow shuffled-hash join where its size conditions hold (one
+        # side small enough to hash-build per partition): skips the two
+        # per-partition sorts a sort-merge join pays, with AQE's skew
+        # handling still applying. Measured at sf0.1 over the 22 most
+        # join-heavy queries: 45.2 s vs 48.8-52.7 s (r10; guide §3.1/§9
+        # baseline). Env-overridable for clusters that prefer SMJ's
+        # graceful spill on misestimated build sides.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet

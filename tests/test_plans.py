@@ -514,7 +514,9 @@ def test_quantile_norm_equi_join_rank_table(plans):
     assert "CartesianProduct" not in p
     # the only BNL joins are one-row scalar cross joins (n_all); the
     # k-lookup itself must appear as a hash join
-    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert (
+        "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    )
 
 
 def test_textrank_distributed_cut_no_python(plans):
@@ -540,7 +542,9 @@ def test_stream_join_twin_is_keyed_join(plans):
     pair join."""
     p = plans["x162_stream_join"]
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
-    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert (
+        "BroadcastHashJoin" in p or "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    )
 
 
 def test_mahalanobis_single_moments_pass_takeordered(plans):
