@@ -459,10 +459,15 @@ def main() -> None:
     # sf-suffixed artifact for non-default scale factors: an sf1 scaling
     # run must never clobber the committed sf0.1 artifact (it did once).
     art = "BENCH_full.json" if sf == "0.1" else f"BENCH_full_sf{sf}.json"
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), art),
-        "w",
-    ) as f:
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, art), "w") as f:
+        json.dump(full, f, indent=1)
+    # Driver-readable per-query artifact (r10 verdict item 2): the printed
+    # full line is longer than the driver's stdout tail capture, so the
+    # per-query map has been unreadable to PERF for two rounds. This fixed
+    # path carries the SAME map the printed line does, every run, whatever
+    # the sf — additions-only (the stdout contract below is unchanged).
+    with open(os.path.join(here, "BENCH_out.json"), "w") as f:
         json.dump(full, f, indent=1)
     print(json.dumps(full))
     print(

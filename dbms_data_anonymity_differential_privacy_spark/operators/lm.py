@@ -57,7 +57,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dbms_data_anonymity_differential_privacy_spark.operators.text import WS
-from dbms_data_anonymity_differential_privacy_spark.operators.util import fan_out
+from dbms_data_anonymity_differential_privacy_spark.operators.util import (
+    fan_out,
+    track_cached,
+)
 
 
 def bigram_lm_scores(
@@ -90,7 +93,9 @@ def bigram_lm_scores(
     toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), WS), lambda t: t != "")
     # cached: the bigram expansion AND the vocabulary count read the
     # tokenized relation — one regex tokenization pass, not two (r10)
-    base = fan_out(df).select(F.col(id_col), toks.alias("__t")).persist()
+    base = track_cached(
+        fan_out(df).select(F.col(id_col), toks.alias("__t")).persist()
+    )
 
     # Bigram occurrences as 8-byte hash pairs (one map-side pass).
     occ = (
@@ -106,7 +111,7 @@ def bigram_lm_scores(
         )
         .select(id_col, F.col("__bg.h1").alias("h1"), F.col("__bg.h2").alias("h2"))
     )
-    occ.persist()
+    track_cached(occ.persist())
 
     # Model: bigram counts + history counts, PRE-JOINED at bigram grain
     # (model-sized join) so the fat occurrence relation is joined ONCE —
@@ -116,7 +121,7 @@ def bigram_lm_scores(
     # distinct-bigram relation).
     cb = occ.groupBy("h1", "h2").agg(F.count(F.lit(1)).alias("cb"))
     cu = occ.groupBy("h1").agg(F.count(F.lit(1)).alias("cu"))
-    model = cb.join(cu, on="h1").persist()
+    model = track_cached(cb.join(cu, on="h1").persist())
 
     # Vocabulary size over ALL token positions (exact).
     vocab = (

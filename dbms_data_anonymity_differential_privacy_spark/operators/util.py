@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+import threading
 from collections import OrderedDict
 from contextlib import contextmanager
 
@@ -203,6 +204,16 @@ def free_local_checkpoint(df: DataFrame) -> bool:
 
 LOOP_AQE_MAX_ROWS = int(os.environ.get("SPARK_GRAFT_LOOP_AQE_MAX_ROWS", str(50_000_000)))
 
+# SparkSession confs are shared across driver threads, so two concurrent
+# bounded loops (or a loop racing any other conf toggler) could interleave
+# set/restore and leave AQE off for the rest of the session (r10 advisory).
+# The engine's query paths are single-threaded today; the lock makes the
+# toggle safe if a caller ever runs loops from a thread pool — concurrent
+# loops serialize on it, which is the correct semantics for a session-
+# global knob. RLock: a loop that composes another bounded loop in the
+# same thread (bfs inside a pipeline) must not deadlock.
+_LOOP_PLAN_LOCK = threading.RLock()
+
 
 @contextmanager
 def bounded_loop_plan(spark, n_rows: int, max_rows: int | None = None):
@@ -233,12 +244,13 @@ def bounded_loop_plan(spark, n_rows: int, max_rows: int | None = None):
         yield
         return
     key = "spark.sql.adaptive.enabled"
-    prev = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
-    try:
-        yield
-    finally:
-        spark.conf.set(key, prev)
+    with _LOOP_PLAN_LOCK:
+        prev = spark.conf.get(key, "true")
+        spark.conf.set(key, "false")
+        try:
+            yield
+        finally:
+            spark.conf.set(key, prev)
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

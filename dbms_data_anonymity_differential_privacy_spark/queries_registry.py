@@ -6798,12 +6798,15 @@ def x150_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x151_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the co-purchase item graph."""
     from dbms_data_anonymity_differential_privacy_spark.operators.graph import assortativity
+    from dbms_data_anonymity_differential_privacy_spark.operators.util import track_cached
 
     # shared basket edge builder (identical edge set; r10 — see
     # _copurchase_part_edges), renamed to this family's (x, y) columns
-    edges = _copurchase_part_edges(spark, sf_dir).selectExpr(
-        "src AS x", "dst AS y"
-    ).persist()
+    edges = track_cached(
+        _copurchase_part_edges(spark, sf_dir)
+        .selectExpr("src AS x", "dst AS y")
+        .persist()
+    )
     return assortativity(edges)
 
 

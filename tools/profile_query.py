@@ -43,6 +43,14 @@ def main() -> int:
     spark.catalog.clearCache()
     qr.QUERIES["p01_scan"](spark, args.sf).write.format("noop").mode("overwrite").save()
 
+    # Job counting via a FRESH job group per run (r10 advisory: counting
+    # len(getJobIdsForGroup(None)) deltas undercounts once the UI status
+    # store evicts jobs past spark.ui.retainedJobs in long profiling
+    # sessions; a per-run group id is exact as long as the run itself
+    # stays under the retention limit, which single queries do).
+    import contextlib
+    import io
+
     tracker = spark.sparkContext.statusTracker()
     for name in args.queries:
         fn = qr.QUERIES[name]
@@ -52,18 +60,20 @@ def main() -> int:
         for i in range(args.runs):
             spark.catalog.clearCache()
             release_cached_relations()
-            spark.sparkContext.setJobDescription(f"profile:{name}:run{i}")
-            jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+            group = f"profile:{name}:run{i}"
+            spark.sparkContext.setJobGroup(group, group)
             t0 = time.perf_counter()
             df = fn(spark, args.sf)
             if plan_txt is None:
-                plan_txt = df._sc._jvm.PythonSQLUtils.explainString(
-                    df._jdf.queryExecution(), "formatted"
-                )
+                # public-API capture (df.explain prints to stdout)
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    df.explain("formatted")
+                plan_txt = buf.getvalue()
             df.write.format("noop").mode("overwrite").save()
             times.append(round(time.perf_counter() - t0, 3))
-            jobs_after = len(tracker.getJobIdsForGroup(None) or [])
-            jobs_last = jobs_after - jobs_before
+            jobs_last = len(tracker.getJobIdsForGroup(group) or [])
+        spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
         spark.sparkContext.setJobDescription(None)
         n_exch = plan_txt.count("Exchange") if plan_txt else -1
         if args.plan_dir:
