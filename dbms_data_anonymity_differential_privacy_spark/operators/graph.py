@@ -61,9 +61,14 @@ def pagerank_int(
     slim = edges.select(
         F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
     ).persist()
-    n_edges = slim.count()
+    # The count exists to pick the driver-vs-distributed path; when the
+    # caller FORCES the distributed plan (driver_threshold <= 0, the
+    # x126_dist flavor) the edge count instead rides edges_deg.count()
+    # below — one fewer full-pipeline action (r11: x126_pagerank_dist is
+    # scheduling-bound at sf0.1, 22 jobs measured).
+    n_edges = slim.count() if driver_threshold > 0 else None
 
-    if n_edges <= driver_threshold:
+    if n_edges is not None and n_edges <= driver_threshold:
         import numpy as np
 
         # Arrow transfer + vectorized int64 iteration: the same floor
@@ -101,13 +106,12 @@ def pagerank_int(
         .distinct()
         .persist()
     )
-    n = nodes_df.count()
-    deg_df = slim.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    # degree rides the edge relation so each iteration is ONE join of
-    # ranks onto (src, dst, deg) — not a second degree join per round
-    edges_deg = slim.join(deg_df, on="src").persist()
-    edges_deg.count()
-    slim.unpersist()
+    n = nodes_df.count()  # also materializes slim's cache
+    if n_edges is None:
+        # cache-resident count (slim was materialized by the nodes job
+        # above): one fast job instead of the full-pipeline count the
+        # forced-distributed path used to pay up front (r11)
+        n_edges = slim.count()
 
     # The iteration state holds ONLY nodes with in-edges (the contrib
     # relation). A node with no in-edges has the CONSTANT rank
@@ -121,7 +125,7 @@ def pagerank_int(
         out0 = nodes_df.select("node", F.lit(PPB // n).alias("rank_ppb"))
         out0 = out0.localCheckpoint(eager=True)
         nodes_df.unpersist()
-        edges_deg.unpersist()
+        slim.unpersist()
         return out0
     rank = None  # (node, rank_ppb) for nodes WITH in-edges; None = round 0
     default = PPB // n
@@ -131,6 +135,19 @@ def pagerank_int(
     # scoped off below the size gate (r10 optimization; see
     # util.bounded_loop_plan for the measurement and the 100 TB rationale)
     with bounded_loop_plan(edges.sparkSession, n_edges):
+        deg_df = slim.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+        # degree rides the edge relation so each iteration is ONE join of
+        # ranks onto (src, dst, deg) — not a second degree join per round.
+        # Built and materialized INSIDE the loop scope (r11): the build
+        # join leaves the cache hash-partitioned by src at the loop's
+        # exact partition count, so the per-round rank join reuses the
+        # cached layout instead of re-exchanging the edge relation every
+        # round (an AQE-coalesced build partitioning satisfies no loop
+        # requirement — measured as one extra 500k-row exchange/round at
+        # sf0.1).
+        edges_deg = slim.join(deg_df, on="src").persist()
+        edges_deg.count()
+        slim.unpersist()
         for i in range(1, iters + 1):
             if rank is None:
                 shared = edges_deg.select(
@@ -158,18 +175,22 @@ def pagerank_int(
                     ).alias("rank_ppb"),
                 )
             )
-            # Barrier every BARRIER_EVERY rounds (plus the last): each
-            # persist + count + unpersist is a fixed scheduling cost
-            # (~1.9 s/round at sf0.1, r6 verdict), and the in-between rounds
-            # ride lazily on the last barrier's cache — up to BARRIER_EVERY
-            # slim joins + aggregations per materialized stage, so lineage
-            # stays bounded while the barrier count drops 5x (measured at
+            # Barrier every BARRIER_EVERY rounds: each persist + count +
+            # unpersist is a fixed scheduling cost (~1.9 s/round at sf0.1,
+            # r6 verdict), and the in-between rounds ride lazily on the
+            # last barrier's cache — up to BARRIER_EVERY slim joins +
+            # aggregations per materialized stage, so lineage stays
+            # bounded while the barrier count drops 5x (measured at
             # sf0.1: 18.6 s per-round → 10.2 s batched). On executor loss
             # recomputation rolls back at most BARRIER_EVERY rounds — the
-            # standard iterative-checkpoint trade. Values are a pure plan
-            # refactor: bit-identical (oracle row unchanged, dist≡driver
-            # equivalence pinned in tests).
-            if i % BARRIER_EVERY == 0 or i == iters:
+            # standard iterative-checkpoint trade. The FINAL round gets no
+            # barrier of its own: the closing nodes-join + localCheckpoint
+            # below is itself an eager action, so a count here would
+            # materialize the same rounds twice (r11 fusion; r10 verdict
+            # item 1 — one job and one cache pass fewer). Values are a
+            # pure plan refactor: bit-identical (oracle row unchanged,
+            # dist≡driver equivalence pinned in tests).
+            if i % BARRIER_EVERY == 0 and i != iters:
                 new_rank = new_rank.persist()
                 new_rank.count()
                 if persisted is not None:
@@ -178,14 +199,16 @@ def pagerank_int(
             rank = new_rank
             default = TELEPORT_PPB // n  # rank of no-in-edge nodes, rounds >= 1
         # re-attach the constant-rank nodes (no in-edges) once, at the end;
-        # localCheckpoint truncates the lineage so every per-round cache AND
-        # the node relation can be released immediately (no cache residue
-        # across repeated calls in one session — kcore discipline)
+        # the eager localCheckpoint doubles as the last rounds' barrier
+        # (fusion above) and truncates the lineage so every per-round cache
+        # AND the node relation can be released immediately (no cache
+        # residue across repeated calls in one session — kcore discipline)
         out = nodes_df.join(rank, on="node", how="left").select(
             "node", F.coalesce("rank_ppb", F.lit(default)).alias("rank_ppb")
         )
         out = out.localCheckpoint(eager=True)
-    persisted.unpersist()
+    if persisted is not None:
+        persisted.unpersist()
     nodes_df.unpersist()
     edges_deg.unpersist()
     return out
@@ -599,16 +622,23 @@ def label_propagation(
             "node LONG, community LONG",
         )
 
-    adj = pr.selectExpr("x AS node", "y AS nbr").unionAll(
-        pr.selectExpr("y AS node", "x AS nbr")
-    ).persist()
-    pr.unpersist()
     # scoped AQE-off for the bounded loop (see util.bounded_loop_plan)
     with bounded_loop_plan(edges.sparkSession, n_edges):
+        # adj is the loop-invariant probe side of every round's join on
+        # nbr: partition it by the join key INSIDE the loop scope (r11)
+        # so the cached layout satisfies each round's requirement and
+        # only the slim label relation re-exchanges per round
+        adj = (
+            pr.selectExpr("x AS node", "y AS nbr")
+            .unionAll(pr.selectExpr("y AS node", "x AS nbr"))
+            .repartition(F.col("nbr"))
+            .persist()
+        )
         labels = adj.select("node").distinct().select(
             "node", F.col("node").alias("label")
         ).persist()
         labels.count()
+        pr.unpersist()
         w = Window.partitionBy("node").orderBy(
             F.col("__c").desc(), F.col("label").asc()
         )
@@ -703,19 +733,26 @@ def bfs_profile(
             rows, "landmark LONG, dist INT, n_nodes LONG"
         )
 
-    adj = pr.selectExpr("x AS node", "y AS nbr").unionAll(
-        pr.selectExpr("y AS node", "x AS nbr")
-    ).persist()
-    pr.unpersist()
-    landmarks = (
-        adj.select("node").distinct().orderBy("node").limit(n_landmarks)
-    )
     # scoped AQE-off for the bounded loop (see util.bounded_loop_plan)
     with bounded_loop_plan(edges.sparkSession, n_edges):
+        # adj is the loop-invariant probe side of every round's frontier
+        # join on node: partition it by the join key INSIDE the loop
+        # scope (r11, same as label_propagation) so rounds re-exchange
+        # only the frontier
+        adj = (
+            pr.selectExpr("x AS node", "y AS nbr")
+            .unionAll(pr.selectExpr("y AS node", "x AS nbr"))
+            .repartition(F.col("node"))
+            .persist()
+        )
+        landmarks = (
+            adj.select("node").distinct().orderBy("node").limit(n_landmarks)
+        )
         dist = landmarks.select(
             F.col("node").alias("lm"), "node", F.lit(0).alias("dist")
         ).persist()
         dist.count()
+        pr.unpersist()
         # Barrier every SECOND round here (not BARRIER_EVERY=5): each BFS
         # round consumes `dist` TWICE (frontier filter + union), so an
         # unmaterialized chain doubles the subplan per lazy level — depth-2
@@ -732,18 +769,27 @@ def bfs_profile(
                 .groupBy("lm", "node")
                 .agg(F.min("dist").alias("dist"))
             )
-            if d % 2 == 0 or d == max_depth:
+            # the FINAL round gets no barrier: the output aggregation
+            # below materializes it via an eager localCheckpoint inside
+            # the AQE-off scope — a count here would compute the same
+            # rounds twice (r11 fusion, same as pagerank_int)
+            if d % 2 == 0 and d != max_depth:
                 nxt = nxt.persist()
                 nxt.count()
                 persisted.unpersist()
                 persisted = nxt
             dist = nxt
+        # the aggregation consumes the last rounds exactly once, fused
+        # into the barrier job; eager checkpoint so the caches below can
+        # be released without forcing a recompute
+        out = (
+            dist.groupBy(F.col("lm").alias("landmark"), "dist")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+            .localCheckpoint(eager=True)
+        )
     adj.unpersist()
-    # dist stays cached: the output aggregation below is its only
-    # consumer and unpersisting first would force a full BFS recompute.
-    return dist.groupBy(F.col("lm").alias("landmark"), "dist").agg(
-        F.count(F.lit(1)).cast("long").alias("n_nodes")
-    )
+    persisted.unpersist()
+    return out
 
 
 def _oriented_triangles(canon: DataFrame):

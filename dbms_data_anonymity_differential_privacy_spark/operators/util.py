@@ -204,6 +204,25 @@ def free_local_checkpoint(df: DataFrame) -> bool:
 
 LOOP_AQE_MAX_ROWS = int(os.environ.get("SPARK_GRAFT_LOOP_AQE_MAX_ROWS", str(50_000_000)))
 
+# Bytes of loop-relation data per post-shuffle partition inside a
+# bounded loop (see bounded_loop_plan): with AQE's runtime coalescing
+# scoped off, the loop's exchanges would otherwise keep the session's
+# static spark.sql.shuffle.partitions — at the gate's slim-relation
+# sizes that is dozens of near-empty tasks per stage, and a 10-round
+# loop is 20+ sequential stages of pure task-launch latency. The static
+# replacement AQE would have computed: partitions = ceil(row_bytes /
+# target), derived from the measured edge count, never from the local
+# core count. 1 MB ≈ 32k loop rows per task (vs the session's 16 MB
+# advisory for fat scans): loop rounds are join+agg CPU over slim rows,
+# so they want parallelism earlier than byte-bound stages — bracketed
+# A/B at sf0.1 (r11): x126_pagerank_dist 7.6/8.3 s at the session's 32
+# partitions vs 5.8/6.9 s at 1 MB, and 16 MB (one partition) loses the
+# win again (8.5 s).
+LOOP_PARTITION_TARGET_BYTES = int(
+    os.environ.get("SPARK_GRAFT_LOOP_PARTITION_BYTES", str(1024 * 1024))
+)
+_LOOP_ROW_BYTES = 32  # two ids + agg key/value headroom per loop row
+
 # SparkSession confs are shared across driver threads, so two concurrent
 # bounded loops (or a loop racing any other conf toggler) could interleave
 # set/restore and leave AQE off for the rest of the session (r10 advisory).
@@ -244,13 +263,23 @@ def bounded_loop_plan(spark, n_rows: int, max_rows: int | None = None):
         yield
         return
     key = "spark.sql.adaptive.enabled"
+    pkey = "spark.sql.shuffle.partitions"
     with _LOOP_PLAN_LOCK:
         prev = spark.conf.get(key, "true")
+        prev_parts = spark.conf.get(pkey, "200")
+        # the size-derived partition count AQE coalescing would have
+        # converged on (see LOOP_PARTITION_TARGET_BYTES); never grow
+        # past the session setting — the gate means n_rows is small
+        loop_parts = max(
+            1, min(int(prev_parts), (n_rows * _LOOP_ROW_BYTES) // LOOP_PARTITION_TARGET_BYTES)
+        )
         spark.conf.set(key, "false")
+        spark.conf.set(pkey, str(loop_parts))
         try:
             yield
         finally:
             spark.conf.set(key, prev)
+            spark.conf.set(pkey, prev_parts)
 
 
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
