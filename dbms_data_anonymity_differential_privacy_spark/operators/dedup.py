@@ -2224,7 +2224,6 @@ def minhash_jaccard_audit(
     never corpus². The exact pair relation reuses
     :func:`ngram_jaccard_pairs` (shared tokenization economics).
     """
-    spark = docs.sparkSession
     sh_rel = (
         fan_out(docs)
         .select(
@@ -2233,35 +2232,58 @@ def minhash_jaccard_audit(
         )
     )
     h32 = F.conv(F.substring(F.md5(F.col("__sh")), 1, 8), 16, 10).cast("long")
-    perms = spark.createDataFrame(
-        _mh_audit_perms(num_hashes), "i INT, a LONG, b LONG"
-    )
+    # WIDE signature: one row per doc with num_hashes min columns, via a
+    # single partial-combined aggregation over the posting relation. The
+    # previous shape crossJoined every posting with the k permutations
+    # (postings x k exchange rows) and re-aggregated by (doc, i), then
+    # joined the pair relation to k signature rows PER SIDE and counted
+    # matches with one more aggregation. Per-component mins are
+    # identical (min over the same multiset, grouped wide instead of
+    # tall), and the match count is the same exact integer sum of k
+    # equality indicators — now a single projection over one row (r11;
+    # guide §2.3/§2.4: k times fewer exchange rows, three exchanges and
+    # a crossJoin removed).
     sig = (
         sh_rel.withColumn("__h32", h32)
-        .crossJoin(F.broadcast(perms))
-        .groupBy("__id", "i")
+        .groupBy("__id")
         .agg(
-            F.min(
-                F.pmod(F.col("__h32") * F.col("a") + F.col("b"), F.lit(_MH_AUDIT_P))
-            ).alias("__mh")
+            *[
+                F.min(
+                    F.pmod(
+                        F.col("__h32") * F.lit(a) + F.lit(b), F.lit(_MH_AUDIT_P)
+                    )
+                ).alias(f"__mh{i}")
+                for i, a, b in _mh_audit_perms(num_hashes)
+            ]
         )
     )
     sig = track_cached(sig.persist())  # feeds both sides of the pair join
     pairs = ngram_jaccard_pairs(
         docs, threshold=threshold, n=n, text_col=text_col, id_col=id_col
     )
-    sa = sig.select(F.col("__id").alias("id_a"), "i", F.col("__mh").alias("__ma"))
-    sb = sig.select(F.col("__id").alias("id_b"), "i", F.col("__mh").alias("__mb"))
+    sa = sig.select(
+        F.col("__id").alias("id_a"),
+        *[F.col(f"__mh{i}").alias(f"__ma{i}") for i in range(num_hashes)],
+    )
+    sb = sig.select(
+        F.col("__id").alias("id_b"),
+        *[F.col(f"__mh{i}").alias(f"__mb{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        [
+            F.when(F.col(f"__ma{i}") == F.col(f"__mb{i}"), 1).otherwise(0)
+            for i in range(num_hashes)
+        ],
+        F.lit(0),
+    )
     est = (
         pairs.join(sa, "id_a")
-        .join(sb, ["id_b", "i"])
-        .groupBy("id_a", "id_b", "jaccard")
-        .agg(
-            (
-                F.sum(F.when(F.col("__ma") == F.col("__mb"), 1).otherwise(0))
-                .cast("double")
-                / F.lit(float(num_hashes))
-            ).alias("__est")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            (matches.cast("double") / F.lit(float(num_hashes))).alias("__est"),
         )
     )
     return est.select(
