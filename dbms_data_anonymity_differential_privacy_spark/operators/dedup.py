@@ -1560,9 +1560,6 @@ def semantic_dedup(
                 "similarity.cosine_self_join_pairs directly for small-data "
                 "brute force)"
             )
-        from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import (
-            kcenter_coreset,
-        )
         from dbms_data_anonymity_differential_privacy_spark.operators.similarity import _dot
 
         fit_pool = emb
@@ -1643,20 +1640,18 @@ def semantic_dedup(
             # SAMPLED relation, so it is cheap even when emb is not)
             if fit_pool.limit(auto_block_k).count() < auto_block_k:
                 fit_pool = emb
-        centers = kcenter_coreset(
+        from dbms_data_anonymity_differential_privacy_spark.operators.embeddings import (
+            _kcenter_chosen,
+        )
+
+        # the internal selection carries each center's VECTOR and its
+        # engine-fold c·c, so the old centers→emb join-collect (one more
+        # Spark job per call) is gone (r11)
+        chosen = _kcenter_chosen(
             fit_pool, k=auto_block_k, vec_col=vec_col, id_col=id_col
         )
         v = F.col(vec_col).cast("array<double>")
-        # kcenter_coreset's output schema names the id column vec_id
-        # regardless of id_col (its public contract) — realias before
-        # joining back for the center VECTORS
-        crows = (
-            centers.select("round", F.col("vec_id").alias(id_col))
-            .join(emb, on=id_col)
-            .select("round", v.alias("__cv"))
-            .collect()
-        )
-        if not crows:
+        if not chosen:
             # empty corpus: nothing to block or pair — the documented
             # (id, component, kept) shape over zero rows
             return emb.select(
@@ -1666,19 +1661,16 @@ def semantic_dedup(
             )
         xx = _dot(v, v)
         cands = []
-        for row in sorted(crows, key=lambda r: r["round"]):
-            cvec = [float(x) for x in row["__cv"]]
-            # sequential left-fold of c·c in list order — bit-identical
-            # to the engine fold that produced e.xx (IEEE doubles, same
-            # operation order)
-            cxx = 0.0
-            for x in cvec:
-                cxx += x * x
+        for rnd, _cid, _cd, cvec_raw, cxx in sorted(chosen, key=lambda c: c[0]):
+            # cxx is the pool's engine-fold dot(c, c) — the same
+            # sequential left-fold that produces e.xx, so comparisons
+            # downstream see bit-identical doubles
+            cvec = [float(x) for x in cvec_raw]
             clit = F.array(*[F.lit(x) for x in cvec])
             cands.append(
                 F.struct(
-                    (xx - 2.0 * _dot(v, clit) + F.lit(cxx)).alias("d"),
-                    F.lit(int(row["round"])).alias("r"),
+                    (xx - 2.0 * _dot(v, clit) + F.lit(float(cxx))).alias("d"),
+                    F.lit(int(rnd)).alias("r"),
                 )
             )
         # argmin by (distance, selection round): struct comparison is

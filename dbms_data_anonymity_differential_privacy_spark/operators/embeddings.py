@@ -38,6 +38,7 @@ broadcast-consumable by IVF/assignment stages downstream.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -375,6 +376,138 @@ def retrieval_eval(
     )
 
 
+# Above this pool size the greedy selection stays distributed (k
+# map-only distance updates + k TakeOrdered collects); at or below it
+# the pool collects ONCE and the k rounds run vectorized on the driver
+# (the pagerank_int/connected_components hybrid discipline — r11). At
+# 64-dim doubles the bound is ~34 MB of driver memory; semantic_dedup's
+# fitting pool is hash-sampled to ~8k rows at scale, so the driver path
+# is the common case there by construction.
+KCENTER_DRIVER_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_KCENTER_DRIVER_ROWS", str(65_536))
+)
+
+
+def _kcenter_greedy_driver(rows, k: int):
+    """Vectorized greedy k-center over collected pool rows. Returns
+    ``[(round, id, dist, vec, xx)]`` (dist None for the seed) or None
+    when the rows are unsuitable (ragged/NaN/NULL vectors) and the
+    caller must fall back to the distributed loop.
+
+    EXACT-ARITHMETIC twin of the distributed formulation: each dot is
+    accumulated dimension-by-dimension (``acc = acc + x_j*c_j`` — the
+    same left-fold IEEE order as ``_dot``'s sequential fold), the
+    distance expands in the same ``(xx - 2.0*dot) + cxx`` order, and the
+    per-round update is an elementwise ``least``. Comparisons therefore
+    see bit-identical doubles and the greedy trajectory — which the
+    oracle-hashed x175_auto release depends on — cannot diverge.
+    """
+    import numpy as np
+
+    ids = [r["__id"] for r in rows]
+    vecs = [r["__v"] for r in rows]
+    if any(v is None for v in vecs):
+        return None
+    try:
+        V = np.array([list(v) for v in vecs], dtype=np.float64)
+    except (TypeError, ValueError):
+        return None  # ragged or non-numeric — distributed path handles it
+    if V.ndim != 2 or np.isnan(V).any():
+        return None
+    xx = np.array([r["__xx"] for r in rows], dtype=np.float64)
+    if np.isnan(xx).any():
+        return None
+    n, dim = V.shape
+
+    def dist_to(ci: int):
+        dot = np.zeros(n, dtype=np.float64)
+        cv = V[ci]
+        for j in range(dim):  # left-fold over dimensions == _dot's order
+            dot = dot + V[:, j] * cv[j]
+        return (xx - 2.0 * dot) + xx[ci]
+
+    seed_i = min(range(n), key=lambda i: ids[i])
+    chosen = [(1, ids[seed_i], None, vecs[seed_i], float(xx[seed_i]))]
+    if k == 1:
+        return chosen
+    d = dist_to(seed_i)
+    for r in range(2, k + 1):
+        m = d.max()
+        far_i = min((i for i in range(n) if d[i] == m), key=lambda i: ids[i])
+        chosen.append((r, ids[far_i], float(d[far_i]), vecs[far_i], float(xx[far_i])))
+        if r == k:
+            break
+        d = np.minimum(d, dist_to(far_i))
+    return chosen
+
+
+def _kcenter_chosen(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list:
+    """Greedy k-center selection returning the chosen rows WITH their
+    vectors: ``[(round, id, dist, vec, xx)]``. Internal — callers that
+    need the center vectors (semantic_dedup's assignment projection)
+    read them from here instead of re-joining the pool (one fewer
+    collect job)."""
+    from .similarity import _dot
+
+    v = F.col(vec_col).cast("array<double>")
+    pool_plan = df.select(
+        F.col(id_col).alias("__id"), v.alias("__v"), _dot(v, v).alias("__xx")
+    )
+    # bounded probe: LocalLimit short-circuits the scan, so an oversized
+    # pool pays one truncated pass, not a full one
+    probe = pool_plan.limit(KCENTER_DRIVER_MAX_ROWS + 1).collect()
+    if not probe:
+        return []
+    if len(probe) <= KCENTER_DRIVER_MAX_ROWS:
+        chosen = _kcenter_greedy_driver(probe, k)
+        if chosen is not None:
+            return chosen
+
+    pool = pool_plan.persist()
+
+    def dist_to(center_vec: list[float], center_xx: float):
+        lit = F.array(*[F.lit(float(x)) for x in center_vec])
+        return F.col("__xx") - 2.0 * _dot(F.col("__v"), lit) + F.lit(center_xx)
+
+    seed = pool.orderBy(F.col("__id").asc()).limit(1).collect()[0]
+    chosen = [(1, seed["__id"], None, seed["__v"], float(seed["__xx"]))]
+    # ONE job per round: the TakeOrdered collect below is itself the
+    # action that populates the round's persisted distance relation, so
+    # no separate count() barrier is needed. The PREVIOUS round's cache
+    # is released only after the current round has materialized (the
+    # current relation is built from it lazily).
+    cur = pool.select(
+        "__id", "__v", "__xx",
+        dist_to(list(seed["__v"]), float(seed["__xx"])).alias("__d"),
+    ).persist()
+    prev = None
+    for r in range(2, k + 1):
+        far = cur.orderBy(F.col("__d").desc(), F.col("__id").asc()).limit(1).collect()[0]
+        if prev is not None:
+            prev.unpersist()
+        chosen.append((r, far["__id"], float(far["__d"]), far["__v"], float(far["__xx"])))
+        if r == k:  # k centers chosen — no further update round needed
+            break
+        nxt = cur.select(
+            "__id", "__v", "__xx",
+            F.least(
+                F.col("__d"),
+                dist_to(list(far["__v"]), float(far["__xx"])),
+            ).alias("__d"),
+        ).persist()
+        prev, cur = cur, nxt
+    cur.unpersist()
+    if prev is not None:
+        prev.unpersist()
+    pool.unpersist()
+    return chosen
+
+
 def kcenter_coreset(
     df: DataFrame,
     k: int = 8,
@@ -394,61 +527,25 @@ def kcenter_coreset(
     list_dot_product — the x04 contract), so the greedy trajectory is
     engine-exact; only the released distances round.
 
-    Shape: per round ONE map-only distance-update projection (center
-    vector rides the plan as a literal array) and one distributed
-    TakeOrdered(1) — k bounded 1-row collects total, no shuffles of the
-    pool. Output: ``(round, vec_id, dist_r)``, dist NULL for the seed.
+    Shape — hybrid (r11): pools at or under
+    :data:`KCENTER_DRIVER_MAX_ROWS` collect once and iterate vectorized
+    on the driver with the identical fold arithmetic (one job instead
+    of k+1); larger pools run the distributed loop — per round ONE
+    map-only distance-update projection (center vector rides the plan
+    as a literal array) and one distributed TakeOrdered(1), k bounded
+    1-row collects total, no shuffles of the pool. Output:
+    ``(round, vec_id, dist_r)``, dist NULL for the seed.
     """
-    from .similarity import _dot
-
-    v = F.col(vec_col).cast("array<double>")
-    pool = df.select(
-        F.col(id_col).alias("__id"), v.alias("__v"), _dot(v, v).alias("__xx")
-    ).persist()
-
-    def dist_to(center_vec: list[float], center_xx: float):
-        lit = F.array(*[F.lit(float(x)) for x in center_vec])
-        return F.col("__xx") - 2.0 * _dot(F.col("__v"), lit) + F.lit(center_xx)
-
-    seed_rows = pool.orderBy(F.col("__id").asc()).limit(1).collect()
-    if not seed_rows:
-        pool.unpersist()
+    chosen = _kcenter_chosen(df, k, vec_col, id_col)
+    if not chosen:
         return df.sparkSession.createDataFrame(
             [], "round INT, vec_id LONG, dist_r DOUBLE"
         )
-    seed = seed_rows[0]
-    chosen = [(1, int(seed["__id"]), None)]
-    # ONE job per round: the TakeOrdered collect below is itself the
-    # action that populates the round's persisted distance relation, so
-    # no separate count() barrier is needed. The PREVIOUS round's cache
-    # is released only after the current round has materialized (the
-    # current relation is built from it lazily).
-    cur = pool.select(
-        "__id", "__v", "__xx",
-        dist_to(list(seed["__v"]), float(seed["__xx"])).alias("__d"),
-    ).persist()
-    prev = None
-    for r in range(2, k + 1):
-        far = cur.orderBy(F.col("__d").desc(), F.col("__id").asc()).limit(1).collect()[0]
-        if prev is not None:
-            prev.unpersist()
-        chosen.append((r, int(far["__id"]), float(far["__d"])))
-        if r == k:  # k centers chosen — no further update round needed
-            break
-        nxt = cur.select(
-            "__id", "__v", "__xx",
-            F.least(
-                F.col("__d"),
-                dist_to(list(far["__v"]), float(far["__xx"])),
-            ).alias("__d"),
-        ).persist()
-        prev, cur = cur, nxt
-    cur.unpersist()
-    if prev is not None:
-        prev.unpersist()
-    pool.unpersist()
     return df.sparkSession.createDataFrame(
-        [(r, i, None if d is None else round(d, 6)) for r, i, d in chosen],
+        [
+            (r, int(i), None if d is None else round(d, 6))
+            for r, i, d, _v, _xx in chosen
+        ],
         "round INT, vec_id LONG, dist_r DOUBLE",
     )
 

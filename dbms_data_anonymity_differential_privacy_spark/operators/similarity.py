@@ -101,16 +101,26 @@ def cosine_self_join_pairs(
     (the elementwise products commute, so the fold is the same double
     sequence either way). Equivalence pinned in tests.
     """
+    from dbms_data_anonymity_differential_privacy_spark.operators.util import track_cached
+
     df = fan_out(df)
     v = F.col(vec_col).cast("array<double>")
     if block_col and grid and grid > 1:
         s = F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(grid))).cast("int")
-        base = df.select(
-            F.col(id_col).alias("id"),
-            v.alias("vec"),
-            _norm(v).alias("nrm"),
-            F.col(block_col).alias("blk"),
-            s.alias("s"),
+        # persisted: BOTH sides of the self-join read this projection, and
+        # its upstream is routinely expensive — the interpreted per-row
+        # norm fold here, plus whatever the caller computed (semantic_
+        # dedup's k-center assignment folds, the LSH hyperplane signature)
+        # — without the cache boundary every one of those runs TWICE, once
+        # per join side (r11; the x41 hamming_pairs lesson, guide §5)
+        base = track_cached(
+            df.select(
+                F.col(id_col).alias("id"),
+                v.alias("vec"),
+                _norm(v).alias("nrm"),
+                F.col(block_col).alias("blk"),
+                s.alias("s"),
+            ).persist()
         )
         a = base.select(
             F.col("id").alias("id_a"),
@@ -141,17 +151,27 @@ def cosine_self_join_pairs(
             F.round(cos, 6).alias("cos"),
         )
         return scored.filter(F.col("cos") >= F.lit(threshold))
-    a = df.select(
-        F.col(id_col).alias("id_a"),
-        v.alias("va"),
-        _norm(v).alias("na"),
-        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    # same double-execution guard as the grid path: one persisted
+    # (id, vec, norm[, blk]) projection feeds both join sides
+    base = track_cached(
+        df.select(
+            F.col(id_col).alias("id"),
+            v.alias("vec"),
+            _norm(v).alias("nrm"),
+            *([F.col(block_col).alias("blk")] if block_col else []),
+        ).persist()
     )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        v.alias("vb"),
-        _norm(v).alias("nb"),
-        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    a = base.select(
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+        *(["blk"] if block_col else []),
+    )
+    b = base.select(
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+        *(["blk"] if block_col else []),
     )
     cond = [F.col("id_a") < F.col("id_b")]
     joined = a.join(b, on=(["blk"] if block_col else []) or None, how="inner") if block_col else a.crossJoin(b)
