@@ -396,7 +396,10 @@ def assortativity(edges: DataFrame) -> DataFrame:
 
     Output (single row): ``(n_nodes, n_edges, r_assort)``.
     """
-    from dbms_data_anonymity_differential_privacy_spark.operators.util import track_cached
+    from dbms_data_anonymity_differential_privacy_spark.operators.util import (
+        bounded_plan_result,
+        track_cached,
+    )
 
     DEC = "decimal(38,0)"
     # the edge relation feeds the degree union TWICE plus the join-back:
@@ -404,6 +407,10 @@ def assortativity(edges: DataFrame) -> DataFrame:
     # appears 3-4x in the plan and ReusedExchange only sometimes dedupes
     # it (measured at sf0.1 on the co-purchase build: 4.4 s -> 3.4 s)
     edges = track_cached(edges.persist())
+    # materialize the edge cache with the session plan and learn its size
+    # (the bounded-plan gate for the slim degree-join cascade below; see
+    # util.bounded_plan_result — measured at sf0.1: 3.0-3.6 s -> 2.0 s)
+    n_edge_rows = edges.count()
     deg = (
         edges.select(F.col("x").alias("v"))
         .unionAll(edges.select(F.col("y").alias("v")))
@@ -430,13 +437,14 @@ def assortativity(edges: DataFrame) -> DataFrame:
     nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     num = F.col("p") * F.col("c") - F.col("s") * F.col("s")
     den = F.col("p") * F.col("q") - F.col("s") * F.col("s")
-    return s.crossJoin(F.broadcast(nn)).select(
+    out = s.crossJoin(F.broadcast(nn)).select(
         "n_nodes",
         (F.col("p") / F.lit(2)).cast("long").alias("n_edges"),
         F.round(
             F.when(den > 0, num.cast("double") / den.cast("double")), 9
         ).alias("r_assort"),
     )
+    return bounded_plan_result(out, n_edge_rows)
 
 
 def powerlaw_alpha(edges: DataFrame, d_min: int = 2, exact: bool = True) -> DataFrame:
@@ -851,7 +859,10 @@ def local_clustering(edges: DataFrame) -> DataFrame:
     cannot happen), then each triangle's three corners credited by one
     ``explode`` + count. Shuffles carry id pairs only.
     """
-    from dbms_data_anonymity_differential_privacy_spark.operators.util import track_cached
+    from dbms_data_anonymity_differential_privacy_spark.operators.util import (
+        bounded_plan_result,
+        track_cached,
+    )
 
     canon = track_cached(
         edges.select(
@@ -862,6 +873,12 @@ def local_clustering(edges: DataFrame) -> DataFrame:
         .distinct()
         .persist()
     )
+    # materialize the canonical edge relation with the session plan (the
+    # data-sized upstream build keeps AQE) and learn its size — the gate
+    # for running the tiny wedge/credit cascade under the bounded plan
+    # (see util.bounded_plan_result; measured at sf0.1: 4.6 s / 39 AQE
+    # stage-jobs -> 2.1 s on a 3,573-edge graph, bit-identical output)
+    n_edges = canon.count()
     deg, tri = _oriented_triangles(canon)
     per_node = (
         tri.select(F.explode(F.array("u", "v", "x")).alias("node"))
@@ -883,7 +900,7 @@ def local_clustering(edges: DataFrame) -> DataFrame:
             ).alias("lcc_r"),
         )
     )
-    return out
+    return bounded_plan_result(out, n_edges)
 
 
 def hits_int(
