@@ -50,8 +50,15 @@ def get_spark(
         # per-partition sorts a sort-merge join pays, with AQE's skew
         # handling still applying. Measured at sf0.1 over the 22 most
         # join-heavy queries: 45.2 s vs 48.8-52.7 s (r10; guide §3.1/§9
-        # baseline). Env-overridable for clusters that prefer SMJ's
-        # graceful spill on misestimated build sides.
+        # baseline). Spill safety measured (SCALE.md "Round-11 SHJ
+        # spill-safety experiment", tools/shj_spill_experiment.py): on a
+        # skewed 250 MB hot-key build in a 1.5 GB session the planner's
+        # size conditions picked the SAFE build side on their own and
+        # completed bit-identical to SMJ; the build-side OOM requires a
+        # forced SHUFFLE_HASH hint (the engine uses none) and then fails
+        # fast with a named "Can't acquire ... hash relation" error.
+        # SPARK_GRAFT_PREFER_SMJ=true is the verified fallback for
+        # clusters that prefer SMJ's graceful sort-spill anyway.
         .config(
             "spark.sql.join.preferSortMergeJoin",
             os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
