@@ -100,6 +100,30 @@ def shingle_hashes(th: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<long>"))
 
 
+def _finish_pairs(pairs: DataFrame, n_cand: int | None) -> DataFrame:
+    """Finish a near-dup pair pipeline under the bounded plan when the
+    adaptive stats probe already measured the exact candidate volume.
+
+    The pair pipeline downstream of the persisted shingle relations is a
+    cascade of slim-id joins + aggregations; at bench scale AQE turns
+    each exchange into its own re-planned query stage (x228 paid 31
+    sequential stage-jobs for a 50k-doc corpus). The probe's
+    ``(s2 - s1)/2`` is the exact plain-path candidate count, so it is a
+    sound gate input: under ``LOOP_AQE_MAX_ROWS`` the whole cascade runs
+    in one scoped AQE-off job (util.bounded_plan_result), above it —
+    the hot-shingle regime the prefix path exists for — everything is
+    untouched, AQE skew-split included. Callers that pass an explicit
+    ``prefix_filter`` skip the probe, get ``n_cand=None``, and keep the
+    lazy plan."""
+    if n_cand is None:
+        return pairs
+    from dbms_data_anonymity_differential_privacy_spark.operators.util import (
+        bounded_plan_result,
+    )
+
+    return bounded_plan_result(pairs, n_cand)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -164,12 +188,19 @@ def ngram_jaccard_pairs(
     dfreq = track_cached(
         exploded.groupBy("shingle_h").agg(F.count(F.lit(1)).alias("__df")).persist()
     )
+    # Exact candidate volume for the plain path: sum over shingles of
+    # df*(df-1)/2 = (s2 - s1)/2 ordered pairs. Besides driving the
+    # adaptive path switch, this is a FREE size gate for finishing the
+    # pair pipeline under the bounded plan (see the return below).
+    n_cand = None
     if prefix_filter is None:
         stats = dfreq.agg(
             F.sum(F.col("__df") * F.col("__df")).alias("s2"),
             F.sum("__df").alias("s1"),
         ).first()
         prefix_filter = bool(stats and stats["s1"] and stats["s2"] > 50 * stats["s1"])
+        if stats and stats["s1"]:
+            n_cand = max(1, int(stats["s2"] - stats["s1"]) // 2)
 
     if not prefix_filter:
         # plain inverted-index join; df>=2 prune (singletons join to
@@ -202,7 +233,9 @@ def ngram_jaccard_pairs(
                 F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 9
             ).alias("jaccard"),
         )
-        return jac.filter(F.col("jaccard") >= F.lit(threshold))
+        return _finish_pairs(
+            jac.filter(F.col("jaccard") >= F.lit(threshold)), n_cand
+        )
 
     # Rare-first PREFIX FILTER (SSJoin/PPJoin prefix principle — EXACT):
     # J(A,B) >= t implies |A∩B| >= ceil(t*|A|) (the union is at least as
@@ -261,7 +294,7 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
-    return jac.filter(F.col("jaccard") >= F.lit(threshold))
+    return _finish_pairs(jac.filter(F.col("jaccard") >= F.lit(threshold)), n_cand)
 
 
 def minhash_lsh_pairs(

@@ -60,6 +60,38 @@ def test_bounded_plan_result_checkpoints_below_gate(spark):
     assert "LogicalRDD" in got._jdf.queryExecution().optimizedPlan().toString()
 
 
+def test_ngram_pairs_bounded_finish_matches_lazy(spark):
+    """The adaptive path (stats probe -> bounded finish) must release
+    exactly the rows of the probe-skipping lazy path, and restore the
+    session confs."""
+    from dbms_data_anonymity_differential_privacy_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        (1, "a b c d e f g"),
+        (2, "a b c d e f h"),
+        (3, "x y z w q r t"),
+        (4, "x y z w q r s"),
+        (5, "unrelated words entirely here now ok fine"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+
+    adaptive = ngram_jaccard_pairs(docs, threshold=0.3, n=3)
+    # adaptive path went through the probe -> checkpointed result
+    assert "LogicalRDD" in adaptive._jdf.queryExecution().optimizedPlan().toString()
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prev_aqe
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
+
+    lazy_plain = ngram_jaccard_pairs(docs, threshold=0.3, n=3, prefix_filter=False)
+    lazy_prefix = ngram_jaccard_pairs(docs, threshold=0.3, n=3, prefix_filter=True)
+    got = _rows(adaptive)
+    assert got == _rows(lazy_plain) == _rows(lazy_prefix)
+    assert len(got) >= 2  # the fixture has two qualifying pairs
+
+
 def test_assortativity_bounded_matches(spark):
     from dbms_data_anonymity_differential_privacy_spark.operators.graph import (
         assortativity,
