@@ -189,7 +189,14 @@ def test_clean_text_idempotent_and_canonical(spark, batch):
     for r in twice.collect():
         assert r["c2"] == r["c1"]
         assert not re.search(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", r["c1"])
-        assert not re.search(r"\s\s", r["c1"])
+        # runs of ENGINE whitespace must be collapsed. The class is Java
+        # regex \s = [ \t\n\x0B\f\r] (what collapse_ws actually matches),
+        # NOT Python re \s: Python's additionally covers U+0085/U+2028/
+        # U+2029, which are neither C0 controls nor Zs space separators,
+        # so the operator deliberately passes them through (hypothesis
+        # falsified the old Python-\s assertion with '0 \x85' — a test
+        # bug, not an operator bug; the operator's output is oracle-pinned)
+        assert not re.search(r"[ \t\n\x0b\f\r]{2}", r["c1"])
         assert not (r["c1"].startswith(" ") or r["c1"].endswith(" "))
 
 
