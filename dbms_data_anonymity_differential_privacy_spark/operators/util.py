@@ -235,31 +235,36 @@ _LOOP_PLAN_LOCK = threading.RLock()
 
 
 def bounded_plan_result(df: DataFrame, n_rows: int, max_rows: int | None = None) -> DataFrame:
-    """Materialize a bounded graph analytic's result under the loop-plan
-    scope — the non-iterative twin of :func:`bounded_loop_plan`.
+    """Materialize a bounded analytic's result under the loop-plan scope
+    — the non-iterative twin of :func:`bounded_loop_plan`.
 
-    One-shot analytics over a small persisted edge relation (local
-    clustering, assortativity) spend their wall on AQE stage scheduling,
-    not compute: every exchange in the degree/wedge/join cascade becomes
-    its own re-planned query stage, so a 3.6k-edge graph pays 30-40
-    sequential driver round-trips (measured at sf0.1: x195 4.6 s, 39
-    jobs). Because AQE and the shuffle-partition conf are read at ACTION
-    time, the scope only helps if the plan executes inside it — hence
-    the eager localCheckpoint, which also hands callers a
-    lineage-truncated result (they compose it into pipelines).
+    One-shot analytics over a small persisted relation (local
+    clustering, assortativity, the near-dup pair cascade) spend their
+    wall on AQE stage scheduling, not compute: every exchange in the
+    join/agg cascade becomes its own re-planned query stage, so a
+    3.6k-edge graph pays 30-40 sequential driver round-trips (measured
+    at sf0.1: x195 4.6 s, 39 jobs). Because AQE and the
+    shuffle-partition conf are read at ACTION time, the scope only helps
+    if the plan executes inside it — hence the eager persist + count.
+
+    persist (not localCheckpoint) deliberately: the cached relation
+    rides the cache ledger (released by ``release_cached_relations``,
+    and safe to release — unlike a checkpoint it RECOMPUTES from lineage
+    if re-read after release, merely without the scope), and the logical
+    plan stays inspectable (the engine's plan-gate tests grep it).
 
     Size-gated exactly like the loops: above ``max_rows`` (default
-    ``LOOP_AQE_MAX_ROWS``) this is a passthrough — no conf change and no
-    checkpoint, so at cluster scale the analytic keeps AQE's skew
-    handling and never materializes a node-sized result eagerly.
-    Plan-only: the returned rows are the same InternalRows the lazy plan
-    would produce.
+    ``LOOP_AQE_MAX_ROWS``) this is a passthrough — no conf change, no
+    eager materialization, AQE skew handling kept. Plan-only: the
+    returned rows are the same InternalRows the lazy plan produces.
     """
     max_rows = LOOP_AQE_MAX_ROWS if max_rows is None else max_rows
     if n_rows > max_rows:
         return df
     with bounded_loop_plan(df.sparkSession, n_rows, max_rows):
-        return df.localCheckpoint(eager=True)
+        out = track_cached(df.persist())
+        out.count()
+        return out
 
 
 @contextmanager

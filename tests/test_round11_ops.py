@@ -47,17 +47,27 @@ def test_bounded_plan_result_identical_and_restores_confs(spark):
     assert util.bounded_plan_result(df, n_rows=10, max_rows=5) is df
 
 
-def test_bounded_plan_result_checkpoints_below_gate(spark):
-    """Below the gate the result is an eagerly-materialized checkpoint
-    (lineage truncated), and its rows match the lazy plan's."""
+def test_bounded_plan_result_materializes_below_gate(spark):
+    """Below the gate the result is an eagerly-materialized LEDGER-TRACKED
+    cache (so release_cached_relations frees it, and a post-release
+    re-read recomputes from lineage instead of dying like a freed
+    checkpoint would), and its rows match the lazy plan's."""
     from dbms_data_anonymity_differential_privacy_spark.operators import util
 
     df = spark.range(0, 100).groupBy((F.col("id") % 7).alias("k")).count()
     lazy = _rows(df)
     got = util.bounded_plan_result(df, n_rows=100)
     assert _rows(got) == lazy
-    # checkpointed: the logical plan is an RDD scan, not the aggregation
-    assert "LogicalRDD" in got._jdf.queryExecution().optimizedPlan().toString()
+    # materialized into the cache, plan still inspectable (fresh projection:
+    # `got` shares the pre-persist QueryExecution whose lazy vals were
+    # already forced by the baseline collect above)
+    fresh = got.select("*")
+    assert "InMemoryRelation" in fresh._jdf.queryExecution().optimizedPlan().toString()
+    assert got.storageLevel.useMemory
+    # rides the ledger: released -> storage level drops, rows still right
+    util.release_cached_relations()
+    assert not got.storageLevel.useMemory
+    assert _rows(got) == lazy
 
 
 def test_ngram_pairs_bounded_finish_matches_lazy(spark):
@@ -80,8 +90,8 @@ def test_ngram_pairs_bounded_finish_matches_lazy(spark):
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
 
     adaptive = ngram_jaccard_pairs(docs, threshold=0.3, n=3)
-    # adaptive path went through the probe -> checkpointed result
-    assert "LogicalRDD" in adaptive._jdf.queryExecution().optimizedPlan().toString()
+    # adaptive path went through the probe -> eagerly cached result
+    assert adaptive.storageLevel.useMemory
     assert spark.conf.get("spark.sql.adaptive.enabled") == prev_aqe
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
 
